@@ -1,0 +1,32 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Shared local SparkSession for all suites (one JVM-wide session). */
+object TestSpark {
+  lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .master("local[4]")
+      .appName("graft-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+}
+
+abstract class SparkSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = TestSpark.spark
+  def sf(name: String, dir: String = "/root/testdata/sf0.001") =
+    spark.read.parquet(s"$dir/$name.parquet")
+  /** Scratch dir inside the repo (we must not write outside /root/repo). */
+  def tmpDir(name: String): String = {
+    val p = java.nio.file.Paths.get(s"/root/repo/target/tmp/$name")
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+}
