@@ -1,0 +1,166 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.GraftBridge
+import org.apache.spark.sql.functions.{array_distinct, col, split, transform => atransform, xxhash64, lower, lit, concat_ws, slice, sequence, size => asize}
+
+/** Custom Catalyst expressions for document sketching.
+  *
+  * These are the (b)-tier custom operators from the build rules: scalar
+  * sketch functions Spark lacks, implemented as native expressions so
+  * the per-document work is ONE pass over the token-hash array instead
+  * of `numHashes` separate array traversals that built-in `transform`/
+  * `array_min` chains would cost (64× less work per row at 100 TB).
+  * No shuffle is involved — both are pure per-row projections.
+  *
+  * Capability modeled after the dedup stage of large-scale training-data
+  * pipelines (the reference itself has no sketches — SURVEY §2.E declares
+  * the gap; this is north-star surface from BASELINE.json).
+  */
+object SketchExprs {
+
+  /** Deterministic multiply-add permutation family: h_i(x) = a_i*x + b_i
+    * over Z/2^64 (odd multipliers ⇒ bijective). Seeds derive from
+    * SplitMix64 so signatures are reproducible across runs/executors. */
+  def permutations(n: Int, seed: Long = 42L): (Array[Long], Array[Long]) = {
+    var s = seed
+    def next(): Long = {
+      s += 0x9e3779b97f4a7c15L
+      var z = s
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    val as = Array.fill(n)(next() | 1L) // odd
+    val bs = Array.fill(n)(next())
+    (as, bs)
+  }
+
+  /** MinHash signature + LSH band hashes in one pass.
+    *
+    * Input: array<long> of shingle hashes. Output: array<long> of
+    * `bands` bucket keys — band j is a hash of signature rows
+    * [j*rowsPerBand, (j+1)*rowsPerBand). Two documents share a bucket
+    * key in some band iff their signatures agree on that whole band —
+    * the standard (b,r) LSH construction for Jaccard similarity.
+    */
+  case class MinHashBands(
+      child: Expression,
+      numHashes: Int = 64,
+      bands: Int = 16,
+      seed: Long = 42L)
+    extends UnaryExpression with CodegenFallback {
+
+    require(numHashes % bands == 0, "numHashes must divide into bands")
+    private val rowsPerBand = numHashes / bands
+    @transient private lazy val (as, bs) = permutations(numHashes, seed)
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val hashes = input.asInstanceOf[ArrayData]
+      val n = hashes.numElements()
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var i = 0
+      while (i < n) {
+        val h = hashes.getLong(i)
+        var j = 0
+        while (j < numHashes) {
+          val p = as(j) * h + bs(j)
+          if (p < mins(j)) mins(j) = p
+          j += 1
+        }
+        i += 1
+      }
+      // fold each band of rowsPerBand mins into one 64-bit bucket key
+      val out = new Array[Long](bands)
+      var b = 0
+      while (b < bands) {
+        var acc = 0xcbf29ce484222325L ^ b // FNV-ish offset, band-distinct
+        var r = 0
+        while (r < rowsPerBand) {
+          acc = (acc ^ mins(b * rowsPerBand + r)) * 0x100000001b3L
+          r += 1
+        }
+        out(b) = acc
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): MinHashBands =
+      copy(child = c)
+  }
+
+  /** 64-bit SimHash over an array<long> of token hashes: per bit,
+    * majority vote of the tokens' bits; near-duplicate docs have small
+    * Hamming distance (compare with `bit_count(a ^ b)`). */
+  case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+
+    protected override def nullSafeEval(input: Any): Any = {
+      val hashes = input.asInstanceOf[ArrayData]
+      val n = hashes.numElements()
+      val counts = new Array[Int](64)
+      var i = 0
+      while (i < n) {
+        val h = hashes.getLong(i)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var b = 0
+      while (b < 64) {
+        if (counts(b) > 0) out |= (1L << b)
+        b += 1
+      }
+      java.lang.Long.valueOf(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): SimHash64 =
+      copy(child = c)
+  }
+
+  // ------------------------- Column-level API ---------------------------
+
+  def minhash_bands(hashes: Column, numHashes: Int = 64, bands: Int = 16,
+                    seed: Long = 42L): Column =
+    GraftBridge.column(
+      MinHashBands(GraftBridge.expression(hashes), numHashes, bands, seed))
+
+  def simhash64(hashes: Column): Column =
+    GraftBridge.column(SimHash64(GraftBridge.expression(hashes)))
+
+  /** Word n-gram shingles of a text column → distinct xxhash64 values.
+    * Pure built-ins: lowercase → split on non-word → sliding n-grams →
+    * hash → distinct. One projection, no shuffle. */
+  def shingleHashes(text: Column, n: Int = 3): Column = {
+    val tokens = split(lower(text), "\\W+")
+    val count = asize(tokens) - (n - 1)
+    val grams = atransform(
+      sequence(lit(0), org.apache.spark.sql.functions.greatest(count - 1, lit(0))),
+      i => concat_ws(" ", slice(tokens, i + 1, lit(n))))
+    array_distinct(atransform(grams, g => xxhash64(g)))
+  }
+
+  /** Register SQL names so `spark.sql` users get the sketches too. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "minhash_bands", exprs => MinHashBands(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+  }
+}

@@ -1,0 +1,121 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column handling: image/audio/video as opaque `binary`
+  * columns with typed metadata, plus a feature-extraction stage
+  * (north-star surface from BASELINE.json).
+  *
+  * The actual media decode is STUBBED — this container has no image/
+  * audio codecs — behind [[MediaDecoder]]. Everything Spark-side is
+  * real and tested: the schema contract, the per-partition batched
+  * execution (`mapPartitions`, the Scala analog of `mapInPandas` batch
+  * shape), the partition sizing guidance, and the output plumbing.
+  *
+  * Scale design: media blobs dominate bytes. The decode stage is a
+  * narrow per-partition map — no shuffle — so throughput scales with
+  * executors; `spark.sql.files.maxPartitionBytes` (and blob-size-aware
+  * repartitioning, see [[repartitionBySize]]) keeps a partition's blobs
+  * within executor memory.
+  */
+object Multimodal {
+
+  /** Schema contract for a media table: id + opaque payload + metadata. */
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false), // image|audio|video
+    StructField("payload", BinaryType, nullable = true),
+    StructField("meta", StringType, nullable = true)          // JSON sidecar
+  ))
+
+  /** Extracted features appended by the decode stage. */
+  val featureSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("media_type", StringType, nullable = false),
+    StructField("byte_len", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("content_hash", LongType, nullable = false)
+  ))
+
+  /** The decode seam. A real deployment plugs a codec here; the stub is
+    * DETERMINISTIC (derived from the payload bytes) so tests and oracles
+    * are stable. */
+  trait MediaDecoder extends Serializable {
+    def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int)
+  }
+
+  /** STUB decoder — no codec libs in this container. Fakes dimensions
+    * from the payload deterministically; replace with a real codec in
+    * production. */
+  object StubDecoder extends MediaDecoder {
+    def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int) = {
+      val b0 = if (payload.nonEmpty) payload(0) & 0xff else 0
+      val b1 = if (payload.length > 1) payload(1) & 0xff else 0
+      mediaType match {
+        case "image" => (64 + b0 * 8, 64 + b1 * 8, 3)
+        case "audio" => (payload.length, 1, 1)        // samples × mono
+        case _       => (320, 240, 3)
+      }
+    }
+  }
+
+  private def fnv(bytes: Array[Byte]): Long = {
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xff)) * 0x100000001b3L; i += 1 }
+    h
+  }
+
+  /** Batched per-partition feature extraction (the mapInPandas analog):
+    * each task iterates its partition once, feeding the decoder. */
+  def extractFeatures(media: DataFrame,
+                      decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val enc = ExpressionEncoder(featureSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val typeIdx = media.schema.fieldIndex("media_type")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        val payload =
+          if (r.isNullAt(payloadIdx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](payloadIdx)
+        val mt = r.getString(typeIdx)
+        val (w, h, c) = decoder.decode(mt, payload)
+        Row(r.getLong(idIdx), mt, payload.length.toLong,
+          w, h, c, fnv(payload))
+      }
+    }(enc)
+  }
+
+  /** Bin-pack partitions by payload size so one task's blobs fit in
+    * memory: repartitions on a size-bucketed key. At 100 TB this is the
+    * difference between even tasks and OOM stragglers. */
+  def repartitionBySize(media: DataFrame, targetPartitionBytes: Long = 128L << 20,
+                        avgRowsHint: Int = 1000): DataFrame = {
+    val sized = media.withColumn("_bytes",
+      coalesce(length(col("payload")).cast("long"), lit(0L)))
+    val totalBytes = sized.agg(sum(col("_bytes"))).head.getLong(0)
+    val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
+    sized.repartition(parts, pmod(hash(col("media_id")), lit(parts)))
+      .drop("_bytes")
+  }
+
+  /** Build a media table from the documents fixture: payload = utf-8
+    * bytes of the text (a deterministic fake blob, letting the whole
+    * pipeline run without codec libs). */
+  def mediaFromDocuments(spark: SparkSession, documentsDir: String): DataFrame = {
+    spark.read.parquet(documentsDir)
+      .select(
+        col("doc_id").as("media_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0, "image")
+          .when(pmod(col("doc_id"), lit(3)) === 1, "audio")
+          .otherwise("video").as("media_type"),
+        encode(col("text"), "UTF-8").as("payload"),
+        to_json(struct(col("lang"), col("source"))).as("meta"))
+  }
+}

@@ -1,0 +1,94 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines (north-star surface):
+  * token counting, quality scoring, language ID, fingerprinting.
+  * Every operator is a pure projection over built-in expressions —
+  * whole-stage-codegen'd, shuffle-free, trivially 100 TB-scalable.
+  */
+object TextAnalysis {
+
+  /** Whitespace token count. */
+  def wordCount(text: Column): Column =
+    size(split(trim(text), "\\s+"))
+
+  /** BPE-ish token estimate: runs of letters, runs of digits, and single
+    * other non-space chars count as one token each (GPT-2-ish regex
+    * families); a cheap, deterministic proxy for tokenizer load. */
+  def tokenCountEstimate(text: Column): Column =
+    size(regexp_extract_all(text, lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
+
+  /** Quality metrics + a composite score in [0,1]. All ratios are over
+    * character length; formula is deterministic and documented so the
+    * oracle can mirror it. */
+  def quality(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    val len = length(t).cast("double")
+    val words = wordCount(t).cast("double")
+    val punct = length(regexp_replace(t, "[^.,;:!?]", "")).cast("double")
+    val digits = length(regexp_replace(t, "[^0-9]", "")).cast("double")
+    val upper = length(regexp_replace(t, "[^A-Z]", "")).cast("double")
+    val avgWordLen = when(words > 0, (len - (words - 1)) / words).otherwise(lit(0.0))
+    // score: long enough, low punct/digit noise, sane word length
+    val score =
+      least(len / 200.0, lit(1.0)) * 0.4 +
+        (lit(1.0) - least(punct / greatest(len, lit(1.0)) * 10.0, lit(1.0))) * 0.2 +
+        (lit(1.0) - least(digits / greatest(len, lit(1.0)) * 5.0, lit(1.0))) * 0.2 +
+        when(avgWordLen >= 3 && avgWordLen <= 10, 1.0).otherwise(0.0) * 0.2
+    df.withColumn("char_len", length(t).cast("long"))
+      .withColumn("word_count", wordCount(t).cast("long"))
+      .withColumn("avg_word_len", avgWordLen)
+      .withColumn("punct_ratio", punct / greatest(len, lit(1.0)))
+      .withColumn("digit_ratio", digits / greatest(len, lit(1.0)))
+      .withColumn("upper_ratio", upper / greatest(len, lit(1.0)))
+      .withColumn("quality_score", score)
+  }
+
+  /** Stopword tables for the n-gram/stopword language-ID heuristic.
+    * Deliberately small + documented: the heuristic is the operator, not
+    * a model. */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "a", "in", "is", "that", "it", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "ein", "mit", "auf", "zu"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "dans", "pour", "que"),
+    "es" -> Seq("el", "la", "los", "de", "que", "es", "un", "una", "por", "con"))
+
+  /** Count hits of any word in `ws` (word-boundary, case-insensitive). */
+  private def hitCount(t: Column, ws: Seq[String]): Column =
+    size(regexp_extract_all(lower(t),
+      lit("\\b(" + ws.mkString("|") + ")\\b"), lit(0)))
+
+  /** Language ID: argmax of stopword hit counts; "und" (undetermined)
+    * when nothing hits. Ties break by language code order (documented,
+    * deterministic). */
+  def langId(text: Column): Column = {
+    val langs = stopwords.keys.toSeq.sorted
+    val scored = langs.map(l => struct(hitCount(text, stopwords(l)).as("hits"),
+      lit(l).as("lang")))
+    val best = greatest(scored: _*)
+    when(best.getField("hits") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Exact content fingerprint: md5 of whitespace-normalized lowercase
+    * text — the key for exact dedup across formatting variants. */
+  def fingerprint(text: Column): Column =
+    md5(regexp_replace(trim(lower(text)), "\\s+", " "))
+
+  /** Bottom-k sketch fingerprint: the k smallest shingle hashes, folded
+    * to one long — robust to small edits (winnowing-style), constant
+    * size per document. */
+  def sketchFingerprint(text: Column, k: Int = 8, nGram: Int = 3): Column = {
+    val hashes = graft.functions.SketchExprs.shingleHashes(text, nGram)
+    val bottomK = slice(array_sort(hashes), 1, k)
+    hash(bottomK).cast("long")
+  }
+
+  /** One-stop analysis projection over a document table. */
+  def analyze(df: DataFrame, textCol: String): DataFrame =
+    quality(df, textCol)
+      .withColumn("token_estimate", tokenCountEstimate(col(textCol)).cast("long"))
+      .withColumn("lang_guess", langId(col(textCol)))
+      .withColumn("fingerprint", fingerprint(col(textCol)))
+}

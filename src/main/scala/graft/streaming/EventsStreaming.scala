@@ -1,0 +1,67 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events stream (new capability;
+  * the reference is strictly batch — SURVEY §2.E "Streaming: none").
+  *
+  * The batch/stream duality is deliberate: [[hourlyAggBatch]] and
+  * [[hourlyAggStream]] share the same transformation body, so the
+  * DuckDB oracle validates the logic in batch mode while the streaming
+  * test exercises watermarks + incremental state on the same files.
+  */
+object EventsStreaming {
+
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Shared transformation: tumbling 1h window per event_type. Sums go
+    * through DECIMAL(18,4) for cross-engine exactness (values are 2dp). */
+  def hourlyAgg(events: DataFrame): DataFrame = {
+    val dec = DecimalType(18, 4)
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+  }
+
+  def hourlyAggBatch(spark: SparkSession, dir: String): DataFrame =
+    hourlyAgg(spark.read.parquet(s"$dir/events.parquet"))
+
+  /** Streaming flavor: file source + 10-minute watermark on the event
+    * time; append mode emits a window once the watermark passes it. */
+  def hourlyAggStream(spark: SparkSession, dir: String,
+                      queryName: String = "events_hourly"): StreamingQuery = {
+    val events = spark.readStream
+      .schema(eventsSchema)
+      .parquet(s"$dir/events.parquet")
+    hourlyAgg(events.withWatermark("ts", "10 minutes"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Sessionization: gap-based sessions per user via the SQL
+    * session_window — stateful streaming-native semantics, expressed the
+    * same way in batch. */
+  def sessions(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events
+      .groupBy(session_window(col("ts"), gap).as("s"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .select(col("user_id"), col("s.start").as("session_start"),
+        col("n_events"), col("first_ts"), col("last_ts"))
+}
