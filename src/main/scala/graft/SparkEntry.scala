@@ -1,7 +1,9 @@
 package graft
 
 import graft.infer.{CellInference, DateFormats}
+import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
 import graft.sources.{AvroConnector, Connectors}
+import graft.streaming.EventsStreaming
 import graft.transform.Transform
 import graft.validate.{SchemaFile, Validation}
 
@@ -164,6 +166,78 @@ object SparkEntry {
       new graft.engine.TransferEngine(cfg).execute(s)
       s.read.parquet(s"$outDir.parquet")
         .select(col("p_partkey"), col("retail_cents"), col("brand_lc"))
+    },
+
+    // ================== LLM-pipeline operators (llm/) ==================
+    // The documents fixture has all-distinct texts, so dedup queries
+    // union in deterministic duplicate copies (shifted doc_ids) to give
+    // the operators real duplicates to find; the oracle mirrors the same
+    // construction in SQL.
+
+    // --- exact dedup: one (hash, id) shuffle, canonical = min(id) ---
+    "q_dedup_exact" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Dedup.exact(docs.union(copies), "doc_id", Seq("text"))
+    },
+
+    // --- MinHash+LSH near-dup pairs, exact-Jaccard verified.
+    // bands=32 (2 rows/band) makes recall at threshold 0.5 deterministic
+    // in practice: P(miss) <= (1-s^2)^32 < 1e-4 at s=0.5, ~5e-9 at the
+    // fixture's actual near-dup range; verified equal to the all-pairs
+    // oracle on the driver's data.
+    "q_minhash_pairs" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" graft dup tail")).as("text"))
+      Dedup.minhashPairs(docs.union(variants), "doc_id", "text",
+          nGram = 3, numHashes = 64, bands = 32, threshold = 0.5)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // --- text analysis: quality, token estimate, lang-id, fingerprint.
+    // A deterministic suffix with digits/upper/punct is appended so every
+    // ratio path is exercised (the fixture text is pure [a-z ]).
+    "q_text_analysis" -> { (s, dir) =>
+      val d = t(s, dir, "documents")
+        .withColumn("text", concat(col("text"), lit(" The 42 Ok!")))
+      TextAnalysis.analyze(d, "text").select(col("doc_id"),
+        col("char_len"), col("word_count"),
+        round(col("avg_word_len"), 6).as("avg_word_len"),
+        round(col("punct_ratio"), 6).as("punct_ratio"),
+        round(col("digit_ratio"), 6).as("digit_ratio"),
+        round(col("upper_ratio"), 6).as("upper_ratio"),
+        round(col("quality_score"), 6).as("quality_score"),
+        col("token_estimate"), col("lang_guess"), col("fingerprint"))
+    },
+
+    // --- similarity: exact cosine scores against one query vector ---
+    "q_similarity_scores" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.scoresForQuery(emb, "vec_id", "embedding", qv, roundTo = 6)
+    },
+
+    // --- multimodal: schema contract + batched decode stage (stubbed
+    // codec, deterministic) over payload bytes ---
+    "q_multimodal_features" -> { (s, dir) =>
+      val media = Multimodal.mediaFromDocuments(s, s"$dir/documents.parquet")
+      Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("media_type"), col("byte_len"),
+          col("width"), col("height"), col("channels"))
+    },
+
+    // --- events: tumbling 1h window agg (shared batch/stream body) ---
+    "q_events_hourly" -> { (s, dir) =>
+      EventsStreaming.hourlyAggBatch(s, dir)
+    },
+
+    // --- events: gap-based sessionization via session_window ---
+    "q_sessions" -> { (s, dir) =>
+      EventsStreaming.sessions(EventsStreaming.readEvents(s, dir))
     }
   )
 
@@ -232,6 +306,130 @@ object SparkEntry {
       """SELECT CAST(p_partkey AS BIGINT) AS p_partkey,
         |  p_retailprice * 100 AS retail_cents,
         |  lower(p_brand) AS brand_lc
-        |FROM part""".stripMargin
+        |FROM part""".stripMargin,
+
+    "q_dedup_exact" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text FROM documents WHERE doc_id % 3 = 0
+        |)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY text) AS canonical_id,
+        |  doc_id <> min(doc_id) OVER (PARTITION BY text) AS is_duplicate
+        |FROM corpus""".stripMargin,
+
+    "q_minhash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graft dup tail' AS text
+        |  FROM documents WHERE doc_id % 4 = 1
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tok) - 1),
+        |      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\W+') AS tok
+        |        FROM corpus)
+        |), j AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jac
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin,
+
+    "q_text_analysis" ->
+      """WITH d AS (SELECT doc_id, text || ' The 42 Ok!' AS text FROM documents),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS words,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+        |    CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS uppers,
+        |    len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS toks,
+        |    len(regexp_extract_all(lower(text), '\b(der|die|das|und|ist|nicht|ein|mit|auf|zu)\b')) AS h_de,
+        |    len(regexp_extract_all(lower(text), '\b(the|and|of|to|a|in|is|that|it|for)\b')) AS h_en,
+        |    len(regexp_extract_all(lower(text), '\b(el|la|los|de|que|es|un|una|por|con)\b')) AS h_es,
+        |    len(regexp_extract_all(lower(text), '\b(le|la|les|et|est|un|une|dans|pour|que)\b')) AS h_fr,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM d
+        |)
+        |SELECT doc_id,
+        |  CAST(len AS BIGINT) AS char_len,
+        |  CAST(words AS BIGINT) AS word_count,
+        |  round(CASE WHEN words > 0 THEN (len - (words - 1)) / words ELSE 0.0 END, 6) AS avg_word_len,
+        |  round(punct / greatest(len, 1.0), 6) AS punct_ratio,
+        |  round(digits / greatest(len, 1.0), 6) AS digit_ratio,
+        |  round(uppers / greatest(len, 1.0), 6) AS upper_ratio,
+        |  round(
+        |    least(len / 200.0, 1.0) * 0.4
+        |    + (1.0 - least(punct / greatest(len, 1.0) * 10.0, 1.0)) * 0.2
+        |    + (1.0 - least(digits / greatest(len, 1.0) * 5.0, 1.0)) * 0.2
+        |    + (CASE WHEN (len - (words - 1)) / words >= 3
+        |            AND (len - (words - 1)) / words <= 10
+        |       THEN 1.0 ELSE 0.0 END) * 0.2, 6) AS quality_score,
+        |  CAST(toks AS BIGINT) AS token_estimate,
+        |  CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+        |       WHEN h_fr = greatest(h_de, h_en, h_es, h_fr) THEN 'fr'
+        |       WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+        |       WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+        |       ELSE 'de' END AS lang_guess,
+        |  fp AS fingerprint
+        |FROM m""".stripMargin,
+
+    "q_similarity_scores" ->
+      """SELECT e.vec_id,
+        |  round(
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qv,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
+        |FROM embeddings e,
+        |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q""".stripMargin,
+
+    "q_multimodal_features" ->
+      """SELECT doc_id AS media_id,
+        |  CASE CAST(doc_id % 3 AS INTEGER) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+        |       ELSE 'video' END AS media_type,
+        |  CAST(strlen(text) AS BIGINT) AS byte_len,
+        |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+        |       WHEN 0 THEN 64 + ascii(substr(text, 1, 1)) * 8
+        |       WHEN 1 THEN strlen(text) ELSE 320 END AS INTEGER) AS width,
+        |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+        |       WHEN 0 THEN 64 + ascii(substr(text, 2, 1)) * 8
+        |       WHEN 1 THEN 1 ELSE 240 END AS INTEGER) AS height,
+        |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
+        |       WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 3 END AS INTEGER) AS channels
+        |FROM documents""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT date_trunc('hour', ts) AS hour_start, event_type,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_sessions" ->
+      """WITH e AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events
+        |), m AS (
+        |  SELECT user_id, ts,
+        |    CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE
+        |         THEN 1 ELSE 0 END AS ns
+        |  FROM e
+        |), g AS (
+        |  SELECT user_id, ts,
+        |    sum(ns) OVER (PARTITION BY user_id ORDER BY ts
+        |                  ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM m
+        |)
+        |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
+        |  min(ts) AS first_ts, max(ts) AS last_ts
+        |FROM g GROUP BY user_id, sid""".stripMargin
   )
 }

@@ -15,13 +15,26 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
-  val eventsSchema: StructType = StructType(Seq(
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark 4 refuses to read as a timestamp; we read it as raw
+    * nanos-since-epoch (legacy nanosAsLong) and floor-divide to micros —
+    * the same truncation DuckDB applies, so oracles agree. */
+  val eventsSchemaRaw: StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", TimestampType),
+    StructField("ts", LongType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  private def nanosToTs(df: DataFrame): DataFrame =
+    df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Batch read of the events fixture with ns→µs normalization. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    nanosToTs(spark.read.schema(eventsSchemaRaw).parquet(s"$dir/events.parquet"))
+  }
 
   /** Shared transformation: tumbling 1h window per event_type. Sums go
     * through DECIMAL(18,4) for cross-engine exactness (values are 2dp). */
@@ -36,15 +49,16 @@ object EventsStreaming {
   }
 
   def hourlyAggBatch(spark: SparkSession, dir: String): DataFrame =
-    hourlyAgg(spark.read.parquet(s"$dir/events.parquet"))
+    hourlyAgg(readEvents(spark, dir))
 
   /** Streaming flavor: file source + 10-minute watermark on the event
     * time; append mode emits a window once the watermark passes it. */
   def hourlyAggStream(spark: SparkSession, dir: String,
                       queryName: String = "events_hourly"): StreamingQuery = {
-    val events = spark.readStream
-      .schema(eventsSchema)
-      .parquet(s"$dir/events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = nanosToTs(spark.readStream
+      .schema(eventsSchemaRaw)
+      .parquet(s"$dir/events.parquet"))
     hourlyAgg(events.withWatermark("ts", "10 minutes"))
       .writeStream
       .outputMode("append")

@@ -1,0 +1,93 @@
+#!/usr/bin/env python3
+"""Local mimic of the driver's correctness gate: run graft.Verify at a
+scale factor, then run each oracle SQL in DuckDB over the same parquet
+tables and compare rows / schema / value-hash (columns sorted by name,
+rows sorted by all columns). Usage:
+
+    python3 tools/oracle_check.py [sfdir] [outdir] [--skip-verify] [names...]
+"""
+import json, subprocess, sys, glob, os
+
+import duckdb
+import pandas as pd
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def normalize(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    for c in df.columns:
+        s = df[c]
+        if s.dtype == object:
+            df[c] = s.astype(str)
+        elif "datetime" in str(s.dtype):
+            df[c] = pd.to_datetime(s).dt.strftime("%Y-%m-%d %H:%M:%S.%f")
+        elif s.dtype == bool:
+            df[c] = s.astype(str)
+        elif "float" in str(s.dtype):
+            df[c] = s.astype("float64").round(9)
+        elif "int" in str(s.dtype):
+            df[c] = s.astype("int64")
+    return df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+
+def main():
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    sfdir = args[0] if len(args) > 0 else "/root/testdata/sf0.001"
+    outdir = args[1] if len(args) > 1 else "/root/repo/target/verify_local"
+    only = set(args[2:])
+    if "--skip-verify" not in sys.argv:
+        rc = subprocess.run(
+            ["sbt", "-batch", f'runMain graft.Verify {sfdir} {outdir}'],
+            cwd="/root/repo").returncode
+        if rc != 0:
+            print("Verify FAILED"); sys.exit(1)
+
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sfdir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
+
+    results = {}
+    for name in sorted(oracle):
+        if only and name not in only:
+            continue
+        spark_files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not spark_files:
+            results[name] = {"err": "no spark output"}
+            continue
+        try:
+            sdf = normalize(pd.concat([pd.read_parquet(f) for f in spark_files]))
+            odf = normalize(con.sql(oracle[name]).df())
+            rows = len(sdf) == len(odf)
+            schema = list(sdf.columns) == list(odf.columns)
+            match = rows and schema and sdf.equals(odf)
+            results[name] = {"rows_match": rows, "schema_match": schema,
+                             "hash_match": bool(match),
+                             "spark_rows": len(sdf), "oracle_rows": len(odf)}
+            if not match and rows and schema:
+                neq = (sdf != odf).any()
+                bad = [c for c in sdf.columns if neq[c]]
+                results[name]["bad_cols"] = bad
+                for c in bad[:2]:
+                    m = (sdf[c] != odf[c])
+                    results[name][f"sample_{c}"] = (
+                        str(sdf[c][m].head(3).tolist()) + " vs " +
+                        str(odf[c][m].head(3).tolist()))
+            elif not rows or not schema:
+                results[name]["spark_cols"] = list(sdf.columns)
+                results[name]["oracle_cols"] = list(odf.columns)
+        except Exception as e:
+            results[name] = {"err": str(e)[:500]}
+
+    ok = all(r.get("hash_match") for r in results.values())
+    print(json.dumps(results, indent=1, default=str))
+    print("ALL GREEN" if ok else "MISMATCHES PRESENT")
+    sys.exit(0 if ok else 2)
+
+
+if __name__ == "__main__":
+    main()
