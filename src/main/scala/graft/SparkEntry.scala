@@ -419,7 +419,7 @@ object SparkEntry {
         |  FROM events
         |), m AS (
         |  SELECT user_id, ts,
-        |    CASE WHEN prev IS NULL OR ts >= prev + INTERVAL 30 MINUTE
+        |    CASE WHEN prev IS NULL OR ts > prev + INTERVAL 30 MINUTE
         |         THEN 1 ELSE 0 END AS ns
         |  FROM e
         |), g AS (

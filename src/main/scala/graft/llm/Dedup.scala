@@ -136,7 +136,7 @@ object Dedup {
     val vecD = transform(col(vecCol), x => x.cast("double"))
     val bucket = (0 until planes).map { i =>
       val plane = typedLit(planesArr(i))
-      val dot = aggregate(zip_with(vecD, plane, (x, y) => x * y),
+      val dot = aggregate(zip_with(col("v"), plane, (x, y) => x * y),
         lit(0.0), (acc, x) => acc + x)
       when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)

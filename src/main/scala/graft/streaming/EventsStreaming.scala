@@ -56,9 +56,11 @@ object EventsStreaming {
   def hourlyAggStream(spark: SparkSession, dir: String,
                       queryName: String = "events_hourly"): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the file stream source needs a directory; glob-filter to the fixture
     val events = nanosToTs(spark.readStream
       .schema(eventsSchemaRaw)
-      .parquet(s"$dir/events.parquet"))
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir))
     hourlyAgg(events.withWatermark("ts", "10 minutes"))
       .writeStream
       .outputMode("append")

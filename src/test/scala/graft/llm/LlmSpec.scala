@@ -1,0 +1,154 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup: canonical = min(id) per content group, narrow output") {
+    val df = Seq(
+      (1L, "hello world"), (2L, "hello world"), (3L, "other"),
+      (4L, "hello world"), (5L, "other"), (6L, "unique")
+    ).toDF("id", "text")
+    val out = Dedup.exact(df, "id", Seq("text"))
+      .orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq == Seq(
+      (1L, 1L, false), (2L, 1L, true), (3L, 3L, false),
+      (4L, 1L, true), (5L, 3L, true), (6L, 6L, false)))
+    assert(out.map(_.schema.fieldNames.toSeq).head ==
+      Seq("id", "canonical_id", "is_duplicate"))
+  }
+
+  test("minhashPairs equals brute-force jaccard >= threshold (LSH recall)") {
+    val docs = sf("documents").select($"doc_id", $"text").limit(200)
+    val variants = docs.filter(pmod($"doc_id", lit(4)) === 1)
+      .select(($"doc_id" + 100000).as("doc_id"),
+        concat($"text", lit(" graft dup tail")).as("text"))
+    val corpus = docs.union(variants)
+
+    val lsh = Dedup.minhashPairs(corpus, "doc_id", "text",
+        numHashes = 64, bands = 32, threshold = 0.5)
+      .select($"id_a", $"id_b", round($"jaccard", 9).as("j"))
+
+    val sh = corpus.select($"doc_id",
+      graft.functions.SketchExprs.shingleHashes($"text", 3).as("s"))
+    val brute = sh.as("a").crossJoin(sh.as("b"))
+      .filter($"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("id_a"), $"b.doc_id".as("id_b"),
+        (size(array_intersect($"a.s", $"b.s")).cast("double") /
+          size(array_union($"a.s", $"b.s")).cast("double")).as("j"))
+      .filter($"j" >= 0.5)
+      .select($"id_a", $"id_b", round($"j", 9).as("j"))
+
+    assert(lsh.count() > 0, "expected near-dup pairs in fixture+variants")
+    assert(lsh.exceptAll(brute).isEmpty && brute.exceptAll(lsh).isEmpty)
+  }
+
+  test("minhashPairs hot-bucket cap drops oversized buckets") {
+    // 30 identical docs → every bucket has 30 members; cap 10 → no pairs
+    val same = (1L to 30L).map(i => (i, "the same boilerplate text repeated here"))
+      .toDF("id", "text")
+    val capped = Dedup.minhashPairs(same, "id", "text", maxBucketSize = 10)
+    assert(capped.count() == 0)
+    val uncapped = Dedup.minhashPairs(same, "id", "text")
+    assert(uncapped.count() == 30L * 29 / 2)
+  }
+
+  test("simhash: word-order-insensitive grouping; hamming on near sets") {
+    val df = Seq(
+      (1L, "alpha beta gamma delta"),
+      (2L, "delta gamma beta alpha"),      // same word set → same simhash
+      (3L, "completely different words entirely elsewhere")
+    ).toDF("id", "text")
+    val out = Dedup.simhash(df, "id", "text").orderBy("id").collect()
+    assert(out(0).getLong(1) == out(1).getLong(1))
+    assert(out(1).getBoolean(3), "id=2 duplicates id=1")
+    assert(out(0).getLong(1) != out(2).getLong(1))
+    val hd = df.filter($"id" isin (1L, 3L))
+      .select(graft.functions.SketchExprs.simhash64(
+        graft.functions.SketchExprs.shingleHashes($"text", 1)).as("s"))
+      .agg(collect_list($"s")).head.getSeq[Long](0)
+    assert(java.lang.Long.bitCount(hd(0) ^ hd(1)) > 0)
+  }
+
+  test("embeddingPairs finds identical vectors, verifies cosine") {
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.0f, 0.5f, 0.2f)),
+      (2L, Seq(1.0f, 0.0f, 0.5f, 0.2f)),   // identical → cosine 1
+      (3L, Seq(-1.0f, 0.3f, -0.5f, 0.0f))  // far away
+    ).toDF("id", "vec")
+    val pairs = Dedup.embeddingPairs(vecs, "id", "vec", threshold = 0.95)
+      .collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 2L)))
+    assert(math.abs(pairs.head.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("bruteForceTopK consistent with scoresForQuery ordering") {
+    val emb = sf("embeddings")
+    val qv = emb.filter($"vec_id" === 0).select($"embedding")
+      .head.getSeq[Float](0).map(_.toDouble).toSeq
+    val topK = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 10)
+      .select($"vec_id").as[Long].collect().toSeq
+    val expected = Similarity.scoresForQuery(emb, "vec_id", "embedding", qv, 12)
+      .orderBy($"cosine".desc, $"vec_id").limit(10)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(topK == expected)
+    assert(topK.head == 0L, "query vector itself is its own nearest neighbor")
+  }
+
+  test("SrpIndex.topK: pruned scan, exact cosines within probed buckets") {
+    val emb = sf("embeddings")
+    val qv = emb.filter($"vec_id" === 7).select($"embedding")
+      .head.getSeq[Float](0).map(_.toDouble).toSeq
+    val idx = Similarity.SrpIndex(planes = 8)
+    val indexed = idx.build(emb, "embedding").cache()
+    val ann = idx.topK(indexed, "vec_id", "embedding", qv, 5).collect()
+    assert(ann.nonEmpty && ann.head.getLong(0) == 7L)
+    // cosines must equal the exact scores for the same ids
+    val exact = Similarity.scoresForQuery(emb, "vec_id", "embedding", qv, 9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach(r =>
+      assert(math.abs(r.getDouble(1) - exact(r.getLong(0))) < 1e-6))
+    // probes prune: scanned buckets ⊆ planes+1 of 2^planes
+    assert(idx.probes(qv).size == 9)
+    indexed.unpersist()
+  }
+
+  test("text analysis basics: counts, langId, fingerprint stability") {
+    val df = Seq(
+      (1L, "the cat and the dog, it is fine for now!"),
+      (2L, "der Hund ist nicht auf der Katze zu sehen"),
+      (3L, "xyzzy plugh 12345")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.analyze(df, "text").orderBy("doc_id").collect()
+    val en = out(0); val de = out(1); val und = out(2)
+    assert(en.getAs[String]("lang_guess") == "en")
+    assert(de.getAs[String]("lang_guess") == "de")
+    assert(und.getAs[String]("lang_guess") == "und")
+    assert(en.getAs[Long]("word_count") == 10L)
+    assert(en.getAs[Long]("char_len") == 40L)
+    // fingerprint invariant under whitespace/case changes
+    val fp = Seq((1L, "Hello   World"), (2L, "hello world"))
+      .toDF("id", "t")
+      .select(TextAnalysis.fingerprint($"t").as("f")).distinct().count()
+    assert(fp == 1L)
+  }
+
+  test("multimodal: stub decode features are deterministic and typed") {
+    val media = Multimodal.mediaFromDocuments(
+      spark, "/root/testdata/sf0.001/documents.parquet")
+    val feats = Multimodal.extractFeatures(media)
+    assert(feats.schema == Multimodal.featureSchema)
+    val img = feats.filter($"media_type" === "image").head()
+    assert(img.getAs[Int]("channels") == 3)
+    assert(img.getAs[Int]("width") >= 64)
+    val audio = feats.filter($"media_type" === "audio").head()
+    assert(audio.getAs[Int]("width").toLong == audio.getAs[Long]("byte_len"))
+    // deterministic across runs
+    val h1 = feats.select($"content_hash").orderBy($"content_hash").collect().toSeq
+    val h2 = Multimodal.extractFeatures(media)
+      .select($"content_hash").orderBy($"content_hash").collect().toSeq
+    assert(h1 == h2)
+  }
+}

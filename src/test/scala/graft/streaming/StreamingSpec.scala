@@ -1,0 +1,63 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Batch/stream parity: the SAME transformation body (hourlyAgg) run as
+  * a Structured Streaming query (file source, watermark, append mode,
+  * AvailableNow) must produce the batch answer for every window the
+  * watermark has closed. */
+class StreamingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("hourlyAggStream equals hourlyAggBatch for watermark-closed windows") {
+    val q = EventsStreaming.hourlyAggStream(spark, dir, "ev_parity_test")
+    q.awaitTermination(120000L)
+    val streamed = spark.table("ev_parity_test")
+
+    val batch = EventsStreaming.hourlyAggBatch(spark, dir)
+    val maxTs = EventsStreaming.readEvents(spark, dir)
+      .agg(max(col("ts"))).head.getTimestamp(0)
+
+    // append mode emits a window only once the watermark (max ts - 10m)
+    // passes its end; windows strictly below the cutoff MUST be present
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 10 * 60 * 1000)
+    val mustHave = batch.filter(
+      col("hour_start") + expr("INTERVAL 1 HOUR") < lit(cutoff))
+
+    assert(streamed.count() > 0, "stream emitted nothing")
+    // stream ⊆ batch (no invented rows, exact values)
+    assert(streamed.exceptAll(batch).isEmpty,
+      "stream produced rows absent from batch")
+    // batch-closed windows ⊆ stream (nothing withheld that should emit)
+    assert(mustHave.exceptAll(streamed).isEmpty,
+      "watermark-closed windows missing from stream output")
+  }
+
+  test("sessions: gap semantics — new session at exactly the gap") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val events = Seq(
+      (1L, ts(0)), (1L, ts(10)), (1L, ts(39)),   // 10:10→10:39 = 29m: same
+      (1L, ts(40)), (2L, ts(0))                  // wait, 39→40 merges too
+    ).toDF("user_id", "ts")
+    // gap 30m: user 1 events 0,10,39,40 chain (each diff < 30m) → 1 session
+    val s1 = EventsStreaming.sessions(events, "30 minutes")
+    assert(s1.filter($"user_id" === 1L).count() == 1)
+
+    val events2 = Seq((1L, ts(0)), (1L, ts(30))).toDF("user_id", "ts")
+    // exactly 30m apart: session_window's gap boundary is INCLUSIVE —
+    // the two events merge into one session (pinned; the DuckDB oracle
+    // mirrors this with `ts > prev + gap` for a session break)
+    val s2 = EventsStreaming.sessions(events2, "30 minutes")
+    assert(s2.filter($"user_id" === 1L).count() == 1)
+
+    val events3 = Seq(
+      (1L, ts(0)),
+      (1L, new java.sql.Timestamp(ts(30).getTime + 1))).toDF("user_id", "ts")
+    // one millisecond past the gap → two sessions
+    val s3 = EventsStreaming.sessions(events3, "30 minutes")
+    assert(s3.filter($"user_id" === 1L).count() == 2)
+  }
+}
