@@ -68,16 +68,19 @@ class TransferEngine(cfg: JobConfig) {
       "skipExisting requires primaryKey (no id-like integer column found)"))
   }
 
-  /** Execute the copy (write path). */
+  /** Execute the copy (write path). Row stats come from an
+    * `Observation` riding the write job itself (U4) — one pass, no
+    * re-read of the written target, no second scan of the source. The
+    * RDD-based Avro sink can't fire Dataset listeners; it counts rows
+    * while writing and returns the count directly. */
   def execute(spark: SparkSession): TransferStats = {
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit}
     val t0 = System.nanoTime()
-    val df = plan(spark)
-    Connectors.write(df, cfg.target, cfg.truncate, cfg.targetOptions)
-    // row count for stats: cheap re-count on the written target when the
-    // target is a file format; otherwise count the source plan
-    val rows = scala.util.Try(
-      Connectors.read(spark, cfg.target, cfg.targetOptions).count())
-      .getOrElse(-1L)
+    val obs = Observation()
+    val df = plan(spark).observe(obs, count(lit(1)).as("rows"))
+    val direct = Connectors.write(df, cfg.target, cfg.truncate, cfg.targetOptions)
+    val rows = direct.getOrElse(obs.get("rows").asInstanceOf[Long])
     TransferStats(rows, (System.nanoTime() - t0) / 1e9)
   }
 

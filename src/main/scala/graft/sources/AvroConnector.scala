@@ -134,7 +134,8 @@ object AvroConnector {
 
   // ----------------------------- write --------------------------------
 
-  def write(df: DataFrame, path: String, overwrite: Boolean = true): Unit = {
+  /** Writes one container file per partition; returns rows written. */
+  def write(df: DataFrame, path: String, overwrite: Boolean = true): Long = {
     val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
     val out = new Path(path)
     if (overwrite && fs.exists(out)) fs.delete(out, true)
@@ -159,7 +160,7 @@ object AvroConnector {
         writer.close()
         Iterator(n)
       }
-    }.count(): Unit
+    }.sum().toLong
   }
 
   /** Spark schema → Avro record schema with nullable unions (T4). */

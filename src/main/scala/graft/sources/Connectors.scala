@@ -115,9 +115,15 @@ object Connectors {
     * exists ∧ truncate → overwrite; exists ∧ appendable → append;
     * exists ∧ ¬appendable → overwrite; else create. JSON and JDBC
     * targets are appendable; CSV/Parquet/Avro are not (csv.rs:352-356,
-    * parquet.rs:508-512, json.rs:293-296). */
+    * parquet.rs:508-512, json.rs:293-296).
+    *
+    * Returns Some(rowsWritten) when the sink counts rows as a side
+    * effect of writing (the RDD-based Avro path, which bypasses the
+    * Dataset action listeners); None for Dataset-action sinks, where
+    * the caller should attach `df.observe(...)` instead — never a
+    * re-read of the written target. */
   def write(df: DataFrame, uri: String, truncate: Boolean = false,
-            options: Map[String, String] = Map.empty): Unit = {
+            options: Map[String, String] = Map.empty): Option[Long] = {
     val ref = parse(uri, options)
     val appendable = ref.kind == "json" || ref.kind == "jdbc"
     val mode =
@@ -130,12 +136,15 @@ object Connectors {
         df.write.mode(mode)
           .option("header", "true").option("nullValue", "").option("emptyValue", "\"\"")
           .options(ref.options).csv(ref.path)
+        None
       case "json" =>
         df.write.mode(mode).options(ref.options).json(ref.path)
+        None
       case "parquet" =>
         df.write.mode(mode).options(ref.options).parquet(ref.path)
+        None
       case "avro" =>
-        AvroConnector.write(df, ref.path, overwrite = true)
+        Some(AvroConnector.write(df, ref.path, overwrite = true))
       case "jdbc" =>
         val writer = df.write.mode(if (truncate) SaveMode.Overwrite else SaveMode.Append)
           .format("jdbc")
@@ -148,6 +157,7 @@ object Connectors {
           case _ => writer
         }
         withDdl.options(ref.options).save()
+        None
       case other => throw UnsupportedUri(other, Supported)
     }
   }

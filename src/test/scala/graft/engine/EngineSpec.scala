@@ -114,6 +114,17 @@ class EngineSpec extends SparkSpec {
       .head.getAs[Double]("price_cents") == 129999.0)
   }
 
+  test("execute stats ride the write (observe), avro path counts directly") {
+    val dir = tmpDir("engine_stats")
+    sf("nation").write.mode("overwrite").parquet(s"$dir/in.parquet")
+    val toParquet = JobConfig(s"$dir/in.parquet", s"$dir/o.parquet",
+      transform = TransformSpec(filter = Some("row.n_regionkey < 2")))
+    val expected = sf("nation").filter($"n_regionkey" < 2).count()
+    assert(new TransferEngine(toParquet).execute(spark).totalRows == expected)
+    val toAvro = JobConfig(s"$dir/in.parquet", s"$dir/o.avro")
+    assert(new TransferEngine(toAvro).execute(spark).totalRows == 25)
+  }
+
   test("json sink appends; parquet sink overwrites (transfer.rs:92-118)") {
     val dir = tmpDir("engine2")
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
