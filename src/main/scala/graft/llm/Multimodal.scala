@@ -92,17 +92,43 @@ object Multimodal {
     }(enc)
   }
 
-  /** Bin-pack partitions by payload size so one task's blobs fit in
-    * memory: repartitions on a size-bucketed key. At 100 TB this is the
-    * difference between even tasks and OOM stragglers. */
-  def repartitionBySize(media: DataFrame, targetPartitionBytes: Long = 128L << 20,
-                        avgRowsHint: Int = 1000): DataFrame = {
-    val sized = media.withColumn("_bytes",
-      coalesce(length(col("payload")).cast("long"), lit(0L)))
-    val totalBytes = sized.agg(sum(col("_bytes"))).head.getLong(0)
-    val parts = math.max(1, (totalBytes / targetPartitionBytes).toInt)
-    sized.repartition(parts, pmod(hash(col("media_id")), lit(parts)))
-      .drop("_bytes")
+  /** Size-classed repartition so one task's blobs fit in memory:
+    * outlier blobs (>= target bytes) each get their OWN partition — a
+    * 2 GB video never shares a task with the bulk — while small blobs
+    * hash into `ceil(smallBytes / target)` buckets, so the expected
+    * bucket payload is one target's worth. Exact global bin packing
+    * needs a total-order running sum (a scalability bottleneck); this
+    * is the scalable version: outlier isolation is exact (zipWithIndex
+    * + identity partitioner, no driver materialization), the bulk is
+    * hash-approximate. Driver-side work is one 2-column aggregate row. */
+  def repartitionBySize(media: DataFrame,
+                        targetPartitionBytes: Long = 128L << 20): DataFrame = {
+    val bytes = coalesce(length(col("payload")).cast("long"), lit(0L))
+    val isBig = bytes >= targetPartitionBytes
+    val stats = media.agg(
+      sum(when(isBig, 0L).otherwise(bytes)).as("small_bytes"),
+      sum(when(isBig, 1L).otherwise(0L)).as("n_big")).head
+    val smallBytes = Option(stats.get(0)).map(_.asInstanceOf[Long]).getOrElse(0L)
+    val nBig = Option(stats.get(1)).map(_.asInstanceOf[Long]).getOrElse(0L).toInt
+    val smallParts = math.max(1L,
+      (smallBytes + targetPartitionBytes - 1) / targetPartitionBytes).toInt
+
+    val small = media.filter(!isBig)
+      .repartition(smallParts, pmod(hash(col("media_id")), lit(smallParts)))
+    if (nBig == 0) small
+    else {
+      val spark = media.sparkSession
+      val bigRdd = media.filter(isBig).rdd.zipWithIndex()
+        .map { case (r, i) => (i, r) }
+        .partitionBy(new org.apache.spark.Partitioner {
+          override def numPartitions: Int = nBig
+          override def getPartition(key: Any): Int =
+            key.asInstanceOf[Long].toInt
+        })
+        .values
+      // union concatenates children partitions: smallParts + nBig tasks
+      small.union(spark.createDataFrame(bigRdd, media.schema))
+    }
   }
 
   /** Build a media table from the documents fixture: payload = utf-8

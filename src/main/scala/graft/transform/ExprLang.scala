@@ -313,7 +313,13 @@ object ExprLang {
       case Binary("-", l, r) => asNum(l) - asNum(r)
       case Binary("*", l, r) => asNum(l) * asNum(r)
       case Binary("/", l, r) => asNum(l).cast(DoubleType) / asNum(r).cast(DoubleType)
-      case Binary("%", l, r) => asNum(l) % asNum(r)
+      case Binary("%", l, r) =>
+        // Lua % is FLOORED modulo (result takes the divisor's sign):
+        // -7 % 3 == 2, 7 % -3 == -2. Spark's % truncates toward zero, so
+        // wrap: ((a % b) + b) % b — algebraically equal to a-floor(a/b)*b
+        // for both signs and stays integral for integer operands.
+        val a = asNum(l); val b = asNum(r)
+        ((a % b) + b) % b
       case Binary("==", l, r) => go(l) === go(r)
       case Binary("~=", l, r) => go(l) =!= go(r)
       case Binary("<", l, r)  => go(l) < go(r)

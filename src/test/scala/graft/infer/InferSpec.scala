@@ -117,6 +117,24 @@ class InferSpec extends SparkSpec {
     assert(rows(2).isNullAt(1)) // empty cell → null
   }
 
+  test("tinyetl:type=json field metadata survives a parquet round-trip") {
+    import graft.core.TinyType
+    import spark.implicits._
+    val dir = tmpDir("meta_rt")
+    val meta = new org.apache.spark.sql.types.MetadataBuilder()
+      .putString(TinyType.JsonMetaKey, "json").build()
+    val df = Seq((1L, """{"a":1}""")).toDF("id", "payload")
+      .select($"id", $"payload".as("payload", meta))
+    assert(df.schema("payload").metadata.contains(TinyType.JsonMetaKey))
+    df.write.mode("overwrite").parquet(s"$dir/m.parquet")
+    val back = spark.read.parquet(s"$dir/m.parquet")
+    assert(back.schema("payload").metadata.contains(TinyType.JsonMetaKey),
+      "parquet.rs:45-77 parity: json tag must revive on read")
+    assert(back.schema("payload").metadata.getString(TinyType.JsonMetaKey) == "json")
+    assert(graft.core.TinyType.fromSpark(
+      back.schema("payload").dataType, back.schema("payload").metadata).name == "json")
+  }
+
   test("all-date CSV column becomes timestamp") {
     val dir = tmpDir("csvdates")
     val f = new java.io.File(s"$dir/in.csv")

@@ -116,6 +116,18 @@ class ExprLangSpec extends SparkSpec {
     assert(r.isNullAt(out.columns.indexOf("bad")))
   }
 
+  test("% is Lua floored modulo (sign of divisor), integral for ints") {
+    val df = Seq((-7L, 3L)).toDF("a", "b")
+    val out = Transform.inline(df,
+      "m1=row.a % row.b; m2=(0 - row.a) % (0 - row.b); " +
+        "m3=(0 - row.a) % row.b; m4=17 % 5")
+    val r = out.head
+    assert(r.getAs[Long]("m1") == 2L)   // -7 %  3 → 2 (Lua), not -1
+    assert(r.getAs[Long]("m2") == -2L)  //  7 % -3 → -2
+    assert(r.getAs[Long]("m3") == 1L)   //  7 %  3 → 1
+    assert(r.getAs[Long]("m4") == 2L)
+  }
+
   test("filter: truthiness (predicate and non-nil)") {
     val df = Seq(("a", 20.0), ("b", 5.0)).toDF("k", "v")
     assert(Transform.filter(df, "row.v > 10").as[(String, Double)].collect()
