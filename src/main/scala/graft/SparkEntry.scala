@@ -168,6 +168,22 @@ object SparkEntry {
         .select(col("p_partkey"), col("retail_cents"), col("brand_lc"))
     },
 
+    // --- P3 Lua-file transform: filters + row mutation + table return ---
+    "q_lua_file" -> { (s, dir) =>
+      val lua =
+        """function transform(row)
+          |  -- drop one segment and negative balances (nil-filter rules)
+          |  if row.c_mktsegment == 'BUILDING' then
+          |    return nil
+          |  end
+          |  if row.c_acctbal < 0 then return nil end
+          |  local bal2 = row.c_acctbal * 2
+          |  row.name_up = string.upper(row.c_name)
+          |  return { c_custkey = row.c_custkey, name_up = row.name_up, bal2 = bal2 }
+          |end""".stripMargin
+      graft.transform.LuaFile(t(s, dir, "customer"), lua)
+    },
+
     // ================== LLM-pipeline operators (llm/) ==================
     // The documents fixture has all-distinct texts, so dedup queries
     // union in deterministic duplicate copies (shifted doc_ids) to give
@@ -307,6 +323,11 @@ object SparkEntry {
         |  p_retailprice * 100 AS retail_cents,
         |  lower(p_brand) AS brand_lc
         |FROM part""".stripMargin,
+
+    "q_lua_file" ->
+      """SELECT c_custkey, upper(c_name) AS name_up, c_acctbal * 2 AS bal2
+        |FROM customer
+        |WHERE NOT (c_mktsegment = 'BUILDING') AND NOT (c_acctbal < 0)""".stripMargin,
 
     "q_dedup_exact" ->
       """WITH corpus AS (

@@ -17,7 +17,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class TransformSpec(
     inline: Option[String] = None,
     script: Option[String] = None,
-    filter: Option[String] = None)
+    filter: Option[String] = None,
+    file: Option[String] = None)
 
 final case class JobConfig(
     source: String,
@@ -41,9 +42,14 @@ class TransferEngine(cfg: JobConfig) {
     var df = Connectors.read(spark, cfg.source, cfg.sourceOptions)
     // validation BEFORE transform (transfer.rs:154-159, README.md:772)
     cfg.schemaFile.foreach(p => df = Validation(df, SchemaFile.fromFile(p)))
-    cfg.transform.inline.foreach(t => df = Transform.inline(df, t))
-    cfg.transform.script.foreach(t => df = Transform.script(df, t))
-    cfg.transform.filter.foreach(t => df = Transform.filter(df, t))
+    // --transform-file wins over --transform (cli.rs:183-191)
+    cfg.transform.file match {
+      case Some(p) => df = graft.transform.LuaFile.fromFile(df, p)
+      case None =>
+        cfg.transform.inline.foreach(t => df = Transform.inline(df, t))
+        cfg.transform.script.foreach(t => df = Transform.script(df, t))
+        cfg.transform.filter.foreach(t => df = Transform.filter(df, t))
+    }
     // --skip-existing: documented intent is "skip rows already in the
     // target by primary key" (cli.rs:46-47; never wired in the
     // reference engine — SURVEY §2.E). Implemented as a left_anti join

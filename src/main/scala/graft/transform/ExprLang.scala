@@ -249,9 +249,11 @@ object ExprLang {
     case _                          => false
   }
 
-  /** Lua truthiness: false/nil are falsy, everything else truthy. */
+  /** Lua truthiness: false/nil are falsy, everything else truthy. A
+    * boolean-valued column coalesces NULL→false (a nil-ish comparison is
+    * falsy, it must not read as "non-nil therefore truthy"). */
   private def truthy(n: Node, c: Column): Column =
-    if (isBooleanish(n)) c else c.isNotNull
+    if (isBooleanish(n)) coalesce(c, lit(false)) else c.isNotNull
 
   import org.apache.spark.sql.types.{DataType, NumericType}
 
@@ -421,11 +423,30 @@ object ExprLang {
     toColumn(parse(src), locals, schema, localTypes)
 
   /** Compile as a filter predicate with Lua truthiness: a non-boolean
-    * result keeps the row iff non-nil (transformer.rs:340-357). */
+    * result keeps the row iff non-nil (transformer.rs:340-357).
+    * Truthiness recurses through and/or/not — `row.age and row.age < 18`
+    * is truthy iff age is non-nil AND the comparison holds; the naive
+    * "whole expression non-null" reading would call it truthy whenever
+    * age exists, regardless of the comparison. */
   def compilePredicate(src: String, schema: Map[String, DataType] = Map.empty,
-                       locals: Map[String, Column] = Map.empty): Column = {
-    val node = parse(src)
-    val c = toColumn(node, locals, schema)
-    if (isBooleanish(node)) c else c.isNotNull
-  }
+                       locals: Map[String, Column] = Map.empty): Column =
+    compileTruthy(parse(src), locals, schema)
+
+  private def compileTruthy(n: Node, locals: Map[String, Column],
+                            schema: Map[String, DataType],
+                            localTypes: Map[String, Option[DataType]] = Map.empty): Column =
+    n match {
+      case Binary("and", l, r) =>
+        compileTruthy(l, locals, schema, localTypes) &&
+          compileTruthy(r, locals, schema, localTypes)
+      case Binary("or", l, r) =>
+        compileTruthy(l, locals, schema, localTypes) ||
+          compileTruthy(r, locals, schema, localTypes)
+      case Unary("not", e) => !compileTruthy(e, locals, schema, localTypes)
+      case BoolLit(b)      => lit(b)
+      case NilLit          => lit(false)
+      case _ =>
+        val c = toColumn(n, locals, schema, localTypes)
+        if (isBooleanish(n)) coalesce(c, lit(false)) else c.isNotNull
+    }
 }
