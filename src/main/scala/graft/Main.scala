@@ -1,0 +1,236 @@
+package graft
+
+import graft.core.GraftError
+import graft.engine.{JobConfig, Secrets, TransferEngine, TransformSpec, YamlJob}
+
+import org.apache.spark.sql.SparkSession
+
+/** CLI entry point mirroring the reference's UX
+  * (`/root/reference/src/cli.rs:5-144`, `src/main.rs:16-186`):
+  *
+  * {{{
+  * graft <SOURCE> <TARGET> [OPTIONS]
+  * graft run <job.yaml>
+  * graft generate-config [OPTIONS] <SOURCE> <TARGET>   # YAML → stdout
+  * graft generate-default-config                        # template → stdout
+  * }}}
+  *
+  * Options: --transform EXPRS | --transform-file F (file wins, with a
+  * warning, cli.rs:183-191), --schema-file F, --preview N, --dry-run,
+  * --truncate, --batch-size N, --skip-existing, --source-type T,
+  * --source-secret-id ID, --dest-secret-id ID, --infer-schema BOOL,
+  * --log-level info|warn|error.
+  */
+object Main {
+
+  sealed trait Cmd
+  final case class Transfer(cfg: JobConfig, preview: Option[Int],
+                            dryRun: Boolean, logLevel: String) extends Cmd
+  final case class RunYaml(file: String) extends Cmd
+  final case class GenConfig(cfg: JobConfig) extends Cmd
+  case object GenDefault extends Cmd
+  case object Help extends Cmd
+
+  val usage: String =
+    """A tiny ETL tool for moving data between sources (Spark edition)
+      |
+      |Usage: graft <SOURCE> <TARGET> [OPTIONS]
+      |       graft run <job.yaml>
+      |       graft generate-config [OPTIONS] <SOURCE> <TARGET>
+      |       graft generate-default-config
+      |
+      |Options:
+      |  --transform <EXPRESSIONS>   Inline transforms, e.g. "c=row.a * 2; u=string.upper(row.b)"
+      |  --transform-file <FILE>     Lua file with a 'transform(row)' function
+      |  --schema-file <FILE>        YAML schema override (types, defaults, patterns)
+      |  --preview <N>               Show schema + first N rows, no write
+      |  --dry-run                   Validate source/target/transform, no write
+      |  --truncate                  Truncate target before writing
+      |  --batch-size <N>            Rows per batch (JDBC fetch/batch size)
+      |  --skip-existing             Anti-join target on detected primary key
+      |  --source-type <TYPE>        Force source type (csv|json|parquet|avro)
+      |  --source-secret-id <ID>     Password from env TINYETL_SECRET_<ID> for source
+      |  --dest-secret-id <ID>       Password from env TINYETL_SECRET_<ID> for target
+      |  --infer-schema <BOOL>       Auto-detect columns and types (default true)
+      |  --log-level <LEVEL>         info | warn | error (default info)
+      |""".stripMargin
+
+  def main(args: Array[String]): Unit = {
+    val exit =
+      try {
+        parse(args.toList) match {
+          case Help          => println(usage); 0
+          case GenDefault    => println(defaultConfig); 0
+          case GenConfig(c)  => println(YamlJob.render(c)); 0
+          case RunYaml(f)    => runTransfer(YamlJob.fromFile(f), None, dryRun = false, "info")
+          case Transfer(c, p, d, ll) => runTransfer(c, p, d, ll)
+        }
+      } catch {
+        case e: GraftError => System.err.println(e.render); 1
+        case e: Exception  => System.err.println(s"Error: ${e.getMessage}"); 1
+      }
+    if (exit != 0) sys.exit(exit)
+  }
+
+  // ------------------------------ parsing ------------------------------
+
+  def parse(args: List[String]): Cmd = args match {
+    case Nil | ("--help" | "-h") :: _ => Help
+    case "generate-default-config" :: Nil => GenDefault
+    case "generate-config" :: rest =>
+      val (cfg, _, _, _) = parseTransferArgs(rest)
+      GenConfig(cfg)
+    case "run" :: file :: Nil => RunYaml(file)
+    case "run" :: _ =>
+      throw GraftError.Configuration("run takes exactly one config file")
+    case rest =>
+      val (cfg, preview, dryRun, logLevel) = parseTransferArgs(rest)
+      Transfer(cfg, preview, dryRun, logLevel)
+  }
+
+  private def parseTransferArgs(
+      args: List[String]): (JobConfig, Option[Int], Boolean, String) = {
+    var positional = Vector.empty[String]
+    var transform: Option[String] = None
+    var transformFile: Option[String] = None
+    var schemaFile: Option[String] = None
+    var preview: Option[Int] = None
+    var dryRun = false
+    var truncate = false
+    var skipExisting = false
+    var batchSize: Option[Int] = None
+    var sourceType: Option[String] = None
+    var sourceSecret: Option[String] = None
+    var destSecret: Option[String] = None
+    var logLevel = "info"
+
+    def intVal(flag: String, v: String): Int =
+      try v.toInt catch {
+        case _: NumberFormatException =>
+          throw GraftError.Configuration(s"$flag expects an integer, got '$v'")
+      }
+
+    @annotation.tailrec
+    def loop(rest: List[String]): Unit = rest match {
+      case Nil => ()
+      case "--transform" :: v :: t        => transform = Some(v); loop(t)
+      case "--transform-file" :: v :: t   => transformFile = Some(v); loop(t)
+      case "--schema-file" :: v :: t      => schemaFile = Some(v); loop(t)
+      case "--preview" :: v :: t          => preview = Some(intVal("--preview", v)); loop(t)
+      case "--dry-run" :: t               => dryRun = true; loop(t)
+      case "--truncate" :: t              => truncate = true; loop(t)
+      case "--skip-existing" :: t         => skipExisting = true; loop(t)
+      case "--batch-size" :: v :: t       => batchSize = Some(intVal("--batch-size", v)); loop(t)
+      case "--source-type" :: v :: t      => sourceType = Some(v); loop(t)
+      case "--source-secret-id" :: v :: t => sourceSecret = Some(v); loop(t)
+      case "--dest-secret-id" :: v :: t   => destSecret = Some(v); loop(t)
+      case "--infer-schema" :: v :: t     =>
+        // sampled inference is always on for untyped sources; parsed for
+        // CLI parity (cli.rs:22-24)
+        val _ = v.toBoolean; loop(t)
+      case "--log-level" :: v :: t        =>
+        if (!Set("info", "warn", "error")(v))
+          throw GraftError.Configuration(s"unknown log level '$v'")
+        logLevel = v; loop(t)
+      case flag :: _ if flag.startsWith("--") =>
+        throw GraftError.Configuration(s"unknown or incomplete option '$flag'")
+      case v :: t => positional :+= v; loop(t)
+    }
+    loop(args)
+
+    if (positional.size != 2)
+      throw GraftError.Configuration(
+        "SOURCE and TARGET are required.\n\n" +
+          "Usage: graft <SOURCE> <TARGET> [OPTIONS]\n" +
+          "   or: graft <COMMAND>\n\nFor more information, try '--help'")
+
+    if (transformFile.isDefined && transform.isDefined)
+      System.err.println(
+        "Warning: Both --transform-file and --transform specified. Using --transform-file.")
+
+    val batchOpts = batchSize.map(n => Map(
+      "fetchsize" -> n.toString, "batchsize" -> n.toString)).getOrElse(Map.empty)
+    val srcOpts = batchOpts ++ sourceType.map("sourceType" -> _).toMap
+
+    val cfg = JobConfig(
+      source = Secrets.inject(positional(0), sourceSecret),
+      target = Secrets.inject(positional(1), destSecret),
+      sourceOptions = srcOpts,
+      targetOptions = batchOpts,
+      transform = TransformSpec(
+        inline = if (transformFile.isDefined) None else transform,
+        file = transformFile),
+      schemaFile = schemaFile,
+      truncate = truncate,
+      skipExisting = skipExisting)
+    (cfg, preview, dryRun, logLevel)
+  }
+
+  // ------------------------------ actions ------------------------------
+
+  private def session(logLevel: String): SparkSession = {
+    val cores = Runtime.getRuntime.availableProcessors()
+    val s = SparkSession.builder()
+      .master(sys.env.getOrElse("SPARK_MASTER", s"local[$cores]"))
+      .appName("graft")
+      .config("spark.sql.shuffle.partitions", cores.toString)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel(logLevel.toUpperCase)
+    s
+  }
+
+  /** Runs a transfer/preview/dry-run; returns the process exit code. */
+  def runTransfer(cfg: JobConfig, preview: Option[Int], dryRun: Boolean,
+                  logLevel: String): Int = {
+    // reuse a live session (tests, notebooks); only stop what we created
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = session(logLevel)
+    try {
+      val engine = new TransferEngine(cfg)
+      preview match {
+        case Some(n) => println(engine.preview(spark, n)); 0
+        case None if dryRun =>
+          val schema = engine.dryRun(spark)
+          println(s"Dry run OK: ${schema.fields.length} columns, " +
+            s"source and target validated")
+          0
+        case None =>
+          val stats = engine.execute(spark)
+          println("Transfer completed successfully!")
+          println(f"Processed ${stats.totalRows} rows in ${stats.seconds}%.2fs " +
+            f"(${stats.rowsPerSecond}%.0f rows/sec)")
+          0
+      }
+    } finally if (!preExisting) spark.stop()
+  }
+
+  /** generate-default-config template (main.rs:88-155 parity). */
+  val defaultConfig: String =
+    """# graft default configuration example
+      |# ------------------------------------
+      |# Customize, save as config.yaml, then run: graft run config.yaml
+      |# Generate from CLI args: graft generate-config SOURCE TARGET > config.yaml
+      |# ${VAR_NAME} substitutes environment variables at load time.
+      |
+      |version: "1.0"
+      |
+      |source:
+      |  uri: "employees.csv"          # file path or connection string
+      |  # options:
+      |  #   header.User-Agent: "graft/0.1"
+      |  #   username: "user"
+      |  #   password: "${PASSWORD}"
+      |  #   bearer_token: "${BEARER_TOKEN}"
+      |
+      |target:
+      |  uri: "employees.parquet"      # or postgres://user@host/db#table
+      |
+      |options:
+      |  # transform: "full_name=row.first .. ' ' .. row.last"
+      |  # transform_file: "transform.lua"
+      |  # schema_file: "schema.yaml"
+      |  truncate: false
+      |""".stripMargin
+}

@@ -61,7 +61,8 @@ object YamlJob {
       transform = TransformSpec(
         inline = opts.get("transform").map(v => sub(v.toString)),
         script = opts.get("transform_script").map(v => sub(v.toString)),
-        filter = opts.get("filter").map(v => sub(v.toString))),
+        filter = opts.get("filter").map(v => sub(v.toString)),
+        file = opts.get("transform_file").map(v => sub(v.toString))),
       schemaFile = opts.get("schema_file").map(v => sub(v.toString)),
       truncate = opts.get("truncate").exists(_.toString.toBoolean),
       skipExisting = opts.get("skip_existing").exists(_.toString.toBoolean),
@@ -78,8 +79,8 @@ object YamlJob {
        |  uri: "${cfg.source}"${if (cfg.sourceOptions.nonEmpty) "\n  options:" + opts(cfg.sourceOptions, "    ") else ""}
        |target:
        |  uri: "${cfg.target}"${if (cfg.targetOptions.nonEmpty) "\n  options:" + opts(cfg.targetOptions, "    ") else ""}
-       |options:${cfg.transform.inline.map(t => s"\n  transform: \"$t\"").getOrElse("")}${cfg.schemaFile.map(f => s"\n  schema_file: \"$f\"").getOrElse("")}
-       |  truncate: ${cfg.truncate}
+       |options:${cfg.transform.inline.map(t => s"\n  transform: \"$t\"").getOrElse("")}${cfg.transform.file.map(f => s"\n  transform_file: \"$f\"").getOrElse("")}${cfg.schemaFile.map(f => s"\n  schema_file: \"$f\"").getOrElse("")}
+       |  truncate: ${cfg.truncate}${if (cfg.skipExisting) "\n  skip_existing: true" else ""}
        |""".stripMargin
   }
 }

@@ -1,0 +1,138 @@
+package graft
+
+import graft.core.GraftError
+import graft.engine.YamlJob
+
+/** CLI surface tests + golden e2e mirrors of the reference's example
+  * scripts (examples/01 csv→json, examples/06 transforms — the sqlite
+  * target becomes parquet since no JDBC driver jar ships in this env;
+  * the assertions are the reference's own: price_cents == 129999,
+  * heavy-item count). */
+class CliSpec extends SparkSpec {
+  import Main._
+
+  private def writeText(path: String, s: String): Unit = {
+    val p = java.nio.file.Paths.get(path)
+    java.nio.file.Files.createDirectories(p.getParent)
+    java.nio.file.Files.writeString(p, s)
+  }
+
+  test("parse: subcommands and flags") {
+    assert(parse(Nil) == Help)
+    assert(parse(List("--help")) == Help)
+    assert(parse(List("generate-default-config")) == GenDefault)
+    assert(parse(List("run", "j.yaml")) == RunYaml("j.yaml"))
+
+    val t = parse(List("in.csv", "out.parquet", "--transform", "x=row.a * 2",
+      "--preview", "5", "--truncate", "--batch-size", "500",
+      "--log-level", "warn")).asInstanceOf[Transfer]
+    assert(t.cfg.source == "in.csv" && t.cfg.target == "out.parquet")
+    assert(t.cfg.transform.inline.contains("x=row.a * 2"))
+    assert(t.preview.contains(5) && t.cfg.truncate)
+    assert(t.cfg.sourceOptions("fetchsize") == "500")
+    assert(t.cfg.targetOptions("batchsize") == "500")
+    assert(t.logLevel == "warn")
+
+    // file wins over inline (cli.rs:183-191)
+    val both = parse(List("a.csv", "b.parquet",
+      "--transform", "x=1", "--transform-file", "t.lua")).asInstanceOf[Transfer]
+    assert(both.cfg.transform.file.contains("t.lua"))
+    assert(both.cfg.transform.inline.isEmpty)
+
+    intercept[GraftError.Configuration](parse(List("only-one-arg")))
+    intercept[GraftError.Configuration](parse(List("a", "b", "--bogus")))
+    intercept[GraftError.Configuration](parse(List("a", "b", "--preview", "x")))
+    intercept[GraftError.Configuration](parse(List("a", "b", "--log-level", "spam")))
+  }
+
+  test("generate-config output round-trips through YamlJob") {
+    val cmd = parse(List("generate-config", "in.csv", "out.parquet",
+      "--transform", "c=row.a * 2", "--truncate")).asInstanceOf[GenConfig]
+    val yaml = YamlJob.render(cmd.cfg)
+    val back = YamlJob.fromYaml(yaml)
+    assert(back.source == "in.csv" && back.target == "out.parquet")
+    assert(back.transform.inline.contains("c=row.a * 2"))
+    assert(back.truncate)
+  }
+
+  test("generate-default-config template loads as a valid job") {
+    val cfg = YamlJob.fromYaml(Main.defaultConfig)
+    assert(cfg.source == "employees.csv")
+    assert(cfg.target == "employees.parquet")
+    assert(!cfg.truncate)
+  }
+
+  test("golden 01: basic csv → json") {
+    val dir = tmpDir("cli_ex01")
+    writeText(s"$dir/input.csv",
+      """id,name,email
+        |1,John Doe,john.doe@example.com
+        |2,Jane Smith,jane.smith@example.com
+        |3,Bob Johnson,bob.johnson@example.com
+        |""".stripMargin)
+    val rc = runTransfer(
+      parse(List(s"$dir/input.csv", s"$dir/output.json"))
+        .asInstanceOf[Transfer].cfg,
+      preview = None, dryRun = false, logLevel = "error")
+    assert(rc == 0)
+    val out = spark.read.json(s"$dir/output.json")
+    assert(out.count() == 3)
+    assert(out.filter(out("id") === 1).head.getAs[String]("name") == "John Doe")
+  }
+
+  test("golden 06: csv with transforms (price_cents == 129999, heavy count)") {
+    val dir = tmpDir("cli_ex06")
+    writeText(s"$dir/products.csv",
+      """product_code,name,unit_price,category_id,weight_kg
+        |SKU001,Laptop Pro,1299.99,1,2.5
+        |SKU002,Office Chair,249.50,2,15.0
+        |SKU003,Coffee Maker,89.99,3,3.2
+        |SKU004,Wireless Mouse,39.99,1,0.15
+        |SKU005,Standing Desk,599.00,2,25.8
+        |""".stripMargin)
+    val transforms = "full_name=row.product_code .. ': ' .. row.name; " +
+      "price_cents=row.unit_price * 100; " +
+      "weight_lb=row.weight_kg * 2.20462; is_heavy=row.weight_kg > 10"
+    val rc = runTransfer(
+      parse(List(s"$dir/products.csv", s"$dir/products.parquet",
+        "--transform", transforms)).asInstanceOf[Transfer].cfg,
+      preview = None, dryRun = false, logLevel = "error")
+    assert(rc == 0)
+    val out = spark.read.parquet(s"$dir/products.parquet")
+    val first = out.filter(out("product_code") === "SKU001").head
+    assert(first.getAs[Double]("price_cents") == 129999.0)
+    assert(first.getAs[String]("full_name") == "SKU001: Laptop Pro")
+    assert(out.filter(out("is_heavy")).count() == 2)
+  }
+
+  test("run job.yaml end-to-end with env substitution") {
+    val dir = tmpDir("cli_yaml")
+    writeText(s"$dir/in.csv", "a,b\n1,x\n2,y\n")
+    writeText(s"$dir/job.yaml",
+      s"""version: "1.0"
+         |source:
+         |  uri: "$dir/in.csv"
+         |target:
+         |  uri: "$dir/out.parquet"
+         |options:
+         |  transform: "a2=row.a * 2"
+         |  truncate: true
+         |""".stripMargin)
+    val rc = runTransfer(YamlJob.fromFile(s"$dir/job.yaml"),
+      None, dryRun = false, logLevel = "error")
+    assert(rc == 0)
+    assert(spark.read.parquet(s"$dir/out.parquet")
+      .filter("a = 2").head.getAs[Long]("a2") == 4L)
+  }
+
+  test("preview and dry-run write nothing") {
+    val dir = tmpDir("cli_preview")
+    writeText(s"$dir/in.csv", "a\n1\n")
+    val cfg = parse(List(s"$dir/in.csv", s"$dir/never.parquet"))
+      .asInstanceOf[Transfer].cfg
+    assert(runTransfer(cfg, Some(3), dryRun = false, "error") == 0)
+    assert(runTransfer(cfg, None, dryRun = true, "error") == 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/never.parquet")))
+  }
+}
