@@ -63,16 +63,12 @@ class TransferEngine(cfg: JobConfig) {
     df
   }
 
-  /** PK-candidate heuristic (odbc.rs:196-203): a non-null integer column
-    * named `id`, `*_id` or `*id`. */
-  private def detectPk(df: DataFrame): String = {
-    import org.apache.spark.sql.types.{IntegerType, LongType}
-    df.schema.fields.find { f =>
-      (f.dataType == LongType || f.dataType == IntegerType) &&
-        (f.name.equalsIgnoreCase("id") || f.name.toLowerCase.endsWith("id"))
-    }.map(_.name).getOrElse(throw new IllegalArgumentException(
-      "skipExisting requires primaryKey (no id-like integer column found)"))
-  }
+  /** PK-candidate heuristic (odbc.rs:196-203), shared with the JDBC
+    * partitioned-scan path. */
+  private def detectPk(df: DataFrame): String =
+    Connectors.pkCandidate(df.schema).getOrElse(
+      throw graft.core.GraftError.Configuration(
+        "skipExisting requires primaryKey (no id-like integer column found)"))
 
   /** Execute the copy (write path). Row stats come from an
     * `Observation` riding the write job itself (U4) — one pass, no

@@ -114,6 +114,48 @@ class EngineSpec extends SparkSpec {
       .head.getAs[Double]("price_cents") == 129999.0)
   }
 
+  test("jdbc sink DDL dialect maps (T5/T7/T8/T9 reference tables)") {
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(
+      StructField("i", LongType), StructField("d", DoubleType),
+      StructField("b", BooleanType), StructField("t", TimestampType),
+      StructField("s", StringType),
+      StructField("j", StringType, nullable = true,
+        new MetadataBuilder().putString(graft.core.TinyType.JsonMetaKey, "json").build())))
+    def ddl(url: String) = Connectors.sinkDdl(url, schema).get
+    // sqlite.rs:256-267
+    assert(ddl("jdbc:sqlite:x.db") ==
+      "i INTEGER, d REAL, b INTEGER, t TEXT, s TEXT, j TEXT")
+    // postgres.rs:376-384
+    assert(ddl("jdbc:postgresql://h/db") ==
+      "i BIGINT, d DECIMAL(18,6), b BOOLEAN, t TIMESTAMP WITH TIME ZONE, s TEXT, j JSONB")
+    // mysql.rs:390-401
+    assert(ddl("jdbc:mysql://h/db") ==
+      "i BIGINT, d DECIMAL(65,30), b BOOLEAN, t DATETIME, s TEXT, j JSON")
+    // mssql.rs:357-367
+    assert(ddl("jdbc:sqlserver://h;db") ==
+      "i BIGINT, d DECIMAL(18,6), b BIT, t DATETIME2, s NVARCHAR(MAX), j NVARCHAR(MAX)")
+    assert(Connectors.sinkDdl("jdbc:duckdb:x", schema).isEmpty)
+  }
+
+  test("pk candidate heuristic (odbc.rs:196-203) and odbc rejection") {
+    import org.apache.spark.sql.types._
+    def st(fields: (String, DataType)*) =
+      StructType(fields.map { case (n, t) => StructField(n, t) })
+    assert(Connectors.pkCandidate(st("name" -> StringType, "id" -> LongType))
+      .contains("id"))
+    assert(Connectors.pkCandidate(st("user_id" -> IntegerType, "v" -> DoubleType))
+      .contains("user_id"))
+    assert(Connectors.pkCandidate(st("orderid" -> LongType)).contains("orderid"))
+    // a string "id" is not a keyset candidate
+    assert(Connectors.pkCandidate(st("id" -> StringType, "x" -> DoubleType)).isEmpty)
+    assert(Connectors.pkCandidate(st("value" -> LongType)).isEmpty)
+
+    val e = intercept[graft.core.GraftError.Configuration](
+      Connectors.parse("odbc://MyDsn#t"))
+    assert(e.getMessage.contains("postgres://"))
+  }
+
   test("execute stats ride the write (observe), avro path counts directly") {
     val dir = tmpDir("engine_stats")
     sf("nation").write.mode("overwrite").parquet(s"$dir/in.parquet")
