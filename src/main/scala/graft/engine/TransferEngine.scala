@@ -81,7 +81,13 @@ class TransferEngine(cfg: JobConfig) {
     val t0 = System.nanoTime()
     val obs = Observation()
     val df = plan(spark).observe(obs, count(lit(1)).as("rows"))
-    val direct = Connectors.write(df, cfg.target, cfg.truncate, cfg.targetOptions)
+    val direct =
+      try Connectors.write(df, cfg.target, cfg.truncate, cfg.targetOptions)
+      catch {
+        case e: graft.core.GraftError => throw e // already typed
+        case e: Exception => throw graft.core.GraftError.DataTransfer(
+          s"writing ${cfg.target} failed: ${e.getMessage}", e)
+      }
     val rows = direct.getOrElse(obs.get("rows").asInstanceOf[Long])
     TransferStats(rows, (System.nanoTime() - t0) / 1e9)
   }

@@ -287,7 +287,7 @@ object Connectors {
       val ext = ref.options.getOrElse("sourceType",
         ref.path.split('?').head.split('.').last.toLowerCase match {
           case e @ ("csv" | "json" | "parquet" | "avro") => e
-          case _ => throw new IllegalArgumentException(
+          case _ => throw graft.core.GraftError.Configuration(
             s"cannot infer type of ${ref.path}; pass sourceType option")
         })
       val tmp = java.nio.file.Files.createTempFile(

@@ -48,9 +48,11 @@ object Transform {
     if (cur.toString.trim.nonEmpty) parts += cur.toString
     parts.toSeq.map(_.trim).filter(_.nonEmpty).map { stmt =>
       val eq = indexOfTopLevelEq(stmt)
-      require(eq > 0, s"transform statement must be name=expr: $stmt")
+      if (eq <= 0)
+        throw graft.core.GraftError.Transform(s"transform statement must be name=expr: $stmt")
       val name = stmt.substring(0, eq).trim
-      require(NameRe.matches(name), s"invalid column name '$name'")
+      if (!NameRe.matches(name))
+        throw graft.core.GraftError.Transform(s"invalid column name '$name'")
       Assignment(name, stmt.substring(eq + 1).trim)
     }
   }
@@ -92,7 +94,7 @@ object Transform {
       .toSeq
     val assigns = lines.map(l => parseAssignments(l) match {
       case Seq(a) => a
-      case other  => throw new IllegalArgumentException(s"bad script line: $l ($other)")
+      case other  => throw graft.core.GraftError.Transform(s"bad script line: $l ($other)")
     })
     val schema = schemaMap(df)
     var locals = Map.empty[String, Column]

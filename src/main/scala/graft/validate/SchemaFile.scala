@@ -36,11 +36,11 @@ final case class SchemaColumn(
         // schema-file boolean parsing is wider than CSV cells (README.md:681)
         case "true" | "1" | "yes" => true
         case "false" | "0" | "no" => false
-        case other => throw new IllegalArgumentException(s"bad boolean default: $other")
+        case other => throw graft.core.GraftError.Configuration(s"bad boolean default: $other")
       }
       case TDate | TDateTime =>
         java.sql.Timestamp.from(DateFormats.tryParse(d).getOrElse(
-          throw new IllegalArgumentException(s"unparseable date default: $d")))
+          throw graft.core.GraftError.Configuration(s"unparseable date default: $d")))
       case _ => d
     }
   }
@@ -59,17 +59,18 @@ object SchemaFile {
 
   def fromYaml(yaml: String): SchemaFile = {
     val root = new org.yaml.snakeyaml.Yaml().load[JMap[String, Object]](yaml)
-    require(root != null && root.containsKey("columns"),
-      "schema file must have a top-level 'columns' list")
+    if (root == null || !root.containsKey("columns"))
+      throw graft.core.GraftError.Configuration(
+        "schema file must have a top-level 'columns' list")
     val cols = root.get("columns").asInstanceOf[JList[JMap[String, Object]]]
       .asScala.toSeq.map { m =>
         def str(k: String): Option[String] =
           Option(m.get(k)).map(_.toString)
         val name = str("name").getOrElse(
-          throw new IllegalArgumentException("column missing 'name'"))
+          throw graft.core.GraftError.Configuration("column missing 'name'"))
         val tpeName = str("type").getOrElse("string")
         val tpe = TinyType.parse(tpeName).getOrElse(
-          throw new IllegalArgumentException(
+          throw graft.core.GraftError.Configuration(
             s"unknown type '$tpeName' for column '$name'"))
         val nullable = Option(m.get("nullable"))
           .forall(v => v.toString.toBoolean)

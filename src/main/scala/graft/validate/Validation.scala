@@ -31,8 +31,9 @@ object Validation {
   def apply(df: DataFrame, schema: SchemaFile, failFast: Boolean = true): DataFrame = {
     val present = df.columns.toSet
     val missing = schema.columns.filterNot(c => present(c.name))
-    require(missing.isEmpty,
-      s"required columns missing from source: ${missing.map(_.name).mkString(", ")}")
+    if (missing.nonEmpty)
+      throw graft.core.GraftError.DataValidation(
+        s"required columns missing from source: ${missing.map(_.name).mkString(", ")}")
 
     val checked = schema.columns.map { sc =>
       val c = col(s"`${sc.name}`")
