@@ -20,6 +20,35 @@ class LlmSpec extends SparkSpec {
       Seq("id", "canonical_id", "is_duplicate"))
   }
 
+  test("ShingleHash native expr equals the built-in composition exactly") {
+    import org.apache.spark.sql.functions.{array_distinct, concat_ws, greatest,
+      lit, lower, sequence, size, slice, split, transform, xxhash64}
+    val docs = sf("documents").select($"doc_id", $"text")
+      .withColumn("text", concat_ws(" ", $"text", lit(""))) // trailing sep edge
+    def builtin(n: Int) = {
+      val tokens = split(lower($"text"), "\\W+")
+      val count = size(tokens) - (n - 1)
+      val grams = transform(
+        sequence(lit(0), greatest(count - 1, lit(0))),
+        i => concat_ws(" ", slice(tokens, i + 1, lit(n))))
+      array_distinct(transform(grams, g => xxhash64(g)))
+    }
+    for (n <- Seq(1, 3, 5)) {
+      val cmp = docs.select(
+        graft.functions.SketchExprs.shingleHashes($"text", n).as("fast"),
+        builtin(n).as("slow"))
+      assert(cmp.filter(!($"fast" <=> $"slow")).count() == 0, s"n=$n diverges")
+    }
+    // degenerate inputs: short text, empty text, punctuation-only
+    val edge = Seq("one two", "", "?!.", "a").toDF("text")
+    for (n <- Seq(1, 3)) {
+      val cmp = edge.select(
+        graft.functions.SketchExprs.shingleHashes($"text", n).as("fast"),
+        builtin(n).as("slow"))
+      assert(cmp.filter(!($"fast" <=> $"slow")).count() == 0, s"edge n=$n diverges")
+    }
+  }
+
   test("minhashPairs equals brute-force jaccard >= threshold (LSH recall)") {
     val docs = sf("documents").select($"doc_id", $"text").limit(200)
     val variants = docs.filter(pmod($"doc_id", lit(4)) === 1)
