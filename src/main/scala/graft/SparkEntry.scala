@@ -254,6 +254,29 @@ object SparkEntry {
     // --- events: gap-based sessionization via session_window ---
     "q_sessions" -> { (s, dir) =>
       EventsStreaming.sessions(EventsStreaming.readEvents(s, dir))
+    },
+
+    // --- events: JSON props extraction (DataType::Json on demand) ---
+    "q_events_props" -> { (s, dir) =>
+      EventsStreaming.propsStats(EventsStreaming.readEvents(s, dir))
+    },
+
+    // --- simhash dedup: identical signatures group. No SQL oracle: the
+    // sketch is not SQL-expressible, and signature collisions between
+    // near-identical word sets are the OPERATOR's semantics, not a bug —
+    // grouping intentionally differs from exact word-set grouping.
+    // Correctness is pinned by LlmSpec's brute-force Hamming tests;
+    // the driver records the weaker rows-only check here. ---
+    "q_simhash_dedup" -> { (s, dir) =>
+      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
+        .select(col("id"), col("canonical_id"), col("is_duplicate"))
+    },
+
+    // --- exact n-gram jaccard pairs within (lang, source) blocks ---
+    "q_ngram_jaccard" -> { (s, dir) =>
+      Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+          nGram = 3, threshold = 0.5, blockingCols = Seq("lang", "source"))
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     }
   )
 
@@ -432,6 +455,31 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_events_props" ->
+      """SELECT event_type,
+        |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_field,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+        |  min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id, lang, source,
+        |    list_distinct(list_transform(range(1, greatest(len(tok) - 1, 2)),
+        |      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS shingles
+        |  FROM (SELECT doc_id, lang, source,
+        |          regexp_split_to_array(lower(text), '\W+') AS tok
+        |        FROM documents)
+        |), j AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE) AS jac
+        |  FROM sh a JOIN sh b
+        |    ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
+        |)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin,
 
     "q_sessions" ->
       """WITH e AS (

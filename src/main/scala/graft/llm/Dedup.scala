@@ -120,6 +120,74 @@ object Dedup {
   /** Hamming distance between two simhashes (for near-match thresholds). */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
 
+  /** SimHash near-dup pairs within Hamming distance `maxHamming`.
+    *
+    * Scale path: the 64-bit signature splits into `bands` chunks; by
+    * pigeonhole, two signatures within Hamming distance d < bands agree
+    * on at least one whole chunk — so candidates come from equality
+    * joins on (band, chunk), never an all-pairs scan, and the exact
+    * bit_count verify runs only inside buckets. Default bands = 4 →
+    * guaranteed recall for maxHamming <= 3. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3, bands: Int = 4,
+                   maxBucketSize: Int = 100000): DataFrame = {
+    require(bands > maxHamming,
+      s"pigeonhole needs bands ($bands) > maxHamming ($maxHamming) for full recall")
+    val width = 64 / bands
+    val sigs = df.select(col(idCol).as("id"),
+      simhash64(shingleHashes(col(textCol), n = 1)).as("sig"))
+
+    val chunks = (0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        shiftrightunsigned(col("sig"), b * width)
+          .bitwiseAND(lit((1L << width) - 1)).as("chunk"))
+    }
+    val keys = sigs.select(col("id"), col("sig"),
+      explode(array(chunks: _*)).as("k"))
+      .select(col("id"), col("sig"), col("k.band"), col("k.chunk"))
+
+    val sizes = keys.groupBy(col("band"), col("chunk"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1 && col("_n") <= maxBucketSize)
+    val kept = keys.join(sizes, Seq("band", "chunk")).drop("_n")
+
+    kept.as("a")
+      .join(kept.select(col("id").as("id_b"), col("sig").as("sig_b"),
+        col("band"), col("chunk")).as("b"), Seq("band", "chunk"))
+      .filter(col("id") < col("id_b"))
+      .select(col("id").as("id_a"), col("id_b"),
+        hamming(col("sig"), col("sig_b")).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs within blocking groups — the
+    * exactness baseline next to [[minhashPairs]]'s LSH scale path.
+    *
+    * All pairs INSIDE a block are compared (quadratic per block), so
+    * blocking columns must bound block size; with no blocking columns
+    * this is a full cross-product and only fit for small corpora — at
+    * scale, block on cheap invariants (lang, source, length bucket) or
+    * use minhashPairs. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        nGram: Int = 3, threshold: Double = 0.5,
+                        blockingCols: Seq[String] = Seq.empty): DataFrame = {
+    val sh = df.select((col(idCol).as("id") +: col(textCol).as("_t") +:
+      blockingCols.map(col)): _*)
+      .withColumn("_sh", shingleHashes(col("_t"), nGram)).drop("_t")
+    val b = sh.select((col("id").as("id_b") +: col("_sh").as("_sh_b") +:
+      blockingCols.map(c => col(c).as(s"${c}_b"))): _*)
+    val joinCond = blockingCols
+      .map(c => col(c) === col(s"${c}_b"))
+      .foldLeft(col("id") < col("id_b"))(_ && _)
+    sh.join(b, joinCond)
+      .withColumn("jaccard",
+        size(array_intersect(col("_sh"), col("_sh_b"))).cast("double") /
+          size(array_union(col("_sh"), col("_sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id").as("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Embedding near-dup via signed-random-projection buckets + exact
     * cosine verify within buckets. Returns pairs (id_a, id_b, cosine)
     * with cosine >= threshold. The vectors do ride the bucket shuffle —

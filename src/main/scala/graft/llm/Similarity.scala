@@ -92,4 +92,58 @@ object Similarity {
         .orderBy(col("cosine").desc, col(idCol))
         .limit(k)
   }
+
+  /** IVF (inverted-file) ANN index — the coarse-quantizer scale path
+    * next to [[SrpIndex]]'s hyperplane hashing.
+    *
+    * Centroids are a deterministic sample (the `nlist` vectors with the
+    * smallest xxhash64(id) — a seed-stable stand-in for a k-means train
+    * step; swap in real k-means offline without changing the plan
+    * shape). Every vector is assigned to its nearest centroid in ONE
+    * codegen-friendly projection (argmin via `least(struct(dist, i))`),
+    * so on a real deployment the table is written partitioned by
+    * `ivf_cell` and a query scans only `nprobe`/nlist of the data via
+    * partition pruning. */
+  final case class IvfIndex(nlist: Int = 16) {
+
+    def centroids(df: DataFrame, idCol: String, vecCol: String): Array[Seq[Double]] =
+      df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+        .withColumn("_h", xxhash64(col("id")))
+        .orderBy(col("_h")).limit(nlist)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toSeq)
+
+    private def l2(vec: Column, c: Seq[Double]): Column =
+      aggregate(zip_with(vec, typedLit(c), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+
+    /** Nearest-centroid cell id as one projection. */
+    def cellExpr(vec: Column, cents: Array[Seq[Double]]): Column = {
+      val scored = cents.zipWithIndex.map { case (c, i) =>
+        struct(l2(vec, c).as("d"), lit(i).as("i"))
+      }
+      least(scored: _*).getField("i")
+    }
+
+    /** Adds `ivf_cell`; write the result partitioned by it at scale. */
+    def build(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
+      val cents = centroids(df, idCol, vecCol)
+      df.withColumn("ivf_cell", cellExpr(asDouble(col(vecCol)), cents))
+    }
+
+    def probeCells(cents: Array[Seq[Double]], query: Seq[Double],
+                   nprobe: Int): Seq[Int] =
+      cents.zipWithIndex.map { case (c, i) =>
+        (c.zip(query).map { case (a, b) => (a - b) * (a - b) }.sum, i)
+      }.sortBy(_._1).take(nprobe).map(_._2).toSeq
+
+    /** ANN top-k over the nprobe nearest cells, exact cosine within. */
+    def topK(indexed: DataFrame, cents: Array[Seq[Double]], idCol: String,
+             vecCol: String, query: Seq[Double], k: Int,
+             nprobe: Int = 4): DataFrame =
+      indexed.filter(col("ivf_cell").isin(probeCells(cents, query, nprobe): _*))
+        .select(col(idCol),
+          cosine(asDouble(col(vecCol)), typedLit(query)).as("cosine"))
+        .orderBy(col("cosine").desc, col(idCol))
+        .limit(k)
+  }
 }

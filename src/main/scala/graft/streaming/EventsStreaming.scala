@@ -80,4 +80,36 @@ object EventsStreaming {
         min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
       .select(col("user_id"), col("s.start").as("session_start"),
         col("n_events"), col("first_ts"), col("last_ts"))
+
+  /** Streaming sessionization: same body as [[sessions]], with a
+    * watermark bounding session state; append mode emits a session once
+    * the watermark passes its close. */
+  def sessionsStream(spark: SparkSession, dir: String,
+                     queryName: String = "events_sessions",
+                     gap: String = "30 minutes"): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = nanosToTs(spark.readStream
+      .schema(eventsSchemaRaw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir))
+    sessions(events.withWatermark("ts", "10 minutes"), gap)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Typed access to the JSON `props` sidecar: per-type stats over an
+    * extracted numeric field (the DataType::Json story mapped to
+    * get_json_object — parse on demand, StringType at rest). */
+  def propsStats(events: DataFrame, field: String = "k"): DataFrame =
+    events
+      .withColumn("_v", get_json_object(col("props"), s"$$.$field").cast("long"))
+      .groupBy(col("event_type"))
+      .agg(count(col("_v")).as("n_with_field"),
+        sum(col("_v")).as(s"sum_$field"),
+        min(col("_v")).as(s"min_$field"),
+        max(col("_v")).as(s"max_$field"))
 }

@@ -101,6 +101,62 @@ class LlmSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(hd(0) ^ hd(1)) > 0)
   }
 
+  test("simhashPairs: banded pigeonhole finds all pairs within maxHamming") {
+    val docs = sf("documents").select($"doc_id", $"text").limit(150)
+    // brute force ground truth
+    val sigs = docs.select($"doc_id".as("id"),
+      graft.functions.SketchExprs.simhash64(
+        graft.functions.SketchExprs.shingleHashes($"text", 1)).as("sig"))
+    val brute = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter($"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        Dedup.hamming($"a.sig", $"b.sig").as("hamming"))
+      .filter($"hamming" <= 3)
+    val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
+    assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty)
+    intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4, bands = 4))
+  }
+
+  test("ngramJaccardPairs: exact blocked pairs match unblocked on same block") {
+    val docs = sf("documents").select($"doc_id", $"text", $"lang").limit(200)
+    val blocked = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      threshold = 0.3, blockingCols = Seq("lang"))
+    val global = Dedup.ngramJaccardPairs(docs, "doc_id", "text", threshold = 0.3)
+    // blocked ⊆ global, and any global pair within one lang is in blocked
+    assert(blocked.exceptAll(global).isEmpty)
+    val langOf = docs.select($"doc_id", $"lang")
+    val sameLang = global
+      .join(langOf.select($"doc_id".as("id_a"), $"lang".as("la")), "id_a")
+      .join(langOf.select($"doc_id".as("id_b"), $"lang".as("lb")), "id_b")
+      .filter($"la" === $"lb").select($"id_a", $"id_b", $"jaccard")
+    assert(sameLang.exceptAll(blocked).isEmpty)
+  }
+
+  test("IvfIndex: cell assignment prunes, recall vs brute force, exact cosines") {
+    val emb = sf("embeddings")
+    val idx = Similarity.IvfIndex(nlist = 8)
+    val cents = idx.centroids(emb, "vec_id", "embedding")
+    assert(cents.length == 8 && cents.head.size == 64)
+    val indexed = idx.build(emb, "vec_id", "embedding").cache()
+    val cells = indexed.select($"ivf_cell").distinct().as[Int].collect()
+    assert(cells.forall(c => c >= 0 && c < 8) && cells.length > 1)
+
+    val qv = emb.filter($"vec_id" === 3).select($"embedding")
+      .head.getSeq[Float](0).map(_.toDouble).toSeq
+    val ann = idx.topK(indexed, cents, "vec_id", "embedding", qv, 10, nprobe = 3)
+      .collect()
+    assert(ann.head.getLong(0) == 3L, "query vector found first")
+    val exact = Similarity.scoresForQuery(emb, "vec_id", "embedding", qv, 9)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    ann.foreach(r => assert(math.abs(r.getDouble(1) - exact(r.getLong(0))) < 1e-6))
+    // pruning is real: probed cells hold fewer rows than the table
+    val probed = indexed.filter($"ivf_cell"
+      .isin(idx.probeCells(cents, qv, 3): _*)).count()
+    assert(probed < emb.count())
+    indexed.unpersist()
+  }
+
   test("embeddingPairs finds identical vectors, verifies cosine") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.5f, 0.2f)),

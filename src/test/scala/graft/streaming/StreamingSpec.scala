@@ -35,6 +35,23 @@ class StreamingSpec extends SparkSpec {
       "watermark-closed windows missing from stream output")
   }
 
+  test("sessionsStream equals batch sessions for watermark-closed sessions") {
+    val q = EventsStreaming.sessionsStream(spark, dir, "sess_parity_test")
+    q.awaitTermination(120000L)
+    val streamed = spark.table("sess_parity_test")
+    val batch = EventsStreaming.sessions(EventsStreaming.readEvents(spark, dir))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty,
+      "stream produced sessions absent from batch")
+    val maxTs = EventsStreaming.readEvents(spark, dir)
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    // sessions closing before watermark − gap margin must all be emitted
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 45 * 60 * 1000)
+    val mustHave = batch.filter(col("last_ts") < lit(cutoff))
+    assert(mustHave.exceptAll(streamed).isEmpty,
+      "watermark-closed sessions missing from stream output")
+  }
+
   test("sessions: gap semantics — new session at exactly the gap") {
     import spark.implicits._
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
