@@ -1,0 +1,106 @@
+package graft
+
+import graft.llm.{Dedup, TextAnalysis}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+/** Physical-plan audits: the scale properties the operators claim
+  * (pushdown, shuffle payload width, map-side partial aggregation,
+  * codegen) asserted against the physical plan, so a regression that
+  * silently changes the plan shape fails loudly — "would this survive
+  * 100×" as a test, not a comment. */
+class PlanSpec extends SparkSpec {
+
+  /** Output column names of every shuffle exchange in the plan (AQE
+    * wraps the plan in an opaque adaptive node — unwrap it first). */
+  private def shuffleOutputs(df: DataFrame): Seq[Seq[String]] = {
+    val plan = df.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    plan.collect { case e: ShuffleExchangeExec => e.output.map(_.name).toSeq }
+  }
+
+  test("filters and projections push into the parquet scan") {
+    val df = sf("lineitem")
+      .filter(col("l_quantity") > 25 && col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_quantity"))
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters:") &&
+      p.contains("GreaterThan(l_quantity,25.0)"),
+      s"filter not pushed to scan:\n$p")
+    assert(p.contains("ReadSchema") && !p.contains("l_extendedprice"),
+      "column pruning failed: untouched columns appear in the scan")
+  }
+
+  test("text analysis is one shuffle-free codegen'd projection") {
+    val df = TextAnalysis.analyze(sf("documents"), "text")
+    assert(shuffleOutputs(df).isEmpty, "pure projection must not shuffle")
+    // `*(n)` prefixes mark whole-stage-codegen'd spans
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"),
+      "projection left whole-stage codegen")
+  }
+
+  test("exact dedup never shuffles document content (narrow hash,id pairs)") {
+    val df = Dedup.exact(sf("documents"), "doc_id", Seq("text"))
+    val shuffles = shuffleOutputs(df)
+    assert(shuffles.nonEmpty)
+    shuffles.foreach(cols =>
+      assert(!cols.contains("text"),
+        s"document content crossed a shuffle: $cols"))
+    assert(df.queryExecution.sparkPlan.toString.contains("partial_min"),
+      "expected map-side partial min on the hash key")
+  }
+
+  test("group-by aggregation is partial (map-side) before its single shuffle") {
+    val df = sf("lineitem").groupBy(col("l_returnflag"))
+      .agg(sum(col("l_quantity")).as("s"), count(lit(1)).as("n"))
+    assert(df.queryExecution.sparkPlan.toString.contains("partial_sum"))
+    assert(shuffleOutputs(df).size == 1)
+  }
+
+  test("minhash bands explode shuffles keys only; shingles ride id-joins once") {
+    val pairs = Dedup.minhashPairs(sf("documents"), "doc_id", "text")
+    val shuffles = shuffleOutputs(pairs)
+    // any exchange carrying the (band, bucket) key must not carry arrays
+    val bandShuffles = shuffles.filter(_.contains("band"))
+    assert(bandShuffles.nonEmpty)
+    bandShuffles.foreach(cols =>
+      assert(!cols.exists(_.startsWith("sh")),
+        s"bands explode is shuffling shingle arrays: $cols"))
+    // shingle arrays cross exchanges only keyed by id (candidate verify)
+    val shingleShuffles = shuffles.filter(_.exists(c =>
+      c == "shingles" || c.startsWith("sh_")))
+    shingleShuffles.foreach(cols =>
+      assert(!cols.contains("band"), s"mixed band+shingle shuffle: $cols"))
+  }
+
+  test("broadcastable dimension joins broadcast (no shuffle of the fact side)") {
+    val l = sf("lineitem").as("l")
+    val n = sf("nation").hint("broadcast").as("n")
+    val df = l.join(n, pmod(col("l.l_suppkey"), lit(25)) === col("n.n_nationkey"))
+    assert(df.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    assert(shuffleOutputs(df).isEmpty, "broadcast join must not shuffle the fact")
+  }
+
+  test("similarity scores stay in one projection with TakeOrdered for topK") {
+    val emb = sf("embeddings")
+    val qv = Seq.fill(64)(0.1)
+    val scores = graft.llm.Similarity.scoresForQuery(emb, "vec_id", "embedding", qv)
+    assert(shuffleOutputs(scores).isEmpty, "scores must be shuffle-free")
+    val topk = graft.llm.Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 5)
+    assert(topk.queryExecution.executedPlan.toString.contains("TakeOrderedAndProject"),
+      "topK must be TakeOrderedAndProject, not a global sort")
+  }
+
+  test("validation + transform stay fused in the scan stage (no extra jobs)") {
+    val df = graft.transform.Transform.inline(
+      sf("lineitem").filter(col("l_quantity") > 10),
+      "gross=row.l_extendedprice * (1 - row.l_discount)")
+    assert(shuffleOutputs(df).isEmpty,
+      "scan → filter → derive must be one narrow stage")
+  }
+}
