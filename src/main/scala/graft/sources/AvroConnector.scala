@@ -33,26 +33,62 @@ import org.apache.spark.sql.types._
   *
   * Scale design: the reference re-reads the whole file per batch
   * (avro.rs:314-376) and buffers every row at the sink — both
-  * anti-patterns (SURVEY §4.2). Here each .avro container file is one
-  * read task (parallelism = file count, the standard layout for large
-  * Avro datasets), and the sink streams one container per partition —
-  * no driver materialization in either direction.
+  * anti-patterns (SURVEY §4.2). The read is SPLIT-AWARE: each task
+  * owns a byte range of a container file and uses the Avro sync
+  * markers to find record-block boundaries (sync(start) →
+  * !pastSync(end), the avro-mapred split contract), so one 10 GB file
+  * fans out across executors instead of straggling on a single task.
+  * The sink streams one container per partition — no driver
+  * materialization in either direction.
   */
 object AvroConnector {
 
   // ----------------------------- read ---------------------------------
 
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val (avroJson, struct) = readerSchema(path)
-    val enc = ExpressionEncoder(struct)
+  /** Byte range of one container file owned by one task. */
+  private case class AvroSplit(file: String, start: Long, end: Long)
+
+  /** Hadoop stream as Avro's random-access input (no avro-mapred dep). */
+  private class HadoopSeekableInput(
+      fs: FileSystem, p: Path) extends org.apache.avro.file.SeekableInput {
+    private val in = fs.open(p)
+    private val len = fs.getFileStatus(p).getLen
+    override def read(b: Array[Byte], off: Int, n: Int): Int = in.read(b, off, n)
+    override def seek(pos: Long): Unit = in.seek(pos)
+    override def tell(): Long = in.getPos
+    override def length(): Long = len
+    override def close(): Unit = in.close()
+  }
+
+  def read(spark: SparkSession, path: String,
+           splitBytes: Long = 64L << 20): DataFrame = {
+    val (_, struct) = readerSchema(path)
+    val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
+    val p = new Path(path)
+    val files: Seq[(String, Long)] =
+      (if (fs.getFileStatus(p).isDirectory)
+        fs.listStatus(p).filter(_.getPath.getName.endsWith(".avro")).toSeq
+      else Seq(fs.getFileStatus(p)))
+        .map(st => st.getPath.toString -> st.getLen)
+    val splits = files.flatMap { case (f, len) =>
+      (0L until math.max(len, 1L) by splitBytes)
+        .map(s => AvroSplit(f, s, math.min(s + splitBytes, len)))
+    }
     val rdd = spark.sparkContext
-      .binaryFiles(path)
-      .flatMap { case (_, pds) =>
-        val reader = new DataFileStream[GenericRecord](
-          pds.open(), new GenericDatumReader[GenericRecord]())
+      .parallelize(splits, math.max(splits.size, 1))
+      .flatMap { split =>
+        val sfs = FileSystem.get(java.net.URI.create(split.file), new Configuration())
+        val reader = org.apache.avro.file.DataFileReader.openReader(
+          new HadoopSeekableInput(sfs, new Path(split.file)),
+          new GenericDatumReader[GenericRecord]())
+        reader.sync(split.start) // first block at-or-after our range start
         val fields = reader.getSchema.getFields.asScala.toArray
         new Iterator[Row] {
-          def hasNext: Boolean = { val h = reader.hasNext; if (!h) reader.close(); h }
+          def hasNext: Boolean = {
+            val h = reader.hasNext && !reader.pastSync(split.end)
+            if (!h) reader.close()
+            h
+          }
           def next(): Row = {
             val rec = reader.next()
             Row.fromSeq(fields.map(f => fromAvro(rec.get(f.pos()), f.schema())).toSeq)

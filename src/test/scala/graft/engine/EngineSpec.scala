@@ -199,6 +199,23 @@ class EngineSpec extends SparkSpec {
     assert(rows(1).getAs[Boolean]("ok") == false)
   }
 
+  test("avro intra-file splitting: one big container fans out, same rows") {
+    val dir = tmpDir("avro_split")
+    val df = sf("orders", "/root/testdata/sf0.01")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    df.coalesce(1).write.mode("overwrite").parquet(s"$dir/one.parquet")
+    val one = spark.read.parquet(s"$dir/one.parquet").coalesce(1)
+    AvroConnector.write(one, s"$dir/big.avro")
+    // tiny split size → many tasks over the single container file
+    val fine = AvroConnector.read(spark, s"$dir/big.avro", splitBytes = 32L << 10)
+    assert(fine.rdd.getNumPartitions >= 4,
+      s"expected multiple splits, got ${fine.rdd.getNumPartitions}")
+    val coarse = AvroConnector.read(spark, s"$dir/big.avro")
+    assert(fine.count() == one.count())
+    // no dup/loss at split boundaries: exact multiset equality
+    assert(fine.exceptAll(coarse).isEmpty && coarse.exceptAll(fine).isEmpty)
+  }
+
   test("avro write: null into non-nullable field errors (avro.rs:489-497)") {
     val dir = tmpDir("avro2")
     val df = spark.createDataFrame(
