@@ -101,6 +101,75 @@ object EventsStreaming {
       .start()
   }
 
+  // ---------------- custom state: threshold crossings ----------------
+
+  final case class Crossing(user_id: Long, crossed_at: java.sql.Timestamp,
+                            running_total: Double)
+
+  /** Batch shape: the first event where a user's running `value` total
+    * reaches `threshold` — cumulative window sum, one shuffle on user. */
+  def thresholdCrossings(events: DataFrame, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("running_total", sum(col("value")).over(w))
+      .filter(col("running_total") >= threshold &&
+        col("running_total") - col("value") < threshold)
+      .select(col("user_id"), col("ts").as("crossed_at"), col("running_total"))
+  }
+
+  /** Streaming shape of [[thresholdCrossings]]: per-user running total
+    * kept in [[org.apache.spark.sql.streaming.GroupState]] via
+    * flatMapGroupsWithState — the custom-state escape hatch for
+    * semantics window functions can't express incrementally. State per
+    * user is one double; emission is append-only. */
+  def thresholdCrossingsStream(spark: SparkSession, dir: String,
+                               threshold: Double,
+                               queryName: String = "events_crossings")
+      : StreamingQuery = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = nanosToTs(spark.readStream
+      .schema(eventsSchemaRaw)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir))
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+
+    val typed = events.as[(Long, java.sql.Timestamp, Long, Double)](
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.TIMESTAMP,
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaDouble))
+
+    def fn(user: Long,
+           rows: Iterator[(Long, java.sql.Timestamp, Long, Double)],
+           state: GroupState[Double]): Iterator[Crossing] = {
+      var total = state.getOption.getOrElse(0.0)
+      val out = scala.collection.mutable.ArrayBuffer.empty[Crossing]
+      rows.toSeq.sortBy(r => (r._2.getTime, r._3)).foreach { r =>
+        val before = total
+        total += r._4
+        if (before < threshold && total >= threshold)
+          out += Crossing(user, r._2, total)
+      }
+      state.update(total)
+      out.iterator
+    }
+
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.NoTimeout())(fn)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Typed access to the JSON `props` sidecar: per-type stats over an
     * extracted numeric field (the DataType::Json story mapped to
     * get_json_object — parse on demand, StringType at rest). */

@@ -96,6 +96,28 @@ class PlanSpec extends SparkSpec {
       "topK must be TakeOrderedAndProject, not a global sort")
   }
 
+  test("bucketed tables co-locate the join: zero exchanges") {
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+      sf("orders").write.bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .mode("overwrite").saveAsTable("b_orders")
+      sf("customer").write.bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .mode("overwrite").saveAsTable("b_customer")
+      val j = spark.table("b_orders").join(spark.table("b_customer"),
+        col("o_custkey") === col("c_custkey"))
+      assert(shuffleOutputs(j).isEmpty,
+        "matching bucket layout must eliminate the join shuffle")
+      assert(j.count() > 0)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_customer")
+    }
+  }
+
   test("validation + transform stay fused in the scan stage (no extra jobs)") {
     val df = graft.transform.Transform.inline(
       sf("lineitem").filter(col("l_quantity") > 10),

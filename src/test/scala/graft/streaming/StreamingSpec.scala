@@ -52,6 +52,19 @@ class StreamingSpec extends SparkSpec {
       "watermark-closed sessions missing from stream output")
   }
 
+  test("flatMapGroupsWithState threshold crossings equal the batch window shape") {
+    val q = EventsStreaming.thresholdCrossingsStream(spark, dir, 500.0,
+      "crossings_parity_test")
+    q.awaitTermination(120000L)
+    val streamed = spark.table("crossings_parity_test")
+    val batch = EventsStreaming.thresholdCrossings(
+      EventsStreaming.readEvents(spark, dir), 500.0)
+    assert(streamed.count() > 0, "no crossings emitted")
+    // custom state has no watermark: with AvailableNow over a finite
+    // fixture the outputs must match exactly
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
+  }
+
   test("sessions: gap semantics — new session at exactly the gap") {
     import spark.implicits._
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
