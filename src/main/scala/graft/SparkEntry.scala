@@ -277,6 +277,34 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
           nGram = 3, threshold = 0.5, blockingCols = Seq("lang", "source"))
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
+    // --- near-dup dedup DECISION from LSH pairs (canonical assignment) ---
+    "q_minhash_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val variants = docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" graft dup tail")).as("text"))
+      Dedup.minhashDedup(docs.union(variants), "doc_id", "text",
+        threshold = 0.5, numHashes = 64, bands = 32)
+    },
+
+    // --- skew-salted two-stage aggregation (equal to plain groupBy) ---
+    "q_skew_agg" -> { (s, dir) =>
+      graft.operators.Skew.saltedSumCount(
+          t(s, dir, "lineitem")
+            .withColumn("l_quantity",
+              col("l_quantity").cast(org.apache.spark.sql.types.DecimalType(18, 4))),
+          Seq("l_returnflag"), "l_quantity", salts = 16)
+        .select(col("l_returnflag"),
+          col("sum_l_quantity").cast("double").as("sum_qty"), col("cnt"))
+    },
+
+    // --- custom-state shape: running-total threshold crossings ---
+    "q_threshold_crossings" -> { (s, dir) =>
+      EventsStreaming.thresholdCrossings(EventsStreaming.readEvents(s, dir), 500.0)
+        .select(col("user_id"), col("crossed_at"),
+          round(col("running_total"), 4).as("running_total"))
     }
   )
 
@@ -480,6 +508,47 @@ object SparkEntry {
         |    ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
         |)
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin,
+
+    "q_minhash_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || ' graft dup tail' AS text
+        |  FROM documents WHERE doc_id % 4 = 1
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tok) - 1),
+        |      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\W+') AS tok
+        |        FROM corpus)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+        |      >= 0.5
+        |)
+        |SELECT c.doc_id,
+        |  coalesce(min(p.id_a), c.doc_id) AS canonical_id,
+        |  coalesce(min(p.id_a), c.doc_id) <> c.doc_id AS is_duplicate
+        |FROM corpus c LEFT JOIN pairs p ON p.id_b = c.doc_id
+        |GROUP BY c.doc_id""".stripMargin,
+
+    "q_skew_agg" ->
+      """SELECT l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS cnt
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_threshold_crossings" ->
+      """WITH c AS (
+        |  SELECT user_id, ts, value,
+        |    sum(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                     ROWS UNBOUNDED PRECEDING) AS rt
+        |  FROM events
+        |)
+        |SELECT user_id, ts AS crossed_at, round(rt, 4) AS running_total
+        |FROM c WHERE rt >= 500 AND rt - value < 500""".stripMargin,
 
     "q_sessions" ->
       """WITH e AS (

@@ -95,8 +95,10 @@ object Dedup {
     * the smallest id it pairs with (single pass, no iterative
     * connected-components — documented approximation). */
   def minhashDedup(df: DataFrame, idCol: String, textCol: String,
-                   threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashPairs(df, idCol, textCol, threshold = threshold)
+                   threshold: Double = 0.5, numHashes: Int = 64,
+                   bands: Int = 16): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol,
+      numHashes = numHashes, bands = bands, threshold = threshold)
     val canon = pairs.groupBy(col("id_b").as(idCol))
       .agg(min(col("id_a")).as("canonical_id"))
     df.select(col(idCol))
