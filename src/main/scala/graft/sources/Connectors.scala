@@ -199,6 +199,13 @@ object Connectors {
           .option("header", "true").option("nullValue", "").option("emptyValue", "\"\"")
           .options(ref.options).csv(ref.path)
         None
+      case "json" if ref.options.get("jsonArray").contains("true") =>
+        // reference byte-form parity (json.rs:243-281): ONE file holding a
+        // JSON array; append reloads + merges (json.rs:216-241). Opt-in:
+        // the array form implies a single writer, so it is for small
+        // outputs a non-graft consumer reads — the default stays
+        // distributed JSONL.
+        Some(JsonArraySink.write(df, ref.path, append = mode == SaveMode.Append))
       case "json" =>
         df.write.mode(mode).options(ref.options).json(ref.path)
         None
@@ -263,6 +270,51 @@ object Connectors {
       }}
       else None
     dialect.map(f => schema.fields.map(fl => s"${fl.name} ${f(fl)}").mkString(", "))
+  }
+
+  /** Single-file JSON-array sink (T2 byte-form parity). */
+  object JsonArraySink {
+    def write(df: DataFrame, path: String, append: Boolean): Long = {
+      val spark = df.sparkSession
+      val fs = org.apache.hadoop.fs.FileSystem.get(java.net.URI.create(path),
+        spark.sparkContext.hadoopConfiguration)
+      val target = new org.apache.hadoop.fs.Path(path)
+      val all =
+        if (append && fs.exists(target))
+          spark.read.option("multiLine", "true").json(path)
+            .unionByName(df, allowMissingColumns = true)
+        else df
+      val tmp = new org.apache.hadoop.fs.Path(path + ".__jsonl_tmp__")
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      all.coalesce(1).write.mode(SaveMode.Overwrite).json(tmp.toString)
+      // stream the part file into one array file — O(1) driver memory
+      val part = fs.listStatus(tmp)
+        .map(_.getPath).find(_.getName.startsWith("part-"))
+      val out = fs.create(target, true)
+      var rows = 0L
+      try {
+        out.write('[')
+        part.foreach { p =>
+          val in = new java.io.BufferedReader(new java.io.InputStreamReader(
+            fs.open(p), java.nio.charset.StandardCharsets.UTF_8))
+          try {
+            var line = in.readLine()
+            while (line != null) {
+              if (line.nonEmpty) {
+                if (rows > 0) out.write(',')
+                out.write('\n'); out.write(' '); out.write(' ')
+                out.write(line.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+                rows += 1
+              }
+              line = in.readLine()
+            }
+          } finally in.close()
+        }
+        out.write('\n'); out.write(']'); out.write('\n')
+      } finally out.close()
+      fs.delete(tmp, true)
+      rows
+    }
   }
 
   // ------------------------ protocol layer -----------------------------

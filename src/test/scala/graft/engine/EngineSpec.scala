@@ -168,6 +168,22 @@ class EngineSpec extends SparkSpec {
     assert(new TransferEngine(toAvro).execute(spark).totalRows == 25)
   }
 
+  test("jsonArray sink: one file, array form, append merges (json.rs:216-281)") {
+    val dir = tmpDir("json_array")
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val opts = Map("jsonArray" -> "true")
+    Connectors.write(df, s"$dir/t.json", options = opts)
+    val f = java.nio.file.Paths.get(s"$dir/t.json")
+    assert(java.nio.file.Files.isRegularFile(f), "must be ONE file, not a dir")
+    val text = java.nio.file.Files.readString(f).trim
+    assert(text.startsWith("[") && text.endsWith("]"))
+    // append merges the existing array (reference supports_append=true)
+    Connectors.write(Seq((3L, "c")).toDF("id", "v"), s"$dir/t.json", options = opts)
+    val back = graft.infer.CellInference.readJson(spark, s"$dir/t.json")
+    assert(back.count() == 3)
+    assert(back.select(sum($"id")).head.getLong(0) == 6L)
+  }
+
   test("json sink appends; parquet sink overwrites (transfer.rs:92-118)") {
     val dir = tmpDir("engine2")
     val df = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
