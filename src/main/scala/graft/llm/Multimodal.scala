@@ -92,6 +92,75 @@ object Multimodal {
     }(enc)
   }
 
+  /** Resized-media output contract. */
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("payload", BinaryType, nullable = false)))
+
+  /** Resize stage: per-partition batched transform of image payloads to
+    * a target box. The pixel work is stubbed (no codecs here) with a
+    * deterministic byte-fold so tests are stable; the Spark side —
+    * schema contract, mapPartitions batch shape, narrow no-shuffle
+    * execution — is the real deployment plumbing. */
+  def resize(media: DataFrame, targetW: Int, targetH: Int,
+             decoder: MediaDecoder = StubDecoder): DataFrame = {
+    val enc = ExpressionEncoder(resizedSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val typeIdx = media.schema.fieldIndex("media_type")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.filter(r => r.getString(typeIdx) == "image").map { r =>
+        val payload =
+          if (r.isNullAt(payloadIdx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](payloadIdx)
+        // STUB "resample": deterministic fold of the source bytes into a
+        // targetW×targetH/64 buffer — a real codec plugs in here
+        val outLen = math.max(targetW * targetH / 64, 1)
+        val out = new Array[Byte](outLen)
+        var i = 0
+        while (i < payload.length) {
+          out(i % outLen) = (out(i % outLen) ^ payload(i)).toByte
+          i += 1
+        }
+        Row(r.getLong(idIdx), targetW, targetH, out)
+      }
+    }(enc)
+  }
+
+  /** Sampled-frames output contract. */
+  val frameSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("frame", BinaryType, nullable = false)))
+
+  /** Frame sampling: each video payload fans out to every `stride`-th
+    * frame as its own row (the shape a caption/embedding stage
+    * consumes). Frames are stubbed as fixed-size payload slices — the
+    * contract (one row per sampled frame, order-stable frame_idx,
+    * per-partition batching) is the real part. */
+  def frameSample(media: DataFrame, frameBytes: Int = 256,
+                  stride: Int = 2): DataFrame = {
+    val enc = ExpressionEncoder(frameSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val typeIdx = media.schema.fieldIndex("media_type")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.filter(r => r.getString(typeIdx) == "video").flatMap { r =>
+        val payload =
+          if (r.isNullAt(payloadIdx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](payloadIdx)
+        val nFrames = math.max(payload.length / frameBytes, 1)
+        (0 until nFrames by stride).iterator.map { f =>
+          val from = math.min(f * frameBytes, payload.length)
+          val until = math.min(from + frameBytes, payload.length)
+          Row(r.getLong(idIdx), f, java.util.Arrays.copyOfRange(payload, from, until))
+        }
+      }
+    }(enc)
+  }
+
   /** Size-classed repartition so one task's blobs fit in memory:
     * outlier blobs (>= target bytes) each get their OWN partition — a
     * 2 GB video never shares a task with the bulk — while small blobs

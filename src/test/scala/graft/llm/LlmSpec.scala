@@ -241,6 +241,32 @@ class LlmSpec extends SparkSpec {
       .map(_.getSeq[Long](2).size).sum == 40)
   }
 
+  test("multimodal resize + frame sampling: contracts, determinism, no shuffle") {
+    val media = Multimodal.mediaFromDocuments(
+      spark, "/root/testdata/sf0.001/documents.parquet")
+    val resized = Multimodal.resize(media, 224, 224)
+    assert(resized.schema == Multimodal.resizedSchema)
+    val r0 = resized.orderBy($"media_id").head
+    assert(r0.getInt(1) == 224 && r0.getInt(2) == 224)
+    assert(r0.getAs[Array[Byte]]("payload").length == 224 * 224 / 64)
+    // deterministic across runs
+    assert(resized.orderBy($"media_id").head.getAs[Array[Byte]]("payload").toSeq ==
+      Multimodal.resize(media, 224, 224).orderBy($"media_id")
+        .head.getAs[Array[Byte]]("payload").toSeq)
+
+    val frames = Multimodal.frameSample(media, frameBytes = 64, stride = 2)
+    assert(frames.schema == Multimodal.frameSchema)
+    val perVideo = frames.groupBy($"media_id").count()
+    assert(perVideo.count() ==
+      media.filter($"media_type" === "video").count())
+    assert(frames.filter($"frame_idx" % 2 =!= 0).count() == 0, "stride respected")
+    // both stages are narrow: no shuffles in either plan
+    Seq(resized, frames).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"stage must be narrow:\n$plan")
+    }
+  }
+
   test("multimodal: stub decode features are deterministic and typed") {
     val media = Multimodal.mediaFromDocuments(
       spark, "/root/testdata/sf0.001/documents.parquet")
