@@ -162,9 +162,7 @@ object SketchExprs {
         .toLowerCase.toString
       val tokens = splitter.split(text, -1)
       val count = math.max(tokens.length - (n - 1), 1)
-      val seen = new java.util.HashSet[java.lang.Long](count * 2)
-      val out = new Array[Long](count)
-      var m = 0
+      val hashes = new Array[Long](count)
       val sb = new java.lang.StringBuilder(64)
       var i = 0
       while (i < count) {
@@ -176,17 +174,59 @@ object SketchExprs {
           j += 1
         }
         val g = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
-        val h = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        hashes(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
           g, org.apache.spark.sql.types.StringType, 42L)
-        if (seen.add(h)) { out(m) = h; m += 1 }
         i += 1
       }
-      new GenericArrayData(if (m == out.length) out else out.take(m))
+      // SORTED distinct output: downstream set ops (JaccardSorted) get a
+      // linear merge instead of per-pair hash-set builds
+      java.util.Arrays.sort(hashes)
+      var m = 0
+      i = 0
+      while (i < count) {
+        if (i == 0 || hashes(i) != hashes(i - 1)) { hashes(m) = hashes(i); m += 1 }
+        i += 1
+      }
+      new GenericArrayData(if (m == count) hashes else hashes.take(m))
     }
 
     override protected def withNewChildInternal(c: Expression): ShingleHash =
       copy(child = c)
   }
+
+  /** Jaccard similarity of two SORTED distinct long arrays via a single
+    * linear merge — O(|a|+|b|), no per-pair hash sets, no intermediate
+    * arrays. The candidate-verify stage of near-dup dedup evaluates this
+    * once per candidate pair, so at 100 TB it is the inner loop. */
+  case class JaccardSorted(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+
+    protected override def nullSafeEval(l: Any, r: Any): Any = {
+      val a = l.asInstanceOf[ArrayData]
+      val b = r.asInstanceOf[ArrayData]
+      val na = a.numElements(); val nb = b.numElements()
+      if (na == 0 && nb == 0) return 1.0d
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        val x = a.getLong(i); val y = b.getLong(j)
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      inter.toDouble / (na + nb - inter).toDouble
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): JaccardSorted = copy(left = l, right = r)
+  }
+
+  def jaccard_sorted(a: Column, b: Column): Column =
+    GraftBridge.column(
+      JaccardSorted(GraftBridge.expression(a), GraftBridge.expression(b)))
 
   // ------------------------- Column-level API ---------------------------
 

@@ -83,9 +83,8 @@ object Dedup {
       .join(docs.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
       .join(docs.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
 
-    verified.withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+    // shingle arrays are sorted-distinct by construction → linear merge
+    verified.withColumn("jaccard", jaccard_sorted(col("sh_a"), col("sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -183,9 +182,7 @@ object Dedup {
       .map(c => col(c) === col(s"${c}_b"))
       .foldLeft(col("id") < col("id_b"))(_ && _)
     sh.join(b, joinCond)
-      .withColumn("jaccard",
-        size(array_intersect(col("_sh"), col("_sh_b"))).cast("double") /
-          size(array_union(col("_sh"), col("_sh_b"))).cast("double"))
+      .withColumn("jaccard", jaccard_sorted(col("_sh"), col("_sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id").as("id_a"), col("id_b"), col("jaccard"))
   }

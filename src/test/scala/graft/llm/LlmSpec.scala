@@ -33,10 +33,11 @@ class LlmSpec extends SparkSpec {
         i => concat_ws(" ", slice(tokens, i + 1, lit(n))))
       array_distinct(transform(grams, g => xxhash64(g)))
     }
+    // fast output is SORTED distinct; compare as sets via array_sort
     for (n <- Seq(1, 3, 5)) {
       val cmp = docs.select(
         graft.functions.SketchExprs.shingleHashes($"text", n).as("fast"),
-        builtin(n).as("slow"))
+        array_sort(builtin(n)).as("slow"))
       assert(cmp.filter(!($"fast" <=> $"slow")).count() == 0, s"n=$n diverges")
     }
     // degenerate inputs: short text, empty text, punctuation-only
@@ -44,9 +45,20 @@ class LlmSpec extends SparkSpec {
     for (n <- Seq(1, 3)) {
       val cmp = edge.select(
         graft.functions.SketchExprs.shingleHashes($"text", n).as("fast"),
-        builtin(n).as("slow"))
+        array_sort(builtin(n)).as("slow"))
       assert(cmp.filter(!($"fast" <=> $"slow")).count() == 0, s"edge n=$n diverges")
     }
+    // jaccard_sorted equals the set-op formulation
+    val pairs = docs.limit(50).select(
+      graft.functions.SketchExprs.shingleHashes($"text", 3).as("a"))
+      .crossJoin(docs.limit(50).select(
+        graft.functions.SketchExprs.shingleHashes($"text", 3).as("b")))
+    val diff = pairs.select(
+      graft.functions.SketchExprs.jaccard_sorted($"a", $"b").as("fast"),
+      (size(array_intersect($"a", $"b")).cast("double") /
+        size(array_union($"a", $"b")).cast("double")).as("slow"))
+      .filter(abs($"fast" - $"slow") > 1e-12)
+    assert(diff.count() == 0, "jaccard_sorted diverges from set-op jaccard")
   }
 
   test("minhashPairs equals brute-force jaccard >= threshold (LSH recall)") {
