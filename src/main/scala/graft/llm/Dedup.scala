@@ -13,9 +13,10 @@ import org.apache.spark.sql.functions._
   *    it was scanned: the narrow projection happens before the shuffle,
   *    and groupBy gets map-side partial aggregation on the hash;
   *  - MinHash+LSH shuffles (id, band, bucket) triples — `bands` rows per
-  *    doc of ~24 bytes, never the shingle arrays and never all-pairs;
-  *    shingles are re-joined by id only for the (small) candidate set;
-  *    hot buckets (boilerplate) are capped so no bucket goes quadratic;
+  *    doc of ~24 bytes, never all-pairs; shingle arrays NEVER cross a
+  *    shuffle (candidate verification re-joins raw text by id and
+  *    re-shingles just those rows); hot buckets (boilerplate) are capped
+  *    so no bucket goes quadratic;
   *  - SimHash groups a (id, sig) projection by one long key;
   *  - embedding near-dup buckets by SRP sign bits before any pairwise
   *    cosine, so the quadratic step is confined to buckets.
@@ -58,12 +59,13 @@ object Dedup {
                    nGram: Int = 3, numHashes: Int = 64, bands: Int = 16,
                    threshold: Double = 0.5,
                    maxBucketSize: Int = 10000): DataFrame = {
-    val docs = df.select(col(idCol).as("id"),
-      shingleHashes(col(textCol), nGram).as("shingles"))
+    val raw = df.select(col(idCol).as("id"), col(textCol).as("_text"))
 
-    val keys = docs.select(col("id"),
-      posexplode(minhash_bands(col("shingles"), numHashes, bands))
-        .as(Seq("band", "bucket")))
+    // full-corpus shingles are computed exactly ONCE, inside the keys
+    // projection, and never leave their scan tasks
+    val keys = raw.select(col("id"),
+      posexplode(minhash_bands(shingleHashes(col("_text"), nGram),
+        numHashes, bands)).as(Seq("band", "bucket")))
 
     val sizes = keys.groupBy(col("band"), col("bucket"))
       .agg(count(lit(1)).as("_n"))
@@ -78,13 +80,15 @@ object Dedup {
       .select(col("id").as("id_a"), col("id_b"))
       .distinct()
 
-    // shingles re-join: only candidate ids pay the array shuffle, once
+    // verify re-join carries raw TEXT (smaller than shingle arrays) and
+    // re-shingles only the candidate rows — the arrays never shuffle
     val verified = cand
-      .join(docs.select(col("id").as("id_a"), col("shingles").as("sh_a")), Seq("id_a"))
-      .join(docs.select(col("id").as("id_b"), col("shingles").as("sh_b")), Seq("id_b"))
+      .join(raw.select(col("id").as("id_a"), col("_text").as("_ta")), Seq("id_a"))
+      .join(raw.select(col("id").as("id_b"), col("_text").as("_tb")), Seq("id_b"))
 
-    // shingle arrays are sorted-distinct by construction → linear merge
-    verified.withColumn("jaccard", jaccard_sorted(col("sh_a"), col("sh_b")))
+    // shingle output is sorted-distinct by construction → linear merge
+    verified.withColumn("jaccard", jaccard_sorted(
+        shingleHashes(col("_ta"), nGram), shingleHashes(col("_tb"), nGram)))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

@@ -62,20 +62,13 @@ class PlanSpec extends SparkSpec {
     assert(shuffleOutputs(df).size == 1)
   }
 
-  test("minhash bands explode shuffles keys only; shingles ride id-joins once") {
+  test("minhash: shingle arrays never cross any shuffle") {
     val pairs = Dedup.minhashPairs(sf("documents"), "doc_id", "text")
     val shuffles = shuffleOutputs(pairs)
-    // any exchange carrying the (band, bucket) key must not carry arrays
-    val bandShuffles = shuffles.filter(_.contains("band"))
-    assert(bandShuffles.nonEmpty)
-    bandShuffles.foreach(cols =>
-      assert(!cols.exists(_.startsWith("sh")),
-        s"bands explode is shuffling shingle arrays: $cols"))
-    // shingle arrays cross exchanges only keyed by id (candidate verify)
-    val shingleShuffles = shuffles.filter(_.exists(c =>
-      c == "shingles" || c.startsWith("sh_")))
-    shingleShuffles.foreach(cols =>
-      assert(!cols.contains("band"), s"mixed band+shingle shuffle: $cols"))
+    assert(shuffles.nonEmpty)
+    shuffles.foreach(cols =>
+      assert(!cols.exists(c => c == "shingles" || c.startsWith("sh_")),
+        s"a shuffle is carrying shingle arrays: $cols"))
   }
 
   test("broadcastable dimension joins broadcast (no shuffle of the fact side)") {
