@@ -148,8 +148,10 @@ object Main {
       System.err.println(
         "Warning: Both --transform-file and --transform specified. Using --transform-file.")
 
+    // JDBC read/write chunking + the file-sink analog (rows per file)
     val batchOpts = batchSize.map(n => Map(
-      "fetchsize" -> n.toString, "batchsize" -> n.toString)).getOrElse(Map.empty)
+      "fetchsize" -> n.toString, "batchsize" -> n.toString,
+      "maxRecordsPerFile" -> n.toString)).getOrElse(Map.empty)
     val srcOpts = batchOpts ++ sourceType.map("sourceType" -> _).toMap
 
     val cfg = JobConfig(

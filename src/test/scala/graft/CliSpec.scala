@@ -125,6 +125,17 @@ class CliSpec extends SparkSpec {
       .filter("a = 2").head.getAs[Long]("a2") == 4L)
   }
 
+  test("--batch-size chunks file sinks via maxRecordsPerFile") {
+    val dir = tmpDir("cli_batch")
+    writeText(s"$dir/in.csv", "a\n1\n2\n3\n4\n")
+    val cfg = parse(List(s"$dir/in.csv", s"$dir/out.parquet",
+      "--batch-size", "2")).asInstanceOf[Transfer].cfg
+    assert(runTransfer(cfg, None, dryRun = false, "error") == 0)
+    val parts = new java.io.File(s"$dir/out.parquet")
+      .listFiles.count(_.getName.endsWith(".parquet"))
+    assert(parts >= 2, s"expected chunked part files, got $parts")
+  }
+
   test("preview and dry-run write nothing") {
     val dir = tmpDir("cli_preview")
     writeText(s"$dir/in.csv", "a\n1\n")
