@@ -148,7 +148,7 @@ object SketchExprs {
     * path worth a native expression.
     */
   case class ShingleHash(child: Expression, n: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
     require(n >= 1, "shingle size must be >= 1")
 
@@ -157,9 +157,20 @@ object SketchExprs {
 
     @transient private lazy val splitter = java.util.regex.Pattern.compile("\\W+")
 
-    protected override def nullSafeEval(input: Any): Any = {
-      val text = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String]
-        .toLowerCase.toString
+    /** Codegen: one direct call into [[hash]] — the expression joins the
+      * surrounding whole-stage-codegen span instead of the
+      * CodegenFallback path (per-row InternalRow boxing + reflection). */
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("shingleHash", this, classOf[ShingleHash].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.hash($c);")
+    }
+
+    def hash(u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val text = u.toLowerCase.toString
       val tokens = splitter.split(text, -1)
       val count = math.max(tokens.length - (n - 1), 1)
       val hashes = new Array[Long](count)
@@ -190,6 +201,9 @@ object SketchExprs {
       new GenericArrayData(if (m == count) hashes else hashes.take(m))
     }
 
+    protected override def nullSafeEval(input: Any): Any =
+      hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
     override protected def withNewChildInternal(c: Expression): ShingleHash =
       copy(child = c)
   }
@@ -199,15 +213,20 @@ object SketchExprs {
     * arrays. The candidate-verify stage of near-dup dedup evaluates this
     * once per candidate pair, so at 100 TB it is the inner loop. */
   case class JaccardSorted(left: Expression, right: Expression)
-    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
 
     override def dataType: DataType = org.apache.spark.sql.types.DoubleType
     override def nullable: Boolean = left.nullable || right.nullable
 
-    protected override def nullSafeEval(l: Any, r: Any): Any = {
-      val a = l.asInstanceOf[ArrayData]
-      val b = r.asInstanceOf[ArrayData]
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("jaccard", this, classOf[JaccardSorted].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.merge($a, $b);")
+    }
+
+    def merge(a: ArrayData, b: ArrayData): Double = {
       val na = a.numElements(); val nb = b.numElements()
       if (na == 0 && nb == 0) return 1.0d
       var i = 0; var j = 0; var inter = 0
@@ -219,6 +238,9 @@ object SketchExprs {
       }
       inter.toDouble / (na + nb - inter).toDouble
     }
+
+    protected override def nullSafeEval(l: Any, r: Any): Any =
+      merge(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
 
     override protected def withNewChildrenInternal(
         l: Expression, r: Expression): JaccardSorted = copy(left = l, right = r)
