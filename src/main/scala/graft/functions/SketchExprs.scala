@@ -54,7 +54,7 @@ object SketchExprs {
       numHashes: Int = 64,
       bands: Int = 16,
       seed: Long = 42L)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
     require(numHashes % bands == 0, "numHashes must divide into bands")
     private val rowsPerBand = numHashes / bands
@@ -63,8 +63,20 @@ object SketchExprs {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
 
-    protected override def nullSafeEval(input: Any): Any = {
-      val hashes = input.asInstanceOf[ArrayData]
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("minhash", this, classOf[MinHashBands].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.sketch($c);")
+    }
+
+    protected override def nullSafeEval(input: Any): Any =
+      sketch(input.asInstanceOf[ArrayData])
+
+    def sketch(input: ArrayData): ArrayData = {
+      val hashes = input
       val n = hashes.numElements()
       val mins = Array.fill(numHashes)(Long.MaxValue)
       var i = 0
@@ -102,13 +114,24 @@ object SketchExprs {
     * majority vote of the tokens' bits; near-duplicate docs have small
     * Hamming distance (compare with `bit_count(a ^ b)`). */
   case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
     override def dataType: DataType = LongType
     override def nullable: Boolean = child.nullable
 
-    protected override def nullSafeEval(input: Any): Any = {
-      val hashes = input.asInstanceOf[ArrayData]
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("simhash", this, classOf[SimHash64].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.sketch($c);")
+    }
+
+    protected override def nullSafeEval(input: Any): Any =
+      sketch(input.asInstanceOf[ArrayData])
+
+    def sketch(input: ArrayData): Long = {
+      val hashes = input
       val n = hashes.numElements()
       val counts = new Array[Int](64)
       var i = 0
@@ -127,7 +150,7 @@ object SketchExprs {
         if (counts(b) > 0) out |= (1L << b)
         b += 1
       }
-      java.lang.Long.valueOf(out)
+      out
     }
 
     override protected def withNewChildInternal(c: Expression): SimHash64 =
