@@ -191,6 +191,10 @@ object Main {
     val spark = session(logLevel)
     try {
       val engine = new TransferEngine(cfg)
+      def info(msg: String): Unit =
+        if (logLevel == "info") System.err.println(msg)
+      info(s"→ Source: ${cfg.source}")
+      info(s"→ Target: ${cfg.target}")
       preview match {
         case Some(n) => println(engine.preview(spark, n)); 0
         case None if dryRun =>
@@ -199,6 +203,7 @@ object Main {
             s"source and target validated")
           0
         case None =>
+          info(s"→ ${engine.plan(spark).schema.fields.length} columns detected")
           val stats = engine.execute(spark)
           println("Transfer completed successfully!")
           println(f"Processed ${stats.totalRows} rows in ${stats.seconds}%.2fs " +

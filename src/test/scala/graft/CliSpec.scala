@@ -105,6 +105,26 @@ class CliSpec extends SparkSpec {
     assert(out.filter(out("is_heavy")).count() == 2)
   }
 
+  test("golden 10: csv → avro round-trip via CLI") {
+    val dir = tmpDir("cli_ex10")
+    writeText(s"$dir/in.csv",
+      """id,name,score,active
+        |1,alpha,9.5,true
+        |2,beta,7.25,false
+        |""".stripMargin)
+    val rc = runTransfer(
+      parse(List(s"$dir/in.csv", s"$dir/out.avro"))
+        .asInstanceOf[Transfer].cfg,
+      preview = None, dryRun = false, logLevel = "error")
+    assert(rc == 0)
+    val back = graft.sources.AvroConnector.read(spark, s"$dir/out.avro")
+    assert(back.count() == 2)
+    val r = back.filter(back("id") === 1L).head
+    assert(r.getAs[String]("name") == "alpha")
+    assert(r.getAs[Double]("score") == 9.5)
+    assert(r.getAs[Boolean]("active"))
+  }
+
   test("run job.yaml end-to-end with env substitution") {
     val dir = tmpDir("cli_yaml")
     writeText(s"$dir/in.csv", "a,b\n1,x\n2,y\n")
