@@ -1,13 +1,10 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.GraftBridge
-import org.apache.spark.sql.functions.{array_distinct, col, split, transform => atransform, xxhash64, lower, lit, concat_ws, slice, sequence, size => asize}
 
 /** Custom Catalyst expressions for document sketching.
   *
