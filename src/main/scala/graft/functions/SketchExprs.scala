@@ -292,5 +292,9 @@ object SketchExprs {
       "minhash_bands", exprs => MinHashBands(exprs.head), "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "shingle_hashes", exprs => ShingleHash(exprs.head, 3), "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "scala_udf")
   }
 }

@@ -110,6 +110,66 @@ object Dedup {
       .withColumn("is_duplicate", col("canonical_id") =!= col(idCol))
   }
 
+  /** Iterative canonical propagation over a pair graph: converges the
+    * single-pass approximation to true connected components (a ~ b ~ c
+    * ⇒ all three share min(component)). Each round: canonical(x) =
+    * min(canonical(x), canonical(neighbors(x))); stop when a round
+    * changes nothing (or maxIters). localCheckpoint between rounds
+    * truncates lineage; diameter of near-dup clusters is tiny in
+    * practice, so 3-5 rounds converge. */
+  def convergeCanonicals(ids: DataFrame, pairs: DataFrame,
+                         idCol: String, maxIters: Int = 10): DataFrame = {
+    // undirected edges, both directions
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint(true)
+    var cur = ids.select(col(idCol).as("id"), col(idCol).as("canonical_id"))
+      .localCheckpoint(true)
+    var it = 0
+    var changed = true
+    while (changed && it < maxIters) {
+      val viaNeighbors = edges
+        .join(cur.select(col("id").as("dst"), col("canonical_id").as("nc")), "dst")
+        .groupBy(col("src").as("id")).agg(min(col("nc")).as("mc"))
+      val next = cur.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("canonical_id"), coalesce(col("mc"), col("canonical_id")))
+            .as("canonical_id"))
+        .localCheckpoint(true)
+      changed = next.join(cur.withColumnRenamed("canonical_id", "prev"), "id")
+        .filter(col("canonical_id") =!= col("prev")).limit(1).count() > 0
+      cur = next
+      it += 1
+    }
+    cur.select(col("id").as(idCol), col("canonical_id"))
+      .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
+  }
+
+  /** [[minhashDedup]] with transitive closure: chains of near-dups
+    * (a~b~c with a≁c) collapse into ONE canonical group. */
+  def minhashDedupConnected(df: DataFrame, idCol: String, textCol: String,
+                            threshold: Double = 0.5, numHashes: Int = 64,
+                            bands: Int = 16, maxIters: Int = 10): DataFrame = {
+    val pairs = minhashPairs(df, idCol, textCol,
+      numHashes = numHashes, bands = bands, threshold = threshold)
+    convergeCanonicals(df.select(col(idCol)), pairs, idCol, maxIters)
+  }
+
+  /** Embedding near-dup dedup decision from [[embeddingPairs]] —
+    * canonical = smallest paired id (single pass, same contract as
+    * [[minhashDedup]]). */
+  def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
+                     planes: Int = 16, threshold: Double = 0.95,
+                     seed: Long = 42L): DataFrame = {
+    val pairs = embeddingPairs(df, idCol, vecCol, planes, threshold, seed)
+    val canon = pairs.groupBy(col("id_b").as(idCol))
+      .agg(min(col("id_a")).as("canonical_id"))
+    df.select(col(idCol))
+      .join(canon, Seq(idCol), "left")
+      .withColumn("canonical_id", coalesce(col("canonical_id"), col(idCol)))
+      .withColumn("is_duplicate", col("canonical_id") =!= col(idCol))
+  }
+
   /** SimHash signatures; identical-signature groups are near-dups.
     * Returns (id, simhash, canonical_id, is_duplicate). The shuffle
     * payload is (id, sig) pairs — 16 bytes per doc. */

@@ -169,6 +169,54 @@ class LlmSpec extends SparkSpec {
     indexed.unpersist()
   }
 
+  test("connected dedup collapses transitive near-dup chains") {
+    // a ~ b ~ c but jaccard(a, c) < 0.5: single-pass leaves c → b,
+    // converged closure gives c → a
+    val base = (1 to 12).map(i => s"tok$i").mkString(" ")
+    val t1 = base
+    val t2 = base + " xa xb xc xd xe"                    // j(t1,t2) = 10/17 ≈ 0.59
+    val t3 = base + " xa xb xc xd xe ya yb yc yd ye za zb" // j(t2,t3): high; j(t1,t3) = 10/27 ≈ 0.37
+    val df = Seq((1L, t1), (2L, t2), (3L, t3)).toDF("id", "text")
+    val pairs = Dedup.minhashPairs(df, "id", "text", bands = 32, threshold = 0.5)
+      .select($"id_a", $"id_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSet == Set((1L, 2L), (2L, 3L)), s"chain shape: ${pairs.toSeq}")
+
+    val single = Dedup.minhashDedup(df, "id", "text", threshold = 0.5, bands = 32)
+      .orderBy($"id").collect().map(_.getLong(1)).toSeq
+    assert(single == Seq(1L, 1L, 2L), "single pass: c points at b")
+
+    val closed = Dedup.minhashDedupConnected(df, "id", "text",
+        threshold = 0.5, bands = 32)
+      .orderBy($"id").collect().map(_.getLong(1)).toSeq
+    assert(closed == Seq(1L, 1L, 1L), "closure: whole chain → a")
+  }
+
+  test("embeddingDedup decision mirrors embeddingPairs") {
+    val vecs = Seq(
+      (5L, Seq(1.0f, 0.0f, 0.5f, 0.2f)),
+      (9L, Seq(1.0f, 0.0f, 0.5f, 0.2f)),
+      (3L, Seq(-1.0f, 0.3f, -0.5f, 0.0f))
+    ).toDF("id", "vec")
+    val out = Dedup.embeddingDedup(vecs, "id", "vec").orderBy($"id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ==
+      Seq((3L, 3L, false), (5L, 5L, false), (9L, 5L, true)))
+  }
+
+  test("SQL registration exposes all four sketch functions") {
+    graft.functions.SketchExprs.register(spark)
+    sf("documents").limit(20).createOrReplaceTempView("docs_sql")
+    val r = spark.sql(
+      """SELECT doc_id, simhash64(shingle_hashes(text)) AS sig,
+        |  jaccard_sorted(shingle_hashes(text), shingle_hashes(text)) AS self_j,
+        |  size(minhash_bands(shingle_hashes(text))) AS n_bands
+        |FROM docs_sql""".stripMargin).collect()
+    assert(r.length == 20)
+    r.foreach { row =>
+      assert(row.getDouble(2) == 1.0)
+      assert(row.getInt(3) == 16)
+    }
+  }
+
   test("embeddingPairs finds identical vectors, verifies cosine") {
     val vecs = Seq(
       (1L, Seq(1.0f, 0.0f, 0.5f, 0.2f)),
