@@ -289,6 +289,21 @@ object SparkEntry {
         threshold = 0.5, numHashes = 64, bands = 32)
     },
 
+    // --- transitive-closure dedup over a chained-variant corpus:
+    // orig ~ v1 ~ v2, but short docs have jaccard(orig, v2) < 0.5 —
+    // the converged canonicals differ from the single-pass ones and the
+    // oracle proves closure via a recursive CTE ---
+    "q_dedup_connected" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val picked = docs.filter(pmod(col("doc_id"), lit(4)) === 1)
+      val v1 = picked.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" graft dup tail")).as("text"))
+      val v2 = picked.select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" graft dup tail plus more pad")).as("text"))
+      Dedup.minhashDedupConnected(docs.union(v1).union(v2), "doc_id", "text",
+        threshold = 0.5, numHashes = 64, bands = 32)
+    },
+
     // --- skew-salted two-stage aggregation (equal to plain groupBy) ---
     "q_skew_agg" -> { (s, dir) =>
       graft.operators.Skew.saltedSumCount(
@@ -533,6 +548,40 @@ object SparkEntry {
         |  coalesce(min(p.id_a), c.doc_id) <> c.doc_id AS is_duplicate
         |FROM corpus c LEFT JOIN pairs p ON p.id_b = c.doc_id
         |GROUP BY c.doc_id""".stripMargin,
+
+    "q_dedup_connected" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' graft dup tail'
+        |  FROM documents WHERE doc_id % 4 = 1
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' graft dup tail plus more pad'
+        |  FROM documents WHERE doc_id % 4 = 1
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tok) - 1),
+        |      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\W+') AS tok
+        |        FROM corpus)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+        |      >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM corpus
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+        |)
+        |SELECT id AS doc_id, min(r) AS canonical_id,
+        |  min(r) <> id AS is_duplicate
+        |FROM reach GROUP BY id""".stripMargin,
 
     "q_skew_agg" ->
       """SELECT l_returnflag,
