@@ -123,7 +123,13 @@ object Dedup {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       .localCheckpoint(true)
-    var cur = ids.select(col(idCol).as("id"), col(idCol).as("canonical_id"))
+    // seed with the single-pass result (min over direct neighbors), so
+    // the loop only pays for chains of length >= 3
+    var cur = ids.select(col(idCol).as("id"))
+      .join(edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("nb")),
+        Seq("id"), "left")
+      .select(col("id"), least(col("id"), coalesce(col("nb"), col("id")))
+        .as("canonical_id"))
       .localCheckpoint(true)
     var it = 0
     var changed = true
@@ -131,14 +137,16 @@ object Dedup {
       val viaNeighbors = edges
         .join(cur.select(col("id").as("dst"), col("canonical_id").as("nc")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nc")).as("mc"))
-      val next = cur.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
+      // ONE materialization per round serves both the next frame and
+      // the fixpoint check
+      val joined = cur.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"), col("canonical_id"),
           least(col("canonical_id"), coalesce(col("mc"), col("canonical_id")))
-            .as("canonical_id"))
+            .as("next_canonical"))
         .localCheckpoint(true)
-      changed = next.join(cur.withColumnRenamed("canonical_id", "prev"), "id")
-        .filter(col("canonical_id") =!= col("prev")).limit(1).count() > 0
-      cur = next
+      changed = joined.filter(col("next_canonical") =!= col("canonical_id"))
+        .limit(1).count() > 0
+      cur = joined.select(col("id"), col("next_canonical").as("canonical_id"))
       it += 1
     }
     cur.select(col("id").as(idCol), col("canonical_id"))
