@@ -272,6 +272,41 @@ object SparkEntry {
         .select(col("id"), col("canonical_id"), col("is_duplicate"))
     },
 
+    // --- simhash banded near-dup pairs (pigeonhole buckets + bit_count
+    // verify). No SQL oracle (same sketch-not-SQL-expressible reason as
+    // q_simhash_dedup; semantics pinned by LlmSpec's brute-force Hamming
+    // equality test) — the driver records the rows-only check. Identical
+    // copies guarantee hamming-0 pairs so the path is genuinely hit. ---
+    "q_simhash_pairs" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.filter(pmod(col("doc_id"), lit(5)) === 2)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      Dedup.simhashPairs(docs.union(copies), "doc_id", "text", maxHamming = 3)
+    },
+
+    // --- embedding near-dup pairs: SRP buckets + exact-cosine verify.
+    // Identical copies (cosine exactly 1.0) are the only pairs >= 0.95:
+    // the fixture's max natural pairwise cosine is 0.60 at sf0.1, so the
+    // threshold has a 0.35 margin AND SRP recall on identical vectors is
+    // exactly 1 (same sign bits → same bucket, always). ---
+    "q_embedding_pairs" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val copies = emb.filter(pmod(col("vec_id"), lit(5)) === 2)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      Dedup.embeddingPairs(emb.union(copies), "vec_id", "embedding",
+          planes = 16, threshold = 0.95)
+        .select(col("id_a"), col("id_b"), round(col("cosine"), 6).as("cosine"))
+    },
+
+    // --- embedding near-dup dedup DECISION (canonical assignment) ---
+    "q_embedding_dedup" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val copies = emb.filter(pmod(col("vec_id"), lit(5)) === 2)
+        .select((col("vec_id") + 100000).as("vec_id"), col("embedding"))
+      Dedup.embeddingDedup(emb.union(copies), "vec_id", "embedding",
+        planes = 16, threshold = 0.95)
+    },
+
     // --- exact n-gram jaccard pairs within (lang, source) blocks ---
     "q_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -582,6 +617,46 @@ object SparkEntry {
         |SELECT id AS doc_id, min(r) AS canonical_id,
         |  min(r) <> id AS is_duplicate
         |FROM reach GROUP BY id""".stripMargin,
+
+    "q_embedding_pairs" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id % 5 = 2
+        |), j AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+        |    list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |)
+        |SELECT id_a, id_b, round(cos, 6) AS cosine FROM j WHERE cos >= 0.95""".stripMargin,
+
+    "q_embedding_dedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id % 5 = 2
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.95
+        |)
+        |SELECT c.vec_id,
+        |  coalesce(min(p.id_a), c.vec_id) AS canonical_id,
+        |  coalesce(min(p.id_a), c.vec_id) <> c.vec_id AS is_duplicate
+        |FROM corpus c LEFT JOIN pairs p ON p.id_b = c.vec_id
+        |GROUP BY c.vec_id""".stripMargin,
 
     "q_skew_agg" ->
       """SELECT l_returnflag,

@@ -286,15 +286,62 @@ object SketchExprs {
   def shingleHashes(text: Column, n: Int = 3): Column =
     GraftBridge.column(ShingleHash(GraftBridge.expression(text), n))
 
-  /** Register SQL names so `spark.sql` users get the sketches too. */
+  /** Foldable-integer extraction for SQL-registration parameters: a SQL
+    * user writing `minhash_bands(h, 128, 32)` must get 128/32, and a
+    * non-constant argument must be a loud error — silently falling back
+    * to defaults would return wrong-parameter sketches. */
+  private def litInt(fn: String, name: String)(e: Expression): Int =
+    if (e.foldable)
+      e.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
+        case i: java.lang.Integer => i.intValue
+        case l: java.lang.Long    => l.intValue
+        case s: java.lang.Short   => s.intValue
+        case b: java.lang.Byte    => b.intValue
+        case other => throw graft.core.GraftError.Configuration(
+          s"$fn: $name must be an integer literal, got $other")
+      }
+    else throw graft.core.GraftError.Configuration(
+      s"$fn: $name must be a foldable integer literal, got ${e.sql}")
+
+  private def litLong(fn: String, name: String)(e: Expression): Long =
+    litInt(fn, name)(e).toLong
+
+  /** Register SQL names so `spark.sql` users get the sketches too.
+    * Parameters are parsed from foldable literals; wrong arity or a
+    * non-foldable parameter throws instead of silently using defaults. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "minhash_bands", exprs => MinHashBands(exprs.head), "scala_udf")
+      "minhash_bands", {
+        case Seq(h)       => MinHashBands(h)
+        case Seq(h, n, b) => MinHashBands(h,
+          litInt("minhash_bands", "numHashes")(n),
+          litInt("minhash_bands", "bands")(b))
+        case Seq(h, n, b, s) => MinHashBands(h,
+          litInt("minhash_bands", "numHashes")(n),
+          litInt("minhash_bands", "bands")(b),
+          litLong("minhash_bands", "seed")(s))
+        case exprs => throw graft.core.GraftError.Configuration(
+          s"minhash_bands expects (hashes[, numHashes, bands[, seed]]), " +
+            s"got ${exprs.length} arguments")
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "simhash64", exprs => SimHash64(exprs.head), "scala_udf")
+      "simhash64", {
+        case Seq(h) => SimHash64(h)
+        case exprs => throw graft.core.GraftError.Configuration(
+          s"simhash64 expects (hashes), got ${exprs.length} arguments")
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "shingle_hashes", exprs => ShingleHash(exprs.head, 3), "scala_udf")
+      "shingle_hashes", {
+        case Seq(t)    => ShingleHash(t, 3)
+        case Seq(t, n) => ShingleHash(t, litInt("shingle_hashes", "n")(n))
+        case exprs => throw graft.core.GraftError.Configuration(
+          s"shingle_hashes expects (text[, n]), got ${exprs.length} arguments")
+      }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
-      "jaccard_sorted", exprs => JaccardSorted(exprs(0), exprs(1)), "scala_udf")
+      "jaccard_sorted", {
+        case Seq(a, b) => JaccardSorted(a, b)
+        case exprs => throw graft.core.GraftError.Configuration(
+          s"jaccard_sorted expects (a, b), got ${exprs.length} arguments")
+      }, "scala_udf")
   }
 }

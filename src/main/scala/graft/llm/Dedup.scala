@@ -32,7 +32,12 @@ object Dedup {
     * content columns are needed; that keeps every shuffle in this
     * operator down to (hash, id) pairs. */
   def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
-    val h = md5(concat_ws(" ", contentCols.map(c => col(c).cast("string")): _*))
+    // structural hash: JSON-encode the column struct so content never
+    // collides across column boundaries (a separator-concat hash maps
+    // ("a b","c") and ("a","b c") to the same bytes); ignoreNullFields
+    // off keeps null explicit, so (null) and ("null") stay distinct too
+    val h = md5(to_json(struct(contentCols.map(col): _*),
+      Map("ignoreNullFields" -> "false")))
     val pairs = df.select(col(idCol), h.as("_h"))
     val canon = pairs.groupBy(col("_h")).agg(min(col(idCol)).as("canonical_id"))
     pairs.join(canon, "_h")
@@ -119,17 +124,21 @@ object Dedup {
     * practice, so 3-5 rounds converge. */
   def convergeCanonicals(ids: DataFrame, pairs: DataFrame,
                          idCol: String, maxIters: Int = 10): DataFrame = {
-    // undirected edges, both directions
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    // materialize the pair pipeline ONCE before fanning it out into both
+    // union branches — otherwise the (expensive) candidate-generation
+    // plan above `pairs` executes twice inside the first checkpoint
+    val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint(true)
+    // undirected edges, both directions (two cheap reads of the checkpoint)
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+    // iterate ONLY over vertices that have an edge: isolated ids can
+    // never change canonical, so they rejoin at the end instead of
+    // riding every round's shuffle (at 100 TB the near-dup graph is a
+    // small fraction of the corpus)
     // seed with the single-pass result (min over direct neighbors), so
     // the loop only pays for chains of length >= 3
-    var cur = ids.select(col(idCol).as("id"))
-      .join(edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("nb")),
-        Seq("id"), "left")
-      .select(col("id"), least(col("id"), coalesce(col("nb"), col("id")))
-        .as("canonical_id"))
+    var cur = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("nb"))
+      .select(col("id"), least(col("id"), col("nb")).as("canonical_id"))
       .localCheckpoint(true)
     var it = 0
     var changed = true
@@ -149,7 +158,11 @@ object Dedup {
       cur = joined.select(col("id"), col("next_canonical").as("canonical_id"))
       it += 1
     }
-    cur.select(col("id").as(idCol), col("canonical_id"))
+    // isolated vertices come back as canonical = self
+    ids.select(col(idCol))
+      .join(cur.select(col("id").as(idCol), col("canonical_id")), Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("canonical_id"), col(idCol)).as("canonical_id"))
       .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
   }
 
@@ -168,8 +181,9 @@ object Dedup {
     * [[minhashDedup]]). */
   def embeddingDedup(df: DataFrame, idCol: String, vecCol: String,
                      planes: Int = 16, threshold: Double = 0.95,
-                     seed: Long = 42L): DataFrame = {
-    val pairs = embeddingPairs(df, idCol, vecCol, planes, threshold, seed)
+                     seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
+    val pairs = embeddingPairs(df, idCol, vecCol, planes, threshold, seed,
+      maxBucketSize)
     val canon = pairs.groupBy(col("id_b").as(idCol))
       .agg(min(col("id_a")).as("canonical_id"))
     df.select(col(idCol))
@@ -263,10 +277,15 @@ object Dedup {
     * cosine verify within buckets. Returns pairs (id_a, id_b, cosine)
     * with cosine >= threshold. The vectors do ride the bucket shuffle —
     * they are needed for the in-bucket cosine — but only once (not per
-    * band) and buckets bound the pairwise step. */
+    * band) and buckets bound the pairwise step.
+    *
+    * `maxBucketSize` caps the within-bucket quadratic exactly like
+    * [[minhashPairs]]: a degenerate SRP bucket (near-duplicate-heavy
+    * corpora, or low-entropy vectors all on one side of the planes)
+    * would otherwise go B²/2. */
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      planes: Int = 16, threshold: Double = 0.95,
-                     seed: Long = 42L): DataFrame = {
+                     seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
     val dim = df.select(size(col(vecCol))).head.getInt(0)
     val rng = new java.util.Random(seed)
     val planesArr: Seq[Seq[Double]] =
@@ -283,9 +302,16 @@ object Dedup {
     val bucketed = df.select(col(idCol).as("id"), vecD.as("v"))
       .withColumn("bucket", bucket)
 
-    val b2 = bucketed.select(col("id").as("id_b"), col("v").as("v_b"),
+    // hot-bucket cap (sizes shuffle carries bucket keys only — Catalyst
+    // prunes v out of the aggregate's exchange)
+    val sizes = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("_n"))
+      .filter(col("_n") > 1 && col("_n") <= maxBucketSize)
+    val kept = bucketed.join(sizes, Seq("bucket")).drop("_n")
+
+    val b2 = kept.select(col("id").as("id_b"), col("v").as("v_b"),
       col("bucket").as("bucket_b"))
-    bucketed.join(b2,
+    kept.join(b2,
         col("bucket") === col("bucket_b") && col("id") < col("id_b"))
       .withColumn("cosine", Similarity.cosine(col("v"), col("v_b")))
       .filter(col("cosine") >= threshold)

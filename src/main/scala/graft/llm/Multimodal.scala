@@ -191,8 +191,14 @@ object Multimodal {
         .map { case (r, i) => (i, r) }
         .partitionBy(new org.apache.spark.Partitioner {
           override def numPartitions: Int = nBig
+          // modulo guard: the stats aggregate and this pass re-evaluate
+          // the upstream plan (checkpointing a 100 TB corpus to pin one
+          // count would cost more than the rescan), so a
+          // non-deterministic source could surface MORE big rows here
+          // than nBig — wrap rather than crash the job with an
+          // out-of-range partition index
           override def getPartition(key: Any): Int =
-            key.asInstanceOf[Long].toInt
+            (key.asInstanceOf[Long] % numPartitions).toInt
         })
         .values
       // union concatenates children partitions: smallParts + nBig tasks

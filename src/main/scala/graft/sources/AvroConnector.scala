@@ -140,7 +140,7 @@ object AvroConnector {
     }
   }
 
-  private def fromAvro(v: Any, fieldSchema: ASchema): Any = {
+  private[sources] def fromAvro(v: Any, fieldSchema: ASchema): Any = {
     val (s, _) = unwrapUnion(fieldSchema)
     if (v == null) return null
     val logical = Option(s.getLogicalType).map(_.getName).getOrElse("")
@@ -160,7 +160,12 @@ object AvroConnector {
       case ASchema.Type.BOOLEAN => v
       case ASchema.Type.STRING | ASchema.Type.ENUM => v.toString
       case ASchema.Type.BYTES =>
-        new String(v.asInstanceOf[ByteBuffer].array(), StandardCharsets.UTF_8)
+        // respect position/limit: .array() exposes the whole backing
+        // array, which is larger than the live region for sliced buffers
+        val bb = v.asInstanceOf[ByteBuffer].duplicate()
+        val bytes = new Array[Byte](bb.remaining())
+        bb.get(bytes)
+        new String(bytes, StandardCharsets.UTF_8)
       case ASchema.Type.FIXED =>
         new String(v.asInstanceOf[org.apache.avro.generic.GenericFixed].bytes(),
           StandardCharsets.UTF_8)

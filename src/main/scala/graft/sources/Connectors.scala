@@ -131,7 +131,12 @@ object Connectors {
 
     val table = ref.table.getOrElse(throw graft.core.GraftError.Configuration(
       s"jdbc source needs #table (or a query option): ${ref.path}"))
-    def plain = base.option("dbtable", table).options(ref.options)
+    // the fallback reader must NOT carry a bare partitionColumn: Spark
+    // requires all-or-none of partitionColumn/lowerBound/upperBound/
+    // numPartitions, so "probe failed → plain" would otherwise throw
+    // instead of degrading to a single-connection read
+    def plain = base.option("dbtable", table)
+      .options(ref.options - "partitionColumn" - "numPartitions")
 
     val alreadyBounded = ref.options.contains("lowerBound")
     val explicit = ref.options.get("partitionColumn")
@@ -153,6 +158,9 @@ object Connectors {
             .option("numPartitions", ref.options.getOrElse("numPartitions", "8"))
         }
         bounded.getOrElse(plain).load()
+      case _ if alreadyBounded =>
+        // user supplied the full partition spec — pass it through intact
+        base.option("dbtable", table).options(ref.options).load()
       case _ => plain.load()
     }
   }
@@ -215,17 +223,28 @@ object Connectors {
       case "avro" =>
         Some(AvroConnector.write(df, ref.path, overwrite = true))
       case "jdbc" =>
-        val writer = df.write.mode(if (truncate) SaveMode.Overwrite else SaveMode.Append)
+        // MSSQL write-side coercion parity (mssql.rs:432-519): string
+        // values bound for numeric/bit columns parse-or-NULL before the
+        // prepared batch, instead of failing the INSERT
+        val frame =
+          if (ref.path.startsWith("jdbc:sqlserver"))
+            ref.options.get("createTableColumnTypes")
+              .map(mssqlCoerce(df, _)).getOrElse(df)
+          else df
+        val writer = frame.write.mode(if (truncate) SaveMode.Overwrite else SaveMode.Append)
           .format("jdbc")
           .option("url", ref.path)
           .option("dbtable", ref.table.getOrElse(tableName(uri)))
           .option("truncate", truncate.toString)
-        val withDdl = sinkDdl(ref.path, df.schema) match {
+        val withDdl = sinkDdl(ref.path, frame.schema) match {
           case Some(ddl) if !ref.options.contains("createTableColumnTypes") =>
             writer.option("createTableColumnTypes", ddl)
           case _ => writer
         }
-        withDdl.options(ref.options).save()
+        try withDdl.options(ref.options).save()
+        catch { case e: Throwable =>
+          throw mysqlDatabaseHint(ref.path, e).getOrElse(e)
+        }
         None
       case other => throw UnsupportedUri(other, Supported)
     }
@@ -271,6 +290,65 @@ object Connectors {
       else None
     dialect.map(f => schema.fields.map(fl => s"${fl.name} ${f(fl)}").mkString(", "))
   }
+
+  /** MSSQL write-side type coercion (T9, mssql.rs:432-519): the
+    * reference coerces STRING values headed for typed columns before
+    * building its INSERT — parse-or-NULL for Integer/Decimal, the
+    * {true,1,yes}/{false,0,no} literal sets (case-insensitive) for
+    * Boolean, anything unparseable becomes NULL rather than an error.
+    * Here that is one `try_cast`/`when` projection ahead of the JDBC
+    * writer (prepared batches — never literal SQL), applied to
+    * string-typed frame columns whose declared target type (from
+    * `createTableColumnTypes`) is numeric or BIT. */
+  def mssqlCoerce(df: DataFrame, createTableColumnTypes: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val declared: Map[String, String] = createTableColumnTypes.split(',')
+      .iterator.map(_.trim).filter(_.nonEmpty)
+      .flatMap { part =>
+        part.split("\\s+", 2) match {
+          case Array(n, t) => Some(n -> t.takeWhile(c => c != '(' && c != ' ').toUpperCase)
+          case _ => None
+        }
+      }.toMap
+    val cols = df.schema.fields.map { f =>
+      val c = col(s"`${f.name}`")
+      if (f.dataType != StringType) c.as(f.name)
+      else declared.get(f.name) match {
+        case Some("BIGINT") | Some("INT") | Some("INTEGER") | Some("SMALLINT") =>
+          c.try_cast(LongType).as(f.name)
+        case Some("DECIMAL") | Some("NUMERIC") | Some("FLOAT") | Some("REAL")
+           | Some("DOUBLE") =>
+          c.try_cast(DoubleType).as(f.name)
+        case Some("BIT") =>
+          when(lower(c).isin("true", "1", "yes"), lit(true))
+            .when(lower(c).isin("false", "0", "no"), lit(false))
+            .otherwise(lit(null).cast(BooleanType)).as(f.name)
+        case _ => c.as(f.name)
+      }
+    }
+    df.select(cols.toIndexedSeq: _*)
+  }
+
+  /** MySQL database-exists precheck parity (T8, mysql.rs:345-388): the
+    * reference connects server-only and checks SHOW DATABASES before
+    * writing, failing with a create-database hint. Over JDBC the driver
+    * surfaces the same condition as error 1049 "Unknown database" at
+    * connect/write time — map it to the reference's actionable error
+    * instead of leaking the raw driver exception. */
+  def mysqlDatabaseHint(url: String, e: Throwable): Option[graft.core.GraftError] =
+    if (!url.startsWith("jdbc:mysql")) None
+    else {
+      val db = url.stripPrefix("jdbc:mysql://").split('?').head
+        .split('/').drop(1).mkString("/")
+      val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
+        .flatMap(t => Option(t.getMessage)).mkString(" | ").toLowerCase
+      if (db.nonEmpty && msgs.contains("unknown database"))
+        Some(graft.core.GraftError.Connection(
+          s"database '$db' does not exist on the MySQL server; " +
+            s"create it first: CREATE DATABASE `$db`;", e))
+      else None
+    }
 
   /** Single-file JSON-array sink (T2 byte-form parity). */
   object JsonArraySink {
@@ -344,6 +422,21 @@ object Connectors {
         })
       val tmp = java.nio.file.Files.createTempFile(
         localTmp(), "http_dl_", s".$ext")
+      // non-2xx → typed, actionable error with status + body snippet
+      // (http.rs:66-90 checks response.status before reading the body)
+      val status = conn.getResponseCode
+      if (status < 200 || status >= 300) {
+        val snippet = Option(conn.getErrorStream).map { es =>
+          try {
+            val buf = new Array[Byte](512)
+            val n = math.max(es.read(buf), 0)
+            new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+          } finally es.close()
+        }.getOrElse("").trim
+        throw graft.core.GraftError.Connection(
+          s"HTTP $status from ${ref.path}" +
+            (if (snippet.nonEmpty) s": $snippet" else ""))
+      }
       val in = conn.getInputStream
       try java.nio.file.Files.copy(in, tmp,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)

@@ -157,6 +157,47 @@ class EngineSpec extends SparkSpec {
     assert(e.getMessage.contains("postgres://"))
   }
 
+  test("mssql write-side coercion: parse-or-NULL into declared types (mssql.rs:432-519)") {
+    val df = Seq(
+      ("42", "1.5", "true", "keep me"),
+      ("x7", "abc", "YES", "as is"),
+      ("-3", "2",   "0",   "trailing'quote"),
+      ("9.5", "-0.25", "maybe", "")
+    ).toDF("i", "d", "b", "s")
+    val out = Connectors.mssqlCoerce(df,
+        "i BIGINT, d DECIMAL(18,6), b BIT, s NVARCHAR(MAX)")
+      .collect()
+    // integer: parse i64 or NULL ("9.5" is not an i64)
+    assert(out.map(r => Option(r.get(0))).toSeq ==
+      Seq(Some(42L), None, Some(-3L), None))
+    // decimal: parse f64 or NULL
+    assert(out.map(r => Option(r.get(1))).toSeq ==
+      Seq(Some(1.5), None, Some(2.0), Some(-0.25)))
+    // boolean: {true,1,yes} / {false,0,no} case-insensitive, else NULL
+    assert(out.map(r => Option(r.get(2))).toSeq ==
+      Seq(Some(true), Some(true), Some(false), None))
+    // declared string columns pass through untouched
+    assert(out.map(_.getString(3)).toSeq ==
+      Seq("keep me", "as is", "trailing'quote", ""))
+    // typed (non-string) frame columns are never rewritten
+    val typed = Seq((1L, 2.0)).toDF("i", "d")
+    assert(Connectors.mssqlCoerce(typed, "i BIGINT, d DECIMAL(18,6)")
+      .schema == typed.schema)
+  }
+
+  test("mysql database-exists hint (mysql.rs:345-388)") {
+    val boom = new RuntimeException("comms link failure",
+      new java.sql.SQLException("Unknown database 'warehouse'"))
+    val hint = Connectors.mysqlDatabaseHint(
+      "jdbc:mysql://h:3306/warehouse?useSSL=false", boom)
+    assert(hint.exists(_.getMessage.contains("CREATE DATABASE `warehouse`")))
+    assert(hint.exists(_.render.startsWith("Connection error:")))
+    // other failures / other dialects pass through untouched
+    assert(Connectors.mysqlDatabaseHint("jdbc:mysql://h/db",
+      new RuntimeException("access denied")).isEmpty)
+    assert(Connectors.mysqlDatabaseHint("jdbc:postgresql://h/db", boom).isEmpty)
+  }
+
   test("execute stats ride the write (observe), avro path counts directly") {
     val dir = tmpDir("engine_stats")
     sf("nation").write.mode("overwrite").parquet(s"$dir/in.parquet")

@@ -20,6 +20,31 @@ class LlmSpec extends SparkSpec {
       Seq("id", "canonical_id", "is_duplicate"))
   }
 
+  test("exact dedup: multi-column content never collides across boundaries") {
+    // a separator-concat hash would mark ("a b","c") == ("a","b c")
+    val df = Seq((1L, "a b", "c"), (2L, "a", "b c"), (3L, "a b", "c"))
+      .toDF("id", "c1", "c2")
+    val out = Dedup.exact(df, "id", Seq("c1", "c2")).orderBy("id").collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq ==
+      Seq((1L, 1L, false), (2L, 2L, false), (3L, 1L, true)))
+    // null, the string "null", and a swapped column stay three distinct contents
+    val nulls = Seq(
+      (1L, Option("x"), Option.empty[String]),
+      (2L, Option.empty[String], Option("x")),
+      (3L, Option("x"), Option("null"))
+    ).toDF("id", "c1", "c2")
+    val nd = Dedup.exact(nulls, "id", Seq("c1", "c2")).collect()
+    assert(nd.forall(!_.getBoolean(2)), "distinct contents falsely deduped")
+  }
+
+  test("embeddingPairs hot-bucket cap drops oversized buckets") {
+    // 30 identical vectors land in ONE srp bucket; cap 10 → no pairs
+    val same = (1L to 30L).map(i => (i, Seq(1.0f, 0.2f, -0.3f, 0.5f)))
+      .toDF("id", "vec")
+    assert(Dedup.embeddingPairs(same, "id", "vec", maxBucketSize = 10).count() == 0)
+    assert(Dedup.embeddingPairs(same, "id", "vec").count() == 30L * 29 / 2)
+  }
+
   test("ShingleHash native expr equals the built-in composition exactly") {
     import org.apache.spark.sql.functions.{array_distinct, concat_ws, greatest,
       lit, lower, sequence, size, slice, split, transform, xxhash64}
@@ -215,6 +240,34 @@ class LlmSpec extends SparkSpec {
       assert(row.getDouble(2) == 1.0)
       assert(row.getInt(3) == 16)
     }
+  }
+
+  test("SQL registration parses literal parameters; rejects bad args") {
+    graft.functions.SketchExprs.register(spark)
+    sf("documents").limit(10).createOrReplaceTempView("docs_sql_args")
+    // explicit numHashes/bands reach the expression (128/32, not 64/16)
+    val r = spark.sql(
+      """SELECT size(minhash_bands(shingle_hashes(text, 2), 128, 32)) AS n,
+        |  shingle_hashes(text, 1) AS unigrams, shingle_hashes(text) AS trigrams
+        |FROM docs_sql_args""".stripMargin).collect()
+    r.foreach(row => assert(row.getInt(0) == 32))
+    // n=1 and default n=3 genuinely differ
+    assert(r.exists(row =>
+      row.getSeq[Long](1) != row.getSeq[Long](2)))
+    // SQL output equals the Column API with the same parameters
+    val viaSql = spark.sql(
+      "SELECT minhash_bands(shingle_hashes(text, 2), 128, 32) AS b FROM docs_sql_args")
+    val viaCol = sf("documents").limit(10).select(
+      graft.functions.SketchExprs.minhash_bands(
+        graft.functions.SketchExprs.shingleHashes($"text", 2), 128, 32).as("b"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+    // non-foldable parameter → loud error, never a silent default
+    intercept[graft.core.GraftError.Configuration](
+      spark.sql("SELECT shingle_hashes(text, doc_id) FROM docs_sql_args").collect())
+    // wrong arity → loud error
+    intercept[graft.core.GraftError.Configuration](
+      spark.sql("SELECT minhash_bands(shingle_hashes(text), 128) FROM docs_sql_args")
+        .collect())
   }
 
   test("embeddingPairs finds identical vectors, verifies cosine") {

@@ -40,6 +40,8 @@ class HttpSpec extends SparkSpec {
         respond(ex, 200, csvBody)
       else respond(ex, 403, "forbidden")
     })
+    server.createContext("/boom.csv", (ex: HttpExchange) =>
+      respond(ex, 500, "internal oops"))
     server.start()
     try f(server.getAddress.getPort)
     finally server.stop(0)
@@ -58,10 +60,22 @@ class HttpSpec extends SparkSpec {
       val df = Connectors.read(spark, s"http://127.0.0.1:$port/basic.csv",
         Map("username" -> "user", "password" -> "pass"))
       assert(df.count() == 3)
-      // wrong password → server 401 → download raises
-      intercept[Exception](Connectors.read(spark,
+      // wrong password → 401 → typed Connection error with status + body
+      val e = intercept[graft.core.GraftError.Connection](Connectors.read(spark,
         s"http://127.0.0.1:$port/basic.csv",
         Map("username" -> "user", "password" -> "wrong")))
+      assert(e.getMessage.contains("HTTP 401") &&
+        e.getMessage.contains("unauthorized"))
+      assert(e.render.startsWith("Connection error:"))
+    }
+  }
+
+  test("non-2xx statuses surface as typed actionable errors (http.rs:66-90)") {
+    withServer { port =>
+      val e = intercept[graft.core.GraftError.Connection](
+        Connectors.read(spark, s"http://127.0.0.1:$port/boom.csv"))
+      assert(e.getMessage.contains("HTTP 500") &&
+        e.getMessage.contains("internal oops"))
     }
   }
 
