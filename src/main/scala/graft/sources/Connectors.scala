@@ -131,37 +131,45 @@ object Connectors {
 
     val table = ref.table.getOrElse(throw graft.core.GraftError.Configuration(
       s"jdbc source needs #table (or a query option): ${ref.path}"))
-    // the fallback reader must NOT carry a bare partitionColumn: Spark
-    // requires all-or-none of partitionColumn/lowerBound/upperBound/
-    // numPartitions, so "probe failed → plain" would otherwise throw
-    // instead of degrading to a single-connection read
+    // the fallback reader must NOT carry any part of the partition spec:
+    // Spark requires all-or-none of partitionColumn/lowerBound/upperBound/
+    // numPartitions, so "probe failed → plain" (or a user-supplied partial
+    // spec) would otherwise throw instead of degrading to a
+    // single-connection read
     def plain = base.option("dbtable", table)
-      .options(ref.options - "partitionColumn" - "numPartitions")
+      .options(ref.options - "partitionColumn" - "numPartitions"
+        - "lowerBound" - "upperBound")
 
-    val alreadyBounded = ref.options.contains("lowerBound")
+    val fullyBounded = ref.options.contains("lowerBound") &&
+      ref.options.contains("upperBound")
     val explicit = ref.options.get("partitionColumn")
 
-    val partitionCol: Option[String] = explicit.orElse {
-      scala.util.Try(pkCandidate(plain.load().schema)).toOption.flatten
-    }
-    partitionCol match {
-      case Some(pc) if !alreadyBounded =>
-        val bounded = scala.util.Try {
-          val b = base
-            .option("query", s"SELECT MIN($pc) AS mn, MAX($pc) AS mx FROM $table")
-            .load().head()
-          if (b.isNullAt(0)) plain // empty table
-          else plain
-            .option("partitionColumn", pc)
-            .option("lowerBound", b.get(0).toString)
-            .option("upperBound", b.get(1).toString)
-            .option("numPartitions", ref.options.getOrElse("numPartitions", "8"))
-        }
-        bounded.getOrElse(plain).load()
-      case _ if alreadyBounded =>
-        // user supplied the full partition spec — pass it through intact
-        base.option("dbtable", table).options(ref.options).load()
-      case _ => plain.load()
+    if (explicit.isDefined && fullyBounded) {
+      // complete user spec — pass through, defaulting only numPartitions
+      // (Spark errors on partitionColumn+bounds without it)
+      base.option("dbtable", table)
+        .option("numPartitions", ref.options.getOrElse("numPartitions", "8"))
+        .options(ref.options).load()
+    } else {
+      val partitionCol: Option[String] = explicit.orElse {
+        scala.util.Try(pkCandidate(plain.load().schema)).toOption.flatten
+      }
+      partitionCol match {
+        case Some(pc) =>
+          val bounded = scala.util.Try {
+            val b = base
+              .option("query", s"SELECT MIN($pc) AS mn, MAX($pc) AS mx FROM $table")
+              .load().head()
+            if (b.isNullAt(0)) plain // empty table
+            else plain
+              .option("partitionColumn", pc)
+              .option("lowerBound", b.get(0).toString)
+              .option("upperBound", b.get(1).toString)
+              .option("numPartitions", ref.options.getOrElse("numPartitions", "8"))
+          }
+          bounded.getOrElse(plain).load()
+        case None => plain.load()
+      }
     }
   }
 
@@ -303,18 +311,32 @@ object Connectors {
   def mssqlCoerce(df: DataFrame, createTableColumnTypes: String): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types._
+    // declared names may be quoted ([order id], "col") and SQL Server
+    // matches identifiers case-insensitively — normalize before lookup so
+    // a quoting/case mismatch can't silently skip the coercion
+    def splitDecl(part: String): Option[(String, String)] = {
+      val t = part.trim
+      if (t.isEmpty) None
+      else if (t.startsWith("[")) {
+        val e = t.indexOf(']')
+        if (e < 0) None else Some((t.substring(1, e), t.substring(e + 1).trim))
+      } else if (t.startsWith("\"")) {
+        val e = t.indexOf('"', 1)
+        if (e < 0) None else Some((t.substring(1, e), t.substring(e + 1).trim))
+      } else t.split("\\s+", 2) match {
+        case Array(n, ty) => Some((n, ty))
+        case _ => None
+      }
+    }
     val declared: Map[String, String] = createTableColumnTypes.split(',')
-      .iterator.map(_.trim).filter(_.nonEmpty)
-      .flatMap { part =>
-        part.split("\\s+", 2) match {
-          case Array(n, t) => Some(n -> t.takeWhile(c => c != '(' && c != ' ').toUpperCase)
-          case _ => None
-        }
+      .iterator.flatMap(splitDecl)
+      .map { case (n, t) =>
+        n.toLowerCase -> t.takeWhile(c => c != '(' && c != ' ').toUpperCase
       }.toMap
     val cols = df.schema.fields.map { f =>
       val c = col(s"`${f.name}`")
       if (f.dataType != StringType) c.as(f.name)
-      else declared.get(f.name) match {
+      else declared.get(f.name.toLowerCase) match {
         case Some("BIGINT") | Some("INT") | Some("INTEGER") | Some("SMALLINT") =>
           c.try_cast(LongType).as(f.name)
         case Some("DECIMAL") | Some("NUMERIC") | Some("FLOAT") | Some("REAL")
@@ -339,8 +361,12 @@ object Connectors {
   def mysqlDatabaseHint(url: String, e: Throwable): Option[graft.core.GraftError] =
     if (!url.startsWith("jdbc:mysql")) None
     else {
-      val db = url.stripPrefix("jdbc:mysql://").split('?').head
-        .split('/').drop(1).mkString("/")
+      // parse the path component with URI so sub-protocol URLs
+      // (jdbc:mysql:loadbalance://h/db → opaque URI, no path) yield no
+      // hint instead of a garbage database name; query params drop free
+      val db = scala.util.Try(new java.net.URI(url.stripPrefix("jdbc:")))
+        .toOption.flatMap(u => Option(u.getPath))
+        .map(_.stripPrefix("/")).getOrElse("")
       val msgs = Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(10)
         .flatMap(t => Option(t.getMessage)).mkString(" | ").toLowerCase
       if (db.nonEmpty && msgs.contains("unknown database"))
@@ -420,23 +446,31 @@ object Connectors {
           case _ => throw graft.core.GraftError.Configuration(
             s"cannot infer type of ${ref.path}; pass sourceType option")
         })
-      val tmp = java.nio.file.Files.createTempFile(
-        localTmp(), "http_dl_", s".$ext")
       // non-2xx → typed, actionable error with status + body snippet
-      // (http.rs:66-90 checks response.status before reading the body)
+      // (http.rs:66-90 checks response.status before reading the body);
+      // checked BEFORE the temp file exists so failures leave nothing
+      // behind, and the snippet read loops to EOF/512B — a single read()
+      // may legally return fewer bytes than available
       val status = conn.getResponseCode
       if (status < 200 || status >= 300) {
         val snippet = Option(conn.getErrorStream).map { es =>
           try {
             val buf = new Array[Byte](512)
-            val n = math.max(es.read(buf), 0)
-            new String(buf, 0, n, java.nio.charset.StandardCharsets.UTF_8)
+            var off = 0
+            var n = es.read(buf, 0, buf.length)
+            while (n > 0) {
+              off += n
+              n = if (off < buf.length) es.read(buf, off, buf.length - off) else -1
+            }
+            new String(buf, 0, off, java.nio.charset.StandardCharsets.UTF_8)
           } finally es.close()
         }.getOrElse("").trim
         throw graft.core.GraftError.Connection(
           s"HTTP $status from ${ref.path}" +
             (if (snippet.nonEmpty) s": $snippet" else ""))
       }
+      val tmp = java.nio.file.Files.createTempFile(
+        localTmp(), "http_dl_", s".$ext")
       val in = conn.getInputStream
       try java.nio.file.Files.copy(in, tmp,
         java.nio.file.StandardCopyOption.REPLACE_EXISTING)

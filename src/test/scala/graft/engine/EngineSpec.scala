@@ -185,6 +185,15 @@ class EngineSpec extends SparkSpec {
       .schema == typed.schema)
   }
 
+  test("mssql coercion matches quoted/bracketed and case-insensitive names") {
+    val df = Seq(("7", "1.5", "yes")).toDF("order id", "Qty", "flag")
+    val out = Connectors.mssqlCoerce(df,
+      "[order id] BIGINT, \"qty\" DECIMAL(18,6), FLAG BIT").collect().head
+    assert(out.getLong(0) == 7L)
+    assert(out.getDouble(1) == 1.5)
+    assert(out.getBoolean(2))
+  }
+
   test("mysql database-exists hint (mysql.rs:345-388)") {
     val boom = new RuntimeException("comms link failure",
       new java.sql.SQLException("Unknown database 'warehouse'"))
@@ -196,6 +205,9 @@ class EngineSpec extends SparkSpec {
     assert(Connectors.mysqlDatabaseHint("jdbc:mysql://h/db",
       new RuntimeException("access denied")).isEmpty)
     assert(Connectors.mysqlDatabaseHint("jdbc:postgresql://h/db", boom).isEmpty)
+    // sub-protocol URLs are opaque URIs (no path) → no garbage db name
+    assert(Connectors.mysqlDatabaseHint(
+      "jdbc:mysql:loadbalance://h/warehouse", boom).isEmpty)
   }
 
   test("execute stats ride the write (observe), avro path counts directly") {
