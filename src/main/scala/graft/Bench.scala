@@ -17,9 +17,21 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // FileStreamSink's metadata probe on csv globs logs a benign WARN
+    // with a full stack (adjudicated noise in r2) — silence it so a
+    // non-empty stderr tail always means a real failure
+    org.apache.logging.log4j.core.config.Configurator.setLevel(
+      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
+      org.apache.logging.log4j.Level.ERROR)
 
-    try SparkEntry.queries("q_agg_pricing_summary")(spark, sfDir).count()
-    catch { case _: Throwable => () } // warmup, untimed
+    // warmup, untimed: one agg query plus a tiny sketch-pipeline run so
+    // JVM/JIT warmup of the native expressions doesn't land on the first
+    // alphabetical query that uses them
+    try {
+      SparkEntry.queries("q_agg_pricing_summary")(spark, sfDir).count()
+      val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(300)
+      graft.llm.Dedup.minhashPairs(docs, "doc_id", "text", bands = 32).count()
+    } catch { case _: Throwable => () }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -237,6 +237,18 @@ object SparkEntry {
       Similarity.scoresForQuery(emb, "vec_id", "embedding", qv, roundTo = 6)
     },
 
+    // --- similarity: exact top-k by cosine (TakeOrderedAndProject — k rows
+    // per partition then k at the driver; ties broken by vec_id, and the
+    // cosines are bit-identical to the DuckDB oracle, so the selected set
+    // is deterministic) ---
+    "q_topk_cosine" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
+      Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 25)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    },
+
     // --- multimodal: schema contract + batched decode stage (stubbed
     // codec, deterministic) over payload bytes ---
     "q_multimodal_features" -> { (s, dir) =>
@@ -512,6 +524,21 @@ object SparkEntry {
         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
         |FROM embeddings e,
         |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q""".stripMargin,
+
+    "q_topk_cosine" ->
+      """WITH s AS (
+        |  SELECT e.vec_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qv,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e,
+        |    (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        |)
+        |SELECT vec_id, round(cos, 6) AS cosine FROM s
+        |ORDER BY cos DESC, vec_id LIMIT 25""".stripMargin,
 
     "q_multimodal_features" ->
       """SELECT doc_id AS media_id,

@@ -290,7 +290,7 @@ object SketchExprs {
     * user writing `minhash_bands(h, 128, 32)` must get 128/32, and a
     * non-constant argument must be a loud error — silently falling back
     * to defaults would return wrong-parameter sketches. */
-  private def litInt(fn: String, name: String)(e: Expression): Int =
+  private[functions] def litInt(fn: String, name: String)(e: Expression): Int =
     if (e.foldable)
       e.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
         case i: java.lang.Integer => i.intValue
@@ -303,7 +303,7 @@ object SketchExprs {
     else throw graft.core.GraftError.Configuration(
       s"$fn: $name must be a foldable integer literal, got ${e.sql}")
 
-  private def litLong(fn: String, name: String)(e: Expression): Long =
+  private[functions] def litLong(fn: String, name: String)(e: Expression): Long =
     litInt(fn, name)(e).toLong
 
   /** Register SQL names so `spark.sql` users get the sketches too.

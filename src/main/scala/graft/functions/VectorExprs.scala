@@ -1,0 +1,269 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.GraftBridge
+
+/** Native Catalyst expressions for the embedding-similarity hot path.
+  *
+  * The higher-order-function compositions these replace
+  * (`aggregate(zip_with(vec, plane, _*_), 0.0, _+_)` per plane / per
+  * norm) evaluate their lambdas interpreted per element OUTSIDE
+  * whole-stage codegen — an SRP bucket projection with 16 planes costs
+  * 16 separate interpreted passes over every vector, and a cosine verify
+  * 3 more per candidate pair. At 100 TB of vectors that projection
+  * dominates embedding-dedup cost, so each of these is ONE JIT-compiled
+  * pass per row that stays inside the surrounding codegen span (same
+  * rationale and structure as [[SketchExprs.ShingleHash]]).
+  *
+  * Element widening matches the HOF form exactly: floats are widened to
+  * double per element and accumulated sequentially in array order, so
+  * results are bit-identical to the previous `cast("double")` +
+  * aggregate composition (pinned by VectorExprsSpec equality tests).
+  */
+object VectorExprs {
+
+  /** Deterministic Gaussian SRP plane matrix — row-major fill from
+    * java.util.Random(seed). Shared by the executor-side [[SrpBits]]
+    * expression and driver-side query bucketing
+    * (Similarity.SrpIndex.bucketOf) so both always agree. */
+  def srpPlanes(planes: Int, dim: Int, seed: Long): Array[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    Array.fill(planes)(Array.fill(dim)(rng.nextGaussian()))
+  }
+
+  /** One pass over an unsafe array into a local double[] — the plane /
+    * centroid loops then run over cache-friendly primitives. Null
+    * elements read as 0.0 (embedding vectors are dense; documented). */
+  private[functions] def toDoubles(a: ArrayData, elem: DataType): Array[Double] = {
+    val n = a.numElements()
+    val out = new Array[Double](n)
+    var i = 0
+    elem match {
+      case DoubleType => while (i < n) { out(i) = a.getDouble(i); i += 1 }
+      case FloatType  => while (i < n) { out(i) = a.getFloat(i).toDouble; i += 1 }
+      case LongType   => while (i < n) { out(i) = a.getLong(i).toDouble; i += 1 }
+      case IntegerType => while (i < n) { out(i) = a.getInt(i).toDouble; i += 1 }
+      case other => throw new IllegalStateException(
+        s"unsupported vector element type $other")
+    }
+    out
+  }
+
+  private def requireNumericArray(fn: String, e: Expression): Unit = e.dataType match {
+    case ArrayType(DoubleType | FloatType | LongType | IntegerType, _) => ()
+    case other => throw graft.core.GraftError.Configuration(
+      s"$fn expects array<float|double|int|bigint>, got ${other.simpleString}")
+  }
+
+  /** Signed-random-projection bucket id: bit i of the result is set iff
+    * the vector's dot product with Gaussian plane i is >= 0. All `planes`
+    * plane dots are computed in ONE pass over the vector. Plane vectors
+    * derive deterministically from (seed, dim), with dim read from the
+    * first row — no driver-side dim-probe job is ever needed. */
+  case class SrpBits(child: Expression, planes: Int = 16, seed: Long = 42L)
+    extends UnaryExpression {
+
+    require(planes >= 1 && planes <= 64,
+      s"planes must be in [1, 64] (bucket is a 64-bit key), got $planes")
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      requireNumericArray("srp_bits", child)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+
+    @transient private lazy val elemType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+    // volatile (dim, planes) pair: the expression object is shared across
+    // codegen tasks, and a torn cache write must never publish half-built
+    // planes
+    @transient @volatile private var cache: (Int, Array[Array[Double]]) = null
+
+    private def planesFor(dim: Int): Array[Array[Double]] = {
+      val c = cache
+      if (c != null && c._1 == dim) c._2
+      else {
+        val p = srpPlanes(planes, dim, seed)
+        cache = (dim, p)
+        p
+      }
+    }
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("srpBits", this, classOf[SrpBits].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.bits($c);")
+    }
+
+    protected override def nullSafeEval(input: Any): Any =
+      bits(input.asInstanceOf[ArrayData])
+
+    def bits(input: ArrayData): Long = {
+      val v = toDoubles(input, elemType)
+      val dim = v.length
+      val pl = planesFor(dim)
+      var bucket = 0L
+      var i = 0
+      while (i < planes) {
+        val p = pl(i)
+        var d = 0.0
+        var j = 0
+        while (j < dim) { d += v(j) * p(j); j += 1 }
+        if (d >= 0.0) bucket |= (1L << i)
+        i += 1
+      }
+      bucket
+    }
+
+    override protected def withNewChildInternal(c: Expression): SrpBits =
+      copy(child = c)
+  }
+
+  /** Cosine similarity dot(a,b) / (|a| * |b|) in one pass per pair.
+    * Mixed element types are fine (a float embedding column against an
+    * array<double> query literal). */
+  case class CosineSim(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      requireNumericArray("cosine_sim", left)
+      requireNumericArray("cosine_sim", right)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+
+    @transient private lazy val leftElem =
+      left.dataType.asInstanceOf[ArrayType].elementType
+    @transient private lazy val rightElem =
+      right.dataType.asInstanceOf[ArrayType].elementType
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("cosineSim", this, classOf[CosineSim].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.sim($a, $b);")
+    }
+
+    protected override def nullSafeEval(l: Any, r: Any): Any =
+      sim(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    def sim(a: ArrayData, b: ArrayData): Double = {
+      val va = toDoubles(a, leftElem)
+      val vb = toDoubles(b, rightElem)
+      val n = math.min(va.length, vb.length)
+      var dot = 0.0
+      var i = 0
+      while (i < n) { dot += va(i) * vb(i); i += 1 }
+      var na = 0.0
+      i = 0
+      while (i < va.length) { na += va(i) * va(i); i += 1 }
+      var nb = 0.0
+      i = 0
+      while (i < vb.length) { nb += vb(i) * vb(i); i += 1 }
+      dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): CosineSim = copy(left = l, right = r)
+  }
+
+  /** Index of the nearest centroid by squared L2, all centroids scanned
+    * in one pass per row; ties keep the lowest index (same semantics as
+    * the `least(struct(dist, i))` composition it replaces). */
+  case class NearestCentroid(child: Expression, centroids: Seq[Seq[Double]])
+    extends UnaryExpression {
+
+    require(centroids.nonEmpty, "need at least one centroid")
+
+    override def dataType: DataType = IntegerType
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      requireNumericArray("nearest_centroid", child)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+
+    @transient private lazy val elemType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+    @transient private lazy val cents: Array[Array[Double]] =
+      centroids.map(_.toArray).toArray
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("nearestCentroid", this,
+        classOf[NearestCentroid].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.cell($c);")
+    }
+
+    protected override def nullSafeEval(input: Any): Any =
+      cell(input.asInstanceOf[ArrayData])
+
+    def cell(input: ArrayData): Int = {
+      val v = toDoubles(input, elemType)
+      var best = 0
+      var bestD = Double.PositiveInfinity
+      var i = 0
+      while (i < cents.length) {
+        val c = cents(i)
+        val n = math.min(v.length, c.length)
+        var d = 0.0
+        var j = 0
+        while (j < n) { val t = v(j) - c(j); d += t * t; j += 1 }
+        if (d < bestD) { bestD = d; best = i }
+        i += 1
+      }
+      best
+    }
+
+    override protected def withNewChildInternal(c: Expression): NearestCentroid =
+      copy(child = c)
+  }
+
+  // ------------------------- Column-level API ---------------------------
+
+  def srp_bits(vec: Column, planes: Int = 16, seed: Long = 42L): Column =
+    GraftBridge.column(SrpBits(GraftBridge.expression(vec), planes, seed))
+
+  def cosine_sim(a: Column, b: Column): Column =
+    GraftBridge.column(
+      CosineSim(GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  def nearest_centroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
+    GraftBridge.column(
+      NearestCentroid(GraftBridge.expression(vec), centroids))
+
+  /** SQL names for `spark.sql` users, parameters parsed from foldable
+    * literals with loud failures (same contract as SketchExprs.register).
+    * nearest_centroid is Column-API-only — its centroid matrix is not a
+    * SQL-literal-friendly parameter. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    import SketchExprs.{litInt, litLong}
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "srp_bits", {
+        case Seq(v)       => SrpBits(v)
+        case Seq(v, p)    => SrpBits(v, litInt("srp_bits", "planes")(p))
+        case Seq(v, p, s) => SrpBits(v, litInt("srp_bits", "planes")(p),
+          litLong("srp_bits", "seed")(s))
+        case exprs => throw graft.core.GraftError.Configuration(
+          s"srp_bits expects (vec[, planes[, seed]]), got ${exprs.length} arguments")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "cosine_sim", {
+        case Seq(a, b) => CosineSim(a, b)
+        case exprs => throw graft.core.GraftError.Configuration(
+          s"cosine_sim expects (a, b), got ${exprs.length} arguments")
+      }, "scala_udf")
+  }
+}

@@ -1,6 +1,8 @@
 package graft.llm
 
+import graft.functions.CollectCapped.{collect_long_pairs_capped, collect_longs_capped}
 import graft.functions.SketchExprs._
+import graft.functions.VectorExprs.{cosine_sim, srp_bits}
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
@@ -67,22 +69,30 @@ object Dedup {
     val raw = df.select(col(idCol).as("id"), col(textCol).as("_text"))
 
     // full-corpus shingles are computed exactly ONCE, inside the keys
-    // projection, and never leave their scan tasks
+    // projection, and never leave their scan tasks: the single consumer
+    // below shuffles only (id, band, bucket) triples
     val keys = raw.select(col("id"),
       posexplode(minhash_bands(shingleHashes(col("_text"), nGram),
         numHashes, bands)).as(Seq("band", "bucket")))
 
-    val sizes = keys.groupBy(col("band"), col("bucket"))
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > 1 && col("_n") <= maxBucketSize)
-    val kept = keys.join(sizes, Seq("band", "bucket")).drop("_n")
-
-    // pairs within one (band, bucket); a.id < id_b kills self+dup pairs
-    val cand = kept.as("a")
-      .join(kept.select(col("id").as("id_b"), col("band"), col("bucket")).as("b"),
-        Seq("band", "bucket"))
-      .filter(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"))
+    // candidate pairs in ONE shuffle of the keys table: the capped
+    // native collect gathers each (band, bucket)'s sorted ids — a hot
+    // bucket poisons its own bounded buffer and evaluates to NULL
+    // (dropped below), so per-group memory stays <= cap longs at every
+    // stage no matter how skewed the corpus — then two nested explodes
+    // stream the in-bucket pairs (sorted list ⇒ id_a < id_b by
+    // position; GenerateExec streams, so no B² array materializes).
+    // The previous shape — size aggregate + filter join-back +
+    // self-join — shuffled the keys table twice more and re-planned
+    // three extra AQE stages for the same pairs.
+    val buckets = keys.groupBy(col("band"), col("bucket"))
+      .agg(collect_longs_capped(col("id"), maxBucketSize).as("ids"))
+      .filter(col("ids").isNotNull && size(col("ids")) > 1)
+    val cand = buckets
+      .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
+      .select(col("id_a"),
+        explode(slice(col("ids"), col("i") + 2,
+          greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("id_b"))
       .distinct()
 
     // verify re-join carries raw TEXT (smaller than shingle arrays) and
@@ -146,18 +156,29 @@ object Dedup {
       val viaNeighbors = edges
         .join(cur.select(col("id").as("dst"), col("canonical_id").as("nc")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nc")).as("mc"))
-      // ONE materialization per round serves both the next frame and
-      // the fixpoint check
+      // the fixpoint check RIDES the checkpoint materialization via
+      // observe — one job per round, no second scan (count() is
+      // null-proof on an empty frame, unlike sum)
+      val obs = org.apache.spark.sql.Observation()
       val joined = cur.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"), col("canonical_id"),
           least(col("canonical_id"), coalesce(col("mc"), col("canonical_id")))
             .as("next_canonical"))
+        .observe(obs, count(when(col("next_canonical") =!= col("canonical_id"),
+          lit(1))).as("changed"))
         .localCheckpoint(true)
-      changed = joined.filter(col("next_canonical") =!= col("canonical_id"))
-        .limit(1).count() > 0
+      val prev = cur
       cur = joined.select(col("id"), col("next_canonical").as("canonical_id"))
+      changed = obs.get("changed").asInstanceOf[Long] > 0
+      // the stale round's checkpoint blocks free as soon as the new one
+      // lands — at 100 TB each round would otherwise pin a full
+      // vertex-set copy until the job ends
+      unpersistCheckpoint(prev)
       it += 1
     }
+    // the pair/edge checkpoint is not in the returned lineage either —
+    // only the final round's vertex frame is
+    unpersistCheckpoint(p)
     // isolated vertices come back as canonical = self
     ids.select(col(idCol))
       .join(cur.select(col("id").as(idCol), col("canonical_id")), Seq(idCol), "left")
@@ -165,6 +186,20 @@ object Dedup {
         coalesce(col("canonical_id"), col(idCol)).as("canonical_id"))
       .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
   }
+
+  /** Free the block-store copy behind a localCheckpoint'd frame that is
+    * provably out of every live lineage (never read again). Spark WARNs
+    * that an unpersisted local checkpoint cannot be recomputed — true
+    * and intended here (the frame is dead), so the instance-class logger
+    * is lowered to ERROR first to keep job logs meaningful. */
+  private def unpersistCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collect {
+      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
+    }.foreach { r =>
+      scala.util.Try(org.apache.logging.log4j.core.config.Configurator.setLevel(
+        r.getClass.getName, org.apache.logging.log4j.Level.ERROR))
+      r.unpersist(false)
+    }
 
   /** [[minhashDedup]] with transitive closure: chains of near-dups
     * (a~b~c with a≁c) collapse into ONE canonical group. */
@@ -233,17 +268,21 @@ object Dedup {
       explode(array(chunks: _*)).as("k"))
       .select(col("id"), col("sig"), col("k.band"), col("k.chunk"))
 
-    val sizes = keys.groupBy(col("band"), col("chunk"))
-      .agg(count(lit(1)).as("_n"))
-      .filter(col("_n") > 1 && col("_n") <= maxBucketSize)
-    val kept = keys.join(sizes, Seq("band", "chunk")).drop("_n")
-
-    kept.as("a")
-      .join(kept.select(col("id").as("id_b"), col("sig").as("sig_b"),
-        col("band"), col("chunk")).as("b"), Seq("band", "chunk"))
-      .filter(col("id") < col("id_b"))
-      .select(col("id").as("id_a"), col("id_b"),
-        hamming(col("sig"), col("sig_b")).as("hamming"))
+    // one shuffle: capped native collect of (id, sig) pairs per
+    // (band, chunk) — hot buckets poison their bounded buffer and drop
+    // as NULL — then streamed positional pair expansion; sigs ride the
+    // collected structs so the Hamming verify needs no re-join
+    val buckets = keys.groupBy(col("band"), col("chunk"))
+      .agg(collect_long_pairs_capped(col("id"), col("sig"), maxBucketSize)
+        .as("ps"))
+      .filter(col("ps").isNotNull && size(col("ps")) > 1)
+    buckets
+      .select(posexplode(col("ps")).as(Seq("i", "p")), col("ps"))
+      .select(col("p.id").as("id_a"), col("p.v").as("sig_a"),
+        explode(slice(col("ps"), col("i") + 2,
+          greatest(size(col("ps")) - col("i") - 1, lit(0)))).as("q"))
+      .select(col("id_a"), col("q.id").as("id_b"),
+        hamming(col("sig_a"), col("q.v")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
@@ -277,7 +316,15 @@ object Dedup {
     * cosine verify within buckets. Returns pairs (id_a, id_b, cosine)
     * with cosine >= threshold. The vectors do ride the bucket shuffle —
     * they are needed for the in-bucket cosine — but only once (not per
-    * band) and buckets bound the pairwise step.
+    * band), in their native (float) width, and buckets bound the
+    * pairwise step.
+    *
+    * Both hot projections are native one-pass expressions
+    * ([[graft.functions.VectorExprs.SrpBits]] /
+    * [[graft.functions.VectorExprs.CosineSim]]) inside whole-stage
+    * codegen — not per-plane interpreted HOF lambdas — and the SRP
+    * planes derive from (seed, dim) at eval time, so no driver dim-probe
+    * job runs.
     *
     * `maxBucketSize` caps the within-bucket quadratic exactly like
     * [[minhashPairs]]: a degenerate SRP bucket (near-duplicate-heavy
@@ -286,21 +333,8 @@ object Dedup {
   def embeddingPairs(df: DataFrame, idCol: String, vecCol: String,
                      planes: Int = 16, threshold: Double = 0.95,
                      seed: Long = 42L, maxBucketSize: Int = 10000): DataFrame = {
-    val dim = df.select(size(col(vecCol))).head.getInt(0)
-    val rng = new java.util.Random(seed)
-    val planesArr: Seq[Seq[Double]] =
-      Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
-
-    val vecD = transform(col(vecCol), x => x.cast("double"))
-    val bucket = (0 until planes).map { i =>
-      val plane = typedLit(planesArr(i))
-      val dot = aggregate(zip_with(col("v"), plane, (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x)
-      when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-    }.reduce(_ + _)
-
-    val bucketed = df.select(col(idCol).as("id"), vecD.as("v"))
-      .withColumn("bucket", bucket)
+    val bucketed = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("bucket", srp_bits(col("v"), planes, seed))
 
     // hot-bucket cap (sizes shuffle carries bucket keys only — Catalyst
     // prunes v out of the aggregate's exchange)
@@ -313,7 +347,7 @@ object Dedup {
       col("bucket").as("bucket_b"))
     kept.join(b2,
         col("bucket") === col("bucket_b") && col("id") < col("id_b"))
-      .withColumn("cosine", Similarity.cosine(col("v"), col("v_b")))
+      .withColumn("cosine", cosine_sim(col("v"), col("v_b")))
       .filter(col("cosine") >= threshold)
       .select(col("id").as("id_a"), col("id_b"), col("cosine"))
   }

@@ -1,5 +1,8 @@
 package graft.llm
 
+import graft.functions.VectorExprs
+import graft.functions.VectorExprs.{cosine_sim, nearest_centroid, srp_bits}
+
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
@@ -8,33 +11,34 @@ import org.apache.spark.sql.functions._
   *
   * Scale design (100 TB of vectors):
   *  - [[bruteForceTopK]] is the exactness baseline: one projection
-  *    (cosine, codegen'd array fold) + TakeOrderedAndProject — Spark
-  *    keeps only k rows per partition then k at the driver; no shuffle
-  *    of the full data, no collect of the scan;
+  *    (native one-pass [[VectorExprs.CosineSim]]) + TakeOrderedAndProject
+  *    — Spark keeps only k rows per partition then k at the driver; no
+  *    shuffle of the full data, no collect of the scan;
   *  - [[SrpIndex]] is the scale path: vectors are bucketed once by
   *    signed-random-projection bits (a write-time partitioning key on a
   *    real deployment); a query probes its own bucket plus all 1-bit
   *    neighbors, turning a full scan into a ~(planes+1)/2^planes
   *    fraction scan with partition pruning when bucket is a partition
-  *    column.
+  *    column;
+  *  - [[IvfIndex]] is the coarse-quantizer alternative: k-means cells
+  *    trained with a few Lloyd rounds of DataFrame aggregations, then
+  *    one nearest-centroid projection per row.
+  *
+  * Every hot projection here is a native Catalyst expression
+  * (graft.functions.VectorExprs) — one JIT-compiled pass per row inside
+  * whole-stage codegen, never per-element interpreted HOF lambdas.
   */
 object Similarity {
 
-  /** Cosine similarity of two array<double> columns — one codegen'd
-    * expression, no UDF, no shuffle. */
-  def cosine(a: Column, b: Column): Column = {
-    def dot(x: Column, y: Column): Column =
-      aggregate(zip_with(x, y, (p, q) => p * q), lit(0.0), (acc, v) => acc + v)
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
-  }
-
-  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+  /** Cosine similarity of two numeric-array columns — one native
+    * codegen'd pass, no UDF, no shuffle. Mixed float/double inputs fine. */
+  def cosine(a: Column, b: Column): Column = cosine_sim(a, b)
 
   /** Exact top-k by cosine against one query vector. */
   def bruteForceTopK(df: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Double], k: Int): DataFrame =
     df.select(col(idCol),
-        cosine(asDouble(col(vecCol)), typedLit(query)).as("cosine"))
+        cosine_sim(col(vecCol), typedLit(query)).as("cosine"))
       .orderBy(col("cosine").desc, col(idCol))
       .limit(k)
 
@@ -43,31 +47,25 @@ object Similarity {
   def scoresForQuery(df: DataFrame, idCol: String, vecCol: String,
                      query: Seq[Double], roundTo: Int = 6): DataFrame =
     df.select(col(idCol),
-      round(cosine(asDouble(col(vecCol)), typedLit(query)), roundTo).as("cosine"))
+      round(cosine_sim(col(vecCol), typedLit(query)), roundTo).as("cosine"))
 
   /** SRP-bucketed ANN index. */
   final case class SrpIndex(planes: Int = 12, seed: Long = 42L) {
 
-    def planeVectors(dim: Int): Seq[Seq[Double]] = {
-      val rng = new java.util.Random(seed)
-      Seq.fill(planes)(Seq.fill(dim)(rng.nextGaussian()))
-    }
+    /** Plane matrix shared with the executor-side expression — both call
+      * [[VectorExprs.srpPlanes]] so driver query-bucketing and row
+      * bucketing can never disagree. */
+    def planeVectors(dim: Int): Seq[Seq[Double]] =
+      VectorExprs.srpPlanes(planes, dim, seed).map(_.toSeq).toSeq
 
-    def bucketExpr(vec: Column, dim: Int): Column = {
-      val pv = planeVectors(dim)
-      (0 until planes).map { i =>
-        val dot = aggregate(zip_with(vec, typedLit(pv(i)), (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v)
-        when(dot >= 0, lit(1L << i)).otherwise(lit(0L))
-      }.reduce(_ + _)
-    }
+    /** One-pass native SRP bucket projection; dim is read from each
+      * vector at eval time (no driver dim-probe job). */
+    def bucketExpr(vec: Column): Column = srp_bits(vec, planes, seed)
 
     /** Add the bucket column. On a real deployment, write the result
       * partitioned by `bucket` so probes prune partitions. */
-    def build(df: DataFrame, vecCol: String): DataFrame = {
-      val dim = df.select(size(col(vecCol))).head.getInt(0)
-      df.withColumn("bucket", bucketExpr(asDouble(col(vecCol)), dim))
-    }
+    def build(df: DataFrame, vecCol: String): DataFrame =
+      df.withColumn("bucket", bucketExpr(col(vecCol)))
 
     def bucketOf(query: Seq[Double]): Long = {
       val pv = planeVectors(query.length)
@@ -88,7 +86,7 @@ object Similarity {
              query: Seq[Double], k: Int): DataFrame =
       indexed.filter(col("bucket").isin(probes(query): _*))
         .select(col(idCol),
-          cosine(asDouble(col(vecCol)), typedLit(query)).as("cosine"))
+          cosine_sim(col(vecCol), typedLit(query)).as("cosine"))
         .orderBy(col("cosine").desc, col(idCol))
         .limit(k)
   }
@@ -96,39 +94,60 @@ object Similarity {
   /** IVF (inverted-file) ANN index — the coarse-quantizer scale path
     * next to [[SrpIndex]]'s hyperplane hashing.
     *
-    * Centroids are a deterministic sample (the `nlist` vectors with the
-    * smallest xxhash64(id) — a seed-stable stand-in for a k-means train
-    * step; swap in real k-means offline without changing the plan
-    * shape). Every vector is assigned to its nearest centroid in ONE
-    * codegen-friendly projection (argmin via `least(struct(dist, i))`),
-    * so on a real deployment the table is written partitioned by
-    * `ivf_cell` and a query scans only `nprobe`/nlist of the data via
-    * partition pruning. */
-  final case class IvfIndex(nlist: Int = 16) {
+    * Centroids = deterministic seeds (the `nlist` vectors with the
+    * smallest xxhash64(id)) refined by `kmeansIters` Lloyd rounds run as
+    * DataFrame aggregations: assign via the native nearest-centroid
+    * projection, recompute as per-dimension means. Raw vectors never
+    * shuffle during training — partial aggregation reduces the exploded
+    * (cell, pos, x) triples map-side, so only nlist×dim partials per
+    * partition cross the wire. Every vector is then assigned to its
+    * cell in ONE codegen projection; on a real deployment the table is
+    * written partitioned by `ivf_cell` and a query scans only
+    * `nprobe`/nlist of the data via partition pruning. */
+  final case class IvfIndex(nlist: Int = 16, kmeansIters: Int = 3) {
 
-    def centroids(df: DataFrame, idCol: String, vecCol: String): Array[Seq[Double]] =
-      df.select(col(idCol).as("id"), asDouble(col(vecCol)).as("v"))
+    /** Deterministic k-means seeds: smallest-xxhash64(id) sample. */
+    def initialCentroids(df: DataFrame, idCol: String,
+                         vecCol: String): Array[Seq[Double]] =
+      df.select(col(idCol).as("id"),
+          transform(col(vecCol), _.cast("double")).as("v"))
         .withColumn("_h", xxhash64(col("id")))
         .orderBy(col("_h")).limit(nlist)
         .select(col("v")).collect().map(_.getSeq[Double](0).toSeq)
 
-    private def l2(vec: Column, c: Seq[Double]): Column =
-      aggregate(zip_with(vec, typedLit(c), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x)
-
-    /** Nearest-centroid cell id as one projection. */
-    def cellExpr(vec: Column, cents: Array[Seq[Double]]): Column = {
-      val scored = cents.zipWithIndex.map { case (c, i) =>
-        struct(l2(vec, c).as("d"), lit(i).as("i"))
+    /** Lloyd-refined centroids (deterministic seeds + `kmeansIters`
+      * assignment/mean rounds). Cells that lose all members keep their
+      * previous centroid. */
+    def centroids(df: DataFrame, idCol: String, vecCol: String): Array[Seq[Double]] = {
+      var cents = initialCentroids(df, idCol, vecCol)
+      var it = 0
+      while (it < kmeansIters) {
+        val means = df
+          .select(nearest_centroid(col(vecCol), cents.toIndexedSeq).as("cell"),
+            posexplode(col(vecCol)).as(Seq("pos", "x")))
+          .groupBy(col("cell"), col("pos"))
+          .agg(avg(col("x").cast("double")).as("m"))
+          .collect()
+        val next = cents.map(_.toArray)
+        means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+        cents = next.map(_.toSeq)
+        it += 1
       }
-      least(scored: _*).getField("i")
+      cents
     }
+
+    /** Nearest-centroid cell id as one native one-pass projection. */
+    def cellExpr(vec: Column, cents: Array[Seq[Double]]): Column =
+      nearest_centroid(vec, cents.toIndexedSeq)
 
     /** Adds `ivf_cell`; write the result partitioned by it at scale. */
-    def build(df: DataFrame, idCol: String, vecCol: String): DataFrame = {
-      val cents = centroids(df, idCol, vecCol)
-      df.withColumn("ivf_cell", cellExpr(asDouble(col(vecCol)), cents))
-    }
+    def build(df: DataFrame, idCol: String, vecCol: String): DataFrame =
+      build(df, vecCol, centroids(df, idCol, vecCol))
+
+    /** [[build]] with pre-trained centroids (train once, assign often). */
+    def build(df: DataFrame, vecCol: String,
+              cents: Array[Seq[Double]]): DataFrame =
+      df.withColumn("ivf_cell", cellExpr(col(vecCol), cents))
 
     def probeCells(cents: Array[Seq[Double]], query: Seq[Double],
                    nprobe: Int): Seq[Int] =
@@ -142,7 +161,7 @@ object Similarity {
              nprobe: Int = 4): DataFrame =
       indexed.filter(col("ivf_cell").isin(probeCells(cents, query, nprobe): _*))
         .select(col(idCol),
-          cosine(asDouble(col(vecCol)), typedLit(query)).as("cosine"))
+          cosine_sim(col(vecCol), typedLit(query)).as("cosine"))
         .orderBy(col("cosine").desc, col(idCol))
         .limit(k)
   }

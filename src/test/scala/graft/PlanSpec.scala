@@ -89,6 +89,20 @@ class PlanSpec extends SparkSpec {
       "topK must be TakeOrderedAndProject, not a global sort")
   }
 
+  test("embedding SRP bucketing and cosine verify are native (no HOF lambdas)") {
+    val pairs = Dedup.embeddingPairs(sf("embeddings"), "vec_id", "embedding")
+    val p = pairs.queryExecution.executedPlan.toString
+    assert(!p.contains("zip_with") && !p.contains("aggregate("),
+      s"interpreted higher-order functions back in the embedding hot path:\n$p")
+    // codegen marker on the shuffle-free bucket projection (the pairs plan
+    // is AQE-wrapped pre-execution, so it prints without codegen spans)
+    val proj = sf("embeddings").select(
+      graft.functions.VectorExprs.srp_bits(col("embedding")).as("b"),
+      graft.functions.VectorExprs.cosine_sim(col("embedding"), col("embedding")))
+    assert(proj.queryExecution.executedPlan.toString.contains("*(1)"),
+      "bucket/cosine projection left whole-stage codegen")
+  }
+
   test("bucketed tables co-locate the join: zero exchanges") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

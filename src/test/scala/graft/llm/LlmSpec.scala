@@ -175,7 +175,7 @@ class LlmSpec extends SparkSpec {
     val idx = Similarity.IvfIndex(nlist = 8)
     val cents = idx.centroids(emb, "vec_id", "embedding")
     assert(cents.length == 8 && cents.head.size == 64)
-    val indexed = idx.build(emb, "vec_id", "embedding").cache()
+    val indexed = idx.build(emb, "embedding", cents).cache()
     val cells = indexed.select($"ivf_cell").distinct().as[Int].collect()
     assert(cells.forall(c => c >= 0 && c < 8) && cells.length > 1)
 
@@ -192,6 +192,34 @@ class LlmSpec extends SparkSpec {
       .isin(idx.probeCells(cents, qv, 3): _*)).count()
     assert(probed < emb.count())
     indexed.unpersist()
+  }
+
+  test("IvfIndex: Lloyd-trained centroids beat (or match) the raw hash sample") {
+    val emb = sf("embeddings")
+    val idx = Similarity.IvfIndex(nlist = 8, kmeansIters = 3)
+    val trained = idx.centroids(emb, "vec_id", "embedding")
+    val sampled = idx.initialCentroids(emb, "vec_id", "embedding")
+    assert(trained.length == sampled.length)
+    // training moved the centroids off their raw seed positions
+    assert(trained.zip(sampled).exists { case (t, s) => t != s })
+
+    def recallAt10(cents: Array[Seq[Double]]): Double = {
+      val indexed = idx.build(emb, "embedding", cents).cache()
+      val queries = Seq(1L, 7L, 13L, 29L)
+      val r = queries.map { q =>
+        val qv = emb.filter($"vec_id" === q).select($"embedding")
+          .head.getSeq[Float](0).map(_.toDouble).toSeq
+        val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 10)
+          .select($"vec_id").as[Long].collect().toSet
+        val got = idx.topK(indexed, cents, "vec_id", "embedding", qv, 10, nprobe = 2)
+          .select($"vec_id").as[Long].collect().toSet
+        (truth intersect got).size.toDouble / truth.size
+      }.sum / queries.size
+      indexed.unpersist()
+      r
+    }
+    assert(recallAt10(trained) >= recallAt10(sampled),
+      "k-means cells must not lose recall vs the hash-sampled stand-in")
   }
 
   test("connected dedup collapses transitive near-dup chains") {
@@ -214,6 +242,47 @@ class LlmSpec extends SparkSpec {
         threshold = 0.5, bands = 32)
       .orderBy($"id").collect().map(_.getLong(1)).toSeq
     assert(closed == Seq(1L, 1L, 1L), "closure: whole chain → a")
+  }
+
+  test("convergeCanonicals drives long chains to the fixpoint (4+ rounds)") {
+    // a path graph 1-2-3-4-5-6 needs FOUR propagation rounds after the
+    // seed; a broken fixpoint flag (loop exiting early) leaves the tail
+    // pointing at an intermediate vertex — this is the direct guard on
+    // the observe-riding changed-count
+    val ids = spark.range(1, 7).toDF("id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("id_a", "id_b")
+    val out = Dedup.convergeCanonicals(ids, pairs, "id")
+      .orderBy("id").collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq.fill(6)(1L),
+      s"chain did not fully converge: ${out.map(_.getLong(1)).toSeq}")
+    assert(out.map(_.getBoolean(2)).toSeq ==
+      false +: Seq.fill(5)(true))
+  }
+
+  test("capped collect: at-cap kept, over-cap bucket drops, pairs ride sigs") {
+    import graft.functions.CollectCapped._
+    val df = (1L to 10L).map(i => (i, i % 3)).toDF("id", "g")
+    // cap 4: group g=1 has ids {1,4,7,10} (exactly at cap) → kept sorted;
+    // cap 3 would poison it → NULL
+    val at = df.groupBy($"g").agg(collect_longs_capped($"id", 4).as("ids"))
+      .orderBy($"g").collect()
+    assert(at.map(r => Option(r.getSeq[Long](1)).map(_.toSeq)).toSeq == Seq(
+      Some(Seq(3L, 6L, 9L)), Some(Seq(1L, 4L, 7L, 10L)), Some(Seq(2L, 5L, 8L))))
+    val over = df.groupBy($"g").agg(collect_longs_capped($"id", 3).as("ids"))
+      .orderBy($"g").collect()
+    assert(Option(over(1).getSeq[Long](1)).isEmpty, "over-cap group must be NULL")
+    assert(Option(over(0).getSeq[Long](1)).map(_.toSeq).contains(Seq(3L, 6L, 9L)))
+    // pairs variant: sorted by id, values ride along
+    val p = df.groupBy($"g")
+      .agg(collect_long_pairs_capped($"id", $"id" * 100, 4).as("ps"))
+      .orderBy($"g").collect()
+    val g1 = p(1).getSeq[org.apache.spark.sql.Row](1)
+    assert(g1.map(r => (r.getLong(0), r.getLong(1))) ==
+      Seq((1L, 100L), (4L, 400L), (7L, 700L), (10L, 1000L)))
+    assert(Option(df.groupBy($"g")
+      .agg(collect_long_pairs_capped($"id", $"id", 3).as("ps"))
+      .orderBy($"g").collect()(1).getSeq[org.apache.spark.sql.Row](1)).isEmpty)
   }
 
   test("embeddingDedup decision mirrors embeddingPairs") {
