@@ -249,6 +249,23 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     },
 
+    // --- similarity: IVF index probed with nprobe = nlist (every cell)
+    // — exactly brute-force top-k, independent of the trained centroids,
+    // so the whole IVF path (k-means build, cell assignment, probe
+    // filter, in-cell cosine, ordering) is oracle-checked; the pruning
+    // win itself (nprobe < nlist) stays unit-tested in LlmSpec ---
+    "q_ivf_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
+      val idx = Similarity.IvfIndex(nlist = 8, kmeansIters = 2)
+      val cents = idx.centroids(emb, "vec_id", "embedding")
+      Similarity.IvfIndex(nlist = 8)
+        .topK(idx.build(emb, "embedding", cents), cents,
+          "vec_id", "embedding", qv, k = 15, nprobe = 8)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    },
+
     // --- multimodal: schema contract + batched decode stage (stubbed
     // codec, deterministic) over payload bytes ---
     "q_multimodal_features" -> { (s, dir) =>
@@ -524,6 +541,21 @@ object SparkEntry {
         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
         |FROM embeddings e,
         |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q""".stripMargin,
+
+    "q_ivf_topk" ->
+      """WITH s AS (
+        |  SELECT e.vec_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qv,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e,
+        |    (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        |)
+        |SELECT vec_id, round(cos, 6) AS cosine FROM s
+        |ORDER BY cos DESC, vec_id LIMIT 15""".stripMargin,
 
     "q_topk_cosine" ->
       """WITH s AS (

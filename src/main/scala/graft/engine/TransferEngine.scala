@@ -37,11 +37,18 @@ final case class TransferStats(totalRows: Long, seconds: Double) {
 
 class TransferEngine(cfg: JobConfig) {
 
-  /** Build the full lazy plan (read → validate → transform). */
-  def plan(spark: SparkSession): DataFrame = {
+  /** The pre-transform frame (read + validation) — the "original
+    * schema" preview renders this stage's shape. */
+  private def sourceFrame(spark: SparkSession): DataFrame = {
     var df = Connectors.read(spark, cfg.source, cfg.sourceOptions)
     // validation BEFORE transform (transfer.rs:154-159, README.md:772)
     cfg.schemaFile.foreach(p => df = Validation(df, SchemaFile.fromFile(p)))
+    df
+  }
+
+  /** Build the full lazy plan (read → validate → transform). */
+  def plan(spark: SparkSession): DataFrame = {
+    var df = sourceFrame(spark)
     // --transform-file wins over --transform (cli.rs:183-191)
     cfg.transform.file match {
       case Some(p) => df = graft.transform.LuaFile.fromFile(df, p)
@@ -92,13 +99,22 @@ class TransferEngine(cfg: JobConfig) {
     TransferStats(rows, (System.nanoTime() - t0) / 1e9)
   }
 
-  /** Preview (U2, transfer.rs:201-316): schema + first N rows, no write. */
+  /** Preview (U2, transfer.rs:201-316): original-schema box, transformed
+    * schema when a transform is configured, then the first N rows in the
+    * reference's fixed-width table — no write. */
   def preview(spark: SparkSession, n: Int = 10): String = {
     val df = plan(spark)
-    val schemaTable = df.schema.fields.map(f =>
-      s"  ${f.name}: ${graft.core.TinyType.fromSpark(f.dataType, f.metadata).name}" +
-        (if (f.nullable) " (nullable)" else "")).mkString("\n")
-    s"Schema:\n$schemaTable\n" + df.showString(n)
+    val sb = new StringBuilder
+    sb.append("\nOriginal Schema Preview:\n")
+    sb.append(PreviewFormat.schemaBox(sourceFrame(spark).schema))
+    if (cfg.transform != TransformSpec()) {
+      sb.append("\nApplying transformations...\n")
+      sb.append("\nTransformed Schema Preview:\n")
+      sb.append(PreviewFormat.schemaBox(df.schema))
+    }
+    sb.append(s"\nData Preview ($n rows):\n")
+    sb.append(PreviewFormat.dataTable(df.columns, df.limit(n).collect()))
+    sb.toString
   }
 
   /** Dry run (U3, transfer.rs:318-368): connections, schema, 10-row
@@ -109,12 +125,52 @@ class TransferEngine(cfg: JobConfig) {
     df.schema
   }
 
-  implicit private class ShowString(df: DataFrame) {
-    def showString(n: Int): String = {
-      val rows = df.limit(n).collect()
-      val header = df.columns.mkString(" | ")
-      (header +: rows.map(_.toSeq.map(v =>
-        if (v == null) "NULL" else v.toString).mkString(" | "))).mkString("\n")
+}
+
+/** Box-drawing renderers mirroring the reference's preview layout
+  * (transfer.rs:242-316): a fixed-width schema table (19/13/8 columns)
+  * and a 15-wide-cell data table with values truncated to 15 chars and
+  * NULL for nulls. */
+object PreviewFormat {
+
+  def schemaBox(schema: org.apache.spark.sql.types.StructType): String = {
+    val sb = new StringBuilder
+    sb.append("┌─────────────────────┬───────────────┬──────────┐\n")
+    sb.append("│ Column              │ Type          │ Nullable │\n")
+    sb.append("├─────────────────────┼───────────────┼──────────┤\n")
+    schema.fields.foreach { f =>
+      val tpe = graft.core.TinyType.fromSpark(f.dataType, f.metadata).name
+      sb.append(String.format("│ %-19s │ %-13s │ %-8s │%n",
+        f.name, tpe, f.nullable.toString))
     }
+    sb.append("└─────────────────────┴───────────────┴──────────┘\n")
+    sb.toString
+  }
+
+  def dataTable(headers: Seq[String],
+                rows: Seq[org.apache.spark.sql.Row]): String = {
+    if (rows.isEmpty) return "No data to display\n"
+    val sb = new StringBuilder
+    def border(l: String, m: String, r: String): Unit = {
+      sb.append(l)
+      headers.indices.foreach { i =>
+        sb.append("─────────────────")
+        if (i < headers.length - 1) sb.append(m)
+      }
+      sb.append(r).append('\n')
+    }
+    def line(cells: Seq[String]): Unit = {
+      sb.append("│")
+      cells.foreach(c => sb.append(String.format(" %-15s │", c.take(15))))
+      sb.append('\n')
+    }
+    border("┌", "┬", "┐")
+    line(headers)
+    border("├", "┼", "┤")
+    rows.foreach { r =>
+      line(r.toSeq.map(v => if (v == null) "NULL" else v.toString))
+    }
+    border("└", "┴", "┘")
+    sb.toString
   }
 }

@@ -479,20 +479,64 @@ object Connectors {
     }
   }
 
-  /** SSH/SCP source (S12): `scp -o BatchMode=yes` to a temp file, then
-    * extension routing (ssh.rs:65-98). */
+  /** SSH/SCP source (S12, ssh.rs:28-98): `scp` subprocess to a temp
+    * file, then extension routing.
+    *
+    * ENV-BLOCKED end-to-end in this sandbox (no sshd, zero egress):
+    * everything up to the process launch — URL validation with the
+    * reference's exact error contract, port default, remote form, the
+    * scp argv — is pure ([[plan]]/[[ext]]) and unit-pinned, and the
+    * subprocess FAILURE path (non-zero exit → typed Connection error
+    * with stderr, temp file removed) runs for real in SshSpec against a
+    * closed local port. Only a successful transfer is untestable here. */
   object Ssh {
-    def download(ref: Ref): Ref = {
+
+    /** Pure scp argv (ssh.rs:66-82): `-P port`, no host-key prompts,
+      * quiet; plus BatchMode so a headless engine can never hang on a
+      * password prompt. Validation errors mirror ssh.rs:31-50. */
+    def plan(ref: Ref, dest: String): Seq[String] = {
       val u = new java.net.URI(ref.path)
+      val host = Option(u.getHost).filter(_.nonEmpty).getOrElse(
+        throw graft.core.GraftError.Configuration(
+          s"SSH URL must specify a host: ${ref.path}"))
+      val user = Option(u.getUserInfo).filter(_.nonEmpty).getOrElse(
+        throw graft.core.GraftError.Configuration(
+          s"SSH URL must specify a username (ssh://user@host/path): ${ref.path}"))
+      val path = Option(u.getPath).filter(p => p.nonEmpty && p != "/").getOrElse(
+        throw graft.core.GraftError.Configuration(
+          s"SSH URL must specify a file path: ${ref.path}"))
       val port = if (u.getPort > 0) u.getPort else 22
-      val remote = s"${Option(u.getUserInfo).map(_ + "@").getOrElse("")}${u.getHost}:${u.getPath}"
-      val ext = u.getPath.split('.').last.toLowerCase
-      val tmp = java.nio.file.Files.createTempFile(localTmp(), "scp_dl_", s".$ext")
-      val cmd = Seq("scp", "-P", port.toString, "-o", "BatchMode=yes",
-        remote, tmp.toString)
-      val rc = new ProcessBuilder(cmd: _*).inheritIO().start().waitFor()
-      require(rc == 0, s"scp failed with exit $rc: ${cmd.mkString(" ")}")
-      Ref(ext, tmp.toString, ref.table, ref.options)
+      Seq("scp", "-P", port.toString,
+        "-o", "BatchMode=yes",
+        "-o", "StrictHostKeyChecking=no",
+        "-o", "UserKnownHostsFile=/dev/null",
+        "-q", s"$user@$host:$path", dest)
+    }
+
+    /** Extension for routing; `sourceType` option overrides (same
+      * contract as the HTTP source). */
+    def ext(ref: Ref): String = ref.options.getOrElse("sourceType",
+      new java.net.URI(ref.path).getPath.split('.').last.toLowerCase)
+
+    def download(ref: Ref): Ref = {
+      val e = ext(ref)
+      val cmdProbe = plan(ref, "")  // validate BEFORE the temp file exists
+      val tmp = java.nio.file.Files.createTempFile(localTmp(), "scp_dl_", s".$e")
+      try {
+        val proc = new ProcessBuilder((cmdProbe.init :+ tmp.toString): _*).start()
+        // drain stderr before waitFor so a chatty scp can't deadlock
+        val stderr = new String(proc.getErrorStream.readAllBytes(),
+          java.nio.charset.StandardCharsets.UTF_8)
+        val rc = proc.waitFor()
+        if (rc != 0)
+          throw graft.core.GraftError.Connection(
+            s"SCP failed to download file from ${ref.path}: ${stderr.trim}")
+        Ref(e, tmp.toString, ref.table, ref.options)
+      } catch {
+        case t: Throwable =>
+          java.nio.file.Files.deleteIfExists(tmp)
+          throw t
+      }
     }
   }
 

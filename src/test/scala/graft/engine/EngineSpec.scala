@@ -365,8 +365,29 @@ class EngineSpec extends SparkSpec {
     val cfg = JobConfig(s"$dir/in.csv", s"$dir/never.parquet")
     val eng = new TransferEngine(cfg)
     val p = eng.preview(spark, 5)
-    assert(p.contains("a: integer") && p.contains("1 | x"))
+    // reference layout (transfer.rs:242-316): schema box + data table
+    assert(p.contains("Original Schema Preview:"))
+    assert(p.contains("┌─────────────────────┬───────────────┬──────────┐"))
+    assert(p.contains("│ Column              │ Type          │ Nullable │"))
+    assert(p.contains("│ a                   │ integer       │ true     │"))
+    assert(p.contains("Data Preview (5 rows):"))
+    assert(p.contains("│ 1               │ x               │"))
+    // no transform configured → no transformed-schema section
+    assert(!p.contains("Transformed Schema Preview:"))
     assert(eng.dryRun(spark).fieldNames.toSeq == Seq("a", "b"))
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dir/never.parquet")))
+  }
+
+  test("preview renders the transformed schema when a transform is set") {
+    val dir = tmpDir("preview_t")
+    writeText(s"$dir/in.csv", "a,b\n1,x\n")
+    val cfg = JobConfig(s"$dir/in.csv", s"$dir/never.parquet",
+      transform = TransformSpec(inline = Some("dbl=row.a * 2")))
+    val p = new TransferEngine(cfg).preview(spark, 3)
+    assert(p.contains("Applying transformations..."))
+    assert(p.contains("Transformed Schema Preview:"))
+    assert(p.contains("│ dbl                 │"))
+    // truncation: 15-char cells never widen the table
+    assert(!p.linesIterator.exists(_.length > 200))
   }
 }

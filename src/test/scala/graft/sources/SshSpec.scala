@@ -1,0 +1,62 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** S12 SSH/SCP source — the sandbox has no sshd, so the pure parts
+  * (URL validation, argv construction, extension routing) are pinned
+  * against ssh.rs:28-98, and the subprocess FAILURE path runs for real
+  * against a closed local port. */
+class SshSpec extends AnyFunSuite {
+
+  private def ref(uri: String, opts: Map[String, String] = Map.empty) =
+    Connectors.Ref("ssh", uri, None, opts)
+
+  test("scp argv: port default/explicit, no-prompt flags, remote form (ssh.rs:66-82)") {
+    assert(Connectors.Ssh.plan(ref("ssh://alice@box/data/x.csv"), "/t/out.csv") ==
+      Seq("scp", "-P", "22", "-o", "BatchMode=yes",
+        "-o", "StrictHostKeyChecking=no", "-o", "UserKnownHostsFile=/dev/null",
+        "-q", "alice@box:/data/x.csv", "/t/out.csv"))
+    assert(Connectors.Ssh.plan(ref("ssh://bob@h:2222/f.json"), "o")
+      .containsSlice(Seq("-P", "2222")))
+    assert(Connectors.Ssh.plan(ref("ssh://bob@h:2222/f.json"), "o")
+      .contains("bob@h:/f.json"))
+  }
+
+  test("url validation mirrors the reference's error contract (ssh.rs:31-50)") {
+    val noUser = intercept[graft.core.GraftError.Configuration](
+      Connectors.Ssh.plan(ref("ssh://host/data/x.csv"), "o"))
+    assert(noUser.getMessage.contains("username"))
+    val noPath = intercept[graft.core.GraftError.Configuration](
+      Connectors.Ssh.plan(ref("ssh://u@host/"), "o"))
+    assert(noPath.getMessage.contains("file path"))
+    val noHost = intercept[graft.core.GraftError.Configuration](
+      Connectors.Ssh.plan(ref("ssh:///data/x.csv"), "o"))
+    assert(noHost.getMessage.contains("host"))
+  }
+
+  test("extension routing with sourceType override") {
+    assert(Connectors.Ssh.ext(ref("ssh://u@h/p/file.PARQUET")) == "parquet")
+    assert(Connectors.Ssh.ext(
+      ref("ssh://u@h/p/extensionless", Map("sourceType" -> "csv"))) == "csv")
+  }
+
+  test("failed scp surfaces a typed Connection error and leaves no temp file") {
+    def tmpFiles(): Set[String] = {
+      val d = java.nio.file.Paths.get("/root/repo/target/tmp/downloads")
+      if (!java.nio.file.Files.isDirectory(d)) Set.empty
+      else {
+        val s = java.nio.file.Files.list(d)
+        try {
+          import scala.jdk.CollectionConverters._
+          s.iterator().asScala.map(_.getFileName.toString).toSet
+        } finally s.close()
+      }
+    }
+    val before = tmpFiles()
+    // port 1 on loopback: connection refused instantly, no sshd needed
+    val e = intercept[graft.core.GraftError.Connection](
+      Connectors.Ssh.download(ref("ssh://nobody@127.0.0.1:1/tmp/x.csv")))
+    assert(e.getMessage.contains("SCP failed"))
+    assert(tmpFiles() == before, "failed download must not leave a temp file")
+  }
+}
