@@ -368,6 +368,22 @@ object SparkEntry {
         threshold = 0.5, numHashes = 64, bands = 32)
     },
 
+    // --- first-occurrence dedup over replayed event deliveries: keep the
+    // earliest row per content group (batch twin of the streaming
+    // dropDuplicatesWithinWatermark path; replays are engineered 2h-later
+    // copies so originals always win deterministically) ---
+    "q_dedup_first" -> { (s, dir) =>
+      val ev = EventsStreaming.readEvents(s, dir)
+      val replays = ev.filter(pmod(col("event_id"), lit(7)) === 0)
+        .withColumn("event_id", col("event_id") + 10000000L)
+        .withColumn("ts", col("ts") + expr("INTERVAL 2 HOURS"))
+      Dedup.firstOccurrence(ev.unionByName(replays),
+          contentCols = Seq("user_id", "event_type", "value", "props"),
+          orderCols = Seq("ts", "event_id"))
+        .select(col("event_id"), col("ts"), col("user_id"),
+          col("event_type"), col("value"))
+    },
+
     // --- skew-salted two-stage aggregation (equal to plain groupBy) ---
     "q_skew_agg" -> { (s, dir) =>
       graft.operators.Skew.saltedSumCount(
@@ -716,6 +732,22 @@ object SparkEntry {
         |  coalesce(min(p.id_a), c.vec_id) <> c.vec_id AS is_duplicate
         |FROM corpus c LEFT JOIN pairs p ON p.id_b = c.vec_id
         |GROUP BY c.vec_id""".stripMargin,
+
+    "q_dedup_first" ->
+      """WITH corpus AS (
+        |  SELECT event_id, ts, user_id, event_type, value, props FROM events
+        |  UNION ALL
+        |  SELECT event_id + 10000000, ts + INTERVAL 2 HOUR, user_id,
+        |    event_type, value, props
+        |  FROM events WHERE event_id % 7 = 0
+        |), r AS (
+        |  SELECT *, row_number() OVER (
+        |    PARTITION BY user_id, event_type, value, props
+        |    ORDER BY ts, event_id) AS rn
+        |  FROM corpus
+        |)
+        |SELECT event_id, ts, user_id, event_type, value FROM r
+        |WHERE rn = 1""".stripMargin,
 
     "q_skew_agg" ->
       """SELECT l_returnflag,

@@ -227,6 +227,29 @@ object Dedup {
       .withColumn("is_duplicate", col("canonical_id") =!= col(idCol))
   }
 
+  /** First-occurrence exact dedup for timestamped records: keep the
+    * EARLIEST row (by `orderCols`, e.g. ts then a tie-breaking id) of
+    * every identical-content group, drop the rest. The batch twin of
+    * streaming `dropDuplicatesWithinWatermark`
+    * ([[graft.streaming.EventsStreaming.dedupStream]]) — ingest
+    * pipelines re-run extractions and re-deliver events; this collapses
+    * the replays to the original arrival.
+    *
+    * One shuffle, partitioned by a structural content hash (same
+    * no-cross-column-collision encoding as [[exact]]); full content
+    * rides the shuffle because the output needs the surviving rows. */
+  def firstOccurrence(df: DataFrame, contentCols: Seq[String],
+                      orderCols: Seq[String]): DataFrame = {
+    val h = md5(to_json(struct(contentCols.map(col): _*),
+      Map("ignoreNullFields" -> "false")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_h")).orderBy(orderCols.map(col): _*)
+    df.withColumn("_h", h)
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_h", "_rn")
+  }
+
   /** SimHash signatures; identical-signature groups are near-dups.
     * Returns (id, simhash, canonical_id, is_duplicate). The shuffle
     * payload is (id, sig) pairs — 16 bytes per doc. */

@@ -170,6 +170,42 @@ object EventsStreaming {
       .start()
   }
 
+  // ------------------- streaming exact dedup ---------------------------
+
+  /** Streaming exact dedup over a parquet directory of event files:
+    * duplicate deliveries (same content hash) within the watermark
+    * horizon drop via `dropDuplicatesWithinWatermark`, keeping the first
+    * processed occurrence. State = one (hash, ts) entry per distinct
+    * content, evicted once the watermark passes — bounded by the replay
+    * horizon, not the stream length. Batch twin (what the oracle
+    * checks): [[graft.llm.Dedup.firstOccurrence]].
+    *
+    * `contentCols` defines identity; the hash is the same structural
+    * `to_json(struct)` encoding as the batch dedups, so cross-column
+    * collisions are impossible. */
+  def dedupStream(spark: SparkSession, dir: String,
+                  contentCols: Seq[String],
+                  queryName: String = "events_dedup",
+                  glob: String = "*.parquet"): StreamingQuery = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val events = nanosToTs(spark.readStream
+      .schema(eventsSchemaRaw)
+      .option("pathGlobFilter", glob)
+      .parquet(dir))
+    events
+      .withColumn("_h", md5(to_json(struct(contentCols.map(col): _*),
+        Map("ignoreNullFields" -> "false"))))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("_h")
+      .drop("_h")
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Typed access to the JSON `props` sidecar: per-type stats over an
     * extracted numeric field (the DataType::Json story mapped to
     * get_json_object — parse on demand, StringType at rest). */

@@ -103,6 +103,42 @@ class PlanSpec extends SparkSpec {
       "bucket/cosine projection left whole-stage codegen")
   }
 
+  test("ANN probes prune partitions when the index is the partition key") {
+    val dir = tmpDir("ann_prune")
+    val emb = sf("embeddings")
+    val qv = emb.filter(col("vec_id") === 3).select(col("embedding"))
+      .head.getSeq[Float](0).map(_.toDouble).toSeq
+
+    def prunedPartitions(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.executedPlan.collectLeaves().collectFirst {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.selectedPartitions.partitionCount
+      }.getOrElse(fail("no file scan in plan"))
+
+    // SRP: write partitioned by bucket, probe own bucket + 1-bit flips
+    val srp = graft.llm.Similarity.SrpIndex(planes = 6)
+    srp.build(emb, "embedding")
+      .write.partitionBy("bucket").mode("overwrite").parquet(s"$dir/srp")
+    val srpIndexed = spark.read.parquet(s"$dir/srp")
+    val totalSrp = prunedPartitions(srpIndexed)
+    val probed = prunedPartitions(
+      srpIndexed.filter(col("bucket").isin(srp.probes(qv): _*)))
+    assert(probed <= srp.probes(qv).length && probed < totalSrp,
+      s"SRP probe scan must prune: $probed of $totalSrp partitions")
+
+    // IVF: write partitioned by cell, probe nprobe nearest cells
+    val ivf = graft.llm.Similarity.IvfIndex(nlist = 8, kmeansIters = 1)
+    val cents = ivf.centroids(emb, "vec_id", "embedding")
+    ivf.build(emb, "embedding", cents)
+      .write.partitionBy("ivf_cell").mode("overwrite").parquet(s"$dir/ivf")
+    val ivfIndexed = spark.read.parquet(s"$dir/ivf")
+    val totalIvf = prunedPartitions(ivfIndexed)
+    val ivfProbed = prunedPartitions(ivfIndexed.filter(
+      col("ivf_cell").isin(ivf.probeCells(cents, qv, nprobe = 2): _*)))
+    assert(ivfProbed <= 2 && ivfProbed < totalIvf,
+      s"IVF probe scan must prune: $ivfProbed of $totalIvf partitions")
+  }
+
   test("bucketed tables co-locate the join: zero exchanges") {
     val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     try {

@@ -65,6 +65,50 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("dedupStream drops replayed deliveries; parity with firstOccurrence") {
+    val scratch = tmpDir("stream_dedup")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = spark.read.schema(EventsStreaming.eventsSchemaRaw)
+      .parquet(s"$dir/events.parquet").limit(500)
+    // originals + 200 EXACT replays (full-row copies) land as separate
+    // files in one stream directory
+    raw.write.mode("overwrite").parquet(s"$scratch/in")
+    raw.limit(200).write.mode("append").parquet(s"$scratch/in")
+
+    val content = Seq("user_id", "event_type", "value", "props")
+    val q = EventsStreaming.dedupStream(spark, s"$scratch/in", content,
+      "sdedup_parity_test")
+    q.awaitTermination(120000L)
+    val streamed = spark.table("sdedup_parity_test")
+
+    val batchIn = spark.read.schema(EventsStreaming.eventsSchemaRaw)
+      .parquet(s"$scratch/in")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val batch = graft.llm.Dedup.firstOccurrence(batchIn,
+      content, Seq("ts", "event_id"))
+
+    // one surviving row per distinct content, same contents as batch
+    assert(streamed.count() == batch.count())
+    assert(streamed.count() < 700, "replays must have been dropped")
+    assert(streamed.select(content.map(col): _*)
+      .except(batch.select(content.map(col): _*)).isEmpty)
+    assert(batch.select(content.map(col): _*)
+      .except(streamed.select(content.map(col): _*)).isEmpty)
+  }
+
+  test("firstOccurrence keeps the earliest row per content group") {
+    import spark.implicits._
+    val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    val df = Seq(
+      (1L, ts(5), "a"), (2L, ts(1), "a"), (3L, ts(1), "a"), // dup content "a"
+      (4L, ts(9), "b")
+    ).toDF("event_id", "ts", "payload")
+    val out = graft.llm.Dedup.firstOccurrence(df, Seq("payload"),
+      Seq("ts", "event_id")).orderBy("event_id").collect()
+    // earliest ts wins; ts tie broken by event_id (2 beats 3)
+    assert(out.map(_.getLong(0)).toSeq == Seq(2L, 4L))
+  }
+
   test("sessions: gap semantics — new session at exactly the gap") {
     import spark.implicits._
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
