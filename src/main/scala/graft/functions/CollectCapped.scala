@@ -210,4 +210,24 @@ object CollectCapped {
     GraftBridge.column(CollectLongPairsCapped(
       GraftBridge.expression(id), GraftBridge.expression(v), cap)
       .toAggregateExpression())
+
+  /** SQL names (the analyzer wraps a bare AggregateFunction from the
+    * registry into an AggregateExpression); cap is a required foldable
+    * literal — same loud-failure contract as SketchExprs.register. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "collect_longs_capped", {
+        case Seq(c, cap) => CollectLongsCapped(c,
+          SketchExprs.litInt("collect_longs_capped", "cap")(cap))
+        case exprs => throw graft.core.GraftError.Configuration(
+          s"collect_longs_capped expects (col, cap), got ${exprs.length} arguments")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "collect_long_pairs_capped", {
+        case Seq(id, v, cap) => CollectLongPairsCapped(id, v,
+          SketchExprs.litInt("collect_long_pairs_capped", "cap")(cap))
+        case exprs => throw graft.core.GraftError.Configuration(
+          s"collect_long_pairs_capped expects (id, v, cap), got ${exprs.length} arguments")
+      }, "scala_udf")
+  }
 }

@@ -125,6 +125,17 @@ class CliSpec extends SparkSpec {
     assert(r.getAs[Boolean]("active"))
   }
 
+  test("explicit file:// URLs route like plain paths (examples/02)") {
+    val dir = tmpDir("cli_fileproto")
+    writeText(s"$dir/input.csv", "id,name\n1,alpha\n2,beta\n")
+    val cfg = parse(List(s"file://$dir/input.csv", s"file://$dir/output.parquet"))
+      .asInstanceOf[Transfer].cfg
+    assert(runTransfer(cfg, None, dryRun = false, "error") == 0)
+    val out = spark.read.parquet(s"$dir/output.parquet")
+    assert(out.count() == 2)
+    assert(out.schema("id").dataType == org.apache.spark.sql.types.LongType)
+  }
+
   test("run job.yaml end-to-end with env substitution") {
     val dir = tmpDir("cli_yaml")
     writeText(s"$dir/in.csv", "a,b\n1,x\n2,y\n")

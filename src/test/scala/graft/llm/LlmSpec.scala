@@ -283,6 +283,20 @@ class LlmSpec extends SparkSpec {
     assert(Option(df.groupBy($"g")
       .agg(collect_long_pairs_capped($"id", $"id", 3).as("ps"))
       .orderBy($"g").collect()(1).getSeq[org.apache.spark.sql.Row](1)).isEmpty)
+    // SQL registration: same capped semantics through spark.sql
+    graft.functions.CollectCapped.register(spark)
+    df.createOrReplaceTempView("cc_sql")
+    val sql = spark.sql(
+      """SELECT g, collect_longs_capped(id, 4) AS ids,
+        |  collect_long_pairs_capped(id, id * 100, 4) AS ps
+        |FROM cc_sql GROUP BY g ORDER BY g""".stripMargin).collect()
+    assert(Option(sql(1).getSeq[Long](1)).map(_.toSeq)
+      .contains(Seq(1L, 4L, 7L, 10L)))
+    assert(sql(1).getSeq[org.apache.spark.sql.Row](2)
+      .map(r => (r.getLong(0), r.getLong(1))).head == (1L, 100L))
+    intercept[graft.core.GraftError.Configuration](
+      spark.sql("SELECT collect_longs_capped(id, g) FROM cc_sql GROUP BY g")
+        .collect())
   }
 
   test("embeddingDedup decision mirrors embeddingPairs") {
