@@ -29,18 +29,24 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
+  /** Structural content hash shared by every exact-dedup shape (batch
+    * [[exact]]/[[firstOccurrence]] AND streaming
+    * [[graft.streaming.EventsStreaming.dedupStream]] — batch/stream
+    * hash parity is a tested invariant, so there is exactly ONE
+    * definition): JSON-encode the column struct so content never
+    * collides across column boundaries (a separator-concat hash maps
+    * ("a b","c") and ("a","b c") to the same bytes); ignoreNullFields
+    * off keeps null explicit, so (null) and ("null") stay distinct. */
+  def contentHash(contentCols: Seq[String]): Column =
+    md5(to_json(struct(contentCols.map(col): _*),
+      Map("ignoreNullFields" -> "false")))
+
   /** Exact dedup: canonical = min(id) per identical content hash.
     * Returns (id, canonical_id, is_duplicate) — join back on id when the
     * content columns are needed; that keeps every shuffle in this
     * operator down to (hash, id) pairs. */
   def exact(df: DataFrame, idCol: String, contentCols: Seq[String]): DataFrame = {
-    // structural hash: JSON-encode the column struct so content never
-    // collides across column boundaries (a separator-concat hash maps
-    // ("a b","c") and ("a","b c") to the same bytes); ignoreNullFields
-    // off keeps null explicit, so (null) and ("null") stay distinct too
-    val h = md5(to_json(struct(contentCols.map(col): _*),
-      Map("ignoreNullFields" -> "false")))
-    val pairs = df.select(col(idCol), h.as("_h"))
+    val pairs = df.select(col(idCol), contentHash(contentCols).as("_h"))
     val canon = pairs.groupBy(col("_h")).agg(min(col(idCol)).as("canonical_id"))
     pairs.join(canon, "_h")
       .withColumn("is_duplicate", col(idCol) =!= col("canonical_id"))
@@ -240,14 +246,17 @@ object Dedup {
     * rides the shuffle because the output needs the surviving rows. */
   def firstOccurrence(df: DataFrame, contentCols: Seq[String],
                       orderCols: Seq[String]): DataFrame = {
-    val h = md5(to_json(struct(contentCols.map(col): _*),
-      Map("ignoreNullFields" -> "false")))
+    // prefixed working columns: this operates on the CALLER's frame, so
+    // plain "_h"/"_rn" names could silently clobber user columns
+    val hc = "__graft_fo_h"
+    val rc = "__graft_fo_rn"
+    val h = contentHash(contentCols)
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("_h")).orderBy(orderCols.map(col): _*)
-    df.withColumn("_h", h)
-      .withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") === 1)
-      .drop("_h", "_rn")
+      .partitionBy(col(hc)).orderBy(orderCols.map(col): _*)
+    df.withColumn(hc, h)
+      .withColumn(rc, row_number().over(w))
+      .filter(col(rc) === 1)
+      .drop(hc, rc)
   }
 
   /** SimHash signatures; identical-signature groups are near-dups.

@@ -192,12 +192,14 @@ object EventsStreaming {
       .schema(eventsSchemaRaw)
       .option("pathGlobFilter", glob)
       .parquet(dir))
+    // prefixed working column + the SHARED hash definition (batch/stream
+    // hash parity is the tested contract; see Dedup.contentHash)
+    val hc = "__graft_dedup_h"
     events
-      .withColumn("_h", md5(to_json(struct(contentCols.map(col): _*),
-        Map("ignoreNullFields" -> "false"))))
+      .withColumn(hc, graft.llm.Dedup.contentHash(contentCols))
       .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark("_h")
-      .drop("_h")
+      .dropDuplicatesWithinWatermark(hc)
+      .drop(hc)
       .writeStream
       .outputMode("append")
       .format("memory")
