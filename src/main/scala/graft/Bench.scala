@@ -17,12 +17,7 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // FileStreamSink's metadata probe on csv globs logs a benign WARN
-    // with a full stack (adjudicated noise in r2) — silence it so a
-    // non-empty stderr tail always means a real failure
-    org.apache.logging.log4j.core.config.Configurator.setLevel(
-      "org.apache.spark.sql.execution.streaming.sinks.FileStreamSink",
-      org.apache.logging.log4j.Level.ERROR)
+    graft.core.Logs.silenceBenignStreamingWarn()
 
     // warmup, untimed: one agg query plus a tiny sketch-pipeline run so
     // JVM/JIT warmup of the native expressions doesn't land on the first

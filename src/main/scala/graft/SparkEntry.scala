@@ -370,13 +370,15 @@ object SparkEntry {
 
     // --- first-occurrence dedup over replayed event deliveries: keep the
     // earliest row per content group (batch twin of the streaming
-    // dropDuplicatesWithinWatermark path; replays are engineered 2h-later
-    // copies so originals always win deterministically) ---
+    // dropDuplicatesWithinWatermark path; replays are engineered 30min
+    // later — inside the stream's default 1h replay horizon, so batch
+    // and stream agree on dropping them — and originals always win
+    // deterministically) ---
     "q_dedup_first" -> { (s, dir) =>
       val ev = EventsStreaming.readEvents(s, dir)
       val replays = ev.filter(pmod(col("event_id"), lit(7)) === 0)
         .withColumn("event_id", col("event_id") + 10000000L)
-        .withColumn("ts", col("ts") + expr("INTERVAL 2 HOURS"))
+        .withColumn("ts", col("ts") + expr("INTERVAL 30 MINUTES"))
       Dedup.firstOccurrence(ev.unionByName(replays),
           contentCols = Seq("user_id", "event_type", "value", "props"),
           orderCols = Seq("ts", "event_id"))
@@ -737,7 +739,7 @@ object SparkEntry {
       """WITH corpus AS (
         |  SELECT event_id, ts, user_id, event_type, value, props FROM events
         |  UNION ALL
-        |  SELECT event_id + 10000000, ts + INTERVAL 2 HOUR, user_id,
+        |  SELECT event_id + 10000000, ts + INTERVAL 30 MINUTE, user_id,
         |    event_type, value, props
         |  FROM events WHERE event_id % 7 = 0
         |), r AS (

@@ -47,8 +47,16 @@ class TransferEngine(cfg: JobConfig) {
   }
 
   /** Build the full lazy plan (read → validate → transform). */
-  def plan(spark: SparkSession): DataFrame = {
-    var df = sourceFrame(spark)
+  def plan(spark: SparkSession): DataFrame =
+    applyTransforms(spark, sourceFrame(spark))
+
+  /** Transform + skip-existing stages over an already-built source
+    * frame — split out so preview can render both stages from ONE
+    * source build (a second build would re-download http/ssh sources
+    * and re-run JDBC schema/bounds probes). */
+  private def applyTransforms(spark: SparkSession,
+                              source: DataFrame): DataFrame = {
+    var df = source
     // --transform-file wins over --transform (cli.rs:183-191)
     cfg.transform.file match {
       case Some(p) => df = graft.transform.LuaFile.fromFile(df, p)
@@ -103,10 +111,11 @@ class TransferEngine(cfg: JobConfig) {
     * schema when a transform is configured, then the first N rows in the
     * reference's fixed-width table — no write. */
   def preview(spark: SparkSession, n: Int = 10): String = {
-    val df = plan(spark)
+    val src = sourceFrame(spark) // built ONCE; both sections derive from it
+    val df = applyTransforms(spark, src)
     val sb = new StringBuilder
     sb.append("\nOriginal Schema Preview:\n")
-    sb.append(PreviewFormat.schemaBox(sourceFrame(spark).schema))
+    sb.append(PreviewFormat.schemaBox(src.schema))
     if (cfg.transform != TransformSpec()) {
       sb.append("\nApplying transformations...\n")
       sb.append("\nTransformed Schema Preview:\n")

@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.trees.{BinaryLike, UnaryLike}
@@ -67,6 +68,16 @@ object CollectCapped {
     new LongsBuf(arr, n, of)
   }
 
+  /** Integral ids of any width are accepted (widened per row); anything
+    * else fails ANALYSIS loudly instead of a runtime ClassCastException. */
+  private def checkIntegral(fn: String, name: String,
+                            dt: DataType): TypeCheckResult = dt match {
+    case LongType | IntegerType | ShortType | ByteType =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"$fn: $name must be an integral column, got ${other.simpleString}")
+  }
+
   /** collect up to `cap` longs per group, sorted; over-cap ⇒ NULL. */
   case class CollectLongsCapped(
       child: Expression,
@@ -77,6 +88,8 @@ object CollectCapped {
 
     require(cap >= 1, s"cap must be >= 1, got $cap")
 
+    override def checkInputDataTypes(): TypeCheckResult =
+      checkIntegral("collect_longs_capped", "col", child.dataType)
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = true
 
@@ -90,7 +103,7 @@ object CollectCapped {
           if (buf.n >= cap) poison(buf)
           else {
             ensure(buf, 1, cap)
-            buf.arr(buf.n) = v.asInstanceOf[Long]
+            buf.arr(buf.n) = v.asInstanceOf[Number].longValue
             buf.n += 1
           }
         }
@@ -139,6 +152,11 @@ object CollectCapped {
 
     require(cap >= 1, s"cap must be >= 1, got $cap")
 
+    override def checkInputDataTypes(): TypeCheckResult = {
+      val l = checkIntegral("collect_long_pairs_capped", "id", left.dataType)
+      if (l != TypeCheckResult.TypeCheckSuccess) l
+      else checkIntegral("collect_long_pairs_capped", "v", right.dataType)
+    }
     override def dataType: DataType = ArrayType(StructType(Seq(
       StructField("id", LongType, nullable = false),
       StructField("v", LongType, nullable = false))), containsNull = false)
@@ -155,8 +173,8 @@ object CollectCapped {
           if (buf.n >= 2 * cap) poison(buf)
           else {
             ensure(buf, 2, 2 * cap)
-            buf.arr(buf.n) = id.asInstanceOf[Long]
-            buf.arr(buf.n + 1) = v.asInstanceOf[Long]
+            buf.arr(buf.n) = id.asInstanceOf[Number].longValue
+            buf.arr(buf.n + 1) = v.asInstanceOf[Number].longValue
             buf.n += 2
           }
         }

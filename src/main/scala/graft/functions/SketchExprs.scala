@@ -290,21 +290,28 @@ object SketchExprs {
     * user writing `minhash_bands(h, 128, 32)` must get 128/32, and a
     * non-constant argument must be a loud error — silently falling back
     * to defaults would return wrong-parameter sketches. */
-  private[functions] def litInt(fn: String, name: String)(e: Expression): Int =
+  private[functions] def litLong(fn: String, name: String)(e: Expression): Long =
     if (e.foldable)
       e.eval(org.apache.spark.sql.catalyst.InternalRow.empty) match {
-        case i: java.lang.Integer => i.intValue
-        case l: java.lang.Long    => l.intValue
-        case s: java.lang.Short   => s.intValue
-        case b: java.lang.Byte    => b.intValue
+        case i: java.lang.Integer => i.longValue
+        case l: java.lang.Long    => l.longValue
+        case s: java.lang.Short   => s.longValue
+        case b: java.lang.Byte    => b.longValue
         case other => throw graft.core.GraftError.Configuration(
           s"$fn: $name must be an integer literal, got $other")
       }
     else throw graft.core.GraftError.Configuration(
       s"$fn: $name must be a foldable integer literal, got ${e.sql}")
 
-  private[functions] def litLong(fn: String, name: String)(e: Expression): Long =
-    litInt(fn, name)(e).toLong
+  private[functions] def litInt(fn: String, name: String)(e: Expression): Int = {
+    val l = litLong(fn, name)(e)
+    // a long literal that overflows Int must be loud, never truncated —
+    // a silently-wrapped parameter would return wrong-parameter sketches
+    if (l < Int.MinValue || l > Int.MaxValue)
+      throw graft.core.GraftError.Configuration(
+        s"$fn: $name out of Int range: $l")
+    l.toInt
+  }
 
   /** Register SQL names so `spark.sql` users get the sketches too.
     * Parameters are parsed from foldable literals; wrong arity or a

@@ -160,16 +160,22 @@ object VectorExprs {
     def sim(a: ArrayData, b: ArrayData): Double = {
       val va = toDoubles(a, leftElem)
       val vb = toDoubles(b, rightElem)
-      val n = math.min(va.length, vb.length)
+      // a dimension mismatch is a data bug — fail loudly rather than
+      // return a plausible-looking truncated dot product (the HOF form
+      // this replaced surfaced the mistake as NULL)
+      if (va.length != vb.length) throw new IllegalArgumentException(
+        s"cosine_sim: vector dimensions differ (${va.length} vs ${vb.length})")
+      val n = va.length
       var dot = 0.0
-      var i = 0
-      while (i < n) { dot += va(i) * vb(i); i += 1 }
       var na = 0.0
-      i = 0
-      while (i < va.length) { na += va(i) * va(i); i += 1 }
       var nb = 0.0
-      i = 0
-      while (i < vb.length) { nb += vb(i) * vb(i); i += 1 }
+      var i = 0
+      while (i < n) {
+        dot += va(i) * vb(i)
+        na += va(i) * va(i)
+        nb += vb(i) * vb(i)
+        i += 1
+      }
       dot / (math.sqrt(na) * math.sqrt(nb))
     }
 
@@ -217,10 +223,13 @@ object VectorExprs {
       var i = 0
       while (i < cents.length) {
         val c = cents(i)
-        val n = math.min(v.length, c.length)
+        // centroid/vector dimension mismatch is a data bug — loud, not
+        // a truncated distance that silently misassigns cells
+        if (c.length != v.length) throw new IllegalArgumentException(
+          s"nearest_centroid: vector dim ${v.length} != centroid dim ${c.length}")
         var d = 0.0
         var j = 0
-        while (j < n) { val t = v(j) - c(j); d += t * t; j += 1 }
+        while (j < v.length) { val t = v(j) - c(j); d += t * t; j += 1 }
         if (d < bestD) { bestD = d; best = i }
         i += 1
       }

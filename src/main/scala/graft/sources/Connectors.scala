@@ -520,10 +520,12 @@ object Connectors {
 
     def download(ref: Ref): Ref = {
       val e = ext(ref)
-      val cmdProbe = plan(ref, "")  // validate BEFORE the temp file exists
+      plan(ref, "") // validate BEFORE the temp file exists
       val tmp = java.nio.file.Files.createTempFile(localTmp(), "scp_dl_", s".$e")
       try {
-        val proc = new ProcessBuilder((cmdProbe.init :+ tmp.toString): _*).start()
+        // plan() is pure — rebuild with the real destination rather than
+        // positionally patching the probe argv
+        val proc = new ProcessBuilder(plan(ref, tmp.toString): _*).start()
         // drain stderr before waitFor so a chatty scp can't deadlock
         val stderr = new String(proc.getErrorStream.readAllBytes(),
           java.nio.charset.StandardCharsets.UTF_8)
@@ -540,7 +542,7 @@ object Connectors {
     }
   }
 
-  private def localTmp(): java.nio.file.Path = {
+  private[sources] def localTmp(): java.nio.file.Path = {
     val p = java.nio.file.Paths.get("/root/repo/target/tmp/downloads")
     java.nio.file.Files.createDirectories(p)
     p

@@ -173,12 +173,16 @@ object EventsStreaming {
   // ------------------- streaming exact dedup ---------------------------
 
   /** Streaming exact dedup over a parquet directory of event files:
-    * duplicate deliveries (same content hash) within the watermark
-    * horizon drop via `dropDuplicatesWithinWatermark`, keeping the first
+    * duplicate deliveries (same content hash) within `replayHorizon`
+    * drop via `dropDuplicatesWithinWatermark`, keeping the first
     * processed occurrence. State = one (hash, ts) entry per distinct
     * content, evicted once the watermark passes — bounded by the replay
     * horizon, not the stream length. Batch twin (what the oracle
-    * checks): [[graft.llm.Dedup.firstOccurrence]].
+    * checks): [[graft.llm.Dedup.firstOccurrence]] — equivalent ONLY for
+    * replays arriving within the horizon; a replay later than
+    * `replayHorizon` after its original is re-emitted by the stream
+    * (state already evicted) but still dropped by the batch pass, so
+    * size the horizon to the pipeline's actual redelivery window.
     *
     * `contentCols` defines identity; the hash is the same structural
     * `to_json(struct)` encoding as the batch dedups, so cross-column
@@ -186,7 +190,8 @@ object EventsStreaming {
   def dedupStream(spark: SparkSession, dir: String,
                   contentCols: Seq[String],
                   queryName: String = "events_dedup",
-                  glob: String = "*.parquet"): StreamingQuery = {
+                  glob: String = "*.parquet",
+                  replayHorizon: String = "1 hour"): StreamingQuery = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = nanosToTs(spark.readStream
       .schema(eventsSchemaRaw)
@@ -197,7 +202,7 @@ object EventsStreaming {
     val hc = "__graft_dedup_h"
     events
       .withColumn(hc, graft.llm.Dedup.contentHash(contentCols))
-      .withWatermark("ts", "1 hour")
+      .withWatermark("ts", replayHorizon)
       .dropDuplicatesWithinWatermark(hc)
       .drop(hc)
       .writeStream

@@ -118,5 +118,29 @@ class VectorExprsSpec extends SparkSpec {
       spark.sql("SELECT srp_bits(embedding, vec_id) FROM emb_sql").collect())
     intercept[graft.core.GraftError.Configuration](
       spark.sql("SELECT cosine_sim(embedding) FROM emb_sql").collect())
+    // a long seed beyond Int range is accepted un-truncated (regression:
+    // litLong used to round-trip through Int)
+    val bigSeed = spark.sql(
+      "SELECT srp_bits(embedding, 8, 4294967296) AS b FROM emb_sql")
+    val colSeed = sf("embeddings").limit(10)
+      .select(VectorExprs.srp_bits($"embedding", 8, 4294967296L).as("b"))
+    assert(bigSeed.exceptAll(colSeed).isEmpty && colSeed.exceptAll(bigSeed).isEmpty)
+    // ...while an Int-typed parameter that overflows Int errors loudly
+    intercept[graft.core.GraftError.Configuration](
+      spark.sql("SELECT srp_bits(embedding, 4294967296) FROM emb_sql").collect())
+  }
+
+  test("dimension mismatches fail loudly instead of truncating") {
+    val e1 = intercept[Exception](
+      Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")
+        .select(VectorExprs.cosine_sim($"a", $"b")).collect())
+    assert(e1.getMessage.contains("dimensions differ") ||
+      Option(e1.getCause).exists(_.getMessage.contains("dimensions differ")))
+    val e2 = intercept[Exception](
+      Seq(Seq(1.0, 2.0, 3.0)).toDF("v")
+        .select(VectorExprs.nearest_centroid($"v", Seq(Seq(0.0, 0.0))))
+        .collect())
+    assert(e2.getMessage.contains("centroid dim") ||
+      Option(e2.getCause).exists(_.getMessage.contains("centroid dim")))
   }
 }

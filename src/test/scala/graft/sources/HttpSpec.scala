@@ -5,7 +5,6 @@ import graft.SparkSpec
 import com.sun.net.httpserver.{HttpExchange, HttpHandler, HttpServer}
 import java.net.InetSocketAddress
 import java.nio.charset.StandardCharsets.UTF_8
-import scala.jdk.CollectionConverters._
 
 /** HTTP(S) source success paths against a local auth-exercising server —
   * the same trick as the reference's test_env/http-server/server.py,
@@ -73,22 +72,13 @@ class HttpSpec extends SparkSpec {
 
   test("non-2xx statuses surface as typed actionable errors (http.rs:66-90)") {
     withServer { port =>
-      def tmpFiles(): Set[String] = {
-        val d = java.nio.file.Paths.get("/root/repo/target/tmp/downloads")
-        if (!java.nio.file.Files.isDirectory(d)) Set.empty
-        else {
-          val s = java.nio.file.Files.list(d)
-          try s.iterator().asScala.map(_.getFileName.toString).toSet
-          finally s.close()
-        }
-      }
-      val before = tmpFiles()
+      val before = TestDownloads.files()
       val e = intercept[graft.core.GraftError.Connection](
         Connectors.read(spark, s"http://127.0.0.1:$port/boom.csv"))
       assert(e.getMessage.contains("HTTP 500") &&
         e.getMessage.contains("internal oops"))
       // the failed download must not leave a temp file behind
-      assert(tmpFiles() == before)
+      assert(TestDownloads.files() == before)
     }
   }
 

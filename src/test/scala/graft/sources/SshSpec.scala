@@ -41,22 +41,12 @@ class SshSpec extends AnyFunSuite {
   }
 
   test("failed scp surfaces a typed Connection error and leaves no temp file") {
-    def tmpFiles(): Set[String] = {
-      val d = java.nio.file.Paths.get("/root/repo/target/tmp/downloads")
-      if (!java.nio.file.Files.isDirectory(d)) Set.empty
-      else {
-        val s = java.nio.file.Files.list(d)
-        try {
-          import scala.jdk.CollectionConverters._
-          s.iterator().asScala.map(_.getFileName.toString).toSet
-        } finally s.close()
-      }
-    }
-    val before = tmpFiles()
+    val before = TestDownloads.files()
     // port 1 on loopback: connection refused instantly, no sshd needed
     val e = intercept[graft.core.GraftError.Connection](
       Connectors.Ssh.download(ref("ssh://nobody@127.0.0.1:1/tmp/x.csv")))
     assert(e.getMessage.contains("SCP failed"))
-    assert(tmpFiles() == before, "failed download must not leave a temp file")
+    assert(TestDownloads.files() == before,
+      "failed download must not leave a temp file")
   }
 }
