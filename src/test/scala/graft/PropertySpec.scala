@@ -98,6 +98,99 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("SrpBits executor eval equals SrpIndex.bucketOf driver math") {
+    // topK correctness hangs on this: the bucket computed per row by the
+    // native expression must equal the bucket the driver computes for a
+    // query vector from the same (seed, dim)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val vecGen = for {
+      dim <- Gen.choose(2, 48)
+      v <- Gen.listOfN(dim, Gen.choose(-5.0, 5.0))
+    } yield v
+    val cfg = Gen.zip(Gen.choose(1, 64), Gen.choose(0L, 1000L))
+    forAll2(vecGen, cfg, n = 150) { case (v, (planes, seed)) =>
+      val idx = graft.llm.Similarity.SrpIndex(planes, seed)
+      val expr = graft.functions.VectorExprs.SrpBits(
+        Literal.create(v, ArrayType(DoubleType, containsNull = false)),
+        planes, seed)
+      val fromExpr = expr.bits(new GenericArrayData(v.toArray))
+      assert(fromExpr == idx.bucketOf(v),
+        s"dim=${v.length} planes=$planes seed=$seed: expr=$fromExpr")
+      if (planes < 64) assert(fromExpr >= 0 && fromExpr < (1L << planes))
+    }
+  }
+
+  test("capped collects: any update/merge order obeys the cap contract") {
+    import graft.functions.CollectCapped.CollectLongsCapped
+    import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    import org.apache.spark.sql.types.LongType
+    val caseGen = for {
+      values <- Gen.listOf(Gen.choose(-1000L, 1000L))
+      cap <- Gen.choose(1, 12)
+      nParts <- Gen.choose(1, 4)
+    } yield (values, cap, nParts)
+    forAll(caseGen, n = 300) { case (values, cap, nParts) =>
+      val agg = CollectLongsCapped(BoundReference(0, LongType, nullable = false), cap)
+      // partial buffers per "partition", serialize/deserialize round-trip,
+      // then merge — the distributed lifecycle in miniature
+      val parts = values.zipWithIndex.groupBy(_._2 % nParts).values.toSeq
+        .map(_.map(_._1))
+      val partials = parts.map { p =>
+        val b = agg.createAggregationBuffer()
+        p.foreach(v => agg.update(b, InternalRow(v)))
+        agg.deserialize(agg.serialize(b))
+      }
+      val merged = partials.reduceOption((a, b) => agg.merge(a, b))
+        .getOrElse(agg.createAggregationBuffer())
+      val out = agg.eval(merged)
+      if (values.length > cap) assert(out == null,
+        s"${values.length} > cap $cap must poison")
+      else {
+        val got = out.asInstanceOf[ArrayData].toLongArray().toSeq
+        assert(got == values.sorted, s"cap=$cap parts=$nParts")
+      }
+    }
+  }
+
+  test("cosine/nearest-centroid: bounds and argmin optimality") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    import org.apache.spark.sql.types.{ArrayType, DoubleType}
+    val at = ArrayType(DoubleType, containsNull = false)
+    def lit(v: Seq[Double]) = Literal.create(v, at)
+    val vecGen = for {
+      dim <- Gen.choose(2, 16)
+      v <- Gen.listOfN(dim, Gen.choose(-3.0, 3.0))
+    } yield v
+    forAll2(vecGen, vecGen, n = 150) { (a0, b0) =>
+      val dim = math.min(a0.length, b0.length)
+      val (a, b) = (a0.take(dim), b0.take(dim))
+      if (a.exists(_ != 0.0) && b.exists(_ != 0.0)) {
+        val c = graft.functions.VectorExprs.CosineSim(lit(a), lit(b))
+          .sim(new GenericArrayData(a.toArray), new GenericArrayData(b.toArray))
+        assert(c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9, s"|cos|>1: $c")
+      }
+    }
+    val caseGen = for {
+      dim <- Gen.choose(2, 8)
+      nc <- Gen.choose(1, 6)
+      v <- Gen.listOfN(dim, Gen.choose(-3.0, 3.0))
+      cents <- Gen.listOfN(nc, Gen.listOfN(dim, Gen.choose(-3.0, 3.0)))
+    } yield (v, cents.map(_.toSeq))
+    forAll(caseGen, n = 150) { case (v, cents) =>
+      val cell = graft.functions.VectorExprs.NearestCentroid(lit(v), cents)
+        .cell(new GenericArrayData(v.toArray))
+      def d2(c: Seq[Double]) = c.zip(v).map { case (x, y) => (x - y) * (x - y) }.sum
+      val best = d2(cents(cell))
+      assert(cents.forall(c => best <= d2(c) + 1e-12),
+        s"cell $cell is not the argmin")
+    }
+  }
+
   test("ShingleHash equals builtin composition on random ASCII text (Spark)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
