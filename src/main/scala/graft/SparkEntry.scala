@@ -56,6 +56,54 @@ object SparkEntry {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
+    // --- multi-table join analytics (TPC-H Q3 shape; new surface,
+    // SURVEY §2.E): filters push into all three scans, the small
+    // filtered dimension broadcasts, revenue aggregates partially
+    // map-side, and the top-10 is TakeOrderedAndProject — the join plan
+    // a 100 TB fact table needs. Exact decimal sums; ties broken by key. ---
+    "q_top_orders" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val cutoff = lit("1998-06-01").cast("timestamp")
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < cutoff)
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > cutoff)
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(dec)).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+        .select(col("l_orderkey"), round(col("revenue"), 4).as("revenue"),
+          col("o_orderdate"))
+    },
+
+    // --- ranking window analytics (new surface, SURVEY §2.E): exact
+    // decimal revenue per (supplier, part), row_number within supplier,
+    // keep the top 3 — two shuffles total (partial-agg groupBy, then the
+    // window repartition on supplier), deterministic via part tiebreak ---
+    "q_supplier_rank" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val rev = t(s, dir, "lineitem")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(dec)).as("rev"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("rev").desc, col("l_partkey"))
+      rev.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= 3)
+        .select(col("l_suppkey"), col("l_partkey"),
+          round(col("rev").cast("double"), 4).as("revenue"),
+          col("rnk").cast("long").as("rnk"))
+    },
+
     // --- P1 inline transform (all input cols kept; assignments see input row) ---
     "q_transform_inline" -> { (s, dir) =>
       Transform.inline(t(s, dir, "lineitem"),
@@ -414,6 +462,37 @@ object SparkEntry {
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_supplier_rank" ->
+      """WITH r AS (
+        |  SELECT l_suppkey, l_partkey,
+        |    sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS rev
+        |  FROM lineitem GROUP BY l_suppkey, l_partkey
+        |), k AS (
+        |  SELECT l_suppkey, l_partkey, rev,
+        |    row_number() OVER (PARTITION BY l_suppkey
+        |                       ORDER BY rev DESC, l_partkey) AS rnk
+        |  FROM r
+        |)
+        |SELECT l_suppkey, l_partkey,
+        |  round(CAST(rev AS DOUBLE), 4) AS revenue,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM k WHERE rnk <= 3""".stripMargin,
+
+    "q_top_orders" ->
+      """SELECT l_orderkey,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+        |  o_orderdate
+        |FROM customer, orders, lineitem
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate < TIMESTAMP '1998-06-01'
+        |  AND l_shipdate > TIMESTAMP '1998-06-01'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE) DESC, l_orderkey
+        |LIMIT 10""".stripMargin,
 
     "q_transform_inline" ->
       """SELECT l_orderkey, CAST(l_linenumber AS BIGINT) AS l_linenumber,

@@ -103,6 +103,15 @@ class PlanSpec extends SparkSpec {
       "bucket/cosine projection left whole-stage codegen")
   }
 
+  test("q_top_orders: pushed filters, broadcast dimension, TakeOrdered top-k") {
+    val df = SparkEntry.queries("q_top_orders")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThan(l_shipdate"),
+      s"lineitem date filter not pushed:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "filtered customer dim must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
+  }
+
   test("ANN probes prune partitions when the index is the partition key") {
     val dir = tmpDir("ann_prune")
     val emb = sf("embeddings")
