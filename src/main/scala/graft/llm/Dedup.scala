@@ -36,10 +36,12 @@ object Dedup {
     * definition): JSON-encode the column struct so content never
     * collides across column boundaries (a separator-concat hash maps
     * ("a b","c") and ("a","b c") to the same bytes); ignoreNullFields
-    * off keeps null explicit, so (null) and ("null") stay distinct. */
+    * off keeps null explicit, so (null) and ("null") stay distinct.
+    * Stored as BINARY(16) via unhex — at 100 TB the hash column rides
+    * every dedup shuffle, and the hex-string form is 2× the bytes. */
   def contentHash(contentCols: Seq[String]): Column =
-    md5(to_json(struct(contentCols.map(col): _*),
-      Map("ignoreNullFields" -> "false")))
+    unhex(md5(to_json(struct(contentCols.map(col): _*),
+      Map("ignoreNullFields" -> "false"))))
 
   /** Exact dedup: canonical = min(id) per identical content hash.
     * Returns (id, canonical_id, is_duplicate) — join back on id when the

@@ -87,7 +87,14 @@ object Connectors {
       case u if u.endsWith(".avro")    => Ref("avro", body, frag, options)
       case u if u.endsWith(".db")      => jdbc(s"jdbc:sqlite:$body")
       case u if u.endsWith(".duckdb")  => jdbc(s"jdbc:duckdb:$body")
-      case _ => throw UnsupportedUri(uri, Supported)
+      case _ =>
+        // --source-type forces the format for extension-less local
+        // paths (cli.rs --source-type; http already honors it)
+        options.get("sourceType") match {
+          case Some(t @ ("csv" | "json" | "parquet" | "avro")) =>
+            Ref(t, body, frag, options)
+          case _ => throw UnsupportedUri(uri, Supported)
+        }
     }
   }
 

@@ -136,6 +136,18 @@ class CliSpec extends SparkSpec {
     assert(out.schema("id").dataType == org.apache.spark.sql.types.LongType)
   }
 
+  test("--source-type forces the format for extension-less local files") {
+    val dir = tmpDir("cli_srctype")
+    writeText(s"$dir/data_noext", "x,y\n7,a\n8,b\n")
+    val cfg = parse(List(s"$dir/data_noext", s"$dir/out.parquet",
+      "--source-type", "csv")).asInstanceOf[Transfer].cfg
+    assert(runTransfer(cfg, None, dryRun = false, "error") == 0)
+    assert(spark.read.parquet(s"$dir/out.parquet").count() == 2)
+    // without the flag, an extension-less path is a loud routing error
+    intercept[IllegalArgumentException](
+      graft.sources.Connectors.parse(s"$dir/data_noext"))
+  }
+
   test("run job.yaml end-to-end with env substitution") {
     val dir = tmpDir("cli_yaml")
     writeText(s"$dir/in.csv", "a,b\n1,x\n2,y\n")
