@@ -60,6 +60,10 @@ object Connectors {
     val lower = body.toLowerCase
     def jdbc(url: String) = Ref("jdbc", url, frag, options)
     lower match {
+      case u if u.startsWith("jdbc:") =>
+        // raw JDBC URLs pass through for any driver on the classpath
+        // (e.g. the Derby engine Spark ships for its Hive metastore)
+        jdbc(body)
       case u if u.startsWith("http://") || u.startsWith("https://") =>
         Ref("http", body, frag, options)
       case u if u.startsWith("ssh://") => Ref("ssh", body, frag, options)
@@ -164,8 +168,14 @@ object Connectors {
       partitionCol match {
         case Some(pc) =>
           val bounded = scala.util.Try {
+            // dialect-quote the probed column: engines with folding
+            // identifiers (e.g. Derby uppercases unquoted names) would
+            // otherwise reject the probe for Spark-created lowercase
+            // columns and silently lose the partitioned scan
+            val q = org.apache.spark.sql.jdbc.JdbcDialects.get(ref.path)
+              .quoteIdentifier(pc)
             val b = base
-              .option("query", s"SELECT MIN($pc) AS mn, MAX($pc) AS mx FROM $table")
+              .option("query", s"SELECT MIN($q) AS mn, MAX($q) AS mx FROM $table")
               .load().head()
             if (b.isNullAt(0)) plain // empty table
             else plain
