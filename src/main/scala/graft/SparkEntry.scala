@@ -57,10 +57,12 @@ object SparkEntry {
     },
 
     // --- multi-table join analytics (TPC-H Q3 shape; new surface,
-    // SURVEY §2.E): filters push into all three scans, the small
-    // filtered dimension broadcasts, revenue aggregates partially
-    // map-side, and the top-10 is TakeOrderedAndProject — the join plan
-    // a 100 TB fact table needs. Exact decimal sums; ties broken by key. ---
+    // SURVEY §2.E): filters push into all three scans, revenue
+    // aggregates partially map-side, and the top-10 is
+    // TakeOrderedAndProject. The dimension join strategy is left to
+    // AQE's size estimate (broadcast at this scale, shuffle join when
+    // the filtered dimension outgrows the threshold at 100 TB) — no
+    // forced broadcast hint. Exact decimal sums; ties broken by key. ---
     "q_top_orders" -> { (s, dir) =>
       val dec = org.apache.spark.sql.types.DecimalType(18, 4)
       val cutoff = lit("1998-06-01").cast("timestamp")
@@ -74,7 +76,7 @@ object SparkEntry {
         .filter(col("l_shipdate") > cutoff)
         .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast(dec)).cast("double").as("revenue"))

@@ -93,11 +93,18 @@ object Connectors {
       case u if u.endsWith(".duckdb")  => jdbc(s"jdbc:duckdb:$body")
       case _ =>
         // --source-type forces the format for extension-less local
-        // paths (cli.rs --source-type; http already honors it)
+        // paths (cli.rs --source-type; http already honors it); an
+        // unrecognized value is ITS OWN loud error, not a misleading
+        // unsupported-uri message
         options.get("sourceType") match {
-          case Some(t @ ("csv" | "json" | "parquet" | "avro")) =>
-            Ref(t, body, frag, options)
-          case _ => throw UnsupportedUri(uri, Supported)
+          case Some(t) => t.toLowerCase match {
+            case n @ ("csv" | "json" | "parquet" | "avro") =>
+              Ref(n, body, frag, options)
+            case _ => throw graft.core.GraftError.Configuration(
+              s"unsupported sourceType '$t' for uri '$uri' " +
+                "(expected csv|json|parquet|avro)")
+          }
+          case None => throw UnsupportedUri(uri, Supported)
         }
     }
   }
@@ -174,7 +181,13 @@ object Connectors {
             // columns and silently lose the partitioned scan
             val q = org.apache.spark.sql.jdbc.JdbcDialects.get(ref.path)
               .quoteIdentifier(pc)
+            // the probe connection needs the user's connection options
+            // (user/password/driver/...) too — without them it fails
+            // auth on every credentialed database and the Try silently
+            // degrades to a single-connection scan
             val b = base
+              .options(ref.options - "partitionColumn" - "numPartitions"
+                - "lowerBound" - "upperBound")
               .option("query", s"SELECT MIN($q) AS mn, MAX($q) AS mx FROM $table")
               .load().head()
             if (b.isNullAt(0)) plain // empty table
@@ -256,10 +269,19 @@ object Connectors {
             ref.options.get("createTableColumnTypes")
               .map(mssqlCoerce(df, _)).getOrElse(df)
           else df
+        // raw jdbc: URLs get a typed error without #table — the
+        // file-stem fallback would derive a garbage table name from the
+        // connection string and fail deep in the driver
+        val targetTable = ref.table.getOrElse {
+          if (uri.startsWith("jdbc:"))
+            throw graft.core.GraftError.Configuration(
+              s"jdbc target needs #table: $uri")
+          else tableName(uri)
+        }
         val writer = frame.write.mode(if (truncate) SaveMode.Overwrite else SaveMode.Append)
           .format("jdbc")
           .option("url", ref.path)
-          .option("dbtable", ref.table.getOrElse(tableName(uri)))
+          .option("dbtable", targetTable)
           .option("truncate", truncate.toString)
         val withDdl = sinkDdl(ref.path, frame.schema) match {
           case Some(ddl) if !ref.options.contains("createTableColumnTypes") =>

@@ -35,9 +35,16 @@ class JdbcLiveSpec extends SparkSpec {
     assert(rows.length == 1 && rows.head.getAs[String]("name") == "alan")
   }
 
+  /** Fresh per-test events table so tests stay order-independent. */
+  private def eventsTable(db: String): String = {
+    val uri = s"${url(db)}#events"
+    Connectors.write((1L to 200L).map(i => (i, s"v$i")).toDF("id", "payload"),
+      uri, truncate = true)
+    uri
+  }
+
   test("pk heuristic + MIN/MAX probe parallelize the scan (odbc.rs keyset idea)") {
-    val uri = s"${url("pdb")}#events"
-    Connectors.write((1L to 200L).map(i => (i, s"v$i")).toDF("id", "payload"), uri)
+    val uri = eventsTable("pdb")
     val df = Connectors.read(spark, uri)
     assert(df.count() == 200)
     // the integer `id` column triggers the partitionColumn path: the
@@ -50,7 +57,7 @@ class JdbcLiveSpec extends SparkSpec {
   }
 
   test("explicit partition spec passes through; partial specs degrade gracefully") {
-    val uri = s"${url("pdb")}#events"
+    val uri = eventsTable("sdb")
     val full = Connectors.read(spark, uri, Map(
       "partitionColumn" -> "id", "lowerBound" -> "1", "upperBound" -> "200",
       "numPartitions" -> "4"))
@@ -62,7 +69,8 @@ class JdbcLiveSpec extends SparkSpec {
   }
 
   test("query-as-source mode (mssql.rs custom-query idea, any dialect)") {
-    val uri = url("pdb") // no #table needed with a query
+    eventsTable("qdb")
+    val uri = url("qdb") // no #table needed with a query
     // Derby folds unquoted identifiers to uppercase; Spark created the
     // columns quoted-lowercase, so the custom query quotes them
     val df = Connectors.read(spark, uri, Map(
