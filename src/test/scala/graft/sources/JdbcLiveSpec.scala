@@ -85,6 +85,34 @@ class JdbcLiveSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 1 && df.count() == 2)
   }
 
+  test("CLI csv → live jdbc with transform (examples/05-06 shape)") {
+    val dir = tmpDir("jdbc_cli")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.csv"),
+      "id,price\n1,10.5\n2,20.0\n3,0.5\n")
+    val uri = s"${url("clidb")}#products"
+    val parsed = graft.Main.parse(List(s"$dir/in.csv", uri,
+      "--transform", "cents=row.price * 100", "--truncate"))
+      .asInstanceOf[graft.Main.Transfer]
+    assert(graft.Main.runTransfer(parsed.cfg, None, dryRun = false, "error") == 0)
+    val back = Connectors.read(spark, uri)
+    assert(back.count() == 3)
+    assert(back.filter($"id" === 2L).head.getAs[Double]("cents") == 2000.0)
+  }
+
+  test("skip-existing anti-joins against a live jdbc target's keys") {
+    val dir = tmpDir("jdbc_skip")
+    val uri = s"${url("skipdb")}#items"
+    Connectors.write(Seq((1L, "old"), (2L, "old")).toDF("id", "v"), uri,
+      truncate = true)
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$dir/in.csv"), "id,v\n1,new\n3,new\n")
+    val cfg = graft.engine.JobConfig(s"$dir/in.csv", uri, skipExisting = true)
+    new graft.engine.TransferEngine(cfg).execute(spark)
+    val ids = Connectors.read(spark, uri).select($"id").as[Long].collect().sorted
+    assert(ids.toSeq == Seq(1L, 2L, 3L), "only the unseen key appends")
+  }
+
   test("transfer engine end-to-end into and out of a live jdbc target") {
     val dir = tmpDir("jdbc_engine")
     sf("nation").write.mode("overwrite").parquet(s"$dir/in.parquet")
