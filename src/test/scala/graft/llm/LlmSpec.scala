@@ -314,6 +314,20 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.minhashPairs(intDocs, "doc_id", "text", nGram = 1).count() == 1)
   }
 
+  test("dedup operators handle empty and singleton corpora") {
+    val empty = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Dedup.exact(empty, "id", Seq("text")).count() == 0)
+    assert(Dedup.minhashPairs(empty, "id", "text").count() == 0)
+    assert(Dedup.minhashDedupConnected(empty, "id", "text").count() == 0)
+    assert(Dedup.simhashPairs(empty, "id", "text").count() == 0)
+    val one = Seq((1L, "a solitary document")).toDF("id", "text")
+    val c = Dedup.minhashDedupConnected(one, "id", "text").collect()
+    assert(c.length == 1 && c.head.getLong(1) == 1L && !c.head.getBoolean(2))
+    val noVecs = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
+    assert(Dedup.embeddingPairs(noVecs, "id", "vec").count() == 0,
+      "empty embedding frame must not need a dim probe")
+  }
+
   test("embeddingDedup decision mirrors embeddingPairs") {
     val vecs = Seq(
       (5L, Seq(1.0f, 0.0f, 0.5f, 0.2f)),
