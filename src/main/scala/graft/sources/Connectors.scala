@@ -469,9 +469,16 @@ object Connectors {
     def download(ref: Ref): Ref = {
       val url = new java.net.URI(ref.path).toURL
       val conn = url.openConnection().asInstanceOf[java.net.HttpURLConnection]
-      ref.options.get("bearer_token").foreach(t =>
-        conn.setRequestProperty("Authorization", s"Bearer $t"))
-      for (u <- ref.options.get("username"); p <- ref.options.get("password")) {
+      // reference option names first (http.rs:53-65: auth.basic.username/
+      // auth.basic.password/auth.bearer); short forms kept as aliases
+      ref.options.get("auth.bearer").orElse(ref.options.get("bearer_token"))
+        .foreach(t => conn.setRequestProperty("Authorization", s"Bearer $t"))
+      for {
+        u <- ref.options.get("auth.basic.username")
+          .orElse(ref.options.get("username"))
+        p <- ref.options.get("auth.basic.password")
+          .orElse(ref.options.get("password"))
+      } {
         val cred = java.util.Base64.getEncoder.encodeToString(
           s"$u:$p".getBytes(java.nio.charset.StandardCharsets.UTF_8))
         conn.setRequestProperty("Authorization", s"Basic $cred")

@@ -57,9 +57,13 @@ class HttpSpec extends SparkSpec {
 
   test("basic auth via username/password options (http.rs:40-65)") {
     withServer { port =>
+      // reference option names (README "Available HTTP Options")
       val df = Connectors.read(spark, s"http://127.0.0.1:$port/basic.csv",
-        Map("username" -> "user", "password" -> "pass"))
+        Map("auth.basic.username" -> "user", "auth.basic.password" -> "pass"))
       assert(df.count() == 3)
+      // short-form aliases keep working
+      assert(Connectors.read(spark, s"http://127.0.0.1:$port/basic.csv",
+        Map("username" -> "user", "password" -> "pass")).count() == 3)
       // wrong password → 401 → typed Connection error with status + body
       val e = intercept[graft.core.GraftError.Connection](Connectors.read(spark,
         s"http://127.0.0.1:$port/basic.csv",
@@ -85,8 +89,10 @@ class HttpSpec extends SparkSpec {
   test("bearer token option") {
     withServer { port =>
       val df = Connectors.read(spark, s"http://127.0.0.1:$port/bearer.csv",
-        Map("bearer_token" -> "tok123"))
+        Map("auth.bearer" -> "tok123"))
       assert(df.count() == 3)
+      assert(Connectors.read(spark, s"http://127.0.0.1:$port/bearer.csv",
+        Map("bearer_token" -> "tok123")).count() == 3) // alias
     }
   }
 
