@@ -30,6 +30,10 @@ object Main {
   final case class GenConfig(cfg: JobConfig) extends Cmd
   case object GenDefault extends Cmd
   case object Help extends Cmd
+  case object Version extends Cmd
+
+  /** Version line (reference prints `tinyetl <semver>` for -V). */
+  val versionLine = "graft 0.10.0 (Spark engine, TinyETL-compatible)"
 
   val usage: String =
     """A tiny ETL tool for moving data between sources (Spark edition)
@@ -60,6 +64,7 @@ object Main {
       try {
         parse(args.toList) match {
           case Help          => println(usage); 0
+          case Version       => println(versionLine); 0
           case GenDefault    => println(defaultConfig); 0
           case GenConfig(c)  => println(YamlJob.render(c)); 0
           case RunYaml(f)    => runTransfer(YamlJob.fromFile(f), None, dryRun = false, "info")
@@ -74,8 +79,21 @@ object Main {
 
   // ------------------------------ parsing ------------------------------
 
-  def parse(args: List[String]): Cmd = args match {
+  def parse(rawArgs: List[String]): Cmd = {
+    // `--flag=value` form (README uses `--source-type=csv`) splits into
+    // the space-separated form the matcher handles
+    val args = rawArgs.flatMap { a =>
+      if (a.startsWith("--") && a.contains('=')) {
+        val i = a.indexOf('=')
+        List(a.take(i), a.drop(i + 1))
+      } else List(a)
+    }
+    parseSplit(args)
+  }
+
+  private def parseSplit(args: List[String]): Cmd = args match {
     case Nil | ("--help" | "-h") :: _ => Help
+    case ("--version" | "-V") :: _ => Version
     case "generate-default-config" :: Nil => GenDefault
     case "generate-config" :: rest =>
       val (cfg, _, _, _) = parseTransferArgs(rest)
@@ -124,10 +142,11 @@ object Main {
       case "--source-type" :: v :: t      => sourceType = Some(v); loop(t)
       case "--source-secret-id" :: v :: t => sourceSecret = Some(v); loop(t)
       case "--dest-secret-id" :: v :: t   => destSecret = Some(v); loop(t)
-      case "--infer-schema" :: v :: t     =>
+      case "--infer-schema" :: v :: t if v == "true" || v == "false" =>
         // sampled inference is always on for untyped sources; parsed for
-        // CLI parity (cli.rs:22-24)
-        val _ = v.toBoolean; loop(t)
+        // CLI parity (cli.rs:22-24) — with or without an explicit bool
+        loop(t)
+      case "--infer-schema" :: t          => loop(t)
       case "--log-level" :: v :: t        =>
         if (!Set("info", "warn", "error")(v))
           throw GraftError.Configuration(s"unknown log level '$v'")

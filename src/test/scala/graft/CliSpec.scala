@@ -136,6 +136,21 @@ class CliSpec extends SparkSpec {
     assert(out.schema("id").dataType == org.apache.spark.sql.types.LongType)
   }
 
+  test("flag forms: --flag=value, bare --infer-schema, --version") {
+    assert(parse(List("--version")) == graft.Main.Version)
+    assert(parse(List("-V")) == graft.Main.Version)
+    // README uses --source-type=csv; clap's --infer-schema takes no value
+    val t = parse(List("in_noext", "out.parquet",
+      "--source-type=csv", "--infer-schema", "--batch-size=500"))
+      .asInstanceOf[Transfer]
+    assert(t.cfg.sourceOptions("sourceType") == "csv")
+    assert(t.cfg.sourceOptions("fetchsize") == "500")
+    // explicit bool form still accepted
+    val t2 = parse(List("a.csv", "b.parquet", "--infer-schema", "true"))
+      .asInstanceOf[Transfer]
+    assert(t2.cfg.source == "a.csv")
+  }
+
   test("--source-type forces the format for extension-less local files") {
     val dir = tmpDir("cli_srctype")
     writeText(s"$dir/data_noext", "x,y\n7,a\n8,b\n")
