@@ -67,7 +67,9 @@ object Main {
           case Version       => println(versionLine); 0
           case GenDefault    => println(defaultConfig); 0
           case GenConfig(c)  => println(YamlJob.render(c)); 0
-          case RunYaml(f)    => runTransfer(YamlJob.fromFile(f), None, dryRun = false, "info")
+          case RunYaml(f) =>
+            val r = YamlJob.load(f)
+            runTransfer(r.cfg, r.preview, r.dryRun, r.logLevel)
           case Transfer(c, p, d, ll) => runTransfer(c, p, d, ll)
         }
       } catch {
@@ -246,16 +248,22 @@ object Main {
       |  uri: "employees.csv"          # file path or connection string
       |  # options:
       |  #   header.User-Agent: "graft/0.1"
-      |  #   username: "user"
-      |  #   password: "${PASSWORD}"
-      |  #   bearer_token: "${BEARER_TOKEN}"
+      |  #   auth.basic.username: "user"
+      |  #   auth.basic.password: "${PASSWORD}"
+      |  #   auth.bearer: "${BEARER_TOKEN}"
       |
       |target:
       |  uri: "employees.parquet"      # or postgres://user@host/db#table
       |
       |options:
-      |  # transform: "full_name=row.first .. ' ' .. row.last"
-      |  # transform_file: "transform.lua"
+      |  # batch_size: 10000
+      |  # preview: 10
+      |  # dry_run: false
+      |  # log_level: info
+      |  # source_type: csv
+      |  # transform:
+      |  #   type: inline              # inline | script | file | none
+      |  #   value: "full_name=row.first .. ' ' .. row.last"
       |  # schema_file: "schema.yaml"
       |  truncate: false
       |""".stripMargin

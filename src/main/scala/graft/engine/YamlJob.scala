@@ -6,21 +6,33 @@ import scala.jdk.CollectionConverters._
 /** YAML job config (U5, `/root/reference/src/yaml_config.rs:9-171`):
   *
   * {{{
-  * version: "1.0"
+  * version: 1
   * source: { uri: "in.csv", options: { header.X-Key: "${API_KEY}" } }
   * target: { uri: "out.parquet" }
   * options:
-  *   transform: "gross = row.a * row.b"
-  *   transform_script: |
-  *     x = row.a + 1
+  *   transform:             # reference serde form: tag=type, content=value
+  *     type: inline         # inline | script | file | none
+  *     value: "gross = row.a * row.b"
   *   schema_file: schema.yaml
+  *   source_type: csv
+  *   batch_size: 10000
+  *   preview: 10
+  *   dry_run: false
+  *   log_level: info
   *   truncate: true
   * }}}
   *
-  * `${VAR}` environment substitution applies to uris, option values,
-  * transform bodies and schema_file (yaml_config.rs:83-171).
+  * A plain-string `transform:` plus `transform_script`/`transform_file`/
+  * `filter` flat keys are accepted as a shorthand. `${VAR}` environment
+  * substitution applies to uris, option values, transform bodies and
+  * schema_file (yaml_config.rs:83-171).
   */
 object YamlJob {
+
+  /** A parsed job plus the run-mode settings the reference honors from
+    * YAML (yaml_config.rs:28-38: preview/dry_run/log_level). */
+  final case class YamlRun(cfg: JobConfig, preview: Option[Int],
+                           dryRun: Boolean, logLevel: String)
 
   private val VarRe = "\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
 
@@ -30,10 +42,16 @@ object YamlJob {
         throw graft.core.GraftError.Configuration(s"undefined env var $${${m.group(1)}}"))))
 
   def fromFile(path: String, env: Map[String, String] = sys.env): JobConfig =
-    fromYaml(new String(java.nio.file.Files.readAllBytes(
+    load(path, env).cfg
+
+  def fromYaml(yaml: String, env: Map[String, String] = sys.env): JobConfig =
+    loadYaml(yaml, env).cfg
+
+  def load(path: String, env: Map[String, String] = sys.env): YamlRun =
+    loadYaml(new String(java.nio.file.Files.readAllBytes(
       java.nio.file.Paths.get(path)), java.nio.charset.StandardCharsets.UTF_8), env)
 
-  def fromYaml(yaml: String, env: Map[String, String] = sys.env): JobConfig = {
+  def loadYaml(yaml: String, env: Map[String, String] = sys.env): YamlRun = {
     val root = new org.yaml.snakeyaml.Yaml().load[JMap[String, Object]](yaml)
     def section(k: String): Map[String, Object] =
       Option(root.get(k)).map(_.asInstanceOf[JMap[String, Object]].asScala.toMap)
@@ -53,20 +71,56 @@ object YamlJob {
     val targetUri = sub(tgt.getOrElse("uri",
       throw graft.core.GraftError.Configuration("job yaml missing target.uri")).toString)
 
-    JobConfig(
-      source = Secrets.inject(sourceUri, opts.get("source_secret_id").map(_.toString)),
-      target = Secrets.inject(targetUri, opts.get("target_secret_id").map(_.toString)),
-      sourceOptions = optMap(src, "options"),
-      targetOptions = optMap(tgt, "options"),
-      transform = TransformSpec(
-        inline = opts.get("transform").map(v => sub(v.toString)),
-        script = opts.get("transform_script").map(v => sub(v.toString)),
-        filter = opts.get("filter").map(v => sub(v.toString)),
-        file = opts.get("transform_file").map(v => sub(v.toString))),
-      schemaFile = opts.get("schema_file").map(v => sub(v.toString)),
-      truncate = opts.get("truncate").exists(_.toString.toBoolean),
-      skipExisting = opts.get("skip_existing").exists(_.toString.toBoolean),
-      primaryKey = opts.get("primary_key").map(_.toString))
+    // transform: the reference's typed map {type: inline|script|file|none,
+    // value: ...} (transformer.rs serde tag/content), with the flat
+    // string + transform_script/transform_file/filter shorthand kept
+    val transformSpec = opts.get("transform") match {
+      case Some(m: JMap[_, _]) =>
+        val mm = m.asInstanceOf[JMap[String, Object]].asScala
+        val tpe = mm.get("type").map(_.toString).getOrElse("none")
+        val value = mm.get("value").map(v => sub(v.toString))
+        val base = tpe match {
+          case "inline" => TransformSpec(inline = value)
+          case "script" => TransformSpec(script = value)
+          case "file"   => TransformSpec(file = value)
+          case "none"   => TransformSpec()
+          case other => throw graft.core.GraftError.Configuration(
+            s"unknown transform type '$other' (inline|script|file|none)")
+        }
+        base.copy(filter = opts.get("filter").map(v => sub(v.toString)))
+      case flat =>
+        TransformSpec(
+          inline = flat.map(v => sub(v.toString)),
+          script = opts.get("transform_script").map(v => sub(v.toString)),
+          filter = opts.get("filter").map(v => sub(v.toString)),
+          file = opts.get("transform_file").map(v => sub(v.toString)))
+    }
+
+    // batch_size/source_type mirror the CLI flags' option wiring
+    val batchOpts = opts.get("batch_size").map(v => Map(
+      "fetchsize" -> v.toString, "batchsize" -> v.toString,
+      "maxRecordsPerFile" -> v.toString)).getOrElse(Map.empty)
+    val srcTypeOpt = opts.get("source_type")
+      .map(v => "sourceType" -> sub(v.toString)).toMap
+
+    val logLevel = opts.get("log_level").map(_.toString).getOrElse("info")
+    if (!Set("info", "warn", "error")(logLevel))
+      throw graft.core.GraftError.Configuration(s"unknown log level '$logLevel'")
+
+    YamlRun(
+      JobConfig(
+        source = Secrets.inject(sourceUri, opts.get("source_secret_id").map(_.toString)),
+        target = Secrets.inject(targetUri, opts.get("target_secret_id").map(_.toString)),
+        sourceOptions = batchOpts ++ srcTypeOpt ++ optMap(src, "options"),
+        targetOptions = batchOpts ++ optMap(tgt, "options"),
+        transform = transformSpec,
+        schemaFile = opts.get("schema_file").map(v => sub(v.toString)),
+        truncate = opts.get("truncate").exists(_.toString.toBoolean),
+        skipExisting = opts.get("skip_existing").exists(_.toString.toBoolean),
+        primaryKey = opts.get("primary_key").map(_.toString)),
+      preview = opts.get("preview").map(v => v.toString.toInt),
+      dryRun = opts.get("dry_run").exists(_.toString.toBoolean),
+      logLevel = logLevel)
   }
 
   /** Generate a YAML job from a config (U6, main.rs:40-155). */
@@ -74,12 +128,20 @@ object YamlJob {
     def opts(m: Map[String, String], indent: String): String =
       if (m.isEmpty) "" else m.map { case (k, v) => s"$indent$k: \"$v\"" }
         .mkString("\n", "\n", "")
+    // transform emitted in the reference's typed form (file wins over
+    // inline, mirroring the CLI precedence)
+    val transformYaml =
+      cfg.transform.file.map(f =>
+        s"\n  transform:\n    type: file\n    value: \"$f\"")
+        .orElse(cfg.transform.inline.map(t =>
+          s"\n  transform:\n    type: inline\n    value: \"$t\""))
+        .getOrElse("")
     s"""version: "1.0"
        |source:
        |  uri: "${cfg.source}"${if (cfg.sourceOptions.nonEmpty) "\n  options:" + opts(cfg.sourceOptions, "    ") else ""}
        |target:
        |  uri: "${cfg.target}"${if (cfg.targetOptions.nonEmpty) "\n  options:" + opts(cfg.targetOptions, "    ") else ""}
-       |options:${cfg.transform.inline.map(t => s"\n  transform: \"$t\"").getOrElse("")}${cfg.transform.file.map(f => s"\n  transform_file: \"$f\"").getOrElse("")}${cfg.schemaFile.map(f => s"\n  schema_file: \"$f\"").getOrElse("")}
+       |options:$transformYaml${cfg.schemaFile.map(f => s"\n  schema_file: \"$f\"").getOrElse("")}
        |  truncate: ${cfg.truncate}${if (cfg.skipExisting) "\n  skip_existing: true" else ""}
        |""".stripMargin
   }

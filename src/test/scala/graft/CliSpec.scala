@@ -163,6 +163,45 @@ class CliSpec extends SparkSpec {
       graft.sources.Connectors.parse(s"$dir/data_noext"))
   }
 
+  test("yaml: typed transform map + run-mode options (yaml_config.rs shape)") {
+    val r = YamlJob.loadYaml(
+      """version: 1
+        |source:
+        |  uri: "in_noext"
+        |target:
+        |  uri: "out.parquet"
+        |options:
+        |  batch_size: 500
+        |  preview: 7
+        |  dry_run: true
+        |  log_level: warn
+        |  source_type: csv
+        |  transform:
+        |    type: script
+        |    value: |
+        |      x = row.a + 1
+        |      y = x * 2
+        |""".stripMargin)
+    assert(r.cfg.transform.script.exists(_.contains("y = x * 2")))
+    assert(r.cfg.transform.inline.isEmpty)
+    assert(r.cfg.sourceOptions("sourceType") == "csv")
+    assert(r.cfg.sourceOptions("fetchsize") == "500")
+    assert(r.preview.contains(7) && r.dryRun && r.logLevel == "warn")
+    // type: none → no transform; unknown type is loud
+    assert(YamlJob.loadYaml(
+      """source: {uri: a.csv}
+        |target: {uri: b.parquet}
+        |options:
+        |  transform: {type: none}
+        |""".stripMargin).cfg.transform == graft.engine.TransformSpec())
+    intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.csv}
+        |target: {uri: b.parquet}
+        |options:
+        |  transform: {type: magic, value: x}
+        |""".stripMargin))
+  }
+
   test("run job.yaml end-to-end with env substitution") {
     val dir = tmpDir("cli_yaml")
     writeText(s"$dir/in.csv", "a,b\n1,x\n2,y\n")
