@@ -68,7 +68,10 @@ object Connectors {
         Ref("http", body, frag, options)
       case u if u.startsWith("ssh://") => Ref("ssh", body, frag, options)
       case u if u.startsWith("sqlite:") =>
-        jdbc(s"jdbc:sqlite:${body.stripPrefix("sqlite:")}")
+        // README's sqlite:///abs/path form: collapse the authority
+        // slashes so the driver sees a plain absolute path
+        val p = body.stripPrefix("sqlite:")
+        jdbc(s"jdbc:sqlite:${if (p.startsWith("//")) p.drop(2) else p}")
       case u if u.startsWith("duckdb:") =>
         jdbc(s"jdbc:duckdb:${body.stripPrefix("duckdb:")}")
       case u if u.startsWith("postgres://") || u.startsWith("postgresql://") =>
