@@ -86,6 +86,32 @@ object SparkEntry {
           col("o_orderdate"))
     },
 
+    // --- six-table join analytics (TPC-H Q5 shape): the full
+    // star-schema walk lineitem→orders→customer→supplier→nation→region
+    // with a same-nation join condition; small dims broadcast under AQE,
+    // the fact side shuffles once per non-broadcast join key, revenue is
+    // an exact decimal sum per nation ---
+    "q_regional_revenue" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(t(s, dir, "supplier"),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(t(s, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+        .join(t(s, dir, "region").filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(dec)).cast("double").as("revenue"))
+        .select(col("n_name"), round(col("revenue"), 4).as("revenue"))
+    },
+
     // --- ranking window analytics (new surface, SURVEY §2.E): exact
     // decimal revenue per (supplier, part), row_number within supplier,
     // keep the top 3 — two shuffles total (partial-agg groupBy, then the
@@ -464,6 +490,19 @@ object SparkEntry {
         |  count(*) AS count_order
         |FROM lineitem GROUP BY l_returnflag, l_linestatus
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_regional_revenue" ->
+      """SELECT n_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue
+        |FROM lineitem, orders, customer, supplier, nation, region
+        |WHERE l_orderkey = o_orderkey AND o_custkey = c_custkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |GROUP BY n_name""".stripMargin,
 
     "q_supplier_rank" ->
       """WITH r AS (
