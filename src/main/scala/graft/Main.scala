@@ -81,21 +81,29 @@ object Main {
 
   // ------------------------------ parsing ------------------------------
 
+  /** Flags that take a value and therefore accept the `--flag=value`
+    * form (README uses `--source-type=csv`). ONLY these split on '=' —
+    * an eager split would corrupt option VALUES that start with `--`
+    * and contain '=' (e.g. a transform body beginning with a Lua
+    * comment). */
+  private val valueFlags = Set(
+    "--transform", "--transform-file", "--schema-file", "--preview",
+    "--batch-size", "--source-type", "--source-secret-id",
+    "--dest-secret-id", "--log-level", "--infer-schema")
+
   def parse(rawArgs: List[String]): Cmd = {
-    // `--flag=value` form (README uses `--source-type=csv`) splits into
-    // the space-separated form the matcher handles
     val args = rawArgs.flatMap { a =>
-      if (a.startsWith("--") && a.contains('=')) {
-        val i = a.indexOf('=')
-        List(a.take(i), a.drop(i + 1))
-      } else List(a)
+      val i = a.indexOf('=')
+      if (i > 0 && valueFlags(a.take(i))) List(a.take(i), a.drop(i + 1))
+      else List(a)
     }
     parseSplit(args)
   }
 
   private def parseSplit(args: List[String]): Cmd = args match {
     case Nil | ("--help" | "-h") :: _ => Help
-    case ("--version" | "-V") :: _ => Version
+    // clap accepts -V/--version in any position
+    case a if a.contains("--version") || a.contains("-V") => Version
     case "generate-default-config" :: Nil => GenDefault
     case "generate-config" :: rest =>
       val (cfg, _, _, _) = parseTransferArgs(rest)
@@ -150,16 +158,20 @@ object Main {
         loop(t)
       case "--infer-schema" :: t          => loop(t)
       case "--log-level" :: v :: t        =>
-        if (!Set("info", "warn", "error")(v))
-          throw GraftError.Configuration(s"unknown log level '$v'")
-        logLevel = v; loop(t)
+        logLevel = YamlJob.checkLogLevel(v); loop(t)
       case flag :: _ if flag.startsWith("--") =>
         throw GraftError.Configuration(s"unknown or incomplete option '$flag'")
       case v :: t => positional :+= v; loop(t)
     }
     loop(args)
 
-    if (positional.size != 2)
+    if (positional.size > 2)
+      // a stray flag value most likely (e.g. `--infer-schema yes`)
+      throw GraftError.Configuration(
+        s"unexpected argument(s): ${positional.drop(2).mkString(", ")}\n\n" +
+          "Usage: graft <SOURCE> <TARGET> [OPTIONS]\n" +
+          "For more information, try '--help'")
+    if (positional.size < 2)
       throw GraftError.Configuration(
         "SOURCE and TARGET are required.\n\n" +
           "Usage: graft <SOURCE> <TARGET> [OPTIONS]\n" +
@@ -169,10 +181,10 @@ object Main {
       System.err.println(
         "Warning: Both --transform-file and --transform specified. Using --transform-file.")
 
-    // JDBC read/write chunking + the file-sink analog (rows per file)
-    val batchOpts = batchSize.map(n => Map(
-      "fetchsize" -> n.toString, "batchsize" -> n.toString,
-      "maxRecordsPerFile" -> n.toString)).getOrElse(Map.empty)
+    // JDBC read/write chunking + the file-sink analog (rows per file) —
+    // shared with the YAML batch_size wiring
+    val batchOpts = batchSize.map(n => YamlJob.batchOptions(n.toString))
+      .getOrElse(Map.empty)
     val srcOpts = batchOpts ++ sourceType.map("sourceType" -> _).toMap
 
     val cfg = JobConfig(

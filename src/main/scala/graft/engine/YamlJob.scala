@@ -34,6 +34,25 @@ object YamlJob {
   final case class YamlRun(cfg: JobConfig, preview: Option[Int],
                            dryRun: Boolean, logLevel: String)
 
+  /** Option wiring shared between the CLI flags and the YAML options
+    * block — ONE definition so `--batch-size`/`batch_size` and
+    * `--log-level`/`log_level` can never drift. */
+  private[graft] def batchOptions(n: String): Map[String, String] = Map(
+    "fetchsize" -> n, "batchsize" -> n, "maxRecordsPerFile" -> n)
+
+  private[graft] def checkLogLevel(v: String): String = {
+    if (!Set("info", "warn", "error")(v))
+      throw graft.core.GraftError.Configuration(s"unknown log level '$v'")
+    v
+  }
+
+  private def intOpt(name: String, v: Object): Int =
+    try String.valueOf(v).toInt catch {
+      case _: NumberFormatException =>
+        throw graft.core.GraftError.Configuration(
+          s"$name expects an integer, got '$v'")
+    }
+
   private val VarRe = "\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
 
   def substitute(s: String, env: Map[String, String] = sys.env): String =
@@ -74,15 +93,20 @@ object YamlJob {
     // transform: the reference's typed map {type: inline|script|file|none,
     // value: ...} (transformer.rs serde tag/content), with the flat
     // string + transform_script/transform_file/filter shorthand kept
-    val transformSpec = opts.get("transform") match {
+    // a bare `transform:` key (null value) means "no transform"
+    val transformSpec = opts.get("transform").flatMap(Option(_)) match {
       case Some(m: JMap[_, _]) =>
         val mm = m.asInstanceOf[JMap[String, Object]].asScala
-        val tpe = mm.get("type").map(_.toString).getOrElse("none")
-        val value = mm.get("value").map(v => sub(v.toString))
+        val tpe = mm.get("type").map(_.toString).getOrElse(
+          throw graft.core.GraftError.Configuration(
+            "transform map needs a type: inline|script|file|none"))
+        def value = mm.get("value").flatMap(Option(_)).map(v => sub(v.toString))
+          .getOrElse(throw graft.core.GraftError.Configuration(
+            s"transform type '$tpe' needs a value"))
         val base = tpe match {
-          case "inline" => TransformSpec(inline = value)
-          case "script" => TransformSpec(script = value)
-          case "file"   => TransformSpec(file = value)
+          case "inline" => TransformSpec(inline = Some(value))
+          case "script" => TransformSpec(script = Some(value))
+          case "file"   => TransformSpec(file = Some(value))
           case "none"   => TransformSpec()
           case other => throw graft.core.GraftError.Configuration(
             s"unknown transform type '$other' (inline|script|file|none)")
@@ -97,15 +121,14 @@ object YamlJob {
     }
 
     // batch_size/source_type mirror the CLI flags' option wiring
-    val batchOpts = opts.get("batch_size").map(v => Map(
-      "fetchsize" -> v.toString, "batchsize" -> v.toString,
-      "maxRecordsPerFile" -> v.toString)).getOrElse(Map.empty)
+    val batchOpts = opts.get("batch_size")
+      .map(v => batchOptions(intOpt("batch_size", v).toString))
+      .getOrElse(Map.empty)
     val srcTypeOpt = opts.get("source_type")
       .map(v => "sourceType" -> sub(v.toString)).toMap
 
-    val logLevel = opts.get("log_level").map(_.toString).getOrElse("info")
-    if (!Set("info", "warn", "error")(logLevel))
-      throw graft.core.GraftError.Configuration(s"unknown log level '$logLevel'")
+    val logLevel = checkLogLevel(
+      opts.get("log_level").map(_.toString).getOrElse("info"))
 
     YamlRun(
       JobConfig(
@@ -118,8 +141,15 @@ object YamlJob {
         truncate = opts.get("truncate").exists(_.toString.toBoolean),
         skipExisting = opts.get("skip_existing").exists(_.toString.toBoolean),
         primaryKey = opts.get("primary_key").map(_.toString)),
-      preview = opts.get("preview").map(v => v.toString.toInt),
-      dryRun = opts.get("dry_run").exists(_.toString.toBoolean),
+      preview = opts.get("preview").map(v => intOpt("preview", v)),
+      dryRun = opts.get("dry_run").exists { v =>
+        v.toString match {
+          case "true" => true
+          case "false" => false
+          case other => throw graft.core.GraftError.Configuration(
+            s"dry_run expects true/false, got '$other'")
+        }
+      },
       logLevel = logLevel)
   }
 

@@ -149,6 +149,17 @@ class CliSpec extends SparkSpec {
     val t2 = parse(List("a.csv", "b.parquet", "--infer-schema", "true"))
       .asInstanceOf[Transfer]
     assert(t2.cfg.source == "a.csv")
+    // --version anywhere (clap behavior)
+    assert(parse(List("a.csv", "b.parquet", "--version")) == graft.Main.Version)
+    // a transform VALUE containing '=' and leading '--' stays intact
+    val t3 = parse(List("a.csv", "b.parquet",
+      "--transform", "--x=1; y=row.a")).asInstanceOf[Transfer]
+    assert(t3.cfg.transform.inline.contains("--x=1; y=row.a"))
+    // a stray flag value names itself, not a misleading SOURCE/TARGET error
+    val e = intercept[GraftError.Configuration](
+      parse(List("a.csv", "b.parquet", "--infer-schema", "yes")))
+    assert(e.getMessage.contains("unexpected argument") &&
+      e.getMessage.contains("yes"))
   }
 
   test("--source-type forces the format for extension-less local files") {
@@ -200,6 +211,29 @@ class CliSpec extends SparkSpec {
         |options:
         |  transform: {type: magic, value: x}
         |""".stripMargin))
+    // a typed transform WITHOUT its value is loud, not a silent no-op
+    val noValue = intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.csv}
+        |target: {uri: b.parquet}
+        |options:
+        |  transform: {type: script}
+        |""".stripMargin))
+    assert(noValue.getMessage.contains("needs a value"))
+    // a bare `transform:` line (null value) means no transform, no NPE
+    assert(YamlJob.loadYaml(
+      """source: {uri: a.csv}
+        |target: {uri: b.parquet}
+        |options:
+        |  transform:
+        |  truncate: true
+        |""".stripMargin).cfg.transform == graft.engine.TransformSpec())
+    // malformed run-mode values fail with typed, named errors
+    val badPreview = intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.csv}
+        |target: {uri: b.parquet}
+        |options: {preview: ten}
+        |""".stripMargin))
+    assert(badPreview.getMessage.contains("preview"))
   }
 
   test("run job.yaml end-to-end with env substitution") {
