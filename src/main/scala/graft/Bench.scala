@@ -5,7 +5,10 @@ import org.apache.spark.sql.SparkSession
   * is reported per-name in "failed" and flips the exit code — a broken
   * query can never silently "pass" the bench. A warmup query runs
   * untimed first so JVM/session warmup doesn't land on the first
-  * alphabetical query. */
+  * alphabetical query. Optional args restrict the run to the named
+  * queries (repeats allowed — `q_x q_x q_x` times three back-to-back
+  * runs in one warm JVM, the cheap way to separate noise from
+  * regression). */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -28,7 +31,11 @@ object Bench {
       graft.llm.Dedup.minhashPairs(docs, "doc_id", "text", bands = 32).count()
     } catch { case _: Throwable => () }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
+      if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else args.toSeq.map(n => n -> SparkEntry.queries.getOrElse(n,
+        sys.error(s"unknown query: $n (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")))
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try { fn(spark, sfDir).count(); true }
@@ -39,7 +46,14 @@ object Bench {
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
     val failed = results.filterNot(_._3).map(_._1)
-    val qs = results.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    // repeated names (diagnostic mode) get #2, #3… suffixes so the JSON
+    // object never carries duplicate keys
+    val keyed = results.foldLeft((Map.empty[String, Int], Vector.empty[(String, Double)])) {
+      case ((seen, acc), (k, v, _)) =>
+        val n = seen.getOrElse(k, 0) + 1
+        (seen.updated(k, n), acc :+ ((if (n == 1) k else s"$k#$n") -> v))
+    }._2
+    val qs = keyed.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
