@@ -244,6 +244,27 @@ object SparkEntry {
         .select(col("p_partkey"), col("retail_cents"), col("brand_lc"))
     },
 
+    // --- S5–S9/T5–T9 JDBC spine, LIVE over the embedded Derby engine
+    // that ships in Spark's own distribution: parquet → jdbc target
+    // (create-on-write, reference truncate semantics, transfer.rs:92-118)
+    // → jdbc source where the explicit partitionColumn triggers the
+    // dialect-quoted MIN/MAX bounds probe and a genuinely partitioned
+    // scan (odbc.rs:196-256 keyset idea). The sandbox has no
+    // sqlite/pg/mysql/mssql endpoints, so this proves everything
+    // dialect-INDEPENDENT in the JDBC path inside the oracle gate;
+    // per-dialect DDL maps and coercions stay unit-pinned.
+    "q_jdbc_roundtrip" -> { (s, dir) =>
+      val db = scratch("derby_rt")
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(db))
+      // keep derby.log out of the repo root (read once at engine boot)
+      System.setProperty("derby.system.home", db)
+      val uri = s"jdbc:derby:$db/rt;create=true#supplier"
+      Connectors.write(t(s, dir, "supplier"), uri, truncate = true)
+      Connectors.read(s, uri, Map("partitionColumn" -> "s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+          col("s_acctbal"))
+    },
+
     // --- P3 Lua-file transform: filters + row mutation + table return ---
     "q_lua_file" -> { (s, dir) =>
       val lua =
@@ -591,6 +612,9 @@ object SparkEntry {
         |  p_retailprice * 100 AS retail_cents,
         |  lower(p_brand) AS brand_lc
         |FROM part""".stripMargin,
+
+    "q_jdbc_roundtrip" ->
+      "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
 
     "q_lua_file" ->
       """SELECT c_custkey, upper(c_name) AS name_up, c_acctbal * 2 AS bal2
