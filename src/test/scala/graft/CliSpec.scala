@@ -125,6 +125,69 @@ class CliSpec extends SparkSpec {
     assert(r.getAs[Boolean]("active"))
   }
 
+  test("golden 11: schema-file enforcement, csv → live jdbc (Derby for sqlite)") {
+    val dir = tmpDir("cli_ex11")
+    // the reference's employees.csv + employee_schema.yaml shape
+    // (examples/11, examples/schemas/employee_schema.yaml) — incl. the
+    // extra top-level keys the loader must tolerate
+    writeText(s"$dir/employees.csv",
+      """employee_id,first_name,last_name,department,position,salary,hire_date,manager_id,is_full_time
+        |1,John,Doe,Engineering,Senior Developer,85000.50,2020-01-15,,true
+        |2,Jane,Smith,Marketing,Marketing Manager,75000.00,2019-03-20,5,true
+        |3,Bob,Johnson,Engineering,Junior Developer,55000.00,2022-06-10,1,true
+        |4,Alice,Brown,HR,HR Specialist,60000.00,2021-08-05,6,false
+        |""".stripMargin)
+    writeText(s"$dir/employee_schema.yaml",
+      """columns:
+        |  - name: employee_id
+        |    type: integer
+        |    nullable: false
+        |  - name: first_name
+        |    type: string
+        |    nullable: false
+        |  - name: salary
+        |    type: decimal
+        |    nullable: false
+        |  - name: hire_date
+        |    type: date
+        |    nullable: false
+        |  - name: manager_id
+        |    type: integer
+        |    nullable: true
+        |  - name: is_full_time
+        |    type: boolean
+        |    nullable: false
+        |estimated_rows: null
+        |primary_key_candidate: employee_id
+        |""".stripMargin)
+    val target = s"jdbc:derby:$dir/emp;create=true#employees"
+
+    // step 1-2 of run.sh: --preview 5 writes nothing
+    val pv = parse(List(s"$dir/employees.csv", target,
+      "--schema-file", s"$dir/employee_schema.yaml", "--preview", "5"))
+      .asInstanceOf[Transfer]
+    assert(runTransfer(pv.cfg, pv.preview, dryRun = false, "error") == 0)
+    intercept[Exception] {
+      graft.sources.Connectors.read(spark, target).collect()
+    }
+
+    // step 3: full transfer with schema validation
+    val tr = parse(List(s"$dir/employees.csv", target,
+      "--schema-file", s"$dir/employee_schema.yaml"))
+      .asInstanceOf[Transfer]
+    assert(runTransfer(tr.cfg, None, dryRun = false, "error") == 0)
+    val out = graft.sources.Connectors.read(spark, target)
+    assert(out.count() == 4)
+    val john = out.filter(out("employee_id") === 1L).head
+    assert(john.getAs[String]("first_name") == "John")
+    assert(john.getAs[Double]("salary") == 85000.5)
+    assert(john.getAs[java.sql.Timestamp]("hire_date").toInstant ==
+      java.time.Instant.parse("2020-01-15T00:00:00Z"))
+    assert(john.isNullAt(john.fieldIndex("manager_id")))
+    assert(john.getAs[Boolean]("is_full_time"))
+    assert(out.filter(out("is_full_time")).count() == 3)
+  }
+
   test("explicit file:// URLs route like plain paths (examples/02)") {
     val dir = tmpDir("cli_fileproto")
     writeText(s"$dir/input.csv", "id,name\n1,alpha\n2,beta\n")
