@@ -326,6 +326,18 @@ object SparkEntry {
         col("token_estimate"), col("lang_guess"), col("fingerprint"))
     },
 
+    // --- corpus profile: one-row dataset health aggregate. The shifted
+    // copies carry only trailing whitespace, so the fingerprint's
+    // whitespace normalization must collapse them (distinct_fingerprints
+    // < n_docs measures exactly the duplication the copies injected) ---
+    "q_corpus_profile" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit("  ")).as("text"))
+      TextAnalysis.corpusProfile(docs.union(copies), "text")
+    },
+
     // --- similarity: exact cosine scores against one query vector ---
     "q_similarity_scores" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
@@ -651,6 +663,44 @@ object SparkEntry {
         |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
         |)
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin,
+
+    "q_corpus_profile" ->
+      """WITH d AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, text || '  ' AS text
+        |  FROM documents WHERE doc_id % 5 = 0
+        |),
+        |m AS (
+        |  SELECT
+        |    CAST(length(text) AS DOUBLE) AS len,
+        |    CAST(len(regexp_split_to_array(trim(text), '\s+')) AS DOUBLE) AS words,
+        |    CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+        |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+        |    len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS toks,
+        |    md5(regexp_replace(trim(lower(text)), '\s+', ' ', 'g')) AS fp
+        |  FROM d
+        |),
+        |q AS (
+        |  SELECT len, words, toks, fp,
+        |    least(len / 200.0, 1.0) * 0.4
+        |    + (1.0 - least(punct / greatest(len, 1.0) * 10.0, 1.0)) * 0.2
+        |    + (1.0 - least(digits / greatest(len, 1.0) * 5.0, 1.0)) * 0.2
+        |    + (CASE WHEN (len - (words - 1)) / words >= 3
+        |            AND (len - (words - 1)) / words <= 10
+        |       THEN 1.0 ELSE 0.0 END) * 0.2 AS quality
+        |  FROM m
+        |)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT fp) AS BIGINT) AS distinct_fingerprints,
+        |  CAST(SUM(CAST(len AS BIGINT)) AS BIGINT) AS total_chars,
+        |  CAST(SUM(CAST(words AS BIGINT)) AS BIGINT) AS total_words,
+        |  CAST(SUM(toks) AS BIGINT) AS total_tokens,
+        |  round(CAST(SUM(CAST(round(quality, 6) AS DECIMAL(18,6))) AS DOUBLE)
+        |    / COUNT(*), 6) AS avg_quality,
+        |  CAST(MIN(CAST(len AS BIGINT)) AS BIGINT) AS min_chars,
+        |  CAST(MAX(CAST(len AS BIGINT)) AS BIGINT) AS max_chars
+        |FROM q""".stripMargin,
 
     "q_text_analysis" ->
       """WITH d AS (SELECT doc_id, text || ' The 42 Ok!' AS text FROM documents),

@@ -91,4 +91,37 @@ object TextAnalysis {
       .withColumn("token_estimate", tokenCountEstimate(col(textCol)).cast("long"))
       .withColumn("lang_guess", langId(col(textCol)))
       .withColumn("fingerprint", fingerprint(col(textCol)))
+
+  /** Corpus-level profile: ONE row of dataset health statistics — the
+    * before/after snapshot a training pipeline takes around every dedup
+    * or filter pass (volume, duplication rate via distinct fingerprints,
+    * token budget, quality drift).
+    *
+    * Scale shape: the analysis columns are a shuffle-free projection, so
+    * the whole profile is one aggregation with map-side partials —
+    * except the exact distinct-fingerprint count, whose one hash shuffle
+    * carries (fingerprint) keys only. At 100 TB pass
+    * `exactDistinct = false` and the HLL sketch
+    * (`approx_count_distinct`, ~2% error) makes the profile fully
+    * shuffle-light: partials merge, nothing wide ever moves.
+    *
+    * `avg_quality` goes through DECIMAL(18,6) per-row so the sum is
+    * EXACT and independent of partitioning/summation order (a double
+    * sum would drift in the low bits across runs). */
+  def corpusProfile(df: DataFrame, textCol: String,
+                    exactDistinct: Boolean = true): DataFrame = {
+    val dec = org.apache.spark.sql.types.DecimalType(18, 6)
+    val a = analyze(df, textCol)
+    a.agg(
+      count(lit(1)).as("n_docs"),
+      (if (exactDistinct) countDistinct(col("fingerprint"))
+       else approx_count_distinct(col("fingerprint"))).as("distinct_fingerprints"),
+      sum(col("char_len")).as("total_chars"),
+      sum(col("word_count")).as("total_words"),
+      sum(col("token_estimate")).as("total_tokens"),
+      round(sum(round(col("quality_score"), 6).cast(dec)).cast("double")
+        / count(lit(1)), 6).as("avg_quality"),
+      min(col("char_len")).as("min_chars"),
+      max(col("char_len")).as("max_chars"))
+  }
 }

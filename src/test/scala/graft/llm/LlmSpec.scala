@@ -445,6 +445,27 @@ class LlmSpec extends SparkSpec {
     assert(fp == 1L)
   }
 
+  test("corpusProfile: one row, duplication via fingerprints, approx path") {
+    val df = Seq(
+      (1L, "the cat and the dog sat on the mat today"),
+      (2L, "the cat  and the dog sat on  the mat today"), // ws variant → same fp
+      (3L, "an entirely different document about trains"),
+      (4L, "short one")
+    ).toDF("doc_id", "text")
+    val p = TextAnalysis.corpusProfile(df, "text").head
+    assert(p.getAs[Long]("n_docs") == 4L)
+    assert(p.getAs[Long]("distinct_fingerprints") == 3L) // 1+2 collapse
+    assert(p.getAs[Long]("min_chars") == 9L)
+    assert(p.getAs[Long]("total_words") ==
+      df.select(TextAnalysis.wordCount($"text")).collect().map(_.getInt(0)).sum)
+    val q = p.getAs[Double]("avg_quality")
+    assert(q > 0.0 && q <= 1.0)
+    // HLL path: same shape, count close on a tiny corpus
+    val a = TextAnalysis.corpusProfile(df, "text", exactDistinct = false).head
+    assert(a.getAs[Long]("n_docs") == 4L)
+    assert(math.abs(a.getAs[Long]("distinct_fingerprints") - 3L) <= 1L)
+  }
+
   test("repartitionBySize isolates outlier blobs from the bulk") {
     val target = 1000L
     val rows = (1L to 40L).map(i => (i, "image", Array.fill(100)(i.toByte))) :+
