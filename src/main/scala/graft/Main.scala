@@ -56,6 +56,8 @@ object Main {
       |  --source-secret-id <ID>     Password from env TINYETL_SECRET_<ID> for source
       |  --dest-secret-id <ID>       Password from env TINYETL_SECRET_<ID> for target
       |  --infer-schema <BOOL>       Auto-detect columns and types (default true)
+      |  --decimal-mode <MODE>       double (default, reference parity) | exact
+      |                              (write floating columns as DECIMAL(38,18))
       |  --log-level <LEVEL>         info | warn | error (default info)
       |""".stripMargin
 
@@ -89,7 +91,7 @@ object Main {
   private val valueFlags = Set(
     "--transform", "--transform-file", "--schema-file", "--preview",
     "--batch-size", "--source-type", "--source-secret-id",
-    "--dest-secret-id", "--log-level", "--infer-schema")
+    "--dest-secret-id", "--log-level", "--infer-schema", "--decimal-mode")
 
   def parse(rawArgs: List[String]): Cmd = {
     val args = rawArgs.flatMap { a =>
@@ -130,6 +132,7 @@ object Main {
     var sourceType: Option[String] = None
     var sourceSecret: Option[String] = None
     var destSecret: Option[String] = None
+    var decimalMode = "double"
     var logLevel = "info"
 
     def intVal(flag: String, v: String): Int =
@@ -157,6 +160,7 @@ object Main {
         // CLI parity (cli.rs:22-24) — with or without an explicit bool
         loop(t)
       case "--infer-schema" :: t          => loop(t)
+      case "--decimal-mode" :: v :: t     => decimalMode = v; loop(t)
       case "--log-level" :: v :: t        =>
         logLevel = YamlJob.checkLogLevel(v); loop(t)
       case flag :: _ if flag.startsWith("--") =>
@@ -197,7 +201,8 @@ object Main {
         file = transformFile),
       schemaFile = schemaFile,
       truncate = truncate,
-      skipExisting = skipExisting)
+      skipExisting = skipExisting,
+      decimalMode = decimalMode)
     (cfg, preview, dryRun, logLevel)
   }
 

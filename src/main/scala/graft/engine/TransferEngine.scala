@@ -29,7 +29,18 @@ final case class JobConfig(
     schemaFile: Option[String] = None,
     truncate: Boolean = false,
     skipExisting: Boolean = false,
-    primaryKey: Option[String] = None)
+    primaryKey: Option[String] = None,
+    /** "double" (reference parity — the reference computes Decimal in
+      * f64 at every boundary, SURVEY §1.2) or "exact": floating columns
+      * are cast to DecimalType(38,18) at the WRITE boundary, so sinks
+      * that declare SQL DECIMAL (postgres.rs:379 DECIMAL(18,6),
+      * mysql.rs:393 DECIMAL(65,30)) get exact digits while reads and
+      * transforms keep f64 semantics. */
+    decimalMode: String = "double") {
+  if (decimalMode != "double" && decimalMode != "exact")
+    throw graft.core.GraftError.Configuration(
+      s"decimal mode must be double|exact, got '$decimalMode'")
+}
 
 final case class TransferStats(totalRows: Long, seconds: Double) {
   def rowsPerSecond: Double = if (seconds > 0) totalRows / seconds else 0.0
@@ -95,7 +106,7 @@ class TransferEngine(cfg: JobConfig) {
     import org.apache.spark.sql.functions.{count, lit}
     val t0 = System.nanoTime()
     val obs = Observation()
-    val df = plan(spark).observe(obs, count(lit(1)).as("rows"))
+    val df = exactDecimals(plan(spark)).observe(obs, count(lit(1)).as("rows"))
     val direct =
       try Connectors.write(df, cfg.target, cfg.truncate, cfg.targetOptions)
       catch {
@@ -106,6 +117,23 @@ class TransferEngine(cfg: JobConfig) {
     val rows = direct.getOrElse(obs.get("rows").asInstanceOf[Long])
     TransferStats(rows, (System.nanoTime() - t0) / 1e9)
   }
+
+  /** Write-boundary cast for `decimalMode = "exact"`: every floating
+    * column becomes [[graft.core.TinyType.TDecimal.exact]]
+    * (DecimalType(38,18)) so the sink's declared SQL DECIMAL holds exact
+    * digits. A no-op (same frame, no extra projection) in the default
+    * double mode. */
+  private def exactDecimals(df: DataFrame): DataFrame =
+    if (cfg.decimalMode != "exact") df
+    else {
+      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.types.{DoubleType, FloatType}
+      val floating = df.schema.fields
+        .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
+      if (floating.isEmpty) df
+      else df.withColumns(floating.map(f =>
+        f.name -> col(f.name).cast(graft.core.TinyType.TDecimal.exact)).toMap)
+    }
 
   /** Preview (U2, transfer.rs:201-316): original-schema box, transformed
     * schema when a transform is configured, then the first N rows in the

@@ -140,7 +140,9 @@ object YamlJob {
         schemaFile = opts.get("schema_file").map(v => sub(v.toString)),
         truncate = opts.get("truncate").exists(_.toString.toBoolean),
         skipExisting = opts.get("skip_existing").exists(_.toString.toBoolean),
-        primaryKey = opts.get("primary_key").map(_.toString)),
+        primaryKey = opts.get("primary_key").map(_.toString),
+        decimalMode = opts.get("decimal_mode").map(_.toString)
+          .getOrElse("double")),
       preview = opts.get("preview").map(v => intOpt("preview", v)),
       dryRun = opts.get("dry_run").exists { v =>
         v.toString match {
@@ -172,7 +174,7 @@ object YamlJob {
        |target:
        |  uri: "${cfg.target}"${if (cfg.targetOptions.nonEmpty) "\n  options:" + opts(cfg.targetOptions, "    ") else ""}
        |options:$transformYaml${cfg.schemaFile.map(f => s"\n  schema_file: \"$f\"").getOrElse("")}
-       |  truncate: ${cfg.truncate}${if (cfg.skipExisting) "\n  skip_existing: true" else ""}
+       |  truncate: ${cfg.truncate}${if (cfg.skipExisting) "\n  skip_existing: true" else ""}${if (cfg.decimalMode != "double") s"\n  decimal_mode: ${cfg.decimalMode}" else ""}
        |""".stripMargin
   }
 }

@@ -33,6 +33,13 @@ class CliSpec extends SparkSpec {
     assert(t.cfg.targetOptions("batchsize") == "500")
     assert(t.logLevel == "warn")
 
+    val dm = parse(List("in.csv", "out.parquet", "--decimal-mode", "exact"))
+      .asInstanceOf[Transfer]
+    assert(dm.cfg.decimalMode == "exact")
+    assert(YamlJob.fromYaml(YamlJob.render(dm.cfg)).decimalMode == "exact")
+    intercept[GraftError.Configuration](
+      parse(List("a", "b", "--decimal-mode", "f16")))
+
     // file wins over inline (cli.rs:183-191)
     val both = parse(List("a.csv", "b.parquet",
       "--transform", "x=1", "--transform-file", "t.lua")).asInstanceOf[Transfer]

@@ -115,6 +115,34 @@ class EngineSpec extends SparkSpec {
       .head.getAs[Double]("price_cents") == 129999.0)
   }
 
+  test("decimal-mode exact casts floating columns at the write boundary") {
+    val dir = tmpDir("engine_dec")
+    writeText(s"$dir/in.csv",
+      """id,price,label
+        |1,19.99,a
+        |2,0.1,b
+        |""".stripMargin)
+    val cfg = JobConfig(
+      source = s"$dir/in.csv", target = s"$dir/out.parquet",
+      transform = TransformSpec(inline = Some("tenth=row.price / 10")),
+      decimalMode = "exact")
+    assert(new TransferEngine(cfg).execute(spark).totalRows == 2)
+    val out = spark.read.parquet(s"$dir/out.parquet")
+    import org.apache.spark.sql.types.{DecimalType, LongType, StringType}
+    val byName = out.schema.fields.map(f => f.name -> f.dataType).toMap
+    assert(byName("price") == DecimalType(38, 18))
+    assert(byName("tenth") == DecimalType(38, 18)) // derived cols too
+    assert(byName("id") == LongType && byName("label") == StringType)
+    // the decimal holds the f64 value's expansion (reads/transforms stay
+    // double per reference semantics); the double round-trip is exact
+    assert(out.filter($"id" === 1).head.getAs[java.math.BigDecimal]("price")
+      .doubleValue() == 19.99)
+    // bad mode is a typed config error
+    intercept[graft.core.GraftError.Configuration] {
+      JobConfig(source = "a", target = "b", decimalMode = "float128")
+    }
+  }
+
   test("jdbc sink DDL dialect maps (T5/T7/T8/T9 reference tables)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
