@@ -112,6 +112,36 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), "top-10 must not global-sort")
   }
 
+  test("q_regional_revenue: pushed date/region filters, broadcast dims, one agg shuffle") {
+    val df = SparkEntry.queries("q_regional_revenue")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      s"orders date filter not pushed:\n$p")
+    assert(p.contains("EqualTo(r_name,ASIA)"), "region filter not pushed")
+    assert(p.contains("BroadcastHashJoin"), "dimension joins must broadcast")
+    // the fact side must not sort-merge against the small dims
+    assert(!p.contains("SortMergeJoin"),
+      s"a dimension join fell back to sort-merge:\n$p")
+    assert(df.queryExecution.sparkPlan.toString.contains("partial_sum"),
+      "revenue aggregation must combine map-side")
+  }
+
+  test("q_supplier_rank: partial agg, window rides the agg partitioning, no extra exchange") {
+    val df = SparkEntry.queries("q_supplier_rank")(spark, "/root/testdata/sf0.001")
+    assert(df.queryExecution.sparkPlan.toString.contains("partial_sum"),
+      "per (suppkey, partkey) revenue must combine map-side")
+    // groupBy(l_suppkey, l_partkey) then Window.partitionBy(l_suppkey):
+    // the window needs hash(l_suppkey) distribution, which the agg's
+    // hash(l_suppkey, l_partkey) does NOT satisfy — expect exactly the
+    // agg exchange + the window re-distribution and nothing more
+    val shuffles = shuffleOutputs(df)
+    assert(shuffles.size == 2,
+      s"expected agg + window exchanges only, got ${shuffles.size}: $shuffles")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("RunningWindowFunction") || p.contains("Window"),
+      "rank must be a window operator, not a self-join")
+  }
+
   test("ANN probes prune partitions when the index is the partition key") {
     val dir = tmpDir("ann_prune")
     val emb = sf("embeddings")
