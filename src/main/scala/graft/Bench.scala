@@ -11,6 +11,7 @@ import org.apache.spark.sql.SparkSession
   * regression). */
 object Bench {
   def main(args: Array[String]): Unit = {
+    graft.core.Logs.derbyHomeToScratch()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -45,15 +46,16 @@ object Bench {
         }
       (name, (System.nanoTime() - t0) / 1e9, ok)
     }
-    val failed = results.filterNot(_._3).map(_._1)
     // repeated names (diagnostic mode) get #2, #3… suffixes so the JSON
-    // object never carries duplicate keys
-    val keyed = results.foldLeft((Map.empty[String, Int], Vector.empty[(String, Double)])) {
-      case ((seen, acc), (k, v, _)) =>
+    // object never carries duplicate keys; "failed" uses the SAME
+    // suffixed names so its entries always match keys in "queries"
+    val keyed = results.foldLeft((Map.empty[String, Int], Vector.empty[(String, Double, Boolean)])) {
+      case ((seen, acc), (k, v, ok)) =>
         val n = seen.getOrElse(k, 0) + 1
-        (seen.updated(k, n), acc :+ ((if (n == 1) k else s"$k#$n") -> v))
+        (seen.updated(k, n), acc :+ (((if (n == 1) k else s"$k#$n"), v, ok)))
     }._2
-    val qs = keyed.map { case (k, v) => s"\"" + k + "\":" + v }
+    val failed = keyed.filterNot(_._3).map(_._1)
+    val qs = keyed.map { case (k, v, _) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum

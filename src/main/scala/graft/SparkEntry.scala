@@ -256,8 +256,10 @@ object SparkEntry {
     "q_jdbc_roundtrip" -> { (s, dir) =>
       val db = scratch("derby_rt")
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(db))
-      // keep derby.log out of the repo root (read once at engine boot)
-      System.setProperty("derby.system.home", db)
+      // derby.system.home is set once at harness startup
+      // (Logs.derbyHomeToScratch in Bench/Verify/TestSpark mains) —
+      // never from inside a query fn: the property is read a single
+      // time at engine boot, so a late set here would be a racy no-op.
       val uri = s"jdbc:derby:$db/rt;create=true#supplier"
       Connectors.write(t(s, dir, "supplier"), uri, truncate = true)
       Connectors.read(s, uri, Map("partitionColumn" -> "s_suppkey"))

@@ -122,17 +122,37 @@ class TransferEngine(cfg: JobConfig) {
     * column becomes [[graft.core.TinyType.TDecimal.exact]]
     * (DecimalType(38,18)) so the sink's declared SQL DECIMAL holds exact
     * digits. A no-op (same frame, no extra projection) in the default
-    * double mode. */
+    * double mode.
+    *
+    * DECIMAL(38,18) cannot represent NaN, ±Infinity, or |x| >= 1e20;
+    * the plain (non-ANSI) cast would null those silently — an opt-in
+    * "exact" mode that corrupts extremes the default double mode
+    * preserves. Fail fast instead (U8 semantics), naming column and
+    * value. Nulls pass through: only a non-null input that the cast
+    * nulls is an error. */
   private def exactDecimals(df: DataFrame): DataFrame =
     if (cfg.decimalMode != "exact") df
     else {
-      import org.apache.spark.sql.functions.col
+      import org.apache.spark.sql.functions.{col, concat, lit, raise_error, when}
       import org.apache.spark.sql.types.{DoubleType, FloatType}
       val floating = df.schema.fields
         .filter(f => f.dataType == DoubleType || f.dataType == FloatType)
       if (floating.isEmpty) df
-      else df.withColumns(floating.map(f =>
-        f.name -> col(f.name).cast(graft.core.TinyType.TDecimal.exact)).toMap)
+      else df.withColumns(floating.map { f =>
+        val c = col(f.name)
+        // try_cast (not cast): under ANSI the plain cast throws a raw
+        // Spark error on overflow but still NULLs NaN/Infinity; with
+        // ANSI off it NULLs all three. try_cast nulls uniformly, so the
+        // guard below owns the whole failure surface with one typed error.
+        val cast = c.try_cast(graft.core.TinyType.TDecimal.exact)
+        f.name -> when(c.isNotNull && cast.isNull,
+          raise_error(concat(
+            lit(s"decimal mode exact: column '${f.name}' value "),
+            c.cast("string"),
+            lit(" is not representable as DECIMAL(38,18) (NaN/Infinity/overflow)")))
+            .cast(graft.core.TinyType.TDecimal.exact))
+          .otherwise(cast)
+      }.toMap)
     }
 
   /** Preview (U2, transfer.rs:201-316): original-schema box, transformed

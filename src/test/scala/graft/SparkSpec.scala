@@ -6,6 +6,7 @@ import org.scalatest.funsuite.AnyFunSuite
 /** Shared local SparkSession for all suites (one JVM-wide session). */
 object TestSpark {
   lazy val spark: SparkSession = {
+    graft.core.Logs.derbyHomeToScratch()
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")

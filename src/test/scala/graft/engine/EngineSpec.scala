@@ -143,6 +143,33 @@ class EngineSpec extends SparkSpec {
     }
   }
 
+  test("decimal-mode exact fails fast on NaN/Infinity/overflow (no silent null)") {
+    val dir = tmpDir("engine_dec_guard")
+    // parquet source so the doubles arrive bit-exact (CSV would re-infer)
+    def run(v: Double): TransferStats = {
+      val in = s"$dir/in_${v.hashCode}.parquet"
+      Seq((1L, v)).toDF("id", "x").write.mode("overwrite").parquet(in)
+      new TransferEngine(JobConfig(
+        source = in, target = s"$dir/out.parquet",
+        truncate = true, decimalMode = "exact")).execute(spark)
+    }
+    for (bad <- Seq(Double.NaN, Double.PositiveInfinity,
+                    Double.NegativeInfinity, 1e25)) {
+      val e = intercept[graft.core.GraftError.DataTransfer] { run(bad) }
+      assert(e.getMessage.contains("not representable as DECIMAL(38,18)"),
+        s"value $bad: ${e.getMessage}")
+      assert(e.getMessage.contains("column 'x'"))
+    }
+    // in-range extremes and nulls still pass
+    assert(run(1.23456789e19).totalRows == 1)
+    val inN = s"$dir/in_null.parquet"
+    Seq((1L, Some(2.5)), (2L, Option.empty[Double])).toDF("id", "x")
+      .write.mode("overwrite").parquet(inN)
+    assert(new TransferEngine(JobConfig(source = inN,
+      target = s"$dir/out.parquet", truncate = true,
+      decimalMode = "exact")).execute(spark).totalRows == 2)
+  }
+
   test("jdbc sink DDL dialect maps (T5/T7/T8/T9 reference tables)") {
     import org.apache.spark.sql.types._
     val schema = StructType(Seq(
