@@ -1,7 +1,7 @@
 package graft
 
 import graft.infer.{CellInference, DateFormats}
-import graft.llm.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.llm.{Contamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
 import graft.sources.{AvroConnector, Connectors}
 import graft.streaming.EventsStreaming
 import graft.transform.Transform
@@ -338,6 +338,60 @@ object SparkEntry {
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit("  ")).as("text"))
       TextAnalysis.corpusProfile(docs.union(copies), "text")
+    },
+
+    // --- deterministic stratified sampling: per-language keep fractions
+    // decided by a hash of the stable id (reproducible, invertible,
+    // joinable — unlike df.sample). The portable Knuth bucket is used
+    // here so the DuckDB oracle replays the identical arithmetic; the
+    // default xxhash64 bucket is unit-pinned in CorpusOpsSpec. ---
+    "q_stratified_sample" -> { (s, dir) =>
+      Sampling.stratified(t(s, dir, "documents"), "lang", "doc_id",
+          fractions = Map("en" -> 0.5, "de" -> 0.25, "zh" -> 0.0),
+          defaultFraction = 0.1, bucketFn = Sampling.portableBucket)
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // --- sequence packing: documents laid head-to-tail into 2048-token
+    // packs, 4 deterministic sub-streams per source group (the
+    // parallelism unit at scale), offsets from one running-sum window ---
+    "q_pack_sequences" -> { (s, dir) =>
+      val d = t(s, dir, "documents").withColumn("toks",
+        TextAnalysis.tokenCountEstimate(col("text")).cast("long"))
+      Packing.packSequences(d, orderCol = "doc_id", tokensCol = "toks",
+          budget = 2048, groupCols = Seq("source"), subStreams = 4)
+        .select(col("doc_id"), col("source"), col("stream"),
+          col("pack_id"), col("pack_offset"), col("spans_boundary"))
+    },
+
+    // --- PII redaction: deterministic contact strings are injected into
+    // copies (the fixture text is clean prose) so every category and the
+    // fixed email→phone→ip order are exercised; originals prove the
+    // no-match path leaves text byte-identical ---
+    "q_pii_redaction" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tainted = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" contact a.smith+hr@ex-mail.org or " +
+            "+1 555-123-4567 via 192.168.10.42 today")).as("text"))
+      TextAnalysis.redactPii(docs.union(tainted), "text")
+        .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_phones").cast("long").as("n_phones"),
+          col("n_ips").cast("long").as("n_ips"), col("redacted"))
+    },
+
+    // --- benchmark-contamination check: probe set = every 97th doc;
+    // corpus additionally carries prefixed variants of those docs, whose
+    // grams are a strict superset boundary-shifted — so the report spans
+    // full hits (the probes themselves, contamination 1.0) and partial
+    // hits (the variants, < 1.0) ---
+    "q_contamination" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probes = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val variants = probes.select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("prefix words added here "), col("text")).as("text"))
+      Contamination.check(docs.union(variants), probes.select(col("text")),
+        "doc_id", "text", "text", n = 8)
     },
 
     // --- similarity: exact cosine scores against one query vector ---
@@ -703,6 +757,83 @@ object SparkEntry {
         |  CAST(MIN(CAST(len AS BIGINT)) AS BIGINT) AS min_chars,
         |  CAST(MAX(CAST(len AS BIGINT)) AS BIGINT) AS max_chars
         |FROM q""".stripMargin,
+
+    // portable Knuth bucket: ((id mod P) * K) mod P mod 1e6 — identical
+    // arithmetic to Sampling.portableBucket, overflow-safe in BIGINT
+    "q_stratified_sample" ->
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000 <
+        |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
+        |            WHEN 'zh' THEN 0 ELSE 100000 END""".stripMargin,
+
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT) AS toks,
+        |    ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000 % 4 AS stream
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, stream, toks,
+        |    SUM(toks) OVER (PARTITION BY source, stream ORDER BY doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d
+        |)
+        |SELECT doc_id, source, CAST(stream AS BIGINT) AS stream,
+        |  CAST((cum - toks) // 2048 AS BIGINT) AS pack_id,
+        |  CAST((cum - toks) % 2048 AS BIGINT) AS pack_offset,
+        |  (toks > 0 AND (cum - 1) // 2048 > (cum - toks) // 2048) AS spans_boundary
+        |FROM c""".stripMargin,
+
+    "q_pii_redaction" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    text || ' contact a.smith+hr@ex-mail.org or +1 555-123-4567 via 192.168.10.42 today' AS text
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), r AS (
+        |  SELECT doc_id, text,
+        |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
+        |  FROM corpus
+        |), r2 AS (
+        |  SELECT doc_id, text, after_email,
+        |    regexp_replace(after_email, '\+\d{1,3}([- ]\d{2,4}){2,4}', '<PHONE>', 'g') AS after_phone
+        |  FROM r
+        |)
+        |SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+        |  CAST(len(regexp_extract_all(after_email, '\+\d{1,3}([- ]\d{2,4}){2,4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(regexp_extract_all(after_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
+        |  regexp_replace(after_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
+        |FROM r2""".stripMargin,
+
+    "q_contamination" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, 'prefix words added here ' || text AS text
+        |  FROM documents WHERE doc_id % 97 = 0
+        |), tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+        |  FROM corpus
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+        |    i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+        |  FROM tok
+        |), pg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+        |    i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+        |  FROM (SELECT list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+        |        FROM documents WHERE doc_id % 97 = 0)
+        |), tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS total_grams FROM g GROUP BY doc_id
+        |), m AS (
+        |  SELECT g.doc_id, CAST(count(*) AS BIGINT) AS matched_grams
+        |  FROM g JOIN pg USING (gram) GROUP BY g.doc_id
+        |)
+        |SELECT m.doc_id, matched_grams, total_grams,
+        |  round(CAST(matched_grams AS DOUBLE) / total_grams, 6) AS contamination
+        |FROM m JOIN tot USING (doc_id)""".stripMargin,
 
     "q_text_analysis" ->
       """WITH d AS (SELECT doc_id, text || ' The 42 Ok!' AS text FROM documents),

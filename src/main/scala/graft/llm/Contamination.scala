@@ -1,0 +1,61 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Benchmark-contamination detection: which corpus documents share
+  * word n-grams with an evaluation/benchmark probe set? The standard
+  * decontamination pass before pre-training (n = 8..13 word-grams in
+  * published pipelines).
+  *
+  * Scale shape: the probe side (a benchmark) is small — its distinct
+  * grams are broadcast, so the corpus is never shuffled by gram: the
+  * plan is scan → explode → broadcast-hash-join → partial-agg by
+  * doc_id. Per-doc gram sets are deduped BEFORE the explode leaves the
+  * row (array_distinct), so the exploded stream is bounded by document
+  * length, and only (doc_id, count) partials cross the wire.
+  */
+object Contamination {
+
+  /** Word tokens: lowercase, split on non-word runs, empties dropped —
+    * the same tokenizer as the n-gram Jaccard dedup family. */
+  def tokens(text: Column): Column =
+    filter(split(lower(text), "\\W+"), t => length(t) > 0)
+
+  /** Distinct word n-grams of `text` as "w1 w2 … wn" strings; empty
+    * array when the document has fewer than n tokens. (The size guard
+    * matters: Spark's `sequence(1, k)` DESCENDS for k < 1 instead of
+    * returning empty.) */
+  def ngrams(text: Column, n: Int): Column = {
+    require(n >= 1, s"n must be >= 1: $n")
+    val toks = tokens(text)
+    array_distinct(
+      when(size(toks) >= n,
+        transform(sequence(lit(1), size(toks) - lit(n - 1)),
+          i => concat_ws(" ", slice(toks, i, lit(n)))))
+        .otherwise(array()))
+  }
+
+  /** Per-document contamination report against `probes`:
+    * `matched_grams` (distinct n-grams shared with ANY probe),
+    * `total_grams`, and `contamination` = matched/total, for every
+    * document sharing at least one gram. Probe grams are broadcast —
+    * benchmark sets are tiny next to a training corpus. */
+  def check(corpus: DataFrame, probes: DataFrame, idCol: String,
+            textCol: String, probeTextCol: String, n: Int = 8,
+            roundTo: Int = 6): DataFrame = {
+    val id = col(idCol)
+    val probeGrams = probes
+      .select(explode(ngrams(col(probeTextCol), n)).as("gram")).distinct()
+    val docGrams = corpus.select(id, explode(ngrams(col(textCol), n)).as("gram"))
+    // per-doc grams are already distinct → count(*) = distinct matches
+    val matched = docGrams.join(broadcast(probeGrams), "gram")
+      .groupBy(id).agg(count(lit(1)).as("matched_grams"))
+    val totals = corpus.select(id, size(ngrams(col(textCol), n))
+      .cast("long").as("total_grams"))
+    matched.join(totals, idCol)
+      .select(id, col("matched_grams"), col("total_grams"),
+        round(col("matched_grams") / col("total_grams"), roundTo)
+          .as("contamination"))
+  }
+}

@@ -1,0 +1,77 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling for training-data pipelines.
+  *
+  * Random sampling (`df.sample`) is the wrong tool for corpus curation:
+  * it is not reproducible across runs/partitionings, not invertible
+  * ("give me the OTHER 90%"), and not joinable (two tables sampled
+  * independently don't line up). The standard fix is hash-based
+  * sampling: a row is kept iff a uniform hash of its stable id falls
+  * under the per-stratum threshold. Same id → same decision, on any
+  * cluster, at any scale, forever.
+  *
+  * Scale shape: a pure filter projection — no shuffle, no sample
+  * collection, predicate evaluated inside whole-stage codegen next to
+  * the scan, so column pruning and partition pruning are untouched.
+  */
+object Sampling {
+
+  /** Threshold resolution: fractions are mapped to integer bucket
+    * thresholds out of `Buckets`, so the kept set is exact-integer
+    * defined (no float-compare drift between engines). */
+  val Buckets = 1000000L
+
+  private val P = 1000000007L // prime modulus
+  private val K = 2654435761L // Knuth's 2^32 / phi multiplier
+
+  /** Default bucket: xxhash64 — best mixing, one codegen'd call. */
+  def bucket(id: Column): Column = pmod(xxhash64(id), lit(Buckets))
+
+  /** Portable bucket: Knuth multiplicative hash `((id mod P) * K) mod P
+    * mod Buckets`. Weaker mixing than xxhash64 but expressible in ANY
+    * SQL engine (the DuckDB oracle can't evaluate xxhash64), and
+    * overflow-safe for every long id: (P-1) * K < 2^63. Uniform enough
+    * for sampling sequential or hashed ids. */
+  def portableBucket(id: Column): Column =
+    pmod(pmod(pmod(id.cast("long"), lit(P)) * lit(K), lit(P)), lit(Buckets))
+
+  /** Keep each row of stratum `strataCol = k` with probability
+    * `fractions(k)` (else `defaultFraction`), decided by `bucketFn` of
+    * the row's stable id. Deterministic, stratified, shuffle-free.
+    *
+    * @param bucketFn [[bucket]] (default, xxhash64) or
+    *                 [[portableBucket]] (SQL-oracle-reproducible)
+    */
+  def stratified(df: DataFrame, strataCol: String, idCol: String,
+                 fractions: Map[String, Double],
+                 defaultFraction: Double = 0.0,
+                 bucketFn: Column => Column = bucket): DataFrame = {
+    require((fractions.values.toSeq :+ defaultFraction).forall(f =>
+      f >= 0.0 && f <= 1.0), s"fractions must be in [0,1]: $fractions")
+    // integer thresholds; deterministic when-chain in sorted key order
+    val threshold = fractions.toSeq.sortBy(_._1).foldLeft(
+      lit(math.round(defaultFraction * Buckets))) { case (acc, (k, f)) =>
+      when(col(strataCol) === lit(k), lit(math.round(f * Buckets))).otherwise(acc)
+    }
+    df.filter(bucketFn(col(idCol)) < threshold)
+  }
+
+  /** Unstratified deterministic sample: keep `fraction` of rows by id. */
+  def byHash(df: DataFrame, idCol: String, fraction: Double,
+             bucketFn: Column => Column = bucket): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction in [0,1]: $fraction")
+    df.filter(bucketFn(col(idCol)) < lit(math.round(fraction * Buckets)))
+  }
+
+  /** The complement of [[byHash]]/[[stratified]] with the same
+    * threshold(s): every row lands in exactly one of sample/rest —
+    * the "held-out split" a training pipeline carves eval sets with. */
+  def byHashComplement(df: DataFrame, idCol: String, fraction: Double,
+                       bucketFn: Column => Column = bucket): DataFrame = {
+    require(fraction >= 0.0 && fraction <= 1.0, s"fraction in [0,1]: $fraction")
+    df.filter(bucketFn(col(idCol)) >= lit(math.round(fraction * Buckets)))
+  }
+}

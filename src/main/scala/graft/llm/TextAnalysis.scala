@@ -85,6 +85,29 @@ object TextAnalysis {
     hash(bottomK).cast("long")
   }
 
+  /** PII regexes: deliberately simple, deterministic, and written in the
+    * common Java-regex/RE2 subset so the DuckDB oracle evaluates them
+    * identically. The patterns are the operator's contract (documented,
+    * auditable) — not a best-effort PII model. */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\+\\d{1,3}([- ]\\d{2,4}){2,4}" // intl form: +CC nnn-nnn-nnnn
+  val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Redact emails, then phone numbers, then IPv4 addresses (fixed
+    * order: each count is taken on the text AFTER the previous category
+    * was replaced, so overlapping patterns are never double-counted).
+    * Adds `n_emails` / `n_phones` / `n_ips` and the `redacted` text.
+    * Pure projection — shuffle-free, codegen'd, 100 TB-safe. */
+  def redactPii(df: DataFrame, textCol: String): DataFrame = {
+    val raw = col(textCol)
+    val afterEmail = regexp_replace(raw, EmailRe, "<EMAIL>")
+    val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
+    df.withColumn("n_emails", regexp_count(raw, lit(EmailRe)))
+      .withColumn("n_phones", regexp_count(afterEmail, lit(PhoneRe)))
+      .withColumn("n_ips", regexp_count(afterPhone, lit(Ipv4Re)))
+      .withColumn("redacted", regexp_replace(afterPhone, Ipv4Re, "<IP>"))
+  }
+
   /** One-stop analysis projection over a document table. */
   def analyze(df: DataFrame, textCol: String): DataFrame =
     quality(df, textCol)

@@ -79,6 +79,49 @@ class PlanSpec extends SparkSpec {
     assert(shuffleOutputs(df).isEmpty, "broadcast join must not shuffle the fact")
   }
 
+  test("stratified sampling is a shuffle-free pushd-adjacent filter") {
+    val df = graft.llm.Sampling.stratified(sf("documents"), "lang", "doc_id",
+      Map("en" -> 0.5), defaultFraction = 0.1)
+    assert(shuffleOutputs(df).isEmpty, "hash sampling must not shuffle")
+    assert(df.queryExecution.executedPlan.toString.contains("*(1)"),
+      "sampling filter left whole-stage codegen")
+  }
+
+  test("sequence packing is exactly one shuffle (the window partition)") {
+    // project to the metadata the pack layout needs BEFORE packing — the
+    // window exchange shuffles whole rows, so the caller keeps document
+    // content out of the wire by packing (id, group, tokens) and joining
+    // assignments back by id
+    val d = sf("documents").withColumn("toks",
+        TextAnalysis.tokenCountEstimate(col("text")).cast("long"))
+      .select("doc_id", "source", "toks")
+    val packed = graft.llm.Packing.packSequences(d, "doc_id", "toks",
+      budget = 2048, groupCols = Seq("source"), subStreams = 4)
+    assert(shuffleOutputs(packed).size == 1,
+      "offset packing must cost exactly the window's hash partition")
+    shuffleOutputs(packed).foreach(cols =>
+      assert(!cols.contains("text"),
+        s"document content crossed the packing shuffle: $cols"))
+  }
+
+  test("contamination broadcasts probe grams; corpus is never gram-shuffled") {
+    val corpus = sf("documents")
+    val probes = corpus.filter(pmod(col("doc_id"), lit(97)) === 0)
+      .select(col("text"))
+    val rep = graft.llm.Contamination.check(corpus, probes,
+      "doc_id", "text", "text", n = 8)
+    val p = rep.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe grams must broadcast-join:\n${p.take(2000)}")
+    // the ONLY gram-carrying shuffle allowed is the probe side's
+    // distinct (gram alone, bounded by the benchmark's size); the
+    // corpus's exploded gram stream — (doc_id, gram), unbounded — must
+    // never cross the wire
+    shuffleOutputs(rep).foreach(cols =>
+      assert(!cols.contains("gram") || cols == Seq("gram"),
+        s"corpus grams crossed a shuffle: $cols"))
+  }
+
   test("similarity scores stay in one projection with TakeOrdered for topK") {
     val emb = sf("embeddings")
     val qv = Seq.fill(64)(0.1)

@@ -1,0 +1,142 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sampling / packing / PII-redaction / contamination semantics. */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = sf("documents")
+
+  // --- Sampling ---------------------------------------------------------
+
+  test("sampling: deterministic, stratified, complement partitions exactly") {
+    val s1 = Sampling.stratified(docs, "lang", "doc_id",
+      Map("en" -> 0.5), defaultFraction = 0.1).select("doc_id")
+    val s2 = Sampling.stratified(docs, "lang", "doc_id",
+      Map("en" -> 0.5), defaultFraction = 0.1).select("doc_id")
+    // same decisions every run (df.sample could not promise this)
+    assert(s1.exceptAll(s2).isEmpty && s2.exceptAll(s1).isEmpty)
+
+    // per-stratum rate lands near its fraction (xxhash64 uniformity)
+    val en = docs.filter($"lang" === "en")
+    val enKept = Sampling.stratified(en, "lang", "doc_id", Map("en" -> 0.5)).count()
+    val rate = enKept.toDouble / en.count()
+    assert(rate > 0.3 && rate < 0.7, s"en keep rate $rate not ~0.5")
+
+    // sample + complement = exact partition of the table
+    val keep = Sampling.byHash(docs, "doc_id", 0.3)
+    val rest = Sampling.byHashComplement(docs, "doc_id", 0.3)
+    assert(keep.count() + rest.count() == docs.count())
+    assert(keep.join(rest, "doc_id").count() == 0)
+  }
+
+  test("sampling: portable bucket matches its documented arithmetic") {
+    val got = docs.select($"doc_id",
+      Sampling.portableBucket($"doc_id").as("b")).collect()
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val expect = ((id % 1000000007L) * 2654435761L) % 1000000007L % 1000000L
+      assert(r.getLong(1) == expect, s"id=$id")
+    }
+  }
+
+  // --- Packing ----------------------------------------------------------
+
+  test("packing: offsets are a contiguous token stream per (group, stream)") {
+    val d = docs.withColumn("toks",
+      TextAnalysis.tokenCountEstimate($"text").cast("long"))
+    val packed = Packing.packSequences(d, "doc_id", "toks", budget = 512,
+      groupCols = Seq("source"), subStreams = 4)
+
+    // every row's global start offset == sum of tokens of earlier docs
+    // in its (source, stream); pack_id/pack_offset decompose that offset
+    val rows = packed
+      .select($"source", $"stream", $"doc_id", $"toks", $"pack_id", $"pack_offset")
+      .collect()
+    rows.groupBy(r => (r.getString(0), r.getLong(1))).foreach { case (_, rs) =>
+      var cum = 0L
+      rs.sortBy(_.getLong(2)).foreach { r =>
+        assert(r.getLong(4) == cum / 512, s"pack_id at doc ${r.getLong(2)}")
+        assert(r.getLong(5) == cum % 512, s"pack_offset at doc ${r.getLong(2)}")
+        cum += r.getLong(3)
+      }
+    }
+    // offsets never reach the budget
+    assert(packed.filter($"pack_offset" >= 512 || $"pack_offset" < 0).count() == 0)
+  }
+
+  test("packing: spans_boundary marks exactly the docs the cut splits") {
+    val d = Seq((1L, 100L), (2L, 500L), (3L, 500L), (4L, 24L), (5L, 2000L))
+      .toDF("id", "toks")
+    val p = Packing.packSequences(d, "id", "toks", budget = 1024)
+      .orderBy("id").collect()
+    // stream of starts: 0,100,600,1100,1124 — doc2 (100..599) fits,
+    // doc3 (600..1099) crosses 1024, doc5 (1124..3123) crosses 2048+3072
+    assert(p.map(_.getAs[Long]("pack_id")).toSeq == Seq(0L, 0L, 0L, 1L, 1L))
+    assert(p.map(_.getAs[Boolean]("spans_boundary")).toSeq ==
+      Seq(false, false, true, false, true))
+    assert(p.map(_.getAs[Long]("pack_offset")).toSeq ==
+      Seq(0L, 100L, 600L, 76L, 100L))
+    // summary: doc counts per pack
+    val sum = Packing.packSummary(
+        Packing.packSequences(d, "id", "toks", budget = 1024), "toks")
+      .orderBy("pack_id").collect()
+    assert(sum.map(r => (r.getAs[Long]("pack_id"), r.getAs[Long]("n_docs"),
+      r.getAs[Long]("tokens_started"))).toSeq ==
+      Seq((0L, 3L, 1100L), (1L, 2L, 2024L)))
+  }
+
+  // --- PII redaction ----------------------------------------------------
+
+  test("pii: email/phone/ip replaced in order, counts per category") {
+    val d = Seq(
+      (1L, "mail me at jo.doe+x@corp.example.com or admin@ex.org thanks"),
+      (2L, "call +44 20-7946-0958 or +1 555-867-5309 now"),
+      (3L, "host 10.0.0.1 and 192.168.255.255 respond"),
+      (4L, "clean prose with numbers 12345 and dots. nothing else"),
+      (5L, "all: a@b.io, +1 22-33-44, 8.8.8.8")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.redactPii(d, "text").orderBy("doc_id").collect()
+    def r(i: Int) = (out(i).getAs[Int]("n_emails"), out(i).getAs[Int]("n_phones"),
+      out(i).getAs[Int]("n_ips"), out(i).getAs[String]("redacted"))
+    assert(r(0) == (2, 0, 0, "mail me at <EMAIL> or <EMAIL> thanks"))
+    assert(r(1) == (0, 2, 0, "call <PHONE> or <PHONE> now"))
+    assert(r(2) == (0, 0, 2, "host <IP> and <IP> respond"))
+    // the no-match path leaves text byte-identical
+    assert(r(3) == (0, 0, 0, "clean prose with numbers 12345 and dots. nothing else"))
+    assert(r(4) == (1, 1, 1, "all: <EMAIL>, <PHONE>, <IP>"))
+  }
+
+  // --- Contamination ----------------------------------------------------
+
+  test("contamination: probe docs hit 1.0, supersets partial, clean absent") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"), // = probe
+      (2L, "xx yy alpha beta gamma delta epsilon zeta eta theta"), // superset
+      (3L, "totally unrelated words that never appear in any benchmark set")
+    ).toDF("doc_id", "text")
+    val probes = Seq("alpha beta gamma delta epsilon zeta eta theta")
+      .toDF("text")
+    val got = Contamination.check(corpus, probes, "doc_id", "text", "text", n = 8)
+      .orderBy("doc_id").collect()
+    assert(got.length == 2) // doc 3 shares nothing → absent
+    assert(got(0).getAs[Long]("doc_id") == 1L &&
+      got(0).getAs[Double]("contamination") == 1.0)
+    // doc2: 3 grams total (10 toks), 1 matches (the probe's only gram)
+    assert(got(1).getAs[Long]("doc_id") == 2L &&
+      got(1).getAs[Long]("matched_grams") == 1L &&
+      got(1).getAs[Long]("total_grams") == 3L)
+  }
+
+  test("contamination: docs shorter than n yield no grams, never a crash") {
+    val corpus = Seq((1L, "too short"), (2L, "")).toDF("doc_id", "text")
+    val probes = Seq("a b c d e f g h").toDF("text")
+    assert(Contamination.check(corpus, probes, "doc_id", "text", "text").count() == 0)
+    // short PROBES likewise
+    val c2 = Seq((1L, "a b c d e f g h i j")).toDF("doc_id", "text")
+    assert(Contamination.check(c2, Seq("tiny").toDF("text"),
+      "doc_id", "text", "text").count() == 0)
+  }
+}
