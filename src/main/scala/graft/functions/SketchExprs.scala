@@ -166,8 +166,17 @@ object SketchExprs {
     * UTF8String per gram: ~7× slower on the documents fixture. At 100 TB
     * the shingle projection dominates dedup cost, so this is the hot
     * path worth a native expression.
+    *
+    * Two tokenization modes:
+    *  - default (`strict = false`, the minhash family): empty tokens
+    *    kept, and a document shorter than n still yields one partial
+    *    gram (every doc gets a sketch);
+    *  - `strict = true` (the contamination family): empty tokens
+    *    dropped and documents shorter than n yield NO grams — the
+    *    exact hash image of [[graft.llm.Contamination.ngrams]]'s
+    *    string grams.
     */
-  case class ShingleHash(child: Expression, n: Int)
+  case class ShingleHash(child: Expression, n: Int, strict: Boolean = false)
     extends UnaryExpression {
 
     require(n >= 1, "shingle size must be >= 1")
@@ -191,7 +200,9 @@ object SketchExprs {
 
     def hash(u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
       val text = u.toLowerCase.toString
-      val tokens = splitter.split(text, -1)
+      val raw = splitter.split(text, -1)
+      val tokens = if (strict) raw.filter(_.nonEmpty) else raw
+      if (strict && tokens.length < n) return new GenericArrayData(Array.emptyLongArray)
       val count = math.max(tokens.length - (n - 1), 1)
       val hashes = new Array[Long](count)
       val sb = new java.lang.StringBuilder(64)
@@ -283,8 +294,8 @@ object SketchExprs {
   /** Word n-gram shingles of a text column → distinct xxhash64 values.
     * One projection, no shuffle; see [[ShingleHash]] for why this is a
     * native expression rather than a transform/xxhash64 composition. */
-  def shingleHashes(text: Column, n: Int = 3): Column =
-    GraftBridge.column(ShingleHash(GraftBridge.expression(text), n))
+  def shingleHashes(text: Column, n: Int = 3, strict: Boolean = false): Column =
+    GraftBridge.column(ShingleHash(GraftBridge.expression(text), n, strict))
 
   /** Foldable-integer extraction for SQL-registration parameters: a SQL
     * user writing `minhash_bands(h, 128, 32)` must get 128/32, and a

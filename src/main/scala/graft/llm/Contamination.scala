@@ -25,7 +25,9 @@ object Contamination {
   /** Distinct word n-grams of `text` as "w1 w2 … wn" strings; empty
     * array when the document has fewer than n tokens. (The size guard
     * matters: Spark's `sequence(1, k)` DESCENDS for k < 1 instead of
-    * returning empty.) */
+    * returning empty.) Readable/debuggable form — [[check]] joins on
+    * [[hashedNgrams]], the one-pass native hash image of exactly these
+    * grams. */
   def ngrams(text: Column, n: Int): Column = {
     require(n >= 1, s"n must be >= 1: $n")
     val toks = tokens(text)
@@ -36,24 +38,39 @@ object Contamination {
         .otherwise(array()))
   }
 
+  /** xxhash64 image of [[ngrams]] (strict [[graft.functions.SketchExprs.ShingleHash]]:
+    * same tokens, same gram strings, hashed in ONE codegen'd pass —
+    * the interpreted transform/concat_ws lambda chain was the whole
+    * cost of the contamination scan). Distinct-count semantics are
+    * preserved: equal grams ⇔ equal hashes up to 2^-64 collisions. */
+  def hashedNgrams(text: Column, n: Int): Column =
+    graft.functions.SketchExprs.shingleHashes(text, n, strict = true)
+
   /** Per-document contamination report against `probes`:
     * `matched_grams` (distinct n-grams shared with ANY probe),
     * `total_grams`, and `contamination` = matched/total, for every
     * document sharing at least one gram. Probe grams are broadcast —
-    * benchmark sets are tiny next to a training corpus. */
+    * benchmark sets are tiny next to a training corpus.
+    *
+    * One corpus pass: the native hashed n-gram projection runs once,
+    * and both counts ride the same broadcast LEFT join: total =
+    * exploded grams per doc, matched = grams the join marked. No
+    * second scan, no id re-join, no interpreted lambdas in the scan. */
   def check(corpus: DataFrame, probes: DataFrame, idCol: String,
             textCol: String, probeTextCol: String, n: Int = 8,
             roundTo: Int = 6): DataFrame = {
     val id = col(idCol)
     val probeGrams = probes
-      .select(explode(ngrams(col(probeTextCol), n)).as("gram")).distinct()
-    val docGrams = corpus.select(id, explode(ngrams(col(textCol), n)).as("gram"))
-    // per-doc grams are already distinct → count(*) = distinct matches
-    val matched = docGrams.join(broadcast(probeGrams), "gram")
-      .groupBy(id).agg(count(lit(1)).as("matched_grams"))
-    val totals = corpus.select(id, size(ngrams(col(textCol), n))
-      .cast("long").as("total_grams"))
-    matched.join(totals, idCol)
+      .select(explode(hashedNgrams(col(probeTextCol), n)).as("gram")).distinct()
+      .withColumn("__hit", lit(1))
+    val docGrams = corpus.select(id,
+      explode(hashedNgrams(col(textCol), n)).as("gram"))
+    // per-doc grams are already distinct → counts = distinct counts
+    docGrams.join(broadcast(probeGrams), Seq("gram"), "left")
+      .groupBy(id)
+      .agg(count(col("__hit")).as("matched_grams"),
+        count(lit(1)).as("total_grams"))
+      .filter(col("matched_grams") > 0)
       .select(id, col("matched_grams"), col("total_grams"),
         round(col("matched_grams") / col("total_grams"), roundTo)
           .as("contamination"))

@@ -130,6 +130,19 @@ class CorpusOpsSpec extends SparkSpec {
       got(1).getAs[Long]("total_grams") == 3L)
   }
 
+  test("contamination: hashed grams are the exact xxhash64 image of string grams") {
+    // the check() join runs on the native one-pass hash; pin it to the
+    // readable string-gram definition it claims to mirror
+    val d = docs.select("doc_id", "text").limit(50)
+      .union(Seq((9999L, "a b! c,d e"), (9998L, "x y")).toDF("doc_id", "text"))
+    val rows = d.select(
+      sort_array(Contamination.hashedNgrams(col("text"), 3)).as("fast"),
+      sort_array(array_distinct(transform(
+        Contamination.ngrams(col("text"), 3), g => xxhash64(g)))).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
+  }
+
   test("contamination: docs shorter than n yield no grams, never a crash") {
     val corpus = Seq((1L, "too short"), (2L, "")).toDF("doc_id", "text")
     val probes = Seq("a b c d e f g h").toDF("text")
