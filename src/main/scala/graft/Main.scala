@@ -191,9 +191,15 @@ object Main {
       .getOrElse(Map.empty)
     val srcOpts = batchOpts ++ sourceType.map("sourceType" -> _).toMap
 
+    // plaintext-password warnings BEFORE injection, secret overrides
+    // announced during it (secrets.rs:51-72; examples/12 asserts both)
+    Secrets.warnPasswordInUrl(positional(0), "source")
+    Secrets.warnPasswordInUrl(positional(1), "destination")
     val cfg = JobConfig(
-      source = Secrets.inject(positional(0), sourceSecret),
-      target = Secrets.inject(positional(1), destSecret),
+      source = Secrets.inject(positional(0), sourceSecret,
+        warnOverrideFor = Some("source")),
+      target = Secrets.inject(positional(1), destSecret,
+        warnOverrideFor = Some("destination")),
       sourceOptions = srcOpts,
       targetOptions = batchOpts,
       transform = TransformSpec(

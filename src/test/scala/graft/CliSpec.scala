@@ -132,6 +132,60 @@ class CliSpec extends SparkSpec {
     assert(r.getAs[Boolean]("active"))
   }
 
+  test("golden 08+18: http download via CLI --source-type; YAML auth options") {
+    import com.sun.net.httpserver.{HttpExchange, HttpServer}
+    val dir = tmpDir("cli_ex08")
+    val csvBody = "id,name\n1,ann\n2,bo\n3,cy\n"
+    val server = HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+      val b = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      ex.sendResponseHeaders(code, b.length)
+      ex.getResponseBody.write(b); ex.close()
+    }
+    // example 08's URL shape: no file extension, query string only
+    server.createContext("/uc", (ex: HttpExchange) => respond(ex, 200, csvBody))
+    server.createContext("/auth.csv", (ex: HttpExchange) => {
+      val expect = "Basic " + java.util.Base64.getEncoder.encodeToString(
+        "testuser:testpass".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      if (Option(ex.getRequestHeaders.getFirst("Authorization")).contains(expect))
+        respond(ex, 200, csvBody)
+      else respond(ex, 401, "unauthorized")
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      // 08: extension-less URL + --source-type=csv → json target (the
+      // reference's exact flag spelling, --source-type=csv)
+      val rc = runTransfer(
+        parse(List(s"http://127.0.0.1:$port/uc?id=1phaHg&export=download",
+          s"$dir/people.json", "--source-type=csv")).asInstanceOf[Transfer].cfg,
+        preview = None, dryRun = false, logLevel = "error")
+      assert(rc == 0)
+      val out = spark.read.json(s"$dir/people.json")
+      assert(out.count() == 3)
+      assert(out.filter(out("id") === 1).head.getAs[String]("name") == "ann")
+
+      // 18: basic-auth options through a YAML job (the reference wires
+      // auth via config files, examples/18/basic_auth_config.yaml)
+      writeText(s"$dir/job.yaml",
+        s"""version: "1.0"
+           |source:
+           |  uri: "http://127.0.0.1:$port/auth.csv"
+           |  options:
+           |    auth.basic.username: testuser
+           |    auth.basic.password: testpass
+           |target:
+           |  uri: "$dir/out_auth.parquet"
+           |options:
+           |  truncate: true
+           |""".stripMargin)
+      val y = YamlJob.load(s"$dir/job.yaml")
+      assert(runTransfer(y.cfg, y.preview, y.dryRun, "error") == 0)
+      assert(spark.read.parquet(s"$dir/out_auth.parquet").count() == 3)
+    } finally server.stop(0)
+  }
+
   test("golden 11: schema-file enforcement, csv → live jdbc (Derby for sqlite)") {
     val dir = tmpDir("cli_ex11")
     // the reference's employees.csv + employee_schema.yaml shape
