@@ -10,6 +10,39 @@ import org.apache.spark.sql.SparkSession
   * runs in one warm JVM, the cheap way to separate noise from
   * regression). */
 object Bench {
+
+  /** Warm the engine spine (CSV write → sampled inference → Lua
+    * transform → parquet), window + broadcast-join exec, and the Avro
+    * connector on ~200 synthetic rows. First use of each path pays
+    * classloading + whole-stage-codegen compilation that is fixed JVM
+    * cost, not data cost (measured at sf0.1: q_engine_transfer 9.1s
+    * cold vs 1.2s steady-state in the same JVM) — warming on synthetic
+    * rows keeps the timed lines about the data, while never touching
+    * the benchmark inputs themselves. */
+  private def warmSharedPaths(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val base = "/root/repo/target/tmp/queries/warmup"
+    val df = spark.range(200).select(
+      col("id"), (col("id") % 7).as("k"), (col("id") * 1.5).as("v"),
+      concat(lit("s"), col("id")).as("s"))
+    df.write.mode("overwrite").option("header", "true").csv(s"$base/csv")
+    val cfg = graft.engine.JobConfig(
+      source = s"$base/csv/*.csv",
+      target = s"$base/out.parquet",
+      transform = graft.engine.TransformSpec(
+        inline = Some("v2=row.v * 100; s2=string.lower(row.s)")),
+      truncate = true)
+    new graft.engine.TransferEngine(cfg).execute(spark)
+    spark.read.parquet(s"$base/out.parquet").count()
+    df.withColumn("r",
+        row_number().over(Window.partitionBy("k").orderBy(col("v").desc)))
+      .join(broadcast(df.groupBy("k").agg(avg("v").as("a"))), "k")
+      .count()
+    graft.sources.AvroConnector.write(df, s"$base/avro")
+    graft.sources.AvroConnector.read(spark, s"$base/avro").count()
+  }
+
   def main(args: Array[String]): Unit = {
     graft.core.Logs.derbyHomeToScratch()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -30,6 +63,7 @@ object Bench {
       SparkEntry.queries("q_agg_pricing_summary")(spark, sfDir).count()
       val docs = spark.read.parquet(s"$sfDir/documents.parquet").limit(300)
       graft.llm.Dedup.minhashPairs(docs, "doc_id", "text", bands = 32).count()
+      warmSharedPaths(spark)
     } catch { case _: Throwable => () }
 
     val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
