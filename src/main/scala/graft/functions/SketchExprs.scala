@@ -239,6 +239,93 @@ object SketchExprs {
       copy(child = c)
   }
 
+  /** One-pass word n-gram repetition statistics:
+    * `struct(total, distinct, top)` over the document's n-gram
+    * OCCURRENCES — total occurrences, distinct grams, and the
+    * occurrence count of the most frequent gram. These are the raw
+    * numbers behind the published repeated-content quality filters
+    * (duplicate-word fraction, most-common-n-gram fraction,
+    * duplicate-n-gram fraction — Gopher-style corpus hygiene).
+    *
+    * Tokenization is exactly [[ShingleHash]]'s strict mode (lowercase,
+    * split `\W+`, empties dropped, < n tokens ⇒ zero grams), so the
+    * counts agree with the contamination/dedup families' gram space.
+    * Grams are compared by xxhash64 image — identical counts up to
+    * 2^-64 collisions, same contract as the whole sketch family — and
+    * the per-row cost is one tokenize + one sort + one linear scan,
+    * inside whole-stage codegen. No shuffle: a groupBy(doc, gram)
+    * formulation would shuffle every gram occurrence in the corpus;
+    * this keeps repetition scoring a pure projection at 100 TB. */
+  case class GramRepetition(child: Expression, n: Int)
+    extends UnaryExpression {
+
+    require(n >= 1, s"gram size must be >= 1: $n")
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("total", LongType, nullable = false),
+      StructField("distinct", LongType, nullable = false),
+      StructField("top", LongType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+
+    @transient private lazy val splitter = java.util.regex.Pattern.compile("\\W+")
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("gramRep", this, classOf[GramRepetition].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.stats($c);")
+    }
+
+    def stats(u: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.sql.catalyst.InternalRow = {
+      val tokens = splitter.split(u.toLowerCase.toString, -1).filter(_.nonEmpty)
+      val count = tokens.length - (n - 1)
+      if (count <= 0)
+        return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](0L, 0L, 0L))
+      val hashes = new Array[Long](count)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < count) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens(i + j))
+          j += 1
+        }
+        val g = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        hashes(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          g, org.apache.spark.sql.types.StringType, 42L)
+        i += 1
+      }
+      // sort, then one linear scan: run boundaries give the distinct
+      // count, the longest run is the modal gram's occurrence count
+      java.util.Arrays.sort(hashes)
+      var distinct = 1L
+      var top = 1L
+      var run = 1L
+      i = 1
+      while (i < count) {
+        if (hashes(i) == hashes(i - 1)) {
+          run += 1
+          if (run > top) top = run
+        } else { distinct += 1; run = 1L }
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](count.toLong, distinct, top))
+    }
+
+    protected override def nullSafeEval(input: Any): Any =
+      stats(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def withNewChildInternal(c: Expression): GramRepetition =
+      copy(child = c)
+  }
+
   /** Jaccard similarity of two SORTED distinct long arrays via a single
     * linear merge — O(|a|+|b|), no per-pair hash sets, no intermediate
     * arrays. The candidate-verify stage of near-dup dedup evaluates this
@@ -297,6 +384,11 @@ object SketchExprs {
   def shingleHashes(text: Column, n: Int = 3, strict: Boolean = false): Column =
     GraftBridge.column(ShingleHash(GraftBridge.expression(text), n, strict))
 
+  /** Per-document n-gram occurrence stats `struct(total, distinct, top)`
+    * — see [[GramRepetition]]. */
+  def gramRepetition(text: Column, n: Int): Column =
+    GraftBridge.column(GramRepetition(GraftBridge.expression(text), n))
+
   /** Foldable-integer extraction for SQL-registration parameters: a SQL
     * user writing `minhash_bands(h, 128, 32)` must get 128/32, and a
     * non-constant argument must be a loud error — silently falling back
@@ -354,6 +446,13 @@ object SketchExprs {
         case Seq(t, n) => ShingleHash(t, litInt("shingle_hashes", "n")(n))
         case exprs => throw graft.core.GraftError.Configuration(
           s"shingle_hashes expects (text[, n]), got ${exprs.length} arguments")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "gram_repetition", {
+        case Seq(t)    => GramRepetition(t, 2)
+        case Seq(t, n) => GramRepetition(t, litInt("gram_repetition", "n")(n))
+        case exprs => throw graft.core.GraftError.Configuration(
+          s"gram_repetition expects (text[, n]), got ${exprs.length} arguments")
       }, "scala_udf")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_sorted", {

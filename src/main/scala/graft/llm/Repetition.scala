@@ -1,0 +1,71 @@
+package graft.llm
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.SketchExprs.gramRepetition
+
+/** Repeated-content quality metrics and the filter built on them — the
+  * "remove documents that are mostly the same phrase over and over"
+  * stage of corpus curation (Gopher-style repetition thresholds).
+  *
+  * Metrics per document, all derived from one-pass native
+  * [[graft.functions.SketchExprs.GramRepetition]] projections:
+  *  - `dup_word_frac`:   1 - distinct_words / n_words — how much of the
+  *    document is repeated vocabulary;
+  *  - `dup_ngram_frac`:  (total - distinct) n-grams / total — fraction
+  *    of n-gram occurrences that are re-occurrences;
+  *  - `top_ngram_frac`:  occurrences of the modal n-gram / total — how
+  *    dominated the document is by its single most common phrase.
+  *
+  * Scale shape: two scalar projections per row inside whole-stage
+  * codegen, no shuffle, no explode — the groupBy(doc, gram)
+  * formulation would shuffle every gram occurrence of a 100 TB corpus;
+  * this one shuffles nothing.
+  */
+object Repetition {
+
+  /** Append repetition stats columns: `n_words`, `distinct_words`,
+    * `dup_word_frac`, `total_ngrams`, `distinct_ngrams`,
+    * `top_ngram_count`, `dup_ngram_frac`, `top_ngram_frac`.
+    * Fractions are 0.0 (not null/NaN) for empty documents so
+    * downstream threshold filters never need null guards. */
+  def stats(df: DataFrame, textCol: String, n: Int = 2,
+            roundTo: Int = 6): DataFrame = {
+    val d = df
+      .withColumn("__w", gramRepetition(col(textCol), 1))
+      .withColumn("__g", gramRepetition(col(textCol), n))
+    def frac(num: org.apache.spark.sql.Column,
+             den: org.apache.spark.sql.Column) =
+      when(den > 0, round(num.cast("double") / den.cast("double"), roundTo))
+        .otherwise(lit(0.0))
+    d.withColumn("n_words", col("__w.total"))
+      .withColumn("distinct_words", col("__w.distinct"))
+      .withColumn("dup_word_frac",
+        frac(col("__w.total") - col("__w.distinct"), col("__w.total")))
+      .withColumn("total_ngrams", col("__g.total"))
+      .withColumn("distinct_ngrams", col("__g.distinct"))
+      .withColumn("top_ngram_count",
+        when(col("__g.total") > 0, col("__g.top")).otherwise(lit(0L)))
+      .withColumn("dup_ngram_frac",
+        frac(col("__g.total") - col("__g.distinct"), col("__g.total")))
+      .withColumn("top_ngram_frac", frac(col("__g.top"), col("__g.total")))
+      .drop("__w", "__g")
+  }
+
+  /** Keep documents under all three repetition thresholds (published
+    * pipelines use ~0.3 for duplicate fractions and ~0.2 for the
+    * most-common-n-gram fraction). A pure filter projection — composes
+    * with partition/column pruning untouched. */
+  def filterRepetitive(df: DataFrame, textCol: String,
+                       maxDupWordFrac: Double = 0.3,
+                       maxDupNgramFrac: Double = 0.3,
+                       maxTopNgramFrac: Double = 0.2,
+                       n: Int = 2): DataFrame = {
+    val cols = df.columns.map(col)
+    stats(df, textCol, n)
+      .filter(col("dup_word_frac") <= maxDupWordFrac &&
+        col("dup_ngram_frac") <= maxDupNgramFrac &&
+        col("top_ngram_frac") <= maxTopNgramFrac)
+      .select(cols.toIndexedSeq: _*)
+  }
+}

@@ -152,4 +152,70 @@ class CorpusOpsSpec extends SparkSpec {
     assert(Contamination.check(c2, Seq("tiny").toDF("text"),
       "doc_id", "text", "text").count() == 0)
   }
+
+  // --- Repetition -------------------------------------------------------
+
+  test("repetition: stats match hand-computed values") {
+    // "a b a b a c" → words: total 6, distinct 3 (a×3, b×2, c×1)
+    //   bigrams: [a b, b a, a b, b a, a c] → total 5, distinct 3, top 2
+    val d = Seq((1L, "a b a b a c")).toDF("doc_id", "text")
+    val r = Repetition.stats(d, "text").collect()(0)
+    assert(r.getAs[Long]("n_words") == 6L)
+    assert(r.getAs[Long]("distinct_words") == 3L)
+    assert(r.getAs[Double]("dup_word_frac") == 0.5)
+    assert(r.getAs[Long]("total_ngrams") == 5L)
+    assert(r.getAs[Long]("distinct_ngrams") == 3L)
+    assert(r.getAs[Long]("top_ngram_count") == 2L)
+    assert(r.getAs[Double]("dup_ngram_frac") == 0.4)
+    assert(r.getAs[Double]("top_ngram_frac") == 0.4)
+  }
+
+  test("repetition: empty and sub-n docs give zeroed stats, not null/NaN") {
+    val d = Seq((1L, ""), (2L, "solo"), (3L, "..!!..")).toDF("doc_id", "text")
+    val rows = Repetition.stats(d, "text").orderBy("doc_id").collect()
+    // "" and punctuation-only: zero words; "solo": 1 word, 0 bigrams
+    assert(rows(0).getAs[Long]("n_words") == 0L)
+    assert(rows(0).getAs[Double]("dup_word_frac") == 0.0)
+    assert(rows(1).getAs[Long]("n_words") == 1L)
+    assert(rows(1).getAs[Long]("total_ngrams") == 0L)
+    assert(rows(1).getAs[Double]("dup_ngram_frac") == 0.0)
+    assert(rows(1).getAs[Double]("top_ngram_frac") == 0.0)
+    assert(rows(2).getAs[Long]("n_words") == 0L)
+  }
+
+  test("repetition: filter drops the spam doc, keeps prose, preserves schema") {
+    val spam = "buy now " * 30 + "limited offer"
+    val prose = "the quick brown fox jumps over the lazy dog and then " +
+      "walks away to find a quiet place for a long afternoon nap"
+    val d = Seq((1L, prose, "en"), (2L, spam, "en")).toDF("doc_id", "text", "lang")
+    val kept = Repetition.filterRepetitive(d, "text")
+    assert(kept.columns.toSeq == Seq("doc_id", "text", "lang"))
+    assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("repetition: native stats agree with an explode/groupBy composition") {
+    // the one-pass expression vs the declarative shuffle formulation it
+    // replaces — same tokenizer, so identical counts on real fixtures
+    val d = docs.select($"doc_id", $"text").limit(100)
+    val toks = d.select($"doc_id",
+      filter(split(lower($"text"), "\\W+"), t => length(t) > 0).as("tk"))
+    val grams = toks.select($"doc_id", posexplode($"tk").as(Seq("p", "w")))
+      .withColumn("nx", lead($"w", 1).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"doc_id").orderBy($"p")))
+      .filter($"nx".isNotNull)
+      .select($"doc_id", concat_ws(" ", $"w", $"nx").as("g"))
+    val ref = grams.groupBy("doc_id", "g").count()
+      .groupBy("doc_id").agg(
+        sum("count").as("total"), count(lit(1)).as("distinct"),
+        max("count").as("top"))
+    val got = Repetition.stats(d, "text")
+      .select($"doc_id", $"total_ngrams", $"distinct_ngrams", $"top_ngram_count")
+    val joined = got.join(ref, "doc_id").collect()
+    assert(joined.length == 100)
+    joined.foreach { r =>
+      assert(r.getAs[Long]("total_ngrams") == r.getAs[Long]("total"), r.toString)
+      assert(r.getAs[Long]("distinct_ngrams") == r.getAs[Long]("distinct"), r.toString)
+      assert(r.getAs[Long]("top_ngram_count") == r.getAs[Long]("top"), r.toString)
+    }
+  }
 }
