@@ -1,7 +1,7 @@
 package graft
 
 import graft.infer.{CellInference, DateFormats}
-import graft.llm.{Contamination, Dedup, Multimodal, Packing, Sampling, Similarity, TextAnalysis}
+import graft.llm.{Chunking, Contamination, Dedup, Multimodal, Packing, Repetition, Sampling, Shuffling, Similarity, TextAnalysis}
 import graft.sources.{AvroConnector, Connectors}
 import graft.streaming.EventsStreaming
 import graft.transform.Transform
@@ -352,6 +352,36 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // --- document chunking: overlapping fixed-token windows (the
+    // splitter before embedding/RAG vectorization). Pure explode
+    // projection, no shuffle; oracle replays slice arithmetic exactly ---
+    "q_chunk_documents" -> { (s, dir) =>
+      Chunking.chunkDocuments(t(s, dir, "documents"), "doc_id", "text",
+        chunkTokens = 50, overlap = 10)
+    },
+
+    // --- domain mixture: downsample to a target lang composition (the
+    // training-recipe rebalance). One tiny count agg derives the largest
+    // achievable total, then the same portable hash-threshold filter as
+    // the stratified sample — the DuckDB oracle replays the WHOLE
+    // derivation (counts → T* → thresholds → kept set) ---
+    "q_domain_mixture" -> { (s, dir) =>
+      Sampling.mixture(t(s, dir, "documents"), "lang", "doc_id",
+          weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1),
+          bucketFn = Sampling.portableBucket)
+        .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // --- deterministic global shuffle: reproducible random order +
+    // fixed shard assignment for training serving; per-shard positions
+    // come from parallel per-shard sorts, never a global one ---
+    "q_global_shuffle" -> { (s, dir) =>
+      Shuffling.deterministicShuffle(t(s, dir, "documents"), "doc_id",
+          seed = 7L, shards = 8)
+        .select(col("doc_id"), col("shuffle_key"), col("shard"),
+          col("shard_pos"))
+    },
+
     // --- sequence packing: documents laid head-to-tail into 2048-token
     // packs, 4 deterministic sub-streams per source group (the
     // parallelism unit at scale), offsets from one running-sum window ---
@@ -392,6 +422,22 @@ object SparkEntry {
         concat(lit("prefix words added here "), col("text")).as("text"))
       Contamination.check(docs.union(variants), probes.select(col("text")),
         "doc_id", "text", "text", n = 8)
+    },
+
+    // --- repetition metrics: per-doc duplicate-word / duplicate-n-gram /
+    // modal-n-gram fractions from the one-pass native GramRepetition
+    // stats (no explode, no shuffle). Copies with a 5x-repeated phrase
+    // appended guarantee the high-repetition tail is exercised ---
+    "q_repetition" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val spammy = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"),
+            lit(" buy now buy now buy now buy now buy now")).as("text"))
+      Repetition.stats(docs.union(spammy), "text", n = 2)
+        .select(col("doc_id"), col("n_words"), col("distinct_words"),
+          col("dup_word_frac"), col("total_ngrams"), col("distinct_ngrams"),
+          col("top_ngram_count"), col("dup_ngram_frac"), col("top_ngram_frac"))
     },
 
     // --- similarity: exact cosine scores against one query vector ---
@@ -766,6 +812,51 @@ object SparkEntry {
         |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
         |            WHEN 'zh' THEN 0 ELSE 100000 END""".stripMargin,
 
+    "q_chunk_documents" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(text, '\s+'), x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, tk, CAST(len(tk) AS BIGINT) AS n,
+        |    greatest(1, CAST(floor(CAST(len(tk) + 29 AS DOUBLE) / 40) AS BIGINT)) AS nch
+        |  FROM tok WHERE len(tk) > 0
+        |), e AS (
+        |  SELECT doc_id, tk, n, unnest(range(0, nch)) AS i FROM c
+        |)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i * 40 AS BIGINT) AS chunk_start,
+        |  least(50, n - i * 40) AS chunk_len,
+        |  array_to_string(tk[(i*40+1):(i*40+50)], ' ') AS chunk_text
+        |FROM e""".stripMargin,
+
+    "q_domain_mixture" ->
+      """WITH w(lang, wt) AS (VALUES
+        |  ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.2 AS DOUBLE)),
+        |  ('fr', CAST(0.2 AS DOUBLE)), ('es', CAST(0.1 AS DOUBLE))),
+        |n AS (
+        |  SELECT lang, CAST(count(*) AS BIGINT) AS cnt
+        |  FROM documents JOIN w USING (lang) GROUP BY lang
+        |), t AS (
+        |  SELECT min(CAST(cnt AS DOUBLE) / wt) AS tstar FROM n JOIN w USING (lang)
+        |), thr AS (
+        |  SELECT lang, CAST(round(wt * tstar / cnt * 1000000) AS BIGINT) AS thr
+        |  FROM w JOIN n USING (lang) CROSS JOIN t
+        |)
+        |SELECT d.doc_id, d.lang, d.source
+        |FROM documents d JOIN thr USING (lang)
+        |WHERE ((d.doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000 < thr""".stripMargin,
+
+    "q_global_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    (((doc_id + 7) % 1000000007) * 2654435761) % 1000000007 % 1000000 AS shuffle_key
+        |  FROM documents
+        |)
+        |SELECT doc_id, shuffle_key, shuffle_key % 8 AS shard,
+        |  CAST(row_number() OVER (PARTITION BY shuffle_key % 8
+        |                          ORDER BY shuffle_key, doc_id) AS BIGINT) AS shard_pos
+        |FROM k""".stripMargin,
+
     "q_pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -834,6 +925,42 @@ object SparkEntry {
         |SELECT m.doc_id, matched_grams, total_grams,
         |  round(CAST(matched_grams AS DOUBLE) / total_grams, 6) AS contamination
         |FROM m JOIN tot USING (doc_id)""".stripMargin,
+
+    "q_repetition" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |         text || ' buy now buy now buy now buy now buy now' AS text
+        |  FROM documents WHERE doc_id % 11 = 0
+        |), tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+        |  FROM corpus
+        |), wg AS (
+        |  SELECT doc_id, unnest(tk) AS w FROM tok
+        |), ws AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |         CAST(count(DISTINCT w) AS BIGINT) AS distinct_words
+        |  FROM wg GROUP BY doc_id
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))) AS gram
+        |  FROM tok
+        |), bg AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+        |), bs AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_ngrams,
+        |         CAST(count(*) AS BIGINT) AS distinct_ngrams,
+        |         CAST(max(c) AS BIGINT) AS top_ngram_count
+        |  FROM bg GROUP BY doc_id
+        |)
+        |SELECT ws.doc_id, n_words, distinct_words,
+        |  round(CAST(n_words - distinct_words AS DOUBLE) / n_words, 6) AS dup_word_frac,
+        |  coalesce(total_ngrams, 0) AS total_ngrams,
+        |  coalesce(distinct_ngrams, 0) AS distinct_ngrams,
+        |  coalesce(top_ngram_count, 0) AS top_ngram_count,
+        |  coalesce(round(CAST(total_ngrams - distinct_ngrams AS DOUBLE) / total_ngrams, 6), 0.0) AS dup_ngram_frac,
+        |  coalesce(round(CAST(top_ngram_count AS DOUBLE) / total_ngrams, 6), 0.0) AS top_ngram_frac
+        |FROM ws LEFT JOIN bs USING (doc_id)""".stripMargin,
 
     "q_text_analysis" ->
       """WITH d AS (SELECT doc_id, text || ' The 42 Ok!' AS text FROM documents),

@@ -74,4 +74,43 @@ object Sampling {
     require(fraction >= 0.0 && fraction <= 1.0, s"fraction in [0,1]: $fraction")
     df.filter(bucketFn(col(idCol)) >= lit(math.round(fraction * Buckets)))
   }
+
+  /** Downsample to a target domain MIXTURE: the kept corpus has
+    * composition `weights` (up to hash-bucket granularity), as large as
+    * achievable without upsampling any domain. This is the "rebalance
+    * web/code/wiki to the training recipe's proportions" step of
+    * pre-training data prep.
+    *
+    * Derivation: with per-domain counts n_d, the largest total T whose
+    * share w_d·T every domain can still supply is
+    * T* = min_d(n_d / w_d); each domain then keeps fraction
+    * `w_d * tStar / n_d` of its rows (the binding domain keeps everything).
+    * Domains absent from `weights` are dropped.
+    *
+    * Scale shape: ONE tiny aggregation job (|domains| rows to the
+    * driver) to learn the counts, then the same shuffle-free
+    * hash-threshold filter as [[stratified]]. Deterministic: same
+    * corpus + weights + seed column ⇒ same kept set, on any cluster. */
+  def mixture(df: DataFrame, domainCol: String, idCol: String,
+              weights: Map[String, Double],
+              bucketFn: Column => Column = bucket): DataFrame = {
+    require(weights.nonEmpty, "mixture needs at least one domain weight")
+    require(weights.values.forall(_ > 0.0), s"weights must be > 0: $weights")
+    val counts: Map[String, Long] = df
+      .filter(col(domainCol).isin(weights.keys.toSeq: _*))
+      .groupBy(col(domainCol)).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty,
+      s"no rows in any weighted domain: ${weights.keys.toSeq.sorted}")
+    val tStar = counts.map { case (d, n) => n.toDouble / weights(d) }.min
+    // per-domain integer thresholds out of Buckets; the binding domain's
+    // fraction is 1.0 so it keeps every bucket
+    val thresholds = counts.map { case (d, n) =>
+      d -> math.round(weights(d) * tStar / n * Buckets)
+    }
+    val thrCol = thresholds.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (d, t)) => when(col(domainCol) === lit(d), lit(t)).otherwise(acc)
+    }
+    df.filter(bucketFn(col(idCol)) < thrCol)
+  }
 }

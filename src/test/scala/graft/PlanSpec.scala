@@ -250,4 +250,34 @@ class PlanSpec extends SparkSpec {
     assert(shuffleOutputs(df).isEmpty,
       "scan → filter → derive must be one narrow stage")
   }
+
+  test("repetition stats and chunking are shuffle-free codegen'd projections") {
+    val rep = graft.llm.Repetition.stats(sf("documents"), "text")
+    assert(shuffleOutputs(rep).isEmpty,
+      "repetition stats must not shuffle (native one-pass gram stats)")
+    assert(rep.queryExecution.executedPlan.toString.contains("*(1)"),
+      "GramRepetition left whole-stage codegen")
+    val ch = graft.llm.Chunking.chunkDocuments(sf("documents"), "doc_id", "text")
+    assert(shuffleOutputs(ch).isEmpty,
+      "chunking is a per-row generator — must not shuffle")
+  }
+
+  test("mixture filter is shuffle-free; only the count probe aggregates") {
+    val kept = graft.llm.Sampling.mixture(sf("documents"), "lang", "doc_id",
+      Map("en" -> 0.6, "de" -> 0.4))
+    assert(shuffleOutputs(kept).isEmpty,
+      "after the driver-side count probe, mixture must be a pure filter")
+  }
+
+  test("global shuffle: one exchange, keyed by shard only") {
+    val s = graft.llm.Shuffling.deterministicShuffle(
+      sf("documents"), "doc_id", seed = 7L, shards = 8)
+    val shuffles = shuffleOutputs(s)
+    assert(shuffles.length == 1,
+      s"expected exactly the shard exchange, got ${shuffles.length}")
+    // per-shard sort must be within partitions, never a global Sort
+    val plan = s.queryExecution.executedPlan.toString
+    assert(!plan.contains("rangepartitioning"),
+      s"global range sort found — per-shard sorts must stay parallel:\n$plan")
+  }
 }

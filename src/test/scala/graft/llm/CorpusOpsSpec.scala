@@ -153,6 +153,108 @@ class CorpusOpsSpec extends SparkSpec {
       "doc_id", "text", "text").count() == 0)
   }
 
+  // --- Mixture ----------------------------------------------------------
+
+  test("mixture: composition tracks weights, binding domain keeps all") {
+    // skewed fixture: 'a' has 4x the weight-relative supply of 'b', so
+    // 'b' binds (keeps everything) and 'a' is downsampled to parity
+    val d = (0L until 4000L).map(i => (i, if (i % 5 == 0) "b" else "a"))
+      .toDF("id", "dom") // a: 3200, b: 800
+    val kept = Sampling.mixture(d, "dom", "id",
+      Map("a" -> 0.5, "b" -> 0.5), bucketFn = Sampling.portableBucket)
+    val byDom = kept.groupBy("dom").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // T* = min(3200/0.5, 800/0.5) = 1600 → each domain targets 800
+    assert(byDom("b") == 800L, s"binding domain must keep all: $byDom")
+    assert(math.abs(byDom("a") - 800L) < 120, s"a should downsample to ~800: $byDom")
+    // deterministic: the same call yields the same kept set
+    val again = Sampling.mixture(d, "dom", "id",
+      Map("a" -> 0.5, "b" -> 0.5), bucketFn = Sampling.portableBucket)
+    assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
+  }
+
+  test("mixture: unweighted domains are dropped; bad weights are loud") {
+    val d = Seq((1L, "a"), (2L, "junk"), (3L, "a")).toDF("id", "dom")
+    val kept = Sampling.mixture(d, "dom", "id", Map("a" -> 1.0))
+    assert(kept.filter($"dom" === "junk").count() == 0)
+    assert(kept.count() == 2) // sole weighted domain binds → keeps all
+    intercept[IllegalArgumentException] {
+      Sampling.mixture(d, "dom", "id", Map("a" -> 0.0))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.mixture(d, "dom", "id", Map("zzz" -> 1.0))
+    }
+  }
+
+  // --- Shuffling --------------------------------------------------------
+
+  test("shuffle: total, deterministic, contiguous positions per shard") {
+    val d = docs.select($"doc_id")
+    val s1 = Shuffling.deterministicShuffle(d, "doc_id", seed = 7L, shards = 8)
+    // no row lost or duplicated
+    assert(s1.count() == d.count())
+    assert(s1.select("doc_id").distinct().count() == d.count())
+    // per-shard positions are exactly 1..count(shard)
+    s1.groupBy("shard").agg(count(lit(1)).as("n"), min("shard_pos").as("lo"),
+        max("shard_pos").as("hi"), countDistinct("shard_pos").as("d"))
+      .collect().foreach { r =>
+        assert(r.getAs[Long]("lo") == 1L && r.getAs[Long]("hi") == r.getAs[Long]("n")
+          && r.getAs[Long]("d") == r.getAs[Long]("n"), r.toString)
+      }
+    // bit-identical on rerun
+    val s2 = Shuffling.deterministicShuffle(d, "doc_id", seed = 7L, shards = 8)
+    assert(s1.exceptAll(s2).isEmpty)
+    // a different seed produces a genuinely different order
+    val s3 = Shuffling.deterministicShuffle(d, "doc_id", seed = 8L, shards = 8)
+    assert(s1.join(s3, Seq("doc_id"))
+      .filter(s1("shard") === s3("shard") && s1("shard_pos") === s3("shard_pos"))
+      .count() < d.count() / 2)
+  }
+
+  test("shuffle: order is uncorrelated with ingest order") {
+    // within one shard, consecutive positions should NOT be consecutive
+    // ids — count adjacent-position pairs whose ids are also adjacent
+    val s = Shuffling.deterministicShuffle(
+      spark.range(10000).toDF("id"), "id", seed = 42L, shards = 4)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("shard").orderBy("shard_pos")
+    val adjacent = s.withColumn("prev", lag($"id", 1).over(w))
+      .filter(abs($"id" - $"prev") === 1).count()
+    assert(adjacent < 100, s"$adjacent adjacent id pairs — not shuffled")
+  }
+
+  // --- Chunking ---------------------------------------------------------
+
+  test("chunking: windows tile the document with the promised overlap") {
+    // 100 tokens, chunk 50, overlap 10 → starts 0/40/80, lens 50/50/20
+    val words = (1 to 100).map(i => s"w$i").mkString(" ")
+    val d = Seq((1L, words)).toDF("doc_id", "text")
+    val rows = Chunking.chunkDocuments(d, "doc_id", "text", 50, 10)
+      .orderBy("chunk_idx").collect()
+    assert(rows.map(_.getAs[Long]("chunk_start")).toSeq == Seq(0L, 40L, 80L))
+    assert(rows.map(_.getAs[Long]("chunk_len")).toSeq == Seq(50L, 50L, 20L))
+    // consecutive chunks share exactly the overlap tokens
+    val c0 = rows(0).getAs[String]("chunk_text").split(" ")
+    val c1 = rows(1).getAs[String]("chunk_text").split(" ")
+    assert(c0.takeRight(10).toSeq == c1.take(10).toSeq)
+    // every token appears; rejoining chunk starts reconstructs the doc
+    assert(c0.head == "w1" && rows(2).getAs[String]("chunk_text").endsWith("w100"))
+  }
+
+  test("chunking: short and empty docs") {
+    val d = Seq((1L, "only three words"), (2L, ""), (3L, "   "))
+      .toDF("doc_id", "text")
+    val rows = Chunking.chunkDocuments(d, "doc_id", "text", 50, 10).collect()
+    // empty/whitespace docs vanish; a short doc is one whole chunk
+    assert(rows.length == 1)
+    assert(rows(0).getAs[Long]("doc_id") == 1L &&
+      rows(0).getAs[Long]("chunk_len") == 3L &&
+      rows(0).getAs[String]("chunk_text") == "only three words")
+    intercept[IllegalArgumentException] {
+      Chunking.chunkDocuments(d, "doc_id", "text", 50, 50)
+    }
+  }
+
   // --- Repetition -------------------------------------------------------
 
   test("repetition: stats match hand-computed values") {
