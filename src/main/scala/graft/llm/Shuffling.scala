@@ -42,4 +42,17 @@ object Shuffling {
       .withColumn("shard", pmod(col("shuffle_key"), lit(shards.toLong)))
       .withColumn("shard_pos", row_number().over(w).cast("long"))
   }
+
+  /** Materialize the shuffle as training shards: one parquet directory
+    * per `shard=N`, rows inside each shard ordered by the shuffle key
+    * (parquet row order within the written files). The repartition
+    * rides the SAME shard hash the window already needs, so the write
+    * costs exactly one exchange; readers stream shard directories
+    * independently and see the reproducible order. */
+  def writeShards(df: DataFrame, idCol: String, path: String,
+                  seed: Long = 42L, shards: Int = 64): Unit =
+    deterministicShuffle(df, idCol, seed, shards)
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col("shard_pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -123,6 +123,30 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("gram repetition: stats equal a brute-force Scala count for random docs") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val docGen = for {
+      vocab <- Gen.choose(1, 6) // tiny vocab forces real repetition
+      len <- Gen.choose(0, 60)
+      words <- Gen.listOfN(len, Gen.choose(0, vocab - 1).map(i => s"w$i"))
+      sep <- Gen.oneOf(" ", "  ", ", ", "! ")
+    } yield (words, words.mkString(sep))
+    val nGen = Gen.choose(1, 4)
+    forAll2(docGen, nGen, n = 300) { case ((words, text), n) =>
+      val expr = graft.functions.SketchExprs.GramRepetition(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          UTF8String.fromString(text),
+          org.apache.spark.sql.types.StringType), n)
+      val row = expr.stats(UTF8String.fromString(text))
+      val grams = words.sliding(n).filter(_.length == n).map(_.mkString(" ")).toSeq
+      val byGram = grams.groupBy(identity).view.mapValues(_.size)
+      assert(row.getLong(0) == grams.length.toLong, s"total: $text n=$n")
+      assert(row.getLong(1) == byGram.size.toLong, s"distinct: $text n=$n")
+      assert(row.getLong(2) == (if (grams.isEmpty) 0L
+        else byGram.values.max.toLong), s"top: $text n=$n")
+    }
+  }
+
   test("capped collects: any update/merge order obeys the cap contract") {
     import graft.functions.CollectCapped.CollectLongsCapped
     import org.apache.spark.sql.catalyst.expressions.{BoundReference, Literal}

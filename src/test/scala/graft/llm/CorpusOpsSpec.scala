@@ -211,6 +211,23 @@ class CorpusOpsSpec extends SparkSpec {
       .count() < d.count() / 2)
   }
 
+  test("shuffle: writeShards lays out one ordered directory per shard") {
+    val dir = tmpDir("shards")
+    val d = docs.select($"doc_id", $"lang")
+    Shuffling.writeShards(d, "doc_id", dir, seed = 7L, shards = 4)
+    val back = spark.read.parquet(dir)
+    assert(back.count() == d.count())
+    assert(back.select("shard").distinct().count() == 4)
+    // each shard directory exists and replays the deterministic order
+    val expected = Shuffling.deterministicShuffle(d, "doc_id", 7L, 4)
+    assert(back.select("doc_id", "shard", "shard_pos")
+      .exceptAll(expected.select("doc_id", "shard", "shard_pos")).isEmpty)
+    // within a written file, rows are stored in shard_pos order
+    val shard0 = spark.read.parquet(s"$dir/shard=0").collect()
+    val pos = shard0.map(_.getAs[Long]("shard_pos")).toSeq
+    assert(pos == pos.sorted, "rows inside a shard file must be pre-ordered")
+  }
+
   test("shuffle: order is uncorrelated with ingest order") {
     // within one shard, consecutive positions should NOT be consecutive
     // ids — count adjacent-position pairs whose ids are also adjacent
