@@ -1,7 +1,7 @@
 package graft
 
 import graft.infer.{CellInference, DateFormats}
-import graft.llm.{Chunking, Contamination, Dedup, Multimodal, Packing, Repetition, Sampling, Shuffling, Similarity, TextAnalysis}
+import graft.llm.{Chunking, Contamination, Dedup, Multimodal, Packing, Repetition, Sampling, Shuffling, Similarity, TextAnalysis, Urls}
 import graft.sources.{AvroConnector, Connectors}
 import graft.streaming.EventsStreaming
 import graft.transform.Transform
@@ -438,6 +438,36 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("distinct_words"),
           col("dup_word_frac"), col("total_ngrams"), col("distinct_ngrams"),
           col("top_ngram_count"), col("dup_ngram_frac"), col("top_ngram_frac"))
+    },
+
+    // --- URL/domain hygiene: extract hostnames, flag blocklisted
+    // domains. URLs (mixed case, ports, paths, a repeat) are injected
+    // into copies so extraction, normalization, dedup and the blocklist
+    // hit all show in the output; originals prove the no-URL path ---
+    "q_url_analysis" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val linked = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" see https://spam.example.com/page " +
+            "and https://Ok-Site.org:8080/x plus http://spam.example.com again"))
+            .as("text"))
+      Urls.analyze(docs.union(linked), "text",
+          blocklist = Seq("spam.example.com"))
+        .select(col("doc_id"), col("n_urls"),
+          array_join(array_sort(col("domains")), ",").as("domains"),
+          col("is_blocked"))
+    },
+
+    // --- embedding storage prep: one-pass native L2 norm + symmetric
+    // int8 quantization (trunc-toward-zero so the codes are exactly
+    // replayable in SQL); codes joined to a string for the compare ---
+    "q_quantize_embeddings" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      emb.select(col("vec_id"),
+        round(graft.functions.VectorExprs.l2_norm(col("embedding")), 6)
+          .as("l2_norm"),
+        array_join(graft.functions.VectorExprs.quantize_int8(col("embedding")),
+          ",").as("codes"))
     },
 
     // --- similarity: exact cosine scores against one query vector ---
@@ -1001,6 +1031,40 @@ object SparkEntry {
         |       ELSE 'de' END AS lang_guess,
         |  fp AS fingerprint
         |FROM m""".stripMargin,
+
+    "q_url_analysis" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    text || ' see https://spam.example.com/page and https://Ok-Site.org:8080/x plus http://spam.example.com again' AS text
+        |  FROM documents WHERE doc_id % 13 = 0
+        |), d AS (
+        |  SELECT doc_id,
+        |    list_transform(regexp_extract_all(text, 'https?://([^/\s:]+)', 1),
+        |      h -> lower(h)) AS hosts
+        |  FROM corpus
+        |)
+        |SELECT doc_id,
+        |  CAST(len(hosts) AS BIGINT) AS n_urls,
+        |  coalesce(array_to_string(list_sort(list_distinct(hosts)), ','), '') AS domains,
+        |  len(list_intersect(list_distinct(hosts), ['spam.example.com'])) > 0 AS is_blocked
+        |FROM d""".stripMargin,
+
+    "q_quantize_embeddings" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding AS v,
+        |    list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) AS s
+        |  FROM embeddings
+        |)
+        |SELECT vec_id,
+        |  round(sqrt(list_sum(list_transform(v,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm,
+        |  array_to_string(list_transform(v, x ->
+        |    CAST(CASE WHEN s = 0 THEN 0
+        |              ELSE trunc(CAST(x AS DOUBLE) / s * 127) END AS BIGINT)),
+        |    ',') AS codes
+        |FROM e""".stripMargin,
 
     "q_similarity_scores" ->
       """SELECT e.vec_id,

@@ -239,6 +239,46 @@ object SketchExprs {
       copy(child = c)
   }
 
+  /** `(total, distinct, top)` occurrence counts of `tokens`' n-grams,
+    * by sorted xxhash64 image: sort, then one linear scan — run
+    * boundaries give the distinct count, the longest run is the modal
+    * gram's occurrence count. Shared by [[GramRepetition]] (one n) and
+    * [[GramRepetitionPair]] (words + n-grams from one tokenization). */
+  private[functions] def gramOccurrenceStats(
+      tokens: Array[String], n: Int): (Long, Long, Long) = {
+    val count = tokens.length - (n - 1)
+    if (count <= 0) return (0L, 0L, 0L)
+    val hashes = new Array[Long](count)
+    val sb = new java.lang.StringBuilder(64)
+    var i = 0
+    while (i < count) {
+      sb.setLength(0)
+      var j = 0
+      while (j < n) {
+        if (j > 0) sb.append(' ')
+        sb.append(tokens(i + j))
+        j += 1
+      }
+      val g = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+      hashes(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+        g, org.apache.spark.sql.types.StringType, 42L)
+      i += 1
+    }
+    java.util.Arrays.sort(hashes)
+    var distinct = 1L
+    var top = 1L
+    var run = 1L
+    i = 1
+    while (i < count) {
+      if (hashes(i) == hashes(i - 1)) {
+        run += 1
+        if (run > top) top = run
+      } else { distinct += 1; run = 1L }
+      i += 1
+    }
+    (count.toLong, distinct, top)
+  }
+
   /** One-pass word n-gram repetition statistics:
     * `struct(total, distinct, top)` over the document's n-gram
     * OCCURRENCES — total occurrences, distinct grams, and the
@@ -281,48 +321,64 @@ object SketchExprs {
     def stats(u: org.apache.spark.unsafe.types.UTF8String)
         : org.apache.spark.sql.catalyst.InternalRow = {
       val tokens = splitter.split(u.toLowerCase.toString, -1).filter(_.nonEmpty)
-      val count = tokens.length - (n - 1)
-      if (count <= 0)
-        return new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](0L, 0L, 0L))
-      val hashes = new Array[Long](count)
-      val sb = new java.lang.StringBuilder(64)
-      var i = 0
-      while (i < count) {
-        sb.setLength(0)
-        var j = 0
-        while (j < n) {
-          if (j > 0) sb.append(' ')
-          sb.append(tokens(i + j))
-          j += 1
-        }
-        val g = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
-        hashes(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-          g, org.apache.spark.sql.types.StringType, 42L)
-        i += 1
-      }
-      // sort, then one linear scan: run boundaries give the distinct
-      // count, the longest run is the modal gram's occurrence count
-      java.util.Arrays.sort(hashes)
-      var distinct = 1L
-      var top = 1L
-      var run = 1L
-      i = 1
-      while (i < count) {
-        if (hashes(i) == hashes(i - 1)) {
-          run += 1
-          if (run > top) top = run
-        } else { distinct += 1; run = 1L }
-        i += 1
-      }
+      val (t, d, p) = gramOccurrenceStats(tokens, n)
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-        Array[Any](count.toLong, distinct, top))
+        Array[Any](t, d, p))
     }
 
     protected override def nullSafeEval(input: Any): Any =
       stats(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
     override protected def withNewChildInternal(c: Expression): GramRepetition =
+      copy(child = c)
+  }
+
+  /** Word (n=1) AND n-gram repetition stats from ONE tokenization:
+    * `struct(w_total, w_distinct, w_top, g_total, g_distinct, g_top)`.
+    * [[graft.llm.Repetition.stats]] needs both families per document;
+    * two separate [[GramRepetition]] projections would tokenize every
+    * document twice — at 100 TB the regex split IS the dominant cost,
+    * so the paired form halves it. Field semantics are exactly the two
+    * single-n results (equality-pinned in tests). */
+  case class GramRepetitionPair(child: Expression, n: Int)
+    extends UnaryExpression {
+
+    require(n >= 1, s"gram size must be >= 1: $n")
+
+    override def dataType: DataType = StructType(Seq(
+      StructField("w_total", LongType, nullable = false),
+      StructField("w_distinct", LongType, nullable = false),
+      StructField("w_top", LongType, nullable = false),
+      StructField("g_total", LongType, nullable = false),
+      StructField("g_distinct", LongType, nullable = false),
+      StructField("g_top", LongType, nullable = false)))
+    override def nullable: Boolean = child.nullable
+
+    @transient private lazy val splitter = java.util.regex.Pattern.compile("\\W+")
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("gramRepPair", this,
+        classOf[GramRepetitionPair].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.stats($c);")
+    }
+
+    def stats(u: org.apache.spark.unsafe.types.UTF8String)
+        : org.apache.spark.sql.catalyst.InternalRow = {
+      val tokens = splitter.split(u.toLowerCase.toString, -1).filter(_.nonEmpty)
+      val (wt, wd, wp) = gramOccurrenceStats(tokens, 1)
+      val (gt, gd, gp) = gramOccurrenceStats(tokens, n)
+      new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](wt, wd, wp, gt, gd, gp))
+    }
+
+    protected override def nullSafeEval(input: Any): Any =
+      stats(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def withNewChildInternal(c: Expression): GramRepetitionPair =
       copy(child = c)
   }
 
@@ -388,6 +444,11 @@ object SketchExprs {
     * — see [[GramRepetition]]. */
   def gramRepetition(text: Column, n: Int): Column =
     GraftBridge.column(GramRepetition(GraftBridge.expression(text), n))
+
+  /** Word AND n-gram stats from one tokenization — see
+    * [[GramRepetitionPair]]. */
+  def gramRepetitionPair(text: Column, n: Int): Column =
+    GraftBridge.column(GramRepetitionPair(GraftBridge.expression(text), n))
 
   /** Foldable-integer extraction for SQL-registration parameters: a SQL
     * user writing `minhash_bands(h, 128, 32)` must get 128/32, and a

@@ -240,6 +240,95 @@ object VectorExprs {
       copy(child = c)
   }
 
+  /** Euclidean norm in one pass — the normalization denominator every
+    * embedding pipeline computes before cosine-metric storage. */
+  case class L2Norm(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = DoubleType
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      requireNumericArray("l2_norm", child)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+
+    @transient private lazy val elemType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("l2norm", this, classOf[L2Norm].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.norm($c);")
+    }
+
+    protected override def nullSafeEval(input: Any): Any =
+      norm(input.asInstanceOf[ArrayData])
+
+    def norm(input: ArrayData): Double = {
+      val v = toDoubles(input, elemType)
+      var s = 0.0
+      var i = 0
+      while (i < v.length) { s += v(i) * v(i); i += 1 }
+      math.sqrt(s)
+    }
+
+    override protected def withNewChildInternal(c: Expression): L2Norm =
+      copy(child = c)
+  }
+
+  /** Symmetric int8 quantization: codes_i = trunc(v_i / scale * 127)
+    * with scale = max |v_i| — the 4x storage/bandwidth shrink applied
+    * before shipping an embedding corpus to an ANN index. Truncation
+    * toward zero (not rounding) is used deliberately: it is exactly
+    * replayable in any SQL engine, so the codes are oracle-checkable;
+    * an all-zero vector quantizes to all-zero codes. One pass computes
+    * the scale, one the codes, both over a primitive local array. */
+  case class QuantizeInt8(child: Expression) extends UnaryExpression {
+
+    override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+    override def checkInputDataTypes()
+        : org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      requireNumericArray("quantize_int8", child)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+
+    @transient private lazy val elemType =
+      child.dataType.asInstanceOf[ArrayType].elementType
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("quantize", this, classOf[QuantizeInt8].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.codes($c);")
+    }
+
+    protected override def nullSafeEval(input: Any): Any =
+      codes(input.asInstanceOf[ArrayData])
+
+    def codes(input: ArrayData): ArrayData = {
+      val v = toDoubles(input, elemType)
+      var scale = 0.0
+      var i = 0
+      while (i < v.length) {
+        val a = math.abs(v(i)); if (a > scale) scale = a; i += 1
+      }
+      val out = new Array[Int](v.length)
+      if (scale > 0.0) {
+        i = 0
+        while (i < v.length) { out(i) = (v(i) / scale * 127.0).toInt; i += 1 }
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(c: Expression): QuantizeInt8 =
+      copy(child = c)
+  }
+
   // ------------------------- Column-level API ---------------------------
 
   def srp_bits(vec: Column, planes: Int = 16, seed: Long = 42L): Column =
@@ -252,6 +341,12 @@ object VectorExprs {
   def nearest_centroid(vec: Column, centroids: Seq[Seq[Double]]): Column =
     GraftBridge.column(
       NearestCentroid(GraftBridge.expression(vec), centroids))
+
+  def l2_norm(vec: Column): Column =
+    GraftBridge.column(L2Norm(GraftBridge.expression(vec)))
+
+  def quantize_int8(vec: Column): Column =
+    GraftBridge.column(QuantizeInt8(GraftBridge.expression(vec)))
 
   /** SQL names for `spark.sql` users, parameters parsed from foldable
     * literals with loud failures (same contract as SketchExprs.register).
@@ -273,6 +368,18 @@ object VectorExprs {
         case Seq(a, b) => CosineSim(a, b)
         case exprs => throw graft.core.GraftError.Configuration(
           s"cosine_sim expects (a, b), got ${exprs.length} arguments")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "l2_norm", {
+        case Seq(v) => L2Norm(v)
+        case exprs => throw graft.core.GraftError.Configuration(
+          s"l2_norm expects (vec), got ${exprs.length} arguments")
+      }, "scala_udf")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "quantize_int8", {
+        case Seq(v) => QuantizeInt8(v)
+        case exprs => throw graft.core.GraftError.Configuration(
+          s"quantize_int8 expects (vec), got ${exprs.length} arguments")
       }, "scala_udf")
   }
 }

@@ -2,7 +2,7 @@ package graft.llm
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.functions.SketchExprs.gramRepetition
+import graft.functions.SketchExprs.gramRepetitionPair
 
 /** Repeated-content quality metrics and the filter built on them — the
   * "remove documents that are mostly the same phrase over and over"
@@ -28,28 +28,28 @@ object Repetition {
     * `dup_word_frac`, `total_ngrams`, `distinct_ngrams`,
     * `top_ngram_count`, `dup_ngram_frac`, `top_ngram_frac`.
     * Fractions are 0.0 (not null/NaN) for empty documents so
-    * downstream threshold filters never need null guards. */
+    * downstream threshold filters never need null guards. Word and
+    * n-gram families come from ONE paired projection (one tokenization
+    * per document — the regex split dominates the per-row cost). */
   def stats(df: DataFrame, textCol: String, n: Int = 2,
             roundTo: Int = 6): DataFrame = {
-    val d = df
-      .withColumn("__w", gramRepetition(col(textCol), 1))
-      .withColumn("__g", gramRepetition(col(textCol), n))
+    val d = df.withColumn("__r", gramRepetitionPair(col(textCol), n))
     def frac(num: org.apache.spark.sql.Column,
              den: org.apache.spark.sql.Column) =
       when(den > 0, round(num.cast("double") / den.cast("double"), roundTo))
         .otherwise(lit(0.0))
-    d.withColumn("n_words", col("__w.total"))
-      .withColumn("distinct_words", col("__w.distinct"))
+    d.withColumn("n_words", col("__r.w_total"))
+      .withColumn("distinct_words", col("__r.w_distinct"))
       .withColumn("dup_word_frac",
-        frac(col("__w.total") - col("__w.distinct"), col("__w.total")))
-      .withColumn("total_ngrams", col("__g.total"))
-      .withColumn("distinct_ngrams", col("__g.distinct"))
+        frac(col("__r.w_total") - col("__r.w_distinct"), col("__r.w_total")))
+      .withColumn("total_ngrams", col("__r.g_total"))
+      .withColumn("distinct_ngrams", col("__r.g_distinct"))
       .withColumn("top_ngram_count",
-        when(col("__g.total") > 0, col("__g.top")).otherwise(lit(0L)))
+        when(col("__r.g_total") > 0, col("__r.g_top")).otherwise(lit(0L)))
       .withColumn("dup_ngram_frac",
-        frac(col("__g.total") - col("__g.distinct"), col("__g.total")))
-      .withColumn("top_ngram_frac", frac(col("__g.top"), col("__g.total")))
-      .drop("__w", "__g")
+        frac(col("__r.g_total") - col("__r.g_distinct"), col("__r.g_total")))
+      .withColumn("top_ngram_frac", frac(col("__r.g_top"), col("__r.g_total")))
+      .drop("__r")
   }
 
   /** Keep documents under all three repetition thresholds (published

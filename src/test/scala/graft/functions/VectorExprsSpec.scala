@@ -130,6 +130,43 @@ class VectorExprsSpec extends SparkSpec {
       spark.sql("SELECT srp_bits(embedding, 4294967296) FROM emb_sql").collect())
   }
 
+  test("L2Norm and QuantizeInt8 equal their HOF compositions; edges hold") {
+    val emb = sf("embeddings").select($"vec_id", $"embedding")
+    // norm: identical to sqrt(aggregate(squares))
+    val slowNorm = sqrt(aggregate(
+      transform(asDouble($"embedding"), x => x * x), lit(0.0), (a, v) => a + v))
+    val cmp = emb.select(VectorExprs.l2_norm($"embedding").as("fast"),
+      slowNorm.as("slow"))
+    assert(cmp.filter($"fast" =!= $"slow").count() == 0)
+    // quantize: codes match trunc(v/scale*127) with scale = max |v|
+    val scale = array_max(transform(asDouble($"embedding"), x => abs(x)))
+    val slowCodes = transform(asDouble($"embedding"),
+      x => (x / scale * 127.0).cast("int"))
+    val qcmp = emb.select(VectorExprs.quantize_int8($"embedding").as("fast"),
+      slowCodes.as("slow"))
+    assert(qcmp.filter(!($"fast" <=> $"slow")).count() == 0)
+    // codes stay in the int8 range; the max-|v| element hits ±127
+    val rng = emb.select(explode(VectorExprs.quantize_int8($"embedding")).as("c"))
+    assert(rng.filter($"c" > 127 || $"c" < -127).count() == 0)
+    assert(rng.filter(abs($"c") === 127).count() > 0)
+    // zero vector → zero codes, norm 0, no division blowup
+    val z = Seq(Seq(0.0, 0.0, 0.0)).toDF("v")
+      .select(VectorExprs.l2_norm($"v").as("n"),
+        VectorExprs.quantize_int8($"v").as("q")).collect()(0)
+    assert(z.getDouble(0) == 0.0 && z.getSeq[Int](1) == Seq(0, 0, 0))
+    // null propagates
+    val nl = Seq(Option.empty[Seq[Double]]).toDF("v")
+      .select(VectorExprs.l2_norm($"v"), VectorExprs.quantize_int8($"v")).collect()(0)
+    assert(nl.isNullAt(0) && nl.isNullAt(1))
+    // SQL registration round-trip
+    VectorExprs.register(spark)
+    emb.limit(5).createOrReplaceTempView("emb_q")
+    val viaSql = spark.sql("SELECT l2_norm(embedding) AS n, quantize_int8(embedding) AS q FROM emb_q")
+    val viaCol = emb.limit(5).select(VectorExprs.l2_norm($"embedding").as("n"),
+      VectorExprs.quantize_int8($"embedding").as("q"))
+    assert(viaSql.exceptAll(viaCol).isEmpty && viaCol.exceptAll(viaSql).isEmpty)
+  }
+
   test("dimension mismatches fail loudly instead of truncating") {
     val e1 = intercept[Exception](
       Seq((Seq(1.0, 2.0), Seq(1.0, 2.0, 3.0))).toDF("a", "b")

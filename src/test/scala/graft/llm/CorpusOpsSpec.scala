@@ -240,6 +240,37 @@ class CorpusOpsSpec extends SparkSpec {
     assert(adjacent < 100, s"$adjacent adjacent id pairs — not shuffled")
   }
 
+  // --- URLs -------------------------------------------------------------
+
+  test("urls: extraction normalizes case, strips ports/paths, keeps counts") {
+    val d = Seq(
+      (1L, "see https://A.Example.COM/path?q=1 and http://b.org:8080/x " +
+        "and https://a.example.com again, no-scheme www.c.net ignored"),
+      (2L, "no links here")).toDF("doc_id", "text")
+    val rows = Urls.analyze(d, "text", Seq("a.example.com"))
+      .orderBy("doc_id").collect()
+    assert(rows(0).getAs[Long]("n_urls") == 3L)
+    assert(rows(0).getSeq[String](rows(0).fieldIndex("domains")).sorted.toSeq ==
+      Seq("a.example.com", "b.org"))
+    assert(rows(0).getAs[Boolean]("is_blocked"))
+    assert(rows(1).getAs[Long]("n_urls") == 0L &&
+      !rows(1).getAs[Boolean]("is_blocked"))
+  }
+
+  test("urls: small-list and broadcast-table filters agree") {
+    val docs = sf("documents").select($"doc_id", $"text")
+    val linked = docs.filter(pmod($"doc_id", lit(3)) === 0)
+      .select($"doc_id" + 50000 as "doc_id",
+        concat($"text", lit(" via https://bad.example.net/x")).as("text"))
+    val all = docs.union(linked)
+    val small = Urls.filterBlocked(all, "text", Seq("bad.example.net"))
+    val large = Urls.filterBlockedLarge(all, "doc_id", "text",
+      Seq("bad.example.net").toDF("domain"))
+    assert(small.count() == docs.count(), "every linked copy must drop")
+    assert(small.exceptAll(large).isEmpty && large.exceptAll(small).isEmpty)
+    intercept[IllegalArgumentException](Urls.filterBlocked(all, "text", Nil))
+  }
+
   // --- Chunking ---------------------------------------------------------
 
   test("chunking: windows tile the document with the promised overlap") {
@@ -310,6 +341,19 @@ class CorpusOpsSpec extends SparkSpec {
     val kept = Repetition.filterRepetitive(d, "text")
     assert(kept.columns.toSeq == Seq("doc_id", "text", "lang"))
     assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+  }
+
+  test("repetition: paired expression equals the two single-n expressions") {
+    import graft.functions.SketchExprs.{gramRepetition, gramRepetitionPair}
+    val d = docs.select($"text")
+      .union(Seq("", "solo", "a b a b a c").toDF("text"))
+    val cmp = d.select(gramRepetitionPair($"text", 2).as("p"),
+      gramRepetition($"text", 1).as("w"), gramRepetition($"text", 2).as("g"))
+    assert(cmp.filter(
+      $"p.w_total" =!= $"w.total" || $"p.w_distinct" =!= $"w.distinct" ||
+      $"p.w_top" =!= $"w.top" || $"p.g_total" =!= $"g.total" ||
+      $"p.g_distinct" =!= $"g.distinct" || $"p.g_top" =!= $"g.top")
+      .count() == 0)
   }
 
   test("repetition: native stats agree with an explode/groupBy composition") {
