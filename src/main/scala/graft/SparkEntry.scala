@@ -1,7 +1,7 @@
 package graft
 
 import graft.infer.{CellInference, DateFormats}
-import graft.llm.{Chunking, Contamination, Dedup, Multimodal, Packing, Repetition, Sampling, Shuffling, Similarity, TextAnalysis, Urls}
+import graft.llm.{Boilerplate, Chunking, Contamination, Dedup, Multimodal, Packing, Repetition, Sampling, Shuffling, Similarity, TextAnalysis, Urls}
 import graft.sources.{AvroConnector, Connectors}
 import graft.streaming.EventsStreaming
 import graft.transform.Transform
@@ -438,6 +438,32 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("distinct_words"),
           col("dup_word_frac"), col("total_ngrams"), col("distinct_ngrams"),
           col("top_ngram_count"), col("dup_ngram_frac"), col("top_ngram_frac"))
+    },
+
+    // --- incremental (cross-snapshot) dedup: drop docs whose CONTENT
+    // already exists in a reference snapshot (every 3rd doc's text,
+    // with ids discarded to prove matching is by content hash). Anti-
+    // join on 16-byte hashes only; oracle replays with null-safe text
+    // equality ---
+    "q_dedup_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ref = docs.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("text"))
+      Dedup.againstReference(docs, ref, Seq("text")).select(col("doc_id"))
+    },
+
+    // --- corpus-level boilerplate: bigrams present in >= 15% of docs.
+    // A fixed disclaimer is appended to a quarter of the corpus (20%
+    // of the union) while the highest NATURAL bigram doc-frequency is
+    // ~9% — so the output is exactly the injected phrase's bigrams,
+    // with real margins on both sides of the threshold ---
+    "q_boilerplate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val stamped = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"),
+            lit(" all rights reserved click here to subscribe")).as("text"))
+      Boilerplate.commonGrams(docs.union(stamped), "text",
+        n = 2, minDocFrac = 0.15)
     },
 
     // --- URL/domain hygiene: extract hostnames, flag blocklisted
@@ -983,14 +1009,16 @@ object SparkEntry {
         |         CAST(max(c) AS BIGINT) AS top_ngram_count
         |  FROM bg GROUP BY doc_id
         |)
-        |SELECT ws.doc_id, n_words, distinct_words,
-        |  round(CAST(n_words - distinct_words AS DOUBLE) / n_words, 6) AS dup_word_frac,
+        |SELECT tok.doc_id,
+        |  coalesce(n_words, 0) AS n_words,
+        |  coalesce(distinct_words, 0) AS distinct_words,
+        |  coalesce(round(CAST(n_words - distinct_words AS DOUBLE) / n_words, 6), 0.0) AS dup_word_frac,
         |  coalesce(total_ngrams, 0) AS total_ngrams,
         |  coalesce(distinct_ngrams, 0) AS distinct_ngrams,
         |  coalesce(top_ngram_count, 0) AS top_ngram_count,
         |  coalesce(round(CAST(total_ngrams - distinct_ngrams AS DOUBLE) / total_ngrams, 6), 0.0) AS dup_ngram_frac,
         |  coalesce(round(CAST(top_ngram_count AS DOUBLE) / total_ngrams, 6), 0.0) AS top_ngram_frac
-        |FROM ws LEFT JOIN bs USING (doc_id)""".stripMargin,
+        |FROM tok LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)""".stripMargin,
 
     "q_text_analysis" ->
       """WITH d AS (SELECT doc_id, text || ' The 42 Ok!' AS text FROM documents),
@@ -1032,6 +1060,31 @@ object SparkEntry {
         |  fp AS fingerprint
         |FROM m""".stripMargin,
 
+    "q_dedup_incremental" ->
+      """SELECT d.doc_id FROM documents d
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM documents r
+        |  WHERE r.doc_id % 3 = 0 AND r.text IS NOT DISTINCT FROM d.text)""".stripMargin,
+
+    "q_boilerplate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    text || ' all rights reserved click here to subscribe' AS text
+        |  FROM documents WHERE doc_id % 4 = 0
+        |), tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+        |  FROM corpus
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')))) AS gram
+        |  FROM tok
+        |), dfq AS (
+        |  SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq FROM g GROUP BY gram
+        |)
+        |SELECT gram, doc_freq FROM dfq
+        |WHERE doc_freq >= CAST(ceil(0.15 * (SELECT count(*) FROM corpus)) AS BIGINT)""".stripMargin,
+
     "q_url_analysis" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -1041,7 +1094,8 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 13 = 0
         |), d AS (
         |  SELECT doc_id,
-        |    list_transform(regexp_extract_all(text, 'https?://([^/\s:]+)', 1),
+        |    list_transform(regexp_extract_all(text,
+        |      '(?i)https?://(?:[^/\s@]*@)?([a-z0-9-]+(?:\.[a-z0-9-]+)*)', 1),
         |      h -> lower(h)) AS hosts
         |  FROM corpus
         |)

@@ -133,6 +133,51 @@ object Dedup {
       .withColumn("is_duplicate", col("canonical_id") =!= col(idCol))
   }
 
+  /** Incremental (cross-snapshot) exact dedup: drop rows whose content
+    * already appears in a REFERENCE corpus — the "don't re-ingest what
+    * the previous crawl already delivered" step that runs before any
+    * in-batch dedup. Same [[contentHash]] as every exact-dedup shape.
+    *
+    * Scale shape: an anti-join on (hash) ONLY — document text never
+    * crosses the wire; the reference side is reduced to distinct
+    * 16-byte hashes before joining, so AQE broadcasts it whenever the
+    * snapshot's hash set fits (a billion-hash reference is ~16 GB of
+    * keys and falls back to a narrow shuffle join). `bloomPrefilter`
+    * additionally builds a driver-side Bloom filter over the reference
+    * hashes and drops obvious non-duplicates at the SCAN (a scala-UDF
+    * membership probe — off codegen, so it is opt-in): with a
+    * reference much larger than broadcastable, the exact anti-join
+    * then only shuffles the tiny might-contain fraction. False
+    * positives are removed by the exact join; false negatives don't
+    * exist, so semantics are identical either way (unit-pinned). */
+  def againstReference(df: DataFrame, ref: DataFrame,
+                       contentCols: Seq[String],
+                       bloomPrefilter: Boolean = false,
+                       expectedRefItems: Long = 1000000L,
+                       fpp: Double = 0.01): DataFrame = {
+    val h = contentHash(contentCols)
+    val refHashes = ref.select(h.as("__h")).distinct()
+    if (!bloomPrefilter) df.join(refHashes, h === col("__h"), "left_anti")
+    else {
+      // hash the BINARY(16) down to a long for the bloom probe; the
+      // exact verify join uses the full 16 bytes, so this narrowing
+      // never loses a duplicate
+      val bf = refHashes.select(xxhash64(col("__h")).as("__hl"))
+        .stat.bloomFilter("__hl", expectedRefItems, fpp)
+      val bc = df.sparkSession.sparkContext.broadcast(bf)
+      val might = org.apache.spark.sql.functions.udf(
+        (x: Long) => bc.value.mightContainLong(x))
+      val probe = might(xxhash64(h))
+      // bloom-negative rows are PROVEN absent from the reference (no
+      // false negatives) — they bypass the join entirely; only the
+      // might-contain fraction (true dups + fpp of the rest) pays the
+      // anti-join. Costs a second scan of df; at scale that is the
+      // trade for never shuffling the full corpus.
+      df.filter(!probe)
+        .union(df.filter(probe).join(refHashes, h === col("__h"), "left_anti"))
+    }
+  }
+
   /** Iterative canonical propagation over a pair graph: converges the
     * single-pass approximation to true connected components (a ~ b ~ c
     * ⇒ all three share min(component)). Each round: canonical(x) =

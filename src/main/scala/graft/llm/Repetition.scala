@@ -31,8 +31,18 @@ object Repetition {
     * downstream threshold filters never need null guards. Word and
     * n-gram families come from ONE paired projection (one tokenization
     * per document — the regex split dominates the per-row cost). */
+  /** Column names [[stats]] appends; a collision with an existing
+    * column would silently overwrite user data, so it is loud. */
+  private val StatCols = Seq("__r", "n_words", "distinct_words",
+    "dup_word_frac", "total_ngrams", "distinct_ngrams", "top_ngram_count",
+    "dup_ngram_frac", "top_ngram_frac")
+
   def stats(df: DataFrame, textCol: String, n: Int = 2,
             roundTo: Int = 6): DataFrame = {
+    val clash = df.columns.toSet.intersect(StatCols.toSet)
+    require(clash.isEmpty,
+      s"input already has column(s) ${clash.toSeq.sorted.mkString(", ")} — " +
+        "rename them before Repetition.stats (it would overwrite them)")
     val d = df.withColumn("__r", gramRepetitionPair(col(textCol), n))
     def frac(num: org.apache.spark.sql.Column,
              den: org.apache.spark.sql.Column) =
@@ -44,8 +54,9 @@ object Repetition {
         frac(col("__r.w_total") - col("__r.w_distinct"), col("__r.w_total")))
       .withColumn("total_ngrams", col("__r.g_total"))
       .withColumn("distinct_ngrams", col("__r.g_distinct"))
-      .withColumn("top_ngram_count",
-        when(col("__r.g_total") > 0, col("__r.g_top")).otherwise(lit(0L)))
+      // g_top is already 0 exactly when g_total is 0 (gramOccurrenceStats
+      // contract) — pass through, no guard branch
+      .withColumn("top_ngram_count", col("__r.g_top"))
       .withColumn("dup_ngram_frac",
         frac(col("__r.g_total") - col("__r.g_distinct"), col("__r.g_total")))
       .withColumn("top_ngram_frac", frac(col("__r.g_top"), col("__r.g_total")))

@@ -100,8 +100,13 @@ object Sampling {
       .filter(col(domainCol).isin(weights.keys.toSeq: _*))
       .groupBy(col(domainCol)).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    require(counts.nonEmpty,
-      s"no rows in any weighted domain: ${weights.keys.toSeq.sorted}")
+    // a weighted domain with ZERO rows must be loud: silently renorming
+    // over the present domains would return a corpus arbitrarily far
+    // from the requested composition (e.g. 100% en for a 50/50 ask)
+    val missing = weights.keySet -- counts.keySet
+    require(missing.isEmpty,
+      s"weighted domain(s) have no rows: ${missing.toSeq.sorted.mkString(", ")} " +
+        s"— drop them from weights or fix the corpus")
     val tStar = counts.map { case (d, n) => n.toDouble / weights(d) }.min
     // per-domain integer thresholds out of Buckets; the binding domain's
     // fraction is 1.0 so it keeps every bucket

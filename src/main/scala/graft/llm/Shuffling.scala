@@ -43,16 +43,36 @@ object Shuffling {
       .withColumn("shard_pos", row_number().over(w).cast("long"))
   }
 
+  /** The frame [[writeShards]] writes, shaped for exactly ONE exchange:
+    * the explicit `repartition(shards, shard)` comes BEFORE the window,
+    * whose ClusteredDistribution(shard) that partitioning already
+    * satisfies — windowing after the fact (as `deterministicShuffle`
+    * plans it for the default shuffle.partitions) would make
+    * EnsureRequirements insert a second full-data exchange to change
+    * partition counts. Plan-asserted in PlanSpec. Hash collisions of
+    * shard ids can give a writer slot two shards (bounded skew, noted);
+    * a range repartition would balance exactly at the cost of a
+    * sampling pass. */
+  def shardedFrame(df: DataFrame, idCol: String, seed: Long,
+                   shards: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    val keyed = df
+      .withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(shards.toLong)))
+      .repartition(shards, col("shard"))
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    keyed.withColumn("shard_pos", row_number().over(w).cast("long"))
+  }
+
   /** Materialize the shuffle as training shards: one parquet directory
     * per `shard=N`, rows inside each shard ordered by the shuffle key
-    * (parquet row order within the written files). The repartition
-    * rides the SAME shard hash the window already needs, so the write
-    * costs exactly one exchange; readers stream shard directories
+    * (the window's required sort leaves each partition in
+    * (shard, shard_pos) order, which the parquet writer preserves).
+    * One full-data exchange total; readers stream shard directories
     * independently and see the reproducible order. */
   def writeShards(df: DataFrame, idCol: String, path: String,
                   seed: Long = 42L, shards: Int = 64): Unit =
-    deterministicShuffle(df, idCol, seed, shards)
-      .repartition(shards, col("shard"))
-      .sortWithinPartitions(col("shard"), col("shard_pos"))
+    shardedFrame(df, idCol, seed, shards)
       .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

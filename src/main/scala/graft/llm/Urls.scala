@@ -16,12 +16,21 @@ import org.apache.spark.sql.functions._
   */
 object Urls {
 
+  /** Hostname pattern, shared verbatim with the DuckDB oracle (both
+    * engines' regex dialects accept it identically):
+    *  - `(?i)` — schemes and hosts match case-insensitively (a curation
+    *    blocklist must catch `HTTPS://SPAM.EXAMPLE.COM`);
+    *  - optional `userinfo@` is skipped, never mistaken for the host;
+    *  - the host capture takes only hostname-legal characters
+    *    (alnum/hyphen labels joined by dots), so ports, paths, and
+    *    TRAILING PUNCTUATION (`spam.example.com,` / `.../a.com.`)
+    *    never leak into the domain and can't bypass the blocklist. */
+  val HostPattern = "(?i)https?://(?:[^/\\s@]*@)?([a-z0-9-]+(?:\\.[a-z0-9-]+)*)"
+
   /** Lowercased hostnames of every http(s) URL in `text` (duplicates
-    * preserved — callers wanting a set apply array_distinct). The
-    * pattern stops the host at `/`, `:`, or whitespace, so ports and
-    * paths never leak into the domain. */
+    * preserved — callers wanting a set apply array_distinct). */
   def domains(text: Column): Column =
-    transform(regexp_extract_all(text, lit("https?://([^/\\s:]+)"), lit(1)),
+    transform(regexp_extract_all(text, lit(HostPattern), lit(1)),
       d => lower(d))
 
   /** Per-document URL report: `n_urls`, distinct `domains`, and

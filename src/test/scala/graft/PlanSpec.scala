@@ -280,4 +280,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("rangepartitioning"),
       s"global range sort found — per-shard sorts must stay parallel:\n$plan")
   }
+
+  test("writeShards frame: the explicit repartition is the ONLY exchange") {
+    // repartition(shards, shard) before the window must satisfy the
+    // window's clustering — a second full-data exchange would double
+    // shuffle I/O of every shard write at scale
+    val f = graft.llm.Shuffling.shardedFrame(
+      sf("documents"), "doc_id", seed = 7L, shards = 8)
+    val shuffles = shuffleOutputs(f)
+    assert(shuffles.length == 1,
+      s"expected the single explicit shard exchange, got ${shuffles.length}")
+  }
 }

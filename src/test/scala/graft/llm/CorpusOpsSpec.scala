@@ -184,6 +184,12 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       Sampling.mixture(d, "dom", "id", Map("zzz" -> 1.0))
     }
+    // a weighted domain with no rows is loud, not a silent renorm to
+    // whatever domains happen to exist
+    val e = intercept[IllegalArgumentException] {
+      Sampling.mixture(d, "dom", "id", Map("a" -> 0.5, "zzz" -> 0.5))
+    }
+    assert(e.getMessage.contains("zzz"))
   }
 
   // --- Shuffling --------------------------------------------------------
@@ -240,6 +246,52 @@ class CorpusOpsSpec extends SparkSpec {
     assert(adjacent < 100, s"$adjacent adjacent id pairs — not shuffled")
   }
 
+  // --- Incremental dedup ------------------------------------------------
+
+  test("againstReference: drops by content, keeps the rest; bloom path agrees") {
+    val corpus = Seq((1L, "alpha beta"), (2L, "gamma delta"), (3L, "epsilon"),
+      (4L, "alpha beta")).toDF("doc_id", "text")
+    // reference carries CONTENT only — ids there are unrelated
+    val ref = Seq((99L, "alpha beta"), (98L, "zeta")).toDF("rid", "text")
+    val kept = Dedup.againstReference(corpus, ref, Seq("text"))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(2L, 3L), s"both 'alpha beta' rows must drop: $kept")
+    val keptBloom = Dedup.againstReference(corpus, ref, Seq("text"),
+      bloomPrefilter = true, expectedRefItems = 100L)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(keptBloom == kept, "bloom prefilter must not change semantics")
+    // null content matches null content (contentHash keeps null explicit)
+    val withNull = Seq((1L, Option.empty[String]), (2L, Some("x")))
+      .toDF("doc_id", "text")
+    val refNull = Seq(Option.empty[String]).toDF("text")
+    assert(Dedup.againstReference(withNull, refNull, Seq("text"))
+      .select("doc_id").as[Long].collect().toSeq == Seq(2L))
+  }
+
+  // --- Boilerplate ------------------------------------------------------
+
+  test("boilerplate: corpus-wide grams clear the bar, per-doc score is exact") {
+    // "tail wagging dog" appears in 3/4 docs; every other bigram is rare
+    val d = Seq(
+      (1L, "alpha beta tail wagging dog"),
+      (2L, "gamma tail wagging dog delta"),
+      (3L, "tail wagging dog epsilon"),
+      (4L, "zeta eta theta")).toDF("doc_id", "text")
+    val common = Boilerplate.commonGrams(d, "text", n = 2, minDocFrac = 0.7)
+      .orderBy("gram").collect()
+    assert(common.map(_.getString(0)).toSeq == Seq("tail wagging", "wagging dog"))
+    assert(common.forall(_.getAs[Long]("doc_freq") == 3L))
+    // doc 3: grams [tail wagging, wagging dog, dog epsilon] → 2/3 boiler
+    val boiler = Boilerplate.commonGrams(d, "text", 2, 0.7)
+    val scores = Boilerplate.score(d, "doc_id", "text", boiler)
+      .orderBy("doc_id").collect()
+    assert(scores(2).getAs[Long]("boiler_grams") == 2L &&
+      scores(2).getAs[Long]("total_grams") == 3L)
+    assert(scores(3).getAs[Long]("boiler_grams") == 0L)
+    intercept[IllegalArgumentException](
+      Boilerplate.commonGrams(d, "text", 2, 0.0))
+  }
+
   // --- URLs -------------------------------------------------------------
 
   test("urls: extraction normalizes case, strips ports/paths, keeps counts") {
@@ -255,6 +307,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows(0).getAs[Boolean]("is_blocked"))
     assert(rows(1).getAs[Long]("n_urls") == 0L &&
       !rows(1).getAs[Boolean]("is_blocked"))
+  }
+
+  test("urls: adversarial forms cannot bypass the blocklist") {
+    // uppercase scheme, trailing punctuation, userinfo@, trailing dot —
+    // each once slipped past a naive [^/\s:]+ host capture
+    val d = Seq(
+      (1L, "HTTPS://SPAM.example.com shouting"),
+      (2L, "visit https://spam.example.com, now"),
+      (3L, "https://user:pw@spam.example.com/x login form"),
+      (4L, "rooted https://spam.example.com. end of sentence"),
+      (5L, "https://legit-site.org is fine")).toDF("doc_id", "text")
+    val kept = Urls.filterBlocked(d, "text", Seq("spam.example.com"))
+      .select("doc_id").as[Long].collect().toSeq
+    assert(kept == Seq(5L), s"blocklist bypassed: kept $kept")
   }
 
   test("urls: small-list and broadcast-table filters agree") {
@@ -341,6 +407,12 @@ class CorpusOpsSpec extends SparkSpec {
     val kept = Repetition.filterRepetitive(d, "text")
     assert(kept.columns.toSeq == Seq("doc_id", "text", "lang"))
     assert(kept.select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // a pre-existing column with a stats name would be silently
+    // overwritten — loud instead
+    val e = intercept[IllegalArgumentException] {
+      Repetition.stats(d.withColumn("n_words", lit(9L)), "text")
+    }
+    assert(e.getMessage.contains("n_words"))
   }
 
   test("repetition: paired expression equals the two single-n expressions") {
