@@ -96,6 +96,34 @@ class StreamingSpec extends SparkSpec {
       .except(streamed.select(content.map(col): _*)).isEmpty)
   }
 
+  test("stateless curation ops run unchanged on a stream (AvailableNow parity)") {
+    // repetition stats, URL hygiene, and chunking are pure projections,
+    // so the SAME operator bodies must work as a streaming pipeline with
+    // no watermark and no state — the continuous-ingest curation story
+    def curate(df: org.apache.spark.sql.DataFrame) = {
+      val rep = graft.llm.Repetition.stats(
+        df.select(col("doc_id"), col("text")), "text")
+      graft.llm.Urls.analyze(rep, "text", Seq("spam.example.com"))
+        .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
+          col("n_urls"), col("is_blocked"))
+    }
+    // FileStreamSource needs a DIRECTORY; the fixture is a single file
+    val streamDir = tmpDir("curation_stream")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/documents.parquet"),
+      java.nio.file.Paths.get(s"$streamDir/part-0.parquet"))
+    val batchIn = spark.read.parquet(streamDir)
+    val q = curate(spark.readStream.schema(batchIn.schema).parquet(streamDir))
+      .writeStream.format("memory").queryName("curation_parity")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("curation_parity")
+    val batch = curate(batchIn)
+    assert(streamed.count() == batch.count() && streamed.count() > 0)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "stateless curation ops must be batch/stream identical")
+  }
+
   test("firstOccurrence keeps the earliest row per content group") {
     import spark.implicits._
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
