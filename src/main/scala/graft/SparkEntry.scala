@@ -448,7 +448,8 @@ object SparkEntry {
     "q_dedup_incremental" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val ref = docs.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("text"))
-      Dedup.againstReference(docs, ref, Seq("text")).select(col("doc_id"))
+      Dedup.againstReference(docs, ref, "doc_id", Seq("text"))
+        .select(col("doc_id"))
     },
 
     // --- corpus-level boilerplate: bigrams present in >= 15% of docs.
@@ -462,8 +463,11 @@ object SparkEntry {
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"),
             lit(" all rights reserved click here to subscribe")).as("text"))
+      // totalDocs passed explicitly: two cheap narrow counts instead of
+      // re-executing the whole union+concat lineage a third time
       Boilerplate.commonGrams(docs.union(stamped), "text",
-        n = 2, minDocFrac = 0.15)
+        n = 2, minDocFrac = 0.15,
+        totalDocs = Some(docs.count() + stamped.count()))
     },
 
     // --- URL/domain hygiene: extract hostnames, flag blocklisted

@@ -239,6 +239,75 @@ object SketchExprs {
       copy(child = c)
   }
 
+  /** Distinct word n-gram STRINGS of a document in one pass — the
+    * string-form sibling of strict [[ShingleHash]] (same tokenizer,
+    * same gram construction, docs shorter than n yield none), for the
+    * places that must emit readable grams rather than hashes
+    * (boilerplate string recovery). The built-in
+    * `array_distinct(transform(sequence, slice/concat_ws))` composition
+    * it replaces runs interpreted per element outside codegen — on the
+    * boilerplate recovery pass that composition WAS the query cost.
+    * Output order is sorted (binary), which no caller depends on. */
+  case class ShingleStrings(child: Expression, n: Int)
+    extends UnaryExpression {
+
+    require(n >= 1, s"gram size must be >= 1: $n")
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    @transient private lazy val splitter = java.util.regex.Pattern.compile("\\W+")
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("shingleStrings", this,
+        classOf[ShingleStrings].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.grams($c);")
+    }
+
+    def grams(u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val tokens = splitter.split(u.toLowerCase.toString, -1).filter(_.nonEmpty)
+      val count = tokens.length - (n - 1)
+      if (count <= 0)
+        return new GenericArrayData(Array.empty[org.apache.spark.unsafe.types.UTF8String])
+      val out = new Array[org.apache.spark.unsafe.types.UTF8String](count)
+      val sb = new java.lang.StringBuilder(64)
+      var i = 0
+      while (i < count) {
+        sb.setLength(0)
+        var j = 0
+        while (j < n) {
+          if (j > 0) sb.append(' ')
+          sb.append(tokens(i + j))
+          j += 1
+        }
+        out(i) = org.apache.spark.unsafe.types.UTF8String.fromString(sb.toString)
+        i += 1
+      }
+      java.util.Arrays.sort(out, new java.util.Comparator[org.apache.spark.unsafe.types.UTF8String] {
+        def compare(a: org.apache.spark.unsafe.types.UTF8String,
+                    b: org.apache.spark.unsafe.types.UTF8String): Int = a.compareTo(b)
+      })
+      var m = 0
+      i = 0
+      while (i < count) {
+        if (i == 0 || out(i).compareTo(out(i - 1)) != 0) { out(m) = out(i); m += 1 }
+        i += 1
+      }
+      new GenericArrayData(
+        if (m == count) out.asInstanceOf[Array[Any]] else out.take(m).asInstanceOf[Array[Any]])
+    }
+
+    protected override def nullSafeEval(input: Any): Any =
+      grams(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def withNewChildInternal(c: Expression): ShingleStrings =
+      copy(child = c)
+  }
+
   /** `(total, distinct, top)` occurrence counts of `tokens`' n-grams,
     * by sorted xxhash64 image: sort, then one linear scan — run
     * boundaries give the distinct count, the longest run is the modal
@@ -449,6 +518,10 @@ object SketchExprs {
     * [[GramRepetitionPair]]. */
   def gramRepetitionPair(text: Column, n: Int): Column =
     GraftBridge.column(GramRepetitionPair(GraftBridge.expression(text), n))
+
+  /** Distinct gram strings in one pass — see [[ShingleStrings]]. */
+  def shingleStrings(text: Column, n: Int): Column =
+    GraftBridge.column(ShingleStrings(GraftBridge.expression(text), n))
 
   /** Foldable-integer extraction for SQL-registration parameters: a SQL
     * user writing `minhash_bands(h, 128, 32)` must get 128/32, and a

@@ -138,53 +138,58 @@ object Dedup {
     * the previous crawl already delivered" step that runs before any
     * in-batch dedup. Same [[contentHash]] as every exact-dedup shape.
     *
-    * Scale shape: an anti-join on (hash) ONLY — document text never
-    * crosses the wire; the reference side is reduced to distinct
-    * 16-byte hashes before joining, so AQE broadcasts it whenever the
-    * snapshot's hash set fits (a billion-hash reference is ~16 GB of
-    * keys and falls back to a narrow shuffle join). `bloomPrefilter`
-    * additionally builds a driver-side Bloom filter over the reference
-    * hashes and drops obvious non-duplicates at the SCAN (a scala-UDF
-    * membership probe — off codegen, so it is opt-in): with a
-    * reference much larger than broadcastable, the exact anti-join
-    * then only shuffles the tiny might-contain fraction. False
-    * positives are removed by the exact join; false negatives don't
-    * exist, so semantics are identical either way (unit-pinned). */
-  def againstReference(df: DataFrame, ref: DataFrame,
+    * Scale shape — both joins are keys-only, text never rides a wide
+    * shuffle: (1) an (id, hash) projection of the corpus semi-joins the
+    * reference's distinct 16-byte hashes to find duplicate ids (AQE
+    * broadcasts whichever side fits; at worst this shuffles 24-byte
+    * pairs); (2) the full rows anti-join that DUPLICATE-ID set — which
+    * is bounded by the corpus∩reference overlap, normally a small
+    * fraction that AQE broadcasts, so the corpus itself stays in place.
+    * A plain `df anti-join refHashes` would sort-merge-shuffle every
+    * document's full row whenever the reference outgrows the broadcast
+    * threshold — the exact cost this operator exists to avoid.
+    *
+    * `bloomPrefilter` additionally builds a driver-side Bloom filter
+    * over the reference hashes and keeps proven-absent rows out of the
+    * hash join entirely (a scala-UDF membership probe — off codegen, so
+    * it is opt-in). False positives are removed by the exact join;
+    * false negatives don't exist, so semantics are identical either
+    * way (unit-pinned). */
+  def againstReference(df: DataFrame, ref: DataFrame, idCol: String,
                        contentCols: Seq[String],
                        bloomPrefilter: Boolean = false,
                        expectedRefItems: Long = 1000000L,
                        fpp: Double = 0.01): DataFrame = {
     val h = contentHash(contentCols)
     val refHashes = ref.select(h.as("__h")).distinct()
-    if (!bloomPrefilter) df.join(refHashes, h === col("__h"), "left_anti")
-    else {
-      // hash the BINARY(16) down to a long for the bloom probe; the
-      // exact verify join uses the full 16 bytes, so this narrowing
-      // never loses a duplicate
-      val bf = refHashes.select(xxhash64(col("__h")).as("__hl"))
-        .stat.bloomFilter("__hl", expectedRefItems, fpp)
-      val bc = df.sparkSession.sparkContext.broadcast(bf)
-      val might = org.apache.spark.sql.functions.udf(
-        (x: Long) => bc.value.mightContainLong(x))
-      val probe = might(xxhash64(h))
-      // bloom-negative rows are PROVEN absent from the reference (no
-      // false negatives) — they bypass the join entirely; only the
-      // might-contain fraction (true dups + fpp of the rest) pays the
-      // anti-join. Costs a second scan of df; at scale that is the
-      // trade for never shuffling the full corpus.
-      df.filter(!probe)
-        .union(df.filter(probe).join(refHashes, h === col("__h"), "left_anti"))
-    }
+    val pool =
+      if (!bloomPrefilter) df
+      else {
+        // hash the BINARY(16) down to a long for the bloom probe; the
+        // exact verify join uses the full 16 bytes, so this narrowing
+        // never loses a duplicate
+        val bf = refHashes.select(xxhash64(col("__h")).as("__hl"))
+          .stat.bloomFilter("__hl", expectedRefItems, fpp)
+        val bc = df.sparkSession.sparkContext.broadcast(bf)
+        val might = org.apache.spark.sql.functions.udf(
+          (x: Long) => bc.value.mightContainLong(x))
+        df.filter(might(xxhash64(h)))
+      }
+    val dupIds = pool.select(col(idCol), h.as("__dh"))
+      .join(refHashes, col("__dh") === col("__h"), "left_semi")
+      .select(col(idCol))
+    df.join(dupIds, Seq(idCol), "left_anti")
   }
 
   /** Iterative canonical propagation over a pair graph: converges the
     * single-pass approximation to true connected components (a ~ b ~ c
     * ⇒ all three share min(component)). Each round: canonical(x) =
-    * min(canonical(x), canonical(neighbors(x))); stop when a round
+    * min(canonical(x), canonical(neighbors(x)), canonical(canonical(x)))
+    * — neighbor propagation plus POINTER JUMPING, so labels travel
+    * 2^k hops after k rounds and a diameter-D component converges in
+    * ~log2(D) rounds (+1 to observe the fixpoint). Stop when a round
     * changes nothing (or maxIters). localCheckpoint between rounds
-    * truncates lineage; diameter of near-dup clusters is tiny in
-    * practice, so 3-5 rounds converge. */
+    * truncates lineage. */
   def convergeCanonicals(ids: DataFrame, pairs: DataFrame,
                          idCol: String, maxIters: Int = 10): DataFrame = {
     // materialize the pair pipeline ONCE before fanning it out into both
@@ -209,13 +214,26 @@ object Dedup {
       val viaNeighbors = edges
         .join(cur.select(col("id").as("dst"), col("canonical_id").as("nc")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nc")).as("mc"))
+      // POINTER JUMPING: also adopt canonical(canonical(x)) — a
+      // cur⋈cur hop on the (small) vertex frame. Min labels then travel
+      // 2^k hops after k rounds instead of k, so a diameter-D chain
+      // converges in ~log2(D) rounds, not D. Every canonical_id is
+      // itself an edge vertex (least(id, neighbor)), so the inner hop
+      // always resolves; monotone mins keep the fixpoint identical.
+      val viaCanonical = cur
+        .join(cur.select(col("id").as("canonical_id"),
+          col("canonical_id").as("cc")), Seq("canonical_id"))
+        .select(col("id"), col("cc"))
       // the fixpoint check RIDES the checkpoint materialization via
       // observe — one job per round, no second scan (count() is
       // null-proof on an empty frame, unlike sum)
       val obs = org.apache.spark.sql.Observation()
       val joined = cur.join(viaNeighbors, Seq("id"), "left")
+        .join(viaCanonical, Seq("id"), "left")
         .select(col("id"), col("canonical_id"),
-          least(col("canonical_id"), coalesce(col("mc"), col("canonical_id")))
+          least(col("canonical_id"),
+            coalesce(col("mc"), col("canonical_id")),
+            coalesce(col("cc"), col("canonical_id")))
             .as("next_canonical"))
         .observe(obs, count(when(col("next_canonical") =!= col("canonical_id"),
           lit(1))).as("changed"))

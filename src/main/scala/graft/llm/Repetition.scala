@@ -24,6 +24,11 @@ import graft.functions.SketchExprs.gramRepetitionPair
   */
 object Repetition {
 
+  /** Column names [[stats]] appends ([[Guards.requireFreshColumns]]). */
+  private val StatCols = Seq("__r", "n_words", "distinct_words",
+    "dup_word_frac", "total_ngrams", "distinct_ngrams", "top_ngram_count",
+    "dup_ngram_frac", "top_ngram_frac")
+
   /** Append repetition stats columns: `n_words`, `distinct_words`,
     * `dup_word_frac`, `total_ngrams`, `distinct_ngrams`,
     * `top_ngram_count`, `dup_ngram_frac`, `top_ngram_frac`.
@@ -31,18 +36,9 @@ object Repetition {
     * downstream threshold filters never need null guards. Word and
     * n-gram families come from ONE paired projection (one tokenization
     * per document — the regex split dominates the per-row cost). */
-  /** Column names [[stats]] appends; a collision with an existing
-    * column would silently overwrite user data, so it is loud. */
-  private val StatCols = Seq("__r", "n_words", "distinct_words",
-    "dup_word_frac", "total_ngrams", "distinct_ngrams", "top_ngram_count",
-    "dup_ngram_frac", "top_ngram_frac")
-
   def stats(df: DataFrame, textCol: String, n: Int = 2,
             roundTo: Int = 6): DataFrame = {
-    val clash = df.columns.toSet.intersect(StatCols.toSet)
-    require(clash.isEmpty,
-      s"input already has column(s) ${clash.toSeq.sorted.mkString(", ")} — " +
-        "rename them before Repetition.stats (it would overwrite them)")
+    Guards.requireFreshColumns(df, StatCols, "Repetition.stats")
     val d = df.withColumn("__r", gramRepetitionPair(col(textCol), n))
     def frac(num: org.apache.spark.sql.Column,
              den: org.apache.spark.sql.Column) =

@@ -32,16 +32,26 @@ object Shuffling {
   def shuffleKey(id: Column, seed: Long): Column =
     Sampling.portableBucket(id + lit(seed))
 
-  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long = 42L,
-                           shards: Int = 64): DataFrame = {
+  /** ONE definition of the key/shard assignment and the per-shard
+    * order, shared by both public shapes — a drift between them would
+    * silently break writeShards' "same (shard, shard_pos) as
+    * deterministicShuffle" guarantee. `between` lets shardedFrame
+    * inject its repartition between keying and windowing. */
+  private def withShardPos(df: DataFrame, idCol: String, seed: Long,
+                           shards: Int,
+                           between: DataFrame => DataFrame): DataFrame = {
     require(shards >= 1, s"shards must be >= 1: $shards")
-    val key = shuffleKey(col(idCol), seed)
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("shuffle_key"), col(idCol))
-    df.withColumn("shuffle_key", key)
+    val keyed = df
+      .withColumn("shuffle_key", shuffleKey(col(idCol), seed))
       .withColumn("shard", pmod(col("shuffle_key"), lit(shards.toLong)))
-      .withColumn("shard_pos", row_number().over(w).cast("long"))
+    between(keyed).withColumn("shard_pos", row_number().over(w).cast("long"))
   }
+
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: Long = 42L,
+                           shards: Int = 64): DataFrame =
+    withShardPos(df, idCol, seed, shards, identity)
 
   /** The frame [[writeShards]] writes, shaped for exactly ONE exchange:
     * the explicit `repartition(shards, shard)` comes BEFORE the window,
@@ -54,16 +64,9 @@ object Shuffling {
     * a range repartition would balance exactly at the cost of a
     * sampling pass. */
   def shardedFrame(df: DataFrame, idCol: String, seed: Long,
-                   shards: Int): DataFrame = {
-    require(shards >= 1, s"shards must be >= 1: $shards")
-    val keyed = df
-      .withColumn("shuffle_key", shuffleKey(col(idCol), seed))
-      .withColumn("shard", pmod(col("shuffle_key"), lit(shards.toLong)))
-      .repartition(shards, col("shard"))
-    val w = Window.partitionBy(col("shard"))
-      .orderBy(col("shuffle_key"), col(idCol))
-    keyed.withColumn("shard_pos", row_number().over(w).cast("long"))
-  }
+                   shards: Int): DataFrame =
+    withShardPos(df, idCol, seed, shards,
+      _.repartition(shards, col("shard")))
 
   /** Materialize the shuffle as training shards: one parquet directory
     * per `shard=N`, rows inside each shard ordered by the shuffle key

@@ -28,22 +28,41 @@ object Urls {
   val HostPattern = "(?i)https?://(?:[^/\\s@]*@)?([a-z0-9-]+(?:\\.[a-z0-9-]+)*)"
 
   /** Lowercased hostnames of every http(s) URL in `text` (duplicates
-    * preserved — callers wanting a set apply array_distinct). */
+    * preserved — callers wanting a set apply array_distinct). NULL text
+    * yields an EMPTY array, never null: every downstream predicate
+    * (overlap, size) then agrees between the literal-blocklist and
+    * broadcast-table paths with no three-valued-logic surprises. */
   def domains(text: Column): Column =
-    transform(regexp_extract_all(text, lit(HostPattern), lit(1)),
-      d => lower(d))
+    coalesce(
+      transform(regexp_extract_all(text, lit(HostPattern), lit(1)),
+        d => lower(d)),
+      array().cast("array<string>"))
+
+  /** Blocklist entries normalized locale-independently — JVM-default
+    * `toLowerCase` under tr-TR would turn "SITE" into "sıte" (dotless ı)
+    * and silently disable the entry against Spark's ROOT-locale
+    * `lower()`. */
+  private def normalized(blocklist: Seq[String]): Array[String] =
+    blocklist.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
 
   /** Per-document URL report: `n_urls`, distinct `domains`, and
-    * `is_blocked` against an in-memory blocklist. */
+    * `is_blocked` against an in-memory blocklist. The extraction regex
+    * runs ONCE per row (shared `__hosts` projection) — the transform
+    * lambda is outside codegen subexpression elimination, so two
+    * independent `domains(...)` trees would scan every document twice. */
   def analyze(df: DataFrame, textCol: String,
               blocklist: Seq[String] = Nil): DataFrame = {
-    val ds = array_distinct(domains(col(textCol)))
+    Guards.requireFreshColumns(df,
+      Seq("n_urls", "domains", "is_blocked"), "Urls.analyze")
+    val ds = array_distinct(col("__hosts"))
     val blocked =
       if (blocklist.isEmpty) lit(false)
-      else arrays_overlap(ds, lit(blocklist.map(_.toLowerCase).toArray))
-    df.withColumn("n_urls", size(domains(col(textCol))).cast("long"))
+      else arrays_overlap(ds, lit(normalized(blocklist)))
+    df.withColumn("__hosts", domains(col(textCol)))
+      .withColumn("n_urls", size(col("__hosts")).cast("long"))
       .withColumn("domains", ds)
       .withColumn("is_blocked", blocked)
+      .drop("__hosts")
   }
 
   /** Keep documents that cite no blocked domain (in-memory blocklist:
@@ -52,7 +71,7 @@ object Urls {
                     blocklist: Seq[String]): DataFrame = {
     require(blocklist.nonEmpty, "empty blocklist would keep everything")
     df.filter(!arrays_overlap(array_distinct(domains(col(textCol))),
-      lit(blocklist.map(_.toLowerCase).toArray)))
+      lit(normalized(blocklist))))
   }
 
   /** Keep documents that cite no domain present in the `blocked` table

@@ -281,6 +281,31 @@ class PlanSpec extends SparkSpec {
       s"global range sort found — per-shard sorts must stay parallel:\n$plan")
   }
 
+  test("incremental dedup: anti-join carries hashes, never document text") {
+    val docs = sf("documents")
+    val ref = docs.filter(col("doc_id") % 3 === 0).select(col("text"))
+    val out = graft.llm.Dedup.againstReference(docs, ref, "doc_id", Seq("text"))
+    // any shuffle in the plan must be hash/id-width, not text payload —
+    // the reference side reduces to 16-byte hashes before the join
+    shuffleOutputs(out).foreach(cols =>
+      assert(!cols.contains("text"),
+        s"document text crossed a shuffle: $cols"))
+    assert(out.count() > 0)
+  }
+
+  test("boilerplate: survivors broadcast; corpus never shuffles gram strings") {
+    val docs = sf("documents")
+    val common = graft.llm.Boilerplate.commonGrams(docs, "text", 2, 0.05)
+    val plan = common.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"surviving gram set must broadcast for string recovery:\n$plan")
+    // the only wide shuffle is the hashed-gram count — gram STRINGS
+    // only appear downstream of the broadcast join
+    val wide = shuffleOutputs(common).filter(_.contains("gram"))
+    assert(wide.size <= 1,
+      s"gram strings crossed ${wide.size} shuffles (expect only the final groupBy)")
+  }
+
   test("writeShards frame: the explicit repartition is the ONLY exchange") {
     // repartition(shards, shard) before the window must satisfy the
     // window's clustering — a second full-data exchange would double

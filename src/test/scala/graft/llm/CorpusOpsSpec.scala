@@ -143,6 +143,18 @@ class CorpusOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getSeq[Long](0) == r.getSeq[Long](1)))
   }
 
+  test("shingle strings: native one-pass equals the transform composition") {
+    // the boilerplate recovery pass rides this expression; pin it to
+    // the readable Contamination.ngrams definition (sorted compare —
+    // the native form sorts, the composition keeps occurrence order)
+    val d = docs.select($"text").limit(80)
+      .union(Seq("a b! c,d e", "x y", "", "solo").toDF("text"))
+    val rows = d.select(
+      graft.functions.SketchExprs.shingleStrings($"text", 3).as("fast"),
+      sort_array(Contamination.ngrams($"text", 3)).as("ref")).collect()
+    rows.foreach(r => assert(r.getSeq[String](0) == r.getSeq[String](1)))
+  }
+
   test("contamination: docs shorter than n yield no grams, never a crash") {
     val corpus = Seq((1L, "too short"), (2L, "")).toDF("doc_id", "text")
     val probes = Seq("a b c d e f g h").toDF("text")
@@ -253,10 +265,10 @@ class CorpusOpsSpec extends SparkSpec {
       (4L, "alpha beta")).toDF("doc_id", "text")
     // reference carries CONTENT only — ids there are unrelated
     val ref = Seq((99L, "alpha beta"), (98L, "zeta")).toDF("rid", "text")
-    val kept = Dedup.againstReference(corpus, ref, Seq("text"))
+    val kept = Dedup.againstReference(corpus, ref, "doc_id", Seq("text"))
       .select("doc_id").as[Long].collect().toSeq.sorted
     assert(kept == Seq(2L, 3L), s"both 'alpha beta' rows must drop: $kept")
-    val keptBloom = Dedup.againstReference(corpus, ref, Seq("text"),
+    val keptBloom = Dedup.againstReference(corpus, ref, "doc_id", Seq("text"),
       bloomPrefilter = true, expectedRefItems = 100L)
       .select("doc_id").as[Long].collect().toSeq.sorted
     assert(keptBloom == kept, "bloom prefilter must not change semantics")
@@ -264,7 +276,7 @@ class CorpusOpsSpec extends SparkSpec {
     val withNull = Seq((1L, Option.empty[String]), (2L, Some("x")))
       .toDF("doc_id", "text")
     val refNull = Seq(Option.empty[String]).toDF("text")
-    assert(Dedup.againstReference(withNull, refNull, Seq("text"))
+    assert(Dedup.againstReference(withNull, refNull, "doc_id", Seq("text"))
       .select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 
@@ -290,6 +302,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(scores(3).getAs[Long]("boiler_grams") == 0L)
     intercept[IllegalArgumentException](
       Boilerplate.commonGrams(d, "text", 2, 0.0))
+    // gram-less docs (null / single-word text) stay in the report as
+    // 0/0/0.0 instead of silently vanishing
+    val edge = Seq((1L, Some("hello")), (2L, Option.empty[String]))
+      .toDF("doc_id", "text")
+    val es = Boilerplate.score(edge, "doc_id", "text", boiler)
+      .orderBy("doc_id").collect()
+    assert(es.length == 2)
+    es.foreach { r =>
+      assert(r.getAs[Long]("total_grams") == 0L &&
+        r.getAs[Double]("boiler_frac") == 0.0, r.toString)
+    }
   }
 
   // --- URLs -------------------------------------------------------------
@@ -328,13 +351,20 @@ class CorpusOpsSpec extends SparkSpec {
     val linked = docs.filter(pmod($"doc_id", lit(3)) === 0)
       .select($"doc_id" + 50000 as "doc_id",
         concat($"text", lit(" via https://bad.example.net/x")).as("text"))
-    val all = docs.union(linked)
+    // the null-text row must be KEPT by both paths (it cites nothing) —
+    // a naive arrays_overlap(null, ...) filter silently drops it
+    val nullRow = Seq((99999L, Option.empty[String])).toDF("doc_id", "text")
+    val all = docs.union(linked).union(nullRow)
     val small = Urls.filterBlocked(all, "text", Seq("bad.example.net"))
     val large = Urls.filterBlockedLarge(all, "doc_id", "text",
       Seq("bad.example.net").toDF("domain"))
-    assert(small.count() == docs.count(), "every linked copy must drop")
+    assert(small.count() == docs.count() + 1, "linked copies drop, null row stays")
+    assert(small.filter($"doc_id" === 99999L).count() == 1)
     assert(small.exceptAll(large).isEmpty && large.exceptAll(small).isEmpty)
     intercept[IllegalArgumentException](Urls.filterBlocked(all, "text", Nil))
+    // fixed-name output columns must not silently clobber user data
+    intercept[IllegalArgumentException](
+      Urls.analyze(all.withColumn("domains", lit("x")), "text"))
   }
 
   // --- Chunking ---------------------------------------------------------
