@@ -1,7 +1,7 @@
 package graft
 
 import graft.infer.{CellInference, DateFormats}
-import graft.llm.{Boilerplate, Chunking, Contamination, Dedup, Multimodal, Packing, Repetition, Sampling, Shuffling, Similarity, TextAnalysis, Urls}
+import graft.llm.{Boilerplate, Chunking, Contamination, Curation, Dedup, Multimodal, Packing, Repetition, Sampling, Shuffling, Similarity, TextAnalysis, Urls}
 import graft.sources.{AvroConnector, Connectors}
 import graft.streaming.EventsStreaming
 import graft.transform.Transform
@@ -438,6 +438,36 @@ object SparkEntry {
         .select(col("doc_id"), col("n_words"), col("distinct_words"),
           col("dup_word_frac"), col("total_ngrams"), col("distinct_ngrams"),
           col("top_ngram_count"), col("dup_ngram_frac"), col("top_ngram_frac"))
+    },
+
+    // --- the flagship composite: the standard curation pipeline
+    // (URL filter → repetition filter → exact dedup keep-min-id →
+    // deterministic sample), one lazy plan. The corpus carries three
+    // engineered families — blocklisted-URL copies, spam-repetition
+    // copies, exact-duplicate copies — each of which a distinct stage
+    // must remove; the oracle replays all four stages as CTEs, so a
+    // silent failure of ANY stage breaks the hash ---
+    "q_curation_pipeline" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val spamUrl = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" via https://spam.example.com/x")).as("text"))
+      val repetitive = docs.filter(pmod(col("doc_id"), lit(11)) === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" buy now" * 30)).as("text"))
+      val dupes = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+      // thresholds sit between the corpus' natural maxima (dup_ngram
+      // 0.18, top_ngram 0.23 at sf0.1) and the injected spam (≥ 0.42):
+      // real margins on both sides
+      Curation.pipeline(docs.union(spamUrl).union(repetitive).union(dupes),
+          "doc_id", "text",
+          Curation.PipelineConfig(
+            blocklist = Seq("spam.example.com"),
+            maxDupWordFrac = 0.9, maxDupNgramFrac = 0.35,
+            maxTopNgramFrac = 0.5, sampleFraction = 0.5,
+            bucketFn = Sampling.portableBucket))
+        .select(col("doc_id"))
     },
 
     // --- incremental (cross-snapshot) dedup: drop docs whose CONTENT
@@ -1063,6 +1093,54 @@ object SparkEntry {
         |       ELSE 'de' END AS lang_guess,
         |  fp AS fingerprint
         |FROM m""".stripMargin,
+
+    "q_curation_pipeline" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' via https://spam.example.com/x'
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || repeat(' buy now', 30)
+        |  FROM documents WHERE doc_id % 11 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 5 = 0
+        |), u AS (
+        |  SELECT doc_id, text FROM corpus
+        |  WHERE len(list_intersect(
+        |    list_distinct(list_transform(regexp_extract_all(text,
+        |      '(?i)https?://(?:[^/\s@]*@)?([a-z0-9-]+(?:\.[a-z0-9-]+)*)', 1),
+        |      h -> lower(h))),
+        |    ['spam.example.com'])) = 0
+        |), tok AS (
+        |  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+        |  FROM u
+        |), wg AS (
+        |  SELECT doc_id, unnest(tk) AS w FROM tok
+        |), ws AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+        |         CAST(count(DISTINCT w) AS BIGINT) AS distinct_words
+        |  FROM wg GROUP BY doc_id
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))) AS gram
+        |  FROM tok
+        |), bg AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+        |), bs AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS tg,
+        |         CAST(count(*) AS BIGINT) AS dg, CAST(max(c) AS BIGINT) AS top
+        |  FROM bg GROUP BY doc_id
+        |), r AS (
+        |  SELECT tok.doc_id, tok.text FROM tok
+        |  LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)
+        |  WHERE coalesce(round(CAST(n_words - distinct_words AS DOUBLE) / n_words, 6), 0.0) <= 0.9
+        |    AND coalesce(round(CAST(tg - dg AS DOUBLE) / tg, 6), 0.0) <= 0.35
+        |    AND coalesce(round(CAST(top AS DOUBLE) / tg, 6), 0.0) <= 0.5
+        |), d AS (
+        |  SELECT doc_id FROM r QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)
+        |)
+        |SELECT doc_id FROM d
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000 < 500000""".stripMargin,
 
     "q_dedup_incremental" ->
       """SELECT d.doc_id FROM documents d

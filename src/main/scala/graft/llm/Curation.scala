@@ -1,0 +1,54 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The standard corpus-curation pipeline, composed from the individual
+  * operators in dependency order — the end-to-end "raw crawl in,
+  * training corpus out" path a user of this library runs:
+  *
+  *   1. URL hygiene   — drop documents citing blocklisted domains;
+  *   2. repetition    — drop degenerate documents (dup-word /
+  *                      dup-n-gram / modal-n-gram thresholds);
+  *   3. exact dedup   — keep the smallest id per identical content;
+  *   4. sampling      — deterministic hash sample of the survivors.
+  *
+  * Order matters and is deliberate: the cheap pure-filter stages (1, 2
+  * — shuffle-free, codegen'd projections) run FIRST so the one shuffle
+  * in the pipeline (the dedup's narrow (hash, id) exchange) only sees
+  * rows that survived them, and the sample runs LAST so its fraction
+  * applies to the cleaned corpus. The whole pipeline stays ONE lazy
+  * plan — Catalyst fuses stages 1-2 into the scan, and nothing
+  * materializes between stages.
+  */
+object Curation {
+
+  final case class PipelineConfig(
+      blocklist: Seq[String] = Nil,
+      maxDupWordFrac: Double = 0.3,
+      maxDupNgramFrac: Double = 0.3,
+      maxTopNgramFrac: Double = 0.2,
+      repetitionN: Int = 2,
+      sampleFraction: Double = 1.0,
+      /** [[Sampling.bucket]] (xxhash64) or [[Sampling.portableBucket]]
+        * (SQL-replayable — the oracle uses this). */
+      bucketFn: Column => Column = Sampling.bucket)
+
+  def pipeline(df: DataFrame, idCol: String, textCol: String,
+               cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    val afterUrls =
+      if (cfg.blocklist.isEmpty) df
+      else Urls.filterBlocked(df, textCol, cfg.blocklist)
+    val afterRepetition = Repetition.filterRepetitive(afterUrls, textCol,
+      cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,
+      cfg.repetitionN)
+    // exact dedup, keep-min-id: the decision frame is (id, canonical,
+    // is_duplicate) — keep originals by joining decisions back on id
+    // (keys-only shuffle; full rows only join the kept-id set)
+    val decisions = Dedup.exact(afterRepetition, idCol, Seq(textCol))
+    val keptIds = decisions.filter(!col("is_duplicate")).select(col(idCol))
+    val deduped = afterRepetition.join(keptIds, Seq(idCol), "left_semi")
+    if (cfg.sampleFraction >= 1.0) deduped
+    else Sampling.byHash(deduped, idCol, cfg.sampleFraction, cfg.bucketFn)
+  }
+}

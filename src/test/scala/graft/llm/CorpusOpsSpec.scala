@@ -258,6 +258,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(adjacent < 100, s"$adjacent adjacent id pairs — not shuffled")
   }
 
+  // --- Curation pipeline ------------------------------------------------
+
+  test("curation pipeline: each stage removes exactly its family") {
+    val prose = "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpus = Seq(
+      (1L, prose),                                       // survives all stages
+      (2L, prose + " via https://spam.example.com/x"),   // stage 1: URL
+      (3L, prose + (" buy now" * 40)),                   // stage 2: repetition
+      (4L, prose),                                       // stage 3: dup of 1
+      (5L, "completely different words entirely here now today friend")
+    ).toDF("doc_id", "text")
+    val kept = Curation.pipeline(corpus, "doc_id", "text",
+        Curation.PipelineConfig(blocklist = Seq("spam.example.com"),
+          maxDupWordFrac = 0.9, maxDupNgramFrac = 0.35, maxTopNgramFrac = 0.5))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(1L, 5L), s"kept $kept")
+    // sampling composes: fraction 1.0 is identity, 0.0 keeps nothing
+    assert(Curation.pipeline(corpus, "doc_id", "text",
+      Curation.PipelineConfig(sampleFraction = 0.0)).count() == 0)
+    // empty blocklist skips stage 1 entirely (doc 2 then survives)
+    val noUrl = Curation.pipeline(corpus, "doc_id", "text",
+        Curation.PipelineConfig(maxDupWordFrac = 0.9,
+          maxDupNgramFrac = 0.35, maxTopNgramFrac = 0.5))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(noUrl == Seq(1L, 2L, 5L), s"kept $noUrl")
+  }
+
   // --- Incremental dedup ------------------------------------------------
 
   test("againstReference: drops by content, keeps the rest; bloom path agrees") {
