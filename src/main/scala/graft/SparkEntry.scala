@@ -112,6 +112,33 @@ object SparkEntry {
         .select(col("n_name"), round(col("revenue"), 4).as("revenue"))
     },
 
+    // --- TPC-H Q10 shape: revenue lost to returned items per customer
+    // over one quarter — 3-table join + broadcast nation dim, exact
+    // decimal agg, deterministic top-20 (revenue desc, custkey) ---
+    "q_returned_items" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val lo = lit("1997-10-01").cast("timestamp")
+      val hi = lit("1998-01-01").cast("timestamp")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+        .select(col("o_orderkey"), col("o_custkey"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast(dec)).cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"),
+          round(col("revenue"), 4).as("revenue"), col("c_acctbal"),
+          col("n_name"))
+    },
+
     // --- ranking window analytics (new surface, SURVEY §2.E): exact
     // decimal revenue per (supplier, part), row_number within supplier,
     // keep the top 3 — two shuffles total (partial-agg groupBy, then the
@@ -728,6 +755,19 @@ object SparkEntry {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1998-01-01'
         |GROUP BY n_name""".stripMargin,
+
+    "q_returned_items" ->
+      """SELECT c_custkey, c_name,
+        |  round(CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+        |    AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue,
+        |  c_acctbal, n_name
+        |FROM customer, orders, lineitem, nation
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND o_orderdate >= TIMESTAMP '1997-10-01'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01'
+        |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin,
 
     "q_supplier_rank" ->
       """WITH r AS (

@@ -146,6 +146,17 @@ class PlanSpec extends SparkSpec {
       "bucket/cosine projection left whole-stage codegen")
   }
 
+  test("q_returned_items: pushed flag/date filters, broadcast nation, TakeOrdered") {
+    val df = SparkEntry.queries("q_returned_items")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("EqualTo(l_returnflag,R)"),
+      s"returnflag filter not pushed to the lineitem scan:\n$p")
+    assert(p.contains("GreaterThanOrEqual(o_orderdate"),
+      s"order date range not pushed to the orders scan:\n$p")
+    assert(p.contains("BroadcastHashJoin"), "nation dim must broadcast")
+    assert(p.contains("TakeOrderedAndProject"), "top-20 must not global-sort")
+  }
+
   test("q_top_orders: pushed filters, broadcast dimension, TakeOrdered top-k") {
     val df = SparkEntry.queries("q_top_orders")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
