@@ -1147,11 +1147,11 @@ object SparkEntry {
         |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 5 = 0
         |), u AS (
         |  SELECT doc_id, text FROM corpus
-        |  WHERE len(list_intersect(
+        |  WHERE coalesce(len(list_intersect(
         |    list_distinct(list_transform(regexp_extract_all(text,
         |      '(?i)https?://(?:[^/\s@]*@)?([a-z0-9-]+(?:\.[a-z0-9-]+)*)', 1),
         |      h -> lower(h))),
-        |    ['spam.example.com'])) = 0
+        |    ['spam.example.com'])), 0) = 0
         |), tok AS (
         |  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
         |  FROM u
@@ -1216,9 +1216,9 @@ object SparkEntry {
         |  FROM documents WHERE doc_id % 13 = 0
         |), d AS (
         |  SELECT doc_id,
-        |    list_transform(regexp_extract_all(text,
+        |    coalesce(list_transform(regexp_extract_all(text,
         |      '(?i)https?://(?:[^/\s@]*@)?([a-z0-9-]+(?:\.[a-z0-9-]+)*)', 1),
-        |      h -> lower(h)) AS hosts
+        |      h -> lower(h)), CAST([] AS VARCHAR[])) AS hosts
         |  FROM corpus
         |)
         |SELECT doc_id,

@@ -21,6 +21,21 @@ import org.apache.spark.sql.GraftBridge
   */
 object SketchExprs {
 
+  /** THE tokenizer of the whole sketch family — one definition, so the
+    * "same tokens" equality contracts between ShingleHash /
+    * ShingleStrings / GramRepetition(Pair) cannot drift: lowercase,
+    * split on `\W+`, trailing empties kept (raw) or all empties dropped
+    * (strict). */
+  private val Splitter = java.util.regex.Pattern.compile("\\W+")
+
+  private[functions] def rawTokens(
+      u: org.apache.spark.unsafe.types.UTF8String): Array[String] =
+    Splitter.split(u.toLowerCase.toString, -1)
+
+  private[functions] def strictTokens(
+      u: org.apache.spark.unsafe.types.UTF8String): Array[String] =
+    rawTokens(u).filter(_.nonEmpty)
+
   /** Deterministic multiply-add permutation family: h_i(x) = a_i*x + b_i
     * over Z/2^64 (odd multipliers ⇒ bijective). Seeds derive from
     * SplitMix64 so signatures are reproducible across runs/executors. */
@@ -184,8 +199,6 @@ object SketchExprs {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
     override def nullable: Boolean = child.nullable
 
-    @transient private lazy val splitter = java.util.regex.Pattern.compile("\\W+")
-
     /** Codegen: one direct call into [[hash]] — the expression joins the
       * surrounding whole-stage-codegen span instead of the
       * CodegenFallback path (per-row InternalRow boxing + reflection). */
@@ -199,9 +212,7 @@ object SketchExprs {
     }
 
     def hash(u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
-      val text = u.toLowerCase.toString
-      val raw = splitter.split(text, -1)
-      val tokens = if (strict) raw.filter(_.nonEmpty) else raw
+      val tokens = if (strict) strictTokens(u) else rawTokens(u)
       if (strict && tokens.length < n) return new GenericArrayData(Array.emptyLongArray)
       val count = math.max(tokens.length - (n - 1), 1)
       val hashes = new Array[Long](count)
@@ -247,7 +258,11 @@ object SketchExprs {
     * `array_distinct(transform(sequence, slice/concat_ws))` composition
     * it replaces runs interpreted per element outside codegen — on the
     * boilerplate recovery pass that composition WAS the query cost.
-    * Output order is sorted (binary), which no caller depends on. */
+    * Output order is sorted (binary), which no caller depends on.
+    * NULL text propagates null (like every sketch expression), where
+    * the Contamination.ngrams composition yields [] — identical under
+    * `explode` (both emit zero rows), the only way callers consume
+    * either. */
   case class ShingleStrings(child: Expression, n: Int)
     extends UnaryExpression {
 
@@ -255,8 +270,6 @@ object SketchExprs {
 
     override def dataType: DataType = ArrayType(StringType, containsNull = false)
     override def nullable: Boolean = child.nullable
-
-    @transient private lazy val splitter = java.util.regex.Pattern.compile("\\W+")
 
     override protected def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
@@ -269,7 +282,7 @@ object SketchExprs {
     }
 
     def grams(u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
-      val tokens = splitter.split(u.toLowerCase.toString, -1).filter(_.nonEmpty)
+      val tokens = strictTokens(u)
       val count = tokens.length - (n - 1)
       if (count <= 0)
         return new GenericArrayData(Array.empty[org.apache.spark.unsafe.types.UTF8String])
@@ -376,8 +389,6 @@ object SketchExprs {
       StructField("top", LongType, nullable = false)))
     override def nullable: Boolean = child.nullable
 
-    @transient private lazy val splitter = java.util.regex.Pattern.compile("\\W+")
-
     override protected def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
@@ -389,7 +400,7 @@ object SketchExprs {
 
     def stats(u: org.apache.spark.unsafe.types.UTF8String)
         : org.apache.spark.sql.catalyst.InternalRow = {
-      val tokens = splitter.split(u.toLowerCase.toString, -1).filter(_.nonEmpty)
+      val tokens = strictTokens(u)
       val (t, d, p) = gramOccurrenceStats(tokens, n)
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
         Array[Any](t, d, p))
@@ -423,8 +434,6 @@ object SketchExprs {
       StructField("g_top", LongType, nullable = false)))
     override def nullable: Boolean = child.nullable
 
-    @transient private lazy val splitter = java.util.regex.Pattern.compile("\\W+")
-
     override protected def doGenCode(
         ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
         ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
@@ -437,7 +446,7 @@ object SketchExprs {
 
     def stats(u: org.apache.spark.unsafe.types.UTF8String)
         : org.apache.spark.sql.catalyst.InternalRow = {
-      val tokens = splitter.split(u.toLowerCase.toString, -1).filter(_.nonEmpty)
+      val tokens = strictTokens(u)
       val (wt, wd, wp) = gramOccurrenceStats(tokens, 1)
       val (gt, gd, gp) = gramOccurrenceStats(tokens, n)
       new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(

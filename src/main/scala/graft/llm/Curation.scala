@@ -18,8 +18,14 @@ import org.apache.spark.sql.functions._
   * in the pipeline (the dedup's narrow (hash, id) exchange) only sees
   * rows that survived them, and the sample runs LAST so its fraction
   * applies to the cleaned corpus. The whole pipeline stays ONE lazy
-  * plan — Catalyst fuses stages 1-2 into the scan, and nothing
-  * materializes between stages.
+  * plan with no materialization between stages; the filter subtree
+  * evaluates twice (keep-set pass + surviving-rows pass — see the
+  * dedup stage comment), so persist the input first if its own lineage
+  * is expensive.
+  *
+  * `idCol` must be a UNIQUE, NON-NULL key — the contract of the whole
+  * dedup family (canonical ids, keep-min-id, and the keys-only
+  * join-backs are all meaningless under duplicate or null ids).
   */
 object Curation {
 
@@ -42,11 +48,16 @@ object Curation {
     val afterRepetition = Repetition.filterRepetitive(afterUrls, textCol,
       cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,
       cfg.repetitionN)
-    // exact dedup, keep-min-id: the decision frame is (id, canonical,
-    // is_duplicate) — keep originals by joining decisions back on id
-    // (keys-only shuffle; full rows only join the kept-id set)
-    val decisions = Dedup.exact(afterRepetition, idCol, Seq(textCol))
-    val keptIds = decisions.filter(!col("is_duplicate")).select(col(idCol))
+    // exact dedup, keep-min-id, computed directly from ONE narrow
+    // (id, hash) projection of the filtered corpus: groupBy(hash) →
+    // min(id) is the keep set, full rows semi-join it by id. The
+    // filter subtree therefore evaluates exactly twice (the narrow
+    // keep-set pass + the surviving-rows pass) — routing through
+    // Dedup.exact's decision frame would cost a third evaluation.
+    val keptIds = afterRepetition
+      .select(col(idCol), Dedup.contentHash(Seq(textCol)).as("__h"))
+      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
     val deduped = afterRepetition.join(keptIds, Seq(idCol), "left_semi")
     if (cfg.sampleFraction >= 1.0) deduped
     else Sampling.byHash(deduped, idCol, cfg.sampleFraction, cfg.bucketFn)

@@ -154,7 +154,12 @@ object Dedup {
     * hash join entirely (a scala-UDF membership probe — off codegen, so
     * it is opt-in). False positives are removed by the exact join;
     * false negatives don't exist, so semantics are identical either
-    * way (unit-pinned). */
+    * way (unit-pinned).
+    *
+    * `idCol` must be a UNIQUE, NON-NULL key (the dedup-family
+    * contract): the final anti-join keys on it, so a null id would
+    * never match its own duplicate-verdict and a duplicated id would
+    * drop every row sharing it. */
   def againstReference(df: DataFrame, ref: DataFrame, idCol: String,
                        contentCols: Seq[String],
                        bloomPrefilter: Boolean = false,

@@ -53,7 +53,7 @@ object Urls {
   def analyze(df: DataFrame, textCol: String,
               blocklist: Seq[String] = Nil): DataFrame = {
     Guards.requireFreshColumns(df,
-      Seq("n_urls", "domains", "is_blocked"), "Urls.analyze")
+      Seq("__hosts", "n_urls", "domains", "is_blocked"), "Urls.analyze")
     val ds = array_distinct(col("__hosts"))
     val blocked =
       if (blocklist.isEmpty) lit(false)
