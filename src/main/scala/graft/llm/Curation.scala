@@ -62,4 +62,51 @@ object Curation {
     if (cfg.sampleFraction >= 1.0) deduped
     else Sampling.byHash(deduped, idCol, cfg.sampleFraction, cfg.bucketFn)
   }
+
+  /** [[pipeline]] plus per-stage survivor counts — the drop accounting
+    * every production curation run records: "input", "after_urls",
+    * "after_repetition", "after_dedup", "kept".
+    *
+    * The filter-stage counts ride ONE eager localCheckpoint of the
+    * filtered survivors via `observe` (an observe below the dedup's
+    * plan fan-out would otherwise be DUPLICATED into both branches of
+    * the tree — Catalyst plans are trees, not DAGs — and double-fire).
+    * The checkpoint also makes the dedup's two consumers read the
+    * materialized survivors instead of re-running the filter subtree,
+    * so observability costs storage for the survivor set, not extra
+    * compute; for pure throughput without the materialization use
+    * [[pipeline]]. Counts for the filter stages are final as soon as
+    * this returns; "after_dedup"/"kept" complete when the returned
+    * frame is consumed. */
+  def pipelineObserved(df: DataFrame, idCol: String, textCol: String,
+                       cfg: PipelineConfig = PipelineConfig())
+      : (DataFrame, () => Map[String, Long]) = {
+    import org.apache.spark.sql.Observation
+    def tap(frame: DataFrame, o: Observation): DataFrame =
+      frame.observe(o, count(lit(1)).as("n"))
+    val oIn = Observation(); val oU = Observation(); val oR = Observation()
+    val oD = Observation(); val oOut = Observation()
+    val in = tap(df, oIn)
+    val afterUrls =
+      if (cfg.blocklist.isEmpty) in
+      else Urls.filterBlocked(in, textCol, cfg.blocklist)
+    val r = tap(Repetition.filterRepetitive(tap(afterUrls, oU), textCol,
+        cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,
+        cfg.repetitionN), oR)
+      .localCheckpoint(true) // filter observes fire here, exactly once
+    val keptIds = r
+      .select(col(idCol), Dedup.contentHash(Seq(textCol)).as("__h"))
+      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+      .select(col(idCol))
+    val d = tap(r.join(keptIds, Seq(idCol), "left_semi"), oD)
+    val out = tap(
+      if (cfg.sampleFraction >= 1.0) d
+      else Sampling.byHash(d, idCol, cfg.sampleFraction, cfg.bucketFn),
+      oOut)
+    val obs = Seq("input" -> oIn, "after_urls" -> oU,
+      "after_repetition" -> oR, "after_dedup" -> oD, "kept" -> oOut)
+    (out, () => obs.map { case (n, o) =>
+      n -> o.get("n").asInstanceOf[Long]
+    }.toMap)
+  }
 }

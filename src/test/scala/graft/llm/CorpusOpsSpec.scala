@@ -285,6 +285,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(noUrl == Seq(1L, 2L, 5L), s"kept $noUrl")
   }
 
+  test("curation pipeline: observed variant reports per-stage drop counts") {
+    val prose = "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpus = Seq(
+      (1L, prose),
+      (2L, prose + " via https://spam.example.com/x"),
+      (3L, prose + (" buy now" * 40)),
+      (4L, prose),
+      (5L, "completely different words entirely here now today friend")
+    ).toDF("doc_id", "text")
+    val (out, counts) = Curation.pipelineObserved(corpus, "doc_id", "text",
+      Curation.PipelineConfig(blocklist = Seq("spam.example.com"),
+        maxDupWordFrac = 0.9, maxDupNgramFrac = 0.35, maxTopNgramFrac = 0.5))
+    assert(out.count() == 2) // consume → dedup/kept observations complete
+    val c = counts()
+    assert(c == Map("input" -> 5L, "after_urls" -> 4L,
+      "after_repetition" -> 3L, "after_dedup" -> 2L, "kept" -> 2L), c.toString)
+    // same kept set as the unobserved pipeline
+    val plain = Curation.pipeline(corpus, "doc_id", "text",
+      Curation.PipelineConfig(blocklist = Seq("spam.example.com"),
+        maxDupWordFrac = 0.9, maxDupNgramFrac = 0.35, maxTopNgramFrac = 0.5))
+    assert(out.select("doc_id").exceptAll(plain.select("doc_id")).isEmpty)
+  }
+
   // --- Incremental dedup ------------------------------------------------
 
   test("againstReference: drops by content, keeps the rest; bloom path agrees") {
