@@ -467,6 +467,25 @@ object SparkEntry {
           col("top_ngram_count"), col("dup_ngram_frac"), col("top_ngram_frac"))
     },
 
+    // --- the SQL surface: registered sketch/vector functions driven
+    // entirely through spark.sql over temp views — proves a SQL-only
+    // user gets the same native expressions the Column API provides,
+    // inside the acceptance gate (registration itself is unit-tested;
+    // this pins end-to-end parse→plan→execute→results) ---
+    "q_sql_surface" -> { (s, dir) =>
+      graft.functions.SketchExprs.register(s)
+      graft.functions.VectorExprs.register(s)
+      t(s, dir, "documents").createOrReplaceTempView("documents_sql")
+      t(s, dir, "embeddings").createOrReplaceTempView("embeddings_sql")
+      s.sql("""
+        SELECT d.doc_id,
+               gram_repetition(d.text, 2).total AS total_bigrams,
+               gram_repetition(d.text, 2).distinct AS distinct_bigrams,
+               round(l2_norm(e.embedding), 6) AS l2_norm
+        FROM documents_sql d
+        JOIN embeddings_sql e ON d.doc_id = e.vec_id""")
+    },
+
     // --- the flagship composite: the standard curation pipeline
     // (URL filter → repetition filter → exact dedup keep-min-id →
     // deterministic sample), one lazy plan. The corpus carries three
@@ -1133,6 +1152,30 @@ object SparkEntry {
         |       ELSE 'de' END AS lang_guess,
         |  fp AS fingerprint
         |FROM m""".stripMargin,
+
+    "q_sql_surface" ->
+      """WITH j AS (
+        |  SELECT d.doc_id, d.text, e.embedding
+        |  FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id
+        |), tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+        |  FROM j
+        |), g AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' '))) AS gram
+        |  FROM tok
+        |), bg AS (
+        |  SELECT doc_id, gram, count(*) AS c FROM g GROUP BY doc_id, gram
+        |), bs AS (
+        |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_bigrams,
+        |         CAST(count(*) AS BIGINT) AS distinct_bigrams
+        |  FROM bg GROUP BY doc_id
+        |)
+        |SELECT j.doc_id,
+        |  coalesce(total_bigrams, 0) AS total_bigrams,
+        |  coalesce(distinct_bigrams, 0) AS distinct_bigrams,
+        |  round(sqrt(list_sum(list_transform(j.embedding,
+        |    x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))), 6) AS l2_norm
+        |FROM j LEFT JOIN bs USING (doc_id)""".stripMargin,
 
     "q_curation_pipeline" ->
       """WITH corpus AS (

@@ -123,6 +123,48 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("chunking: tiling invariants hold for random doc/window shapes") {
+    import org.apache.spark.sql.functions.col
+    val caseGen = for {
+      n <- Gen.choose(0, 120)
+      chunk <- Gen.choose(2, 40)
+      overlap <- Gen.choose(0, chunk - 1)
+    } yield (n, chunk, overlap)
+    forAll(caseGen, n = 15) { case (n, chunk, overlap) =>
+      val words = (1 to n).map(i => s"w$i")
+      val df = {
+        import spark.implicits._
+        Seq((1L, words.mkString(" "))).toDF("doc_id", "text")
+      }
+      val rows = graft.llm.Chunking.chunkDocuments(df, "doc_id", "text",
+        chunk, overlap).orderBy(col("chunk_idx")).collect()
+      if (n == 0) assert(rows.isEmpty)
+      else {
+        val step = chunk - overlap
+        // starts tile at exactly `step`; count matches the ceil formula
+        val starts = rows.map(_.getAs[Long]("chunk_start")).toSeq
+        assert(starts == starts.indices.map(_.toLong * step),
+          s"n=$n chunk=$chunk overlap=$overlap starts=$starts")
+        val expected = math.max(1L, math.ceil((n - overlap).toDouble / step).toLong)
+        assert(rows.length.toLong == expected, s"n=$n chunk=$chunk overlap=$overlap")
+        // chunk text/len agree with slicing the word list directly
+        rows.foreach { r =>
+          val s = r.getAs[Long]("chunk_start").toInt
+          val expectText = words.slice(s, s + chunk).mkString(" ")
+          assert(r.getAs[String]("chunk_text") == expectText)
+          assert(r.getAs[Long]("chunk_len") == math.min(chunk, n - s).toLong)
+        }
+        // dropping each chunk's leading overlap (after the first)
+        // reconstructs the document exactly — nothing lost, nothing doubled
+        val rebuilt = rows.zipWithIndex.flatMap { case (r, i) =>
+          val toks = r.getAs[String]("chunk_text").split(" ").toSeq
+          if (i == 0) toks else toks.drop(overlap)
+        }
+        assert(rebuilt.toSeq == words, s"n=$n chunk=$chunk overlap=$overlap")
+      }
+    }
+  }
+
   test("gram repetition: stats equal a brute-force Scala count for random docs") {
     import org.apache.spark.unsafe.types.UTF8String
     val docGen = for {
