@@ -1,7 +1,7 @@
 package graft
 
 import graft.infer.{CellInference, DateFormats}
-import graft.llm.{Boilerplate, Chunking, Contamination, Curation, Dedup, Multimodal, Packing, Repetition, Sampling, Shuffling, Similarity, TextAnalysis, Urls}
+import graft.llm.{Boilerplate, Chunking, Contamination, Curation, Dedup, Multimodal, Packing, Repetition, Sampling, Shuffling, Similarity, Spans, TextAnalysis, Urls}
 import graft.sources.{AvroConnector, Connectors}
 import graft.streaming.EventsStreaming
 import graft.transform.Transform
@@ -526,6 +526,20 @@ object SparkEntry {
       val ref = docs.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("text"))
       Dedup.againstReference(docs, ref, "doc_id", Seq("text"))
         .select(col("doc_id"))
+    },
+
+    // --- repeated-substring spans: per-doc fraction of strided 40-char
+    // windows whose hash occurs >= 2x corpus-wide. Copies share their
+    // full prefix with the original (appended tail → aligned windows),
+    // so both sides of each pair light up; untouched docs stay near 0.
+    // Only (id, hash) pairs shuffle — text never leaves its row ---
+    "q_repeated_spans" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val extended = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" with an appended trailing remark"))
+            .as("text"))
+      Spans.stats(docs.union(extended), "doc_id", "text", k = 40, stride = 20)
     },
 
     // --- corpus-level boilerplate: bigrams present in >= 15% of docs.
@@ -1230,6 +1244,30 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents r
         |  WHERE r.doc_id % 3 = 0 AND r.text IS NOT DISTINCT FROM d.text)""".stripMargin,
+
+    "q_repeated_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    text || ' with an appended trailing remark' AS text
+        |  FROM documents WHERE doc_id % 9 = 0
+        |), w AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(text) - 38, 20),
+        |    p -> substr(text, p, 40))) AS win
+        |  FROM corpus WHERE len(text) >= 40
+        |), occ AS (
+        |  SELECT win, count(*) AS c FROM w GROUP BY win
+        |), per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |         CAST(count(CASE WHEN c >= 2 THEN 1 END) AS BIGINT) AS n_repeated
+        |  FROM w JOIN occ USING (win) GROUP BY doc_id
+        |)
+        |SELECT corpus.doc_id,
+        |  coalesce(n_windows, 0) AS n_windows,
+        |  coalesce(n_repeated, 0) AS n_repeated,
+        |  coalesce(round(CAST(n_repeated AS DOUBLE) / n_windows, 6), 0.0) AS repeated_frac
+        |FROM corpus LEFT JOIN per USING (doc_id)""".stripMargin,
 
     "q_boilerplate" ->
       """WITH corpus AS (

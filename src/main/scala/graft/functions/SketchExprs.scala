@@ -321,6 +321,67 @@ object SketchExprs {
       copy(child = c)
   }
 
+  /** xxhash64 images of the K-CHARACTER windows of a document at a
+    * fixed stride — the corpus-level repeated-substring (exact-span)
+    * dedup primitive. Detection contract, stated precisely: a
+    * substring of length >= k + stride - 1 repeated at two places is
+    * caught iff the two occurrence offsets are congruent mod stride —
+    * so stride = 1 catches EVERY repeat (the suffix-array method's
+    * sensitivity, at one window per character), while stride > 1 costs
+    * 1/stride and still catches the aligned-repeat cases that dominate
+    * real corpora: exact copies, shared prefixes truncated/extended at
+    * the tail, head-to-tail packed duplicates. (Shift-invariant
+    * sampling — winnowing — needs a hash the SQL oracle could replay
+    * to verify selection; documented trade, not taken.) Windows are
+    * character-based (`String.substring`), occurrences preserved
+    * (no dedup — self-repetition counts), empty output below k chars.
+    * One pass per row; only 8-byte hashes ever leave the row. */
+  case class CharWindowHashes(child: Expression, k: Int, stride: Int)
+    extends UnaryExpression {
+
+    require(k >= 2, s"window must be >= 2 chars: $k")
+    require(stride >= 1 && stride <= k,
+      s"stride must be in [1, k]: $stride vs $k")
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("charWindows", this,
+        classOf[CharWindowHashes].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.hashes($c);")
+    }
+
+    def hashes(u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val s = u.toString
+      val n = s.length
+      if (n < k) return new GenericArrayData(Array.emptyLongArray)
+      val count = (n - k) / stride + 1
+      val out = new Array[Long](count)
+      var i = 0
+      var p = 0
+      while (i < count) {
+        val w = org.apache.spark.unsafe.types.UTF8String.fromString(
+          s.substring(p, p + k))
+        out(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          w, org.apache.spark.sql.types.StringType, 42L)
+        p += stride
+        i += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    protected override def nullSafeEval(input: Any): Any =
+      hashes(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def withNewChildInternal(c: Expression): CharWindowHashes =
+      copy(child = c)
+  }
+
   /** `(total, distinct, top)` occurrence counts of `tokens`' n-grams,
     * by sorted xxhash64 image: sort, then one linear scan — run
     * boundaries give the distinct count, the longest run is the modal
@@ -531,6 +592,10 @@ object SketchExprs {
   /** Distinct gram strings in one pass — see [[ShingleStrings]]. */
   def shingleStrings(text: Column, n: Int): Column =
     GraftBridge.column(ShingleStrings(GraftBridge.expression(text), n))
+
+  /** Strided k-char window hashes — see [[CharWindowHashes]]. */
+  def charWindowHashes(text: Column, k: Int, stride: Int): Column =
+    GraftBridge.column(CharWindowHashes(GraftBridge.expression(text), k, stride))
 
   /** Foldable-integer extraction for SQL-registration parameters: a SQL
     * user writing `minhash_bands(h, 128, 32)` must get 128/32, and a

@@ -330,6 +330,50 @@ class CorpusOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  // --- Repeated spans ---------------------------------------------------
+
+  test("spans: aligned repeats counted exactly; short docs stay as zeros") {
+    // k=10, stride=5: doc2 = doc1 + tail → doc1's windows all reappear
+    // in doc2 at the same offsets
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCD" // 40 chars
+    val d = Seq(
+      (1L, base),                           // windows at 0,5,...,30 → 7
+      (2L, base + "-EXTRA-TAIL-PADDING"),   // first 7 windows == doc1's
+      (3L, "tiny"),                         // < k → no windows
+      (4L, "zZyYxXwWvVuUtTsSrRqQpPoOnNmMlL") // 30 chars, unique → 5 windows
+    ).toDF("doc_id", "text")
+    val rows = Spans.stats(d, "doc_id", "text", k = 10, stride = 5)
+      .orderBy("doc_id").collect()
+    assert(rows(0).getAs[Long]("n_windows") == 7L &&
+      rows(0).getAs[Long]("n_repeated") == 7L &&
+      rows(0).getAs[Double]("repeated_frac") == 1.0, rows(0).toString)
+    val d2 = rows(1)
+    assert(d2.getAs[Long]("n_windows") == 10L &&
+      d2.getAs[Long]("n_repeated") == 7L, d2.toString)
+    assert(rows(2).getAs[Long]("n_windows") == 0L &&
+      rows(2).getAs[Double]("repeated_frac") == 0.0)
+    assert(rows(3).getAs[Long]("n_repeated") == 0L)
+    // the filter drops both heavy docs (frac 1.0 and 0.7) at 0.6
+    val kept = Spans.filterRepeatedSpans(d, "doc_id", "text",
+      maxRepeatedFrac = 0.6, k = 10, stride = 5)
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(3L, 4L), s"kept $kept")
+  }
+
+  test("spans: stride 1 catches shift-misaligned repeats that stride k/2 misses") {
+    val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCD"
+    // 3-char prefix shifts every shared offset by 3 — not ≡ 0 mod 5
+    val d = Seq((1L, base), (2L, "xy " + base)).toDF("doc_id", "text")
+    val strided = Spans.stats(d, "doc_id", "text", k = 10, stride = 5)
+      .filter($"doc_id" === 1L).collect()(0)
+    assert(strided.getAs[Long]("n_repeated") == 0L,
+      "stride 5 cannot see the misaligned repeat (documented contract)")
+    val dense = Spans.stats(d, "doc_id", "text", k = 10, stride = 1)
+      .filter($"doc_id" === 1L).collect()(0)
+    assert(dense.getAs[Long]("n_repeated") == dense.getAs[Long]("n_windows"),
+      "stride 1 must catch every repeat regardless of alignment")
+  }
+
   // --- Boilerplate ------------------------------------------------------
 
   test("boilerplate: corpus-wide grams clear the bar, per-doc score is exact") {
