@@ -357,20 +357,35 @@ object SketchExprs {
     }
 
     def hashes(u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
-      val s = u.toString
-      val n = s.length
-      if (n < k) return new GenericArrayData(Array.emptyLongArray)
-      val count = (n - k) / stride + 1
-      val out = new Array[Long](count)
+      // windows are CODEPOINT-indexed (matching SQL len/substr — the
+      // oracle's semantics — and never splitting surrogate pairs), and
+      // hashed as zero-copy views over one shared UTF-8 byte array:
+      // one boundary-scan pass + one tiny wrapper per window, instead
+      // of a String + re-encoded UTF8String per window
+      val bytes = u.getBytes
+      val nBytes = bytes.length
+      val offs = new Array[Int](nBytes + 1)
       var i = 0
+      var cp = 0
+      while (i < nBytes) {
+        offs(cp) = i
+        cp += 1
+        i += org.apache.spark.unsafe.types.UTF8String.numBytesForFirstByte(bytes(i))
+      }
+      offs(cp) = nBytes
+      if (cp < k) return new GenericArrayData(Array.emptyLongArray)
+      val count = (cp - k) / stride + 1
+      val out = new Array[Long](count)
+      var w = 0
       var p = 0
-      while (i < count) {
-        val w = org.apache.spark.unsafe.types.UTF8String.fromString(
-          s.substring(p, p + k))
-        out(i) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
-          w, org.apache.spark.sql.types.StringType, 42L)
+      while (w < count) {
+        val start = offs(p)
+        val view = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+          bytes, start, offs(p + k) - start)
+        out(w) = org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+          view, org.apache.spark.sql.types.StringType, 42L)
         p += stride
-        i += 1
+        w += 1
       }
       new GenericArrayData(out)
     }

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.SketchExprs.charWindowHashes
 
@@ -24,9 +23,10 @@ import graft.functions.SketchExprs.charWindowHashes
   * Scale shape: the explode emits (id, 8-byte hash) pairs only — text
   * never leaves its row (the hashing is the one-pass native
   * [[graft.functions.SketchExprs.CharWindowHashes]]). Occurrence
-  * counts ride ONE hash-partitioned window over those pairs, and the
-  * per-doc rollup is the second, id-keyed shuffle. Two narrow shuffles
-  * total, both on 16-byte rows.
+  * counts come from a map-side-partial groupBy on the hash (hot spans
+  * collapse before the exchange), joined back to the pairs; the
+  * per-doc rollup is the final id-keyed shuffle. All exchanges carry
+  * 16-byte rows.
   */
 object Spans {
 
@@ -39,16 +39,23 @@ object Spans {
             k: Int = 40, stride: Int = 20, minOccurrences: Int = 2,
             roundTo: Int = 6): DataFrame = {
     require(minOccurrences >= 2, s"minOccurrences must be >= 2: $minOccurrences")
+    Guards.requireFreshColumns(df,
+      Seq("wh", "occ", "n_windows", "n_repeated", "repeated_frac"),
+      "Spans.stats")
     val win = df.select(col(idCol),
       explode_outer(charWindowHashes(col(textCol), k, stride)).as("wh"))
-    // occurrence count per hash, riding one exchange; the null-hash
-    // partition (window-less docs) is excluded from the repeated test
-    val occ = count(lit(1)).over(Window.partitionBy(col("wh")))
-    win.withColumn("occ", occ)
+    // occurrence counts via groupBy — the map-side partial aggregation
+    // collapses a boilerplate span pasted into millions of docs BEFORE
+    // the exchange, and AQE can split any residual join skew; a
+    // count-over-window formulation would funnel every occurrence of a
+    // hot hash into one unsplittable window partition — a guaranteed
+    // straggler on exactly this operator's target workload
+    val occ = win.filter(col("wh").isNotNull)
+      .groupBy(col("wh")).agg(count(lit(1)).as("occ"))
+    win.join(occ, Seq("wh"), "left")
       .groupBy(col(idCol))
       .agg(count(col("wh")).as("n_windows"),
-        count(when(col("wh").isNotNull && col("occ") >= minOccurrences, 1))
-          .as("n_repeated"))
+        count(when(col("occ") >= minOccurrences, 1)).as("n_repeated"))
       .select(col(idCol), col("n_windows"), col("n_repeated"),
         when(col("n_windows") > 0,
           round(col("n_repeated").cast("double") / col("n_windows"), roundTo))

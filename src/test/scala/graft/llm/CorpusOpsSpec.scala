@@ -360,6 +360,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept == Seq(3L, 4L), s"kept $kept")
   }
 
+  test("spans: windows are codepoint-indexed (SQL substr semantics)") {
+    import graft.functions.SketchExprs.charWindowHashes
+    // 🙂 is one codepoint (two UTF-16 units, four UTF-8 bytes) — window
+    // counts must follow the codepoint length like SQL len/substr
+    val text = "🙂" * 12 // 12 codepoints
+    val rows = Seq(text).toDF("text")
+      .select(charWindowHashes($"text", 10, 1).as("w")).collect()
+    assert(rows(0).getSeq[Long](0).length == 3, "12 cp, k=10, stride=1 → 3")
+    // equal CONTENT at different positions hashes equal (zero-copy views)
+    val t2 = "abcdeabcde"
+    val hs = Seq(t2).toDF("text")
+      .select(charWindowHashes($"text", 5, 5).as("w")).collect()(0).getSeq[Long](0)
+    assert(hs.length == 2 && hs(0) == hs(1))
+    // a guarded column name is loud
+    intercept[IllegalArgumentException](Spans.stats(
+      Seq((1L, "x")).toDF("occ", "text"), "occ", "text"))
+  }
+
   test("spans: stride 1 catches shift-misaligned repeats that stride k/2 misses") {
     val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCD"
     // 3-char prefix shifts every shared offset by 3 — not ≡ 0 mod 5
