@@ -615,6 +615,22 @@ object SparkEntry {
     // so the whole IVF path (k-means build, cell assignment, probe
     // filter, in-cell cosine, ordering) is oracle-checked; the pruning
     // win itself (nprobe < nlist) stays unit-tested in LlmSpec ---
+    // --- ANN: SRP index in its EXHAUSTIVE-probe degenerate case — with
+    // one plane the multi-probe set {b, b^1} covers both buckets, so the
+    // result is exactly brute-force topK while the whole index path
+    // (native SrpBits build → probe computation → bucket pruning filter
+    // → in-bucket exact cosine) runs for real. Same verification trick
+    // as q_ivf_topk's nprobe = nlist; approximate-recall behavior stays
+    // unit-tested (no SQL oracle can replay an approximation). ---
+    "q_srp_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val qv = emb.filter(col("vec_id") === 0)
+        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
+      val idx = Similarity.SrpIndex(planes = 1)
+      idx.topK(idx.build(emb, "embedding"), "vec_id", "embedding", qv, k = 20)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    },
+
     "q_ivf_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
       val qv = emb.filter(col("vec_id") === 0)
@@ -1334,6 +1350,21 @@ object SparkEntry {
         |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 6) AS cosine
         |FROM embeddings e,
         |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q""".stripMargin,
+
+    "q_srp_topk" ->
+      """WITH s AS (
+        |  SELECT e.vec_id,
+        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |       * sqrt(list_sum(list_transform(q.qv,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+        |  FROM embeddings e,
+        |    (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+        |)
+        |SELECT vec_id, round(cos, 6) AS cosine FROM s
+        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
 
     "q_ivf_topk" ->
       """WITH s AS (
