@@ -360,6 +360,78 @@ class CliSpec extends SparkSpec {
     assert(badPreview.getMessage.contains("preview"))
   }
 
+  test("golden 13: reference YAML config verbatim (script transform, csv → json)") {
+    // examples/13_yaml_config/basic_config.yaml + employees.csv, uris
+    // adjusted to the scratch dir; multi-line script via the typed
+    // transform map, string concat (..), tonumber + string.sub. The
+    // committed employees_output.json accumulated rows across historic
+    // reference runs, so the assertion targets one clean run's
+    // semantics (its LAST rows, produced by this exact config).
+    val dir = tmpDir("cli_ex13")
+    writeText(s"$dir/employees.csv",
+      """id,first_name,last_name,department,monthly_salary,hire_date,active
+        |1,John,Doe,Engineering,8500.00,2020-03-15,true
+        |2,Jane,Smith,Marketing,7200.00,2019-08-22,true
+        |3,Bob,Johnson,Sales,6800.00,2021-01-10,true
+        |4,Alice,Williams,Engineering,9200.00,2018-11-05,true
+        |5,Charlie,Brown,HR,5900.00,2022-06-18,false
+        |6,Diana,Davis,Finance,7800.00,2019-12-03,true
+        |7,Eve,Wilson,Engineering,8800.00,2020-09-14,true
+        |8,Frank,Miller,Sales,7100.00,2021-04-27,true
+        |9,Grace,Taylor,Marketing,6500.00,2022-02-08,true
+        |10,Henry,Anderson,IT,8200.00,2020-07-19,true
+        |""".stripMargin)
+    writeText(s"$dir/basic_config.yaml",
+      s"""version: 1
+         |
+         |source:
+         |  uri: "$dir/employees.csv"
+         |
+         |target:
+         |  uri: "$dir/employees_output.json"
+         |
+         |options:
+         |  batch_size: 1000
+         |  infer_schema: true
+         |  log_level: "info"
+         |  transform:
+         |    type: script
+         |    value: |
+         |      id = 55555
+         |      full_name = row.first_name .. " " .. row.last_name
+         |      annual_salary = row.monthly_salary * 12
+         |      hire_year = tonumber(string.sub(row.hire_date, 1, 4))
+         |      current_year = 2024
+         |      years_service = current_year - hire_year
+         |""".stripMargin)
+    val rc = runTransfer(YamlJob.fromFile(s"$dir/basic_config.yaml"),
+      None, dryRun = false, logLevel = "error")
+    assert(rc == 0)
+    val out = spark.read.json(s"$dir/employees_output.json")
+    assert(out.count() == 10)
+    // the reference golden's values for John Doe / Henry Anderson
+    // numeric parity is by VALUE, types normalized to double (the
+    // reference computes all Lua arithmetic in f64 — SURVEY §1.2 — and
+    // its JSON printer drops the .0 on integral results; our compiler
+    // keeps integer-only expressions integral, same values)
+    val norm = out.selectExpr("first_name", "full_name",
+      "cast(annual_salary as double) annual_salary",
+      "cast(hire_year as double) hire_year",
+      "cast(current_year as double) current_year",
+      "cast(years_service as double) years_service",
+      "cast(id as double) id")
+    val john = norm.filter(norm("first_name") === "John").head
+    assert(john.getAs[String]("full_name") == "John Doe")
+    assert(john.getAs[Double]("annual_salary") == 102000.0)
+    assert(john.getAs[Double]("hire_year") == 2020.0)
+    assert(john.getAs[Double]("current_year") == 2024.0)
+    assert(john.getAs[Double]("years_service") == 4.0)
+    assert(john.getAs[Double]("id") == 55555.0) // transform overwrites the key
+    val henry = norm.filter(norm("first_name") === "Henry").head
+    assert(henry.getAs[Double]("annual_salary") == 98400.0)
+    assert(norm.filter(norm("id") === 55555.0).count() == 10)
+  }
+
   test("run job.yaml end-to-end with env substitution") {
     val dir = tmpDir("cli_yaml")
     writeText(s"$dir/in.csv", "a,b\n1,x\n2,y\n")
