@@ -25,6 +25,31 @@ object SparkEntry {
   private def t(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** The embeddings fixture's query vector (vec_id 0) as doubles —
+    * shared by every similarity/ANN query. */
+  private def queryVec(s: SparkSession, dir: String): Seq[Double] =
+    t(s, dir, "embeddings").filter(col("vec_id") === 0)
+      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
+
+  /** DuckDB cosine-topK oracle against the vec_id-0 query vector — ONE
+    * definition shared by the exact (q_topk_cosine), SRP (q_srp_topk)
+    * and IVF (q_ivf_topk) oracles, so the cosine arithmetic can never
+    * silently diverge between them. */
+  private def cosineTopKSql(k: Int): String =
+    s"""WITH s AS (
+       |  SELECT e.vec_id,
+       |    list_sum(list_transform(range(1, len(e.embedding) + 1),
+       |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
+       |    / (sqrt(list_sum(list_transform(e.embedding,
+       |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+       |       * sqrt(list_sum(list_transform(q.qv,
+       |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+       |  FROM embeddings e,
+       |    (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
+       |)
+       |SELECT vec_id, round(cos, 6) AS cosine FROM s
+       |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
+
   /** Repo-local scratch space for round-trip queries (never outside repo). */
   private def scratch(name: String): String = {
     val p = java.nio.file.Paths.get(s"/root/repo/target/tmp/queries/$name")
@@ -593,8 +618,7 @@ object SparkEntry {
     // --- similarity: exact cosine scores against one query vector ---
     "q_similarity_scores" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
+      val qv = queryVec(s, dir)
       Similarity.scoresForQuery(emb, "vec_id", "embedding", qv, roundTo = 6)
     },
 
@@ -604,8 +628,7 @@ object SparkEntry {
     // is deterministic) ---
     "q_topk_cosine" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
+      val qv = queryVec(s, dir)
       Similarity.bruteForceTopK(emb, "vec_id", "embedding", qv, 25)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     },
@@ -624,8 +647,7 @@ object SparkEntry {
     // unit-tested (no SQL oracle can replay an approximation). ---
     "q_srp_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
+      val qv = queryVec(s, dir)
       val idx = Similarity.SrpIndex(planes = 1)
       idx.topK(idx.build(emb, "embedding"), "vec_id", "embedding", qv, k = 20)
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
@@ -633,8 +655,7 @@ object SparkEntry {
 
     "q_ivf_topk" -> { (s, dir) =>
       val emb = t(s, dir, "embeddings")
-      val qv = emb.filter(col("vec_id") === 0)
-        .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
+      val qv = queryVec(s, dir)
       val idx = Similarity.IvfIndex(nlist = 8, kmeansIters = 2)
       val cents = idx.centroids(emb, "vec_id", "embedding")
       Similarity.IvfIndex(nlist = 8)
@@ -1352,49 +1373,13 @@ object SparkEntry {
         |  (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q""".stripMargin,
 
     "q_srp_topk" ->
-      """WITH s AS (
-        |  SELECT e.vec_id,
-        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(e.embedding,
-        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(q.qv,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-        |  FROM embeddings e,
-        |    (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
-        |)
-        |SELECT vec_id, round(cos, 6) AS cosine FROM s
-        |ORDER BY cos DESC, vec_id LIMIT 20""".stripMargin,
+      cosineTopKSql(20),
 
     "q_ivf_topk" ->
-      """WITH s AS (
-        |  SELECT e.vec_id,
-        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(e.embedding,
-        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(q.qv,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-        |  FROM embeddings e,
-        |    (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
-        |)
-        |SELECT vec_id, round(cos, 6) AS cosine FROM s
-        |ORDER BY cos DESC, vec_id LIMIT 15""".stripMargin,
+      cosineTopKSql(15),
 
     "q_topk_cosine" ->
-      """WITH s AS (
-        |  SELECT e.vec_id,
-        |    list_sum(list_transform(range(1, len(e.embedding) + 1),
-        |      i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.qv[i] AS DOUBLE)))
-        |    / (sqrt(list_sum(list_transform(e.embedding,
-        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-        |       * sqrt(list_sum(list_transform(q.qv,
-        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
-        |  FROM embeddings e,
-        |    (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0) q
-        |)
-        |SELECT vec_id, round(cos, 6) AS cosine FROM s
-        |ORDER BY cos DESC, vec_id LIMIT 25""".stripMargin,
+      cosineTopKSql(25),
 
     "q_multimodal_features" ->
       """SELECT doc_id AS media_id,

@@ -333,9 +333,11 @@ object SketchExprs {
     * the tail, head-to-tail packed duplicates. (Shift-invariant
     * sampling — winnowing — needs a hash the SQL oracle could replay
     * to verify selection; documented trade, not taken.) Windows are
-    * character-based (`String.substring`), occurrences preserved
-    * (no dedup — self-repetition counts), empty output below k chars.
-    * One pass per row; only 8-byte hashes ever leave the row. */
+    * CODEPOINT-indexed (SQL `len`/`substr` semantics — surrogate pairs
+    * never split), occurrences preserved (no dedup — self-repetition
+    * counts), empty output below k codepoints. One boundary-scan pass
+    * per row hashing zero-copy byte views; only 8-byte hashes ever
+    * leave the row. */
   case class CharWindowHashes(child: Expression, k: Int, stride: Int)
     extends UnaryExpression {
 

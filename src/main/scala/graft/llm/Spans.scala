@@ -49,7 +49,10 @@ object Spans {
     // the exchange, and AQE can split any residual join skew; a
     // count-over-window formulation would funnel every occurrence of a
     // hot hash into one unsplittable window partition — a guaranteed
-    // straggler on exactly this operator's target workload
+    // straggler on exactly this operator's target workload. Deliberate
+    // trade: the window-hash projection evaluates twice (agg side +
+    // join's left side) — persist the input first if its own lineage
+    // is expensive; the projection itself is one native pass per row.
     val occ = win.filter(col("wh").isNotNull)
       .groupBy(col("wh")).agg(count(lit(1)).as("occ"))
     win.join(occ, Seq("wh"), "left")
