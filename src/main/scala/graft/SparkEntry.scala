@@ -1,7 +1,7 @@
 package graft
 
 import graft.infer.{CellInference, DateFormats}
-import graft.llm.{Boilerplate, Chunking, Contamination, Curation, Dedup, Multimodal, Packing, Repetition, Sampling, Shuffling, Similarity, Spans, TextAnalysis, Urls}
+import graft.llm.{Boilerplate, Chunking, Contamination, Curation, Dedup, LmScore, Multimodal, Packing, Repetition, Sampling, Shuffling, Similarity, Spans, TextAnalysis, Urls}
 import graft.sources.{AvroConnector, Connectors}
 import graft.streaming.EventsStreaming
 import graft.transform.Transform
@@ -551,6 +551,22 @@ object SparkEntry {
       val ref = docs.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("text"))
       Dedup.againstReference(docs, ref, "doc_id", Seq("text"))
         .select(col("doc_id"))
+    },
+
+    // --- corpus-trained unigram LM scoring (perplexity-proxy quality
+    // filter): vocab = top-30 words (natural counts >= 840 at sf0.01 vs
+    // 26 for the cut — real margin), OOV floor 1/total. Copies with
+    // appended nonsense words exercise the floor; the oracle replays
+    // training (counts → deterministic top-V cut) AND scoring ---
+    "q_lm_score" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val noisy = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" zzqqxx wwyyvv jjkkqq")).as("text"))
+      val corpus = docs.union(noisy)
+      val vocab = LmScore.unigramVocab(corpus, "text", vocabSize = 30)
+      LmScore.score(corpus, "doc_id", "text", vocab,
+        LmScore.totalTokens(corpus, "text"))
     },
 
     // --- repeated-substring spans: per-doc fraction of strided 40-char
@@ -1281,6 +1297,36 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents r
         |  WHERE r.doc_id % 3 = 0 AND r.text IS NOT DISTINCT FROM d.text)""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    text || ' zzqqxx wwyyvv jjkkqq' AS text
+        |  FROM documents WHERE doc_id % 17 = 0
+        |), tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0)) AS w
+        |  FROM corpus
+        |), cnt AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w
+        |), n AS (
+        |  SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnt
+        |), vocab AS (
+        |  SELECT w, cnt FROM cnt ORDER BY cnt DESC, w LIMIT 30
+        |), sc AS (
+        |  SELECT t.doc_id,
+        |    ln(CAST(coalesce(v.cnt, 1) AS DOUBLE) / n.total) AS lp
+        |  FROM tok t LEFT JOIN vocab v ON t.w = v.w CROSS JOIN n
+        |), per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         avg(lp) AS alp
+        |  FROM sc GROUP BY doc_id
+        |)
+        |SELECT corpus.doc_id,
+        |  coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(round(alp, 6), 0.0) AS avg_logprob
+        |FROM corpus LEFT JOIN per USING (doc_id)""".stripMargin,
 
     "q_repeated_spans" ->
       """WITH corpus AS (

@@ -330,6 +330,38 @@ class CorpusOpsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq == Seq(2L))
   }
 
+  // --- LM scoring -------------------------------------------------------
+
+  test("lm score: hand-computed unigram log-probs, OOV floor, edge docs") {
+    // corpus: "a" x5, "b" x2, "c" x1 → total 8; vocab top-2 = {a:5, b:2}
+    val d = Seq((1L, "a a b"), (2L, "a a b c"), (3L, ""), (4L, "a"))
+      .toDF("doc_id", "text")
+    val vocab = LmScore.unigramVocab(d, "text", vocabSize = 2)
+    assert(vocab.collect().map(r => (r.getString(0), r.getLong(1))).toSeq ==
+      Seq(("a", 5L), ("b", 2L)))
+    val total = LmScore.totalTokens(d, "text")
+    assert(total == 8L)
+    val rows = LmScore.score(d, "doc_id", "text", vocab, total)
+      .orderBy("doc_id").collect()
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc1: (2*ln(5/8) + ln(2/8)) / 3
+    assert(rows(0).getAs[Long]("n_tokens") == 3L)
+    assert(rows(0).getAs[Double]("avg_logprob") ==
+      r6((2 * math.log(5.0 / 8) + math.log(2.0 / 8)) / 3))
+    // doc2 adds the OOV-floored "c": ln(1/8) — c fell outside the vocab
+    assert(rows(1).getAs[Double]("avg_logprob") ==
+      r6((2 * math.log(5.0 / 8) + math.log(2.0 / 8) + math.log(1.0 / 8)) / 4))
+    // empty doc stays as 0 / 0.0
+    assert(rows(2).getAs[Long]("n_tokens") == 0L &&
+      rows(2).getAs[Double]("avg_logprob") == 0.0)
+    // common-word doc scores higher than the OOV-heavy one
+    assert(rows(3).getAs[Double]("avg_logprob") >
+      rows(1).getAs[Double]("avg_logprob"))
+    // guard: clash with an output column is loud
+    intercept[IllegalArgumentException](LmScore.score(
+      d.withColumn("n_tokens", lit(1L)), "doc_id", "text", vocab, total))
+  }
+
   // --- Repeated spans ---------------------------------------------------
 
   test("spans: aligned repeats counted exactly; short docs stay as zeros") {
