@@ -554,8 +554,9 @@ object SparkEntry {
     },
 
     // --- corpus-trained unigram LM scoring (perplexity-proxy quality
-    // filter): vocab = top-30 words (natural counts >= 840 at sf0.01 vs
-    // 26 for the cut — real margin), OOV floor 1/total. Copies with
+    // filter): vocab = top-30 words (corpus counts ~900 at sf0.01 vs 30
+    // for the first excluded word — real margin), OOV floor 1/total.
+    // Copies with
     // appended nonsense words exercise the floor; the oracle replays
     // training (counts → deterministic top-V cut) AND scoring ---
     "q_lm_score" -> { (s, dir) =>

@@ -51,7 +51,7 @@ object LmScore {
             vocab: DataFrame, total: Long, roundTo: Int = 6): DataFrame = {
     require(total >= 1, s"total tokens must be >= 1: $total")
     Guards.requireFreshColumns(df,
-      Seq("word", "n_tokens", "avg_logprob"), "LmScore.score")
+      Seq("word", "cnt", "n_tokens", "avg_logprob"), "LmScore.score")
     val lp = log(coalesce(col("cnt"), lit(1L)).cast("double") /
       lit(total.toDouble))
     df.select(col(idCol), explode_outer(tokens(col(textCol))).as("word"))

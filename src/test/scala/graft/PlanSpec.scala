@@ -317,6 +317,25 @@ class PlanSpec extends SparkSpec {
       s"gram strings crossed ${wide.size} shuffles (expect only the final groupBy)")
   }
 
+  test("lm score: vocabulary broadcasts; corpus tokens never wide-shuffle") {
+    val docs = sf("documents")
+    val vocab = graft.llm.LmScore.unigramVocab(docs, "text", 30)
+    val scored = graft.llm.LmScore.score(docs, "doc_id", "text", vocab, 1000L)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"pruned vocabulary must broadcast:\n$plan")
+    // shuffles carry only (id, word/partial) rollup rows — never text
+    shuffleOutputs(scored).foreach(cols =>
+      assert(!cols.contains("text"), s"document text crossed a shuffle: $cols"))
+  }
+
+  test("repeated spans: all shuffles are (id, hash)-narrow, no text") {
+    val s = graft.llm.Spans.stats(sf("documents"), "doc_id", "text")
+    shuffleOutputs(s).foreach(cols =>
+      assert(!cols.contains("text"), s"document text crossed a shuffle: $cols"))
+    assert(s.count() > 0)
+  }
+
   test("writeShards frame: the explicit repartition is the ONLY exchange") {
     // repartition(shards, shard) before the window must satisfy the
     // window's clustering — a second full-data exchange would double
