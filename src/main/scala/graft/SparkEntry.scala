@@ -424,6 +424,17 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // --- deterministic train/val/test assignment: the hash range is
+    // carved into contiguous label ranges (sorted-key order: test,
+    // train, val), every row gets exactly one label — the leak-proof
+    // split every training pipeline carves; oracle replays the CASE ---
+    "q_assign_splits" -> { (s, dir) =>
+      Sampling.assignSplits(t(s, dir, "documents"), "doc_id",
+          Map("train" -> 0.8, "val" -> 0.1, "test" -> 0.1),
+          bucketFn = Sampling.portableBucket)
+        .select(col("doc_id"), col("lang"), col("split"))
+    },
+
     // --- deterministic global shuffle: reproducible random order +
     // fixed shard assignment for training serving; per-shard positions
     // come from parallel per-shard sorts, never a global one ---
@@ -1062,6 +1073,13 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.source
         |FROM documents d JOIN thr USING (lang)
         |WHERE ((d.doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000 < thr""".stripMargin,
+
+    "q_assign_splits" ->
+      """SELECT doc_id, lang,
+        |  CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000 < 100000 THEN 'test'
+        |       WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000 < 900000 THEN 'train'
+        |       ELSE 'val' END AS split
+        |FROM documents""".stripMargin,
 
     "q_global_shuffle" ->
       """WITH k AS (

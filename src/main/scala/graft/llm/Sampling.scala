@@ -75,6 +75,37 @@ object Sampling {
     df.filter(bucketFn(col(idCol)) >= lit(math.round(fraction * Buckets)))
   }
 
+  /** Deterministic TRAIN/VAL/TEST (or any n-way) split assignment: the
+    * `[0, Buckets)` hash range is carved into contiguous sub-ranges
+    * proportional to `fractions` (in the map's sorted-key order, so
+    * the layout is reproducible), and every row gets the label of the
+    * range its id-bucket falls in. Fractions must sum to 1 (±1e-9):
+    * every row gets exactly one label — the partition property that
+    * makes the split leak-proof, and the same id keeps the same label
+    * on any cluster, at any scale, forever. Shuffle-free projection. */
+  def assignSplits(df: DataFrame, idCol: String,
+                   fractions: Map[String, Double],
+                   bucketFn: Column => Column = bucket): DataFrame = {
+    require(fractions.nonEmpty, "assignSplits needs at least one split")
+    require(fractions.values.forall(_ > 0.0), s"fractions must be > 0: $fractions")
+    Guards.requireFreshColumns(df, Seq("split"), "Sampling.assignSplits")
+    val sum = fractions.values.sum
+    require(math.abs(sum - 1.0) < 1e-9,
+      s"fractions must sum to 1 (every row gets exactly one label), got $sum")
+    // cumulative integer thresholds in sorted key order; the last range
+    // is open-ended so rounding can never orphan the top bucket
+    val sorted = fractions.toSeq.sortBy(_._1)
+    val cuts = sorted.scanLeft(0L) { case (acc, (_, f)) =>
+      acc + math.round(f * Buckets)
+    }.tail
+    val b = bucketFn(col(idCol))
+    val label = sorted.init.zip(cuts.init).foldRight(
+      lit(sorted.last._1): Column) { case (((name, _), cut), acc) =>
+      when(b < cut, lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", label)
+  }
+
   /** Downsample to a target domain MIXTURE: the kept corpus has
     * composition `weights` (up to hash-bucket granularity), as large as
     * achievable without upsampling any domain. This is the "rebalance

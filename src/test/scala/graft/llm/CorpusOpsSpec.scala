@@ -165,6 +165,29 @@ class CorpusOpsSpec extends SparkSpec {
       "doc_id", "text", "text").count() == 0)
   }
 
+  test("splits: every row gets exactly one label, deterministically") {
+    val d = docs.select($"doc_id")
+    val split = Sampling.assignSplits(d, "doc_id",
+      Map("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // total partition: labels cover everything, rates near fractions
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == d.count())
+    assert(counts.keySet == Set("train", "val", "test"))
+    val trainRate = counts("train").toDouble / d.count()
+    assert(trainRate > 0.7 && trainRate < 0.9, s"train rate $trainRate")
+    // bit-identical on rerun
+    val again = Sampling.assignSplits(d, "doc_id",
+      Map("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    assert(split.exceptAll(again).isEmpty)
+    // fractions that don't sum to 1 (would orphan or double-label rows)
+    // and column clashes are loud
+    intercept[IllegalArgumentException](
+      Sampling.assignSplits(d, "doc_id", Map("a" -> 0.5, "b" -> 0.4)))
+    intercept[IllegalArgumentException](
+      Sampling.assignSplits(split, "doc_id", Map("a" -> 1.0)))
+  }
+
   // --- Mixture ----------------------------------------------------------
 
   test("mixture: composition tracks weights, binding domain keeps all") {
