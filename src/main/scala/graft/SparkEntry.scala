@@ -613,6 +613,22 @@ object SparkEntry {
         totalDocs = Some(docs.count() + stamped.count()))
     },
 
+    // --- per-doc boilerplate load against the discovered gram set:
+    // the second half of the C4-style pass (commonGrams finds the
+    // phrases, score measures how much of each document they occupy) ---
+    "q_boilerplate_score" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val stamped = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"),
+            lit(" all rights reserved click here to subscribe")).as("text"))
+      val corpus = docs.union(stamped)
+      val boiler = Boilerplate.commonGrams(corpus, "text",
+        n = 2, minDocFrac = 0.15,
+        totalDocs = Some(docs.count() + stamped.count()))
+      Boilerplate.score(corpus, "doc_id", "text", boiler)
+    },
+
     // --- URL/domain hygiene: extract hostnames, flag blocklisted
     // domains. URLs (mixed case, ports, paths, a repeat) are injected
     // into copies so extraction, normalization, dedup and the blocklist
@@ -1389,6 +1405,36 @@ object SparkEntry {
         |)
         |SELECT gram, doc_freq FROM dfq
         |WHERE doc_freq >= CAST(ceil(0.15 * (SELECT count(*) FROM corpus)) AS BIGINT)""".stripMargin,
+
+    "q_boilerplate_score" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    text || ' all rights reserved click here to subscribe' AS text
+        |  FROM documents WHERE doc_id % 4 = 0
+        |), tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+        |  FROM corpus
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk)), i -> array_to_string(tk[i:i+1], ' ')))) AS gram
+        |  FROM tok
+        |), dfq AS (
+        |  SELECT gram, CAST(count(*) AS BIGINT) AS doc_freq FROM g GROUP BY gram
+        |), boiler AS (
+        |  SELECT gram FROM dfq
+        |  WHERE doc_freq >= CAST(ceil(0.15 * (SELECT count(*) FROM corpus)) AS BIGINT)
+        |), per AS (
+        |  SELECT g.doc_id,
+        |    CAST(count(b.gram) AS BIGINT) AS boiler_grams,
+        |    CAST(count(*) AS BIGINT) AS total_grams
+        |  FROM g LEFT JOIN boiler b USING (gram) GROUP BY g.doc_id
+        |)
+        |SELECT corpus.doc_id,
+        |  coalesce(boiler_grams, 0) AS boiler_grams,
+        |  coalesce(total_grams, 0) AS total_grams,
+        |  coalesce(round(CAST(boiler_grams AS DOUBLE) / total_grams, 6), 0.0) AS boiler_frac
+        |FROM corpus LEFT JOIN per USING (doc_id)""".stripMargin,
 
     "q_url_analysis" ->
       """WITH corpus AS (
