@@ -8,7 +8,16 @@ import org.apache.spark.sql.SparkSession
   * alphabetical query. Optional args restrict the run to the named
   * queries (repeats allowed — `q_x q_x q_x` times three back-to-back
   * runs in one warm JVM, the cheap way to separate noise from
-  * regression). */
+  * regression).
+  *
+  * Timing discipline (round-6): each query runs `SPARK_GRAFT_BENCH_ITERS`
+  * times (default 3). The FIRST run is reported separately as "cold"
+  * (classloading + codegen + page-cache fill); "queries" and the total
+  * carry the MEDIAN of the remaining warm runs. Round-5 showed the
+  * single-shot numbers are noise-dominated in a 55-query JVM (q_sessions
+  * 14.9s single-shot vs 0.33s isolated — GC pressure / ambient load, not
+  * plan cost); the warm median is stable across reruns, so a real 2×
+  * regression is visible instead of drowned. */
 object Bench {
 
   /** Warm the engine spine (CSV write → sampled inference → Lua
@@ -51,6 +60,7 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -70,30 +80,52 @@ object Bench {
       if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else args.toSeq.map(n => n -> SparkEntry.queries.getOrElse(n,
         sys.error(s"unknown query: $n (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")))
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    // (name, warmMedianSec, coldSec, ok)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).count(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          false
-        }
-      (name, (System.nanoTime() - t0) / 1e9, ok)
+      def once(): Either[String, Double] = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
+        catch { case e: Throwable => Left(e.getMessage) }
+      }
+      once() match {
+        case Left(msg) =>
+          System.err.println(s"[bench] $name FAILED: $msg")
+          (name, 0.0, 0.0, false)
+        case Right(cold) =>
+          val warm = (2 to iters).map(_ => once())
+          warm.collectFirst { case Left(msg) => msg } match {
+            case Some(msg) =>
+              System.err.println(s"[bench] $name FAILED (warm rerun): $msg")
+              (name, 0.0, cold, false)
+            case None =>
+              val ws = warm.collect { case Right(t) => t }.sorted
+              // median of warm runs; with no warm runs (iters=1) fall back to cold
+              val med =
+                if (ws.isEmpty) cold
+                else if (ws.size % 2 == 1) ws(ws.size / 2)
+                else (ws(ws.size / 2 - 1) + ws(ws.size / 2)) / 2.0
+              (name, med, cold, true)
+          }
+      }
     }
     // repeated names (diagnostic mode) get #2, #3… suffixes so the JSON
     // object never carries duplicate keys; "failed" uses the SAME
     // suffixed names so its entries always match keys in "queries"
-    val keyed = results.foldLeft((Map.empty[String, Int], Vector.empty[(String, Double, Boolean)])) {
-      case ((seen, acc), (k, v, ok)) =>
+    val keyed = results.foldLeft((Map.empty[String, Int], Vector.empty[(String, Double, Double, Boolean)])) {
+      case ((seen, acc), (k, v, c, ok)) =>
         val n = seen.getOrElse(k, 0) + 1
-        (seen.updated(k, n), acc :+ (((if (n == 1) k else s"$k#$n"), v, ok)))
+        (seen.updated(k, n), acc :+ (((if (n == 1) k else s"$k#$n"), v, c, ok)))
     }._2
-    val failed = keyed.filterNot(_._3).map(_._1)
-    val qs = keyed.map { case (k, v, _) => s"\"" + k + "\":" + v }
+    val failed = keyed.filterNot(_._4).map(_._1)
+    val qs = keyed.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val cs = keyed.map { case (k, _, c, _) => s"\"" + k + "\":" + c }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"sf":"$sfDir"}""")
+    val totalCold = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"cold":$cs,"total_cold":$totalCold,"failed":$fs,"sf":"$sfDir"}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

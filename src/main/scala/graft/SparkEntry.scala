@@ -640,7 +640,13 @@ object SparkEntry {
           concat(col("text"), lit(" see https://spam.example.com/page " +
             "and https://Ok-Site.org:8080/x plus http://spam.example.com again"))
             .as("text"))
-      Urls.analyze(docs.union(linked), "text",
+      // subdomain-only citations: blocked via the suffix rule, while the
+      // lookalike superset (notspam.example.com) must NOT match
+      val sub = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" via http://evil.spam.example.com/z " +
+            "and https://notspam.example.com/ok")).as("text"))
+      Urls.analyze(docs.union(linked).union(sub), "text",
           blocklist = Seq("spam.example.com"))
         .select(col("doc_id"), col("n_urls"),
           array_join(array_sort(col("domains")), ",").as("domains"),
@@ -732,27 +738,62 @@ object SparkEntry {
       EventsStreaming.propsStats(EventsStreaming.readEvents(s, dir))
     },
 
-    // --- simhash dedup: identical signatures group. No SQL oracle: the
-    // sketch is not SQL-expressible, and signature collisions between
-    // near-identical word sets are the OPERATOR's semantics, not a bug —
-    // grouping intentionally differs from exact word-set grouping.
-    // Correctness is pinned by LlmSpec's brute-force Hamming tests;
-    // the driver records the weaker rows-only check here. ---
+    // --- simhash dedup, oracle-gated via the EXACT sub-case: the sketch
+    // itself is not SQL-expressible, but token-SET-equal documents (the
+    // signature is built from distinct token hashes) provably get
+    // IDENTICAL signatures, hence the same group. Reversed-token copies
+    // engineer such pairs with different text bytes; the query emits
+    // every token-set-equal ground-truth pair (SQL-expressible) with
+    // whether the two landed in the same group — the oracle asserts ALL
+    // TRUE. Collision-grouping of near-identical sets remains the
+    // operator's intended semantics, pinned by LlmSpec's brute-force
+    // Hamming tests. ---
     "q_simhash_dedup" -> { (s, dir) =>
-      Dedup.simhash(t(s, dir, "documents"), "doc_id", "text")
-        .select(col("id"), col("canonical_id"), col("is_duplicate"))
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tok = split(lower(col("text")), "\\W+")
+      val copies = docs.filter(pmod(col("doc_id"), lit(19)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          array_join(reverse(tok), " ").as("text"))
+      val corpus = docs.union(copies)
+      val sh = Dedup.simhash(corpus, "doc_id", "text")
+        .select(col("id"), col("canonical_id"))
+      val keyed = corpus.select(col("doc_id"),
+        array_sort(array_distinct(tok)).as("__key"))
+      val gt = keyed.as("a").join(keyed.as("b"),
+          col("a.doc_id") < col("b.doc_id") && col("a.__key") === col("b.__key"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      gt.join(sh.select(col("id").as("id_a"), col("canonical_id").as("__ca")), "id_a")
+        .join(sh.select(col("id").as("id_b"), col("canonical_id").as("__cb")), "id_b")
+        .select(col("id_a"), col("id_b"),
+          (col("__ca") === col("__cb")).as("same_canonical"))
     },
 
     // --- simhash banded near-dup pairs (pigeonhole buckets + bit_count
-    // verify). No SQL oracle (same sketch-not-SQL-expressible reason as
-    // q_simhash_dedup; semantics pinned by LlmSpec's brute-force Hamming
-    // equality test) — the driver records the rows-only check. Identical
-    // copies guarantee hamming-0 pairs so the path is genuinely hit. ---
+    // verify), oracle-gated by the same degenerate-case trick as
+    // q_srp_topk: token-set-equal pairs have hamming 0 <= maxHamming, so
+    // the pigeonhole recall guarantee says the banded pair set MUST
+    // contain every one of them. Intersecting the raw pair output with
+    // that ground truth yields exactly the oracle's pair list iff recall
+    // is total; hamming-1..3 collision pairs (legitimately produced, not
+    // SQL-predictable) are filtered by the intersection and stay covered
+    // by LlmSpec's brute-force Hamming equality test. ---
     "q_simhash_pairs" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
-      val copies = docs.filter(pmod(col("doc_id"), lit(5)) === 2)
-        .select((col("doc_id") + 100000).as("doc_id"), col("text"))
-      Dedup.simhashPairs(docs.union(copies), "doc_id", "text", maxHamming = 3)
+      val tok = split(lower(col("text")), "\\W+")
+      val copies = docs.filter(pmod(col("doc_id"), lit(19)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          array_join(reverse(tok), " ").as("text"))
+      val corpus = docs.union(copies)
+      val pairs = Dedup.simhashPairs(corpus, "doc_id", "text", maxHamming = 3)
+        .select(least(col("id_a"), col("id_b")).as("id_a"),
+          greatest(col("id_a"), col("id_b")).as("id_b"))
+        .distinct()
+      val keyed = corpus.select(col("doc_id"),
+        array_sort(array_distinct(tok)).as("__key"))
+      val gt = keyed.as("a").join(keyed.as("b"),
+          col("a.doc_id") < col("b.doc_id") && col("a.__key") === col("b.__key"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      gt.join(pairs, Seq("id_a", "id_b"))
     },
 
     // --- embedding near-dup pairs: SRP buckets + exact-cosine verify.
@@ -1292,11 +1333,11 @@ object SparkEntry {
         |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 5 = 0
         |), u AS (
         |  SELECT doc_id, text FROM corpus
-        |  WHERE coalesce(len(list_intersect(
+        |  WHERE coalesce(len(list_filter(
         |    list_distinct(list_transform(regexp_extract_all(text,
         |      '(?i)https?://(?:[^/\s@]*@)?([a-z0-9-]+(?:\.[a-z0-9-]+)*)', 1),
         |      h -> lower(h))),
-        |    ['spam.example.com'])), 0) = 0
+        |    h -> h = 'spam.example.com' OR ends_with(h, '.spam.example.com'))), 0) = 0
         |), tok AS (
         |  SELECT doc_id, text, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
         |  FROM u
@@ -1443,6 +1484,10 @@ object SparkEntry {
         |  SELECT doc_id + 100000 AS doc_id,
         |    text || ' see https://spam.example.com/page and https://Ok-Site.org:8080/x plus http://spam.example.com again' AS text
         |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    text || ' via http://evil.spam.example.com/z and https://notspam.example.com/ok' AS text
+        |  FROM documents WHERE doc_id % 17 = 0
         |), d AS (
         |  SELECT doc_id,
         |    coalesce(list_transform(regexp_extract_all(text,
@@ -1453,7 +1498,8 @@ object SparkEntry {
         |SELECT doc_id,
         |  CAST(len(hosts) AS BIGINT) AS n_urls,
         |  coalesce(array_to_string(list_sort(list_distinct(hosts)), ','), '') AS domains,
-        |  len(list_intersect(list_distinct(hosts), ['spam.example.com'])) > 0 AS is_blocked
+        |  len(list_filter(list_distinct(hosts),
+        |    h -> h = 'spam.example.com' OR ends_with(h, '.spam.example.com'))) > 0 AS is_blocked
         |FROM d""".stripMargin,
 
     "q_quantize_embeddings" ->
@@ -1470,6 +1516,40 @@ object SparkEntry {
         |              ELSE trunc(CAST(x AS DOUBLE) / s * 127) END AS BIGINT)),
         |    ',') AS codes
         |FROM e""".stripMargin,
+
+    // the simhash gates: ground truth = token-set-equal pairs (the
+    // provable hamming-0 sub-case); see the query comments. The CTE
+    // mirrors the Spark-side corpus (reversed-token copies) and key
+    // (sorted distinct tokens, empties kept — same raw \W+ split).
+    "q_simhash_dedup" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    array_to_string(list_reverse(regexp_split_to_array(lower(text), '\W+')), ' ') AS text
+        |  FROM documents WHERE doc_id % 19 = 0
+        |), k AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(regexp_split_to_array(lower(text), '\W+'))) AS key
+        |  FROM corpus
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b, TRUE AS same_canonical
+        |FROM k a JOIN k b ON a.doc_id < b.doc_id AND a.key = b.key""".stripMargin,
+
+    "q_simhash_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    array_to_string(list_reverse(regexp_split_to_array(lower(text), '\W+')), ' ') AS text
+        |  FROM documents WHERE doc_id % 19 = 0
+        |), k AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(regexp_split_to_array(lower(text), '\W+'))) AS key
+        |  FROM corpus
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM k a JOIN k b ON a.doc_id < b.doc_id AND a.key = b.key""".stripMargin,
 
     "q_similarity_scores" ->
       """SELECT e.vec_id,

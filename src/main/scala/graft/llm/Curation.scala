@@ -17,11 +17,12 @@ import org.apache.spark.sql.functions._
   * — shuffle-free, codegen'd projections) run FIRST so the one shuffle
   * in the pipeline (the dedup's narrow (hash, id) exchange) only sees
   * rows that survived them, and the sample runs LAST so its fraction
-  * applies to the cleaned corpus. The whole pipeline stays ONE lazy
-  * plan with no materialization between stages; the filter subtree
-  * evaluates twice (keep-set pass + surviving-rows pass — see the
-  * dedup stage comment), so persist the input first if its own lineage
-  * is expensive.
+  * applies to the cleaned corpus. By default the whole pipeline stays
+  * ONE lazy plan with no materialization between stages; the filter
+  * subtree then evaluates twice (keep-set pass + surviving-rows pass —
+  * see the dedup stage comment). Set
+  * [[PipelineConfig.persistSurvivors]] to materialize the filtered
+  * survivors once instead when the input lineage is expensive.
   *
   * `idCol` must be a UNIQUE, NON-NULL key — the contract of the whole
   * dedup family (canonical ids, keep-min-id, and the keys-only
@@ -38,16 +39,27 @@ object Curation {
       sampleFraction: Double = 1.0,
       /** [[Sampling.bucket]] (xxhash64) or [[Sampling.portableBucket]]
         * (SQL-replayable — the oracle uses this). */
-      bucketFn: Column => Column = Sampling.bucket)
+      bucketFn: Column => Column = Sampling.bucket,
+      /** Materialize the filter-stage survivors ONCE (eager
+        * localCheckpoint, storage reclaimed by the context cleaner)
+        * so the filter subtree runs a single time instead of once per
+        * dedup consumer. Costs storage for the survivor set — turn on
+        * when the input lineage is expensive, leave off when it's a
+        * bare scan. [[pipelineObserved]] always materializes (its
+        * counts depend on it). */
+      persistSurvivors: Boolean = false)
 
   def pipeline(df: DataFrame, idCol: String, textCol: String,
                cfg: PipelineConfig = PipelineConfig()): DataFrame = {
     val afterUrls =
       if (cfg.blocklist.isEmpty) df
       else Urls.filterBlocked(df, textCol, cfg.blocklist)
-    val afterRepetition = Repetition.filterRepetitive(afterUrls, textCol,
+    val afterRepetition0 = Repetition.filterRepetitive(afterUrls, textCol,
       cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,
       cfg.repetitionN)
+    val afterRepetition =
+      if (cfg.persistSurvivors) afterRepetition0.localCheckpoint(true)
+      else afterRepetition0
     // exact dedup, keep-min-id, computed directly from ONE narrow
     // (id, hash) projection of the filtered corpus: groupBy(hash) →
     // min(id) is the keep set, full rows semi-join it by id. The

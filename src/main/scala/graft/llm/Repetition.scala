@@ -32,14 +32,18 @@ object Repetition {
   /** Append repetition stats columns: `n_words`, `distinct_words`,
     * `dup_word_frac`, `total_ngrams`, `distinct_ngrams`,
     * `top_ngram_count`, `dup_ngram_frac`, `top_ngram_frac`.
-    * Fractions are 0.0 (not null/NaN) for empty documents so
-    * downstream threshold filters never need null guards. Word and
-    * n-gram families come from ONE paired projection (one tokenization
-    * per document — the regex split dominates the per-row cost). */
+    * Fractions are 0.0 (not null/NaN) and counts 0 (not null) for
+    * null/empty documents — a NULL text is treated as the empty
+    * document, matching the explicit-zeros contract of the sibling ops
+    * (Boilerplate.score, Spans.stats, LmScore.score) so a family-wide
+    * stats report never mixes nulls and zeros. Word and n-gram families
+    * come from ONE paired projection (one tokenization per document —
+    * the regex split dominates the per-row cost). */
   def stats(df: DataFrame, textCol: String, n: Int = 2,
             roundTo: Int = 6): DataFrame = {
     Guards.requireFreshColumns(df, StatCols, "Repetition.stats")
-    val d = df.withColumn("__r", gramRepetitionPair(col(textCol), n))
+    val d = df.withColumn("__r",
+      gramRepetitionPair(coalesce(col(textCol), lit("")), n))
     def frac(num: org.apache.spark.sql.Column,
              den: org.apache.spark.sql.Column) =
       when(den > 0, round(num.cast("double") / den.cast("double"), roundTo))

@@ -92,12 +92,21 @@ object Sampling {
     val sum = fractions.values.sum
     require(math.abs(sum - 1.0) < 1e-9,
       s"fractions must sum to 1 (every row gets exactly one label), got $sum")
-    // cumulative integer thresholds in sorted key order; the last range
-    // is open-ended so rounding can never orphan the top bucket
+    // cumulative integer thresholds in sorted key order; cuts derive
+    // from round(CUMULATIVE fraction · Buckets) — rounding each
+    // fraction independently would let per-split ±0.5 errors accumulate
+    // and drift interior boundaries by whole buckets. The last range is
+    // open-ended so rounding can never orphan the top bucket.
     val sorted = fractions.toSeq.sortBy(_._1)
-    val cuts = sorted.scanLeft(0L) { case (acc, (_, f)) =>
-      acc + math.round(f * Buckets)
-    }.tail
+    val cuts = sorted.map(_._2).scanLeft(0.0)(_ + _).tail
+      .map(c => math.round(c * Buckets))
+    // a positive fraction below ~0.5/Buckets rounds to a zero-width
+    // range — that split would silently receive no rows; be loud instead
+    cuts.zip(0L +: cuts.init).zip(sorted).foreach { case ((hi, lo), (name, f)) =>
+      require(hi - lo >= 1L,
+        s"split '$name' (fraction $f) rounds to a zero-width bucket range " +
+          s"out of $Buckets — raise the fraction or use fewer splits")
+    }
     val b = bucketFn(col(idCol))
     val label = sorted.init.zip(cuts.init).foldRight(
       lit(sorted.last._1): Column) { case (((name, _), cut), acc) =>
@@ -127,9 +136,14 @@ object Sampling {
               bucketFn: Column => Column = bucket): DataFrame = {
     require(weights.nonEmpty, "mixture needs at least one domain weight")
     require(weights.values.forall(_ > 0.0), s"weights must be > 0: $weights")
+    // the weight keys are strings, so compare on a string VIEW of the
+    // domain column — an int category-code column then matches "3"
+    // instead of ClassCastException-ing at the collect (and the isin
+    // below never trips ANSI cross-type comparison rules)
+    val domainStr = col(domainCol).cast("string")
     val counts: Map[String, Long] = df
-      .filter(col(domainCol).isin(weights.keys.toSeq: _*))
-      .groupBy(col(domainCol)).count()
+      .filter(domainStr.isin(weights.keys.toSeq: _*))
+      .groupBy(domainStr.as("__domain")).count()
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     // a weighted domain with ZERO rows must be loud: silently renorming
     // over the present domains would return a corpus arbitrarily far
@@ -145,7 +159,7 @@ object Sampling {
       d -> math.round(weights(d) * tStar / n * Buckets)
     }
     val thrCol = thresholds.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
-      case (acc, (d, t)) => when(col(domainCol) === lit(d), lit(t)).otherwise(acc)
+      case (acc, (d, t)) => when(domainStr === lit(d), lit(t)).otherwise(acc)
     }
     df.filter(bucketFn(col(idCol)) < thrCol)
   }

@@ -34,25 +34,33 @@ object Spans {
     * (windows whose hash occurs >= `minOccurrences` times anywhere in
     * the corpus — other docs or elsewhere in the same doc), and
     * `repeated_frac`. Documents shorter than k chars stay in the
-    * report as 0/0/0.0. */
+    * report as 0/0/0.0.
+    *
+    * @param persist materialize the (id, hash) window projection ONCE
+    *   (eager localCheckpoint — 16-byte rows, no text, storage freed by
+    *   the context cleaner when the frame is collected) so the input
+    *   lineage + native hash pass run a single time instead of once per
+    *   consumer (occurrence agg + join side). Turn on when the input is
+    *   an expensive subtree; leave off when it's a bare scan and
+    *   re-reading beats materializing. */
   def stats(df: DataFrame, idCol: String, textCol: String,
             k: Int = 40, stride: Int = 20, minOccurrences: Int = 2,
-            roundTo: Int = 6): DataFrame = {
+            roundTo: Int = 6, persist: Boolean = false): DataFrame = {
     require(minOccurrences >= 2, s"minOccurrences must be >= 2: $minOccurrences")
     Guards.requireFreshColumns(df,
       Seq("wh", "occ", "n_windows", "n_repeated", "repeated_frac"),
       "Spans.stats")
-    val win = df.select(col(idCol),
+    val win0 = df.select(col(idCol),
       explode_outer(charWindowHashes(col(textCol), k, stride)).as("wh"))
+    val win = if (persist) win0.localCheckpoint(true) else win0
     // occurrence counts via groupBy — the map-side partial aggregation
     // collapses a boilerplate span pasted into millions of docs BEFORE
     // the exchange, and AQE can split any residual join skew; a
     // count-over-window formulation would funnel every occurrence of a
     // hot hash into one unsplittable window partition — a guaranteed
-    // straggler on exactly this operator's target workload. Deliberate
-    // trade: the window-hash projection evaluates twice (agg side +
-    // join's left side) — persist the input first if its own lineage
-    // is expensive; the projection itself is one native pass per row.
+    // straggler on exactly this operator's target workload. Without
+    // `persist`, the window-hash projection evaluates twice (agg side +
+    // join's left side); `persist = true` makes it exactly once.
     val occ = win.filter(col("wh").isNotNull)
       .groupBy(col("wh")).agg(count(lit(1)).as("occ"))
     win.join(occ, Seq("wh"), "left")
@@ -69,8 +77,8 @@ object Spans {
     * `maxRepeatedFrac` — the drop decision built on [[stats]]. */
   def filterRepeatedSpans(df: DataFrame, idCol: String, textCol: String,
                           maxRepeatedFrac: Double = 0.5, k: Int = 40,
-                          stride: Int = 20): DataFrame = {
-    val keep = stats(df, idCol, textCol, k, stride)
+                          stride: Int = 20, persist: Boolean = false): DataFrame = {
+    val keep = stats(df, idCol, textCol, k, stride, persist = persist)
       .filter(col("repeated_frac") <= maxRepeatedFrac)
       .select(col(idCol))
     df.join(keep, Seq(idCol), "left_semi")

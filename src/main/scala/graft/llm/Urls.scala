@@ -45,6 +45,31 @@ object Urls {
   private def normalized(blocklist: Seq[String]): Array[String] =
     blocklist.map(_.toLowerCase(java.util.Locale.ROOT)).toArray
 
+  /** Registered-domain-suffix match, the semantics real URL blocklists
+    * use: an entry `spam.example.com` blocks that host AND every
+    * subdomain (`evil.spam.example.com`), but NOT lookalike supersets
+    * (`notspam.example.com` — the dot boundary is required). */
+  private def matchesEntry(host: Column, entry: String): Column =
+    host === lit(entry) || host.endsWith("." + entry)
+
+  /** True iff any host in `hosts` matches any blocklist entry by
+    * domain suffix. Still a pure filter expression (no join): the
+    * in-memory path is for small lists where |entries| literal
+    * comparisons per host are cheaper than any shuffle. */
+  private def anyBlocked(hosts: Column, entries: Array[String]): Column =
+    exists(hosts, h => entries.map(e => matchesEntry(h, e)).reduce(_ || _))
+
+  /** All dot-suffixes of a hostname (`a.b.c` → [`a.b.c`, `b.c`, `c`]) —
+    * the equi-join keys that make suffix blocking a broadcast HASH join
+    * in [[filterBlockedLarge]] instead of a nested-loop LIKE join: a
+    * host has at most label-count suffixes (~5), so the explode is
+    * bounded, and the join stays on equality. */
+  private def hostSuffixes(host: Column): Column = {
+    val parts = split(host, "\\.")
+    transform(sequence(lit(1), size(parts)), i =>
+      array_join(slice(parts, i, size(parts)), "."))
+  }
+
   /** Per-document URL report: `n_urls`, distinct `domains`, and
     * `is_blocked` against an in-memory blocklist. The extraction regex
     * runs ONCE per row (shared `__hosts` projection) — the transform
@@ -57,7 +82,7 @@ object Urls {
     val ds = array_distinct(col("__hosts"))
     val blocked =
       if (blocklist.isEmpty) lit(false)
-      else arrays_overlap(ds, lit(normalized(blocklist)))
+      else anyBlocked(ds, normalized(blocklist))
     df.withColumn("__hosts", domains(col(textCol)))
       .withColumn("n_urls", size(col("__hosts")).cast("long"))
       .withColumn("domains", ds)
@@ -65,24 +90,29 @@ object Urls {
       .drop("__hosts")
   }
 
-  /** Keep documents that cite no blocked domain (in-memory blocklist:
-    * pure filter projection, no join, no shuffle). */
+  /** Keep documents that cite no blocked domain — entry matches the
+    * host or any subdomain of it (in-memory blocklist: pure filter
+    * projection, no join, no shuffle). */
   def filterBlocked(df: DataFrame, textCol: String,
                     blocklist: Seq[String]): DataFrame = {
     require(blocklist.nonEmpty, "empty blocklist would keep everything")
-    df.filter(!arrays_overlap(array_distinct(domains(col(textCol))),
-      lit(normalized(blocklist))))
+    df.filter(!anyBlocked(array_distinct(domains(col(textCol))),
+      normalized(blocklist)))
   }
 
   /** Keep documents that cite no domain present in the `blocked` table
-    * (column `domain`) — for blocklists too large to inline. The
-    * exploded (id, domain) stream joins the BROADCAST blocklist; only
-    * offending ids come back, and the anti-join against them is
-    * id-only. Documents without URLs never enter the join. */
+    * (column `domain`) — for blocklists too large to inline. Suffix
+    * semantics ride an EQUI-join: each host explodes into its ≤5
+    * dot-suffixes, which hash-join the BROADCAST blocklist (keys-only:
+    * only (id, suffix) pairs ever leave the row, never document text) —
+    * a `LIKE '%.'||domain` condition would force a nested-loop join
+    * instead. Only offending ids come back, and the anti-join against
+    * them is id-only. Documents without URLs never enter the join. */
   def filterBlockedLarge(df: DataFrame, idCol: String, textCol: String,
                          blocked: DataFrame): DataFrame = {
     val bad = df
-      .select(col(idCol), explode(array_distinct(domains(col(textCol))))
+      .select(col(idCol), explode(array_distinct(flatten(
+          transform(array_distinct(domains(col(textCol))), h => hostSuffixes(h)))))
         .as("domain"))
       .join(broadcast(blocked.select(lower(col("domain")).as("domain"))),
         Seq("domain"))

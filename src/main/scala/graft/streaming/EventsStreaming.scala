@@ -18,7 +18,14 @@ object EventsStreaming {
   /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
     * Spark 4 refuses to read as a timestamp; we read it as raw
     * nanos-since-epoch (legacy nanosAsLong) and floor-divide to micros —
-    * the same truncation DuckDB applies, so oracles agree. */
+    * the same truncation DuckDB applies, so oracles agree.
+    *
+    * `spark.sql.legacy.parquet.nanosAsLong` is a session-level conf and
+    * is set ONCE at session construction by every entry point that owns
+    * a session (Bench, Verify, Profile, Main, TestSpark) — never flipped
+    * inside a query/operator body, which would be racy under concurrent
+    * use and surprising to callers reading other nanos parquet
+    * mid-session. */
   val eventsSchemaRaw: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -32,7 +39,6 @@ object EventsStreaming {
 
   /** Batch read of the events fixture with ns→µs normalization. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     nanosToTs(spark.read.schema(eventsSchemaRaw).parquet(s"$dir/events.parquet"))
   }
 
@@ -55,7 +61,6 @@ object EventsStreaming {
     * time; append mode emits a window once the watermark passes it. */
   def hourlyAggStream(spark: SparkSession, dir: String,
                       queryName: String = "events_hourly"): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     // the file stream source needs a directory; glob-filter to the fixture
     val events = nanosToTs(spark.readStream
       .schema(eventsSchemaRaw)
@@ -87,7 +92,6 @@ object EventsStreaming {
   def sessionsStream(spark: SparkSession, dir: String,
                      queryName: String = "events_sessions",
                      gap: String = "30 minutes"): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = nanosToTs(spark.readStream
       .schema(eventsSchemaRaw)
       .option("pathGlobFilter", "events.parquet")
@@ -131,7 +135,6 @@ object EventsStreaming {
       : StreamingQuery = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = nanosToTs(spark.readStream
       .schema(eventsSchemaRaw)
       .option("pathGlobFilter", "events.parquet")
@@ -192,7 +195,6 @@ object EventsStreaming {
                   queryName: String = "events_dedup",
                   glob: String = "*.parquet",
                   replayHorizon: String = "1 hour"): StreamingQuery = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val events = nanosToTs(spark.readStream
       .schema(eventsSchemaRaw)
       .option("pathGlobFilter", glob)

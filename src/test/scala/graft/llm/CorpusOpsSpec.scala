@@ -186,6 +186,16 @@ class CorpusOpsSpec extends SparkSpec {
       Sampling.assignSplits(d, "doc_id", Map("a" -> 0.5, "b" -> 0.4)))
     intercept[IllegalArgumentException](
       Sampling.assignSplits(split, "doc_id", Map("a" -> 1.0)))
+    // a positive fraction that rounds to a zero-width bucket range is
+    // loud (silently label-less splits were the ADVICE r5 finding)
+    val tiny = intercept[IllegalArgumentException](
+      Sampling.assignSplits(d, "doc_id", Map("big" -> (1.0 - 1e-8), "dust" -> 1e-8)))
+    assert(tiny.getMessage.contains("dust"))
+    // cuts come from CUMULATIVE rounding: many odd fractions still
+    // partition every row exactly once with no boundary drift
+    val many = Sampling.assignSplits(d, "doc_id",
+      (1 to 7).map(i => s"s$i" -> (if (i == 7) 1.0 - 6 * 0.142857 else 0.142857)).toMap)
+    assert(many.groupBy("split").count().collect().map(_.getLong(1)).sum == d.count())
   }
 
   // --- Mixture ----------------------------------------------------------
@@ -225,6 +235,17 @@ class CorpusOpsSpec extends SparkSpec {
       Sampling.mixture(d, "dom", "id", Map("a" -> 0.5, "zzz" -> 0.5))
     }
     assert(e.getMessage.contains("zzz"))
+  }
+
+  test("mixture: non-string domain columns match string weight keys") {
+    // int category codes — the r5 ADVICE ClassCastException case
+    val d = (0L until 300L).map(i => (i, if (i % 3 == 0) 1 else 2))
+      .toDF("id", "domcode")
+    val kept = Sampling.mixture(d, "domcode", "id", Map("1" -> 0.5, "2" -> 0.5))
+    val byDom = kept.groupBy("domcode").count().collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDom(1) == 100L, s"binding domain keeps all: $byDom") // 100 vs 200 supply
+    assert(byDom(2) <= 200L && byDom(2) > 50L, s"downsampled: $byDom")
   }
 
   // --- Shuffling --------------------------------------------------------
@@ -447,6 +468,34 @@ class CorpusOpsSpec extends SparkSpec {
       "stride 1 must catch every repeat regardless of alignment")
   }
 
+  test("spans/pipeline: persist knob makes the input lineage run once") {
+    val acc = spark.sparkContext.longAccumulator("input-evals")
+    val tick = udf { (s: String) => acc.add(1); s }
+    val d = (1L to 50L).map(i => (i, s"document number $i with some words"))
+      .toDF("doc_id", "t0").select($"doc_id", tick($"t0").as("text"))
+
+    acc.reset()
+    val once = Spans.stats(d, "doc_id", "text", k = 10, stride = 5,
+      persist = true)
+    once.count()
+    assert(acc.value == 50L,
+      s"persist=true: input evaluated ${acc.value} times, want 50")
+    acc.reset()
+    Spans.stats(d, "doc_id", "text", k = 10, stride = 5).count()
+    assert(acc.value == 100L,
+      s"persist=false documents the double-evaluation: got ${acc.value}")
+
+    acc.reset()
+    Curation.pipeline(d, "doc_id", "text",
+      Curation.PipelineConfig(persistSurvivors = true)).count()
+    assert(acc.value == 50L,
+      s"persistSurvivors=true: input evaluated ${acc.value} times, want 50")
+    acc.reset()
+    Curation.pipeline(d, "doc_id", "text").count()
+    assert(acc.value == 100L,
+      s"lazy pipeline documents the double-evaluation: got ${acc.value}")
+  }
+
   // --- Boilerplate ------------------------------------------------------
 
   test("boilerplate: corpus-wide grams clear the bar, per-doc score is exact") {
@@ -507,10 +556,19 @@ class CorpusOpsSpec extends SparkSpec {
       (2L, "visit https://spam.example.com, now"),
       (3L, "https://user:pw@spam.example.com/x login form"),
       (4L, "rooted https://spam.example.com. end of sentence"),
-      (5L, "https://legit-site.org is fine")).toDF("doc_id", "text")
+      (5L, "https://legit-site.org is fine"),
+      (6L, "subdomain https://evil.spam.example.com/p hides here"),
+      (7L, "deep http://a.b.spam.example.com nesting"),
+      (8L, "lookalike https://notspam.example.com must NOT match")
+    ).toDF("doc_id", "text")
     val kept = Urls.filterBlocked(d, "text", Seq("spam.example.com"))
-      .select("doc_id").as[Long].collect().toSeq
-    assert(kept == Seq(5L), s"blocklist bypassed: kept $kept")
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(kept == Seq(5L, 8L), s"blocklist bypassed: kept $kept")
+    // the broadcast-table path applies the SAME suffix semantics
+    val keptLarge = Urls.filterBlockedLarge(d, "doc_id", "text",
+      Seq("spam.example.com").toDF("domain"))
+      .select("doc_id").as[Long].collect().toSeq.sorted
+    assert(keptLarge == Seq(5L, 8L), s"large path diverged: kept $keptLarge")
   }
 
   test("urls: small-list and broadcast-table filters agree") {

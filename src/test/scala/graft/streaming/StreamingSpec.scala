@@ -67,7 +67,6 @@ class StreamingSpec extends SparkSpec {
 
   test("dedupStream drops replayed deliveries; parity with firstOccurrence") {
     val scratch = tmpDir("stream_dedup")
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = spark.read.schema(EventsStreaming.eventsSchemaRaw)
       .parquet(s"$dir/events.parquet").limit(500)
     // originals + 200 EXACT replays (full-row copies) land as separate
