@@ -71,7 +71,10 @@ object Main {
           case GenConfig(c)  => println(YamlJob.render(c)); 0
           case RunYaml(f) =>
             val r = YamlJob.load(f)
-            runTransfer(r.cfg, r.preview, r.dryRun, r.logLevel)
+            r.curation match {
+              case Some(cur) => runCuration(r.cfg, cur, r.preview, r.dryRun, r.logLevel)
+              case None => runTransfer(r.cfg, r.preview, r.dryRun, r.logLevel)
+            }
           case Transfer(c, p, d, ll) => runTransfer(c, p, d, ll)
         }
       } catch {
@@ -221,6 +224,7 @@ object Main {
       .appName("graft")
       .config("spark.sql.shuffle.partitions", cores.toString)
       .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     s.sparkContext.setLogLevel(logLevel.toUpperCase)
@@ -252,6 +256,94 @@ object Main {
           println("Transfer completed successfully!")
           println(f"Processed ${stats.totalRows} rows in ${stats.seconds}%.2fs " +
             f"(${stats.rowsPerSecond}%.0f rows/sec)")
+          0
+      }
+    } finally if (!preExisting) spark.stop()
+  }
+
+  /** Runs a YAML job with a `curation:` section: the surrounding job's
+    * source/schema/transform stages build the input frame (so one file
+    * can clean, reshape, THEN curate), [[graft.llm.Curation.pipeline]]
+    * filters it, and the write goes either through the normal target
+    * connector or — when `shards:` is configured — through
+    * [[graft.llm.Shuffling.writeShards]] as deterministic training
+    * shards (always parquet, `shard=N` directories). Preview/dry-run
+    * apply to the CURATED frame, same no-write contract as transfers. */
+  def runCuration(cfg: JobConfig, cur: YamlJob.CurationSpec,
+                  preview: Option[Int], dryRun: Boolean,
+                  logLevel: String): Int = {
+    import graft.llm.{Curation, Sampling, Shuffling}
+    import org.apache.spark.sql.Observation
+    import org.apache.spark.sql.functions.{count, lit}
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = session(logLevel)
+    try {
+      def info(msg: String): Unit =
+        if (logLevel == "info") System.err.println(msg)
+      info(s"→ Source: ${cfg.source}")
+      info(s"→ Target: ${cfg.target}")
+      // read → validate → transform, the transfer engine's exact plan
+      val input = new TransferEngine(cfg).plan(spark)
+      val pc = Curation.PipelineConfig(
+        blocklist = cur.blocklist,
+        maxDupWordFrac = cur.maxDupWordFrac,
+        maxDupNgramFrac = cur.maxDupNgramFrac,
+        maxTopNgramFrac = cur.maxTopNgramFrac,
+        repetitionN = cur.repetitionN,
+        sampleFraction = cur.sampleFraction,
+        bucketFn =
+          if (cur.portableBucket) Sampling.portableBucket else Sampling.bucket,
+        persistSurvivors = cur.persistSurvivors)
+      // preview/dry-run are no-write modes and use the lazy pipeline
+      // even when `observed` is set (stage counts only make sense for a
+      // run that actually materializes the corpus)
+      preview match {
+        case Some(n) =>
+          val curated = Curation.pipeline(input, cur.idColumn, cur.textColumn, pc)
+          println("\nCurated Schema Preview:")
+          println(graft.engine.PreviewFormat.schemaBox(curated.schema))
+          println(s"Data Preview ($n rows):")
+          println(graft.engine.PreviewFormat.dataTable(
+            curated.columns, curated.limit(n).collect()))
+          0
+        case None if dryRun =>
+          val curated = Curation.pipeline(input, cur.idColumn, cur.textColumn, pc)
+          curated.limit(10).collect() // smoke-execute the pipeline head
+          println(s"Dry run OK: ${curated.schema.fields.length} columns, " +
+            "curation pipeline validated")
+          0
+        case None =>
+          val t0 = System.nanoTime()
+          val (curated, stageCounts) =
+            if (cur.observed) {
+              val (df, c) = Curation.pipelineObserved(
+                input, cur.idColumn, cur.textColumn, pc)
+              (df, Some(c))
+            } else
+              (Curation.pipeline(input, cur.idColumn, cur.textColumn, pc), None)
+          val obs = Observation()
+          val tapped = curated.observe(obs, count(lit(1)).as("rows"))
+          val direct = cur.shards match {
+            case Some(s) =>
+              Shuffling.writeShards(tapped, cur.idColumn, cfg.target,
+                s.seed, s.count)
+              None
+            case None =>
+              graft.sources.Connectors.write(
+                tapped, cfg.target, cfg.truncate, cfg.targetOptions)
+          }
+          val rows = direct.getOrElse(obs.get("rows").asInstanceOf[Long])
+          stageCounts.foreach { c =>
+            val m = c()
+            println("Curation stage counts:")
+            Seq("input", "after_urls", "after_repetition",
+              "after_dedup", "kept").foreach(k =>
+              println(f"  $k%-17s ${m(k)}%10d"))
+          }
+          println("Curation completed successfully!")
+          val secs = (System.nanoTime() - t0) / 1e9
+          val shardNote = cur.shards.map(s => s" into ${s.count} shards").getOrElse("")
+          println(f"Kept $rows rows$shardNote in $secs%.2fs")
           0
       }
     } finally if (!preExisting) spark.stop()

@@ -30,9 +30,39 @@ import scala.jdk.CollectionConverters._
 object YamlJob {
 
   /** A parsed job plus the run-mode settings the reference honors from
-    * YAML (yaml_config.rs:28-38: preview/dry_run/log_level). */
+    * YAML (yaml_config.rs:28-38: preview/dry_run/log_level), plus the
+    * optional corpus-curation stage (ours — the reference's YAML drives
+    * exactly one operator, the transfer; this block makes the
+    * "raw crawl in, training corpus out" path equally CLI-operable). */
   final case class YamlRun(cfg: JobConfig, preview: Option[Int],
-                           dryRun: Boolean, logLevel: String)
+                           dryRun: Boolean, logLevel: String,
+                           curation: Option[CurationSpec] = None)
+
+  /** Sharded-write settings for a curation job: `count` training shards,
+    * deterministically shuffled with `seed` ([[graft.llm.Shuffling]]). */
+  final case class ShardSpec(count: Int, seed: Long)
+
+  /** YAML mirror of [[graft.llm.Curation.PipelineConfig]] plus the
+    * run-shape knobs that only make sense from a job file: `observed`
+    * prints per-stage survivor counts, `shards` routes the write through
+    * [[graft.llm.Shuffling.writeShards]], `bucket` picks the sampling
+    * hash (`xxhash64` default; `portable` is the SQL-replayable Knuth
+    * bucket any engine can reproduce). The source/transform/schema
+    * stages of the surrounding job run BEFORE curation, so a YAML job
+    * can clean, reshape, then curate in one file. */
+  final case class CurationSpec(
+      idColumn: String,
+      textColumn: String,
+      blocklist: Seq[String] = Nil,
+      maxDupWordFrac: Double = 0.3,
+      maxDupNgramFrac: Double = 0.3,
+      maxTopNgramFrac: Double = 0.2,
+      repetitionN: Int = 2,
+      sampleFraction: Double = 1.0,
+      persistSurvivors: Boolean = false,
+      observed: Boolean = false,
+      portableBucket: Boolean = false,
+      shards: Option[ShardSpec] = None)
 
   /** Option wiring shared between the CLI flags and the YAML options
     * block — ONE definition so `--batch-size`/`batch_size` and
@@ -51,6 +81,21 @@ object YamlJob {
       case _: NumberFormatException =>
         throw graft.core.GraftError.Configuration(
           s"$name expects an integer, got '$v'")
+    }
+
+  private def doubleOpt(name: String, v: Object): Double =
+    try String.valueOf(v).toDouble catch {
+      case _: NumberFormatException =>
+        throw graft.core.GraftError.Configuration(
+          s"$name expects a number, got '$v'")
+    }
+
+  private def boolOpt(name: String, v: Object): Boolean =
+    String.valueOf(v) match {
+      case "true" => true
+      case "false" => false
+      case other => throw graft.core.GraftError.Configuration(
+        s"$name expects true/false, got '$other'")
     }
 
   private val VarRe = "\\$\\{([A-Za-z_][A-Za-z0-9_]*)\\}".r
@@ -130,6 +175,67 @@ object YamlJob {
     val logLevel = checkLogLevel(
       opts.get("log_level").map(_.toString).getOrElse("info"))
 
+    // curation: section → CurationSpec (Main routes the job through
+    // Curation.pipeline + an optional sharded write when present)
+    val curation = Option(root.get("curation")).map { raw =>
+      val c = raw.asInstanceOf[JMap[String, Object]].asScala.toMap
+      val KnownKeys = Set("id_column", "text_column", "blocklist",
+        "max_dup_word_frac", "max_dup_ngram_frac", "max_top_ngram_frac",
+        "repetition_n", "sample_fraction", "persist_survivors",
+        "observed", "bucket", "shards")
+      // misspelled knobs must be loud — a silently ignored
+      // `sample_fracton: 0.01` would ship 100× the intended corpus
+      (c.keySet -- KnownKeys).toSeq.sorted.headOption.foreach(k =>
+        throw graft.core.GraftError.Configuration(
+          s"unknown curation option '$k' (known: ${KnownKeys.toSeq.sorted.mkString(", ")})"))
+      def str(k: String): String = sub(c.getOrElse(k,
+        throw graft.core.GraftError.Configuration(
+          s"curation section missing $k")).toString)
+      val shards = c.get("shards").flatMap(Option(_)).map {
+        case m: JMap[_, _] =>
+          val mm = m.asInstanceOf[JMap[String, Object]].asScala
+          ShardSpec(
+            count = mm.get("count").map(v => intOpt("shards.count", v))
+              .getOrElse(throw graft.core.GraftError.Configuration(
+                "curation shards map needs a count")),
+            seed = mm.get("seed").map(v => intOpt("shards.seed", v).toLong)
+              .getOrElse(42L))
+        case n => ShardSpec(intOpt("shards", n), 42L) // `shards: 64` shorthand
+      }
+      shards.foreach(s => if (s.count < 1)
+        throw graft.core.GraftError.Configuration(
+          s"curation shards.count must be >= 1, got ${s.count}"))
+      val bucket = c.get("bucket").map(_.toString).getOrElse("xxhash64")
+      if (bucket != "xxhash64" && bucket != "portable")
+        throw graft.core.GraftError.Configuration(
+          s"curation bucket must be xxhash64|portable, got '$bucket'")
+      CurationSpec(
+        idColumn = str("id_column"),
+        textColumn = str("text_column"),
+        blocklist = c.get("blocklist").flatMap(Option(_)) match {
+          case Some(l: java.util.List[_]) =>
+            l.asScala.toSeq.map(v => sub(String.valueOf(v)))
+          case Some(one) => Seq(sub(String.valueOf(one)))
+          case None => Nil
+        },
+        maxDupWordFrac = c.get("max_dup_word_frac")
+          .map(v => doubleOpt("max_dup_word_frac", v)).getOrElse(0.3),
+        maxDupNgramFrac = c.get("max_dup_ngram_frac")
+          .map(v => doubleOpt("max_dup_ngram_frac", v)).getOrElse(0.3),
+        maxTopNgramFrac = c.get("max_top_ngram_frac")
+          .map(v => doubleOpt("max_top_ngram_frac", v)).getOrElse(0.2),
+        repetitionN = c.get("repetition_n")
+          .map(v => intOpt("repetition_n", v)).getOrElse(2),
+        sampleFraction = c.get("sample_fraction")
+          .map(v => doubleOpt("sample_fraction", v)).getOrElse(1.0),
+        persistSurvivors = c.get("persist_survivors")
+          .map(v => boolOpt("persist_survivors", v)).getOrElse(false),
+        observed = c.get("observed")
+          .map(v => boolOpt("observed", v)).getOrElse(false),
+        portableBucket = bucket == "portable",
+        shards = shards)
+    }
+
     YamlRun(
       JobConfig(
         source = Secrets.inject(sourceUri, opts.get("source_secret_id").map(_.toString)),
@@ -152,7 +258,8 @@ object YamlJob {
             s"dry_run expects true/false, got '$other'")
         }
       },
-      logLevel = logLevel)
+      logLevel = logLevel,
+      curation = curation)
   }
 
   /** Generate a YAML job from a config (U6, main.rs:40-155). */

@@ -452,6 +452,104 @@ class CliSpec extends SparkSpec {
       .filter("a = 2").head.getAs[Long]("a2") == 4L)
   }
 
+  test("curation yaml e2e: url → repetition → dedup → sample → sharded write") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir("cli_curation")
+    // corpus: 40 clean docs, 1 blocklisted-subdomain doc, 1 exact
+    // duplicate of doc 0, 1 degenerate one-word-repeated doc
+    val docs =
+      (0L until 40L).map(i => (i, s"clean document number $i talks about topic ${i % 7} in fresh words $i")) ++
+      Seq(
+        (100L, "spammy doc citing http://evil.spam.example.com/buy now"),
+        (101L, "clean document number 0 talks about topic 0 in fresh words 0"),
+        (102L, ("spam " * 40).trim))
+    spark.createDataFrame(docs).toDF("doc_id", "text")
+      .write.parquet(s"$dir/docs.parquet")
+    writeText(s"$dir/job.yaml",
+      s"""version: "1.0"
+         |source:
+         |  uri: "$dir/docs.parquet"
+         |target:
+         |  uri: "$dir/corpus"
+         |curation:
+         |  id_column: doc_id
+         |  text_column: text
+         |  blocklist: [spam.example.com]
+         |  max_dup_word_frac: 0.8
+         |  sample_fraction: 0.5
+         |  observed: true
+         |  shards:
+         |    count: 4
+         |    seed: 7
+         |""".stripMargin)
+    val r = YamlJob.load(s"$dir/job.yaml")
+    val cur = r.curation.get
+    assert(cur.idColumn == "doc_id" && cur.blocklist == Seq("spam.example.com"))
+    assert(cur.shards.contains(YamlJob.ShardSpec(4, 7L)))
+    assert(runCuration(r.cfg, cur, r.preview, r.dryRun, "error") == 0)
+
+    val out = spark.read.parquet(s"$dir/corpus")
+    // sharded layout: partition column present, all shards in range
+    assert(out.columns.contains("shard") && out.columns.contains("shard_pos"))
+    // (the partition column comes back as the inferred directory type)
+    assert(out.select(col("shard").cast("long")).distinct().collect()
+      .forall(_.getLong(0) < 4L))
+    // blocked / duplicate / degenerate docs never survive ANY sample
+    val ids = out.select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(!ids.contains(100L) && !ids.contains(101L) && !ids.contains(102L))
+    // the kept set is exactly the library pipeline's own answer —
+    // CLI-vs-API parity, deterministic by construction
+    val expect = graft.llm.Curation.pipeline(
+        spark.read.parquet(s"$dir/docs.parquet"), "doc_id", "text",
+        graft.llm.Curation.PipelineConfig(
+          blocklist = Seq("spam.example.com"), maxDupWordFrac = 0.8,
+          sampleFraction = 0.5))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == expect, s"CLI kept $ids, API kept $expect")
+    // rerun is bit-identical (deterministic shuffle): same (id, shard, pos)
+    val before = out.select("doc_id", "shard", "shard_pos").collect().toSet
+    assert(runCuration(r.cfg, cur, None, dryRun = false, "error") == 0)
+    val after = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id", "shard", "shard_pos").collect().toSet
+    assert(after == before)
+
+    // preview/dry-run write nothing, even with a curation section
+    writeText(s"$dir/job_dry.yaml",
+      s"""version: "1.0"
+         |source: {uri: "$dir/docs.parquet"}
+         |target: {uri: "$dir/never_out"}
+         |options: {dry_run: true}
+         |curation:
+         |  id_column: doc_id
+         |  text_column: text
+         |""".stripMargin)
+    val d = YamlJob.load(s"$dir/job_dry.yaml")
+    assert(runCuration(d.cfg, d.curation.get, d.preview, d.dryRun, "error") == 0)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dir/never_out")))
+
+    // unknown knobs and malformed values are loud, typed errors
+    intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation: {id_column: id, text_column: t, sample_fracton: 0.1}
+        |""".stripMargin))
+    intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation: {id_column: id, text_column: t, bucket: md5}
+        |""".stripMargin))
+    intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation: {text_column: t}
+        |""".stripMargin))
+    // the committed golden example parses (uris are placeholders)
+    val golden = YamlJob.load("examples/curation_job.yaml")
+    assert(golden.curation.exists(c =>
+      c.shards.contains(YamlJob.ShardSpec(64, 42L)) && c.observed))
+  }
+
   test("--batch-size chunks file sinks via maxRecordsPerFile") {
     val dir = tmpDir("cli_batch")
     writeText(s"$dir/in.csv", "a\n1\n2\n3\n4\n")
