@@ -9,8 +9,11 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus a feature-extraction stage
   * (north-star surface from BASELINE.json).
   *
-  * The actual media decode is STUBBED — this container has no image/
-  * audio codecs — behind [[MediaDecoder]]. Everything Spark-side is
+  * The decode seam ([[MediaDecoder]]) parses real IMAGE headers on the
+  * pure JVM — PNG IHDR / JPEG SOF / GIF screen descriptor via
+  * [[ImageHeaders]], no codec libs needed for dimensions — and STUBS
+  * the rest (pixel decode, audio, video: this container has no
+  * codecs) behind a deterministic fake. Everything Spark-side is
   * real and tested: the schema contract, the per-partition batched
   * execution (`mapPartitions`, the Scala analog of `mapInPandas` batch
   * shape), the partition sizing guidance, and the output plumbing.
@@ -64,6 +67,107 @@ object Multimodal {
     }
   }
 
+  /** Pure-JVM image header parsing — the real part of the decode seam
+    * this container CAN run (no codec libs needed to read dimensions):
+    * PNG IHDR, JPEG SOF0-15 marker scan, GIF logical screen descriptor.
+    * Returns (width, height, channels) or None when the bytes are not a
+    * recognized image format. */
+  object ImageHeaders {
+
+    def parse(b: Array[Byte]): Option[(Int, Int, Int)] =
+      png(b).orElse(jpeg(b)).orElse(gif(b))
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def be16(b: Array[Byte], i: Int): Int = (u8(b, i) << 8) | u8(b, i + 1)
+    private def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i).toLong << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+
+    /** PNG: 8-byte signature, then the IHDR chunk (always first):
+      * length(4) "IHDR" width(4) height(4) bitdepth(1) colortype(1).
+      * Channels from the color type: 0 gray, 2 RGB, 3 palette (one
+      * index channel), 4 gray+alpha, 6 RGBA. */
+    private def png(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      val Sig = Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)
+      if (b.length < 26 || !Sig.indices.forall(i => u8(b, i) == Sig(i))) None
+      else if (!(u8(b, 12) == 'I' && u8(b, 13) == 'H' &&
+                 u8(b, 14) == 'D' && u8(b, 15) == 'R')) None
+      else {
+        val w = be32(b, 16); val h = be32(b, 20)
+        val channels = u8(b, 25) match {
+          case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+          case _ => return None
+        }
+        if (w < 1 || h < 1 || w > Int.MaxValue || h > Int.MaxValue) None
+        else Some((w.toInt, h.toInt, channels))
+      }
+    }
+
+    /** JPEG: FF D8, then a marker walk. Frame headers (SOF0-15 minus
+      * the non-frame C4/C8/CC) carry length(2) precision(1) height(2)
+      * width(2) components(1). Fill bytes (FF FF …) and standalone
+      * markers (D0-D7, 01) are skipped; the walk stops at SOS (DA) /
+      * EOI (D9) / corrupt structure. */
+    private def jpeg(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 4 || u8(b, 0) != 0xff || u8(b, 1) != 0xd8) return None
+      var i = 2
+      while (i + 3 < b.length) {
+        if (u8(b, i) != 0xff) return None // lost sync
+        var j = i
+        while (j < b.length && u8(b, j) == 0xff) j += 1 // fill bytes
+        if (j >= b.length) return None
+        val marker = u8(b, j)
+        if (marker == 0xd9 || marker == 0xda) return None // EOI / SOS first
+        else if ((marker >= 0xd0 && marker <= 0xd7) || marker == 0x01)
+          i = j + 1 // standalone, no segment
+        else {
+          if (j + 2 >= b.length) return None
+          val len = be16(b, j + 1)
+          if (len < 2) return None
+          val isSof = marker >= 0xc0 && marker <= 0xcf &&
+            marker != 0xc4 && marker != 0xc8 && marker != 0xcc
+          if (isSof) {
+            if (j + 8 >= b.length || len < 8) return None
+            val h = be16(b, j + 4); val w = be16(b, j + 6)
+            val channels = u8(b, j + 8)
+            return if (w < 1 || h < 1 || channels < 1) None
+                   else Some((w, h, channels))
+          }
+          i = j + 1 + len
+        }
+      }
+      None
+    }
+
+    /** GIF87a/GIF89a: 6-byte signature then the logical screen
+      * descriptor's little-endian width(2) height(2); GIF is always
+      * palette-indexed → rendered RGB (3 channels). */
+    private def gif(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 10) return None
+      val sig = new String(b, 0, 6, java.nio.charset.StandardCharsets.US_ASCII)
+      if (sig != "GIF87a" && sig != "GIF89a") None
+      else {
+        val w = le16(b, 6); val h = le16(b, 8)
+        if (w < 1 || h < 1) None else Some((w, h, 3))
+      }
+    }
+  }
+
+  /** The DEFAULT decoder: real image-header parsing (PNG/JPEG/GIF —
+    * [[ImageHeaders]], pure JVM, no codec libs) for `image` payloads
+    * whose bytes actually carry a known format, falling back to
+    * [[StubDecoder]]'s deterministic fake for everything else (audio/
+    * video — still no codecs in this container — and unrecognized
+    * bytes, which keeps synthetic text-byte fixtures and their oracles
+    * stable). */
+  object HeaderDecoder extends MediaDecoder {
+    def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int) =
+      if (mediaType == "image")
+        ImageHeaders.parse(payload)
+          .getOrElse(StubDecoder.decode(mediaType, payload))
+      else StubDecoder.decode(mediaType, payload)
+  }
+
   private def fnv(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -74,7 +178,7 @@ object Multimodal {
   /** Batched per-partition feature extraction (the mapInPandas analog):
     * each task iterates its partition once, feeding the decoder. */
   def extractFeatures(media: DataFrame,
-                      decoder: MediaDecoder = StubDecoder): DataFrame = {
+                      decoder: MediaDecoder = HeaderDecoder): DataFrame = {
     val enc = ExpressionEncoder(featureSchema)
     val idIdx = media.schema.fieldIndex("media_id")
     val typeIdx = media.schema.fieldIndex("media_type")

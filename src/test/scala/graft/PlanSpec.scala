@@ -180,6 +180,23 @@ class PlanSpec extends SparkSpec {
       "revenue aggregation must combine map-side")
   }
 
+  test("q_skew_join: salted broadcast spreads the hot key, no sort-merge") {
+    val df = SparkEntry.queries("q_skew_join")(spark, "/root/testdata/sf0.001")
+    val p = df.queryExecution.executedPlan.toString
+    // the join must be a broadcast hash join ON (key, salt): the salt
+    // in the join keys is exactly what spreads the hot key over 16
+    // tasks — a plain key join would funnel ~75% of lineitem into one
+    assert(p.contains("BroadcastHashJoin"), s"dim side must broadcast:\n$p")
+    assert(p.contains("_salt"), s"salt must be part of the join keys:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"salted join fell back to sort-merge:\n$p")
+    // the dim side replicates via explode BEFORE broadcast (16×25 rows)
+    assert(p.contains("Generate explode") || p.contains("Generate"),
+      s"dim replication must be an explode on the broadcast side:\n$p")
+    assert(df.queryExecution.sparkPlan.toString.contains("partial_sum"),
+      "revenue aggregation must combine map-side")
+  }
+
   test("q_supplier_rank: partial agg, window rides the agg partitioning, no extra exchange") {
     val df = SparkEntry.queries("q_supplier_rank")(spark, "/root/testdata/sf0.001")
     assert(df.queryExecution.sparkPlan.toString.contains("partial_sum"),

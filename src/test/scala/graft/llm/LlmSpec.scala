@@ -513,6 +513,60 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: real PNG/JPEG/GIF header decode, stub fallback elsewhere") {
+    import Multimodal.ImageHeaders
+    def pngBytes(w: Int, h: Int, colorType: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(33)
+      bb.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes).putInt(w).putInt(h)
+      bb.put(8.toByte).put(colorType.toByte) // bit depth, color type
+      bb.put(0.toByte).put(0.toByte).put(0.toByte) // compression/filter/interlace
+      bb.array()
+    }
+    def jpegBytes(w: Int, h: Int, channels: Int, sof: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(64)
+      bb.put(0xff.toByte).put(0xd8.toByte)                 // SOI
+      bb.put(0xff.toByte).put(0xe0.toByte).putShort(16)    // APP0, len 16
+      bb.put("JFIF".getBytes).put(new Array[Byte](10))
+      bb.put(0xff.toByte).put(0xff.toByte)                 // fill byte before marker
+      bb.put(sof.toByte).putShort((8 + 3 * channels).toShort)
+      bb.put(8.toByte).putShort(h.toShort).putShort(w.toShort)
+      bb.put(channels.toByte)
+      (0 until channels).foreach(c =>
+        bb.put((c + 1).toByte).put(0x11.toByte).put(0.toByte))
+      java.util.Arrays.copyOf(bb.array(), bb.position())
+    }
+    val gif = "GIF89a".getBytes ++ Array[Byte](0x40, 0x01, 0xc8.toByte, 0x00, 0, 0, 0, 0)
+
+    assert(ImageHeaders.parse(pngBytes(1920, 1080, 6)).contains((1920, 1080, 4)))
+    assert(ImageHeaders.parse(pngBytes(640, 480, 2)).contains((640, 480, 3)))
+    assert(ImageHeaders.parse(pngBytes(16, 16, 0)).contains((16, 16, 1)))
+    assert(ImageHeaders.parse(jpegBytes(640, 480, 3, 0xc0)).contains((640, 480, 3)))
+    // progressive (SOF2) and grayscale
+    assert(ImageHeaders.parse(jpegBytes(800, 600, 1, 0xc2)).contains((800, 600, 1)))
+    assert(ImageHeaders.parse(gif).contains((320, 200, 3)))
+    // not images → None (the stub-fallback trigger)
+    assert(ImageHeaders.parse("plain text bytes".getBytes).isEmpty)
+    assert(ImageHeaders.parse(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+    assert(ImageHeaders.parse(pngBytes(1920, 1080, 6).take(20)).isEmpty)
+
+    // through the Spark seam: real headers parse, text bytes fall back
+    // to the stub's deterministic fake, audio stays stubbed
+    val media = Seq(
+      (1L, "image", pngBytes(1920, 1080, 6)),
+      (2L, "image", jpegBytes(640, 480, 3, 0xc0)),
+      (3L, "image", "not really an image".getBytes),
+      (4L, "audio", Array.fill(100)(7.toByte))
+    ).toDF("media_id", "media_type", "payload")
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    assert(f(1L) == ((1920, 1080, 4)))
+    assert(f(2L) == ((640, 480, 3)))
+    val t = "not really an image".getBytes
+    assert(f(3L) == ((64 + (t(0) & 0xff) * 8, 64 + (t(1) & 0xff) * 8, 3)))
+    assert(f(4L) == ((100, 1, 1)))
+  }
+
   test("multimodal: stub decode features are deterministic and typed") {
     val media = Multimodal.mediaFromDocuments(
       spark, "/root/testdata/sf0.001/documents.parquet")

@@ -40,6 +40,32 @@ class SshSpec extends AnyFunSuite {
       ref("ssh://u@h/p/extensionless", Map("sourceType" -> "csv"))) == "csv")
   }
 
+  test("success path: scp round-trip IF a loopback sshd is listening (skip-guarded)") {
+    // env-blocked in this sandbox (no sshd) — the test self-skips on a
+    // connection probe so the success path runs automatically the day a
+    // loopback sshd appears (COVERAGE.md S12). Port override:
+    // SPARK_GRAFT_SSHD_PORT; user override: SPARK_GRAFT_SSH_USER.
+    val port = sys.env.get("SPARK_GRAFT_SSHD_PORT").map(_.toInt).getOrElse(22)
+    val listening =
+      try {
+        val s = new java.net.Socket()
+        try { s.connect(new java.net.InetSocketAddress("127.0.0.1", port), 300); true }
+        finally s.close()
+      } catch { case _: Exception => false }
+    assume(listening, s"no sshd on 127.0.0.1:$port — success path env-blocked")
+    val src = java.nio.file.Files.createTempFile("graft_ssh_src", ".csv")
+    java.nio.file.Files.writeString(src, "a,b\n1,x\n2,y\n")
+    try {
+      val user = sys.env.get("SPARK_GRAFT_SSH_USER")
+        .orElse(sys.env.get("USER")).getOrElse("root")
+      val dl = Connectors.Ssh.download(ref(s"ssh://$user@127.0.0.1:$port$src"))
+      assert(dl.kind == "csv")
+      assert(java.nio.file.Files.readString(
+        java.nio.file.Paths.get(dl.path)) == "a,b\n1,x\n2,y\n")
+      java.nio.file.Files.deleteIfExists(java.nio.file.Paths.get(dl.path))
+    } finally java.nio.file.Files.deleteIfExists(src)
+  }
+
   test("failed scp surfaces a typed Connection error and leaves no temp file") {
     val before = TestDownloads.files()
     // port 1 on loopback: connection refused instantly, no sshd needed
