@@ -81,8 +81,21 @@ object Bench {
       else args.toSeq.map(n => n -> SparkEntry.queries.getOrElse(n,
         sys.error(s"unknown query: $n (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")))
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
+    // Settle the JVM between queries: several operators eagerly
+    // localCheckpoint (dedup fixpoint, observed pipeline) and those
+    // blocks are reclaimed only when the context cleaner notices the
+    // frame is garbage — in a 58-query run the backlog piles onto later
+    // queries' warm runs (q_dedup_connected measured 3.9x its isolated
+    // time from exactly this). Dropping persistent RDDs + one GC per
+    // query bounds the cross-query contamination.
+    def settle(): Unit = {
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+      System.gc()
+    }
     // (name, warmMedianSec, coldSec, ok)
     val results = selected.map { case (name, fn) =>
+      settle()
       def once(): Either[String, Double] = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
