@@ -293,7 +293,8 @@ object Main {
         sampleFraction = cur.sampleFraction,
         bucketFn =
           if (cur.portableBucket) Sampling.portableBucket else Sampling.bucket,
-        persistSurvivors = cur.persistSurvivors)
+        persistSurvivors = cur.persistSurvivors,
+        lineDedupMinDocs = cur.lineDedupMinDocs)
       // preview/dry-run are no-write modes and use the lazy pipeline
       // even when `observed` is set (stage counts only make sense for a
       // run that actually materializes the corpus)

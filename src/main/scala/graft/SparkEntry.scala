@@ -1,7 +1,7 @@
 package graft
 
 import graft.infer.{CellInference, DateFormats}
-import graft.llm.{Boilerplate, Chunking, Contamination, Curation, Dedup, LmScore, Multimodal, Packing, Repetition, Sampling, Shuffling, Similarity, Spans, TextAnalysis, Urls}
+import graft.llm.{Boilerplate, Chunking, Contamination, Curation, Dedup, LmScore, Multimodal, Packing, Paragraphs, Repetition, Sampling, Shuffling, Similarity, Spans, TextAnalysis, Urls}
 import graft.sources.{AvroConnector, Connectors}
 import graft.streaming.EventsStreaming
 import graft.transform.Transform
@@ -457,6 +457,32 @@ object SparkEntry {
           col("pack_id"), col("pack_offset"), col("spans_boundary"))
     },
 
+    // --- deterministic weighted interleave: virtual-time schedule over
+    // a skewed derived domain (60/30/10 supply vs 0.5/0.3/0.2 target
+    // weights), size-normalized so every stream prefix carries the
+    // TARGET ratio. Shuffle-free projection after one tiny count
+    // probe; the oracle replays counts → |s|/w scale → rounded
+    // virtual times exactly ---
+    "q_interleave" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(10)) < 6, lit("web"))
+          .when(pmod(col("doc_id"), lit(10)) < 9, lit("books"))
+          .otherwise(lit("code")).as("dom"))
+      graft.llm.Mixing.interleave(d, "dom", "doc_id",
+        Map("web" -> 0.5, "books" -> 0.3, "code" -> 0.2), seed = 11L)
+    },
+
+    // --- deterministic token-budget cut: ~100k tokens of the corpus,
+    // taken as per-shard prefixes in seeded shuffle-hash order (8
+    // shards × 12500 tokens; no global running sum). Oracle replays
+    // the portable key, shard windows and prefix filter exactly ---
+    "q_token_budget" -> { (s, dir) =>
+      val d = t(s, dir, "documents").select(col("doc_id"), col("source"),
+        TextAnalysis.tokenCountEstimate(col("text")).cast("long").as("toks"))
+      Sampling.tokenBudget(d, "doc_id", "toks",
+        budget = 100000L, shards = 8, seed = 7L)
+    },
+
     // --- PII redaction: deterministic contact strings are injected into
     // copies (the fixture text is clean prose) so every category and the
     // fixed email→phone→ip order are exercised; originals prove the
@@ -593,6 +619,23 @@ object SparkEntry {
           concat(col("text"), lit(" with an appended trailing remark"))
             .as("text"))
       Spans.stats(docs.union(extended), "doc_id", "text", k = 40, stride = 20)
+    },
+
+    // --- line-level dedup (CCNet-style): lines recurring in >= 5
+    // distinct docs are boilerplate and get REMOVED from the text.
+    // Two engineered footer lines land on ~1/3 and ~1/4 of the corpus;
+    // the oracle replays split → doc-frequency → positional rebuild.
+    // Analysis shuffles carry (id, pos, 8-byte hash) only ---
+    "q_line_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val footered = docs.select(col("doc_id"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) === 0,
+            lit("\nSubscribe to our newsletter today")).otherwise(lit("")),
+          when(pmod(col("doc_id"), lit(4)) === 0,
+            lit("\nCopyright 2024 Example Corp")).otherwise(lit("")))
+          .as("text"))
+      Paragraphs.dropCommon(footered, "doc_id", "text", minDocs = 5)
     },
 
     // --- corpus-level boilerplate: bigrams present in >= 15% of docs.
@@ -1177,6 +1220,39 @@ object SparkEntry {
         |                          ORDER BY shuffle_key, doc_id) AS BIGINT) AS shard_pos
         |FROM k""".stripMargin,
 
+    "q_interleave" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 10 < 6 THEN 'web'
+        |         WHEN doc_id % 10 < 9 THEN 'books' ELSE 'code' END AS dom,
+        |    ((((doc_id + 11) % 1000000007) * 2654435761) % 1000000007 % 1000000)
+        |      / 1000000.0 AS u
+        |  FROM documents
+        |), c AS (
+        |  SELECT dom, count(*) AS n FROM d GROUP BY dom
+        |), w AS (
+        |  SELECT 'web' AS dom, 0.5 AS wt
+        |  UNION ALL SELECT 'books', 0.3
+        |  UNION ALL SELECT 'code', 0.2
+        |)
+        |SELECT doc_id, d.dom,
+        |  round(u * (CAST(c.n AS DOUBLE) / CAST(w.wt AS DOUBLE)), 6) AS virtual_time
+        |FROM d JOIN c USING (dom) JOIN w ON w.dom = d.dom""".stripMargin,
+
+    "q_token_budget" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |    CAST(len(regexp_extract_all(text, '[\p{L}]+|[\p{N}]+|[^\p{L}\p{N}\s]')) AS BIGINT) AS toks,
+        |    (((doc_id + 7) % 1000000007) * 2654435761) % 1000000007 % 1000000 AS k
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, source, toks,
+        |    SUM(toks) OVER (PARTITION BY k % 8 ORDER BY k, doc_id
+        |                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        |  FROM d
+        |)
+        |SELECT doc_id, source, toks FROM c WHERE cum <= 12500""".stripMargin,
+
     "q_pack_sequences" ->
       """WITH d AS (
         |  SELECT doc_id, source,
@@ -1431,6 +1507,33 @@ object SparkEntry {
         |  coalesce(n_tokens, 0) AS n_tokens,
         |  coalesce(round(alp, 6), 0.0) AS avg_logprob
         |FROM corpus LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // line dedup: doc-frequency by unit STRING (Spark counts by
+    // xxhash64 of the unit — identical modulo 64-bit collisions),
+    // positional rebuild via zipped unnest + ordered string_agg
+    "q_line_dedup" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    text
+        |      || CASE WHEN doc_id % 3 = 0
+        |              THEN chr(10) || 'Subscribe to our newsletter today' ELSE '' END
+        |      || CASE WHEN doc_id % 4 = 0
+        |              THEN chr(10) || 'Copyright 2024 Example Corp' ELSE '' END AS text
+        |  FROM documents
+        |), sp AS (
+        |  SELECT doc_id, regexp_split_to_array(text, '\n') AS l FROM c
+        |), u AS (
+        |  SELECT doc_id, unnest(l) AS unit, unnest(range(len(l))) AS i FROM sp
+        |), common AS (
+        |  SELECT unit FROM u WHERE trim(unit) <> ''
+        |  GROUP BY unit HAVING count(DISTINCT doc_id) >= 5
+        |), rebuilt AS (
+        |  SELECT doc_id, string_agg(unit, chr(10) ORDER BY i) AS text
+        |  FROM u WHERE unit NOT IN (SELECT unit FROM common)
+        |  GROUP BY doc_id
+        |)
+        |SELECT c.doc_id, coalesce(r.text, '') AS text
+        |FROM c LEFT JOIN rebuilt r ON c.doc_id = r.doc_id""".stripMargin,
 
     "q_repeated_spans" ->
       """WITH corpus AS (

@@ -62,6 +62,7 @@ object YamlJob {
       persistSurvivors: Boolean = false,
       observed: Boolean = false,
       portableBucket: Boolean = false,
+      lineDedupMinDocs: Option[Int] = None,
       shards: Option[ShardSpec] = None)
 
   /** Option wiring shared between the CLI flags and the YAML options
@@ -182,7 +183,7 @@ object YamlJob {
       val KnownKeys = Set("id_column", "text_column", "blocklist",
         "max_dup_word_frac", "max_dup_ngram_frac", "max_top_ngram_frac",
         "repetition_n", "sample_fraction", "persist_survivors",
-        "observed", "bucket", "shards")
+        "observed", "bucket", "line_dedup_min_docs", "shards")
       // misspelled knobs must be loud — a silently ignored
       // `sample_fracton: 0.01` would ship 100× the intended corpus
       (c.keySet -- KnownKeys).toSeq.sorted.headOption.foreach(k =>
@@ -233,6 +234,8 @@ object YamlJob {
         observed = c.get("observed")
           .map(v => boolOpt("observed", v)).getOrElse(false),
         portableBucket = bucket == "portable",
+        lineDedupMinDocs = c.get("line_dedup_min_docs")
+          .map(v => intOpt("line_dedup_min_docs", v)),
         shards = shards)
     }
 

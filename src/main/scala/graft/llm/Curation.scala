@@ -46,8 +46,18 @@ object Curation {
         * dedup consumer. Costs storage for the survivor set — turn on
         * when the input lineage is expensive, leave off when it's a
         * bare scan. [[pipelineObserved]] always materializes (its
-        * counts depend on it). */
-      persistSurvivors: Boolean = false)
+        * counts depend on it). With [[lineDedupMinDocs]] set, the
+        * REWRITTEN survivors are checkpointed as well (the rewrite has
+        * its own multi-consumer fan-out), costing a second survivor
+        * copy. */
+      persistSurvivors: Boolean = false,
+      /** When set, rewrite surviving documents with
+        * [[Paragraphs.dropCommon]] (drop lines recurring in >= this
+        * many distinct docs) BETWEEN the repetition filter and exact
+        * dedup — so two pages differing only by their shared footer
+        * dedup correctly once the footer is gone. Rewrites text, never
+        * drops rows. */
+      lineDedupMinDocs: Option[Int] = None)
 
   def pipeline(df: DataFrame, idCol: String, textCol: String,
                cfg: PipelineConfig = PipelineConfig()): DataFrame = {
@@ -60,17 +70,29 @@ object Curation {
     val afterRepetition =
       if (cfg.persistSurvivors) afterRepetition0.localCheckpoint(true)
       else afterRepetition0
+    // optional line-level rewrite BEFORE hashing, so footer-stripped
+    // copies collapse in the dedup below; checkpointed under the
+    // persist knob because the rewrite fans out into dedup's two
+    // consumers just like the filter subtree does
+    val afterLines0 = cfg.lineDedupMinDocs match {
+      case Some(k) => Paragraphs.dropCommon(afterRepetition, idCol, textCol, k)
+      case None => afterRepetition
+    }
+    val afterLines =
+      if (cfg.persistSurvivors && cfg.lineDedupMinDocs.isDefined)
+        afterLines0.localCheckpoint(true)
+      else afterLines0
     // exact dedup, keep-min-id, computed directly from ONE narrow
     // (id, hash) projection of the filtered corpus: groupBy(hash) →
     // min(id) is the keep set, full rows semi-join it by id. The
     // filter subtree therefore evaluates exactly twice (the narrow
     // keep-set pass + the surviving-rows pass) — routing through
     // Dedup.exact's decision frame would cost a third evaluation.
-    val keptIds = afterRepetition
+    val keptIds = afterLines
       .select(col(idCol), Dedup.contentHash(Seq(textCol)).as("__h"))
       .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
-    val deduped = afterRepetition.join(keptIds, Seq(idCol), "left_semi")
+    val deduped = afterLines.join(keptIds, Seq(idCol), "left_semi")
     if (cfg.sampleFraction >= 1.0) deduped
     else Sampling.byHash(deduped, idCol, cfg.sampleFraction, cfg.bucketFn)
   }
@@ -106,11 +128,19 @@ object Curation {
         cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,
         cfg.repetitionN), oR)
       .localCheckpoint(true) // filter observes fire here, exactly once
-    val keptIds = r
+    // line rewrite keeps every row (counts unchanged), so it carries no
+    // observation; it IS checkpointed so dedup's two consumers read the
+    // rewritten rows instead of re-running the rewrite joins
+    val r2 = cfg.lineDedupMinDocs match {
+      case Some(k) =>
+        Paragraphs.dropCommon(r, idCol, textCol, k).localCheckpoint(true)
+      case None => r
+    }
+    val keptIds = r2
       .select(col(idCol), Dedup.contentHash(Seq(textCol)).as("__h"))
       .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
-    val d = tap(r.join(keptIds, Seq(idCol), "left_semi"), oD)
+    val d = tap(r2.join(keptIds, Seq(idCol), "left_semi"), oD)
     val out = tap(
       if (cfg.sampleFraction >= 1.0) d
       else Sampling.byHash(d, idCol, cfg.sampleFraction, cfg.bucketFn),

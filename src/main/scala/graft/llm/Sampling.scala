@@ -163,4 +163,43 @@ object Sampling {
     }
     df.filter(bucketFn(col(idCol)) < thrCol)
   }
+
+  /** Deterministic token-budget cut: "give me ~`budget` tokens of this
+    * corpus, reproducibly". Rows are taken in deterministic shuffle
+    * order (seeded portable hash of the id — decorrelated from ingest
+    * order, bit-identical across reruns) until the budget is reached.
+    *
+    * There is NO global running sum — that is a single-partition
+    * scalability wall. The budget splits evenly over `shards`
+    * hash-shards and each shard keeps its prefix while its OWN running
+    * sum stays within budget/shards: one hash exchange + per-shard
+    * sorts (the exact shape of [[Shuffling.deterministicShuffle]]),
+    * every shard cut in parallel. Kept tokens never exceed the budget;
+    * the undershoot is bounded by shards × max-row-tokens (each shard
+    * strands less than one boundary row) — at any real corpus scale
+    * that is noise against the budget. Deterministic: same
+    * (ids, tokens, budget, shards, seed) → same kept set, any cluster.
+    *
+    * A fraction-based sample cannot do this job: token counts per row
+    * vary, so a row-fraction only hits a token target in expectation;
+    * this takes an exact deterministic prefix instead. */
+  def tokenBudget(df: DataFrame, idCol: String, tokensCol: String,
+                  budget: Long, shards: Int = 64,
+                  seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    require(budget / shards >= 1,
+      s"budget $budget splits below 1 token per shard over $shards shards")
+    Guards.requireFreshColumns(df, Seq("__tb_key", "__tb_shard", "__tb_cum"),
+      "Sampling.tokenBudget")
+    val perShard = budget / shards
+    val w = Window.partitionBy(col("__tb_shard"))
+      .orderBy(col("__tb_key"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__tb_key", Shuffling.shuffleKey(col(idCol), seed))
+      .withColumn("__tb_shard", pmod(col("__tb_key"), lit(shards.toLong)))
+      .withColumn("__tb_cum", sum(col(tokensCol).cast("long")).over(w))
+      .filter(col("__tb_cum") <= lit(perShard))
+      .drop("__tb_key", "__tb_shard", "__tb_cum")
+  }
 }

@@ -544,6 +544,12 @@ class CliSpec extends SparkSpec {
         |target: {uri: b}
         |curation: {text_column: t}
         |""".stripMargin))
+    // optional stage knob parses
+    assert(YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation: {id_column: id, text_column: t, line_dedup_min_docs: 4}
+        |""".stripMargin).curation.get.lineDedupMinDocs.contains(4))
     // the committed golden example parses (uris are placeholders)
     val golden = YamlJob.load("examples/curation_job.yaml")
     assert(golden.curation.exists(c =>

@@ -297,6 +297,15 @@ class PlanSpec extends SparkSpec {
       "after the driver-side count probe, mixture must be a pure filter")
   }
 
+  test("interleave is a shuffle-free codegen'd projection after the count probe") {
+    val vt = graft.llm.Mixing.interleave(sf("documents"), "lang", "doc_id",
+      Map("en" -> 0.3, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.2, "zh" -> 0.1))
+    assert(shuffleOutputs(vt).isEmpty,
+      "virtual-time assignment must be a pure projection — no windows, no ranks")
+    assert(vt.queryExecution.executedPlan.toString.contains("*(1)"),
+      "projection left whole-stage codegen")
+  }
+
   test("global shuffle: one exchange, keyed by shard only") {
     val s = graft.llm.Shuffling.deterministicShuffle(
       sf("documents"), "doc_id", seed = 7L, shards = 8)
@@ -344,6 +353,41 @@ class PlanSpec extends SparkSpec {
     // shuffles carry only (id, word/partial) rollup rows — never text
     shuffleOutputs(scored).foreach(cols =>
       assert(!cols.contains("text"), s"document text crossed a shuffle: $cols"))
+  }
+
+  test("token budget: one shard exchange, per-shard window, no global sort") {
+    val d = sf("documents").select(col("doc_id"),
+      graft.llm.TextAnalysis.tokenCountEstimate(col("text"))
+        .cast("long").as("toks"))
+    val cut = graft.llm.Sampling.tokenBudget(d, "doc_id", "toks",
+      budget = 100000L, shards = 8)
+    val shuffles = shuffleOutputs(cut)
+    assert(shuffles.size == 1,
+      s"expected exactly the shard hash exchange, got ${shuffles.size}: $shuffles")
+    val p = cut.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), "running sum must be a window, not a join")
+    // SortExec prints "Sort [keys], <global>, 0" — only per-shard
+    // (global=false) sorts may appear
+    assert(!p.contains("], true, 0"), s"no global sort allowed:\n$p")
+  }
+
+  test("line dedup: unit strings never cross a shuffle; analysis is hash-narrow") {
+    val out = graft.llm.Paragraphs.dropCommon(
+      sf("documents"), "doc_id", "text", minDocs = 5)
+    // the split-out unit strings stay inside their stage: every
+    // exchange carries (id / pos / unit_hash / drop-set) rows, plus
+    // the one documented doc-row move for the final rewrite join —
+    // but never the exploded __unit column
+    shuffleOutputs(out).foreach(cols =>
+      assert(!cols.contains("__unit"),
+        s"exploded unit strings crossed a shuffle: $cols"))
+    val agg = graft.llm.Paragraphs.unitDocFrequency(
+      sf("documents"), "doc_id", "text")
+    assert(agg.queryExecution.sparkPlan.toString.contains("partial"),
+      "doc-frequency must partial-aggregate map-side")
+    shuffleOutputs(agg).foreach(cols =>
+      assert(!cols.contains("text") && !cols.contains("__unit"),
+        s"text crossed the doc-frequency shuffle: $cols"))
   }
 
   test("repeated spans: all shuffles are (id, hash)-narrow, no text") {

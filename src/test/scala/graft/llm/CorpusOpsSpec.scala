@@ -198,6 +198,83 @@ class CorpusOpsSpec extends SparkSpec {
     assert(many.groupBy("split").count().collect().map(_.getLong(1)).sum == d.count())
   }
 
+  // --- Interleave -------------------------------------------------------
+
+  test("interleave: every prefix carries the weight ratio regardless of source size") {
+    // source sizes 3000 vs 300 (10:1 supply) but weights 2:1 — the
+    // virtual-time order must deliver ~2:1 at any prefix anyway
+    val d = ((1L to 3000L).map(i => (i, "a")) ++
+      (10001L to 10300L).map(i => (i, "b"))).toDF("id", "src")
+    val vt = Mixing.interleave(d, "src", "id",
+      Map("a" -> 2.0, "b" -> 1.0), seed = 3L)
+    val prefix = vt.orderBy($"virtual_time", $"src", $"id").limit(600)
+      .groupBy($"src").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(prefix("b") > 150 && prefix("b") < 250,
+      s"600-row prefix should hold ~200 b-rows (weight 1 of 3): $prefix")
+    assert(prefix("a") + prefix("b") == 600L)
+    // deterministic; seed changes the schedule
+    val t1 = vt.agg(sum($"virtual_time")).head.getDouble(0)
+    assert(Mixing.interleave(d, "src", "id", Map("a" -> 2.0, "b" -> 1.0),
+      seed = 3L).agg(sum($"virtual_time")).head.getDouble(0) == t1)
+    assert(Mixing.interleave(d, "src", "id", Map("a" -> 2.0, "b" -> 1.0),
+      seed = 4L).agg(sum($"virtual_time")).head.getDouble(0) != t1)
+    // loud contract: unweighted source present, weighted source absent
+    val noW = intercept[IllegalArgumentException](
+      Mixing.interleave(d, "src", "id", Map("a" -> 2.0)))
+    assert(noW.getMessage.contains("b"))
+    val absent = intercept[IllegalArgumentException](
+      Mixing.interleave(d, "src", "id",
+        Map("a" -> 2.0, "b" -> 1.0, "ghost" -> 1.0)))
+    assert(absent.getMessage.contains("ghost"))
+    intercept[IllegalArgumentException](
+      Mixing.interleave(d, "src", "id", Map("a" -> 0.0, "b" -> 1.0)))
+  }
+
+  // --- Token budget -----------------------------------------------------
+
+  test("tokenBudget: under budget, near budget, deterministic, monotone, prefix-closed") {
+    val d = (1L to 2000L).map(i => (i, (i % 37 + 3).toLong)).toDF("id", "toks")
+    val total = d.agg(sum($"toks")).head.getLong(0)
+    val budget = total / 3
+    val shards = 8
+    val kept = Sampling.tokenBudget(d, "id", "toks", budget, shards, seed = 5L)
+    val keptToks = kept.agg(sum($"toks")).head.getLong(0)
+    assert(keptToks <= budget, s"over budget: $keptToks > $budget")
+    val maxToks = 39L // i % 37 + 3
+    assert(keptToks >= budget - shards * maxToks,
+      s"undershoot beyond the documented bound: $keptToks vs $budget")
+    // deterministic
+    val ids = kept.select("id").as[Long].collect().toSet
+    assert(Sampling.tokenBudget(d, "id", "toks", budget, shards, seed = 5L)
+      .select("id").as[Long].collect().toSet == ids)
+    // different seed, different prefix order
+    assert(Sampling.tokenBudget(d, "id", "toks", budget, shards, seed = 6L)
+      .select("id").as[Long].collect().toSet != ids)
+    // monotone: a bigger budget keeps a superset
+    val more = Sampling.tokenBudget(d, "id", "toks", budget * 2, shards, seed = 5L)
+      .select("id").as[Long].collect().toSet
+    assert(ids.subsetOf(more), "larger budget must keep a superset")
+    // prefix-closed per shard: any unkept row's (key, id) is AFTER every
+    // kept row of its shard
+    val keyed = d
+      .withColumn("k", Shuffling.shuffleKey($"id", 5L))
+      .withColumn("shard", pmod($"k", lit(shards.toLong)))
+      .select($"id", $"k", $"shard")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    keyed.groupBy(_._3).foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._1)).map(_._1)
+      val keptPrefix = sorted.takeWhile(ids.contains)
+      assert(sorted.drop(keptPrefix.length).forall(!ids.contains(_)),
+        "kept set must be a contiguous per-shard prefix")
+    }
+    // loud misuse
+    intercept[IllegalArgumentException](
+      Sampling.tokenBudget(d, "id", "toks", budget, shards = 0))
+    intercept[IllegalArgumentException](
+      Sampling.tokenBudget(d, "id", "toks", budget = 4, shards = 8))
+  }
+
   // --- Mixture ----------------------------------------------------------
 
   test("mixture: composition tracks weights, binding domain keeps all") {
@@ -327,6 +404,34 @@ class CorpusOpsSpec extends SparkSpec {
           maxDupNgramFrac = 0.35, maxTopNgramFrac = 0.5))
       .select("doc_id").as[Long].collect().toSeq.sorted
     assert(noUrl == Seq(1L, 2L, 5L), s"kept $noUrl")
+  }
+
+  test("curation pipeline: line dedup stage collapses footer-differing copies") {
+    val corpus = Seq(
+      (1L, "shared body text\nFOOTER"),
+      (2L, "shared body text"),          // identical once FOOTER strips
+      (3L, "first unique page\nFOOTER"),
+      (4L, "second unique page\nFOOTER"),
+      (5L, "third unique page\nFOOTER")  // FOOTER in 4 docs >= 3
+    ).toDF("doc_id", "text")
+    // loose repetition thresholds: these 3-4 word docs are not the
+    // stage under test (a 3-bigram doc's top-bigram fraction is 1/3)
+    val cfg = Curation.PipelineConfig(lineDedupMinDocs = Some(3),
+      maxDupWordFrac = 0.9, maxDupNgramFrac = 0.9, maxTopNgramFrac = 0.9)
+    for (c <- Seq(cfg, cfg.copy(persistSurvivors = true))) {
+      val kept = Curation.pipeline(corpus, "doc_id", "text", c)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(kept.keySet == Set(1L, 3L, 4L, 5L), s"kept ${kept.keySet}")
+      assert(kept(1L) == "shared body text", "footer must be stripped pre-dedup")
+      assert(kept(3L) == "first unique page")
+      // observed variant agrees and still counts correctly
+      val (out, counts) = Curation.pipelineObserved(corpus, "doc_id", "text", c)
+      assert(out.select("doc_id").as[Long].collect().toSet == Set(1L, 3L, 4L, 5L))
+      assert(counts()("after_dedup") == 4L)
+    }
+    // without the stage, nothing dedups (all five texts differ)
+    assert(Curation.pipeline(corpus, "doc_id", "text",
+      cfg.copy(lineDedupMinDocs = None)).count() == 5)
   }
 
   test("curation pipeline: observed variant reports per-stage drop counts") {
@@ -494,6 +599,55 @@ class CorpusOpsSpec extends SparkSpec {
     Curation.pipeline(d, "doc_id", "text").count()
     assert(acc.value == 100L,
       s"lazy pipeline documents the double-evaluation: got ${acc.value}")
+  }
+
+  // --- Paragraphs (line-level dedup) ------------------------------------
+
+  test("paragraphs: corpus-common lines dropped, rare and blank kept, no self-promotion") {
+    val d = Seq(
+      (1L, "unique one\nFOOTER\nbody a"),
+      (2L, "unique two\nFOOTER"),
+      (3L, "FOOTER\nunique three"),
+      (4L, "self\nself\nself\nunique four"), // within-doc repeats, ONE doc
+      (5L, "unique five\n\nFOOTER"),         // blank line stays
+      (6L, "FOOTER"),                         // everything common → ''
+      (7L, "untouched document")              // nothing to drop → byte-identical
+    ).toDF("doc_id", "text")
+
+    val freq = Paragraphs.unitDocFrequency(d, "doc_id", "text")
+      .join(Seq("FOOTER", "self").toDF("u")
+        .select(xxhash64($"u").as("unit_hash"), $"u"), Seq("unit_hash"))
+      .collect().map(r => r.getAs[String]("u") -> r.getAs[Long]("n_docs")).toMap
+    assert(freq("FOOTER") == 5L, s"distinct-doc count: $freq")
+    assert(freq("self") == 1L, "within-doc repeats must count once")
+
+    val out = Paragraphs.dropCommon(d, "doc_id", "text", minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "unique one\nbody a")
+    assert(out(2L) == "unique two")
+    assert(out(3L) == "unique three")
+    assert(out(4L) == "self\nself\nself\nunique four", "no self-promotion")
+    assert(out(5L) == "unique five\n", "blank lines are structure, kept")
+    assert(out(6L) == "")
+    assert(out(7L) == "untouched document")
+
+    // paragraph mode: variable-width split regex, explicit joinWith
+    val p = Seq(
+      (1L, "keep me\n\nSHARED PARA\n\n\nalso keep"),
+      (2L, "SHARED PARA\n\nown text"),
+      (3L, "SHARED PARA"),
+      (4L, "nothing shared here")
+    ).toDF("doc_id", "text")
+    val pOut = Paragraphs.dropCommon(p, "doc_id", "text", minDocs = 3,
+        sep = "\\n{2,}", joinWith = "\n\n")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pOut(1L) == "keep me\n\nalso keep")
+    assert(pOut(2L) == "own text")
+    assert(pOut(3L) == "")
+    assert(pOut(4L) == "nothing shared here")
+
+    intercept[IllegalArgumentException](
+      Paragraphs.dropCommon(d, "doc_id", "text", minDocs = 1))
   }
 
   // --- Boilerplate ------------------------------------------------------
