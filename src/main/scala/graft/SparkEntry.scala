@@ -513,6 +513,21 @@ object SparkEntry {
         "doc_id", "text", "text", n = 8)
     },
 
+    // --- decontamination REMOVAL: drop documents sharing >= 50% of
+    // their 8-grams with the probe set. Probe originals (ratio 1.0) and
+    // prefixed variants (high ratio) must vanish; incidental low-ratio
+    // overlaps survive. Oracle replays the unrounded ratio decision ---
+    "q_decontaminate" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probes = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+      val variants = probes.select((col("doc_id") + 100000).as("doc_id"),
+        concat(lit("prefix words added here "), col("text")).as("text"))
+      Contamination.decontaminate(docs.union(variants),
+          probes.select(col("text")), "doc_id", "text", "text", n = 8,
+          maxContamination = 0.5)
+        .select(col("doc_id"))
+    },
+
     // --- repetition metrics: per-doc duplicate-word / duplicate-n-gram /
     // modal-n-gram fractions from the one-pass native GramRepetition
     // stats (no explode, no shuffle). Copies with a 5x-repeated phrase
@@ -1321,6 +1336,35 @@ object SparkEntry {
         |SELECT m.doc_id, matched_grams, total_grams,
         |  round(CAST(matched_grams AS DOUBLE) / total_grams, 6) AS contamination
         |FROM m JOIN tot USING (doc_id)""".stripMargin,
+
+    // decontaminate: same derivation as q_contamination, but the
+    // UNROUNDED ratio drives a drop decision and survivors come back
+    "q_decontaminate" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, 'prefix words added here ' || text AS text
+        |  FROM documents WHERE doc_id % 97 = 0
+        |), tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+        |  FROM corpus
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+        |    i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+        |  FROM tok
+        |), pg AS (
+        |  SELECT DISTINCT unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+        |    i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+        |  FROM (SELECT list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+        |        FROM documents WHERE doc_id % 97 = 0)
+        |), bad AS (
+        |  SELECT g.doc_id
+        |  FROM g LEFT JOIN (SELECT gram, 1 AS hit FROM pg) p USING (gram)
+        |  GROUP BY g.doc_id
+        |  HAVING CAST(count(p.hit) AS DOUBLE) / count(*) >= 0.5
+        |)
+        |SELECT doc_id FROM corpus
+        |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
 
     "q_repetition" ->
       """WITH corpus AS (

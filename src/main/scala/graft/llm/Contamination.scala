@@ -75,4 +75,28 @@ object Contamination {
         round(col("matched_grams") / col("total_grams"), roundTo)
           .as("contamination"))
   }
+
+  /** The removal step [[check]] reports for: keep only documents whose
+    * contamination stays BELOW `maxContamination`. `0.0` is the strict
+    * mode — drop every document sharing even one n-gram with a probe.
+    * The decision compares the UNROUNDED matched/total ratio (the
+    * rounded report column would misclassify ratios that round onto
+    * the threshold). Documents sharing no gram never enter the
+    * decision join.
+    *
+    * Scale shape: [[check]]'s broadcast scan yields the contaminated-id
+    * set — small by construction (benchmark-adjacent docs) — and the
+    * corpus anti-joins it BY ID ONLY; document text crosses exactly the
+    * one exchange any keep/drop-set join costs, nothing per-gram. */
+  def decontaminate(corpus: DataFrame, probes: DataFrame, idCol: String,
+                    textCol: String, probeTextCol: String, n: Int = 8,
+                    maxContamination: Double = 0.2): DataFrame = {
+    require(maxContamination >= 0.0 && maxContamination <= 1.0,
+      s"maxContamination must be in [0, 1]: $maxContamination")
+    val dropIds = check(corpus, probes, idCol, textCol, probeTextCol, n)
+      .filter(col("matched_grams").cast("double") / col("total_grams")
+        >= lit(maxContamination))
+      .select(col(idCol))
+    corpus.join(dropIds, Seq(idCol), "left_anti")
+  }
 }

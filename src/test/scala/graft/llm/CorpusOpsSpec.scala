@@ -130,6 +130,27 @@ class CorpusOpsSpec extends SparkSpec {
       got(1).getAs[Long]("total_grams") == 3L)
   }
 
+  test("decontaminate: threshold drops, strict mode, clean docs untouched") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),            // ratio 1.0
+      (2L, "xx yy alpha beta gamma delta epsilon zeta eta theta"),      // ratio 1/3
+      (3L, "totally unrelated words that never appear in any benchmark set"),
+      (4L, "short doc")                                                  // no grams
+    ).toDF("doc_id", "text")
+    val probes = Seq("alpha beta gamma delta epsilon zeta eta theta").toDF("text")
+    def kept(thr: Double) = Contamination.decontaminate(
+        corpus, probes, "doc_id", "text", "text", n = 8,
+        maxContamination = thr)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept(0.5) == Set(2L, 3L, 4L))   // only the full copy dropped
+    assert(kept(0.2) == Set(3L, 4L))       // 1/3 >= 0.2 → superset dropped too
+    assert(kept(0.0) == Set(3L, 4L))       // strict: any shared gram drops
+    assert(kept(1.0) == Set(2L, 3L, 4L))   // only ratio-1.0 dropped
+    intercept[IllegalArgumentException](
+      Contamination.decontaminate(corpus, probes, "doc_id", "text", "text",
+        maxContamination = 1.5))
+  }
+
   test("contamination: hashed grams are the exact xxhash64 image of string grams") {
     // the check() join runs on the native one-pass hash; pin it to the
     // readable string-gram definition it claims to mirror
