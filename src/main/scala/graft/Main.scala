@@ -284,6 +284,10 @@ object Main {
       info(s"→ Target: ${cfg.target}")
       // read → validate → transform, the transfer engine's exact plan
       val input = new TransferEngine(cfg).plan(spark)
+      // the decontamination probe corpus reads through the same
+      // connector factory as any source
+      val probeFrames = cur.contamination.map(cs =>
+        graft.sources.Connectors.read(spark, cs.probesUri, Map.empty))
       val pc = Curation.PipelineConfig(
         blocklist = cur.blocklist,
         maxDupWordFrac = cur.maxDupWordFrac,
@@ -294,7 +298,14 @@ object Main {
         bucketFn =
           if (cur.portableBucket) Sampling.portableBucket else Sampling.bucket,
         persistSurvivors = cur.persistSurvivors,
-        lineDedupMinDocs = cur.lineDedupMinDocs)
+        lineDedupMinDocs = cur.lineDedupMinDocs,
+        contaminationProbes = probeFrames,
+        contaminationProbeTextCol =
+          cur.contamination.map(_.textColumn).getOrElse("text"),
+        contaminationN = cur.contamination.map(_.n).getOrElse(8),
+        maxContamination = cur.contamination.map(_.max).getOrElse(0.2),
+        tokenBudget = cur.tokenBudget,
+        tokenBudgetShards = cur.tokenBudgetShards)
       // preview/dry-run are no-write modes and use the lazy pipeline
       // even when `observed` is set (stage counts only make sense for a
       // run that actually materializes the corpus)
@@ -337,9 +348,11 @@ object Main {
           stageCounts.foreach { c =>
             val m = c()
             println("Curation stage counts:")
-            Seq("input", "after_urls", "after_repetition",
-              "after_dedup", "kept").foreach(k =>
-              println(f"  $k%-17s ${m(k)}%10d"))
+            // fixed stage order; optional stages appear when configured
+            Seq("input", "after_urls", "after_repetition", "after_dedup",
+              "after_decontamination", "kept")
+              .filter(m.contains).foreach(k =>
+                println(f"  $k%-22s ${m(k)}%10d"))
           }
           println("Curation completed successfully!")
           val secs = (System.nanoTime() - t0) / 1e9

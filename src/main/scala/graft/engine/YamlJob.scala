@@ -42,6 +42,12 @@ object YamlJob {
     * deterministically shuffled with `seed` ([[graft.llm.Shuffling]]). */
   final case class ShardSpec(count: Int, seed: Long)
 
+  /** Decontamination stage settings: `probesUri` is any graft source
+    * (the benchmark corpus), read through the normal connector factory. */
+  final case class ContaminationSpec(probesUri: String,
+                                     textColumn: String = "text",
+                                     n: Int = 8, max: Double = 0.2)
+
   /** YAML mirror of [[graft.llm.Curation.PipelineConfig]] plus the
     * run-shape knobs that only make sense from a job file: `observed`
     * prints per-stage survivor counts, `shards` routes the write through
@@ -63,6 +69,9 @@ object YamlJob {
       observed: Boolean = false,
       portableBucket: Boolean = false,
       lineDedupMinDocs: Option[Int] = None,
+      contamination: Option[ContaminationSpec] = None,
+      tokenBudget: Option[Long] = None,
+      tokenBudgetShards: Int = 64,
       shards: Option[ShardSpec] = None)
 
   /** Option wiring shared between the CLI flags and the YAML options
@@ -79,6 +88,13 @@ object YamlJob {
 
   private def intOpt(name: String, v: Object): Int =
     try String.valueOf(v).toInt catch {
+      case _: NumberFormatException =>
+        throw graft.core.GraftError.Configuration(
+          s"$name expects an integer, got '$v'")
+    }
+
+  private def longOpt(name: String, v: Object): Long =
+    try String.valueOf(v).toLong catch {
       case _: NumberFormatException =>
         throw graft.core.GraftError.Configuration(
           s"$name expects an integer, got '$v'")
@@ -183,7 +199,8 @@ object YamlJob {
       val KnownKeys = Set("id_column", "text_column", "blocklist",
         "max_dup_word_frac", "max_dup_ngram_frac", "max_top_ngram_frac",
         "repetition_n", "sample_fraction", "persist_survivors",
-        "observed", "bucket", "line_dedup_min_docs", "shards")
+        "observed", "bucket", "line_dedup_min_docs", "contamination",
+        "token_budget", "token_budget_shards", "shards")
       // misspelled knobs must be loud — a silently ignored
       // `sample_fracton: 0.01` would ship 100× the intended corpus
       (c.keySet -- KnownKeys).toSeq.sorted.headOption.foreach(k =>
@@ -236,6 +253,26 @@ object YamlJob {
         portableBucket = bucket == "portable",
         lineDedupMinDocs = c.get("line_dedup_min_docs")
           .map(v => intOpt("line_dedup_min_docs", v)),
+        contamination = c.get("contamination").flatMap(Option(_)).map {
+          case m: JMap[_, _] =>
+            val mm = m.asInstanceOf[JMap[String, Object]].asScala
+            ContaminationSpec(
+              probesUri = sub(mm.getOrElse("probes_uri",
+                throw graft.core.GraftError.Configuration(
+                  "curation contamination needs a probes_uri")).toString),
+              textColumn = mm.get("text_column").map(_.toString)
+                .getOrElse("text"),
+              n = mm.get("n").map(v => intOpt("contamination.n", v))
+                .getOrElse(8),
+              max = mm.get("max")
+                .map(v => doubleOpt("contamination.max", v)).getOrElse(0.2))
+          case other => throw graft.core.GraftError.Configuration(
+            s"curation contamination must be a map, got '$other'")
+        },
+        tokenBudget = c.get("token_budget")
+          .map(v => longOpt("token_budget", v)),
+        tokenBudgetShards = c.get("token_budget_shards")
+          .map(v => intOpt("token_budget_shards", v)).getOrElse(64),
         shards = shards)
     }
 

@@ -57,7 +57,20 @@ object Curation {
         * dedup — so two pages differing only by their shared footer
         * dedup correctly once the footer is gone. Rewrites text, never
         * drops rows. */
-      lineDedupMinDocs: Option[Int] = None)
+      lineDedupMinDocs: Option[Int] = None,
+      /** When set, run [[Contamination.decontaminate]] against this
+        * probe corpus AFTER dedup and BEFORE sampling (so the sample
+        * fraction applies to the clean corpus). */
+      contaminationProbes: Option[DataFrame] = None,
+      contaminationProbeTextCol: String = "text",
+      contaminationN: Int = 8,
+      maxContamination: Double = 0.2,
+      /** When set, finish with [[Sampling.tokenBudget]]: a
+        * deterministic ~N-token prefix of the final corpus (tokens =
+        * [[TextAnalysis.tokenCountEstimate]] of the text), cut over
+        * `tokenBudgetShards` parallel shards. */
+      tokenBudget: Option[Long] = None,
+      tokenBudgetShards: Int = 64)
 
   def pipeline(df: DataFrame, idCol: String, textCol: String,
                cfg: PipelineConfig = PipelineConfig()): DataFrame = {
@@ -93,9 +106,33 @@ object Curation {
       .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     val deduped = afterLines.join(keptIds, Seq(idCol), "left_semi")
-    if (cfg.sampleFraction >= 1.0) deduped
-    else Sampling.byHash(deduped, idCol, cfg.sampleFraction, cfg.bucketFn)
+    val decontaminated = cfg.contaminationProbes match {
+      case Some(p) => Contamination.decontaminate(deduped, p, idCol, textCol,
+        cfg.contaminationProbeTextCol, cfg.contaminationN,
+        cfg.maxContamination)
+      case None => deduped
+    }
+    val sampled =
+      if (cfg.sampleFraction >= 1.0) decontaminated
+      else Sampling.byHash(decontaminated, idCol, cfg.sampleFraction, cfg.bucketFn)
+    applyTokenBudget(sampled, idCol, textCol, cfg)
   }
+
+  /** Final ~N-token cut (no-op when unconfigured): the tokens column
+    * is derived, used for the per-shard prefix decision, and dropped. */
+  private def applyTokenBudget(df: DataFrame, idCol: String,
+                               textCol: String,
+                               cfg: PipelineConfig): DataFrame =
+    cfg.tokenBudget match {
+      case Some(b) =>
+        Guards.requireFreshColumns(df, Seq("__ct_toks"), "Curation.tokenBudget")
+        Sampling.tokenBudget(
+            df.withColumn("__ct_toks",
+              TextAnalysis.tokenCountEstimate(col(textCol)).cast("long")),
+            idCol, "__ct_toks", b, cfg.tokenBudgetShards)
+          .drop("__ct_toks")
+      case None => df
+    }
 
   /** [[pipeline]] plus per-stage survivor counts — the drop accounting
     * every production curation run records: "input", "after_urls",
@@ -141,12 +178,27 @@ object Curation {
       .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     val d = tap(r2.join(keptIds, Seq(idCol), "left_semi"), oD)
-    val out = tap(
-      if (cfg.sampleFraction >= 1.0) d
-      else Sampling.byHash(d, idCol, cfg.sampleFraction, cfg.bucketFn),
-      oOut)
+    // decontamination reads its corpus twice (gram scan + anti-join);
+    // without a checkpoint the oD observe above would be duplicated
+    // into both reads and double-fire — same fan-out rule as the
+    // filter stages
+    val (afterDecon, deconObs) = cfg.contaminationProbes match {
+      case Some(p) =>
+        val dd = d.localCheckpoint(true) // oD fires here, exactly once
+        val oC = Observation()
+        (tap(Contamination.decontaminate(dd, p, idCol, textCol,
+          cfg.contaminationProbeTextCol, cfg.contaminationN,
+          cfg.maxContamination), oC),
+          Seq("after_decontamination" -> oC))
+      case None => (d, Nil)
+    }
+    val sampled =
+      if (cfg.sampleFraction >= 1.0) afterDecon
+      else Sampling.byHash(afterDecon, idCol, cfg.sampleFraction, cfg.bucketFn)
+    val out = tap(applyTokenBudget(sampled, idCol, textCol, cfg), oOut)
     val obs = Seq("input" -> oIn, "after_urls" -> oU,
-      "after_repetition" -> oR, "after_dedup" -> oD, "kept" -> oOut)
+      "after_repetition" -> oR, "after_dedup" -> oD) ++
+      deconObs ++ Seq("kept" -> oOut)
     (out, () => obs.map { case (n, o) =>
       n -> o.get("n").asInstanceOf[Long]
     }.toMap)

@@ -544,12 +544,37 @@ class CliSpec extends SparkSpec {
         |target: {uri: b}
         |curation: {text_column: t}
         |""".stripMargin))
-    // optional stage knob parses
+    // optional stage knobs parse
     assert(YamlJob.loadYaml(
       """source: {uri: a.parquet}
         |target: {uri: b}
         |curation: {id_column: id, text_column: t, line_dedup_min_docs: 4}
         |""".stripMargin).curation.get.lineDedupMinDocs.contains(4))
+    val full = YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation:
+        |  id_column: id
+        |  text_column: t
+        |  token_budget: 5000000000
+        |  token_budget_shards: 16
+        |  contamination:
+        |    probes_uri: "bench.parquet"
+        |    n: 13
+        |    max: 0.1
+        |""".stripMargin).curation.get
+    assert(full.tokenBudget.contains(5000000000L)) // > Int.MaxValue
+    assert(full.tokenBudgetShards == 16)
+    assert(full.contamination.contains(
+      YamlJob.ContaminationSpec("bench.parquet", "text", 13, 0.1)))
+    intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation:
+        |  id_column: id
+        |  text_column: t
+        |  contamination: {n: 8}
+        |""".stripMargin))
     // the committed golden example parses (uris are placeholders)
     val golden = YamlJob.load("examples/curation_job.yaml")
     assert(golden.curation.exists(c =>

@@ -455,6 +455,43 @@ class CorpusOpsSpec extends SparkSpec {
       cfg.copy(lineDedupMinDocs = None)).count() == 5)
   }
 
+  test("curation pipeline: decontamination and token-budget stages compose") {
+    val prose = "the quick brown fox jumps over the lazy dog near the river bank"
+    val corpus = Seq(
+      (1L, prose),
+      (2L, "completely different words entirely here now today my friend"),
+      (3L, "yet another unique document with its own words and nothing shared"),
+      (4L, prose + " extra tail words here")  // shares 8-grams with the probe
+    ).toDF("doc_id", "text")
+    val probes = Seq(prose).toDF("text")
+    val cfg = Curation.PipelineConfig(
+      maxDupWordFrac = 0.9, maxDupNgramFrac = 0.9, maxTopNgramFrac = 0.9,
+      contaminationProbes = Some(probes), maxContamination = 0.7)
+    val kept = Curation.pipeline(corpus, "doc_id", "text", cfg)
+      .select("doc_id").as[Long].collect().toSet
+    // 1 = probe copy (ratio 1.0) dropped; 4 overlaps exactly 6/10 < 0.7, kept
+    // (at max = 0.6 the >= boundary would drop it — pinned by decontaminate's own test)
+    assert(kept == Set(2L, 3L, 4L), s"kept $kept")
+    // observed variant counts the stage and agrees on the kept set
+    val (out, counts) = Curation.pipelineObserved(corpus, "doc_id", "text", cfg)
+    assert(out.select("doc_id").as[Long].collect().toSet == Set(2L, 3L, 4L))
+    val m = counts()
+    assert(m("after_dedup") == 4L && m("after_decontamination") == 3L &&
+      m("kept") == 3L, m.toString)
+    // token budget composes last: one token below the survivors' total
+    // must cut at least the boundary doc but keep a non-empty prefix
+    val survivorToks = corpus.filter($"doc_id".isin(2L, 3L, 4L))
+      .select(sum(TextAnalysis.tokenCountEstimate($"text").cast("long")))
+      .head.getLong(0)
+    val budgeted = Curation.pipeline(corpus, "doc_id", "text",
+      cfg.copy(tokenBudget = Some(survivorToks - 1), tokenBudgetShards = 1))
+    val bIds = budgeted.select("doc_id").as[Long].collect().toSet
+    assert(bIds.nonEmpty && bIds.subsetOf(Set(2L, 3L, 4L)) && bIds.size < 3,
+      s"budget must cut: $bIds")
+    assert(budgeted.columns.toSeq == corpus.columns.toSeq,
+      "helper token column must not leak into the output")
+  }
+
   test("curation pipeline: observed variant reports per-stage drop counts") {
     val prose = "the quick brown fox jumps over the lazy dog near the river bank"
     val corpus = Seq(
