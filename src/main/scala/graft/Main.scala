@@ -298,6 +298,7 @@ object Main {
         bucketFn =
           if (cur.portableBucket) Sampling.portableBucket else Sampling.bucket,
         persistSurvivors = cur.persistSurvivors,
+        stripHtml = cur.stripHtml,
         lineDedupMinDocs = cur.lineDedupMinDocs,
         contaminationProbes = probeFrames,
         contaminationProbeTextCol =

@@ -636,6 +636,24 @@ object SparkEntry {
       Spans.stats(docs.union(extended), "doc_id", "text", k = 40, stride = 20)
     },
 
+    // --- crawl HTML strip: a quarter of the corpus gets wrapped in
+    // real markup (script with a bare '<' in its body, style, nested
+    // tags, entities incl. the &amp;-last decode-order trap); the rest
+    // passes through the same collapse/trim. Oracle replays the exact
+    // regex chain (RE2-safe: no backreferences) ---
+    "q_strip_html" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val wrapped = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(4)) === 0,
+          concat(
+            lit("<html><head><script type=\"text/javascript\">var x = 1 < 2;</script>" +
+              "<style>p { color: red; }</style></head><body><p class=\"c\">"),
+            col("text"),
+            lit("</p><br/>Tom &amp; Jerry &lt;3&nbsp;&quot;quoted&quot;</body></html>")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.stripHtml(wrapped, "text")
+    },
+
     // --- line-level dedup (CCNet-style): lines recurring in >= 5
     // distinct docs are boilerplate and get REMOVED from the text.
     // Two engineered footer lines land on ~1/3 and ~1/4 of the corpus;
@@ -1551,6 +1569,28 @@ object SparkEntry {
         |  coalesce(n_tokens, 0) AS n_tokens,
         |  coalesce(round(alp, 6), 0.0) AS avg_logprob
         |FROM corpus LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    "q_strip_html" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 4 = 0 THEN
+        |      '<html><head><script type="text/javascript">var x = 1 < 2;</script><style>p { color: red; }</style></head><body><p class="c">'
+        |      || text ||
+        |      '</p><br/>Tom &amp; Jerry &lt;3&nbsp;&quot;quoted&quot;</body></html>'
+        |    ELSE text END AS text
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, regexp_replace(text, '(?is)<script[^>]*>.*?</script>', ' ', 'g') AS t FROM c
+        |), s2 AS (
+        |  SELECT doc_id, regexp_replace(t, '(?is)<style[^>]*>.*?</style>', ' ', 'g') AS t FROM s1
+        |), s3 AS (
+        |  SELECT doc_id, regexp_replace(t, '(?s)<[^>]+>', ' ', 'g') AS t FROM s2
+        |), s4 AS (
+        |  SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(t,
+        |    '&lt;','<'), '&gt;','>'), '&quot;','"'), '&#39;',''''), '&apos;',''''),
+        |    '&nbsp;',' '), '&amp;','&') AS t FROM s3
+        |)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text FROM s4""".stripMargin,
 
     // line dedup: doc-frequency by unit STRING (Spark counts by
     // xxhash64 of the unit — identical modulo 64-bit collisions),

@@ -51,6 +51,11 @@ object Curation {
         * its own multi-consumer fan-out), costing a second survivor
         * copy. */
       persistSurvivors: Boolean = false,
+      /** Rewrite text with [[TextAnalysis.stripHtml]] right after the
+        * URL stage (which needs the RAW markup — hrefs live inside the
+        * tags the strip removes) and before every text-statistics
+        * stage. Pure projection, rewrites text, never drops rows. */
+      stripHtml: Boolean = false,
       /** When set, rewrite surviving documents with
         * [[Paragraphs.dropCommon]] (drop lines recurring in >= this
         * many distinct docs) BETWEEN the repetition filter and exact
@@ -77,7 +82,10 @@ object Curation {
     val afterUrls =
       if (cfg.blocklist.isEmpty) df
       else Urls.filterBlocked(df, textCol, cfg.blocklist)
-    val afterRepetition0 = Repetition.filterRepetitive(afterUrls, textCol,
+    val afterStrip =
+      if (cfg.stripHtml) TextAnalysis.stripHtml(afterUrls, textCol)
+      else afterUrls
+    val afterRepetition0 = Repetition.filterRepetitive(afterStrip, textCol,
       cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,
       cfg.repetitionN)
     val afterRepetition =
@@ -161,7 +169,11 @@ object Curation {
     val afterUrls =
       if (cfg.blocklist.isEmpty) in
       else Urls.filterBlocked(in, textCol, cfg.blocklist)
-    val r = tap(Repetition.filterRepetitive(tap(afterUrls, oU), textCol,
+    // strip is a row-preserving projection: it rides between the oU tap
+    // and the repetition filter with no observation of its own
+    def stripped(d: DataFrame): DataFrame =
+      if (cfg.stripHtml) TextAnalysis.stripHtml(d, textCol) else d
+    val r = tap(Repetition.filterRepetitive(stripped(tap(afterUrls, oU)), textCol,
         cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,
         cfg.repetitionN), oR)
       .localCheckpoint(true) // filter observes fire here, exactly once

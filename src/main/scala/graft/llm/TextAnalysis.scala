@@ -20,6 +20,34 @@ object TextAnalysis {
   def tokenCountEstimate(text: Column): Column =
     size(regexp_extract_all(text, lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
 
+  /** Crawl-cleaning HTML strip — the stage raw web text passes BEFORE
+    * any other curation: drop script/style blocks with their contents,
+    * strip remaining tags, decode the predefined XML entities (+nbsp),
+    * collapse whitespace runs, trim. Regex-based by design: the right
+    * tool for bulk crawl text where markup is routinely broken — not a
+    * DOM parser, and never claims to be. Plain prose without markup,
+    * entities, or whitespace runs passes through byte-identical.
+    *
+    * Decode order matters and is fixed: named/nbsp entities first,
+    * `&amp;` LAST — decoding it earlier would turn `&amp;lt;` into a
+    * freshly-decodable `&lt;` (double-decode corruption). No
+    * backreferences in any pattern, so the same regexes replay on
+    * RE2-based engines (the DuckDB oracle). Pure shuffle-free
+    * projection, codegen'd like the rest of this module. */
+  def stripHtml(text: Column): Column = {
+    val noScript = regexp_replace(text, "(?is)<script[^>]*>.*?</script>", " ")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", " ")
+    val noTags = regexp_replace(noStyle, "(?s)<[^>]+>", " ")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+        "&#39;" -> "'", "&apos;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => regexp_replace(c, e, r) }
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
+  /** [[stripHtml]] applied in place over `textCol`. */
+  def stripHtml(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, stripHtml(col(textCol)))
+
   /** Quality metrics + a composite score in [0,1]. All ratios are over
     * character length; formula is deterministic and documented so the
     * oracle can mirror it. */

@@ -548,8 +548,9 @@ class CliSpec extends SparkSpec {
     assert(YamlJob.loadYaml(
       """source: {uri: a.parquet}
         |target: {uri: b}
-        |curation: {id_column: id, text_column: t, line_dedup_min_docs: 4}
-        |""".stripMargin).curation.get.lineDedupMinDocs.contains(4))
+        |curation: {id_column: id, text_column: t, line_dedup_min_docs: 4, strip_html: true}
+        |""".stripMargin).curation
+      .exists(c => c.lineDedupMinDocs.contains(4) && c.stripHtml))
     val full = YamlJob.loadYaml(
       """source: {uri: a.parquet}
         |target: {uri: b}
@@ -564,6 +565,7 @@ class CliSpec extends SparkSpec {
         |    max: 0.1
         |""".stripMargin).curation.get
     assert(full.tokenBudget.contains(5000000000L)) // > Int.MaxValue
+    assert(!full.stripHtml)
     assert(full.tokenBudgetShards == 16)
     assert(full.contamination.contains(
       YamlJob.ContaminationSpec("bench.parquet", "text", 13, 0.1)))

@@ -109,6 +109,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(4) == (1, 1, 1, "all: <EMAIL>, <PHONE>, <IP>"))
   }
 
+  // --- HTML strip -------------------------------------------------------
+
+  test("stripHtml: scripts/styles vanish with contents, entities decode once, prose untouched") {
+    val d = Seq(
+      (1L, "<p>hello <b>world</b></p>"),
+      (2L, "<script>if (a < b) { alert('x'); }</script>after"),
+      (3L, "<style>p{color:red}</style>styled"),
+      (4L, "Tom &amp; Jerry &lt;3 &quot;q&quot; &#39;a&#39; &nbsp;end"),
+      (5L, "&amp;lt; must NOT double-decode"),
+      (6L, "plain prose stays byte-identical here"),
+      (7L, "multi\n\nline   and\ttabs"),
+      (8L, "<SCRIPT SRC=\"x\">ignore</SCRIPT>case-insensitive")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stripHtml(d, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "hello world")
+    assert(out(2L) == "after", "script CONTENT (with a bare <) must vanish")
+    assert(out(3L) == "styled")
+    assert(out(4L) == "Tom & Jerry <3 \"q\" 'a' end")
+    assert(out(5L) == "&lt; must NOT double-decode")
+    assert(out(6L) == "plain prose stays byte-identical here")
+    assert(out(7L) == "multi line and tabs")
+    assert(out(8L) == "case-insensitive")
+  }
+
   // --- Contamination ----------------------------------------------------
 
   test("contamination: probe docs hit 1.0, supersets partial, clean absent") {
@@ -453,6 +478,20 @@ class CorpusOpsSpec extends SparkSpec {
     // without the stage, nothing dedups (all five texts differ)
     assert(Curation.pipeline(corpus, "doc_id", "text",
       cfg.copy(lineDedupMinDocs = None)).count() == 5)
+  }
+
+  test("curation pipeline: stripHtml stage normalizes markup before dedup") {
+    val corpus = Seq(
+      (1L, "<p>same text here today</p>"),
+      (2L, "same text here today"),       // identical once tags strip
+      (3L, "another unique document entirely")
+    ).toDF("doc_id", "text")
+    val kept = Curation.pipeline(corpus, "doc_id", "text",
+        Curation.PipelineConfig(stripHtml = true, maxDupWordFrac = 0.9,
+          maxDupNgramFrac = 0.9, maxTopNgramFrac = 0.9))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kept.keySet == Set(1L, 3L), s"kept ${kept.keySet}")
+    assert(kept(1L) == "same text here today", "output carries stripped text")
   }
 
   test("curation pipeline: decontamination and token-budget stages compose") {
