@@ -106,7 +106,11 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: $msg")
           (name, 0.0, 0.0, false)
         case Right(cold) =>
-          val warm = (2 to iters).map(_ => once())
+          // settle between iterations too: a query that checkpoints
+          // (the dedup fixpoint) would otherwise feed its run-N blocks
+          // into run N+1's timing — the same contamination mechanism,
+          // one level down
+          val warm = (2 to iters).map { _ => settle(); once() }
           warm.collectFirst { case Left(msg) => msg } match {
             case Some(msg) =>
               System.err.println(s"[bench] $name FAILED (warm rerun): $msg")

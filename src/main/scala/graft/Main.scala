@@ -309,10 +309,13 @@ object Main {
         tokenBudgetShards = cur.tokenBudgetShards)
       // preview/dry-run are no-write modes and use the lazy pipeline
       // even when `observed` is set (stage counts only make sense for a
-      // run that actually materializes the corpus)
+      // run that actually materializes the corpus); persistSurvivors is
+      // dropped too — its eager checkpoint would run the filter stages
+      // over the WHOLE corpus before showing 5 rows
+      val lazyPc = pc.copy(persistSurvivors = false)
       preview match {
         case Some(n) =>
-          val curated = Curation.pipeline(input, cur.idColumn, cur.textColumn, pc)
+          val curated = Curation.pipeline(input, cur.idColumn, cur.textColumn, lazyPc)
           println("\nCurated Schema Preview:")
           println(graft.engine.PreviewFormat.schemaBox(curated.schema))
           println(s"Data Preview ($n rows):")
@@ -320,7 +323,7 @@ object Main {
             curated.columns, curated.limit(n).collect()))
           0
         case None if dryRun =>
-          val curated = Curation.pipeline(input, cur.idColumn, cur.textColumn, pc)
+          val curated = Curation.pipeline(input, cur.idColumn, cur.textColumn, lazyPc)
           curated.limit(10).collect() // smoke-execute the pipeline head
           println(s"Dry run OK: ${curated.schema.fields.length} columns, " +
             "curation pipeline validated")

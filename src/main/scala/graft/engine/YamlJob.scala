@@ -203,21 +203,28 @@ object YamlJob {
         "observed", "bucket", "strip_html", "line_dedup_min_docs", "contamination",
         "token_budget", "token_budget_shards", "shards")
       // misspelled knobs must be loud — a silently ignored
-      // `sample_fracton: 0.01` would ship 100× the intended corpus
-      (c.keySet -- KnownKeys).toSeq.sorted.headOption.foreach(k =>
-        throw graft.core.GraftError.Configuration(
-          s"unknown curation option '$k' (known: ${KnownKeys.toSeq.sorted.mkString(", ")})"))
+      // `sample_fracton: 0.01` would ship 100× the intended corpus;
+      // the same rule applies INSIDE the nested maps (a typo'd
+      // `contamination.max_overlap` would ship 4× looser decontamination)
+      def checkKeys(section: String,
+                    keys: scala.collection.Set[String],
+                    known: Set[String]): Unit =
+        (keys -- known).toSeq.sorted.headOption.foreach(k =>
+          throw graft.core.GraftError.Configuration(
+            s"unknown $section option '$k' (known: ${known.toSeq.sorted.mkString(", ")})"))
+      checkKeys("curation", c.keySet, KnownKeys)
       def str(k: String): String = sub(c.getOrElse(k,
         throw graft.core.GraftError.Configuration(
           s"curation section missing $k")).toString)
       val shards = c.get("shards").flatMap(Option(_)).map {
         case m: JMap[_, _] =>
           val mm = m.asInstanceOf[JMap[String, Object]].asScala
+          checkKeys("curation shards", mm.keySet, Set("count", "seed"))
           ShardSpec(
             count = mm.get("count").map(v => intOpt("shards.count", v))
               .getOrElse(throw graft.core.GraftError.Configuration(
                 "curation shards map needs a count")),
-            seed = mm.get("seed").map(v => intOpt("shards.seed", v).toLong)
+            seed = mm.get("seed").map(v => longOpt("shards.seed", v))
               .getOrElse(42L))
         case n => ShardSpec(intOpt("shards", n), 42L) // `shards: 64` shorthand
       }
@@ -259,11 +266,13 @@ object YamlJob {
         contamination = c.get("contamination").flatMap(Option(_)).map {
           case m: JMap[_, _] =>
             val mm = m.asInstanceOf[JMap[String, Object]].asScala
+            checkKeys("curation contamination", mm.keySet,
+              Set("probes_uri", "text_column", "n", "max"))
             ContaminationSpec(
               probesUri = sub(mm.getOrElse("probes_uri",
                 throw graft.core.GraftError.Configuration(
                   "curation contamination needs a probes_uri")).toString),
-              textColumn = mm.get("text_column").map(_.toString)
+              textColumn = mm.get("text_column").map(v => sub(v.toString))
                 .getOrElse("text"),
               n = mm.get("n").map(v => intOpt("contamination.n", v))
                 .getOrElse(8),

@@ -48,8 +48,10 @@ object Curation {
         * bare scan. [[pipelineObserved]] always materializes (its
         * counts depend on it). With [[lineDedupMinDocs]] set, the
         * REWRITTEN survivors are checkpointed as well (the rewrite has
-        * its own multi-consumer fan-out), costing a second survivor
-        * copy. */
+        * its own multi-consumer fan-out), and with
+        * [[contaminationProbes]] set the DEDUPED survivors too
+        * (decontamination reads its corpus twice) — each optional
+        * stage with fan-out costs one more survivor copy. */
       persistSurvivors: Boolean = false,
       /** Rewrite text with [[TextAnalysis.stripHtml]] right after the
         * URL stage (which needs the RAW markup — hrefs live inside the
@@ -114,10 +116,16 @@ object Curation {
       .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
     val deduped = afterLines.join(keptIds, Seq(idCol), "left_semi")
+    // decontamination reads its corpus twice (gram scan + anti-join);
+    // under the persist knob the deduped survivors are checkpointed so
+    // the dedup shuffle + semi-join (the most expensive stage) run once
     val decontaminated = cfg.contaminationProbes match {
-      case Some(p) => Contamination.decontaminate(deduped, p, idCol, textCol,
-        cfg.contaminationProbeTextCol, cfg.contaminationN,
-        cfg.maxContamination)
+      case Some(p) =>
+        val src =
+          if (cfg.persistSurvivors) deduped.localCheckpoint(true) else deduped
+        Contamination.decontaminate(src, p, idCol, textCol,
+          cfg.contaminationProbeTextCol, cfg.contaminationN,
+          cfg.maxContamination)
       case None => deduped
     }
     val sampled =

@@ -48,9 +48,13 @@ object Mixing {
     require(weights.values.forall(_ > 0.0), s"weights must be > 0: $weights")
     Guards.requireFreshColumns(df, Seq("virtual_time"), "Mixing.interleave")
     val srcStr = col(sourceCol).cast("string")
-    val counts: Map[String, Long] = df
-      .groupBy(srcStr.as("__source")).count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val countRows = df.groupBy(srcStr.as("__source")).count().collect()
+    // a null source can carry no weight — fail with the module's loud
+    // typed error instead of an NPE out of the weight-coverage check
+    require(!countRows.exists(_.isNullAt(0)),
+      s"'$sourceCol' contains null values — every row needs a weighted source")
+    val counts: Map[String, Long] =
+      countRows.map(r => r.getString(0) -> r.getLong(1)).toMap
     val unweighted = counts.keySet -- weights.keySet
     require(unweighted.isEmpty,
       s"sources present without a weight: ${unweighted.toSeq.sorted.mkString(", ")}")

@@ -577,6 +577,39 @@ class CliSpec extends SparkSpec {
         |  text_column: t
         |  contamination: {n: 8}
         |""".stripMargin))
+    // NESTED maps enforce the same unknown-key loudness as the top level
+    val nestedTypo = intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation:
+        |  id_column: id
+        |  text_column: t
+        |  contamination: {probes_uri: p.parquet, max_overlap: 0.05}
+        |""".stripMargin))
+    assert(nestedTypo.getMessage.contains("max_overlap"))
+    val shardTypo = intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation:
+        |  id_column: id
+        |  text_column: t
+        |  shards: {count: 4, sede: 7}
+        |""".stripMargin))
+    assert(shardTypo.getMessage.contains("sede"))
+    // 64-bit shard seeds parse; ${VAR} reaches contamination.text_column
+    val wide = YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation:
+        |  id_column: id
+        |  text_column: t
+        |  shards: {count: 4, seed: 5000000000}
+        |  contamination: {probes_uri: "${BDIR}/p.parquet", text_column: "${PCOL}"}
+        |""".stripMargin,
+      env = Map("BDIR" -> "/bench", "PCOL" -> "snippet")).curation.get
+    assert(wide.shards.contains(YamlJob.ShardSpec(4, 5000000000L)))
+    assert(wide.contamination.contains(
+      YamlJob.ContaminationSpec("/bench/p.parquet", "snippet", 8, 0.2)))
     // the committed golden example parses (uris are placeholders)
     val golden = YamlJob.load("examples/curation_job.yaml")
     assert(golden.curation.exists(c =>

@@ -191,7 +191,7 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"),
       s"salted join fell back to sort-merge:\n$p")
     // the dim side replicates via explode BEFORE broadcast (16×25 rows)
-    assert(p.contains("Generate explode") || p.contains("Generate"),
+    assert(p.contains("Generate explode"),
       s"dim replication must be an explode on the broadcast side:\n$p")
     assert(df.queryExecution.sparkPlan.toString.contains("partial_sum"),
       "revenue aggregation must combine map-side")

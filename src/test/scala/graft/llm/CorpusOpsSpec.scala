@@ -275,6 +275,11 @@ class CorpusOpsSpec extends SparkSpec {
     assert(absent.getMessage.contains("ghost"))
     intercept[IllegalArgumentException](
       Mixing.interleave(d, "src", "id", Map("a" -> 0.0, "b" -> 1.0)))
+    // null sources are a loud typed error, not an NPE from the coverage check
+    val withNull = d.union(Seq((99999L, null.asInstanceOf[String])).toDF("id", "src"))
+    val nullErr = intercept[IllegalArgumentException](
+      Mixing.interleave(withNull, "src", "id", Map("a" -> 2.0, "b" -> 1.0)))
+    assert(nullErr.getMessage.contains("null"))
   }
 
   // --- Token budget -----------------------------------------------------
@@ -696,6 +701,16 @@ class CorpusOpsSpec extends SparkSpec {
     Curation.pipeline(d, "doc_id", "text").count()
     assert(acc.value == 100L,
       s"lazy pipeline documents the double-evaluation: got ${acc.value}")
+
+    // decontamination's two corpus reads ride the persist knob too: the
+    // input still evaluates exactly once (dedup output is checkpointed
+    // before the gram scan + anti-join fan-out)
+    acc.reset()
+    Curation.pipeline(d, "doc_id", "text",
+      Curation.PipelineConfig(persistSurvivors = true,
+        contaminationProbes = Some(Seq("no match here").toDF("text")))).count()
+    assert(acc.value == 50L,
+      s"persist + decontamination: input evaluated ${acc.value} times, want 50")
   }
 
   // --- Paragraphs (line-level dedup) ------------------------------------
