@@ -96,13 +96,17 @@ class StreamingSpec extends SparkSpec {
   }
 
   test("stateless curation ops run unchanged on a stream (AvailableNow parity)") {
-    // repetition stats, URL hygiene, and chunking are pure projections,
-    // so the SAME operator bodies must work as a streaming pipeline with
-    // no watermark and no state — the continuous-ingest curation story
+    // HTML strip, repetition stats, and URL hygiene are pure
+    // projections, so the SAME operator bodies must work as a streaming
+    // pipeline with no watermark and no state — the continuous-ingest
+    // curation story (URL analysis runs BEFORE the strip, which removes
+    // the markup hrefs it needs)
     def curate(df: org.apache.spark.sql.DataFrame) = {
-      val rep = graft.llm.Repetition.stats(
-        df.select(col("doc_id"), col("text")), "text")
-      graft.llm.Urls.analyze(rep, "text", Seq("spam.example.com"))
+      val urled = graft.llm.Urls.analyze(
+        df.select(col("doc_id"), col("text")), "text",
+        Seq("spam.example.com"))
+      graft.llm.Repetition.stats(
+          graft.llm.TextAnalysis.stripHtml(urled, "text"), "text")
         .select(col("doc_id"), col("n_words"), col("dup_word_frac"),
           col("n_urls"), col("is_blocked"))
     }
