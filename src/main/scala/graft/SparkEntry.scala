@@ -956,6 +956,16 @@ object SparkEntry {
           col("sum_l_quantity").cast("double").as("sum_qty"), col("cnt"))
     },
 
+    // --- one-pass table profile: per-column nulls/distinct/min/max
+    // (exact mode so the oracle can replay the distinct counts; the
+    // scale path is approx_count_distinct — no Expand, unit-pinned).
+    // String casts of long/double/string min/max are engine-stable ---
+    "q_profile_table" -> { (s, dir) =>
+      graft.operators.TableProfile.summarize(
+        t(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_quantity", "l_returnflag"), exact = true)
+    },
+
     // --- deliberately skewed TPC-H-shape join stressor: the derived
     // key sends ~75% of lineitem to ONE nation (a real hot key, unlike
     // the table's uniform FKs), and the salted broadcast join spreads
@@ -1953,6 +1963,24 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_profile_table" ->
+      """SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
+        |  count(*) - count(l_orderkey) AS n_nulls,
+        |  count(DISTINCT l_orderkey) AS n_distinct,
+        |  CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+        |  CAST(max(l_orderkey) AS VARCHAR) AS max_value
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+        |  count(DISTINCT l_quantity),
+        |  CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
+        |FROM lineitem
+        |UNION ALL
+        |SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
+        |  count(DISTINCT l_returnflag),
+        |  CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
+        |FROM lineitem""".stripMargin,
 
     // q_skew_join: salts are join-invariant, so the oracle is the
     // UNSALTED join over the same skewed key derivation
