@@ -28,6 +28,9 @@ object Main {
                             dryRun: Boolean, logLevel: String) extends Cmd
   final case class RunYaml(file: String) extends Cmd
   final case class GenConfig(cfg: JobConfig) extends Cmd
+  final case class Profile(source: String, columns: Seq[String],
+                           exact: Boolean,
+                           sourceOptions: Map[String, String]) extends Cmd
   case object GenDefault extends Cmd
   case object Help extends Cmd
   case object Version extends Cmd
@@ -42,6 +45,8 @@ object Main {
       |       graft run <job.yaml>
       |       graft generate-config [OPTIONS] <SOURCE> <TARGET>
       |       graft generate-default-config
+      |       graft profile <SOURCE> [--columns a,b,c] [--exact]
+      |                               [--source-type TYPE]
       |
       |Options:
       |  --transform <EXPRESSIONS>   Inline transforms, e.g. "c=row.a * 2; u=string.upper(row.b)"
@@ -75,6 +80,7 @@ object Main {
               case Some(cur) => runCuration(r.cfg, cur, r.preview, r.dryRun, r.logLevel)
               case None => runTransfer(r.cfg, r.preview, r.dryRun, r.logLevel)
             }
+          case p: Profile    => runProfile(p)
           case Transfer(c, p, d, ll) => runTransfer(c, p, d, ll)
         }
       } catch {
@@ -94,7 +100,8 @@ object Main {
   private val valueFlags = Set(
     "--transform", "--transform-file", "--schema-file", "--preview",
     "--batch-size", "--source-type", "--source-secret-id",
-    "--dest-secret-id", "--log-level", "--infer-schema", "--decimal-mode")
+    "--dest-secret-id", "--log-level", "--infer-schema", "--decimal-mode",
+    "--columns")
 
   def parse(rawArgs: List[String]): Cmd = {
     val args = rawArgs.flatMap { a =>
@@ -116,6 +123,29 @@ object Main {
     case "run" :: file :: Nil => RunYaml(file)
     case "run" :: _ =>
       throw GraftError.Configuration("run takes exactly one config file")
+    case "profile" :: rest =>
+      var source: Option[String] = None
+      var columns = Seq.empty[String]
+      var exact = false
+      var srcType: Option[String] = None
+      @annotation.tailrec
+      def ploop(r: List[String]): Unit = r match {
+        case Nil => ()
+        case "--columns" :: v :: t =>
+          columns = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq; ploop(t)
+        case "--exact" :: t => exact = true; ploop(t)
+        case "--source-type" :: v :: t => srcType = Some(v); ploop(t)
+        case flag :: _ if flag.startsWith("--") =>
+          throw GraftError.Configuration(
+            s"unknown or incomplete profile option '$flag'")
+        case v :: t if source.isEmpty => source = Some(v); ploop(t)
+        case v :: _ =>
+          throw GraftError.Configuration(s"unexpected argument '$v'")
+      }
+      ploop(rest)
+      Profile(source.getOrElse(throw GraftError.Configuration(
+          "profile needs a SOURCE")),
+        columns, exact, srcType.map("sourceType" -> _).toMap)
     case rest =>
       val (cfg, preview, dryRun, logLevel) = parseTransferArgs(rest)
       Transfer(cfg, preview, dryRun, logLevel)
@@ -364,6 +394,25 @@ object Main {
           println(f"Kept $rows rows$shardNote in $secs%.2fs")
           0
       }
+    } finally if (!preExisting) spark.stop()
+  }
+
+  /** `graft profile SOURCE`: read through the connector factory, run
+    * the one-pass [[graft.operators.TableProfile]] summary, render it
+    * in the reference's data-table box. HLL distinct counts by default
+    * (safe on any size); `--exact` opts into the Expand-based exact
+    * counts for small tables. */
+  def runProfile(p: Profile, logLevel: String = "error"): Int = {
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = session(logLevel)
+    try {
+      val df = graft.sources.Connectors.read(spark, p.source, p.sourceOptions)
+      val prof = graft.operators.TableProfile.summarize(df, p.columns, p.exact)
+      val cols = prof.columns.toSeq
+      println(s"\nProfile: ${p.source}" +
+        (if (p.exact) " (exact distinct)" else " (approx distinct)"))
+      println(graft.engine.PreviewFormat.dataTable(cols, prof.collect()))
+      0
     } finally if (!preExisting) spark.stop()
   }
 

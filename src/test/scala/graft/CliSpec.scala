@@ -616,6 +616,39 @@ class CliSpec extends SparkSpec {
       c.shards.contains(YamlJob.ShardSpec(64, 42L)) && c.observed))
   }
 
+  test("profile subcommand: parse forms, box output, typed errors") {
+    val p = parse(List("profile", "data.parquet",
+      "--columns=a,b", "--exact")).asInstanceOf[Profile]
+    assert(p.source == "data.parquet")
+    assert(p.columns == Seq("a", "b") && p.exact)
+    val p2 = parse(List("profile", "noext", "--source-type", "csv"))
+      .asInstanceOf[Profile]
+    assert(p2.sourceOptions("sourceType") == "csv" && !p2.exact)
+    intercept[GraftError.Configuration](parse(List("profile")))
+    intercept[GraftError.Configuration](parse(List("profile", "a", "--bogus")))
+    intercept[GraftError.Configuration](parse(List("profile", "a", "b")))
+
+    // end-to-end: profile a csv through the connector factory
+    val dir = tmpDir("cli_profile")
+    writeText(s"$dir/in.csv", "id,name\n1,ann\n2,\n3,ann\n")
+    val out = new java.io.ByteArrayOutputStream()
+    val rc = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      runProfile(parse(List("profile", s"$dir/in.csv", "--exact"))
+        .asInstanceOf[Profile])
+    }
+    assert(rc == 0)
+    val rendered = out.toString("UTF-8")
+    assert(rendered.contains("column_name") && rendered.contains("n_distinct"))
+    assert(rendered.contains("exact distinct"))
+    // name: 3 rows, 1 null, 1 distinct ("ann"); the box truncates cells
+    // to 15 chars so assert on the raw profile frame instead
+    val prof = graft.operators.TableProfile.summarize(
+      graft.sources.Connectors.read(spark, s"$dir/in.csv"), exact = true)
+    val name = prof.filter(prof("column_name") === "name").head
+    assert(name.getLong(1) == 3L && name.getLong(2) == 1L &&
+      name.getLong(3) == 1L && name.getString(4) == "ann")
+  }
+
   test("--batch-size chunks file sinks via maxRecordsPerFile") {
     val dir = tmpDir("cli_batch")
     writeText(s"$dir/in.csv", "a\n1\n2\n3\n4\n")
