@@ -244,6 +244,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(many.groupBy("split").count().collect().map(_.getLong(1)).sum == d.count())
   }
 
+  // --- Partition invariance ---------------------------------------------
+
+  test("deterministic ops are partition-count invariant (the any-cluster claim)") {
+    // the same data at 1 partition and at 13 skewed partitions must
+    // produce IDENTICAL assignments — hash-derived decisions may not
+    // leak physical layout
+    val base = (1L to 1000L).map(i => (i, (i % 31 + 1).toLong)).toDF("id", "toks")
+    val layouts = Seq(base.coalesce(1), base.repartition(13, pmod($"id", lit(3))))
+
+    val shuffles = layouts.map(d =>
+      Shuffling.deterministicShuffle(d.select($"id"), "id", seed = 7L, shards = 8)
+        .select("id", "shard", "shard_pos").collect().map(_.toSeq).toSet)
+    assert(shuffles(0) == shuffles(1), "shuffle assignment leaked layout")
+
+    val budgets = layouts.map(d =>
+      Sampling.tokenBudget(d, "id", "toks", budget = 4000, shards = 8, seed = 5L)
+        .select("id").as[Long].collect().toSet)
+    assert(budgets(0) == budgets(1), "token budget leaked layout")
+
+    val splits = layouts.map(d =>
+      Sampling.assignSplits(d.select($"id"), "id",
+          Map("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .collect().map(r => (r.getLong(0), r.getString(1))).toSet)
+    assert(splits(0) == splits(1), "split assignment leaked layout")
+  }
+
   // --- Interleave -------------------------------------------------------
 
   test("interleave: every prefix carries the weight ratio regardless of source size") {
