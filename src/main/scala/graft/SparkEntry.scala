@@ -278,6 +278,18 @@ object SparkEntry {
           col("o_totalprice"), col("o_orderdate"), col("o_orderpriority"))
     },
 
+    // --- ORC scan+sink round-trip through the connector factory (the
+    // warehouse format Spark ships natively; typed columns incl.
+    // timestamp survive). Oracle = identity over the source table ---
+    "q_orc_roundtrip" -> { (s, dir) =>
+      val out = scratch("orc_rt") + "/customer.orc"
+      Connectors.write(
+        t(s, dir, "customer").select(col("c_custkey"), col("c_name"),
+          col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
+        out, truncate = true)
+      Connectors.read(s, out)
+    },
+
     // --- U1 engine spine: read csv → inline transform → write parquet ---
     "q_engine_transfer" -> { (s, dir) =>
       val csvDir = scratch("engine_csv")
@@ -1119,6 +1131,10 @@ object SparkEntry {
       """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
         |  o_orderdate, o_orderpriority
         |FROM orders""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
+        |FROM customer""".stripMargin,
 
     "q_engine_transfer" ->
       """SELECT CAST(p_partkey AS BIGINT) AS p_partkey,

@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
   * `src/protocols/mod.rs:52-100`).
   *
   * Supported forms:
-  *  - `path.csv` / `.json` / `.parquet` / `.avro` (extension routing)
+  *  - `path.csv` / `.json` / `.parquet` / `.avro` / `.orc` (extension routing)
   *  - `sqlite:file.db#table`, `file.db#table`
   *  - `duckdb:file.duckdb#table`, `file.duckdb#table`
   *  - `postgres://u:p@host:5432/db#table` (also `postgresql://`)
@@ -27,7 +27,7 @@ import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 object Connectors {
 
   final case class Ref(
-      kind: String,                    // csv|json|parquet|avro|jdbc|http|ssh
+      kind: String,                    // csv|json|parquet|avro|orc|jdbc|http|ssh
       path: String,                    // file path, or JDBC url
       table: Option[String] = None,
       options: Map[String, String] = Map.empty)
@@ -37,7 +37,7 @@ object Connectors {
         s"unsupported connector uri '$uri'; supported: $supported")
 
   private val Supported =
-    "csv, json, parquet, avro, sqlite:, duckdb:, postgres://, mysql://, " +
+    "csv, json, parquet, avro, orc, sqlite:, duckdb:, postgres://, mysql://, " +
       "mssql://, sqlserver://, odbc://, http(s)://, ssh://"
 
   /** `target#table` fragment, else file stem, else "data"
@@ -92,6 +92,7 @@ object Connectors {
       case u if u.endsWith(".json")    => Ref("json", body, frag, options)
       case u if u.endsWith(".parquet") => Ref("parquet", body, frag, options)
       case u if u.endsWith(".avro")    => Ref("avro", body, frag, options)
+      case u if u.endsWith(".orc")     => Ref("orc", body, frag, options)
       case u if u.endsWith(".db")      => jdbc(s"jdbc:sqlite:$body")
       case u if u.endsWith(".duckdb")  => jdbc(s"jdbc:duckdb:$body")
       case _ =>
@@ -101,11 +102,11 @@ object Connectors {
         // unsupported-uri message
         options.get("sourceType") match {
           case Some(t) => t.toLowerCase match {
-            case n @ ("csv" | "json" | "parquet" | "avro") =>
+            case n @ ("csv" | "json" | "parquet" | "avro" | "orc") =>
               Ref(n, body, frag, options)
             case _ => throw graft.core.GraftError.Configuration(
               s"unsupported sourceType '$t' for uri '$uri' " +
-                "(expected csv|json|parquet|avro)")
+                "(expected csv|json|parquet|avro|orc)")
           }
           case None => throw UnsupportedUri(uri, Supported)
         }
@@ -123,6 +124,7 @@ object Connectors {
     case "json"    => CellInference.readJson(spark, ref.path)
     case "parquet" => spark.read.parquet(ref.path)
     case "avro"    => AvroConnector.read(spark, ref.path)
+    case "orc"     => spark.read.orc(ref.path)
     case "jdbc" => readJdbc(spark, ref)
     case "http" => readRef(spark, Http.download(ref))
     case "ssh"  => readRef(spark, Ssh.download(ref))
@@ -263,6 +265,9 @@ object Connectors {
         None
       case "avro" =>
         Some(AvroConnector.write(df, ref.path, overwrite = true))
+      case "orc" =>
+        df.write.mode(mode).options(ref.options).orc(ref.path)
+        None
       case "jdbc" =>
         // MSSQL write-side coercion parity (mssql.rs:432-519): string
         // values bound for numeric/bit columns parse-or-NULL before the
@@ -491,7 +496,7 @@ object Connectors {
       }
       val ext = ref.options.getOrElse("sourceType",
         ref.path.split('?').head.split('.').last.toLowerCase match {
-          case e @ ("csv" | "json" | "parquet" | "avro") => e
+          case e @ ("csv" | "json" | "parquet" | "avro" | "orc") => e
           case _ => throw graft.core.GraftError.Configuration(
             s"cannot infer type of ${ref.path}; pass sourceType option")
         })

@@ -132,6 +132,29 @@ class CliSpec extends SparkSpec {
     assert(r.getAs[Boolean]("active"))
   }
 
+  test("csv → orc → parquet round-trip via CLI (extension + --source-type routing)") {
+    val dir = tmpDir("cli_orc")
+    writeText(s"$dir/in.csv",
+      """id,name,score,active
+        |1,alpha,9.5,true
+        |2,beta,7.25,false
+        |""".stripMargin)
+    assert(runTransfer(parse(List(s"$dir/in.csv", s"$dir/mid.orc"))
+      .asInstanceOf[Transfer].cfg, None, dryRun = false, "error") == 0)
+    assert(runTransfer(parse(List(s"$dir/mid.orc", s"$dir/out.parquet"))
+      .asInstanceOf[Transfer].cfg, None, dryRun = false, "error") == 0)
+    val out = spark.read.parquet(s"$dir/out.parquet")
+    assert(out.count() == 2)
+    val r = out.filter(out("id") === 1L).head
+    assert(r.getAs[String]("name") == "alpha" &&
+      r.getAs[Double]("score") == 9.5 && r.getAs[Boolean]("active"))
+    // extension-less orc via --source-type
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$dir/mid.orc"),
+      java.nio.file.Paths.get(s"$dir/noext"))
+    assert(graft.sources.Connectors.read(spark, s"$dir/noext",
+      Map("sourceType" -> "orc")).count() == 2)
+  }
+
   test("golden 08+18: http download via CLI --source-type; YAML auth options") {
     import com.sun.net.httpserver.{HttpExchange, HttpServer}
     val dir = tmpDir("cli_ex08")
