@@ -51,6 +51,16 @@ object SparkEntry {
        |ORDER BY cos DESC, vec_id LIMIT $k""".stripMargin
 
   /** Repo-local scratch space for round-trip queries (never outside repo). */
+  /** Shared mojibake fixture: the clean sentence and its cp1252-mangled
+    * form, derived by the artifact's own round-trip (UTF-8 bytes read
+    * as windows-1252) — the exact corruption fixMojibake repairs. */
+  private val mojibakeCleanSnippet: String =
+    "caf\u00E9 \u201Cquoted\u201D \u2013 em\u2014dash\u2026 " +
+      "na\u00EFve ch\u00E2teau \u00ABguillemets\u00BB 25\u00B0"
+  private val mojibakeBadSnippet: String = new String(
+    mojibakeCleanSnippet.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+    java.nio.charset.Charset.forName("windows-1252"))
+
   private def scratch(name: String): String = {
     val p = java.nio.file.Paths.get(s"/root/repo/target/tmp/queries/$name")
     java.nio.file.Files.createDirectories(p.getParent)
@@ -646,6 +656,21 @@ object SparkEntry {
           concat(col("text"), lit(" with an appended trailing remark"))
             .as("text"))
       Spans.stats(docs.union(extended), "doc_id", "text", k = 40, stride = 20)
+    },
+
+    // --- mojibake repair: a fifth of the corpus gets a cp1252-mangled
+    // snippet appended (generated by the artifact's own round-trip from
+    // the clean form, so the fixture cannot carry a hand-typed byte
+    // error); fixMojibake must restore it exactly and leave clean docs
+    // byte-identical. The oracle's replace chain is GENERATED from the
+    // same MojibakeFixes table ---
+    "q_fix_mojibake" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corrupted = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(5)) === 0,
+          concat(col("text"), lit(" " + mojibakeBadSnippet)))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.fixMojibake(corrupted, "text")
     },
 
     // --- crawl HTML strip: a quarter of the corpus gets wrapped in
@@ -1595,6 +1620,19 @@ object SparkEntry {
         |  coalesce(n_tokens, 0) AS n_tokens,
         |  coalesce(round(alp, 6), 0.0) AS avg_logprob
         |FROM corpus LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // generated from the SAME MojibakeFixes table + shared snippet —
+    // the two sides cannot drift by construction
+    "q_fix_mojibake" -> {
+      def q(sx: String) = sx.replace("'", "''")
+      s"""WITH c AS (
+         |  SELECT doc_id,
+         |    CASE WHEN doc_id % 5 = 0 THEN text || ' ${q(mojibakeBadSnippet)}'
+         |         ELSE text END AS text
+         |  FROM documents
+         |)
+         |SELECT doc_id, ${TextAnalysis.mojibakeSql("text")} AS text FROM c""".stripMargin
+    },
 
     "q_strip_html" ->
       """WITH c AS (

@@ -20,6 +20,62 @@ object TextAnalysis {
   def tokenCountEstimate(text: Column): Column =
     size(regexp_extract_all(text, lit("[\\p{L}]+|[\\p{N}]+|[^\\p{L}\\p{N}\\s]"), lit(0)))
 
+  /** The pinned mojibake table: the most common UTF-8-bytes-decoded-
+    * as-cp1252 artifacts in web crawls, each mapped back to the
+    * character the author typed. The bad sequences are DERIVED from
+    * the good characters by the artifact's own definition — the cp1252
+    * view of the character's UTF-8 bytes — so the table cannot carry a
+    * hand-typed byte error, and the source stays ASCII (every good
+    * char is a \u escape). Pairs apply longest-bad-first, which makes
+    * the shared `0xE2 0x80` prefix of the punctuation triples safe;
+    * the final bare `\u00E2\u20AC` residue entry catches a right
+    * double quote whose third byte (0x9D) was stripped by some earlier
+    * tool. One decode generation only — doubly-encoded text is out of
+    * scope by design. The misdecoded no-break space normalizes to a
+    * plain space. */
+  val MojibakeFixes: Seq[(String, String)] = {
+    def asMojibake(good: String): String = new String(
+      good.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.Charset.forName("windows-1252"))
+    val restored = Seq(
+      "\u2019", "\u2018", "\u201C", "\u201D",                 // curly quotes
+      "\u2013", "\u2014", "\u2026", "\u2022",                 // dashes/ellipsis/bullet
+      "\u00E1", "\u00E9", "\u00ED", "\u00F3", "\u00FA",      // a e i o u acute
+      "\u00E0", "\u00E8", "\u00EC", "\u00F2", "\u00F9",      // grave
+      "\u00E2", "\u00EA", "\u00EE", "\u00F4", "\u00FB",      // circumflex
+      "\u00E4", "\u00EB", "\u00EF", "\u00F6", "\u00FC",      // diaeresis
+      "\u00F1", "\u00E7", "\u00DF",                          // n-tilde, cedilla, eszett
+      "\u00C9", "\u00C7", "\u00D6", "\u00DC",                 // uppercase
+      "\u00AB", "\u00BB", "\u00B0", "\u00B7")                 // guillemets, deg, middot
+      .map(g => asMojibake(g) -> g)
+    val normalized = Seq(asMojibake("\u00A0") -> " ")           // nbsp -> space
+    val residue = Seq("\u00E2\u20AC" -> "\u201D")              // bare right-quote stub
+    (restored ++ normalized).sortBy(-_._1.length) ++ residue
+  }
+
+  /** Mojibake repair (ftfy-lite): literal replacement of every
+    * [[MojibakeFixes]] sequence — a pure, shuffle-free projection.
+    * Clean text passes through byte-identical. The DuckDB oracle's
+    * replace-chain is GENERATED from the same table
+    * ([[mojibakeSql]]), so the two sides cannot drift. */
+  def fixMojibake(text: Column): Column =
+    MojibakeFixes.foldLeft(text) { case (c, (bad, good)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(bad),
+        java.util.regex.Matcher.quoteReplacement(good))
+    }
+
+  /** [[fixMojibake]] applied in place over `textCol`. */
+  def fixMojibake(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, fixMojibake(col(textCol)))
+
+  /** The SQL replay of [[fixMojibake]]: a nested `replace(...)` chain
+    * over `expr`, generated from [[MojibakeFixes]]. */
+  def mojibakeSql(expr: String): String =
+    MojibakeFixes.foldLeft(expr) { case (e, (bad, good)) =>
+      def q(s: String) = "'" + s.replace("'", "''") + "'"
+      s"replace($e, ${q(bad)}, ${q(good)})"
+    }
+
   /** Crawl-cleaning HTML strip — the stage raw web text passes BEFORE
     * any other curation: drop script/style blocks with their contents,
     * strip remaining tags, decode the predefined XML entities (+nbsp),

@@ -109,6 +109,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r(4) == (1, 1, 1, "all: <EMAIL>, <PHONE>, <IP>"))
   }
 
+  // --- Mojibake repair --------------------------------------------------
+
+  test("fixMojibake: round-trip repair, residue quote, nbsp normalize, clean passthrough") {
+    def mangle(s: String) = new String(
+      s.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.Charset.forName("windows-1252"))
+    val clean = "café “quoted” – naïve… 25°"
+    val d = Seq(
+      (1L, mangle(clean)),
+      (2L, "plain ascii stays byte-identical"),
+      (3L, "stubâ€ right quote"),          // 0x9D-stripped residue
+      (4L, mangle("a b"))                        // misdecoded nbsp
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.fixMojibake(d, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == clean, s"round-trip repair failed: '${out(1L)}'")
+    assert(out(2L) == "plain ascii stays byte-identical")
+    assert(out(3L) == "stub” right quote")
+    assert(out(4L) == "a b", "misdecoded nbsp must normalize to a space")
+    // the table's documented shape: bads are unique, longest-first
+    // before the residue pair, and every bad really is the cp1252 view
+    // of its good's UTF-8 bytes (except the two normalizing entries)
+    val fixes = TextAnalysis.MojibakeFixes
+    assert(fixes.map(_._1).distinct.size == fixes.size)
+    assert(fixes.last._1 == "\u00E2\u20AC", "residue pair must run last")
+    fixes.filter { case (bad, good) =>
+      good != " " && bad != "\u00E2\u20AC" // skip the two normalizing entries
+    }.foreach { case (bad, good) =>
+      assert(bad == mangle(good), s"derivation broken for '$good'")
+    }
+  }
+
   // --- HTML strip -------------------------------------------------------
 
   test("stripHtml: scripts/styles vanish with contents, entities decode once, prose untouched") {
