@@ -329,6 +329,7 @@ object Main {
           if (cur.portableBucket) Sampling.portableBucket else Sampling.bucket,
         persistSurvivors = cur.persistSurvivors,
         stripHtml = cur.stripHtml,
+        fixMojibake = cur.fixMojibake,
         lineDedupMinDocs = cur.lineDedupMinDocs,
         contaminationProbes = probeFrames,
         contaminationProbeTextCol =

@@ -69,6 +69,7 @@ object YamlJob {
       observed: Boolean = false,
       portableBucket: Boolean = false,
       stripHtml: Boolean = false,
+      fixMojibake: Boolean = false,
       lineDedupMinDocs: Option[Int] = None,
       contamination: Option[ContaminationSpec] = None,
       tokenBudget: Option[Long] = None,
@@ -200,7 +201,7 @@ object YamlJob {
       val KnownKeys = Set("id_column", "text_column", "blocklist",
         "max_dup_word_frac", "max_dup_ngram_frac", "max_top_ngram_frac",
         "repetition_n", "sample_fraction", "persist_survivors",
-        "observed", "bucket", "strip_html", "line_dedup_min_docs", "contamination",
+        "observed", "bucket", "strip_html", "fix_mojibake", "line_dedup_min_docs", "contamination",
         "token_budget", "token_budget_shards", "shards")
       // misspelled knobs must be loud — a silently ignored
       // `sample_fracton: 0.01` would ship 100× the intended corpus;
@@ -261,6 +262,8 @@ object YamlJob {
         portableBucket = bucket == "portable",
         stripHtml = c.get("strip_html")
           .map(v => boolOpt("strip_html", v)).getOrElse(false),
+        fixMojibake = c.get("fix_mojibake")
+          .map(v => boolOpt("fix_mojibake", v)).getOrElse(false),
         lineDedupMinDocs = c.get("line_dedup_min_docs")
           .map(v => intOpt("line_dedup_min_docs", v)),
         contamination = c.get("contamination").flatMap(Option(_)).map {

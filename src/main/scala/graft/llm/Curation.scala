@@ -58,6 +58,9 @@ object Curation {
         * tags the strip removes) and before every text-statistics
         * stage. Pure projection, rewrites text, never drops rows. */
       stripHtml: Boolean = false,
+      /** Rewrite text with [[TextAnalysis.fixMojibake]] (after the
+        * strip, before text statistics). Pure projection. */
+      fixMojibake: Boolean = false,
       /** When set, rewrite surviving documents with
         * [[Paragraphs.dropCommon]] (drop lines recurring in >= this
         * many distinct docs) BETWEEN the repetition filter and exact
@@ -87,7 +90,10 @@ object Curation {
     val afterStrip =
       if (cfg.stripHtml) TextAnalysis.stripHtml(afterUrls, textCol)
       else afterUrls
-    val afterRepetition0 = Repetition.filterRepetitive(afterStrip, textCol,
+    val afterFix =
+      if (cfg.fixMojibake) TextAnalysis.fixMojibake(afterStrip, textCol)
+      else afterStrip
+    val afterRepetition0 = Repetition.filterRepetitive(afterFix, textCol,
       cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,
       cfg.repetitionN)
     val afterRepetition =
@@ -179,8 +185,10 @@ object Curation {
       else Urls.filterBlocked(in, textCol, cfg.blocklist)
     // strip is a row-preserving projection: it rides between the oU tap
     // and the repetition filter with no observation of its own
-    def stripped(d: DataFrame): DataFrame =
-      if (cfg.stripHtml) TextAnalysis.stripHtml(d, textCol) else d
+    def stripped(d: DataFrame): DataFrame = {
+      val s1 = if (cfg.stripHtml) TextAnalysis.stripHtml(d, textCol) else d
+      if (cfg.fixMojibake) TextAnalysis.fixMojibake(s1, textCol) else s1
+    }
     val r = tap(Repetition.filterRepetitive(stripped(tap(afterUrls, oU)), textCol,
         cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,
         cfg.repetitionN), oR)

@@ -571,9 +571,9 @@ class CliSpec extends SparkSpec {
     assert(YamlJob.loadYaml(
       """source: {uri: a.parquet}
         |target: {uri: b}
-        |curation: {id_column: id, text_column: t, line_dedup_min_docs: 4, strip_html: true}
+        |curation: {id_column: id, text_column: t, line_dedup_min_docs: 4, strip_html: true, fix_mojibake: true}
         |""".stripMargin).curation
-      .exists(c => c.lineDedupMinDocs.contains(4) && c.stripHtml))
+      .exists(c => c.lineDedupMinDocs.contains(4) && c.stripHtml && c.fixMojibake))
     val full = YamlJob.loadYaml(
       """source: {uri: a.parquet}
         |target: {uri: b}

@@ -555,6 +555,21 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(kept.keySet == Set(1L, 3L), s"kept ${kept.keySet}")
     assert(kept(1L) == "same text here today", "output carries stripped text")
+    // mojibake stage composes the same way: a mangled copy dedups
+    // against its clean twin once repaired
+    def mangle(x: String) = new String(
+      x.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+      java.nio.charset.Charset.forName("windows-1252"))
+    val moji = Seq(
+      (1L, "caf\u00E9 talk \u2013 part one"),
+      (2L, mangle("caf\u00E9 talk \u2013 part one")),
+      (3L, "unrelated clean document")
+    ).toDF("doc_id", "text")
+    val mojiKept = Curation.pipeline(moji, "doc_id", "text",
+        Curation.PipelineConfig(fixMojibake = true, maxDupWordFrac = 0.9,
+          maxDupNgramFrac = 0.9, maxTopNgramFrac = 0.9))
+      .select("doc_id").as[Long].collect().toSet
+    assert(mojiKept == Set(1L, 3L), s"kept $mojiKept")
   }
 
   test("curation pipeline: decontamination and token-budget stages compose") {
