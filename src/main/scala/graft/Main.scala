@@ -330,6 +330,7 @@ object Main {
         persistSurvivors = cur.persistSurvivors,
         stripHtml = cur.stripHtml,
         fixMojibake = cur.fixMojibake,
+        normalizeUnicode = cur.normalizeUnicode,
         lineDedupMinDocs = cur.lineDedupMinDocs,
         contaminationProbes = probeFrames,
         contaminationProbeTextCol =

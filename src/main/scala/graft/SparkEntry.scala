@@ -658,6 +658,21 @@ object SparkEntry {
       Spans.stats(docs.union(extended), "doc_id", "text", k = 40, stride = 20)
     },
 
+    // --- Unicode NFC normalization (native codegen'd expression —
+    // content-hash dedup treats NFC and decomposed forms as different
+    // docs without it). A third of the corpus gets combining-mark
+    // text appended; DuckDB's nfc_normalize replays the composition ---
+    "q_nfc_normalize" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val decomposed = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"),
+            lit(" cafe\u0301 over Zu\u0308rich")).as("text"))
+      docs.union(decomposed)
+        .select(col("doc_id"),
+          graft.functions.UnicodeExprs.nfc(col("text")).as("text"))
+    },
+
     // --- mojibake repair: a fifth of the corpus gets a cp1252-mangled
     // snippet appended (generated by the artifact's own round-trip from
     // the clean form, so the fixture cannot carry a hand-typed byte
@@ -1620,6 +1635,20 @@ object SparkEntry {
         |  coalesce(n_tokens, 0) AS n_tokens,
         |  coalesce(round(alp, 6), 0.0) AS avg_logprob
         |FROM corpus LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // nfc: the decomposed fixture is appended via chr() code points
+    // (U+0301 combining acute, U+0308 combining diaeresis); DuckDB's
+    // nfc_normalize implements the same UAX #15 composition as
+    // java.text.Normalizer
+    "q_nfc_normalize" ->
+      """WITH c AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    text || ' cafe' || chr(769) || ' over Zu' || chr(776) || 'rich' AS text
+        |  FROM documents WHERE doc_id % 3 = 0
+        |)
+        |SELECT doc_id, nfc_normalize(text) AS text FROM c""".stripMargin,
 
     // generated from the SAME MojibakeFixes table + shared snippet —
     // the two sides cannot drift by construction

@@ -70,6 +70,7 @@ object YamlJob {
       portableBucket: Boolean = false,
       stripHtml: Boolean = false,
       fixMojibake: Boolean = false,
+      normalizeUnicode: Option[String] = None,
       lineDedupMinDocs: Option[Int] = None,
       contamination: Option[ContaminationSpec] = None,
       tokenBudget: Option[Long] = None,
@@ -201,7 +202,7 @@ object YamlJob {
       val KnownKeys = Set("id_column", "text_column", "blocklist",
         "max_dup_word_frac", "max_dup_ngram_frac", "max_top_ngram_frac",
         "repetition_n", "sample_fraction", "persist_survivors",
-        "observed", "bucket", "strip_html", "fix_mojibake", "line_dedup_min_docs", "contamination",
+        "observed", "bucket", "strip_html", "fix_mojibake", "normalize_unicode", "line_dedup_min_docs", "contamination",
         "token_budget", "token_budget_shards", "shards")
       // misspelled knobs must be loud — a silently ignored
       // `sample_fracton: 0.01` would ship 100× the intended corpus;
@@ -264,6 +265,13 @@ object YamlJob {
           .map(v => boolOpt("strip_html", v)).getOrElse(false),
         fixMojibake = c.get("fix_mojibake")
           .map(v => boolOpt("fix_mojibake", v)).getOrElse(false),
+        normalizeUnicode = c.get("normalize_unicode").map { v =>
+          val f = v.toString.toUpperCase
+          if (f != "NFC" && f != "NFKC")
+            throw graft.core.GraftError.Configuration(
+              s"normalize_unicode must be NFC|NFKC, got '$v'")
+          f
+        },
         lineDedupMinDocs = c.get("line_dedup_min_docs")
           .map(v => intOpt("line_dedup_min_docs", v)),
         contamination = c.get("contamination").flatMap(Option(_)).map {

@@ -61,6 +61,11 @@ object Curation {
       /** Rewrite text with [[TextAnalysis.fixMojibake]] (after the
         * strip, before text statistics). Pure projection. */
       fixMojibake: Boolean = false,
+      /** Unicode-normalize text ("NFC" or "NFKC",
+        * [[graft.functions.UnicodeExprs]]) after mojibake repair and
+        * before hashing/statistics — NFC/NFD variants of one document
+        * must dedup together. Pure native projection. */
+      normalizeUnicode: Option[String] = None,
       /** When set, rewrite surviving documents with
         * [[Paragraphs.dropCommon]] (drop lines recurring in >= this
         * many distinct docs) BETWEEN the repetition filter and exact
@@ -93,7 +98,8 @@ object Curation {
     val afterFix =
       if (cfg.fixMojibake) TextAnalysis.fixMojibake(afterStrip, textCol)
       else afterStrip
-    val afterRepetition0 = Repetition.filterRepetitive(afterFix, textCol,
+    val afterNorm = applyNormalize(afterFix, textCol, cfg)
+    val afterRepetition0 = Repetition.filterRepetitive(afterNorm, textCol,
       cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,
       cfg.repetitionN)
     val afterRepetition =
@@ -139,6 +145,18 @@ object Curation {
       else Sampling.byHash(decontaminated, idCol, cfg.sampleFraction, cfg.bucketFn)
     applyTokenBudget(sampled, idCol, textCol, cfg)
   }
+
+  private def applyNormalize(df: DataFrame, textCol: String,
+                             cfg: PipelineConfig): DataFrame =
+    cfg.normalizeUnicode match {
+      case Some("NFC") => df.withColumn(textCol,
+        graft.functions.UnicodeExprs.nfc(col(textCol)))
+      case Some("NFKC") => df.withColumn(textCol,
+        graft.functions.UnicodeExprs.nfkc(col(textCol)))
+      case Some(other) => throw new IllegalArgumentException(
+        s"normalizeUnicode must be NFC|NFKC, got '$other'")
+      case None => df
+    }
 
   /** Final ~N-token cut (no-op when unconfigured): the tokens column
     * is derived, used for the per-shard prefix decision, and dropped. */
@@ -187,7 +205,8 @@ object Curation {
     // and the repetition filter with no observation of its own
     def stripped(d: DataFrame): DataFrame = {
       val s1 = if (cfg.stripHtml) TextAnalysis.stripHtml(d, textCol) else d
-      if (cfg.fixMojibake) TextAnalysis.fixMojibake(s1, textCol) else s1
+      val s2 = if (cfg.fixMojibake) TextAnalysis.fixMojibake(s1, textCol) else s1
+      applyNormalize(s2, textCol, cfg)
     }
     val r = tap(Repetition.filterRepetitive(stripped(tap(afterUrls, oU)), textCol,
         cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,

@@ -571,9 +571,15 @@ class CliSpec extends SparkSpec {
     assert(YamlJob.loadYaml(
       """source: {uri: a.parquet}
         |target: {uri: b}
-        |curation: {id_column: id, text_column: t, line_dedup_min_docs: 4, strip_html: true, fix_mojibake: true}
+        |curation: {id_column: id, text_column: t, line_dedup_min_docs: 4, strip_html: true, fix_mojibake: true, normalize_unicode: nfc}
         |""".stripMargin).curation
-      .exists(c => c.lineDedupMinDocs.contains(4) && c.stripHtml && c.fixMojibake))
+      .exists(c => c.lineDedupMinDocs.contains(4) && c.stripHtml &&
+        c.fixMojibake && c.normalizeUnicode.contains("NFC")))
+    intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation: {id_column: id, text_column: t, normalize_unicode: NFD}
+        |""".stripMargin))
     val full = YamlJob.loadYaml(
       """source: {uri: a.parquet}
         |target: {uri: b}

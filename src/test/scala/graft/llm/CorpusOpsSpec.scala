@@ -570,6 +570,21 @@ class CorpusOpsSpec extends SparkSpec {
           maxDupNgramFrac = 0.9, maxTopNgramFrac = 0.9))
       .select("doc_id").as[Long].collect().toSet
     assert(mojiKept == Set(1L, 3L), s"kept $mojiKept")
+    // and NFC normalization: a decomposed copy dedups against its
+    // composed twin
+    val uni = Seq(
+      (1L, "caf\u00E9 discussion thread"),
+      (2L, "cafe\u0301 discussion thread"),
+      (3L, "another clean document")
+    ).toDF("doc_id", "text")
+    val uniCfg = Curation.PipelineConfig(normalizeUnicode = Some("NFC"),
+      maxDupWordFrac = 0.9, maxDupNgramFrac = 0.9, maxTopNgramFrac = 0.9)
+    val uniKept = Curation.pipeline(uni, "doc_id", "text", uniCfg)
+      .select("doc_id").as[Long].collect().toSet
+    assert(uniKept == Set(1L, 3L), s"kept $uniKept")
+    intercept[IllegalArgumentException](
+      Curation.pipeline(uni, "doc_id", "text",
+        uniCfg.copy(normalizeUnicode = Some("NFD"))).count())
   }
 
   test("curation pipeline: decontamination and token-budget stages compose") {
