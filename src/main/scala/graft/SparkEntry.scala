@@ -1014,8 +1014,8 @@ object SparkEntry {
     // String casts of long/double/string min/max are engine-stable ---
     "q_profile_table" -> { (s, dir) =>
       graft.operators.TableProfile.summarize(
-        t(s, dir, "lineitem"),
-        Seq("l_orderkey", "l_quantity", "l_returnflag"), exact = true)
+        t(s, dir, "orders"),
+        Seq("o_orderkey", "o_custkey", "o_orderstatus"), exact = true)
     },
 
     // --- deliberately skewed TPC-H-shape join stressor: the derived
@@ -2048,22 +2048,22 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     "q_profile_table" ->
-      """SELECT 'l_orderkey' AS column_name, count(*) AS n_rows,
-        |  count(*) - count(l_orderkey) AS n_nulls,
-        |  count(DISTINCT l_orderkey) AS n_distinct,
-        |  CAST(min(l_orderkey) AS VARCHAR) AS min_value,
-        |  CAST(max(l_orderkey) AS VARCHAR) AS max_value
-        |FROM lineitem
+      """SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
+        |  count(*) - count(o_orderkey) AS n_nulls,
+        |  count(DISTINCT o_orderkey) AS n_distinct,
+        |  CAST(min(o_orderkey) AS VARCHAR) AS min_value,
+        |  CAST(max(o_orderkey) AS VARCHAR) AS max_value
+        |FROM orders
         |UNION ALL
-        |SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
-        |  count(DISTINCT l_quantity),
-        |  CAST(min(l_quantity) AS VARCHAR), CAST(max(l_quantity) AS VARCHAR)
-        |FROM lineitem
+        |SELECT 'o_custkey', count(*), count(*) - count(o_custkey),
+        |  count(DISTINCT o_custkey),
+        |  CAST(min(o_custkey) AS VARCHAR), CAST(max(o_custkey) AS VARCHAR)
+        |FROM orders
         |UNION ALL
-        |SELECT 'l_returnflag', count(*), count(*) - count(l_returnflag),
-        |  count(DISTINCT l_returnflag),
-        |  CAST(min(l_returnflag) AS VARCHAR), CAST(max(l_returnflag) AS VARCHAR)
-        |FROM lineitem""".stripMargin,
+        |SELECT 'o_orderstatus', count(*), count(*) - count(o_orderstatus),
+        |  count(DISTINCT o_orderstatus),
+        |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
+        |FROM orders""".stripMargin,
 
     // q_skew_join: salts are join-invariant, so the oracle is the
     // UNSALTED join over the same skewed key derivation
