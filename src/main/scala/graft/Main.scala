@@ -30,7 +30,8 @@ object Main {
   final case class GenConfig(cfg: JobConfig) extends Cmd
   final case class Profile(source: String, columns: Seq[String],
                            exact: Boolean,
-                           sourceOptions: Map[String, String]) extends Cmd
+                           sourceOptions: Map[String, String],
+                           logLevel: String = "error") extends Cmd
   case object GenDefault extends Cmd
   case object Help extends Cmd
   case object Version extends Cmd
@@ -57,7 +58,7 @@ object Main {
       |  --truncate                  Truncate target before writing
       |  --batch-size <N>            Rows per batch (JDBC fetch/batch size)
       |  --skip-existing             Anti-join target on detected primary key
-      |  --source-type <TYPE>        Force source type (csv|json|parquet|avro)
+      |  --source-type <TYPE>        Force source type (csv|json|parquet|avro|orc)
       |  --source-secret-id <ID>     Password from env TINYETL_SECRET_<ID> for source
       |  --dest-secret-id <ID>       Password from env TINYETL_SECRET_<ID> for target
       |  --infer-schema <BOOL>       Auto-detect columns and types (default true)
@@ -128,6 +129,7 @@ object Main {
       var columns = Seq.empty[String]
       var exact = false
       var srcType: Option[String] = None
+      var plogLevel = "error"
       @annotation.tailrec
       def ploop(r: List[String]): Unit = r match {
         case Nil => ()
@@ -135,6 +137,8 @@ object Main {
           columns = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq; ploop(t)
         case "--exact" :: t => exact = true; ploop(t)
         case "--source-type" :: v :: t => srcType = Some(v); ploop(t)
+        case "--log-level" :: v :: t =>
+          plogLevel = YamlJob.checkLogLevel(v); ploop(t)
         case flag :: _ if flag.startsWith("--") =>
           throw GraftError.Configuration(
             s"unknown or incomplete profile option '$flag'")
@@ -145,7 +149,7 @@ object Main {
       ploop(rest)
       Profile(source.getOrElse(throw GraftError.Configuration(
           "profile needs a SOURCE")),
-        columns, exact, srcType.map("sourceType" -> _).toMap)
+        columns, exact, srcType.map("sourceType" -> _).toMap, plogLevel)
     case rest =>
       val (cfg, preview, dryRun, logLevel) = parseTransferArgs(rest)
       Transfer(cfg, preview, dryRun, logLevel)
@@ -404,9 +408,9 @@ object Main {
     * in the reference's data-table box. HLL distinct counts by default
     * (safe on any size); `--exact` opts into the Expand-based exact
     * counts for small tables. */
-  def runProfile(p: Profile, logLevel: String = "error"): Int = {
+  def runProfile(p: Profile): Int = {
     val preExisting = SparkSession.getDefaultSession.isDefined
-    val spark = session(logLevel)
+    val spark = session(p.logLevel)
     try {
       val df = graft.sources.Connectors.read(spark, p.source, p.sourceOptions)
       val prof = graft.operators.TableProfile.summarize(df, p.columns, p.exact)

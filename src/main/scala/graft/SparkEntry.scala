@@ -289,8 +289,8 @@ object SparkEntry {
     },
 
     // --- ORC scan+sink round-trip through the connector factory (the
-    // warehouse format Spark ships natively; typed columns incl.
-    // timestamp survive). Oracle = identity over the source table ---
+    // warehouse format Spark ships natively; long/double/string typed
+    // columns survive). Oracle = identity over the source table ---
     "q_orc_roundtrip" -> { (s, dir) =>
       val out = scratch("orc_rt") + "/customer.orc"
       Connectors.write(

@@ -153,7 +153,7 @@ object Curation {
         graft.functions.UnicodeExprs.nfc(col(textCol)))
       case Some("NFKC") => df.withColumn(textCol,
         graft.functions.UnicodeExprs.nfkc(col(textCol)))
-      case Some(other) => throw new IllegalArgumentException(
+      case Some(other) => throw graft.core.GraftError.Configuration(
         s"normalizeUnicode must be NFC|NFKC, got '$other'")
       case None => df
     }

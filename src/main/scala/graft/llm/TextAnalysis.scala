@@ -27,12 +27,13 @@ object TextAnalysis {
     * view of the character's UTF-8 bytes — so the table cannot carry a
     * hand-typed byte error, and the source stays ASCII (every good
     * char is a \u escape). Pairs apply longest-bad-first, which makes
-    * the shared `0xE2 0x80` prefix of the punctuation triples safe;
-    * the final bare `\u00E2\u20AC` residue entry catches a right
-    * double quote whose third byte (0x9D) was stripped by some earlier
-    * tool. One decode generation only — doubly-encoded text is out of
-    * scope by design. The misdecoded no-break space normalizes to a
-    * plain space. */
+    * the shared `0xE2 0x80` prefix of the punctuation triples safe.
+    * Every entry is a full derived sequence — a bare `â€` residue rule
+    * was considered and REJECTED: it would also rewrite a legitimate
+    * â+€ adjacency (including one this very chain just repaired from
+    * `Ã¢` + euro), silently corrupting clean text. One decode
+    * generation only — doubly-encoded text is out of scope by design.
+    * The misdecoded no-break space normalizes to a plain space. */
   val MojibakeFixes: Seq[(String, String)] = {
     def asMojibake(good: String): String = new String(
       good.getBytes(java.nio.charset.StandardCharsets.UTF_8),
@@ -49,8 +50,7 @@ object TextAnalysis {
       "\u00AB", "\u00BB", "\u00B0", "\u00B7")                 // guillemets, deg, middot
       .map(g => asMojibake(g) -> g)
     val normalized = Seq(asMojibake("\u00A0") -> " ")           // nbsp -> space
-    val residue = Seq("\u00E2\u20AC" -> "\u201D")              // bare right-quote stub
-    (restored ++ normalized).sortBy(-_._1.length) ++ residue
+    (restored ++ normalized).sortBy(-_._1.length)
   }
 
   /** Mojibake repair (ftfy-lite): literal replacement of every
@@ -60,8 +60,9 @@ object TextAnalysis {
     * ([[mojibakeSql]]), so the two sides cannot drift. */
   def fixMojibake(text: Column): Column =
     MojibakeFixes.foldLeft(text) { case (c, (bad, good)) =>
-      regexp_replace(c, java.util.regex.Pattern.quote(bad),
-        java.util.regex.Matcher.quoteReplacement(good))
+      // literal StringReplace — no regex engine on the per-document
+      // hot path (and no quoting subtleties)
+      replace(c, lit(bad), lit(good))
     }
 
   /** [[fixMojibake]] applied in place over `textCol`. */

@@ -25,10 +25,27 @@ object TableProfile {
 
   def summarize(df: DataFrame, cols: Seq[String] = Nil,
                 exact: Boolean = false): DataFrame = {
-    val names = if (cols.nonEmpty) cols else df.columns.toSeq
-    require(names.nonEmpty, "no columns to profile")
-    names.foreach(c => require(df.columns.contains(c),
-      s"no such column '$c' (have: ${df.columns.mkString(", ")})"))
+    import org.apache.spark.sql.types._
+    def atomic(c: String): Boolean = df.schema(c).dataType match {
+      case _: NumericType => true
+      case StringType | BooleanType | DateType | TimestampType |
+           TimestampNTZType | BinaryType => true
+      case _ => false
+    }
+    // default mode skips non-atomic columns (maps/arrays/structs have
+    // no min/max ordering or hashable distinct) instead of crashing
+    // the whole profile; explicitly-requested ones stay a loud error
+    val names =
+      if (cols.nonEmpty) cols.distinct
+      else df.columns.toSeq.filter(atomic)
+    require(names.nonEmpty, "no profilable columns")
+    names.foreach { c =>
+      require(df.columns.contains(c),
+        s"no such column '$c' (have: ${df.columns.mkString(", ")})")
+      require(atomic(c),
+        s"column '$c' (${df.schema(c).dataType.simpleString}) is not " +
+          "profilable: min/max/distinct need an atomic type")
+    }
     def distinctAgg(c: Column): Column =
       if (exact) countDistinct(c) else approx_count_distinct(c)
     val aggs = names.flatMap { c =>

@@ -650,9 +650,10 @@ class CliSpec extends SparkSpec {
       "--columns=a,b", "--exact")).asInstanceOf[Profile]
     assert(p.source == "data.parquet")
     assert(p.columns == Seq("a", "b") && p.exact)
-    val p2 = parse(List("profile", "noext", "--source-type", "csv"))
-      .asInstanceOf[Profile]
+    val p2 = parse(List("profile", "noext", "--source-type", "csv",
+      "--log-level", "warn")).asInstanceOf[Profile]
     assert(p2.sourceOptions("sourceType") == "csv" && !p2.exact)
+    assert(p2.logLevel == "warn")
     intercept[GraftError.Configuration](parse(List("profile")))
     intercept[GraftError.Configuration](parse(List("profile", "a", "--bogus")))
     intercept[GraftError.Configuration](parse(List("profile", "a", "b")))

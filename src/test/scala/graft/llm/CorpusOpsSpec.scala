@@ -119,24 +119,28 @@ class CorpusOpsSpec extends SparkSpec {
     val d = Seq(
       (1L, mangle(clean)),
       (2L, "plain ascii stays byte-identical"),
-      (3L, "stubâ€ right quote"),          // 0x9D-stripped residue
+      (3L, "stub" + mangle("\u201D") + " right quote"), // incl. the 0x9D byte
       (4L, mangle("a b"))                        // misdecoded nbsp
     ).toDF("doc_id", "text")
     val out = TextAnalysis.fixMojibake(d, "text")
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) == clean, s"round-trip repair failed: '${out(1L)}'")
     assert(out(2L) == "plain ascii stays byte-identical")
-    assert(out(3L) == "stub” right quote")
+    assert(out(3L) == "stub\u201D right quote")
     assert(out(4L) == "a b", "misdecoded nbsp must normalize to a space")
-    // the table's documented shape: bads are unique, longest-first
-    // before the residue pair, and every bad really is the cp1252 view
-    // of its good's UTF-8 bytes (except the two normalizing entries)
+    // a legitimate â+€ adjacency must NOT be rewritten (the rejected
+    // bare-residue rule would have corrupted exactly this, including
+    // the output of the chain's own \u00C3\u00A2 repair)
+    assert(TextAnalysis.fixMojibake(
+        Seq((9L, "price b\u00E2\u20AC here")).toDF("doc_id", "text"), "text")
+      .head.getString(1) == "price b\u00E2\u20AC here")
+    // the table's documented shape: bads are unique, longest-first, and
+    // every bad really is the cp1252 view of its good's UTF-8 bytes
+    // (except the nbsp-normalizing entry)
     val fixes = TextAnalysis.MojibakeFixes
     assert(fixes.map(_._1).distinct.size == fixes.size)
-    assert(fixes.last._1 == "\u00E2\u20AC", "residue pair must run last")
-    fixes.filter { case (bad, good) =>
-      good != " " && bad != "\u00E2\u20AC" // skip the two normalizing entries
-    }.foreach { case (bad, good) =>
+    assert(fixes.map(_._1.length).sliding(2).forall(w => w.head >= w.last))
+    fixes.filter(_._2 != " ").foreach { case (bad, good) =>
       assert(bad == mangle(good), s"derivation broken for '$good'")
     }
   }
@@ -582,7 +586,7 @@ class CorpusOpsSpec extends SparkSpec {
     val uniKept = Curation.pipeline(uni, "doc_id", "text", uniCfg)
       .select("doc_id").as[Long].collect().toSet
     assert(uniKept == Set(1L, 3L), s"kept $uniKept")
-    intercept[IllegalArgumentException](
+    intercept[graft.core.GraftError.Configuration](
       Curation.pipeline(uni, "doc_id", "text",
         uniCfg.copy(normalizeUnicode = Some("NFD"))).count())
   }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import graft.SparkSpec
+import org.apache.spark.sql.functions._
 
 class TableProfileSpec extends SparkSpec {
   import spark.implicits._
@@ -33,6 +34,18 @@ class TableProfileSpec extends SparkSpec {
 
     intercept[IllegalArgumentException](
       TableProfile.summarize(d, Seq("nope")))
+    // duplicate column requests dedupe instead of tripping an
+    // ambiguous-alias analysis error
+    assert(TableProfile.summarize(d, Seq("id", "id"), exact = true)
+      .count() == 1)
+    // non-atomic columns: skipped silently in all-columns mode, loud
+    // when requested explicitly
+    val withMap = d.withColumn("m", map(lit("k"), $"id"))
+    assert(TableProfile.summarize(withMap, exact = true)
+      .select("column_name").as[String].collect().toSet == Set("id", "v", "s"))
+    val e = intercept[IllegalArgumentException](
+      TableProfile.summarize(withMap, Seq("m")))
+    assert(e.getMessage.contains("not profilable"))
   }
 
   test("summarize: approx mode plans without Expand; exact mode is one agg pass") {
