@@ -7,17 +7,28 @@ import org.apache.spark.sql.functions._
   * operators in dependency order — the end-to-end "raw crawl in,
   * training corpus out" path a user of this library runs:
   *
-  *   1. URL hygiene   — drop documents citing blocklisted domains;
-  *   2. repetition    — drop degenerate documents (dup-word /
-  *                      dup-n-gram / modal-n-gram thresholds);
-  *   3. exact dedup   — keep the smallest id per identical content;
-  *   4. sampling      — deterministic hash sample of the survivors.
+  *   1. URL hygiene      — drop documents citing blocklisted domains
+  *                         (needs the RAW markup: hrefs live in tags);
+  *   2. [HTML strip]     — drop script/style/tags, decode entities;
+  *   3. [mojibake fix]   — repair cp1252-mangled UTF-8 artifacts;
+  *   4. [NFC/NFKC]       — compose combining marks, so encoding
+  *                         variants of one document hash identically;
+  *   5. repetition       — drop degenerate documents (dup-word /
+  *                         dup-n-gram / modal-n-gram thresholds);
+  *   6. [line dedup]     — strip lines shared by >= K docs, so
+  *                         footer-differing copies collapse next;
+  *   7. exact dedup      — keep the smallest id per identical content;
+  *   8. [decontaminate]  — drop benchmark-overlapping documents;
+  *   9. sampling         — deterministic hash sample of the survivors;
+  *  10. [token budget]   — deterministic ~N-token prefix cut.
   *
-  * Order matters and is deliberate: the cheap pure-filter stages (1, 2
-  * — shuffle-free, codegen'd projections) run FIRST so the one shuffle
-  * in the pipeline (the dedup's narrow (hash, id) exchange) only sees
-  * rows that survived them, and the sample runs LAST so its fraction
-  * applies to the cleaned corpus. By default the whole pipeline stays
+  * Bracketed stages are opt-in via [[PipelineConfig]]; all ten are
+  * reachable from a YAML job file (`curation:` section). Order matters
+  * and is deliberate: the cheap pure-projection/filter stages run
+  * FIRST so the one guaranteed shuffle (the dedup's narrow (hash, id)
+  * exchange) only sees rows that survived them, rewrites land BEFORE
+  * hashing so variants dedup together, and the sample applies to the
+  * cleaned, decontaminated corpus. By default the whole pipeline stays
   * ONE lazy plan with no materialization between stages; the filter
   * subtree then evaluates twice (keep-set pass + surviving-rows pass —
   * see the dedup stage comment). Set
