@@ -157,6 +157,60 @@ object Curation {
     applyTokenBudget(sampled, idCol, textCol, cfg)
   }
 
+  /** The CONTINUOUS-INGEST curation pipeline: the same stage bodies as
+    * [[pipeline]], applied to a streaming DataFrame. Per-row stages
+    * (URL hygiene, HTML strip, mojibake repair, Unicode normalization,
+    * repetition filter, hash sampling) stream unchanged — they are
+    * stateless projections/filters, batch/stream parity is structural.
+    * Exact dedup becomes watermark-bounded first-occurrence dedup on
+    * the content hash (`dropDuplicatesWithinWatermark` — state stays
+    * bounded; a duplicate arriving later than `dedupHorizon` after its
+    * original is re-emitted, so size the horizon to the crawler's real
+    * re-fetch window).
+    *
+    * Corpus-wide stages CANNOT stream and are rejected loudly rather
+    * than silently skipped: line dedup, decontamination and the token
+    * budget all need the whole corpus (doc frequencies / probe-overlap
+    * ratios / global running sums) — run them in a periodic batch
+    * compaction over the stream's output instead.
+    *
+    * @param tsCol event-time column for the dedup watermark
+    */
+  def pipelineStream(df: DataFrame, idCol: String, textCol: String,
+                     tsCol: String, dedupHorizon: String = "1 hour",
+                     cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    require(df.isStreaming, "pipelineStream needs a streaming DataFrame")
+    for ((name, set) <- Seq(
+        "lineDedupMinDocs" -> cfg.lineDedupMinDocs.isDefined,
+        "contaminationProbes" -> cfg.contaminationProbes.isDefined,
+        "tokenBudget" -> cfg.tokenBudget.isDefined) if set)
+      throw graft.core.GraftError.Configuration(
+        s"$name is corpus-wide and cannot stream — run it as a batch " +
+          "compaction over the stream's output")
+    val afterUrls =
+      if (cfg.blocklist.isEmpty) df
+      else Urls.filterBlocked(df, textCol, cfg.blocklist)
+    val afterStrip =
+      if (cfg.stripHtml) TextAnalysis.stripHtml(afterUrls, textCol)
+      else afterUrls
+    val afterFix =
+      if (cfg.fixMojibake) TextAnalysis.fixMojibake(afterStrip, textCol)
+      else afterStrip
+    val afterNorm = applyNormalize(afterFix, textCol, cfg)
+    val afterRepetition = Repetition.filterRepetitive(afterNorm, textCol,
+      cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,
+      cfg.repetitionN)
+    Guards.requireFreshColumns(afterRepetition, Seq("__cs_h"),
+      "Curation.pipelineStream")
+    val deduped = afterRepetition
+      .withColumn("__cs_h", Dedup.contentHash(Seq(textCol)))
+      .withWatermark(tsCol, dedupHorizon)
+      .dropDuplicatesWithinWatermark("__cs_h")
+      .drop("__cs_h")
+    if (cfg.sampleFraction >= 1.0) deduped
+    else Sampling.byHash(deduped, idCol, cfg.sampleFraction, cfg.bucketFn)
+  }
+
   private def applyNormalize(df: DataFrame, textCol: String,
                              cfg: PipelineConfig): DataFrame =
     cfg.normalizeUnicode match {

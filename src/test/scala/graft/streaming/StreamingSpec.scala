@@ -127,6 +127,55 @@ class StreamingSpec extends SparkSpec {
       "stateless curation ops must be batch/stream identical")
   }
 
+  test("pipelineStream: stateless stages + watermarked dedup match batch curation") {
+    import spark.implicits._
+    import graft.llm.Curation
+    val scratch = tmpDir("stream_curation")
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(s: Long) = new java.sql.Timestamp(ts0.getTime + s * 1000)
+    // originals first, exact-content replays later (higher ids, later
+    // ts) — batch keep-min-id and stream first-occurrence then agree
+    val originals = (1L to 300L).map(i =>
+      (i, s"<p>streaming document number $i with body words</p>", at(i)))
+    val replays = (1L to 100L).map(i =>
+      (i + 10000L, s"<p>streaming document number $i with body words</p>", at(400 + i)))
+    (originals ++ replays).toDF("doc_id", "text", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(scratch)
+
+    val cfg = Curation.PipelineConfig(stripHtml = true, sampleFraction = 0.5,
+      maxDupWordFrac = 0.9, maxDupNgramFrac = 0.9, maxTopNgramFrac = 0.9)
+    val in = spark.readStream
+      .schema(spark.read.parquet(scratch).schema).parquet(scratch)
+    val q = Curation.pipelineStream(in, "doc_id", "text", "ts",
+        dedupHorizon = "10 minutes", cfg = cfg)
+      .writeStream.format("memory").queryName("curation_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("curation_stream")
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val batch = Curation.pipeline(
+        spark.read.parquet(scratch).select($"doc_id", $"text"),
+        "doc_id", "text", cfg)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(streamed.nonEmpty && streamed == batch,
+      s"stream kept ${streamed.size}, batch kept ${batch.size}")
+    // markup really was stripped in-flight
+    assert(streamed.values.forall(t => !t.contains("<p>")))
+
+    // corpus-wide stages are a loud typed error, not a silent skip
+    for (bad <- Seq(
+        cfg.copy(lineDedupMinDocs = Some(3)),
+        cfg.copy(contaminationProbes = Some(Seq("x").toDF("text"))),
+        cfg.copy(tokenBudget = Some(1000L))))
+      intercept[graft.core.GraftError.Configuration](
+        Curation.pipelineStream(in, "doc_id", "text", "ts", cfg = bad))
+    // and a batch frame is rejected up front
+    intercept[IllegalArgumentException](
+      Curation.pipelineStream(spark.read.parquet(scratch),
+        "doc_id", "text", "ts", cfg = cfg))
+  }
+
   test("firstOccurrence keeps the earliest row per content group") {
     import spark.implicits._
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
