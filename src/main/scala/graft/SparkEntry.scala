@@ -180,7 +180,18 @@ object SparkEntry {
     // window repartition on supplier), deterministic via part tiebreak ---
     "q_supplier_rank" -> { (s, dir) =>
       val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      // ONE exchange for both operators: hash(l_suppkey) satisfies the
+      // agg's ClusteredDistribution(l_suppkey, l_partkey) — a subset of
+      // the clustering keys colocates every group — AND the window's
+      // partitionBy(l_suppkey), so EnsureRequirements inserts nothing
+      // after the explicit repartition. The groupBy-first shape would
+      // exchange twice (agg keys, then window keys) for near-unique
+      // (suppkey, partkey) groups map-side combine barely compresses.
+      // Plan-asserted in PlanSpec.
       val rev = t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_partkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .repartition(col("l_suppkey"))
         .groupBy(col("l_suppkey"), col("l_partkey"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast(dec)).as("rev"))

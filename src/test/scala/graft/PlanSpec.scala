@@ -197,17 +197,16 @@ class PlanSpec extends SparkSpec {
       "revenue aggregation must combine map-side")
   }
 
-  test("q_supplier_rank: partial agg, window rides the agg partitioning, no extra exchange") {
+  test("q_supplier_rank: ONE exchange serves both the agg and the window") {
     val df = SparkEntry.queries("q_supplier_rank")(spark, "/root/testdata/sf0.001")
-    assert(df.queryExecution.sparkPlan.toString.contains("partial_sum"),
-      "per (suppkey, partkey) revenue must combine map-side")
-    // groupBy(l_suppkey, l_partkey) then Window.partitionBy(l_suppkey):
-    // the window needs hash(l_suppkey) distribution, which the agg's
-    // hash(l_suppkey, l_partkey) does NOT satisfy — expect exactly the
-    // agg exchange + the window re-distribution and nothing more
+    // the explicit repartition(l_suppkey) satisfies BOTH the agg's
+    // ClusteredDistribution(l_suppkey, l_partkey) — a hash partitioning
+    // on a subset of the clustering keys colocates every group — and
+    // the window's partitionBy(l_suppkey): EnsureRequirements must add
+    // no further exchange
     val shuffles = shuffleOutputs(df)
-    assert(shuffles.size == 2,
-      s"expected agg + window exchanges only, got ${shuffles.size}: $shuffles")
+    assert(shuffles.size == 1,
+      s"expected ONE shared exchange, got ${shuffles.size}: $shuffles")
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("RunningWindowFunction") || p.contains("Window"),
       "rank must be a window operator, not a self-join")
