@@ -437,6 +437,20 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // --- sample + complement partition EXACTLY (the held-out-split
+    // contract, gated rather than unit-only): every doc appears once,
+    // tagged by which side took it; the oracle replays the shared
+    // threshold with the side decided by the same comparison ---
+    "q_sample_complement" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val kept = Sampling.byHash(docs, "doc_id", 0.3, Sampling.portableBucket)
+        .withColumn("side", lit("sample"))
+      val rest = Sampling.byHashComplement(docs, "doc_id", 0.3,
+          Sampling.portableBucket)
+        .withColumn("side", lit("rest"))
+      kept.union(rest)
+    },
+
     // --- document chunking: overlapping fixed-token windows (the
     // splitter before embedding/RAG vectorization). Pure explode
     // projection, no shuffle; oracle replays slice arithmetic exactly ---
@@ -1277,6 +1291,15 @@ object SparkEntry {
         |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000 <
         |  CASE lang WHEN 'en' THEN 500000 WHEN 'de' THEN 250000
         |            WHEN 'zh' THEN 0 ELSE 100000 END""".stripMargin,
+
+    // the partition property IS the assertion: the union must contain
+    // every doc exactly once, split by the one shared threshold
+    "q_sample_complement" ->
+      """SELECT doc_id,
+        |  CASE WHEN ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000
+        |            < 300000
+        |       THEN 'sample' ELSE 'rest' END AS side
+        |FROM documents""".stripMargin,
 
     "q_chunk_documents" ->
       """WITH tok AS (
