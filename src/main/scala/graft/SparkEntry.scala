@@ -748,6 +748,21 @@ object SparkEntry {
       Paragraphs.dropCommon(footered, "doc_id", "text", minDocs = 5)
     },
 
+    // --- the DROP decision built on Spans.stats (filterRepeatedSpans):
+    // same corpus as q_repeated_spans, docs above the repeated-window
+    // threshold removed; the oracle replays stats + the rounded-frac
+    // filter + the id semi-join ---
+    "q_filter_spans" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val extended = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" with an appended trailing remark"))
+            .as("text"))
+      Spans.filterRepeatedSpans(docs.union(extended), "doc_id", "text",
+          maxRepeatedFrac = 0.2, k = 40, stride = 20)
+        .select(col("doc_id"))
+    },
+
     // --- corpus-level boilerplate: bigrams present in >= 15% of docs.
     // A fixed disclaimer is appended to a quarter of the corpus (20%
     // of the union) while the highest NATURAL bigram doc-frequency is
@@ -804,6 +819,29 @@ object SparkEntry {
         .select(col("doc_id"), col("n_urls"),
           array_join(array_sort(col("domains")), ",").as("domains"),
           col("is_blocked"))
+    },
+
+    // --- the BROADCAST-TABLE blocklist path (filterBlockedLarge:
+    // suffix semantics via a bounded host-suffix explode riding an
+    // equi-join, then a keys-only anti-join) on the same engineered
+    // corpus as q_url_analysis — survivors must equal the inline
+    // filter's, which the oracle replays as one suffix predicate ---
+    "q_url_filter_large" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val linked = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" see https://spam.example.com/page " +
+            "and https://Ok-Site.org:8080/x plus http://spam.example.com again"))
+            .as("text"))
+      val sub = docs.filter(pmod(col("doc_id"), lit(17)) === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" via http://evil.spam.example.com/z " +
+            "and https://notspam.example.com/ok")).as("text"))
+      import s.implicits._
+      val blocked = Seq("spam.example.com").toDF("domain")
+      Urls.filterBlockedLarge(docs.union(linked).union(sub),
+          "doc_id", "text", blocked)
+        .select(col("doc_id"))
     },
 
     // --- embedding storage prep: one-pass native L2 norm + symmetric
@@ -1769,6 +1807,50 @@ object SparkEntry {
         |  coalesce(n_repeated, 0) AS n_repeated,
         |  coalesce(round(CAST(n_repeated AS DOUBLE) / n_windows, 6), 0.0) AS repeated_frac
         |FROM corpus LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // url filter (broadcast-table path): survivors of the suffix rule
+    "q_url_filter_large" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    text || ' see https://spam.example.com/page and https://Ok-Site.org:8080/x plus http://spam.example.com again' AS text
+        |  FROM documents WHERE doc_id % 13 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    text || ' via http://evil.spam.example.com/z and https://notspam.example.com/ok' AS text
+        |  FROM documents WHERE doc_id % 17 = 0
+        |)
+        |SELECT doc_id FROM corpus
+        |WHERE coalesce(len(list_filter(
+        |  list_distinct(list_transform(regexp_extract_all(text,
+        |    '(?i)https?://(?:[^/\s@]*@)?([a-z0-9-]+(?:\.[a-z0-9-]+)*)', 1),
+        |    h -> lower(h))),
+        |  h -> h = 'spam.example.com' OR ends_with(h, '.spam.example.com'))), 0) = 0""".stripMargin,
+
+    // filter_spans: the q_repeated_spans derivation + the rounded-frac
+    // drop decision (stats rounds to 6dp BEFORE the threshold compare)
+    "q_filter_spans" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    text || ' with an appended trailing remark' AS text
+        |  FROM documents WHERE doc_id % 9 = 0
+        |), w AS (
+        |  SELECT doc_id, unnest(list_transform(range(1, len(text) - 38, 20),
+        |    p -> substr(text, p, 40))) AS win
+        |  FROM corpus WHERE len(text) >= 40
+        |), occ AS (
+        |  SELECT win, count(*) AS c FROM w GROUP BY win
+        |), per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+        |         CAST(count(CASE WHEN c >= 2 THEN 1 END) AS BIGINT) AS n_repeated
+        |  FROM w JOIN occ USING (win) GROUP BY doc_id
+        |)
+        |SELECT corpus.doc_id
+        |FROM corpus LEFT JOIN per USING (doc_id)
+        |WHERE coalesce(round(CAST(n_repeated AS DOUBLE) / n_windows, 6), 0.0) <= 0.2""".stripMargin,
 
     "q_boilerplate" ->
       """WITH corpus AS (
