@@ -258,6 +258,38 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("text rewrites: stripHtml / NFC idempotent, line dedup idempotent (Spark)") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // '&' excluded deliberately: entity decode is one-generation by
+    // design — decoding `&lt;b&gt;` CREATES a tag a second pass would
+    // strip, so idempotence only holds for entity-free text (the same
+    // single-pass contract fixMojibake documents). For raw tags the law
+    // IS universal: any surviving '<' provably has no '>' after it.
+    val textGen = Gen.listOfN(80, Gen.frequency(
+      6 -> Gen.alphaNumChar, 2 -> Gen.const(' '),
+      1 -> Gen.oneOf('<', '>', '\n', '"'),
+      1 -> Gen.oneOf('é', '́', 'ü', '̈')))
+      .map(_.mkString)
+    val df = Gen.listOfN(150, textGen).sample.get.zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = graft.llm.TextAnalysis.stripHtml($"text")
+    val twice = graft.llm.TextAnalysis.stripHtml(once)
+    assert(df.filter(!(once <=> twice)).count() == 0,
+      "stripHtml must be idempotent")
+    // NFC: Unicode guarantees normalize(normalize(x)) == normalize(x)
+    val n1 = graft.functions.UnicodeExprs.nfc($"text")
+    val n2 = graft.functions.UnicodeExprs.nfc(n1)
+    assert(df.filter(!(n1 <=> n2)).count() == 0, "NFC must be idempotent")
+
+    // line dedup: removing >=K-doc lines leaves every surviving line's
+    // doc frequency unchanged, so a second pass removes nothing
+    val d1 = graft.llm.Paragraphs.dropCommon(df, "doc_id", "text", minDocs = 2)
+    val d2 = graft.llm.Paragraphs.dropCommon(d1, "doc_id", "text", minDocs = 2)
+    assert(d1.exceptAll(d2).isEmpty && d2.exceptAll(d1).isEmpty,
+      "dropCommon must be idempotent")
+  }
+
   test("ShingleHash equals builtin composition on random ASCII text (Spark)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
