@@ -1,8 +1,12 @@
 package graft
 import org.apache.spark.sql.SparkSession
 
-/** Benchmark main: one JSON line with per-query seconds. A failed query
-  * is reported per-name in "failed" and flips the exit code — a broken
+/** Benchmark main: two JSON lines — the full per-query map (totals at
+  * the END of the line so front-truncating tail captures keep them),
+  * then a compact totals-only summary as the very last stdout line (a
+  * complete JSON object under any tail capture). A failed query is
+  * reported per-name in "failed", records its elapsed-to-failure (not
+  * 0.0, which would deflate totals), and flips the exit code — a broken
   * query can never silently "pass" the bench. A warmup query runs
   * untimed first so JVM/session warmup doesn't land on the first
   * alphabetical query. Optional args restrict the run to the named
@@ -93,30 +97,33 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
       System.gc()
     }
-    // (name, warmMedianSec, coldSec, ok)
+    // (name, warmMedianSec, coldSec, ok). A failed query records its
+    // elapsed-to-failure (not 0.0) so totals aren't silently deflated —
+    // the "failed" list plus the exit code carry the failure signal.
     val results = selected.map { case (name, fn) =>
       settle()
-      def once(): Either[String, Double] = {
+      def once(): (Either[String, Unit], Double) = {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count(); Right((System.nanoTime() - t0) / 1e9) }
-        catch { case e: Throwable => Left(e.getMessage) }
+        val r = try { fn(spark, sfDir).count(); Right(()) }
+          catch { case e: Throwable => Left(e.getMessage) }
+        (r, (System.nanoTime() - t0) / 1e9)
       }
       once() match {
-        case Left(msg) =>
+        case (Left(msg), elapsed) =>
           System.err.println(s"[bench] $name FAILED: $msg")
-          (name, 0.0, 0.0, false)
-        case Right(cold) =>
+          (name, elapsed, elapsed, false)
+        case (Right(_), cold) =>
           // settle between iterations too: a query that checkpoints
           // (the dedup fixpoint) would otherwise feed its run-N blocks
           // into run N+1's timing — the same contamination mechanism,
           // one level down
           val warm = (2 to iters).map { _ => settle(); once() }
-          warm.collectFirst { case Left(msg) => msg } match {
-            case Some(msg) =>
+          warm.collectFirst { case (Left(msg), elapsed) => (msg, elapsed) } match {
+            case Some((msg, elapsed)) =>
               System.err.println(s"[bench] $name FAILED (warm rerun): $msg")
-              (name, 0.0, cold, false)
+              (name, elapsed, cold, false)
             case None =>
-              val ws = warm.collect { case Right(t) => t }.sorted
+              val ws = warm.collect { case (Right(_), t) => t }.sorted
               // median of warm runs; with no warm runs (iters=1) fall back to cold
               val med =
                 if (ws.isEmpty) cold
@@ -135,14 +142,29 @@ object Bench {
         (seen.updated(k, n), acc :+ (((if (n == 1) k else s"$k#$n"), v, c, ok)))
     }._2
     val failed = keyed.filterNot(_._4).map(_._1)
-    val qs = keyed.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+    // round to 0.1ms: halves the line length of the 70-query maps —
+    // the driver tail-captures stdout, and round 6's full-precision
+    // line outgrew the capture window, truncating from the FRONT and
+    // losing the totals that led the line
+    def r4(d: Double): String = BigDecimal(d)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    val qs = keyed.map { case (k, v, _, _) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val cs = keyed.map { case (k, _, c, _) => s"\"" + k + "\":" + c }
+    val cs = keyed.map { case (k, _, c, _) => s"\"" + k + "\":" + r4(c) }
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.map(_._2).sum
     val totalCold = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","iters":$iters,"queries":$qs,"cold":$cs,"total_cold":$totalCold,"failed":$fs,"sf":"$sfDir"}""")
+    // Two JSON lines, tail-capture-proof by construction:
+    //   1) the full line, per-query maps FIRST and scalar totals LAST,
+    //      so front-truncation still leaves the totals readable;
+    //   2) a compact summary as the VERY LAST stdout line so any tail
+    //      capture keeps a complete, parseable JSON object.
+    // "value" stays the warm-median sum (bench_version 2 tags the
+    // metric so earlier single-shot rounds aren't compared like-for-like).
+    val tail = s""""metric":"total","unit":"sec","bench_version":2,"iters":$iters,"value":${r4(total)},"total_cold":${r4(totalCold)},"failed":$fs,"sf":"$sfDir""""
+    println(s"""{"queries":$qs,"cold":$cs,$tail}""")
+    println(s"""{$tail}""")
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }
