@@ -82,7 +82,16 @@ object Sampling {
     * range its id-bucket falls in. Fractions must sum to 1 (±1e-9):
     * every row gets exactly one label — the partition property that
     * makes the split leak-proof, and the same id keeps the same label
-    * on any cluster, at any scale, forever. Shuffle-free projection. */
+    * on any cluster, at any scale, forever. Shuffle-free projection.
+    *
+    * Versioning note: cuts derive from the CUMULATIVE-rounded fractions
+    * (see below). Before this library's 0.6 line each fraction was
+    * rounded independently, so for some fraction maps an interior
+    * boundary sits one bucket away from where the old rule put it — a
+    * handful of rows near each cut carry a different label across
+    * versions. Determinism holds within a version: same ids + same
+    * fractions + same library ⇒ same labels, everywhere. Pin the
+    * library version if a split assignment must be replayed bit-exact. */
   def assignSplits(df: DataFrame, idCol: String,
                    fractions: Map[String, Double],
                    bucketFn: Column => Column = bucket): DataFrame = {

@@ -48,17 +48,21 @@ object TableProfile {
     }
     def distinctAgg(c: Column): Column =
       if (exact) countDistinct(c) else approx_count_distinct(c)
-    val aggs = names.flatMap { c =>
-      Seq(count(col(c)).as(s"__c_$c"),
-        distinctAgg(col(c)).as(s"__d_$c"),
-        min(col(c)).cast("string").as(s"__mn_$c"),
-        max(col(c)).cast("string").as(s"__mx_$c"))
+    // resolve data columns backtick-quoted and key internal aliases by
+    // INDEX, not name: a legal column name may contain dots (or even
+    // backticks), which bare col(c) would misparse as a nested-field path
+    def colQ(c: String): Column = col("`" + c.replace("`", "``") + "`")
+    val aggs = names.zipWithIndex.flatMap { case (c, i) =>
+      Seq(count(colQ(c)).as(s"__c_$i"),
+        distinctAgg(colQ(c)).as(s"__d_$i"),
+        min(colQ(c)).cast("string").as(s"__mn_$i"),
+        max(colQ(c)).cast("string").as(s"__mx_$i"))
     }
     val one = df.agg(count(lit(1)).as("__n"), aggs: _*)
     // stack(n, name1, nulls1, dst1, mn1, mx1, ...) → one row per column
-    val stackArgs = names.flatMap { c =>
-      Seq(lit(c), col("__n") - col(s"__c_$c"), col(s"__d_$c"),
-        col(s"__mn_$c"), col(s"__mx_$c"))
+    val stackArgs = names.zipWithIndex.flatMap { case (c, i) =>
+      Seq(lit(c), col("__n") - col(s"__c_$i"), col(s"__d_$i"),
+        col(s"__mn_$i"), col(s"__mx_$i"))
     }
     one.select(col("__n").as("n_rows"),
         stack(lit(names.size) +: stackArgs: _*)

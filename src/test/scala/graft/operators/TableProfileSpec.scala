@@ -48,6 +48,20 @@ class TableProfileSpec extends SparkSpec {
     assert(e.getMessage.contains("not profilable"))
   }
 
+  test("summarize: column names containing dots profile as columns, not field paths") {
+    val d = Seq((1L, "x"), (2L, "y"), (3L, null))
+      .toDF("order.key", "ship.mode")
+    val rows = TableProfile.summarize(d, exact = true)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4), r.getString(5))))
+      .toMap
+    assert(rows("order.key") == ((3L, 0L, 3L, "1", "3")))
+    assert(rows("ship.mode") == ((3L, 1L, 2L, "x", "y")))
+    // explicit request resolves the dotted name too
+    assert(TableProfile.summarize(d, Seq("ship.mode"), exact = true)
+      .count() == 1)
+  }
+
   test("summarize: approx mode plans without Expand; exact mode is one agg pass") {
     val li = sf("lineitem")
     val approxPlan = TableProfile.summarize(
