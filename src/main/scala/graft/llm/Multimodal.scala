@@ -9,11 +9,12 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus a feature-extraction stage
   * (north-star surface from BASELINE.json).
   *
-  * The decode seam ([[MediaDecoder]]) parses real IMAGE headers on the
-  * pure JVM — PNG IHDR / JPEG SOF / GIF screen descriptor via
-  * [[ImageHeaders]], no codec libs needed for dimensions — and STUBS
-  * the rest (pixel decode, audio, video: this container has no
-  * codecs) behind a deterministic fake. Everything Spark-side is
+  * The decode seam ([[MediaDecoder]]) parses real IMAGE and AUDIO
+  * headers on the pure JVM — PNG IHDR / JPEG SOF / GIF screen
+  * descriptor via [[ImageHeaders]], WAV/RIFF fmt+data chunks via
+  * [[AudioHeaders]]; no codec libs needed for dimensions/shape — and
+  * STUBS the rest (pixel decode, video: this container has no codecs)
+  * behind a deterministic fake. Everything Spark-side is
   * real and tested: the schema contract, the per-partition batched
   * execution (`mapPartitions`, the Scala analog of `mapInPandas` batch
   * shape), the partition sizing guidance, and the output plumbing.
@@ -153,19 +154,79 @@ object Multimodal {
     }
   }
 
-  /** The DEFAULT decoder: real image-header parsing (PNG/JPEG/GIF —
-    * [[ImageHeaders]], pure JVM, no codec libs) for `image` payloads
-    * whose bytes actually carry a known format, falling back to
-    * [[StubDecoder]]'s deterministic fake for everything else (audio/
-    * video — still no codecs in this container — and unrecognized
-    * bytes, which keeps synthetic text-byte fixtures and their oracles
-    * stable). */
+  /** Pure-JVM audio header parsing — WAV/RIFF: 12-byte RIFF/WAVE
+    * preamble, then a chunk walk (chunks are `id(4) size(4,LE) body`,
+    * word-aligned) reading the `fmt ` chunk's channels / sample rate /
+    * block align and the `data` chunk's byte length. Returns
+    * (sampleRate, frames, channels) — frames = data bytes / block
+    * align, so duration in seconds is frames / sampleRate — or None
+    * when the bytes are not a well-formed PCM-style WAV. */
+  object AudioHeaders {
+
+    private def u8(b: Array[Byte], i: Int): Int = b(i) & 0xff
+    private def le16(b: Array[Byte], i: Int): Int = u8(b, i) | (u8(b, i + 1) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      u8(b, i).toLong | (u8(b, i + 1).toLong << 8) |
+        (u8(b, i + 2).toLong << 16) | (u8(b, i + 3).toLong << 24)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def parseWav(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int)] = None // (channels, sampleRate, blockAlign)
+      var dataBytes = -1L
+      while (i + 8 <= b.length && (fmt.isEmpty || dataBytes < 0)) {
+        val id = tag(b, i)
+        val size = le32(b, i + 4)
+        if (size < 0 || i + 8 + size > b.length) return None
+        if (id == "fmt " && size >= 16) {
+          val channels = le16(b, i + 10)
+          val rate = le32(b, i + 12)
+          val blockAlign = le16(b, i + 20)
+          if (channels < 1 || rate < 1 || rate > Int.MaxValue || blockAlign < 1)
+            return None
+          fmt = Some((channels, rate.toInt, blockAlign))
+        } else if (id == "data") dataBytes = size
+        i += 8 + size.toInt + (size.toInt & 1) // chunks are word-aligned
+      }
+      fmt.flatMap { case (channels, rate, blockAlign) =>
+        if (dataBytes < 0) None
+        else {
+          val frames = dataBytes / blockAlign
+          if (frames > Int.MaxValue) None
+          else Some((rate, frames.toInt, channels))
+        }
+      }
+    }
+  }
+
+  /** The DEFAULT decoder: real header parsing on the pure JVM — image
+    * dimensions via [[ImageHeaders]] (PNG/JPEG/GIF), audio shape via
+    * [[AudioHeaders]] (WAV/RIFF: the triple reads as sampleRate ×
+    * frames × channels) — falling back to [[StubDecoder]]'s
+    * deterministic fake for everything else (video — still no codecs
+    * in this container — and unrecognized bytes, which keeps synthetic
+    * text-byte fixtures and their oracles stable).
+    *
+    * Default-change note (r6): [[extractFeatures]]' default moved from
+    * [[StubDecoder]] to this decoder. A payload whose bytes HAPPEN to
+    * open with a real signature ("GIF87a"/"GIF89a" is the one
+    * reachable from plain ASCII; "RIFF…WAVE" needs binary-shaped
+    * bytes) now yields parsed header values instead of the stub
+    * formula — a fixture relying on the stub for such bytes must pass
+    * `decoder = StubDecoder` explicitly. */
   object HeaderDecoder extends MediaDecoder {
     def decode(mediaType: String, payload: Array[Byte]): (Int, Int, Int) =
-      if (mediaType == "image")
-        ImageHeaders.parse(payload)
-          .getOrElse(StubDecoder.decode(mediaType, payload))
-      else StubDecoder.decode(mediaType, payload)
+      mediaType match {
+        case "image" =>
+          ImageHeaders.parse(payload)
+            .getOrElse(StubDecoder.decode(mediaType, payload))
+        case "audio" =>
+          AudioHeaders.parseWav(payload)
+            .getOrElse(StubDecoder.decode(mediaType, payload))
+        case _ => StubDecoder.decode(mediaType, payload)
+      }
   }
 
   private def fnv(bytes: Array[Byte]): Long = {
@@ -176,7 +237,10 @@ object Multimodal {
   }
 
   /** Batched per-partition feature extraction (the mapInPandas analog):
-    * each task iterates its partition once, feeding the decoder. */
+    * each task iterates its partition once, feeding the decoder. The
+    * default decoder is [[HeaderDecoder]] (real PNG/JPEG/GIF/WAV header
+    * parse, stub fallback) — see its default-change note; pass
+    * [[StubDecoder]] to force the legacy stub formula everywhere. */
   def extractFeatures(media: DataFrame,
                       decoder: MediaDecoder = HeaderDecoder): DataFrame = {
     val enc = ExpressionEncoder(featureSchema)

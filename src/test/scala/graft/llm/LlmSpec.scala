@@ -551,7 +551,7 @@ class LlmSpec extends SparkSpec {
     assert(ImageHeaders.parse(pngBytes(1920, 1080, 6).take(20)).isEmpty)
 
     // through the Spark seam: real headers parse, text bytes fall back
-    // to the stub's deterministic fake, audio stays stubbed
+    // to the stub's deterministic fake, non-WAV audio stays stubbed
     val media = Seq(
       (1L, "image", pngBytes(1920, 1080, 6)),
       (2L, "image", jpegBytes(640, 480, 3, 0xc0)),
@@ -565,6 +565,57 @@ class LlmSpec extends SparkSpec {
     val t = "not really an image".getBytes
     assert(f(3L) == ((64 + (t(0) & 0xff) * 8, 64 + (t(1) & 0xff) * 8, 3)))
     assert(f(4L) == ((100, 1, 1)))
+  }
+
+  test("multimodal: real WAV/RIFF header decode, stub fallback elsewhere") {
+    import Multimodal.AudioHeaders
+    import java.nio.{ByteBuffer, ByteOrder}
+    def wavBytes(channels: Int, rate: Int, bitsPerSample: Int, frames: Int,
+                 leadChunk: Option[Array[Byte]] = None): Array[Byte] = {
+      val blockAlign = channels * bitsPerSample / 8
+      val dataSize = frames * blockAlign
+      val lead = leadChunk.map { body =>
+        val pad = body.length & 1 // odd chunk bodies carry a pad byte
+        val b = ByteBuffer.allocate(8 + body.length + pad)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        b.put("JUNK".getBytes); b.putInt(body.length); b.put(body)
+        b.array()
+      }.getOrElse(Array.empty[Byte])
+      val bb = ByteBuffer.allocate(12 + lead.length + 24 + 8 + dataSize)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes); bb.putInt(bb.capacity() - 8); bb.put("WAVE".getBytes)
+      bb.put(lead)
+      bb.put("fmt ".getBytes); bb.putInt(16)
+      bb.putShort(1); bb.putShort(channels.toShort); bb.putInt(rate)
+      bb.putInt(rate * blockAlign); bb.putShort(blockAlign.toShort)
+      bb.putShort(bitsPerSample.toShort)
+      bb.put("data".getBytes); bb.putInt(dataSize)
+      bb.array()
+    }
+
+    // stereo 16-bit 44.1kHz, one second worth of frames
+    assert(AudioHeaders.parseWav(wavBytes(2, 44100, 16, 44100))
+      .contains((44100, 44100, 2)))
+    // mono 8-bit; and a leading odd-sized chunk exercises word alignment
+    assert(AudioHeaders.parseWav(wavBytes(1, 8000, 8, 1600))
+      .contains((8000, 1600, 1)))
+    assert(AudioHeaders.parseWav(
+        wavBytes(1, 16000, 16, 320, leadChunk = Some(Array[Byte](1, 2, 3))))
+      .contains((16000, 320, 1)))
+    // not WAV / truncated → None (the stub-fallback trigger)
+    assert(AudioHeaders.parseWav("plain text bytes here".getBytes).isEmpty)
+    assert(AudioHeaders.parseWav(wavBytes(2, 44100, 16, 100).take(30)).isEmpty)
+    assert(AudioHeaders.parseWav("RIFF1234WAVE".getBytes).isEmpty)
+
+    // through the Spark seam: WAV parses, non-WAV audio keeps the stub
+    val media = Seq(
+      (1L, "audio", wavBytes(2, 48000, 16, 9600)),
+      (2L, "audio", Array.fill(64)(3.toByte))
+    ).toDF("media_id", "media_type", "payload")
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    assert(f(1L) == ((48000, 9600, 2)))
+    assert(f(2L) == ((64, 1, 1)))
   }
 
   test("multimodal: stub decode features are deterministic and typed") {
