@@ -329,6 +329,38 @@ object SparkEntry {
         .select(col("p_partkey"), col("retail_cents"), col("brand_lc"))
     },
 
+    // --- U1 + decimalMode="exact": the write-boundary DecimalType(38,18)
+    // cast, end-to-end through the engine so the YAML `decimal_mode` flag
+    // can't rot. The written file's decimal schema is asserted IN the
+    // query (a silent no-op of the mode throws, failing the gate); the
+    // compared values are the decimals cast back to double — an exact
+    // round-trip (the cast goes through the double's shortest decimal
+    // repr, which (38,18) holds losslessly for these magnitudes), and
+    // the form the gate's float-vs-decimal normalization compares
+    // robustly. key_half = suppkey * 1.5 exercises a derived column
+    // (every value n/2, exactly representable in binary and decimal).
+    "q_decimal_transfer" -> { (s, dir) =>
+      val outDir = scratch("decimal_out")
+      val cfg = graft.engine.JobConfig(
+        source = s"$dir/supplier.parquet",
+        target = s"$outDir.parquet",
+        transform = graft.engine.TransformSpec(
+          inline = Some("key_half=row.s_suppkey * 1.5")),
+        decimalMode = "exact",
+        truncate = true)
+      new graft.engine.TransferEngine(cfg).execute(s)
+      val back = s.read.parquet(s"$outDir.parquet")
+      val dec = org.apache.spark.sql.types.DecimalType(38, 18)
+      Seq("s_acctbal", "key_half").foreach { c =>
+        val dt = back.schema(c).dataType
+        require(dt == dec,
+          s"decimal_mode=exact must write $c as $dec, found $dt")
+      }
+      back.select(col("s_suppkey"),
+        col("s_acctbal").cast("double").as("acctbal"),
+        col("key_half").cast("double").as("key_half"))
+    },
+
     // --- S5–S9/T5–T9 JDBC spine, LIVE over the embedded Derby engine
     // that ships in Spark's own distribution: parquet → jdbc target
     // (create-on-write, reference truncate semantics, transfer.rs:92-118)
@@ -1247,6 +1279,12 @@ object SparkEntry {
 
     "q_jdbc_roundtrip" ->
       "SELECT s_suppkey, s_name, s_nationkey, s_acctbal FROM supplier",
+
+    "q_decimal_transfer" ->
+      """SELECT s_suppkey,
+        |  s_acctbal AS acctbal,
+        |  CAST(s_suppkey * 1.5 AS DOUBLE) AS key_half
+        |FROM supplier""".stripMargin,
 
     "q_lua_file" ->
       """SELECT c_custkey, upper(c_name) AS name_up, c_acctbal * 2 AS bal2
