@@ -78,6 +78,8 @@ object Main {
           case RunYaml(f) =>
             val r = YamlJob.load(f)
             r.curation match {
+              case Some(cur) if cur.mode == "stream" =>
+                runCurationStream(r.cfg, cur, r.preview, r.dryRun, r.logLevel)
               case Some(cur) => runCuration(r.cfg, cur, r.preview, r.dryRun, r.logLevel)
               case None => runTransfer(r.cfg, r.preview, r.dryRun, r.logLevel)
             }
@@ -400,6 +402,97 @@ object Main {
           println(f"Kept $rows rows$shardNote in $secs%.2fs")
           0
       }
+    } finally if (!preExisting) spark.stop()
+  }
+
+  /** Runs a YAML job with `curation: mode: stream` — the continuous-
+    * ingest shape: [[graft.sources.Connectors.readStream]] supplies the
+    * source frame, the surrounding job's validate/transform stages run
+    * per micro-batch ([[TransferEngine.planOver]]), the per-row curation
+    * stages + watermark-bounded dedup stream through
+    * [[graft.llm.Curation.pipelineStream]], and the file sink writes
+    * under the YAML's `checkpoint` for exactly-once output. `trigger:
+    * available_now` (default) drains what exists and exits — the
+    * testable run shape; an interval string (e.g. "30 seconds") runs
+    * until killed. Batch-only knobs (observed, shards, preview/dry-run,
+    * skip_existing, and the corpus-wide pipeline stages) are rejected
+    * loudly. */
+  def runCurationStream(cfg: JobConfig, cur: YamlJob.CurationSpec,
+                        preview: Option[Int], dryRun: Boolean,
+                        logLevel: String): Int = {
+    import graft.llm.{Curation, Sampling}
+    import org.apache.spark.sql.streaming.Trigger
+    if (preview.isDefined || dryRun)
+      throw GraftError.Configuration(
+        "preview/dry_run are batch modes — run the same YAML with " +
+          "curation mode: batch to inspect the pipeline")
+    if (cur.observed)
+      throw GraftError.Configuration(
+        "observed stage counts need a batch run (streaming observations " +
+          "never finalize); use curation mode: batch")
+    if (cur.shards.isDefined)
+      throw GraftError.Configuration(
+        "shards need a batch run (the deterministic global shuffle is " +
+          "corpus-wide); use curation mode: batch over the stream's output")
+    // required by the YAML loader for mode: stream — guard for API callers
+    val tsCol = cur.tsColumn.getOrElse(throw GraftError.Configuration(
+      "curation mode=stream needs ts_column"))
+    val checkpoint = cur.checkpoint.getOrElse(throw GraftError.Configuration(
+      "curation mode=stream needs checkpoint"))
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = session(logLevel)
+    try {
+      def info(msg: String): Unit =
+        if (logLevel == "info") System.err.println(msg)
+      info(s"→ Source (stream): ${cfg.source}")
+      info(s"→ Target: ${cfg.target}")
+      val src = graft.sources.Connectors.readStream(
+        spark, cfg.source, cfg.sourceOptions)
+      val input = new TransferEngine(cfg).planOver(spark, src)
+      val pc = graft.llm.Curation.PipelineConfig(
+        blocklist = cur.blocklist,
+        maxDupWordFrac = cur.maxDupWordFrac,
+        maxDupNgramFrac = cur.maxDupNgramFrac,
+        maxTopNgramFrac = cur.maxTopNgramFrac,
+        repetitionN = cur.repetitionN,
+        sampleFraction = cur.sampleFraction,
+        bucketFn =
+          if (cur.portableBucket) Sampling.portableBucket else Sampling.bucket,
+        // forwarded so pipelineStream can reject it loudly — dropping
+        // it here would silently ignore the YAML knob
+        persistSurvivors = cur.persistSurvivors,
+        stripHtml = cur.stripHtml,
+        fixMojibake = cur.fixMojibake,
+        normalizeUnicode = cur.normalizeUnicode)
+      val curated = Curation.pipelineStream(
+        input, cur.idColumn, cur.textColumn, tsCol, cur.dedupHorizon, pc)
+      // an extension-less target is a parquet directory — the same
+      // default layout the batch curation shard writer produces
+      val ref =
+        try graft.sources.Connectors.parse(cfg.target, cfg.targetOptions)
+        catch {
+          case _: graft.sources.Connectors.UnsupportedUri =>
+            graft.sources.Connectors.Ref("parquet", cfg.target)
+        }
+      val fmt = ref.kind match {
+        case k @ ("parquet" | "orc" | "csv" | "json") => k
+        case other => throw GraftError.Configuration(
+          s"streaming target must be a parquet/orc/csv/json directory, " +
+            s"got '$other' (uri '${cfg.target}')")
+      }
+      val trig =
+        if (cur.trigger == "available_now") Trigger.AvailableNow()
+        else Trigger.ProcessingTime(cur.trigger)
+      val q = curated.writeStream
+        .format(fmt)
+        .option("path", ref.path)
+        .option("checkpointLocation", checkpoint)
+        .options(cfg.targetOptions - "sourceType")
+        .trigger(trig)
+        .start()
+      q.awaitTermination()
+      println("Streaming curation completed successfully!")
+      0
     } finally if (!preExisting) spark.stop()
   }
 

@@ -61,6 +61,22 @@ class TransferEngine(cfg: JobConfig) {
   def plan(spark: SparkSession): DataFrame =
     applyTransforms(spark, sourceFrame(spark))
 
+  /** The validate → transform stages over an externally built source
+    * frame — the streaming curation path reads via
+    * [[Connectors.readStream]] and runs the EXACT batch stage bodies on
+    * the stream (they are column expressions; parity is structural).
+    * skip-existing is a batch anti-join and must be off. */
+  def planOver(spark: SparkSession, source: DataFrame): DataFrame = {
+    if (source.isStreaming && cfg.skipExisting)
+      throw graft.core.GraftError.Configuration(
+        "skip_existing cannot stream (it anti-joins the target's current " +
+          "keys, a batch-time snapshot) — deduplicate in the curation " +
+          "stage instead")
+    var df = source
+    cfg.schemaFile.foreach(p => df = Validation(df, SchemaFile.fromFile(p)))
+    applyTransforms(spark, df)
+  }
+
   /** Transform + skip-existing stages over an already-built source
     * frame — split out so preview can render both stages from ONE
     * source build (a second build would re-download http/ssh sources

@@ -55,10 +55,24 @@ object YamlJob {
     * hash (`xxhash64` default; `portable` is the SQL-replayable Knuth
     * bucket any engine can reproduce). The source/transform/schema
     * stages of the surrounding job run BEFORE curation, so a YAML job
-    * can clean, reshape, then curate in one file. */
+    * can clean, reshape, then curate in one file.
+    *
+    * `mode: stream` switches the job to
+    * [[graft.llm.Curation.pipelineStream]] (continuous ingest): the
+    * source becomes a file-stream directory, `ts_column` (required)
+    * names the event-time column for the dedup watermark,
+    * `dedup_horizon` sizes the bounded dedup state, `checkpoint`
+    * (required) is the streaming checkpoint dir, and `trigger` is
+    * `available_now` (drain-what-exists, the testable default) or a
+    * processing-time interval like `"30 seconds"`. */
   final case class CurationSpec(
       idColumn: String,
       textColumn: String,
+      mode: String = "batch",                 // batch | stream
+      tsColumn: Option[String] = None,
+      dedupHorizon: String = "1 hour",
+      checkpoint: Option[String] = None,
+      trigger: String = "available_now",
       blocklist: Seq[String] = Nil,
       maxDupWordFrac: Double = 0.3,
       maxDupNgramFrac: Double = 0.3,
@@ -203,7 +217,8 @@ object YamlJob {
         "max_dup_word_frac", "max_dup_ngram_frac", "max_top_ngram_frac",
         "repetition_n", "sample_fraction", "persist_survivors",
         "observed", "bucket", "strip_html", "fix_mojibake", "normalize_unicode", "line_dedup_min_docs", "contamination",
-        "token_budget", "token_budget_shards", "shards")
+        "token_budget", "token_budget_shards", "shards",
+        "mode", "ts_column", "dedup_horizon", "checkpoint", "trigger")
       // misspelled knobs must be loud — a silently ignored
       // `sample_fracton: 0.01` would ship 100× the intended corpus;
       // the same rule applies INSIDE the nested maps (a typo'd
@@ -237,9 +252,33 @@ object YamlJob {
       if (bucket != "xxhash64" && bucket != "portable")
         throw graft.core.GraftError.Configuration(
           s"curation bucket must be xxhash64|portable, got '$bucket'")
+      val mode = c.get("mode").map(_.toString).getOrElse("batch")
+      if (mode != "batch" && mode != "stream")
+        throw graft.core.GraftError.Configuration(
+          s"curation mode must be batch|stream, got '$mode'")
+      val tsColumn = c.get("ts_column").map(v => sub(v.toString))
+      val checkpoint = c.get("checkpoint").map(v => sub(v.toString))
+      if (mode == "stream") {
+        // fail at LOAD time, not after the stream is half-built
+        if (tsColumn.isEmpty)
+          throw graft.core.GraftError.Configuration(
+            "curation mode=stream needs ts_column (event-time column " +
+              "for the dedup watermark)")
+        if (checkpoint.isEmpty)
+          throw graft.core.GraftError.Configuration(
+            "curation mode=stream needs checkpoint (streaming " +
+              "checkpoint directory)")
+      }
       CurationSpec(
         idColumn = str("id_column"),
         textColumn = str("text_column"),
+        mode = mode,
+        tsColumn = tsColumn,
+        dedupHorizon = c.get("dedup_horizon").map(_.toString)
+          .getOrElse("1 hour"),
+        checkpoint = checkpoint,
+        trigger = c.get("trigger").map(_.toString)
+          .getOrElse("available_now"),
         blocklist = c.get("blocklist").flatMap(Option(_)) match {
           case Some(l: java.util.List[_]) =>
             l.asScala.toSeq.map(v => sub(String.valueOf(v)))

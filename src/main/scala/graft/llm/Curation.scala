@@ -173,6 +173,9 @@ object Curation {
     * budget all need the whole corpus (doc frequencies / probe-overlap
     * ratios / global running sums) — run them in a periodic batch
     * compaction over the stream's output instead.
+    * [[PipelineConfig.persistSurvivors]] is rejected under the same
+    * loudness contract: micro-batches evaluate their plan once, so the
+    * batch knob's storage-for-compute trade has nothing to buy here.
     *
     * @param tsCol event-time column for the dedup watermark
     */
@@ -187,6 +190,14 @@ object Curation {
       throw graft.core.GraftError.Configuration(
         s"$name is corpus-wide and cannot stream — run it as a batch " +
           "compaction over the stream's output")
+    // not corpus-wide, but still meaningless on a stream: the knob's
+    // localCheckpoint is a batch materialization, and each micro-batch
+    // already evaluates its plan exactly once — reject rather than
+    // silently ignore (the same loudness contract as above)
+    if (cfg.persistSurvivors)
+      throw graft.core.GraftError.Configuration(
+        "persistSurvivors cannot stream — micro-batches evaluate once; " +
+          "there is no double-evaluation to trade storage against")
     val afterUrls =
       if (cfg.blocklist.isEmpty) df
       else Urls.filterBlocked(df, textCol, cfg.blocklist)

@@ -131,6 +131,47 @@ object Connectors {
     case other  => throw UnsupportedUri(other, Supported)
   }
 
+  /** Streaming read for the continuous-ingest curation path: file
+    * directories only (a stream needs a replayable listing; JDBC/HTTP/
+    * SSH are one-shot probes, and the RDD-based Avro connector cannot
+    * stream). Schema comes from ONE batch pass over the same path —
+    * the standard file-stream pattern (the source must declare its
+    * schema up front) — and for CSV the 1000-row sampled cell-typing
+    * inference runs on that batch pass while the CAST CHAIN applies
+    * per micro-batch, so streamed CSV gets the exact S1 typing
+    * semantics (multi-format dates, strict booleans), not Spark's
+    * native inference. */
+  def readStream(spark: SparkSession, uri: String,
+                 options: Map[String, String] = Map.empty): DataFrame = {
+    val ref = parse(uri, options)
+    ref.kind match {
+      case "parquet" =>
+        spark.readStream.schema(spark.read.parquet(ref.path).schema)
+          .parquet(ref.path)
+      case "orc" =>
+        spark.readStream.schema(spark.read.orc(ref.path).schema)
+          .orc(ref.path)
+      case "csv" =>
+        // same NUL-wrapped null sentinel as CellInference.readCsv ("",
+        // not null, must reach classify; no legal CSV cell can equal it)
+        val sentinel = "\u0000never\u0000"
+        val rawBatch = spark.read
+          .option("header", "true")
+          .option("inferSchema", "false")
+          .option("nullValue", sentinel)
+          .csv(ref.path)
+        val cols = CellInference.inferColumns(rawBatch)
+        val rawStream = spark.readStream.schema(rawBatch.schema)
+          .option("header", "true")
+          .option("nullValue", sentinel)
+          .csv(ref.path)
+        CellInference.applyTypes(rawStream, cols)
+      case other => throw graft.core.GraftError.Configuration(
+        s"streaming source must be a parquet/orc/csv directory, " +
+          s"got '$other' (uri '$uri')")
+    }
+  }
+
   /** JDBC scan with the reference's keyset-pagination idea mapped to
     * Spark's native parallelism (odbc.rs:196-256 → partitionColumn):
     *

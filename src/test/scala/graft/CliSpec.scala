@@ -645,6 +645,98 @@ class CliSpec extends SparkSpec {
       c.shards.contains(YamlJob.ShardSpec(64, 42L)) && c.observed))
   }
 
+  test("curation yaml mode=stream e2e: continuous ingest matches batch") {
+    val dir = tmpDir("cli_curation_stream")
+    val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")
+    // corpus: 30 clean docs, 1 blocklisted doc, 1 exact duplicate of
+    // doc 3, 1 degenerate repeated-word doc
+    val docs =
+      (0L until 30L).map(i =>
+        (i, s"streamed clean document $i about topic ${i % 5} unique words $i", ts)) ++
+      Seq(
+        (100L, "spammy doc citing http://evil.spam.example.com/buy now", ts),
+        (101L, "streamed clean document 3 about topic 3 unique words 3", ts),
+        (102L, ("spam " * 40).trim, ts))
+    spark.createDataFrame(docs).toDF("doc_id", "text", "ts")
+      .write.parquet(s"$dir/docs.parquet")
+    writeText(s"$dir/job.yaml",
+      s"""version: "1.0"
+         |source:
+         |  uri: "$dir/docs.parquet"
+         |target:
+         |  uri: "$dir/corpus"
+         |curation:
+         |  id_column: doc_id
+         |  text_column: text
+         |  mode: stream
+         |  ts_column: ts
+         |  dedup_horizon: "10 minutes"
+         |  checkpoint: "$dir/ckpt"
+         |  blocklist: [spam.example.com]
+         |  max_dup_word_frac: 0.8
+         |""".stripMargin)
+    val r = YamlJob.load(s"$dir/job.yaml")
+    val cur = r.curation.get
+    assert(cur.mode == "stream" && cur.tsColumn.contains("ts"))
+    assert(cur.checkpoint.contains(s"$dir/ckpt"))
+    assert(cur.dedupHorizon == "10 minutes" && cur.trigger == "available_now")
+    assert(runCurationStream(r.cfg, cur, r.preview, r.dryRun, "error") == 0)
+
+    val ids = spark.read.parquet(s"$dir/corpus")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    // blocked and degenerate docs never survive; the duplicate pair
+    // keeps exactly one member (stream dedup keeps FIRST ARRIVAL, which
+    // unlike the batch min-id rule is not ordained across file splits)
+    assert(!ids.contains(100L) && !ids.contains(102L))
+    assert((ids & Set(3L, 101L)).size == 1)
+    // modulo that one identity, the stream's answer IS the batch
+    // pipeline's answer on the same corpus
+    val batchIds = graft.llm.Curation.pipeline(
+        spark.read.parquet(s"$dir/docs.parquet"), "doc_id", "text",
+        graft.llm.Curation.PipelineConfig(
+          blocklist = Seq("spam.example.com"), maxDupWordFrac = 0.8))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids -- Set(3L, 101L) == batchIds -- Set(3L, 101L))
+    assert(ids.size == batchIds.size)
+
+    // a second AvailableNow run over the same checkpoint drains nothing
+    // new: exactly-once output, no duplicated rows
+    assert(runCurationStream(r.cfg, cur, None, dryRun = false, "error") == 0)
+    assert(spark.read.parquet(s"$dir/corpus").count() == ids.size)
+
+    // load-time loudness: stream mode without ts_column / checkpoint
+    intercept[GraftError.Configuration](YamlJob.loadYaml(
+      s"""source: {uri: a.parquet}
+         |target: {uri: b}
+         |curation: {id_column: id, text_column: t, mode: stream, checkpoint: /tmp/c}
+         |""".stripMargin))
+    intercept[GraftError.Configuration](YamlJob.loadYaml(
+      s"""source: {uri: a.parquet}
+         |target: {uri: b}
+         |curation: {id_column: id, text_column: t, mode: stream, ts_column: ts}
+         |""".stripMargin))
+    intercept[GraftError.Configuration](YamlJob.loadYaml(
+      s"""source: {uri: a.parquet}
+         |target: {uri: b}
+         |curation: {id_column: id, text_column: t, mode: continuous}
+         |""".stripMargin))
+    // batch-only knobs are rejected loudly at run time
+    intercept[GraftError.Configuration](
+      runCurationStream(r.cfg, cur.copy(observed = true), None, false, "error"))
+    intercept[GraftError.Configuration](
+      runCurationStream(r.cfg,
+        cur.copy(shards = Some(YamlJob.ShardSpec(4, 7L))), None, false, "error"))
+    intercept[GraftError.Configuration](
+      runCurationStream(r.cfg, cur, Some(5), false, "error"))
+    intercept[GraftError.Configuration](
+      runCurationStream(r.cfg.copy(skipExisting = true), cur, None, false, "error"))
+    // persistSurvivors: rejected inside pipelineStream (advice r6 —
+    // no silent ignore)
+    intercept[GraftError.Configuration](
+      runCurationStream(r.cfg,
+        cur.copy(persistSurvivors = true), None, false, "error"))
+  }
+
   test("profile subcommand: parse forms, box output, typed errors") {
     val p = parse(List("profile", "data.parquet",
       "--columns=a,b", "--exact")).asInstanceOf[Profile]
