@@ -320,10 +320,12 @@ object Main {
       info(s"→ Target: ${cfg.target}")
       // read → validate → transform, the transfer engine's exact plan
       val input = new TransferEngine(cfg).plan(spark)
-      // the decontamination probe corpus reads through the same
-      // connector factory as any source
+      // the decontamination probe corpus and the incremental reference
+      // snapshot read through the same connector factory as any source
       val probeFrames = cur.contamination.map(cs =>
         graft.sources.Connectors.read(spark, cs.probesUri, Map.empty))
+      val refFrame = cur.referenceUri.map(u =>
+        graft.sources.Connectors.read(spark, u, Map.empty))
       val pc = Curation.PipelineConfig(
         blocklist = cur.blocklist,
         maxDupWordFrac = cur.maxDupWordFrac,
@@ -338,6 +340,7 @@ object Main {
         fixMojibake = cur.fixMojibake,
         normalizeUnicode = cur.normalizeUnicode,
         lineDedupMinDocs = cur.lineDedupMinDocs,
+        referenceSnapshot = refFrame,
         contaminationProbes = probeFrames,
         contaminationProbeTextCol =
           cur.contamination.map(_.textColumn).getOrElse("text"),
@@ -391,7 +394,8 @@ object Main {
             val m = c()
             println("Curation stage counts:")
             // fixed stage order; optional stages appear when configured
-            Seq("input", "after_urls", "after_repetition", "after_dedup",
+            Seq("input", "after_urls", "after_repetition",
+              "after_reference", "after_dedup",
               "after_decontamination", "kept")
               .filter(m.contains).foreach(k =>
                 println(f"  $k%-22s ${m(k)}%10d"))
@@ -449,6 +453,10 @@ object Main {
       val src = graft.sources.Connectors.readStream(
         spark, cfg.source, cfg.sourceOptions)
       val input = new TransferEngine(cfg).planOver(spark, src)
+      // the incremental reference snapshot is a STATIC frame joined
+      // against every micro-batch (stream-static anti-join)
+      val refFrame = cur.referenceUri.map(u =>
+        graft.sources.Connectors.read(spark, u, Map.empty))
       val pc = graft.llm.Curation.PipelineConfig(
         blocklist = cur.blocklist,
         maxDupWordFrac = cur.maxDupWordFrac,
@@ -463,7 +471,8 @@ object Main {
         persistSurvivors = cur.persistSurvivors,
         stripHtml = cur.stripHtml,
         fixMojibake = cur.fixMojibake,
-        normalizeUnicode = cur.normalizeUnicode)
+        normalizeUnicode = cur.normalizeUnicode,
+        referenceSnapshot = refFrame)
       val curated = Curation.pipelineStream(
         input, cur.idColumn, cur.textColumn, tsCol, cur.dedupHorizon, pc)
       // an extension-less target is a parquet directory — the same

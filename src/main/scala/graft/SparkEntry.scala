@@ -684,6 +684,27 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // --- the incremental-curation COMPOSITION: referenceSnapshot wired
+    // through Curation.pipeline, ordered BEFORE in-batch dedup — a copy
+    // (id+300000) of referenced content must vanish with its original
+    // (reference stage), while copies of unreferenced content collapse
+    // to min-id (dedup stage). Each stage is oracle-gated on its own
+    // elsewhere; this row gates the ORDER of the composition. The
+    // repetition thresholds sit at 1.0 (vacuously true) so the oracle
+    // stays the two joins under test ---
+    "q_curation_incremental" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val copies = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text"))
+      val ref = docs.filter(pmod(col("doc_id"), lit(4)) === 0).select(col("text"))
+      Curation.pipeline(docs.union(copies), "doc_id", "text",
+          Curation.PipelineConfig(
+            maxDupWordFrac = 1.0, maxDupNgramFrac = 1.0,
+            maxTopNgramFrac = 1.0,
+            referenceSnapshot = Some(ref)))
+        .select(col("doc_id"))
+    },
+
     // --- corpus-trained unigram LM scoring (perplexity-proxy quality
     // filter): vocab = top-30 words (corpus counts ~900 at sf0.01 vs 30
     // for the first excluded word — real margin), OOV floor 1/total.
@@ -1715,6 +1736,20 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents r
         |  WHERE r.doc_id % 3 = 0 AND r.text IS NOT DISTINCT FROM d.text)""".stripMargin,
+
+    "q_curation_incremental" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 300000, text FROM documents WHERE doc_id % 5 = 0
+        |), fresh AS (
+        |  SELECT doc_id, text FROM corpus c
+        |  WHERE NOT EXISTS (
+        |    SELECT 1 FROM documents r
+        |    WHERE r.doc_id % 4 = 0 AND r.text IS NOT DISTINCT FROM c.text)
+        |)
+        |SELECT doc_id FROM fresh
+        |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)""".stripMargin,
 
     "q_lm_score" ->
       """WITH corpus AS (

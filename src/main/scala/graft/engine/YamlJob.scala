@@ -86,6 +86,11 @@ object YamlJob {
       fixMojibake: Boolean = false,
       normalizeUnicode: Option[String] = None,
       lineDedupMinDocs: Option[Int] = None,
+      /** `reference: <uri>` — a previous curated snapshot (any graft
+        * source); documents whose content already exists there are
+        * dropped before in-batch dedup (incremental, "don't re-ingest
+        * the last crawl" ingestion). */
+      referenceUri: Option[String] = None,
       contamination: Option[ContaminationSpec] = None,
       tokenBudget: Option[Long] = None,
       tokenBudgetShards: Int = 64,
@@ -218,7 +223,8 @@ object YamlJob {
         "repetition_n", "sample_fraction", "persist_survivors",
         "observed", "bucket", "strip_html", "fix_mojibake", "normalize_unicode", "line_dedup_min_docs", "contamination",
         "token_budget", "token_budget_shards", "shards",
-        "mode", "ts_column", "dedup_horizon", "checkpoint", "trigger")
+        "mode", "ts_column", "dedup_horizon", "checkpoint", "trigger",
+        "reference")
       // misspelled knobs must be loud — a silently ignored
       // `sample_fracton: 0.01` would ship 100× the intended corpus;
       // the same rule applies INSIDE the nested maps (a typo'd
@@ -313,6 +319,7 @@ object YamlJob {
         },
         lineDedupMinDocs = c.get("line_dedup_min_docs")
           .map(v => intOpt("line_dedup_min_docs", v)),
+        referenceUri = c.get("reference").map(v => sub(v.toString)),
         contamination = c.get("contamination").flatMap(Option(_)).map {
           case m: JMap[_, _] =>
             val mm = m.asInstanceOf[JMap[String, Object]].asScala

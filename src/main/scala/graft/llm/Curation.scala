@@ -17,10 +17,12 @@ import org.apache.spark.sql.functions._
   *                         dup-n-gram / modal-n-gram thresholds);
   *   6. [line dedup]     — strip lines shared by >= K docs, so
   *                         footer-differing copies collapse next;
-  *   7. exact dedup      — keep the smallest id per identical content;
-  *   8. [decontaminate]  — drop benchmark-overlapping documents;
-  *   9. sampling         — deterministic hash sample of the survivors;
-  *  10. [token budget]   — deterministic ~N-token prefix cut.
+  *   7. [incremental]    — drop content already shipped in a reference
+  *                         snapshot (the previous crawl's corpus);
+  *   8. exact dedup      — keep the smallest id per identical content;
+  *   9. [decontaminate]  — drop benchmark-overlapping documents;
+  *  10. sampling         — deterministic hash sample of the survivors;
+  *  11. [token budget]   — deterministic ~N-token prefix cut.
   *
   * Bracketed stages are opt-in via [[PipelineConfig]]; all ten are
   * reachable from a YAML job file (`curation:` section). Order matters
@@ -84,6 +86,16 @@ object Curation {
         * dedup correctly once the footer is gone. Rewrites text, never
         * drops rows. */
       lineDedupMinDocs: Option[Int] = None,
+      /** When set, drop documents whose CONTENT already exists in this
+        * reference snapshot — the previous crawl's curated corpus, read
+        * for its text column only ([[Dedup.againstReference]]: keys-only
+        * semi/anti joins on 16-byte content hashes; the "don't re-ingest
+        * the last crawl" production shape). Runs BETWEEN the line
+        * rewrite and in-batch exact dedup, so previously-shipped content
+        * can never survive as this batch's canonical. In
+        * [[pipelineStream]] the same stage streams as one stream-static
+        * anti-join on the hash. */
+      referenceSnapshot: Option[DataFrame] = None,
       /** When set, run [[Contamination.decontaminate]] against this
         * probe corpus AFTER dedup and BEFORE sampling (so the sample
         * fraction applies to the clean corpus). */
@@ -128,17 +140,31 @@ object Curation {
       if (cfg.persistSurvivors && cfg.lineDedupMinDocs.isDefined)
         afterLines0.localCheckpoint(true)
       else afterLines0
+    // cross-snapshot (incremental) dedup BEFORE in-batch dedup:
+    // previously-shipped content is gone before it can elect a
+    // canonical. The result fans out into the dedup's two consumers
+    // below, so the persist knob checkpoints it like the other
+    // fan-out stages.
+    val afterRef0 = cfg.referenceSnapshot match {
+      case Some(ref) =>
+        Dedup.againstReference(afterLines, ref, idCol, Seq(textCol))
+      case None => afterLines
+    }
+    val afterRef =
+      if (cfg.persistSurvivors && cfg.referenceSnapshot.isDefined)
+        afterRef0.localCheckpoint(true)
+      else afterRef0
     // exact dedup, keep-min-id, computed directly from ONE narrow
     // (id, hash) projection of the filtered corpus: groupBy(hash) →
     // min(id) is the keep set, full rows semi-join it by id. The
     // filter subtree therefore evaluates exactly twice (the narrow
     // keep-set pass + the surviving-rows pass) — routing through
     // Dedup.exact's decision frame would cost a third evaluation.
-    val keptIds = afterLines
+    val keptIds = afterRef
       .select(col(idCol), Dedup.contentHash(Seq(textCol)).as("__h"))
       .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
-    val deduped = afterLines.join(keptIds, Seq(idCol), "left_semi")
+    val deduped = afterRef.join(keptIds, Seq(idCol), "left_semi")
     // decontamination reads its corpus twice (gram scan + anti-join);
     // under the persist knob the deduped survivors are checkpointed so
     // the dedup shuffle + semi-join (the most expensive stage) run once
@@ -213,7 +239,25 @@ object Curation {
       cfg.repetitionN)
     Guards.requireFreshColumns(afterRepetition, Seq("__cs_h"),
       "Curation.pipelineStream")
-    val deduped = afterRepetition
+    // cross-snapshot (incremental) dedup: ONE stream-static anti-join
+    // on the content hash (Spark supports left_anti with a static
+    // right side) — Dedup.againstReference's batch shape (semi-join →
+    // anti-join back by id) would be a stream-stream join, so the
+    // stage flattens to the direct hash anti-join here; semantics are
+    // identical (exact hashes, no prefilter)
+    val afterRef = cfg.referenceSnapshot match {
+      case Some(ref) =>
+        require(!ref.isStreaming,
+          "referenceSnapshot must be a static (batch) frame")
+        val refHashes = ref
+          .select(Dedup.contentHash(Seq(textCol)).as("__cs_h")).distinct()
+        afterRepetition
+          .withColumn("__cs_h", Dedup.contentHash(Seq(textCol)))
+          .join(refHashes, Seq("__cs_h"), "left_anti")
+          .drop("__cs_h")
+      case None => afterRepetition
+    }
+    val deduped = afterRef
       .withColumn("__cs_h", Dedup.contentHash(Seq(textCol)))
       .withWatermark(tsCol, dedupHorizon)
       .dropDuplicatesWithinWatermark("__cs_h")
@@ -252,7 +296,9 @@ object Curation {
 
   /** [[pipeline]] plus per-stage survivor counts — the drop accounting
     * every production curation run records: "input", "after_urls",
-    * "after_repetition", "after_dedup", "kept".
+    * "after_repetition", "after_dedup", "kept", plus
+    * "after_reference" / "after_decontamination" when those optional
+    * stages are configured.
     *
     * The filter-stage counts ride ONE eager localCheckpoint of the
     * filtered survivors via `observe` (an observe below the dedup's
@@ -296,11 +342,23 @@ object Curation {
         Paragraphs.dropCommon(r, idCol, textCol, k).localCheckpoint(true)
       case None => r
     }
-    val keptIds = r2
+    // incremental (cross-snapshot) dedup: it DROPS rows, so it carries
+    // its own observation, and the checkpoint both fires that observe
+    // exactly once and keeps the stage's anti-join out of the dedup
+    // fan-out below
+    val (r3, refObs) = cfg.referenceSnapshot match {
+      case Some(ref) =>
+        val oRef = Observation()
+        (tap(Dedup.againstReference(r2, ref, idCol, Seq(textCol)), oRef)
+          .localCheckpoint(true),
+          Seq("after_reference" -> oRef))
+      case None => (r2, Nil)
+    }
+    val keptIds = r3
       .select(col(idCol), Dedup.contentHash(Seq(textCol)).as("__h"))
       .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
       .select(col(idCol))
-    val d = tap(r2.join(keptIds, Seq(idCol), "left_semi"), oD)
+    val d = tap(r3.join(keptIds, Seq(idCol), "left_semi"), oD)
     // decontamination reads its corpus twice (gram scan + anti-join);
     // without a checkpoint the oD observe above would be duplicated
     // into both reads and double-fire — same fan-out rule as the
@@ -320,7 +378,7 @@ object Curation {
       else Sampling.byHash(afterDecon, idCol, cfg.sampleFraction, cfg.bucketFn)
     val out = tap(applyTokenBudget(sampled, idCol, textCol, cfg), oOut)
     val obs = Seq("input" -> oIn, "after_urls" -> oU,
-      "after_repetition" -> oR, "after_dedup" -> oD) ++
+      "after_repetition" -> oR) ++ refObs ++ Seq("after_dedup" -> oD) ++
       deconObs ++ Seq("kept" -> oOut)
     (out, () => obs.map { case (n, o) =>
       n -> o.get("n").asInstanceOf[Long]

@@ -575,6 +575,13 @@ class CliSpec extends SparkSpec {
         |""".stripMargin).curation
       .exists(c => c.lineDedupMinDocs.contains(4) && c.stripHtml &&
         c.fixMojibake && c.normalizeUnicode.contains("NFC")))
+    // incremental reference snapshot: ${VAR} substitution applies
+    assert(YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation: {id_column: id, text_column: t, reference: "${PREV}/corpus.parquet"}
+        |""".stripMargin, env = Map("PREV" -> "/snapshots/r6")).curation
+      .exists(_.referenceUri.contains("/snapshots/r6/corpus.parquet")))
     intercept[GraftError.Configuration](YamlJob.loadYaml(
       """source: {uri: a.parquet}
         |target: {uri: b}

@@ -163,6 +163,34 @@ class StreamingSpec extends SparkSpec {
     // markup really was stripped in-flight
     assert(streamed.values.forall(t => !t.contains("<p>")))
 
+    // incremental reference snapshot streams as a stream-static
+    // anti-join: previously-shipped content vanishes from the stream,
+    // and the result still matches the batch pipeline with the same
+    // snapshot
+    val refSnap = spark.read.parquet(scratch)
+      .filter($"doc_id" <= 50L && $"doc_id" >= 1L).select($"text")
+    val cfgRef = cfg.copy(referenceSnapshot = Some(
+      graft.llm.TextAnalysis.stripHtml(refSnap.toDF(), "text")))
+    val qr = Curation.pipelineStream(in, "doc_id", "text", "ts",
+        dedupHorizon = "10 minutes", cfg = cfgRef)
+      .writeStream.format("memory").queryName("curation_stream_ref")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    qr.awaitTermination(120000L)
+    val streamedRef = spark.table("curation_stream_ref")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val batchRef = Curation.pipeline(
+        spark.read.parquet(scratch).select($"doc_id", $"text"),
+        "doc_id", "text", cfgRef)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamedRef.nonEmpty && streamedRef == batchRef)
+    // docs 1-50 and their replays carried referenced content (reference
+    // stage); replays of 51-100 lost to their originals (dedup stage)
+    assert(streamedRef.forall(id => id > 50L && id <= 300L))
+    // a streaming snapshot is rejected up front
+    intercept[IllegalArgumentException](
+      Curation.pipelineStream(in, "doc_id", "text", "ts",
+        cfg = cfg.copy(referenceSnapshot = Some(in))))
+
     // corpus-wide stages are a loud typed error, not a silent skip
     for (bad <- Seq(
         cfg.copy(lineDedupMinDocs = Some(3)),
