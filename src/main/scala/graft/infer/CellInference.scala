@@ -107,6 +107,10 @@ object CellInference {
       // NUL-wrapped ("\u0000never\u0000") so no legal CSV cell can ever
       // equal it — a plain-text sentinel would silently null matching cells
       .option("nullValue", "\u0000never\u0000")
+      // RFC 4180 doubled-quote escaping ("" inside a quoted cell), the
+      // reference csv crate's dialect — Spark's backslash default would
+      // mangle quoted JSON cells
+      .option("escape", "\"")
       .csv(path)
     val cols = inferColumns(raw, sampleRows)
     applyTypes(raw, cols)

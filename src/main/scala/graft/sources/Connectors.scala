@@ -159,11 +159,13 @@ object Connectors {
           .option("header", "true")
           .option("inferSchema", "false")
           .option("nullValue", sentinel)
+          .option("escape", "\"") // RFC 4180, as CellInference.readCsv
           .csv(ref.path)
         val cols = CellInference.inferColumns(rawBatch)
         val rawStream = spark.readStream.schema(rawBatch.schema)
           .option("header", "true")
           .option("nullValue", sentinel)
+          .option("escape", "\"")
           .csv(ref.path)
         CellInference.applyTypes(rawStream, cols)
       case other => throw graft.core.GraftError.Configuration(
@@ -286,9 +288,12 @@ object Connectors {
       else SaveMode.Overwrite
     ref.kind match {
       case "csv" =>
-        // header from schema order; null → "" (csv.rs:250-291)
+        // header from schema order; null → "" (csv.rs:250-291);
+        // RFC 4180 doubled-quote escaping to match the reader and the
+        // reference csv crate's dialect
         df.write.mode(mode)
           .option("header", "true").option("nullValue", "").option("emptyValue", "\"\"")
+          .option("escape", "\"")
           .options(ref.options).csv(ref.path)
         None
       case "json" if ref.options.get("jsonArray").contains("true") =>
@@ -297,9 +302,10 @@ object Connectors {
         // the array form implies a single writer, so it is for small
         // outputs a non-graft consumer reads — the default stays
         // distributed JSONL.
-        Some(JsonArraySink.write(df, ref.path, append = mode == SaveMode.Append))
+        Some(JsonArraySink.write(jsonReady(df), ref.path,
+          append = mode == SaveMode.Append))
       case "json" =>
-        df.write.mode(mode).options(ref.options).json(ref.path)
+        jsonReady(df).write.mode(mode).options(ref.options).json(ref.path)
         None
       case "parquet" =>
         df.write.mode(mode).options(ref.options).parquet(ref.path)
@@ -464,18 +470,56 @@ object Connectors {
       else None
     }
 
+  /** JSON sinks emit `json`-typed columns as NESTED JSON, not escaped
+    * strings — the reference holds `Value::Json` and writes the tree
+    * inline (json.rs:250-261). `VariantType` is Spark 4's native
+    * arbitrary-JSON representation and the JSON writer renders it as
+    * the object, so one codegen'd `parse_json` projection buys parity
+    * for both the JSONL and single-array forms. Loud on malformed
+    * cells by design: a json-tagged column holds validated JSON (V2's
+    * from_json guard), so garbage here is an upstream bug, and the
+    * reference would have errored at its own Value::Json parse. */
+  private def jsonReady(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, parse_json}
+    import org.apache.spark.sql.types.StringType
+    val jsonFields = df.schema.fields.filter(f =>
+      f.dataType == StringType &&
+        f.metadata.contains(graft.core.TinyType.JsonMetaKey))
+    if (jsonFields.isEmpty) df
+    else df.withColumns(
+      jsonFields.map(f => f.name -> parse_json(col(s"`${f.name}`"))).toMap)
+  }
+
   /** Single-file JSON-array sink (T2 byte-form parity). */
   object JsonArraySink {
     def write(df: DataFrame, path: String, append: Boolean): Long = {
+      import org.apache.spark.sql.functions.{col, parse_json, to_json}
+      import org.apache.spark.sql.types._
       val spark = df.sparkSession
       val fs = org.apache.hadoop.fs.FileSystem.get(java.net.URI.create(path),
         spark.sparkContext.hadoopConfiguration)
       val target = new org.apache.hadoop.fs.Path(path)
       val all =
-        if (append && fs.exists(target))
-          spark.read.option("multiLine", "true").json(path)
-            .unionByName(df, allowMissingColumns = true)
-        else df
+        if (append && fs.exists(target)) {
+          // the incoming frame may carry variant columns (jsonReady);
+          // the inferred read of the existing array yields struct/
+          // string for those — re-parse them to variant so the union
+          // type-checks and the merged file stays nested
+          val existing0 = spark.read.option("multiLine", "true").json(path)
+          val existing = df.schema.fields
+            .filter(_.dataType == VariantType)
+            .foldLeft(existing0) { (acc, f) =>
+              if (!acc.columns.contains(f.name)) acc
+              else acc.withColumn(f.name,
+                acc.schema(f.name).dataType match {
+                  case _: StructType | _: ArrayType | _: MapType =>
+                    parse_json(to_json(col(s"`${f.name}`")))
+                  case VariantType => col(s"`${f.name}`")
+                  case _ => parse_json(col(s"`${f.name}`").cast(StringType))
+                })
+            }
+          existing.unionByName(df, allowMissingColumns = true)
+        } else df
       val tmp = new org.apache.hadoop.fs.Path(path + ".__jsonl_tmp__")
       if (fs.exists(tmp)) fs.delete(tmp, true)
       all.coalesce(1).write.mode(SaveMode.Overwrite).json(tmp.toString)

@@ -283,6 +283,84 @@ class CliSpec extends SparkSpec {
     assert(out.schema("id").dataType == org.apache.spark.sql.types.LongType)
   }
 
+  test("json tier-1 round-trip golden (examples/17, file-based half)") {
+    // the reference example's sqlite leg is env-blocked (no driver jar);
+    // its FILE half — schema-file json typing → parquet with the
+    // tinyetl:type tag → JSON sink with the document tree INTACT
+    // (run.sh step 7: "First record with JSON intact") — mirrors here
+    // with the example's own five records (setup_db.sql)
+    val dir = tmpDir("cli_ex17")
+    writeText(s"$dir/names.csv",
+      """id,url,name,doc
+        |1,https://example.com/user1,Alice Johnson,"{""age"": 30, ""city"": ""New York"", ""active"": true, ""tags"": [""developer"", ""manager""]}"
+        |2,https://example.com/user2,Bob Smith,"{""age"": 25, ""city"": ""San Francisco"", ""active"": true, ""tags"": [""designer"", ""frontend""]}"
+        |3,https://example.com/user3,Carol Davis,"{""age"": 35, ""city"": ""Boston"", ""active"": false, ""tags"": [""backend"", ""architect""]}"
+        |4,https://example.com/user4,David Wilson,"{""age"": 28, ""city"": ""Seattle"", ""active"": true, ""tags"": [""devops"", ""security""]}"
+        |5,https://example.com/user5,Eve Martinez,"{""age"": 32, ""city"": ""Austin"", ""active"": true, ""tags"": [""data"", ""analytics""]}"
+        |""".stripMargin)
+    writeText(s"$dir/names_schema.yaml",
+      """columns:
+        |  - name: id
+        |    type: string
+        |    nullable: false
+        |  - name: url
+        |    type: string
+        |    nullable: false
+        |  - name: name
+        |    type: string
+        |    nullable: false
+        |  - name: doc
+        |    type: json
+        |    nullable: false
+        |""".stripMargin)
+    // csv + schema file → parquet (the json type tag must survive)
+    val toParquet = graft.engine.JobConfig(
+      source = s"$dir/names.csv",
+      target = s"$dir/names_output.parquet",
+      schemaFile = Some(s"$dir/names_schema.yaml"),
+      truncate = true)
+    assert(runTransfer(toParquet, None, dryRun = false, "error") == 0)
+    val pq = spark.read.parquet(s"$dir/names_output.parquet")
+    assert(pq.count() == 5)
+    assert(pq.schema("doc").metadata
+      .contains(graft.core.TinyType.JsonMetaKey), "json tag must survive parquet")
+    // preview renders the json type (run.sh step 6)
+    val prev = new graft.engine.TransferEngine(graft.engine.JobConfig(
+      source = s"$dir/names_output.parquet",
+      target = s"$dir/verify_output.json")).preview(spark, 2)
+    assert(prev.contains("json"))
+    // parquet → single-array json: the document tree is INTACT (a
+    // nested object, not an escaped string) — reference json.rs:250-261
+    val toJson = graft.engine.JobConfig(
+      source = s"$dir/names_output.parquet",
+      target = s"$dir/verify_output.json",
+      targetOptions = Map("jsonArray" -> "true"),
+      truncate = true)
+    assert(runTransfer(toJson, None, dryRun = false, "error") == 0)
+    val text = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$dir/verify_output.json")),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(text.trim.startsWith("[") && text.trim.endsWith("]"))
+    assert(text.contains("\"doc\":{"), "doc must be a nested object")
+    assert(!text.contains("\\\"age\\\""), "doc must not be an escaped string")
+    // values verifiable through Spark's own json reader too
+    val back = spark.read.option("multiLine", "true")
+      .json(s"$dir/verify_output.json")
+    assert(back.count() == 5)
+    val alice = back.filter(back("name") === "Alice Johnson")
+      .select("doc.age", "doc.city").head
+    assert(alice.getLong(0) == 30L && alice.getString(1) == "New York")
+    // the plain (distributed JSONL) sink renders nested the same way
+    val toJsonl = graft.engine.JobConfig(
+      source = s"$dir/names_output.parquet",
+      target = s"$dir/verify_jsonl.json",
+      truncate = true)
+    assert(runTransfer(toJsonl, None, dryRun = false, "error") == 0)
+    val jl = spark.read.json(s"$dir/verify_jsonl.json")
+    assert(jl.filter(jl("name") === "Eve Martinez")
+      .select("doc.age").head.getLong(0) == 32L)
+  }
+
   test("flag forms: --flag=value, bare --infer-schema, --version") {
     assert(parse(List("--version")) == graft.Main.Version)
     assert(parse(List("-V")) == graft.Main.Version)
