@@ -96,12 +96,22 @@ object Dedup {
     val buckets = keys.groupBy(col("band"), col("bucket"))
       .agg(collect_longs_capped(col("id"), maxBucketSize).as("ids"))
       .filter(col("ids").isNotNull && size(col("ids")) > 1)
+    // the dedup exchange is PINNED to the session's shuffle-partition
+    // count (an explicit user repartition, which AQE never coalesces)
+    // rather than a plain .distinct(): candidate rows are 16 bytes, so
+    // byte-sized AQE coalescing would fold them into one partition and
+    // serialize the expensive verify below (re-shingling two documents
+    // per pair) onto a single core — measured 1.4s of a 2.4s pairs run
+    // at sf0.1. HashPartitioning(id_a, id_b) satisfies the dedup
+    // aggregation's distribution, so this is still exactly ONE shuffle.
+    val nShuffle = df.sparkSession.sessionState.conf.numShufflePartitions
     val cand = buckets
       .select(posexplode(col("ids")).as(Seq("i", "id_a")), col("ids"))
       .select(col("id_a"),
         explode(slice(col("ids"), col("i") + 2,
           greatest(size(col("ids")) - col("i") - 1, lit(0)))).as("id_b"))
-      .distinct()
+      .repartition(nShuffle, col("id_a"), col("id_b"))
+      .dropDuplicates("id_a", "id_b")
 
     // verify re-join carries raw TEXT (smaller than shingle arrays) and
     // re-shingles only the candidate rows — the arrays never shuffle
@@ -194,7 +204,17 @@ object Dedup {
     * 2^k hops after k rounds and a diameter-D component converges in
     * ~log2(D) rounds (+1 to observe the fixpoint). Stop when a round
     * changes nothing (or maxIters). localCheckpoint between rounds
-    * truncates lineage. */
+    * truncates lineage.
+    *
+    * Round shape (r7): the canonical pointers ride the edge list as
+    * extra (id → canonical) edges, so ONE join + ONE aggregation —
+    * min over canonical(dst) — covers BOTH neighbor propagation and
+    * the pointer jump in a single shuffle pass (previously two
+    * separate joins merged by a third). The seed is folded into the
+    * first round's checkpoint instead of materializing as its own
+    * job; identical exchanges inside that first plan are collapsed by
+    * Spark's ReuseExchange. Same monotone-min update, same fixpoint,
+    * two fewer exchanges and one fewer eager job per call. */
   def convergeCanonicals(ids: DataFrame, pairs: DataFrame,
                          idCol: String, maxIters: Int = 10): DataFrame = {
     // materialize the pair pipeline ONCE before fanning it out into both
@@ -208,48 +228,49 @@ object Dedup {
     // never change canonical, so they rejoin at the end instead of
     // riding every round's shuffle (at 100 TB the near-dup graph is a
     // small fraction of the corpus)
-    // seed with the single-pass result (min over direct neighbors), so
-    // the loop only pays for chains of length >= 3
+    // seed with the single-pass result (min over direct neighbors) —
+    // LAZY: it materializes inside the first round's checkpoint, so the
+    // loop only pays for chains of length >= 3 and the seed never costs
+    // its own job
     var cur = edges.groupBy(col("src").as("id")).agg(min(col("dst")).as("nb"))
       .select(col("id"), least(col("id"), col("nb")).as("canonical_id"))
-      .localCheckpoint(true)
+    var prevCkpt: Option[DataFrame] = None
     var it = 0
     var changed = true
     while (changed && it < maxIters) {
-      val viaNeighbors = edges
+      // pointer edges (x → canonical(x)): joining them through cur
+      // yields canonical(canonical(x)) — the POINTER JUMP — in the SAME
+      // join+groupBy pass that propagates neighbor canonicals. Min
+      // labels then travel 2^k hops after k rounds instead of k, so a
+      // diameter-D chain converges in ~log2(D) rounds, not D. Every
+      // canonical_id is itself an edge vertex (least(id, neighbor)), so
+      // the hop always resolves; monotone mins keep the fixpoint
+      // identical to the two-join form.
+      val allEdges = edges.union(
+        cur.select(col("id").as("src"), col("canonical_id").as("dst")))
+      val best = allEdges
         .join(cur.select(col("id").as("dst"), col("canonical_id").as("nc")), "dst")
         .groupBy(col("src").as("id")).agg(min(col("nc")).as("mc"))
-      // POINTER JUMPING: also adopt canonical(canonical(x)) — a
-      // cur⋈cur hop on the (small) vertex frame. Min labels then travel
-      // 2^k hops after k rounds instead of k, so a diameter-D chain
-      // converges in ~log2(D) rounds, not D. Every canonical_id is
-      // itself an edge vertex (least(id, neighbor)), so the inner hop
-      // always resolves; monotone mins keep the fixpoint identical.
-      val viaCanonical = cur
-        .join(cur.select(col("id").as("canonical_id"),
-          col("canonical_id").as("cc")), Seq("canonical_id"))
-        .select(col("id"), col("cc"))
       // the fixpoint check RIDES the checkpoint materialization via
       // observe — one job per round, no second scan (count() is
       // null-proof on an empty frame, unlike sum)
       val obs = org.apache.spark.sql.Observation()
-      val joined = cur.join(viaNeighbors, Seq("id"), "left")
-        .join(viaCanonical, Seq("id"), "left")
+      val joined = cur.join(best, Seq("id"), "left")
         .select(col("id"), col("canonical_id"),
           least(col("canonical_id"),
-            coalesce(col("mc"), col("canonical_id")),
-            coalesce(col("cc"), col("canonical_id")))
+            coalesce(col("mc"), col("canonical_id")))
             .as("next_canonical"))
         .observe(obs, count(when(col("next_canonical") =!= col("canonical_id"),
           lit(1))).as("changed"))
         .localCheckpoint(true)
-      val prev = cur
       cur = joined.select(col("id"), col("next_canonical").as("canonical_id"))
       changed = obs.get("changed").asInstanceOf[Long] > 0
       // the stale round's checkpoint blocks free as soon as the new one
       // lands — at 100 TB each round would otherwise pin a full
-      // vertex-set copy until the job ends
-      unpersistCheckpoint(prev)
+      // vertex-set copy until the job ends (round 1 has none: its input
+      // is the lazy seed)
+      prevCkpt.foreach(unpersistCheckpoint)
+      prevCkpt = Some(joined)
       it += 1
     }
     // the pair/edge checkpoint is not in the returned lineage either —
