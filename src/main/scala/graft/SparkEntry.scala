@@ -1063,6 +1063,22 @@ object SparkEntry {
         planes = 16, threshold = 0.95)
     },
 
+    // --- SemDeDup-style semantic dedup: REAL multi-cluster path
+    // (nlist=8, Lloyd-trained), provably exact on this fixture: the only
+    // pairs >= 0.95 are identical copies (0.35 margin over the max
+    // natural cosine), and identical vectors have identical centroid
+    // distances, so the deterministic argmin assigns them the SAME
+    // cluster no matter where training converges — the within-cluster
+    // verify therefore finds exactly the brute-force pair set, which is
+    // what the oracle replays. ---
+    "q_semantic_dedup" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val copies = emb.filter(pmod(col("vec_id"), lit(5)) === 3)
+        .select((col("vec_id") + 200000).as("vec_id"), col("embedding"))
+      Dedup.semanticDedup(emb.union(copies), "vec_id", "embedding",
+        nlist = 8, threshold = 0.95, kmeansIters = 3)
+    },
+
     // --- exact n-gram jaccard pairs within (lang, source) blocks ---
     "q_ngram_jaccard" -> { (s, dir) =>
       Dedup.ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
@@ -2198,6 +2214,28 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT vec_id + 100000 AS vec_id, embedding
         |  FROM embeddings WHERE vec_id % 5 = 2
+        |), pairs AS (
+        |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+        |  WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+        |      i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+        |    / (sqrt(list_sum(list_transform(a.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+        |     * sqrt(list_sum(list_transform(b.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) >= 0.95
+        |)
+        |SELECT c.vec_id,
+        |  coalesce(min(p.id_a), c.vec_id) AS canonical_id,
+        |  coalesce(min(p.id_a), c.vec_id) <> c.vec_id AS is_duplicate
+        |FROM corpus c LEFT JOIN pairs p ON p.id_b = c.vec_id
+        |GROUP BY c.vec_id""".stripMargin,
+
+    "q_semantic_dedup" ->
+      """WITH corpus AS (
+        |  SELECT vec_id, embedding FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 200000 AS vec_id, embedding
+        |  FROM embeddings WHERE vec_id % 5 = 3
         |), pairs AS (
         |  SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id

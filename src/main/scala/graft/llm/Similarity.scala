@@ -121,7 +121,10 @@ object Similarity {
     def centroids(df: DataFrame, idCol: String, vecCol: String): Array[Seq[Double]] = {
       var cents = initialCentroids(df, idCol, vecCol)
       var it = 0
-      while (it < kmeansIters) {
+      // an empty corpus seeds no centroids — skip refinement (the
+      // nearest-centroid expression requires at least one centroid at
+      // construction, and there is nothing to refine anyway)
+      while (cents.nonEmpty && it < kmeansIters) {
         val means = df
           .select(nearest_centroid(col(vecCol), cents.toIndexedSeq).as("cell"),
             posexplode(col(vecCol)).as(Seq("pos", "x")))

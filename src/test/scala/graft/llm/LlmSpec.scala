@@ -45,6 +45,54 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.embeddingPairs(same, "id", "vec").count() == 30L * 29 / 2)
   }
 
+  test("semanticDedup: multi-cluster path equals brute-force on separated modes") {
+    // four well-separated semantic modes (orthogonal directions), each
+    // holding an original, an exact copy, and a mixed-direction member
+    // whose cosine to the mode is 1/√2 ≈ 0.707 < 0.95. The provable
+    // invariant (the same one the oracle row leans on): exact copies
+    // have identical centroid distances, so they co-cluster under the
+    // deterministic argmin NO MATTER where k-means converges — every
+    // brute-force pair is found; sub-threshold members are never
+    // paired because the within-cluster verify is exact cosine.
+    val modes = Seq(
+      Seq(1.0f, 0.0f, 0.0f, 0.0f), Seq(0.0f, 1.0f, 0.0f, 0.0f),
+      Seq(0.0f, 0.0f, 1.0f, 0.0f), Seq(0.0f, 0.0f, 0.0f, 1.0f))
+    val rows = modes.zipWithIndex.flatMap { case (m, i) =>
+      val next = modes((i + 1) % modes.length)
+      val mixed = m.zip(next).map { case (a, b) => a + b }
+      val base = i * 10L
+      Seq((base + 1, m), (base + 2, m), (base + 3, mixed))
+    }
+    val df = rows.toDF("id", "vec")
+    val out = Dedup.semanticDedup(df, "id", "vec",
+      nlist = 4, threshold = 0.95, kmeansIters = 2)
+      .orderBy($"id").collect()
+    val expect = modes.indices.flatMap { i =>
+      val b = i * 10L
+      Seq((b + 1, b + 1, false), (b + 2, b + 1, true), (b + 3, b + 3, false))
+    }
+    assert(out.map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSeq
+      == expect, "semantic dedup must match the per-mode brute force")
+  }
+
+  test("semanticDedup: empty and singleton corpora, oversized-cluster cap") {
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
+    assert(Dedup.semanticDedup(empty, "id", "vec").count() == 0)
+    val one = Seq((7L, Seq(1.0f, 0.5f))).toDF("id", "vec")
+    val c = Dedup.semanticDedup(one, "id", "vec", nlist = 4).collect()
+    assert(c.length == 1 && c.head.getLong(1) == 7L && !c.head.getBoolean(2))
+    // 30 identical vectors collapse into one cluster; cap 10 → the
+    // cluster is dropped, nothing is marked duplicate (loud-by-shape:
+    // a collapsed embedding mode is a pipeline smell, not silent grind)
+    val same = (1L to 30L).map(i => (i, Seq(1.0f, 0.2f, -0.3f, 0.5f)))
+      .toDF("id", "vec")
+    val capped = Dedup.semanticDedup(same, "id", "vec",
+      nlist = 2, maxClusterSize = 10)
+    assert(capped.filter($"is_duplicate").count() == 0)
+    val uncapped = Dedup.semanticDedup(same, "id", "vec", nlist = 2)
+    assert(uncapped.filter($"is_duplicate").count() == 29)
+  }
+
   test("ShingleHash native expr equals the built-in composition exactly") {
     import org.apache.spark.sql.functions.{array_distinct, concat_ws, greatest,
       lit, lower, sequence, size, slice, split, transform, xxhash64}
