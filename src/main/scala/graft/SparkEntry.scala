@@ -668,7 +668,10 @@ object SparkEntry {
             blocklist = Seq("spam.example.com"),
             maxDupWordFrac = 0.9, maxDupNgramFrac = 0.35,
             maxTopNgramFrac = 0.5, sampleFraction = 0.5,
-            bucketFn = Sampling.portableBucket))
+            bucketFn = Sampling.portableBucket,
+            // production shape: one tokenization pass materialized,
+            // instead of re-evaluating the filter subtree per consumer
+            persistSurvivors = true))
         .select(col("doc_id"))
     },
 
@@ -701,7 +704,12 @@ object SparkEntry {
           Curation.PipelineConfig(
             maxDupWordFrac = 1.0, maxDupNgramFrac = 1.0,
             maxTopNgramFrac = 1.0,
-            referenceSnapshot = Some(ref)))
+            referenceSnapshot = Some(ref),
+            // the reference anti-join fans out into the dedup's two
+            // consumers; materializing it keeps the downstream plans
+            // small (driver planning time dominated this query, not
+            // execution: 8 stages / 0.4s of task time inside ~1.8s)
+            persistSurvivors = true))
         .select(col("doc_id"))
     },
 

@@ -72,11 +72,22 @@ object Repetition {
                        maxDupNgramFrac: Double = 0.3,
                        maxTopNgramFrac: Double = 0.2,
                        n: Int = 2): DataFrame = {
-    val cols = df.columns.map(col)
-    stats(df, textCol, n)
-      .filter(col("dup_word_frac") <= maxDupWordFrac &&
-        col("dup_ngram_frac") <= maxDupNgramFrac &&
-        col("top_ngram_frac") <= maxTopNgramFrac)
-      .select(cols.toIndexedSeq: _*)
+    // every fraction is a ratio of a subset count over its total, so it
+    // is bounded by 1.0 (0.0 for null/empty docs) — thresholds >= 1.0
+    // keep every row, and the stats projection (the per-doc
+    // tokenization, the expensive part) can be skipped EXACTLY. This
+    // matters doubly inside Curation.pipeline, where the filter subtree
+    // fans out into multiple consumers and would otherwise re-tokenize
+    // the corpus once per evaluation for a provable no-op.
+    if (maxDupWordFrac >= 1.0 && maxDupNgramFrac >= 1.0 &&
+      maxTopNgramFrac >= 1.0) df
+    else {
+      val cols = df.columns.map(col)
+      stats(df, textCol, n)
+        .filter(col("dup_word_frac") <= maxDupWordFrac &&
+          col("dup_ngram_frac") <= maxDupNgramFrac &&
+          col("top_ngram_frac") <= maxTopNgramFrac)
+        .select(cols.toIndexedSeq: _*)
+    }
   }
 }
