@@ -146,6 +146,21 @@ class PlanSpec extends SparkSpec {
       "bucket/cosine projection left whole-stage codegen")
   }
 
+  test("semantic dedup: cell-keyed equi-join, never a cartesian product") {
+    val out = Dedup.semanticDedup(sf("embeddings"), "vec_id", "embedding",
+      nlist = 4, kmeansIters = 1)
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"within-cluster pairing must join on the cell key:\n$p")
+    // the pairwise search shuffles/broadcasts only cluster-annotated
+    // vectors; document text columns don't exist here, but guard that
+    // no exchange carries the verify's cosine output (verify runs
+    // after the join, not across a wire)
+    shuffleOutputs(out).foreach(cols =>
+      assert(!cols.contains("cosine"), s"cosine crossed a shuffle: $cols"))
+  }
+
   test("q_returned_items: pushed flag/date filters, broadcast nation, TakeOrdered") {
     val df = SparkEntry.queries("q_returned_items")(spark, "/root/testdata/sf0.001")
     val p = df.queryExecution.executedPlan.toString
