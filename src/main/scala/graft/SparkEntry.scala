@@ -730,6 +730,24 @@ object SparkEntry {
         LmScore.totalTokens(corpus, "text"))
     },
 
+    // --- corpus-trained BIGRAM LM with Stupid Backoff: scrambled
+    // (word-reversed) copies keep their unigram score (same multiset)
+    // but lose their bigrams — the order-sensitivity signal. The
+    // oracle replays training (unigram vocab, context-restricted
+    // bigram cut — both total-order-deterministic) AND scoring. ---
+    "q_lm_bigram" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val scrambled = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          array_join(reverse(split(col("text"), " ")), " ").as("text"))
+      val corpus = docs.union(scrambled)
+      val vocab = LmScore.unigramVocab(corpus, "text", vocabSize = 30)
+      val bigrams = LmScore.bigramCounts(corpus, "text", vocab,
+        bigramSize = 100)
+      LmScore.scoreBigram(corpus, "doc_id", "text", vocab, bigrams,
+        LmScore.totalTokens(corpus, "text"))
+    },
+
     // --- repeated-substring spans: per-doc fraction of strided 40-char
     // windows whose hash occurs >= 2x corpus-wide. Copies share their
     // full prefix with the original (appended tail → aligned windows),
@@ -1803,6 +1821,55 @@ object SparkEntry {
         |SELECT corpus.doc_id,
         |  coalesce(n_tokens, 0) AS n_tokens,
         |  coalesce(round(alp, 6), 0.0) AS avg_logprob
+        |FROM corpus LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    "q_lm_bigram" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 400000 AS doc_id,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+        |  FROM documents WHERE doc_id % 9 = 0
+        |), toks AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS ts
+        |  FROM corpus
+        |), pos AS (
+        |  SELECT doc_id, unnest(generate_series(1, len(ts))) AS i, ts FROM toks
+        |), tp AS (
+        |  SELECT doc_id, CASE WHEN i > 1 THEN ts[i-1] END AS prev, ts[i] AS w
+        |  FROM pos
+        |), cnt AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tp GROUP BY w
+        |), n AS (
+        |  SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnt
+        |), vocab AS (
+        |  SELECT w, cnt FROM cnt ORDER BY cnt DESC, w LIMIT 30
+        |), bi AS (
+        |  SELECT prev, w, CAST(count(*) AS BIGINT) AS bcnt FROM tp
+        |  WHERE prev IS NOT NULL AND prev IN (SELECT w FROM vocab)
+        |  GROUP BY prev, w ORDER BY bcnt DESC, prev, w LIMIT 100
+        |), sc AS (
+        |  SELECT t.doc_id,
+        |    CASE
+        |      WHEN t.prev IS NULL
+        |        THEN ln(CAST(coalesce(v.cnt, 1) AS DOUBLE) / n.total)
+        |      WHEN b.bcnt IS NOT NULL AND pv.cnt IS NOT NULL
+        |        THEN ln(CAST(b.bcnt AS DOUBLE) / CAST(pv.cnt AS DOUBLE))
+        |      ELSE ln(0.4) + ln(CAST(coalesce(v.cnt, 1) AS DOUBLE) / n.total)
+        |    END AS lp
+        |  FROM tp t
+        |  LEFT JOIN bi b ON t.prev = b.prev AND t.w = b.w
+        |  LEFT JOIN vocab pv ON t.prev = pv.w
+        |  LEFT JOIN vocab v ON t.w = v.w
+        |  CROSS JOIN n
+        |), per AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         avg(lp) AS alp
+        |  FROM sc GROUP BY doc_id
+        |)
+        |SELECT corpus.doc_id,
+        |  coalesce(n_tokens, 0) AS n_tokens,
+        |  coalesce(round(alp, 6), 0.0) AS avg_logscore
         |FROM corpus LEFT JOIN per USING (doc_id)""".stripMargin,
 
     // nfc: the decomposed fixture is appended via chr() code points

@@ -43,6 +43,90 @@ object LmScore {
     df.select(sum(size(tokens(col(textCol)))).as("n"))
       .head.getAs[Long]("n")
 
+  /** `(id, prev, word)` token stream with `prev = null` on each
+    * document's first token — built SHUFFLE-FREE from one array
+    * projection (`arrays_zip` of the token array against its
+    * null-prefixed shift), not a lag window: a window would shuffle
+    * the whole corpus by document just to look one token back.
+    * Token-less/null documents emit one `(null, null)` row so
+    * downstream aggregates still see every id (the `explode_outer`
+    * contract of the unigram scorer). */
+  private def pairsExpr(textCol: String): org.apache.spark.sql.Column = {
+    val toks = tokens(col(textCol))
+    val prevArr = concat(array(lit(null).cast("string")),
+      slice(toks, lit(1), greatest(size(toks) - 1, lit(0))))
+    arrays_zip(prevArr, toks)
+  }
+
+  private def tokenPairs(df: DataFrame, idCol: String, textCol: String) =
+    df.select(col(idCol), explode_outer(pairsExpr(textCol)).as("__bg"))
+      .select(col(idCol), col("__bg.0").as("prev"), col("__bg.1").as("word"))
+
+  /** `(prev, word, bcnt)` for the `bigramSize` most frequent corpus
+    * bigrams whose CONTEXT word is in `vocab` (from [[unigramVocab]]) —
+    * restricting contexts to the pruned vocabulary keeps the model
+    * self-consistent (every bigram's denominator exists) and the
+    * broadcast bounded. Ties break on (prev, word), so the cut is a
+    * total order: deterministic on any cluster, exactly replayable. */
+  def bigramCounts(df: DataFrame, textCol: String, vocab: DataFrame,
+                   bigramSize: Int = 20000): DataFrame = {
+    require(bigramSize >= 1, s"bigramSize must be >= 1: $bigramSize")
+    df.select(explode(pairsExpr(textCol)).as("__bg"))
+      .select(col("__bg.0").as("prev"), col("__bg.1").as("word"))
+      .filter(col("prev").isNotNull)
+      .join(broadcast(vocab.select(col("word").as("prev"))), Seq("prev"),
+        "left_semi")
+      .groupBy(col("prev"), col("word")).agg(count(lit(1)).as("bcnt"))
+      .orderBy(col("bcnt").desc, col("prev"), col("word"))
+      .limit(bigramSize)
+  }
+
+  /** Per-document `n_tokens` and `avg_logscore` under a corpus-trained
+    * bigram model with Stupid Backoff (Brants et al. 2007, "Large
+    * Language Models in Machine Translation"): the web-scale smoothing
+    * that never normalizes —
+    *
+    *   S(w | prev) = bcnt(prev, w) / cnt(prev)   when the bigram table
+    *                                             and vocab hold both
+    *               = alpha * S(w)                otherwise (backoff)
+    *   S(w)        = cnt(w) / total, floored at 1 / total for OOV
+    *
+    * First tokens (no context) score S(w) directly, no penalty. The
+    * unigram scorer catches gibberish WORDS; this catches gibberish
+    * ORDER — a shuffled document keeps its unigram score (same word
+    * multiset) but loses its bigrams and drops by ~ln(alpha) per token.
+    *
+    * Scale shape: one corpus pass (the shuffle-free [[tokenPairs]]
+    * projection), three BROADCAST joins against the pruned model
+    * tables, one groupBy(id) — document text never rides a wide
+    * shuffle, and both model tables are pruned precisely so they stay
+    * broadcastable. */
+  def scoreBigram(df: DataFrame, idCol: String, textCol: String,
+                  vocab: DataFrame, bigrams: DataFrame, total: Long,
+                  alpha: Double = 0.4, roundTo: Int = 6): DataFrame = {
+    require(total >= 1, s"total tokens must be >= 1: $total")
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
+    Guards.requireFreshColumns(df,
+      Seq("prev", "word", "cnt", "bcnt", "n_tokens", "avg_logscore"),
+      "LmScore.scoreBigram")
+    val uniP = coalesce(col("cnt"), lit(1L)).cast("double") /
+      lit(total.toDouble)
+    val lp = when(col("prev").isNull, log(uniP))
+      .when(col("bcnt").isNotNull && col("__p").isNotNull,
+        log(col("bcnt").cast("double") / col("__p").cast("double")))
+      .otherwise(log(lit(alpha)) + log(uniP))
+    tokenPairs(df, idCol, textCol)
+      .join(broadcast(bigrams), Seq("prev", "word"), "left")
+      .join(broadcast(vocab.select(col("word").as("prev"),
+        col("cnt").as("__p"))), Seq("prev"), "left")
+      .join(broadcast(vocab), Seq("word"), "left")
+      .groupBy(col(idCol))
+      .agg(count(col("word")).as("n_tokens"),
+        avg(when(col("word").isNotNull, lp)).as("__alp"))
+      .select(col(idCol), col("n_tokens"),
+        coalesce(round(col("__alp"), roundTo), lit(0.0)).as("avg_logscore"))
+  }
+
   /** Per-document `n_tokens` and `avg_logprob` against a trained
     * `vocab` (from [[unigramVocab]]) and denominator `total` (from
     * [[totalTokens]]). Token-less documents stay in the report as

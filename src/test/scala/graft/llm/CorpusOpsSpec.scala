@@ -705,6 +705,49 @@ class CorpusOpsSpec extends SparkSpec {
       d.withColumn("n_tokens", lit(1L)), "doc_id", "text", vocab, total))
   }
 
+  test("bigram LM: stupid-backoff scoring, hand-computed; order sensitivity") {
+    // corpus: two copies of "the cat sat" and one reversal. unigram
+    // counts: the/cat/sat = 3 each, total 9; bigrams with context in
+    // vocab: (the,cat)x2, (cat,sat)x2, (sat,cat)x1, (cat,the)x1 —
+    // bigramSize=2 keeps exactly the two count-2 pairs (total-order cut)
+    val d = Seq((1L, "the cat sat"), (2L, "the cat sat"),
+      (3L, "sat cat the"), (4L, ""), (5L, null.asInstanceOf[String]))
+      .toDF("doc_id", "text")
+    val vocab = LmScore.unigramVocab(d, "text", vocabSize = 10)
+    val total = LmScore.totalTokens(d, "text")
+    assert(total == 9L)
+    val bi = LmScore.bigramCounts(d, "text", vocab, bigramSize = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(bi.toSeq == Seq(("cat", "sat", 2L), ("the", "cat", 2L)),
+      s"bigram cut must be the deterministic total order: ${bi.toSeq}")
+    val rows = LmScore.scoreBigram(d, "doc_id", "text", vocab,
+      LmScore.bigramCounts(d, "text", vocab, bigramSize = 2), total)
+      .orderBy("doc_id").collect()
+    def r6(x: Double) = BigDecimal(x)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // doc1: first token ln(3/9); (the,cat) -> ln(2/3); (cat,sat) -> ln(2/3)
+    val intact = (math.log(3.0 / 9) + 2 * math.log(2.0 / 3)) / 3
+    assert(rows(0).getAs[Long]("n_tokens") == 3L)
+    assert(rows(0).getAs[Double]("avg_logscore") == r6(intact))
+    // doc3: first ln(3/9); (sat,cat) and (cat,the) fell out of the cut ->
+    // backoff ln(0.4) + ln(3/9) each
+    val reversed = (math.log(3.0 / 9) +
+      2 * (math.log(0.4) + math.log(3.0 / 9))) / 3
+    assert(rows(2).getAs[Double]("avg_logscore") == r6(reversed))
+    assert(rows(0).getAs[Double]("avg_logscore") >
+      rows(2).getAs[Double]("avg_logscore"),
+      "same word multiset, scrambled order must score lower")
+    // empty and null docs stay as 0 / 0.0
+    Seq(3, 4).foreach { i =>
+      assert(rows(i).getAs[Long]("n_tokens") == 0L &&
+        rows(i).getAs[Double]("avg_logscore") == 0.0, rows(i).toString)
+    }
+    // guard: clash with a model/output column is loud
+    intercept[IllegalArgumentException](LmScore.scoreBigram(
+      d.withColumn("bcnt", lit(1L)), "doc_id", "text", vocab,
+      LmScore.bigramCounts(d, "text", vocab), total))
+  }
+
   // --- Repeated spans ---------------------------------------------------
 
   test("spans: aligned repeats counted exactly; short docs stay as zeros") {
