@@ -369,6 +369,21 @@ class PlanSpec extends SparkSpec {
       assert(!cols.contains("text"), s"document text crossed a shuffle: $cols"))
   }
 
+  test("bigram lm: pairs projection is window-free; model tables broadcast") {
+    val docs = sf("documents")
+    val vocab = graft.llm.LmScore.unigramVocab(docs, "text", 30)
+    val bi = graft.llm.LmScore.bigramCounts(docs, "text", vocab, 100)
+    val scored = graft.llm.LmScore.scoreBigram(
+      docs, "doc_id", "text", vocab, bi, 1000L)
+    val plan = scored.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastExchange"),
+      s"pruned model tables must broadcast:\n$plan")
+    assert(!plan.contains("Window"),
+      "token pairs must come from the array projection, not a lag window")
+    shuffleOutputs(scored).foreach(cols =>
+      assert(!cols.contains("text"), s"document text crossed a shuffle: $cols"))
+  }
+
   test("token budget: one shard exchange, per-shard window, no global sort") {
     val d = sf("documents").select(col("doc_id"),
       graft.llm.TextAnalysis.tokenCountEstimate(col("text"))
