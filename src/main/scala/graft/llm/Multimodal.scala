@@ -9,12 +9,13 @@ import org.apache.spark.sql.types._
   * columns with typed metadata, plus a feature-extraction stage
   * (north-star surface from BASELINE.json).
   *
-  * The decode seam ([[MediaDecoder]]) parses real IMAGE and AUDIO
-  * headers on the pure JVM — PNG IHDR / JPEG SOF / GIF screen
+  * The decode seam ([[MediaDecoder]]) parses real IMAGE, AUDIO, and
+  * VIDEO headers on the pure JVM — PNG IHDR / JPEG SOF / GIF screen
   * descriptor via [[ImageHeaders]], WAV/RIFF fmt+data chunks via
-  * [[AudioHeaders]]; no codec libs needed for dimensions/shape — and
-  * STUBS the rest (pixel decode, video: this container has no codecs)
-  * behind a deterministic fake. Everything Spark-side is
+  * [[AudioHeaders]], ISO-BMFF (MP4/MOV) mvhd/tkhd boxes via
+  * [[VideoHeaders]]; no codec libs needed for dimensions/shape — and
+  * STUBS the rest (pixel and frame decode: this container has no
+  * codecs) behind a deterministic fake. Everything Spark-side is
   * real and tested: the schema contract, the per-partition batched
   * execution (`mapPartitions`, the Scala analog of `mapInPandas` batch
   * shape), the partition sizing guidance, and the output plumbing.
@@ -201,13 +202,89 @@ object Multimodal {
     }
   }
 
+  /** ISO-BMFF (MP4/MOV/M4V) header parse — pure JVM, no codec libs.
+    * Boxes are [size:u32be][type:4cc][payload]; size 1 means a u64
+    * largesize follows, size 0 means "to end of file". The walk
+    * demands `ftyp` as the FIRST box (the container signature), then
+    * descends `moov` → `mvhd` (movie timescale + duration) and
+    * `moov` → `trak` → `tkhd` (16.16 fixed-point presentation width/
+    * height; audio tracks carry 0×0, so the first SIZED track is the
+    * video track). Returns (width, height, durationSeconds) or None
+    * for anything malformed — truncated boxes, a duration without a
+    * sized track (audio-only MP4), or non-BMFF bytes — so the caller
+    * falls back to the stub exactly like the image/audio paths. */
+  object VideoHeaders {
+
+    private def u8(b: Array[Byte], i: Int): Long = (b(i) & 0xff).toLong
+    private def be32(b: Array[Byte], i: Int): Long =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def be64(b: Array[Byte], i: Int): Long =
+      (be32(b, i) << 32) | be32(b, i + 4)
+    private def tag(b: Array[Byte], i: Int): String =
+      new String(b, i, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    def parseMp4(b: Array[Byte]): Option[(Int, Int, Int)] = {
+      if (b.length < 12 || be32(b, 0) < 8 || tag(b, 4) != "ftyp") return None
+      var durationSec = -1L
+      var width = -1
+      var height = -1
+      // walk the children of [start, end); descend only the container
+      // boxes on the moov → trak path
+      def walk(start: Long, end: Long, depth: Int): Boolean = {
+        var i = start
+        while (i + 8 <= end) {
+          val size0 = be32(b, i.toInt)
+          val (payload, boxEnd) =
+            if (size0 == 0L) (i + 8, end) // last box: runs to the end
+            else if (size0 == 1L) {
+              if (i + 16 > end) return false
+              (i + 16, i + be64(b, i.toInt + 8))
+            } else (i + 8, i + size0)
+          if (boxEnd > end || boxEnd <= i || payload > boxEnd) return false
+          val id = tag(b, i.toInt + 4)
+          id match {
+            case "moov" | "trak" if depth < 2 =>
+              if (!walk(payload, boxEnd, depth + 1)) return false
+            case "mvhd" if payload + 4 <= boxEnd =>
+              val p = payload.toInt
+              val v = b(p) & 0xff
+              if (v == 0 && payload + 20 <= boxEnd) {
+                val ts = be32(b, p + 12)
+                if (ts > 0) durationSec = be32(b, p + 16) / ts
+              } else if (v == 1 && payload + 32 <= boxEnd) {
+                val ts = be32(b, p + 20)
+                if (ts > 0) durationSec = be64(b, p + 24) / ts
+              }
+            case "tkhd" if width < 0 =>
+              val p = payload.toInt
+              val v = b(p) & 0xff
+              val off = if (v == 1) 88 else 76 // v1: 64-bit times+duration
+              if (payload + off + 8 <= boxEnd) {
+                val w = (be32(b, p + off) >> 16).toInt     // 16.16 fixed
+                val h = (be32(b, p + off + 4) >> 16).toInt
+                if (w > 0 && h > 0) { width = w; height = h }
+              }
+            case _ => ()
+          }
+          i = boxEnd
+        }
+        true
+      }
+      if (!walk(0L, b.length.toLong, 0)) return None
+      if (durationSec < 0 || durationSec > Int.MaxValue ||
+        width <= 0 || height <= 0) None
+      else Some((width, height, durationSec.toInt))
+    }
+  }
+
   /** The DEFAULT decoder: real header parsing on the pure JVM — image
     * dimensions via [[ImageHeaders]] (PNG/JPEG/GIF), audio shape via
     * [[AudioHeaders]] (WAV/RIFF: the triple reads as sampleRate ×
-    * frames × channels) — falling back to [[StubDecoder]]'s
-    * deterministic fake for everything else (video — still no codecs
-    * in this container — and unrecognized bytes, which keeps synthetic
-    * text-byte fixtures and their oracles stable).
+    * frames × channels), video shape via [[VideoHeaders]] (ISO-BMFF
+    * MP4/MOV: the triple reads as width × height × durationSeconds) —
+    * falling back to [[StubDecoder]]'s deterministic fake for pixel/
+    * frame decode and unrecognized bytes, which keeps synthetic
+    * text-byte fixtures and their oracles stable.
     *
     * Default-change note (r6): [[extractFeatures]]' default moved from
     * [[StubDecoder]] to this decoder. A payload whose bytes HAPPEN to
@@ -224,6 +301,9 @@ object Multimodal {
             .getOrElse(StubDecoder.decode(mediaType, payload))
         case "audio" =>
           AudioHeaders.parseWav(payload)
+            .getOrElse(StubDecoder.decode(mediaType, payload))
+        case "video" =>
+          VideoHeaders.parseMp4(payload)
             .getOrElse(StubDecoder.decode(mediaType, payload))
         case _ => StubDecoder.decode(mediaType, payload)
       }

@@ -666,6 +666,68 @@ class LlmSpec extends SparkSpec {
     assert(f(2L) == ((64, 1, 1)))
   }
 
+  test("multimodal: real MP4/ISO-BMFF header decode, stub fallback elsewhere") {
+    import Multimodal.VideoHeaders
+    import java.nio.ByteBuffer
+    def box(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = ByteBuffer.allocate(8 + payload.length) // big-endian default
+      bb.putInt(8 + payload.length); bb.put(typ.getBytes); bb.put(payload)
+      bb.array()
+    }
+    def ftyp = box("ftyp", "isom".getBytes ++ Array.fill(4)(0.toByte) ++
+      "isomavc1".getBytes)
+    def mvhdV0(timescale: Int, duration: Int): Array[Byte] = {
+      val bb = ByteBuffer.allocate(100)
+      bb.putInt(0)                 // version 0 + flags
+      bb.putInt(0); bb.putInt(0)   // ctime, mtime
+      bb.putInt(timescale); bb.putInt(duration)
+      box("mvhd", bb.array())
+    }
+    def mvhdV1(timescale: Int, duration: Long): Array[Byte] = {
+      val bb = ByteBuffer.allocate(112)
+      bb.putInt(0x01000000)        // version 1
+      bb.putLong(0); bb.putLong(0) // 64-bit ctime, mtime
+      bb.putInt(timescale); bb.putLong(duration)
+      box("mvhd", bb.array())
+    }
+    def tkhd(w: Int, h: Int, v1: Boolean = false): Array[Byte] = {
+      val off = if (v1) 88 else 76
+      val bb = ByteBuffer.allocate(off + 8)
+      bb.putInt(if (v1) 0x01000000 else 0)
+      bb.position(off)
+      bb.putInt(w << 16); bb.putInt(h << 16) // 16.16 fixed point
+      box("tkhd", bb.array())
+    }
+    def mp4(boxes: Array[Byte]*): Array[Byte] = boxes.flatten.toArray
+
+    // v0 movie header + one sized (video) track after an audio (0×0) one
+    val good = mp4(ftyp,
+      box("moov", mvhdV0(1000, 5000) ++ box("trak", tkhd(0, 0)) ++
+        box("trak", tkhd(640, 360))))
+    assert(VideoHeaders.parseMp4(good).contains((640, 360, 5)))
+    // v1 header (64-bit duration) and v1 track header
+    val v1 = mp4(ftyp,
+      box("moov", mvhdV1(90000, 90000L * 3661) ++
+        box("trak", tkhd(1920, 1080, v1 = true))))
+    assert(VideoHeaders.parseMp4(v1).contains((1920, 1080, 3661)))
+    // audio-only mp4 (no sized track), garbage, truncation → None
+    assert(VideoHeaders.parseMp4(mp4(ftyp,
+      box("moov", mvhdV0(1000, 2000) ++ box("trak", tkhd(0, 0))))).isEmpty)
+    assert(VideoHeaders.parseMp4("plain text, no boxes".getBytes).isEmpty)
+    assert(VideoHeaders.parseMp4(good.take(40)).isEmpty)
+
+    // through the Spark seam: MP4 parses; non-MP4 video keeps the stub
+    val media = Seq(
+      (1L, "video", good),
+      (2L, "video", Array.fill(64)(7.toByte))
+    ).toDF("media_id", "media_type", "payload")
+    val f = Multimodal.extractFeatures(media).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(3), r.getInt(4), r.getInt(5)))).toMap
+    assert(f(1L) == ((640, 360, 5)))
+    val stub = Multimodal.StubDecoder.decode("video", Array.fill(64)(7.toByte))
+    assert(f(2L) == stub)
+  }
+
   test("multimodal: stub decode features are deterministic and typed") {
     val media = Multimodal.mediaFromDocuments(
       spark, "/root/testdata/sf0.001/documents.parquet")
