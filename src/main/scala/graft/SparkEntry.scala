@@ -503,6 +503,24 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"), col("source"))
     },
 
+    // --- diversity-balanced sampling over embedding cells: PRE-TRAINED
+    // literal centroids differing only in dims 0/1, so the real
+    // nearest-centroid argmin provably reduces to the quadrant of
+    // (e0, e1) — which the oracle replays as a CASE — while Spark runs
+    // the full 64-dim distance argmin. Equal per-cell quota, sparsest
+    // cell binds. ---
+    "q_diversity_sample" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val cents: Array[Seq[Double]] = Array(
+        Seq(0.2, 0.2) ++ Seq.fill(62)(0.0),
+        Seq(0.2, -0.2) ++ Seq.fill(62)(0.0),
+        Seq(-0.2, 0.2) ++ Seq.fill(62)(0.0),
+        Seq(-0.2, -0.2) ++ Seq.fill(62)(0.0))
+      Sampling.diversitySample(emb, "vec_id", "embedding", cents,
+          bucketFn = Sampling.portableBucket)
+        .select(col("vec_id"))
+    },
+
     // --- deterministic train/val/test assignment: the hash range is
     // carved into contiguous label ranges (sorted-key order: test,
     // train, val), every row gets exactly one label — the leak-proof
@@ -1473,6 +1491,34 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.source
         |FROM documents d JOIN thr USING (lang)
         |WHERE ((d.doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000 < thr""".stripMargin,
+
+    // the literal centroids differ only in dims 1/2 with equal norms,
+    // so argmin(distance) == argmax(±e1 ±e2) == the sign quadrant;
+    // ties (e1 or e2 exactly 0) go to the FIRST index in both engines
+    // (the CASE's >= mirrors the strict-< argmin's first-wins)
+    "q_diversity_sample" ->
+      """WITH cells AS (
+        |  SELECT vec_id,
+        |    CASE WHEN embedding[1] >= 0 AND embedding[2] >= 0 THEN 0
+        |         WHEN embedding[1] >= 0 THEN 1
+        |         WHEN embedding[2] >= 0 THEN 2
+        |         ELSE 3 END AS cell
+        |  FROM embeddings
+        |), n AS (
+        |  SELECT cell, CAST(count(*) AS BIGINT) AS cnt FROM cells GROUP BY cell
+        |), k AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS k FROM n
+        |), t AS (
+        |  SELECT min(CAST(cnt AS DOUBLE) * (SELECT k FROM k)) AS tstar FROM n
+        |), thr AS (
+        |  SELECT cell,
+        |    CAST(round((SELECT tstar FROM t) / (SELECT k FROM k) / cnt * 1000000)
+        |      AS BIGINT) AS thr
+        |  FROM n
+        |)
+        |SELECT c.vec_id
+        |FROM cells c JOIN thr USING (cell)
+        |WHERE ((c.vec_id % 1000000007) * 2654435761) % 1000000007 % 1000000 < thr""".stripMargin,
 
     "q_assign_splits" ->
       """SELECT doc_id, lang,

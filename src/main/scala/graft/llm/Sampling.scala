@@ -161,6 +161,18 @@ object Sampling {
     require(missing.isEmpty,
       s"weighted domain(s) have no rows: ${missing.toSeq.sorted.mkString(", ")} " +
         s"— drop them from weights or fix the corpus")
+    mixtureFilter(df, domainStr, idCol, counts, weights, bucketFn)
+  }
+
+  /** The T*-threshold core shared by [[mixture]] and
+    * [[diversitySample]]: given per-domain counts and target weights,
+    * keep fraction `w_d * T* / n_d` of each domain (T* = min n_d/w_d,
+    * the largest achievable total), decided by the deterministic
+    * hash-bucket of the id. */
+  private def mixtureFilter(df: DataFrame, domainStr: Column, idCol: String,
+                            counts: Map[String, Long],
+                            weights: Map[String, Double],
+                            bucketFn: Column => Column): DataFrame = {
     val tStar = counts.map { case (d, n) => n.toDouble / weights(d) }.min
     // per-domain integer thresholds out of Buckets; the binding domain's
     // fraction is 1.0 so it keeps every bucket
@@ -171,6 +183,38 @@ object Sampling {
       case (acc, (d, t)) => when(domainStr === lit(d), lit(t)).otherwise(acc)
     }
     df.filter(bucketFn(col(idCol)) < thrCol)
+  }
+
+  /** Diversity-balanced downsampling over embedding-space cells: assign
+    * each row to its nearest centroid (pre-trained `cents` — train once
+    * with [[Similarity.IvfIndex.centroids]], assign often; the codegen'd
+    * one-pass projection) and keep an EQUAL number of rows from every
+    * OBSERVED cell — the "don't let one semantic mode dominate the
+    * subset" step (the sampling face of the SemDeDup clustering; cf.
+    * cluster-balanced selection in Abbas et al. 2023). The kept total is
+    * k·min_cell(n) — the sparsest observed cell binds, every cell
+    * contributes that many (to hash-bucket granularity), nothing
+    * upsamples.
+    *
+    * Scale shape: ONE bounded aggregation (≤ |cents| rows to the
+    * driver) to learn cell counts, then the same shuffle-free
+    * hash-threshold filter as every sampler here. The cell column never
+    * materializes in the output. Deterministic: same (corpus, cents,
+    * bucketFn) ⇒ same kept set, on any cluster. */
+  def diversitySample(df: DataFrame, idCol: String, vecCol: String,
+                      cents: Array[Seq[Double]],
+                      bucketFn: Column => Column = bucket): DataFrame = {
+    require(cents.nonEmpty, "diversitySample needs at least one centroid")
+    val cell = graft.functions.VectorExprs
+      .nearest_centroid(col(vecCol), cents.toIndexedSeq).cast("string")
+    val counts: Map[String, Long] = df
+      .groupBy(cell.as("__cell")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    if (counts.isEmpty) df // empty corpus: nothing to balance
+    else {
+      val w = counts.keys.map(_ -> 1.0 / counts.size).toMap
+      mixtureFilter(df, cell, idCol, counts, w, bucketFn)
+    }
   }
 
   /** Deterministic token-budget cut: "give me ~`budget` tokens of this

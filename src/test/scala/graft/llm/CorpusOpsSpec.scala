@@ -408,6 +408,34 @@ class CorpusOpsSpec extends SparkSpec {
     assert(kept.exceptAll(again).isEmpty && again.exceptAll(kept).isEmpty)
   }
 
+  test("diversitySample: equal cells keep all; sparse cell binds the quota") {
+    // centroids on the axes of a 4-dim space → cell = nearest axis
+    val cents: Array[Seq[Double]] = Array(
+      Seq(1.0, 0.0, 0.0, 0.0), Seq(0.0, 1.0, 0.0, 0.0))
+    def vec(axis: Int): Seq[Float] =
+      Seq.tabulate(4)(i => if (i == axis) 1.0f else 0.0f)
+    // balanced: 3 rows per cell → every threshold is 1.0, all kept
+    val balanced = ((0L to 2L).map(i => (i, vec(0))) ++
+      (10L to 12L).map(i => (i, vec(1)))).toDF("id", "vec")
+    assert(Sampling.diversitySample(balanced, "id", "vec", cents,
+      bucketFn = Sampling.portableBucket).count() == 6)
+    // skewed: cell0 has 40 rows, cell1 has 10 → cell1 keeps all 10,
+    // cell0 keeps exactly the ids whose portable bucket < 250000
+    val skewed = ((0L until 40L).map(i => (i, vec(0))) ++
+      (100L until 110L).map(i => (i, vec(1)))).toDF("id", "vec")
+    val kept = Sampling.diversitySample(skewed, "id", "vec", cents,
+        bucketFn = Sampling.portableBucket)
+      .select("id").collect().map(_.getLong(0)).toSet
+    def pb(id: Long) = ((id % 1000000007L) * 2654435761L) % 1000000007L % 1000000L
+    val expect = (0L until 40L).filter(pb(_) < 250000L).toSet ++
+      (100L until 110L).filter(pb(_) < 1000000L).toSet
+    assert(kept == expect, s"kept=$kept expect=$expect")
+    assert((100L until 110L).forall(kept), "binding cell must keep all rows")
+    // empty corpus passes through
+    val empty = Seq.empty[(Long, Seq[Float])].toDF("id", "vec")
+    assert(Sampling.diversitySample(empty, "id", "vec", cents).count() == 0)
+  }
+
   test("mixture: unweighted domains are dropped; bad weights are loud") {
     val d = Seq((1L, "a"), (2L, "junk"), (3L, "a")).toDF("id", "dom")
     val kept = Sampling.mixture(d, "dom", "id", Map("a" -> 1.0))
