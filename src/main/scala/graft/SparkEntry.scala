@@ -731,6 +731,27 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // --- incremental NEAR-dup dedup vs a reference snapshot: drop
+    // batch docs whose jaccard to ANY reference doc reaches 0.5 —
+    // originals of ref docs (jaccard 1.0) and their tailed near-copies
+    // go; near-copies of NON-ref docs stay. bands=32 recall margin as
+    // q_minhash_pairs; the oracle replays brute-force cross jaccard. ---
+    "q_dedup_incremental_near" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val nearRef = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select((col("doc_id") + 500000).as("doc_id"),
+          concat(col("text"), lit(" graft dup tail")).as("text"))
+      val nearOther = docs.filter(pmod(col("doc_id"), lit(4)) === 2)
+        .select((col("doc_id") + 600000).as("doc_id"),
+          concat(col("text"), lit(" graft dup tail")).as("text"))
+      val ref = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+        .select(col("text"))
+      Dedup.nearDupAgainstReference(
+          docs.union(nearRef).union(nearOther), ref, "doc_id", "text",
+          numHashes = 64, bands = 32, threshold = 0.5)
+        .select(col("doc_id"))
+    },
+
     // --- corpus-trained unigram LM scoring (perplexity-proxy quality
     // filter): vocab = top-30 words (corpus counts ~900 at sf0.01 vs 30
     // for the first excluded word — real margin), OOV floor 1/total.
@@ -1838,6 +1859,33 @@ object SparkEntry {
         |)
         |SELECT doc_id FROM fresh
         |QUALIFY doc_id = min(doc_id) OVER (PARTITION BY text)""".stripMargin,
+
+    "q_dedup_incremental_near" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 500000 AS doc_id, text || ' graft dup tail' AS text
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 600000 AS doc_id, text || ' graft dup tail' AS text
+        |  FROM documents WHERE doc_id % 4 = 2
+        |), shc AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tok) - 1),
+        |      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\W+') AS tok
+        |        FROM corpus)
+        |), shr AS (
+        |  SELECT list_distinct(list_transform(range(1, len(tok) - 1),
+        |      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS sh
+        |  FROM (SELECT regexp_split_to_array(lower(text), '\W+') AS tok
+        |        FROM documents WHERE doc_id % 4 = 0)
+        |)
+        |SELECT c.doc_id FROM shc c
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM shr r
+        |  WHERE CAST(len(list_intersect(c.sh, r.sh)) AS DOUBLE)
+        |    / CAST(len(list_distinct(list_concat(c.sh, r.sh))) AS DOUBLE) >= 0.5)""".stripMargin,
 
     "q_lm_score" ->
       """WITH corpus AS (

@@ -196,6 +196,57 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Incremental NEAR-dup dedup: drop rows of `df` whose text is a
+    * minhash-LSH near-duplicate (exact jaccard >= `threshold`) of ANY
+    * document in a REFERENCE corpus — the near-dup extension of
+    * [[againstReference]]: "don't re-ingest what the previous crawl
+    * already delivered, even when the copy grew a tracking footer."
+    *
+    * Scale shape — both corpora sketch independently (the same one-pass
+    * native shingle+band projection as [[minhashPairs]]) and meet on
+    * (band, bucket) KEYS; document text never rides the bucket shuffle.
+    * Reference buckets are capped: a hot bucket (boilerplate mode)
+    * poisons its bounded buffer and drops, so each batch row pairs with
+    * at most `bands × maxBucketSize` reference candidates. Candidate
+    * (id, refKey) pairs dedup through an exchange PINNED to the session
+    * shuffle-partition width (16-byte rows would otherwise AQE-coalesce
+    * onto one core under the CPU-heavy verify — the [[minhashPairs]]
+    * lesson), then exact jaccard against the re-joined texts confirms,
+    * and the final drop is a keys-only anti-join. Reference rows need
+    * no id column: a reference document is keyed by xxhash64 of its
+    * text (exact-duplicate refs collapse, which is harmless — any one
+    * copy witnesses the near-dup). */
+  def nearDupAgainstReference(df: DataFrame, ref: DataFrame, idCol: String,
+                              textCol: String, refTextCol: String = "text",
+                              nGram: Int = 3, numHashes: Int = 64,
+                              bands: Int = 16, threshold: Double = 0.5,
+                              maxBucketSize: Int = 10000): DataFrame = {
+    val refDocs = ref.select(col(refTextCol).as("__rt"))
+      .select(xxhash64(col("__rt")).as("__rk"), col("__rt"))
+      .dropDuplicates("__rk")
+    val refKeys = refDocs.select(col("__rk"),
+      posexplode(minhash_bands(shingleHashes(col("__rt"), nGram),
+        numHashes, bands)).as(Seq("band", "bucket")))
+    val refBuckets = refKeys.groupBy(col("band"), col("bucket"))
+      .agg(collect_longs_capped(col("__rk"), maxBucketSize).as("rks"))
+      .filter(col("rks").isNotNull)
+    val dfKeys = df.select(col(idCol).as("__id"),
+      posexplode(minhash_bands(shingleHashes(col(textCol), nGram),
+        numHashes, bands)).as(Seq("band", "bucket")))
+    val nShuffle = df.sparkSession.sessionState.conf.numShufflePartitions
+    val cand = dfKeys.join(refBuckets, Seq("band", "bucket"))
+      .select(col("__id"), explode(col("rks")).as("__rk"))
+      .repartition(nShuffle, col("__id"), col("__rk"))
+      .dropDuplicates("__id", "__rk")
+    val dupIds = cand
+      .join(df.select(col(idCol).as("__id"), col(textCol).as("__t")), Seq("__id"))
+      .join(refDocs, Seq("__rk"))
+      .filter(jaccard_sorted(shingleHashes(col("__t"), nGram),
+        shingleHashes(col("__rt"), nGram)) >= threshold)
+      .select(col("__id").as(idCol)).distinct()
+    df.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Iterative canonical propagation over a pair graph: converges the
     * single-pass approximation to true connected components (a ~ b ~ c
     * ⇒ all three share min(component)). Each round: canonical(x) =

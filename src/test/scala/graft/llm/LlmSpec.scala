@@ -362,6 +362,28 @@ class LlmSpec extends SparkSpec {
     assert(Dedup.minhashPairs(intDocs, "doc_id", "text", nGram = 1).count() == 1)
   }
 
+  test("nearDupAgainstReference: drops ref copies and near-copies only") {
+    val ref = Seq("alpha beta gamma delta epsilon zeta eta theta")
+      .toDF("text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta"),         // exact ref copy
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota xx"), // near-dup of ref
+      (3L, "completely different words about other subject matter"), // kept
+      (4L, "xy")                                                     // tiny, kept
+    ).toDF("id", "text")
+    val kept = Dedup.nearDupAgainstReference(corpus, ref, "id", "text",
+        bands = 32, threshold = 0.5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(3L, 4L), s"kept=$kept")
+    // empty reference keeps everything; empty corpus stays empty
+    val noRef = Seq.empty[String].toDF("text")
+    assert(Dedup.nearDupAgainstReference(corpus, noRef, "id", "text")
+      .count() == 4)
+    val noCorpus = Seq.empty[(Long, String)].toDF("id", "text")
+    assert(Dedup.nearDupAgainstReference(noCorpus, ref, "id", "text")
+      .count() == 0)
+  }
+
   test("dedup operators handle empty and singleton corpora") {
     val empty = Seq.empty[(Long, String)].toDF("id", "text")
     assert(Dedup.exact(empty, "id", Seq("text")).count() == 0)
