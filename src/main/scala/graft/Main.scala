@@ -341,6 +341,7 @@ object Main {
         normalizeUnicode = cur.normalizeUnicode,
         lineDedupMinDocs = cur.lineDedupMinDocs,
         referenceSnapshot = refFrame,
+        referenceNearDup = cur.referenceNearDup,
         contaminationProbes = probeFrames,
         contaminationProbeTextCol =
           cur.contamination.map(_.textColumn).getOrElse("text"),
@@ -472,7 +473,10 @@ object Main {
         stripHtml = cur.stripHtml,
         fixMojibake = cur.fixMojibake,
         normalizeUnicode = cur.normalizeUnicode,
-        referenceSnapshot = refFrame)
+        referenceSnapshot = refFrame,
+        // forwarded so pipelineStream rejects it loudly rather than
+        // the YAML knob being silently ignored
+        referenceNearDup = cur.referenceNearDup)
       val curated = Curation.pipelineStream(
         input, cur.idColumn, cur.textColumn, tsCol, cur.dedupHorizon, pc)
       // an extension-less target is a parquet directory — the same

@@ -91,6 +91,10 @@ object YamlJob {
         * dropped before in-batch dedup (incremental, "don't re-ingest
         * the last crawl" ingestion). */
       referenceUri: Option[String] = None,
+      /** `reference_near_dup: <threshold>` — match the reference by
+        * minhash near-duplication (exact jaccard >= threshold) instead
+        * of exact content hashes. Batch mode only. */
+      referenceNearDup: Option[Double] = None,
       contamination: Option[ContaminationSpec] = None,
       tokenBudget: Option[Long] = None,
       tokenBudgetShards: Int = 64,
@@ -224,7 +228,7 @@ object YamlJob {
         "observed", "bucket", "strip_html", "fix_mojibake", "normalize_unicode", "line_dedup_min_docs", "contamination",
         "token_budget", "token_budget_shards", "shards",
         "mode", "ts_column", "dedup_horizon", "checkpoint", "trigger",
-        "reference")
+        "reference", "reference_near_dup")
       // misspelled knobs must be loud — a silently ignored
       // `sample_fracton: 0.01` would ship 100× the intended corpus;
       // the same rule applies INSIDE the nested maps (a typo'd
@@ -320,6 +324,8 @@ object YamlJob {
         lineDedupMinDocs = c.get("line_dedup_min_docs")
           .map(v => intOpt("line_dedup_min_docs", v)),
         referenceUri = c.get("reference").map(v => sub(v.toString)),
+        referenceNearDup = c.get("reference_near_dup")
+          .map(v => doubleOpt("reference_near_dup", v)),
         contamination = c.get("contamination").flatMap(Option(_)).map {
           case m: JMap[_, _] =>
             val mm = m.asInstanceOf[JMap[String, Object]].asScala

@@ -96,6 +96,15 @@ object Curation {
         * [[pipelineStream]] the same stage streams as one stream-static
         * anti-join on the hash. */
       referenceSnapshot: Option[DataFrame] = None,
+      /** With [[referenceSnapshot]] set, match NEAR-duplicates
+        * ([[Dedup.nearDupAgainstReference]], minhash-LSH candidates +
+        * exact jaccard >= this threshold) instead of exact content
+        * hashes — previously-shipped documents that grew a tracking
+        * footer still drop. Batch-only: the candidate machinery
+        * aggregates the batch side per bucket, which has no
+        * bounded-state streaming analog; [[pipelineStream]] rejects it
+        * loudly. */
+      referenceNearDup: Option[Double] = None,
       /** When set, run [[Contamination.decontaminate]] against this
         * probe corpus AFTER dedup and BEFORE sampling (so the sample
         * fraction applies to the clean corpus). */
@@ -145,10 +154,16 @@ object Curation {
     // canonical. The result fans out into the dedup's two consumers
     // below, so the persist knob checkpoints it like the other
     // fan-out stages.
-    val afterRef0 = cfg.referenceSnapshot match {
-      case Some(ref) =>
+    val afterRef0 = (cfg.referenceSnapshot, cfg.referenceNearDup) match {
+      case (Some(ref), Some(th)) =>
+        Dedup.nearDupAgainstReference(afterLines, ref, idCol, textCol,
+          refTextCol = textCol, threshold = th)
+      case (Some(ref), None) =>
         Dedup.againstReference(afterLines, ref, idCol, Seq(textCol))
-      case None => afterLines
+      case (None, Some(_)) =>
+        throw graft.core.GraftError.Configuration(
+          "referenceNearDup needs a referenceSnapshot to match against")
+      case (None, None) => afterLines
     }
     val afterRef =
       if (cfg.persistSurvivors && cfg.referenceSnapshot.isDefined)
@@ -212,7 +227,8 @@ object Curation {
     for ((name, set) <- Seq(
         "lineDedupMinDocs" -> cfg.lineDedupMinDocs.isDefined,
         "contaminationProbes" -> cfg.contaminationProbes.isDefined,
-        "tokenBudget" -> cfg.tokenBudget.isDefined) if set)
+        "tokenBudget" -> cfg.tokenBudget.isDefined,
+        "referenceNearDup" -> cfg.referenceNearDup.isDefined) if set)
       throw graft.core.GraftError.Configuration(
         s"$name is corpus-wide and cannot stream — run it as a batch " +
           "compaction over the stream's output")

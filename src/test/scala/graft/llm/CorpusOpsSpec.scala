@@ -547,6 +547,29 @@ class CorpusOpsSpec extends SparkSpec {
     assert(noUrl == Seq(1L, 2L, 5L), s"kept $noUrl")
   }
 
+  test("curation pipeline: near-dup reference mode drops grown copies") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val corpus = Seq(
+      (1L, base + " lambda mu"),  // near-dup of the shipped snapshot → drop
+      (2L, base),                 // exact ref content → drop
+      (3L, "different content on an unrelated topic entirely here")
+    ).toDF("doc_id", "text")
+    val ref = Seq(base).toDF("text")
+    val loose = Curation.PipelineConfig(maxDupWordFrac = 1.0,
+      maxDupNgramFrac = 1.0, maxTopNgramFrac = 1.0,
+      referenceSnapshot = Some(ref))
+    // exact mode only catches doc 2; near-dup mode also catches doc 1
+    assert(Curation.pipeline(corpus, "doc_id", "text", loose)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 3L))
+    assert(Curation.pipeline(corpus, "doc_id", "text",
+        loose.copy(referenceNearDup = Some(0.5)))
+      .select("doc_id").as[Long].collect().toSet == Set(3L))
+    // near-dup without a snapshot is loud
+    intercept[graft.core.GraftError.Configuration](
+      Curation.pipeline(corpus, "doc_id", "text",
+        Curation.PipelineConfig(referenceNearDup = Some(0.5))))
+  }
+
   test("curation pipeline: line dedup stage collapses footer-differing copies") {
     val corpus = Seq(
       (1L, "shared body text\nFOOTER"),

@@ -195,7 +195,8 @@ class StreamingSpec extends SparkSpec {
     for (bad <- Seq(
         cfg.copy(lineDedupMinDocs = Some(3)),
         cfg.copy(contaminationProbes = Some(Seq("x").toDF("text"))),
-        cfg.copy(tokenBudget = Some(1000L))))
+        cfg.copy(tokenBudget = Some(1000L)),
+        cfg.copy(referenceNearDup = Some(0.5))))
       intercept[graft.core.GraftError.Configuration](
         Curation.pipelineStream(in, "doc_id", "text", "ts", cfg = bad))
     // and a batch frame is rejected up front
