@@ -290,6 +290,34 @@ class PropertySpec extends SparkSpec {
       "dropCommon must be idempotent")
   }
 
+  test("media header parsers are TOTAL: arbitrary bytes never throw") {
+    import graft.llm.Multimodal.{AudioHeaders, ImageHeaders, VideoHeaders}
+    // at 100 TB the byte parsers face every corruption the web can
+    // produce — a throw in an executor task is a job killer, so totality
+    // (None, never an exception) is the contract under fuzz
+    val junk = Gen.choose(0, 64).flatMap(n =>
+      Gen.listOfN(n, Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray))
+    // adversarial prefixes: real signatures followed by garbage
+    val sigs = Seq("RIFF", "RIFFxxxxWAVE", "GIF89a", "PNG",
+      "   ftyp", "   ftyp")
+      .map(_.getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val seeded = Gen.oneOf(sigs).flatMap(p =>
+      junk.map(j => p ++ j))
+    forAll(Gen.oneOf(junk, seeded), n = 400) { bytes =>
+      ImageHeaders.parse(bytes)
+      AudioHeaders.parseWav(bytes)
+      VideoHeaders.parseMp4(bytes)
+    }
+    // truncations of a VALID mp4 at every length: None or a value,
+    // never a throw / out-of-bounds
+    val bb = java.nio.ByteBuffer.allocate(16 + 8 + 108)
+    bb.putInt(16); bb.put("ftyp".getBytes); bb.put("isomisom".getBytes)
+    bb.putInt(8 + 108); bb.put("moov".getBytes)
+    bb.putInt(108); bb.put("mvhd".getBytes)
+    val valid = bb.array()
+    (0 until valid.length).foreach(n => VideoHeaders.parseMp4(valid.take(n)))
+  }
+
   test("ShingleHash equals builtin composition on random ASCII text (Spark)") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
