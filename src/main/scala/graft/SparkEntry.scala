@@ -1215,6 +1215,27 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus"), exact = true)
     },
 
+    // --- numeric distribution profile: mean/stddev/quartiles/p95 in
+    // one agg pass (exact mode — Spark's `percentile` interpolates at
+    // (n-1)·p exactly like quantile_cont, so the oracle replays it;
+    // the scale path is the approx_percentile sketch, unit-pinned).
+    // Small-magnitude columns keep double-sum drift below round(4) ---
+    "q_numeric_profile" -> { (s, dir) =>
+      graft.operators.TableProfile.numericProfile(
+        t(s, dir, "lineitem"),
+        Seq("l_quantity", "l_discount", "l_tax"), exact = true)
+    },
+
+    // --- equi-width histogram with pinned [lo, hi] so width (24000.0)
+    // is an exact double and every bin edge/assignment replays
+    // bit-for-bit in any IEEE engine; empty bins emitted as zeros.
+    // Data-driven-range path + edge folding are unit-pinned ---
+    "q_histogram" -> { (s, dir) =>
+      graft.operators.TableProfile.histogram(
+        t(s, dir, "orders"), "o_totalprice",
+        bins = 25, lo = Some(0.0), hi = Some(600000.0))
+    },
+
     // --- deliberately skewed TPC-H-shape join stressor: the derived
     // key sends ~75% of lineitem to ONE nation (a real hot key, unlike
     // the table's uniform FKs), and the salted broadcast join spreads
@@ -2460,6 +2481,58 @@ object SparkEntry {
         |  count(DISTINCT o_orderstatus),
         |  CAST(min(o_orderstatus) AS VARCHAR), CAST(max(o_orderstatus) AS VARCHAR)
         |FROM orders""".stripMargin,
+
+    // q_numeric_profile: exact mode is engine-replayable by design —
+    // mean/stddev from exact DECIMAL(28,10) sums (identical doubles in
+    // any engine), quantile_cont ≡ Spark's percentile interpolation
+    "q_numeric_profile" ->
+      """WITH s AS (SELECT CAST(l_quantity AS DOUBLE) AS q,
+        |  CAST(l_discount AS DOUBLE) AS d, CAST(l_tax AS DOUBLE) AS t
+        |  FROM lineitem),
+        |a AS (SELECT
+        |  count(q) AS nq,
+        |  CAST(sum(CAST(q AS DECIMAL(28,10))) AS DOUBLE) AS q1,
+        |  CAST(sum(CAST(q*q AS DECIMAL(28,10))) AS DOUBLE) AS q2,
+        |  quantile_cont(q, [0.25,0.5,0.75,0.95]) AS qq,
+        |  count(d) AS nd,
+        |  CAST(sum(CAST(d AS DECIMAL(28,10))) AS DOUBLE) AS d1,
+        |  CAST(sum(CAST(d*d AS DECIMAL(28,10))) AS DOUBLE) AS d2,
+        |  quantile_cont(d, [0.25,0.5,0.75,0.95]) AS dq,
+        |  count(t) AS nt,
+        |  CAST(sum(CAST(t AS DECIMAL(28,10))) AS DOUBLE) AS t1,
+        |  CAST(sum(CAST(t*t AS DECIMAL(28,10))) AS DOUBLE) AS t2,
+        |  quantile_cont(t, [0.25,0.5,0.75,0.95]) AS tq
+        |  FROM s)
+        |SELECT 'l_quantity' AS column_name, round(q1/nq, 4) AS mean,
+        |  round(sqrt((q2 - q1*q1/nq)/(nq - 1)), 4) AS stddev,
+        |  round(qq[1], 4) AS p25, round(qq[2], 4) AS p50,
+        |  round(qq[3], 4) AS p75, round(qq[4], 4) AS p95 FROM a
+        |UNION ALL
+        |SELECT 'l_discount', round(d1/nd, 4),
+        |  round(sqrt((d2 - d1*d1/nd)/(nd - 1)), 4),
+        |  round(dq[1], 4), round(dq[2], 4), round(dq[3], 4),
+        |  round(dq[4], 4) FROM a
+        |UNION ALL
+        |SELECT 'l_tax', round(t1/nt, 4),
+        |  round(sqrt((t2 - t1*t1/nt)/(nt - 1)), 4),
+        |  round(tq[1], 4), round(tq[2], 4), round(tq[3], 4),
+        |  round(tq[4], 4) FROM a""".stripMargin,
+
+    // q_histogram: pinned [0, 600000] × 25 bins → width 24000.0 is an
+    // exact double, so floor((x-lo)/width), LEAST-fold of x = hi into
+    // the last bin, and every bin edge replay bit-for-bit
+    "q_histogram" ->
+      """WITH c AS (
+        |  SELECT CAST(LEAST(floor((CAST(o_totalprice AS DOUBLE) - 0.0)
+        |      / 24000.0), 24) AS BIGINT) AS bin, count(*) AS n
+        |  FROM orders
+        |  WHERE o_totalprice IS NOT NULL
+        |    AND CAST(o_totalprice AS DOUBLE) >= 0.0
+        |    AND CAST(o_totalprice AS DOUBLE) <= 600000.0
+        |  GROUP BY 1)
+        |SELECT r.bin, r.bin * 24000.0 AS bin_lo,
+        |  (r.bin + 1) * 24000.0 AS bin_hi, COALESCE(c.n, 0) AS n
+        |FROM range(25) r(bin) LEFT JOIN c ON r.bin = c.bin""".stripMargin,
 
     // q_skew_join: salts are join-invariant, so the oracle is the
     // UNSALTED join over the same skewed key derivation

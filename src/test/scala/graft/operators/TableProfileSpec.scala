@@ -62,6 +62,81 @@ class TableProfileSpec extends SparkSpec {
       .count() == 1)
   }
 
+  test("numericProfile: exact moments + (n-1)p interpolated quantiles; loud misuse") {
+    // 1..5: mean 3, sample stddev sqrt(2.5), p25 at idx 1.0 → 2.0,
+    // p50 → 3.0, p75 at idx 3.0 → 4.0, p95 at idx 3.8 → 4.8
+    val d = Seq(1.0, 2.0, 3.0, 4.0, 5.0).toDF("v")
+    val r = TableProfile.numericProfile(d, Seq("v"), exact = true).head
+    assert(r.getString(0) == "v")
+    assert(r.getDouble(1) == 3.0)
+    assert(r.getDouble(2) == math.rint(math.sqrt(2.5) * 1e4) / 1e4)
+    assert((r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))
+      == ((2.0, 3.0, 4.0, 4.8)))
+
+    // approx mode agrees on a small corpus (sketch is exact here)
+    val a = TableProfile.numericProfile(d, Seq("v")).head
+    assert(a.getDouble(1) == 3.0 && a.getDouble(4) == 3.0)
+
+    // nulls ignored; single-row and all-null columns degrade to null
+    // stats instead of NaN/Infinity
+    val sparse = Seq(Some(7.0), None, None).toDF("v")
+    val s = TableProfile.numericProfile(sparse, Seq("v"), exact = true).head
+    assert(s.getDouble(1) == 7.0 && s.isNullAt(2))
+    val empty = Seq.empty[Option[Double]].toDF("v")
+    val e = TableProfile.numericProfile(empty, Seq("v"), exact = true).head
+    assert(e.isNullAt(1) && e.isNullAt(2))
+
+    // dotted names are column names, not field paths
+    val dotted = Seq(1.0, 2.0).toDF("unit.price")
+    assert(TableProfile.numericProfile(dotted, Seq("unit.price"), exact = true)
+      .head.getDouble(1) == 1.5)
+
+    intercept[IllegalArgumentException](
+      TableProfile.numericProfile(d, Nil))
+    intercept[IllegalArgumentException](
+      TableProfile.numericProfile(d, Seq("nope")))
+    val bad = intercept[IllegalArgumentException](
+      TableProfile.numericProfile(d.withColumn("s", lit("x")), Seq("s")))
+    assert(bad.getMessage.contains("not numeric"))
+  }
+
+  test("histogram: edge folding, zero-filled empty bins, degenerate ranges") {
+    val df = Seq(Some(0.0), Some(1.0), Some(2.5), Some(5.0), Some(5.0),
+      Some(9.9), Some(10.0), Some(-1.0), Some(11.0), None).toDF("v")
+    val h = TableProfile.histogram(df, "v", bins = 4,
+      lo = Some(0.0), hi = Some(10.0))
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    // width 2.5; -1.0/11.0/null dropped; 10.0 (== hi) folds into bin 3
+    assert(h.toSeq == Seq(
+      (0L, 0.0, 2.5, 2L),   // 0.0, 1.0
+      (1L, 2.5, 5.0, 1L),   // 2.5
+      (2L, 5.0, 7.5, 2L),   // 5.0, 5.0
+      (3L, 7.5, 10.0, 2L))) // 9.9, 10.0
+    // empty bins appear as zero rows, not holes
+    val sparse = TableProfile.histogram(Seq(0.0, 9.0).toDF("v"), "v",
+      bins = 3, lo = Some(0.0), hi = Some(9.0))
+      .collect().map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1)
+    assert(sparse.toSeq == Seq((0L, 1L), (1L, 0L), (2L, 1L)))
+    // data-driven range: min/max probed with one narrow agg
+    val auto = TableProfile.histogram(Seq(2.0, 4.0, 6.0).toDF("v"), "v", bins = 2)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2), r.getLong(3)))
+      .sortBy(_._1)
+    assert(auto.toSeq == Seq((0L, 2.0, 4.0, 1L), (1L, 4.0, 6.0, 2L)))
+    // constant column: single unit-width bin holds everything
+    val const = TableProfile.histogram(Seq(3.0, 3.0).toDF("v"), "v", bins = 1)
+    assert(const.collect().map(r => (r.getLong(0), r.getLong(3))).toSeq
+      == Seq((0L, 2L)))
+    // all-null column: every bin zero, nothing throws
+    val nulls = TableProfile.histogram(
+      Seq.empty[Option[Double]].toDF("v"), "v", bins = 2)
+    assert(nulls.collect().map(_.getLong(3)).sum == 0L)
+    intercept[IllegalArgumentException](
+      TableProfile.histogram(df, "v", bins = 0))
+    intercept[IllegalArgumentException](
+      TableProfile.histogram(df, "v", lo = Some(5.0), hi = Some(1.0)))
+  }
+
   test("summarize: approx mode plans without Expand; exact mode is one agg pass") {
     val li = sf("lineitem")
     val approxPlan = TableProfile.summarize(
