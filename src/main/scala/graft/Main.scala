@@ -31,7 +31,11 @@ object Main {
   final case class Profile(source: String, columns: Seq[String],
                            exact: Boolean,
                            sourceOptions: Map[String, String],
-                           logLevel: String = "error") extends Cmd
+                           logLevel: String = "error",
+                           numeric: Boolean = false,
+                           histogram: Option[String] = None,
+                           bins: Int = 20,
+                           range: Option[(Double, Double)] = None) extends Cmd
   case object GenDefault extends Cmd
   case object Help extends Cmd
   case object Version extends Cmd
@@ -47,6 +51,8 @@ object Main {
       |       graft generate-config [OPTIONS] <SOURCE> <TARGET>
       |       graft generate-default-config
       |       graft profile <SOURCE> [--columns a,b,c] [--exact]
+      |                               [--numeric] [--histogram COL]
+      |                               [--bins N] [--range LO:HI]
       |                               [--source-type TYPE]
       |
       |Options:
@@ -132,12 +138,32 @@ object Main {
       var exact = false
       var srcType: Option[String] = None
       var plogLevel = "error"
+      var numeric = false
+      var hist: Option[String] = None
+      var bins = 20
+      var range: Option[(Double, Double)] = None
       @annotation.tailrec
       def ploop(r: List[String]): Unit = r match {
         case Nil => ()
         case "--columns" :: v :: t =>
           columns = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq; ploop(t)
         case "--exact" :: t => exact = true; ploop(t)
+        case "--numeric" :: t => numeric = true; ploop(t)
+        case "--histogram" :: v :: t => hist = Some(v); ploop(t)
+        case "--bins" :: v :: t =>
+          bins = v.toIntOption.getOrElse(throw GraftError.Configuration(
+            s"--bins needs an integer, got '$v'")); ploop(t)
+        case "--range" :: v :: t =>
+          range = Some(v.split(':') match {
+            case Array(lo, hi) =>
+              (lo.toDoubleOption, hi.toDoubleOption) match {
+                case (Some(l), Some(h)) => (l, h)
+                case _ => throw GraftError.Configuration(
+                  s"--range needs LO:HI numbers, got '$v'")
+              }
+            case _ => throw GraftError.Configuration(
+              s"--range needs LO:HI, got '$v'")
+          }); ploop(t)
         case "--source-type" :: v :: t => srcType = Some(v); ploop(t)
         case "--log-level" :: v :: t =>
           plogLevel = YamlJob.checkLogLevel(v); ploop(t)
@@ -149,9 +175,13 @@ object Main {
           throw GraftError.Configuration(s"unexpected argument '$v'")
       }
       ploop(rest)
+      if (numeric && hist.isDefined)
+        throw GraftError.Configuration(
+          "--numeric and --histogram are mutually exclusive")
       Profile(source.getOrElse(throw GraftError.Configuration(
           "profile needs a SOURCE")),
-        columns, exact, srcType.map("sourceType" -> _).toMap, plogLevel)
+        columns, exact, srcType.map("sourceType" -> _).toMap, plogLevel,
+        numeric, hist, bins, range)
     case rest =>
       val (cfg, preview, dryRun, logLevel) = parseTransferArgs(rest)
       Transfer(cfg, preview, dryRun, logLevel)
@@ -513,17 +543,42 @@ object Main {
     * the one-pass [[graft.operators.TableProfile]] summary, render it
     * in the reference's data-table box. HLL distinct counts by default
     * (safe on any size); `--exact` opts into the Expand-based exact
-    * counts for small tables. */
+    * counts for small tables. `--numeric` switches to the
+    * mean/stddev/quartile distribution report (over `--columns` or
+    * every numeric column); `--histogram COL [--bins N] [--range
+    * LO:HI]` prints an equi-width bin table. */
   def runProfile(p: Profile): Int = {
     val preExisting = SparkSession.getDefaultSession.isDefined
     val spark = session(p.logLevel)
     try {
       val df = graft.sources.Connectors.read(spark, p.source, p.sourceOptions)
-      val prof = graft.operators.TableProfile.summarize(df, p.columns, p.exact)
-      val cols = prof.columns.toSeq
-      println(s"\nProfile: ${p.source}" +
-        (if (p.exact) " (exact distinct)" else " (approx distinct)"))
-      println(graft.engine.PreviewFormat.dataTable(cols, prof.collect()))
+      val prof = p.histogram match {
+        case Some(c) =>
+          println(s"\nHistogram: ${p.source} [$c], ${p.bins} bins" +
+            p.range.map { case (lo, hi) => s", range $lo..$hi" }
+              .getOrElse(" (data-driven range)"))
+          graft.operators.TableProfile.histogram(df, c, p.bins,
+            p.range.map(_._1), p.range.map(_._2)).orderBy("bin")
+        case None if p.numeric =>
+          val cols =
+            if (p.columns.nonEmpty) p.columns
+            else df.schema.fields.collect {
+              case f if f.dataType.isInstanceOf[
+                org.apache.spark.sql.types.NumericType] => f.name
+            }.toSeq
+          if (cols.isEmpty)
+            throw GraftError.Configuration(
+              s"no numeric columns in ${p.source}")
+          println(s"\nNumeric profile: ${p.source}" +
+            (if (p.exact) " (exact)" else " (approx quantiles)"))
+          graft.operators.TableProfile.numericProfile(df, cols, p.exact)
+        case None =>
+          println(s"\nProfile: ${p.source}" +
+            (if (p.exact) " (exact distinct)" else " (approx distinct)"))
+          graft.operators.TableProfile.summarize(df, p.columns, p.exact)
+      }
+      println(graft.engine.PreviewFormat.dataTable(prof.columns.toSeq,
+        prof.collect()))
       0
     } finally if (!preExisting) spark.stop()
   }

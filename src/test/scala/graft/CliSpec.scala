@@ -856,6 +856,61 @@ class CliSpec extends SparkSpec {
       name.getLong(3) == 1L && name.getString(4) == "ann")
   }
 
+  test("profile --numeric and --histogram modes: parse, output, typed errors") {
+    val p = parse(List("profile", "d.parquet", "--numeric", "--exact",
+      "--columns", "a,b")).asInstanceOf[Profile]
+    assert(p.numeric && p.exact && p.columns == Seq("a", "b"))
+    val h = parse(List("profile", "d.parquet", "--histogram", "price",
+      "--bins", "7", "--range", "0:100")).asInstanceOf[Profile]
+    assert(h.histogram.contains("price") && h.bins == 7 &&
+      h.range.contains((0.0, 100.0)))
+    intercept[GraftError.Configuration](parse(
+      List("profile", "a", "--numeric", "--histogram", "x")))
+    intercept[GraftError.Configuration](parse(
+      List("profile", "a", "--bins", "many")))
+    intercept[GraftError.Configuration](parse(
+      List("profile", "a", "--range", "0-100")))
+    intercept[GraftError.Configuration](parse(
+      List("profile", "a", "--range", "lo:hi")))
+
+    val dir = tmpDir("cli_profile_numeric")
+    writeText(s"$dir/in.csv", "id,price,tag\n1,10.0,x\n2,20.0,y\n3,30.0,z\n")
+    val out = new java.io.ByteArrayOutputStream()
+    val rc = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      runProfile(parse(List("profile", s"$dir/in.csv", "--numeric",
+        "--exact")).asInstanceOf[Profile])
+    }
+    assert(rc == 0)
+    val rendered = out.toString("UTF-8")
+    // --numeric with no --columns profiles every numeric column (id,
+    // price) and skips the string column
+    assert(rendered.contains("Numeric profile") && rendered.contains("exact"))
+    assert(rendered.contains("price") && !rendered.contains("tag"))
+    assert(rendered.contains("stddev") && rendered.contains("p95"))
+
+    val out2 = new java.io.ByteArrayOutputStream()
+    val rc2 = Console.withOut(new java.io.PrintStream(out2, true, "UTF-8")) {
+      runProfile(parse(List("profile", s"$dir/in.csv", "--histogram",
+        "price", "--bins", "2", "--range", "0:30"))
+        .asInstanceOf[Profile])
+    }
+    assert(rc2 == 0)
+    val r2 = out2.toString("UTF-8")
+    assert(r2.contains("Histogram") && r2.contains("2 bins") &&
+      r2.contains("range 0.0..30.0"))
+    assert(r2.contains("bin_lo") && r2.contains("bin_hi"))
+
+    // all-string source: loud error, not an empty report
+    writeText(s"$dir/str.csv", "a,b\nx,y\n")
+    intercept[GraftError.Configuration] {
+      Console.withOut(new java.io.PrintStream(
+        new java.io.ByteArrayOutputStream())) {
+        runProfile(parse(List("profile", s"$dir/str.csv", "--numeric"))
+          .asInstanceOf[Profile])
+      }
+    }
+  }
+
   test("--batch-size chunks file sinks via maxRecordsPerFile") {
     val dir = tmpDir("cli_batch")
     writeText(s"$dir/in.csv", "a\n1\n2\n3\n4\n")
