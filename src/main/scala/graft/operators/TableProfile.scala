@@ -79,17 +79,26 @@ object TableProfile {
     *
     * `exact = false` (the scale default) estimates quantiles with
     * `approx_percentile` (one streaming sketch pass, no sort) and
-    * mean/stddev with Spark's merge-order-dependent running moments.
-    * `exact = true` is the ENGINE-REPLAYABLE mode: quantiles via
-    * Spark's exact `percentile` (per-column sorted aggregation
-    * buffers — small-table / oracle-check cost, the same (n-1)·p
-    * linear interpolation as `quantile_cont`), and mean/stddev from
+    * mean/stddev with Spark's merge-order-dependent running moments —
+    * ONE aggregation pass, bounded memory.
+    *
+    * `exact = true` is the ENGINE-REPLAYABLE mode: mean/stddev from
     * EXACT decimal sums (Σx, Σx² as DECIMAL(28,10), textbook
     * two-moment formula in double on those exact sums) — every engine
     * computes the identical IEEE doubles regardless of row order, at
     * the documented cost of the formula's cancellation for
-    * tiny-variance/huge-mean columns. Doubles are rounded to `roundTo`
-    * so interpolation ulp noise stays below the comparison. */
+    * tiny-variance/huge-mean columns — and quantiles by DISTRIBUTED
+    * order statistics: melt the columns into (column, value) rows, a
+    * map-side-combined `groupBy(value).count` per column, a cumulative
+    * window over the (value, count) distribution, then pick and
+    * linearly interpolate the (n−1)·p neighbors — the same formula as
+    * Spark's `percentile` and DuckDB's `quantile_cont`. Nothing holds
+    * a whole column in one aggregation buffer (the old
+    * `percentile`-based path did — an unbounded OpenHashMap per
+    * column); per-task memory is bounded by the distribution spread,
+    * so the exact path survives high-cardinality columns at scale.
+    * Doubles are rounded to `roundTo` so interpolation ulp noise stays
+    * below the comparison. */
   def numericProfile(df: DataFrame, cols: Seq[String],
                      exact: Boolean = false, roundTo: Int = 4): DataFrame = {
     import org.apache.spark.sql.types._
@@ -102,31 +111,77 @@ object TableProfile {
     }
     def colQ(c: String): Column = col("`" + c.replace("`", "``") + "`")
     val ps = Seq(0.25, 0.5, 0.75, 0.95)
+    val qNames = Seq("p25", "p50", "p75", "p95")
     val dec = DecimalType(28, 10)
-    val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
-      val d = colQ(c).cast("double")
-      if (exact)
-        Seq(count(d).as(s"__n_$i"),
-          sum(d.cast(dec)).cast("double").as(s"__s1_$i"),
-          sum((d * d).cast(dec)).cast("double").as(s"__s2_$i"),
-          percentile(d, lit(ps.toArray)).as(s"__q_$i"))
-      else
+    if (!exact) {
+      val aggs = cols.zipWithIndex.flatMap { case (c, i) =>
+        val d = colQ(c).cast("double")
         Seq(avg(d).as(s"__avg_$i"), stddev_samp(d).as(s"__sd_$i"),
           percentile_approx(d, lit(ps.toArray), lit(10000)).as(s"__q_$i"))
+      }
+      val one = df.agg(aggs.head, aggs.tail: _*)
+      val stackArgs = cols.zipWithIndex.flatMap { case (c, i) =>
+        Seq(lit(c), round(col(s"__avg_$i"), roundTo),
+          round(col(s"__sd_$i"), roundTo)) ++
+          ps.indices.map(j =>
+            round(element_at(col(s"__q_$i"), j + 1), roundTo))
+      }
+      return one.select(stack(lit(cols.size) +: stackArgs: _*)
+        .as(Seq("column_name", "mean", "stddev") ++ qNames))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cols.zipWithIndex.flatMap { case (c, i) =>
-      val (mean, sd) =
-        if (exact) {
-          val (n, s1, s2) = (col(s"__n_$i"), col(s"__s1_$i"), col(s"__s2_$i"))
-          (when(n > 0, s1 / n),
-            when(n > 1, sqrt((s2 - s1 * s1 / n) / (n - lit(1)))))
-        } else (col(s"__avg_$i"), col(s"__sd_$i"))
-      Seq(lit(c), round(mean, roundTo), round(sd, roundTo)) ++
-        ps.indices.map(j => round(element_at(col(s"__q_$i"), j + 1), roundTo))
+
+    import org.apache.spark.sql.expressions.Window
+    // melt: one scan, |cols| (name, value) rows per input row
+    val melted = df
+      .select(explode(array(cols.map(c =>
+        struct(lit(c).as("c"), colQ(c).cast("double").as("v"))): _*)).as("s"))
+      .select(col("s.c").as("c"), col("s.v").as("v"))
+      .where(col("v").isNotNull)
+    // per-column value distribution; map-side combine shrinks each
+    // partition to its distinct values before the one wide shuffle
+    val dist = melted.groupBy("c", "v").agg(count(lit(1)).as("cnt"))
+    val byCol = Window.partitionBy("c")
+    val cum = Window.partitionBy("c").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // a value with inclusive cumulative end `e` and count `cnt` covers
+    // 0-based sorted positions [e-cnt, e-1]
+    val pos = dist
+      .withColumn("e", sum("cnt").over(cum))
+      .withColumn("n", sum("cnt").over(byCol))
+      .withColumn("s1",
+        sum(col("v").cast(dec) * col("cnt")).over(byCol).cast("double"))
+      .withColumn("s2",
+        sum((col("v") * col("v")).cast(dec) * col("cnt")).over(byCol)
+          .cast("double"))
+    def at(k: Column): Column =
+      max(when(col("e") - col("cnt") <= k && k < col("e"), col("v")))
+    val qAggs = ps.zipWithIndex.flatMap { case (p, j) =>
+      val r = (col("n") - 1).cast("double") * lit(p)
+      Seq(at(floor(r)).as(s"__lo_$j"), at(ceil(r)).as(s"__hi_$j"),
+        max(r - floor(r)).as(s"__f_$j"))
     }
-    one.select(stack(lit(cols.size) +: stackArgs: _*)
-      .as(Seq("column_name", "mean", "stddev", "p25", "p50", "p75", "p95")))
+    val allAggs = Seq(max("n").as("n"), max("s1").as("s1"),
+      max("s2").as("s2")) ++ qAggs
+    val agged = pos.groupBy("c").agg(allAggs.head, allAggs.tail: _*)
+    // left join from the requested column list so all-null/empty
+    // columns still yield a (null-stats) row, in request order
+    import df.sparkSession.implicits._
+    val names = cols.zipWithIndex.toDF("column_name", "__ord")
+    val n = col("n")
+    val outCols = Seq(col("column_name"), col("__ord"),
+      round(when(n > 0, col("s1") / n), roundTo).as("mean"),
+      round(when(n > 1,
+        sqrt((col("s2") - col("s1") * col("s1") / n) / (n - lit(1)))),
+        roundTo).as("stddev")) ++
+      ps.indices.map(j => round(
+        col(s"__lo_$j") +
+          (col(s"__hi_$j") - col(s"__lo_$j")) * col(s"__f_$j"),
+        roundTo).as(qNames(j)))
+    names.join(agged, col("column_name") === col("c"), "left")
+      .select(outCols: _*)
+      .orderBy("__ord")
+      .select(col("column_name") +: col("mean") +: col("stddev") +:
+        qNames.map(col): _*)
   }
 
   /** Equi-width histogram of a numeric column: `bins` buckets over

@@ -137,6 +137,24 @@ class TableProfileSpec extends SparkSpec {
       TableProfile.histogram(df, "v", lo = Some(5.0), hi = Some(1.0)))
   }
 
+  test("numericProfile exact: no unbounded percentile buffer in the plan") {
+    // the distributed order-statistics path must not plan a
+    // TypedImperativeAggregate (ObjectHashAggregate) holding a whole
+    // column's values — that was the old percentile-based shape
+    val plan = TableProfile.numericProfile(sf("lineitem"),
+      Seq("l_quantity", "l_extendedprice"), exact = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("ObjectHashAggregate"), plan.take(2000))
+    assert(!plan.contains("percentile("), plan.take(2000))
+    // approx mode stays a single sketch pass (ObjectHashAggregate is
+    // expected there — bounded sketch, not raw values)
+    val approx = TableProfile.numericProfile(sf("lineitem"),
+      Seq("l_quantity"))
+      .queryExecution.executedPlan.toString
+    assert(approx.contains("approx_percentile") ||
+      approx.contains("ObjectHashAggregate"), approx.take(2000))
+  }
+
   test("summarize: approx mode plans without Expand; exact mode is one agg pass") {
     val li = sf("lineitem")
     val approxPlan = TableProfile.summarize(
