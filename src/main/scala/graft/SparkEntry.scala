@@ -1215,11 +1215,12 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus"), exact = true)
     },
 
-    // --- numeric distribution profile: mean/stddev/quartiles/p95 in
-    // one agg pass (exact mode — Spark's `percentile` interpolates at
-    // (n-1)·p exactly like quantile_cont, so the oracle replays it;
-    // the scale path is the approx_percentile sketch, unit-pinned).
-    // Small-magnitude columns keep double-sum drift below round(4) ---
+    // --- numeric distribution profile: exact mode computes quantiles
+    // by distributed order statistics (groupBy value + cumulative
+    // window — no unbounded percentile buffer, plan-pinned) with the
+    // same (n-1)·p interpolation as quantile_cont, so the oracle
+    // replays it; the scale default is the approx_percentile sketch,
+    // unit-pinned. Small magnitudes keep double drift below round(4) ---
     "q_numeric_profile" -> { (s, dir) =>
       graft.operators.TableProfile.numericProfile(
         t(s, dir, "lineitem"),
@@ -1234,6 +1235,32 @@ object SparkEntry {
       graft.operators.TableProfile.histogram(
         t(s, dir, "orders"), "o_totalprice",
         bins = 25, lo = Some(0.0), hi = Some(600000.0))
+    },
+
+    // --- snapshot delta: an "old" snapshot is derived deterministically
+    // from orders (keys ≡0 mod 7 missing → added; o_totalprice bumped
+    // for keys ≡0 mod 5 → changed; nothing removed on this corpus, the
+    // removed leg is unit-pinned). The hash fast path ships only
+    // (pk, 8-byte fingerprint) through the full-outer join — the
+    // oracle replays the value-comparison semantics the hash stands
+    // in for, and units pin the two paths equal ---
+    "q_table_diff" -> { (s, dir) =>
+      import org.apache.spark.sql.functions._
+      val cur = t(s, dir, "orders")
+      val old = cur.where(col("o_orderkey") % 7 =!= 0)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 5 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      graft.operators.TableDiff.diff(old, cur, Seq("o_orderkey"))
+    },
+
+    // --- top-k frequent values per column: melt → one distinct-triple
+    // shuffle → per-column rank over aggregated counts; deterministic
+    // tie-break (count desc, value asc) so any engine replays it ---
+    "q_top_values" -> { (s, dir) =>
+      graft.operators.TableProfile.topValues(
+        t(s, dir, "orders"),
+        Seq("o_orderstatus", "o_orderpriority", "o_custkey"), k = 5)
     },
 
     // --- deliberately skewed TPC-H-shape join stressor: the derived
@@ -2533,6 +2560,54 @@ object SparkEntry {
         |SELECT r.bin, r.bin * 24000.0 AS bin_lo,
         |  (r.bin + 1) * 24000.0 AS bin_hi, COALESCE(c.n, 0) AS n
         |FROM range(25) r(bin) LEFT JOIN c ON r.bin = c.bin""".stripMargin,
+
+    // q_table_diff: the oracle replays the diff's SEMANTICS — a
+    // full-outer join with IS DISTINCT FROM over every shared non-pk
+    // column — which the engine's (pk, xxhash64) fast path stands in
+    // for (hash ≡ value comparison pinned in TableDiffSpec)
+    "q_table_diff" ->
+      """WITH old AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 5 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice,
+        |    o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 7 <> 0)
+        |SELECT COALESCE(o.o_orderkey, c.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN c.o_orderkey IS NULL THEN 'removed'
+        |       WHEN (o.o_custkey IS DISTINCT FROM c.o_custkey)
+        |         OR (o.o_orderstatus IS DISTINCT FROM c.o_orderstatus)
+        |         OR (o.o_totalprice IS DISTINCT FROM c.o_totalprice)
+        |         OR (o.o_orderdate IS DISTINCT FROM c.o_orderdate)
+        |         OR (o.o_orderpriority IS DISTINCT FROM c.o_orderpriority)
+        |       THEN 'changed' END AS change_type
+        |FROM old o FULL OUTER JOIN orders c ON o.o_orderkey = c.o_orderkey
+        |WHERE CASE WHEN o.o_orderkey IS NULL THEN 'added'
+        |       WHEN c.o_orderkey IS NULL THEN 'removed'
+        |       WHEN (o.o_custkey IS DISTINCT FROM c.o_custkey)
+        |         OR (o.o_orderstatus IS DISTINCT FROM c.o_orderstatus)
+        |         OR (o.o_totalprice IS DISTINCT FROM c.o_totalprice)
+        |         OR (o.o_orderdate IS DISTINCT FROM c.o_orderdate)
+        |         OR (o.o_orderpriority IS DISTINCT FROM c.o_orderpriority)
+        |       THEN 'changed' END IS NOT NULL""".stripMargin,
+
+    // q_top_values: melt → count → rank, same deterministic tie-break
+    // (count desc, value-as-string asc, nulls first)
+    "q_top_values" ->
+      """WITH m AS (
+        |  SELECT 'o_orderstatus' AS column_name,
+        |         CAST(o_orderstatus AS VARCHAR) AS value FROM orders
+        |  UNION ALL
+        |  SELECT 'o_orderpriority', CAST(o_orderpriority AS VARCHAR)
+        |  FROM orders
+        |  UNION ALL
+        |  SELECT 'o_custkey', CAST(o_custkey AS VARCHAR) FROM orders),
+        |c AS (SELECT column_name, value, count(*) AS n
+        |      FROM m GROUP BY 1, 2)
+        |SELECT column_name, value, n, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY column_name
+        |    ORDER BY n DESC, value ASC NULLS FIRST) AS rank FROM c) t
+        |WHERE rank <= 5""".stripMargin,
 
     // q_skew_join: salts are join-invariant, so the oracle is the
     // UNSALTED join over the same skewed key derivation

@@ -221,4 +221,52 @@ object TableProfile {
         (lit(mn) + (col("bin") + 1) * lit(width)).as("bin_hi"),
         coalesce(col("n"), lit(0L)).as("n"))
   }
+
+  /** Top-`k` most frequent values per column — the "what's actually in
+    * here" report (skewed categories, sentinel strings, default-value
+    * floods). One row per (column, value) with its count and dense
+    * 1-based rank; ties break by value ascending so the report is
+    * deterministic and any SQL engine replays it.
+    *
+    * Scale shape: melt to (column, value) in one scan, map-side-combined
+    * `groupBy.count` (the only wide shuffle carries distinct
+    * (column, value, count) triples, not rows), then a per-column
+    * window rank over the aggregated counts. Values are reported as
+    * strings so one schema fits every column type; nulls count as a
+    * value (a null flood is exactly what this report should surface). */
+  def topValues(df: DataFrame, cols: Seq[String] = Nil,
+                k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    require(k >= 1, s"k must be >= 1: $k")
+    def atomic(c: String): Boolean = df.schema(c).dataType match {
+      case _: NumericType => true
+      case StringType | BooleanType | DateType | TimestampType |
+           TimestampNTZType => true
+      case _ => false
+    }
+    val names =
+      if (cols.nonEmpty) cols.distinct
+      else df.columns.toSeq.filter(atomic)
+    require(names.nonEmpty, "no profilable columns")
+    names.foreach { c =>
+      require(df.columns.contains(c),
+        s"no such column '$c' (have: ${df.columns.mkString(", ")})")
+      require(atomic(c),
+        s"column '$c' (${df.schema(c).dataType.simpleString}) is not " +
+          "rankable: top-values needs an atomic type")
+    }
+    def colQ(c: String): Column = col("`" + c.replace("`", "``") + "`")
+    val melted = df
+      .select(explode(array(names.map(c =>
+        struct(lit(c).as("c"), colQ(c).cast("string").as("v"))): _*)).as("s"))
+      .select(col("s.c").as("column_name"), col("s.v").as("value"))
+    val counts = melted.groupBy("column_name", "value")
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy("column_name")
+      .orderBy(col("n").desc, col("value").asc_nulls_first)
+    counts.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("column_name"), col("value"), col("n"), col("rank"))
+  }
 }

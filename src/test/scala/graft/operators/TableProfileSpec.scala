@@ -137,6 +137,30 @@ class TableProfileSpec extends SparkSpec {
       TableProfile.histogram(df, "v", lo = Some(5.0), hi = Some(1.0)))
   }
 
+  test("topValues: rank, deterministic tie-break, nulls count as values") {
+    val d = Seq(
+      (Some("a"), 1), (Some("a"), 1), (Some("a"), 2),
+      (Some("b"), 2), (Some("b"), 3), (None, 3)
+    ).toDF("s", "n")
+    val r = TableProfile.topValues(d, k = 2)
+      .collect()
+      .map(x => (x.getString(0), Option(x.getString(1)), x.getLong(2),
+        x.getInt(3)))
+      .sortBy(t => (t._1, t._4))
+    // s: a×3, b×2, null×1 → top2 = a, b; n: 1×2, 2×2, 3×2 all tied →
+    // string-sorted "1","2"
+    assert(r.toSeq == Seq(
+      ("n", Some("1"), 2L, 1), ("n", Some("2"), 2L, 2),
+      ("s", Some("a"), 3L, 1), ("s", Some("b"), 2L, 2)))
+    // null flood surfaces as rank 1 with a null value
+    val nulls = Seq(Option.empty[String], None, Some("x")).toDF("s")
+    val top = TableProfile.topValues(nulls, Seq("s"), k = 1).head
+    assert(top.isNullAt(1) && top.getLong(2) == 2L && top.getInt(3) == 1)
+    intercept[IllegalArgumentException](TableProfile.topValues(d, k = 0))
+    intercept[IllegalArgumentException](
+      TableProfile.topValues(d, Seq("nope")))
+  }
+
   test("numericProfile exact: no unbounded percentile buffer in the plan") {
     // the distributed order-statistics path must not plan a
     // TypedImperativeAggregate (ObjectHashAggregate) holding a whole
