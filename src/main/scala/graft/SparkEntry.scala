@@ -769,6 +769,22 @@ object SparkEntry {
         LmScore.totalTokens(corpus, "text"))
     },
 
+    // --- multinomial Naive Bayes classifier (the trainable curation
+    // filter: GPT-3's quality LR, CCNet's fastText lang-id, reduced to
+    // the model trainable inside the engine): train on the doc_id%3==0
+    // labeled seed, score the WHOLE corpus, argmax over classes with
+    // ties to the alphabetically-first label. The oracle replays
+    // training (deterministic vocab cut, smoothed likelihoods, doc
+    // priors) AND scoring; the argmax runs on unrounded scores in both
+    // engines so near-ties break identically ---
+    "q_nb_classify" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val (model, stats) = graft.llm.NbClassifier.train(
+        docs.where(pmod(col("doc_id"), lit(3)) === 0), "text", "lang",
+        vocabSize = 200)
+      graft.llm.NbClassifier.score(docs, "doc_id", "text", model, stats)
+    },
+
     // --- corpus-trained BIGRAM LM with Stupid Backoff: scrambled
     // (word-reversed) copies keep their unigram score (same multiset)
     // but lose their bigrams — the order-sensitivity signal. The
@@ -1964,6 +1980,97 @@ object SparkEntry {
         |  coalesce(n_tokens, 0) AS n_tokens,
         |  coalesce(round(alp, 6), 0.0) AS avg_logprob
         |FROM corpus LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // q_nb_classify: full train+score replay. P(w|c) = (cnt+1)/(tokc+
+    // V+1) with the +1 pseudo-word absorbing OOV mass; unseen-in-class
+    // vocab words take the same floor (COALESCE to oov). Priors are
+    // document frequencies over the labeled seed. predicted = first
+    // label (asc) whose unrounded score reaches the max.
+    "q_nb_classify" ->
+      """WITH train AS (
+        |  SELECT lang, text FROM documents WHERE doc_id % 3 = 0
+        |), tok AS (
+        |  SELECT lang, unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0)) AS w
+        |  FROM train
+        |), cnt AS (
+        |  SELECT w, count(*) AS cnt FROM tok GROUP BY w
+        |), vocab AS (
+        |  SELECT w FROM cnt ORDER BY cnt DESC, w LIMIT 200
+        |), vc AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab
+        |), ccnt AS (
+        |  SELECT lang, w, count(*) AS cnt FROM tok
+        |  WHERE w IN (SELECT w FROM vocab) GROUP BY 1, 2
+        |), tokc AS (
+        |  SELECT lang, CAST(sum(cnt) AS DOUBLE) AS tokc FROM ccnt GROUP BY 1
+        |), docs_c AS (
+        |  SELECT lang, count(*) AS ndocs FROM train GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(ndocs) AS DOUBLE) AS tot FROM docs_c
+        |), stats AS (
+        |  SELECT d.lang, ln(d.ndocs / t.tot) AS log_prior,
+        |    ln(1.0 / (COALESCE(k.tokc, 0) + (SELECT v FROM vc) + 1.0)) AS oov
+        |  FROM docs_c d CROSS JOIN tot t LEFT JOIN tokc k ON d.lang = k.lang
+        |), model AS (
+        |  SELECT c.w, c.lang,
+        |    ln((c.cnt + 1.0) / (k.tokc + (SELECT v FROM vc) + 1.0)) AS lik
+        |  FROM ccnt c JOIN tokc k ON c.lang = k.lang
+        |), dtok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0)) AS w
+        |  FROM documents
+        |), persc AS (
+        |  SELECT t.doc_id, s.lang,
+        |    s.log_prior + sum(COALESCE(m.lik, s.oov)) AS score
+        |  FROM dtok t CROSS JOIN stats s
+        |  LEFT JOIN model m ON m.w = t.w AND m.lang = s.lang
+        |  GROUP BY t.doc_id, s.lang, s.log_prior
+        |), wide AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN lang = 'de' THEN score END) AS f_de,
+        |    max(CASE WHEN lang = 'en' THEN score END) AS f_en,
+        |    max(CASE WHEN lang = 'es' THEN score END) AS f_es,
+        |    max(CASE WHEN lang = 'fr' THEN score END) AS f_fr,
+        |    max(CASE WHEN lang = 'zh' THEN score END) AS f_zh
+        |  FROM persc GROUP BY doc_id
+        |), ntok AS (
+        |  SELECT doc_id, count(*) AS n_tokens FROM dtok GROUP BY 1
+        |), pri AS (
+        |  SELECT
+        |    max(CASE WHEN lang = 'de' THEN log_prior END) AS p_de,
+        |    max(CASE WHEN lang = 'en' THEN log_prior END) AS p_en,
+        |    max(CASE WHEN lang = 'es' THEN log_prior END) AS p_es,
+        |    max(CASE WHEN lang = 'fr' THEN log_prior END) AS p_fr,
+        |    max(CASE WHEN lang = 'zh' THEN log_prior END) AS p_zh
+        |  FROM stats
+        |)
+        |SELECT d.doc_id, COALESCE(n.n_tokens, 0) AS n_tokens,
+        |  round(COALESCE(w.f_de, pri.p_de), 6) AS score_de,
+        |  round(COALESCE(w.f_en, pri.p_en), 6) AS score_en,
+        |  round(COALESCE(w.f_es, pri.p_es), 6) AS score_es,
+        |  round(COALESCE(w.f_fr, pri.p_fr), 6) AS score_fr,
+        |  round(COALESCE(w.f_zh, pri.p_zh), 6) AS score_zh,
+        |  CASE
+        |    WHEN COALESCE(w.f_de, pri.p_de) >= greatest(
+        |      COALESCE(w.f_de, pri.p_de), COALESCE(w.f_en, pri.p_en),
+        |      COALESCE(w.f_es, pri.p_es), COALESCE(w.f_fr, pri.p_fr),
+        |      COALESCE(w.f_zh, pri.p_zh)) THEN 'de'
+        |    WHEN COALESCE(w.f_en, pri.p_en) >= greatest(
+        |      COALESCE(w.f_de, pri.p_de), COALESCE(w.f_en, pri.p_en),
+        |      COALESCE(w.f_es, pri.p_es), COALESCE(w.f_fr, pri.p_fr),
+        |      COALESCE(w.f_zh, pri.p_zh)) THEN 'en'
+        |    WHEN COALESCE(w.f_es, pri.p_es) >= greatest(
+        |      COALESCE(w.f_de, pri.p_de), COALESCE(w.f_en, pri.p_en),
+        |      COALESCE(w.f_es, pri.p_es), COALESCE(w.f_fr, pri.p_fr),
+        |      COALESCE(w.f_zh, pri.p_zh)) THEN 'es'
+        |    WHEN COALESCE(w.f_fr, pri.p_fr) >= greatest(
+        |      COALESCE(w.f_de, pri.p_de), COALESCE(w.f_en, pri.p_en),
+        |      COALESCE(w.f_es, pri.p_es), COALESCE(w.f_fr, pri.p_fr),
+        |      COALESCE(w.f_zh, pri.p_zh)) THEN 'fr'
+        |    ELSE 'zh' END AS predicted
+        |FROM documents d
+        |LEFT JOIN wide w ON d.doc_id = w.doc_id
+        |LEFT JOIN ntok n ON d.doc_id = n.doc_id
+        |CROSS JOIN pri""".stripMargin,
 
     "q_lm_bigram" ->
       """WITH corpus AS (
