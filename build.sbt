@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output passes through to stdout RAW — no `[info] ` logger
+// prefix. The driver tail-captures stdout and json-parses the bench
+// line; a logger prefix makes every line unparseable (BENCH_r07
+// "parsed": null despite the summary line being present in the tail).
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -1063,6 +1063,24 @@ object SparkEntry {
       EventsStreaming.propsStats(EventsStreaming.readEvents(s, dir))
     },
 
+    // --- as-of join: every event attaches the latest preceding snapshot
+    // (every-5th event, deduped per (user, ts)) within a 1h tolerance.
+    // Single-exchange sort-merge as-of; the oracle is DuckDB's native
+    // ASOF LEFT JOIN with the tolerance replayed as a mask on the
+    // matched row's own time. ---
+    "q_asof_join" -> { (s, dir) =>
+      val ev = EventsStreaming.readEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      val snaps = ev.filter(pmod(col("event_id"), lit(5)) === 0)
+        .groupBy(col("user_id"), col("ts"))
+        .agg(max(col("value")).as("snap_value"))
+        .withColumnRenamed("ts", "snap_ts")
+      graft.operators.AsOfJoin.asof(ev, snaps,
+        on = Seq("user_id"), leftTime = "ts", rightTime = "snap_ts",
+        carry = Seq("snap_value"), matchedTimeAs = Some("snap_ts_matched"),
+        tolerance = Some(expr("INTERVAL 1 HOUR")))
+    },
+
     // --- simhash dedup, oracle-gated via the EXACT sub-case: the sketch
     // itself is not SQL-expressible, but token-SET-equal documents (the
     // signature is built from distinct token hashes) provably get
@@ -2429,6 +2447,19 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_asof_join" ->
+      """WITH snaps AS (
+        |  SELECT user_id, ts AS snap_ts, max(value) AS snap_value
+        |  FROM events WHERE event_id % 5 = 0 GROUP BY user_id, ts
+        |)
+        |SELECT e.event_id, e.user_id, e.ts, e.value,
+        |  CASE WHEN s.snap_ts >= e.ts - INTERVAL 1 HOUR
+        |       THEN s.snap_value END AS snap_value,
+        |  CASE WHEN s.snap_ts >= e.ts - INTERVAL 1 HOUR
+        |       THEN s.snap_ts END AS snap_ts_matched
+        |FROM events e ASOF LEFT JOIN snaps s
+        |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts""".stripMargin,
 
     "q_events_props" ->
       """SELECT event_type,

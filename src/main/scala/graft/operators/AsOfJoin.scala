@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StructField, StructType}
 
 /** As-of join: for every left row, attach the single right row with the
   * greatest right-time ≤ the left row's time (backward, the default) or
@@ -30,7 +31,15 @@ import org.apache.spark.sql.functions._
   * right rows, so results never depend on partitioning or scheduling.
   * Left rows tied on (keys, time) all see the same set of right rows,
   * so their results are identical and order between them is
-  * irrelevant. */
+  * irrelevant.
+  *
+  * Row semantics: the matched right row is carried as ONE struct, so a
+  * NULL in a carried column of the matched row stays NULL in the output
+  * (it is never forward-filled from an older right row), and the
+  * tolerance test applies to the time of the row the values actually
+  * came from. Null equi-keys follow SQL join semantics: a right row
+  * with a null key never matches; a left row with a null key survives
+  * with null carried columns. */
 object AsOfJoin {
 
   private def q(c: String): Column = col("`" + c.replace("`", "``") + "`")
@@ -77,54 +86,73 @@ object AsOfJoin {
       require(!left.columns.contains(c),
         s"carry column '$c' collides with a left column — alias it on the right side first")
     }
+    val reserved = Seq("__t", "__side", "__asof_p", "__mt")
     matchedTimeAs.foreach { c =>
       require(!left.columns.contains(c) && !carried.contains(c),
         s"matchedTimeAs '$c' collides with an output column")
+      require(!reserved.contains(c),
+        s"matchedTimeAs '$c' is reserved by asof — pick another name")
     }
-    Seq("__t", "__side", "__asof_mt").foreach { c =>
+    reserved.foreach { c =>
       require(!left.columns.contains(c) && !right.columns.contains(c),
         s"'$c' is reserved by asof — rename the input column")
     }
-    // internal time column: the matched right time always rides along —
-    // the tolerance check needs it even when the caller didn't ask
-    val mt = matchedTimeAs.getOrElse("__asof_mt")
+    require(left.schema(leftTime).dataType == right.schema(rightTime).dataType,
+      s"asof time columns must have identical types; got " +
+        s"${left.schema(leftTime).dataType} vs ${right.schema(rightTime).dataType}" +
+        " — unionByName would silently widen one side")
     val leftOnly =
       left.columns.filterNot(c => on.contains(c) || c == leftTime).toSeq
 
     def typedNull(src: DataFrame, c: String): Column =
       lit(null).cast(src.schema(c).dataType)
 
-    // union schema: keys ++ __t ++ __side ++ left-only cols ++ carried ++ mt
+    // SQL equi-join null semantics: Window.partitionBy co-groups null
+    // keys, so drop null-key right rows up front — they must never match
+    val rightKeyed = right.filter(on.map(c => q(c).isNotNull).reduce(_ && _))
+
+    // the matched right row rides as ONE struct (__mt + carried): the
+    // fill picks a whole row, never a per-column mixture, and the
+    // tolerance check reads the time of the row the values came from
+    val payloadType = StructType(
+      StructField("__mt", right.schema(rightTime).dataType) +:
+        carried.map(c => StructField(c, right.schema(c).dataType)))
+
+    // union schema: keys ++ __t ++ __side ++ left-only cols ++ payload
     val lSide = left.select(
       on.map(q) ++ Seq(q(leftTime).as("__t"), lit(1).as("__side")) ++
-        leftOnly.map(q) ++
-        carried.map(c => typedNull(right, c).as(c)) :+
-        typedNull(right, rightTime).as(mt): _*)
-    val rSide = right.select(
+        leftOnly.map(q) :+
+        lit(null).cast(payloadType).as("__asof_p"): _*)
+    val rSide = rightKeyed.select(
       on.map(q) ++ Seq(q(rightTime).as("__t"), lit(0).as("__side")) ++
-        leftOnly.map(c => typedNull(left, c).as(c)) ++
-        carried.map(q) :+ q(rightTime).as(mt): _*)
+        leftOnly.map(c => typedNull(left, c).as(c)) :+
+        struct(q(rightTime).as("__mt") +: carried.map(q): _*)
+          .cast(payloadType).as("__asof_p"): _*)
 
+    // ordering by the payload struct = (time again, then carried asc):
+    // among right rows tied on (keys, time) the carried-ascending-last
+    // one wins, matching the documented contract, and the tie-break
+    // reads ORIGINAL right values (nothing is overwritten before the
+    // window runs)
     val tOrd = if (direction == "backward") col("__t").asc else col("__t").desc
     val w = Window.partitionBy(on.map(q): _*)
-      .orderBy(Seq(tOrd, col("__side").asc) ++ carried.map(q(_).asc): _*)
+      .orderBy(tOrd, col("__side").asc, col("__asof_p").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = (carried :+ mt).foldLeft(lSide.unionByName(rSide)) {
-      (d, c) => d.withColumn(c, last(q(c), ignoreNulls = true).over(w))
-    }
+    val filled = lSide.unionByName(rSide)
+      .withColumn("__asof_p", last(col("__asof_p"), ignoreNulls = true).over(w))
+    val mt = col("__asof_p")("__mt")
     val inTol = tolerance match {
       case None      => lit(true)
       case Some(tol) =>
-        if (direction == "backward") q(mt) >= col("__t") - tol
-        else q(mt) <= col("__t") + tol
+        if (direction == "backward") mt >= col("__t") - tol
+        else mt <= col("__t") + tol
     }
-    val masked = (carried :+ mt).foldLeft(filled) { (d, c) =>
-      d.withColumn(c, when(inTol, q(c)))
-    }
+    val masked = filled.withColumn("__asof_p", when(inTol, col("__asof_p")))
     // restore the left schema's column order, then the attachments
     val out = left.columns.toSeq.map { c =>
       if (c == leftTime) col("__t").as(leftTime) else q(c)
-    } ++ carried.map(q) ++ matchedTimeAs.map(q)
+    } ++ carried.map(c => col("__asof_p")(c).as(c)) ++
+      matchedTimeAs.map(n => col("__asof_p")("__mt").as(n))
     masked.filter(col("__side") === 1).select(out: _*)
   }
 }

@@ -15,10 +15,14 @@ import org.apache.spark.sql.types._
   */
 object EventsStreaming {
 
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark 4 refuses to read as a timestamp; we read it as raw
-    * nanos-since-epoch (legacy nanosAsLong) and floor-divide to micros —
-    * the same truncation DuckDB applies, so oracles agree.
+  /** The events fixture has shipped `ts` in two physical encodings
+    * across testdata generations: parquet TIMESTAMP(NANOS) — which
+    * Spark 4 refuses to read as a timestamp, so it arrives as raw
+    * nanos-since-epoch under the session's legacy `nanosAsLong` conf —
+    * and plain TIMESTAMP(MICROS), which reads natively. [[readEvents]]
+    * probes the file footer once (driver-side schema read, no data
+    * scan) and picks the matching path; applying the nanos fix to a
+    * micros file would compress the whole time axis 1000×.
     *
     * `spark.sql.legacy.parquet.nanosAsLong` is a session-level conf and
     * is set ONCE at session construction by every entry point that owns
@@ -34,12 +38,41 @@ object EventsStreaming {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Schema for fixtures whose `ts` is a native parquet timestamp. */
+  val eventsSchemaTs: StructType = StructType(
+    eventsSchemaRaw.fields.map(f =>
+      if (f.name == "ts") f.copy(dataType = TimestampType) else f))
+
   private def nanosToTs(df: DataFrame): DataFrame =
     df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
 
-  /** Batch read of the events fixture with ns→µs normalization. */
+  /** Footer-probe: does this fixture's `ts` arrive as a raw long
+    * (TIMESTAMP(NANOS) under nanosAsLong) rather than a timestamp? */
+  private def tsIsRawLong(spark: SparkSession, path: String,
+                          glob: Option[String] = None): Boolean = {
+    val r = glob.foldLeft(spark.read)((r, g) => r.option("pathGlobFilter", g))
+    r.parquet(path).schema("ts").dataType == LongType
+  }
+
+  /** Batch read of the events fixture, ts normalized to a timestamp. */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
-    nanosToTs(spark.read.schema(eventsSchemaRaw).parquet(s"$dir/events.parquet"))
+    val path = s"$dir/events.parquet"
+    if (tsIsRawLong(spark, path))
+      nanosToTs(spark.read.schema(eventsSchemaRaw).parquet(path))
+    else spark.read.schema(eventsSchemaTs).parquet(path)
+  }
+
+  /** Streaming read of an events fixture directory with the same
+    * encoding probe as [[readEvents]] (the probe is a batch footer
+    * read; the returned frame is the stream). */
+  private def readEventsStream(spark: SparkSession, dir: String,
+                               glob: String): DataFrame = {
+    val base = spark.readStream
+    if (tsIsRawLong(spark, dir, Some(glob)))
+      nanosToTs(base.schema(eventsSchemaRaw)
+        .option("pathGlobFilter", glob).parquet(dir))
+    else base.schema(eventsSchemaTs)
+      .option("pathGlobFilter", glob).parquet(dir)
   }
 
   /** Shared transformation: tumbling 1h window per event_type. Sums go
@@ -62,10 +95,7 @@ object EventsStreaming {
   def hourlyAggStream(spark: SparkSession, dir: String,
                       queryName: String = "events_hourly"): StreamingQuery = {
     // the file stream source needs a directory; glob-filter to the fixture
-    val events = nanosToTs(spark.readStream
-      .schema(eventsSchemaRaw)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir))
+    val events = readEventsStream(spark, dir, "events.parquet")
     hourlyAgg(events.withWatermark("ts", "10 minutes"))
       .writeStream
       .outputMode("append")
@@ -92,10 +122,7 @@ object EventsStreaming {
   def sessionsStream(spark: SparkSession, dir: String,
                      queryName: String = "events_sessions",
                      gap: String = "30 minutes"): StreamingQuery = {
-    val events = nanosToTs(spark.readStream
-      .schema(eventsSchemaRaw)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir))
+    val events = readEventsStream(spark, dir, "events.parquet")
     sessions(events.withWatermark("ts", "10 minutes"), gap)
       .writeStream
       .outputMode("append")
@@ -135,10 +162,7 @@ object EventsStreaming {
       : StreamingQuery = {
     import spark.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    val events = nanosToTs(spark.readStream
-      .schema(eventsSchemaRaw)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir))
+    val events = readEventsStream(spark, dir, "events.parquet")
       .select(col("user_id"), col("ts"), col("event_id"), col("value"))
 
     val typed = events.as[(Long, java.sql.Timestamp, Long, Double)](
@@ -195,10 +219,7 @@ object EventsStreaming {
                   queryName: String = "events_dedup",
                   glob: String = "*.parquet",
                   replayHorizon: String = "1 hour"): StreamingQuery = {
-    val events = nanosToTs(spark.readStream
-      .schema(eventsSchemaRaw)
-      .option("pathGlobFilter", glob)
-      .parquet(dir))
+    val events = readEventsStream(spark, dir, glob)
     // prefixed working column + the SHARED hash definition (batch/stream
     // hash parity is the tested contract; see Dedup.contentHash)
     val hc = "__graft_dedup_h"

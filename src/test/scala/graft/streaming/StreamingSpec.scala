@@ -67,8 +67,7 @@ class StreamingSpec extends SparkSpec {
 
   test("dedupStream drops replayed deliveries; parity with firstOccurrence") {
     val scratch = tmpDir("stream_dedup")
-    val raw = spark.read.schema(EventsStreaming.eventsSchemaRaw)
-      .parquet(s"$dir/events.parquet").limit(500)
+    val raw = EventsStreaming.readEvents(spark, dir).limit(500)
     // originals + 200 EXACT replays (full-row copies) land as separate
     // files in one stream directory
     raw.write.mode("overwrite").parquet(s"$scratch/in")
@@ -80,9 +79,8 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(120000L)
     val streamed = spark.table("sdedup_parity_test")
 
-    val batchIn = spark.read.schema(EventsStreaming.eventsSchemaRaw)
+    val batchIn = spark.read.schema(EventsStreaming.eventsSchemaTs)
       .parquet(s"$scratch/in")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val batch = graft.llm.Dedup.firstOccurrence(batchIn,
       content, Seq("ts", "event_id"))
 
