@@ -429,6 +429,13 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // --- TF-IDF keyword extraction: top-3 characteristic terms per
+    // document against the corpus itself (shared \W+ tokenizer; narrow
+    // tf/df aggregations, text never shuffles). ---
+    "q_tfidf_terms" -> { (s, dir) =>
+      graft.llm.TfIdf.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+    },
+
     // --- text analysis: quality, token estimate, lang-id, fingerprint.
     // A deterministic suffix with digits/upper/punct is appended so every
     // ratio path is exercised (the fixture text is pure [a-z ]).
@@ -1228,6 +1235,67 @@ object SparkEntry {
           col("event_type"), col("value"))
     },
 
+    // --- bucketed co-located join: lineitem and orders pre-shuffled
+    // into 16 matching buckets at write time, then joined with ZERO
+    // exchanges on the join (asserted in BucketedSpec) — the nightly-
+    // table pattern that turns a 100 TB join shuffle into a local
+    // bucket zip. The oracle replays the plain join. ---
+    "q_bucketed_join" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val scratch = "/root/repo/target/tmp/q_bucketed"
+      graft.operators.Bucketed.write(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+        "graft_bkt_lineitem", Seq("l_orderkey"), 16, Some(s"$scratch/l"))
+      graft.operators.Bucketed.write(
+        t(s, dir, "orders").select(col("o_orderkey").as("l_orderkey"),
+          col("o_orderpriority")),
+        "graft_bkt_orders", Seq("l_orderkey"), 16, Some(s"$scratch/o"))
+      graft.operators.Bucketed.join(s,
+          "graft_bkt_lineitem", "graft_bkt_orders", Seq("l_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"))
+    },
+
+    // --- winsorization: clamp heavy-tailed numerics to exact
+    // [p01, p99] order-statistic bounds (distribution + cumulative
+    // windows; no global sort, bounds broadcast back). ---
+    "q_winsorize" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+      graft.operators.Winsorize.clamp(
+        li, Seq("l_quantity", "l_extendedprice"), 0.01, 0.99)
+    },
+
+    // --- trailing time-window features: per-user count + decimal-exact
+    // sum over the last hour at every event (RANGE frame; two-pointer
+    // scan per key, one exchange). ---
+    "q_rolling_features" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val ev = EventsStreaming.readEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+      graft.operators.Rolling.withTrailing(
+          ev, Seq("user_id"), "ts", 3600L * 1000000)(
+        w => count(lit(1)).over(w).as("n_1h"),
+        w => sum(col("value").cast(dec)).over(w).cast("double").as("sum_1h"))
+    },
+
+    // --- bucketized range join: every event pairs with each active
+    // 45-minute window of its user (windows anchored at every 10th
+    // event). Stays a hash equi-join on (user, time-bucket); the
+    // oracle is the plain inequality join. ---
+    "q_range_join" -> { (s, dir) =>
+      val ev = EventsStreaming.readEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val ivs = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+        .select(col("user_id"), col("ts").as("start_ts"),
+          (col("ts") + expr("INTERVAL 45 MINUTES")).as("end_ts"),
+          col("event_id").as("window_id"))
+      graft.operators.RangeJoin.join(ev, ivs, Seq("user_id"), "ts",
+        "start_ts", "end_ts", granularity = 15L * 60 * 1000000)
+    },
+
     // --- skew-salted two-stage aggregation (equal to plain groupBy) ---
     "q_skew_agg" -> { (s, dir) =>
       graft.operators.Skew.saltedSumCount(
@@ -1295,6 +1363,16 @@ object SparkEntry {
       graft.operators.TableProfile.topValues(
         t(s, dir, "orders"),
         Seq("o_orderstatus", "o_orderpriority", "o_custkey"), k = 5)
+    },
+
+    // --- grouped top-k via the native bounded aggregate: the 5 longest
+    // documents per language. Map-side partial top-k, no window sort;
+    // the oracle replays with row_number. ---
+    "q_group_topk" -> { (s, dir) =>
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("lang"), col("doc_id"),
+          length(col("text")).cast("long").as("text_len"))
+      graft.operators.GroupTopK.topK(docs, Seq("lang"), "text_len", "doc_id", 5)
     },
 
     // --- deliberately skewed TPC-H-shape join stressor: the derived
@@ -1809,6 +1887,29 @@ object SparkEntry {
         |  coalesce(round(CAST(total_ngrams - distinct_ngrams AS DOUBLE) / total_ngrams, 6), 0.0) AS dup_ngram_frac,
         |  coalesce(round(CAST(top_ngram_count AS DOUBLE) / total_ngrams, 6), 0.0) AS top_ngram_frac
         |FROM tok LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)""".stripMargin,
+
+    "q_tfidf_terms" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) > 0)) AS term
+        |  FROM documents
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), dfreq AS (
+        |  SELECT term, count(*) AS df FROM tf GROUP BY 1
+        |), n AS (SELECT count(*) AS n FROM documents),
+        |s AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf,
+        |    tf.tf * ln(CAST(n.n AS DOUBLE) / dfreq.df) AS score
+        |  FROM tf JOIN dfreq USING (term) CROSS JOIN n
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |    ORDER BY score DESC, term) AS rank FROM s
+        |)
+        |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
+        |  CAST(tf AS BIGINT) AS tf, round(score, 6) AS score
+        |FROM r WHERE rank <= 3""".stripMargin,
 
     "q_text_analysis" ->
       """WITH d AS (SELECT doc_id, text || ' The 42 Ok!' AS text FROM documents),
@@ -2461,6 +2562,59 @@ object SparkEntry {
         |FROM events e ASOF LEFT JOIN snaps s
         |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts""".stripMargin,
 
+    "q_bucketed_join" ->
+      """SELECT o_orderpriority, count(*) AS n,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH qv AS (
+        |  SELECT l_quantity AS v, row_number() OVER (ORDER BY l_quantity) - 1 AS r,
+        |    count(*) OVER () AS n
+        |  FROM lineitem WHERE l_quantity IS NOT NULL
+        |), qb AS (
+        |  SELECT min(CASE WHEN r = CAST(floor((n-1)*0.01) AS BIGINT) THEN v END) AS lo,
+        |         min(CASE WHEN r = CAST(ceil((n-1)*0.99) AS BIGINT) THEN v END) AS hi
+        |  FROM qv
+        |), pv AS (
+        |  SELECT l_extendedprice AS v,
+        |    row_number() OVER (ORDER BY l_extendedprice) - 1 AS r,
+        |    count(*) OVER () AS n
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |), pb AS (
+        |  SELECT min(CASE WHEN r = CAST(floor((n-1)*0.01) AS BIGINT) THEN v END) AS lo,
+        |         min(CASE WHEN r = CAST(ceil((n-1)*0.99) AS BIGINT) THEN v END) AS hi
+        |  FROM pv
+        |)
+        |SELECT l_orderkey, l_linenumber,
+        |  CASE WHEN l_quantity < qb.lo THEN qb.lo
+        |       WHEN l_quantity > qb.hi THEN qb.hi
+        |       ELSE l_quantity END AS l_quantity,
+        |  CASE WHEN l_extendedprice < pb.lo THEN pb.lo
+        |       WHEN l_extendedprice > pb.hi THEN pb.hi
+        |       ELSE l_extendedprice END AS l_extendedprice
+        |FROM lineitem, qb, pb""".stripMargin,
+
+    "q_rolling_features" ->
+      """SELECT event_id, user_id, ts, value,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sum_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_range_join" ->
+      """WITH iv AS (
+        |  SELECT user_id, ts AS start_ts,
+        |    ts + INTERVAL 45 MINUTE AS end_ts, event_id AS window_id
+        |  FROM events WHERE event_id % 10 = 0
+        |)
+        |SELECT e.event_id, e.user_id, e.ts,
+        |  iv.start_ts, iv.end_ts, iv.window_id
+        |FROM events e JOIN iv ON e.user_id = iv.user_id
+        |  AND e.ts >= iv.start_ts AND e.ts < iv.end_ts""".stripMargin,
+
     "q_events_props" ->
       """SELECT event_type,
         |  count(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS n_with_field,
@@ -2746,6 +2900,16 @@ object SparkEntry {
         |  SELECT *, row_number() OVER (PARTITION BY column_name
         |    ORDER BY n DESC, value ASC NULLS FIRST) AS rank FROM c) t
         |WHERE rank <= 5""".stripMargin,
+
+    "q_group_topk" ->
+      """WITH r AS (
+        |  SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS text_len,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY length(text) DESC, doc_id) AS rank
+        |  FROM documents
+        |)
+        |SELECT lang, CAST(rank AS INTEGER) AS rank, doc_id, text_len
+        |FROM r WHERE rank <= 5""".stripMargin,
 
     // q_skew_join: salts are join-invariant, so the oracle is the
     // UNSALTED join over the same skewed key derivation
