@@ -1235,6 +1235,29 @@ object SparkEntry {
           col("event_type"), col("value"))
     },
 
+    // --- feature normalization family: min-max (exact), z-score
+    // (rounded), and cume_dist quantile rank (exact count ratio). ---
+    "q_minmax_scale" -> { (s, dir) =>
+      graft.llm.Normalize.minMax(
+        EventsStreaming.readEvents(s, dir)
+          .select(col("event_id"), col("event_type"), col("value")),
+        Seq("value"), by = Seq("event_type"))
+    },
+
+    "q_zscore" -> { (s, dir) =>
+      graft.llm.Normalize.zscore(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_returnflag"), col("l_extendedprice")),
+        Seq("l_extendedprice"), by = Seq("l_returnflag"))
+    },
+
+    "q_quantile_rank" -> { (s, dir) =>
+      graft.llm.Normalize.quantileRank(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity")),
+        Seq("l_quantity"))
+    },
+
     // --- bucketed co-located join: lineitem and orders pre-shuffled
     // into 16 matching buckets at write time, then joined with ZERO
     // exchanges on the join (asserted in BucketedSpec) — the nightly-
@@ -2561,6 +2584,33 @@ object SparkEntry {
         |       THEN s.snap_ts END AS snap_ts_matched
         |FROM events e ASOF LEFT JOIN snaps s
         |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts""".stripMargin,
+
+    "q_minmax_scale" ->
+      """SELECT event_id, event_type, value,
+        |  CASE WHEN value IS NULL THEN NULL
+        |       WHEN mx = mn THEN 0.0
+        |       ELSE (value - mn) / (mx - mn) END AS value_mm
+        |FROM (
+        |  SELECT event_id, event_type, value,
+        |    min(value) OVER (PARTITION BY event_type) AS mn,
+        |    max(value) OVER (PARTITION BY event_type) AS mx
+        |  FROM events) t""".stripMargin,
+
+    "q_zscore" ->
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        |  round(CASE WHEN l_extendedprice IS NULL THEN NULL
+        |       WHEN sd IS NULL OR sd = 0 THEN 0.0
+        |       ELSE (l_extendedprice - av) / sd END, 6) AS l_extendedprice_z
+        |FROM (
+        |  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+        |    avg(l_extendedprice) OVER (PARTITION BY l_returnflag) AS av,
+        |    stddev_samp(l_extendedprice) OVER (PARTITION BY l_returnflag) AS sd
+        |  FROM lineitem) t""".stripMargin,
+
+    "q_quantile_rank" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |  cume_dist() OVER (ORDER BY l_quantity) AS l_quantity_qr
+        |FROM lineitem""".stripMargin,
 
     "q_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n,
