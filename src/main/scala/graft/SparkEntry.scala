@@ -1235,6 +1235,16 @@ object SparkEntry {
           col("event_type"), col("value"))
     },
 
+    // --- per-group quota sampling: at most 40 docs per source,
+    // deterministically picked by portable-hash order (bounded top-k
+    // aggregate over keys + broadcast semi-join; text never shuffles).
+    // ---
+    "q_quota_sample" -> { (s, dir) =>
+      graft.llm.Sampling.quotaPerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("source"), col("lang")),
+        Seq("source"), "doc_id", 40)
+    },
+
     // --- feature normalization family: min-max (exact), z-score
     // (rounded), and cume_dist quantile rank (exact count ratio). ---
     "q_minmax_scale" -> { (s, dir) =>
@@ -2584,6 +2594,17 @@ object SparkEntry {
         |       THEN s.snap_ts END AS snap_ts_matched
         |FROM events e ASOF LEFT JOIN snaps s
         |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts""".stripMargin,
+
+    "q_quota_sample" ->
+      """WITH r AS (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY source
+        |    ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007,
+        |             doc_id) AS rn
+        |  FROM documents
+        |)
+        |SELECT d.doc_id, d.source, d.lang
+        |FROM documents d JOIN r USING (doc_id) WHERE r.rn <= 40""".stripMargin,
 
     "q_minmax_scale" ->
       """SELECT event_id, event_type, value,

@@ -255,4 +255,33 @@ object Sampling {
       .filter(col("__tb_cum") <= lit(perShard))
       .drop("__tb_key", "__tb_shard", "__tb_cum")
   }
+
+  /** Per-group quota: keep at most `n` rows of every group,
+    * deterministically chosen by the portable Knuth hash of the stable
+    * id (ties by id) — "at most N documents per domain" without any
+    * group ever exceeding its cap, on any cluster, in any run.
+    *
+    * Scale shape: the picks come from the native bounded top-k
+    * aggregate over (hash, id) KEYS — 2n longs per group at every
+    * stage, map-side reduced — and the kept ids re-attach as a
+    * LEFT SEMI join. With |groups|×n picks under the broadcast
+    * threshold that join broadcasts, so the table itself (the wide
+    * text columns) never shuffles at all. The broadcast is FORCED:
+    * size the quota × group-count product to executor memory (a
+    * million groups × n=100 is 800 MB of longs — shard the corpus
+    * first at that scale). Ids must be globally unique (the semi join
+    * keys on id alone). */
+  def quotaPerGroup(df: DataFrame, groupCols: Seq[String], idCol: String,
+                    n: Int): DataFrame = {
+    require(groupCols.nonEmpty, "quotaPerGroup needs group columns")
+    require(n >= 1, s"quota must be >= 1, got $n")
+    val idQ = col("`" + idCol.replace("`", "``") + "`")
+    val hashKey = pmod(pmod(idQ.cast("long"), lit(P)) * lit(K), lit(P))
+    val picks = df
+      .groupBy(groupCols.map(col): _*)
+      .agg(graft.functions.TopK.top_k_longs(hashKey, idQ, n, desc = false)
+        .as("__picks"))
+      .select(explode(col("__picks")("id")).as(idCol))
+    df.join(broadcast(picks), Seq(idCol), "left_semi")
+  }
 }

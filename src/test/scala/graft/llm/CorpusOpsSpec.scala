@@ -11,6 +11,31 @@ class CorpusOpsSpec extends SparkSpec {
 
   // --- Sampling ---------------------------------------------------------
 
+  test("quotaPerGroup: hard cap per group, deterministic, hash-ordered picks") {
+    val q = Sampling.quotaPerGroup(docs, Seq("source"), "doc_id", 25)
+    val counts = q.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val full = docs.groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    full.foreach { case (src, n) =>
+      assert(counts.getOrElse(src, 0L) == math.min(n, 25L),
+        s"$src: ${counts.get(src)} vs full $n") }
+    // deterministic across runs
+    val again = Sampling.quotaPerGroup(docs, Seq("source"), "doc_id", 25)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(q.select("doc_id").collect().map(_.getLong(0)).toSet == again)
+    // picks are exactly the n smallest portable hashes per group
+    val P = 1000000007L; val K = 2654435761L
+    val want = docs.select("source", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).iterator.flatMap { case (_, rows) =>
+        rows.map(_._2).sortBy(id => (((id % P) * K) % P, id)).take(25)
+      }.toSet
+    assert(again == want)
+    intercept[IllegalArgumentException](
+      Sampling.quotaPerGroup(docs, Nil, "doc_id", 5))
+  }
+
   test("sampling: deterministic, stratified, complement partitions exactly") {
     val s1 = Sampling.stratified(docs, "lang", "doc_id",
       Map("en" -> 0.5), defaultFraction = 0.1).select("doc_id")
