@@ -429,6 +429,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // --- inverted index: term → sorted posting list via the capped
+    // native collect (hot terms poison their own buffer and drop);
+    // only (term, id) pairs shuffle. maxPostings=1000 actually fires
+    // at sf0.01 (corpus-wide words exceed it and vanish). ---
+    "q_inverted_index" -> { (s, dir) =>
+      graft.llm.Indexing.invertedIndex(t(s, dir, "documents"),
+        "doc_id", "text", minDf = 2, maxPostings = 1000)
+    },
+
     // --- TF-IDF keyword extraction: top-3 characteristic terms per
     // document against the corpus itself (shared \W+ tokenizer; narrow
     // tf/df aggregations, text never shuffles). ---
@@ -1920,6 +1929,18 @@ object SparkEntry {
         |  coalesce(round(CAST(total_ngrams - distinct_ngrams AS DOUBLE) / total_ngrams, 6), 0.0) AS dup_ngram_frac,
         |  coalesce(round(CAST(top_ngram_count AS DOUBLE) / total_ngrams, 6), 0.0) AS top_ngram_frac
         |FROM tok LEFT JOIN ws USING (doc_id) LEFT JOIN bs USING (doc_id)""".stripMargin,
+
+    "q_inverted_index" ->
+      """WITH td AS (
+        |  SELECT DISTINCT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) > 0)) AS term
+        |  FROM documents
+        |)
+        |SELECT term, count(*) AS df,
+        |  array_to_string(list_sort(list(doc_id)), ',') AS postings
+        |FROM td GROUP BY term
+        |HAVING count(*) BETWEEN 2 AND 1000""".stripMargin,
 
     "q_tfidf_terms" ->
       """WITH tok AS (
