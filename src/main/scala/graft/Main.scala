@@ -36,6 +36,10 @@ object Main {
                            histogram: Option[String] = None,
                            bins: Int = 20,
                            range: Option[(Double, Double)] = None) extends Cmd
+  final case class TopKCmd(source: String, groups: Seq[String], key: String,
+                           id: String, k: Int, asc: Boolean,
+                           sourceOptions: Map[String, String],
+                           logLevel: String) extends Cmd
   case object GenDefault extends Cmd
   case object Help extends Cmd
   case object Version extends Cmd
@@ -54,6 +58,8 @@ object Main {
       |                               [--numeric] [--histogram COL]
       |                               [--bins N] [--range LO:HI]
       |                               [--source-type TYPE]
+      |       graft topk <SOURCE> --group g1,g2 --key COL --id COL
+      |                               [-k N] [--asc] [--source-type TYPE]
       |
       |Options:
       |  --transform <EXPRESSIONS>   Inline transforms, e.g. "c=row.a * 2; u=string.upper(row.b)"
@@ -90,6 +96,7 @@ object Main {
               case None => runTransfer(r.cfg, r.preview, r.dryRun, r.logLevel)
             }
           case p: Profile    => runProfile(p)
+          case tk: TopKCmd   => runTopK(tk)
           case Transfer(c, p, d, ll) => runTransfer(c, p, d, ll)
         }
       } catch {
@@ -182,6 +189,44 @@ object Main {
           "profile needs a SOURCE")),
         columns, exact, srcType.map("sourceType" -> _).toMap, plogLevel,
         numeric, hist, bins, range)
+    case "topk" :: rest =>
+      var source: Option[String] = None
+      var groups = Seq.empty[String]
+      var key: Option[String] = None
+      var id: Option[String] = None
+      var k = 5
+      var asc = false
+      var srcType: Option[String] = None
+      var tlogLevel = "error"
+      @annotation.tailrec
+      def tloop(r: List[String]): Unit = r match {
+        case Nil => ()
+        case "--group" :: v :: t =>
+          groups = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq; tloop(t)
+        case "--key" :: v :: t => key = Some(v); tloop(t)
+        case "--id" :: v :: t => id = Some(v); tloop(t)
+        case "-k" :: v :: t =>
+          k = v.toIntOption.getOrElse(throw GraftError.Configuration(
+            s"-k needs an integer, got '$v'")); tloop(t)
+        case "--asc" :: t => asc = true; tloop(t)
+        case "--source-type" :: v :: t => srcType = Some(v); tloop(t)
+        case "--log-level" :: v :: t =>
+          tlogLevel = YamlJob.checkLogLevel(v); tloop(t)
+        case flag :: _ if flag.startsWith("--") =>
+          throw GraftError.Configuration(
+            s"unknown or incomplete topk option '$flag'")
+        case v :: t if source.isEmpty => source = Some(v); tloop(t)
+        case v :: _ =>
+          throw GraftError.Configuration(s"unexpected argument '$v'")
+      }
+      tloop(rest)
+      def need(o: Option[String], what: String) = o.getOrElse(
+        throw GraftError.Configuration(s"topk needs $what"))
+      if (groups.isEmpty)
+        throw GraftError.Configuration("topk needs --group columns")
+      TopKCmd(need(source, "a SOURCE"), groups, need(key, "--key"),
+        need(id, "--id"), k, asc,
+        srcType.map("sourceType" -> _).toMap, tlogLevel)
     case rest =>
       val (cfg, preview, dryRun, logLevel) = parseTransferArgs(rest)
       Transfer(cfg, preview, dryRun, logLevel)
@@ -579,6 +624,25 @@ object Main {
       }
       println(graft.engine.PreviewFormat.dataTable(prof.columns.toSeq,
         prof.collect()))
+      0
+    } finally if (!preExisting) spark.stop()
+  }
+
+  /** `graft topk`: grouped top-k over any readable source, printed in
+    * the reference's preview box layout. */
+  def runTopK(tk: TopKCmd): Int = {
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = session(tk.logLevel)
+    try {
+      val df = graft.sources.Connectors.read(spark, tk.source, tk.sourceOptions)
+      println(s"\nTop ${tk.k} per (${tk.groups.mkString(", ")}) by " +
+        s"${tk.key} ${if (tk.asc) "ascending" else "descending"}: ${tk.source}")
+      val out = graft.operators.GroupTopK.topK(df, tk.groups, tk.key, tk.id,
+          tk.k, desc = !tk.asc)
+        .orderBy((tk.groups.map(org.apache.spark.sql.functions.col) :+
+          org.apache.spark.sql.functions.col("rank")): _*)
+      println(graft.engine.PreviewFormat.dataTable(out.columns.toSeq,
+        out.collect()))
       0
     } finally if (!preExisting) spark.stop()
   }

@@ -856,6 +856,41 @@ class CliSpec extends SparkSpec {
       name.getLong(3) == 1L && name.getString(4) == "ann")
   }
 
+  test("topk subcommand: parse forms, box output, typed errors") {
+    val tk = parse(List("topk", "d.parquet", "--group", "lang,source",
+      "--key", "n", "--id", "doc_id", "-k", "3", "--asc"))
+      .asInstanceOf[TopKCmd]
+    assert(tk.source == "d.parquet" && tk.groups == Seq("lang", "source"))
+    assert(tk.key == "n" && tk.id == "doc_id" && tk.k == 3 && tk.asc)
+    intercept[GraftError.Configuration](parse(List("topk")))
+    intercept[GraftError.Configuration](           // missing --group
+      parse(List("topk", "a.csv", "--key", "k", "--id", "i")))
+    intercept[GraftError.Configuration](           // missing --key
+      parse(List("topk", "a.csv", "--group", "g", "--id", "i")))
+    intercept[GraftError.Configuration](
+      parse(List("topk", "a.csv", "--bogus")))
+    intercept[GraftError.Configuration](
+      parse(List("topk", "a.csv", "--group", "g", "--key", "k",
+        "--id", "i", "-k", "NaN")))
+
+    // end-to-end through the connector factory + box renderer
+    val dir = tmpDir("cli_topk")
+    writeText(s"$dir/in.csv",
+      "g,score,id\na,5,1\na,9,2\na,7,3\nb,4,4\n")
+    val out = new java.io.ByteArrayOutputStream()
+    val rc = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      runTopK(parse(List("topk", s"$dir/in.csv", "--group", "g",
+        "--key", "score", "--id", "id", "-k", "2")).asInstanceOf[TopKCmd])
+    }
+    assert(rc == 0)
+    val rendered = out.toString("UTF-8")
+    assert(rendered.contains("Top 2 per (g) by score descending"))
+    assert(rendered.contains("rank"))
+    // group a keeps ids 2 (score 9) then 3 (score 7); b keeps 4
+    val body = rendered.linesIterator.filter(_.contains("│")).mkString("\n")
+    assert(body.contains("9") && body.contains("7") && !body.contains("5"))
+  }
+
   test("profile --numeric and --histogram modes: parse, output, typed errors") {
     val p = parse(List("profile", "d.parquet", "--numeric", "--exact",
       "--columns", "a,b")).asInstanceOf[Profile]
