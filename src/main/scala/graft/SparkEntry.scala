@@ -1277,6 +1277,16 @@ object SparkEntry {
         Seq("l_quantity"))
     },
 
+    // --- robust outlier scoring: median/MAD (exact lower-median order
+    // statistics via the distribution trick) — heavy tails can't drag
+    // their own threshold. ---
+    "q_robust_outliers" -> { (s, dir) =>
+      graft.operators.RobustStats.outliers(
+        t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
+          col("l_extendedprice")),
+        "l_extendedprice", cutoff = 3.5)
+    },
+
     // --- bucketed co-located join: lineitem and orders pre-shuffled
     // into 16 matching buckets at write time, then joined with ZERO
     // exchanges on the join (asserted in BucketedSpec) — the nightly-
@@ -2653,6 +2663,34 @@ object SparkEntry {
       """SELECT l_orderkey, l_linenumber, l_quantity,
         |  cume_dist() OVER (ORDER BY l_quantity) AS l_quantity_qr
         |FROM lineitem""".stripMargin,
+
+    "q_robust_outliers" ->
+      """WITH vals AS (
+        |  SELECT l_extendedprice AS v FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL
+        |), m AS (
+        |  SELECT min(CASE WHEN r = CAST(floor((n-1)/2) AS BIGINT)
+        |             THEN v END) AS med
+        |  FROM (SELECT v, row_number() OVER (ORDER BY v) - 1 AS r,
+        |          count(*) OVER () AS n FROM vals) t
+        |), d AS (
+        |  SELECT abs(v - m.med) AS av FROM vals, m
+        |), md AS (
+        |  SELECT min(CASE WHEN r = CAST(floor((n-1)/2) AS BIGINT)
+        |             THEN av END) AS mad
+        |  FROM (SELECT av, row_number() OVER (ORDER BY av) - 1 AS r,
+        |          count(*) OVER () AS n FROM d) t
+        |)
+        |SELECT l_orderkey, l_linenumber, l_extendedprice,
+        |  round(CASE WHEN l_extendedprice IS NULL THEN NULL
+        |       WHEN md.mad = 0 THEN 0.0
+        |       ELSE (l_extendedprice - m.med) / (1.4826 * md.mad)
+        |       END, 6) AS l_extendedprice_rz,
+        |  CASE WHEN l_extendedprice IS NULL THEN NULL
+        |       ELSE md.mad > 0 AND
+        |            abs(l_extendedprice - m.med) > 3.5 * 1.4826 * md.mad
+        |       END AS l_extendedprice_outlier
+        |FROM lineitem, m, md""".stripMargin,
 
     "q_bucketed_join" ->
       """SELECT o_orderpriority, count(*) AS n,

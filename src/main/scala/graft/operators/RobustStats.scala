@@ -1,0 +1,72 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.NumericType
+
+/** Robust outlier scoring: median / MAD (median absolute deviation)
+  * instead of mean / stddev, so a heavy tail cannot drag its own
+  * threshold. The curation use: flag absurd numeric fields (prices,
+  * token counts, durations) before they poison training statistics —
+  * mean/stddev z-scores famously fail exactly when outliers exist.
+  *
+  * Medians are pure ORDER STATISTICS (the value at 0-based sorted
+  * position `floor((n−1)/2)`, nulls excluded — the lower median), so
+  * every bound is an actual data value and replays exactly in SQL.
+  * robust_z = (v − med) / (1.4826 · MAD) — the normal-consistency
+  * constant — and `is_outlier` = |v − med| > cutoff · 1.4826 · MAD.
+  * A zero MAD (over half the values identical) yields z = 0 and no
+  * outliers by convention, loudly documented rather than Inf.
+  *
+  * Scale shape: the same distribution trick as [[Winsorize]] — a
+  * map-side-combined (value, count) aggregation bounded by column
+  * CARDINALITY, cumulative windows to locate the order statistic, and
+  * a one-row broadcast back. Two narrow passes (median, then MAD over
+  * |v − med|); the table itself never sorts or shuffles. */
+object RobustStats {
+
+  private def q(c: String): Column = col("`" + c.replace("`", "``") + "`")
+
+  /** Lower-median of `valueCol` in `df` per the distribution trick:
+    * one (value,count) agg + cumulative windows, returned as a 1-row
+    * frame named `alias`. */
+  private def lowerMedian(df: DataFrame, value: Column,
+                          alias: String): DataFrame = {
+    val cum = Window.orderBy("v").rowsBetween(
+      Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    df.select(value.cast("double").as("v")).where(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .withColumn("e", sum("cnt").over(cum))
+      .withColumn("n", sum("cnt").over(all))
+      .agg(max(when(col("e") - col("cnt") <= floor((col("n") - 1) / 2) &&
+        floor((col("n") - 1) / 2) < col("e"), col("v"))).as(alias))
+  }
+
+  /** Attach `<col>_rz` (rounded robust z) and `<col>_outlier` for one
+    * numeric column. `cutoff` is in robust-sigma units (3.5 is the
+    * classic Iglewicz–Hoaglin choice). */
+  def outliers(df: DataFrame, c: String, cutoff: Double = 3.5,
+               roundTo: Int = 6): DataFrame = {
+    require(df.columns.contains(c), s"no such column '$c'")
+    require(df.schema(c).dataType.isInstanceOf[NumericType],
+      s"column '$c' (${df.schema(c).dataType.simpleString}) is not numeric")
+    require(cutoff > 0, s"cutoff must be positive, got $cutoff")
+    val med = lowerMedian(df, q(c), "__med")
+    val withMed = df.crossJoin(broadcast(med))
+    val mad = lowerMedian(withMed, abs(q(c).cast("double") - col("__med")),
+      "__mad")
+    val v = q(c).cast("double")
+    val scale = lit(1.4826) * col("__mad")
+    withMed.crossJoin(broadcast(mad)).select(
+      df.columns.toSeq.map(q) ++ Seq(
+        round(when(v.isNull, lit(null).cast("double"))
+          .when(col("__mad") === 0.0, lit(0.0))
+          .otherwise((v - col("__med")) / scale), roundTo).as(s"${c}_rz"),
+        when(v.isNull, lit(null).cast("boolean"))
+          .otherwise(col("__mad") > 0.0 &&
+            abs(v - col("__med")) > lit(cutoff) * scale).as(s"${c}_outlier")
+      ): _*)
+  }
+}
