@@ -1069,6 +1069,12 @@ object SparkEntry {
       EventsStreaming.hourlyAggBatch(s, dir)
     },
 
+    // --- events: hopping 1h/15min windows (each event lands in 4;
+    // oracle replays the replication as a cross join with offsets) ---
+    "q_events_sliding" -> { (s, dir) =>
+      EventsStreaming.slidingAgg(EventsStreaming.readEvents(s, dir))
+    },
+
     // --- events: gap-based sessionization via session_window ---
     "q_sessions" -> { (s, dir) =>
       EventsStreaming.sessions(EventsStreaming.readEvents(s, dir))
@@ -1275,6 +1281,13 @@ object SparkEntry {
         t(s, dir, "lineitem").select(col("l_orderkey"), col("l_linenumber"),
           col("l_quantity")),
         Seq("l_quantity"))
+    },
+
+    // --- equi-depth histogram: tie-preserving deterministic bins from
+    // the value distribution (no ntile row-order nondeterminism). ---
+    "q_equidepth_hist" -> { (s, dir) =>
+      graft.operators.TableProfile.equiDepthHistogram(
+        t(s, dir, "lineitem"), "l_extendedprice", bins = 12)
     },
 
     // --- robust outlier scoring: median/MAD (exact lower-median order
@@ -2664,6 +2677,19 @@ object SparkEntry {
         |  cume_dist() OVER (ORDER BY l_quantity) AS l_quantity_qr
         |FROM lineitem""".stripMargin,
 
+    "q_equidepth_hist" ->
+      """WITH d AS (
+        |  SELECT l_extendedprice AS v, count(*) AS cnt FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL GROUP BY 1
+        |), p AS (
+        |  SELECT v, cnt, sum(cnt) OVER (ORDER BY v) AS e,
+        |    sum(cnt) OVER () AS n
+        |  FROM d
+        |)
+        |SELECT CAST(least(11, floor(12 * (e - cnt) / n)) AS INTEGER) AS bin,
+        |  min(v) AS bin_lo, max(v) AS bin_hi, CAST(sum(cnt) AS BIGINT) AS n_rows
+        |FROM p GROUP BY 1""".stripMargin,
+
     "q_robust_outliers" ->
       """WITH vals AS (
         |  SELECT l_extendedprice AS v FROM lineitem
@@ -2733,6 +2759,17 @@ object SparkEntry {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    "q_events_sliding" ->
+      """WITH off AS (SELECT unnest([0, 900, 1800, 2700]) AS o),
+        |w AS (
+        |  SELECT make_timestamp(CAST(
+        |      (floor(epoch(ts) / 900) * 900 - o) * 1000000 AS BIGINT))
+        |    AS window_start, event_type
+        |  FROM events, off
+        |)
+        |SELECT window_start, event_type, count(*) AS n_events
+        |FROM w GROUP BY 1, 2""".stripMargin,
 
     "q_range_join" ->
       """WITH iv AS (

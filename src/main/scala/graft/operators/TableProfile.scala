@@ -222,6 +222,43 @@ object TableProfile {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** Equi-DEPTH histogram: `bins` buckets of (approximately) equal row
+    * count — the shape that stays readable on heavy-tailed columns
+    * where equi-width piles everything into one bar. Tie-preserving:
+    * every row of one distinct value lands in the bin its value's
+    * FIRST sorted position falls in (`floor(bins·start/n)`), so bins
+    * are a pure function of the data and replay exactly in SQL —
+    * unlike `ntile`, which splits ties by nondeterministic row order.
+    * A value holding more than a bin's worth of rows overflows its bin
+    * (and may leave later bins empty): depth equality bends to value
+    * atomicity, loudly by design.
+    *
+    * Scale shape: the [[Winsorize]] distribution trick — one map-side
+    * combined (value, count) aggregation bounded by CARDINALITY, a
+    * cumulative window over distinct values, and a |bins|-row result.
+    * The table itself never sorts. */
+  def equiDepthHistogram(df: DataFrame, c: String, bins: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types._
+    require(bins >= 1, s"bins must be >= 1: $bins")
+    require(df.columns.contains(c), s"no such column '$c'")
+    require(df.schema(c).dataType.isInstanceOf[NumericType],
+      s"column '$c' is not numeric")
+    val d = col("`" + c.replace("`", "``") + "`").cast("double")
+    val cum = Window.orderBy("v").rowsBetween(
+      Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+    df.select(d.as("v")).where(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .withColumn("e", sum("cnt").over(cum))
+      .withColumn("n", sum("cnt").over(all))
+      .groupBy(least(lit(bins - 1),
+        floor(lit(bins) * (col("e") - col("cnt")) / col("n")))
+        .cast("int").as("bin"))
+      .agg(min("v").as("bin_lo"), max("v").as("bin_hi"),
+        sum("cnt").as("n_rows"))
+  }
+
   /** Top-`k` most frequent values per column — the "what's actually in
     * here" report (skewed categories, sentinel strings, default-value
     * floods). One row per (column, value) with its count and dense

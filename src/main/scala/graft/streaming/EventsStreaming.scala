@@ -90,6 +90,32 @@ object EventsStreaming {
   def hourlyAggBatch(spark: SparkSession, dir: String): DataFrame =
     hourlyAgg(readEvents(spark, dir))
 
+  /** Hopping (sliding) windows: 1-hour windows advancing every
+    * `slide` — each event lands in size/slide windows, the standard
+    * trailing-rate shape ("events per hour, updated every 15
+    * minutes"). Same body batch or stream; the oracle replays the
+    * window replication as a cross join with the offset list. */
+  def slidingAgg(events: DataFrame, size: String = "1 hour",
+                 slide: String = "15 minutes"): DataFrame =
+    events
+      .groupBy(window(col("ts"), size, slide).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"))
+
+  /** Streaming flavor of [[slidingAgg]] (watermark + append mode). */
+  def slidingAggStream(spark: SparkSession, dir: String,
+                       queryName: String = "events_sliding"): StreamingQuery = {
+    val events = readEventsStream(spark, dir, "events.parquet")
+    slidingAgg(events.withWatermark("ts", "10 minutes"))
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Streaming flavor: file source + 10-minute watermark on the event
     * time; append mode emits a window once the watermark passes it. */
   def hourlyAggStream(spark: SparkSession, dir: String,

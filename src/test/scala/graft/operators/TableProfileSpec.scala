@@ -137,6 +137,31 @@ class TableProfileSpec extends SparkSpec {
       TableProfile.histogram(df, "v", lo = Some(5.0), hi = Some(1.0)))
   }
 
+  test("equiDepthHistogram: equal depths, tie overflow, deterministic bins") {
+    import spark.implicits._
+    // 100 distinct values, uniform → 10 bins of exactly 10 rows
+    val uniform = (1 to 100).map(_.toDouble).toDF("v")
+    val bins = TableProfile.equiDepthHistogram(uniform, "v", 10)
+      .orderBy("bin").collect()
+    assert(bins.length == 10)
+    assert(bins.forall(_.getLong(3) == 10L))
+    assert(bins.map(r => (r.getDouble(1), r.getDouble(2))).toSeq ==
+      (0 until 10).map(i => (i * 10 + 1.0, i * 10 + 10.0)))
+    // one value holding 60% of rows overflows its bin; totals preserved
+    val skewed = (Seq.fill(60)(5.0) ++ (1 to 40).map(_ + 100.0)).toDF("v")
+    val sb = TableProfile.equiDepthHistogram(skewed, "v", 4)
+      .orderBy("bin").collect()
+    assert(sb.map(_.getLong(3)).sum == 100L)
+    val bin0 = sb.find(_.getInt(0) == 0).get
+    assert(bin0.getLong(3) == 60L && bin0.getDouble(1) == 5.0)
+    // nulls excluded entirely
+    val withNulls = (Seq[java.lang.Double](1.0, 2.0, null)).toDF("v")
+    assert(TableProfile.equiDepthHistogram(withNulls, "v", 2)
+      .agg(org.apache.spark.sql.functions.sum("n_rows")).head.getLong(0) == 2L)
+    intercept[IllegalArgumentException](
+      TableProfile.equiDepthHistogram(uniform, "v", 0))
+  }
+
   test("topValues: rank, deterministic tie-break, nulls count as values") {
     val d = Seq(
       (Some("a"), 1), (Some("a"), 1), (Some("a"), 2),

@@ -35,6 +35,27 @@ class StreamingSpec extends SparkSpec {
       "watermark-closed windows missing from stream output")
   }
 
+  test("slidingAggStream equals batch slidingAgg for watermark-closed windows") {
+    val q = EventsStreaming.slidingAggStream(spark, dir, "sliding_parity_test")
+    q.awaitTermination(120000L)
+    val streamed = spark.table("sliding_parity_test")
+    val batch = EventsStreaming.slidingAgg(EventsStreaming.readEvents(spark, dir))
+    val maxTs = EventsStreaming.readEvents(spark, dir)
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 10 * 60 * 1000)
+    val mustHave = batch.filter(
+      col("window_start") + expr("INTERVAL 1 HOUR") < lit(cutoff))
+    assert(streamed.count() > 0, "stream emitted nothing")
+    assert(streamed.exceptAll(batch).isEmpty,
+      "stream produced windows absent from batch")
+    assert(mustHave.exceptAll(streamed).isEmpty,
+      "watermark-closed sliding windows missing from stream output")
+    // every event lands in size/slide = 4 hopping windows
+    val events = EventsStreaming.readEvents(spark, dir).count()
+    val total = batch.agg(sum(col("n_events"))).head.getLong(0)
+    assert(total == 4 * events, s"expected 4x replication, got $total/$events")
+  }
+
   test("sessionsStream equals batch sessions for watermark-closed sessions") {
     val q = EventsStreaming.sessionsStream(spark, dir, "sess_parity_test")
     q.awaitTermination(120000L)
