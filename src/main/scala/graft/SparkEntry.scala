@@ -1085,6 +1085,17 @@ object SparkEntry {
       EventsStreaming.propsStats(EventsStreaming.readEvents(s, dir))
     },
 
+    // --- SCD2 versioning: events as per-user state updates → half-open
+    // validity intervals, last version open (one window pass). ---
+    "q_scd2" -> { (s, dir) =>
+      graft.operators.Scd2.history(
+        EventsStreaming.readEvents(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", orderCols = Seq("event_id"))
+        .select(col("event_id"), col("user_id"), col("value"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+    },
+
     // --- as-of join: every event attaches the latest preceding snapshot
     // (every-5th event, deduped per (user, ts)) within a 1h tolerance.
     // Single-exchange sort-merge as-of; the oracle is DuckDB's native
@@ -2625,6 +2636,14 @@ object SparkEntry {
         |  count(*) AS n_events,
         |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_scd2" ->
+      """SELECT event_id, user_id, value,
+        |  ts AS valid_from,
+        |  lead(ts) OVER w AS valid_to,
+        |  lead(ts) OVER w IS NULL AS is_current
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
 
     "q_asof_join" ->
       """WITH snaps AS (

@@ -95,6 +95,24 @@ class RangeJoinSpec extends SparkSpec {
     assert(ex.getMessage != null)
   }
 
+  test("keyless lookup: empty `on` still joins via the bucket equi-key") {
+    // ip→geo style: no entity key, just interval containment
+    val facts = Seq((5L, 1L), (25L, 2L), (99L, 3L)).toDF("addr", "fact_id")
+    val ranges = Seq((0L, 10L, 100L), (20L, 30L, 200L))
+      .toDF("lo", "hi", "geo")
+    val got = RangeJoin.join(facts, ranges, Nil, "addr", "lo", "hi",
+        granularity = 8L, joinType = "left")
+      .select("fact_id", "geo").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(got == Map(1L -> Some(100L), 2L -> Some(200L), 3L -> None))
+    // and the plan is still an equi-join on the bucket, not a nested loop
+    val plan = RangeJoin.join(facts, ranges, Nil, "addr", "lo", "hi",
+      granularity = 8L).queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), s"keyless must stay equi:\n$plan")
+  }
+
   test("plan: hash/sort-merge equi-join on (key, bucket) — no nested loop") {
     val (facts, ivs) = gen(7)
     val plan = RangeJoin.join(facts, ivs, Seq("key"), "t", "start_t", "end_t",
