@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -92,18 +91,13 @@ object Normalize {
     * SQL `cume_dist` over the column. Exact integral-count division. */
   def quantileRank(df: DataFrame, cols: Seq[String]): DataFrame = {
     checkCols(df, cols)
-    val byCol = Window.partitionBy("c")
-    val cum = Window.partitionBy("c").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val dist = df
+    val dist = graft.operators.Distributions.cumulativeByKey(df
       .select(explode(array(cols.map(c =>
         struct(lit(c).as("c"), q(c).cast("double").as("v"))): _*)).as("s"))
       .select(col("s.c").as("c"), col("s.v").as("v"))
       .where(col("v").isNotNull)
-      .groupBy("c", "v").agg(count(lit(1)).as("cnt"))
-      .withColumn("qr",
-        sum("cnt").over(cum).cast("double") /
-          sum("cnt").over(byCol).cast("double"))
+      .groupBy("c", "v").agg(count(lit(1)).as("cnt")))
+      .withColumn("qr", col("e").cast("double") / col("n").cast("double"))
     cols.zipWithIndex.foldLeft(df) { case (d, (c, i)) =>
       val side = dist.filter(col("c") === lit(c))
         .select(col("v").as(s"__v_$i"), col("qr").as(s"${c}_qr"))

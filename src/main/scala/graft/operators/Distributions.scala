@@ -1,0 +1,63 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Shared machinery for the exact order-statistic family (winsorize,
+  * robust stats, equi-depth histograms, quantile ranks): per-key
+  * distinct-value distributions with cumulative counts.
+  *
+  * The naive cumulative — `sum(cnt) OVER (PARTITION BY key ORDER BY
+  * v)` — serializes each key's ENTIRE distribution through one
+  * reducer. "Bounded by cardinality" is no bound at all on a
+  * near-unique double column: at 100 TB that is a single-threaded sort
+  * of ~every value. This helper computes the same cumulative with
+  * RANGE-PARTITIONED parallel prefix sums instead:
+  *
+  *  1. range-partition the (key, v) distribution — global order across
+  *     partitions, parallelism = shuffle width;
+  *  2. per-(key, partition) subtotals → a TINY frame (keys × width)
+  *     whose window pass computes each partition's starting offset;
+  *  3. broadcast the offsets back and finish with a window PARTITIONED
+  *     BY (key, partition-id) — every partition scans only its own
+  *     slice.
+  *
+  * Same numbers as the serial window, no serial stage wider than
+  * keys × shuffle-width rows. */
+object Distributions {
+
+  /** Input: distinct rows (c, v, cnt) — a per-key value distribution.
+    * Output: (c, v, cnt, e, n) with `e` the inclusive cumulative count
+    * of rows up to and including `v` within key `c`, and `n` the key's
+    * total. A value with cumulative end `e` and count `cnt` covers
+    * 0-based sorted positions `[e-cnt, e-1]` of its key. */
+  def cumulativeByKey(dist: DataFrame): DataFrame = {
+    require(Seq("c", "v", "cnt").forall(dist.columns.contains),
+      s"cumulativeByKey expects (c, v, cnt), got ${dist.columns.mkString(", ")}")
+    val parts = dist.repartitionByRange(col("c"), col("v"))
+      .withColumn("__pid", spark_partition_id())
+    // tiny: |keys| × shuffle-width rows
+    val wOff = Window.partitionBy("c").orderBy("__pid")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wTot = Window.partitionBy("c")
+    val offs = parts.groupBy("c", "__pid").agg(sum("cnt").as("__pt"))
+      .withColumn("__off", coalesce(sum("__pt").over(wOff), lit(0L)))
+      .withColumn("n", sum("__pt").over(wTot))
+      .drop("__pt")
+    val wIn = Window.partitionBy("c", "__pid").orderBy("v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parts.join(broadcast(offs), Seq("c", "__pid"))
+      .withColumn("e", col("__off") + sum("cnt").over(wIn))
+      .select(col("c"), col("v"), col("cnt"), col("e"), col("n"))
+  }
+
+  /** Single-column convenience: distribution + cumulative for one
+    * numeric expression of `df` (nulls excluded), constant key. */
+  def cumulative(df: DataFrame, value: Column): DataFrame =
+    cumulativeByKey(df
+      .select(value.cast("double").as("v")).where(col("v").isNotNull)
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .withColumn("c", lit("_")))
+      .drop("c")
+}

@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -20,10 +19,11 @@ import org.apache.spark.sql.types.NumericType
   * outliers by convention, loudly documented rather than Inf.
   *
   * Scale shape: the same distribution trick as [[Winsorize]] — a
-  * map-side-combined (value, count) aggregation bounded by column
-  * CARDINALITY, cumulative windows to locate the order statistic, and
-  * a one-row broadcast back. Two narrow passes (median, then MAD over
-  * |v − med|); the table itself never sorts or shuffles. */
+  * map-side-combined (value, count) aggregation,
+  * [[Distributions.cumulative]]'s parallel prefix sums to locate the
+  * order statistic, and a one-row broadcast back. Two narrow passes
+  * (median, then MAD over |v − med|); the table itself never sorts or
+  * shuffles, and no stage is serial in the value cardinality. */
 object RobustStats {
 
   private def q(c: String): Column = col("`" + c.replace("`", "``") + "`")
@@ -32,17 +32,10 @@ object RobustStats {
     * one (value,count) agg + cumulative windows, returned as a 1-row
     * frame named `alias`. */
   private def lowerMedian(df: DataFrame, value: Column,
-                          alias: String): DataFrame = {
-    val cum = Window.orderBy("v").rowsBetween(
-      Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy()
-    df.select(value.cast("double").as("v")).where(col("v").isNotNull)
-      .groupBy("v").agg(count(lit(1)).as("cnt"))
-      .withColumn("e", sum("cnt").over(cum))
-      .withColumn("n", sum("cnt").over(all))
+                          alias: String): DataFrame =
+    Distributions.cumulative(df, value)
       .agg(max(when(col("e") - col("cnt") <= floor((col("n") - 1) / 2) &&
         floor((col("n") - 1) / 2) < col("e"), col("v"))).as(alias))
-  }
 
   /** Attach `<col>_rz` (rounded robust z) and `<col>_outlier` for one
     * numeric column. `cutoff` is in robust-sigma units (3.5 is the

@@ -234,24 +234,17 @@ object TableProfile {
     * atomicity, loudly by design.
     *
     * Scale shape: the [[Winsorize]] distribution trick — one map-side
-    * combined (value, count) aggregation bounded by CARDINALITY, a
-    * cumulative window over distinct values, and a |bins|-row result.
-    * The table itself never sorts. */
+    * combined (value, count) aggregation, [[Distributions.cumulative]]
+    * parallel prefix sums over the distinct values, and a |bins|-row
+    * result. The table itself never sorts. */
   def equiDepthHistogram(df: DataFrame, c: String, bins: Int = 10): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types._
     require(bins >= 1, s"bins must be >= 1: $bins")
     require(df.columns.contains(c), s"no such column '$c'")
     require(df.schema(c).dataType.isInstanceOf[NumericType],
       s"column '$c' is not numeric")
     val d = col("`" + c.replace("`", "``") + "`").cast("double")
-    val cum = Window.orderBy("v").rowsBetween(
-      Window.unboundedPreceding, Window.currentRow)
-    val all = Window.partitionBy()
-    df.select(d.as("v")).where(col("v").isNotNull)
-      .groupBy("v").agg(count(lit(1)).as("cnt"))
-      .withColumn("e", sum("cnt").over(cum))
-      .withColumn("n", sum("cnt").over(all))
+    Distributions.cumulative(df, d)
       .groupBy(least(lit(bins - 1),
         floor(lit(bins) * (col("e") - col("cnt")) / col("n")))
         .cast("int").as("bin"))

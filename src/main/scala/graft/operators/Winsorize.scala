@@ -1,7 +1,6 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.NumericType
 
@@ -14,10 +13,11 @@ import org.apache.spark.sql.types.NumericType
   *
   * Scale shape: ONE scan melts all requested columns into (col, value)
   * pairs, a map-side-combined groupBy collapses them to per-column
-  * value DISTRIBUTIONS (distinct value + count — bounded by
-  * cardinality, not row count), and cumulative-count windows locate
-  * the two order statistics per column without ever globally sorting
-  * the data. The resulting |cols|-row bounds frame broadcasts back
+  * value DISTRIBUTIONS (distinct value + count), and
+  * [[Distributions.cumulativeByKey]]'s range-partitioned parallel
+  * prefix sums locate the two order statistics per column — no global
+  * sort of the data and no serial pass over a column's distribution
+  * (a near-unique column would otherwise serialize onto one reducer). The resulting |cols|-row bounds frame broadcasts back
   * onto the table as a single crossJoin(broadcast) — the whole thing
   * is one lazy plan, no driver-side collect. Clamped columns come back
   * as doubles under their original names.
@@ -45,15 +45,11 @@ object Winsorize {
         struct(lit(c).as("c"), q(c).cast("double").as("v"))): _*)).as("s"))
       .select(col("s.c").as("c"), col("s.v").as("v"))
       .where(col("v").isNotNull)
-    val dist = melted.groupBy("c", "v").agg(count(lit(1)).as("cnt"))
-    val byCol = Window.partitionBy("c")
-    val cum = Window.partitionBy("c").orderBy("v")
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     // value with inclusive cumulative end e and count cnt covers
-    // 0-based sorted positions [e-cnt, e-1]
-    val pos = dist
-      .withColumn("e", sum("cnt").over(cum))
-      .withColumn("n", sum("cnt").over(byCol))
+    // 0-based sorted positions [e-cnt, e-1]; parallel prefix sums —
+    // no serial pass over a column's whole distribution
+    val pos = Distributions.cumulativeByKey(
+      melted.groupBy("c", "v").agg(count(lit(1)).as("cnt")))
     val kLo = floor((col("n") - 1) * lit(pLo))
     val kHi = ceil((col("n") - 1) * lit(pHi))
     def at(k: Column): Column =
