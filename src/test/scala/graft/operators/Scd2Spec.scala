@@ -35,6 +35,26 @@ class Scd2Spec extends SparkSpec {
     assert(merged.filter(col("is_current")).count() == 1)
   }
 
+  test("composes with RangeJoin: facts attach their dimension version") {
+    // the warehouse pattern: fact rows pick the dimension version whose
+    // [valid_from, valid_to) interval contains the fact time — SCD2
+    // output feeds the bucketized range join directly (open tails
+    // closed at a horizon)
+    val ups = Seq((1L, 10L, "bronze"), (1L, 50L, "gold")).toDF("id", "ts", "plan")
+    val dim = Scd2.history(ups, Seq("id"), "ts")
+      .withColumn("valid_to_c", coalesce(col("valid_to"), lit(1000L)))
+      .select(col("id"), col("plan"), col("valid_from"), col("valid_to_c"))
+    val facts = Seq((1L, 5L, 100L), (1L, 30L, 101L), (1L, 70L, 102L))
+      .toDF("id", "t", "fact_id")
+    val got = RangeJoin.join(facts, dim, Seq("id"), "t",
+        "valid_from", "valid_to_c", granularity = 32L, joinType = "left")
+      .select("fact_id", "plan").collect()
+      .map(r => r.getLong(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getString(1)))).toMap
+    assert(got == Map(100L -> None,          // before any version
+      101L -> Some("bronze"), 102L -> Some("gold")))
+  }
+
   test("ties break by orderCols; reserved names and missing columns rejected") {
     val ups = Seq((1L, 10L, 2L, "late"), (1L, 10L, 1L, "early"))
       .toDF("id", "ts", "seq", "state")
