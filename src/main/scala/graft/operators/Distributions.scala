@@ -35,7 +35,13 @@ object Distributions {
   def cumulativeByKey(dist: DataFrame): DataFrame = {
     require(Seq("c", "v", "cnt").forall(dist.columns.contains),
       s"cumulativeByKey expects (c, v, cnt), got ${dist.columns.mkString(", ")}")
-    val parts = dist.repartitionByRange(col("c"), col("v"))
+    // LAZY persist: the range partitioner's sampling pass would
+    // otherwise evaluate the whole distribution lineage once for the
+    // sample and again for the real exchange — on a wide scan that is
+    // the scan twice. MEMORY_AND_DISK, so a huge distribution spills
+    // instead of OOMing; freed by the context cleaner with the frame.
+    val d = dist.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val parts = d.repartitionByRange(col("c"), col("v"))
       .withColumn("__pid", spark_partition_id())
     // tiny: |keys| × shuffle-width rows
     val wOff = Window.partitionBy("c").orderBy("__pid")
