@@ -1114,6 +1114,32 @@ object SparkEntry {
         tolerance = Some(expr("INTERVAL 1 HOUR")))
     },
 
+    // --- CDC changelog apply: merge an upsert/delete log into a
+    // snapshot, latest seq per key wins. The log exercises every path:
+    // update (seq 1), delete-overriding-update (%35 keys), re-insert
+    // after delete (%21 keys), insert of keys the snapshot never had
+    // (%4==3 keys), delete of absent keys (no-op), pure passthrough.
+    // The window sorts the LOG only; the snapshot sees one anti join. ---
+    "q_cdc_apply" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate", "o_orderpriority")
+      val snap = orders.filter(pmod(col("o_orderkey"), lit(4)) =!= 3)
+      val upd = orders.filter(pmod(col("o_orderkey"), lit(5)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + 100.0)
+        .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+      val del = orders.filter(pmod(col("o_orderkey"), lit(7)) === 0)
+        .withColumn("seq", lit(2L)).withColumn("op", lit("D"))
+      val reins = orders.filter(pmod(col("o_orderkey"), lit(3)) === 0)
+        .withColumn("o_totalprice", col("o_totalprice") * 0.5)
+        .withColumn("seq", lit(3L)).withColumn("op", lit("U"))
+      val changes = upd.unionByName(del).unionByName(reins)
+        .select((cols :+ "seq" :+ "op").map(col): _*)
+      graft.operators.Cdc.apply(snap.select(cols.map(col): _*), changes,
+          Seq("o_orderkey"), "seq", "op")
+        .withColumn("o_totalprice", round(col("o_totalprice"), 4))
+    },
+
     // --- simhash dedup, oracle-gated via the EXACT sub-case: the sketch
     // itself is not SQL-expressible, but token-SET-equal documents (the
     // signature is built from distinct token hashes) provably get
@@ -2657,6 +2683,40 @@ object SparkEntry {
         |       THEN s.snap_ts END AS snap_ts_matched
         |FROM events e ASOF LEFT JOIN snaps s
         |  ON e.user_id = s.user_id AND e.ts >= s.snap_ts""".stripMargin,
+
+    "q_cdc_apply" ->
+      """WITH snap AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_orderkey % 4 <> 3
+        |), ch AS (
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice + 100.0 AS o_totalprice, o_orderdate,
+        |         o_orderpriority, 1 AS seq, 'U' AS op
+        |  FROM orders WHERE o_orderkey % 5 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice,
+        |         o_orderdate, o_orderpriority, 2, 'D'
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, o_custkey, o_orderstatus,
+        |         o_totalprice * 0.5, o_orderdate, o_orderpriority, 3, 'U'
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |), resolved AS (
+        |  SELECT * FROM (
+        |    SELECT ch.*, row_number() OVER (
+        |      PARTITION BY o_orderkey ORDER BY seq DESC) AS rn FROM ch)
+        |  WHERE rn = 1
+        |)
+        |SELECT s.o_orderkey, s.o_custkey, s.o_orderstatus,
+        |  round(s.o_totalprice, 4) AS o_totalprice, s.o_orderdate,
+        |  s.o_orderpriority
+        |FROM snap s ANTI JOIN resolved r ON s.o_orderkey = r.o_orderkey
+        |UNION ALL
+        |SELECT o_orderkey, o_custkey, o_orderstatus,
+        |  round(o_totalprice, 4) AS o_totalprice, o_orderdate,
+        |  o_orderpriority
+        |FROM resolved WHERE op <> 'D'""".stripMargin,
 
     "q_quota_sample" ->
       """WITH r AS (
