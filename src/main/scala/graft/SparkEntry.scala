@@ -1140,6 +1140,20 @@ object SparkEntry {
         .withColumn("o_totalprice", round(col("o_totalprice"), 4))
     },
 
+    // --- PageRank over a link graph derived from orders (custkey-mod
+    // → orderkey-mod buckets: a dense 300-node digraph with real hub
+    // skew). 3 fixed rounds, d=0.85, uncalibrated power iteration —
+    // the oracle replays every round as an unrolled CTE chain, so the
+    // join-on-src / agg-on-dst loop is value-gated end to end. ---
+    "q_pagerank" -> { (s, dir) =>
+      val orders = t(s, dir, "orders")
+      val edges = orders.select(
+        pmod(col("o_custkey"), lit(300)).as("src"),
+        pmod(col("o_orderkey"), lit(300)).as("dst"))
+      graft.operators.PageRank.ranks(edges, "src", "dst", iters = 3)
+        .select(col("id"), round(col("rank"), 6).as("rank"))
+    },
+
     // --- simhash dedup, oracle-gated via the EXACT sub-case: the sketch
     // itself is not SQL-expressible, but token-SET-equal documents (the
     // signature is built from distinct token hashes) provably get
@@ -2717,6 +2731,38 @@ object SparkEntry {
         |  round(o_totalprice, 4) AS o_totalprice, o_orderdate,
         |  o_orderpriority
         |FROM resolved WHERE op <> 'D'""".stripMargin,
+
+    "q_pagerank" ->
+      """WITH edges AS (
+        |  SELECT DISTINCT o_custkey % 300 AS src, o_orderkey % 300 AS dst
+        |  FROM orders
+        |), nodes AS (
+        |  SELECT src AS id FROM edges UNION SELECT dst FROM edges
+        |), deg AS (
+        |  SELECT src, count(*) AS d FROM edges GROUP BY src
+        |), r0 AS (
+        |  SELECT id, 1.0 AS rank FROM nodes
+        |), c1 AS (
+        |  SELECT e.dst AS id, sum(r.rank / deg.d) AS c
+        |  FROM edges e JOIN deg ON e.src = deg.src JOIN r0 r ON r.id = e.src
+        |  GROUP BY e.dst
+        |), r1 AS (
+        |  SELECT n.id, 0.15 + 0.85 * coalesce(c.c, 0) AS rank
+        |  FROM nodes n LEFT JOIN c1 c ON n.id = c.id
+        |), c2 AS (
+        |  SELECT e.dst AS id, sum(r.rank / deg.d) AS c
+        |  FROM edges e JOIN deg ON e.src = deg.src JOIN r1 r ON r.id = e.src
+        |  GROUP BY e.dst
+        |), r2 AS (
+        |  SELECT n.id, 0.15 + 0.85 * coalesce(c.c, 0) AS rank
+        |  FROM nodes n LEFT JOIN c2 c ON n.id = c.id
+        |), c3 AS (
+        |  SELECT e.dst AS id, sum(r.rank / deg.d) AS c
+        |  FROM edges e JOIN deg ON e.src = deg.src JOIN r2 r ON r.id = e.src
+        |  GROUP BY e.dst
+        |)
+        |SELECT n.id, round(0.15 + 0.85 * coalesce(c.c, 0), 6) AS rank
+        |FROM nodes n LEFT JOIN c3 c ON n.id = c.id""".stripMargin,
 
     "q_quota_sample" ->
       """WITH r AS (
