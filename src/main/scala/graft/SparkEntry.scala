@@ -1154,6 +1154,23 @@ object SparkEntry {
         .select(col("id"), round(col("rank"), 6).as("rank"))
     },
 
+    // --- heavy hitters via the Misra–Gries sketch, oracle-gated on its
+    // provable EXACT sub-case (same pattern as the simhash gate): 5
+    // distinct priorities per status group with k=16 means no decrement
+    // ever fires, so the k-bounded sketch provably equals the exact
+    // group-count — which is what the oracle computes. The overflow
+    // regime (hot-item guarantee, underestimate bound) is pinned by
+    // FreqSketchSpec at 500 distinct vs k=20. ---
+    "q_heavy_hitters" -> { (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_orderstatus"))
+        .agg(graft.functions.FreqSketch.misra_gries(
+          col("o_orderpriority"), 16).as("hh"))
+        .select(col("o_orderstatus"), posexplode(col("hh")).as(Seq("rank", "s")))
+        .select(col("o_orderstatus"), col("rank"),
+          col("s.value").as("value"), col("s.cnt").as("cnt"))
+    },
+
     // --- simhash dedup, oracle-gated via the EXACT sub-case: the sketch
     // itself is not SQL-expressible, but token-SET-equal documents (the
     // signature is built from distinct token hashes) provably get
@@ -2763,6 +2780,17 @@ object SparkEntry {
         |)
         |SELECT n.id, round(0.15 + 0.85 * coalesce(c.c, 0), 6) AS rank
         |FROM nodes n LEFT JOIN c3 c ON n.id = c.id""".stripMargin,
+
+    "q_heavy_hitters" ->
+      """SELECT o_orderstatus,
+        |  CAST(row_number() OVER (
+        |    PARTITION BY o_orderstatus ORDER BY cnt DESC, value) - 1
+        |    AS INTEGER) AS rank,
+        |  value, cnt
+        |FROM (
+        |  SELECT o_orderstatus, o_orderpriority AS value,
+        |         count(*) AS cnt
+        |  FROM orders GROUP BY 1, 2)""".stripMargin,
 
     "q_quota_sample" ->
       """WITH r AS (
