@@ -1154,6 +1154,21 @@ object SparkEntry {
         .select(col("id"), round(col("rank"), 6).as("rank"))
     },
 
+    // --- edit-distance-1 similarity join over the part-name vocabulary
+    // (64 distinct names + planted substitution/deletion typos), blocked
+    // by SymSpell deletion neighborhoods. The blocking is provably
+    // complete at radius 1 and every candidate is levenshtein-verified,
+    // so the result EQUALS the brute-force join the oracle runs. ---
+    "q_edit_pairs" -> { (s, dir) =>
+      val names = t(s, dir, "part").select(col("p_name").as("nm")).distinct()
+      val zsub = names.filter(length(col("nm")) % 3 === 0)
+        .select(concat(lit("z"), expr("substring(nm, 2)")).as("nm"))
+      val dele = names.filter(length(col("nm")) % 3 === 1)
+        .select(expr("substring(nm, 2)").as("nm"))
+      graft.llm.EditSim.vocabPairs(
+        names.union(zsub).union(dele), "nm")
+    },
+
     // --- heavy hitters via the Misra–Gries sketch, oracle-gated on its
     // provable EXACT sub-case (same pattern as the simhash gate): 5
     // distinct priorities per status group with k=16 means no decrement
@@ -2780,6 +2795,24 @@ object SparkEntry {
         |)
         |SELECT n.id, round(0.15 + 0.85 * coalesce(c.c, 0), 6) AS rank
         |FROM nodes n LEFT JOIN c3 c ON n.id = c.id""".stripMargin,
+
+    "q_edit_pairs" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |vocab AS (
+        |  SELECT DISTINCT nm FROM (
+        |    SELECT p_name AS nm FROM names
+        |    UNION ALL
+        |    SELECT 'z' || substring(p_name, 2) FROM names
+        |    WHERE length(p_name) % 3 = 0
+        |    UNION ALL
+        |    SELECT substring(p_name, 2) FROM names
+        |    WHERE length(p_name) % 3 = 1
+        |  )
+        |)
+        |SELECT a.nm AS a, b.nm AS b,
+        |  CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
+        |FROM vocab a JOIN vocab b
+        |  ON a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 1""".stripMargin,
 
     "q_heavy_hitters" ->
       """SELECT o_orderstatus,
