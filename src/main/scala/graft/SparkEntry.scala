@@ -1154,6 +1154,20 @@ object SparkEntry {
         .select(col("id"), round(col("rank"), 6).as("rank"))
     },
 
+    // --- per-user hourly resample with forward fill: regularize the
+    // irregular events stream onto a fixed 1h grid, carrying the last
+    // bucket average across gap hours. The oracle replays bucket agg →
+    // per-key generate_series grid → IGNORE-NULLS last_value fill. ---
+    "q_resample" -> { (s, dir) =>
+      graft.operators.Resample.resample(
+          EventsStreaming.readEvents(s, dir)
+            .select(col("user_id"), col("ts"), col("value")),
+          Seq("user_id"), "ts", "value", every = "1 hour")
+        .select(col("user_id"), col("bucket_start"),
+          round(col("avg_value"), 4).as("avg_value"),
+          col("n_events"), col("filled"))
+    },
+
     // --- edit-distance-1 similarity join over the part-name vocabulary
     // (64 distinct names + planted substitution/deletion typos), blocked
     // by SymSpell deletion neighborhoods. The blocking is provably
@@ -2795,6 +2809,27 @@ object SparkEntry {
         |)
         |SELECT n.id, round(0.15 + 0.85 * coalesce(c.c, 0), 6) AS rank
         |FROM nodes n LEFT JOIN c3 c ON n.id = c.id""".stripMargin,
+
+    "q_resample" ->
+      """WITH per AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket_start,
+        |         avg(value) AS a, count(value) AS n
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, min(bucket_start) AS mn, max(bucket_start) AS mx
+        |  FROM per GROUP BY 1
+        |), grid AS (
+        |  SELECT user_id,
+        |         unnest(generate_series(mn, mx, INTERVAL '1 hour')) AS bucket_start
+        |  FROM span
+        |)
+        |SELECT g.user_id, g.bucket_start,
+        |  round(last_value(p.a IGNORE NULLS) OVER (
+        |    PARTITION BY g.user_id ORDER BY g.bucket_start), 4) AS avg_value,
+        |  coalesce(p.n, 0) AS n_events,
+        |  p.n IS NULL AS filled
+        |FROM grid g LEFT JOIN per p
+        |  ON g.user_id = p.user_id AND g.bucket_start = p.bucket_start""".stripMargin,
 
     "q_edit_pairs" ->
       """WITH names AS (SELECT DISTINCT p_name FROM part),
