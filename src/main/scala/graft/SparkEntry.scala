@@ -1154,6 +1154,32 @@ object SparkEntry {
         .select(col("id"), round(col("rank"), 6).as("rank"))
     },
 
+    // --- pivot with PINNED values (never the values-probe collect —
+    // at 100 TB the probe is a full distinct scan before planning):
+    // order totals per priority pivoted across the three statuses.
+    // Decimal sums keep the cells bit-identical to the oracle's
+    // conditional aggregation. ---
+    "q_pivot" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      t(s, dir, "orders")
+        .groupBy(col("o_orderpriority"))
+        .pivot("o_orderstatus", Seq("O", "F", "P"))
+        .agg(sum(col("o_totalprice").cast(dec)).cast("double"))
+    },
+
+    // --- rollup over (returnflag, linestatus) with grouping_id — the
+    // subtotal lattice a reporting layer asks for, one Expand+agg pass
+    // (no re-scan per level). Decimal sums; grouping_id disambiguates
+    // rollup nulls from data nulls. ---
+    "q_rollup" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("int").as("gid"))
+    },
+
     // --- per-user hourly resample with forward fill: regularize the
     // irregular events stream onto a fixed 1h grid, carrying the last
     // bucket average across gap hours. The oracle replays bucket agg →
@@ -2809,6 +2835,24 @@ object SparkEntry {
         |)
         |SELECT n.id, round(0.15 + 0.85 * coalesce(c.c, 0), 6) AS rank
         |FROM nodes n LEFT JOIN c3 c ON n.id = c.id""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT o_orderpriority,
+        |  CAST(sum(CASE WHEN o_orderstatus = 'O'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "O",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'F'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "F",
+        |  CAST(sum(CASE WHEN o_orderstatus = 'P'
+        |    THEN CAST(o_totalprice AS DECIMAL(18,4)) END) AS DOUBLE) AS "P"
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q_resample" ->
       """WITH per AS (
