@@ -1154,6 +1154,18 @@ object SparkEntry {
         .select(col("id"), round(col("rank"), 6).as("rank"))
     },
 
+    // --- stream-static enrichment join (batch body of the streaming
+    // shape, parity-tested in StreamingSpec): events pick up a user →
+    // segment dimension via an explicit broadcast left join — no
+    // stream-side shuffle, no streaming state — then aggregate hourly
+    // per segment. Unmatched users land in 'unknown'. ---
+    "q_events_enriched" -> { (s, dir) =>
+      val dim = t(s, dir, "customer")
+        .select(col("c_custkey").as("user_id"),
+          col("c_mktsegment").as("segment"))
+      EventsStreaming.enrichedHourly(EventsStreaming.readEvents(s, dir), dim)
+    },
+
     // --- pivot with PINNED values (never the values-probe collect —
     // at 100 TB the probe is a full distinct scan before planning):
     // order totals per priority pivoted across the three statuses.
@@ -2835,6 +2847,14 @@ object SparkEntry {
         |)
         |SELECT n.id, round(0.15 + 0.85 * coalesce(c.c, 0), 6) AS rank
         |FROM nodes n LEFT JOIN c3 c ON n.id = c.id""".stripMargin,
+
+    "q_events_enriched" ->
+      """SELECT date_trunc('hour', ts) AS hour_start,
+        |  coalesce(c.c_mktsegment, 'unknown') AS segment,
+        |  count(*) AS n_events,
+        |  CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+        |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+        |GROUP BY 1, 2""".stripMargin,
 
     "q_pivot" ->
       """SELECT o_orderpriority,

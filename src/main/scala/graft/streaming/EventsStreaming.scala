@@ -158,6 +158,42 @@ object EventsStreaming {
       .start()
   }
 
+  /** Stream-static enrichment join: attach a slowly-changing dimension
+    * (user → segment) to the event stream, then aggregate hourly per
+    * segment. The static side is explicitly `broadcast()` — a
+    * stream-static join carries NO streaming state (each micro-batch
+    * joins against the broadcast table), which is the 100 TB shape: a
+    * billion-row/day stream enriched by a dimension that fits in
+    * memory, no shuffle of the stream side, no state store growth.
+    * Unmatched users land in an explicit 'unknown' segment so the left
+    * join's null never propagates into the group key. */
+  def enrichedHourly(events: DataFrame, dim: DataFrame): DataFrame = {
+    val dec = DecimalType(18, 4)
+    events
+      .join(broadcast(dim.select(col("user_id").as("__dim_uid"),
+        col("segment"))), col("user_id") === col("__dim_uid"), "left")
+      .withColumn("segment", coalesce(col("segment"), lit("unknown")))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(dec)).cast("double").as("sum_value"))
+      .select(col("w.start").as("hour_start"), col("segment"),
+        col("n_events"), col("sum_value"))
+  }
+
+  /** Streaming flavor of [[enrichedHourly]]: the dimension is read as
+    * a plain batch frame (re-broadcast per micro-batch by Spark). */
+  def enrichedHourlyStream(spark: SparkSession, dir: String, dim: DataFrame,
+                           queryName: String = "events_enriched"): StreamingQuery = {
+    val events = readEventsStream(spark, dir, "events.parquet")
+    enrichedHourly(events.withWatermark("ts", "10 minutes"), dim)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   // ---------------- custom state: threshold crossings ----------------
 
   final case class Crossing(user_id: Long, crossed_at: java.sql.Timestamp,

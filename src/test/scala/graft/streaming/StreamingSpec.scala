@@ -35,6 +35,37 @@ class StreamingSpec extends SparkSpec {
       "watermark-closed windows missing from stream output")
   }
 
+  test("enrichedHourlyStream (stream-static join) equals its batch body") {
+    val dim = spark.read.parquet(s"$dir/customer.parquet")
+      .select(col("c_custkey").as("user_id"),
+        col("c_mktsegment").as("segment"))
+    val q = EventsStreaming.enrichedHourlyStream(spark, dir, dim,
+      "enriched_parity_test")
+    q.awaitTermination(120000L)
+    val streamed = spark.table("enriched_parity_test")
+
+    val batch = EventsStreaming.enrichedHourly(
+      EventsStreaming.readEvents(spark, dir), dim)
+    val maxTs = EventsStreaming.readEvents(spark, dir)
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 10 * 60 * 1000)
+    val mustHave = batch.filter(
+      col("hour_start") + expr("INTERVAL 1 HOUR") < lit(cutoff))
+
+    assert(streamed.count() > 0, "stream emitted nothing")
+    assert(streamed.exceptAll(batch).isEmpty,
+      "stream produced rows absent from batch")
+    assert(mustHave.exceptAll(streamed).isEmpty,
+      "watermark-closed windows missing from stream output")
+    // the stream-static join must not invent state: every segment is
+    // either a real dimension value or the explicit 'unknown'
+    val segs = streamed.select("segment").distinct()
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
+    val dimSegs = dim.select("segment").distinct()
+      .as[String](org.apache.spark.sql.Encoders.STRING).collect().toSet
+    assert(segs.subsetOf(dimSegs + "unknown"))
+  }
+
   test("slidingAggStream equals batch slidingAgg for watermark-closed windows") {
     val q = EventsStreaming.slidingAggStream(spark, dir, "sliding_parity_test")
     q.awaitTermination(120000L)
