@@ -1154,6 +1154,24 @@ object SparkEntry {
         .select(col("id"), round(col("rank"), 6).as("rank"))
     },
 
+    // --- z-order clustering: the Morton z-value over (l_partkey,
+    // l_suppkey) with probed bounds — the sort key behind OPTIMIZE
+    // ZORDER-style multi-column data skipping. The value is pure
+    // codegen'd bit arithmetic; the oracle rebuilds the identical
+    // 32-term interleave in SQL, so the curve is gated bit for bit.
+    // The file-level skipping effect (per-file bounding boxes tile the
+    // plane) is measured in ZOrderSpec. ---
+    "q_zorder" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      val b = li.agg(min("l_partkey"), max("l_partkey"),
+        min("l_suppkey"), max("l_suppkey")).head()
+      li.select(col("l_orderkey"), col("l_linenumber"),
+        graft.operators.ZOrder.zvalue(Seq(
+          (col("l_partkey"), lit(b.getLong(0)), lit(b.getLong(1))),
+          (col("l_suppkey"), lit(b.getLong(2)), lit(b.getLong(3)))))
+          .as("zval"))
+    },
+
     // --- stream-static enrichment join (batch body of the streaming
     // shape, parity-tested in StreamingSpec): events pick up a user →
     // segment dimension via an explicit broadcast left join — no
@@ -2847,6 +2865,27 @@ object SparkEntry {
         |)
         |SELECT n.id, round(0.15 + 0.85 * coalesce(c.c, 0), 6) AS rank
         |FROM nodes n LEFT JOIN c3 c ON n.id = c.id""".stripMargin,
+
+    "q_zorder" -> {
+      def quantSql(c: String, mn: String, mx: String): String =
+        s"least(65535, greatest(0, CAST(floor((CAST($c AS DOUBLE) - " +
+          s"CAST($mn AS DOUBLE)) / (CAST($mx AS DOUBLE) - " +
+          s"CAST($mn AS DOUBLE)) * 65535) AS BIGINT)))"
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"(((qx >> $i) & 1) << ${2 * i})",
+        s"(((qy >> $i) & 1) << ${2 * i + 1})")).mkString(" + ")
+      s"""WITH b AS (
+         |  SELECT min(l_partkey) AS mn_p, max(l_partkey) AS mx_p,
+         |         min(l_suppkey) AS mn_s, max(l_suppkey) AS mx_s
+         |  FROM lineitem
+         |), q AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    ${quantSql("l_partkey", "mn_p", "mx_p")} AS qx,
+         |    ${quantSql("l_suppkey", "mn_s", "mx_s")} AS qy
+         |  FROM lineitem, b
+         |)
+         |SELECT l_orderkey, l_linenumber, $terms AS zval FROM q""".stripMargin
+    },
 
     "q_events_enriched" ->
       """SELECT date_trunc('hour', ts) AS hour_start,
