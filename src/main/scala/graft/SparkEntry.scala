@@ -1154,6 +1154,28 @@ object SparkEntry {
         .select(col("id"), round(col("rank"), 6).as("rank"))
     },
 
+    // --- ordered funnel (view → click → purchase) per user: ONE
+    // window exchange computes sequential reach times (stage i counts
+    // only strictly after stage i-1); the oracle replays it as the
+    // equivalent per-stage join chain, so the one-pass formulation is
+    // value-gated against the textbook multi-join one. ---
+    "q_funnel" -> { (s, dir) =>
+      graft.operators.Funnel.funnel(
+        EventsStreaming.readEvents(s, dir)
+          .select(col("user_id"), col("ts"), col("event_type")),
+        Seq("user_id"), "ts", "event_type",
+        Seq("view", "click", "purchase"))
+    },
+
+    // --- weekly cohort retention triangle over events: first-seen
+    // week per user, distinct active users per (cohort, offset). ---
+    "q_cohort" -> { (s, dir) =>
+      graft.operators.Cohort.retention(
+        EventsStreaming.readEvents(s, dir)
+          .select(col("user_id"), col("ts")),
+        "user_id", "ts")
+    },
+
     // --- z-order clustering: the Morton z-value over (l_partkey,
     // l_suppkey) with probed bounds — the sort key behind OPTIMIZE
     // ZORDER-style multi-column data skipping. The value is pure
@@ -2865,6 +2887,43 @@ object SparkEntry {
         |)
         |SELECT n.id, round(0.15 + 0.85 * coalesce(c.c, 0), 6) AS rank
         |FROM nodes n LEFT JOIN c3 c ON n.id = c.id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |t1 AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY 1
+        |), t2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN t1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > t1.t_view GROUP BY 1
+        |), t3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN t2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > t2.t_click GROUP BY 1
+        |)
+        |SELECT u.user_id, t1.t_view, t2.t_click, t3.t_purchase,
+        |  CAST(CASE WHEN t3.t_purchase IS NOT NULL THEN 3
+        |       WHEN t2.t_click IS NOT NULL THEN 2
+        |       WHEN t1.t_view IS NOT NULL THEN 1
+        |       ELSE 0 END AS INTEGER) AS stages_reached
+        |FROM u LEFT JOIN t1 USING (user_id)
+        |  LEFT JOIN t2 USING (user_id) LEFT JOIN t3 USING (user_id)""".stripMargin,
+
+    "q_cohort" ->
+      """WITH f AS (
+        |  SELECT user_id, date_trunc('week', min(ts)) AS cohort_week
+        |  FROM events GROUP BY 1
+        |), act AS (
+        |  SELECT DISTINCT e.user_id, f.cohort_week,
+        |    date_trunc('week', e.ts) AS aw
+        |  FROM events e JOIN f USING (user_id)
+        |)
+        |SELECT cohort_week,
+        |  CAST(date_diff('day', cohort_week, aw) / 7 AS INTEGER)
+        |    AS week_offset,
+        |  count(*) AS n_users
+        |FROM act GROUP BY 1, 2""".stripMargin,
 
     "q_zorder" -> {
       def quantSql(c: String, mn: String, mx: String): String =
