@@ -1085,6 +1085,30 @@ object SparkEntry {
       EventsStreaming.propsStats(EventsStreaming.readEvents(s, dir))
     },
 
+    // --- events: click→purchase attribution pairs — the stream-stream
+    // interval-join shape (equi-join on user + bounded time range);
+    // batch body here, streaming self-join parity in StreamingSpec ---
+    "q_attribution" -> { (s, dir) =>
+      EventsStreaming.attributionBatch(s, dir)
+    },
+
+    // --- last-click attribution: one row per purchase, the most recent
+    // qualifying click wins (ties by click_id desc — click_ts is unique
+    // per user here, but the tie-break is pinned anyway). One partial-
+    // aggregating max(struct) — no window, no second shuffle: struct
+    // comparison is lexicographic so (click_ts, click_id) leads ---
+    "q_attribution_last" -> { (s, dir) =>
+      EventsStreaming.attributionBatch(s, dir)
+        .groupBy(col("purchase_id"))
+        .agg(max(struct(col("click_ts"), col("click_id"), col("user_id"),
+          col("purchase_ts"), col("purchase_value"))).as("w"))
+        .select(col("w.user_id").as("user_id"), col("purchase_id"),
+          col("w.click_id").as("click_id"),
+          col("w.click_ts").as("click_ts"),
+          col("w.purchase_ts").as("purchase_ts"),
+          col("w.purchase_value").as("purchase_value"))
+    },
+
     // --- SCD2 versioning: events as per-user state updates → half-open
     // validity intervals, last version open (one window pass). ---
     "q_scd2" -> { (s, dir) =>
@@ -2808,6 +2832,31 @@ object SparkEntry {
         |  lead(ts) OVER w IS NULL AS is_current
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q_attribution" ->
+      """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |  c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+        |FROM events c JOIN events p
+        |  ON c.user_id = p.user_id
+        | AND c.event_type = 'click' AND p.event_type = 'purchase'
+        | AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR""".stripMargin,
+
+    "q_attribution_last" ->
+      """WITH pairs AS (
+        |  SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+        |    c.ts AS click_ts, p.ts AS purchase_ts, p.value AS purchase_value
+        |  FROM events c JOIN events p
+        |    ON c.user_id = p.user_id
+        |   AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY purchase_id
+        |    ORDER BY click_ts DESC, click_id DESC) AS rn
+        |  FROM pairs
+        |)
+        |SELECT user_id, purchase_id, click_id, click_ts, purchase_ts,
+        |  purchase_value
+        |FROM r WHERE rn = 1""".stripMargin,
 
     "q_asof_join" ->
       """WITH snaps AS (

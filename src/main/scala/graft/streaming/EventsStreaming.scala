@@ -309,4 +309,67 @@ object EventsStreaming {
         sum(col("_v")).as(s"sum_$field"),
         min(col("_v")).as(s"min_$field"),
         max(col("_v")).as(s"max_$field"))
+
+  // ------------- stream-stream join: click→purchase attribution -------------
+
+  /** Click→purchase attribution pairs: every (click, purchase) of the
+    * same user where the click happened within `lookback` BEFORE the
+    * purchase (inclusive of the purchase instant). The join is an
+    * equi-join on user_id plus a bounded time-range predicate — the
+    * canonical stream-stream interval-join shape: at 100 TB the stream
+    * shuffles once on user_id and the range bound is what lets the
+    * streaming runtime evict state (a click older than the watermark
+    * minus `lookback` can never match a future purchase).
+    *
+    * Takes the two sides as frames so the SAME body serves batch (two
+    * filters of one batch read) and streaming (two watermarked filters
+    * of one file stream — a stream-stream self join). */
+  def attributionPairs(clicks: DataFrame, purchases: DataFrame,
+                       lookback: String = "1 hour"): DataFrame =
+    clicks.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("click_ts") <= col("purchase_ts") &&
+          col("click_ts") >= col("purchase_ts") - expr(s"INTERVAL $lookback"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        col("click_ts"), col("purchase_ts"), col("purchase_value"))
+
+  /** The two filtered projections [[attributionPairs]] joins. */
+  private def attributionSides(events: DataFrame): (DataFrame, DataFrame) = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts").as("click_ts"),
+        col("event_id").as("click_id"))
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    (clicks, purchases)
+  }
+
+  def attributionBatch(spark: SparkSession, dir: String,
+                       lookback: String = "1 hour"): DataFrame = {
+    val (c, p) = attributionSides(readEvents(spark, dir))
+    attributionPairs(c, p, lookback)
+  }
+
+  /** Streaming flavor: a stream-stream SELF join (two filtered views of
+    * one file stream). Both sides carry a watermark — required for the
+    * runtime to bound join state; the interval predicate tells it a
+    * click's liability window is `lookback`, after which its state row
+    * is evicted. Inner join + append mode: a pair emits as soon as both
+    * sides have arrived. */
+  def attributionStream(spark: SparkSession, dir: String,
+                        lookback: String = "1 hour",
+                        queryName: String = "events_attribution")
+      : StreamingQuery = {
+    val events = readEventsStream(spark, dir, "events.parquet")
+    val (c, p) = attributionSides(events)
+    attributionPairs(
+        c.withWatermark("click_ts", "10 minutes"),
+        p.withWatermark("purchase_ts", "10 minutes"), lookback)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
 }

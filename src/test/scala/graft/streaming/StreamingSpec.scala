@@ -117,6 +117,21 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty)
   }
 
+  test("attributionStream (stream-stream self join) equals the batch body") {
+    val q = EventsStreaming.attributionStream(spark, dir,
+      queryName = "attr_parity_test")
+    q.awaitTermination(120000L)
+    val streamed = spark.table("attr_parity_test")
+    val batch = EventsStreaming.attributionBatch(spark, dir)
+    assert(streamed.count() > 0, "no attribution pairs emitted")
+    // inner stream-stream join emits eagerly (no watermark hold-back);
+    // the finite fixture arrives in one AvailableNow pass → exact parity
+    assert(streamed.exceptAll(batch).isEmpty,
+      "stream invented pairs absent from batch")
+    assert(batch.exceptAll(streamed).isEmpty,
+      "stream missed pairs present in batch")
+  }
+
   test("dedupStream drops replayed deliveries; parity with firstOccurrence") {
     val scratch = tmpDir("stream_dedup")
     val raw = EventsStreaming.readEvents(spark, dir).limit(500)
