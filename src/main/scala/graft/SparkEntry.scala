@@ -1431,6 +1431,29 @@ object SparkEntry {
         threshold = 0.5, numHashes = 64, bands = 32)
     },
 
+    // --- representative selection: transitive near-dup components on a
+    // half-corpus with engineered tail/pad chains, then keep the BEST
+    // version per component (longest text, tie min id) instead of the
+    // arbitrary min-id canonical — so every chain's padded v2 variant
+    // survives and both its shorter siblings drop. The oracle replays
+    // closure (recursive CTE) + argmax ---
+    "q_dedup_keep_best" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(2)) === 0)
+        .select(col("doc_id"), col("text"))
+      val picked = docs.filter(pmod(col("doc_id"), lit(4)) === 0)
+      val v1 = picked.select((col("doc_id") + 100000).as("doc_id"),
+        concat(col("text"), lit(" graft dup tail")).as("text"))
+      val v2 = picked.select((col("doc_id") + 200000).as("doc_id"),
+        concat(col("text"), lit(" graft dup tail plus more pad")).as("text"))
+      val corpus = docs.union(v1).union(v2)
+      val comps = Dedup.minhashDedupConnected(corpus, "doc_id", "text",
+        threshold = 0.5, numHashes = 64, bands = 32)
+      Dedup.keepBestPerComponent(corpus, comps, "doc_id",
+          length(col("text")))
+        .select(col("doc_id"))
+    },
+
     // --- first-occurrence dedup over replayed event deliveries: keep the
     // earliest row per content group (batch twin of the streaming
     // dropDuplicatesWithinWatermark path; replays are engineered 30min
@@ -3297,6 +3320,44 @@ object SparkEntry {
         |SELECT id AS doc_id, min(r) AS canonical_id,
         |  min(r) <> id AS is_duplicate
         |FROM reach GROUP BY id""".stripMargin,
+
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' graft dup tail'
+        |  FROM documents WHERE doc_id % 4 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' graft dup tail plus more pad'
+        |  FROM documents WHERE doc_id % 4 = 0
+        |), sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(range(1, len(tok) - 1),
+        |      i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS shingles
+        |  FROM (SELECT doc_id, regexp_split_to_array(lower(text), '\W+') AS tok
+        |        FROM corpus)
+        |), pairs AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+        |  WHERE CAST(len(list_intersect(a.shingles, b.shingles)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.shingles, b.shingles))) AS DOUBLE)
+        |      >= 0.5
+        |), edges AS (
+        |  SELECT id_a AS src, id_b AS dst FROM pairs
+        |  UNION ALL
+        |  SELECT id_b AS src, id_a AS dst FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM corpus
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+        |), comp AS (
+        |  SELECT id AS doc_id, min(r) AS cid FROM reach GROUP BY id
+        |), ranked AS (
+        |  SELECT c.doc_id, row_number() OVER (PARTITION BY m.cid
+        |    ORDER BY length(c.text) DESC, c.doc_id) AS rn
+        |  FROM corpus c JOIN comp m ON c.doc_id = m.doc_id
+        |)
+        |SELECT doc_id FROM ranked WHERE rn = 1""".stripMargin,
 
     "q_embedding_pairs" ->
       """WITH corpus AS (

@@ -368,6 +368,29 @@ object Dedup {
     convergeCanonicals(df.select(col(idCol)), pairs, idCol, maxIters)
   }
 
+  /** Representative selection after clustering: keep exactly ONE row per
+    * near-dup component — the one with the highest `scoreCol` (ties →
+    * smallest id), the standard curation policy of retaining the
+    * best-quality version of a duplicated document rather than an
+    * arbitrary one (min-id). `components` is any (id, canonical_id)
+    * assignment, e.g. [[convergeCanonicals]] output.
+    *
+    * Scale shape: the argmax runs on a keys-only (id, score, component)
+    * projection — one partial-aggregating max(struct) per component, no
+    * window — and the winners (≤ one row per component) come back via a
+    * left-semi join, so full document rows never ride a shuffle. Ids
+    * must be non-negative (the struct tie-break negates the id so one
+    * max covers score-desc/id-asc). */
+  def keepBestPerComponent(df: DataFrame, components: DataFrame,
+                           idCol: String, score: Column): DataFrame = {
+    val winners = df.select(col(idCol), score.as("__s"))
+      .join(components.select(col(idCol), col("canonical_id")), Seq(idCol))
+      .groupBy(col("canonical_id"))
+      .agg(max(struct(col("__s"), (-col(idCol)).as("__nid"))).as("__w"))
+      .select((-col("__w.__nid")).cast("long").as(idCol))
+    df.join(winners, Seq(idCol), "left_semi")
+  }
+
   /** Embedding near-dup dedup decision from [[embeddingPairs]] —
     * canonical = smallest paired id (single pass, same contract as
     * [[minhashDedup]]). */

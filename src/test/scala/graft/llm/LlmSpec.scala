@@ -314,6 +314,18 @@ class LlmSpec extends SparkSpec {
       false +: Seq.fill(5)(true))
   }
 
+  test("keepBestPerComponent keeps the argmax row per component, tie → min id") {
+    // components: {1,2,3} and {4,5}; scores make 2 win the first (tie
+    // between 2 and 3 at score 9 → min id 2), 5 win the second outright
+    val docs = Seq((1L, 5.0), (2L, 9.0), (3L, 9.0), (4L, 1.0), (5L, 2.0))
+      .toDF("id", "score")
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 4L))
+      .toDF("id", "canonical_id")
+    val kept = Dedup.keepBestPerComponent(docs, comps, "id", $"score")
+      .orderBy($"id").collect().map(_.getLong(0)).toSeq
+    assert(kept == Seq(2L, 5L), s"wrong survivors: $kept")
+  }
+
   test("capped collect: at-cap kept, over-cap bucket drops, pairs ride sigs") {
     import graft.functions.CollectCapped._
     val df = (1L to 10L).map(i => (i, i % 3)).toDF("id", "g")
