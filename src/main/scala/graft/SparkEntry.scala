@@ -1604,6 +1604,29 @@ object SparkEntry {
         Seq("o_orderkey", "o_custkey", "o_orderstatus"), exact = true)
     },
 
+    // --- declarative quality-constraint suite (Deequ pattern): ten
+    // checks across all four families — the six row-level ones share
+    // ONE scan/agg; unique and foreign-key run keys-only shapes. The
+    // mix is engineered so four checks FAIL (discount bounds, linestatus
+    // set, orderkey uniqueness, the filtered-part FK), pinning the
+    // verdict logic, and the rest pass with exact 1.0 metrics ---
+    "q_quality_checks" -> { (s, dir) =>
+      import graft.operators.QualityChecks._
+      run(t(s, dir, "lineitem"), Seq(
+        NotNull("l_shipdate"),
+        Bounds("l_quantity", 1, 50),
+        Bounds("l_discount", 0, 0.05, minFrac = 0.9),
+        InSet("l_returnflag", Seq("A", "N", "R")),
+        InSet("l_linestatus", Seq("O"), minFrac = 0.9),
+        Matches("l_returnflag", "^[ANR]$"),
+        Unique(Seq("l_orderkey", "l_linenumber")),
+        Unique(Seq("l_orderkey"), minFrac = 0.5),
+        ForeignKey("l_orderkey", t(s, dir, "orders"), "o_orderkey"),
+        ForeignKey("l_partkey",
+          t(s, dir, "part").filter(pmod(col("p_partkey"), lit(5)) =!= 0),
+          "p_partkey")))
+    },
+
     // --- numeric distribution profile: exact mode computes quantiles
     // by distributed order statistics (groupBy value + cumulative
     // window — no unbounded percentile buffer, plan-pinned) with the
@@ -3442,6 +3465,63 @@ object SparkEntry {
         |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
         |  count(*) AS cnt
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+
+    "q_quality_checks" ->
+      """WITH m AS (
+        |  SELECT 'not_null' AS chk, 'l_shipdate' AS target,
+        |    avg(CASE WHEN l_shipdate IS NOT NULL THEN 1.0 ELSE 0.0 END)
+        |      AS metric, 1.0 AS threshold
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'bounds', 'l_quantity',
+        |    avg(CASE WHEN l_quantity >= 1 AND l_quantity <= 50
+        |        THEN 1.0 ELSE 0.0 END), 1.0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'bounds', 'l_discount',
+        |    avg(CASE WHEN l_discount >= 0 AND l_discount <= 0.05
+        |        THEN 1.0 ELSE 0.0 END), 0.9
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_set', 'l_returnflag',
+        |    avg(CASE WHEN l_returnflag IN ('A','N','R')
+        |        THEN 1.0 ELSE 0.0 END), 1.0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'in_set', 'l_linestatus',
+        |    avg(CASE WHEN l_linestatus IN ('O') THEN 1.0 ELSE 0.0 END), 0.9
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'matches', 'l_returnflag',
+        |    avg(CASE WHEN regexp_matches(l_returnflag, '^[ANR]$')
+        |        THEN 1.0 ELSE 0.0 END), 1.0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique', 'l_orderkey,l_linenumber',
+        |    CAST(count(DISTINCT (l_orderkey, l_linenumber)) AS DOUBLE)
+        |      / count(*), 1.0
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'unique', 'l_orderkey',
+        |    CAST(count(DISTINCT l_orderkey) AS DOUBLE) / count(*), 0.5
+        |  FROM lineitem
+        |  UNION ALL
+        |  SELECT 'foreign_key', 'l_orderkey',
+        |    avg(CASE WHEN EXISTS (SELECT 1 FROM orders o
+        |                          WHERE o.o_orderkey = l.l_orderkey)
+        |        THEN 1.0 ELSE 0.0 END), 1.0
+        |  FROM lineitem l
+        |  UNION ALL
+        |  SELECT 'foreign_key', 'l_partkey',
+        |    avg(CASE WHEN EXISTS (SELECT 1 FROM part p
+        |                          WHERE p.p_partkey = l.l_partkey
+        |                            AND p.p_partkey % 5 <> 0)
+        |        THEN 1.0 ELSE 0.0 END), 1.0
+        |  FROM lineitem l
+        |)
+        |SELECT chk AS "check", target, metric, threshold,
+        |  metric >= threshold AS passed
+        |FROM m""".stripMargin,
 
     "q_profile_table" ->
       """SELECT 'o_orderkey' AS column_name, count(*) AS n_rows,
