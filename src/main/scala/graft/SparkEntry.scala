@@ -1406,6 +1406,25 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
     },
 
+    // --- EXACT token-set similarity join via prefix filtering (PPJoin):
+    // full recall without blocking columns or quadratic blocks — the
+    // oracle brute-forces every pair, so any prefix-filter recall loss
+    // breaks the row count, not just the hash. Fifth-corpus subset +
+    // 0.75: the synthetic docs share a templated vocabulary, so
+    // unigram-set similarity is dense; the subset keeps the exact
+    // brute-force oracle and the bench verify stage proportionate ---
+    "q_setsim_join" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id"), col("text"))
+      val tails = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" plus appended tail words")).as("text"))
+      Dedup.prefixJaccardJoin(docs.union(tails), "doc_id", "text",
+          threshold = 0.75)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))
+    },
+
     // --- near-dup dedup DECISION from LSH pairs (canonical assignment) ---
     "q_minhash_dedup" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
@@ -3284,6 +3303,29 @@ object SparkEntry {
         |    ON a.doc_id < b.doc_id AND a.lang = b.lang AND a.source = b.source
         |)
         |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j WHERE jac >= 0.5""".stripMargin,
+
+    "q_setsim_join" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' plus appended tail words'
+        |  FROM documents WHERE doc_id % 15 = 0
+        |), tk AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_filter(
+        |      regexp_split_to_array(lower(text), '\W+'),
+        |      x -> len(x) > 0)) AS ts
+        |  FROM corpus
+        |), j AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    CAST(len(list_intersect(a.ts, b.ts)) AS DOUBLE)
+        |      / CAST(len(list_distinct(list_concat(a.ts, b.ts))) AS DOUBLE)
+        |      AS jac
+        |  FROM tk a JOIN tk b ON a.doc_id < b.doc_id
+        |  WHERE len(a.ts) > 0 AND len(b.ts) > 0
+        |)
+        |SELECT id_a, id_b, round(jac, 6) AS jaccard FROM j
+        |WHERE jac >= 0.75""".stripMargin,
 
     "q_minhash_dedup" ->
       """WITH corpus AS (

@@ -579,6 +579,62 @@ object Dedup {
       .select(col("id").as("id_a"), col("id_b"), col("jaccard"))
   }
 
+  /** EXACT token-set Jaccard similarity join via prefix filtering (the
+    * PPJoin family, Xiao et al., WWW'08) — full recall like
+    * [[ngramJaccardPairs]] but WITHOUT quadratic blocks, and exact
+    * unlike [[minhashPairs]]' LSH recall. The filter principle: order
+    * every document's distinct tokens by global rarity (document
+    * frequency asc, hash asc); if J(x,y) >= t then, since |y| >= t·|x|,
+    * the two rarity-ordered sets must share a token inside each one's
+    * first |x| - ceil(t·|x|) + 1 tokens — so only documents sharing a
+    * RARE prefix token ever meet, and stop-word-like tokens (the ones
+    * that would explode a naive token-inverted-index join) are pushed
+    * to the suffix where they are never join keys.
+    *
+    * Scale shape: one (token-hash)-keyed agg for document frequencies,
+    * one per-doc sort of ~|doc| tokens (groupBy collect, no window), a
+    * prefix-token equi-join whose buckets are small BY CONSTRUCTION
+    * (prefix tokens are the rarest), candidate-pair dedup on (id,id)
+    * keys only, then one linear-merge [[jaccard_sorted]] verify per
+    * candidate. The ceil() in the prefix length is biased by -1e-9 so
+    * float error can only LENGTHEN a prefix (extra candidates), never
+    * shorten it (lost recall); the size-compatibility prune is relaxed
+    * the same direction. */
+  def prefixJaccardJoin(df: DataFrame, idCol: String, textCol: String,
+                        threshold: Double = 0.5): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"jaccard threshold must be in (0,1], got $threshold")
+    // strict=true: unigrams must not hash empty split artifacts (a
+    // leading/trailing separator would otherwise mint a phantom token)
+    val toks = df.select(col(idCol).as("id"),
+        shingleHashes(col(textCol), 1, strict = true).as("hs"))
+      .withColumn("sz", size(col("hs")))
+      .filter(col("sz") > 0)
+    val dfreq = toks.select(col("id"), explode(col("hs")).as("h"))
+      .groupBy(col("h")).agg(count(lit(1)).as("dfreq"))
+    val ordered = toks.select(col("id"), col("sz"), explode(col("hs")).as("h"))
+      .join(dfreq, Seq("h"))
+      .groupBy(col("id"), col("sz"))
+      .agg(sort_array(collect_list(struct(col("dfreq"), col("h")))).as("ord"))
+    val pfxLen =
+      (col("sz") - ceil(col("sz") * lit(threshold) - lit(1e-9)) + 1).cast("int")
+    val prefix = ordered.select(col("id"), col("sz"),
+      explode(slice(transform(col("ord"), s => s("h")), lit(1), pfxLen)).as("h"))
+    val cand = prefix
+      .join(prefix.select(col("h"), col("id").as("id_b"), col("sz").as("sz_b")),
+        Seq("h"))
+      .filter(col("id") < col("id_b") &&
+        col("sz_b") >= col("sz") * lit(threshold) - lit(1e-9) &&
+        col("sz") >= col("sz_b") * lit(threshold) - lit(1e-9))
+      .select(col("id").as("id_a"), col("id_b")).distinct()
+    cand
+      .join(toks.select(col("id").as("id_a"), col("hs").as("_ha")), Seq("id_a"))
+      .join(toks.select(col("id").as("id_b"), col("hs").as("_hb")), Seq("id_b"))
+      .withColumn("jaccard", jaccard_sorted(col("_ha"), col("_hb")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), col("jaccard"))
+  }
+
   /** Embedding near-dup via signed-random-projection buckets + exact
     * cosine verify within buckets. Returns pairs (id_a, id_b, cosine)
     * with cosine >= threshold. The vectors do ride the bucket shuffle —

@@ -314,6 +314,40 @@ class LlmSpec extends SparkSpec {
       false +: Seq.fill(5)(true))
   }
 
+  test("prefixJaccardJoin equals brute force (full recall, exact scores)") {
+    // adversarial mix: shared stop-word-like tokens everywhere (they
+    // must land in suffixes, not join keys), a high-sim pair, a pair
+    // exactly AT the threshold, pairs just below, and size-skewed docs
+    val docs = Seq(
+      (1L, "the of and alpha beta gamma delta"),
+      (2L, "the of and alpha beta gamma epsilon"),     // J(1,2)=6/8=0.75
+      (3L, "the of and zeta eta theta iota"),
+      (4L, "the of and zeta eta theta iota"),          // J(3,4)=1.0
+      (5L, "the of and kappa"),                        // small doc
+      (6L, "the of and kappa lambda mu nu xi"),        // J(5,6)=4/8=0.5 → at t
+      (7L, "completely different words here entirely"),
+      (8L, "the of and")                               // only stop words
+    ).toDF("id", "text")
+
+    val got = Dedup.prefixJaccardJoin(docs, "id", "text", threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    // brute force over hashed unigram sets (same token definition)
+    import graft.functions.SketchExprs.{shingleHashes, jaccard_sorted}
+    val tk = docs.select($"id", shingleHashes($"text", 1, strict = true).as("hs"))
+    val brute = tk.alias("a")
+      .crossJoin(tk.select($"id".as("id_b"), $"hs".as("hs_b")))
+      .filter($"id" < $"id_b")
+      .select($"id", $"id_b", jaccard_sorted($"hs", $"hs_b").as("j"))
+      .filter($"j" >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+
+    assert(got == brute, s"prefix join diverged:\n got=$got\n exp=$brute")
+    assert(got.contains((5L, 6L, 0.5)), "threshold-boundary pair lost")
+    assert(brute.exists { case (a, b, _) => a == 3L && b == 4L })
+  }
+
   test("keepBestPerComponent keeps the argmax row per component, tie → min id") {
     // components: {1,2,3} and {4,5}; scores make 2 win the first (tie
     // between 2 and 3 at score 9 → min id 2), 5 win the second outright
