@@ -40,6 +40,9 @@ object Main {
                            id: String, k: Int, asc: Boolean,
                            sourceOptions: Map[String, String],
                            logLevel: String) extends Cmd
+  final case class CheckCmd(source: String, rulesFile: String,
+                            sourceOptions: Map[String, String],
+                            logLevel: String) extends Cmd
   case object GenDefault extends Cmd
   case object Help extends Cmd
   case object Version extends Cmd
@@ -60,6 +63,8 @@ object Main {
       |                               [--source-type TYPE]
       |       graft topk <SOURCE> --group g1,g2 --key COL --id COL
       |                               [-k N] [--asc] [--source-type TYPE]
+      |       graft check <SOURCE> --rules rules.yaml [--source-type TYPE]
+      |                               (exit 1 if any check fails — CI gate)
       |
       |Options:
       |  --transform <EXPRESSIONS>   Inline transforms, e.g. "c=row.a * 2; u=string.upper(row.b)"
@@ -97,6 +102,7 @@ object Main {
             }
           case p: Profile    => runProfile(p)
           case tk: TopKCmd   => runTopK(tk)
+          case c: CheckCmd   => runCheck(c)
           case Transfer(c, p, d, ll) => runTransfer(c, p, d, ll)
         }
       } catch {
@@ -189,6 +195,30 @@ object Main {
           "profile needs a SOURCE")),
         columns, exact, srcType.map("sourceType" -> _).toMap, plogLevel,
         numeric, hist, bins, range)
+    case "check" :: rest =>
+      var source: Option[String] = None
+      var rules: Option[String] = None
+      var srcType: Option[String] = None
+      var clogLevel = "error"
+      @annotation.tailrec
+      def cloop(r: List[String]): Unit = r match {
+        case Nil => ()
+        case "--rules" :: v :: t => rules = Some(v); cloop(t)
+        case "--source-type" :: v :: t => srcType = Some(v); cloop(t)
+        case "--log-level" :: v :: t =>
+          clogLevel = YamlJob.checkLogLevel(v); cloop(t)
+        case flag :: _ if flag.startsWith("--") =>
+          throw GraftError.Configuration(
+            s"unknown or incomplete check option '$flag'")
+        case v :: t if source.isEmpty => source = Some(v); cloop(t)
+        case v :: _ =>
+          throw GraftError.Configuration(s"unexpected argument '$v'")
+      }
+      cloop(rest)
+      CheckCmd(
+        source.getOrElse(throw GraftError.Configuration("check needs a SOURCE")),
+        rules.getOrElse(throw GraftError.Configuration("check needs --rules FILE")),
+        srcType.map("sourceType" -> _).toMap, clogLevel)
     case "topk" :: rest =>
       var source: Option[String] = None
       var groups = Seq.empty[String]
@@ -625,6 +655,31 @@ object Main {
       println(graft.engine.PreviewFormat.dataTable(prof.columns.toSeq,
         prof.collect()))
       0
+    } finally if (!preExisting) spark.stop()
+  }
+
+  /** `graft check SOURCE --rules rules.yaml`: the data-quality CI gate —
+    * run the YAML-declared [[graft.operators.QualityChecks]] suite over
+    * any readable source, print the verdict table, exit 1 if any check
+    * failed (so a pipeline can gate a publish step on it). Foreign-key
+    * `ref:` URIs resolve through the same connector factory as the
+    * source. */
+  def runCheck(c: CheckCmd): Int = {
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = session(c.logLevel)
+    try {
+      val df = graft.sources.Connectors.read(spark, c.source, c.sourceOptions)
+      val yaml = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(c.rulesFile)), "UTF-8")
+      val checks = graft.operators.QualityChecks.fromYaml(yaml,
+        ref => graft.sources.Connectors.read(spark, ref, Map.empty))
+      val out = graft.operators.QualityChecks.run(df, checks)
+      val rows = out.collect()
+      println(s"\nQuality checks: ${c.source} (${checks.size} checks)")
+      println(graft.engine.PreviewFormat.dataTable(out.columns.toSeq, rows))
+      val failed = rows.count(r => !r.getBoolean(r.fieldIndex("passed")))
+      if (failed == 0) { println("All checks passed"); 0 }
+      else { println(s"$failed check(s) FAILED"); 1 }
     } finally if (!preExisting) spark.stop()
   }
 

@@ -122,4 +122,93 @@ object QualityChecks {
       .withColumn("passed", col("metric") >= col("threshold"))
       .orderBy(col("check"), col("target"))
   }
+
+  /** Parse a YAML rules document into checks — the CLI/CI surface
+    * (`graft check SOURCE --rules rules.yaml`). Shape:
+    *
+    * {{{
+    * checks:
+    *   - type: not_null
+    *     column: l_shipdate
+    *     min_frac: 0.99        # optional, default 1.0
+    *   - type: bounds
+    *     column: l_quantity
+    *     min: 1
+    *     max: 50
+    *   - type: in_set
+    *     column: l_returnflag
+    *     values: [A, N, R]
+    *   - type: matches
+    *     column: l_comment
+    *     regex: "^[ -~]*$"
+    *   - type: unique
+    *     columns: [l_orderkey, l_linenumber]
+    *   - type: foreign_key
+    *     column: l_orderkey
+    *     ref: /data/orders.parquet     # any readable source URI
+    *     ref_column: o_orderkey
+    * }}}
+    *
+    * `resolveRef` turns a foreign-key `ref` URI into a frame (the CLI
+    * passes the connector factory). Malformed rules raise
+    * [[graft.core.GraftError.Configuration]] with the failing entry's
+    * index — fail at load, not mid-job. */
+  def fromYaml(yaml: String,
+               resolveRef: String => DataFrame): Seq[Check] = {
+    import scala.jdk.CollectionConverters._
+    def bad(msg: String) = throw graft.core.GraftError.Configuration(msg)
+    val root =
+      try new org.yaml.snakeyaml.Yaml()
+        .load[java.util.Map[String, Object]](yaml)
+      catch { case e: Exception => bad(s"rules YAML does not parse: ${e.getMessage}") }
+    if (root == null || !root.containsKey("checks"))
+      bad("rules YAML needs a top-level 'checks:' list")
+    val entries = root.get("checks") match {
+      case l: java.util.List[_] => l.asScala.toSeq
+      case _ => bad("'checks:' must be a list")
+    }
+    if (entries.isEmpty) bad("'checks:' list is empty")
+    entries.zipWithIndex.map {
+      case (m: java.util.Map[_, _], i) =>
+        val e = m.asInstanceOf[java.util.Map[String, Object]].asScala
+        def str(k: String): String = e.get(k) match {
+          case Some(s: String) if s.nonEmpty => s
+          case _ => bad(s"check #${i + 1}: needs a '$k' string")
+        }
+        def num(k: String): Double = e.get(k) match {
+          case Some(n: Number) => n.doubleValue()
+          case _ => bad(s"check #${i + 1}: needs a numeric '$k'")
+        }
+        val minFrac = e.get("min_frac") match {
+          case Some(n: Number) =>
+            val f = n.doubleValue()
+            if (f < 0 || f > 1)
+              bad(s"check #${i + 1}: min_frac must be in [0,1], got $f")
+            f
+          case Some(_) => bad(s"check #${i + 1}: min_frac must be a number")
+          case None => 1.0
+        }
+        str("type") match {
+          case "not_null" => NotNull(str("column"), minFrac)
+          case "bounds" => Bounds(str("column"), num("min"), num("max"), minFrac)
+          case "in_set" => e.get("values") match {
+            case Some(l: java.util.List[_]) if !l.isEmpty =>
+              InSet(str("column"), l.asScala.map(String.valueOf).toSeq, minFrac)
+            case _ => bad(s"check #${i + 1}: in_set needs a 'values' list")
+          }
+          case "matches" => Matches(str("column"), str("regex"), minFrac)
+          case "unique" => e.get("columns") match {
+            case Some(l: java.util.List[_]) if !l.isEmpty =>
+              Unique(l.asScala.map(String.valueOf).toSeq, minFrac)
+            case _ => bad(s"check #${i + 1}: unique needs a 'columns' list")
+          }
+          case "foreign_key" =>
+            ForeignKey(str("column"), resolveRef(str("ref")),
+              str("ref_column"), minFrac)
+          case t => bad(s"check #${i + 1}: unknown check type '$t' " +
+            "(not_null|bounds|in_set|matches|unique|foreign_key)")
+        }
+      case (_, i) => bad(s"check #${i + 1}: must be a mapping")
+    }
+  }
 }

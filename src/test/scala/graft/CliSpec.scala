@@ -856,6 +856,61 @@ class CliSpec extends SparkSpec {
       name.getLong(3) == 1L && name.getString(4) == "ann")
   }
 
+  test("check subcommand: YAML rules run, CI exit code, typed errors") {
+    val c = parse(List("check", "d.parquet", "--rules", "r.yaml",
+      "--source-type", "parquet")).asInstanceOf[CheckCmd]
+    assert(c.source == "d.parquet" && c.rulesFile == "r.yaml")
+    assert(c.sourceOptions("sourceType") == "parquet")
+    intercept[GraftError.Configuration](parse(List("check")))
+    intercept[GraftError.Configuration](parse(List("check", "a.csv")))
+    intercept[GraftError.Configuration](
+      parse(List("check", "a.csv", "--rules", "r.yaml", "--bogus")))
+
+    // end-to-end: one passing + one failing rule → exit 1, both printed
+    val dir = tmpDir("cli_check")
+    writeText(s"$dir/in.csv", "id,v\n1,5\n2,\n3,9\n")
+    writeText(s"$dir/rules.yaml",
+      """checks:
+        |  - type: not_null
+        |    column: id
+        |  - type: not_null
+        |    column: v
+        |""".stripMargin)
+    val out = new java.io.ByteArrayOutputStream()
+    val rc = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      runCheck(parse(List("check", s"$dir/in.csv",
+        "--rules", s"$dir/rules.yaml")).asInstanceOf[CheckCmd])
+    }
+    assert(rc == 1, "a failing check must flip the exit code")
+    val rendered = out.toString("UTF-8")
+    assert(rendered.contains("1 check(s) FAILED"))
+    assert(rendered.contains("not_null"))
+
+    // all-green run exits 0
+    writeText(s"$dir/ok.yaml",
+      """checks:
+        |  - type: not_null
+        |    column: id
+        |  - type: unique
+        |    columns: [id]
+        |""".stripMargin)
+    val rc2 = Console.withOut(new java.io.PrintStream(
+      new java.io.ByteArrayOutputStream(), true, "UTF-8")) {
+      runCheck(parse(List("check", s"$dir/in.csv",
+        "--rules", s"$dir/ok.yaml")).asInstanceOf[CheckCmd])
+    }
+    assert(rc2 == 0)
+
+    // malformed rules fail at load with the entry index
+    writeText(s"$dir/bad.yaml", "checks:\n  - type: bogus\n    column: id\n")
+    val err = intercept[GraftError.Configuration] {
+      runCheck(parse(List("check", s"$dir/in.csv",
+        "--rules", s"$dir/bad.yaml")).asInstanceOf[CheckCmd])
+    }
+    assert(err.getMessage.contains("check #1") &&
+      err.getMessage.contains("bogus"))
+  }
+
   test("topk subcommand: parse forms, box output, typed errors") {
     val tk = parse(List("topk", "d.parquet", "--group", "lang,source",
       "--key", "n", "--id", "doc_id", "-k", "3", "--asc"))
