@@ -1085,6 +1085,23 @@ object SparkEntry {
       EventsStreaming.propsStats(EventsStreaming.readEvents(s, dir))
     },
 
+    // --- JSON payload flattening: bounded sampled inference → ONE
+    // codegen'd from_json projection lifts every (nested) key into a
+    // typed column; the payload is built from event fields so the
+    // oracle replays the whole round trip from the base columns ---
+    "q_json_flatten" -> { (s, dir) =>
+      val ev = EventsStreaming.readEvents(s, dir)
+      val payload = ev.select(col("event_id"),
+        to_json(struct(
+          col("event_type").as("type"),
+          struct(col("user_id").as("uid"),
+            pmod(col("user_id"), lit(5)).as("segment")).as("user"),
+          col("value").as("amount"),
+          get_json_object(col("props"), "$.k").cast("long").as("k")))
+          .as("payload"))
+      graft.operators.JsonFlatten.flatten(payload, "payload")
+    },
+
     // --- events: click→purchase attribution pairs — the stream-stream
     // interval-join shape (equi-join on user + bounded time range);
     // batch body here, streaming self-join parity in StreamingSpec ---
@@ -2897,6 +2914,12 @@ object SparkEntry {
         |  lead(ts) OVER w IS NULL AS is_current
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)""".stripMargin,
+
+    "q_json_flatten" ->
+      """SELECT event_id, event_type AS "type", user_id AS user_uid,
+        |  user_id % 5 AS user_segment, value AS amount,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events""".stripMargin,
 
     "q_attribution" ->
       """SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
