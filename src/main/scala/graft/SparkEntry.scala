@@ -1273,6 +1273,34 @@ object SparkEntry {
           grouping_id().cast("int").as("gid"))
     },
 
+    // --- CUBE over a dimension reached through two broadcast joins
+    // (nation via supplier): all four grouping sets in one Expand pass,
+    // fact table shuffled once on the grouping keys ---
+    "q_cube" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      t(s, dir, "lineitem")
+        .select(col("l_suppkey"), col("l_returnflag"), col("l_quantity"))
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(t(s, dir, "nation")
+          .select(col("n_nationkey"), col("n_name"))),
+          col("s_nationkey") === col("n_nationkey"))
+        .cube(col("n_name"), col("l_returnflag"))
+        .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("int").as("gid"))
+    },
+
+    // --- exact one-pass Pearson correlation matrix: DECIMAL(38,8)
+    // moment sums (order-independent) → double formula both engines
+    // replay bit-identically; k(k+1)/2+k aggregates share ONE scan ---
+    "q_correlations" -> { (s, dir) =>
+      graft.operators.Correlations.matrix(t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount"))
+        .select(col("col_a"), col("col_b"), round(col("corr"), 6).as("corr"))
+    },
+
     // --- per-user hourly resample with forward fill: regularize the
     // irregular events stream onto a fixed 1h grid, carrying the last
     // bucket average across gap hours. The oracle replays bucket agg →
@@ -3108,6 +3136,51 @@ object SparkEntry {
         |  CAST(grouping(l_returnflag, l_linestatus) AS INTEGER) AS gid
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_cube" ->
+      """SELECT n_name, l_returnflag,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n,
+        |  CAST(grouping(n_name, l_returnflag) AS INTEGER) AS gid
+        |FROM lineitem
+        |JOIN supplier ON s_suppkey = l_suppkey
+        |JOIN nation ON n_nationkey = s_nationkey
+        |GROUP BY CUBE (n_name, l_returnflag)""".stripMargin,
+
+    "q_correlations" ->
+      """WITH m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s_q,
+        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS ss_q,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS s_p,
+        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS ss_p,
+        |    CAST(sum(CAST(l_discount AS DECIMAL(38,8))) AS DOUBLE) AS s_d,
+        |    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS ss_d,
+        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS sp_qp,
+        |    CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS sp_qd,
+        |    CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,8)))
+        |      AS DOUBLE) AS sp_pd
+        |  FROM lineitem
+        |)
+        |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+        |  round((n * sp_qp - s_q * s_p)
+        |    / (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_p - s_p * s_p)), 6)
+        |  AS corr FROM m
+        |UNION ALL
+        |SELECT 'l_quantity', 'l_discount',
+        |  round((n * sp_qd - s_q * s_d)
+        |    / (sqrt(n * ss_q - s_q * s_q) * sqrt(n * ss_d - s_d * s_d)), 6)
+        |  FROM m
+        |UNION ALL
+        |SELECT 'l_extendedprice', 'l_discount',
+        |  round((n * sp_pd - s_p * s_d)
+        |    / (sqrt(n * ss_p - s_p * s_p) * sqrt(n * ss_d - s_d * s_d)), 6)
+        |  FROM m""".stripMargin,
 
     "q_resample" ->
       """WITH per AS (

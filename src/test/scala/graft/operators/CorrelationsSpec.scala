@@ -1,0 +1,56 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class CorrelationsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def toMap(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => ((r.getString(0), r.getString(1)),
+      if (r.isNullAt(2)) None else Some(r.getDouble(2)))).toMap
+
+  test("hand-computed correlations: perfect, zero, and constant column") {
+    val df = Seq(
+      (1.0, 2.0, 1.0, 5.0),
+      (2.0, 4.0, 0.0, 5.0),
+      (3.0, 6.0, 1.0, 5.0)
+    ).toDF("x", "y", "z", "c")
+    val m = toMap(Correlations.matrix(df, Seq("x", "y", "z", "c")))
+    assert(math.abs(m(("x", "y")).get - 1.0) < 1e-12, "y = 2x → corr 1")
+    assert(math.abs(m(("x", "z")).get) < 1e-12, "engineered zero covariance")
+    assert(m(("x", "c")).isEmpty && m(("y", "c")).isEmpty &&
+      m(("z", "c")).isEmpty, "constant column → NULL, not NaN")
+    assert(m.size == 6, "4 columns → 6 pairs")
+  }
+
+  test("complete-case semantics: a null in any column drops the row") {
+    val df = Seq(
+      (Some(1.0), Some(2.0)), (Some(2.0), Some(4.0)),
+      (Some(3.0), None), (None, Some(8.0)), (Some(4.0), Some(8.0))
+    ).toDF("x", "y")
+    val m = toMap(Correlations.matrix(df, Seq("x", "y")))
+    // surviving rows (1,2),(2,4),(4,8) are exactly proportional
+    assert(math.abs(m(("x", "y")).get - 1.0) < 1e-12)
+  }
+
+  test("anti-symmetry of pair order is fixed (i < j), misuse is loud") {
+    intercept[IllegalArgumentException](
+      Correlations.matrix(Seq((1.0, 2.0)).toDF("a", "b"), Seq("a")))
+    intercept[IllegalArgumentException](
+      Correlations.matrix(Seq((1.0, 2.0)).toDF("a", "b"), Seq("a", "a")))
+  }
+
+  test("all moments ride ONE aggregation over one scan") {
+    val df = Seq((1.0, 2.0, 3.0), (4.0, 5.0, 6.0)).toDF("a", "b", "c")
+    val plan = Correlations.matrix(df, Seq("a", "b", "c"))
+      .queryExecution.optimizedPlan
+    val aggs = plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.size == 1, s"expected one Aggregate, saw ${aggs.size}")
+    val scans = plan.collect {
+      case l: org.apache.spark.sql.catalyst.plans.logical.LocalRelation => l
+    }
+    assert(scans.size == 1, s"expected one scan, saw ${scans.size}")
+  }
+}
