@@ -1782,6 +1782,113 @@ object SparkEntry {
       EventsStreaming.thresholdCrossings(EventsStreaming.readEvents(s, dir), 500.0)
         .select(col("user_id"), col("crossed_at"),
           round(col("running_total"), 4).as("running_total"))
+    },
+
+    // --- per-node triangle counts over a derived order graph
+    // (custkey/orderkey folded onto one 2000-node domain so odd
+    // cycles exist). Degree-oriented wedge counting — each triangle
+    // generated by exactly one wedge at its min-(deg,id) vertex; the
+    // oracle replays the id-ordered a<b<c three-way join, which
+    // counts the same set. ---
+    "q_triangles" -> { (s, dir) =>
+      val edges = t(s, dir, "orders").select(
+        pmod(col("o_custkey"), lit(500)).as("x"),
+        pmod(col("o_orderkey"), lit(500)).as("y"))
+      graft.operators.Triangles.perNodeCounts(edges, "x", "y")
+    },
+
+    // --- interval coalescing (gaps-and-islands) per supplier:
+    // shipping windows of (l_quantity - 45) days on the >45-quantity
+    // lineitems merge where they overlap or touch; one window
+    // exchange, no self-join. The oracle replays the running-max
+    // island derivation. ---
+    "q_interval_merge" -> { (s, dir) =>
+      val iv = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_suppkey"),
+          to_date(col("l_shipdate")).as("w_start"),
+          date_add(to_date(col("l_shipdate")),
+            (col("l_quantity") - 45).cast("int")).as("w_end"))
+      graft.operators.Intervals.coalesceIntervals(
+          iv, Seq("l_suppkey"), "w_start", "w_end")
+        // dates → timestamps only for the gate: the oracle's DATE
+        // arrives via pandas as midnight datetimes
+        .select(col("l_suppkey"),
+          col("span_start").cast("timestamp").as("span_start"),
+          col("span_end").cast("timestamp").as("span_end"),
+          col("merged_n"))
+    },
+
+    // --- longest-prefix-match enrichment (CIDR/routing-table shape)
+    // over a 16-bit key space: three prefix generations (len 4/8/12)
+    // derived from nation, facts never shuffle (descending-length
+    // broadcast join chain + coalesce). Some top nibbles are
+    // deliberately uncovered so the no-match path is exercised. ---
+    "q_lpm_enrich" -> { (s, dir) =>
+      val facts = EventsStreaming.readEvents(s, dir)
+        .select(col("event_id"),
+          pmod(col("user_id") * lit(2654435761L), lit(65536)).as("ip"))
+      val n = t(s, dir, "nation")
+      val dim =
+        n.filter(col("n_nationkey") < 10)
+          .select(lit(4).as("len"),
+            col("n_nationkey").cast("long").as("prefix"),
+            col("n_name").as("geo"))
+          .union(n.filter(col("n_nationkey") >= 5)
+            .select(lit(8).as("len"),
+              (col("n_nationkey") * 9 + 3).cast("long").as("prefix"),
+              col("n_name").as("geo")))
+          .union(n.filter(pmod(col("n_nationkey"), lit(3)) === 0)
+            .select(lit(12).as("len"),
+              (col("n_nationkey") * 163).cast("long").as("prefix"),
+              col("n_name").as("geo")))
+      graft.operators.PrefixJoin.lpmJoin(
+          facts, dim, "ip", "len", "prefix", Seq("geo"), keyBits = 16)
+        .select(col("event_id"), col("ip"),
+          coalesce(col("matched_len"), lit(0)).cast("long").as("matched_len"),
+          coalesce(col("geo"), lit("none")).as("geo"))
+    },
+
+    // --- exponentially time-decayed engagement score per user (fixed
+    // as-of instant, 3-day half-life): one map-side-combinable
+    // aggregation; the oracle replays the pow(2, -age/halflife)
+    // weighting in double seconds. ---
+    "q_decayed_score" -> { (s, dir) =>
+      graft.operators.Decay.decayedScore(
+          EventsStreaming.readEvents(s, dir)
+            .select(col("user_id"), col("ts"), col("value")),
+          Seq("user_id"), "ts", "value",
+          asOf = "2024-02-01 00:00:00", halfLifeSecs = 259200.0)
+        .select(col("user_id"),
+          round(col("decayed_score"), 4).as("decayed_score"),
+          round(col("raw_sum"), 4).as("raw_sum"), col("n_events"))
+    },
+
+    // --- golden-record survivorship: three derived customer sources
+    // with distinct priorities and engineered per-field null patterns;
+    // every field survives from the highest-priority source that has
+    // it, in ONE hash aggregation (no per-field joins). The oracle
+    // replays the union + per-field arg_max. ---
+    "q_golden_record" -> { (s, dir) =>
+      val c = t(s, dir, "customer")
+      val srcA = c.filter(pmod(col("c_custkey"), lit(3)) === 0)
+        .select(col("c_custkey"), lit(3L).as("priority"),
+          upper(col("c_name")).as("name"),
+          when(pmod(col("c_custkey"), lit(6)) === 0, lit(null))
+            .otherwise(concat(lit("+1-"), col("c_custkey"))).as("phone"),
+          round(col("c_acctbal") + 10, 2).as("acctbal"))
+      val srcB = c.select(col("c_custkey"), lit(2L).as("priority"),
+        col("c_name").as("name"),
+        concat(lit("+0-"), col("c_custkey")).as("phone"),
+        when(pmod(col("c_custkey"), lit(2)) === 0, lit(null))
+          .otherwise(round(col("c_acctbal"), 2)).as("acctbal"))
+      val srcC = c.filter(pmod(col("c_custkey"), lit(2)) === 0)
+        .select(col("c_custkey"), lit(1L).as("priority"),
+          lit(null).cast("string").as("name"),
+          lit("unknown").as("phone"),
+          lit(0.0).as("acctbal"))
+      graft.operators.Survivorship.goldenRecords(
+        srcA.union(srcB).union(srcC),
+        Seq("c_custkey"), "priority", Seq("name", "phone", "acctbal"))
     }
   )
 
@@ -3833,6 +3940,110 @@ object SparkEntry {
         |)
         |SELECT user_id, min(ts) AS session_start, count(*) AS n_events,
         |  min(ts) AS first_ts, max(ts) AS last_ts
-        |FROM g GROUP BY user_id, sid""".stripMargin
+        |FROM g GROUP BY user_id, sid""".stripMargin,
+
+    "q_triangles" ->
+      """WITH raw AS (
+        |  SELECT least(o_custkey % 500, o_orderkey % 500) AS a,
+        |         greatest(o_custkey % 500, o_orderkey % 500) AS b
+        |  FROM orders
+        |  WHERE o_custkey % 500 <> o_orderkey % 500
+        |), e AS (
+        |  SELECT DISTINCT a, b FROM raw
+        |), tri AS (
+        |  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+        |  FROM e e1
+        |  JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+        |  JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        |), nodes AS (
+        |  SELECT x AS id FROM tri
+        |  UNION ALL SELECT y FROM tri
+        |  UNION ALL SELECT z FROM tri
+        |)
+        |SELECT id, count(*) AS triangles FROM nodes GROUP BY id""".stripMargin,
+
+    "q_interval_merge" ->
+      """WITH base AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
+        |    CAST(l_shipdate AS DATE) + CAST(l_quantity - 45 AS INT) AS e
+        |  FROM lineitem WHERE l_quantity > 45
+        |), f AS (
+        |  SELECT l_suppkey, s, e,
+        |    max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pm
+        |  FROM base
+        |), i AS (
+        |  SELECT l_suppkey, s, e,
+        |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM f
+        |)
+        |SELECT l_suppkey, min(s) AS span_start, max(e) AS span_end,
+        |  count(*) AS merged_n
+        |FROM i GROUP BY l_suppkey, island""".stripMargin,
+
+    "q_lpm_enrich" ->
+      """WITH facts AS (
+        |  SELECT event_id, (user_id * 2654435761) % 65536 AS ip FROM events
+        |), dim AS (
+        |  SELECT 4 AS len, CAST(n_nationkey AS BIGINT) AS prefix,
+        |         n_name AS geo
+        |  FROM nation WHERE n_nationkey < 10
+        |  UNION ALL
+        |  SELECT 8, CAST(n_nationkey * 9 + 3 AS BIGINT), n_name
+        |  FROM nation WHERE n_nationkey >= 5
+        |  UNION ALL
+        |  SELECT 12, CAST(n_nationkey * 163 AS BIGINT), n_name
+        |  FROM nation WHERE n_nationkey % 3 = 0
+        |), m AS (
+        |  SELECT f.event_id, f.ip, d.len, d.geo
+        |  FROM facts f
+        |  LEFT JOIN dim d ON (f.ip >> (16 - d.len)) = d.prefix
+        |)
+        |SELECT event_id, ip,
+        |  coalesce(max(len), 0) AS matched_len,
+        |  coalesce(arg_max(geo, len), 'none') AS geo
+        |FROM m GROUP BY event_id, ip""".stripMargin,
+
+    "q_decayed_score" ->
+      """SELECT user_id,
+        |  round(sum(value * pow(2.0,
+        |    -(epoch(TIMESTAMP '2024-02-01 00:00:00') - epoch(ts))
+        |      / 259200.0)), 4) AS decayed_score,
+        |  round(sum(value), 4) AS raw_sum,
+        |  count(*) AS n_events
+        |FROM events
+        |WHERE ts IS NOT NULL AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+        |GROUP BY user_id""".stripMargin,
+
+    "q_golden_record" ->
+      """WITH u AS (
+        |  SELECT c_custkey, CAST(3 AS BIGINT) AS priority,
+        |    upper(c_name) AS name,
+        |    CASE WHEN c_custkey % 6 = 0 THEN NULL
+        |         ELSE '+1-' || c_custkey END AS phone,
+        |    round(c_acctbal + 10, 2) AS acctbal
+        |  FROM customer WHERE c_custkey % 3 = 0
+        |  UNION ALL
+        |  SELECT c_custkey, 2, c_name, '+0-' || c_custkey,
+        |    CASE WHEN c_custkey % 2 = 0 THEN NULL
+        |         ELSE round(c_acctbal, 2) END
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT c_custkey, 1, NULL, 'unknown', 0.0
+        |  FROM customer WHERE c_custkey % 2 = 0
+        |)
+        |SELECT c_custkey,
+        |  arg_max(name, CASE WHEN name IS NOT NULL THEN priority END)
+        |    AS name,
+        |  arg_max(phone, CASE WHEN phone IS NOT NULL THEN priority END)
+        |    AS phone,
+        |  arg_max(acctbal, CASE WHEN acctbal IS NOT NULL THEN priority END)
+        |    AS acctbal,
+        |  max(priority) AS best_priority,
+        |  count(*) AS n_sources
+        |FROM u GROUP BY c_custkey""".stripMargin
   )
 }
