@@ -163,8 +163,16 @@ object Bench {
     // "value" stays the warm-median sum (bench_version 2 tags the
     // metric so earlier single-shot rounds aren't compared like-for-like).
     val tail = s""""metric":"total","unit":"sec","bench_version":2,"iters":$iters,"value":${r4(total)},"total_cold":${r4(totalCold)},"failed":$fs,"sf":"$sfDir""""
-    println(s"""{"queries":$qs,"cold":$cs,$tail}""")
+    val full = s"""{"queries":$qs,"cold":$cs,$tail}"""
+    println(full)
     println(s"""{$tail}""")
+    // local-iteration convenience: the full line also lands in
+    // target/bench_last.json so a truncated terminal capture never
+    // loses the per-query scoreboard
+    try java.nio.file.Files.write(
+      java.nio.file.Paths.get("target/bench_last.json"),
+      (full + "\n").getBytes("UTF-8"))
+    catch { case _: java.io.IOException => () }
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

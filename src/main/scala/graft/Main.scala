@@ -43,6 +43,11 @@ object Main {
   final case class CheckCmd(source: String, rulesFile: String,
                             sourceOptions: Map[String, String],
                             logLevel: String) extends Cmd
+  final case class CompactCmd(source: String, target: String,
+                              targetFileMb: Int, clusterBy: Seq[String],
+                              rebalance: Boolean,
+                              sourceOptions: Map[String, String],
+                              logLevel: String) extends Cmd
   case object GenDefault extends Cmd
   case object Help extends Cmd
   case object Version extends Cmd
@@ -65,6 +70,11 @@ object Main {
       |                               [-k N] [--asc] [--source-type TYPE]
       |       graft check <SOURCE> --rules rules.yaml [--source-type TYPE]
       |                               (exit 1 if any check fails — CI gate)
+      |       graft compact <SOURCE> <TARGET> [--target-file-mb N]
+      |                               [--cluster-by a,b] [--rebalance]
+      |                               [--source-type TYPE]
+      |                               (small-file rewrite; cluster-by adds
+      |                               a range+sort layout pass for skipping)
       |
       |Options:
       |  --transform <EXPRESSIONS>   Inline transforms, e.g. "c=row.a * 2; u=string.upper(row.b)"
@@ -103,6 +113,7 @@ object Main {
           case p: Profile    => runProfile(p)
           case tk: TopKCmd   => runTopK(tk)
           case c: CheckCmd   => runCheck(c)
+          case c: CompactCmd => runCompact(c)
           case Transfer(c, p, d, ll) => runTransfer(c, p, d, ll)
         }
       } catch {
@@ -219,6 +230,44 @@ object Main {
         source.getOrElse(throw GraftError.Configuration("check needs a SOURCE")),
         rules.getOrElse(throw GraftError.Configuration("check needs --rules FILE")),
         srcType.map("sourceType" -> _).toMap, clogLevel)
+    case "compact" :: rest =>
+      var pos = List.empty[String]
+      var targetMb = 128
+      var clusterBy = Seq.empty[String]
+      var rebalance = false
+      var srcType: Option[String] = None
+      var klogLevel = "error"
+      @annotation.tailrec
+      def kloop(r: List[String]): Unit = r match {
+        case Nil => ()
+        case "--target-file-mb" :: v :: t =>
+          targetMb = v.toIntOption.filter(_ > 0).getOrElse(
+            throw GraftError.Configuration(
+              s"--target-file-mb needs a positive integer, got '$v'"))
+          kloop(t)
+        case "--cluster-by" :: v :: t =>
+          clusterBy = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          kloop(t)
+        case "--rebalance" :: t => rebalance = true; kloop(t)
+        case "--source-type" :: v :: t => srcType = Some(v); kloop(t)
+        case "--log-level" :: v :: t =>
+          klogLevel = YamlJob.checkLogLevel(v); kloop(t)
+        case flag :: _ if flag.startsWith("--") =>
+          throw GraftError.Configuration(
+            s"unknown or incomplete compact option '$flag'")
+        case v :: t => pos = pos :+ v; kloop(t)
+      }
+      kloop(rest)
+      pos match {
+        case src :: tgt :: Nil =>
+          if (clusterBy.nonEmpty && rebalance)
+            throw GraftError.Configuration(
+              "--cluster-by and --rebalance are mutually exclusive")
+          CompactCmd(src, tgt, targetMb, clusterBy, rebalance,
+            srcType.map("sourceType" -> _).toMap, klogLevel)
+        case _ => throw GraftError.Configuration(
+          "compact needs a SOURCE and a TARGET")
+      }
     case "topk" :: rest =>
       var source: Option[String] = None
       var groups = Seq.empty[String]
@@ -680,6 +729,42 @@ object Main {
       val failed = rows.count(r => !r.getBoolean(r.fieldIndex("passed")))
       if (failed == 0) { println("All checks passed"); 0 }
       else { println(s"$failed check(s) FAILED"); 1 }
+    } finally if (!preExisting) spark.stop()
+  }
+
+  /** `graft compact SOURCE TARGET`: small-file rewrite. Sizes the
+    * output from the input directory's ACTUAL bytes (driver-side
+    * listing, no data scan); `--cluster-by` upgrades the rewrite to a
+    * range+sort layout pass so future scans get min/max data skipping
+    * on those keys. Prints before/after file stats. */
+  def runCompact(c: CompactCmd): Int = {
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = session(c.logLevel)
+    try {
+      // compaction's normal inputs/outputs are extension-less parquet
+      // DIRECTORIES; default the format instead of failing dispatch
+      // (an explicit extension or --source-type still wins)
+      val opts =
+        if (c.sourceOptions.contains("sourceType")) c.sourceOptions
+        else c.sourceOptions + ("sourceType" -> "parquet")
+      val before = graft.operators.Compaction.dirStats(spark, c.source)
+      val df = graft.sources.Connectors.read(spark, c.source, opts)
+      val n = graft.operators.Compaction.targetPartitions(
+        before.bytes, c.targetFileMb.toLong << 20)
+      val out = graft.operators.Compaction.compact(
+        df, n, c.clusterBy, c.rebalance)
+      graft.sources.Connectors.write(out, c.target, truncate = true,
+        options = Map("sourceType" -> "parquet"))
+      val after = graft.operators.Compaction.dirStats(spark, c.target)
+      val mode =
+        if (c.clusterBy.nonEmpty) s"cluster-by ${c.clusterBy.mkString(",")}"
+        else if (c.rebalance) "rebalance" else "coalesce"
+      println(s"\nCompacted ${c.source} -> ${c.target} ($mode, " +
+        s"target ${c.targetFileMb} MB/file)")
+      println(s"  before: ${before.files} files, ${before.bytes} bytes " +
+        s"(${before.smallFiles} under 32 MB)")
+      println(s"  after:  ${after.files} files, ${after.bytes} bytes")
+      0
     } finally if (!preExisting) spark.stop()
   }
 

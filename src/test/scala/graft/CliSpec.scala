@@ -911,6 +911,41 @@ class CliSpec extends SparkSpec {
       err.getMessage.contains("bogus"))
   }
 
+  test("compact subcommand: parse forms, small-file rewrite e2e") {
+    val c = parse(List("compact", "in_dir", "out_dir",
+      "--target-file-mb", "64", "--cluster-by", "a,b"))
+      .asInstanceOf[CompactCmd]
+    assert(c.source == "in_dir" && c.target == "out_dir")
+    assert(c.targetFileMb == 64 && c.clusterBy == Seq("a", "b"))
+    assert(!c.rebalance)
+    intercept[GraftError.Configuration](parse(List("compact", "only_src")))
+    intercept[GraftError.Configuration](
+      parse(List("compact", "a", "b", "--target-file-mb", "0")))
+    intercept[GraftError.Configuration](
+      parse(List("compact", "a", "b", "--cluster-by", "x", "--rebalance")))
+    intercept[GraftError.Configuration](
+      parse(List("compact", "a", "b", "--bogus")))
+
+    // e2e: 30 fragment files collapse to one target-sized file with
+    // identical content, stats printed
+    import spark.implicits._
+    val dir = tmpDir("cli_compact")
+    (1L to 300L).map(i => (i, s"v$i")).toDF("id", "s")
+      .repartition(30).write.parquet(s"$dir/frag")
+    val out = new java.io.ByteArrayOutputStream()
+    val rc = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      runCompact(parse(List("compact", s"$dir/frag", s"$dir/out.parquet",
+        "--target-file-mb", "128")).asInstanceOf[CompactCmd])
+    }
+    assert(rc == 0)
+    val rendered = out.toString("UTF-8")
+    assert(rendered.contains("before: 30 files"))
+    assert(rendered.contains("after:  1 files"))
+    val got = spark.read.parquet(s"$dir/out.parquet")
+      .as[(Long, String)].collect().sortBy(_._1)
+    assert(got.toSeq == (1L to 300L).map(i => (i, s"v$i")))
+  }
+
   test("topk subcommand: parse forms, box output, typed errors") {
     val tk = parse(List("topk", "d.parquet", "--group", "lang,source",
       "--key", "n", "--id", "doc_id", "-k", "3", "--asc"))
