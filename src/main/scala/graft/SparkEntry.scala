@@ -1792,8 +1792,8 @@ object SparkEntry {
     // counts the same set. ---
     "q_triangles" -> { (s, dir) =>
       val edges = t(s, dir, "orders").select(
-        pmod(col("o_custkey"), lit(500)).as("x"),
-        pmod(col("o_orderkey"), lit(500)).as("y"))
+        pmod(col("o_custkey"), lit(1000)).as("x"),
+        pmod(col("o_orderkey"), lit(1000)).as("y"))
       graft.operators.Triangles.perNodeCounts(edges, "x", "y")
     },
 
@@ -1889,6 +1889,39 @@ object SparkEntry {
       graft.operators.Survivorship.goldenRecords(
         srcA.union(srcB).union(srcC),
         Seq("c_custkey"), "priority", Seq("name", "phone", "acctbal"))
+    },
+
+    // --- first-order Markov transitions over per-user event flows:
+    // one window exchange for adjacent pairs, aggregation over
+    // (from, to), normalizer on the GROUPED counts only. ---
+    "q_transitions" -> { (s, dir) =>
+      graft.operators.Markov.transitions(
+          EventsStreaming.readEvents(s, dir)
+            .select(col("user_id"), col("ts"), col("event_id"),
+              col("event_type")),
+          Seq("user_id"), "ts", "event_type", tieCols = Seq("event_id"))
+        .select(col("from_state"), col("to_state"), col("n"),
+          round(col("p"), 6).as("p"))
+    },
+
+    // --- temperature-based domain rebalance (XLM-R p_d ∝ n_d^alpha,
+    // alpha 0.5, target = half the corpus): boosts the low-resource
+    // languages relative to en; the oracle replays counts → pow →
+    // per-domain keep thresholds → portable-hash filter. ---
+    "q_temperature_sample" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"))
+      val target = docs.filter(col("lang").isNotNull).count() / 2
+      graft.llm.Sampling.temperatureSample(docs, "lang", "doc_id",
+        alpha = 0.5, targetTotal = target,
+        bucketFn = graft.llm.Sampling.portableBucket)
+    },
+
+    // --- per-shard reproducibility manifest over the deterministic
+    // shard assignment: counts, id range, order-independent XOR
+    // fingerprint, content chars — one narrow aggregation. ---
+    "q_shard_manifest" -> { (s, dir) =>
+      graft.llm.Shuffling.shardManifest(
+        t(s, dir, "documents"), "doc_id", "text", seed = 42L, shards = 8)
     }
   )
 
@@ -3944,10 +3977,10 @@ object SparkEntry {
 
     "q_triangles" ->
       """WITH raw AS (
-        |  SELECT least(o_custkey % 500, o_orderkey % 500) AS a,
-        |         greatest(o_custkey % 500, o_orderkey % 500) AS b
+        |  SELECT least(o_custkey % 1000, o_orderkey % 1000) AS a,
+        |         greatest(o_custkey % 1000, o_orderkey % 1000) AS b
         |  FROM orders
-        |  WHERE o_custkey % 500 <> o_orderkey % 500
+        |  WHERE o_custkey % 1000 <> o_orderkey % 1000
         |), e AS (
         |  SELECT DISTINCT a, b FROM raw
         |), tri AS (
@@ -4044,6 +4077,57 @@ object SparkEntry {
         |    AS acctbal,
         |  max(priority) AS best_priority,
         |  count(*) AS n_sources
-        |FROM u GROUP BY c_custkey""".stripMargin
+        |FROM u GROUP BY c_custkey""".stripMargin,
+
+    "q_transitions" ->
+      """WITH e AS (
+        |  SELECT user_id, event_type,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events WHERE event_type IS NOT NULL AND ts IS NOT NULL
+        |), c AS (
+        |  SELECT prev AS from_state, event_type AS to_state,
+        |    count(*) AS n
+        |  FROM e WHERE prev IS NOT NULL GROUP BY 1, 2
+        |)
+        |SELECT from_state, to_state, n,
+        |  round(CAST(n AS DOUBLE)
+        |    / sum(n) OVER (PARTITION BY from_state), 6) AS p
+        |FROM c""".stripMargin,
+
+    "q_temperature_sample" ->
+      """WITH c AS (
+        |  SELECT CAST(lang AS VARCHAR) AS d, count(*) AS n
+        |  FROM documents WHERE lang IS NOT NULL GROUP BY 1
+        |), tot AS (
+        |  SELECT count(*) // 2 AS target FROM documents
+        |  WHERE lang IS NOT NULL
+        |), s AS (
+        |  SELECT sum(pow(n, 0.5)) AS ps FROM c
+        |), thr AS (
+        |  SELECT d,
+        |    round(least(1.0, target * (pow(n, 0.5) / ps) / n) * 1000000)
+        |      AS thr
+        |  FROM c, s, tot
+        |)
+        |SELECT doc_id, lang
+        |FROM documents JOIN thr ON CAST(lang AS VARCHAR) = thr.d
+        |WHERE ((doc_id % 1000000007) * 2654435761) % 1000000007
+        |      % 1000000 < thr""".stripMargin,
+
+    "q_shard_manifest" ->
+      """WITH t AS (
+        |  SELECT doc_id,
+        |    (((doc_id + 42) % 1000000007) * 2654435761) % 1000000007
+        |      AS fh,
+        |    coalesce(length(text), 0) AS len
+        |  FROM documents
+        |)
+        |SELECT (fh % 1000000) % 8 AS shard,
+        |  count(*) AS n_rows,
+        |  min(doc_id) AS min_id, max(doc_id) AS max_id,
+        |  bit_xor(fh) AS xor_fingerprint,
+        |  CAST(sum(len) AS BIGINT) AS content_chars
+        |FROM t GROUP BY 1""".stripMargin
   )
 }

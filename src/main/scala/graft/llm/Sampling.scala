@@ -24,8 +24,8 @@ object Sampling {
     * defined (no float-compare drift between engines). */
   val Buckets = 1000000L
 
-  private val P = 1000000007L // prime modulus
-  private val K = 2654435761L // Knuth's 2^32 / phi multiplier
+  private[llm] val P = 1000000007L // prime modulus
+  private[llm] val K = 2654435761L // Knuth's 2^32 / phi multiplier
 
   /** Default bucket: xxhash64 — best mixing, one codegen'd call. */
   def bucket(id: Column): Column = pmod(xxhash64(id), lit(Buckets))
@@ -178,6 +178,40 @@ object Sampling {
     // fraction is 1.0 so it keeps every bucket
     val thresholds = counts.map { case (d, n) =>
       d -> math.round(weights(d) * tStar / n * Buckets)
+    }
+    val thrCol = thresholds.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
+      case (acc, (d, t)) => when(domainStr === lit(d), lit(t)).otherwise(acc)
+    }
+    df.filter(bucketFn(col(idCol)) < thrCol)
+  }
+
+  /** Temperature-based domain rebalancing (the multilingual-sampling
+    * rule of XLM-R / mC4: p_d ∝ n_d^alpha): instead of pinning target
+    * fractions like [[mixture]], DERIVE them from the observed counts
+    * with exponent `alpha` in (0, 1] — alpha 1 keeps the natural
+    * distribution, smaller alpha flattens it so low-resource domains
+    * are boosted relative to the head. Each domain keeps
+    * q_d = min(1, targetTotal · p_d / n_d) of its rows (no
+    * upsampling), decided by the same deterministic hash-bucket
+    * threshold as every sampler here.
+    *
+    * Scale shape: identical to [[mixture]] — ONE |domains|-row
+    * aggregation to the driver, then a shuffle-free codegen filter. */
+  def temperatureSample(df: DataFrame, domainCol: String, idCol: String,
+                        alpha: Double, targetTotal: Long,
+                        bucketFn: Column => Column = bucket): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha in (0,1], got $alpha")
+    require(targetTotal > 0, s"targetTotal must be > 0, got $targetTotal")
+    val domainStr = col(domainCol).cast("string")
+    val counts: Map[String, Long] = df
+      .filter(domainStr.isNotNull)
+      .groupBy(domainStr.as("__domain")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    require(counts.nonEmpty, "temperatureSample needs a non-empty corpus")
+    val powSum = counts.values.map(n => math.pow(n.toDouble, alpha)).sum
+    val thresholds = counts.map { case (d, n) =>
+      val p = math.pow(n.toDouble, alpha) / powSum
+      d -> math.round(math.min(1.0, targetTotal * p / n) * Buckets)
     }
     val thrCol = thresholds.toSeq.sortBy(_._1).foldLeft(lit(0L)) {
       case (acc, (d, t)) => when(domainStr === lit(d), lit(t)).otherwise(acc)

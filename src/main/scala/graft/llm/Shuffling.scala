@@ -68,6 +68,41 @@ object Shuffling {
     withShardPos(df, idCol, seed, shards,
       _.repartition(shards, col("shard")))
 
+  /** Per-shard reproducibility MANIFEST — the artifact a training run
+    * records next to its shards so a resume (or an auditor) can prove
+    * it is reading the same corpus in the same partitioning: per
+    * shard, the row count, the id range, an order-independent XOR
+    * fingerprint of the per-row hash, and the total content chars.
+    * Any drift — a lost row, a duplicated shard file, a changed id,
+    * truncated content — flips at least one column.
+    *
+    * The fingerprint is the full-range Knuth hash (`((id+seed) mod P)
+    * · K mod P`, BEFORE the bucket fold) XOR-aggregated per shard:
+    * order-independent (so it's one partial-aggregating pass, no
+    * sort), overflow-free, and replayable in any SQL engine — same
+    * portability contract as [[shuffleKey]].
+    *
+    * Scale shape: one narrow aggregation — (shard, hash, id, length)
+    * rides the shuffle, content stays in the scan. */
+  def shardManifest(df: DataFrame, idCol: String, contentCol: String,
+                    seed: Long = 42L, shards: Int = 64): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1: $shards")
+    (Seq(idCol, contentCol)).foreach(c =>
+      require(df.columns.contains(c), s"no such column '$c'"))
+    val fullHash = pmod(
+      pmod(col(idCol).cast("long") + lit(seed), lit(Sampling.P)) *
+        lit(Sampling.K), lit(Sampling.P))
+    df.select(
+        pmod(shuffleKey(col(idCol), seed), lit(shards.toLong)).as("shard"),
+        col(idCol).as("__id"), fullHash.as("__h"),
+        coalesce(length(col(contentCol)).cast("long"), lit(0L)).as("__len"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_rows"),
+        min(col("__id")).as("min_id"), max(col("__id")).as("max_id"),
+        expr("bit_xor(__h)").as("xor_fingerprint"),
+        sum(col("__len")).as("content_chars"))
+  }
+
   /** Materialize the shuffle as training shards: one parquet directory
     * per `shard=N`, rows inside each shard ordered by the shuffle key
     * (the window's required sort leaves each partition in
