@@ -1785,15 +1785,15 @@ object SparkEntry {
     },
 
     // --- per-node triangle counts over a derived order graph
-    // (custkey/orderkey folded onto one 2000-node domain so odd
-    // cycles exist). Degree-oriented wedge counting — each triangle
+    // (custkey/orderkey folded onto one 4000-node domain so odd
+    // cycles exist; density stays non-degenerate at bench scale). Degree-oriented wedge counting — each triangle
     // generated by exactly one wedge at its min-(deg,id) vertex; the
     // oracle replays the id-ordered a<b<c three-way join, which
     // counts the same set. ---
     "q_triangles" -> { (s, dir) =>
       val edges = t(s, dir, "orders").select(
-        pmod(col("o_custkey"), lit(1000)).as("x"),
-        pmod(col("o_orderkey"), lit(1000)).as("y"))
+        pmod(col("o_custkey"), lit(4000)).as("x"),
+        pmod(col("o_orderkey"), lit(4000)).as("y"))
       graft.operators.Triangles.perNodeCounts(edges, "x", "y")
     },
 
@@ -3977,10 +3977,10 @@ object SparkEntry {
 
     "q_triangles" ->
       """WITH raw AS (
-        |  SELECT least(o_custkey % 1000, o_orderkey % 1000) AS a,
-        |         greatest(o_custkey % 1000, o_orderkey % 1000) AS b
+        |  SELECT least(o_custkey % 4000, o_orderkey % 4000) AS a,
+        |         greatest(o_custkey % 4000, o_orderkey % 4000) AS b
         |  FROM orders
-        |  WHERE o_custkey % 1000 <> o_orderkey % 1000
+        |  WHERE o_custkey % 4000 <> o_orderkey % 4000
         |), e AS (
         |  SELECT DISTINCT a, b FROM raw
         |), tri AS (
