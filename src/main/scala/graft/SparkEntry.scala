@@ -1922,6 +1922,34 @@ object SparkEntry {
     "q_shard_manifest" -> { (s, dir) =>
       graft.llm.Shuffling.shardManifest(
         t(s, dir, "documents"), "doc_id", "text", seed = 42L, shards = 8)
+    },
+
+    // --- markdown strip (README/forum-dump cleanup): every syntax
+    // family in the fixture — fence with contents, heading, quote,
+    // bold/italic, link, image, rule — must vanish or unwrap; the
+    // oracle replays the backreference-free regex chain. ---
+    "q_strip_markdown" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val md = docs.select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(3)) === 0,
+          concat(lit("# Heading One\n```\ncode fence secret()\n```\n" +
+            "> quoted line\nRead **bold move** and *soft touch* at " +
+            "[the docs](https://ex.com/a) now\n![diagram](img.png)\n" +
+            "---\n"), col("text")))
+          .otherwise(col("text")).as("text"))
+      TextAnalysis.stripMarkdown(md, "text")
+    },
+
+    // --- exact-substring (canary) contamination: probes are verbatim
+    // 40-char snippets of every 97th document; ONE codegen'd
+    // contains-chain scan flags the source docs and their copies. ---
+    "q_exact_contamination" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val probes = docs
+        .filter(pmod(col("doc_id"), lit(97)) === 0 &&
+          col("text").isNotNull && length(col("text")) >= 49)
+        .select(substring(col("text"), 10, 40).as("probe"))
+      Contamination.exactSubstring(docs, probes, "doc_id", "text", "probe")
     }
   )
 
@@ -4128,6 +4156,49 @@ object SparkEntry {
         |  min(doc_id) AS min_id, max(doc_id) AS max_id,
         |  bit_xor(fh) AS xor_fingerprint,
         |  CAST(sum(len) AS BIGINT) AS content_chars
-        |FROM t GROUP BY 1""".stripMargin
+        |FROM t GROUP BY 1""".stripMargin,
+
+    "q_strip_markdown" ->
+      """WITH c AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN
+        |      '# Heading One' || chr(10) || '```' || chr(10) ||
+        |      'code fence secret()' || chr(10) || '```' || chr(10) ||
+        |      '> quoted line' || chr(10) ||
+        |      'Read **bold move** and *soft touch* at [the docs](https://ex.com/a) now'
+        |      || chr(10) || '![diagram](img.png)' || chr(10) ||
+        |      '---' || chr(10) || text
+        |    ELSE text END AS text
+        |  FROM documents
+        |), s1 AS (
+        |  SELECT doc_id, regexp_replace(text, '(?s)```.*?```', ' ', 'g') AS t FROM c
+        |), s2 AS (
+        |  SELECT doc_id, regexp_replace(t, '`[^`]*`', ' ', 'g') AS t FROM s1
+        |), s3 AS (
+        |  SELECT doc_id, regexp_replace(t, '!\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t FROM s2
+        |), s4 AS (
+        |  SELECT doc_id, regexp_replace(t, '\[([^\]]*)\]\([^)]*\)', '\1', 'g') AS t FROM s3
+        |), s5 AS (
+        |  SELECT doc_id, regexp_replace(t, '(?m)^#{1,6}[ \t]+', '', 'g') AS t FROM s4
+        |), s6 AS (
+        |  SELECT doc_id, regexp_replace(t, '(?m)^>[ \t]?', '', 'g') AS t FROM s5
+        |), s7 AS (
+        |  SELECT doc_id, regexp_replace(t, '(?m)^[-*_]{3,}[ \t]*$', '', 'g') AS t FROM s6
+        |), s8 AS (
+        |  SELECT doc_id, regexp_replace(t, '\*{1,2}([^*\n]+)\*{1,2}', '\1', 'g') AS t FROM s7
+        |)
+        |SELECT doc_id, trim(regexp_replace(t, '\s+', ' ', 'g')) AS text
+        |FROM s8""".stripMargin,
+
+    "q_exact_contamination" ->
+      """WITH probes AS (
+        |  SELECT DISTINCT substr(text, 10, 40) AS p
+        |  FROM documents
+        |  WHERE doc_id % 97 = 0 AND text IS NOT NULL
+        |    AND length(text) >= 49
+        |)
+        |SELECT d.doc_id, count(*) AS matched_probes
+        |FROM documents d JOIN probes ON contains(d.text, probes.p)
+        |GROUP BY d.doc_id""".stripMargin
   )
 }

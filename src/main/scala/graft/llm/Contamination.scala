@@ -88,6 +88,42 @@ object Contamination {
     * set — small by construction (benchmark-adjacent docs) — and the
     * corpus anti-joins it BY ID ONLY; document text crosses exactly the
     * one exchange any keep/drop-set join costs, nothing per-gram. */
+  /** EXACT-substring contamination — the canary-string check: flag
+    * every document containing ANY probe VERBATIM (benchmark answer
+    * strings, eval canaries, license sentinels). The n-gram
+    * [[check]] measures fuzzy overlap fractions; this one answers the
+    * sharper question "does the eval string itself appear".
+    *
+    * Returns (id, matched_probes) for hit documents only.
+    *
+    * Scale shape: probes collect to the driver (canary lists are
+    * small — capped loudly at `maxProbes`) and compile into ONE
+    * codegen'd contains-chain projection, so the corpus pays a single
+    * shuffle-free scan — no explode, no join, no per-gram state. For
+    * probe sets beyond the cap, use the n-gram [[check]] (broadcast
+    * join) instead. */
+  def exactSubstring(corpus: DataFrame, probes: DataFrame, idCol: String,
+                     textCol: String, probeTextCol: String,
+                     maxProbes: Int = 1000): DataFrame = {
+    require(corpus.columns.contains(idCol), s"no such column '$idCol'")
+    require(corpus.columns.contains(textCol), s"no such column '$textCol'")
+    val ps = probes.select(col(probeTextCol).cast("string"))
+      .filter(col(probeTextCol).isNotNull)
+      .distinct().limit(maxProbes + 1)
+      .collect().map(_.getString(0))
+    require(ps.length <= maxProbes,
+      s"more than $maxProbes distinct probes — use the n-gram check " +
+        "(broadcast join) for large probe sets")
+    require(ps.forall(_.nonEmpty),
+      "empty-string probe would match every document")
+    require(ps.nonEmpty, "probe set is empty")
+    val hits = ps.map(p =>
+      when(col(textCol).contains(lit(p)), 1L).otherwise(0L))
+      .reduce(_ + _)
+    corpus.select(col(idCol), hits.as("matched_probes"))
+      .filter(col("matched_probes") > 0)
+  }
+
   def decontaminate(corpus: DataFrame, probes: DataFrame, idCol: String,
                     textCol: String, probeTextCol: String, n: Int = 8,
                     maxContamination: Double = 0.2): DataFrame = {

@@ -105,6 +105,42 @@ object TextAnalysis {
   def stripHtml(df: DataFrame, textCol: String): DataFrame =
     df.withColumn(textCol, stripHtml(col(textCol)))
 
+  /** Markdown strip — the README/forum-dump sibling of [[stripHtml]]:
+    * reduce markdown markup to its prose so downstream quality /
+    * repetition / dedup stages see the text, not the syntax. Order:
+    * fenced code blocks drop WITH their contents first (code inside a
+    * fence must not leak into the prose stream once the fence markers
+    * vanish), then inline code spans, then image/link syntax keeps the
+    * alt/anchor TEXT and drops the URL (`![a](u)` before `[a](u)` —
+    * the image form is a prefix-superset), then heading/blockquote/
+    * rule line markers, asterisk emphasis (keeps the inner text), and
+    * finally the same whitespace collapse as [[stripHtml]].
+    *
+    * Every pattern is backreference-free, so the chain replays
+    * identically on RE2-based engines (the DuckDB oracle — group
+    * substitution spelled `\\1` there, `$1` here). Underscore
+    * emphasis is deliberately left alone: `_` is routine in
+    * identifiers and filenames, and mangling `my_var` is worse than
+    * keeping a rare `_emphasis_` marker. Plain prose passes through
+    * byte-identical. Pure shuffle-free projection. */
+  def stripMarkdown(text: Column): Column = {
+    val noFence = regexp_replace(text, "(?s)```.*?```", " ")
+    val noInline = regexp_replace(noFence, "`[^`]*`", " ")
+    val noImage = regexp_replace(noInline,
+      "!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noLink = regexp_replace(noImage,
+      "\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    val noHeading = regexp_replace(noLink, "(?m)^#{1,6}[ \\t]+", "")
+    val noQuote = regexp_replace(noHeading, "(?m)^>[ \\t]?", "")
+    val noRule = regexp_replace(noQuote, "(?m)^[-*_]{3,}[ \\t]*$", "")
+    val noEmph = regexp_replace(noRule, "\\*{1,2}([^*\\n]+)\\*{1,2}", "$1")
+    trim(regexp_replace(noEmph, "\\s+", " "))
+  }
+
+  /** [[stripMarkdown]] applied in place over `textCol`. */
+  def stripMarkdown(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn(textCol, stripMarkdown(col(textCol)))
+
   /** Quality metrics + a composite score in [0,1]. All ratios are over
     * character length; formula is deterministic and documented so the
     * oracle can mirror it. */

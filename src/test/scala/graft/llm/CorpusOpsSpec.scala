@@ -195,6 +195,55 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(8L) == "case-insensitive")
   }
 
+  test("stripMarkdown: each syntax family unwraps or vanishes; prose untouched") {
+    val d = Seq(
+      (1L, "# Big Title\nbody"),
+      (2L, "```\nhidden secret()\n```\nafter"),
+      (3L, "inline `code span` here"),
+      (4L, "see [the docs](https://x/y) and ![alt text](i.png)"),
+      (5L, "> quoted\n>also quoted"),
+      (6L, "**bold** and *italic* stay as words"),
+      (7L, "before\n---\nafter"),
+      (8L, "my_var and snake_case stay intact"),
+      (9L, "plain prose stays byte-identical here")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.stripMarkdown(d, "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "Big Title body")
+    assert(out(2L) == "after", "fence CONTENT must vanish")
+    assert(out(3L) == "inline here")
+    assert(out(4L) == "see the docs and alt text")
+    assert(out(5L) == "quoted also quoted")
+    assert(out(6L) == "bold and italic stay as words")
+    assert(out(7L) == "before after")
+    assert(out(8L) == "my_var and snake_case stay intact",
+      "underscore emphasis deliberately untouched")
+    assert(out(9L) == "plain prose stays byte-identical here")
+  }
+
+  test("exactSubstring contamination: verbatim hits only, loud guards") {
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "prefix the quick brown fox jumps suffix"),
+      (3L, "the quick red fox"),
+      (4L, "brown fox and quick brown both probes land here")
+    ).toDF("doc_id", "text")
+    val probes = Seq("quick brown", "brown fox").toDF("probe")
+    val got = Contamination.exactSubstring(corpus, probes,
+        "doc_id", "text", "probe")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 2L, 2L -> 2L, 4L -> 2L),
+      "doc 3 shares words but no verbatim probe")
+
+    intercept[IllegalArgumentException](Contamination.exactSubstring(
+      corpus, Seq("").toDF("probe"), "doc_id", "text", "probe"))
+    intercept[IllegalArgumentException](Contamination.exactSubstring(
+      corpus, Seq.empty[String].toDF("probe"), "doc_id", "text", "probe"))
+    intercept[IllegalArgumentException](Contamination.exactSubstring(
+      corpus, Seq("a", "b", "c").toDF("probe"), "doc_id", "text", "probe",
+      maxProbes = 2))
+  }
+
   // --- Contamination ----------------------------------------------------
 
   test("contamination: probe docs hit 1.0, supersets partial, clean absent") {
