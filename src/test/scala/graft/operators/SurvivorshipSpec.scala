@@ -40,10 +40,14 @@ class SurvivorshipSpec extends SparkSpec {
     assert(r3.getDouble(3) == 5.0)
   }
 
-  test("a tie on (key, priority) is rejected loudly") {
+  test("a tie on (key, priority) fails fast inside the one aggregation") {
     val tied = Seq((1L, 2L, "a"), (1L, 2L, "b")).toDF("k", "p", "name")
-    intercept[IllegalArgumentException](
-      Survivorship.goldenRecords(tied, Seq("k"), "p", Seq("name")))
+    val e = intercept[Exception](
+      Survivorship.goldenRecords(tied, Seq("k"), "p", Seq("name")).collect())
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Seq.empty
+      else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("duplicate (key, priority)")), e)
   }
 
   test("guards: missing columns, empty field list") {
