@@ -1950,6 +1950,27 @@ object SparkEntry {
           col("text").isNotNull && length(col("text")) >= 49)
         .select(substring(col("text"), 10, 40).as("probe"))
       Contamination.exactSubstring(docs, probes, "doc_id", "text", "probe")
+    },
+
+    // --- market-basket co-occurrence over order baskets (parts folded
+    // to a 199-item catalog so pairs recur): support / directional
+    // confidence / lift; basket-size cap is the skew bound. ---
+    "q_cooccurrence" -> { (s, dir) =>
+      val baskets = t(s, dir, "lineitem").select(
+        col("l_orderkey").as("basket"),
+        pmod(col("l_partkey"), lit(199)).as("item"))
+      graft.operators.Cooccurrence.pairs(
+        baskets, "basket", "item", minCount = 3)
+    },
+
+    // --- per-supplier OLS price trend over ship dates: exact integer
+    // moments (days since 1995-01-01, whole-dollar prices) make the
+    // double slope/intercept/r2 bit-replayable in any engine. ---
+    "q_trend" -> { (s, dir) =>
+      val b = t(s, dir, "lineitem").select(col("l_suppkey"),
+        datediff(to_date(col("l_shipdate")), lit("1995-01-01")).as("x"),
+        round(col("l_extendedprice")).cast("long").as("y"))
+      graft.operators.Trend.fit(b, Seq("l_suppkey"), "x", "y")
     }
   )
 
@@ -4199,6 +4220,68 @@ object SparkEntry {
         |)
         |SELECT d.doc_id, count(*) AS matched_probes
         |FROM documents d JOIN probes ON contains(d.text, probes.p)
-        |GROUP BY d.doc_id""".stripMargin
+        |GROUP BY d.doc_id""".stripMargin,
+
+    "q_cooccurrence" ->
+      """WITH items AS (
+        |  SELECT DISTINCT l_orderkey AS b, l_partkey % 199 AS i
+        |  FROM lineitem
+        |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), nb AS (
+        |  SELECT count(DISTINCT b) AS n FROM items
+        |), ic AS (
+        |  SELECT i, count(*) AS cnt FROM items GROUP BY i
+        |), co AS (
+        |  SELECT a.i AS item_a, c.i AS item_b, count(*) AS co_count
+        |  FROM items a JOIN items c ON a.b = c.b AND a.i < c.i
+        |  GROUP BY 1, 2 HAVING count(*) >= 3
+        |)
+        |SELECT co.item_a, co.item_b, co.co_count,
+        |  floor(co.co_count / CAST(nb.n AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS support,
+        |  floor(co.co_count / CAST(na.cnt AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS conf_a_to_b,
+        |  floor(co.co_count / CAST(cb.cnt AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS conf_b_to_a,
+        |  floor(co.co_count * CAST(nb.n AS DOUBLE)
+        |    / CAST(na.cnt * cb.cnt AS DOUBLE) * 1000000 + 0.5)
+        |    / 1000000 AS lift
+        |FROM co, nb
+        |JOIN ic na ON na.i = co.item_a
+        |JOIN ic cb ON cb.i = co.item_b""".stripMargin,
+
+    "q_trend" ->
+      """WITH b AS (
+        |  SELECT l_suppkey,
+        |    date_diff('day', DATE '1995-01-01', CAST(l_shipdate AS DATE))
+        |      AS x,
+        |    CAST(round(l_extendedprice) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_shipdate IS NOT NULL AND l_extendedprice IS NOT NULL
+        |), m AS (
+        |  SELECT l_suppkey, count(*) AS n,
+        |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+        |    CAST(sum(x * y) AS BIGINT) AS sxy,
+        |    CAST(sum(x * x) AS BIGINT) AS sxx,
+        |    CAST(sum(y * y) AS BIGINT) AS syy
+        |  FROM b GROUP BY 1
+        |)
+        |SELECT l_suppkey, n,
+        |  round(CASE WHEN n * sxx - sx * sx > 0 THEN
+        |    CAST(n * sxy - sx * sy AS DOUBLE)
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS slope,
+        |  round(CASE WHEN n * sxx - sx * sx > 0 THEN
+        |    (CAST(sy AS DOUBLE)
+        |      - (CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / CAST(n * sxx - sx * sx AS DOUBLE))
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END, 6)
+        |    AS intercept,
+        |  round(CASE WHEN n * sxx - sx * sx > 0
+        |             AND n * syy - sy * sy > 0 THEN
+        |    (CAST(n * sxy - sx * sy AS DOUBLE)
+        |      * CAST(n * sxy - sx * sy AS DOUBLE))
+        |    / (CAST(n * sxx - sx * sx AS DOUBLE)
+        |      * CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS r2
+        |FROM m""".stripMargin
   )
 }
