@@ -491,6 +491,7 @@ object Main {
           if (cur.portableBucket) Sampling.portableBucket else Sampling.bucket,
         persistSurvivors = cur.persistSurvivors,
         stripHtml = cur.stripHtml,
+        stripMarkdown = cur.stripMarkdown,
         fixMojibake = cur.fixMojibake,
         normalizeUnicode = cur.normalizeUnicode,
         lineDedupMinDocs = cur.lineDedupMinDocs,
@@ -625,6 +626,7 @@ object Main {
         // it here would silently ignore the YAML knob
         persistSurvivors = cur.persistSurvivors,
         stripHtml = cur.stripHtml,
+        stripMarkdown = cur.stripMarkdown,
         fixMojibake = cur.fixMojibake,
         normalizeUnicode = cur.normalizeUnicode,
         referenceSnapshot = refFrame,

@@ -83,6 +83,7 @@ object YamlJob {
       observed: Boolean = false,
       portableBucket: Boolean = false,
       stripHtml: Boolean = false,
+      stripMarkdown: Boolean = false,
       fixMojibake: Boolean = false,
       normalizeUnicode: Option[String] = None,
       lineDedupMinDocs: Option[Int] = None,
@@ -225,7 +226,7 @@ object YamlJob {
       val KnownKeys = Set("id_column", "text_column", "blocklist",
         "max_dup_word_frac", "max_dup_ngram_frac", "max_top_ngram_frac",
         "repetition_n", "sample_fraction", "persist_survivors",
-        "observed", "bucket", "strip_html", "fix_mojibake", "normalize_unicode", "line_dedup_min_docs", "contamination",
+        "observed", "bucket", "strip_html", "strip_markdown", "fix_mojibake", "normalize_unicode", "line_dedup_min_docs", "contamination",
         "token_budget", "token_budget_shards", "shards",
         "mode", "ts_column", "dedup_horizon", "checkpoint", "trigger",
         "reference", "reference_near_dup")
@@ -312,6 +313,8 @@ object YamlJob {
         portableBucket = bucket == "portable",
         stripHtml = c.get("strip_html")
           .map(v => boolOpt("strip_html", v)).getOrElse(false),
+        stripMarkdown = c.get("strip_markdown")
+          .map(v => boolOpt("strip_markdown", v)).getOrElse(false),
         fixMojibake = c.get("fix_mojibake")
           .map(v => boolOpt("fix_mojibake", v)).getOrElse(false),
         normalizeUnicode = c.get("normalize_unicode").map { v =>

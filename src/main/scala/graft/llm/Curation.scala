@@ -71,6 +71,10 @@ object Curation {
         * tags the strip removes) and before every text-statistics
         * stage. Pure projection, rewrites text, never drops rows. */
       stripHtml: Boolean = false,
+      /** Rewrite text with [[TextAnalysis.stripMarkdown]] (after the
+        * HTML strip — mixed dumps strip outer markup first — and
+        * before text statistics). Pure projection, never drops rows. */
+      stripMarkdown: Boolean = false,
       /** Rewrite text with [[TextAnalysis.fixMojibake]] (after the
         * strip, before text statistics). Pure projection. */
       fixMojibake: Boolean = false,
@@ -124,9 +128,12 @@ object Curation {
     val afterUrls =
       if (cfg.blocklist.isEmpty) df
       else Urls.filterBlocked(df, textCol, cfg.blocklist)
-    val afterStrip =
+    val afterStrip0 =
       if (cfg.stripHtml) TextAnalysis.stripHtml(afterUrls, textCol)
       else afterUrls
+    val afterStrip =
+      if (cfg.stripMarkdown) TextAnalysis.stripMarkdown(afterStrip0, textCol)
+      else afterStrip0
     val afterFix =
       if (cfg.fixMojibake) TextAnalysis.fixMojibake(afterStrip, textCol)
       else afterStrip
@@ -243,9 +250,12 @@ object Curation {
     val afterUrls =
       if (cfg.blocklist.isEmpty) df
       else Urls.filterBlocked(df, textCol, cfg.blocklist)
-    val afterStrip =
+    val afterStrip0 =
       if (cfg.stripHtml) TextAnalysis.stripHtml(afterUrls, textCol)
       else afterUrls
+    val afterStrip =
+      if (cfg.stripMarkdown) TextAnalysis.stripMarkdown(afterStrip0, textCol)
+      else afterStrip0
     val afterFix =
       if (cfg.fixMojibake) TextAnalysis.fixMojibake(afterStrip, textCol)
       else afterStrip
@@ -343,7 +353,10 @@ object Curation {
     // and the repetition filter with no observation of its own
     def stripped(d: DataFrame): DataFrame = {
       val s1 = if (cfg.stripHtml) TextAnalysis.stripHtml(d, textCol) else d
-      val s2 = if (cfg.fixMojibake) TextAnalysis.fixMojibake(s1, textCol) else s1
+      val s1b =
+        if (cfg.stripMarkdown) TextAnalysis.stripMarkdown(s1, textCol) else s1
+      val s2 =
+        if (cfg.fixMojibake) TextAnalysis.fixMojibake(s1b, textCol) else s1b
       applyNormalize(s2, textCol, cfg)
     }
     val r = tap(Repetition.filterRepetitive(stripped(tap(afterUrls, oU)), textCol,

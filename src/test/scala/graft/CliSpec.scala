@@ -649,10 +649,10 @@ class CliSpec extends SparkSpec {
     assert(YamlJob.loadYaml(
       """source: {uri: a.parquet}
         |target: {uri: b}
-        |curation: {id_column: id, text_column: t, line_dedup_min_docs: 4, strip_html: true, fix_mojibake: true, normalize_unicode: nfc}
+        |curation: {id_column: id, text_column: t, line_dedup_min_docs: 4, strip_html: true, strip_markdown: true, fix_mojibake: true, normalize_unicode: nfc}
         |""".stripMargin).curation
       .exists(c => c.lineDedupMinDocs.contains(4) && c.stripHtml &&
-        c.fixMojibake && c.normalizeUnicode.contains("NFC")))
+        c.stripMarkdown && c.fixMojibake && c.normalizeUnicode.contains("NFC")))
     // incremental reference snapshot: ${VAR} substitution applies
     assert(YamlJob.loadYaml(
       """source: {uri: a.parquet}

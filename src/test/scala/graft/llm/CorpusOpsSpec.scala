@@ -684,6 +684,19 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(kept.keySet == Set(1L, 3L), s"kept ${kept.keySet}")
     assert(kept(1L) == "same text here today", "output carries stripped text")
+    // markdown stage composes the same way: a markdown-dressed copy
+    // dedups against its plain twin once stripped
+    val mdCorpus = Seq(
+      (1L, "# Title\nsame words land here today"),
+      (2L, "Title same words land here today"),
+      (3L, "a different document altogether")
+    ).toDF("doc_id", "text")
+    val mdKept = Curation.pipeline(mdCorpus, "doc_id", "text",
+        Curation.PipelineConfig(stripMarkdown = true, maxDupWordFrac = 0.9,
+          maxDupNgramFrac = 0.9, maxTopNgramFrac = 0.9))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(mdKept.keySet == Set(1L, 3L), s"kept ${mdKept.keySet}")
+    assert(mdKept(1L) == "Title same words land here today")
     // mojibake stage composes the same way: a mangled copy dedups
     // against its clean twin once repaired
     def mangle(x: String) = new String(
