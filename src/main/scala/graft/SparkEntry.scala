@@ -1971,6 +1971,27 @@ object SparkEntry {
         datediff(to_date(col("l_shipdate")), lit("1995-01-01")).as("x"),
         round(col("l_extendedprice")).cast("long").as("y"))
       graft.operators.Trend.fit(b, Seq("l_suppkey"), "x", "y")
+    },
+
+    // --- Efraimidis-Spirakis weighted sampling without replacement:
+    // exactly 60 documents, inclusion odds proportional to length;
+    // shuffle-free keys + TakeOrderedAndProject (no global sort). ---
+    "q_weighted_sample" -> { (s, dir) =>
+      graft.llm.Sampling.weightedSample(
+        t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", k = 60, seed = 7L)
+    },
+
+    // --- length-bucketed batch assignment (padding minimizer): char
+    // buckets at 500/1500/3000, batches of 16 ordered (len, id); one
+    // bucket-partitioned window. ---
+    "q_bucket_batches" -> { (s, dir) =>
+      graft.llm.Packing.bucketBatches(
+          t(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+          "doc_id", "n_chars", edges = Seq(500L, 1500L, 3000L),
+          batchSize = 16)
+        .select(col("doc_id"), col("bucket"), col("batch_idx"),
+          col("batch_pos"))
     }
   )
 
@@ -4282,6 +4303,33 @@ object SparkEntry {
         |      * CAST(n * sxy - sx * sy AS DOUBLE))
         |    / (CAST(n * sxx - sx * sx AS DOUBLE)
         |      * CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS r2
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+
+    "q_weighted_sample" ->
+      """SELECT doc_id, n_chars FROM (
+        |  SELECT doc_id, n_chars,
+        |    pow(((((doc_id + 7) % 1000000007) * 2654435761)
+        |           % 1000000007 % 1000000 + 0.5) / 1000000.0,
+        |        1.0 / CAST(n_chars AS DOUBLE)) AS key
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |  ORDER BY key DESC, doc_id LIMIT 60
+        |)""".stripMargin,
+
+    "q_bucket_batches" ->
+      """WITH b AS (
+        |  SELECT doc_id, n_chars,
+        |    CASE WHEN n_chars < 500 THEN 0
+        |         WHEN n_chars < 1500 THEN 1
+        |         WHEN n_chars < 3000 THEN 2 ELSE 3 END AS bucket
+        |  FROM documents WHERE n_chars IS NOT NULL
+        |), r AS (
+        |  SELECT doc_id, bucket,
+        |    row_number() OVER (PARTITION BY bucket
+        |                       ORDER BY n_chars, doc_id) - 1 AS rn
+        |  FROM b
+        |)
+        |SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+        |  rn // 16 AS batch_idx, rn % 16 AS batch_pos
+        |FROM r""".stripMargin
   )
 }

@@ -74,6 +74,44 @@ object Packing {
   private def packIndex(offset: Column, budget: Long): Column =
     ((offset - pmod(offset, lit(budget))) / lit(budget)).cast("long")
 
+  /** Length-bucketed BATCH assignment — the padding-waste minimizer
+    * for inference/eval serving: rows are grouped into length buckets
+    * (`edges` are the exclusive upper bounds of all but the last,
+    * open-ended bucket), ordered (tokens, id) inside each bucket, and
+    * cut into fixed-size batches. Each batch then pads only to its
+    * own maximum — batching unsorted corpora instead pads everything
+    * to the global max (the classic GPU-hours leak).
+    *
+    * Output adds (bucket, batch_idx, batch_pos). Deterministic: the
+    * (tokens, id) order is total, so the same corpus always yields
+    * the same batches.
+    *
+    * Scale shape: ONE window exchange hash-partitioned by bucket —
+    * |edges|+1 partitions of independent sorts. Buckets bound the
+    * sort width; batches are arithmetic on the row number. */
+  def bucketBatches(df: DataFrame, idCol: String, tokensCol: String,
+                    edges: Seq[Long], batchSize: Int): DataFrame = {
+    require(batchSize >= 1, s"batchSize must be >= 1, got $batchSize")
+    require(edges.nonEmpty, "need at least one bucket edge")
+    require(edges == edges.sorted && edges.distinct.size == edges.size,
+      s"edges must be strictly increasing: ${edges.mkString(",")}")
+    Seq(idCol, tokensCol).foreach(c =>
+      require(df.columns.contains(c), s"no such column '$c'"))
+    val t = col(tokensCol).cast("long")
+    val bucket = edges.zipWithIndex.foldRight(lit(edges.size.toLong)) {
+      case ((e, i), acc) => when(t < e, lit(i.toLong)).otherwise(acc)
+    }
+    val w = Window.partitionBy(col("bucket")).orderBy(t, col(idCol))
+    df.filter(t.isNotNull)
+      .withColumn("bucket", bucket)
+      .withColumn("__rn", row_number().over(w).cast("long") - 1L)
+      .withColumn("batch_idx",
+        ((col("__rn") - pmod(col("__rn"), lit(batchSize.toLong)))
+          / lit(batchSize.toLong)).cast("long"))
+      .withColumn("batch_pos", pmod(col("__rn"), lit(batchSize.toLong)))
+      .drop("__rn")
+  }
+
   /** Per-pack summary: docs per pack and tokens that START in the pack
     * (a boundary-spanning doc counts its full length here; pack fill is
     * `budget` by construction for all but each stream's last pack). */

@@ -251,6 +251,39 @@ object Sampling {
     }
   }
 
+  /** Weighted sampling WITHOUT replacement, exactly k rows, by the
+    * Efraimidis–Spirakis one-pass rule (Inf. Proc. Letters 2006):
+    * each row gets key `u^(1/w)` for a uniform u derived from its id,
+    * and the k largest keys are the sample — inclusion probability
+    * proportional to weight, no replacement, no sequential scan. The
+    * quality-weighted subset selection step of corpus curation
+    * ("prefer high-score documents but keep diversity").
+    *
+    * Deterministic: u = (portableBucket(id + seed) + 0.5) / Buckets —
+    * the +0.5 keeps u strictly inside (0,1) so the pow is finite —
+    * and ties (same key) break by id, so any engine replays the exact
+    * set. Rows with non-positive or null weight have zero inclusion
+    * probability by definition and are excluded.
+    *
+    * Scale shape: a shuffle-free key projection + ONE top-k
+    * (TakeOrderedAndProject — per-partition heaps, no global sort).
+    * k rows land on the driver side of the limit, so keep k bounded
+    * (a training subset selection, not a 100 TB copy). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String,
+                     k: Int, seed: Long = 42L): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    Seq(idCol, weightCol).foreach(c =>
+      require(df.columns.contains(c), s"no such column '$c'"))
+    val u = (portableBucket(col(idCol) + lit(seed)) + lit(0.5)) /
+      lit(Buckets.toDouble)
+    val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__es_key", key)
+      .orderBy(col("__es_key").desc, col(idCol))
+      .limit(k)
+      .drop("__es_key")
+  }
+
   /** Deterministic token-budget cut: "give me ~`budget` tokens of this
     * corpus, reproducibly". Rows are taken in deterministic shuffle
     * order (seeded portable hash of the id — decorrelated from ingest

@@ -56,6 +56,61 @@ class ShardSamplingSpec extends SparkSpec {
       Sampling.temperatureSample(corpus, "lang", "doc_id", 0.5, 0))
   }
 
+  test("weighted sample: E-S keys decide, exactly k, zero-weight excluded") {
+    val df = (1L to 300L).map(i => (i, (i % 7) + 1L)).toDF("id", "w")
+    val got = Sampling.weightedSample(df, "id", "w", k = 40, seed = 3L)
+      .select("id").as[Long].collect().toSet
+    assert(got.size == 40)
+    // replay the rule naively
+    val naive = (1L to 300L).map { i =>
+      val b = ((((i + 3L) % 1000000007L) * 2654435761L) % 1000000007L) % 1000000L
+      val u = (b + 0.5) / 1000000.0
+      (math.pow(u, 1.0 / ((i % 7) + 1L)), i)
+    }.sortBy { case (k, i) => (-k, i) }.take(40).map(_._2).toSet
+    assert(got == naive)
+    // determinism + seed sensitivity
+    val again = Sampling.weightedSample(df, "id", "w", k = 40, seed = 3L)
+      .select("id").as[Long].collect().toSet
+    assert(again == got)
+    val other = Sampling.weightedSample(df, "id", "w", k = 40, seed = 4L)
+      .select("id").as[Long].collect().toSet
+    assert(other != got)
+    // non-positive weights never sampled, even with k >= corpus
+    val withZero = Seq((1L, 5L), (2L, 0L), (3L, -2L)).toDF("id", "w")
+    val z = Sampling.weightedSample(withZero, "id", "w", k = 10)
+      .select("id").as[Long].collect().toSet
+    assert(z == Set(1L))
+    intercept[IllegalArgumentException](
+      Sampling.weightedSample(df, "id", "w", k = 0))
+  }
+
+  test("bucket batches: boundaries, batch arithmetic, per-batch padding bound") {
+    val df = Seq(
+      (1L, 10L), (2L, 499L), (3L, 500L), (4L, 1499L),
+      (5L, 1500L), (6L, 2999L), (7L, 3000L), (8L, 9999L))
+      .toDF("id", "toks")
+    val got = Packing.bucketBatches(df, "id", "toks",
+        edges = Seq(500L, 1500L, 3000L), batchSize = 2)
+      .select("id", "bucket", "batch_idx", "batch_pos")
+      .as[(Long, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 0 && got(2L)._2 == 0, "< 500 is bucket 0")
+    assert(got(3L)._2 == 1 && got(4L)._2 == 1, "edge value moves up")
+    assert(got(5L)._2 == 2 && got(6L)._2 == 2)
+    assert(got(7L)._2 == 3 && got(8L)._2 == 3, "last bucket open-ended")
+    // within bucket 0: (10, 499) -> batch 0 positions 0,1
+    assert(got(1L)._3 == 0 && got(1L)._4 == 0)
+    assert(got(2L)._3 == 0 && got(2L)._4 == 1)
+    // batch splits: three rows in one bucket, batchSize 2 -> 2 batches
+    val three = Seq((1L, 5L), (2L, 6L), (3L, 7L)).toDF("id", "toks")
+    val g3 = Packing.bucketBatches(three, "id", "toks", Seq(100L), 2)
+      .select("id", "batch_idx").as[(Long, Long)].collect().toMap
+    assert(g3 == Map(1L -> 0L, 2L -> 0L, 3L -> 1L))
+    intercept[IllegalArgumentException](
+      Packing.bucketBatches(df, "id", "toks", Seq(500L, 500L), 2))
+    intercept[IllegalArgumentException](
+      Packing.bucketBatches(df, "id", "toks", Seq(500L), 0))
+  }
+
   test("shard manifest: totals reconcile and any drift flips a column") {
     val docs = (1L to 500L).map(i => (i, "x" * (i % 37).toInt))
       .toDF("doc_id", "text")
