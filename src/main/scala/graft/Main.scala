@@ -48,6 +48,10 @@ object Main {
                               rebalance: Boolean,
                               sourceOptions: Map[String, String],
                               logLevel: String) extends Cmd
+  final case class ManifestCmd(source: String, id: String, content: String,
+                               shards: Int, seed: Long,
+                               sourceOptions: Map[String, String],
+                               logLevel: String) extends Cmd
   case object GenDefault extends Cmd
   case object Help extends Cmd
   case object Version extends Cmd
@@ -75,6 +79,11 @@ object Main {
       |                               [--source-type TYPE]
       |                               (small-file rewrite; cluster-by adds
       |                               a range+sort layout pass for skipping)
+      |       graft manifest <SOURCE> --id COL --content COL
+      |                               [--shards N] [--seed S]
+      |                               [--source-type TYPE]
+      |                               (per-shard reproducibility manifest:
+      |                               counts, id range, XOR fingerprint)
       |
       |Options:
       |  --transform <EXPRESSIONS>   Inline transforms, e.g. "c=row.a * 2; u=string.upper(row.b)"
@@ -114,6 +123,7 @@ object Main {
           case tk: TopKCmd   => runTopK(tk)
           case c: CheckCmd   => runCheck(c)
           case c: CompactCmd => runCompact(c)
+          case m: ManifestCmd => runManifest(m)
           case Transfer(c, p, d, ll) => runTransfer(c, p, d, ll)
         }
       } catch {
@@ -268,6 +278,45 @@ object Main {
         case _ => throw GraftError.Configuration(
           "compact needs a SOURCE and a TARGET")
       }
+    case "manifest" :: rest =>
+      var source: Option[String] = None
+      var id: Option[String] = None
+      var content: Option[String] = None
+      var shards = 64
+      var seed = 42L
+      var srcType: Option[String] = None
+      var mlogLevel = "error"
+      @annotation.tailrec
+      def mloop(r: List[String]): Unit = r match {
+        case Nil => ()
+        case "--id" :: v :: t => id = Some(v); mloop(t)
+        case "--content" :: v :: t => content = Some(v); mloop(t)
+        case "--shards" :: v :: t =>
+          shards = v.toIntOption.filter(_ >= 1).getOrElse(
+            throw GraftError.Configuration(
+              s"--shards needs a positive integer, got '$v'")); mloop(t)
+        case "--seed" :: v :: t =>
+          seed = v.toLongOption.getOrElse(throw GraftError.Configuration(
+            s"--seed needs an integer, got '$v'")); mloop(t)
+        case "--source-type" :: v :: t => srcType = Some(v); mloop(t)
+        case "--log-level" :: v :: t =>
+          mlogLevel = YamlJob.checkLogLevel(v); mloop(t)
+        case flag :: _ if flag.startsWith("--") =>
+          throw GraftError.Configuration(
+            s"unknown or incomplete manifest option '$flag'")
+        case v :: t if source.isEmpty => source = Some(v); mloop(t)
+        case v :: _ =>
+          throw GraftError.Configuration(s"unexpected argument '$v'")
+      }
+      mloop(rest)
+      ManifestCmd(
+        source.getOrElse(
+          throw GraftError.Configuration("manifest needs a SOURCE")),
+        id.getOrElse(
+          throw GraftError.Configuration("manifest needs --id COL")),
+        content.getOrElse(
+          throw GraftError.Configuration("manifest needs --content COL")),
+        shards, seed, srcType.map("sourceType" -> _).toMap, mlogLevel)
     case "topk" :: rest =>
       var source: Option[String] = None
       var groups = Seq.empty[String]
@@ -766,6 +815,26 @@ object Main {
       println(s"  before: ${before.files} files, ${before.bytes} bytes " +
         s"(${before.smallFiles} under 32 MB)")
       println(s"  after:  ${after.files} files, ${after.bytes} bytes")
+      0
+    } finally if (!preExisting) spark.stop()
+  }
+
+  /** `graft manifest SOURCE --id COL --content COL`: print the
+    * per-shard reproducibility manifest ([[graft.llm.Shuffling
+    * .shardManifest]]) — the artifact a training run records next to
+    * its shards so a resume or audit can prove it reads the same
+    * corpus in the same partitioning. */
+  def runManifest(m: ManifestCmd): Int = {
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = session(m.logLevel)
+    try {
+      val df = graft.sources.Connectors.read(spark, m.source, m.sourceOptions)
+      val out = graft.llm.Shuffling.shardManifest(
+        df, m.id, m.content, m.seed, m.shards).orderBy("shard")
+      println(s"\nShard manifest: ${m.source} " +
+        s"(${m.shards} shards, seed ${m.seed})")
+      println(graft.engine.PreviewFormat.dataTable(out.columns.toSeq,
+        out.collect()))
       0
     } finally if (!preExisting) spark.stop()
   }

@@ -946,6 +946,36 @@ class CliSpec extends SparkSpec {
     assert(got.toSeq == (1L to 300L).map(i => (i, s"v$i")))
   }
 
+  test("manifest subcommand: parse forms, box e2e, typed errors") {
+    val m = parse(List("manifest", "d.parquet", "--id", "doc_id",
+      "--content", "text", "--shards", "4", "--seed", "9"))
+      .asInstanceOf[ManifestCmd]
+    assert(m.source == "d.parquet" && m.id == "doc_id" &&
+      m.content == "text" && m.shards == 4 && m.seed == 9L)
+    intercept[GraftError.Configuration](parse(List("manifest")))
+    intercept[GraftError.Configuration](
+      parse(List("manifest", "a.parquet", "--id", "x")))
+    intercept[GraftError.Configuration](
+      parse(List("manifest", "a.parquet", "--id", "x", "--content", "y",
+        "--shards", "0")))
+
+    import spark.implicits._
+    val dir = tmpDir("cli_manifest")
+    (1L to 100L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+      .write.parquet(s"$dir/in.parquet")
+    val out = new java.io.ByteArrayOutputStream()
+    val rc = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      runManifest(parse(List("manifest", s"$dir/in.parquet",
+        "--id", "doc_id", "--content", "text", "--shards", "4"))
+        .asInstanceOf[ManifestCmd])
+    }
+    assert(rc == 0)
+    val rendered = out.toString("UTF-8")
+    assert(rendered.contains("Shard manifest") &&
+      rendered.contains("xor_fingerprint") &&
+      rendered.contains("content_chars"))
+  }
+
   test("topk subcommand: parse forms, box output, typed errors") {
     val tk = parse(List("topk", "d.parquet", "--group", "lang,source",
       "--key", "n", "--id", "doc_id", "-k", "3", "--asc"))
