@@ -1982,6 +1982,25 @@ object SparkEntry {
         "doc_id", "n_chars", k = 60, seed = 7L)
     },
 
+    // --- incremental aggregate maintenance: the snapshot (pre-1997
+    // orders) merges with the delta batch's partials — history is
+    // never rescanned — and the oracle is the FULL recompute, so the
+    // merge identity combine(partials(a), partials(b)) ≡
+    // partials(a ∪ b) is what the gate checks. ---
+    "q_incremental_agg" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+        .filter(col("o_orderdate").isNotNull)
+        .select(col("o_custkey"), col("o_orderdate"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val cut = to_timestamp(lit("1997-01-01 00:00:00"))
+      val snap = graft.operators.IncrementalAgg.partials(
+        o.filter(col("o_orderdate") < cut), Seq("o_custkey"), Seq("cents"))
+      val delta = graft.operators.IncrementalAgg.partials(
+        o.filter(col("o_orderdate") >= cut), Seq("o_custkey"), Seq("cents"))
+      graft.operators.IncrementalAgg.combine(
+        Seq(snap, delta), Seq("o_custkey"), Seq("cents"))
+    },
+
     // --- length-bucketed batch assignment (padding minimizer): char
     // buckets at 500/1500/3000, batches of 16 ordered (len, id); one
     // bucket-partitioned window. ---
@@ -4314,6 +4333,15 @@ object SparkEntry {
         |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
         |  ORDER BY key DESC, doc_id LIMIT 60
         |)""".stripMargin,
+
+    "q_incremental_agg" ->
+      """SELECT o_custkey, count(*) AS n,
+        |  CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  min(CAST(round(o_totalprice * 100) AS BIGINT)) AS min_cents,
+        |  max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
+        |FROM orders WHERE o_orderdate IS NOT NULL
+        |GROUP BY o_custkey""".stripMargin,
 
     "q_bucket_batches" ->
       """WITH b AS (
