@@ -2001,6 +2001,16 @@ object SparkEntry {
         Seq(snap, delta), Seq("o_custkey"), Seq("cents"))
     },
 
+    // --- grouped E-S weighted sampling: at most 20 docs PER language,
+    // length-weighted; one hash-partitioned window, groups select in
+    // parallel (no driver-side limit). ---
+    "q_weighted_sample_group" -> { (s, dir) =>
+      graft.llm.Sampling.weightedSamplePerGroup(
+        t(s, dir, "documents")
+          .select(col("doc_id"), col("lang"), col("n_chars")),
+        Seq("lang"), "doc_id", "n_chars", k = 20, seed = 11L)
+    },
+
     // --- length-bucketed batch assignment (padding minimizer): char
     // buckets at 500/1500/3000, batches of 16 ordered (len, id); one
     // bucket-partitioned window. ---
@@ -4342,6 +4352,21 @@ object SparkEntry {
         |  max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
         |FROM orders WHERE o_orderdate IS NOT NULL
         |GROUP BY o_custkey""".stripMargin,
+
+    "q_weighted_sample_group" ->
+      """WITH b AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    pow(((((doc_id + 11) % 1000000007) * 2654435761)
+        |           % 1000000007 % 1000000 + 0.5) / 1000000.0,
+        |        1.0 / CAST(n_chars AS DOUBLE)) AS key
+        |  FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0
+        |), r AS (
+        |  SELECT doc_id, lang, n_chars,
+        |    row_number() OVER (PARTITION BY lang
+        |                       ORDER BY key DESC, doc_id) AS rn
+        |  FROM b
+        |)
+        |SELECT doc_id, lang, n_chars FROM r WHERE rn <= 20""".stripMargin,
 
     "q_bucket_batches" ->
       """WITH b AS (

@@ -284,6 +284,34 @@ object Sampling {
       .drop("__es_key")
   }
 
+  /** Per-group [[weightedSample]]: at most `k` rows from EVERY group,
+    * inclusion odds proportional to weight within the group — the
+    * "best k documents per domain, quality-weighted but not
+    * deterministic-argmax" selection. Same E-S key rule; the top-k
+    * runs per group as ONE hash-partitioned window (groups select in
+    * parallel — no driver-side limit, so unlike [[weightedSample]]
+    * this shape scales with the number of groups). */
+  def weightedSamplePerGroup(df: DataFrame, groupCols: Seq[String],
+                             idCol: String, weightCol: String, k: Int,
+                             seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(groupCols.nonEmpty, "groupCols must be non-empty")
+    (groupCols ++ Seq(idCol, weightCol)).foreach(c =>
+      require(df.columns.contains(c), s"no such column '$c'"))
+    Guards.requireFreshColumns(df, Seq("__es_key", "__es_rn"),
+      "Sampling.weightedSamplePerGroup")
+    val u = (portableBucket(col(idCol) + lit(seed)) + lit(0.5)) /
+      lit(Buckets.toDouble)
+    val w = Window.partitionBy(groupCols.map(col): _*)
+      .orderBy(col("__es_key").desc, col(idCol))
+    df.filter(col(weightCol).isNotNull && col(weightCol) > 0)
+      .withColumn("__es_key", pow(u, lit(1.0) / col(weightCol).cast("double")))
+      .withColumn("__es_rn", row_number().over(w))
+      .filter(col("__es_rn") <= k)
+      .drop("__es_key", "__es_rn")
+  }
+
   /** Deterministic token-budget cut: "give me ~`budget` tokens of this
     * corpus, reproducibly". Rows are taken in deterministic shuffle
     * order (seeded portable hash of the id — decorrelated from ingest

@@ -84,6 +84,26 @@ class ShardSamplingSpec extends SparkSpec {
       Sampling.weightedSample(df, "id", "w", k = 0))
   }
 
+  test("grouped weighted sample: per-group k, same key rule as global") {
+    val df = (1L to 200L).map(i => (i, s"g${i % 3}", (i % 5) + 1L))
+      .toDF("id", "g", "w")
+    val got = Sampling.weightedSamplePerGroup(df, Seq("g"), "id", "w",
+        k = 10, seed = 3L)
+      .select("g", "id").as[(String, Long)].collect()
+      .groupBy(_._1).map { case (g, v) => g -> v.map(_._2).toSet }
+    assert(got.keySet == Set("g0", "g1", "g2"))
+    assert(got.values.forall(_.size == 10))
+    // per-group picks = the global rule restricted to the group
+    def naiveGroup(g: String): Set[Long] =
+      (1L to 200L).filter(i => s"g${i % 3}" == g).map { i =>
+        val b = ((((i + 3L) % 1000000007L) * 2654435761L) % 1000000007L) % 1000000L
+        (math.pow((b + 0.5) / 1000000.0, 1.0 / ((i % 5) + 1L)), i)
+      }.sortBy { case (k2, i) => (-k2, i) }.take(10).map(_._2).toSet
+    got.foreach { case (g, ids) => assert(ids == naiveGroup(g), g) }
+    intercept[IllegalArgumentException](
+      Sampling.weightedSamplePerGroup(df, Seq.empty, "id", "w", 5))
+  }
+
   test("bucket batches: boundaries, batch arithmetic, per-batch padding bound") {
     val df = Seq(
       (1L, 10L), (2L, 499L), (3L, 500L), (4L, 1499L),
