@@ -52,6 +52,12 @@ object Main {
                                shards: Int, seed: Long,
                                sourceOptions: Map[String, String],
                                logLevel: String) extends Cmd
+  final case class SampleCmd(source: String, target: String, id: String,
+                             fraction: Option[Double], complement: Boolean,
+                             k: Option[Int], weight: Option[String],
+                             by: Seq[String], seed: Long,
+                             sourceOptions: Map[String, String],
+                             logLevel: String) extends Cmd
   case object GenDefault extends Cmd
   case object Help extends Cmd
   case object Version extends Cmd
@@ -84,6 +90,12 @@ object Main {
       |                               [--source-type TYPE]
       |                               (per-shard reproducibility manifest:
       |                               counts, id range, XOR fingerprint)
+      |       graft sample <SOURCE> <TARGET> --id COL
+      |                               (--fraction F [--complement]
+      |                                | --k N --weight COL [--by g1,g2])
+      |                               [--seed S] [--source-type TYPE]
+      |                               (deterministic hash sample, or exact-k
+      |                               weighted Efraimidis-Spirakis pick)
       |
       |Options:
       |  --transform <EXPRESSIONS>   Inline transforms, e.g. "c=row.a * 2; u=string.upper(row.b)"
@@ -124,6 +136,7 @@ object Main {
           case c: CheckCmd   => runCheck(c)
           case c: CompactCmd => runCompact(c)
           case m: ManifestCmd => runManifest(m)
+          case sc: SampleCmd => runSample(sc)
           case Transfer(c, p, d, ll) => runTransfer(c, p, d, ll)
         }
       } catch {
@@ -317,6 +330,69 @@ object Main {
         content.getOrElse(
           throw GraftError.Configuration("manifest needs --content COL")),
         shards, seed, srcType.map("sourceType" -> _).toMap, mlogLevel)
+    case "sample" :: rest =>
+      var pos = List.empty[String]
+      var id: Option[String] = None
+      var fraction: Option[Double] = None
+      var complement = false
+      var k: Option[Int] = None
+      var weight: Option[String] = None
+      var by = Seq.empty[String]
+      var seed = 42L
+      var srcType: Option[String] = None
+      var slogLevel = "error"
+      @annotation.tailrec
+      def sloop(r: List[String]): Unit = r match {
+        case Nil => ()
+        case "--id" :: v :: t => id = Some(v); sloop(t)
+        case "--fraction" :: v :: t =>
+          fraction = Some(v.toDoubleOption
+            .filter(f => f >= 0.0 && f <= 1.0).getOrElse(
+              throw GraftError.Configuration(
+                s"--fraction needs a number in [0,1], got '$v'"))); sloop(t)
+        case "--complement" :: t => complement = true; sloop(t)
+        case "--k" :: v :: t =>
+          k = Some(v.toIntOption.filter(_ >= 1).getOrElse(
+            throw GraftError.Configuration(
+              s"--k needs a positive integer, got '$v'"))); sloop(t)
+        case "--weight" :: v :: t => weight = Some(v); sloop(t)
+        case "--by" :: v :: t =>
+          by = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq; sloop(t)
+        case "--seed" :: v :: t =>
+          seed = v.toLongOption.getOrElse(throw GraftError.Configuration(
+            s"--seed needs an integer, got '$v'")); sloop(t)
+        case "--source-type" :: v :: t => srcType = Some(v); sloop(t)
+        case "--log-level" :: v :: t =>
+          slogLevel = YamlJob.checkLogLevel(v); sloop(t)
+        case flag :: _ if flag.startsWith("--") =>
+          throw GraftError.Configuration(
+            s"unknown or incomplete sample option '$flag'")
+        case v :: t => pos = pos :+ v; sloop(t)
+      }
+      sloop(rest)
+      val (src, tgt) = pos match {
+        case s :: t :: Nil => (s, t)
+        case _ => throw GraftError.Configuration(
+          "sample needs a SOURCE and a TARGET")
+      }
+      (fraction, k) match {
+        case (Some(_), Some(_)) => throw GraftError.Configuration(
+          "--fraction and --k are mutually exclusive")
+        case (None, None) => throw GraftError.Configuration(
+          "sample needs --fraction F or --k N")
+        case (Some(_), None) =>
+          if (weight.isDefined || by.nonEmpty) throw GraftError.Configuration(
+            "--weight/--by only apply to --k (weighted) sampling")
+        case (None, Some(_)) =>
+          if (weight.isEmpty) throw GraftError.Configuration(
+            "--k needs --weight COL (use --fraction for unweighted)")
+          if (complement) throw GraftError.Configuration(
+            "--complement only applies to --fraction sampling")
+      }
+      SampleCmd(src, tgt,
+        id.getOrElse(throw GraftError.Configuration("sample needs --id COL")),
+        fraction, complement, k, weight, by, seed,
+        srcType.map("sourceType" -> _).toMap, slogLevel)
     case "topk" :: rest =>
       var source: Option[String] = None
       var groups = Seq.empty[String]
@@ -835,6 +911,44 @@ object Main {
         s"(${m.shards} shards, seed ${m.seed})")
       println(graft.engine.PreviewFormat.dataTable(out.columns.toSeq,
         out.collect()))
+      0
+    } finally if (!preExisting) spark.stop()
+  }
+
+  /** `graft sample SOURCE TARGET`: deterministic sampling as a CLI
+    * step — `--fraction` routes to the hash-threshold sampler (same
+    * id ⇒ same decision forever; `--complement` gives the held-out
+    * rest), `--k --weight` to the exact-k Efraimidis-Spirakis pick
+    * (optionally per `--by` group). */
+  def runSample(sc: SampleCmd): Int = {
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = session(sc.logLevel)
+    try {
+      val df = graft.sources.Connectors.read(spark, sc.source, sc.sourceOptions)
+      val bucketFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        c => graft.llm.Sampling.bucket(
+          c + org.apache.spark.sql.functions.lit(sc.seed))
+      val (out, what) = (sc.fraction, sc.k) match {
+        case (Some(f), _) if sc.complement =>
+          (graft.llm.Sampling.byHashComplement(df, sc.id, f, bucketFn),
+            s"complement of fraction $f")
+        case (Some(f), _) =>
+          (graft.llm.Sampling.byHash(df, sc.id, f, bucketFn),
+            s"fraction $f")
+        case (_, Some(kk)) if sc.by.nonEmpty =>
+          (graft.llm.Sampling.weightedSamplePerGroup(df, sc.by, sc.id,
+            sc.weight.get, kk, sc.seed),
+            s"k=$kk per (${sc.by.mkString(",")}) weighted by ${sc.weight.get}")
+        case (_, Some(kk)) =>
+          (graft.llm.Sampling.weightedSample(df, sc.id, sc.weight.get,
+            kk, sc.seed), s"k=$kk weighted by ${sc.weight.get}")
+        case _ => throw GraftError.Configuration("unreachable: parse guards")
+      }
+      graft.sources.Connectors.write(out, sc.target, truncate = true)
+      val n = graft.sources.Connectors
+        .read(spark, sc.target, Map.empty).count()
+      println(s"\nSampled ${sc.source} -> ${sc.target} ($what, " +
+        s"seed ${sc.seed}): $n rows")
       0
     } finally if (!preExisting) spark.stop()
   }

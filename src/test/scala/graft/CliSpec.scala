@@ -976,6 +976,53 @@ class CliSpec extends SparkSpec {
       rendered.contains("content_chars"))
   }
 
+  test("sample subcommand: parse forms, both modes e2e, typed errors") {
+    val f = parse(List("sample", "a.parquet", "b.parquet", "--id", "id",
+      "--fraction", "0.25", "--complement", "--seed", "5"))
+      .asInstanceOf[SampleCmd]
+    assert(f.fraction.contains(0.25) && f.complement && f.seed == 5L)
+    val w = parse(List("sample", "a.parquet", "b.parquet", "--id", "id",
+      "--k", "10", "--weight", "score", "--by", "lang"))
+      .asInstanceOf[SampleCmd]
+    assert(w.k.contains(10) && w.weight.contains("score") &&
+      w.by == Seq("lang"))
+    intercept[GraftError.Configuration](parse(List("sample", "a", "b")))
+    intercept[GraftError.Configuration](parse(List("sample", "a", "b",
+      "--id", "x", "--fraction", "0.5", "--k", "3", "--weight", "w")))
+    intercept[GraftError.Configuration](parse(List("sample", "a", "b",
+      "--id", "x", "--k", "3")))
+    intercept[GraftError.Configuration](parse(List("sample", "a", "b",
+      "--id", "x", "--fraction", "2")))
+    intercept[GraftError.Configuration](parse(List("sample", "a", "b",
+      "--id", "x", "--fraction", "0.5", "--weight", "w")))
+    intercept[GraftError.Configuration](parse(List("sample", "a", "b",
+      "--id", "x", "--k", "3", "--weight", "w", "--complement")))
+
+    import spark.implicits._
+    val dir = tmpDir("cli_sample")
+    (1L to 400L).map(i => (i, (i % 9) + 1L)).toDF("id", "w")
+      .write.parquet(s"$dir/in.parquet")
+    // fraction + complement partition the corpus exactly
+    def runIt(args: String*): Int =
+      Console.withOut(new java.io.PrintStream(
+        new java.io.ByteArrayOutputStream(), true, "UTF-8")) {
+        runSample(parse(args.toList).asInstanceOf[SampleCmd])
+      }
+    assert(runIt("sample", s"$dir/in.parquet", s"$dir/s.parquet",
+      "--id", "id", "--fraction", "0.3") == 0)
+    assert(runIt("sample", s"$dir/in.parquet", s"$dir/c.parquet",
+      "--id", "id", "--fraction", "0.3", "--complement") == 0)
+    val ss = spark.read.parquet(s"$dir/s.parquet").select("id")
+      .as[Long].collect().toSet
+    val cc = spark.read.parquet(s"$dir/c.parquet").select("id")
+      .as[Long].collect().toSet
+    assert((ss & cc).isEmpty && ss.size + cc.size == 400)
+    // weighted exact-k
+    assert(runIt("sample", s"$dir/in.parquet", s"$dir/k.parquet",
+      "--id", "id", "--k", "25", "--weight", "w") == 0)
+    assert(spark.read.parquet(s"$dir/k.parquet").count() == 25L)
+  }
+
   test("topk subcommand: parse forms, box output, typed errors") {
     val tk = parse(List("topk", "d.parquet", "--group", "lang,source",
       "--key", "n", "--id", "doc_id", "-k", "3", "--asc"))
