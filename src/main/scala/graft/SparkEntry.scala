@@ -2001,6 +2001,23 @@ object SparkEntry {
         Seq(snap, delta), Seq("o_custkey"), Seq("cents"))
     },
 
+    // --- LINEAR multi-touch attribution: every qualifying click
+    // splits the purchase's value evenly (credit = value / touches);
+    // one window exchange on purchase_id over the narrow touch rows.
+    // floor-half-up rounding (see q_cooccurrence) keeps the division
+    // engine-replayable even on exact decimal ties. ---
+    "q_attribution_linear" -> { (s, dir) =>
+      val touches = EventsStreaming.attributionBatch(s, dir)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("purchase_id"))
+      touches
+        .withColumn("n_touches", count(lit(1)).over(w))
+        .select(col("user_id"), col("purchase_id"), col("click_id"),
+          col("n_touches"),
+          (floor(col("purchase_value") / col("n_touches") * 1e6 + 0.5) / 1e6)
+            .as("credit"))
+    },
+
     // --- grouped E-S weighted sampling: at most 20 docs PER language,
     // length-weighted; one hash-partitioned window, groups select in
     // parallel (no driver-side limit). ---
@@ -4352,6 +4369,22 @@ object SparkEntry {
         |  max(CAST(round(o_totalprice * 100) AS BIGINT)) AS max_cents
         |FROM orders WHERE o_orderdate IS NOT NULL
         |GROUP BY o_custkey""".stripMargin,
+
+    "q_attribution_linear" ->
+      """WITH t AS (
+        |  SELECT c.user_id, c.event_id AS click_id,
+        |    p.event_id AS purchase_id, p.value AS purchase_value
+        |  FROM events c JOIN events p
+        |    ON c.user_id = p.user_id
+        |   AND c.event_type = 'click' AND p.event_type = 'purchase'
+        |   AND c.ts <= p.ts AND c.ts >= p.ts - INTERVAL 1 HOUR
+        |)
+        |SELECT user_id, purchase_id, click_id,
+        |  count(*) OVER (PARTITION BY purchase_id) AS n_touches,
+        |  floor(purchase_value
+        |        / (count(*) OVER (PARTITION BY purchase_id))
+        |        * 1000000 + 0.5) / 1000000 AS credit
+        |FROM t""".stripMargin,
 
     "q_weighted_sample_group" ->
       """WITH b AS (
