@@ -479,6 +479,20 @@ class PlanSpec extends SparkSpec {
       "the sampler must stay a pure filter projection")
   }
 
+  test("cooccurrence: metric joins broadcast; pair shuffles are key-narrow") {
+    val baskets = sf("lineitem").select(col("l_orderkey").as("b"),
+      pmod(col("l_partkey"), lit(199)).as("i"))
+    val df = graft.operators.Cooccurrence.pairs(baskets, "b", "i",
+      minCount = 3)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"),
+      "item totals must broadcast back onto the pair counts")
+    // every exchange carries only basket/item keys and counters
+    shuffleOutputs(df).foreach(cols =>
+      assert(cols.size <= 5, s"unexpectedly wide shuffle: $cols"))
+  }
+
   test("markov transitions: no shuffle carries raw event payloads") {
     val df = graft.operators.Markov.transitions(
       graft.streaming.EventsStreaming.readEvents(spark, "/root/testdata/sf0.001")
