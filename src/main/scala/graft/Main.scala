@@ -880,8 +880,15 @@ object Main {
         before.bytes, c.targetFileMb.toLong << 20)
       val out = graft.operators.Compaction.compact(
         df, n, c.clusterBy, c.rebalance)
+      // mirror the source-side default: parquet only when the target
+      // has no recognizable extension — `graft compact in out.csv`
+      // must write CSV, not parquet files into a path named out.csv
+      val tgtOpts =
+        if (scala.util.Try(graft.sources.Connectors
+              .parse(c.target, Map.empty)).isSuccess) Map.empty[String, String]
+        else Map("sourceType" -> "parquet")
       graft.sources.Connectors.write(out, c.target, truncate = true,
-        options = Map("sourceType" -> "parquet"))
+        options = tgtOpts)
       val after = graft.operators.Compaction.dirStats(spark, c.target)
       val mode =
         if (c.clusterBy.nonEmpty) s"cluster-by ${c.clusterBy.mkString(",")}"
@@ -925,9 +932,11 @@ object Main {
     val spark = session(sc.logLevel)
     try {
       val df = graft.sources.Connectors.read(spark, sc.source, sc.sourceOptions)
+      // seed via a hashed xxhash64 prefix, NOT arithmetic on the id —
+      // `id + seed` contracts on numeric ids (string ids throw a raw
+      // CAST under ANSI or silently hash NULL without it)
       val bucketFn: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
-        c => graft.llm.Sampling.bucket(
-          c + org.apache.spark.sql.functions.lit(sc.seed))
+        graft.llm.Sampling.bucketSeeded(sc.seed)
       val (out, what) = (sc.fraction, sc.k) match {
         case (Some(f), _) if sc.complement =>
           (graft.llm.Sampling.byHashComplement(df, sc.id, f, bucketFn),

@@ -4290,10 +4290,17 @@ object SparkEntry {
         |GROUP BY d.doc_id""".stripMargin,
 
     "q_cooccurrence" ->
-      """WITH items AS (
+      """WITH items0 AS (
         |  SELECT DISTINCT l_orderkey AS b, l_partkey % 199 AS i
         |  FROM lineitem
         |  WHERE l_orderkey IS NOT NULL AND l_partkey IS NOT NULL
+        |), items AS (
+        |  -- mirror the operator's maxBasketSize=1000 skew guard: drop
+        |  -- whole baskets over the cap BEFORE nBaskets/itemCounts so
+        |  -- the metric denominators agree even on degenerate fixtures
+        |  SELECT b, i FROM (
+        |    SELECT b, i, count(*) OVER (PARTITION BY b) AS sz FROM items0
+        |  ) WHERE sz <= 1000
         |), nb AS (
         |  SELECT count(DISTINCT b) AS n FROM items
         |), ic AS (
@@ -4334,21 +4341,23 @@ object SparkEntry {
         |  FROM b GROUP BY 1
         |)
         |SELECT l_suppkey, n,
-        |  round(CASE WHEN n * sxx - sx * sx > 0 THEN
+        |  floor(CASE WHEN n * sxx - sx * sx > 0 THEN
         |    CAST(n * sxy - sx * sy AS DOUBLE)
-        |      / CAST(n * sxx - sx * sx AS DOUBLE) END, 6) AS slope,
-        |  round(CASE WHEN n * sxx - sx * sx > 0 THEN
+        |      / CAST(n * sxx - sx * sx AS DOUBLE) END
+        |    * 1000000 + 0.5) / 1000000 AS slope,
+        |  floor(CASE WHEN n * sxx - sx * sx > 0 THEN
         |    (CAST(sy AS DOUBLE)
         |      - (CAST(n * sxy - sx * sy AS DOUBLE)
         |         / CAST(n * sxx - sx * sx AS DOUBLE))
-        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END, 6)
-        |    AS intercept,
-        |  round(CASE WHEN n * sxx - sx * sx > 0
+        |        * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE) END
+        |    * 1000000 + 0.5) / 1000000 AS intercept,
+        |  floor(CASE WHEN n * sxx - sx * sx > 0
         |             AND n * syy - sy * sy > 0 THEN
         |    (CAST(n * sxy - sx * sy AS DOUBLE)
         |      * CAST(n * sxy - sx * sy AS DOUBLE))
         |    / (CAST(n * sxx - sx * sx AS DOUBLE)
-        |      * CAST(n * syy - sy * sy AS DOUBLE)) END, 6) AS r2
+        |      * CAST(n * syy - sy * sy AS DOUBLE)) END
+        |    * 1000000 + 0.5) / 1000000 AS r2
         |FROM m""".stripMargin,
 
     "q_weighted_sample" ->

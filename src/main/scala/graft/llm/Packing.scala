@@ -97,6 +97,9 @@ object Packing {
       s"edges must be strictly increasing: ${edges.mkString(",")}")
     Seq(idCol, tokensCol).foreach(c =>
       require(df.columns.contains(c), s"no such column '$c'"))
+    Guards.requireFreshColumns(df,
+      Seq("bucket", "batch_idx", "batch_pos", "__rn"),
+      "Packing.bucketBatches")
     val t = col(tokensCol).cast("long")
     val bucket = edges.zipWithIndex.foldRight(lit(edges.size.toLong)) {
       case ((e, i), acc) => when(t < e, lit(i.toLong)).otherwise(acc)

@@ -30,6 +30,37 @@ object Sampling {
   /** Default bucket: xxhash64 — best mixing, one codegen'd call. */
   def bucket(id: Column): Column = pmod(xxhash64(id), lit(Buckets))
 
+  /** Seeded variant of [[bucket]] for any id type: the seed enters
+    * xxhash64 as a leading hashed value, never as arithmetic on the
+    * id — `bucket(id + seed)` contracts on numeric ids (a string id
+    * throws a raw CAST under ANSI, or silently hashes NULL without
+    * it, collapsing every row into one bucket). */
+  def bucketSeeded(seed: Long)(id: Column): Column =
+    pmod(xxhash64(lit(seed), id), lit(Buckets))
+
+  /** The portable seeded hash (`portableBucket(id + seed)`) adds the
+    * seed ARITHMETICALLY so any SQL engine can replay it — which
+    * contracts on an integral id. A string id would throw a raw
+    * CAST_INVALID_INPUT under ANSI (Spark 4 default) or, with ANSI
+    * off, silently hash NULL so every row gets the same key. Fail
+    * with a typed configuration error instead of either. */
+  private[graft] def requireIntegralId(df: DataFrame, idCol: String,
+                                       op: String): Unit = {
+    require(df.columns.contains(idCol), s"no such column '$idCol'")
+    import org.apache.spark.sql.types._
+    val t = df.schema(idCol).dataType
+    val integral = t match {
+      case ByteType | ShortType | IntegerType | LongType => true
+      case _ => false
+    }
+    if (!integral)
+      throw graft.core.GraftError.Configuration(
+        s"$op seeds the SQL-portable hash arithmetically, which needs an " +
+          s"integer id column; '$idCol' is ${t.simpleString} — cast it, or " +
+          "use an xxhash64-bucket sampler (Sampling.bucketSeeded) for " +
+          "string ids")
+  }
+
   /** Portable bucket: Knuth multiplicative hash `((id mod P) * K) mod P
     * mod Buckets`. Weaker mixing than xxhash64 but expressible in ANY
     * SQL engine (the DuckDB oracle can't evaluate xxhash64), and
@@ -274,6 +305,8 @@ object Sampling {
     require(k >= 1, s"k must be >= 1, got $k")
     Seq(idCol, weightCol).foreach(c =>
       require(df.columns.contains(c), s"no such column '$c'"))
+    requireIntegralId(df, idCol, "Sampling.weightedSample")
+    Guards.requireFreshColumns(df, Seq("__es_key"), "Sampling.weightedSample")
     val u = (portableBucket(col(idCol) + lit(seed)) + lit(0.5)) /
       lit(Buckets.toDouble)
     val key = pow(u, lit(1.0) / col(weightCol).cast("double"))
@@ -299,6 +332,7 @@ object Sampling {
     require(groupCols.nonEmpty, "groupCols must be non-empty")
     (groupCols ++ Seq(idCol, weightCol)).foreach(c =>
       require(df.columns.contains(c), s"no such column '$c'"))
+    requireIntegralId(df, idCol, "Sampling.weightedSamplePerGroup")
     Guards.requireFreshColumns(df, Seq("__es_key", "__es_rn"),
       "Sampling.weightedSamplePerGroup")
     val u = (portableBucket(col(idCol) + lit(seed)) + lit(0.5)) /
@@ -338,6 +372,7 @@ object Sampling {
     require(shards >= 1, s"shards must be >= 1: $shards")
     require(budget / shards >= 1,
       s"budget $budget splits below 1 token per shard over $shards shards")
+    requireIntegralId(df, idCol, "Sampling.tokenBudget")
     Guards.requireFreshColumns(df, Seq("__tb_key", "__tb_shard", "__tb_cum"),
       "Sampling.tokenBudget")
     val perShard = budget / shards

@@ -41,6 +41,9 @@ object Shuffling {
                            shards: Int,
                            between: DataFrame => DataFrame): DataFrame = {
     require(shards >= 1, s"shards must be >= 1: $shards")
+    Sampling.requireIntegralId(df, idCol, "Shuffling")
+    Guards.requireFreshColumns(df, Seq("shuffle_key", "shard", "shard_pos"),
+      "Shuffling")
     val w = Window.partitionBy(col("shard"))
       .orderBy(col("shuffle_key"), col(idCol))
     val keyed = df
@@ -89,6 +92,7 @@ object Shuffling {
     require(shards >= 1, s"shards must be >= 1: $shards")
     (Seq(idCol, contentCol)).foreach(c =>
       require(df.columns.contains(c), s"no such column '$c'"))
+    Sampling.requireIntegralId(df, idCol, "Shuffling.shardManifest")
     val fullHash = pmod(
       pmod(col(idCol).cast("long") + lit(seed), lit(Sampling.P)) *
         lit(Sampling.K), lit(Sampling.P))

@@ -62,9 +62,19 @@ object Trend {
       (cov.cast("double") * cov.cast("double")) /
         (varX.cast("double") * varY.cast("double")))
 
+    // half-up-toward-+inf rounding spelled as floor(x·10^s + 0.5)/10^s:
+    // identical IEEE steps in any engine — Spark's BigDecimal HALF_UP
+    // and DuckDB's round() disagree on doubles at exact decimal ties
+    // (observed live on Cooccurrence's lift), and slope/intercept/r2
+    // are ratios of exact integer moments, so representable ties
+    // (e.g. 1/64 at roundTo=6) are reachable. Values may be negative;
+    // floor-half-up stays well-defined there as long as the oracle
+    // mirrors the same spelling.
+    val p10 = math.pow(10.0, roundTo)
+    def r(c: org.apache.spark.sql.Column) = floor(c * p10 + 0.5) / p10
     m.select(keyCols.map(col) ++ Seq(col("n"),
-      round(slope, roundTo).as("slope"),
-      round(intercept, roundTo).as("intercept"),
-      round(r2, roundTo).as("r2")): _*)
+      r(slope).as("slope"),
+      r(intercept).as("intercept"),
+      r(r2).as("r2")): _*)
   }
 }

@@ -84,6 +84,34 @@ class ShardSamplingSpec extends SparkSpec {
       Sampling.weightedSample(df, "id", "w", k = 0))
   }
 
+  test("portable-hash samplers reject string ids with a typed error") {
+    // the portable E-S / shuffle key adds the seed ARITHMETICALLY —
+    // a string id would CAST-throw under ANSI or NULL-hash without
+    // it (every row in one bucket); the guard makes it a typed error
+    val s = Seq(("a", 5L), ("b", 3L)).toDF("id", "w")
+    intercept[graft.core.GraftError.Configuration](
+      Sampling.weightedSample(s, "id", "w", k = 1))
+    intercept[graft.core.GraftError.Configuration](
+      Sampling.weightedSamplePerGroup(s, Seq("w"), "id", "w", k = 1))
+    intercept[graft.core.GraftError.Configuration](
+      Sampling.tokenBudget(s, "id", "w", budget = 10, shards = 1))
+    intercept[graft.core.GraftError.Configuration](
+      Shuffling.deterministicShuffle(s, "id"))
+    intercept[graft.core.GraftError.Configuration](
+      Shuffling.shardManifest(s, "id", "w"))
+    // the seeded xxhash64 bucket is the string-safe path: seed enters
+    // as a hashed prefix, decisions stay deterministic and non-trivial
+    val big = (1 to 400).map(i => s"doc_$i").toDF("id")
+    val kept = Sampling.byHash(big, "id", 0.3,
+      Sampling.bucketSeeded(7L)).count()
+    val rest = Sampling.byHashComplement(big, "id", 0.3,
+      Sampling.bucketSeeded(7L)).count()
+    assert(kept + rest == 400 && kept > 0 && rest > 0)
+    val kept2 = Sampling.byHash(big, "id", 0.3,
+      Sampling.bucketSeeded(8L)).count()
+    assert(kept2 > 0) // different seed still samples (not degenerate)
+  }
+
   test("grouped weighted sample: per-group k, same key rule as global") {
     val df = (1L to 200L).map(i => (i, s"g${i % 3}", (i % 5) + 1L))
       .toDF("id", "g", "w")
