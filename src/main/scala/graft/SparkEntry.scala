@@ -913,6 +913,23 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // --- exact-substring span EXCISION (Lee et al. 2021 shape): the
+    // duplicated span is removed from all-but-one occurrence and the
+    // doc REBUILT from its surviving segments — originals (smaller
+    // ids) keep their text, the tail-appended copies lose the shared
+    // prefix and shrink to the unaligned remnant. The oracle replays
+    // window→keeper→interval-merge→substr reassembly on the strings
+    // themselves ---
+    "q_span_excise" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val extended = docs.filter(pmod(col("doc_id"), lit(9)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" with an appended trailing remark"))
+            .as("text"))
+      Spans.excise(docs.union(extended), "doc_id", "text",
+        k = 40, stride = 20)
+    },
+
     // --- corpus-level boilerplate: bigrams present in >= 15% of docs.
     // A fixed disclaimer is appended to a quarter of the corpus (20%
     // of the union) while the highest NATURAL bigram doc-frequency is
@@ -3025,6 +3042,66 @@ object SparkEntry {
         |SELECT corpus.doc_id
         |FROM corpus LEFT JOIN per USING (doc_id)
         |WHERE coalesce(round(CAST(n_repeated AS DOUBLE) / n_windows, 6), 0.0) <= 0.2""".stripMargin,
+
+    // span excision: windows by CONTENT (the operator compares by
+    // 64-bit hash — identical up to 2^-64 collisions), keeper = min
+    // (doc_id, off) encoded as doc_id*1e7+off (off << 1e7), interval
+    // merge via gaps-and-islands, rebuild via ordered substr segments
+    "q_span_excise" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    text || ' with an appended trailing remark' AS text
+        |  FROM documents WHERE doc_id % 9 = 0
+        |), w0 AS (
+        |  SELECT doc_id, text,
+        |    unnest(range(1, len(text) - 38, 20)) AS p
+        |  FROM corpus WHERE len(text) >= 40
+        |), w AS (
+        |  SELECT doc_id, CAST(p - 1 AS BIGINT) AS off,
+        |    substr(text, CAST(p AS BIGINT), 40) AS win
+        |  FROM w0
+        |), occ AS (
+        |  SELECT win, count(*) AS c,
+        |    min(doc_id * 10000000 + off) AS keep
+        |  FROM w GROUP BY win
+        |), ex AS (
+        |  SELECT w.doc_id, w.off AS s, w.off + 40 AS e
+        |  FROM w JOIN occ USING (win)
+        |  WHERE c >= 2 AND w.doc_id * 10000000 + w.off <> keep
+        |), fl AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+        |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS f
+        |  FROM ex
+        |), isl AS (
+        |  SELECT doc_id, s, e,
+        |    sum(f) OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+        |  FROM fl
+        |), mg AS (
+        |  SELECT doc_id, min(s) AS s, max(e) AS e
+        |  FROM isl GROUP BY doc_id, g
+        |), seg AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ks,
+        |    s AS ke
+        |  FROM mg
+        |  UNION ALL
+        |  SELECT doc_id, max(e) AS ks, NULL AS ke
+        |  FROM mg GROUP BY doc_id
+        |), reb AS (
+        |  SELECT sg.doc_id,
+        |    string_agg(substr(c.text, CAST(sg.ks AS BIGINT) + 1,
+        |      coalesce(sg.ke, len(c.text)) - sg.ks), '' ORDER BY sg.ks)
+        |      AS text
+        |  FROM seg sg JOIN corpus c USING (doc_id)
+        |  GROUP BY sg.doc_id
+        |)
+        |SELECT c.doc_id,
+        |  CASE WHEN r.doc_id IS NULL THEN c.text ELSE r.text END AS text
+        |FROM corpus c LEFT JOIN reb r USING (doc_id)""".stripMargin,
 
     "q_boilerplate" ->
       """WITH corpus AS (

@@ -83,4 +83,95 @@ object Spans {
       .select(col(idCol))
     df.join(keep, Seq(idCol), "left_semi")
   }
+
+  /** Exact-substring span EXCISION — the production shape of corpus
+    * substring dedup (Lee et al. 2021, "Deduplicating Training Data
+    * Makes Language Models Better"): instead of dropping a document
+    * that carries a duplicated span ([[filterRepeatedSpans]]), remove
+    * the span from all-but-one occurrence and REBUILD the document
+    * from its surviving segments, keeping the unique remainder in the
+    * corpus.
+    *
+    * Semantics (window granularity): a k-char strided window whose
+    * hash occurs >= `minOccurrences` times corpus-wide is duplicated;
+    * per hash, the lexicographically first occurrence by (id, offset)
+    * is the KEEPER and survives, every other occurrence is excised.
+    * Per document, excised windows merge into maximal spans
+    * (overlapping or exactly-adjacent intervals coalesce) and the text
+    * is reassembled from the complement segments in order. A document
+    * that is one whole duplicated span rebuilds to the empty string —
+    * it stays in the corpus as an auditable husk for the caller to
+    * drop or count. At stride 1 the union of duplicated windows is
+    * exactly the Lee et al. duplicated span; at stride s the aligned
+    * approximation of [[stats]] applies (see
+    * [[graft.functions.SketchExprs.CharWindowHashes]]).
+    *
+    * Scale shape: window analysis shuffles (id, offset, 8-byte hash)
+    * rows only; the occurrence count + keeper pick is ONE map-side
+    * partial aggregation per hash; interval merging is two id-keyed
+    * window passes + a groupBy over 16-byte (id, start, end) rows,
+    * all sharing one id-hash exchange; and the text itself never
+    * shuffles — merged spans per doc come back as a (typically
+    * broadcast-sized) per-id interval array joined onto the original
+    * frame, where the rebuild runs as a single codegen'd fold. */
+  def excise(df: DataFrame, idCol: String, textCol: String,
+             k: Int = 40, stride: Int = 20, minOccurrences: Int = 2,
+             persist: Boolean = false): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(minOccurrences >= 2, s"minOccurrences must be >= 2: $minOccurrences")
+    Guards.requireFreshColumns(df,
+      Seq("__off", "__wh", "__occ", "__keep", "__s", "__e", "__pmax",
+        "__new", "__g", "__ivs"),
+      "Spans.excise")
+    val win0 = df
+      .select(col(idCol), posexplode(charWindowHashes(col(textCol), k, stride)))
+      .select(col(idCol), (col("pos") * stride).as("__off"),
+        col("col").as("__wh"))
+    val win = if (persist) win0.localCheckpoint(true) else win0
+    // occurrence count AND keeper pick in one pass per hash: the
+    // min(struct) argmin rides the same map-side partials as the count
+    val occ = win.groupBy(col("__wh"))
+      .agg(count(lit(1)).as("__occ"),
+        min(struct(col(idCol), col("__off"))).as("__keep"))
+      .filter(col("__occ") >= minOccurrences)
+    val excised = win.join(occ, Seq("__wh"))
+      .filter(!(col(idCol) === col("__keep")(idCol) &&
+        col("__off") === col("__keep")("__off")))
+      .select(col(idCol), col("__off").as("__s"),
+        (col("__off") + lit(k)).as("__e"))
+    // merge per-doc intervals (gaps-and-islands): a window starts a new
+    // island iff it begins strictly after every prior end — exact
+    // adjacency (s == prior e) coalesces, so back-to-back duplicated
+    // windows excise as one span with no empty segment between them
+    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("__s"), col("__e"))
+    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
+    val merged = excised
+      .withColumn("__pmax", max(col("__e")).over(wPrev))
+      .withColumn("__new",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1)
+          .otherwise(0))
+      .withColumn("__g", sum(col("__new")).over(wOrd))
+      .groupBy(col(idCol), col("__g"))
+      .agg(min(col("__s")).as("__s"), max(col("__e")).as("__e"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__s"), col("__e"))))
+        .as("__ivs"))
+    // positional reassembly as one fold over the sorted spans: carry
+    // (next-keep-start, acc), emit the gap before each span, finish
+    // with the tail after the last span. substr/length are codepoint
+    // -indexed, matching the window offsets and SQL semantics.
+    val t = col(textCol)
+    val rebuilt = aggregate(
+      col("__ivs"),
+      struct(lit(0).as("p"), lit("").as("acc")),
+      (st, iv) => struct(
+        iv("__e").as("p"),
+        concat(st("acc"), t.substr(st("p") + lit(1), iv("__s") - st("p")))
+          .as("acc")),
+      st => concat(st("acc"), t.substr(st("p") + lit(1), length(t) - st("p"))))
+    df.join(merged, Seq(idCol), "left")
+      .withColumn(textCol,
+        when(col("__ivs").isNull, t).otherwise(rebuilt))
+      .drop("__ivs")
+  }
 }

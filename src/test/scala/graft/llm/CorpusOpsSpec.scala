@@ -934,6 +934,68 @@ class CorpusOpsSpec extends SparkSpec {
       Seq((1L, "x")).toDF("occ", "text"), "occ", "text"))
   }
 
+  test("spans/excise: all-but-one occurrence removed, doc rebuilt from segments") {
+    // k=10, stride=5. doc1 is the keeper of the shared 40-char block
+    // (lexicographically first (id, off)); doc2 = same block + unique
+    // tail → the block excises from doc2, the tail survives; doc3 is
+    // untouched; doc4 repeats the block INSIDE one doc at an aligned
+    // offset → the second in-doc occurrence excises too.
+    val block = "abcdefghijklmnopqrstuvwxyz0123456789ABCD" // 40 chars
+    val tail = "-EXTRA-TAIL-PADDING-1234"
+    val d = Seq(
+      (1L, block),
+      (2L, block + tail),
+      (3L, "zZyYxXwWvVuUtTsSrRqQpPoOnNmMlL"),
+      (4L, block + block) // 80 chars, second half = in-doc repeat
+    ).toDF("doc_id", "text")
+    val got = Spans.excise(d, "doc_id", "text", k = 10, stride = 5)
+      .orderBy("doc_id").select("text").as[String].collect()
+    assert(got(0) == block, "keeper doc unchanged")
+    // doc2: windows 0..30 (content == doc1's) excise → merged [0,40);
+    // windows at 35+ mix block-tail content, unique → survive
+    assert(got(1) == tail, s"doc2 rebuilt to its unique tail: '${got(1)}'")
+    assert(got(2) == "zZyYxXwWvVuUtTsSrRqQpPoOnNmMlL", "unique doc untouched")
+    // doc4 (block+block): windows at offs 0..30 and 40..70 all carry
+    // block content that doc1 (the keeper) owns → excise [0,40) and
+    // [40,80); the once-occurring seam window [35,45) is COVERED by
+    // their union, and exact adjacency coalesces them to [0,80) — the
+    // whole doc is one span and rebuilds to the empty husk.
+    assert(got(3) == "", s"whole-doc span rebuilds to empty: '${got(3)}'")
+  }
+
+  test("spans/excise: span at start/end, adjacency, and guards") {
+    // stride=k (non-overlapping windows) — excisions hit exact k-blocks
+    val blkA = "AAAAAAAAAA" // 10 chars
+    val blkB = "BBBBBBBBBB"
+    val mid = "-unique-middle-content-0123"
+    val d = Seq(
+      (1L, blkA + mid + blkB),        // keeper of A-span and B-span
+      (2L, blkA + "different middle here!!!!!" + blkB), // hmm — offsets
+      (3L, "no repeats at all in here")
+    ).toDF("doc_id", "text")
+    // doc1: A at [0,10) aligned; mid is 27 chars so B starts at 37 —
+    // NOT aligned to stride 10 → doc1's B never windows at its offset.
+    // Use stride 1 for exactness instead: every repeated k-substring
+    // excises regardless of alignment (the Lee et al. shape).
+    val got = Spans.excise(d, "doc_id", "text", k = 10, stride = 1)
+      .orderBy("doc_id").collect()
+    val t1 = got(0).getAs[String]("text")
+    val t2 = got(1).getAs[String]("text")
+    // doc1 is keeper everywhere (id 1 < 2) → unchanged
+    assert(t1 == blkA + mid + blkB, s"keeper unchanged: '$t1'")
+    // doc2: leading A-block (span at START) and trailing B-block (span
+    // at END) excise; shared boundary chars with the unique middle stay
+    assert(!t2.contains(blkA) && !t2.contains(blkB), s"spans gone: '$t2'")
+    assert(t2.contains("different middle here!!!!!"), s"middle survives: '$t2'")
+    assert(got(2).getAs[String]("text") == "no repeats at all in here")
+    // non-text columns pass through; column-name guard is loud
+    val extra = Seq((1L, "x" * 20, 9)).toDF("doc_id", "text", "meta")
+    assert(Spans.excise(extra, "doc_id", "text", k = 10, stride = 5)
+      .columns.toSeq == Seq("doc_id", "text", "meta"))
+    intercept[IllegalArgumentException](Spans.excise(
+      Seq((1L, "x")).toDF("__ivs", "text"), "__ivs", "text"))
+  }
+
   test("spans: stride 1 catches shift-misaligned repeats that stride k/2 misses") {
     val base = "abcdefghijklmnopqrstuvwxyz0123456789ABCD"
     // 3-char prefix shifts every shared offset by 3 — not ≡ 0 mod 5
