@@ -21,7 +21,14 @@ import org.apache.spark.sql.SparkSession
   * single-shot numbers are noise-dominated in a 55-query JVM (q_sessions
   * 14.9s single-shot vs 0.33s isolated — GC pressure / ambient load, not
   * plan cost); the warm median is stable across reruns, so a real 2×
-  * regression is visible instead of drowned. */
+  * regression is visible instead of drowned.
+  *
+  * Isolation pass (round-9): after a full-suite run, the N slowest
+  * successful queries (default 5; `--isolate N` or
+  * SPARK_GRAFT_BENCH_ISOLATE) are re-measured back-to-back in the
+  * settled JVM and reported under "isolated" in both JSON lines —
+  * full-suite medians still carry ±30% cross-query contention, so a
+  * scoreboard outlier self-disproves inside one artifact. */
 object Bench {
 
   /** Warm the engine spine (CSV write → sampled inference → Lua
@@ -80,9 +87,24 @@ object Bench {
       warmSharedPaths(spark)
     } catch { case _: Throwable => () }
 
+    // --isolate N (or SPARK_GRAFT_BENCH_ISOLATE): after the suite,
+    // re-measure the N slowest queries back-to-back in a settled JVM.
+    // Full-suite warm medians carry ±30% cross-query contention noise
+    // (r7: q_dedup_incremental_near read 6.9s in-suite, 1.6s isolated)
+    // — recording both figures lets a scoreboard outlier self-disprove
+    // without a separate bench invocation. Defaults to 5 on a full run,
+    // 0 when specific queries were named (those ARE the isolated run).
+    val isolateIdx = args.indexOf("--isolate")
+    val queryArgs =
+      if (isolateIdx < 0) args.toSeq
+      else args.toSeq.patch(isolateIdx, Nil, 2)
+    val isolateN =
+      if (isolateIdx >= 0) args(isolateIdx + 1).toInt
+      else sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").map(_.toInt)
+        .getOrElse(if (queryArgs.isEmpty) 5 else 0)
     val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
-      if (args.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
-      else args.toSeq.map(n => n -> SparkEntry.queries.getOrElse(n,
+      if (queryArgs.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      else queryArgs.map(n => n -> SparkEntry.queries.getOrElse(n,
         sys.error(s"unknown query: $n (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")))
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
     // Settle the JVM between queries: several operators eagerly
@@ -100,7 +122,9 @@ object Bench {
     // (name, warmMedianSec, coldSec, ok). A failed query records its
     // elapsed-to-failure (not 0.0) so totals aren't silently deflated —
     // the "failed" list plus the exit code carry the failure signal.
-    val results = selected.map { case (name, fn) =>
+    def timeQuery(name: String,
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (String, Double, Double, Boolean) = {
       settle()
       def once(): (Either[String, Unit], Double) = {
         val t0 = System.nanoTime()
@@ -133,6 +157,7 @@ object Bench {
           }
       }
     }
+    val results = selected.map { case (name, fn) => timeQuery(name, fn) }
     // repeated names (diagnostic mode) get #2, #3… suffixes so the JSON
     // object never carries duplicate keys; "failed" uses the SAME
     // suffixed names so its entries always match keys in "queries"
@@ -142,6 +167,17 @@ object Bench {
         (seen.updated(k, n), acc :+ (((if (n == 1) k else s"$k#$n"), v, c, ok)))
     }._2
     val failed = keyed.filterNot(_._4).map(_._1)
+    // isolation pass: the N slowest SUCCESSFUL queries, re-measured
+    // with the same warm-median discipline in the now-quiet JVM. The
+    // scoreboard of record is "queries"; "isolated" is the outlier
+    // tiebreaker — a query whose isolated figure is far under its
+    // in-suite one was contention, not plan cost.
+    val isolated: Seq[(String, Double)] =
+      keyed.filter(_._4).sortBy(-_._2).take(isolateN).map { case (key, _, _, _) =>
+        val base = key.takeWhile(_ != '#')
+        val (_, med, _, _) = timeQuery(base, SparkEntry.queries(base))
+        (key, med)
+      }
     // round to 0.1ms: halves the line length of the 70-query maps —
     // the driver tail-captures stdout, and round 6's full-precision
     // line outgrew the capture window, truncating from the FRONT and
@@ -162,7 +198,9 @@ object Bench {
     //      capture keeps a complete, parseable JSON object.
     // "value" stays the warm-median sum (bench_version 2 tags the
     // metric so earlier single-shot rounds aren't compared like-for-like).
-    val tail = s""""metric":"total","unit":"sec","bench_version":2,"iters":$iters,"value":${r4(total)},"total_cold":${r4(totalCold)},"failed":$fs,"sf":"$sfDir""""
+    val iso = isolated.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
+      .mkString("{", ",", "}")
+    val tail = s""""metric":"total","unit":"sec","bench_version":2,"iters":$iters,"value":${r4(total)},"total_cold":${r4(totalCold)},"isolated":$iso,"failed":$fs,"sf":"$sfDir""""
     val full = s"""{"queries":$qs,"cold":$cs,$tail}"""
     println(full)
     println(s"""{$tail}""")
