@@ -1309,12 +1309,15 @@ object SparkEntry {
           grouping_id().cast("int").as("gid"))
     },
 
-    // --- exact one-pass Pearson correlation matrix: DECIMAL(38,8)
-    // moment sums (order-independent) → double formula both engines
-    // replay bit-identically; k(k+1)/2+k aggregates share ONE scan ---
+    // --- exact one-pass Pearson correlation matrix over FIXED-POINT
+    // inputs: columns scale to integer cents first, so every moment
+    // accumulates as a DECIMAL(38,0) sum of long products (compact
+    // long-backed decimals — the (38,8) path's value×10^16 forced
+    // BigDecimal adds); the double formula replays bit-identically
+    // from the exact integer sums; k(k+1)/2+k aggregates, ONE scan ---
     "q_correlations" -> { (s, dir) =>
-      graft.operators.Correlations.matrix(t(s, dir, "lineitem"),
-          Seq("l_quantity", "l_extendedprice", "l_discount"))
+      graft.operators.Correlations.matrixFixedPoint(t(s, dir, "lineitem"),
+          Seq("l_quantity" -> 2, "l_extendedprice" -> 2, "l_discount" -> 2))
         .select(col("col_a"), col("col_b"), round(col("corr"), 6).as("corr"))
     },
 
@@ -3481,24 +3484,25 @@ object SparkEntry {
         |GROUP BY CUBE (n_name, l_returnflag)""".stripMargin,
 
     "q_correlations" ->
-      """WITH m AS (
-        |  SELECT CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(CAST(l_quantity AS DECIMAL(38,8))) AS DOUBLE) AS s_q,
-        |    CAST(sum(CAST(l_quantity * l_quantity AS DECIMAL(38,8)))
-        |      AS DOUBLE) AS ss_q,
-        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(38,8))) AS DOUBLE) AS s_p,
-        |    CAST(sum(CAST(l_extendedprice * l_extendedprice AS DECIMAL(38,8)))
-        |      AS DOUBLE) AS ss_p,
-        |    CAST(sum(CAST(l_discount AS DECIMAL(38,8))) AS DOUBLE) AS s_d,
-        |    CAST(sum(CAST(l_discount * l_discount AS DECIMAL(38,8)))
-        |      AS DOUBLE) AS ss_d,
-        |    CAST(sum(CAST(l_quantity * l_extendedprice AS DECIMAL(38,8)))
-        |      AS DOUBLE) AS sp_qp,
-        |    CAST(sum(CAST(l_quantity * l_discount AS DECIMAL(38,8)))
-        |      AS DOUBLE) AS sp_qd,
-        |    CAST(sum(CAST(l_extendedprice * l_discount AS DECIMAL(38,8)))
-        |      AS DOUBLE) AS sp_pd
+      """WITH b AS (
+        |  SELECT CAST(round(l_quantity * 100) AS BIGINT) AS q,
+        |    CAST(round(l_extendedprice * 100) AS BIGINT) AS p,
+        |    CAST(round(l_discount * 100) AS BIGINT) AS d
         |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+        |    AND l_discount IS NOT NULL
+        |), m AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(q AS HUGEINT)) AS DOUBLE) AS s_q,
+        |    CAST(sum(CAST(q AS HUGEINT) * q) AS DOUBLE) AS ss_q,
+        |    CAST(sum(CAST(p AS HUGEINT)) AS DOUBLE) AS s_p,
+        |    CAST(sum(CAST(p AS HUGEINT) * p) AS DOUBLE) AS ss_p,
+        |    CAST(sum(CAST(d AS HUGEINT)) AS DOUBLE) AS s_d,
+        |    CAST(sum(CAST(d AS HUGEINT) * d) AS DOUBLE) AS ss_d,
+        |    CAST(sum(CAST(q AS HUGEINT) * p) AS DOUBLE) AS sp_qp,
+        |    CAST(sum(CAST(q AS HUGEINT) * d) AS DOUBLE) AS sp_qd,
+        |    CAST(sum(CAST(p AS HUGEINT) * d) AS DOUBLE) AS sp_pd
+        |  FROM b
         |)
         |SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
         |  round((n * sp_qp - s_q * s_p)

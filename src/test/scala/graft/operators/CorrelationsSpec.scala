@@ -40,6 +40,34 @@ class CorrelationsSpec extends SparkSpec {
       Correlations.matrix(Seq((1.0, 2.0)).toDF("a", "b"), Seq("a", "a")))
   }
 
+  test("fixedPoint variant: agrees with matrix, stays long-backed exact") {
+    // 2dp fixed-point values; Pearson is invariant under the ×100
+    // integer scaling, so the two paths agree to double precision
+    val df = (1 to 500).map { i =>
+      (i * 0.25, i * 0.5 + (i % 7) * 0.01, ((i * 37) % 100) * 0.01)
+    }.toDF("x", "y", "z")
+    val slow = toMap(Correlations.matrix(df, Seq("x", "y", "z")))
+    val fast = toMap(Correlations.matrixFixedPoint(df,
+      Seq("x" -> 2, "y" -> 2, "z" -> 2)))
+    slow.keySet.foreach { k =>
+      assert(math.abs(slow(k).get - fast(k).get) < 1e-9,
+        s"$k: ${slow(k)} vs ${fast(k)}")
+    }
+    // constant column → NULL on the fixed-point path too
+    val c = Seq((1.0, 5.0), (2.0, 5.0), (3.0, 5.0)).toDF("x", "c")
+    assert(toMap(Correlations.matrixFixedPoint(c,
+      Seq("x" -> 2, "c" -> 2)))(("x", "c")).isEmpty)
+    // digits out of range is loud (scale the units, not the row count)
+    intercept[IllegalArgumentException](Correlations.matrixFixedPoint(
+      df, Seq("x" -> 2, "y" -> 10)))
+    // ONE aggregation, one scan — same plan shape as matrix
+    val plan = Correlations.matrixFixedPoint(df, Seq("x" -> 2, "y" -> 2))
+      .queryExecution.optimizedPlan
+    assert(plan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.size == 1)
+  }
+
   test("all moments ride ONE aggregation over one scan") {
     val df = Seq((1.0, 2.0, 3.0), (4.0, 5.0, 6.0)).toDF("a", "b", "c")
     val plan = Correlations.matrix(df, Seq("a", "b", "c"))
