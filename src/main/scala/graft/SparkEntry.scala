@@ -1531,10 +1531,11 @@ object SparkEntry {
       val v2 = picked.select((col("doc_id") + 200000).as("doc_id"),
         concat(col("text"), lit(" graft dup tail plus more pad")).as("text"))
       val corpus = docs.union(v1).union(v2)
-      val comps = Dedup.minhashDedupConnected(corpus, "doc_id", "text",
-        threshold = 0.5, numHashes = 64, bands = 32)
-      Dedup.keepBestPerComponent(corpus, comps, "doc_id",
-          length(col("text")))
+      // ONE candidate-generation pass answers both "which component"
+      // and "which version survives"; the winners are this query's face
+      Dedup.connectedWithBest(corpus, "doc_id", "text",
+          length(col("text")), threshold = 0.5, numHashes = 64, bands = 32)
+        .filter(col("is_best"))
         .select(col("doc_id"))
     },
 

@@ -391,6 +391,34 @@ object Dedup {
     df.join(winners, Seq(idCol), "left_semi")
   }
 
+  /** Components AND best-per-component winners from ONE
+    * candidate-generation pass: the composed answer a curation
+    * pipeline actually wants — "which component is each doc in, and
+    * which version survives" — without paying the minhash+LSH+closure
+    * twice for the two questions. Output is the full id assignment
+    * annotated with both signals: (id, canonical_id, is_duplicate,
+    * is_best); exactly one `is_best` row per component (the highest
+    * `score`, ties to the smallest id — [[keepBestPerComponent]]'s
+    * policy), singletons are their own winners.
+    *
+    * Scale shape: the closure loop's final frame is checkpointed, so
+    * feeding it to both the component output and the winner argmax
+    * re-reads cached 16-byte rows — LSH candidate generation runs
+    * once no matter how many consumers. The argmax + annotate join
+    * shuffle (id, score, component) keys only. */
+  def connectedWithBest(df: DataFrame, idCol: String, textCol: String,
+                        score: Column, threshold: Double = 0.5,
+                        numHashes: Int = 64, bands: Int = 16,
+                        maxIters: Int = 10): DataFrame = {
+    val comps = minhashDedupConnected(df, idCol, textCol,
+      threshold, numHashes, bands, maxIters)
+    val winners = keepBestPerComponent(df, comps, idCol, score)
+      .select(col(idCol), lit(true).as("is_best"))
+    comps.join(winners, Seq(idCol), "left")
+      .select(col(idCol), col("canonical_id"), col("is_duplicate"),
+        coalesce(col("is_best"), lit(false)).as("is_best"))
+  }
+
   /** Embedding near-dup dedup decision from [[embeddingPairs]] —
     * canonical = smallest paired id (single pass, same contract as
     * [[minhashDedup]]). */

@@ -360,6 +360,44 @@ class LlmSpec extends SparkSpec {
     assert(kept == Seq(2L, 5L), s"wrong survivors: $kept")
   }
 
+  test("connectedWithBest ≡ the two-call composition, one frame, both signals") {
+    // chained variants: orig ~ v1 ~ v2 per picked doc (transitive
+    // component of 3); v2 is longest so it wins each component
+    val docs = (1L to 12L)
+      .map(i => (i, s"document body number $i with several shared words " * 3))
+      .toDF("id", "text")
+    val picked = docs.filter($"id" % 4 === 1)
+    val v1 = picked.select(($"id" + 100).as("id"),
+      concat($"text", lit(" tail")).as("text"))
+    val v2 = picked.select(($"id" + 200).as("id"),
+      concat($"text", lit(" tail plus more pad")).as("text"))
+    val corpus = docs.union(v1).union(v2)
+    val fused = Dedup.connectedWithBest(corpus, "id", "text",
+      org.apache.spark.sql.functions.length($"text"),
+      threshold = 0.5, numHashes = 64, bands = 32)
+    // equality vs composing the two public calls separately
+    val comps = Dedup.minhashDedupConnected(corpus, "id", "text",
+      threshold = 0.5, numHashes = 64, bands = 32)
+    val winners = Dedup.keepBestPerComponent(corpus, comps, "id",
+        org.apache.spark.sql.functions.length($"text"))
+      .select($"id").as[Long].collect().toSet
+    val compMap = comps.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    val rows = fused.collect()
+    assert(rows.length == compMap.size, "one row per id")
+    rows.foreach { r =>
+      val (id, can, dup, best) =
+        (r.getLong(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3))
+      assert(compMap(id) == ((can, dup)), s"component drift at $id")
+      assert(best == winners.contains(id), s"winner drift at $id")
+    }
+    // exactly one winner per component, singletons win themselves
+    val byComp = rows.groupBy(_.getLong(1))
+    byComp.foreach { case (c, rs) =>
+      assert(rs.count(_.getBoolean(3)) == 1, s"component $c winner count")
+    }
+  }
+
   test("capped collect: at-cap kept, over-cap bucket drops, pairs ride sigs") {
     import graft.functions.CollectCapped._
     val df = (1L to 10L).map(i => (i, i % 3)).toDF("id", "g")
