@@ -1081,6 +1081,38 @@ object SparkEntry {
           col("width"), col("height"), col("channels"))
     },
 
+    // --- multimodal REAL pixel decode: deterministic two-band PNGs
+    // (every parameter derives arithmetically from the id) are built
+    // in-flight, decoded with genuine javax.imageio, and the oracle
+    // recomputes mean luminance / dominant bucket / band fraction from
+    // the id arithmetic ALONE — the gate proves the decode recovered
+    // the planted pixels. Text-byte payloads prove the honest
+    // decoded=false boundary. ---
+    "q_pixel_stats" -> { (s, dir) =>
+      import s.implicits._
+      val pngs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map(id => (900000L + id, Multimodal.pngFixture(id)))
+        .toDF("media_id", "payload")
+        .select(col("media_id"), lit("image").as("media_type"),
+          col("payload"), lit(null).cast("string").as("meta"))
+      val texts = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id").as("media_id"),
+          lit("image").as("media_type"),
+          encode(col("text"), "UTF-8").as("payload"),
+          lit(null).cast("string").as("meta"))
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1e6 + 0.5) / 1e6 // tie-safe on ratio-of-integer cols
+      Multimodal.pixelStats(pngs.unionByName(texts))
+        .select(col("media_id"), col("width"), col("height"),
+          r6(col("mean_luminance")).as("mean_luminance"),
+          col("dominant_bucket"),
+          r6(col("dominant_frac")).as("dominant_frac"),
+          col("decoded"))
+    },
+
     // --- events: tumbling 1h window agg (shared batch/stream body) ---
     "q_events_hourly" -> { (s, dir) =>
       EventsStreaming.hourlyAggBatch(s, dir)
@@ -3265,6 +3297,49 @@ object SparkEntry {
         |  CAST(CASE CAST(doc_id % 3 AS INTEGER)
         |       WHEN 0 THEN 3 WHEN 1 THEN 1 ELSE 3 END AS INTEGER) AS channels
         |FROM documents""".stripMargin,
+
+    // pixel stats: the oracle never decodes — it recomputes the
+    // expected statistics from the SAME id arithmetic that planted the
+    // two-band PNG (band B always outnumbers band A since h-h/3 > h/3,
+    // so B's bucket is dominant; equal buckets merge to fraction 1.0);
+    // matching hashes prove javax.imageio recovered the planted pixels
+    "q_pixel_stats" ->
+      """WITH img AS (
+        |  SELECT doc_id,
+        |    900000 + doc_id AS media_id,
+        |    8 + doc_id % 5 AS w, 6 + doc_id % 7 AS h,
+        |    (doc_id * 37) % 256 AS ra, (doc_id * 59) % 256 AS ga,
+        |    (doc_id * 83) % 256 AS ba,
+        |    (doc_id * 101 + 17) % 256 AS rb, (doc_id * 131 + 29) % 256 AS gb,
+        |    (doc_id * 151 + 43) % 256 AS bb
+        |  FROM documents WHERE doc_id % 50 = 0
+        |), calc AS (
+        |  SELECT media_id, w, h,
+        |    w * (h // 3) AS na, w * (h - h // 3) AS nb, w * h AS n,
+        |    299 * ra + 587 * ga + 114 * ba AS la,
+        |    299 * rb + 587 * gb + 114 * bb AS lb,
+        |    (ra // 64) * 16 + (ga // 64) * 4 + ba // 64 AS bka,
+        |    (rb // 64) * 16 + (gb // 64) * 4 + bb // 64 AS bkb
+        |  FROM img
+        |)
+        |SELECT media_id, CAST(w AS INTEGER) AS width,
+        |  CAST(h AS INTEGER) AS height,
+        |  floor(CAST(na * la + nb * lb AS DOUBLE) / (1000.0 * n)
+        |    * 1000000 + 0.5) / 1000000 AS mean_luminance,
+        |  CAST(bkb AS INTEGER) AS dominant_bucket,
+        |  CASE WHEN bka = bkb THEN 1.0
+        |       ELSE floor(CAST(nb AS DOUBLE) / n * 1000000 + 0.5)
+        |         / 1000000 END AS dominant_frac,
+        |  true AS decoded
+        |FROM calc
+        |UNION ALL
+        |SELECT doc_id AS media_id, CAST(NULL AS INTEGER) AS width,
+        |  CAST(NULL AS INTEGER) AS height,
+        |  CAST(NULL AS DOUBLE) AS mean_luminance,
+        |  CAST(NULL AS INTEGER) AS dominant_bucket,
+        |  CAST(NULL AS DOUBLE) AS dominant_frac,
+        |  false AS decoded
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,

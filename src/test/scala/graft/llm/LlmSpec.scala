@@ -667,6 +667,63 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: REAL ImageIO pixel decode — stats, resize, honest boundary") {
+    // hand-built 4×2 PNG: top row solid red, bottom row solid blue →
+    // every statistic is hand-computable
+    val img = new java.awt.image.BufferedImage(
+      4, 2, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 4).foreach { x =>
+      img.setRGB(x, 0, 0xff0000); img.setRGB(x, 1, 0x0000ff)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    val media = Seq(
+      (1L, "image", png, null.asInstanceOf[String]),
+      (2L, "image", "not an image at all".getBytes("UTF-8"),
+        null.asInstanceOf[String]),
+      (3L, "audio", png, null.asInstanceOf[String]) // wrong modality: skipped
+    ).toDF("media_id", "media_type", "payload", "meta")
+    val rows = Multimodal.pixelStats(media).orderBy($"media_id").collect()
+    assert(rows.length == 2, "audio row filtered out")
+    val r1 = rows(0)
+    assert(r1.getInt(1) == 4 && r1.getInt(2) == 2 && r1.getBoolean(6))
+    // mean luma: 4px red (299·255) + 4px blue (114·255) over 8 px
+    val expLum = (4L * 299 * 255 + 4L * 114 * 255).toDouble / (1000.0 * 8)
+    assert(math.abs(r1.getDouble(3) - expLum) < 1e-12, r1.toString)
+    // red bucket 48 and blue bucket 3 tie at 4 px each → smallest wins
+    assert(r1.getInt(4) == 3 && math.abs(r1.getDouble(5) - 0.5) < 1e-12)
+    // non-decodable bytes: NULL stats, decoded = false — the honest seam
+    val r2 = rows(1)
+    assert(!r2.getBoolean(6) && r2.isNullAt(1) && r2.isNullAt(3))
+
+    // resize is REAL for decodable images: the output is a PNG of the
+    // target size whose corner pixels keep the band colors
+    val rz = Multimodal.resize(
+      Seq((1L, "image", png, null.asInstanceOf[String]))
+        .toDF("media_id", "media_type", "payload", "meta"), 8, 4)
+      .head.getAs[Array[Byte]]("payload")
+    val back = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(rz))
+    assert(back.getWidth == 8 && back.getHeight == 4)
+    assert((back.getRGB(0, 0) & 0xffffff) == 0xff0000, "top band stays red")
+    assert((back.getRGB(0, 3) & 0xffffff) == 0x0000ff, "bottom band stays blue")
+
+    // the pngFixture ↔ oracle arithmetic contract: decode recovers the
+    // planted parameters for a few ids
+    Seq(0L, 50L, 150L, 450L).foreach { id =>
+      val f = Multimodal.pngFixture(id)
+      val b = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(f))
+      assert(b.getWidth == (8 + id % 5) && b.getHeight == (6 + id % 7), s"id $id")
+      val hA = b.getHeight / 3
+      val expA = ((((id * 37) % 256) << 16) | (((id * 59) % 256) << 8) |
+        ((id * 83) % 256)).toInt
+      val expB = ((((id * 101 + 17) % 256) << 16) |
+        (((id * 131 + 29) % 256) << 8) | ((id * 151 + 43) % 256)).toInt
+      assert((b.getRGB(0, 0) & 0xffffff) == expA, s"band A id $id")
+      assert((b.getRGB(0, hA) & 0xffffff) == expB, s"band B id $id")
+    }
+  }
+
   test("multimodal: real PNG/JPEG/GIF header decode, stub fallback elsewhere") {
     import Multimodal.ImageHeaders
     def pngBytes(w: Int, h: Int, colorType: Int): Array[Byte] = {
