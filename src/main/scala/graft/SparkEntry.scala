@@ -1113,6 +1113,33 @@ object SparkEntry {
           col("decoded"))
     },
 
+    // --- REAL BPE token counting (Sennrich 2016): the published
+    // worked-example merges are written as a standard merges FILE (the
+    // user-supplied artifact), loaded back, and applied by the native
+    // codegen'd expression over texts with PLANTED word multiplicities
+    // — per-word token costs under these merges are hand-derived
+    // constants (low=1, lower=4, newest=1, widest=1, unk=4), so the
+    // oracle recomputes every count from id arithmetic alone ---
+    "q_bpe_tokens" -> { (s, dir) =>
+      val mf = new java.io.File("target/tmp/queries/bpe_merges.txt")
+      mf.getParentFile.mkdirs()
+      java.nio.file.Files.write(mf.toPath,
+        ("#version: 0.2\ne s\nes t\nest </w>\nl o\nlo w\nn e\nne w\n" +
+          "new est</w>\nlow </w>\nw i\nwi d\nwid est</w>\n").getBytes("UTF-8"))
+      val merges = graft.functions.BpeExprs.loadMerges(mf.getPath)
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(
+          expr("repeat('low ', CAST(doc_id % 3 + 1 AS INT))"),
+          expr("repeat('lower ', CAST(doc_id % 4 + 1 AS INT))"),
+          expr("repeat('newest ', CAST(doc_id % 5 AS INT))"),
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("unk "))
+            .otherwise(lit("")),
+          lit("widest")).as("text"))
+        .select(col("doc_id"),
+          graft.functions.BpeExprs.bpe_token_count(col("text"), merges)
+            .as("n_tokens"))
+    },
+
     // --- events: tumbling 1h window agg (shared batch/stream body) ---
     "q_events_hourly" -> { (s, dir) =>
       EventsStreaming.hourlyAggBatch(s, dir)
@@ -3340,6 +3367,16 @@ object SparkEntry {
         |  CAST(NULL AS DOUBLE) AS dominant_frac,
         |  false AS decoded
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
+
+    // BPE token counts: per-word costs under the Sennrich worked-example
+    // merges are hand-derived constants (low=1, lower=4, newest=1,
+    // widest=1, unk=4), so the planted multiplicities make every
+    // document's count pure id arithmetic
+    "q_bpe_tokens" ->
+      """SELECT doc_id,
+        |  (doc_id % 3 + 1) + 4 * (doc_id % 4 + 1) + (doc_id % 5)
+        |    + CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 0 END + 1 AS n_tokens
+        |FROM documents""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,
