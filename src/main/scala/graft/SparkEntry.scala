@@ -1113,6 +1113,29 @@ object SparkEntry {
           col("decoded"))
     },
 
+    // --- REAL MP4 frame extraction: deterministic minimal ISO-BMFF
+    // fixtures (every sample's size and constant fill byte derive
+    // arithmetically from the id; even ids split samples across two
+    // chunks with a sentinel gap) are built in-flight and frame-sampled
+    // through the REAL stsz/stsc/stco sample-table parse — the oracle
+    // recomputes each extracted frame's exact bytes (as hex) from the
+    // id arithmetic alone, so a matching hash proves the parser carved
+    // the true sample ranges out of mdat. ---
+    "q_frame_extract" -> { (s, dir) =>
+      import s.implicits._
+      val vids = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map(id => (950000L + id, Multimodal.mp4Fixture(id)))
+        .toDF("media_id", "payload")
+        .select(col("media_id"), lit("video").as("media_type"),
+          col("payload"), lit(null).cast("string").as("meta"))
+      Multimodal.frameSample(vids, stride = 2)
+        .select(col("media_id"), col("frame_idx"),
+          length(col("frame")).as("frame_len"),
+          hex(col("frame")).as("frame_hex"))
+    },
+
     // --- REAL BPE token counting (Sennrich 2016): the published
     // worked-example merges are written as a standard merges FILE (the
     // user-supplied artifact), loaded back, and applied by the native
@@ -1407,6 +1430,81 @@ object SparkEntry {
         .select(expr("substring(nm, 2)").as("nm"))
       graft.llm.EditSim.vocabPairs(
         names.union(zsub).union(dele), "nm")
+    },
+
+    // --- BM25 retrieval scoring (Okapi, Lucene idf variant) against a
+    // literal query-term set: per-doc tf via codegen'd array filters
+    // (no explode, no (doc,term) shuffle), corpus stats as ONE exact-
+    // integer-moment aggregate row broadcast back. The oracle replays
+    // tokenization, the stats, and the closed-form score; constants are
+    // spelled as the SAME arithmetic (1.2 + 1.0, 1.0 - 0.75) so both
+    // engines hit identical doubles. ---
+    "q_bm25" -> { (s, dir) =>
+      graft.llm.Bm25.score(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", Seq("stream", "vector", "window"))
+    },
+
+    // --- hybrid-retrieval fusion: reciprocal-rank fusion (RRF, k=60)
+    // of two deterministic top-100 document rankings — the BM25 lexical
+    // ranking and a length-prior ranking. Each list is k-BOUNDED before
+    // any window touches it (TakeOrderedAndProject, then row_number on
+    // the 100-row frame), so no corpus-sized sort exists; the oracle
+    // replays both rankings and the exact 1/(k+rank) sum. ---
+    "q_rrf_fusion" -> { (s, dir) =>
+      val w = org.apache.spark.sql.expressions.Window
+      val docs = t(s, dir, "documents")
+      val bm = graft.llm.Bm25.score(
+        docs.select(col("doc_id"), col("text")),
+        "doc_id", "text", Seq("stream", "vector", "window"))
+      val l1 = bm.orderBy(col("score").desc, col("doc_id")).limit(100)
+        .withColumn("rank", row_number().over(
+          w.orderBy(col("score").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      val l2 = docs
+        .orderBy(col("n_chars").desc, col("doc_id")).limit(100)
+        .withColumn("rank", row_number().over(
+          w.orderBy(col("n_chars").desc, col("doc_id"))))
+        .select(col("doc_id"), col("rank"))
+      graft.llm.Fusion.rrf(Seq(l1, l2), "doc_id", "rank", k = 60)
+    },
+
+    // --- record linkage: blocked fuzzy-match join scored by the NATIVE
+    // Jaro-Winkler expression (pinned to DuckDB's jaro_winkler_similarity
+    // semantics, so the oracle scores candidates itself). Fixture:
+    // customer names re-rendered as letter strings (digits translated),
+    // a dirty twin swaps two adjacent chars at an id-derived position
+    // inside the first 6 chars — the last-3-chars blocking key is
+    // untouched, so every true pair stays in-block; block-mates that
+    // merely share a suffix mostly fall under the 0.9 cut. Both engines
+    // replay the SAME corruption + blocking + scoring; the final cut is
+    // tie-safe (floor-half-up round6 before >=). ---
+    "q_record_linkage" -> { (s, dir) =>
+      val name9 = translate(substring(col("c_name"), 10, 9),
+        "0123456789", "aeioubcdfg")
+      val base = t(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .select(col("c_custkey").as("left_id"), name9.as("left_name"))
+      val lft = base.withColumn("block", substring(col("left_name"), 7, 3))
+      val p = (pmod(col("left_id"), lit(50)) / 10 + 1).cast("int")
+      val swapped = concat(
+        col("left_name").substr(lit(1), p - 1),
+        col("left_name").substr(p + 1, lit(1)),
+        col("left_name").substr(p, lit(1)),
+        col("left_name").substr(p + 2, lit(9)))
+      val rgt = base
+        .select((col("left_id") + 1000000L).as("right_id"),
+          swapped.as("right_name"))
+        .withColumn("block", substring(col("right_name"), 7, 3))
+      def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+      // operator cut 0.89 sits safely under the tie-safe rounded 0.9
+      // cut below, so engine-edge pairs near 0.89 can't flake the gate
+      graft.operators.RecordLinkage.fuzzyJoin(
+          lft, rgt, "block", Seq(("left_name", "right_name", 1.0)),
+          threshold = 0.89)
+        .select(col("left_id"), col("right_id"),
+          r6(col("match_score")).as("match_score"))
+        .filter(col("match_score") >= 0.9)
     },
 
     // --- heavy hitters via the Misra–Gries sketch, oracle-gated on its
@@ -3368,6 +3466,26 @@ object SparkEntry {
         |  false AS decoded
         |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
 
+    // MP4 frame extraction: the oracle never parses a byte — it
+    // recomputes each sampled frame's length and full hex content from
+    // the SAME id arithmetic that planted the fixture's sample table
+    // (sample j: size 16+(id+j)%8, constant fill (id*7+j*13)%256);
+    // matching hashes prove the stsz/stsc/stco walk carved the true
+    // mdat ranges (the two-chunk sentinel gap would poison any
+    // off-by-one with 0xAA bytes)
+    "q_frame_extract" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id FROM documents WHERE doc_id % 25 = 0
+        |), frames AS (
+        |  SELECT id, unnest(range(0, 3 + id % 4)) AS j FROM ids
+        |)
+        |SELECT 950000 + id AS media_id,
+        |  CAST(j AS INTEGER) AS frame_idx,
+        |  CAST(16 + (id + j) % 8 AS INTEGER) AS frame_len,
+        |  repeat(upper(lpad(to_hex((id * 7 + j * 13) % 256), 2, '0')),
+        |         CAST(16 + (id + j) % 8 AS INTEGER)) AS frame_hex
+        |FROM frames WHERE j % 2 = 0""".stripMargin,
+
     // BPE token counts: per-word costs under the Sennrich worked-example
     // merges are hand-derived constants (low=1, lower=4, newest=1,
     // widest=1, unk=4), so the planted multiplicities make every
@@ -3670,6 +3788,134 @@ object SparkEntry {
         |  CAST(levenshtein(a.nm, b.nm) AS INTEGER) AS dist
         |FROM vocab a JOIN vocab b
         |  ON a.nm < b.nm AND levenshtein(a.nm, b.nm) <= 1""".stripMargin,
+
+    // BM25: the oracle replays the shared tokenizer, the exact-integer
+    // corpus moments (sum dl, doc count, df) with ONE final division,
+    // and the closed-form Okapi score; k1+1 and 1-b are spelled as the
+    // same arithmetic so both engines evaluate identical doubles
+    "q_bm25" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents
+        |), perdoc AS (
+        |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(tk, x -> x = 'stream')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(tk, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(tk, x -> x = 'window')) AS DOUBLE) AS tf2
+        |  FROM toks
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS avgdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM perdoc
+        |)
+        |SELECT doc_id,
+        |  floor((
+        |      ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+        |        * (tf0 * (1.2 + 1.0))
+        |        / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+        |        * (tf1 * (1.2 + 1.0))
+        |        / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |    + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+        |        * (tf2 * (1.2 + 1.0))
+        |        / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |  ) * 1e6 + 0.5) / 1e6 AS score
+        |FROM perdoc, stats
+        |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0""".stripMargin,
+
+    // RRF fusion: the oracle replays the BM25 CTE, both deterministic
+    // top-100 rankings (row_number with the same tie-break), and the
+    // exact 1/(60+rank) contributions; adding a coalesced 0.0 first is
+    // float-exact, so the sum matches the operator's list-ordered fold
+    "q_rrf_fusion" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents
+        |), perdoc AS (
+        |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(tk, x -> x = 'stream')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(tk, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(tk, x -> x = 'window')) AS DOUBLE) AS tf2
+        |  FROM toks
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS avgdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM perdoc
+        |), bm AS (
+        |  SELECT doc_id,
+        |    floor((
+        |        ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+        |          * (tf0 * (1.2 + 1.0))
+        |          / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |      + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+        |          * (tf1 * (1.2 + 1.0))
+        |          / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |      + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+        |          * (tf2 * (1.2 + 1.0))
+        |          / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |    ) * 1e6 + 0.5) / 1e6 AS score
+        |  FROM perdoc, stats
+        |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+        |), l1 AS (
+        |  SELECT doc_id, rnk FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      ORDER BY score DESC, doc_id) AS rnk FROM bm)
+        |  WHERE rnk <= 100
+        |), l2 AS (
+        |  SELECT doc_id, rnk FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      ORDER BY n_chars DESC, doc_id) AS rnk FROM documents)
+        |  WHERE rnk <= 100
+        |)
+        |SELECT doc_id,
+        |  floor((coalesce(1.0 / (60 + l1.rnk), 0.0)
+        |       + coalesce(1.0 / (60 + l2.rnk), 0.0)) * 1e6 + 0.5) / 1e6
+        |    AS rrf
+        |FROM l1 FULL OUTER JOIN l2 USING (doc_id)""".stripMargin,
+
+    // record linkage: the oracle replays the whole pipeline — the
+    // translate-derived names, the id-positioned adjacent swap, the
+    // last-3 blocking join, and the score via DuckDB's OWN
+    // jaro_winkler_similarity (the native expression is pinned to its
+    // semantics) — with the same tie-safe rounded cut
+    "q_record_linkage" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS left_id,
+        |    translate(substr(c_name, 10, 9),
+        |              '0123456789', 'aeioubcdfg') AS left_name
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |), lft AS (
+        |  SELECT left_id, left_name,
+        |    substr(left_name, 7, 3) AS block FROM base
+        |), rgt0 AS (
+        |  SELECT left_id + 1000000 AS right_id,
+        |    substr(left_name, 1, p - 1) || substr(left_name, p + 1, 1) ||
+        |    substr(left_name, p, 1) || substr(left_name, p + 2, 9)
+        |      AS right_name
+        |  FROM (SELECT left_id, left_name,
+        |          CAST(left_id % 50 / 10 + 1 AS INTEGER) AS p FROM base)
+        |), rgt AS (
+        |  SELECT right_id, right_name,
+        |    substr(right_name, 7, 3) AS block FROM rgt0
+        |)
+        |SELECT left_id, right_id,
+        |  floor(jaro_winkler_similarity(left_name, right_name) * 1e6
+        |    + 0.5) / 1e6 AS match_score
+        |FROM lft JOIN rgt USING (block)
+        |WHERE floor(jaro_winkler_similarity(left_name, right_name) * 1e6
+        |    + 0.5) / 1e6 >= 0.9""".stripMargin,
 
     "q_heavy_hitters" ->
       """SELECT o_orderstatus,

@@ -113,15 +113,27 @@ object Dedup {
       .repartition(nShuffle, col("id_a"), col("id_b"))
       .dropDuplicates("id_a", "id_b")
 
-    // verify re-join carries raw TEXT (smaller than shingle arrays) and
-    // re-shingles only the candidate rows — the arrays never shuffle
+    // verify: candidate documents are shingled exactly ONCE each (keys-
+    // only distinct of candidate ids, then one projection), and the
+    // pairs join the precomputed arrays. The earlier shape joined raw
+    // TEXT and re-shingled per PAIR row — fine when a doc appears in
+    // O(1) pairs, but on a corpus with high ambient similarity (or a
+    // recall-biased banding curve) pair multiplicity per doc can reach
+    // the thousands and shingling dominates the whole query (measured
+    // on the 10× scale ramp: ShingleHash was ~100% of task CPU).
+    // Shuffle volume class is unchanged — both shapes move one
+    // text-sized payload per pair through the id_b join — and the
+    // array payload is bounded by token count (~8B/token).
+    val candIds = cand.select(col("id_a").as("id"))
+      .union(cand.select(col("id_b").as("id"))).distinct()
+    val shingled = raw.join(candIds, Seq("id"))
+      .select(col("id"), shingleHashes(col("_text"), nGram).as("_sh"))
     val verified = cand
-      .join(raw.select(col("id").as("id_a"), col("_text").as("_ta")), Seq("id_a"))
-      .join(raw.select(col("id").as("id_b"), col("_text").as("_tb")), Seq("id_b"))
+      .join(shingled.select(col("id").as("id_a"), col("_sh").as("_sa")), Seq("id_a"))
+      .join(shingled.select(col("id").as("id_b"), col("_sh").as("_sb")), Seq("id_b"))
 
     // shingle output is sorted-distinct by construction → linear merge
-    verified.withColumn("jaccard", jaccard_sorted(
-        shingleHashes(col("_ta"), nGram), shingleHashes(col("_tb"), nGram)))
+    verified.withColumn("jaccard", jaccard_sorted(col("_sa"), col("_sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -238,11 +250,21 @@ object Dedup {
       .select(col("__id"), explode(col("rks")).as("__rk"))
       .repartition(nShuffle, col("__id"), col("__rk"))
       .dropDuplicates("__id", "__rk")
+    // candidate docs and candidate refs are each shingled ONCE (keys-
+    // only distinct, then one projection) — not per candidate pair;
+    // see the minhashPairs verify note (the 10×-ramp lesson: per-pair
+    // re-shingling dominates CPU when pair multiplicity is high)
+    val candIds = cand.select(col("__id")).distinct()
+    val dfSh = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+      .join(candIds, Seq("__id"))
+      .select(col("__id"), shingleHashes(col("__t"), nGram).as("__sa"))
+    val candRks = cand.select(col("__rk")).distinct()
+    val refSh = refDocs.join(candRks, Seq("__rk"))
+      .select(col("__rk"), shingleHashes(col("__rt"), nGram).as("__sb"))
     val dupIds = cand
-      .join(df.select(col(idCol).as("__id"), col(textCol).as("__t")), Seq("__id"))
-      .join(refDocs, Seq("__rk"))
-      .filter(jaccard_sorted(shingleHashes(col("__t"), nGram),
-        shingleHashes(col("__rt"), nGram)) >= threshold)
+      .join(dfSh, Seq("__id"))
+      .join(refSh, Seq("__rk"))
+      .filter(jaccard_sorted(col("__sa"), col("__sb")) >= threshold)
       .select(col("__id").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }

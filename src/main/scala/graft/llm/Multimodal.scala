@@ -280,6 +280,141 @@ object Multimodal {
     }
   }
 
+  /** ISO-BMFF sample-table parse: per-sample (absolute byte offset,
+    * size) for the FIRST track whose `mdia`→`hdlr` handler is `vide`,
+    * assembled from the public ISO/IEC 14496-12 sample-table boxes —
+    * `stsz` (per-sample or uniform sizes), `stsc` (sample-to-chunk
+    * runs), `stco`/`co64` (chunk offsets). This is the codec-free half
+    * of video frame extraction: samples are located and sliced exactly,
+    * while DECODING a sample's bitstream stays out of scope (no codec
+    * libs here). Returns None for anything inconsistent — missing
+    * boxes, a sample count the chunk map can't place, or a sample
+    * extending past the payload — so the caller falls back to the stub
+    * path exactly like the header parsers do. */
+  object Mp4Samples {
+
+    private def u8(b: Array[Byte], i: Long): Long = (b(i.toInt) & 0xff).toLong
+    private def be32(b: Array[Byte], i: Long): Long =
+      (u8(b, i) << 24) | (u8(b, i + 1) << 16) | (u8(b, i + 2) << 8) | u8(b, i + 3)
+    private def be64(b: Array[Byte], i: Long): Long =
+      (be32(b, i) << 32) | be32(b, i + 4)
+    private def tag(b: Array[Byte], i: Long): String =
+      new String(b, i.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Direct children (type, payloadStart, boxEnd) of [start, end);
+      * Nil on any malformed size so callers treat it as no-match. */
+    private def boxes(b: Array[Byte], start: Long, end: Long)
+        : List[(String, Long, Long)] = {
+      var i = start
+      val out = List.newBuilder[(String, Long, Long)]
+      while (i + 8 <= end) {
+        val size0 = be32(b, i)
+        val (payload, boxEnd) =
+          if (size0 == 0L) (i + 8, end)
+          else if (size0 == 1L) {
+            if (i + 16 > end) return Nil
+            (i + 16, i + be64(b, i + 8))
+          } else (i + 8, i + size0)
+        if (boxEnd > end || boxEnd <= i || payload > boxEnd) return Nil
+        out += ((tag(b, i + 4), payload, boxEnd))
+        i = boxEnd
+      }
+      out.result()
+    }
+
+    private def child(cs: List[(String, Long, Long)], id: String) =
+      cs.find(_._1 == id)
+
+    // hostile-input allocation guard: a 32 MiB payload cannot hold a
+    // million real samples anyway, and the cap bounds the size array
+    private val MaxSamples = 1 << 20
+
+    def parse(b: Array[Byte]): Option[Vector[(Long, Int)]] = {
+      if (b == null || b.length < 12 || be32(b, 0) < 8 || tag(b, 4) != "ftyp")
+        return None
+      val top = boxes(b, 0, b.length.toLong)
+      val stblBounds = for {
+        (_, ms2, me2) <- child(top, "moov").toList
+        trak @ (_, ts, te) <- boxes(b, ms2, me2) if trak._1 == "trak"
+        (_, ds, de) <- child(boxes(b, ts, te), "mdia").toList
+        mcs = boxes(b, ds, de)
+        (_, hs, he) <- child(mcs, "hdlr").toList
+        if hs + 12 <= he && tag(b, hs + 8) == "vide"
+        (_, ns, ne) <- child(mcs, "minf").toList
+        (_, ss, se) <- child(boxes(b, ns, ne), "stbl").toList
+      } yield (ss, se)
+      stblBounds.headOption.flatMap { case (ss, se) =>
+        val scs = boxes(b, ss, se)
+        for {
+          sizes <- child(scs, "stsz").flatMap { case (_, p, e) =>
+            if (p + 12 > e) None
+            else {
+              val uniform = be32(b, p + 4)
+              val count = be32(b, p + 8)
+              if (count < 0 || count > MaxSamples) None
+              else if (uniform != 0L) {
+                if (uniform > Int.MaxValue) None
+                else Some(Array.fill(count.toInt)(uniform.toInt))
+              } else if (p + 12 + 4 * count > e) None
+              // a u32 size above Int.MaxValue wraps negative here and
+              // assemble() rejects it with the bounds check
+              else Some(Array.tabulate(count.toInt)(k =>
+                be32(b, p + 12 + 4L * k).toInt))
+            }
+          }
+          runs <- child(scs, "stsc").flatMap { case (_, p, e) =>
+            if (p + 8 > e) None
+            else {
+              val count = be32(b, p + 4)
+              if (count < 0 || p + 8 + 12 * count > e) None
+              else Some(Vector.tabulate(count.toInt) { k =>
+                (be32(b, p + 8 + 12L * k), be32(b, p + 8 + 12L * k + 4))
+              })
+            }
+          }
+          offsets <- child(scs, "stco").flatMap { case (_, p, e) =>
+            val count = if (p + 8 <= e) be32(b, p + 4) else -1L
+            if (count < 0 || count > MaxSamples || p + 8 + 4 * count > e) None
+            else Some(Vector.tabulate(count.toInt)(k => be32(b, p + 8 + 4L * k)))
+          }.orElse(child(scs, "co64").flatMap { case (_, p, e) =>
+            val count = if (p + 8 <= e) be32(b, p + 4) else -1L
+            if (count < 0 || count > MaxSamples || p + 8 + 8 * count > e) None
+            else Some(Vector.tabulate(count.toInt)(k => be64(b, p + 8 + 8L * k)))
+          })
+          samples <- assemble(b.length.toLong, sizes, runs, offsets)
+        } yield samples
+      }
+    }
+
+    /** Walk chunks in order, carving each chunk's samples from its
+      * offset by the stsc run covering it; None if the table places a
+      * different number of samples than stsz declares or any sample
+      * falls outside the payload. */
+    private def assemble(payloadLen: Long, sizes: Array[Int],
+                         runs: Vector[(Long, Long)],
+                         offsets: Vector[Long]): Option[Vector[(Long, Int)]] = {
+      if (runs.isEmpty || runs.head._1 != 1L) return None
+      val out = Vector.newBuilder[(Long, Int)]
+      var sample = 0
+      var c = 1
+      while (c <= offsets.length && sample < sizes.length) {
+        val spc = runs.takeWhile(_._1 <= c).lastOption.map(_._2).getOrElse(0L)
+        var off = offsets(c - 1)
+        var k = 0L
+        while (k < spc && sample < sizes.length) {
+          val len = sizes(sample)
+          if (len < 0 || off < 0 || off + len > payloadLen) return None
+          out += ((off, len))
+          off += len
+          sample += 1
+          k += 1
+        }
+        c += 1
+      }
+      if (sample != sizes.length) None else Some(out.result())
+    }
+  }
+
   /** The DEFAULT decoder: real header parsing on the pure JVM — image
     * dimensions via [[ImageHeaders]] (PNG/JPEG/GIF), audio shape via
     * [[AudioHeaders]] (WAV/RIFF: the triple reads as sampleRate ×
@@ -428,6 +563,97 @@ object Multimodal {
     bos.toByteArray
   }
 
+  /** Deterministic minimal-but-REAL ISO-BMFF fixture: ftyp + moov
+    * (mvhd, trak(tkhd, mdia(hdlr `vide`, minf(stbl(stts, stsc, stsz,
+    * stco))))) + mdat, with every sample parameter derived
+    * ARITHMETICALLY from the id — sample count 3 + id%4, sample j has
+    * size 16 + (id+j)%8 and is filled with the constant byte
+    * (id·7 + j·13)%256 — so an SQL oracle recomputes each extracted
+    * frame's exact bytes (as hex) without parsing anything. Even ids
+    * split samples across TWO chunks with a 4-byte 0xAA sentinel gap
+    * between them in mdat, so a chunk-offset bug reads sentinel or
+    * neighboring-fill bytes and breaks the hex replay. `uniform = true`
+    * writes the stsz uniform-size form (all samples 16 + id%8) to
+    * exercise that branch of the parser. */
+  def mp4Fixture(id: Long, uniform: Boolean = false): Array[Byte] = {
+    val n = (3 + id % 4).toInt
+    val sizes =
+      if (uniform) Array.fill(n)(16 + (id % 8).toInt)
+      else Array.tabulate(n)(j => 16 + ((id + j) % 8).toInt)
+    val fills = Array.tabulate(n)(j => ((id * 7 + j * 13) % 256).toByte)
+    val twoChunks = id % 2 == 0
+    def beInts(vals: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vals.length)
+      vals.foreach(bb.putInt)
+      bb.array()
+    }
+    def box(tp: String, payload: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payload.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len)
+      bb.put(tp.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      payload.foreach(bb.put)
+      bb.array()
+    }
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val ftyp = box("ftyp", "isom".getBytes(ascii), beInts(0x200),
+      "isom".getBytes(ascii))
+    // mvhd v0: timescale 1000 at payload+12, duration 2000 at +16
+    val mvhd = {
+      val p = new Array[Byte](100)
+      System.arraycopy(beInts(1000, 2000), 0, p, 12, 8)
+      box("mvhd", p)
+    }
+    // tkhd v0: 16.16 fixed width at payload+76, height at +80
+    val tkhd = {
+      val p = new Array[Byte](84)
+      System.arraycopy(beInts(64 << 16, 48 << 16), 0, p, 76, 8)
+      box("tkhd", p)
+    }
+    val hdlr = box("hdlr", beInts(0, 0), "vide".getBytes(ascii),
+      new Array[Byte](12), Array(0.toByte))
+    val stts = box("stts", beInts(0, 1, n, 1))
+    val stsc =
+      if (twoChunks) box("stsc", beInts(0, 2, 1, 2, 1, 2, n - 2, 1))
+      else box("stsc", beInts(0, 1, 1, n, 1))
+    val stsz =
+      if (uniform) box("stsz", beInts(0, sizes(0), n))
+      else box("stsz", beInts(0, 0, n), beInts(sizes.toIndexedSeq: _*))
+    def moov(chunkOffsets: Seq[Int]): Array[Byte] = {
+      val stco = box("stco",
+        beInts(0, chunkOffsets.length), beInts(chunkOffsets: _*))
+      val stbl = box("stbl", stts, stsc, stsz, stco)
+      val minf = box("minf", stbl)
+      val mdia = box("mdia", hdlr, minf)
+      val trak = box("trak", tkhd, mdia)
+      box("moov", mvhd, trak)
+    }
+    // moov's size depends only on the CHUNK COUNT, so build once with
+    // placeholder offsets to learn the mdat payload position, then
+    // rebuild with the real offsets (same byte length by construction)
+    val nOffsets = if (twoChunks) 2 else 1
+    val mdatStart = ftyp.length + moov(Seq.fill(nOffsets)(0)).length + 8
+    val chunk1Len = if (twoChunks) sizes.take(2).sum else sizes.sum
+    val offsets =
+      if (twoChunks) Seq(mdatStart, mdatStart + chunk1Len + 4)
+      else Seq(mdatStart)
+    val mdatBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      (0 until (if (twoChunks) 2 else n)).foreach(j =>
+        bos.write(Array.fill(sizes(j))(fills(j))))
+      if (twoChunks) {
+        bos.write(Array.fill(4)(0xAA.toByte)) // sentinel gap
+        (2 until n).foreach(j => bos.write(Array.fill(sizes(j))(fills(j))))
+      }
+      bos.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp)
+    out.write(moov(offsets))
+    out.write(box("mdat", mdatBytes))
+    out.toByteArray
+  }
+
   private def fnv(bytes: Array[Byte]): Long = {
     var h = 0xcbf29ce484222325L
     var i = 0
@@ -521,9 +747,14 @@ object Multimodal {
 
   /** Frame sampling: each video payload fans out to every `stride`-th
     * frame as its own row (the shape a caption/embedding stage
-    * consumes). Frames are stubbed as fixed-size payload slices — the
-    * contract (one row per sampled frame, order-stable frame_idx,
-    * per-partition batching) is the real part. */
+    * consumes). ISO-BMFF payloads get REAL samples: [[Mp4Samples]]
+    * locates each sample's exact byte range from the public stsz/stsc/
+    * stco tables and the frame row carries those bytes verbatim
+    * (frame_idx = sample index) — codec-free extraction, with sample
+    * DECODE staying out of scope. Anything that isn't a consistent MP4
+    * falls back to the legacy fixed-size payload slices, keeping
+    * synthetic text-byte fixtures stable. Narrow per-partition flatMap
+    * either way — no shuffle, one payload in memory per task. */
   def frameSample(media: DataFrame, frameBytes: Int = 256,
                   stride: Int = 2): DataFrame = {
     val enc = ExpressionEncoder(frameSchema)
@@ -535,11 +766,21 @@ object Multimodal {
         val payload =
           if (r.isNullAt(payloadIdx)) Array.empty[Byte]
           else r.getAs[Array[Byte]](payloadIdx)
-        val nFrames = math.max(payload.length / frameBytes, 1)
-        (0 until nFrames by stride).iterator.map { f =>
-          val from = math.min(f * frameBytes, payload.length)
-          val until = math.min(from + frameBytes, payload.length)
-          Row(r.getLong(idIdx), f, java.util.Arrays.copyOfRange(payload, from, until))
+        Mp4Samples.parse(payload) match {
+          case Some(samples) =>
+            (0 until samples.length by stride).iterator.map { f =>
+              val (off, len) = samples(f)
+              Row(r.getLong(idIdx), f, java.util.Arrays.copyOfRange(
+                payload, off.toInt, off.toInt + len))
+            }
+          case None =>
+            val nFrames = math.max(payload.length / frameBytes, 1)
+            (0 until nFrames by stride).iterator.map { f =>
+              val from = math.min(f * frameBytes, payload.length)
+              val until = math.min(from + frameBytes, payload.length)
+              Row(r.getLong(idIdx), f,
+                java.util.Arrays.copyOfRange(payload, from, until))
+            }
         }
       }
     }(enc)

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftError
+import graft.functions.StringSim
+
+/** Record linkage (entity resolution): blocked fuzzy-match join — the
+  * standard two-phase recipe (Fellegi-Sunter shape): a cheap BLOCKING
+  * equi-join proposes candidate pairs, then a string-similarity score
+  * over one or more field pairs keeps matches above a threshold. The
+  * all-pairs comparison a naive fuzzy join implies is quadratic in the
+  * table size; blocking makes the cost Σ |block_L|·|block_R| — the
+  * user's blocking key is THE scale lever, and a hot block (every
+  * record blocking to one key) would silently reintroduce the
+  * quadratic, so oversized blocks are dropped via a loud, documented
+  * cap instead (same posture as the LSH bucket caps and the
+  * co-occurrence basket cap).
+  *
+  * 100 TB shape: per-block keys-only counts (narrow aggregations) gate
+  * the join; the join itself is a plain equi-join on the block key —
+  * shuffle on (block), AQE free to pick broadcast when one side is a
+  * small reference table; scoring is a codegen'd projection (native
+  * [[StringSim.JaroWinklerSim]]); no window, no global sort, no
+  * driver-side state. */
+object RecordLinkage {
+
+  /** Fuzzy-join `left` and `right` on equality of `blockCol` (present
+    * in both inputs), scoring candidates by the weighted mean
+    * Jaro-Winkler similarity over `scoreCols` pairs; keep pairs with
+    * score >= `threshold`. Output = all left columns + all right
+    * columns + `match_score` — the two inputs must have disjoint
+    * column names apart from `blockCol` (loud otherwise), and the
+    * block column is kept once.
+    *
+    * Blocks where EITHER side exceeds `maxBlockSize` rows are dropped
+    * entirely (both sides), keeping the worst-case pair count at
+    * maxBlockSize² per block; choose a more selective blocking key
+    * rather than raising the cap. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame, blockCol: String,
+                scoreCols: Seq[(String, String, Double)],
+                threshold: Double,
+                maxBlockSize: Int = 10000): DataFrame = {
+    require(scoreCols.nonEmpty, "fuzzyJoin needs at least one score pair")
+    require(scoreCols.forall(_._3 > 0),
+      "fuzzyJoin score weights must be positive")
+    require(maxBlockSize >= 1, "maxBlockSize must be >= 1")
+    val overlap = (left.columns.toSet - blockCol)
+      .intersect(right.columns.toSet - blockCol)
+    if (overlap.nonEmpty)
+      throw GraftError.Configuration(
+        "fuzzyJoin inputs must have disjoint column names apart from " +
+          s"the block column; both carry ${overlap.toSeq.sorted.mkString(", ")}")
+    scoreCols.foreach { case (l, r, _) =>
+      if (!left.columns.contains(l))
+        throw GraftError.Configuration(s"left score column $l missing")
+      if (!right.columns.contains(r))
+        throw GraftError.Configuration(s"right score column $r missing")
+    }
+    // keys-only per-block counts; blocks over the cap poison themselves
+    def small(df: DataFrame): DataFrame =
+      df.groupBy(col(blockCol)).agg(count(lit(1)).as("__bn"))
+        .filter(col("__bn") <= maxBlockSize)
+        .select(col(blockCol))
+    val okBlocks = small(left).join(small(right), blockCol).select(col(blockCol))
+    val totalW = scoreCols.map(_._3).sum
+    val score = scoreCols.map { case (l, r, w) =>
+        StringSim.jaro_winkler(col(l), col(r)) * lit(w)
+      }.reduce(_ + _) / lit(totalW)
+    left.join(okBlocks, blockCol)
+      .join(right, blockCol)
+      .withColumn("match_score", score)
+      .filter(col("match_score") >= threshold)
+  }
+
+  /** Convenience single-field form. */
+  def fuzzyJoin(left: DataFrame, right: DataFrame, blockCol: String,
+                leftText: String, rightText: String,
+                threshold: Double): DataFrame =
+    fuzzyJoin(left, right, blockCol,
+      Seq((leftText, rightText, 1.0)), threshold)
+
+  /** Expose the raw scorer for ad-hoc use. */
+  def similarity(a: Column, b: Column): Column = StringSim.jaro_winkler(a, b)
+}

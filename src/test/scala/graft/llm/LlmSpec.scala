@@ -891,6 +891,76 @@ class LlmSpec extends SparkSpec {
     assert(f(2L) == stub)
   }
 
+  test("multimodal: REAL MP4 sample-table frame extraction") {
+    import Multimodal.{Mp4Samples, mp4Fixture}
+    // single-chunk fixture (odd id): n = 3 + 1%4 = 4 samples, sizes and
+    // fills from the planting arithmetic, frames carved contiguously
+    val odd = mp4Fixture(1L)
+    val oddSamples = Mp4Samples.parse(odd).get
+    assert(oddSamples.length == 4)
+    assert(oddSamples.map(_._2) ==
+      Vector.tabulate(4)(j => 16 + ((1 + j) % 8)))
+    oddSamples.zipWithIndex.foreach { case ((off, len), j) =>
+      val fill = ((7 + j * 13) % 256).toByte
+      assert(odd.slice(off.toInt, off.toInt + len).forall(_ == fill),
+        s"sample $j bytes must be the planted fill")
+    }
+    // contiguous single chunk: each sample starts where the last ended
+    assert(oddSamples.sliding(2).forall {
+      case Vector((o1, l1), (o2, _)) => o2 == o1 + l1
+      case _ => true
+    })
+
+    // two-chunk fixture (even id): the sentinel gap separates chunks,
+    // so sample 2 does NOT start where sample 1 ends — and no frame
+    // ever contains a 0xAA sentinel byte
+    val even = mp4Fixture(2L) // n = 5, chunks of 2 + 3
+    val evenSamples = Mp4Samples.parse(even).get
+    assert(evenSamples.length == 5)
+    assert(evenSamples(2)._1 == evenSamples(1)._1 + evenSamples(1)._2 + 4,
+      "chunk 2 starts after the 4-byte sentinel gap")
+    evenSamples.zipWithIndex.foreach { case ((off, len), j) =>
+      val fill = ((14 + j * 13) % 256).toByte
+      assert(even.slice(off.toInt, off.toInt + len).forall(_ == fill))
+    }
+
+    // uniform-size stsz branch
+    val uni = Mp4Samples.parse(mp4Fixture(3L, uniform = true)).get
+    assert(uni.length == 6 && uni.forall(_._2 == 16 + 3))
+
+    // malformed inputs → None (truncated mdat, garbage, audio handler)
+    assert(Mp4Samples.parse(odd.dropRight(10)).isEmpty,
+      "sample past payload end must reject")
+    assert(Mp4Samples.parse("not an mp4 at all, just text".getBytes).isEmpty)
+    val audio = {
+      val b = mp4Fixture(1L).clone()
+      // flip the hdlr handler 4cc from 'vide' to 'soun'
+      val idx = b.indexOfSlice("vide".getBytes)
+      Array.copy("soun".getBytes, 0, b, idx, 4)
+      b
+    }
+    assert(Mp4Samples.parse(audio).isEmpty, "non-video track must reject")
+
+    // through the Spark seam: real MP4s yield real sample bytes at the
+    // stride; non-MP4 payloads keep the legacy stub slices
+    val media = Seq(
+      (1L, "video", odd),
+      (2L, "video", Array.fill(64)(7.toByte))
+    ).toDF("media_id", "media_type", "payload")
+    val frames = Multimodal.frameSample(media, frameBytes = 16, stride = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1),
+        r.getAs[Array[Byte]](2))).toSeq
+    val real = frames.filter(_._1 == 1L)
+    assert(real.map(_._2) == Seq(0, 2), "stride over sample indexes")
+    real.foreach { case (_, j, bytes) =>
+      assert(bytes.length == 16 + ((1 + j) % 8))
+      assert(bytes.forall(_ == ((7 + j * 13) % 256).toByte))
+    }
+    val stub = frames.filter(_._1 == 2L)
+    assert(stub.map(_._2) == Seq(0, 2) &&
+      stub.forall(_._3.sameElements(Array.fill(16)(7.toByte))))
+  }
+
   test("multimodal: stub decode features are deterministic and typed") {
     val media = Multimodal.mediaFromDocuments(
       spark, "/root/testdata/sf0.001/documents.parquet")
