@@ -68,9 +68,22 @@ object ScaleRamp {
 
     def read(name: String): DataFrame =
       spark.read.parquet(s"$baseDir/$name.parquet")
-    def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
-      println(s"[scale-ramp] wrote $name x$factor")
+    def baseFiles(name: String): Int = math.max(1,
+      Option(new java.io.File(s"$baseDir/$name.parquet")
+        .listFiles((_, f) => f.endsWith(".parquet"))).map(_.length)
+        .getOrElse(1))
+    // a real factor× dataset has factor× the FILES of the same layout,
+    // not the same files grown factor× — and scan parallelism follows
+    // file structure. The first ramp wrote documents as ONE ~40 MB
+    // file (< maxPartitionBytes), so every text-heavy query's scan +
+    // shingle phase ran in a single task: thread dumps showed 1 of 32
+    // cores busy and the "10×" ratios measured serialization, not the
+    // operators. Replicated tables are therefore written with
+    // factor × (base file count) output files.
+    def write(df: DataFrame, name: String, files: Int = 1): Unit = {
+      df.repartition(files).write.mode("overwrite")
+        .parquet(s"$outDir/$name.parquet")
+      println(s"[scale-ramp] wrote $name x$factor ($files files)")
     }
     // one tiny driver-side max per key domain; stride = max+1 keeps ids
     // dense (no overflow headroom games) and replica membership
@@ -101,21 +114,27 @@ object ScaleRamp {
     write(read("nation"), "nation")
 
     write(replicate(customer, factor)(
-      "c_custkey" -> (col("c_custkey") + col("__r") * custS)), "customer")
+      "c_custkey" -> (col("c_custkey") + col("__r") * custS)), "customer",
+      factor * baseFiles("customer"))
     write(replicate(supplier, factor)(
-      "s_suppkey" -> (col("s_suppkey") + col("__r") * suppS)), "supplier")
+      "s_suppkey" -> (col("s_suppkey") + col("__r") * suppS)), "supplier",
+      factor * baseFiles("supplier"))
     write(replicate(part, factor)(
-      "p_partkey" -> (col("p_partkey") + col("__r") * partS)), "part")
+      "p_partkey" -> (col("p_partkey") + col("__r") * partS)), "part",
+      factor * baseFiles("part"))
     write(replicate(orders, factor)(
       "o_orderkey" -> (col("o_orderkey") + col("__r") * orderS),
-      "o_custkey" -> (col("o_custkey") + col("__r") * custS)), "orders")
+      "o_custkey" -> (col("o_custkey") + col("__r") * custS)), "orders",
+      factor * baseFiles("orders"))
     write(replicate(lineitem, factor)(
       "l_orderkey" -> (col("l_orderkey") + col("__r") * orderS),
       "l_partkey" -> (col("l_partkey") + col("__r") * partS),
-      "l_suppkey" -> (col("l_suppkey") + col("__r") * suppS)), "lineitem")
+      "l_suppkey" -> (col("l_suppkey") + col("__r") * suppS)), "lineitem",
+      factor * baseFiles("lineitem"))
     write(replicate(events, factor)(
       "event_id" -> (col("event_id") + col("__r") * eventS),
-      "user_id" -> (col("user_id") + col("__r") * userS)), "events")
+      "user_id" -> (col("user_id") + col("__r") * userS)), "events",
+      factor * baseFiles("events"))
     // replica > 0: every word tagged, so shingles/lines/grams are
     // disjoint across replicas (see scaladoc). The tag separator MUST
     // be a \w word character (underscore): a non-word tag (first
@@ -134,7 +153,8 @@ object ScaleRamp {
     write(replicate(documents, factor)(
       "doc_id" -> (col("doc_id") + col("__r") * docS),
       "text" -> taggedText,
-      "n_chars" -> length(col("text")).cast("long")), "documents")
+      "n_chars" -> length(col("text")).cast("long")), "documents",
+      factor * baseFiles("documents"))
     // replica > 0: per-element deterministic hash noise in [0, 0.01)
     // breaks exact cross-replica vector identity without moving any
     // point far enough to change its intra-replica neighborhood
@@ -144,7 +164,8 @@ object ScaleRamp {
           .cast("float") / lit(100000.0f))))
     write(replicate(embeddings, factor)(
       "vec_id" -> (col("vec_id") + col("__r") * vecS),
-      "embedding" -> noisyVec), "embeddings")
+      "embedding" -> noisyVec), "embeddings",
+      factor * baseFiles("embeddings"))
 
     println(s"[scale-ramp] done: $outDir (factor $factor from $baseDir)")
     spark.stop()
