@@ -58,6 +58,12 @@ object Main {
                              by: Seq[String], seed: Long,
                              sourceOptions: Map[String, String],
                              logLevel: String) extends Cmd
+  final case class LinkageCmd(left: String, right: String, target: String,
+                              block: String,
+                              score: Seq[(String, String, Double)],
+                              threshold: Double, maxBlock: Int,
+                              sourceOptions: Map[String, String],
+                              logLevel: String) extends Cmd
   case object GenDefault extends Cmd
   case object Help extends Cmd
   case object Version extends Cmd
@@ -96,6 +102,11 @@ object Main {
       |                               [--seed S] [--source-type TYPE]
       |                               (deterministic hash sample, or exact-k
       |                               weighted Efraimidis-Spirakis pick)
+      |       graft linkage <LEFT> <RIGHT> <TARGET> --block COL
+      |                               --score LCOL:RCOL[:WEIGHT][,...]
+      |                               --threshold T [--max-block N]
+      |                               (blocked fuzzy-match join scored by
+      |                               Jaro-Winkler — entity resolution)
       |
       |Options:
       |  --transform <EXPRESSIONS>   Inline transforms, e.g. "c=row.a * 2; u=string.upper(row.b)"
@@ -137,6 +148,7 @@ object Main {
           case c: CompactCmd => runCompact(c)
           case m: ManifestCmd => runManifest(m)
           case sc: SampleCmd => runSample(sc)
+          case lc: LinkageCmd => runLinkage(lc)
           case Transfer(c, p, d, ll) => runTransfer(c, p, d, ll)
         }
       } catch {
@@ -393,6 +405,62 @@ object Main {
         id.getOrElse(throw GraftError.Configuration("sample needs --id COL")),
         fraction, complement, k, weight, by, seed,
         srcType.map("sourceType" -> _).toMap, slogLevel)
+    case "linkage" :: rest =>
+      var pos = List.empty[String]
+      var block: Option[String] = None
+      var score = Seq.empty[(String, String, Double)]
+      var threshold: Option[Double] = None
+      var maxBlock = 10000
+      var srcType: Option[String] = None
+      var llogLevel = "error"
+      def parseScore(v: String): Seq[(String, String, Double)] =
+        v.split(',').map(_.trim).filter(_.nonEmpty).toSeq.map { spec =>
+          spec.split(':') match {
+            case Array(l, r) => (l, r, 1.0)
+            case Array(l, r, w) =>
+              (l, r, w.toDoubleOption.filter(_ > 0).getOrElse(
+                throw GraftError.Configuration(
+                  s"--score weight must be a positive number, got '$w'")))
+            case _ => throw GraftError.Configuration(
+              s"--score expects LEFTCOL:RIGHTCOL[:WEIGHT], got '$spec'")
+          }
+        }
+      @annotation.tailrec
+      def lloop(r: List[String]): Unit = r match {
+        case Nil => ()
+        case "--block" :: v :: t => block = Some(v); lloop(t)
+        case "--score" :: v :: t => score = score ++ parseScore(v); lloop(t)
+        case "--threshold" :: v :: t =>
+          threshold = Some(v.toDoubleOption
+            .filter(x => x >= 0.0 && x <= 1.0).getOrElse(
+              throw GraftError.Configuration(
+                s"--threshold needs a number in [0,1], got '$v'"))); lloop(t)
+        case "--max-block" :: v :: t =>
+          maxBlock = v.toIntOption.filter(_ >= 1).getOrElse(
+            throw GraftError.Configuration(
+              s"--max-block needs a positive integer, got '$v'")); lloop(t)
+        case "--source-type" :: v :: t => srcType = Some(v); lloop(t)
+        case "--log-level" :: v :: t =>
+          llogLevel = YamlJob.checkLogLevel(v); lloop(t)
+        case flag :: _ if flag.startsWith("--") =>
+          throw GraftError.Configuration(
+            s"unknown or incomplete linkage option '$flag'")
+        case v :: t => pos = pos :+ v; lloop(t)
+      }
+      lloop(rest)
+      val (lsrc, rsrc, ltgt) = pos match {
+        case l :: r :: t :: Nil => (l, r, t)
+        case _ => throw GraftError.Configuration(
+          "linkage needs LEFT RIGHT TARGET")
+      }
+      LinkageCmd(lsrc, rsrc, ltgt,
+        block.getOrElse(
+          throw GraftError.Configuration("linkage needs --block COL")),
+        if (score.nonEmpty) score else throw GraftError.Configuration(
+          "linkage needs --score LEFTCOL:RIGHTCOL[:WEIGHT][,...]"),
+        threshold.getOrElse(
+          throw GraftError.Configuration("linkage needs --threshold T")),
+        maxBlock, srcType.map("sourceType" -> _).toMap, llogLevel)
     case "topk" :: rest =>
       var source: Option[String] = None
       var groups = Seq.empty[String]
@@ -958,6 +1026,29 @@ object Main {
         .read(spark, sc.target, Map.empty).count()
       println(s"\nSampled ${sc.source} -> ${sc.target} ($what, " +
         s"seed ${sc.seed}): $n rows")
+      0
+    } finally if (!preExisting) spark.stop()
+  }
+
+  /** `graft linkage`: blocked fuzzy-match join (entity resolution) from
+    * the CLI — LEFT and RIGHT read from any source, candidates blocked
+    * on `--block`, scored by weighted Jaro-Winkler over `--score`
+    * column pairs, matches >= `--threshold` written to TARGET. */
+  def runLinkage(lc: LinkageCmd): Int = {
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = session(lc.logLevel)
+    try {
+      val left = graft.sources.Connectors.read(spark, lc.left, lc.sourceOptions)
+      val right = graft.sources.Connectors.read(spark, lc.right, lc.sourceOptions)
+      val out = graft.operators.RecordLinkage.fuzzyJoin(
+        left, right, lc.block, lc.score, lc.threshold, lc.maxBlock)
+      graft.sources.Connectors.write(out, lc.target, truncate = true)
+      val n = graft.sources.Connectors
+        .read(spark, lc.target, Map.empty).count()
+      val fields = lc.score.map { case (l, r, w) => s"$l~$r(w=$w)" }
+      println(s"\nLinked ${lc.left} >< ${lc.right} -> ${lc.target} " +
+        s"(block ${lc.block}, ${fields.mkString(", ")}, " +
+        s"threshold ${lc.threshold}): $n matched pairs")
       0
     } finally if (!preExisting) spark.stop()
   }

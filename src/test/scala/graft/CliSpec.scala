@@ -976,6 +976,47 @@ class CliSpec extends SparkSpec {
       rendered.contains("content_chars"))
   }
 
+  test("linkage subcommand: parse forms, e2e match, typed errors") {
+    import spark.implicits._
+    val lc = parse(List("linkage", "l.parquet", "r.parquet", "o.parquet",
+      "--block", "b", "--score", "ln:rn,lc:rc:3", "--threshold", "0.9",
+      "--max-block", "500")).asInstanceOf[LinkageCmd]
+    assert(lc.block == "b" && lc.threshold == 0.9 && lc.maxBlock == 500)
+    assert(lc.score == Seq(("ln", "rn", 1.0), ("lc", "rc", 3.0)))
+    // repeatable --score appends
+    assert(parse(List("linkage", "l", "r", "o", "--block", "b",
+      "--score", "a:b", "--score", "c:d:2", "--threshold", "0.5"))
+      .asInstanceOf[LinkageCmd].score ==
+      Seq(("a", "b", 1.0), ("c", "d", 2.0)))
+    intercept[GraftError.Configuration](parse(List("linkage", "l", "r")))
+    intercept[GraftError.Configuration](parse(List("linkage", "l", "r", "o",
+      "--score", "a:b", "--threshold", "0.5"))) // no --block
+    intercept[GraftError.Configuration](parse(List("linkage", "l", "r", "o",
+      "--block", "b", "--threshold", "0.5"))) // no --score
+    intercept[GraftError.Configuration](parse(List("linkage", "l", "r", "o",
+      "--block", "b", "--score", "a:b", "--threshold", "1.5")))
+    intercept[GraftError.Configuration](parse(List("linkage", "l", "r", "o",
+      "--block", "b", "--score", "justonecol", "--threshold", "0.5")))
+    intercept[GraftError.Configuration](parse(List("linkage", "l", "r", "o",
+      "--block", "b", "--score", "a:b:-1", "--threshold", "0.5")))
+
+    val dir = tmpDir("cli_linkage")
+    Seq((1L, "martha", "b1"), (2L, "dixon", "b2"), (3L, "plain", "b3"))
+      .toDF("left_id", "ln", "b").write.parquet(s"$dir/l.parquet")
+    Seq((11L, "marhta", "b1"), (12L, "dicksonx", "b2"), (13L, "zzzz", "b3"))
+      .toDF("right_id", "rn", "b").write.parquet(s"$dir/r.parquet")
+    val rc = Console.withOut(new java.io.PrintStream(
+      new java.io.ByteArrayOutputStream(), true, "UTF-8")) {
+      runLinkage(parse(List("linkage", s"$dir/l.parquet", s"$dir/r.parquet",
+        s"$dir/o.parquet", "--block", "b", "--score", "ln:rn",
+        "--threshold", "0.9")).asInstanceOf[LinkageCmd])
+    }
+    assert(rc == 0)
+    val out = spark.read.parquet(s"$dir/o.parquet")
+    assert(out.select("left_id", "right_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 11L)))
+  }
+
   test("sample subcommand: parse forms, both modes e2e, typed errors") {
     val f = parse(List("sample", "a.parquet", "b.parquet", "--id", "id",
       "--fraction", "0.25", "--complement", "--seed", "5"))
