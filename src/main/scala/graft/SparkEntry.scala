@@ -1507,6 +1507,34 @@ object SparkEntry {
         .filter(col("match_score") >= 0.9)
     },
 
+    // --- self-table fuzzy dedup: the string-similarity twin of minhash
+    // pairs for SHORT strings — one table (originals ∪ corrupted
+    // twins), blocked on the last-3 key, half-matrix id_a < id_b, same
+    // tie-safe rounded cut. The oracle replays the self-join. ---
+    "q_fuzzy_dedup" -> { (s, dir) =>
+      val name9 = translate(substring(col("c_name"), 10, 9),
+        "0123456789", "aeioubcdfg")
+      val base = t(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .select(col("c_custkey").as("id"), name9.as("nm"))
+      val p = (pmod(col("id"), lit(50)) / 10 + 1).cast("int")
+      val swapped = concat(
+        col("nm").substr(lit(1), p - 1),
+        col("nm").substr(p + 1, lit(1)),
+        col("nm").substr(p, lit(1)),
+        col("nm").substr(p + 2, lit(9)))
+      val dirty = base.select((col("id") + 1000000L).as("id"),
+        swapped.as("nm"))
+      val all = base.unionByName(dirty)
+        .withColumn("block", substring(col("nm"), 7, 3))
+      def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+      graft.operators.RecordLinkage.fuzzyDedup(all, "id", "block",
+          Seq(("nm", 1.0)), threshold = 0.89)
+        .select(col("id_a"), col("id_b"),
+          r6(col("match_score")).as("match_score"))
+        .filter(col("match_score") >= 0.9)
+    },
+
     // --- heavy hitters via the Misra–Gries sketch, oracle-gated on its
     // provable EXACT sub-case (same pattern as the simhash gate): 5
     // distinct priorities per status group with k=16 means no decrement
@@ -3916,6 +3944,34 @@ object SparkEntry {
         |FROM lft JOIN rgt USING (block)
         |WHERE floor(jaro_winkler_similarity(left_name, right_name) * 1e6
         |    + 0.5) / 1e6 >= 0.9""".stripMargin,
+
+    // self-table fuzzy dedup: same derivation as q_record_linkage but
+    // one table and a half-matrix self-join, scored by DuckDB's own
+    // jaro_winkler_similarity with the identical rounded cut
+    "q_fuzzy_dedup" ->
+      """WITH base AS (
+        |  SELECT c_custkey AS id,
+        |    translate(substr(c_name, 10, 9),
+        |              '0123456789', 'aeioubcdfg') AS nm
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |), dirty AS (
+        |  SELECT id + 1000000 AS id,
+        |    substr(nm, 1, p - 1) || substr(nm, p + 1, 1) ||
+        |    substr(nm, p, 1) || substr(nm, p + 2, 9) AS nm
+        |  FROM (SELECT id, nm,
+        |          CAST(id % 50 / 10 + 1 AS INTEGER) AS p FROM base)
+        |), all_rows AS (
+        |  SELECT id, nm, substr(nm, 7, 3) AS block FROM base
+        |  UNION ALL
+        |  SELECT id, nm, substr(nm, 7, 3) AS block FROM dirty
+        |)
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |  floor(jaro_winkler_similarity(a.nm, b.nm) * 1e6 + 0.5) / 1e6
+        |    AS match_score
+        |FROM all_rows a JOIN all_rows b
+        |  ON a.block = b.block AND a.id < b.id
+        |WHERE floor(jaro_winkler_similarity(a.nm, b.nm) * 1e6 + 0.5) / 1e6
+        |  >= 0.9""".stripMargin,
 
     "q_heavy_hitters" ->
       """SELECT o_orderstatus,

@@ -81,6 +81,29 @@ object RecordLinkage {
     fuzzyJoin(left, right, blockCol,
       Seq((leftText, rightText, 1.0)), threshold)
 
+  /** Self-table fuzzy dedup: near-duplicate ROW PAIRS within one table
+    * — fuzzyJoin of a table against itself with the standard `id_a <
+    * id_b` half-matrix guard, so each unordered pair appears once and
+    * self-pairs never. Output: (id_a, id_b, match_score). Same blocking
+    * contract and per-block cap as [[fuzzyJoin]]; `scoreCols` name the
+    * fields to compare against themselves. The string-similarity twin
+    * of [[graft.llm.Dedup.minhashPairs]] for SHORT strings (names,
+    * titles, addresses) where token shingles are too coarse. */
+  def fuzzyDedup(df: DataFrame, idCol: String, blockCol: String,
+                 scoreCols: Seq[(String, Double)], threshold: Double,
+                 maxBlockSize: Int = 10000): DataFrame = {
+    require(scoreCols.nonEmpty, "fuzzyDedup needs at least one score column")
+    val left = df.select(col(idCol).as("id_a") +: col(blockCol) +:
+      scoreCols.map { case (c, _) => col(c).as(s"__la_$c") }: _*)
+    val right = df.select(col(idCol).as("id_b") +: col(blockCol) +:
+      scoreCols.map { case (c, _) => col(c).as(s"__lb_$c") }: _*)
+    fuzzyJoin(left, right, blockCol,
+        scoreCols.map { case (c, w) => (s"__la_$c", s"__lb_$c", w) },
+        threshold, maxBlockSize)
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("match_score"))
+  }
+
   /** Expose the raw scorer for ad-hoc use. */
   def similarity(a: Column, b: Column): Column = StringSim.jaro_winkler(a, b)
 }

@@ -83,6 +83,22 @@ class RecordLinkageSpec extends SparkSpec {
     assert(math.abs(dixonScore - (jw("dixon", "dicksonx") + 3.0) / 4.0) < 1e-12)
   }
 
+  test("fuzzyDedup: half-matrix self pairs, blocking respected") {
+    val df = Seq(
+      (1L, "martha", "b"), (2L, "marhta", "b"), (3L, "zzzzzz", "b"),
+      (4L, "martha", "c") // same name, different block → never paired
+    ).toDF("id", "nm", "block")
+    val out = RecordLinkage.fuzzyDedup(df, "id", "block",
+      Seq(("nm", 1.0)), threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(out.map(p => (p._1, p._2)).toSeq == Seq((1L, 2L)),
+      "one unordered pair, no self-pairs, no cross-block pairs")
+    assert(out.head._3 == jw("martha", "marhta"))
+    intercept[IllegalArgumentException] {
+      RecordLinkage.fuzzyDedup(df, "id", "block", Seq.empty, 0.5)
+    }
+  }
+
   test("fuzzyJoin: oversized blocks drop loudly-by-contract, guards fire") {
     val left = (1 to 40).map(i => (i.toLong, s"name$i", "hot"))
       .toDF("left_id", "ln", "block")
