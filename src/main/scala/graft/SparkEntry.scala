@@ -1507,6 +1507,15 @@ object SparkEntry {
         .filter(col("match_score") >= 0.9)
     },
 
+    // --- chi-square feature selection: top-5 most label-associated
+    // terms per language — exact LONG contingency cells (doc-level
+    // presence), ONE double ratio at the end spelled identically in
+    // the oracle, rank on the rounded score with a term tie-break. ---
+    "q_chi2_terms" -> { (s, dir) =>
+      graft.llm.FeatureSelect.chiSquareTerms(
+        t(s, dir, "documents"), "doc_id", "text", "lang", k = 5, minDf = 2)
+    },
+
     // --- self-table fuzzy dedup: the string-similarity twin of minhash
     // pairs for SHORT strings — one table (originals ∪ corrupted
     // twins), blocked on the last-3 key, half-matrix id_a < id_b, same
@@ -3944,6 +3953,51 @@ object SparkEntry {
         |FROM lft JOIN rgt USING (block)
         |WHERE floor(jaro_winkler_similarity(left_name, right_name) * 1e6
         |    + 0.5) / 1e6 >= 0.9""".stripMargin,
+
+    // chi-square term selection: the oracle rebuilds the same 2x2
+    // document contingencies from exact counts and applies the same
+    // closed-form ratio (same multiplication order), ranking on the
+    // identically-rounded score
+    "q_chi2_terms" ->
+      """WITH toks AS (
+        |  SELECT doc_id, lang AS label, unnest(list_distinct(
+        |    list_filter(string_split_regex(lower(text), '\W+'),
+        |                x -> x <> ''))) AS term
+        |  FROM documents
+        |), a AS (
+        |  SELECT term, label, count(*) AS a FROM toks GROUP BY 1, 2
+        |), dft AS (
+        |  SELECT term, sum(a) AS df FROM a GROUP BY 1
+        |), totals AS (
+        |  SELECT lang AS label, count(*) AS nl FROM documents GROUP BY 1
+        |), nn AS (
+        |  SELECT count(*) AS n FROM documents
+        |), cells AS (
+        |  SELECT totals.label, dft.term,
+        |    coalesce(a.a, 0) AS a, dft.df, totals.nl, nn.n,
+        |    dft.df - coalesce(a.a, 0) AS b,
+        |    totals.nl - coalesce(a.a, 0) AS c,
+        |    nn.n - dft.df - (totals.nl - coalesce(a.a, 0)) AS d
+        |  FROM dft CROSS JOIN totals
+        |    LEFT JOIN a ON a.term = dft.term AND a.label = totals.label,
+        |    nn
+        |  WHERE dft.df >= 2 AND dft.df < nn.n
+        |), scored AS (
+        |  SELECT label, term,
+        |    floor(
+        |      CAST(n AS DOUBLE)
+        |        * CAST(a * d - b * c AS DOUBLE)
+        |        * CAST(a * d - b * c AS DOUBLE)
+        |        / (CAST(df AS DOUBLE) * CAST(c + d AS DOUBLE)
+        |           * CAST(nl AS DOUBLE) * CAST(b + d AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 AS chi2
+        |  FROM cells
+        |)
+        |SELECT label, CAST(rnk AS INTEGER) AS rank, term, chi2 FROM (
+        |  SELECT label, term, chi2, row_number() OVER (
+        |    PARTITION BY label ORDER BY chi2 DESC, term) AS rnk
+        |  FROM scored)
+        |WHERE rnk <= 5""".stripMargin,
 
     // self-table fuzzy dedup: same derivation as q_record_linkage but
     // one table and a half-matrix self-join, scored by DuckDB's own
