@@ -785,6 +785,19 @@ object SparkEntry {
         LmScore.totalTokens(corpus, "text"))
     },
 
+    // --- CCNet perplexity bucketing (Wenzek et al. 2020): head/middle/
+    // tail quality tiers cut at EXACT corpus-level perplexity terciles
+    // (range-partitioned order statistics, no global sort) — the step
+    // CCNet runs between LM scoring and sampling. The oracle replays
+    // scoring and picks the same ceil(i*n/3)-th smallest proxies. ---
+    "q_ccnet_buckets" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val vocab = LmScore.unigramVocab(docs, "text", vocabSize = 30)
+      val scored = LmScore.score(docs, "doc_id", "text", vocab,
+        LmScore.totalTokens(docs, "text"))
+      LmScore.perplexityBuckets(scored, "doc_id")
+    },
+
     // --- multinomial Naive Bayes classifier (the trainable curation
     // filter: GPT-3's quality LR, CCNet's fastText lang-id, reduced to
     // the model trainable inside the engine): train on the doc_id%3==0
@@ -2956,6 +2969,48 @@ object SparkEntry {
         |  coalesce(n_tokens, 0) AS n_tokens,
         |  coalesce(round(alp, 6), 0.0) AS avg_logprob
         |FROM corpus LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // q_ccnet_buckets: replay unigram scoring (same CTEs as q_lm_score,
+    // plain corpus), negate the rounded score into the perplexity
+    // proxy, pick the ceil(n/3)/ceil(2n/3)-th smallest proxies as tier
+    // cutoffs (position-k value of the sorted multiset — identical to
+    // the engine's min-v-with-cumulative>=k), and assign by <=
+    "q_ccnet_buckets" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0)) AS w
+        |  FROM documents
+        |), cnt AS (
+        |  SELECT w, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY w
+        |), n AS (
+        |  SELECT CAST(sum(cnt) AS DOUBLE) AS total FROM cnt
+        |), vocab AS (
+        |  SELECT w, cnt FROM cnt ORDER BY cnt DESC, w LIMIT 30
+        |), sc AS (
+        |  SELECT t.doc_id,
+        |    ln(CAST(coalesce(v.cnt, 1) AS DOUBLE) / n.total) AS lp
+        |  FROM tok t LEFT JOIN vocab v ON t.w = v.w CROSS JOIN n
+        |), p AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |         -round(avg(lp), 6) AS perplexity_proxy
+        |  FROM sc GROUP BY doc_id
+        |), ranked AS (
+        |  SELECT perplexity_proxy AS v,
+        |         row_number() OVER (ORDER BY perplexity_proxy) AS rn,
+        |         count(*) OVER () AS nn
+        |  FROM p
+        |), th AS (
+        |  SELECT
+        |    max(CASE WHEN rn = CAST(ceil(nn / 3.0) AS BIGINT)
+        |        THEN v END) AS t1,
+        |    max(CASE WHEN rn = CAST(ceil(2 * nn / 3.0) AS BIGINT)
+        |        THEN v END) AS t2
+        |  FROM ranked
+        |)
+        |SELECT doc_id, n_tokens, perplexity_proxy,
+        |  CASE WHEN perplexity_proxy <= t1 THEN 'head'
+        |       WHEN perplexity_proxy <= t2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket
+        |FROM p, th""".stripMargin,
 
     // q_nb_classify: full train+score replay. P(w|c) = (cnt+1)/(tokc+
     // V+1) with the +1 pseudo-word absorbing OOV mass; unseen-in-class

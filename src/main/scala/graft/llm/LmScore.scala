@@ -146,4 +146,61 @@ object LmScore {
       .select(col(idCol), col("n_tokens"),
         coalesce(round(col("__alp"), roundTo), lit(0.0)).as("avg_logprob"))
   }
+
+  /** CCNet-style perplexity bucketing (Wenzek et al. 2020): partition
+    * scored documents into quality tiers — `head` / `middle` / `tail`
+    * by default — by corpus-level perplexity percentile, the step CCNet
+    * runs between LM scoring and downstream sampling (train on head,
+    * drop or down-weight tail).
+    *
+    * `scored` is the output of [[score]] / [[scoreBigram]] (or any
+    * frame carrying `scoreCol`, higher = better). The proxy is the
+    * negated score (so higher = worse, like perplexity); tier `i`
+    * (1-based) takes documents whose proxy is ≤ the corpus's
+    * `ceil(i·n/m)`-th smallest proxy value (m = number of labels), an
+    * EXACT order statistic — every document with the same rounded score
+    * lands in the same tier on any engine and any partitioning.
+    * Token-less rows (`n_tokens` = 0, scored 0.0 by convention) are
+    * excluded — a no-token document has no perplexity.
+    *
+    * Scale shape: the thresholds come from [[graft.operators
+    * .Distributions]]'s range-partitioned parallel prefix sums over the
+    * (value, count) distribution — no global sort, no single-reducer
+    * window — reduced to ONE (m−1)-column row broadcast back onto a
+    * shuffle-free projection. The cutoffs are exact corpus-level order
+    * statistics, not per-partition approximations, so tier populations
+    * are reproducible run to run. */
+  def perplexityBuckets(scored: DataFrame, idCol: String,
+                        scoreCol: String = "avg_logprob",
+                        labels: Seq[String] =
+                          Seq("head", "middle", "tail")): DataFrame = {
+    require(labels.size >= 2, s"need >= 2 tier labels, got $labels")
+    require(labels.distinct.size == labels.size,
+      s"tier labels must be distinct: $labels")
+    Guards.requireFreshColumns(scored,
+      Seq("perplexity_proxy", "bucket") ++
+        (1 until labels.size).map(i => s"__t$i"),
+      "LmScore.perplexityBuckets")
+    val m = labels.size
+    val withP = scored.where(col("n_tokens") > 0)
+      .withColumn("perplexity_proxy", -col(scoreCol))
+    val cum = graft.operators.Distributions
+      .cumulative(withP, col("perplexity_proxy"))
+    // k-th smallest = min v with inclusive cumulative count >= k,
+    // k_i = ceil(i*n/m) — ONE tiny (m-1)-column threshold row
+    val thCols = (1 until m).map { i =>
+      min(when(col("e") >=
+        ceil(col("n") * lit(i) / lit(m.toDouble)), col("v"))).as(s"__t$i")
+    }
+    val ths = cum.agg(thCols.head, thCols.tail: _*)
+    // first tier whose threshold covers the proxy; an empty corpus
+    // yields null thresholds -> every comparison is null -> last label
+    val bucket = (1 until m).foldRight(lit(labels.last)) { (i, acc) =>
+      when(col("perplexity_proxy") <= col(s"__t$i"),
+        lit(labels(i - 1))).otherwise(acc)
+    }
+    withP.crossJoin(broadcast(ths))
+      .select(col(idCol), col("n_tokens"), col("perplexity_proxy"),
+        bucket.as("bucket"))
+  }
 }

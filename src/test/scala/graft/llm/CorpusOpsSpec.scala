@@ -843,6 +843,48 @@ class CorpusOpsSpec extends SparkSpec {
       d.withColumn("n_tokens", lit(1L)), "doc_id", "text", vocab, total))
   }
 
+  test("ccnet buckets: exact-tercile tiers, ties, zero-token exclusion") {
+    // six scored docs, distinct proxies 1..6 (score = -proxy):
+    // k1 = ceil(6/3) = 2, k2 = ceil(12/3) = 4 -> 2 head, 2 middle, 2 tail
+    val scored = Seq(
+      (1L, 10L, -1.0), (2L, 10L, -2.0), (3L, 10L, -3.0),
+      (4L, 10L, -4.0), (5L, 10L, -5.0), (6L, 10L, -6.0),
+      (7L, 0L, 0.0) // token-less: no perplexity, excluded
+    ).toDF("doc_id", "n_tokens", "avg_logprob")
+    val out = LmScore.perplexityBuckets(scored, "doc_id")
+      .orderBy("doc_id").collect()
+    assert(out.length == 6)
+    assert(out.map(_.getAs[String]("bucket")).toSeq ==
+      Seq("head", "head", "middle", "middle", "tail", "tail"))
+    assert(out(0).getAs[Double]("perplexity_proxy") == 1.0)
+
+    // ties AT the cut all land in the same tier (head can exceed n/3):
+    // proxies (1,1,1,5,6,9): t1 = 2nd smallest = 1 -> three heads
+    val tied = Seq(
+      (1L, 5L, -1.0), (2L, 5L, -1.0), (3L, 5L, -1.0),
+      (4L, 5L, -5.0), (5L, 5L, -6.0), (6L, 5L, -9.0)
+    ).toDF("doc_id", "n_tokens", "avg_logprob")
+    val tiers = LmScore.perplexityBuckets(tied, "doc_id")
+      .orderBy("doc_id").collect().map(_.getAs[String]("bucket")).toSeq
+    assert(tiers == Seq("head", "head", "head", "middle", "tail", "tail"))
+
+    // two custom labels: median split, k1 = ceil(4/2) = 2
+    val two = LmScore.perplexityBuckets(
+      Seq((1L, 1L, -1.0), (2L, 1L, -2.0), (3L, 1L, -3.0), (4L, 1L, -4.0))
+        .toDF("doc_id", "n_tokens", "avg_logprob"),
+      "doc_id", labels = Seq("keep", "drop"))
+      .orderBy("doc_id").collect().map(_.getAs[String]("bucket")).toSeq
+    assert(two == Seq("keep", "keep", "drop", "drop"))
+
+    // guards: clashing output column, degenerate/duplicate labels
+    intercept[IllegalArgumentException](LmScore.perplexityBuckets(
+      scored.withColumn("bucket", lit("x")), "doc_id"))
+    intercept[IllegalArgumentException](
+      LmScore.perplexityBuckets(scored, "doc_id", labels = Seq("only")))
+    intercept[IllegalArgumentException](
+      LmScore.perplexityBuckets(scored, "doc_id", labels = Seq("a", "a")))
+  }
+
   test("bigram LM: stupid-backoff scoring, hand-computed; order sensitivity") {
     // corpus: two copies of "the cat sat" and one reversal. unigram
     // counts: the/cat/sat = 3 each, total 9; bigrams with context in
