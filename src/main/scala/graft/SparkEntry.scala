@@ -1307,6 +1307,25 @@ object SparkEntry {
         .select(col("id"), round(col("rank"), 6).as("rank"))
     },
 
+    // --- general connected components over the per-user event-star
+    // graph (each event linked to its user's first event): the dedup
+    // closure promoted to a first-class graph operator. The oracle is
+    // an INDEPENDENT structural derivation — a star connects all of a
+    // user's events, so component = min(event_id) per user and size =
+    // the user's event count; the engine still runs the real fused
+    // join+agg label propagation to discover that. ---
+    "q_connected_components" -> { (s, dir) =>
+      val ev = t(s, dir, "events").select(col("event_id"), col("user_id"))
+      val hubs = ev.groupBy(col("user_id"))
+        .agg(min(col("event_id")).as("hub"))
+      val edges = ev.join(hubs, Seq("user_id"))
+        .select(col("event_id").as("src"), col("hub").as("dst"))
+      graft.operators.ConnectedComponents.withSizes(
+        graft.operators.ConnectedComponents.run(
+          edges, "src", "dst",
+          vertices = Some(ev.select(col("event_id").as("id")))))
+    },
+
     // --- ordered funnel (view → click → purchase) per user: ONE
     // window exchange computes sequential reach times (stage i counts
     // only strictly after stage i-1); the oracle replays it as the
@@ -3711,6 +3730,17 @@ object SparkEntry {
         |)
         |SELECT n.id, round(0.15 + 0.85 * coalesce(c.c, 0), 6) AS rank
         |FROM nodes n LEFT JOIN c3 c ON n.id = c.id""".stripMargin,
+
+    // q_connected_components: the star graph connects every event of a
+    // user, so ground truth needs no recursion — component = the
+    // user's minimum event_id, size = the user's event count. An
+    // independent derivation of what the engine's label propagation
+    // must converge to.
+    "q_connected_components" ->
+      """SELECT event_id AS id,
+        |  min(event_id) OVER (PARTITION BY user_id) AS component,
+        |  count(*) OVER (PARTITION BY user_id) AS component_size
+        |FROM events""".stripMargin,
 
     "q_funnel" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
