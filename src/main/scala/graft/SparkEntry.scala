@@ -798,6 +798,29 @@ object SparkEntry {
       LmScore.perplexityBuckets(scored, "doc_id")
     },
 
+    // --- Unicode script profile: the writing-system language signal
+    // (stopword lang-id only separates space-delimited Latin-script
+    // languages; CJK/Cyrillic/Arabic identify by SCRIPT). One native
+    // codegen'd pass counts codepoints per script class; multilingual
+    // suffixes are planted per doc_id residue so every class exercises.
+    // The oracle re-counts each class with RE2 script strips. ---
+    "q_script_profile" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tagged = docs.withColumn("text",
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(col("text"), lit(" привет мир")))
+        .when(pmod(col("doc_id"), lit(7)) === 1,
+          concat(col("text"), lit(" 机器 学习 模型")))
+        .when(pmod(col("doc_id"), lit(7)) === 2,
+          concat(col("text"), lit(" مرحبا שלום")))
+        .when(pmod(col("doc_id"), lit(7)) === 3,
+          concat(col("text"), lit(" こんにちは 한국")))
+        .otherwise(col("text")))
+      tagged.select(col("doc_id"),
+          graft.functions.UnicodeExprs.scriptProfile(col("text")).as("p"))
+        .select(col("doc_id"), col("p.*"))
+    },
+
     // --- multinomial Naive Bayes classifier (the trainable curation
     // filter: GPT-3's quality LR, CCNet's fastText lang-id, reduced to
     // the model trainable inside the engine): train on the doc_id%3==0
@@ -3030,6 +3053,56 @@ object SparkEntry {
         |       WHEN perplexity_proxy <= t2 THEN 'middle'
         |       ELSE 'tail' END AS bucket
         |FROM p, th""".stripMargin,
+
+    // q_script_profile: each class re-counted by an RE2 script strip
+    // (RE2 \p{Script} and Java Character.UnicodeScript agree on these
+    // codepoints); digit is spelled [0-9] because the fixture's only
+    // Nd codepoints are ASCII (script digits would count as their
+    // script under the engine's precedence); dominant = alphabetically
+    // first script reaching the max, 'none' when no script codepoint
+    "q_script_profile" ->
+      """WITH tagged AS (
+        |  SELECT doc_id, CASE
+        |    WHEN doc_id % 7 = 0 THEN text || ' привет мир'
+        |    WHEN doc_id % 7 = 1 THEN text || ' 机器 学习 模型'
+        |    WHEN doc_id % 7 = 2 THEN text || ' مرحبا שלום'
+        |    WHEN doc_id % 7 = 3 THEN text || ' こんにちは 한국'
+        |    ELSE text END AS text
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id,
+        |    len(text) AS n_chars,
+        |    len(regexp_replace(text, '[^\p{Arabic}]', '', 'g')) AS arabic,
+        |    len(regexp_replace(text, '[^\p{Cyrillic}]', '', 'g')) AS cyrillic,
+        |    len(regexp_replace(text, '[^\p{Devanagari}]', '', 'g')) AS devanagari,
+        |    len(regexp_replace(text, '[^\p{Greek}]', '', 'g')) AS greek,
+        |    len(regexp_replace(text, '[^\p{Han}]', '', 'g')) AS han,
+        |    len(regexp_replace(text, '[^\p{Hangul}]', '', 'g')) AS hangul,
+        |    len(regexp_replace(text, '[^\p{Hebrew}]', '', 'g')) AS hebrew,
+        |    len(regexp_replace(text, '[^\p{Hiragana}\p{Katakana}]', '', 'g')) AS kana,
+        |    len(regexp_replace(text, '[^\p{Latin}]', '', 'g')) AS latin,
+        |    len(regexp_replace(text, '[^0-9]', '', 'g')) AS digit,
+        |    len(regexp_replace(text, '[^\t\n\x0B\f\r ]', '', 'g')) AS space
+        |  FROM tagged
+        |), g AS (
+        |  SELECT *, greatest(arabic, cyrillic, devanagari, greek, han,
+        |    hangul, hebrew, kana, latin) AS mx FROM c
+        |)
+        |SELECT doc_id, n_chars, arabic, cyrillic, devanagari, greek,
+        |  han, hangul, hebrew, kana, latin, digit, space,
+        |  n_chars - arabic - cyrillic - devanagari - greek - han
+        |    - hangul - hebrew - kana - latin - digit - space AS other,
+        |  CASE WHEN mx = 0 THEN 'none'
+        |       WHEN arabic = mx THEN 'arabic'
+        |       WHEN cyrillic = mx THEN 'cyrillic'
+        |       WHEN devanagari = mx THEN 'devanagari'
+        |       WHEN greek = mx THEN 'greek'
+        |       WHEN han = mx THEN 'han'
+        |       WHEN hangul = mx THEN 'hangul'
+        |       WHEN hebrew = mx THEN 'hebrew'
+        |       WHEN kana = mx THEN 'kana'
+        |       ELSE 'latin' END AS dominant
+        |FROM g""".stripMargin,
 
     // q_nb_classify: full train+score replay. P(w|c) = (cnt+1)/(tokc+
     // V+1) with the +1 pseudo-word absorbing OOV mass; unseen-in-class

@@ -52,4 +52,43 @@ class UnicodeExprsSpec extends SparkSpec {
     intercept[graft.core.GraftError.Configuration](
       spark.sql("SELECT unicode_normalize(t, t) FROM uni_sql").collect())
   }
+
+  test("script profile: hand-counted codepoints, priority, dominant ties") {
+    val d = Seq(
+      // 3 latin, 3 cyrillic, 2 han, 1 digit, 2 space, 1 other (!)
+      (1L, "abc АБВ 中文 5!"),
+      (2L, "あカ"),                    // hiragana + katakana → kana 2
+      (3L, "०१"),                    // Devanagari DIGITS: script wins over Nd
+      (4L, "12 34"),                           // digits + space, no script → none
+      (5L, "אا"),                    // hebrew + arabic, tie → arabic
+      (6L, ""),
+      (7L, null.asInstanceOf[String]),
+      // astral Han (surrogate pair) counts ONE codepoint
+      (8L, new String(Character.toChars(0x20000)))
+    ).toDF("id", "t")
+    val out = d.select($"id", UnicodeExprs.scriptProfile($"t").as("p"))
+      .select($"id", $"p.*").collect()
+      .map(r => r.getLong(0) -> r).toMap
+
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_chars") == 13L)
+    assert(r1.getAs[Long]("latin") == 3L && r1.getAs[Long]("cyrillic") == 3L)
+    assert(r1.getAs[Long]("han") == 2L && r1.getAs[Long]("digit") == 1L)
+    assert(r1.getAs[Long]("space") == 3L && r1.getAs[Long]("other") == 1L)
+    assert(r1.getAs[String]("dominant") == "cyrillic") // 3-3 tie, alphabetical
+
+    assert(out(2L).getAs[Long]("kana") == 2L &&
+      out(2L).getAs[String]("dominant") == "kana")
+    // script precedence: Devanagari digits are script, not Nd
+    assert(out(3L).getAs[Long]("devanagari") == 2L &&
+      out(3L).getAs[Long]("digit") == 0L)
+    assert(out(4L).getAs[Long]("digit") == 4L &&
+      out(4L).getAs[String]("dominant") == "none")
+    assert(out(5L).getAs[String]("dominant") == "arabic")
+    assert(out(6L).getAs[Long]("n_chars") == 0L &&
+      out(6L).getAs[String]("dominant") == "none")
+    assert(out(7L).isNullAt(out(7L).fieldIndex("n_chars"))) // null in → null out
+    assert(out(8L).getAs[Long]("n_chars") == 1L &&
+      out(8L).getAs[Long]("han") == 1L)
+  }
 }
