@@ -1788,6 +1788,25 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // --- soft dedup: duplicate-aware sampling weights instead of
+    // removal — weight = 1/|component| gives every duplicate cluster
+    // the same TOTAL sampling mass as one unique document (feeds the
+    // E-S weighted sampler / trainer example weights). Exercised on
+    // exact-content clusters (the API takes ANY dedup family's
+    // component frame); replicas planted at two densities so cluster
+    // sizes 1, 2 and 3 all appear. ---
+    "q_softdedup_weights" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs
+        .union(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .union(docs.filter(pmod(col("doc_id"), lit(10)) === 0)
+          .select((col("doc_id") + 200000).as("doc_id"), col("text")))
+      Dedup.softWeights(
+        Dedup.exact(corpus, "doc_id", Seq("text")), "doc_id")
+        .withColumnRenamed("canonical_id", "component")
+    },
+
     // --- first-occurrence dedup over replayed event deliveries: keep the
     // earliest row per content group (batch twin of the streaming
     // dropDuplicatesWithinWatermark path; replays are engineered 30min
@@ -4445,6 +4464,23 @@ object SparkEntry {
         |SELECT id AS doc_id, min(r) AS canonical_id,
         |  min(r) <> id AS is_duplicate
         |FROM reach GROUP BY id""".stripMargin,
+
+    // q_softdedup_weights: exact clusters are text-equality groups, so
+    // the replay is two windows over the planted corpus; 1/n is one
+    // IEEE division on both engines
+    "q_softdedup_weights" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text FROM documents WHERE doc_id % 10 = 0
+        |)
+        |SELECT doc_id,
+        |  min(doc_id) OVER (PARTITION BY text) AS component,
+        |  count(*) OVER (PARTITION BY text) AS dup_count,
+        |  CAST(1 AS DOUBLE) / count(*) OVER (PARTITION BY text) AS weight
+        |FROM corpus""".stripMargin,
 
     "q_dedup_keep_best" ->
       """WITH RECURSIVE corpus AS (

@@ -403,6 +403,40 @@ object Dedup {
     * left-semi join, so full document rows never ride a shuffle. Ids
     * must be non-negative (the struct tie-break negates the id so one
     * max covers score-desc/id-asc). */
+  /** Soft dedup: duplicate-aware sampling weights instead of removal —
+    * each row gets `weight = 1 / |its component|`, so a cluster of n
+    * (near-)identical documents carries the same TOTAL sampling mass as
+    * one unique document. Feed the weights to [[Sampling
+    * .weightedSample]] (or a trainer's example weights) when hard
+    * removal is too blunt: the cluster's best spelling still has a
+    * chance to appear, duplicated content just stops dominating the
+    * mixture.
+    *
+    * `components` is any (id, component) assignment — [[exact]],
+    * [[minhashDedupConnected]], [[convergeCanonicals]], a fuzzy-dedup
+    * closure — making this the one reweighting step for every dedup
+    * family. Output: (id, component, dup_count, weight).
+    *
+    * Scale shape: ONE exchange hash-partitioned on the component label
+    * (the frame is keys-only — text never enters); `1/n` is a single
+    * IEEE division, identical on every engine, so weights replay
+    * bit-for-bit. */
+  def softWeights(components: DataFrame, idCol: String,
+                  componentCol: String = "canonical_id"): DataFrame = {
+    require(components.columns.contains(idCol) &&
+      components.columns.contains(componentCol),
+      s"softWeights expects ($idCol, $componentCol) in " +
+        components.columns.mkString(", "))
+    Guards.requireFreshColumns(
+      components.drop(componentCol), Seq("dup_count", "weight"),
+      "Dedup.softWeights")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(componentCol))
+    components.select(col(idCol), col(componentCol))
+      .withColumn("dup_count", count(lit(1)).over(w))
+      .withColumn("weight", lit(1.0) / col("dup_count"))
+  }
+
   def keepBestPerComponent(df: DataFrame, components: DataFrame,
                            idCol: String, score: Column): DataFrame = {
     val winners = df.select(col(idCol), score.as("__s"))

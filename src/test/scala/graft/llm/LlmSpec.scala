@@ -360,6 +360,28 @@ class LlmSpec extends SparkSpec {
     assert(kept == Seq(2L, 5L), s"wrong survivors: $kept")
   }
 
+  test("softWeights: 1/|component| mass, custom column, guards") {
+    val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L))
+      .toDF("id", "canonical_id")
+    val out = Dedup.softWeights(comps, "id").orderBy($"id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq(
+      (1L, 1L, 3L, 1.0 / 3), (2L, 1L, 3L, 1.0 / 3), (3L, 1L, 3L, 1.0 / 3),
+      (4L, 4L, 1L, 1.0), (5L, 5L, 1L, 1.0)))
+    // total mass = number of components
+    assert(math.abs(out.map(_._4).sum - 3.0) < 1e-12)
+    // any dedup family's component column name works
+    val renamed = Dedup.softWeights(
+      comps.withColumnRenamed("canonical_id", "component"),
+      "id", "component")
+    assert(renamed.columns.toSeq ==
+      Seq("id", "component", "dup_count", "weight"))
+    // loud on missing/clashing columns
+    intercept[IllegalArgumentException](Dedup.softWeights(comps, "nope"))
+    intercept[IllegalArgumentException](Dedup.softWeights(
+      comps.withColumn("weight", lit(1.0)), "id"))
+  }
+
   test("connectedWithBest ≡ the two-call composition, one frame, both signals") {
     // chained variants: orig ~ v1 ~ v2 per picked doc (transitive
     // component of 3); v2 is longest so it wins each component
