@@ -1807,6 +1807,23 @@ object SparkEntry {
         .withColumnRenamed("canonical_id", "component")
     },
 
+    // --- corpus-level overlap: "how much of corpus B is already in
+    // A?" — the dataset-refresh / license-audit question at corpus
+    // granularity (per-document contamination is q_contamination).
+    // Both corpora reduce to DISTINCT 8-byte shingle hashes meeting in
+    // one full-outer join; the oracle rebuilds the same n-gram sets as
+    // strings (fixture docs all carry >= 3 tokens, so the short-doc
+    // clamp never fires and hash-distinct = string-distinct). ---
+    "q_corpus_containment" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val a = docs.filter(pmod(col("doc_id"), lit(3)) < 2)
+      val b = docs.filter(pmod(col("doc_id"), lit(3)) > 0)
+        .union(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(lit("novel prefix words "), col("text")).as("text")))
+      Contamination.corpusContainment(a, b, "text")
+    },
+
     // --- first-occurrence dedup over replayed event deliveries: keep the
     // earliest row per content group (batch twin of the streaming
     // dropDuplicatesWithinWatermark path; replays are engineered 30min
@@ -4481,6 +4498,39 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY text) AS dup_count,
         |  CAST(1 AS DOUBLE) / count(*) OVER (PARTITION BY text) AS weight
         |FROM corpus""".stripMargin,
+
+    // q_corpus_containment: the same trigram sets rebuilt as strings
+    // (distinct hashes = distinct grams — same tokenizer, no collision
+    // at this scale), intersected and counted; divisions are one
+    // double op each, identical on both engines
+    "q_corpus_containment" ->
+      """WITH a AS (
+        |  SELECT text FROM documents WHERE doc_id % 3 < 2
+        |), b AS (
+        |  SELECT text FROM documents WHERE doc_id % 3 > 0
+        |  UNION ALL
+        |  SELECT 'novel prefix words ' || text FROM documents
+        |  WHERE doc_id % 7 = 0
+        |), sa AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(tok) - 1),
+        |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS g
+        |  FROM (SELECT regexp_split_to_array(lower(text), '\W+') AS tok
+        |        FROM a)
+        |), sb AS (
+        |  SELECT DISTINCT unnest(list_transform(range(1, len(tok) - 1),
+        |    i -> tok[i] || ' ' || tok[i+1] || ' ' || tok[i+2])) AS g
+        |  FROM (SELECT regexp_split_to_array(lower(text), '\W+') AS tok
+        |        FROM b)
+        |), j AS (
+        |  SELECT
+        |    (SELECT count(*) FROM sa) AS n_a,
+        |    (SELECT count(*) FROM sb) AS n_b,
+        |    (SELECT count(*) FROM sa JOIN sb ON sa.g = sb.g) AS n_common
+        |)
+        |SELECT n_a, n_b, n_common,
+        |  CAST(n_common AS DOUBLE) / n_b AS containment_b_in_a,
+        |  CAST(n_common AS DOUBLE) / (n_a + n_b - n_common) AS jaccard
+        |FROM j""".stripMargin,
 
     "q_dedup_keep_best" ->
       """WITH RECURSIVE corpus AS (

@@ -124,6 +124,42 @@ object Contamination {
       .filter(col("matched_probes") > 0)
   }
 
+  /** Corpus-level overlap report — "how much of corpus B is already in
+    * corpus A?" — the dataset-vs-dataset question behind training-set
+    * refresh decisions (is the new crawl novel?), license audits and
+    * corpus-granularity contamination, where [[check]] answers it per
+    * document. ONE row: distinct shingle counts of each corpus, their
+    * intersection, `containment_b_in_a` = |A∩B| / |B| (how much of B
+    * that A already covers) and the symmetric `jaccard`.
+    *
+    * Scale shape: both corpora reduce to DISTINCT 8-byte shingle
+    * hashes (text never shuffles) that meet in one full-outer
+    * hash-join; counts aggregate map-side into a single row. Distinct
+    * shingle space ~ corpus vocabulary of n-grams — big but keys-only;
+    * there is no all-pairs step anywhere. */
+  def corpusContainment(a: DataFrame, b: DataFrame, textCol: String,
+                        n: Int = 3): DataFrame = {
+    require(a.columns.contains(textCol) && b.columns.contains(textCol),
+      s"both corpora need a '$textCol' column")
+    def shingles(df: DataFrame, mark: String) = df
+      .select(explode(
+        graft.functions.SketchExprs.shingleHashes(col(textCol), n)).as("h"))
+      .distinct()
+      .withColumn(mark, lit(1L))
+    shingles(a, "__a").join(shingles(b, "__b"), Seq("h"), "full_outer")
+      .agg(
+        sum(coalesce(col("__a"), lit(0L))).as("n_a"),
+        sum(coalesce(col("__b"), lit(0L))).as("n_b"),
+        sum(when(col("__a").isNotNull && col("__b").isNotNull, 1L)
+          .otherwise(0L)).as("n_common"))
+      .select(col("n_a"), col("n_b"), col("n_common"),
+        (col("n_common").cast("double") / col("n_b").cast("double"))
+          .as("containment_b_in_a"),
+        (col("n_common").cast("double") /
+          (col("n_a") + col("n_b") - col("n_common")).cast("double"))
+          .as("jaccard"))
+  }
+
   def decontaminate(corpus: DataFrame, probes: DataFrame, idCol: String,
                     textCol: String, probeTextCol: String, n: Int = 8,
                     maxContamination: Double = 0.2): DataFrame = {

@@ -360,6 +360,30 @@ class LlmSpec extends SparkSpec {
     assert(kept == Seq(2L, 5L), s"wrong survivors: $kept")
   }
 
+  test("corpusContainment: hand-counted shingle sets, disjoint and identical") {
+    // A's docs: trigrams {a b c, b c d} and {x y z}; B shares doc1
+    // exactly and adds one novel doc {p q r}
+    val a = Seq("a b c d", "x y z").toDF("text")
+    val b = Seq("a b c d", "p q r").toDF("text")
+    val r = Contamination.corpusContainment(a, b, "text").collect()(0)
+    assert(r.getAs[Long]("n_a") == 3L)     // {abc, bcd, xyz}
+    assert(r.getAs[Long]("n_b") == 3L)     // {abc, bcd, pqr}
+    assert(r.getAs[Long]("n_common") == 2L)
+    assert(r.getAs[Double]("containment_b_in_a") == 2.0 / 3)
+    assert(r.getAs[Double]("jaccard") == 2.0 / 4)
+    // identical corpora: containment and jaccard both 1
+    val same = Contamination.corpusContainment(a, a, "text").collect()(0)
+    assert(same.getAs[Double]("containment_b_in_a") == 1.0 &&
+      same.getAs[Double]("jaccard") == 1.0)
+    // disjoint: both 0
+    val disj = Contamination.corpusContainment(
+      a, Seq("p q r s").toDF("text"), "text").collect()(0)
+    assert(disj.getAs[Long]("n_common") == 0L &&
+      disj.getAs[Double]("jaccard") == 0.0)
+    intercept[IllegalArgumentException](
+      Contamination.corpusContainment(a, b, "nope"))
+  }
+
   test("softWeights: 1/|component| mass, custom column, guards") {
     val comps = Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 4L), (5L, 5L))
       .toDF("id", "canonical_id")
