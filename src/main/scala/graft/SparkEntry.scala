@@ -1500,6 +1500,18 @@ object SparkEntry {
         "doc_id", "text", Seq("stream", "vector", "window"))
     },
 
+    // --- pseudo-relevance-feedback query expansion: assume the BM25
+    // top-10 are relevant, propose the 10 terms most characteristic of
+    // them by Robertson offer weight r_fb * idf — the recall lever when
+    // the query's phrasing misses the corpus vocabulary. Feedback set
+    // is k-bounded BEFORE anything touches it; corpus df only shuffles
+    // broadcast-filtered candidate hits. ---
+    "q_prf_expansion" -> { (s, dir) =>
+      graft.llm.Bm25.expandQuery(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", Seq("stream", "vector", "window"))
+    },
+
     // --- hybrid-retrieval fusion: reciprocal-rank fusion (RRF, k=60)
     // of two deterministic top-100 document rankings — the BM25 lexical
     // ranking and a length-prior ranking. Each list is k-BOUNDED before
@@ -4059,6 +4071,81 @@ object SparkEntry {
         |  ) * 1e6 + 0.5) / 1e6 AS score
         |FROM perdoc, stats
         |WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0""".stripMargin,
+
+    // q_prf_expansion: replay BM25 (same CTEs), take the top-10 docs by
+    // (rounded score desc, id), rebuild candidate stats and corpus df,
+    // and apply the same r_fb * idf offer weight with floor-half-up
+    // rounding and the (weight desc, term) rank
+    "q_prf_expansion" ->
+      """WITH toks AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split_regex(lower(text), '\W+'),
+        |                x -> x <> '') AS tk
+        |  FROM documents
+        |), perdoc AS (
+        |  SELECT doc_id, CAST(len(tk) AS DOUBLE) AS dl,
+        |    CAST(len(list_filter(tk, x -> x = 'stream')) AS DOUBLE) AS tf0,
+        |    CAST(len(list_filter(tk, x -> x = 'vector')) AS DOUBLE) AS tf1,
+        |    CAST(len(list_filter(tk, x -> x = 'window')) AS DOUBLE) AS tf2
+        |  FROM toks
+        |), stats AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(CAST(dl AS BIGINT)) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) AS avgdl,
+        |    CAST(sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+        |    CAST(sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+        |    CAST(sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+        |  FROM perdoc
+        |), scored AS (
+        |  SELECT doc_id,
+        |    floor((
+        |        ln(1.0 + (n - df0 + 0.5) / (df0 + 0.5))
+        |          * (tf0 * (1.2 + 1.0))
+        |          / (tf0 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |      + ln(1.0 + (n - df1 + 0.5) / (df1 + 0.5))
+        |          * (tf1 * (1.2 + 1.0))
+        |          / (tf1 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |      + ln(1.0 + (n - df2 + 0.5) / (df2 + 0.5))
+        |          * (tf2 * (1.2 + 1.0))
+        |          / (tf2 + 1.2 * ((1.0 - 0.75) + 0.75 * dl / avgdl))
+        |    ) * 1e6 + 0.5) / 1e6 AS score
+        |  FROM perdoc, stats
+        |  WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+        |), fb AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, row_number() OVER (
+        |      ORDER BY score DESC, doc_id) AS rn FROM scored)
+        |  WHERE rn <= 10
+        |), fbtok AS (
+        |  SELECT t.doc_id, unnest(t.tk) AS term
+        |  FROM toks t JOIN fb USING (doc_id)
+        |), cand AS (
+        |  SELECT term, count(DISTINCT doc_id) AS r_fb,
+        |    count(*) AS tf_fb
+        |  FROM fbtok
+        |  WHERE term NOT IN ('stream', 'vector', 'window')
+        |  GROUP BY term
+        |), docterm AS (
+        |  SELECT DISTINCT doc_id, term
+        |  FROM (SELECT doc_id, unnest(tk) AS term FROM toks)
+        |), dfs AS (
+        |  SELECT d.term, count(*) AS df
+        |  FROM docterm d JOIN cand USING (term)
+        |  GROUP BY d.term
+        |), nn AS (
+        |  SELECT count(*) AS n FROM documents
+        |), weighted AS (
+        |  SELECT cand.term, r_fb, tf_fb, df,
+        |    floor(CAST(r_fb AS DOUBLE)
+        |        * ln(1.0 + (CAST(n AS DOUBLE) - CAST(df AS DOUBLE) + 0.5)
+        |              / (CAST(df AS DOUBLE) + 0.5))
+        |        * 1e6 + 0.5) / 1e6 AS weight
+        |  FROM cand JOIN dfs USING (term), nn
+        |)
+        |SELECT term, r_fb, tf_fb, df, weight, CAST(rn AS INTEGER) AS rank
+        |FROM (SELECT *, row_number() OVER (
+        |        ORDER BY weight DESC, term) AS rn FROM weighted)
+        |WHERE rn <= 10""".stripMargin,
 
     // RRF fusion: the oracle replays the BM25 CTE, both deterministic
     // top-100 rankings (row_number with the same tie-break), and the

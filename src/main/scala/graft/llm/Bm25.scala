@@ -81,4 +81,73 @@ object Bm25 {
       .filter(terms.indices.map(i => col(s"__tf$i") > 0).reduce(_ || _))
       .select(col("__id").as(idCol), col("score"))
   }
+
+  /** Pseudo-relevance-feedback query expansion (Rocchio-family, with
+    * Robertson's offer-weight term selection): run the original query,
+    * ASSUME the top `fbDocs` results are relevant, and propose the
+    * `fbTerms` terms most characteristic of that feedback set —
+    * `weight(t) = r_t · idf(t)` where `r_t` is the number of feedback
+    * docs containing `t` and idf is the same Lucene-variant BM25 idf.
+    * The expanded query (original terms + proposals) re-enters
+    * [[score]]; the classic recall lever when the user's phrasing
+    * misses the corpus's vocabulary.
+    *
+    * Determinism: feedback docs are the top `fbDocs` by (rounded score
+    * desc, id asc); weights are an exact integer count times one log,
+    * rounded tie-safely (floor-half-up); the final rank breaks ties on
+    * the term. Every step replays on any engine.
+    *
+    * Scale shape: the feedback set is k-BOUNDED before anything else
+    * touches it (TakeOrderedAndProject — no corpus sort), so the
+    * candidate vocabulary is bounded by `fbDocs` documents' distinct
+    * tokens and broadcasts; corpus `df` for candidates is one
+    * projection pass whose explode is filtered by that broadcast
+    * BEFORE the (term)-keys-only aggregation shuffles. N rides the
+    * stats row. No (doc, term) shuffle of the whole corpus.
+    *
+    * @return (term, r_fb, tf_fb, df, weight, rank) — `rank` 1..fbTerms
+    *         by (weight desc, term asc); original query terms excluded. */
+  def expandQuery(docs: DataFrame, idCol: String, textCol: String,
+                  queryTerms: Seq[String], fbDocs: Int = 10,
+                  fbTerms: Int = 10, k1: Double = 1.2, b: Double = 0.75,
+                  roundTo: Int = 6): DataFrame = {
+    require(fbDocs >= 1, s"fbDocs must be >= 1: $fbDocs")
+    require(fbTerms >= 1, s"fbTerms must be >= 1: $fbTerms")
+    val terms = queryTerms.map(_.toLowerCase).distinct
+    val id = col("`" + idCol.replace("`", "``") + "`")
+    val fb = score(docs, idCol, textCol, queryTerms, k1, b, roundTo)
+      .orderBy(col("score").desc, id.asc)
+      .limit(fbDocs)
+      .select(id.as("__fbid"))
+    // candidate stats from the (tiny) feedback set: r_fb = docs
+    // containing the term, tf_fb = total occurrences
+    val fbToks = docs.join(broadcast(fb), id === col("__fbid"))
+      .select(id.as("__id"),
+        explode(Contamination.tokens(col(textCol))).as("term"))
+      .filter(!col("term").isin(terms: _*))
+    val cand = fbToks.groupBy(col("term"))
+      .agg(countDistinct(col("__id")).as("r_fb"),
+        count(lit(1)).as("tf_fb"))
+    // corpus df restricted to the broadcast candidate vocabulary: the
+    // explode is a projection; only candidate hits reach the shuffle
+    val dfs = docs
+      .select(explode(array_distinct(
+        Contamination.tokens(col(textCol)))).as("term"))
+      .join(broadcast(cand.select(col("term"))), Seq("term"), "left_semi")
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("__n"))
+    val factor = math.pow(10.0, roundTo)
+    val idf = log(lit(1.0) +
+      (col("__n").cast("double") - col("df").cast("double") + 0.5) /
+        (col("df").cast("double") + 0.5))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("weight").desc, col("term").asc)
+    cand.join(dfs, Seq("term")).crossJoin(broadcast(n))
+      .withColumn("weight",
+        floor(col("r_fb").cast("double") * idf * factor + 0.5) / factor)
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= fbTerms)
+      .select(col("term"), col("r_fb"), col("tf_fb"), col("df"),
+        col("weight"), col("rank"))
+  }
 }

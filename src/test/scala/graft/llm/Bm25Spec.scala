@@ -50,4 +50,33 @@ class Bm25Spec extends SparkSpec {
       Bm25.score(docs, "doc_id", "text", (1 to 65).map("t" + _))
     }
   }
+
+  test("prf expansion: hand-computed offer weights, exclusion, rank") {
+    // query 'apple': d2 (dl=3) outranks d1 (dl=4) at equal tf, so the
+    // top-2 feedback set is {d2, d1}; candidates banana/cherry/dog
+    val docs = Seq(
+      (1L, "apple banana banana cherry"),
+      (2L, "apple banana dog"),
+      (3L, "dog elephant"),
+      (4L, "cherry dog")
+    ).toDF("doc_id", "text")
+    def r6(x: Double) =
+      math.floor(x * 1e6 + 0.5) / 1e6
+    val out = Bm25.expandQuery(docs, "doc_id", "text", Seq("apple"),
+        fbDocs = 2, fbTerms = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5)))
+    // banana: r_fb=2 (both fb docs), tf_fb=3, df=2 → 2·ln2
+    // cherry: r_fb=1 (d1), tf_fb=1, df=2 → ln2; dog cut by fbTerms=2
+    assert(out.toSeq == Seq(
+      ("banana", 2L, 3L, 2L, r6(2 * math.log(2.0)), 1),
+      ("cherry", 1L, 1L, 2L, r6(math.log(2.0)), 2)))
+    // original query terms never propose themselves
+    assert(!out.exists(_._1 == "apple"))
+    intercept[IllegalArgumentException](
+      Bm25.expandQuery(docs, "doc_id", "text", Seq("apple"), fbDocs = 0))
+    intercept[IllegalArgumentException](
+      Bm25.expandQuery(docs, "doc_id", "text", Seq("apple"), fbTerms = 0))
+  }
 }
