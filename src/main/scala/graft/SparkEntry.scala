@@ -1819,6 +1819,27 @@ object SparkEntry {
         .withColumnRenamed("canonical_id", "component")
     },
 
+    // --- mergeable distinct-count sketches (KMV bottom-k): per-day
+    // user sketches + ANY-window rollup without rescanning history —
+    // the incremental answer to COUNT(DISTINCT). The hash is the
+    // engine-portable Knuth multiplicative hash, so the DuckDB oracle
+    // rebuilds the exact sketch and the estimate replays bit-for-bit
+    // (below k the count is exact — both branches exercise here). ---
+    "q_distinct_sketch" -> { (s, dir) =>
+      import graft.operators.DistinctSketch
+      val k = 32
+      val ev = t(s, dir, "events")
+        .select(to_date(col("ts")).cast("string").as("day"), col("user_id"))
+      val daily = ev.groupBy(col("day"))
+        .agg(DistinctSketch.sketch(col("user_id"), k).as("sk"))
+      val merged = DistinctSketch.mergeSketches(daily, Seq.empty, "sk", k)
+      daily.select(col("day"), size(col("sk")).cast("long").as("sketch_size"),
+          DistinctSketch.estimate(col("sk"), k).as("distinct_est"))
+        .union(merged.select(lit("ALL").as("day"),
+          size(col("sk")).cast("long").as("sketch_size"),
+          DistinctSketch.estimate(col("sk"), k).as("distinct_est")))
+    },
+
     // --- corpus-level overlap: "how much of corpus B is already in
     // A?" — the dataset-refresh / license-audit question at corpus
     // granularity (per-document contamination is q_contamination).
@@ -4585,6 +4606,47 @@ object SparkEntry {
         |  count(*) OVER (PARTITION BY text) AS dup_count,
         |  CAST(1 AS DOUBLE) / count(*) OVER (PARTITION BY text) AS weight
         |FROM corpus""".stripMargin,
+
+    // q_distinct_sketch: the oracle rebuilds each day's bottom-32
+    // portable-hash set, applies the same exact-below-k /
+    // floor((k-1)·P/h_k) estimator, and derives the ALL row from the
+    // global distinct hash set (k smallest of a union of per-group
+    // k-smallest = global k smallest — KMV mergeability)
+    "q_distinct_sketch" ->
+      """WITH h AS (
+        |  SELECT DISTINCT CAST(CAST(ts AS DATE) AS VARCHAR) AS day,
+        |    ((user_id % 1000000007) * 2654435761) % 1000000007 AS h
+        |  FROM events
+        |), ranked AS (
+        |  SELECT day, h,
+        |    row_number() OVER (PARTITION BY day ORDER BY h) AS rn
+        |  FROM h
+        |), agg AS (
+        |  SELECT day, count(*) AS nd,
+        |    max(CASE WHEN rn = 32 THEN h END) AS h32
+        |  FROM ranked GROUP BY day
+        |), g AS (
+        |  SELECT h, row_number() OVER (ORDER BY h) AS rn
+        |  FROM (SELECT DISTINCT h FROM h)
+        |), gagg AS (
+        |  SELECT count(*) AS nd, max(CASE WHEN rn = 32 THEN h END) AS h32
+        |  FROM g
+        |)
+        |SELECT day,
+        |  CAST(least(nd, 32) AS BIGINT) AS sketch_size,
+        |  CASE WHEN nd < 32 THEN CAST(nd AS BIGINT)
+        |       ELSE CAST(floor(31.0 * 1000000007.0
+        |                       / CAST(h32 AS DOUBLE)) AS BIGINT)
+        |  END AS distinct_est
+        |FROM agg
+        |UNION ALL
+        |SELECT 'ALL' AS day,
+        |  CAST(least(nd, 32) AS BIGINT) AS sketch_size,
+        |  CASE WHEN nd < 32 THEN CAST(nd AS BIGINT)
+        |       ELSE CAST(floor(31.0 * 1000000007.0
+        |                       / CAST(h32 AS DOUBLE)) AS BIGINT)
+        |  END AS distinct_est
+        |FROM gagg""".stripMargin,
 
     // q_corpus_containment: the same trigram sets rebuilt as strings
     // (distinct hashes = distinct grams — same tokenizer, no collision
