@@ -1819,6 +1819,18 @@ object SparkEntry {
         .withColumnRenamed("canonical_id", "component")
     },
 
+    // --- compression-ratio quality signal (deflate entropy proxy):
+    // repetitive boilerplate compresses far below prose, noise barely
+    // compresses — both tails are drop candidates. The ONE quality
+    // signal with no SQL replay (no DEFLATE in DuckDB): unit-pinned on
+    // engineered strings, rows-only gate here. ---
+    "q_compression_ratio" -> { (s, dir) =>
+      t(s, dir, "documents").select(col("doc_id"),
+          graft.functions.CompressExprs.deflateStats(col("text")).as("c"))
+        .select(col("doc_id"), col("c.*"))
+        .withColumn("keep", col("ratio").between(0.2, 0.95))
+    },
+
     // --- mergeable distinct-count sketches (KMV bottom-k): per-day
     // user sketches + ANY-window rollup without rescanning history —
     // the incremental answer to COUNT(DISTINCT). The hash is the
