@@ -1983,6 +1983,18 @@ object SparkEntry {
         w => sum(col("value").cast(dec)).over(w).cast("double").as("sum_1h"))
     },
 
+    // --- trailing-baseline anomaly scoring: each event's z-score vs
+    // the PRIOR hour of its own user (frame ends strictly before now,
+    // so a spike never judges itself). Fixed-point exact window
+    // moments — order-independent, replays bit-for-bit; the flag
+    // evaluates on the ROUNDED score. ---
+    "q_anomaly_zscore" -> { (s, dir) =>
+      graft.operators.Anomaly.trailingZScore(
+        EventsStreaming.readEvents(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", "value", width = 3600L * 1000000)
+    },
+
     // --- bucketized range join: every event pairs with each active
     // 45-minute window of its user (windows anchored at every 10th
     // event). Stays a hash equi-join on (user, time-bucket); the
@@ -4483,6 +4495,48 @@ object SparkEntry {
         |)
         |SELECT window_start, event_type, count(*) AS n_events
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // q_anomaly_zscore: the oracle rebuilds the same prior-hour frame
+    // (RANGE ... 1 PRECEDING over epoch micros), the same exact decimal
+    // moments, and the identically-ordered double arithmetic; the flag
+    // evaluates on the rounded score in both engines
+    "q_anomaly_zscore" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vi,
+        |    epoch_us(ts) AS tsi
+        |  FROM events
+        |), m AS (
+        |  SELECT event_id, user_id, ts, value, vi,
+        |    count(vi) OVER w AS n_baseline,
+        |    sum(CAST(vi AS DECIMAL(38,0))) OVER w AS s,
+        |    sum(CAST(CAST(vi AS DECIMAL(19,0)) * vi AS DECIMAL(38,0)))
+        |      OVER w AS q
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsi
+        |    RANGE BETWEEN 3600000000 PRECEDING AND 1 PRECEDING)
+        |), z AS (
+        |  SELECT event_id, user_id, ts, value, n_baseline,
+        |    CASE WHEN n_baseline >= 5 AND
+        |      ((CAST(q AS DOUBLE) / 1e8
+        |        - (CAST(s AS DOUBLE) / 10000.0)
+        |          * (CAST(s AS DOUBLE) / 10000.0)
+        |          / CAST(n_baseline AS DOUBLE))
+        |        / (CAST(n_baseline AS DOUBLE) - 1.0)) > 0
+        |    THEN floor((CAST(vi AS DOUBLE) / 10000.0
+        |        - CAST(s AS DOUBLE) / CAST(n_baseline AS DOUBLE) / 10000.0)
+        |      / sqrt((CAST(q AS DOUBLE) / 1e8
+        |        - (CAST(s AS DOUBLE) / 10000.0)
+        |          * (CAST(s AS DOUBLE) / 10000.0)
+        |          / CAST(n_baseline AS DOUBLE))
+        |        / (CAST(n_baseline AS DOUBLE) - 1.0))
+        |      * 1e6 + 0.5) / 1e6
+        |    END AS zscore
+        |  FROM m
+        |)
+        |SELECT event_id, user_id, ts, value, n_baseline, zscore,
+        |  coalesce(abs(zscore) >= 3.0, false) AS is_anomaly
+        |FROM z""".stripMargin,
 
     "q_range_join" ->
       """WITH iv AS (

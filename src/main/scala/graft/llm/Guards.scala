@@ -6,7 +6,7 @@ import org.apache.spark.sql.DataFrame
   * a collision with an existing column would silently overwrite user
   * data, so every such operator fails loudly instead
   * ([[Repetition.stats]], [[Urls.analyze]], [[Boilerplate.score]]). */
-private[llm] object Guards {
+private[graft] object Guards {
 
   def requireFreshColumns(df: DataFrame, names: Seq[String],
                           op: String): Unit = {
