@@ -1427,6 +1427,21 @@ object SparkEntry {
           grouping_id().cast("int").as("gid"))
     },
 
+    // --- arbitrary GROUPING SETS: the two marginals plus the joint —
+    // a lattice rollup/cube cannot spell (no grand total, both
+    // one-dimension margins). Same ONE Expand+agg pass. ---
+    "q_grouping_sets" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      t(s, dir, "lineitem")
+        .groupingSets(
+          Seq(Seq(col("l_returnflag"), col("l_linestatus")),
+            Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast(dec)).cast("double").as("sum_qty"),
+          count(lit(1)).as("n"),
+          grouping_id().cast("int").as("gid"))
+    },
+
     // --- CUBE over a dimension reached through two broadcast joins
     // (nation via supplier): all four grouping sets in one Expand pass,
     // fact table shuffled once on the grouping keys ---
@@ -3991,6 +4006,15 @@ object SparkEntry {
         |  CAST(grouping(l_returnflag, l_linestatus) AS INTEGER) AS gid
         |FROM lineitem
         |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+        |  count(*) AS n,
+        |  CAST(grouping(l_returnflag, l_linestatus) AS INTEGER) AS gid
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus),
+        |  (l_returnflag), (l_linestatus))""".stripMargin,
 
     "q_cube" ->
       """SELECT n_name, l_returnflag,
