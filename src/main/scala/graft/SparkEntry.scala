@@ -1834,6 +1834,23 @@ object SparkEntry {
         .withColumnRenamed("canonical_id", "component")
     },
 
+    // --- BPE merge training (Sennrich 2016): learn a corpus-fitted
+    // tokenizer artifact — distributed word counting, bounded
+    // driver-side merge loop over the pruned (word, count) table (the
+    // SentencePiece architecture). Deterministic (count-then-lex tie
+    // breaks) but not SQL-replayable (iterative argmax+resegmentation),
+    // so rows-only gate; the merge algebra is pinned by units against
+    // the paper's published worked example. ---
+    "q_bpe_train" -> { (s, dir) =>
+      import s.implicits._
+      val merges = graft.llm.BpeTrain.learnMerges(
+        t(s, dir, "documents").select(col("text")), "text",
+        numMerges = 20, vocabSize = 10000)
+      merges.zipWithIndex
+        .map { case ((a, b), i) => (i + 1, a, b) }
+        .toDF("rank", "left", "right")
+    },
+
     // --- compression-ratio quality signal (deflate entropy proxy):
     // repetitive boilerplate compresses far below prose, noise barely
     // compresses — both tails are drop candidates. The ONE quality
