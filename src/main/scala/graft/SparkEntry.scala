@@ -2015,6 +2015,15 @@ object SparkEntry {
         w => sum(col("value").cast(dec)).over(w).cast("double").as("sum_1h"))
     },
 
+    // --- per-key trimmed mean: drop the floor(n·p) extremes per
+    // supplier, average the middle — computed straight from the value
+    // distribution (parallel prefix sums give each value its kept-copy
+    // count arithmetically; raw rows touched once, never sorted). ---
+    "q_trimmed_mean" -> { (s, dir) =>
+      graft.operators.RobustStats.trimmedMean(
+        t(s, dir, "lineitem"), "l_suppkey", "l_extendedprice")
+    },
+
     // --- trailing-baseline anomaly scoring: each event's z-score vs
     // the PRIOR hour of its own user (frame ends strictly before now,
     // so a spike never judges itself). Fixed-point exact window
@@ -4536,6 +4545,32 @@ object SparkEntry {
         |)
         |SELECT window_start, event_type, count(*) AS n_events
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // q_trimmed_mean: the oracle ranks rows per key and keeps 1-based
+    // ranks (k, n-k] — the same multiset the span-overlap arithmetic
+    // keeps — so the exact integer sum matches and the two final double
+    // divisions are spelled identically
+    "q_trimmed_mean" ->
+      """WITH b AS (
+        |  SELECT l_suppkey AS k,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS vi
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |), r AS (
+        |  SELECT k, vi,
+        |    row_number() OVER (PARTITION BY k ORDER BY vi) AS rn,
+        |    count(*) OVER (PARTITION BY k) AS n
+        |  FROM b
+        |), t AS (
+        |  SELECT k, n, vi FROM r
+        |  WHERE rn > CAST(floor(CAST(n AS DOUBLE) * 0.1) AS BIGINT)
+        |    AND rn <= n - CAST(floor(CAST(n AS DOUBLE) * 0.1) AS BIGINT)
+        |)
+        |SELECT k AS l_suppkey, min(n) AS n,
+        |  count(*) AS n_kept,
+        |  floor(CAST(sum(CAST(vi AS DECIMAL(38,0))) AS DOUBLE)
+        |      / CAST(count(*) AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6
+        |    AS trimmed_mean
+        |FROM t GROUP BY k""".stripMargin,
 
     // q_anomaly_zscore: the oracle rebuilds the same prior-hour frame
     // (RANGE ... 1 PRECEDING over epoch micros), the same exact decimal

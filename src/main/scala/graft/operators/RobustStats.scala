@@ -62,4 +62,53 @@ object RobustStats {
             abs(v - col("__med")) > lit(cutoff) * scale).as(s"${c}_outlier")
       ): _*)
   }
+
+  /** Per-key TRIMMED mean: drop the `floor(n·p)` smallest and largest
+    * values of each key, average the middle — the robust location
+    * estimate between the mean (p = 0, outlier-fragile) and the median
+    * (p → 0.5, throws information away). The curation use: per-domain
+    * "typical document length/price/score" that a handful of absurd
+    * rows cannot drag.
+    *
+    * Computed straight from the value DISTRIBUTION: values snap to
+    * fixed point (`scale` decimals), aggregate to per-key (value,
+    * count) rows, and [[Distributions.cumulativeByKey]]'s parallel
+    * prefix sums give each value its sorted position span — the kept
+    * copies of every value follow arithmetically (overlap of the
+    * value's span with [k, n−k−1]), so the raw rows are touched ONCE
+    * and never sorted. Sums accumulate as exact decimals; the mean is
+    * two double divisions rounded tie-safely, replaying exactly in
+    * SQL.
+    *
+    * @return (key, n, n_kept, trimmed_mean) */
+  def trimmedMean(df: DataFrame, keyCol: String, valueCol: String,
+                  p: Double = 0.1, scale: Int = 2,
+                  roundTo: Int = 6): DataFrame = {
+    require(df.columns.contains(keyCol), s"no such column '$keyCol'")
+    require(df.columns.contains(valueCol), s"no such column '$valueCol'")
+    require(df.schema(valueCol).dataType.isInstanceOf[NumericType],
+      s"column '$valueCol' is not numeric")
+    require(p >= 0.0 && p < 0.5, s"trim fraction must be in [0, 0.5): $p")
+    val pow = math.pow(10.0, scale)
+    val vi = floor(q(valueCol).cast("double") * pow + 0.5).cast("long")
+    val dist = df.where(q(valueCol).isNotNull)
+      .select(q(keyCol).as("c"), vi.as("v"))
+      .groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt"))
+    val cum = Distributions.cumulativeByKey(dist)
+    // keep 0-based sorted positions [k, n-k-1]; value v occupies
+    // [e-cnt, e-1], so its kept copies are the span overlap
+    val k = floor(col("n").cast("double") * lit(p)).cast("long")
+    val kept = greatest(lit(0L),
+      least(col("e") - 1, col("n") - k - 1) -
+        greatest(col("e") - col("cnt"), k) + 1)
+    val rf = math.pow(10.0, roundTo)
+    cum.groupBy(col("c").as(keyCol))
+      .agg(max(col("n")).as("n"),
+        sum(kept).as("n_kept"),
+        sum(col("v").cast(org.apache.spark.sql.types.DecimalType(38, 0))
+          * kept).as("__s"))
+      .select(col(keyCol), col("n"), col("n_kept"),
+        (floor(col("__s").cast("double") / col("n_kept").cast("double")
+          / pow * rf + 0.5) / rf).as("trimmed_mean"))
+  }
 }

@@ -47,4 +47,32 @@ class RobustStatsSpec extends SparkSpec {
     intercept[IllegalArgumentException](RobustStats.outliers(df, "nope"))
     intercept[IllegalArgumentException](RobustStats.outliers(df, "v", cutoff = 0))
   }
+
+  test("trimmed mean: hand ranks, tied extremes, p=0 degenerates to mean") {
+    // 1..10 at p=0.1: k=1, keep sorted ranks 2..9 -> mean 5.5
+    val d = (1 to 10).map(v => ("a", v.toDouble)).toDF("k", "v")
+    val r = RobustStats.trimmedMean(d, "k", "v").collect()(0)
+    assert(r.getLong(1) == 10L && r.getLong(2) == 8L)
+    assert(r.getDouble(3) == 5.5)
+    // tied extremes: [1,1,1,5,9,9,9] at p=0.2: k=floor(1.4)=1 ->
+    // exactly ONE of the tied 1s and ONE 9 drop (span-overlap
+    // arithmetic, not value-level filtering): mean of [1,1,5,9,9]=5.0
+    val t = Seq(1.0, 1.0, 1.0, 5.0, 9.0, 9.0, 9.0)
+      .map(("a", _)).toDF("k", "v")
+    val rt = RobustStats.trimmedMean(t, "k", "v", p = 0.2).collect()(0)
+    assert(rt.getLong(2) == 5L && rt.getDouble(3) == 5.0)
+    // p=0: the plain mean, all rows kept
+    val r0 = RobustStats.trimmedMean(d, "k", "v", p = 0.0).collect()(0)
+    assert(r0.getLong(2) == 10L && r0.getDouble(3) == 5.5)
+    // per-key independence
+    val multi = ((1 to 10).map(v => ("a", v.toDouble)) ++
+      Seq(("b", 100.0), ("b", 200.0))).toDF("k", "v")
+    val byKey = RobustStats.trimmedMean(multi, "k", "v")
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(byKey("a") == 5.5 && byKey("b") == 150.0)
+    intercept[IllegalArgumentException](
+      RobustStats.trimmedMean(d, "k", "v", p = 0.5))
+    intercept[IllegalArgumentException](
+      RobustStats.trimmedMean(d, "nope", "v"))
+  }
 }
