@@ -131,6 +131,35 @@ object EventsStreaming {
       .start()
   }
 
+  /** Per-hour distinct-user estimate via the mergeable KMV sketch
+    * ([[graft.operators.DistinctSketch]]) — COUNT(DISTINCT) is not
+    * allowed in streaming aggregations (unbounded per-window state);
+    * the bottom-k sketch is, because its state is ≤ k longs per window
+    * no matter how many users arrive. Same body batch or stream. */
+  def hourlyDistinctUsers(events: DataFrame, k: Int = 16): DataFrame = {
+    import graft.operators.DistinctSketch
+    events
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(DistinctSketch.sketch(col("user_id"), k).as("sk"))
+      .select(col("w.start").as("hour_start"),
+        DistinctSketch.estimate(col("sk"), k).as("distinct_users_est"))
+  }
+
+  /** Streaming flavor of [[hourlyDistinctUsers]]: the sketch buffer
+    * serializes through the state store between micro-batches. */
+  def hourlyDistinctUsersStream(spark: SparkSession, dir: String,
+                                queryName: String = "events_distinct",
+                                k: Int = 16): StreamingQuery = {
+    val events = readEventsStream(spark, dir, "events.parquet")
+    hourlyDistinctUsers(events.withWatermark("ts", "10 minutes"), k)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(queryName)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Sessionization: gap-based sessions per user via the SQL
     * session_window — stateful streaming-native semantics, expressed the
     * same way in batch. */

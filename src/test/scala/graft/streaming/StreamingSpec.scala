@@ -35,6 +35,28 @@ class StreamingSpec extends SparkSpec {
       "watermark-closed windows missing from stream output")
   }
 
+  test("hourlyDistinctUsersStream: KMV sketch state survives the state store") {
+    val q = EventsStreaming.hourlyDistinctUsersStream(
+      spark, dir, "ev_distinct_test")
+    q.awaitTermination(120000L)
+    val streamed = spark.table("ev_distinct_test")
+    val batch = EventsStreaming.hourlyDistinctUsers(
+      EventsStreaming.readEvents(spark, dir))
+    val maxTs = EventsStreaming.readEvents(spark, dir)
+      .agg(max(col("ts"))).head.getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(maxTs.getTime - 10 * 60 * 1000)
+    val mustHave = batch.filter(
+      col("hour_start") + expr("INTERVAL 1 HOUR") < lit(cutoff))
+    assert(streamed.count() > 0, "stream emitted nothing")
+    // the sketch is deterministic, so closed windows match EXACTLY —
+    // estimates included — proving the TypedImperativeAggregate buffer
+    // round-trips through streaming state serialization
+    assert(streamed.exceptAll(batch).isEmpty,
+      "stream produced rows absent from batch")
+    assert(mustHave.exceptAll(streamed).isEmpty,
+      "watermark-closed windows missing from stream output")
+  }
+
   test("enrichedHourlyStream (stream-static join) equals its batch body") {
     val dim = spark.read.parquet(s"$dir/customer.parquet")
       .select(col("c_custkey").as("user_id"),
