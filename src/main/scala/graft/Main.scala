@@ -64,6 +64,11 @@ object Main {
                               threshold: Double, maxBlock: Int,
                               sourceOptions: Map[String, String],
                               logLevel: String) extends Cmd
+  final case class DedupCmd(source: String, target: String, id: String,
+                            content: Seq[String], text: Option[String],
+                            threshold: Double,
+                            sourceOptions: Map[String, String],
+                            logLevel: String) extends Cmd
   case object GenDefault extends Cmd
   case object Help extends Cmd
   case object Version extends Cmd
@@ -107,6 +112,12 @@ object Main {
       |                               --threshold T [--max-block N]
       |                               (blocked fuzzy-match join scored by
       |                               Jaro-Winkler — entity resolution)
+      |       graft dedup <SOURCE> <TARGET> --id COL
+      |                               (--content c1[,c2,...]
+      |                                | --text COL [--threshold T])
+      |                               [--source-type TYPE]
+      |                               (exact or minhash near-dup; keeps the
+      |                               minimum-id row of each group)
       |
       |Options:
       |  --transform <EXPRESSIONS>   Inline transforms, e.g. "c=row.a * 2; u=string.upper(row.b)"
@@ -149,6 +160,7 @@ object Main {
           case m: ManifestCmd => runManifest(m)
           case sc: SampleCmd => runSample(sc)
           case lc: LinkageCmd => runLinkage(lc)
+          case dc: DedupCmd  => runDedup(dc)
           case Transfer(c, p, d, ll) => runTransfer(c, p, d, ll)
         }
       } catch {
@@ -461,6 +473,50 @@ object Main {
         threshold.getOrElse(
           throw GraftError.Configuration("linkage needs --threshold T")),
         maxBlock, srcType.map("sourceType" -> _).toMap, llogLevel)
+    case "dedup" :: rest =>
+      var pos = List.empty[String]
+      var id: Option[String] = None
+      var content = Seq.empty[String]
+      var text: Option[String] = None
+      var threshold = 0.8
+      var srcType: Option[String] = None
+      var dlogLevel = "error"
+      @annotation.tailrec
+      def dloop(r: List[String]): Unit = r match {
+        case Nil => ()
+        case "--id" :: v :: t => id = Some(v); dloop(t)
+        case "--content" :: v :: t =>
+          content = v.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+          dloop(t)
+        case "--text" :: v :: t => text = Some(v); dloop(t)
+        case "--threshold" :: v :: t =>
+          threshold = v.toDoubleOption
+            .filter(x => x > 0.0 && x <= 1.0).getOrElse(
+              throw GraftError.Configuration(
+                s"--threshold needs a number in (0,1], got '$v'")); dloop(t)
+        case "--source-type" :: v :: t => srcType = Some(v); dloop(t)
+        case "--log-level" :: v :: t =>
+          dlogLevel = YamlJob.checkLogLevel(v); dloop(t)
+        case flag :: _ if flag.startsWith("--") =>
+          throw GraftError.Configuration(
+            s"unknown or incomplete dedup option '$flag'")
+        case v :: t => pos = pos :+ v; dloop(t)
+      }
+      dloop(rest)
+      val (dsrc, dtgt) = pos match {
+        case s :: t :: Nil => (s, t)
+        case _ => throw GraftError.Configuration("dedup needs SOURCE TARGET")
+      }
+      if (content.nonEmpty && text.nonEmpty)
+        throw GraftError.Configuration(
+          "dedup takes --content (exact) OR --text (near-dup), not both")
+      if (content.isEmpty && text.isEmpty)
+        throw GraftError.Configuration(
+          "dedup needs --content c1[,c2,...] (exact) or --text COL (near-dup)")
+      DedupCmd(dsrc, dtgt,
+        id.getOrElse(throw GraftError.Configuration("dedup needs --id COL")),
+        content, text, threshold,
+        srcType.map("sourceType" -> _).toMap, dlogLevel)
     case "topk" :: rest =>
       var source: Option[String] = None
       var groups = Seq.empty[String]
@@ -1049,6 +1105,41 @@ object Main {
       println(s"\nLinked ${lc.left} >< ${lc.right} -> ${lc.target} " +
         s"(block ${lc.block}, ${fields.mkString(", ")}, " +
         s"threshold ${lc.threshold}): $n matched pairs")
+      0
+    } finally if (!preExisting) spark.stop()
+  }
+
+  /** `graft dedup`: exact (--content) or minhash near-dup (--text)
+    * deduplication of any readable source — survivors are the
+    * canonical (minimum-id) row of each duplicate group/component,
+    * written with their FULL original columns (the component frame is
+    * keys-only; full rows come back via one semi-join on the id). */
+  def runDedup(dc: DedupCmd): Int = {
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = session(dc.logLevel)
+    try {
+      import org.apache.spark.sql.functions.col
+      val df = graft.sources.Connectors.read(spark, dc.source, dc.sourceOptions)
+      val comps = dc.text match {
+        case Some(t) =>
+          graft.llm.Dedup.minhashDedupConnected(df, dc.id, t,
+            threshold = dc.threshold)
+        case None =>
+          graft.llm.Dedup.exact(df, dc.id, dc.content)
+      }
+      val survivors = comps.filter(!col("is_duplicate"))
+        .select(col(dc.id))
+      val out = df.join(survivors, Seq(dc.id), "left_semi")
+      graft.sources.Connectors.write(out, dc.target, truncate = true)
+      val total = df.count()
+      val kept = graft.sources.Connectors
+        .read(spark, dc.target, Map.empty).count()
+      val mode = dc.text match {
+        case Some(t) => s"near-dup on $t (threshold ${dc.threshold})"
+        case None => s"exact on ${dc.content.mkString(", ")}"
+      }
+      println(s"\nDeduplicated ${dc.source} -> ${dc.target} ($mode): " +
+        s"$total rows in, $kept kept, ${total - kept} duplicates dropped")
       0
     } finally if (!preExisting) spark.stop()
   }

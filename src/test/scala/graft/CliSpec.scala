@@ -1017,6 +1017,56 @@ class CliSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 11L)))
   }
 
+  test("dedup subcommand: parse forms, both modes e2e, typed errors") {
+    import spark.implicits._
+    val ec = parse(List("dedup", "in.parquet", "out.parquet",
+      "--id", "doc_id", "--content", "a,b")).asInstanceOf[DedupCmd]
+    assert(ec.content == Seq("a", "b") && ec.text.isEmpty)
+    val nc = parse(List("dedup", "in.parquet", "out.parquet",
+      "--id", "doc_id", "--text", "body", "--threshold", "0.6"))
+      .asInstanceOf[DedupCmd]
+    assert(nc.text.contains("body") && nc.threshold == 0.6)
+    intercept[GraftError.Configuration](parse(List("dedup", "in")))
+    intercept[GraftError.Configuration](parse(List("dedup", "in", "out",
+      "--content", "a"))) // no --id
+    intercept[GraftError.Configuration](parse(List("dedup", "in", "out",
+      "--id", "x"))) // neither mode
+    intercept[GraftError.Configuration](parse(List("dedup", "in", "out",
+      "--id", "x", "--content", "a", "--text", "t"))) // both modes
+    intercept[GraftError.Configuration](parse(List("dedup", "in", "out",
+      "--id", "x", "--text", "t", "--threshold", "0")))
+
+    val dir = tmpDir("cli_dedup")
+    // exact: rows 1/3 share content; min-id 1 survives
+    Seq((1L, "x", 10L), (2L, "y", 20L), (3L, "x", 10L))
+      .toDF("doc_id", "a", "b").write.parquet(s"$dir/in.parquet")
+    val quiet = new java.io.PrintStream(
+      new java.io.ByteArrayOutputStream(), true, "UTF-8")
+    val rc = Console.withOut(quiet) {
+      runDedup(parse(List("dedup", s"$dir/in.parquet", s"$dir/out.parquet",
+        "--id", "doc_id", "--content", "a,b")).asInstanceOf[DedupCmd])
+    }
+    assert(rc == 0)
+    val kept = spark.read.parquet(s"$dir/out.parquet")
+    assert(kept.columns.toSeq.sorted == Seq("a", "b", "doc_id"))
+    assert(kept.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 2L))
+    // near-dup: one doc + its tailed variant form a component
+    val body = "shared words appear in this document body many times " * 4
+    Seq((1L, body), (2L, body + " tail"), (3L, "totally different content " +
+      "with no overlap whatsoever in any shingle at all here"))
+      .toDF("doc_id", "t").write.parquet(s"$dir/in2.parquet")
+    val rc2 = Console.withOut(quiet) {
+      runDedup(parse(List("dedup", s"$dir/in2.parquet", s"$dir/out2.parquet",
+        "--id", "doc_id", "--text", "t", "--threshold", "0.5"))
+        .asInstanceOf[DedupCmd])
+    }
+    assert(rc2 == 0)
+    assert(spark.read.parquet(s"$dir/out2.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 3L))
+  }
+
   test("sample subcommand: parse forms, both modes e2e, typed errors") {
     val f = parse(List("sample", "a.parquet", "b.parquet", "--id", "id",
       "--fraction", "0.25", "--complement", "--seed", "5"))
