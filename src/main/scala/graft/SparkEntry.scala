@@ -2015,6 +2015,25 @@ object SparkEntry {
         w => sum(col("value").cast(dec)).over(w).cast("double").as("sum_1h"))
     },
 
+    // --- TWAP per user: each value holds until the user's next
+    // observation — the irregular-sampling mean a plain AVG gets wrong
+    // (one window exchange, exact decimal value×duration products). ---
+    "q_twap" -> { (s, dir) =>
+      graft.operators.Timeseries.twap(
+        EventsStreaming.readEvents(s, dir)
+          .select(col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", "value")
+    },
+
+    // --- VWAP per supplier: Σ price·qty / Σ qty in fixed point — the
+    // execution-quality benchmark; pure map-side-combined aggregation,
+    // no window. ---
+    "q_vwap" -> { (s, dir) =>
+      graft.operators.Timeseries.vwap(
+        t(s, dir, "lineitem"), Seq("l_suppkey"),
+        "l_extendedprice", "l_quantity")
+    },
+
     // --- per-key trimmed mean: drop the floor(n·p) extremes per
     // supplier, average the middle — computed straight from the value
     // distribution (parallel prefix sums give each value its kept-copy
@@ -4545,6 +4564,45 @@ object SparkEntry {
         |)
         |SELECT window_start, event_type, count(*) AS n_events
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // q_twap: same (ts, value)-ordered lead segments, same exact
+    // DECIMAL value×duration products, same two final double divisions
+    "q_twap" ->
+      """WITH o AS (
+        |  SELECT user_id,
+        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vi,
+        |    epoch_us(ts) AS t,
+        |    lead(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id ORDER BY epoch_us(ts), value) AS nt
+        |  FROM events
+        |), seg AS (
+        |  SELECT user_id, vi, nt - t AS dur FROM o WHERE nt IS NOT NULL
+        |)
+        |SELECT user_id, count(*) AS n_segments,
+        |  CAST(sum(dur) AS BIGINT) AS span_us,
+        |  CASE WHEN sum(dur) > 0 THEN
+        |    floor(CAST(sum(CAST(vi AS DECIMAL(19,0)) * dur) AS DOUBLE)
+        |        / CAST(sum(dur) AS DOUBLE) / 10000.0 * 1e6 + 0.5) / 1e6
+        |  END AS twap
+        |FROM seg GROUP BY user_id""".stripMargin,
+
+    // q_vwap: identical fixed-point snap on both factors, exact
+    // decimal Σ p·q, identically-ordered final divisions
+    "q_vwap" ->
+      """WITH b AS (
+        |  SELECT l_suppkey,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS vi,
+        |    CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS wi
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+        |)
+        |SELECT l_suppkey, count(*) AS n,
+        |  CAST(sum(wi) AS DOUBLE) / 100.0 AS total_weight,
+        |  CASE WHEN sum(wi) > 0 THEN
+        |    floor(CAST(sum(CAST(vi AS DECIMAL(19,0)) * wi) AS DOUBLE)
+        |        / CAST(sum(wi) AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6
+        |  END AS vwap
+        |FROM b GROUP BY l_suppkey""".stripMargin,
 
     // q_trimmed_mean: the oracle ranks rows per key and keeps 1-based
     // ranks (k, n-k] — the same multiset the span-overlap arithmetic
