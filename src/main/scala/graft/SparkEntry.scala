@@ -2015,6 +2015,45 @@ object SparkEntry {
         w => sum(col("value").cast(dec)).over(w).cast("double").as("sum_1h"))
     },
 
+    // --- k-anonymity equivalence classes over customer
+    // quasi-identifiers (nation × segment × balance band): the
+    // re-identification risk report a dataset passes before leaving
+    // the building. One keys-only aggregation. ---
+    "q_k_anonymity" -> { (s, dir) =>
+      graft.operators.Privacy.kAnonymityClasses(
+        t(s, dir, "customer").withColumn("bal_band",
+          floor(col("c_acctbal") / 2000).cast("long")),
+        Seq("c_nationkey", "c_mktsegment", "bal_band"), k = 5)
+    },
+
+    // --- pair-prediction quality: P/R/F1 of prefix-blocking predicted
+    // pairs against CONSTRUCTION ground truth (planted replicas:
+    // identical text = catchable, changed-prefix = guaranteed false
+    // negatives; natural prefix collisions = false positives). Two
+    // keys-only distincts meeting in one full-outer join. ---
+    "q_pair_eval" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs
+        .union(docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+          .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+        .union(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select((col("doc_id") + 200000).as("doc_id"),
+            concat(lit("zzz "), col("text")).as("text")))
+      val truth = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id").as("id_a"),
+          (col("doc_id") + 100000).as("id_b"))
+        .union(docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+          .select(col("doc_id").as("id_a"),
+            (col("doc_id") + 200000).as("id_b")))
+      val blocks = corpus.select(col("doc_id"),
+        substring(col("text"), 1, 40).as("pfx"))
+      val predicted = blocks.as("x").join(blocks.as("y"),
+          col("x.pfx") === col("y.pfx") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("id_a"), col("y.doc_id").as("id_b"))
+      graft.operators.PairEval.score(predicted, truth)
+    },
+
     // --- TWAP per user: each value holds until the user's next
     // observation — the irregular-sampling mean a plain AVG gets wrong
     // (one window exchange, exact decimal value×duration products). ---
@@ -4564,6 +4603,70 @@ object SparkEntry {
         |)
         |SELECT window_start, event_type, count(*) AS n_events
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // q_k_anonymity: plain GROUP BY replay of the equivalence classes
+    "q_k_anonymity" ->
+      """SELECT c_nationkey, c_mktsegment,
+        |  CAST(floor(c_acctbal / 2000) AS BIGINT) AS bal_band,
+        |  count(*) AS class_size,
+        |  count(*) < 5 AS at_risk
+        |FROM customer
+        |GROUP BY 1, 2, 3""".stripMargin,
+
+    // q_pair_eval: the oracle rebuilds both normalized pair sets and
+    // the identically-spelled P/R/F1 ratios
+    "q_pair_eval" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, 'zzz ' || text FROM documents
+        |  WHERE doc_id % 7 = 0
+        |), tr AS (
+        |  SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b FROM (
+        |    SELECT doc_id AS a, doc_id + 100000 AS b FROM documents
+        |    WHERE doc_id % 5 = 0
+        |    UNION ALL
+        |    SELECT doc_id, doc_id + 200000 FROM documents
+        |    WHERE doc_id % 7 = 0)
+        |), blocks AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS pfx FROM corpus
+        |), pr AS (
+        |  SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+        |  FROM blocks x JOIN blocks y
+        |    ON x.pfx = y.pfx AND x.doc_id < y.doc_id
+        |), m AS (
+        |  SELECT
+        |    CAST(sum(CASE WHEN pr.a IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_predicted,
+        |    CAST(sum(CASE WHEN tr.a IS NOT NULL THEN 1 ELSE 0 END)
+        |      AS BIGINT) AS n_truth,
+        |    CAST(sum(CASE WHEN pr.a IS NOT NULL AND tr.a IS NOT NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS true_positives
+        |  FROM pr FULL OUTER JOIN tr ON pr.a = tr.a AND pr.b = tr.b
+        |)
+        |SELECT n_predicted, n_truth, true_positives,
+        |  CASE WHEN n_predicted > 0 THEN
+        |    floor(CAST(true_positives AS DOUBLE)
+        |      / CAST(n_predicted AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |  END AS precision,
+        |  CASE WHEN n_truth > 0 THEN
+        |    floor(CAST(true_positives AS DOUBLE)
+        |      / CAST(n_truth AS DOUBLE) * 1e6 + 0.5) / 1e6
+        |  END AS recall,
+        |  CASE WHEN n_predicted > 0 AND n_truth > 0 AND
+        |    (CAST(true_positives AS DOUBLE) / CAST(n_predicted AS DOUBLE)
+        |     + CAST(true_positives AS DOUBLE) / CAST(n_truth AS DOUBLE)) > 0
+        |  THEN
+        |    floor(2.0
+        |      * (CAST(true_positives AS DOUBLE) / CAST(n_predicted AS DOUBLE))
+        |      * (CAST(true_positives AS DOUBLE) / CAST(n_truth AS DOUBLE))
+        |      / (CAST(true_positives AS DOUBLE) / CAST(n_predicted AS DOUBLE)
+        |         + CAST(true_positives AS DOUBLE) / CAST(n_truth AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6
+        |  END AS f1
+        |FROM m""".stripMargin,
 
     // q_twap: same (ts, value)-ordered lead segments, same exact
     // DECIMAL value×duration products, same two final double divisions
