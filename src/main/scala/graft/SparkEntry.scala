@@ -2015,6 +2015,22 @@ object SparkEntry {
         w => sum(col("value").cast(dec)).over(w).cast("double").as("sum_1h"))
     },
 
+    // --- sorted-neighborhood blocking (Hernández-Stolfo): pair each
+    // customer with its 3 successors in name order, score with the
+    // native Jaro-Winkler — the blocking pass for near-dups that share
+    // no exact key but sort near each other. Rank via range exchange +
+    // zipWithIndex offsets; neighbors via ONE equi-join on rank. ---
+    "q_sorted_neighborhood" -> { (s, dir) =>
+      val cand = graft.operators.RecordLinkage.sortedNeighborhood(
+        t(s, dir, "customer"), "c_custkey", "c_name", window = 4)
+      cand.withColumn("score",
+          floor(graft.operators.RecordLinkage.similarity(
+            col("key_a"), col("key_b")) * 1e6 + 0.5) / 1e6)
+        .filter(col("score") >= 0.9)
+        .select(col("id_a"), col("id_b"), col("rank_a"), col("rank_b"),
+          col("score"))
+    },
+
     // --- k-anonymity equivalence classes over customer
     // quasi-identifiers (nation × segment × balance band): the
     // re-identification risk report a dataset passes before leaving
@@ -4603,6 +4619,25 @@ object SparkEntry {
         |)
         |SELECT window_start, event_type, count(*) AS n_events
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // q_sorted_neighborhood: ranks replay as row_number over the same
+    // (key, id) order; neighbor pairs via the rank-difference window;
+    // DuckDB's native jaro_winkler_similarity is the pinned scorer
+    "q_sorted_neighborhood" ->
+      """WITH r AS (
+        |  SELECT c_custkey AS id, c_name AS k,
+        |    row_number() OVER (ORDER BY c_name, c_custkey) - 1 AS rank
+        |  FROM customer
+        |), p AS (
+        |  SELECT a.id AS id_a, b.id AS id_b,
+        |    a.rank AS rank_a, b.rank AS rank_b, a.k AS ka, b.k AS kb
+        |  FROM r a JOIN r b ON b.rank - a.rank BETWEEN 1 AND 3
+        |)
+        |SELECT id_a, id_b, rank_a, rank_b,
+        |  floor(jaro_winkler_similarity(ka, kb) * 1e6 + 0.5) / 1e6 AS score
+        |FROM p
+        |WHERE floor(jaro_winkler_similarity(ka, kb) * 1e6 + 0.5) / 1e6
+        |  >= 0.9""".stripMargin,
 
     // q_k_anonymity: plain GROUP BY replay of the equivalence classes
     "q_k_anonymity" ->

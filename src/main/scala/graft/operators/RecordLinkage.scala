@@ -106,4 +106,51 @@ object RecordLinkage {
 
   /** Expose the raw scorer for ad-hoc use. */
   def similarity(a: Column, b: Column): Column = StringSim.jaro_winkler(a, b)
+
+  /** Sorted-neighborhood candidate generation (Hernández & Stolfo
+    * 1995): sort the table on a blocking KEY (name, normalized
+    * address…) and pair each row with its `window − 1` successors —
+    * the classic alternative to equality blocking when near-duplicates
+    * disagree on every exact key but SORT NEAR each other ("Jon
+    * Smith" / "John Smith"). Typos in the key's first characters still
+    * escape any single pass; production runs compose several passes
+    * over different keys and union the candidates.
+    *
+    * Scale shape: the global order comes from a RANGE exchange +
+    * per-partition sorts (Spark's orderBy shape — parallel, not a
+    * single reducer) with `zipWithIndex`'s lightweight count job
+    * assigning offsets; neighbors then form by replicating each row
+    * `window − 1` times and ONE equi-join on the rank — no window
+    * function over the whole table, no theta-join. Candidate count is
+    * exactly (n − w/2)·(w − 1): linear in the table, never quadratic.
+    *
+    * @return (id_a, id_b, key_a, key_b, rank_a, rank_b) with
+    *         rank_b − rank_a in [1, window−1]; ties in the sort key
+    *         order deterministically by id. */
+  def sortedNeighborhood(df: DataFrame, idCol: String, sortKeyCol: String,
+                         window: Int): DataFrame = {
+    require(window >= 2, s"window must be >= 2, got $window")
+    require(df.columns.contains(idCol) && df.columns.contains(sortKeyCol),
+      s"need ($idCol, $sortKeyCol) in ${df.columns.mkString(", ")}")
+    val base = df.select(col(idCol).as("id"), col(sortKeyCol).as("k"))
+      .orderBy(col("k"), col("id"))
+    val schema = org.apache.spark.sql.types.StructType(
+      base.schema.fields :+ org.apache.spark.sql.types.StructField(
+        "rank", org.apache.spark.sql.types.LongType, nullable = false))
+    val ranked = base.sparkSession.createDataFrame(
+      base.rdd.zipWithIndex.map { case (r, i) =>
+        org.apache.spark.sql.Row(r.get(0), r.get(1), i)
+      }, schema)
+    val a = ranked.select(col("id").as("id_a"), col("k").as("key_a"),
+        col("rank").as("rank_a"))
+      .withColumn("__j",
+        explode(lit((1 until window).toArray)))
+      .withColumn("rank_b", col("rank_a") + col("__j"))
+      .drop("__j")
+    val b = ranked.select(col("id").as("id_b"), col("k").as("key_b"),
+      col("rank").as("rank_b"))
+    a.join(b, Seq("rank_b"))
+      .select(col("id_a"), col("id_b"), col("key_a"), col("key_b"),
+        col("rank_a"), col("rank_b"))
+  }
 }

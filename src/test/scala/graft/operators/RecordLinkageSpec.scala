@@ -124,4 +124,36 @@ class RecordLinkageSpec extends SparkSpec {
       RecordLinkage.fuzzyJoin(left, right, "block", Seq.empty, 0.5)
     }
   }
+
+  test("sorted neighborhood: rank order, window pairs, id tie-break") {
+    import spark.implicits._
+    // sorted by key: dan(4), jon(3), john(1), jonh(2), zed(5)? — keys
+    // sort lexicographically: dan < john < jon < jonh < zed
+    val d = Seq((1L, "john"), (2L, "jonh"), (3L, "jon"), (4L, "dan"),
+      (5L, "zed")).toDF("id", "name")
+    val out = RecordLinkage.sortedNeighborhood(d, "id", "name", window = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[Long]("rank_a"), r.getAs[Long]("rank_b"))).toSeq.sorted
+    // sorted order: dan(0) john(1) jon(2) jonh(3) zed(4); each row
+    // pairs with its 2 successors -> 4+3 pairs... exactly:
+    // (0,1),(0,2),(1,2),(1,3),(2,3),(2,4),(3,4)
+    val byRank = out.map { case (_, _, ra, rb) => (ra, rb) }.sorted
+    assert(byRank == Seq((0L, 1L), (0L, 2L), (1L, 2L), (1L, 3L),
+      (2L, 3L), (2L, 4L), (3L, 4L)))
+    // ids ride along correctly: rank 0 = dan(4), rank 1 = john(1)
+    assert(out.contains((4L, 1L, 0L, 1L)))
+    // near-duplicates that share NO exact key are neighbors: jon/jonh
+    assert(out.exists { case (a, b, _, _) =>
+      Set(a, b) == Set(2L, 3L) })
+    // ties in the key order by id: two equal keys
+    val tied = Seq((9L, "x"), (7L, "x"), (8L, "x")).toDF("id", "name")
+    val t = RecordLinkage.sortedNeighborhood(tied, "id", "name", 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+    assert(t == Seq((7L, 8L), (8L, 9L)))
+    intercept[IllegalArgumentException](
+      RecordLinkage.sortedNeighborhood(d, "id", "name", 1))
+    intercept[IllegalArgumentException](
+      RecordLinkage.sortedNeighborhood(d, "nope", "name", 3))
+  }
 }
