@@ -2015,6 +2015,29 @@ object SparkEntry {
         w => sum(col("value").cast(dec)).over(w).cast("double").as("sum_1h"))
     },
 
+    // --- exact weighted-cosine all-pairs join (Bayardo WWW'07 shape):
+    // tf-idf cosine >= 0.6 pairs via a SOUND integer-arithmetic prefix
+    // filter (rarest-first; a skippable tail carries < t of the norm).
+    // idf is quantized to integers so dot products and norms aggregate
+    // exactly; the ORACLE is the brute-force all-pairs join — a
+    // filter that dropped a true pair would hash-mismatch. ---
+    // (fixture note: the synthetic corpus draws every doc from ONE
+    // shared vocabulary, so ambient cosine is near-worst-case for
+    // prefix filtering — the 0.75 cut and the 1-in-8 slice keep the
+    // candidate set honest; a real web corpus at 0.6 prunes far
+    // harder because cross-domain docs share almost no idf mass)
+    "q_cosine_join" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(8)) === 0)
+        .select(col("doc_id"), col("text"))
+      val corpus = docs.union(
+        docs.filter(pmod(col("doc_id"), lit(40)) === 0)
+          .select((col("doc_id") + 100000).as("doc_id"),
+            concat(col("text"), lit(" graft cosine tail")).as("text")))
+      graft.llm.CosineJoin.tfidfCosineJoin(corpus, "doc_id", "text",
+        thresholdNum = 3, thresholdDen = 4)
+    },
+
     // --- sorted-neighborhood blocking (Hernández-Stolfo): pair each
     // customer with its 3 successors in name order, score with the
     // native Jaro-Winkler — the blocking pass for near-dups that share
@@ -4619,6 +4642,52 @@ object SparkEntry {
         |)
         |SELECT window_start, event_type, count(*) AS n_events
         |FROM w GROUP BY 1, 2""".stripMargin,
+
+    // q_cosine_join: the oracle is BRUTE FORCE — every pair sharing a
+    // term, exact integer dot products and norms, one double cosine —
+    // so the gate also proves the prefix filter's soundness (a dropped
+    // true pair would mismatch)
+    "q_cosine_join" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 8 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text || ' graft cosine tail'
+        |  FROM documents WHERE doc_id % 40 = 0
+        |), tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    string_split_regex(lower(text), '\W+'), x -> x <> '')) AS term
+        |  FROM corpus
+        |), tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+        |), nn AS (
+        |  SELECT count(DISTINCT doc_id) AS n FROM corpus
+        |), dfs AS (
+        |  SELECT term,
+        |    CAST(round(1000.0 * ln((CAST(n AS DOUBLE) + 1.0)
+        |      / (CAST(count(*) AS DOUBLE) + 0.5))) AS BIGINT) AS idf_q
+        |  FROM tf, nn GROUP BY term, n
+        |), w AS (
+        |  SELECT tf.doc_id, tf.term, tf.tf * dfs.idf_q AS w
+        |  FROM tf JOIN dfs USING (term) WHERE idf_q > 0
+        |), norms AS (
+        |  SELECT doc_id,
+        |    sum(CAST(w AS DECIMAL(19,0)) * w) AS norm2
+        |  FROM w GROUP BY doc_id
+        |), dots AS (
+        |  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |    sum(CAST(a.w AS DECIMAL(19,0)) * b.w) AS num
+        |  FROM w a JOIN w b ON a.term = b.term AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2
+        |), scored AS (
+        |  SELECT id_a, id_b,
+        |    floor(CAST(num AS DOUBLE)
+        |      / sqrt(CAST(na.norm2 AS DOUBLE) * CAST(nb.norm2 AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 AS cosine
+        |  FROM dots
+        |  JOIN norms na ON na.doc_id = id_a
+        |  JOIN norms nb ON nb.doc_id = id_b
+        |)
+        |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.75""".stripMargin,
 
     // q_sorted_neighborhood: ranks replay as row_number over the same
     // (key, id) order; neighbor pairs via the rank-difference window;

@@ -1,0 +1,132 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Exact all-pairs WEIGHTED cosine similarity join over tf-idf
+  * vectors (the Bayardo/Ma/Srikant WWW'07 problem) — the weighted
+  * sibling of the PPJoin set-similarity join: find every document
+  * pair whose tf-idf cosine reaches the threshold, without the
+  * quadratic all-pairs scan. Set Jaccard treats "the" and a rare
+  * technical term as equally informative; the idf-weighted cosine is
+  * what near-dup mining over heterogeneous prose actually wants.
+  *
+  * Exactness (the engine-replay trick): idf is QUANTIZED to an
+  * integer — `idf_q = round(1000·ln((N+1)/(df+0.5)))` — so every
+  * weight is the exact integer `tf·idf_q`, dot products and squared
+  * norms aggregate as exact DECIMAL(38,0) sums (order-independent
+  * across any partitioning), and the cosine is ONE fixed double
+  * sequence `num / sqrt(n1·n2)` rounded tie-safely. The quantization
+  * changes weights by < 0.1% — irrelevant to mining quality — and
+  * buys bit-for-bit reproducibility on any engine.
+  *
+  * Prefix filter (soundness argument): for each document sort its
+  * terms by ascending document frequency (rarest first) and INDEX the
+  * shortest prefix whose remaining suffix has `Σ_suffix w² <
+  * t²·Σ w²` — by Cauchy-Schwarz a pair sharing no indexed term of
+  * either side has `dot ≤ ‖suffix‖·‖other‖ < t·‖d‖·‖other‖`, i.e.
+  * cosine < t. The comparison runs in EXACT integers
+  * (`P²·suffix² ≥ t_num²·norm²` with a rational threshold), so the
+  * prefix is deterministic. Frequent terms land in suffixes —
+  * exactly the terms whose posting lists would explode the index.
+  *
+  * Scale shape: tf-idf build is one (doc, term) aggregation + a
+  * broadcast-joined df table; prefixes come from a per-document
+  * running sum (window PARTITIONED BY doc — bounded by document
+  * length, never corpus-wide); candidates meet on term keys with a
+  * loud per-term cap (the boilerplate guard every bucketed join here
+  * carries); verification is a keys-only (pair, term) aggregation of
+  * exact integer products. No stage is quadratic in the corpus. */
+object CosineJoin {
+
+  /** (id_a, id_b, cosine) with id_a < id_b and cosine ≥ threshold.
+    *
+    * @param threshold      rational cut as numerator/denominator
+    *                       (e.g. 6, 10 → 0.6) so the prefix bound
+    *                       compares in exact integers
+    * @param maxPostings    loud cap on one term's candidate posting
+    *                       list (skew guard — a term indexed by this
+    *                       many docs is corpus boilerplate) */
+  def tfidfCosineJoin(df: DataFrame, idCol: String, textCol: String,
+                      thresholdNum: Int = 6, thresholdDen: Int = 10,
+                      maxPostings: Int = 10000,
+                      roundTo: Int = 6): DataFrame = {
+    require(thresholdNum > 0 && thresholdDen > 0 &&
+      thresholdNum <= thresholdDen,
+      s"threshold must be a fraction in (0, 1]: $thresholdNum/$thresholdDen")
+    require(maxPostings >= 2, s"maxPostings must be >= 2: $maxPostings")
+    val id = col("`" + idCol.replace("`", "``") + "`")
+    // (doc, term, tf) — exact integer term frequencies
+    val tf = df.select(id.as("__id"),
+        explode(Contamination.tokens(col(textCol))).as("term"))
+      .groupBy(col("__id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    // df + quantized idf; distinct-doc counts are keys-only
+    val n = df.select(id).distinct().count()
+    val dfs = tf.groupBy(col("term"))
+      .agg(count(lit(1)).as("df"))
+      .withColumn("idf_q",
+        round(lit(1000.0) * log((lit(n.toDouble) + 1.0) /
+          (col("df").cast("double") + 0.5))).cast("long"))
+      .where(col("idf_q") > 0)
+    // exact integer weights + per-doc squared norm
+    val weighted = tf.join(broadcast(dfs), Seq("term"))
+      .withColumn("w", col("tf") * col("idf_q"))
+      .withColumn("w2",
+        (col("w").cast(DecimalType(19, 0)) * col("w"))
+          .cast(DecimalType(38, 0)))
+    val norms = weighted.groupBy(col("__id"))
+      .agg(sum(col("w2")).as("norm2"))
+    // prefix selection: rarest-first order per doc; a term MUST be
+    // indexed iff the tail FROM it (inclusive) is too heavy to skip —
+    // tail² ≥ t²·norm², compared in exact integers. The first
+    // skippable term then starts a tail with ‖tail‖ < t·‖d‖, so by
+    // Cauchy-Schwarz a pair meeting only in that tail has cosine < t
+    // (equality at the bound stays indexed — sound for a ≥ t cut).
+    val wOrd = Window.partitionBy(col("__id"))
+      .orderBy(col("df").asc, col("term").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val prefixed = weighted
+      .withColumn("tail2", sum(col("w2")).over(wOrd))
+      .join(norms, Seq("__id"))
+      .withColumn("indexed",
+        col("tail2") * lit(thresholdDen.toLong * thresholdDen) >=
+          col("norm2") * lit(thresholdNum.toLong * thresholdNum))
+    // candidates: indexed (prefix) terms probe ALL terms of other
+    // docs; either direction suffices, the union is a sound superset
+    val probe = prefixed.select(col("term"), col("__id").as("__b"))
+    val index = prefixed.where(col("indexed"))
+      .select(col("term"), col("__id").as("__a"))
+    val capped = index.withColumn("__cnt",
+        count(lit(1)).over(Window.partitionBy(col("term"))))
+      .where(col("__cnt") <= maxPostings)
+      .drop("__cnt")
+    val cand = capped.join(probe, Seq("term"))
+      .where(col("__a") =!= col("__b"))
+      .select(least(col("__a"), col("__b")).as("id_a"),
+        greatest(col("__a"), col("__b")).as("id_b"))
+      .distinct()
+    // exact verification: keys-only (pair, term) integer products
+    val va = weighted.select(col("__id").as("id_a"), col("term"),
+      col("w").as("wa"))
+    val vb = weighted.select(col("__id").as("id_b"), col("term"),
+      col("w").as("wb"))
+    val dots = cand.join(va, Seq("id_a")).join(vb, Seq("id_b", "term"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(sum((col("wa").cast(DecimalType(19, 0)) * col("wb"))
+        .cast(DecimalType(38, 0))).as("num"))
+    val rf = math.pow(10.0, roundTo)
+    val na = norms.select(col("__id").as("id_a"), col("norm2").as("na"))
+    val nb = norms.select(col("__id").as("id_b"), col("norm2").as("nb"))
+    dots.join(na, Seq("id_a")).join(nb, Seq("id_b"))
+      .withColumn("cosine",
+        floor(col("num").cast("double") /
+          sqrt(col("na").cast("double") * col("nb").cast("double"))
+          * rf + 0.5) / rf)
+      .where(col("cosine") >=
+        lit(thresholdNum.toDouble / thresholdDen.toDouble))
+      .select(col("id_a"), col("id_b"), col("cosine"))
+  }
+}
