@@ -2112,6 +2112,16 @@ object SparkEntry {
         "l_extendedprice", "l_quantity")
     },
 
+    // --- interpolated percentiles per key (percentile_cont semantics,
+    // EXACT order statistics): the p50/p90/p99 latency-dashboard
+    // primitive, one conditional-aggregate pass over the parallel
+    // prefix-sum distribution — no sort, no per-key subqueries. ---
+    "q_percentiles" -> { (s, dir) =>
+      graft.operators.Distributions.percentilesByKey(
+        t(s, dir, "lineitem"), "l_suppkey", "l_extendedprice",
+        Seq(("p50", 0.5), ("p90", 0.9), ("p99", 0.99)), scale = 2)
+    },
+
     // --- per-key trimmed mean: drop the floor(n·p) extremes per
     // supplier, average the middle — computed straight from the value
     // distribution (parallel prefix sums give each value its kept-copy
@@ -4810,6 +4820,53 @@ object SparkEntry {
         |        / CAST(sum(wi) AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6
         |  END AS vwap
         |FROM b GROUP BY l_suppkey""".stripMargin,
+
+    // q_percentiles: ranks replay positions; k = floor((n-1)·p), the
+    // straddling statistics come from rank-match aggregates, and the
+    // interpolation is the identical double sequence
+    "q_percentiles" ->
+      """WITH b AS (
+        |  SELECT l_suppkey AS c,
+        |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS vi
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |), r AS (
+        |  SELECT c, vi,
+        |    row_number() OVER (PARTITION BY c ORDER BY vi) - 1 AS j,
+        |    count(*) OVER (PARTITION BY c) AS n
+        |  FROM b
+        |), a AS (
+        |  SELECT c, max(n) AS n,
+        |    max(CASE WHEN j = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5)
+        |      AS BIGINT) THEN vi END) AS lo50,
+        |    max(CASE WHEN j = least(CAST(floor(CAST(n - 1 AS DOUBLE) * 0.5)
+        |      AS BIGINT) + 1, n - 1) THEN vi END) AS hi50,
+        |    max(CAST(n - 1 AS DOUBLE) * 0.5
+        |      - floor(CAST(n - 1 AS DOUBLE) * 0.5)) AS fr50,
+        |    max(CASE WHEN j = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9)
+        |      AS BIGINT) THEN vi END) AS lo90,
+        |    max(CASE WHEN j = least(CAST(floor(CAST(n - 1 AS DOUBLE) * 0.9)
+        |      AS BIGINT) + 1, n - 1) THEN vi END) AS hi90,
+        |    max(CAST(n - 1 AS DOUBLE) * 0.9
+        |      - floor(CAST(n - 1 AS DOUBLE) * 0.9)) AS fr90,
+        |    max(CASE WHEN j = CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99)
+        |      AS BIGINT) THEN vi END) AS lo99,
+        |    max(CASE WHEN j = least(CAST(floor(CAST(n - 1 AS DOUBLE) * 0.99)
+        |      AS BIGINT) + 1, n - 1) THEN vi END) AS hi99,
+        |    max(CAST(n - 1 AS DOUBLE) * 0.99
+        |      - floor(CAST(n - 1 AS DOUBLE) * 0.99)) AS fr99
+        |  FROM r GROUP BY c
+        |)
+        |SELECT c AS l_suppkey, n,
+        |  floor((CAST(lo50 AS DOUBLE)
+        |    + (CAST(hi50 AS DOUBLE) - CAST(lo50 AS DOUBLE)) * fr50)
+        |    / 100.0 * 1e6 + 0.5) / 1e6 AS p50,
+        |  floor((CAST(lo90 AS DOUBLE)
+        |    + (CAST(hi90 AS DOUBLE) - CAST(lo90 AS DOUBLE)) * fr90)
+        |    / 100.0 * 1e6 + 0.5) / 1e6 AS p90,
+        |  floor((CAST(lo99 AS DOUBLE)
+        |    + (CAST(hi99 AS DOUBLE) - CAST(lo99 AS DOUBLE)) * fr99)
+        |    / 100.0 * 1e6 + 0.5) / 1e6 AS p99
+        |FROM a""".stripMargin,
 
     // q_trimmed_mean: the oracle ranks rows per key and keeps 1-based
     // ranks (k, n-k] — the same multiset the span-overlap arithmetic

@@ -66,4 +66,59 @@ object Distributions {
       .groupBy("v").agg(count(lit(1)).as("cnt"))
       .withColumn("c", lit("_")))
       .drop("c")
+
+  /** Per-key INTERPOLATED percentiles (the PostgreSQL/NIST
+    * `percentile_cont` definition: position `(n−1)·p`, linear between
+    * the two straddling order statistics) — the latency-dashboard
+    * primitive (p50/p90/p99 per service/route/day) with EXACT order
+    * statistics, not approximations.
+    *
+    * Values snap to fixed point; both straddling statistics come from
+    * ONE conditional-aggregate pass over the cumulative distribution
+    * (the position expressions are functions of the key's own `n`, so
+    * no per-key subqueries and no sort) — the same parallel
+    * prefix-sum machinery as the rest of the order-statistic family,
+    * with its no-single-reducer guarantee. The interpolation is a
+    * fixed double sequence rounded tie-safely — replays exactly.
+    *
+    * @param ps (outputColumn, fraction) pairs, fractions in [0, 1]
+    * @return (key, n, <one column per requested percentile>) */
+  def percentilesByKey(df: DataFrame, keyCol: String, valueCol: String,
+                       ps: Seq[(String, Double)], scale: Int = 4,
+                       roundTo: Int = 6): DataFrame = {
+    require(ps.nonEmpty, "need at least one percentile")
+    require(ps.forall { case (_, p) => p >= 0.0 && p <= 1.0 },
+      s"fractions must be in [0, 1]: $ps")
+    require(ps.map(_._1).distinct.size == ps.size,
+      s"duplicate output names: $ps")
+    val pow = math.pow(10.0, scale)
+    val rf = math.pow(10.0, roundTo)
+    val vi = floor(col("`" + valueCol.replace("`", "``") + "`")
+      .cast("double") * pow + 0.5).cast("long")
+    val dist = df
+      .where(col(valueCol).isNotNull)
+      .select(col(keyCol).as("c"), vi.as("v"))
+      .groupBy(col("c"), col("v")).agg(count(lit(1)).as("cnt"))
+    val cum = cumulativeByKey(dist)
+    // value at 0-based sorted position j: the v whose span
+    // [e−cnt, e−1] covers j — j is an expression of the key's n
+    def at(j: Column): Column =
+      max(when(col("e") - col("cnt") <= j && j < col("e"), col("v")))
+    val aggs = ps.flatMap { case (name, p) =>
+      val pos = (col("n") - 1).cast("double") * lit(p)
+      val k = floor(pos).cast("long")
+      val k1 = least(k + 1, col("n") - 1)
+      Seq(at(k).as(s"__lo_$name"), at(k1).as(s"__hi_$name"),
+        max(pos - k.cast("double")).as(s"__fr_$name"))
+    }
+    val outs = ps.map { case (name, _) =>
+      val lo = col(s"__lo_$name").cast("double")
+      val hi = col(s"__hi_$name").cast("double")
+      (floor((lo + (hi - lo) * col(s"__fr_$name")) / pow * rf + 0.5) / rf)
+        .as(name)
+    }
+    cum.groupBy(col("c").as(keyCol))
+      .agg(max(col("n")).as("n"), aggs: _*)
+      .select(col(keyCol) +: col("n") +: outs: _*)
+  }
 }
