@@ -2112,6 +2112,19 @@ object SparkEntry {
         "l_extendedprice", "l_quantity")
     },
 
+    // --- PSI drift detection: price distribution shift between the
+    // early and late halves of the order history — baseline-anchored
+    // equi-width bins (ONE broadcast min/max row, shuffle-free
+    // binning), conventional ε floor on empty bins, per-bin
+    // contributions the summary sums. ---
+    "q_psi_drift" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      graft.operators.Drift.psiNumeric(
+        li.filter(col("l_shipdate") < lit("1995-06-01")),
+        li.filter(col("l_shipdate") >= lit("1995-06-01")),
+        "l_extendedprice", bins = 10, scale = 2)
+    },
+
     // --- interpolated percentiles per key (percentile_cont semantics,
     // EXACT order statistics): the p50/p90/p99 latency-dashboard
     // primitive, one conditional-aggregate pass over the parallel
@@ -4820,6 +4833,58 @@ object SparkEntry {
         |        / CAST(sum(wi) AS DOUBLE) / 100.0 * 1e6 + 0.5) / 1e6
         |  END AS vwap
         |FROM b GROUP BY l_suppkey""".stripMargin,
+
+    // q_psi_drift: same baseline-anchored bins, same ε substitution on
+    // the RAW proportions (display proportions round separately), same
+    // contribution arithmetic
+    "q_psi_drift" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_shipdate < '1995-06-01'
+        |), c AS (
+        |  SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_shipdate >= '1995-06-01'
+        |), bounds AS (
+        |  SELECT min(v) AS mn, max(v) AS mx FROM b
+        |), bb AS (
+        |  SELECT CASE WHEN mx = mn THEN 0 ELSE
+        |    least(greatest(CAST(floor(CAST(v - mn AS DOUBLE) * 10
+        |      / CAST(mx - mn AS DOUBLE)) AS BIGINT), 0), 9) END AS bin,
+        |    count(*) AS n_base
+        |  FROM b, bounds GROUP BY 1
+        |), cc AS (
+        |  SELECT CASE WHEN mx = mn THEN 0 ELSE
+        |    least(greatest(CAST(floor(CAST(v - mn AS DOUBLE) * 10
+        |      / CAST(mx - mn AS DOUBLE)) AS BIGINT), 0), 9) END AS bin,
+        |    count(*) AS n_cur
+        |  FROM c, bounds GROUP BY 1
+        |), j AS (
+        |  SELECT coalesce(bb.bin, cc.bin) AS bin,
+        |    coalesce(n_base, 0) AS n_base, coalesce(n_cur, 0) AS n_cur
+        |  FROM bb FULL OUTER JOIN cc ON bb.bin = cc.bin
+        |), t AS (
+        |  SELECT CAST(sum(n_base) AS BIGINT) AS tb,
+        |    CAST(sum(n_cur) AS BIGINT) AS tc FROM j
+        |)
+        |SELECT bin, n_base, n_cur,
+        |  floor((CASE WHEN n_base = 0 THEN 1e-4
+        |    ELSE CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE) END)
+        |    * 1e6 + 0.5) / 1e6 AS p_base,
+        |  floor((CASE WHEN n_cur = 0 THEN 1e-4
+        |    ELSE CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE) END)
+        |    * 1e6 + 0.5) / 1e6 AS p_cur,
+        |  floor(((CASE WHEN n_cur = 0 THEN 1e-4
+        |      ELSE CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE) END)
+        |    - (CASE WHEN n_base = 0 THEN 1e-4
+        |      ELSE CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE) END))
+        |    * ln((CASE WHEN n_cur = 0 THEN 1e-4
+        |      ELSE CAST(n_cur AS DOUBLE) / CAST(tc AS DOUBLE) END)
+        |      / (CASE WHEN n_base = 0 THEN 1e-4
+        |      ELSE CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE) END))
+        |    * 1e6 + 0.5) / 1e6 AS psi_contribution
+        |FROM j, t""".stripMargin,
 
     // q_percentiles: ranks replay positions; k = floor((n-1)·p), the
     // straddling statistics come from rank-match aggregates, and the
