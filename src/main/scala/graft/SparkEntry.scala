@@ -1884,6 +1884,28 @@ object SparkEntry {
           DistinctSketch.estimate(col("sk"), k).as("distinct_est")))
     },
 
+    // --- sketch set operations: audience overlap between event types
+    // straight from the stored KMV sketches (theta-sketch pattern) —
+    // restrict both sides to the union's k smallest hashes (a uniform
+    // union sample) and count double-membership; no raw-data rescan.
+    // Exact below k; deterministic arithmetic throughout. ---
+    "q_sketch_overlap" -> { (s, dir) =>
+      import graft.operators.DistinctSketch
+      val k = 32
+      val sk = t(s, dir, "events")
+        .select(col("event_type"), col("user_id"))
+        .groupBy(col("event_type"))
+        .agg(DistinctSketch.sketch(col("user_id"), k).as("sk"))
+      val a = sk.select(col("event_type").as("type_a"), col("sk").as("ska"))
+      val b = sk.select(col("event_type").as("type_b"), col("sk").as("skb"))
+      a.join(b, col("type_a") < col("type_b"))
+        .select(col("type_a"), col("type_b"),
+          DistinctSketch.jaccardEstimate(col("ska"), col("skb"), k)
+            .as("jaccard_est"),
+          DistinctSketch.intersectionEstimate(col("ska"), col("skb"), k)
+            .as("intersection_est"))
+    },
+
     // --- corpus-level overlap: "how much of corpus B is already in
     // A?" — the dataset-refresh / license-audit question at corpus
     // granularity (per-document contamination is q_contamination).
@@ -5176,6 +5198,44 @@ object SparkEntry {
         |                       / CAST(h32 AS DOUBLE)) AS BIGINT)
         |  END AS distinct_est
         |FROM gagg""".stripMargin,
+
+    // q_sketch_overlap: the oracle rebuilds each type's bottom-32
+    // portable-hash list and applies the identical union-sample
+    // arithmetic (k smallest of the union, double-membership count,
+    // jaccard x union-estimate for the intersection count)
+    "q_sketch_overlap" ->
+      """WITH h AS (
+        |  SELECT DISTINCT event_type,
+        |    ((user_id % 1000000007) * 2654435761) % 1000000007 AS h
+        |  FROM events
+        |), ranked AS (
+        |  SELECT event_type, h,
+        |    row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+        |  FROM h
+        |), sk AS (
+        |  SELECT event_type, list_sort(list(h)) AS sk
+        |  FROM ranked WHERE rn <= 32 GROUP BY event_type
+        |), p AS (
+        |  SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |    a.sk AS ska, b.sk AS skb
+        |  FROM sk a JOIN sk b ON a.event_type < b.event_type
+        |), calc AS (
+        |  SELECT type_a, type_b,
+        |    list_sort(list_distinct(list_concat(ska, skb)))[1:32] AS merged,
+        |    list_intersect(ska, skb) AS interall
+        |  FROM p
+        |)
+        |SELECT type_a, type_b,
+        |  CAST(len(list_intersect(merged, interall)) AS DOUBLE)
+        |    / CAST(len(merged) AS DOUBLE) AS jaccard_est,
+        |  CAST(floor(
+        |    CAST(len(list_intersect(merged, interall)) AS DOUBLE)
+        |      / CAST(len(merged) AS DOUBLE)
+        |    * CAST(CASE WHEN len(merged) < 32 THEN CAST(len(merged) AS BIGINT)
+        |        ELSE CAST(floor(31.0 * 1000000007.0
+        |          / CAST(merged[32] AS DOUBLE)) AS BIGINT) END AS DOUBLE)
+        |  ) AS BIGINT) AS intersection_est
+        |FROM calc""".stripMargin,
 
     // q_corpus_containment: the same trigram sets rebuilt as strings
     // (distinct hashes = distinct grams — same tokenizer, no collision

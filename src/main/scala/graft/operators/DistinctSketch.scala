@@ -149,6 +149,29 @@ object DistinctSketch {
         lit((k - 1).toDouble) * lit(P.toDouble) /
           element_at(sketchCol, k).cast("double")).cast("long"))
 
+  /** Jaccard estimate between two KMV sketches — "how much do these
+    * two audiences overlap?" WITHOUT touching raw data (the
+    * theta-sketch set-operation pattern): restrict both sets to the
+    * union's k smallest hashes U (a uniform sample of the union) and
+    * count how many of U both sides contain. When both sketches hold
+    * fewer than k hashes they ARE the distinct hash sets and the
+    * Jaccard is exact. Deterministic arithmetic throughout — replays
+    * in SQL. */
+  def jaccardEstimate(a: Column, b: Column, k: Int): Column = {
+    val merged = slice(array_sort(array_union(a, b)), 1, k)
+    val interAll = array_intersect(a, b)
+    val interInU = size(array_intersect(merged, interAll))
+    interInU.cast("double") / size(merged).cast("double")
+  }
+
+  /** Intersection-cardinality estimate: Jaccard estimate × union
+    * estimate (the union of two bottom-k sketches is itself a valid
+    * bottom-k sketch of the set union), floored to a count. */
+  def intersectionEstimate(a: Column, b: Column, k: Int): Column =
+    floor(jaccardEstimate(a, b, k) *
+      estimate(slice(array_sort(array_union(a, b)), 1, k), k)
+        .cast("double")).cast("long")
+
   /** Roll stored sketches up to a coarser grouping: one explode of the
     * (≤ k)-long arrays, then the SAME bounded aggregate over the hash
     * values — input is sketch rows, never raw history. */

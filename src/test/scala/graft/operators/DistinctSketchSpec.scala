@@ -61,6 +61,42 @@ class DistinctSketchSpec extends SparkSpec {
     assert(byDay.columns.toSeq == Seq("day", "sk"))
   }
 
+  test("set-operation estimates: exact sub-case, accuracy, identity") {
+    val k = 8
+    def sk(vs: Seq[Long]) = vs.toDF("v")
+      .agg(DistinctSketch.sketch($"v", k).as("s"))
+      .select($"s").as[Seq[Long]].collect()(0)
+    val d = Seq((sk(Seq(1L, 2L, 3L)), sk(Seq(2L, 3L, 4L)),
+      sk(Seq(10L, 11L)), sk(Seq(1L, 2L, 3L))))
+      .toDF("a", "b", "c", "a2")
+    val r = d.select(
+      DistinctSketch.jaccardEstimate($"a", $"b", k).as("jab"),
+      DistinctSketch.jaccardEstimate($"a", $"c", k).as("jac"),
+      DistinctSketch.jaccardEstimate($"a", $"a2", k).as("jaa"),
+      DistinctSketch.intersectionEstimate($"a", $"b", k).as("iab"))
+      .collect()(0)
+    // below k the sketches are the sets: J({1,2,3},{2,3,4}) = 2/4
+    assert(r.getAs[Double]("jab") == 0.5)
+    assert(r.getAs[Double]("jac") == 0.0)
+    assert(r.getAs[Double]("jaa") == 1.0)
+    // intersection estimate = 0.5 * exact-union(4) = 2
+    assert(r.getAs[Long]("iab") == 2L)
+
+    // estimator accuracy on large overlapping ranges (true J = 1/3)
+    val k2 = 256
+    val big = Seq(1).toDF("x").select(
+      DistinctSketch.jaccardEstimate(
+        typedLit((1L to 20000L).map(hashOf).sorted.take(k2)),
+        typedLit((10000L to 30000L).map(hashOf).sorted.take(k2)),
+        k2).as("j")).collect()(0).getDouble(0)
+    assert(math.abs(big - 1.0 / 3) < 0.12, s"far off: $big vs 1/3")
+  }
+
+  private def hashOf(v: Long): Long = {
+    val P = 1000000007L
+    ((v % P) * 2654435761L) % P
+  }
+
   test("guards: k bounds and non-integral input are loud") {
     val d = Seq(1L).toDF("v")
     intercept[IllegalArgumentException](
