@@ -69,6 +69,10 @@ object Main {
                             threshold: Double,
                             sourceOptions: Map[String, String],
                             logLevel: String) extends Cmd
+  final case class DriftCmd(base: String, current: String, column: String,
+                            bins: Int, categorical: Boolean,
+                            sourceOptions: Map[String, String],
+                            logLevel: String) extends Cmd
   case object GenDefault extends Cmd
   case object Help extends Cmd
   case object Version extends Cmd
@@ -118,6 +122,11 @@ object Main {
       |                               [--source-type TYPE]
       |                               (exact or minhash near-dup; keeps the
       |                               minimum-id row of each group)
+      |       graft drift <BASE> <CURRENT> --column COL
+      |                               [--bins N] [--categorical]
+      |                               [--source-type TYPE]
+      |                               (PSI population-stability gate —
+      |                               exit 1 at the >=0.25 action level)
       |
       |Options:
       |  --transform <EXPRESSIONS>   Inline transforms, e.g. "c=row.a * 2; u=string.upper(row.b)"
@@ -161,6 +170,7 @@ object Main {
           case sc: SampleCmd => runSample(sc)
           case lc: LinkageCmd => runLinkage(lc)
           case dc: DedupCmd  => runDedup(dc)
+          case dr: DriftCmd  => runDrift(dr)
           case Transfer(c, p, d, ll) => runTransfer(c, p, d, ll)
         }
       } catch {
@@ -517,6 +527,39 @@ object Main {
         id.getOrElse(throw GraftError.Configuration("dedup needs --id COL")),
         content, text, threshold,
         srcType.map("sourceType" -> _).toMap, dlogLevel)
+    case "drift" :: rest =>
+      var pos = List.empty[String]
+      var column: Option[String] = None
+      var bins = 10
+      var categorical = false
+      var srcType: Option[String] = None
+      var drlogLevel = "error"
+      @annotation.tailrec
+      def drloop(r: List[String]): Unit = r match {
+        case Nil => ()
+        case "--column" :: v :: t => column = Some(v); drloop(t)
+        case "--bins" :: v :: t =>
+          bins = v.toIntOption.filter(x => x >= 2 && x <= 1000).getOrElse(
+            throw GraftError.Configuration(
+              s"--bins needs an integer in [2,1000], got '$v'")); drloop(t)
+        case "--categorical" :: t => categorical = true; drloop(t)
+        case "--source-type" :: v :: t => srcType = Some(v); drloop(t)
+        case "--log-level" :: v :: t =>
+          drlogLevel = YamlJob.checkLogLevel(v); drloop(t)
+        case flag :: _ if flag.startsWith("--") =>
+          throw GraftError.Configuration(
+            s"unknown or incomplete drift option '$flag'")
+        case v :: t => pos = pos :+ v; drloop(t)
+      }
+      drloop(rest)
+      val (dbase, dcur) = pos match {
+        case b :: c :: Nil => (b, c)
+        case _ => throw GraftError.Configuration("drift needs BASE CURRENT")
+      }
+      DriftCmd(dbase, dcur,
+        column.getOrElse(
+          throw GraftError.Configuration("drift needs --column COL")),
+        bins, categorical, srcType.map("sourceType" -> _).toMap, drlogLevel)
     case "topk" :: rest =>
       var source: Option[String] = None
       var groups = Seq.empty[String]
@@ -1141,6 +1184,35 @@ object Main {
       println(s"\nDeduplicated ${dc.source} -> ${dc.target} ($mode): " +
         s"$total rows in, $kept kept, ${total - kept} duplicates dropped")
       0
+    } finally if (!preExisting) spark.stop()
+  }
+
+  /** `graft drift`: PSI population-stability gate between two readable
+    * snapshots — print the per-bin detail + summary, exit 1 when the
+    * index reaches the conventional action level (≥ 0.25), so a
+    * pipeline can gate retraining/publishes on feature drift exactly
+    * like `graft check` gates data quality. */
+  def runDrift(dr: DriftCmd): Int = {
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = session(dr.logLevel)
+    try {
+      val base = graft.sources.Connectors.read(spark, dr.base, dr.sourceOptions)
+      val cur = graft.sources.Connectors.read(spark, dr.current, dr.sourceOptions)
+      val detail =
+        if (dr.categorical)
+          graft.operators.Drift.psiCategorical(base, cur, dr.column)
+        else
+          graft.operators.Drift.psiNumeric(base, cur, dr.column, dr.bins)
+      val d = detail.orderBy("bin")
+      println(s"\nDrift: ${dr.base} -> ${dr.current} on ${dr.column} " +
+        (if (dr.categorical) "(categorical)" else s"(${dr.bins} bins)"))
+      println(graft.engine.PreviewFormat.dataTable(d.columns.toSeq,
+        d.collect()))
+      val s = graft.operators.Drift.psiSummary(detail).collect()(0)
+      val psi = s.getAs[Double]("psi")
+      val level = s.getAs[String]("level")
+      println(s"PSI = $psi ($level)")
+      if (level == "action") 1 else 0
     } finally if (!preExisting) spark.stop()
   }
 

@@ -1067,6 +1067,40 @@ class CliSpec extends SparkSpec {
       Seq(1L, 3L))
   }
 
+  test("drift subcommand: parse forms, e2e gate semantics, typed errors") {
+    import spark.implicits._
+    val nc = parse(List("drift", "b.parquet", "c.parquet",
+      "--column", "v", "--bins", "5")).asInstanceOf[DriftCmd]
+    assert(nc.column == "v" && nc.bins == 5 && !nc.categorical)
+    assert(parse(List("drift", "b", "c", "--column", "lang",
+      "--categorical")).asInstanceOf[DriftCmd].categorical)
+    intercept[GraftError.Configuration](parse(List("drift", "b")))
+    intercept[GraftError.Configuration](parse(List("drift", "b", "c")))
+    intercept[GraftError.Configuration](parse(List("drift", "b", "c",
+      "--column", "v", "--bins", "1")))
+
+    val dir = tmpDir("cli_drift")
+    (0 until 100).map(i => (i % 10).toDouble).toDF("v")
+      .write.parquet(s"$dir/base.parquet")
+    // identical distribution: stable, exit 0
+    (0 until 100).map(i => (i % 10).toDouble).toDF("v")
+      .write.parquet(s"$dir/same.parquet")
+    // collapsed to one bin: heavy drift, exit 1
+    Seq.fill(100)(9.0).toDF("v").write.parquet(s"$dir/shift.parquet")
+    val quiet = new java.io.PrintStream(
+      new java.io.ByteArrayOutputStream(), true, "UTF-8")
+    val ok = Console.withOut(quiet) {
+      runDrift(parse(List("drift", s"$dir/base.parquet",
+        s"$dir/same.parquet", "--column", "v")).asInstanceOf[DriftCmd])
+    }
+    assert(ok == 0)
+    val bad = Console.withOut(quiet) {
+      runDrift(parse(List("drift", s"$dir/base.parquet",
+        s"$dir/shift.parquet", "--column", "v")).asInstanceOf[DriftCmd])
+    }
+    assert(bad == 1)
+  }
+
   test("sample subcommand: parse forms, both modes e2e, typed errors") {
     val f = parse(List("sample", "a.parquet", "b.parquet", "--id", "id",
       "--fraction", "0.25", "--complement", "--seed", "5"))
