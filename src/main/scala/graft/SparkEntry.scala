@@ -2147,6 +2147,18 @@ object SparkEntry {
         "l_extendedprice", bins = 10, scale = 2)
     },
 
+    // --- exact two-sample Kolmogorov-Smirnov drift: the binning-free
+    // complement to PSI — max CDF gap between the early and late price
+    // distributions, per-side cumulative fractions riding the parallel
+    // prefix sums (no single-reducer window over the merged axis). ---
+    "q_ks_drift" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+      graft.operators.Drift.ksStatistic(
+        li.filter(col("l_shipdate") < lit("1995-06-01")),
+        li.filter(col("l_shipdate") >= lit("1995-06-01")),
+        "l_extendedprice", scale = 2)
+    },
+
     // --- interpolated percentiles per key (percentile_cont semantics,
     // EXACT order statistics): the p50/p90/p99 latency-dashboard
     // primitive, one conditional-aggregate pass over the parallel
@@ -4907,6 +4919,45 @@ object SparkEntry {
         |      ELSE CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE) END))
         |    * 1e6 + 0.5) / 1e6 AS psi_contribution
         |FROM j, t""".stripMargin,
+
+    // q_ks_drift: single-axis cumulative replay; the rounded gap maxes
+    // identically and ties on D break to the smaller value
+    "q_ks_drift" ->
+      """WITH b AS (
+        |  SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_shipdate < '1995-06-01'
+        |), c AS (
+        |  SELECT CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM lineitem
+        |  WHERE l_extendedprice IS NOT NULL AND l_shipdate >= '1995-06-01'
+        |), db AS (
+        |  SELECT v, count(*) AS ca FROM b GROUP BY v
+        |), dc AS (
+        |  SELECT v, count(*) AS cb FROM c GROUP BY v
+        |), m AS (
+        |  SELECT coalesce(db.v, dc.v) AS v,
+        |    coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb
+        |  FROM db FULL OUTER JOIN dc ON db.v = dc.v
+        |), cumf AS (
+        |  SELECT v,
+        |    CAST(sum(ca) OVER (ORDER BY v) AS BIGINT) AS ea,
+        |    CAST(sum(cb) OVER (ORDER BY v) AS BIGINT) AS eb,
+        |    CAST(sum(ca) OVER () AS BIGINT) AS na,
+        |    CAST(sum(cb) OVER () AS BIGINT) AS nb
+        |  FROM m
+        |), g AS (
+        |  SELECT v, na, nb,
+        |    floor(abs(CAST(ea AS DOUBLE) / CAST(na AS DOUBLE)
+        |      - CAST(eb AS DOUBLE) / CAST(nb AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 AS gg
+        |  FROM cumf
+        |)
+        |SELECT max(na) AS n_base, max(nb) AS n_cur,
+        |  max(gg) AS d_stat,
+        |  CAST(min(CASE WHEN gg = (SELECT max(gg) FROM g) THEN v END)
+        |    AS DOUBLE) / 100.0 AS at_value
+        |FROM g""".stripMargin,
 
     // q_percentiles: ranks replay positions; k = floor((n-1)·p), the
     // straddling statistics come from rank-match aggregates, and the

@@ -79,6 +79,58 @@ object Drift {
           .when(col("psi") < 0.25, "moderate")
           .otherwise("action"))
 
+  /** EXACT two-sample Kolmogorov-Smirnov statistic — the
+    * binning-free drift test PSI cannot be: D = max over values of
+    * |F_base(v) − F_cur(v)|, sensitive to shape changes that leave
+    * decile masses untouched. Returns one row (n_base, n_cur, d_stat,
+    * at_value) with the statistic and the value where the CDFs
+    * diverge most (ties on D broken by the smaller value —
+    * deterministic on any engine).
+    *
+    * Scale shape: both samples reduce to fixed-point (value, count)
+    * distributions, meet in a full-outer join padded with zero counts
+    * so BOTH sides share one value axis, and the per-side cumulative
+    * fractions ride [[Distributions.cumulativeByKey]]'s
+    * range-partitioned parallel prefix sums — no single-reducer
+    * window over the merged distribution. One final max reduces to a
+    * row. */
+  def ksStatistic(base: DataFrame, current: DataFrame, valueCol: String,
+                  scale: Int = 4, roundTo: Int = 6): DataFrame = {
+    val pow = math.pow(10.0, scale)
+    def dist(df: DataFrame) = df.where(q(valueCol).isNotNull)
+      .select(floor(q(valueCol).cast("double") * pow + 0.5)
+        .cast("long").as("v"))
+      .groupBy(col("v")).agg(count(lit(1)).as("cnt"))
+    val merged = dist(base).withColumnRenamed("cnt", "ca")
+      .join(dist(current).withColumnRenamed("cnt", "cb"),
+        Seq("v"), "full_outer")
+      .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+    // one shared value axis, cumulative per side via the parallel
+    // prefix sums (side rides the key)
+    val long = merged.select(col("v"), lit("a").as("c"),
+        col("ca").as("cnt"))
+      .union(merged.select(col("v"), lit("b").as("c"),
+        col("cb").as("cnt")))
+    val cum = Distributions.cumulativeByKey(long.select(
+      col("c"), col("v"), col("cnt")))
+    val fa = cum.where(col("c") === "a")
+      .select(col("v"), col("e").as("ea"), col("n").as("na"))
+    val fb = cum.where(col("c") === "b")
+      .select(col("v"), col("e").as("eb"), col("n").as("nb"))
+    val rf = math.pow(10.0, roundTo)
+    val gap = abs(col("ea").cast("double") / col("na").cast("double") -
+      col("eb").cast("double") / col("nb").cast("double"))
+    fa.join(fb, Seq("v"))
+      .select(col("v"), col("na"), col("nb"),
+        (floor(gap * rf + 0.5) / rf).as("__g"))
+      .agg(max(col("na")).as("n_base"), max(col("nb")).as("n_cur"),
+        max(struct(col("__g"), (-col("v")).as("__nv"))).as("__best"))
+      .select(col("n_base"), col("n_cur"),
+        col("__best.__g").as("d_stat"),
+        ((-col("__best.__nv")).cast("double") / pow).as("at_value"))
+  }
+
   private def psiFromCounts(baseCounts: DataFrame, curCounts: DataFrame,
                             key: String, roundTo: Int): DataFrame = {
     val joined = baseCounts.join(curCounts, Seq(key), "full_outer")

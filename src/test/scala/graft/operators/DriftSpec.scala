@@ -42,6 +42,26 @@ class DriftSpec extends SparkSpec {
       Drift.psiNumeric(base, cur, "v", bins = 1))
   }
 
+  test("KS statistic: hand CDF gap, shift detection, identical zero") {
+    // base {1,2,3,4}, cur {3,4,5,6}: F gap maxes at v=2 (0.5 - 0.0)
+    val base = Seq(1.0, 2.0, 3.0, 4.0).toDF("v")
+    val cur = Seq(3.0, 4.0, 5.0, 6.0).toDF("v")
+    val r = Drift.ksStatistic(base, cur, "v").collect()(0)
+    assert(r.getAs[Long]("n_base") == 4L && r.getAs[Long]("n_cur") == 4L)
+    assert(r.getAs[Double]("d_stat") == 0.5)
+    assert(r.getAs[Double]("at_value") == 2.0)
+    // identical samples: D = 0, argmax tie -> smallest value
+    val same = Drift.ksStatistic(base, base, "v").collect()(0)
+    assert(same.getAs[Double]("d_stat") == 0.0)
+    assert(same.getAs[Double]("at_value") == 1.0)
+    // duplicated masses weight the CDF: base {1x9, 10}, cur {10x10}
+    val heavy = Drift.ksStatistic(
+      (Seq.fill(9)(1.0) :+ 10.0).toDF("v"),
+      Seq.fill(10)(10.0).toDF("v"), "v").collect()(0)
+    assert(heavy.getAs[Double]("d_stat") == 0.9)
+    assert(heavy.getAs[Double]("at_value") == 1.0)
+  }
+
   test("categorical PSI: category bins, new categories, null bin") {
     val base = (Seq.fill(80)("en") ++ Seq.fill(20)("de")).toDF("lang")
     val cur = (Seq.fill(40)("en") ++ Seq.fill(20)("de") ++
