@@ -2147,6 +2147,32 @@ object SparkEntry {
         "l_extendedprice", bins = 10, scale = 2)
     },
 
+    // --- Benford first-digit audit (Nigrini's fabricated-numbers
+    // screen): leading digit from the fixed-point integer's STRING
+    // form (no log10 edge cases), all nine digits reported with
+    // observed vs log10(1+1/d) expected. Shuffle-free projection +
+    // 9-key aggregation. ---
+    "q_benford" -> { (s, dir) =>
+      graft.operators.Forensics.benford(
+        t(s, dir, "lineitem"), "l_extendedprice")
+    },
+
+    // --- market concentration per nation: supplier revenue HHI (DOJ
+    // points scale) + Gini via the rank formulation — exact decimal
+    // moments, one bounded per-market window for ranks. ---
+    "q_concentration" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val rev = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(dec)).cast("double")
+          .as("revenue"))
+      graft.operators.Forensics.concentration(
+        rev, Seq("s_nationkey"), "revenue", "s_suppkey")
+    },
+
     // --- exact two-sample Kolmogorov-Smirnov drift: the binning-free
     // complement to PSI — max CDF gap between the early and late price
     // distributions, per-side cumulative fractions riding the parallel
@@ -4919,6 +4945,69 @@ object SparkEntry {
         |      ELSE CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE) END))
         |    * 1e6 + 0.5) / 1e6 AS psi_contribution
         |FROM j, t""".stripMargin,
+
+    // q_benford: string-form leading digit, 9-digit scaffold via
+    // range, identical ratio spellings; dev subtracts the ROUNDED
+    // proportions in both engines
+    "q_benford" ->
+      """WITH v AS (
+        |  SELECT abs(CAST(floor(l_extendedprice * 100.0 + 0.5)
+        |    AS BIGINT)) AS v
+        |  FROM lineitem WHERE l_extendedprice IS NOT NULL
+        |), d AS (
+        |  SELECT CAST(substr(CAST(v AS VARCHAR), 1, 1) AS INTEGER)
+        |    AS digit, count(*) AS n
+        |  FROM v WHERE v > 0 GROUP BY 1
+        |), t AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS tt FROM d
+        |), dig AS (
+        |  SELECT CAST(unnest(range(1, 10)) AS INTEGER) AS digit
+        |)
+        |SELECT dig.digit, coalesce(n, 0) AS n,
+        |  floor(CAST(coalesce(n, 0) AS DOUBLE) / CAST(tt AS DOUBLE)
+        |    * 1e6 + 0.5) / 1e6 AS observed_p,
+        |  floor(log10(1.0 + 1.0 / CAST(dig.digit AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS expected_p,
+        |  abs(floor(CAST(coalesce(n, 0) AS DOUBLE) / CAST(tt AS DOUBLE)
+        |      * 1e6 + 0.5) / 1e6
+        |    - floor(log10(1.0 + 1.0 / CAST(dig.digit AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6) AS dev
+        |FROM dig LEFT JOIN d ON d.digit = dig.digit, t""".stripMargin,
+
+    // q_concentration: pre-aggregated supplier revenues, same rank
+    // formulation with (value, member) tie order, exact decimal
+    // moments, identically-ordered double sequences
+    "q_concentration" ->
+      """WITH rev AS (
+        |  SELECT s_nationkey, s_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS revenue
+        |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        |  GROUP BY 1, 2
+        |), b AS (
+        |  SELECT s_nationkey, s_suppkey,
+        |    CAST(floor(revenue * 100.0 + 0.5) AS BIGINT) AS v
+        |  FROM rev WHERE revenue IS NOT NULL AND revenue >= 0
+        |), r AS (
+        |  SELECT s_nationkey, v,
+        |    row_number() OVER (PARTITION BY s_nationkey
+        |      ORDER BY v, s_suppkey) AS rk
+        |  FROM b
+        |)
+        |SELECT s_nationkey, count(*) AS n,
+        |  CAST(sum(CAST(v AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS total,
+        |  floor(CAST(sum(CAST(CAST(v AS DECIMAL(19,0)) * v
+        |      AS DECIMAL(38,0))) AS DOUBLE)
+        |    / (CAST(sum(CAST(v AS DECIMAL(38,0))) AS DOUBLE)
+        |       * CAST(sum(CAST(v AS DECIMAL(38,0))) AS DOUBLE))
+        |    * 10000.0 * 1e6 + 0.5) / 1e6 AS hhi,
+        |  floor((2.0 * CAST(sum(CAST(CAST(v AS DECIMAL(19,0)) * rk
+        |      AS DECIMAL(38,0))) AS DOUBLE)
+        |    / (CAST(count(*) AS DOUBLE)
+        |       * CAST(sum(CAST(v AS DECIMAL(38,0))) AS DOUBLE))
+        |    - (CAST(count(*) AS DOUBLE) + 1.0) / CAST(count(*) AS DOUBLE))
+        |    * 1e6 + 0.5) / 1e6 AS gini
+        |FROM r GROUP BY s_nationkey""".stripMargin,
 
     // q_ks_drift: single-axis cumulative replay; the rounded gap maxes
     // identically and ties on D break to the smaller value
