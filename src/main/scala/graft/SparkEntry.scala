@@ -2147,6 +2147,24 @@ object SparkEntry {
         "l_extendedprice", bins = 10, scale = 2)
     },
 
+    // --- A/B readout: per-user conversion (any purchase) under a
+    // deterministic 3-way variant split, two-proportion z-test of each
+    // treatment vs control — rates, lifts, pooled z, 95% call on the
+    // ROUNDED statistic. One keys-only aggregation + a broadcast
+    // control row. ---
+    "q_ab_test" -> { (s, dir) =>
+      val subjects = EventsStreaming.readEvents(s, dir)
+        .groupBy(col("user_id"))
+        .agg(max(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)).as("converted"))
+        .withColumn("variant",
+          when(pmod(col("user_id"), lit(3)) === 0, "control")
+            .when(pmod(col("user_id"), lit(3)) === 1, "a")
+            .otherwise("b"))
+      graft.operators.AbTest.proportionTest(
+        subjects, "variant", "converted", "control")
+    },
+
     // --- Benford first-digit audit (Nigrini's fabricated-numbers
     // screen): leading digit from the fixed-point integer's STRING
     // form (no log10 edge cases), all nine digits reported with
@@ -4945,6 +4963,57 @@ object SparkEntry {
         |      ELSE CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE) END))
         |    * 1e6 + 0.5) / 1e6 AS psi_contribution
         |FROM j, t""".stripMargin,
+
+    // q_ab_test: exact per-variant counts, identically-spelled pooled
+    // z, significance on the rounded statistic
+    "q_ab_test" ->
+      """WITH subj AS (
+        |  SELECT user_id,
+        |    max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS conv,
+        |    CASE WHEN user_id % 3 = 0 THEN 'control'
+        |         WHEN user_id % 3 = 1 THEN 'a' ELSE 'b' END AS variant
+        |  FROM events GROUP BY user_id
+        |), counts AS (
+        |  SELECT variant, count(*) AS n,
+        |    CAST(sum(conv) AS BIGINT) AS x
+        |  FROM subj GROUP BY variant
+        |), ctrl AS (
+        |  SELECT n AS nc, x AS xc FROM counts WHERE variant = 'control'
+        |)
+        |SELECT variant,
+        |  nc AS n_control, xc AS conv_control,
+        |  n AS n_variant, x AS conv_variant,
+        |  floor(CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS rate_control,
+        |  floor(CAST(x AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS rate_variant,
+        |  floor((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |    - CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE)) * 1e6 + 0.5)
+        |    / 1e6 AS abs_lift,
+        |  CASE WHEN xc > 0 THEN
+        |    floor((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE))
+        |      / (CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE)) * 1e6 + 0.5)
+        |      / 1e6 END AS rel_lift,
+        |  CASE WHEN CAST(xc + x AS DOUBLE) / CAST(nc + n AS DOUBLE) > 0
+        |        AND CAST(xc + x AS DOUBLE) / CAST(nc + n AS DOUBLE) < 1
+        |  THEN floor((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |      - CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE))
+        |    / sqrt(CAST(xc + x AS DOUBLE) / CAST(nc + n AS DOUBLE)
+        |      * (1.0 - CAST(xc + x AS DOUBLE) / CAST(nc + n AS DOUBLE))
+        |      * (1.0 / CAST(nc AS DOUBLE) + 1.0 / CAST(n AS DOUBLE)))
+        |    * 1e6 + 0.5) / 1e6 END AS z,
+        |  coalesce(abs(CASE WHEN CAST(xc + x AS DOUBLE)
+        |        / CAST(nc + n AS DOUBLE) > 0
+        |      AND CAST(xc + x AS DOUBLE) / CAST(nc + n AS DOUBLE) < 1
+        |    THEN floor((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+        |        - CAST(xc AS DOUBLE) / CAST(nc AS DOUBLE))
+        |      / sqrt(CAST(xc + x AS DOUBLE) / CAST(nc + n AS DOUBLE)
+        |        * (1.0 - CAST(xc + x AS DOUBLE) / CAST(nc + n AS DOUBLE))
+        |        * (1.0 / CAST(nc AS DOUBLE) + 1.0 / CAST(n AS DOUBLE)))
+        |      * 1e6 + 0.5) / 1e6 END) >= 1.96, false) AS significant_95
+        |FROM counts, ctrl WHERE variant <> 'control'""".stripMargin,
 
     // q_benford: string-form leading digit, 9-digit scaffold via
     // range, identical ratio spellings; dev subtracts the ROUNDED
