@@ -503,4 +503,83 @@ class PlanSpec extends SparkSpec {
       assert(!cols.contains("props"),
         s"unused payload crossed a shuffle: $cols"))
   }
+
+  test("anomaly z-score: exactly one shuffle, the per-key window") {
+    import spark.implicits._
+    val d = (1 to 100).map(i => ("u" + (i % 5), i.toLong, i * 1.5))
+      .toDF("k", "t", "v")
+    val out = graft.operators.Anomaly.trailingZScore(
+      d, Seq("k"), "t", "v", width = 10L)
+    val shuffles = shuffleOutputs(out)
+    assert(shuffles.size == 1, s"expected ONE window exchange: $shuffles")
+  }
+
+  test("soft weights: one keys-only exchange on the component label") {
+    import spark.implicits._
+    val comps = (1L to 50L).map(i => (i, i % 7))
+      .toDF("id", "canonical_id")
+      .withColumn("text", lit("x" * 100)) // payload that must NOT ride
+    val out = graft.llm.Dedup.softWeights(
+      comps.select($"id", $"canonical_id"), "id")
+    val shuffles = shuffleOutputs(out)
+    assert(shuffles.size == 1, s"one component exchange expected: $shuffles")
+  }
+
+  test("percentiles/trimmed mean: no global sort node anywhere") {
+    val li = sf("lineitem")
+    def hasGlobalSort(df: DataFrame): Boolean = {
+      val plan = df.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      plan.collect {
+        case s: org.apache.spark.sql.execution.SortExec if s.global => s
+      }.nonEmpty
+    }
+    assert(!hasGlobalSort(graft.operators.Distributions.percentilesByKey(
+      li, "l_suppkey", "l_extendedprice", Seq(("p50", 0.5)), scale = 2)),
+      "percentilesByKey must not plan a global sort")
+    assert(!hasGlobalSort(graft.operators.RobustStats.trimmedMean(
+      li, "l_suppkey", "l_extendedprice")),
+      "trimmedMean must not plan a global sort")
+  }
+
+  test("cosine join: no cartesian/nested-loop product anywhere") {
+    import spark.implicits._
+    val docs = (1L to 40L)
+      .map(i => (i, s"term$i alpha beta gamma shared words " * 3))
+      .toDF("doc_id", "text")
+    val out = graft.llm.CosineJoin.tfidfCosineJoin(
+      docs, "doc_id", "text")
+    val plan = out.queryExecution.executedPlan match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        a.executedPlan
+      case p => p
+    }
+    val bad = plan.collect {
+      case c: org.apache.spark.sql.execution.joins.CartesianProductExec => c
+      case b: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec
+          // the 1-row corpus-stats broadcast is the documented pattern;
+          // anything joining real row sets this way is a regression
+          if !b.right.toString.contains("Aggregate") &&
+             !b.left.toString.contains("Aggregate") => b
+    }
+    assert(bad.isEmpty, s"quadratic join shape in cosine join: $bad")
+  }
+
+  test("distinct sketch: partial aggregation bounds the shuffle at k longs") {
+    import spark.implicits._
+    val d = (1L to 1000L).map(i => (i % 30, i)).toDF("day", "user")
+    val out = d.groupBy($"day")
+      .agg(graft.operators.DistinctSketch.sketch($"user", 16).as("sk"))
+    // the shuffle carries (day, partial sketch buffer), never raw users
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bottomkdistinct") ||
+      plan.toLowerCase.contains("partial"),
+      s"sketch aggregate must be map-side partial first:\n$plan")
+    shuffleOutputs(out).foreach(cols =>
+      assert(!cols.contains("user"),
+        s"raw values crossed the sketch shuffle: $cols"))
+  }
 }
