@@ -787,6 +787,7 @@ object Main {
         fixMojibake = cur.fixMojibake,
         normalizeUnicode = cur.normalizeUnicode,
         lineDedupMinDocs = cur.lineDedupMinDocs,
+        compressionBand = cur.compressionBand,
         referenceSnapshot = refFrame,
         referenceNearDup = cur.referenceNearDup,
         contaminationProbes = probeFrames,
@@ -921,6 +922,7 @@ object Main {
         stripMarkdown = cur.stripMarkdown,
         fixMojibake = cur.fixMojibake,
         normalizeUnicode = cur.normalizeUnicode,
+        compressionBand = cur.compressionBand,
         referenceSnapshot = refFrame,
         // forwarded so pipelineStream rejects it loudly rather than
         // the YAML knob being silently ignored

@@ -87,6 +87,9 @@ object YamlJob {
       fixMojibake: Boolean = false,
       normalizeUnicode: Option[String] = None,
       lineDedupMinDocs: Option[Int] = None,
+      /** `compression_band: "0.2:0.95"` — keep only documents whose
+        * deflate ratio falls inside the band (entropy filter). */
+      compressionBand: Option[(Double, Double)] = None,
       /** `reference: <uri>` — a previous curated snapshot (any graft
         * source); documents whose content already exists there are
         * dropped before in-batch dedup (incremental, "don't re-ingest
@@ -226,7 +229,7 @@ object YamlJob {
       val KnownKeys = Set("id_column", "text_column", "blocklist",
         "max_dup_word_frac", "max_dup_ngram_frac", "max_top_ngram_frac",
         "repetition_n", "sample_fraction", "persist_survivors",
-        "observed", "bucket", "strip_html", "strip_markdown", "fix_mojibake", "normalize_unicode", "line_dedup_min_docs", "contamination",
+        "observed", "bucket", "strip_html", "strip_markdown", "fix_mojibake", "normalize_unicode", "line_dedup_min_docs", "compression_band", "contamination",
         "token_budget", "token_budget_shards", "shards",
         "mode", "ts_column", "dedup_horizon", "checkpoint", "trigger",
         "reference", "reference_near_dup")
@@ -323,6 +326,19 @@ object YamlJob {
             throw graft.core.GraftError.Configuration(
               s"normalize_unicode must be NFC|NFKC, got '$v'")
           f
+        },
+        compressionBand = c.get("compression_band").map { v =>
+          String.valueOf(v).split(":") match {
+            case Array(lo, hi) =>
+              val l = doubleOpt("compression_band lo", lo)
+              val h = doubleOpt("compression_band hi", hi)
+              if (!(l >= 0.0 && l < h))
+                throw graft.core.GraftError.Configuration(
+                  s"compression_band needs 0 <= lo < hi, got '$v'")
+              (l, h)
+            case _ => throw graft.core.GraftError.Configuration(
+              s"compression_band expects 'lo:hi', got '$v'")
+          }
         },
         lineDedupMinDocs = c.get("line_dedup_min_docs")
           .map(v => intOpt("line_dedup_min_docs", v)),

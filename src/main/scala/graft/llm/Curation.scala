@@ -83,6 +83,14 @@ object Curation {
         * before hashing/statistics — NFC/NFD variants of one document
         * must dedup together. Pure native projection. */
       normalizeUnicode: Option[String] = None,
+      /** When set, keep only documents whose zlib deflate ratio
+        * ([[graft.functions.CompressExprs.deflateStats]]) falls inside
+        * [lo, hi] — the entropy band: hyper-repetitive boilerplate
+        * crushes below it, encoded noise sits above it. A per-row
+        * filter, streams unchanged; runs with the repetition filter
+        * (its counts fold into "after_repetition" in the observed
+        * pipeline). */
+      compressionBand: Option[(Double, Double)] = None,
       /** When set, rewrite surviving documents with
         * [[Paragraphs.dropCommon]] (drop lines recurring in >= this
         * many distinct docs) BETWEEN the repetition filter and exact
@@ -138,7 +146,8 @@ object Curation {
       if (cfg.fixMojibake) TextAnalysis.fixMojibake(afterStrip, textCol)
       else afterStrip
     val afterNorm = applyNormalize(afterFix, textCol, cfg)
-    val afterRepetition0 = Repetition.filterRepetitive(afterNorm, textCol,
+    val afterCompress = applyCompressionBand(afterNorm, textCol, cfg)
+    val afterRepetition0 = Repetition.filterRepetitive(afterCompress, textCol,
       cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,
       cfg.repetitionN)
     val afterRepetition =
@@ -260,7 +269,8 @@ object Curation {
       if (cfg.fixMojibake) TextAnalysis.fixMojibake(afterStrip, textCol)
       else afterStrip
     val afterNorm = applyNormalize(afterFix, textCol, cfg)
-    val afterRepetition = Repetition.filterRepetitive(afterNorm, textCol,
+    val afterCompress = applyCompressionBand(afterNorm, textCol, cfg)
+    val afterRepetition = Repetition.filterRepetitive(afterCompress, textCol,
       cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,
       cfg.repetitionN)
     Guards.requireFreshColumns(afterRepetition, Seq("__cs_h"),
@@ -291,6 +301,17 @@ object Curation {
     if (cfg.sampleFraction >= 1.0) deduped
     else Sampling.byHash(deduped, idCol, cfg.sampleFraction, cfg.bucketFn)
   }
+
+  private def applyCompressionBand(df: DataFrame, textCol: String,
+                                   cfg: PipelineConfig): DataFrame =
+    cfg.compressionBand match {
+      case Some((lo, hi)) =>
+        require(lo < hi && lo >= 0.0,
+          s"compressionBand needs 0 <= lo < hi, got ($lo, $hi)")
+        df.where(graft.functions.CompressExprs.deflateStats(col(textCol))
+          .getField("ratio").between(lo, hi))
+      case None => df
+    }
 
   private def applyNormalize(df: DataFrame, textCol: String,
                              cfg: PipelineConfig): DataFrame =
@@ -357,7 +378,9 @@ object Curation {
         if (cfg.stripMarkdown) TextAnalysis.stripMarkdown(s1, textCol) else s1
       val s2 =
         if (cfg.fixMojibake) TextAnalysis.fixMojibake(s1b, textCol) else s1b
-      applyNormalize(s2, textCol, cfg)
+      // the compression band is a per-row filter like repetition; its
+      // drops fold into the "after_repetition" count
+      applyCompressionBand(applyNormalize(s2, textCol, cfg), textCol, cfg)
     }
     val r = tap(Repetition.filterRepetitive(stripped(tap(afterUrls, oU)), textCol,
         cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,

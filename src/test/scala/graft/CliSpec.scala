@@ -665,6 +665,23 @@ class CliSpec extends SparkSpec {
         |target: {uri: b}
         |curation: {id_column: id, text_column: t, normalize_unicode: NFD}
         |""".stripMargin))
+    // compression band: lo:hi form parses; malformed/inverted are loud
+    assert(YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation: {id_column: id, text_column: t, compression_band: "0.2:0.95"}
+        |""".stripMargin).curation
+      .exists(_.compressionBand.contains((0.2, 0.95))))
+    intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation: {id_column: id, text_column: t, compression_band: "0.9:0.2"}
+        |""".stripMargin))
+    intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation: {id_column: id, text_column: t, compression_band: "nope"}
+        |""".stripMargin))
     val full = YamlJob.loadYaml(
       """source: {uri: a.parquet}
         |target: {uri: b}

@@ -621,6 +621,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(noUrl == Seq(1L, 2L, 5L), s"kept $noUrl")
   }
 
+  test("curation pipeline: compression band drops both entropy tails") {
+    val prose = "the quarterly report shows steady growth across three " +
+      "segments with hardware revenue up nine percent and services " +
+      "margin holding despite the currency headwind this period"
+    val rnd = new scala.util.Random(7)
+    val corpus = Seq(
+      (1L, prose),                                      // normal entropy
+      (2L, "subscribe now " * 300),                     // crushes: below band
+      (3L, Array.fill(3000)(rnd.nextPrintableChar()).mkString) // noise: above
+    ).toDF("doc_id", "text")
+    val loose = Curation.PipelineConfig(maxDupWordFrac = 1.0,
+      maxDupNgramFrac = 1.0, maxTopNgramFrac = 1.0,
+      compressionBand = Some((0.2, 0.8)))
+    assert(Curation.pipeline(corpus, "doc_id", "text", loose)
+      .select("doc_id").as[Long].collect().toSeq == Seq(1L))
+    // unset band keeps all three (repetition knobs loosened)
+    assert(Curation.pipeline(corpus, "doc_id", "text",
+        loose.copy(compressionBand = None)).count() == 3)
+    // bad band is loud
+    intercept[IllegalArgumentException](Curation.pipeline(corpus,
+      "doc_id", "text", loose.copy(compressionBand = Some((0.9, 0.2))))
+      .count())
+  }
+
   test("curation pipeline: near-dup reference mode drops grown copies") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val corpus = Seq(
