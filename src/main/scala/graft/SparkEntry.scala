@@ -2147,6 +2147,27 @@ object SparkEntry {
         "l_extendedprice", bins = 10, scale = 2)
     },
 
+    // --- ranking-quality readout (nDCG@10 + MRR per query): grade the
+    // per-priority price ranking against status-derived relevance —
+    // the eval loop for the retrieval family. Per-rank terms sum by an
+    // EXPLICIT left fold over rank-sorted k-bounded arrays (floating
+    // addition is not associative; only a pinned order replays). ---
+    "q_rank_eval" -> { (s, dir) =>
+      val o = t(s, dir, "orders")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      val results = o.withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("o_orderpriority"), col("o_orderkey"), col("rank"))
+      val labels = o.select(col("o_orderpriority"), col("o_orderkey"),
+        when(col("o_orderstatus") === "F", 2L)
+          .when(col("o_orderstatus") === "O", 1L)
+          .otherwise(0L).as("rel"))
+      graft.llm.RankEval.metrics(results, labels,
+        "o_orderpriority", "o_orderkey", "rank", "rel", k = 10)
+    },
+
     // --- A/B readout: per-user conversion (any purchase) under a
     // deterministic 3-way variant split, two-proportion z-test of each
     // treatment vs control — rates, lifts, pooled z, 95% call on the
@@ -4963,6 +4984,54 @@ object SparkEntry {
         |      ELSE CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE) END))
         |    * 1e6 + 0.5) / 1e6 AS psi_contribution
         |FROM j, t""".stripMargin,
+
+    // q_rank_eval: the oracle rebuilds both rankings and folds the
+    // SAME rank-ordered gain lists with list_reduce (left fold —
+    // matching the engine's aggregate() fold, since 0.0 + t1 = t1)
+    "q_rank_eval" ->
+      """WITH res AS (
+        |  SELECT o_orderpriority AS query, o_orderkey AS doc, rnk AS rank
+        |  FROM (SELECT o_orderpriority, o_orderkey,
+        |        row_number() OVER (PARTITION BY o_orderpriority
+        |          ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+        |        FROM orders)
+        |  WHERE rnk <= 10
+        |), lab AS (
+        |  SELECT o_orderpriority AS query, o_orderkey AS doc,
+        |    CASE WHEN o_orderstatus = 'F' THEN 2
+        |         WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END AS rel
+        |  FROM orders
+        |), rl AS (
+        |  SELECT res.query, res.rank, coalesce(lab.rel, 0) AS rel
+        |  FROM res LEFT JOIN lab
+        |    ON res.query = lab.query AND res.doc = lab.doc
+        |), pq AS (
+        |  SELECT query, count(*) AS n_results,
+        |    CAST(sum(CASE WHEN rel > 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS n_relevant,
+        |    floor(list_reduce(
+        |      list((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+        |           / log2(CAST(rank AS DOUBLE) + 1.0) ORDER BY rank),
+        |      (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS dcg,
+        |    coalesce(floor(1.0 / CAST(min(CASE WHEN rel > 0 THEN rank END)
+        |      AS DOUBLE) * 1e6 + 0.5) / 1e6, 0.0) AS mrr
+        |  FROM rl GROUP BY query
+        |), idl AS (
+        |  SELECT query, rel, row_number() OVER (PARTITION BY query
+        |    ORDER BY rel DESC, doc) AS pos
+        |  FROM lab WHERE rel > 0
+        |), idcg AS (
+        |  SELECT query,
+        |    floor(list_reduce(
+        |      list((pow(2.0, CAST(rel AS DOUBLE)) - 1.0)
+        |           / log2(CAST(pos AS DOUBLE) + 1.0) ORDER BY pos),
+        |      (a, b) -> a + b) * 1e6 + 0.5) / 1e6 AS idcg
+        |  FROM idl WHERE pos <= 10 GROUP BY query
+        |)
+        |SELECT pq.query, n_results, n_relevant, dcg, idcg,
+        |  CASE WHEN idcg > 0 THEN floor(dcg / idcg * 1e6 + 0.5) / 1e6
+        |  END AS ndcg, mrr
+        |FROM pq LEFT JOIN idcg USING (query)""".stripMargin,
 
     // q_ab_test: exact per-variant counts, identically-spelled pooled
     // z, significance on the rounded statistic
