@@ -2147,6 +2147,18 @@ object SparkEntry {
         "l_extendedprice", bins = 10, scale = 2)
     },
 
+    // --- classifier calibration (reliability bins): a deterministic
+    // pseudo-score against the actual F-status outcome — per-bin mean
+    // predicted vs observed rate, all ten bins scaffolded. Exact
+    // decimal score sums; one projection + a 10-key agg. ---
+    "q_calibration" -> { (s, dir) =>
+      graft.operators.Calibration.reliability(
+        t(s, dir, "orders")
+          .withColumn("p", pmod(col("o_orderkey"), lit(97)) / lit(96.0))
+          .withColumn("actual", col("o_orderstatus") === "F"),
+        "p", "actual")
+    },
+
     // --- ranking-quality readout (nDCG@10 + MRR per query): grade the
     // per-priority price ranking against status-derived relevance —
     // the eval loop for the retrieval family. Per-rank terms sum by an
@@ -4984,6 +4996,39 @@ object SparkEntry {
         |      ELSE CAST(n_base AS DOUBLE) / CAST(tb AS DOUBLE) END))
         |    * 1e6 + 0.5) / 1e6 AS psi_contribution
         |FROM j, t""".stripMargin,
+
+    // q_calibration: same fixed-point snap, same bin arithmetic (both
+    // engines' / on integers is float division), exact decimal sums,
+    // identically-spelled ratios; gap subtracts the rounded values
+    "q_calibration" ->
+      """WITH b AS (
+        |  SELECT CAST(floor((o_orderkey % 97) / 96.0 * 1000000.0 + 0.5)
+        |    AS BIGINT) AS s,
+        |    CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+        |  FROM orders
+        |), g AS (
+        |  SELECT CAST(least(floor(s * 10 / 1000000), 9) AS BIGINT) AS bin,
+        |    count(*) AS n,
+        |    sum(CAST(s AS DECIMAL(38,0))) AS ss,
+        |    CAST(sum(y) AS BIGINT) AS pos
+        |  FROM b GROUP BY 1
+        |), dig AS (
+        |  SELECT CAST(unnest(range(0, 10)) AS BIGINT) AS bin
+        |)
+        |SELECT dig.bin, coalesce(n, 0) AS n,
+        |  CASE WHEN coalesce(n, 0) > 0 THEN
+        |    floor(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        |      * 1e6 + 0.5) / 1e6 END AS mean_predicted,
+        |  CASE WHEN coalesce(n, 0) > 0 THEN
+        |    floor(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |      * 1e6 + 0.5) / 1e6 END AS observed_rate,
+        |  abs(CASE WHEN coalesce(n, 0) > 0 THEN
+        |      floor(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) / 1000000.0
+        |        * 1e6 + 0.5) / 1e6 END
+        |    - CASE WHEN coalesce(n, 0) > 0 THEN
+        |      floor(CAST(pos AS DOUBLE) / CAST(n AS DOUBLE)
+        |        * 1e6 + 0.5) / 1e6 END) AS gap
+        |FROM dig LEFT JOIN g ON g.bin = dig.bin""".stripMargin,
 
     // q_rank_eval: the oracle rebuilds both rankings and folds the
     // SAME rank-ordered gain lists with list_reduce (left fold —
