@@ -2060,6 +2060,46 @@ object SparkEntry {
         thresholdNum = 3, thresholdDen = 4)
     },
 
+    // --- end-to-end entity resolution (the MDM capstone composition):
+    // TWO blocking strategies union their candidates (equality blocks
+    // catch mid-string typos, sorted neighborhood catches block-key
+    // typos), the pinned Jaro-Winkler scores at a tie-safe 0.9 cut,
+    // matched pairs close transitively into components, and the
+    // minimum id becomes each entity's golden record. ---
+    "q_entity_resolution" -> { (s, dir) =>
+      val name9 = translate(substring(col("c_name"), 10, 9),
+        "0123456789", "aeioubcdfg")
+      val base = t(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(10)) === 0)
+        .select(col("c_custkey").as("id"), name9.as("name"))
+      val p = (pmod(col("id"), lit(50)) / 10 + 1).cast("int")
+      val swapped = concat(
+        col("name").substr(lit(1), p - 1),
+        col("name").substr(p + 1, lit(1)),
+        col("name").substr(p, lit(1)),
+        col("name").substr(p + 2, lit(9)))
+      val party = base.union(
+        base.select((col("id") + 1000000L).as("id"), swapped.as("name")))
+      def cut(df: org.apache.spark.sql.DataFrame) = df
+        .withColumn("match_score",
+          floor(col("match_score") * 1e6 + 0.5) / 1e6)
+        .filter(col("match_score") >= 0.9)
+        .select(col("id_a"), col("id_b"))
+      val blocked = cut(graft.operators.RecordLinkage.fuzzyDedup(
+        party.withColumn("block", substring(col("name"), 7, 3)),
+        "id", "block", Seq(("name", 1.0)), threshold = 0.89))
+      val snm = cut(graft.operators.RecordLinkage
+        .sortedNeighborhood(party, "id", "name", window = 3)
+        .withColumn("match_score", graft.operators.RecordLinkage
+          .similarity(col("key_a"), col("key_b")))
+        .select(col("id_a"), col("id_b"), col("match_score")))
+      graft.operators.ConnectedComponents.withSizes(
+          graft.operators.ConnectedComponents.run(
+            blocked.union(snm), "id_a", "id_b",
+            vertices = Some(party.select(col("id")))))
+        .withColumn("is_canonical", col("id") === col("component"))
+    },
+
     // --- sorted-neighborhood blocking (Hernández-Stolfo): pair each
     // customer with its 3 successors in name order, score with the
     // native Jaro-Winkler — the blocking pass for near-dups that share
@@ -4822,6 +4862,58 @@ object SparkEntry {
         |  JOIN norms nb ON nb.doc_id = id_b
         |)
         |SELECT id_a, id_b, cosine FROM scored WHERE cosine >= 0.75""".stripMargin,
+
+    // q_entity_resolution: full replay — corruption, BOTH candidate
+    // generators, the rounded JW cut, recursive-CTE closure, golden
+    // records by min id
+    "q_entity_resolution" ->
+      """WITH RECURSIVE base AS (
+        |  SELECT c_custkey AS id,
+        |    translate(substr(c_name, 10, 9),
+        |              '0123456789', 'aeioubcdfg') AS name
+        |  FROM customer WHERE c_custkey % 10 = 0
+        |), party AS (
+        |  SELECT id, name FROM base
+        |  UNION ALL
+        |  SELECT id + 1000000,
+        |    substr(name, 1, p - 1) || substr(name, p + 1, 1) ||
+        |    substr(name, p, 1) || substr(name, p + 2, 9)
+        |  FROM (SELECT id, name,
+        |          CAST(id % 50 / 10 + 1 AS INTEGER) AS p FROM base)
+        |), blk AS (
+        |  SELECT id, name, substr(name, 7, 3) AS blk FROM party
+        |), blockp AS (
+        |  SELECT a.id AS ia, b.id AS ib
+        |  FROM blk a JOIN blk b ON a.blk = b.blk AND a.id < b.id
+        |  WHERE floor(jaro_winkler_similarity(a.name, b.name) * 1e6
+        |    + 0.5) / 1e6 >= 0.9
+        |), ranked AS (
+        |  SELECT id, name,
+        |    row_number() OVER (ORDER BY name, id) - 1 AS rnk
+        |  FROM party
+        |), snmp AS (
+        |  SELECT a.id AS ia, b.id AS ib
+        |  FROM ranked a JOIN ranked b ON b.rnk - a.rnk BETWEEN 1 AND 2
+        |  WHERE floor(jaro_winkler_similarity(a.name, b.name) * 1e6
+        |    + 0.5) / 1e6 >= 0.9
+        |), pairs AS (
+        |  SELECT DISTINCT least(ia, ib) AS a, greatest(ia, ib) AS b
+        |  FROM (SELECT ia, ib FROM blockp
+        |        UNION ALL SELECT ia, ib FROM snmp)
+        |), edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION SELECT b, a FROM pairs
+        |), reach(id, r) AS (
+        |  SELECT id, id FROM party
+        |  UNION
+        |  SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r
+        |), comp AS (
+        |  SELECT id, min(r) AS component FROM reach GROUP BY id
+        |)
+        |SELECT id, component,
+        |  count(*) OVER (PARTITION BY component) AS component_size,
+        |  id = component AS is_canonical
+        |FROM comp""".stripMargin,
 
     // q_sorted_neighborhood: ranks replay as row_number over the same
     // (key, id) order; neighbor pairs via the rank-difference window;
