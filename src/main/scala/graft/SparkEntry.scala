@@ -371,7 +371,13 @@ object SparkEntry {
     // dialect-INDEPENDENT in the JDBC path inside the oracle gate;
     // per-dialect DDL maps and coercions stay unit-pinned.
     "q_jdbc_roundtrip" -> { (s, dir) =>
-      val db = scratch("derby_rt")
+      // PER-PROCESS directory: Derby databases are single-JVM (db.lck)
+      // and a killed run leaves its lock behind — a shared path made
+      // concurrent bench/verify/test JVMs poison each other (observed:
+      // "Failed to start database" in an otherwise green bench). The
+      // pid suffix gives every JVM its own database; reruns inside one
+      // JVM still reuse theirs.
+      val db = scratch("derby_rt_" + ProcessHandle.current().pid())
       java.nio.file.Files.createDirectories(java.nio.file.Paths.get(db))
       // derby.system.home is set once at harness startup
       // (Logs.derbyHomeToScratch in Bench/Verify/TestSpark mains) —

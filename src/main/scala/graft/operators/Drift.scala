@@ -107,21 +107,25 @@ object Drift {
       .select(col("v"), coalesce(col("ca"), lit(0L)).as("ca"),
         coalesce(col("cb"), lit(0L)).as("cb"))
     // one shared value axis, cumulative per side via the parallel
-    // prefix sums (side rides the key)
-    val long = merged.select(col("v"), lit("a").as("c"),
-        col("ca").as("cnt"))
-      .union(merged.select(col("v"), lit("b").as("c"),
-        col("cb").as("cnt")))
-    val cum = Distributions.cumulativeByKey(long.select(
-      col("c"), col("v"), col("cnt")))
-    val fa = cum.where(col("c") === "a")
-      .select(col("v"), col("e").as("ea"), col("n").as("na"))
-    val fb = cum.where(col("c") === "b")
-      .select(col("v"), col("e").as("eb"), col("n").as("nb"))
+    // prefix sums; the side rides the key through an EXPLODE (a union
+    // of two selects would duplicate the full-outer-join lineage into
+    // both branches), and the two sides meet again through ONE pivot
+    // aggregation on the value (a self-join would re-evaluate the
+    // cumulative subtree per side)
+    val long = merged.select(col("v"), explode(array(
+        struct(lit("a").as("c"), col("ca").as("cnt")),
+        struct(lit("b").as("c"), col("cb").as("cnt")))).as("x"))
+      .select(col("x.c").as("c"), col("v"), col("x.cnt").as("cnt"))
+    val cum = Distributions.cumulativeByKey(long)
     val rf = math.pow(10.0, roundTo)
+    val pivoted = cum.groupBy(col("v"))
+      .agg(max(when(col("c") === "a", col("e"))).as("ea"),
+        max(when(col("c") === "a", col("n"))).as("na"),
+        max(when(col("c") === "b", col("e"))).as("eb"),
+        max(when(col("c") === "b", col("n"))).as("nb"))
     val gap = abs(col("ea").cast("double") / col("na").cast("double") -
       col("eb").cast("double") / col("nb").cast("double"))
-    fa.join(fb, Seq("v"))
+    pivoted
       .select(col("v"), col("na"), col("nb"),
         (floor(gap * rf + 0.5) / rf).as("__g"))
       .agg(max(col("na")).as("n_base"), max(col("nb")).as("n_cur"),
