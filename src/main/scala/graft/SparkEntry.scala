@@ -2226,6 +2226,18 @@ object SparkEntry {
         "o_orderpriority", "o_orderkey", "rank", "rel", k = 10)
     },
 
+    // --- RFM segmentation: recency/frequency/monetary quintile scores
+    // per user as of a fixed instant — rank-based scoring (ties by
+    // entity) so quintiles stay balanced and engine-identical; ranks
+    // via range exchange + zipWithIndex, money as exact decimals. ---
+    "q_rfm" -> { (s, dir) =>
+      graft.operators.Rfm.score(
+        EventsStreaming.readEvents(s, dir)
+          .select(col("user_id"), col("ts"), col("value")),
+        "user_id", "ts", "value",
+        java.sql.Timestamp.valueOf("2024-02-01 00:00:00"))
+    },
+
     // --- A/B readout: per-user conversion (any purchase) under a
     // deterministic 3-way variant split, two-proportion z-test of each
     // treatment vs control — rates, lifts, pooled z, 95% call on the
@@ -5175,6 +5187,44 @@ object SparkEntry {
         |  CASE WHEN idcg > 0 THEN floor(dcg / idcg * 1e6 + 0.5) / 1e6
         |  END AS ndcg, mrr
         |FROM pq LEFT JOIN idcg USING (query)""".stripMargin,
+
+    // q_rfm: same metrics, same rank-based quintiles (row_number ties
+    // by entity), identically-spelled arithmetic
+    "q_rfm" ->
+      """WITH m AS (
+        |  SELECT user_id AS entity,
+        |    CAST(floor(CAST(epoch_us(TIMESTAMP '2024-02-01 00:00:00')
+        |      - epoch_us(max(ts)) AS DOUBLE) / 86400000000.0) AS BIGINT)
+        |      AS recency_days,
+        |    count(*) AS frequency,
+        |    CAST(sum(CAST(CAST(floor(value * 100.0 + 0.5) AS BIGINT)
+        |      AS DECIMAL(38,0))) AS DOUBLE) / 100.0 AS monetary
+        |  FROM events
+        |  WHERE ts IS NOT NULL AND ts <= TIMESTAMP '2024-02-01 00:00:00'
+        |  GROUP BY user_id
+        |), nn AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS n FROM m
+        |), r AS (
+        |  SELECT m.*,
+        |    row_number() OVER (ORDER BY -recency_days, entity) - 1 AS rr,
+        |    row_number() OVER (ORDER BY frequency, entity) - 1 AS rf,
+        |    row_number() OVER (ORDER BY monetary, entity) - 1 AS rm
+        |  FROM m
+        |)
+        |SELECT entity, recency_days, frequency, monetary,
+        |  CAST(1 + CAST(floor(CAST(rr AS DOUBLE) * 5.0 / n) AS BIGINT)
+        |    AS INTEGER) AS r,
+        |  CAST(1 + CAST(floor(CAST(rf AS DOUBLE) * 5.0 / n) AS BIGINT)
+        |    AS INTEGER) AS f,
+        |  CAST(1 + CAST(floor(CAST(rm AS DOUBLE) * 5.0 / n) AS BIGINT)
+        |    AS INTEGER) AS m,
+        |  CAST(1 + CAST(floor(CAST(rr AS DOUBLE) * 5.0 / n) AS BIGINT)
+        |      AS VARCHAR)
+        |    || CAST(1 + CAST(floor(CAST(rf AS DOUBLE) * 5.0 / n) AS BIGINT)
+        |      AS VARCHAR)
+        |    || CAST(1 + CAST(floor(CAST(rm AS DOUBLE) * 5.0 / n) AS BIGINT)
+        |      AS VARCHAR) AS segment
+        |FROM r, nn""".stripMargin,
 
     // q_ab_test: exact per-variant counts, identically-spelled pooled
     // z, significance on the rounded statistic
