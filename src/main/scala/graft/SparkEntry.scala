@@ -2511,6 +2511,22 @@ object SparkEntry {
           col("merged_n"))
     },
 
+    // --- coverage gaps (islands' complement): where each supplier's
+    // shipping windows were silent — one lead over the already-merged
+    // span frame. ---
+    "q_interval_gaps" -> { (s, dir) =>
+      val iv = t(s, dir, "lineitem").filter(col("l_quantity") > 45)
+        .select(col("l_suppkey"),
+          to_date(col("l_shipdate")).as("w_start"),
+          date_add(to_date(col("l_shipdate")),
+            (col("l_quantity") - 45).cast("int")).as("w_end"))
+      graft.operators.Intervals.gaps(iv, Seq("l_suppkey"),
+          "w_start", "w_end")
+        .select(col("l_suppkey"),
+          col("gap_start").cast("timestamp").as("gap_start"),
+          col("gap_end").cast("timestamp").as("gap_end"))
+    },
+
     // --- longest-prefix-match enrichment (CIDR/routing-table shape)
     // over a 16-bit key space: three prefix generations (len 4/8/12)
     // derived from nation, facts never shuffle (descending-length
@@ -6135,6 +6151,36 @@ object SparkEntry {
         |SELECT l_suppkey, min(s) AS span_start, max(e) AS span_end,
         |  count(*) AS merged_n
         |FROM i GROUP BY l_suppkey, island""".stripMargin,
+
+    // q_interval_gaps: merged spans (same CTE chain) + one lead
+    "q_interval_gaps" ->
+      """WITH base AS (
+        |  SELECT l_suppkey, CAST(l_shipdate AS DATE) AS s,
+        |    CAST(l_shipdate AS DATE) + CAST(l_quantity - 45 AS INT) AS e
+        |  FROM lineitem WHERE l_quantity > 45
+        |), f AS (
+        |  SELECT l_suppkey, s, e,
+        |    max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS pm
+        |  FROM base
+        |), i AS (
+        |  SELECT l_suppkey, s, e,
+        |    sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY l_suppkey ORDER BY s, e
+        |            ROWS UNBOUNDED PRECEDING) AS island
+        |  FROM f
+        |), spans AS (
+        |  SELECT l_suppkey, min(s) AS span_start, max(e) AS span_end
+        |  FROM i GROUP BY l_suppkey, island
+        |), g AS (
+        |  SELECT l_suppkey, span_end AS gap_start,
+        |    lead(span_start) OVER (PARTITION BY l_suppkey
+        |      ORDER BY span_start, span_end) AS gap_end
+        |  FROM spans
+        |)
+        |SELECT l_suppkey, gap_start, gap_end
+        |FROM g WHERE gap_end IS NOT NULL""".stripMargin,
 
     "q_lpm_enrich" ->
       """WITH facts AS (

@@ -64,4 +64,30 @@ object Intervals {
         count(lit(1)).as("merged_n"))
       .drop("__island")
   }
+
+  /** The islands' complement: GAPS in per-key coverage — "where was
+    * this sensor/feed/SLA silent?" A gap opens at a merged span's end
+    * and closes at the key's next span's start; the first span has no
+    * predecessor, so n spans yield n−1 gap candidates (zero-length
+    * ones are impossible — coalescing already fused touching spans).
+    *
+    * Same ONE window exchange per key as [[coalesceIntervals]] (whose
+    * output this consumes — one extra lead over the already-merged,
+    * much smaller span frame).
+    *
+    * @return (keys..., gap_start, gap_end) — gap_start exclusive span
+    *         end, gap_end exclusive next start, same type as the
+    *         interval columns */
+  def gaps(df: DataFrame, keyCols: Seq[String], startCol: String,
+           endCol: String): DataFrame = {
+    val merged = coalesceIntervals(df, keyCols, startCol, endCol)
+    val keys: Seq[Column] = keyCols.map(col)
+    val w = Window.partitionBy(keys: _*)
+      .orderBy(col("span_start"), col("span_end"))
+    merged
+      .withColumn("__next", lead(col("span_start"), 1).over(w))
+      .where(col("__next").isNotNull)
+      .select(keys :+ col("span_end").as("gap_start") :+
+        col("__next").as("gap_end"): _*)
+  }
 }

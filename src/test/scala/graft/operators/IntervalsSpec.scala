@@ -72,4 +72,27 @@ class IntervalsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Intervals.coalesceIntervals(df, Seq("k"), "s", "e"))
   }
+
+  test("gaps: the islands' complement, per key, none for full coverage") {
+    import spark.implicits._
+    // key a: [1,5] [3,8] merge to [1,8]; [12,14] -> ONE gap (8, 12);
+    // key b: overlapping everywhere -> no gaps
+    val d = Seq(
+      ("a", 1L, 5L), ("a", 3L, 8L), ("a", 12L, 14L),
+      ("b", 1L, 10L), ("b", 2L, 20L)
+    ).toDF("k", "s", "e")
+    val out = Intervals.gaps(d, Seq("k"), "s", "e")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a", 8L, 12L)))
+    // single span per key: no gap rows at all
+    assert(Intervals.gaps(
+      Seq(("x", 1L, 2L)).toDF("k", "s", "e"), Seq("k"), "s", "e")
+      .count() == 0)
+    // touching spans fused by the merge never yield zero-length gaps
+    val touching = Intervals.gaps(
+      Seq(("t", 1L, 5L), ("t", 5L, 9L), ("t", 11L, 12L))
+        .toDF("k", "s", "e"), Seq("k"), "s", "e")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    assert(touching.toSeq == Seq((9L, 11L)))
+  }
 }
