@@ -2226,6 +2226,16 @@ object SparkEntry {
         "o_orderpriority", "o_orderkey", "rank", "rel", k = 10)
     },
 
+    // --- proportional stratified sampling, EXACT total (Hamilton's
+    // largest-remainder allocation): exactly 100 docs, each language's
+    // share proportional to its population — all-integer allocation
+    // (div/mod), portable-hash picks. ---
+    "q_stratified_exact" -> { (s, dir) =>
+      graft.llm.Sampling.stratifiedExactK(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "lang", "doc_id", k = 100)
+    },
+
     // --- RFM segmentation: recency/frequency/monetary quintile scores
     // per user as of a fixed instant — rank-based scoring (ties by
     // entity) so quintiles stay balanced and engine-identical; ranks
@@ -5203,6 +5213,34 @@ object SparkEntry {
         |  CASE WHEN idcg > 0 THEN floor(dcg / idcg * 1e6 + 0.5) / 1e6
         |  END AS ndcg, mrr
         |FROM pq LEFT JOIN idcg USING (query)""".stripMargin,
+
+    // q_stratified_exact: identical integer allocation (// and %),
+    // identical remainder ranking and portable-hash pick order
+    "q_stratified_exact" ->
+      """WITH sizes AS (
+        |  SELECT lang, count(*) AS n FROM documents GROUP BY lang
+        |), tot AS (
+        |  SELECT CAST(sum(n) AS BIGINT) AS total FROM sizes
+        |), alloc0 AS (
+        |  SELECT lang, (n * 100) // total AS base,
+        |    (n * 100) % total AS rem
+        |  FROM sizes, tot
+        |), lo AS (
+        |  SELECT 100 - CAST(sum(base) AS BIGINT) AS leftover FROM alloc0
+        |), alloc AS (
+        |  SELECT lang, base + CASE WHEN
+        |      row_number() OVER (ORDER BY rem DESC, lang)
+        |        <= greatest(leftover, 0) THEN 1 ELSE 0 END AS alloc
+        |  FROM alloc0, lo
+        |), ranked AS (
+        |  SELECT doc_id, lang,
+        |    row_number() OVER (PARTITION BY lang ORDER BY
+        |      ((doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000,
+        |      doc_id) AS pr
+        |  FROM documents
+        |)
+        |SELECT doc_id, lang
+        |FROM ranked JOIN alloc USING (lang) WHERE pr <= alloc""".stripMargin,
 
     // q_rfm: same metrics, same rank-based quintiles (row_number ties
     // by entity), identically-spelled arithmetic

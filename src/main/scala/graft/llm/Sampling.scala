@@ -414,4 +414,64 @@ object Sampling {
       .select(explode(col("__picks")("id")).as(idCol))
     df.join(broadcast(picks), Seq(idCol), "left_semi")
   }
+
+  /** Proportional stratified sampling with LARGEST-REMAINDER
+    * allocation (Hamilton's method): exactly `k` rows total, each
+    * stratum's share proportional to its population — the survey /
+    * eval-set shape where "10% from every language" must also sum to
+    * an exact budget. Per-stratum fractions ([[stratified]]) cannot
+    * hit an exact total; per-stratum fixed quotas ([[quotaPerGroup]])
+    * ignore proportions; this does both.
+    *
+    * Determinism — the whole allocation is INTEGER arithmetic: base
+    * quota floor(k·n_i/N) via integer division, the k − Σbase leftover
+    * seats go to the largest remainders (k·n_i mod N), ties by stratum
+    * ascending — so any engine allocates identically; the within-
+    * stratum picks order by the portable hash (ties by id), the
+    * sampling family's standard deterministic order.
+    *
+    * Scale shape: ONE keys-only size aggregation; the allocation frame
+    * is |strata|-sized and broadcasts; picks are a per-stratum window
+    * rank over (hash, id) — the bounded per-group sort every grouped
+    * top-k here pays. k > N degrades gracefully to everything.
+    *
+    * @return the sampled rows (full columns, semi-joined by id) */
+  def stratifiedExactK(df: DataFrame, stratumCol: String, idCol: String,
+                       k: Long): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(df.columns.contains(stratumCol), s"no such column '$stratumCol'")
+    require(df.columns.contains(idCol), s"no such column '$idCol'")
+    val idQ = col("`" + idCol.replace("`", "``") + "`")
+    val sizes = df.groupBy(col(stratumCol).as("__st"))
+      .agg(count(lit(1)).as("__n"))
+    // the allocation lives entirely inside the |strata|-sized frame:
+    // N and the leftover come from whole-frame window sums (no join
+    // back to the base lineage — a sizes×aggregate-of-sizes cross join
+    // trips Catalyst's self-join attribute dedup; and the total is
+    // __tot, NOT __N — Spark resolves identifiers case-insensitively,
+    // so __N would silently shadow __n and every quota would read
+    // n/n = 1). INTEGER division
+    // (div), not double — n·k can exceed 2^53 at corpus scale and a
+    // float quotient would misallocate seats; contract: k·N fits a
+    // long (k is a sample budget, it does).
+    val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+    val wRem = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rem").desc, col("__st").asc)
+    val alloc = sizes
+      .withColumn("__tot", sum(col("__n")).over(wAll))
+      .withColumn("__base", expr(s"(__n * $k) div __tot"))
+      .withColumn("__rem", pmod(col("__n") * k, col("__tot")))
+      .withColumn("__leftover", lit(k) - sum(col("__base")).over(wAll))
+      .withColumn("__alloc",
+        col("__base") + when(row_number().over(wRem) <=
+          greatest(col("__leftover"), lit(0L)), 1L).otherwise(0L))
+      .select(col("__st"), col("__alloc"))
+    val wPick = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(portableBucket(idQ).asc, idQ.asc)
+    df.withColumn("__pr", row_number().over(wPick))
+      .join(broadcast(alloc), col(stratumCol) === col("__st"))
+      .where(col("__pr") <= col("__alloc"))
+      .drop("__pr", "__st", "__alloc")
+  }
 }
