@@ -791,6 +791,16 @@ object SparkEntry {
         LmScore.totalTokens(corpus, "text"))
     },
 
+    // --- PMI collocations (Church & Hanks): the word pairs that
+    // co-occur far beyond their unigram frequencies — multi-word-unit
+    // candidates for the tokenizer, the phrase signal unigram TF-IDF
+    // cannot see. Keys-only pair aggregation + TakeOrdered top-k. ---
+    "q_collocations" -> { (s, dir) =>
+      LmScore.collocations(
+        t(s, dir, "documents").select(col("text")), "text",
+        minCount = 5, k = 25)
+    },
+
     // --- CCNet perplexity bucketing (Wenzek et al. 2020): head/middle/
     // tail quality tiers cut at EXACT corpus-level perplexity terciles
     // (range-partitioned order statistics, no global sort) — the step
@@ -3460,6 +3470,37 @@ object SparkEntry {
         |  coalesce(n_tokens, 0) AS n_tokens,
         |  coalesce(round(alp, 6), 0.0) AS avg_logprob
         |FROM corpus LEFT JOIN per USING (doc_id)""".stripMargin,
+
+    // q_collocations: adjacent pairs via the same index arithmetic,
+    // exact counts, one identically-spelled log ratio, (pmi desc, w1,
+    // w2) top-k
+    "q_collocations" ->
+      """WITH tok AS (
+        |  SELECT list_filter(string_split_regex(lower(text), '\W+'),
+        |    x -> x <> '') AS tk
+        |  FROM documents
+        |), pr AS (
+        |  SELECT r['w1'] AS w1, r['w2'] AS w2 FROM (
+        |    SELECT unnest(list_transform(range(1, len(tk)),
+        |      i -> {'w1': tk[i], 'w2': tk[i + 1]})) AS r
+        |    FROM tok)
+        |), pc AS (
+        |  SELECT w1, w2, count(*) AS pair_count
+        |  FROM pr GROUP BY 1, 2 HAVING count(*) >= 5
+        |), uni AS (
+        |  SELECT w, count(*) AS cnt FROM (
+        |    SELECT unnest(tk) AS w FROM tok) GROUP BY w
+        |), tot AS (
+        |  SELECT CAST(sum(cnt) AS BIGINT) AS t FROM uni
+        |)
+        |SELECT w1, w2, pair_count, u1.cnt AS c1, u2.cnt AS c2,
+        |  floor(ln(CAST(pair_count AS DOUBLE) * CAST(t AS DOUBLE)
+        |    / (CAST(u1.cnt AS DOUBLE) * CAST(u2.cnt AS DOUBLE)))
+        |    * 1e6 + 0.5) / 1e6 AS pmi
+        |FROM pc
+        |JOIN uni u1 ON u1.w = pc.w1
+        |JOIN uni u2 ON u2.w = pc.w2, tot
+        |ORDER BY pmi DESC, w1, w2 LIMIT 25""".stripMargin,
 
     // q_ccnet_buckets: replay unigram scoring (same CTEs as q_lm_score,
     // plain corpus), negate the rounded score into the perplexity

@@ -147,6 +147,58 @@ object LmScore {
         coalesce(round(col("__alp"), roundTo), lit(0.0)).as("avg_logprob"))
   }
 
+  /** Collocation mining by pointwise mutual information — the
+    * corpus-analysis classic (Church & Hanks 1990): word pairs that
+    * co-occur far more than their individual frequencies predict
+    * ("machine learning", "new york") surface with
+    * PMI = ln(c_ab·T / (c_a·c_b)); frequent-but-independent pairs
+    * ("of the") score near zero. The vocabulary-building companion to
+    * [[BpeTrain]] (multi-word units worth a single token) and the
+    * phrase signal TF-IDF's unigram view cannot see.
+    *
+    * Determinism: counts are exact integers; PMI is one log of an
+    * integer ratio, rounded tie-safely; the top-k cut orders (pmi
+    * desc, w1, w2). `minCount` kills the low-count PMI pathology
+    * (hapax pairs score highest) AND bounds the ranked frame.
+    *
+    * Scale shape: one adjacent-pair explode into a (pair)-keys-only
+    * aggregation, unigram counts meeting the (filtered, far smaller)
+    * pair frame in keys-only equi-joins, TakeOrdered top-k — no
+    * global sort. */
+  def collocations(df: DataFrame, textCol: String, minCount: Long = 5,
+                   k: Int = 20, roundTo: Int = 6): DataFrame = {
+    require(minCount >= 2, s"minCount must be >= 2: $minCount")
+    require(k >= 1, s"k must be >= 1: $k")
+    val toks = tokens(col(textCol))
+    val pairs = df
+      .select(explode(arrays_zip(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))))).as("__p"))
+      .select(col("__p.0").as("w1"), col("__p.1").as("w2"))
+    val pairCounts = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("pair_count"))
+      .where(col("pair_count") >= minCount)
+    val uni = df.select(explode(toks).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
+    val total = uni.agg(sum(col("cnt")).as("__t"))
+    val rf = math.pow(10.0, roundTo)
+    val pmi = log(col("pair_count").cast("double") *
+      col("__t").cast("double") /
+      (col("c1").cast("double") * col("c2").cast("double")))
+    // unigram counts join as plain keys-only equi-joins — the FULL
+    // vocabulary is not broadcastable at corpus scale; the pair frame
+    // is already minCount-filtered and small
+    pairCounts
+      .join(uni.select(col("w").as("w1"), col("cnt").as("c1")), Seq("w1"))
+      .join(uni.select(col("w").as("w2"), col("cnt").as("c2")), Seq("w2"))
+      .crossJoin(broadcast(total))
+      .withColumn("pmi", floor(pmi * rf + 0.5) / rf)
+      .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
+      .limit(k)
+      .select(col("w1"), col("w2"), col("pair_count"),
+        col("c1"), col("c2"), col("pmi"))
+  }
+
   /** CCNet-style perplexity bucketing (Wenzek et al. 2020): partition
     * scored documents into quality tiers — `head` / `middle` / `tail`
     * by default — by corpus-level perplexity percentile, the step CCNet

@@ -867,6 +867,31 @@ class CorpusOpsSpec extends SparkSpec {
       d.withColumn("n_tokens", lit(1L)), "doc_id", "text", vocab, total))
   }
 
+  test("collocations: PMI separates bound pairs from frequent-independent") {
+    // 'quantum flux' always adjacent (bound); 'the' frequent everywhere
+    val doc = "the quantum flux drives the reactor and " +
+      "the quantum flux powers the core and the quantum flux hums"
+    val d = Seq.fill(3)(doc).toDF("text")
+    val out = LmScore.collocations(d, "text", minCount = 3, k = 50)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    val qf = out(("quantum", "flux"))
+    assert(qf.getAs[Long]("pair_count") == 9L)
+    // hand PMI: c_qf=9, c_q=9, c_f=9, T = tokens total
+    val T = 3L * doc.split("\\W+").count(_.nonEmpty)
+    val expected = math.floor(
+      math.log(9.0 * T / (9.0 * 9.0)) * 1e6 + 0.5) / 1e6
+    assert(qf.getAs[Double]("pmi") == expected)
+    // bound pair outranks the frequent-independent 'the'-pairs
+    val thePmi = out.collect { case ((a, b), r) if a == "the" || b == "the" =>
+      r.getAs[Double]("pmi") }
+    assert(thePmi.forall(_ < qf.getAs[Double]("pmi")))
+    // minCount kills hapax pairs entirely
+    assert(!out.contains(("flux", "hums")) || out(("flux", "hums"))
+      .getAs[Long]("pair_count") >= 3L)
+    intercept[IllegalArgumentException](
+      LmScore.collocations(d, "text", minCount = 1))
+  }
+
   test("ccnet buckets: exact-tercile tiers, ties, zero-token exclusion") {
     // six scored docs, distinct proxies 1..6 (score = -proxy):
     // k1 = ceil(6/3) = 2, k2 = ceil(12/3) = 4 -> 2 head, 2 middle, 2 tail
