@@ -2246,6 +2246,24 @@ object SparkEntry {
         "lang", "doc_id", k = 100)
     },
 
+    // --- Kaplan-Meier survival: retention's statistically honest form
+    // — users still active at the horizon are CENSORED (out of the
+    // at-risk denominator) rather than counted churned. Running
+    // ln-factor sums over the aggregated day axis replay in order. ---
+    "q_kaplan_meier" -> { (s, dir) =>
+      val subj = EventsStreaming.readEvents(s, dir)
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+        .select(
+          floor((unix_micros(col("last_ts")) -
+            unix_micros(col("first_ts"))).cast("double") / lit(86400e6))
+            .cast("long").as("dur"),
+          (col("last_ts") <
+            lit(java.sql.Timestamp.valueOf("2024-01-25 00:00:00")))
+            .as("ev"))
+      graft.operators.Survival.kaplanMeier(subj, "dur", "ev")
+    },
+
     // --- RFM segmentation: recency/frequency/monetary quintile scores
     // per user as of a fixed instant — rank-based scoring (ties by
     // entity) so quintiles stay balanced and engine-identical; ranks
@@ -5254,6 +5272,43 @@ object SparkEntry {
         |  CASE WHEN idcg > 0 THEN floor(dcg / idcg * 1e6 + 0.5) / 1e6
         |  END AS ndcg, mrr
         |FROM pq LEFT JOIN idcg USING (query)""".stripMargin,
+
+    // q_kaplan_meier: same day-bucketed durations and censoring rule,
+    // same suffix at-risk arithmetic, same in-order running ln-factor
+    // sum (window running sums scan rows in order on both engines)
+    "q_kaplan_meier" ->
+      """WITH subj AS (
+        |  SELECT CAST(floor(CAST(epoch_us(max(ts)) - epoch_us(min(ts))
+        |    AS DOUBLE) / 86400000000.0) AS BIGINT) AS dur,
+        |    max(ts) < TIMESTAMP '2024-01-25 00:00:00' AS ev
+        |  FROM events GROUP BY user_id
+        |), c AS (
+        |  SELECT dur AS t,
+        |    CAST(sum(CASE WHEN ev THEN 1 ELSE 0 END) AS BIGINT) AS events,
+        |    count(*) AS total
+        |  FROM subj GROUP BY dur
+        |), r AS (
+        |  SELECT t, events, total, total - events AS censored,
+        |    CAST(sum(total) OVER () AS BIGINT)
+        |      - CAST(coalesce(sum(total) OVER (ORDER BY t
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |        AS BIGINT) AS n_at_risk
+        |  FROM c
+        |), s AS (
+        |  SELECT t, n_at_risk, events, censored,
+        |    max(CASE WHEN events >= n_at_risk THEN 1 ELSE 0 END)
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS extinct,
+        |    sum(CASE WHEN events > 0 AND events < n_at_risk
+        |        THEN ln(1.0 - CAST(events AS DOUBLE)
+        |          / CAST(n_at_risk AS DOUBLE))
+        |        ELSE 0.0 END)
+        |      OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS lnsum
+        |  FROM r
+        |)
+        |SELECT t, n_at_risk, events, censored,
+        |  CASE WHEN extinct = 1 THEN 0.0
+        |       ELSE floor(exp(lnsum) * 1e6 + 0.5) / 1e6 END AS survival
+        |FROM s""".stripMargin,
 
     // q_stratified_exact: identical integer allocation (// and %),
     // identical remainder ranking and portable-hash pick order
