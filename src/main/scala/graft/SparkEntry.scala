@@ -2363,6 +2363,19 @@ object SparkEntry {
         Seq("user_id"), "ts", "value", width = 3600L * 1000000)
     },
 
+    // --- CUSUM change-point detection (Page): per-user two-sided
+    // drift statistic via the prefix-sum-minus-running-min identity —
+    // one hash exchange, exact fixed-point integer accumulation, the
+    // alarm decided on scaled integers. The oracle replays the same
+    // prefix/min windows in DuckDB. ---
+    "q_cusum" -> { (s, dir) =>
+      graft.operators.Changepoint.cusum(
+        EventsStreaming.readEvents(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts"), col("value")),
+        Seq("user_id"), "ts", "event_id", "value",
+        target = 50.0, slack = 5.0, threshold = 150.0)
+    },
+
     // --- bucketized range join: every event pairs with each active
     // 45-minute window of its user (windows anchored at every 10th
     // event). Stays a hash equi-join on (user, time-bucket); the
@@ -2376,6 +2389,29 @@ object SparkEntry {
           col("event_id").as("window_id"))
       graft.operators.RangeJoin.join(ev, ivs, Seq("user_id"), "ts",
         "start_ts", "end_ts", granularity = 15L * 60 * 1000000)
+    },
+
+    // --- interval OVERLAP join (interval×interval): each user's
+    // 45-minute activity windows pair with each of their 30-minute
+    // promo windows whose spans intersect. Both sides ride the
+    // time-grid bucketization, so the plan is a hash equi-join on
+    // (user, bucket) with each overlapping pair meeting exactly once
+    // (residual pins the bucket of the later start); the oracle is the
+    // plain inequality join. ---
+    "q_interval_join" -> { (s, dir) =>
+      val ev = EventsStreaming.readEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val act = ev.filter(pmod(col("event_id"), lit(10)) === 0)
+        .select(col("user_id"), col("ts").as("a_start"),
+          (col("ts") + expr("INTERVAL 45 MINUTES")).as("a_end"),
+          col("event_id").as("window_id"))
+      val promo = ev.filter(pmod(col("event_id"), lit(7)) === 0)
+        .select(col("user_id"), col("ts").as("b_start"),
+          (col("ts") + expr("INTERVAL 30 MINUTES")).as("b_end"),
+          col("event_id").as("promo_id"))
+      graft.operators.RangeJoin.overlap(act, promo, Seq("user_id"),
+        "a_start", "a_end", "b_start", "b_end",
+        granularity = 15L * 60 * 1000000)
     },
 
     // --- skew-salted two-stage aggregation (equal to plain groupBy) ---
@@ -5644,6 +5680,40 @@ object SparkEntry {
         |  coalesce(abs(zscore) >= 3.0, false) AS is_anomaly
         |FROM z""".stripMargin,
 
+    // q_cusum: target=50 slack=5 threshold=150 at scale 4 →
+    // scaled knobs ti+ki=550000, ti-ki=450000, h=1500000; the prefix
+    // sum, running min (floored at 0), and integer alarm compare are
+    // the operator's exact arithmetic replayed verbatim
+    "q_cusum" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, ts, value,
+        |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS vi,
+        |    epoch_us(ts) AS tsi
+        |  FROM events
+        |), p AS (
+        |  SELECT event_id, user_id, ts, value, vi, tsi,
+        |    sum(CAST(coalesce(vi - 550000, 0) AS DECIMAL(38,0))) OVER w AS p_hi,
+        |    sum(CAST(coalesce(450000 - vi, 0) AS DECIMAL(38,0))) OVER w AS p_lo
+        |  FROM b
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsi, event_id
+        |    ROWS UNBOUNDED PRECEDING)
+        |), m AS (
+        |  SELECT event_id, user_id, ts, value, vi, p_hi, p_lo,
+        |    least(min(p_hi) OVER w, CAST(0 AS DECIMAL(38,0))) AS m_hi,
+        |    least(min(p_lo) OVER w, CAST(0 AS DECIMAL(38,0))) AS m_lo
+        |  FROM p
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY tsi, event_id
+        |    ROWS UNBOUNDED PRECEDING)
+        |)
+        |SELECT event_id, user_id, ts, value,
+        |  CASE WHEN vi IS NOT NULL
+        |    THEN CAST(p_hi - m_hi AS DOUBLE) / 10000.0 END AS cusum_high,
+        |  CASE WHEN vi IS NOT NULL
+        |    THEN CAST(p_lo - m_lo AS DOUBLE) / 10000.0 END AS cusum_low,
+        |  vi IS NOT NULL AND (p_hi - m_hi) > 1500000 AS alarm_high,
+        |  vi IS NOT NULL AND (p_lo - m_lo) > 1500000 AS alarm_low
+        |FROM m""".stripMargin,
+
     "q_range_join" ->
       """WITH iv AS (
         |  SELECT user_id, ts AS start_ts,
@@ -5654,6 +5724,21 @@ object SparkEntry {
         |  iv.start_ts, iv.end_ts, iv.window_id
         |FROM events e JOIN iv ON e.user_id = iv.user_id
         |  AND e.ts >= iv.start_ts AND e.ts < iv.end_ts""".stripMargin,
+
+    "q_interval_join" ->
+      """WITH a AS (
+        |  SELECT user_id, ts AS a_start,
+        |    ts + INTERVAL 45 MINUTE AS a_end, event_id AS window_id
+        |  FROM events WHERE event_id % 10 = 0
+        |), b AS (
+        |  SELECT user_id, ts AS b_start,
+        |    ts + INTERVAL 30 MINUTE AS b_end, event_id AS promo_id
+        |  FROM events WHERE event_id % 7 = 0
+        |)
+        |SELECT a.user_id, a.a_start, a.a_end, a.window_id,
+        |  b.b_start, b.b_end, b.promo_id
+        |FROM a JOIN b ON a.user_id = b.user_id
+        |  AND a.a_start < b.b_end AND b.b_start < a.a_end""".stripMargin,
 
     "q_events_props" ->
       """SELECT event_type,

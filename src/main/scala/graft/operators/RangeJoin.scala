@@ -107,4 +107,102 @@ object RangeJoin {
       .select(facts.columns.toSeq.map(qa("__rj_f", _)) ++
         ivPayload.map(qa("__rj_i", _)): _*)
   }
+
+  /** Interval OVERLAP join: every left interval pairs with every right
+    * interval of the same key whose half-open span intersects it —
+    * `lStart < rEnd AND rStart < lEnd`. The interval×interval sibling
+    * of [[join]] (sessions × promotions, maintenance windows ×
+    * incidents, shifts × outages).
+    *
+    * Scale shape: the naive spelling has no equi-key beyond `on`, so a
+    * hot key degenerates into a per-key nested loop. Here BOTH sides
+    * replicate to the `granularity`-sized grid buckets they cover and
+    * the join becomes a hash equi-join on (keys..., bucket) with the
+    * overlap test as a residual. An overlapping pair shares every
+    * bucket between max(starts) and min(ends), so to meet exactly ONCE
+    * the residual also pins the bucket to `bucket(max(lStart, rStart))`
+    * — that bucket is provably covered by both sides (max(starts) <
+    * min(ends) on overlap), and no post-join dedup is needed.
+    *
+    * `joinType` "inner" keeps matched pairs; "left" also keeps left
+    * intervals with no overlapping partner (null right payload) — the
+    * unmatched set is recovered with a null-safe LEFT ANTI on the full
+    * left row (duplicates agree on matching, so multiplicity is
+    * preserved), keeping the exploded inner join the only pairwise
+    * step. Degenerate (empty/backwards) intervals drop on the side
+    * being exploded, matching the half-open semantics. */
+  def overlap(left: DataFrame, right: DataFrame, on: Seq[String],
+              leftStartCol: String, leftEndCol: String,
+              rightStartCol: String, rightEndCol: String,
+              granularity: Long, joinType: String = "inner",
+              maxBucketsPerInterval: Int = 10000): DataFrame = {
+    require(granularity > 0, s"granularity must be positive, got $granularity")
+    require(joinType == "inner" || joinType == "left",
+      s"joinType must be inner|left, got '$joinType'")
+    on.foreach { c =>
+      require(left.columns.contains(c), s"left misses key column '$c'")
+      require(right.columns.contains(c), s"right misses key column '$c'")
+    }
+    Seq(leftStartCol, leftEndCol).foreach(c =>
+      require(left.columns.contains(c), s"left misses '$c'"))
+    Seq(rightStartCol, rightEndCol).foreach(c =>
+      require(right.columns.contains(c), s"right misses '$c'"))
+    val tType = left.schema(leftStartCol).dataType
+    Seq(left.schema(leftEndCol).dataType, right.schema(rightStartCol).dataType,
+        right.schema(rightEndCol).dataType).foreach(dt =>
+      require(dt == tType,
+        s"interval columns must share one type; got $tType vs $dt"))
+    right.columns.filterNot(on.contains).foreach(c =>
+      require(!left.columns.contains(c),
+        s"right column '$c' collides with a left column — alias it first"))
+    require(!left.columns.contains("__bucket") &&
+      !right.columns.contains("__bucket"), "'__bucket' is reserved")
+
+    def ticks(c: Column): Column = tType match {
+      case TimestampType => unix_micros(c)
+      case LongType | IntegerType => c.cast("long")
+      case other => throw new IllegalArgumentException(
+        s"overlap join interval columns must be timestamp or integral, got $other")
+    }
+    def bucket(c: Column): Column = floor(ticks(c) / lit(granularity))
+    def exploded(df: DataFrame, sCol: String, eCol: String): DataFrame = {
+      val endBucket = floor((ticks(q(eCol)) - 1) / lit(granularity))
+      val nBuckets = endBucket - bucket(q(sCol)) + 1
+      df.filter(q(sCol).isNotNull && q(eCol).isNotNull && q(sCol) < q(eCol))
+        .withColumn("__bucket", explode(when(
+          nBuckets > lit(maxBucketsPerInterval.toLong),
+          raise_error(concat(lit(s"overlap join interval spans more than " +
+            s"$maxBucketsPerInterval buckets at granularity $granularity " +
+            s"(start="), q(sCol).cast("string"), lit(")"))).cast("array<bigint>"))
+          .otherwise(sequence(bucket(q(sCol)), endBucket))))
+    }
+    def qa(a: String, c: String): Column =
+      col(s"$a.`" + c.replace("`", "``") + "`")
+    val la = exploded(left, leftStartCol, leftEndCol).alias("__oj_l")
+    val ra = exploded(right, rightStartCol, rightEndCol).alias("__oj_r")
+    val meetBucket = floor((greatest(ticks(qa("__oj_l", leftStartCol)),
+      ticks(qa("__oj_r", rightStartCol)))) / lit(granularity))
+    val cond = (on.map(c => qa("__oj_l", c) === qa("__oj_r", c)) ++ Seq(
+      qa("__oj_l", "__bucket") === qa("__oj_r", "__bucket"),
+      qa("__oj_l", leftStartCol) < qa("__oj_r", rightEndCol),
+      qa("__oj_r", rightStartCol) < qa("__oj_l", leftEndCol),
+      qa("__oj_l", "__bucket") === meetBucket)).reduce(_ && _)
+    val rPayload = right.columns.filterNot(on.contains).toSeq
+    val inner = la.join(ra, cond, "inner")
+      .select(left.columns.toSeq.map(qa("__oj_l", _)) ++
+        rPayload.map(qa("__oj_r", _)): _*)
+    if (joinType == "inner") inner
+    else {
+      // left rows with no partner: null-safe anti on the full left row
+      // (value-identical duplicates match or miss together, so this
+      // preserves multiplicity); right payload comes back as nulls
+      val matched = inner.select(left.columns.toSeq.map(col): _*).distinct()
+      val unmatched = left.join(matched,
+        left.columns.toSeq.map(c => left(c) <=> matched(c)).reduce(_ && _),
+        "left_anti")
+      val withNulls = rPayload.foldLeft(unmatched)((df, c) =>
+        df.withColumn(c, lit(null).cast(right.schema(c).dataType)))
+      inner.unionByName(withNulls)
+    }
+  }
 }
