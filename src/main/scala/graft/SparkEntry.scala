@@ -1346,6 +1346,25 @@ object SparkEntry {
         .select(col("id"), round(col("rank"), 6).as("rank"))
     },
 
+    // --- bounded-hop BFS over the bipartite customer–supplier graph
+    // (an edge when a supplier filled one of the customer's orders):
+    // blast-radius distances from a seeded customer cohort. Frontier
+    // joins only, visited anti-join, 3 rounds; the oracle is a
+    // recursive CTE taking min(dist). Supplier ids shift by 1e6 into
+    // their own id space. ---
+    "q_graph_bfs" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+      val ord = t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+      val edges = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .select(col("o_custkey").as("src"),
+          (col("l_suppkey") + lit(1000000L)).as("dst"))
+      val seeds = t(s, dir, "customer")
+        .filter(pmod(col("c_custkey"), lit(100)) === 1)
+        .select(col("c_custkey").as("id"))
+      graft.operators.ShortestPaths.bfs(edges, "src", "dst", seeds, "id",
+        maxHops = 3)
+    },
+
     // --- general connected components over the per-user event-star
     // graph (each event linked to its user's first event): the dedup
     // closure promoted to a first-class graph operator. The oracle is
@@ -4347,6 +4366,25 @@ object SparkEntry {
         |)
         |SELECT n.id, round(0.15 + 0.85 * coalesce(c.c, 0), 6) AS rank
         |FROM nodes n LEFT JOIN c3 c ON n.id = c.id""".stripMargin,
+
+    // q_graph_bfs: recursive-CTE ground truth — enumerate every
+    // (vertex, hops) pair reachable within 3 and take the minimum,
+    // which is exactly what first-discovery frontier BFS assigns
+    "q_graph_bfs" ->
+      """WITH RECURSIVE e0 AS (
+        |  SELECT DISTINCT o.o_custkey AS src, l.l_suppkey + 1000000 AS dst
+        |  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        |), bi AS (
+        |  SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0
+        |), reach(id, dist) AS (
+        |  SELECT c_custkey AS id, 0 AS dist
+        |  FROM customer WHERE c_custkey % 100 = 1
+        |  UNION
+        |  SELECT bi.dst, r.dist + 1
+        |  FROM reach r JOIN bi ON bi.src = r.id
+        |  WHERE r.dist < 3
+        |)
+        |SELECT id, min(dist) AS dist FROM reach GROUP BY id""".stripMargin,
 
     // q_connected_components: the star graph connects every event of a
     // user, so ground truth needs no recursion — component = the
