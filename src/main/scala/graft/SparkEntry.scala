@@ -1365,6 +1365,19 @@ object SparkEntry {
         maxHops = 3)
     },
 
+    // --- 2-D skyline / Pareto frontier per brand: the undominated
+    // parts maximizing size while minimizing price. Sort-based
+    // identity over a range-partitioned parallel prefix best — no
+    // self-join, no nested loop; the oracle is the textbook
+    // NOT-EXISTS dominance query. ---
+    "q_skyline" -> { (s, dir) =>
+      graft.operators.Skyline.skyline(
+        t(s, dir, "part").select(col("p_partkey"), col("p_brand"),
+          col("p_size"), col("p_retailprice")),
+        Seq("p_brand"), "p_size", "p_retailprice",
+        maximizeX = true, maximizeY = false)
+    },
+
     // --- general connected components over the per-user event-star
     // graph (each event linked to its user's first event): the dedup
     // closure promoted to a first-class graph operator. The oracle is
@@ -4385,6 +4398,21 @@ object SparkEntry {
         |  WHERE r.dist < 3
         |)
         |SELECT id, min(dist) AS dist FROM reach GROUP BY id""".stripMargin,
+
+    // q_skyline: textbook NOT-EXISTS dominance — ground truth the
+    // sort-based engine formulation must reproduce exactly (price
+    // values compare untouched off parquet, so no float arithmetic
+    // is involved on either engine)
+    "q_skyline" ->
+      """SELECT p_partkey, p_brand, p_size, p_retailprice
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_brand = p.p_brand
+        |    AND q.p_size >= p.p_size
+        |    AND q.p_retailprice <= p.p_retailprice
+        |    AND (q.p_size > p.p_size
+        |         OR q.p_retailprice < p.p_retailprice))""".stripMargin,
 
     // q_connected_components: the star graph connects every event of a
     // user, so ground truth needs no recursion — component = the
