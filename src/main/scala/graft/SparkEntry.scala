@@ -1365,6 +1365,22 @@ object SparkEntry {
         maxHops = 3)
     },
 
+    // --- exact largest-remainder proration: each order's total (in
+    // cents) split across its lineitems proportionally to quantity,
+    // with whole-cent shares reconciling EXACTLY to the order total.
+    // One hash exchange on the order key, pure integer arithmetic; the
+    // oracle replays floor shares + remainder ranking verbatim. ---
+    "q_prorate" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+      val joined = li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .drop("o_orderkey")
+      graft.operators.Allocation.prorate(joined, Seq("l_orderkey"),
+        "l_quantity", "o_totalprice", "l_linenumber")
+    },
+
     // --- 2-D skyline / Pareto frontier per brand: the undominated
     // parts maximizing size while minimizing price. Sort-based
     // identity over a range-partitioned parallel prefix best — no
@@ -4398,6 +4414,32 @@ object SparkEntry {
         |  WHERE r.dist < 3
         |)
         |SELECT id, min(dist) AS dist FROM reach GROUP BY id""".stripMargin,
+
+    // q_prorate: largest-remainder allocation replayed verbatim —
+    // fixed-point snaps, bigint floor division (// in DuckDB, div in
+    // Spark), remainder rank with the same tie-break. Quantities are
+    // >= 1 in the fixture, so the all-zero-weight fallback (unit-
+    // pinned) never fires here.
+    "q_prorate" ->
+      """WITH j AS (
+        |  SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS wi,
+        |    CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS ti
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |), w AS (
+        |  SELECT *, sum(wi) OVER (PARTITION BY l_orderkey) AS wsum FROM j
+        |), f AS (
+        |  SELECT *, (ti * wi) // wsum AS fl, (ti * wi) % wsum AS rem FROM w
+        |), r AS (
+        |  SELECT *, ti - sum(fl) OVER (PARTITION BY l_orderkey) AS leftover,
+        |    row_number() OVER (PARTITION BY l_orderkey
+        |      ORDER BY rem DESC, l_linenumber, wi) AS rk
+        |  FROM f
+        |)
+        |SELECT l_orderkey, l_linenumber, l_quantity, o_totalprice,
+        |  CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS allocated
+        |FROM r""".stripMargin,
 
     // q_skyline: textbook NOT-EXISTS dominance — ground truth the
     // sort-based engine formulation must reproduce exactly (price
