@@ -1365,6 +1365,19 @@ object SparkEntry {
         maxHops = 3)
     },
 
+    // --- gains/lift decile table: rank events by value, cut into 10
+    // exact equal-depth buckets (NTILE spelled in integer arithmetic
+    // over range-partitioned global positions — no single-reducer
+    // sort), report per-decile purchase rate, cumulative capture, and
+    // lift. The oracle replays the cut and the double arithmetic. ---
+    "q_gains" -> { (s, dir) =>
+      graft.operators.Gains.liftTable(
+        EventsStreaming.readEvents(s, dir)
+          .select(col("event_id"), col("value"),
+            (col("event_type") === "purchase").as("label")),
+        "value", "label", "event_id", buckets = 10)
+    },
+
     // --- exact largest-remainder proration: each order's total (in
     // cents) split across its lineitems proportionally to quantity,
     // with whole-cent shares reconciling EXACTLY to the order total.
@@ -4414,6 +4427,46 @@ object SparkEntry {
         |  WHERE r.dist < 3
         |)
         |SELECT id, min(dist) AS dist FROM reach GROUP BY id""".stripMargin,
+
+    // q_gains: NTILE cut replayed in integer arithmetic
+    // ((pos*buckets) floor-div n), rates/lifts as identical double
+    // divisions rounded floor-half-up at 6dp
+    "q_gains" ->
+      """WITH r AS (
+        |  SELECT event_id, value, event_type = 'purchase' AS lab,
+        |    row_number() OVER (ORDER BY value DESC, event_id) - 1 AS pos,
+        |    count(*) OVER () AS n
+        |  FROM events WHERE value IS NOT NULL
+        |), b AS (
+        |  SELECT CAST((pos * 10) // n AS INTEGER) + 1 AS bucket, lab FROM r
+        |), pb AS (
+        |  SELECT bucket, count(*) AS n,
+        |    sum(CASE WHEN lab THEN 1 ELSE 0 END) AS responders
+        |  FROM b GROUP BY bucket
+        |), c AS (
+        |  SELECT *, sum(n) OVER (ORDER BY bucket) AS cum_n,
+        |    sum(responders) OVER (ORDER BY bucket) AS cum_responders,
+        |    sum(n) OVER () AS tot_n, sum(responders) OVER () AS tot_r
+        |  FROM pb
+        |)
+        |SELECT bucket, CAST(n AS BIGINT) AS n,
+        |  CAST(responders AS BIGINT) AS responders,
+        |  floor(CAST(responders AS DOUBLE) / CAST(n AS DOUBLE) * 1e6 + 0.5)
+        |    / 1e6 AS response_rate,
+        |  CAST(cum_n AS BIGINT) AS cum_n,
+        |  CAST(cum_responders AS BIGINT) AS cum_responders,
+        |  CASE WHEN tot_r <> 0 THEN
+        |    floor(CAST(cum_responders AS DOUBLE) / CAST(tot_r AS DOUBLE)
+        |      * 1e6 + 0.5) / 1e6 END AS cum_capture,
+        |  CASE WHEN tot_r <> 0 THEN
+        |    floor((CAST(responders AS DOUBLE) * CAST(tot_n AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(tot_r AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 END AS lift,
+        |  CASE WHEN tot_r <> 0 THEN
+        |    floor((CAST(cum_responders AS DOUBLE) * CAST(tot_n AS DOUBLE))
+        |      / (CAST(cum_n AS DOUBLE) * CAST(tot_r AS DOUBLE))
+        |      * 1e6 + 0.5) / 1e6 END AS cum_lift
+        |FROM c""".stripMargin,
 
     // q_prorate: largest-remainder allocation replayed verbatim —
     // fixed-point snaps, bigint floor division (// in DuckDB, div in
