@@ -1365,6 +1365,38 @@ object SparkEntry {
         maxHops = 3)
     },
 
+    // --- validation quarantine (dead-letter pattern): the fail-fast
+    // schema checks re-expressed as per-row violation reasons over a
+    // deterministically corrupted customer frame — nulls into a
+    // required column, pattern-breaking names, null balances. One
+    // codegen'd projection; the oracle replays the corruption and the
+    // reason list (stable order) verbatim. ---
+    "q_quarantine" -> { (s, dir) =>
+      val schema = graft.validate.SchemaFile.fromYaml(
+        """columns:
+          |  - name: c_name
+          |    type: string
+          |    nullable: false
+          |    pattern: '^Customer#[0-9]+$'
+          |  - name: c_acctbal
+          |    type: decimal
+          |    nullable: false
+          |""".stripMargin)
+      val corrupted = t(s, dir, "customer")
+        .withColumn("c_name",
+          when(pmod(col("c_custkey"), lit(11)) === 0, lit(null))
+            .when(pmod(col("c_custkey"), lit(13)) === 0,
+              concat(lit("bad "), col("c_name")))
+            .otherwise(col("c_name")))
+        .withColumn("c_acctbal",
+          when(pmod(col("c_custkey"), lit(17)) === 0, lit(null))
+            .otherwise(col("c_acctbal")))
+      graft.validate.Validation.annotate(corrupted, schema)
+        .select(col("c_custkey"),
+          concat_ws("|", col("_violations")).as("violations"),
+          (size(col("_violations")) === 0).as("is_valid"))
+    },
+
     // --- gains/lift decile table: rank events by value, cut into 10
     // exact equal-depth buckets (NTILE spelled in integer arithmetic
     // over range-partitioned global positions — no single-reducer
@@ -4427,6 +4459,37 @@ object SparkEntry {
         |  WHERE r.dist < 3
         |)
         |SELECT id, min(dist) AS dist FROM reach GROUP BY id""".stripMargin,
+
+    // q_quarantine: the corruption and the reason list replayed —
+    // reason order is schema-column order then check order
+    // (required-null before pattern), and a null name never pattern-
+    // checks, exactly as the annotator compiles it
+    "q_quarantine" ->
+      """WITH c AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 11 = 0 THEN NULL
+        |         WHEN c_custkey % 13 = 0 THEN 'bad ' || c_name
+        |         ELSE c_name END AS name2,
+        |    CASE WHEN c_custkey % 17 = 0 THEN NULL
+        |         ELSE c_acctbal END AS bal2
+        |  FROM customer
+        |), v AS (
+        |  SELECT c_custkey, list_filter([
+        |    CASE WHEN name2 IS NULL
+        |      THEN 'required column ''c_name'' is null' END,
+        |    CASE WHEN name2 IS NOT NULL
+        |        AND NOT regexp_matches(name2, '^Customer#[0-9]+$')
+        |      THEN 'column ''c_name'' does not match pattern ' ||
+        |        '''^Customer#[0-9]+$''' END,
+        |    CASE WHEN bal2 IS NULL
+        |      THEN 'required column ''c_acctbal'' is null' END
+        |  ], x -> x IS NOT NULL) AS vio
+        |  FROM c
+        |)
+        |SELECT c_custkey,
+        |  coalesce(array_to_string(vio, '|'), '') AS violations,
+        |  len(vio) = 0 AS is_valid
+        |FROM v""".stripMargin,
 
     // q_gains: NTILE cut replayed in integer arithmetic
     // ((pos*buckets) floor-div n), rates/lifts as identical double
