@@ -2413,6 +2413,24 @@ object SparkEntry {
         rev, Seq("s_nationkey"), "revenue", "s_suppkey")
     },
 
+    // --- ABC contribution classes per nation: suppliers ranked by
+    // revenue share, classic 80/95 Pareto cut decided on exact scaled
+    // integers (100·prev < pct·n); the cumulative rides the
+    // range-partitioned parallel prefix sums with the scaled value as
+    // the count. Same revenue derivation as q_concentration. ---
+    "q_abc" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val rev = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(dec)).cast("double")
+          .as("revenue"))
+      graft.operators.Abc.classify(rev, Seq("s_nationkey"), "s_suppkey",
+        "revenue")
+    },
+
     // --- exact two-sample Kolmogorov-Smirnov drift: the binning-free
     // complement to PSI — max CDF gap between the early and late price
     // distributions, per-side cumulative fractions riding the parallel
@@ -4459,6 +4477,40 @@ object SparkEntry {
         |  WHERE r.dist < 3
         |)
         |SELECT id, min(dist) AS dist FROM reach GROUP BY id""".stripMargin,
+
+    // q_abc: per-nation Pareto classes replayed with window sums in
+    // (revenue desc, supplier) order — prior-cumulative class compare
+    // on the same scaled integers, shares rounded identically
+    "q_abc" ->
+      """WITH rev AS (
+        |  SELECT s_nationkey, s_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS revenue
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2
+        |), w AS (
+        |  SELECT s_nationkey, s_suppkey,
+        |    CAST(floor(revenue * 100.0 + 0.5) AS BIGINT) AS wi
+        |  FROM rev
+        |), c AS (
+        |  SELECT s_nationkey, s_suppkey, wi,
+        |    CAST(sum(wi) OVER (PARTITION BY s_nationkey
+        |      ORDER BY wi DESC, s_suppkey
+        |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS e,
+        |    CAST(sum(wi) OVER (PARTITION BY s_nationkey) AS BIGINT) AS n
+        |  FROM w
+        |)
+        |SELECT s_nationkey, s_suppkey,
+        |  CAST(wi AS DOUBLE) / 100.0 AS value,
+        |  CASE WHEN n <> 0 THEN floor(CAST(wi AS DOUBLE)
+        |    / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS share,
+        |  CASE WHEN n <> 0 THEN floor(CAST(e AS DOUBLE)
+        |    / CAST(n AS DOUBLE) * 1e6 + 0.5) / 1e6 END AS cum_share,
+        |  CASE WHEN n = 0 THEN NULL
+        |    WHEN 100 * (e - wi) < 80 * n THEN 'A'
+        |    WHEN 100 * (e - wi) < 95 * n THEN 'B'
+        |    ELSE 'C' END AS abc_class
+        |FROM c""".stripMargin,
 
     // q_quarantine: the corruption and the reason list replayed —
     // reason order is schema-column order then check order
