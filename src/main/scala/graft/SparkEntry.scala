@@ -2413,6 +2413,27 @@ object SparkEntry {
         rev, Seq("s_nationkey"), "revenue", "s_suppkey")
     },
 
+    // --- fingerprint key-collision clustering (OpenRefine cluster &
+    // edit): engineered spelling variants of supplier names — cased/
+    // spaced/punctuated — collapse to one fingerprint (lowercase,
+    // punctuation→space, tokens deduped + sorted); canonical = most
+    // frequent spelling, ties to the smallest. One codegen'd
+    // projection + map-side-combined groupBy; the oracle replays the
+    // normalization chain and the argmax verbatim. ---
+    "q_keycollision" -> { (s, dir) =>
+      val sup = t(s, dir, "supplier").select(col("s_suppkey"), col("s_name"))
+      val base = sup.select(col("s_suppkey").as("id"),
+        col("s_name").as("name"))
+      val va = sup.filter(pmod(col("s_suppkey"), lit(3)) === 0)
+        .select((col("s_suppkey") + 10000).as("id"),
+          upper(regexp_replace(col("s_name"), "#", " # ")).as("name"))
+      val vb = sup.filter(pmod(col("s_suppkey"), lit(4)) === 0)
+        .select((col("s_suppkey") + 20000).as("id"),
+          concat(lower(col("s_name")), lit(".")).as("name"))
+      graft.operators.KeyCollision.clusters(
+        base.unionByName(va).unionByName(vb), "id", "name")
+    },
+
     // --- ABC contribution classes per nation: suppliers ranked by
     // revenue share, classic 80/95 Pareto cut decided on exact scaled
     // integers (100·prev < pct·n); the cumulative rides the
@@ -4477,6 +4498,45 @@ object SparkEntry {
         |  WHERE r.dist < 3
         |)
         |SELECT id, min(dist) AS dist FROM reach GROUP BY id""".stripMargin,
+
+    // q_keycollision: the normalization chain (lower → punct→space →
+    // split → drop empties → distinct → sort → rejoin), the distinct-
+    // spelling counts, the (max count, min value) canonical, and the
+    // >= 2 spelling filter replayed verbatim
+    "q_keycollision" ->
+      """WITH corpus AS (
+        |  SELECT s_suppkey AS id, s_name AS name FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey + 10000, upper(replace(s_name, '#', ' # '))
+        |  FROM supplier WHERE s_suppkey % 3 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey + 20000, lower(s_name) || '.'
+        |  FROM supplier WHERE s_suppkey % 4 = 0
+        |), fp AS (
+        |  SELECT id, name,
+        |    array_to_string(list_sort(list_distinct(list_filter(
+        |      string_split(regexp_replace(lower(name), '[^a-z0-9]+', ' ',
+        |        'g'), ' '),
+        |      x -> x <> ''))), ' ') AS fingerprint
+        |  FROM corpus WHERE name IS NOT NULL
+        |), nz AS (
+        |  SELECT * FROM fp WHERE fingerprint <> ''
+        |), sp AS (
+        |  SELECT fingerprint, name, count(*) AS n FROM nz GROUP BY 1, 2
+        |), mx AS (
+        |  SELECT fingerprint, max(n) AS n FROM sp GROUP BY 1
+        |), canon AS (
+        |  SELECT sp.fingerprint, min(sp.name) AS canonical
+        |  FROM sp JOIN mx ON sp.fingerprint = mx.fingerprint AND sp.n = mx.n
+        |  GROUP BY 1
+        |), sz AS (
+        |  SELECT fingerprint, CAST(count(*) AS BIGINT) AS cluster_size
+        |  FROM sp GROUP BY 1 HAVING count(*) >= 2
+        |)
+        |SELECT nz.id, nz.name, nz.fingerprint, sz.cluster_size,
+        |  canon.canonical
+        |FROM nz JOIN sz USING (fingerprint) JOIN canon USING (fingerprint)"""
+        .stripMargin,
 
     // q_abc: per-nation Pareto classes replayed with window sums in
     // (revenue desc, supplier) order — prior-cumulative class compare
