@@ -2413,6 +2413,18 @@ object SparkEntry {
         rev, Seq("s_nationkey"), "revenue", "s_suppkey")
     },
 
+    // --- chi-square contingency crosstab: is order status independent
+    // of priority? Complete observed×expected cell grid (zero cells
+    // included), statistic = exact LONG sum of per-cell 6dp-snapped
+    // contributions (order-independent across engines by
+    // construction), Cramér's V from the snapped statistic. ---
+    "q_crosstab" -> { (s, dir) =>
+      graft.operators.CrossTab.chi2(
+        t(s, dir, "orders")
+          .select(col("o_orderstatus"), col("o_orderpriority")),
+        "o_orderstatus", "o_orderpriority")
+    },
+
     // --- fingerprint key-collision clustering (OpenRefine cluster &
     // edit): engineered spelling variants of supplier names — cased/
     // spaced/punctuated — collapse to one fingerprint (lowercase,
@@ -4498,6 +4510,53 @@ object SparkEntry {
         |  WHERE r.dist < 3
         |)
         |SELECT id, min(dist) AS dist FROM reach GROUP BY id""".stripMargin,
+
+    // q_crosstab: the complete cell grid, the one-division expected,
+    // the 6dp contribution snap, and the exact long statistic sum
+    // replayed — dims via scalar subqueries, V from the snapped chi2
+    "q_crosstab" ->
+      """WITH r AS (
+        |  SELECT o_orderstatus AS a, o_orderpriority AS b FROM orders
+        |  WHERE o_orderstatus IS NOT NULL AND o_orderpriority IS NOT NULL
+        |), cells AS (
+        |  SELECT a, b, CAST(count(*) AS BIGINT) AS observed
+        |  FROM r GROUP BY 1, 2
+        |), ra AS (
+        |  SELECT a, CAST(sum(observed) AS BIGINT) AS ra FROM cells GROUP BY 1
+        |), rb AS (
+        |  SELECT b, CAST(sum(observed) AS BIGINT) AS rb FROM cells GROUP BY 1
+        |), dims AS (
+        |  SELECT (SELECT count(DISTINCT a) FROM r) AS rc,
+        |         (SELECT count(DISTINCT b) FROM r) AS cc
+        |), grid AS (
+        |  SELECT ra.a, rb.b, ra.ra, rb.rb, coalesce(c.observed, 0) AS observed
+        |  FROM ra CROSS JOIN rb
+        |  LEFT JOIN cells c ON c.a = ra.a AND c.b = rb.b
+        |), st AS (
+        |  SELECT *, CAST(sum(observed) OVER () AS BIGINT) AS n FROM grid
+        |), e AS (
+        |  SELECT *, CAST(ra AS DOUBLE) * CAST(rb AS DOUBLE)
+        |    / CAST(n AS DOUBLE) AS ex FROM st
+        |), ci AS (
+        |  SELECT *, CAST(floor((CAST(observed AS DOUBLE) - ex)
+        |    * (CAST(observed AS DOUBLE) - ex) / ex * 1e6 + 0.5) AS BIGINT)
+        |    AS snapped
+        |  FROM e
+        |), agg AS (
+        |  SELECT *, CAST(sum(snapped) OVER () AS BIGINT) AS chi2s FROM ci
+        |)
+        |SELECT a AS o_orderstatus, b AS o_orderpriority, observed,
+        |  floor(ex * 1e6 + 0.5) / 1e6 AS expected,
+        |  CAST(snapped AS DOUBLE) / 1e6 AS contribution,
+        |  CAST(chi2s AS DOUBLE) / 1e6 AS chi2,
+        |  CAST((dims.rc - 1) * (dims.cc - 1) AS BIGINT) AS dof,
+        |  n,
+        |  CASE WHEN least(dims.rc - 1, dims.cc - 1) > 0 AND n > 0 THEN
+        |    floor(sqrt((CAST(chi2s AS DOUBLE) / 1e6)
+        |      / (CAST(n AS DOUBLE)
+        |         * CAST(least(dims.rc - 1, dims.cc - 1) AS DOUBLE)))
+        |      * 1e6 + 0.5) / 1e6 END AS cramers_v
+        |FROM agg CROSS JOIN dims""".stripMargin,
 
     // q_keycollision: the normalization chain (lower → punct→space →
     // split → drop empties → distinct → sort → rejoin), the distinct-
