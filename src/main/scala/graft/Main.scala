@@ -143,6 +143,9 @@ object Main {
       |  --infer-schema <BOOL>       Auto-detect columns and types (default true)
       |  --decimal-mode <MODE>       double (default, reference parity) | exact
       |                              (write floating columns as DECIMAL(38,18))
+      |  --quarantine <URI>          Route rows failing schema validation to this
+      |                              dead-letter target (with _violations reasons)
+      |                              instead of aborting; requires --schema-file
       |  --log-level <LEVEL>         info | warn | error (default info)
       |""".stripMargin
 
@@ -191,7 +194,7 @@ object Main {
     "--transform", "--transform-file", "--schema-file", "--preview",
     "--batch-size", "--source-type", "--source-secret-id",
     "--dest-secret-id", "--log-level", "--infer-schema", "--decimal-mode",
-    "--columns")
+    "--quarantine", "--columns")
 
   def parse(rawArgs: List[String]): Cmd = {
     val args = rawArgs.flatMap { a =>
@@ -618,6 +621,7 @@ object Main {
     var sourceSecret: Option[String] = None
     var destSecret: Option[String] = None
     var decimalMode = "double"
+    var quarantine: Option[String] = None
     var logLevel = "info"
 
     def intVal(flag: String, v: String): Int =
@@ -646,6 +650,7 @@ object Main {
         loop(t)
       case "--infer-schema" :: t          => loop(t)
       case "--decimal-mode" :: v :: t     => decimalMode = v; loop(t)
+      case "--quarantine" :: v :: t       => quarantine = Some(v); loop(t)
       case "--log-level" :: v :: t        =>
         logLevel = YamlJob.checkLogLevel(v); loop(t)
       case flag :: _ if flag.startsWith("--") =>
@@ -693,7 +698,8 @@ object Main {
       schemaFile = schemaFile,
       truncate = truncate,
       skipExisting = skipExisting,
-      decimalMode = decimalMode)
+      decimalMode = decimalMode,
+      quarantine = quarantine)
     (cfg, preview, dryRun, logLevel)
   }
 
@@ -738,6 +744,9 @@ object Main {
           println("Transfer completed successfully!")
           println(f"Processed ${stats.totalRows} rows in ${stats.seconds}%.2fs " +
             f"(${stats.rowsPerSecond}%.0f rows/sec)")
+          if (stats.rejectedRows > 0)
+            println(s"Quarantined ${stats.rejectedRows} rows with " +
+              "validation violations")
           0
       }
     } finally if (!preExisting) spark.stop()

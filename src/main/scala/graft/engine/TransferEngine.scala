@@ -36,13 +36,23 @@ final case class JobConfig(
       * that declare SQL DECIMAL (postgres.rs:379 DECIMAL(18,6),
       * mysql.rs:393 DECIMAL(65,30)) get exact digits while reads and
       * transforms keep f64 semantics. */
-    decimalMode: String = "double") {
+    decimalMode: String = "double",
+    /** Dead-letter target: rows failing schema validation are written
+      * here (raw source typing + a `_violations` reason column) instead
+      * of aborting the batch — the reference's fail-fast semantics
+      * become route-and-continue. Requires `schemaFile`. */
+    quarantine: Option[String] = None) {
   if (decimalMode != "double" && decimalMode != "exact")
     throw graft.core.GraftError.Configuration(
       s"decimal mode must be double|exact, got '$decimalMode'")
+  if (quarantine.isDefined && schemaFile.isEmpty)
+    throw graft.core.GraftError.Configuration(
+      "quarantine requires schema_file — without schema checks there is " +
+        "nothing to quarantine")
 }
 
-final case class TransferStats(totalRows: Long, seconds: Double) {
+final case class TransferStats(totalRows: Long, seconds: Double,
+                               rejectedRows: Long = 0L) {
   def rowsPerSecond: Double = if (seconds > 0) totalRows / seconds else 0.0
 }
 
@@ -51,11 +61,22 @@ class TransferEngine(cfg: JobConfig) {
   /** The pre-transform frame (read + validation) — the "original
     * schema" preview renders this stage's shape. */
   private def sourceFrame(spark: SparkSession): DataFrame = {
-    var df = Connectors.read(spark, cfg.source, cfg.sourceOptions)
+    val df = Connectors.read(spark, cfg.source, cfg.sourceOptions)
     // validation BEFORE transform (transfer.rs:154-159, README.md:772)
-    cfg.schemaFile.foreach(p => df = Validation(df, SchemaFile.fromFile(p)))
-    df
+    cfg.schemaFile.fold(df)(p => validated(df, SchemaFile.fromFile(p)))
   }
+
+  /** Validation stage: fail-fast by default; with a quarantine target
+    * configured, the VALID-side route (annotate → keep clean → type) —
+    * the invalid side is written by [[execute]], and preview/dry-run
+    * naturally render the valid route. */
+  private def validated(df: DataFrame, sf: SchemaFile): DataFrame =
+    if (cfg.quarantine.isEmpty) Validation(df, sf)
+    else {
+      import org.apache.spark.sql.functions.{col, size}
+      Validation(Validation.annotate(df, sf)
+        .where(size(col("_violations")) === 0).drop("_violations"), sf)
+    }
 
   /** Build the full lazy plan (read → validate → transform). */
   def plan(spark: SparkSession): DataFrame =
@@ -72,8 +93,13 @@ class TransferEngine(cfg: JobConfig) {
         "skip_existing cannot stream (it anti-joins the target's current " +
           "keys, a batch-time snapshot) — deduplicate in the curation " +
           "stage instead")
+    if (source.isStreaming && cfg.quarantine.isDefined)
+      throw graft.core.GraftError.Configuration(
+        "quarantine cannot stream (it forks the batch into two sinks " +
+          "over one materialized pass) — run validation-routing as a " +
+          "batch transfer")
     var df = source
-    cfg.schemaFile.foreach(p => df = Validation(df, SchemaFile.fromFile(p)))
+    cfg.schemaFile.foreach(p => df = validated(df, SchemaFile.fromFile(p)))
     applyTransforms(spark, df)
   }
 
@@ -121,6 +147,7 @@ class TransferEngine(cfg: JobConfig) {
     import org.apache.spark.sql.Observation
     import org.apache.spark.sql.functions.{count, lit}
     val t0 = System.nanoTime()
+    val rejected = cfg.quarantine.fold(0L)(writeQuarantine(spark, _))
     val obs = Observation()
     val df = exactDecimals(plan(spark)).observe(obs, count(lit(1)).as("rows"))
     val direct =
@@ -131,7 +158,35 @@ class TransferEngine(cfg: JobConfig) {
           s"writing ${cfg.target} failed: ${e.getMessage}", e)
       }
     val rows = direct.getOrElse(obs.get("rows").asInstanceOf[Long])
-    TransferStats(rows, (System.nanoTime() - t0) / 1e9)
+    TransferStats(rows, (System.nanoTime() - t0) / 1e9, rejected)
+  }
+
+  /** Dead-letter write: the INVALID side of the annotated source —
+    * raw source typing plus `_violations` flattened to a '|'-joined
+    * string (portable across every sink, CSV included). Written before
+    * the main transfer so a failing main write still leaves the
+    * rejects inspectable. Costs one extra source pass — the route
+    * split is two filters over one lazy read; sources where a second
+    * scan is expensive (http/ssh download once into a temp file via
+    * their connectors) are unaffected. */
+  private def writeQuarantine(spark: SparkSession, target: String): Long = {
+    import org.apache.spark.sql.functions.{col, concat_ws, count, lit, size}
+    import org.apache.spark.sql.Observation
+    val sf = SchemaFile.fromFile(cfg.schemaFile.get)
+    val src = Connectors.read(spark, cfg.source, cfg.sourceOptions)
+    val invalid = Validation.annotate(src, sf)
+      .where(size(col("_violations")) > 0)
+      .withColumn("_violations", concat_ws("|", col("_violations")))
+    val obs = Observation()
+    val observed = invalid.observe(obs, count(lit(1)).as("rows"))
+    val direct =
+      try Connectors.write(observed, target, cfg.truncate, Map.empty)
+      catch {
+        case e: graft.core.GraftError => throw e
+        case e: Exception => throw graft.core.GraftError.DataTransfer(
+          s"writing quarantine $target failed: ${e.getMessage}", e)
+      }
+    direct.getOrElse(obs.get("rows").asInstanceOf[Long])
   }
 
   /** Write-boundary cast for `decimalMode = "exact"`: every floating

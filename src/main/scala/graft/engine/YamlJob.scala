@@ -382,7 +382,8 @@ object YamlJob {
         skipExisting = opts.get("skip_existing").exists(_.toString.toBoolean),
         primaryKey = opts.get("primary_key").map(_.toString),
         decimalMode = opts.get("decimal_mode").map(_.toString)
-          .getOrElse("double")),
+          .getOrElse("double"),
+        quarantine = opts.get("quarantine").map(v => sub(v.toString))),
       preview = opts.get("preview").map(v => intOpt("preview", v)),
       dryRun = opts.get("dry_run").exists { v =>
         v.toString match {
@@ -414,7 +415,7 @@ object YamlJob {
        |  uri: "${cfg.source}"${if (cfg.sourceOptions.nonEmpty) "\n  options:" + opts(cfg.sourceOptions, "    ") else ""}
        |target:
        |  uri: "${cfg.target}"${if (cfg.targetOptions.nonEmpty) "\n  options:" + opts(cfg.targetOptions, "    ") else ""}
-       |options:$transformYaml${cfg.schemaFile.map(f => s"\n  schema_file: \"$f\"").getOrElse("")}
+       |options:$transformYaml${cfg.schemaFile.map(f => s"\n  schema_file: \"$f\"").getOrElse("")}${cfg.quarantine.map(f => s"\n  quarantine: \"$f\"").getOrElse("")}
        |  truncate: ${cfg.truncate}${if (cfg.skipExisting) "\n  skip_existing: true" else ""}${if (cfg.decimalMode != "double") s"\n  decimal_mode: ${cfg.decimalMode}" else ""}
        |""".stripMargin
   }

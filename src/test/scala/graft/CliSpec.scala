@@ -1276,4 +1276,53 @@ class CliSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(s"$dir/never.parquet")))
   }
+
+  test("--quarantine routes invalid rows to the dead-letter target") {
+    val dir = tmpDir("cli_quarantine")
+    writeText(s"$dir/in.csv",
+      """id,email,amount
+        |1,a@b.com,10.50
+        |,b@c.com,1.00
+        |3,not-an-email,2.00
+        |4,d@e.com,oops
+        |5,f@g.com,3.25
+        |""".stripMargin)
+    writeText(s"$dir/schema.yaml",
+      """columns:
+        |  - name: id
+        |    type: integer
+        |    nullable: false
+        |  - name: email
+        |    type: string
+        |    pattern: '^[^@]+@[^@]+$'
+        |  - name: amount
+        |    type: decimal
+        |""".stripMargin)
+    val cfg = parse(List(s"$dir/in.csv", s"$dir/good.parquet",
+      "--schema-file", s"$dir/schema.yaml",
+      "--quarantine", s"$dir/bad.parquet")).asInstanceOf[Transfer].cfg
+    assert(cfg.quarantine.contains(s"$dir/bad.parquet"))
+    assert(runTransfer(cfg, None, dryRun = false, "error") == 0)
+    val good = spark.read.parquet(s"$dir/good.parquet")
+    assert(good.count() == 2)
+    assert(good.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(1L, 5L))
+    val bad = spark.read.parquet(s"$dir/bad.parquet")
+    assert(bad.count() == 3)
+    val reasons = bad.collect()
+      .map(r => Option(r.get(r.fieldIndex("id"))).map(_.toString).orNull ->
+        r.getAs[String]("_violations"))
+      .toMap
+    assert(reasons(null).contains("required column 'id' is null"))
+    assert(reasons("3").contains("does not match pattern"))
+    assert(reasons("4").contains("expected decimal"))
+    // round-trips through YAML config
+    val yamlCfg = YamlJob.fromYaml(YamlJob.render(cfg))
+    assert(yamlCfg.quarantine == cfg.quarantine)
+  }
+
+  test("--quarantine without --schema-file is a loud config error") {
+    intercept[GraftError.Configuration](
+      parse(List("in.csv", "out.parquet", "--quarantine", "q.parquet")))
+  }
 }
