@@ -2413,6 +2413,20 @@ object SparkEntry {
         rev, Seq("s_nationkey"), "revenue", "s_suppkey")
     },
 
+    // --- calendar-aware period-over-period: monthly revenue per
+    // priority with MoM and YoY comparisons. Prior/season values
+    // arrive by equi-join on the integer month index (idx-1 / idx-12),
+    // so a missing month yields an honest null instead of silently
+    // borrowing the previous row; deltas exact decimal, pcts rounded
+    // tie-safely. The oracle replays the index joins. ---
+    "q_period_over_period" -> { (s, dir) =>
+      graft.operators.Timeseries.periodOverPeriod(
+        t(s, dir, "orders").select(col("o_orderpriority"),
+          col("o_orderdate"), col("o_totalprice")),
+        Seq("o_orderpriority"), "o_orderdate", "o_totalprice",
+        grain = "month", seasonLag = 12)
+    },
+
     // --- chi-square contingency crosstab: is order status independent
     // of priority? Complete observed×expected cell grid (zero cells
     // included), statistic = exact LONG sum of per-cell 6dp-snapped
@@ -4510,6 +4524,36 @@ object SparkEntry {
         |  WHERE r.dist < 3
         |)
         |SELECT id, min(dist) AS dist FROM reach GROUP BY id""".stripMargin,
+
+    // q_period_over_period: the integer month index (year*12+month-1)
+    // and both calendar joins replayed; decimal sums, double casts,
+    // and the 6dp floor-half-up pct spelling identical
+    "q_period_over_period" ->
+      """WITH m AS (
+        |  SELECT o_orderpriority,
+        |    (year(o_orderdate) * 12 + month(o_orderdate) - 1) AS idx,
+        |    min(date_trunc('month', o_orderdate)) AS period_start,
+        |    sum(CAST(o_totalprice AS DECIMAL(18,2))) AS v
+        |  FROM orders WHERE o_orderdate IS NOT NULL
+        |  GROUP BY 1, 2
+        |)
+        |SELECT cur.o_orderpriority, cur.period_start,
+        |  CAST(cur.v AS DOUBLE) AS value,
+        |  CAST(p.v AS DOUBLE) AS prior_value,
+        |  CAST(cur.v - p.v AS DOUBLE) AS delta,
+        |  CASE WHEN p.v IS NOT NULL AND p.v <> 0 THEN
+        |    floor(CAST(cur.v - p.v AS DOUBLE) / CAST(p.v AS DOUBLE)
+        |      * 1e6 + 0.5) / 1e6 END AS pct_change,
+        |  CAST(s.v AS DOUBLE) AS season_value,
+        |  CAST(cur.v - s.v AS DOUBLE) AS season_delta,
+        |  CASE WHEN s.v IS NOT NULL AND s.v <> 0 THEN
+        |    floor(CAST(cur.v - s.v AS DOUBLE) / CAST(s.v AS DOUBLE)
+        |      * 1e6 + 0.5) / 1e6 END AS season_pct
+        |FROM m cur
+        |LEFT JOIN m p ON p.o_orderpriority = cur.o_orderpriority
+        |  AND p.idx = cur.idx - 1
+        |LEFT JOIN m s ON s.o_orderpriority = cur.o_orderpriority
+        |  AND s.idx = cur.idx - 12""".stripMargin,
 
     // q_crosstab: the complete cell grid, the one-division expected,
     // the 6dp contribution snap, and the exact long statistic sum

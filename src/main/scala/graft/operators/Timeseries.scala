@@ -87,4 +87,72 @@ object Timeseries {
           floor(col("__s").cast("double") / col("__sw").cast("double")
             / pow * rf + 0.5) / rf).as("vwap")): _*)
   }
+
+  /** CALENDAR-aware period-over-period comparison (the MoM/YoY report
+    * row): per key and period, the aggregated value next to the PRIOR
+    * period's and the SAME period one season back, with exact deltas
+    * and tie-safely rounded percent changes. "Calendar-aware" is the
+    * point — the naive `lag(1) OVER (ORDER BY period)` silently
+    * compares across gaps (a missing month shifts every later row's
+    * "prior"); here periods map to an integer calendar index and
+    * prior/season values arrive by EQUI-JOIN on (key, idx−1) /
+    * (key, idx−seasonLag), so a gap yields an honest null.
+    *
+    * Exactness: per-period sums accumulate as DECIMAL(18,`scale`)
+    * (order-independent); deltas are decimal subtraction; pct changes
+    * are one double division rounded floor-half-up at 6dp, the oracle
+    * spelling. Scale shape: one map-side-combined groupBy reduces the
+    * data to (keys × periods); both comparison joins run on that
+    * aggregated frame. Null timestamps are excluded.
+    *
+    * @param grain     "month" or "day"
+    * @param seasonLag same-period-last-season distance in grains
+    *                  (12 for YoY on months, 7 for day-vs-same-weekday)
+    * @return (keys..., period_start, value, prior_value, delta,
+    *         pct_change, season_value, season_delta, season_pct) */
+  def periodOverPeriod(df: DataFrame, keyCols: Seq[String], tsCol: String,
+                       valueCol: String, grain: String = "month",
+                       seasonLag: Int = 12, scale: Int = 2): DataFrame = {
+    (keyCols ++ Seq(tsCol, valueCol)).foreach(c =>
+      require(df.columns.contains(c),
+        s"column '$c' not in ${df.columns.mkString(", ")}"))
+    require(grain == "month" || grain == "day",
+      s"grain must be month|day, got '$grain'")
+    require(seasonLag >= 2, s"seasonLag must be >= 2, got $seasonLag " +
+      "(1 would duplicate the prior-period comparison)")
+    require(scale >= 0 && scale <= 6, s"scale must be in [0,6], got $scale")
+    val ts = q(tsCol)
+    val idx: Column = grain match {
+      case "month" => (year(ts) * 12 + month(ts) - 1).cast("long")
+      case "day" => datediff(to_date(ts), lit("1970-01-01")).cast("long")
+    }
+    val dec = DecimalType(18, scale)
+    val agg = df.where(ts.isNotNull)
+      .groupBy((keyCols.map(q) :+ idx.as("__idx")): _*)
+      .agg(min(date_trunc(grain, ts)).as("period_start"),
+        sum(q(valueCol).cast(dec)).as("__v"))
+    def shifted(back: Int, as: String) = agg.select(
+      (keyCols.map(c => q(c).as("__s_" + c)) :+
+        (col("__idx") + back).as("__s_idx") :+ col("__v").as(as)): _*)
+    def joinBack(base: DataFrame, sh: DataFrame) = base.join(sh,
+      (keyCols.map(c => base(c) === sh("__s_" + c)) :+
+        (base("__idx") === sh("__s_idx"))).reduce(_ && _), "left")
+      .drop((keyCols.map("__s_" + _) :+ "__s_idx"): _*)
+    val rf = 1e6
+    def pct(cur: Column, prev: Column): Column =
+      when(prev.isNotNull && prev =!= 0,
+        floor((cur - prev).cast("double") / prev.cast("double") * rf + 0.5)
+          / rf)
+    val joined = joinBack(joinBack(agg, shifted(1, "__prior")),
+      shifted(seasonLag, "__season"))
+    joined.select(keyCols.map(q) ++ Seq(
+      col("period_start"),
+      col("__v").cast("double").as("value"),
+      col("__prior").cast("double").as("prior_value"),
+      (col("__v") - col("__prior")).cast("double").as("delta"),
+      pct(col("__v"), col("__prior")).as("pct_change"),
+      col("__season").cast("double").as("season_value"),
+      (col("__v") - col("__season")).cast("double").as("season_delta"),
+      pct(col("__v"), col("__season")).as("season_pct")): _*)
+  }
 }
