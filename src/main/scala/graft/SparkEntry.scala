@@ -2413,6 +2413,24 @@ object SparkEntry {
         rev, Seq("s_nationkey"), "revenue", "s_suppkey")
     },
 
+    // --- top-N + Others rollup: per nation, the three biggest
+    // suppliers by revenue keep their rows and the tail collapses to
+    // one exactly-reconciling Others row (group total − top-N total in
+    // integer cents). The oracle replays the rank and the complement
+    // aggregation. ---
+    "q_topn_others" -> { (s, dir) =>
+      val dec = org.apache.spark.sql.types.DecimalType(18, 4)
+      val rev = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "supplier")
+          .select(col("s_suppkey"), col("s_nationkey"))),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey"), col("s_suppkey"))
+        .agg(sum(col("l_extendedprice").cast(dec)).cast("double")
+          .as("revenue"))
+      graft.operators.GroupTopK.topNOthers(rev, Seq("s_nationkey"),
+        "s_suppkey", "revenue", n = 3)
+    },
+
     // --- calendar-aware period-over-period: monthly revenue per
     // priority with MoM and YoY comparisons. Prior/season values
     // arrive by equi-join on the integer month index (idx-1 / idx-12),
@@ -4524,6 +4542,35 @@ object SparkEntry {
         |  WHERE r.dist < 3
         |)
         |SELECT id, min(dist) AS dist FROM reach GROUP BY id""".stripMargin,
+
+    // q_topn_others: rank replay + exact complement aggregation; item
+    // stringified identically on both sides
+    "q_topn_others" ->
+      """WITH rev AS (
+        |  SELECT s_nationkey, s_suppkey,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE)
+        |      AS revenue
+        |  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |  GROUP BY 1, 2
+        |), w AS (
+        |  SELECT s_nationkey, s_suppkey,
+        |    CAST(floor(revenue * 100.0 + 0.5) AS BIGINT) AS wi
+        |  FROM rev
+        |), r AS (
+        |  SELECT *, row_number() OVER (PARTITION BY s_nationkey
+        |    ORDER BY wi DESC, s_suppkey) AS rk
+        |  FROM w
+        |)
+        |SELECT s_nationkey, CAST(s_suppkey AS VARCHAR) AS item,
+        |  CAST(wi AS DOUBLE) / 100.0 AS value,
+        |  CAST(rk AS INTEGER) AS rank, false AS is_others,
+        |  CAST(NULL AS BIGINT) AS items_collapsed
+        |FROM r WHERE rk <= 3
+        |UNION ALL
+        |SELECT s_nationkey, 'Others',
+        |  CAST(sum(wi) AS DOUBLE) / 100.0,
+        |  CAST(NULL AS INTEGER), true, CAST(count(*) AS BIGINT)
+        |FROM r WHERE rk > 3 GROUP BY s_nationkey""".stripMargin,
 
     // q_period_over_period: the integer month index (year*12+month-1)
     // and both calendar joins replayed; decimal sums, double casts,
