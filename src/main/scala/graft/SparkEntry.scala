@@ -2413,6 +2413,21 @@ object SparkEntry {
         rev, Seq("s_nationkey"), "revenue", "s_suppkey")
     },
 
+    // --- per-key linear interpolation: engineered nulls (every 7th
+    // event) take the time-weighted blend of their known neighbors;
+    // edges stay honestly null. One exchange, two frames of the same
+    // sorted window; the oracle replays with IGNORE NULLS windows. ---
+    "q_interpolate" -> { (s, dir) =>
+      val ev = EventsStreaming.readEvents(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          when(pmod(col("event_id"), lit(7)) === 0, lit(null))
+            .otherwise(col("value")).as("v"))
+      graft.operators.Resample.interpolate(ev, Seq("user_id"), "ts",
+          "event_id", "v")
+        .select(col("event_id"), col("user_id"), col("ts"), col("v"),
+          col("value_interp"), col("interpolated"))
+    },
+
     // --- top-N + Others rollup: per nation, the three biggest
     // suppliers by revenue keep their rows and the tail collapses to
     // one exactly-reconciling Others row (group total − top-N total in
@@ -4542,6 +4557,37 @@ object SparkEntry {
         |  WHERE r.dist < 3
         |)
         |SELECT id, min(dist) AS dist FROM reach GROUP BY id""".stripMargin,
+
+    // q_interpolate: prev/next known neighbors via IGNORE NULLS
+    // windows over (ts, event_id) order, the blend spelled with the
+    // same double ops and 6dp floor-half-up rounding
+    "q_interpolate" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, ts, epoch_us(ts) AS t,
+        |    CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+        |  FROM events
+        |), n AS (
+        |  SELECT event_id, user_id, ts, t, v,
+        |    last_value(v IGNORE NULLS) OVER wp AS pv,
+        |    last_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER wp AS pt,
+        |    first_value(v IGNORE NULLS) OVER wf AS nv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN t END IGNORE NULLS)
+        |      OVER wf AS nt
+        |  FROM b
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        |  wf AS (PARTITION BY user_id ORDER BY t, event_id
+        |    ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+        |)
+        |SELECT event_id, user_id, ts, v,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       WHEN pv IS NOT NULL AND nv IS NOT NULL THEN
+        |         floor((pv + (nv - pv) * CAST(t - pt AS DOUBLE)
+        |           / CAST(nt - pt AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |  END AS value_interp,
+        |  v IS NULL AND pv IS NOT NULL AND nv IS NOT NULL AS interpolated
+        |FROM n""".stripMargin,
 
     // q_topn_others: rank replay + exact complement aggregation; item
     // stringified identically on both sides
