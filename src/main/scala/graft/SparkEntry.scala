@@ -2413,6 +2413,17 @@ object SparkEntry {
         rev, Seq("s_nationkey"), "revenue", "s_suppkey")
     },
 
+    // --- future-activity labeling (churn/retention targets): per
+    // event, will the same user act again within 2 hours? Censoring
+    // against the CORPUS end (not the user's own last event) keeps
+    // knowable inactivity labeled and only boundary rows flagged. ---
+    "q_churn_labels" -> { (s, dir) =>
+      graft.operators.Labels.futureActivity(
+        EventsStreaming.readEvents(s, dir)
+          .select(col("event_id"), col("user_id"), col("ts")),
+        Seq("user_id"), "ts", "event_id", horizon = 7200L * 1000000)
+    },
+
     // --- per-key linear interpolation: engineered nulls (every 7th
     // event) take the time-weighted blend of their known neighbors;
     // edges stay honestly null. One exchange, two frames of the same
@@ -4557,6 +4568,25 @@ object SparkEntry {
         |  WHERE r.dist < 3
         |)
         |SELECT id, min(dist) AS dist FROM reach GROUP BY id""".stripMargin,
+
+    // q_churn_labels: lead over (ts, event_id), gap compared as exact
+    // ticks, corpus-end censoring replayed via a scalar max
+    "q_churn_labels" ->
+      """WITH b AS (
+        |  SELECT event_id, user_id, ts, epoch_us(ts) AS t FROM events
+        |), e AS (
+        |  SELECT max(t) AS endt FROM b
+        |), n AS (
+        |  SELECT event_id, user_id, ts, t,
+        |    lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id) AS nt
+        |  FROM b
+        |)
+        |SELECT event_id, user_id, ts,
+        |  nt - t AS next_gap,
+        |  coalesce(nt - t <= 7200000000, false) AS label_active,
+        |  (NOT coalesce(nt - t <= 7200000000, false))
+        |    AND e.endt - t < 7200000000 AS label_censored
+        |FROM n CROSS JOIN e""".stripMargin,
 
     // q_interpolate: prev/next known neighbors via IGNORE NULLS
     // windows over (ts, event_id) order, the blend spelled with the
