@@ -2413,6 +2413,19 @@ object SparkEntry {
         rev, Seq("s_nationkey"), "revenue", "s_suppkey")
     },
 
+    // --- 2-D heatmap: quantity × price density grid over lineitem
+    // with pinned ranges so both widths (2.5, 6000.0) are exact
+    // doubles and every cell assignment replays bit-for-bit; empty
+    // cells omitted by design. ---
+    "q_heatmap" -> { (s, dir) =>
+      graft.operators.TableProfile.heatmap2d(
+        t(s, dir, "lineitem").select(col("l_quantity"),
+          col("l_extendedprice")),
+        "l_quantity", "l_extendedprice", bins = 20,
+        xLo = Some(0.0), xHi = Some(50.0),
+        yLo = Some(0.0), yHi = Some(120000.0))
+    },
+
     // --- future-activity labeling (churn/retention targets): per
     // event, will the same user act again within 2 hours? Censoring
     // against the CORPUS end (not the user's own last event) keeps
@@ -4568,6 +4581,23 @@ object SparkEntry {
         |  WHERE r.dist < 3
         |)
         |SELECT id, min(dist) AS dist FROM reach GROUP BY id""".stripMargin,
+
+    // q_heatmap: the same floor((x-lo)/width) cell arithmetic on
+    // exact pinned widths, hi folding into the last bin
+    "q_heatmap" ->
+      """SELECT
+        |  CAST(least(floor(l_quantity / 2.5), 19) AS BIGINT) AS xbin,
+        |  CAST(least(floor(l_extendedprice / 6000.0), 19) AS BIGINT) AS ybin,
+        |  CAST(least(floor(l_quantity / 2.5), 19) AS BIGINT) * 2.5 AS x_lo,
+        |  CAST(least(floor(l_extendedprice / 6000.0), 19) AS BIGINT)
+        |    * 6000.0 AS y_lo,
+        |  count(*) AS n
+        |FROM lineitem
+        |WHERE l_quantity IS NOT NULL
+        |  AND l_quantity >= 0.0 AND l_quantity <= 50.0
+        |  AND l_extendedprice IS NOT NULL
+        |  AND l_extendedprice >= 0.0 AND l_extendedprice <= 120000.0
+        |GROUP BY 1, 2""".stripMargin,
 
     // q_churn_labels: lead over (ts, event_id), gap compared as exact
     // ticks, corpus-end censoring replayed via a scalar max

@@ -222,6 +222,61 @@ object TableProfile {
         coalesce(col("n"), lit(0L)).as("n"))
   }
 
+  /** 2-D equi-width heatmap: joint density grid of two numeric
+    * columns — the scatter-at-scale dashboard primitive (price ×
+    * quantity, latency × payload size) where a raw scatter plot of a
+    * billion points is unreadable and unshippable. Same exactness
+    * contract as [[histogram]]: pinned or data-derived ranges, plain
+    * IEEE `floor((x−lo)/width)` bin assignment any SQL engine replays
+    * bit-for-bit, values exactly at `hi` folding into the last bin,
+    * out-of-range and null rows dropped. Cells with no rows are
+    * OMITTED (a dense zero-fill of bins² cells serves no renderer; the
+    * caller's grid knows absent = 0 — the opposite choice from 1-D,
+    * where zero BARS read as missing data).
+    *
+    * Scale shape: ONE map-side-combined groupBy on the (xbin, ybin)
+    * pair — at most bins² groups regardless of row count; the
+    * optional extra agg for data-derived ranges is a narrow 1-row
+    * pass. */
+  def heatmap2d(df: DataFrame, xCol: String, yCol: String, bins: Int = 20,
+                xLo: Option[Double] = None, xHi: Option[Double] = None,
+                yLo: Option[Double] = None, yHi: Option[Double] = None)
+      : DataFrame = {
+    import org.apache.spark.sql.types._
+    require(bins >= 1 && bins <= 2000, s"bins must be in [1,2000]: $bins")
+    require(xCol != yCol, "heatmap needs two distinct columns")
+    Seq(xCol, yCol).foreach { c =>
+      require(df.columns.contains(c), s"no such column '$c'")
+      require(df.schema(c).dataType.isInstanceOf[NumericType],
+        s"column '$c' is not numeric")
+    }
+    val dx = col("`" + xCol.replace("`", "``") + "`").cast("double")
+    val dy = col("`" + yCol.replace("`", "``") + "`").cast("double")
+    def range(d: Column, lo: Option[Double], hi: Option[Double]) =
+      (lo, hi) match {
+        case (Some(a), Some(b)) => (a, b)
+        case _ =>
+          val r = df.agg(min(d).as("mn"), max(d).as("mx")).head
+          if (r.isNullAt(0)) (0.0, 1.0)
+          else (lo.getOrElse(r.getDouble(0)), hi.getOrElse(r.getDouble(1)))
+      }
+    val (xmn, xmx) = range(dx, xLo, xHi)
+    val (ymn, ymx) = range(dy, yLo, yHi)
+    require(xmx >= xmn && ymx >= ymn, "hi < lo on a heatmap axis")
+    val xw = if (xmx == xmn) 1.0 else (xmx - xmn) / bins
+    val yw = if (ymx == ymn) 1.0 else (ymx - ymn) / bins
+    def bin(d: Column, mn: Double, w: Double) =
+      least(floor((d - lit(mn)) / lit(w)), lit(bins - 1)).cast("long")
+    df.filter(dx.isNotNull && dx >= xmn && dx <= xmx &&
+        dy.isNotNull && dy >= ymn && dy <= ymx)
+      .groupBy(bin(dx, xmn, xw).as("xbin"), bin(dy, ymn, yw).as("ybin"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("xbin"), col("ybin"),
+        (lit(xmn) + col("xbin") * lit(xw)).as("x_lo"),
+        (lit(ymn) + col("ybin") * lit(yw)).as("y_lo"),
+        col("n"))
+  }
+
   /** Equi-DEPTH histogram: `bins` buckets of (approximately) equal row
     * count — the shape that stays readable on heavy-tailed columns
     * where equi-width piles everything into one bar. Tie-preserving:
