@@ -33,7 +33,9 @@ import org.apache.spark.sql.types.DecimalType
   * exactly the terms whose posting lists would explode the index.
   *
   * Scale shape: tf-idf build is one (doc, term) aggregation + a
-  * broadcast-joined df table; prefixes come from a per-document
+  * plain equi-join against the vocabulary-sized df table (no
+  * mandatory broadcast — AQE upgrades it to one at runtime when the
+  * vocabulary is genuinely small); prefixes come from a per-document
   * running sum (window PARTITIONED BY doc — bounded by document
   * length, never corpus-wide); candidates meet on term keys with a
   * loud per-term cap (the boilerplate guard every bucketed join here
@@ -46,17 +48,32 @@ object CosineJoin {
     * @param threshold      rational cut as numerator/denominator
     *                       (e.g. 6, 10 → 0.6) so the prefix bound
     *                       compares in exact integers
-    * @param maxPostings    loud cap on one term's candidate posting
-    *                       list (skew guard — a term indexed by this
-    *                       many docs is corpus boilerplate) */
+    * @param maxPostings    cap on one term's candidate posting list
+    *                       (skew guard — a term indexed by this many
+    *                       docs is corpus boilerplate). Capped terms
+    *                       can silently hide a true pair that meets
+    *                       ONLY on capped terms, so the cap is LOUD:
+    *                       see `onCapped`.
+    * @param onCapped       what to do when any indexed term exceeds
+    *                       `maxPostings`: "fail" (default — one extra
+    *                       keys-only count job; throws
+    *                       GraftError.DataValidation naming the count
+    *                       and sample terms), "warn" (same check, log
+    *                       and proceed with the capped index), or
+    *                       "allow" (no check job — caller has sized
+    *                       the cap deliberately, e.g. a re-run after
+    *                       a fail told them exactly what drops) */
   def tfidfCosineJoin(df: DataFrame, idCol: String, textCol: String,
                       thresholdNum: Int = 6, thresholdDen: Int = 10,
                       maxPostings: Int = 10000,
-                      roundTo: Int = 6): DataFrame = {
+                      roundTo: Int = 6,
+                      onCapped: String = "fail"): DataFrame = {
     require(thresholdNum > 0 && thresholdDen > 0 &&
       thresholdNum <= thresholdDen,
       s"threshold must be a fraction in (0, 1]: $thresholdNum/$thresholdDen")
     require(maxPostings >= 2, s"maxPostings must be >= 2: $maxPostings")
+    require(Set("fail", "warn", "allow")(onCapped),
+      s"onCapped must be fail|warn|allow: $onCapped")
     val id = col("`" + idCol.replace("`", "``") + "`")
     // (doc, term, tf) — exact integer term frequencies
     val tf = df.select(id.as("__id"),
@@ -71,8 +88,14 @@ object CosineJoin {
         round(lit(1000.0) * log((lit(n.toDouble) + 1.0) /
           (col("df").cast("double") + 0.5))).cast("long"))
       .where(col("idf_q") > 0)
-    // exact integer weights + per-doc squared norm
-    val weighted = tf.join(broadcast(dfs), Seq("term"))
+    // exact integer weights + per-doc squared norm. The df/idf table
+    // is VOCABULARY-sized — on a web corpus (typos, URLs, numbers)
+    // that runs to billions of distinct terms, so it must NOT carry a
+    // mandatory broadcast hint. A plain equi-join on `term` shuffles
+    // tf once (cheap — it is keys+counts only) and AQE still converts
+    // to a runtime broadcast when the vocabulary actually is small,
+    // which is the size-guarded broadcast for free.
+    val weighted = tf.join(dfs, Seq("term"))
       .withColumn("w", col("tf") * col("idf_q"))
       .withColumn("w2",
         (col("w").cast(DecimalType(19, 0)) * col("w"))
@@ -99,10 +122,31 @@ object CosineJoin {
     val probe = prefixed.select(col("term"), col("__id").as("__b"))
     val index = prefixed.where(col("indexed"))
       .select(col("term"), col("__id").as("__a"))
-    val capped = index.withColumn("__cnt",
-        count(lit(1)).over(Window.partitionBy(col("term"))))
-      .where(col("__cnt") <= maxPostings)
-      .drop("__cnt")
+    // hot-term accounting: keys-only per-term posting counts; the
+    // over-cap table is tiny (≤ |postings|/maxPostings rows) so the
+    // anti-join below broadcasts at runtime. A pair meeting ONLY on a
+    // capped term is missed — hence loud by default.
+    val hot = index.groupBy(col("term"))
+      .agg(count(lit(1)).as("__cnt"))
+      .where(col("__cnt") > maxPostings)
+    if (onCapped != "allow") {
+      val nHot = hot.count() // one keys-only job on the happy path
+      if (nHot > 0) {
+        val sample = hot.orderBy(col("__cnt").desc).limit(5).collect()
+        val msg = s"tfidfCosineJoin: $nHot indexed term(s) exceed " +
+          s"maxPostings=$maxPostings and are dropped from the " +
+          "candidate index (pairs meeting only on them are missed). " +
+          "Hottest: " + sample.map(r =>
+            s"${r.get(0)} (${r.getLong(1)})").mkString(", ") +
+          ". Raise maxPostings, pre-strip boilerplate, or pass " +
+          "onCapped=\"warn\"/\"allow\" to accept the drop."
+        if (onCapped == "fail")
+          throw graft.core.GraftError.DataValidation(msg)
+        else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+      }
+    }
+    val capped = index.join(hot.select(col("term")), Seq("term"),
+      "left_anti")
     val cand = capped.join(probe, Seq("term"))
       .where(col("__a") =!= col("__b"))
       .select(least(col("__a"), col("__b")).as("id_a"),

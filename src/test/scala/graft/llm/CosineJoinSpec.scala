@@ -71,6 +71,71 @@ class CosineJoinSpec extends SparkSpec {
       docs.toDF("doc_id", "text"), "doc_id", "text", maxPostings = 1))
   }
 
+  test("join-strategy equivalence: no mandatory broadcast of the " +
+      "vocabulary table; forced shuffle-only plan gives same result") {
+    val docs = Seq(
+      (1L, "quantum flux capacitor drives the temporal field array"),
+      (2L, "quantum flux capacitor drives the temporal field array today"),
+      (4L, "temporal field array with quantum capacitor and flux"),
+      (5L, "completely unrelated text about gardening tomatoes soil"),
+      (6L, "gardening tomatoes soil and completely unrelated text about"))
+    val out = CosineJoin.tfidfCosineJoin(
+      docs.toDF("doc_id", "text"), "doc_id", "text", 5, 10)
+    // the logical plan must carry NO broadcast hint — at 100 TB the
+    // term dictionary is billions of rows and a mandatory broadcast
+    // would sink the job; runtime (AQE) broadcasts are fine
+    assert(!out.queryExecution.optimizedPlan.toString
+        .toLowerCase.contains("broadcast"),
+      "vocabulary join must not carry a mandatory broadcast hint")
+    def run() = CosineJoin.tfidfCosineJoin(
+        docs.toDF("doc_id", "text"), "doc_id", "text", 5, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(p => (p._1, p._2))
+    val default = run()
+    val (bt, aqe) = (spark.conf.get("spark.sql.autoBroadcastJoinThreshold"),
+      spark.conf.get("spark.sql.adaptive.enabled"))
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      assert(run() == default,
+        "shuffle-only execution diverged from the default plan")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bt)
+      spark.conf.set("spark.sql.adaptive.enabled", aqe)
+    }
+    assert(default == brute(docs, 5, 10))
+  }
+
+  test("loud cap: over-cap terms fail by default, warn/allow opt in") {
+    // six identical docs share three mid-rarity terms (df=6 of 12 —
+    // rare enough that all three land in the indexed prefix), six
+    // junk docs pad the corpus; cap 3 < 6 ⇒ every indexed term of
+    // the identical cluster overflows
+    val docs = (0 until 6).map(i => (i.toLong, "sharedrare filler alpha")) ++
+      (6 until 12).map(i => (i.toLong, s"unique$i distinct$i"))
+    val df = docs.toDF("doc_id", "text")
+    val ex = intercept[graft.core.GraftError.DataValidation](
+      CosineJoin.tfidfCosineJoin(df, "doc_id", "text", 5, 10,
+        maxPostings = 3))
+    assert(ex.getMessage.contains("maxPostings=3") &&
+      ex.getMessage.contains("exceed"),
+      s"cap failure must name the cap and count: ${ex.getMessage}")
+    // warn + allow proceed; with every shared term capped out of the
+    // index no candidate survives — the documented recall loss
+    val warned = CosineJoin.tfidfCosineJoin(df, "doc_id", "text", 5, 10,
+      maxPostings = 3, onCapped = "warn").collect()
+    val allowed = CosineJoin.tfidfCosineJoin(df, "doc_id", "text", 5, 10,
+      maxPostings = 3, onCapped = "allow").collect()
+    assert(warned.isEmpty && allowed.isEmpty,
+      "capping every cluster term must drop the cluster's pairs")
+    // and with an adequate cap the same corpus passes the check and
+    // returns the full brute-force answer
+    val ok = CosineJoin.tfidfCosineJoin(df, "doc_id", "text", 5, 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .toSeq.sortBy(p => (p._1, p._2))
+    assert(ok == brute(docs, 5, 10))
+  }
+
   test("threshold sweep stays complete on a denser corpus") {
     // 12 overlapping docs; verify at two thresholds against brute force
     val words = Seq("alpha", "beta", "gamma", "delta", "epsilon", "zeta",
