@@ -16,8 +16,12 @@ import org.apache.spark.sql.types._
   * [[VideoHeaders]]; no codec libs needed for dimensions/shape. IMAGE
   * PIXELS are real too: [[PixelDecode]]/[[pixelStats]]/[[resize]] run
   * genuine `javax.imageio` decodes (PNG/GIF/BMP/baseline JPEG ship in
-  * every JDK). Only VIDEO FRAME decode remains a clearly-labeled
-  * deterministic stub — this container has no video codecs.
+  * every JDK). VIDEO FRAMES are real for self-contained-frame codecs:
+  * [[frameStats]] composes the [[Mp4Samples]] sample-table extraction
+  * with the same `javax.imageio` decode, which covers MJPEG (each
+  * sample is a complete JPEG). Only inter-frame codec decode
+  * (H.264/VP9) remains a clearly-labeled stub — this container has no
+  * video codecs.
   * Everything Spark-side is real and tested: the schema contract, the
   * per-partition batched execution (`mapPartitions`, the Scala analog
   * of `mapInPandas` batch shape), the partition sizing guidance, and
@@ -504,31 +508,101 @@ object Multimodal {
           else r.getAs[Array[Byte]](payloadIdx)
         PixelDecode.read(payload) match {
           case Some(img) =>
-            val w = img.getWidth; val h = img.getHeight
-            var lum = 0L
-            val hist = new Array[Long](64)
-            var y = 0
-            while (y < h) {
-              var x = 0
-              while (x < w) {
-                val rgb = img.getRGB(x, y)
-                val rr = (rgb >> 16) & 0xff
-                val gg = (rgb >> 8) & 0xff
-                val bb = rgb & 0xff
-                lum += 299L * rr + 587L * gg + 114L * bb
-                hist(((rr >> 6) << 4) | ((gg >> 6) << 2) | (bb >> 6)) += 1
-                x += 1
-              }
-              y += 1
-            }
-            val n = w.toLong * h
-            var best = 0
-            var i = 1
-            while (i < 64) { if (hist(i) > hist(best)) best = i; i += 1 }
-            Row(r.getLong(idIdx), w, h, lum.toDouble / (1000.0 * n),
-              best, hist(best).toDouble / n, true)
+            val (w, h, meanLum, best, frac) = imageStatValues(img)
+            Row(r.getLong(idIdx), w, h, meanLum, best, frac, true)
           case None =>
             Row(r.getLong(idIdx), null, null, null, null, null, false)
+        }
+      }
+    }(enc)
+  }
+
+  /** One pass over a decoded image: (width, height, BT.601 mean
+    * luminance, dominant 64-bucket index, dominant fraction). The
+    * luminance numerator accumulates as an exact LONG so an SQL oracle
+    * replays the division bit-identically; ties on the histogram break
+    * to the smallest bucket index. */
+  private def imageStatValues(img: java.awt.image.BufferedImage)
+      : (Int, Int, Double, Int, Double) = {
+    val w = img.getWidth; val h = img.getHeight
+    var lum = 0L
+    val hist = new Array[Long](64)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        val rr = (rgb >> 16) & 0xff
+        val gg = (rgb >> 8) & 0xff
+        val bb = rgb & 0xff
+        lum += 299L * rr + 587L * gg + 114L * bb
+        hist(((rr >> 6) << 4) | ((gg >> 6) << 2) | (bb >> 6)) += 1
+        x += 1
+      }
+      y += 1
+    }
+    val n = w.toLong * h
+    var best = 0
+    var i = 1
+    while (i < 64) { if (hist(i) > hist(best)) best = i; i += 1 }
+    (w, h, lum.toDouble / (1000.0 * n), best, hist(best).toDouble / n)
+  }
+
+  /** Frame-statistics output contract: one row per sampled video frame
+    * — real decoded stats when the extracted sample bytes are an image
+    * a JDK codec reads (the MJPEG case: in motion-JPEG each sample IS
+    * a complete JPEG), NULLs + `decoded = false` when the sample is a
+    * compressed-codec frame (H.264 etc.) or truncated. */
+  val frameStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = true),
+    StructField("height", IntegerType, nullable = true),
+    StructField("mean_luminance", DoubleType, nullable = true),
+    StructField("dominant_bucket", IntegerType, nullable = true),
+    StructField("dominant_frac", DoubleType, nullable = true),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** REAL video-frame pixel statistics for self-contained-frame codecs:
+    * [[Mp4Samples]] carves each sample's exact byte range from the
+    * public stsz/stsc/stco tables (no codec), then [[PixelDecode]]
+    * tries a genuine `javax.imageio` decode of the sample bytes — for
+    * MJPEG tracks every sample is a complete baseline JPEG, so
+    * frame-level luminance/dominant-color are REAL decodes. Samples in
+    * inter-frame codecs (H.264/VP9 — no JDK codec) or truncated
+    * samples yield NULL stats with `decoded = false`; payloads that
+    * are not a consistent ISO-BMFF video yield no rows (use
+    * [[frameSample]]'s fallback slicing for those). This closes the
+    * former video-decode stub down to non-self-contained codecs only.
+    *
+    * Scale shape: narrow per-partition flatMap — no shuffle, one
+    * payload plus one decoded frame in memory per task; pair with
+    * [[repartitionBySize]] so a partition's blobs fit the executor. */
+  def frameStats(media: DataFrame, stride: Int = 1): DataFrame = {
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    val enc = ExpressionEncoder(frameStatsSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val typeIdx = media.schema.fieldIndex("media_type")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.filter(r => r.getString(typeIdx) == "video").flatMap { r =>
+        val payload =
+          if (r.isNullAt(payloadIdx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](payloadIdx)
+        val id = r.getLong(idIdx)
+        Mp4Samples.parse(payload).iterator.flatMap { samples =>
+          (0 until samples.length by stride).iterator.map { f =>
+            val (off, len) = samples(f)
+            val bytes = java.util.Arrays.copyOfRange(
+              payload, off.toInt, off.toInt + len)
+            PixelDecode.read(bytes) match {
+              case Some(img) =>
+                val (w, h, meanLum, best, frac) = imageStatValues(img)
+                Row(id, f, w, h, meanLum, best, frac, true)
+              case None =>
+                Row(id, f, null, null, null, null, null, false)
+            }
+          }
         }
       }
     }(enc)
@@ -652,6 +726,123 @@ object Multimodal {
     out.write(moov(offsets))
     out.write(box("mdat", mdatBytes))
     out.toByteArray
+  }
+
+  /** Wrap arbitrary per-sample byte blobs in a minimal-but-REAL
+    * ISO-BMFF video container (same box layout as [[mp4Fixture]], but
+    * caller-supplied sample contents): ftyp + moov(mvhd, trak(tkhd,
+    * mdia(hdlr `vide`, minf(stbl(stts, stsc, stsz, stco))))) + mdat.
+    * `twoChunks` splits the first two samples into their own chunk
+    * with a 4-byte 0xAA sentinel gap before the rest, so a
+    * chunk-offset bug feeds sentinel bytes to the decoder and the
+    * frame either fails to decode or breaks the planted arithmetic. */
+  def mp4WithSamples(samples: Seq[Array[Byte]],
+                     twoChunks: Boolean = false): Array[Byte] = {
+    require(samples.nonEmpty, "mp4WithSamples needs at least one sample")
+    require(!twoChunks || samples.length >= 2,
+      "twoChunks layout needs at least two samples")
+    val n = samples.length
+    val sizes = samples.map(_.length)
+    def beInts(vals: Int*): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(4 * vals.length)
+      vals.foreach(bb.putInt)
+      bb.array()
+    }
+    def box(tp: String, payload: Array[Byte]*): Array[Byte] = {
+      val len = 8 + payload.map(_.length).sum
+      val bb = java.nio.ByteBuffer.allocate(len)
+      bb.putInt(len)
+      bb.put(tp.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+      payload.foreach(bb.put)
+      bb.array()
+    }
+    val ascii = java.nio.charset.StandardCharsets.US_ASCII
+    val ftyp = box("ftyp", "isom".getBytes(ascii), beInts(0x200),
+      "isom".getBytes(ascii))
+    val mvhd = {
+      val p = new Array[Byte](100)
+      System.arraycopy(beInts(1000, 1000 * n), 0, p, 12, 8)
+      box("mvhd", p)
+    }
+    val tkhd = {
+      val p = new Array[Byte](84)
+      System.arraycopy(beInts(64 << 16, 48 << 16), 0, p, 76, 8)
+      box("tkhd", p)
+    }
+    val hdlr = box("hdlr", beInts(0, 0), "vide".getBytes(ascii),
+      new Array[Byte](12), Array(0.toByte))
+    val stts = box("stts", beInts(0, 1, n, 1))
+    val stsc =
+      if (twoChunks) box("stsc", beInts(0, 2, 1, 2, 1, 2, n - 2, 1))
+      else box("stsc", beInts(0, 1, 1, n, 1))
+    val stsz = box("stsz", beInts(0, 0, n), beInts(sizes: _*))
+    def moov(chunkOffsets: Seq[Int]): Array[Byte] = {
+      val stco = box("stco",
+        beInts(0, chunkOffsets.length), beInts(chunkOffsets: _*))
+      box("moov", mvhd,
+        box("trak", tkhd, box("mdia", hdlr, box("minf",
+          box("stbl", stts, stsc, stsz, stco)))))
+    }
+    val nOffsets = if (twoChunks) 2 else 1
+    val mdatStart = ftyp.length + moov(Seq.fill(nOffsets)(0)).length + 8
+    val chunk1Len = if (twoChunks) sizes.take(2).sum else sizes.sum
+    val offsets =
+      if (twoChunks) Seq(mdatStart, mdatStart + chunk1Len + 4)
+      else Seq(mdatStart)
+    val mdatBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      if (twoChunks) {
+        samples.take(2).foreach(bos.write)
+        bos.write(Array.fill(4)(0xAA.toByte)) // sentinel gap
+        samples.drop(2).foreach(bos.write)
+      } else samples.foreach(bos.write)
+      bos.toByteArray
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(ftyp)
+    out.write(moov(offsets))
+    out.write(box("mdat", mdatBytes))
+    out.toByteArray
+  }
+
+  /** Deterministic MJPEG-style fixture: a REAL ISO-BMFF container
+    * ([[mp4WithSamples]], even ids two-chunked) whose samples are each
+    * a complete encoded image — the motion-JPEG layout, where frame
+    * decode needs no video codec. Every frame is a SOLID color derived
+    * arithmetically from (id, frame): sample j is a
+    * (4+id%3)×(3+id%2) image of RGB ((id·37+j·53)%256,
+    * (id·59+j·71)%256, (id·83+j·97)%256) over n = 2+id%3 frames, so
+    * an SQL oracle recomputes each frame's exact pixel statistics
+    * from id arithmetic alone. The default `format = "png"` keeps the
+    * planted bytes lossless for that exact replay (the decode seam is
+    * codec-agnostic `javax.imageio` either way); `format = "jpg"`
+    * plants true JPEG samples — genuine MJPEG — whose decode is
+    * exercised with a tolerance in the unit suite since JPEG DC
+    * quantization may shift a solid color by a count or two. */
+  def mjpegFixture(id: Long, format: String = "png"): Array[Byte] = {
+    val n = (2 + id % 3).toInt
+    val w = (4 + id % 3).toInt
+    val h = (3 + id % 2).toInt
+    val samples = (0 until n).map { j =>
+      val rr = ((id * 37 + j * 53) % 256).toInt
+      val gg = ((id * 59 + j * 71) % 256).toInt
+      val bb = ((id * 83 + j * 97) % 256).toInt
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          img.setRGB(x, y, (rr << 16) | (gg << 8) | bb)
+          x += 1
+        }
+        y += 1
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, format, bos)
+      bos.toByteArray
+    }
+    mp4WithSamples(samples, twoChunks = id % 2 == 0)
   }
 
   private def fnv(bytes: Array[Byte]): Long = {

@@ -1007,6 +1007,69 @@ class LlmSpec extends SparkSpec {
       stub.forall(_._3.sameElements(Array.fill(16)(7.toByte))))
   }
 
+  test("multimodal: REAL MJPEG frame pixel stats — decode, tolerance, " +
+      "honest failure modes") {
+    import Multimodal.{mjpegFixture, mp4WithSamples}
+    // PNG samples (lossless): exact planted arithmetic per frame
+    val id = 2L // even → two-chunk layout; n = 2 + 2%3 = 4 frames
+    val media = Seq((id, "video", mjpegFixture(id)))
+      .toDF("media_id", "media_type", "payload")
+    val rows = Multimodal.frameStats(media).orderBy($"frame_idx")
+      .collect()
+    val n = (2 + id % 3).toInt
+    assert(rows.length == n)
+    rows.zipWithIndex.foreach { case (r, j) =>
+      val rr = ((id * 37 + j * 53) % 256).toInt
+      val gg = ((id * 59 + j * 71) % 256).toInt
+      val bb = ((id * 83 + j * 97) % 256).toInt
+      assert(r.getInt(1) == j && r.getBoolean(7))
+      assert(r.getInt(2) == (4 + id % 3).toInt &&
+        r.getInt(3) == (3 + id % 2).toInt)
+      assert(r.getDouble(4) == (299 * rr + 587 * gg + 114 * bb) / 1000.0)
+      assert(r.getInt(5) == ((rr >> 6) << 4 | (gg >> 6) << 2 | (bb >> 6)))
+      assert(r.getDouble(6) == 1.0)
+    }
+    // TRUE MJPEG (JPEG samples): decodes for real; solid colors may
+    // shift a count or two under DC quantization → tolerance check
+    val jm = Seq((3L, "video", mjpegFixture(3L, format = "jpg")))
+      .toDF("media_id", "media_type", "payload")
+    val jr = Multimodal.frameStats(jm).orderBy($"frame_idx").collect()
+    assert(jr.length == (2 + 3 % 3) && jr.forall(_.getBoolean(7)),
+      "JPEG samples must decode (MJPEG is the self-contained case)")
+    jr.zipWithIndex.foreach { case (r, j) =>
+      val rr = ((3 * 37 + j * 53) % 256).toInt
+      val gg = ((3 * 59 + j * 71) % 256).toInt
+      val bb = ((3 * 83 + j * 97) % 256).toInt
+      val exp = (299 * rr + 587 * gg + 114 * bb) / 1000.0
+      assert(math.abs(r.getDouble(4) - exp) < 4.0,
+        s"JPEG luminance off: got ${r.getDouble(4)}, planted $exp")
+    }
+    // failure modes: truncated sample bytes and non-image codec bytes
+    // → NULL stats + decoded=false, one row per sample either way
+    val wholePng = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val img = new java.awt.image.BufferedImage(4, 3,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val truncated = mp4WithSamples(Seq(
+      java.util.Arrays.copyOf(wholePng, 10), // PNG signature w/o data
+      Array.fill(20)(0x55.toByte)))          // constant bytes: codec stand-in
+    val bad = Seq((9L, "video", truncated))
+      .toDF("media_id", "media_type", "payload")
+    val br = Multimodal.frameStats(bad).orderBy($"frame_idx").collect()
+    assert(br.length == 2)
+    br.foreach { r =>
+      assert(!r.getBoolean(7) && r.isNullAt(2) && r.isNullAt(3) &&
+        r.isNullAt(4) && r.isNullAt(5) && r.isNullAt(6))
+    }
+    // a payload that isn't a parseable MP4 yields no frame rows
+    val notMp4 = Seq((7L, "video", "plain bytes".getBytes))
+      .toDF("media_id", "media_type", "payload")
+    assert(Multimodal.frameStats(notMp4).count() == 0)
+  }
+
   test("multimodal: stub decode features are deterministic and typed") {
     val media = Multimodal.mediaFromDocuments(
       spark, "/root/testdata/sf0.001/documents.parquet")
