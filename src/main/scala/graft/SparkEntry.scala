@@ -1188,6 +1188,47 @@ object SparkEntry {
           hex(col("frame")).as("frame_hex"))
     },
 
+    // --- REAL MJPEG-style frame pixel stats: the fixture plants a
+    // genuine ISO-BMFF container whose samples are complete encoded
+    // images of solid (id, frame)-derived colors (the motion-JPEG
+    // layout — frame decode needs no video codec), so the pipeline is
+    // real sample-table extraction (stsz/stsc/stco) composed with a
+    // real javax.imageio decode, and the oracle recomputes each
+    // frame's exact stats from id arithmetic alone. A second media
+    // set plants the same container around NON-image samples
+    // (constant bytes — an inter-frame codec stand-in) to pin the
+    // decoded=false contract inside the gate. ---
+    "q_frame_stats" -> { (s, dir) =>
+      import s.implicits._
+      val mjpeg = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(25)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map(id => (960000L + id, Multimodal.mjpegFixture(id)))
+        .toDF("media_id", "payload")
+      val codecOnly = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(40)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val n = (2 + id % 3).toInt
+          val samples = (0 until n).map(j =>
+            Array.fill(12 + j)(((id * 7 + j * 13) % 256).toByte))
+          (970000L + id, Multimodal.mp4WithSamples(samples))
+        }
+        .toDF("media_id", "payload")
+      val vids = mjpeg.unionByName(codecOnly)
+        .select(col("media_id"), lit("video").as("media_type"),
+          col("payload"), lit(null).cast("string").as("meta"))
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1e6 + 0.5) / 1e6
+      Multimodal.frameStats(vids)
+        .select(col("media_id"), col("frame_idx"), col("width"),
+          col("height"),
+          r6(col("mean_luminance")).as("mean_luminance"),
+          col("dominant_bucket"),
+          r6(col("dominant_frac")).as("dominant_frac"),
+          col("decoded"))
+    },
+
     // --- REAL BPE token counting (Sennrich 2016): the published
     // worked-example merges are written as a standard merges FILE (the
     // user-supplied artifact), loaded back, and applied by the native
@@ -1946,15 +1987,27 @@ object SparkEntry {
     // --- BPE merge training (Sennrich 2016): learn a corpus-fitted
     // tokenizer artifact — distributed word counting, bounded
     // driver-side merge loop over the pruned (word, count) table (the
-    // SentencePiece architecture). Deterministic (count-then-lex tie
-    // breaks) but not SQL-replayable (iterative argmax+resegmentation),
-    // so rows-only gate; the merge algebra is pinned by units against
-    // the paper's published worked example. ---
+    // SentencePiece architecture). FULL oracle via planted arithmetic:
+    // every document contributes the paper's worked-example multiset
+    // (low:5, lower:2, newest:6, widest:3) scaled by a per-doc factor
+    // 1 + doc_id%2 — the distributed count is genuinely
+    // data-dependent, but all pair counts share the corpus-wide factor
+    // S = Σ(1 + doc_id%2), so the COMPLETE 15-merge sequence to
+    // exhaustion is decidable by hand under the documented
+    // count-desc-then-lex tie-breaks, and the oracle spells it as a
+    // VALUES table. A count bug, tie-break bug, or resegmentation bug
+    // anywhere in the loop reorders the sequence and breaks the hash. ---
     "q_bpe_train" -> { (s, dir) =>
       import s.implicits._
+      val planted = t(s, dir, "documents")
+        .select(concat(
+          expr("repeat('low ', CAST(5 * (1 + doc_id % 2) AS INT))"),
+          expr("repeat('lower ', CAST(2 * (1 + doc_id % 2) AS INT))"),
+          expr("repeat('newest ', CAST(6 * (1 + doc_id % 2) AS INT))"),
+          expr("repeat('widest ', CAST(3 * (1 + doc_id % 2) AS INT))"))
+          .as("text"))
       val merges = graft.llm.BpeTrain.learnMerges(
-        t(s, dir, "documents").select(col("text")), "text",
-        numMerges = 20, vocabSize = 10000)
+        planted, "text", numMerges = 15, vocabSize = 10000)
       merges.zipWithIndex
         .map { case ((a, b), i) => (i + 1, a, b) }
         .toDF("rank", "left", "right")
@@ -4429,6 +4482,43 @@ object SparkEntry {
         |         CAST(16 + (id + j) % 8 AS INTEGER)) AS frame_hex
         |FROM frames WHERE j % 2 = 0""".stripMargin,
 
+    // MJPEG frame stats: every planted frame is a SOLID color derived
+    // from (id, frame), PNG-encoded (lossless) inside a real ISO-BMFF
+    // container — so the oracle recomputes width/height/luminance/
+    // bucket from id arithmetic; the codec-only set (non-image sample
+    // bytes) must come back all-NULL with decoded=false
+    "q_frame_stats" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id FROM documents WHERE doc_id % 25 = 0
+        |), f AS (
+        |  SELECT id, unnest(range(0, 2 + id % 3)) AS j FROM ids
+        |), c AS (
+        |  SELECT id, j,
+        |    (id * 37 + j * 53) % 256 AS r,
+        |    (id * 59 + j * 71) % 256 AS g,
+        |    (id * 83 + j * 97) % 256 AS b
+        |  FROM f
+        |)
+        |SELECT 960000 + id AS media_id, CAST(j AS INTEGER) AS frame_idx,
+        |  CAST(4 + id % 3 AS INTEGER) AS width,
+        |  CAST(3 + id % 2 AS INTEGER) AS height,
+        |  floor((299 * r + 587 * g + 114 * b) / 1000.0 * 1000000 + 0.5)
+        |    / 1000000 AS mean_luminance,
+        |  CAST((r // 64) * 16 + (g // 64) * 4 + b // 64 AS INTEGER)
+        |    AS dominant_bucket,
+        |  1.0 AS dominant_frac, true AS decoded
+        |FROM c
+        |UNION ALL
+        |SELECT 970000 + id AS media_id, CAST(j AS INTEGER) AS frame_idx,
+        |  CAST(NULL AS INTEGER) AS width, CAST(NULL AS INTEGER) AS height,
+        |  CAST(NULL AS DOUBLE) AS mean_luminance,
+        |  CAST(NULL AS INTEGER) AS dominant_bucket,
+        |  CAST(NULL AS DOUBLE) AS dominant_frac, false AS decoded
+        |FROM (
+        |  SELECT doc_id AS id, unnest(range(0, 2 + doc_id % 3)) AS j
+        |  FROM documents WHERE doc_id % 40 = 0
+        |)""".stripMargin,
+
     // BPE token counts: per-word costs under the Sennrich worked-example
     // merges are hand-derived constants (low=1, lower=4, newest=1,
     // widest=1, unk=4), so the planted multiplicities make every
@@ -4438,6 +4528,26 @@ object SparkEntry {
         |  (doc_id % 3 + 1) + 4 * (doc_id % 4 + 1) + (doc_id % 5)
         |    + CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 0 END + 1 AS n_tokens
         |FROM documents""".stripMargin,
+
+    // BPE merge training: the planted corpus is the Sennrich worked
+    // example scaled per-doc by 1 + doc_id%2, so every pair count
+    // carries the same corpus factor S and the full merge sequence to
+    // exhaustion is hand-derivable under count-desc-then-lex
+    // tie-breaks: est</w> forms first (9S), then low (7S), then
+    // newest</w> via (e,w)/(ew,est</w>)/(n,·) (6S — lex picks e<n<w),
+    // low</w> (5S), widest via d<i<w (3S), and lower last (2S, lex
+    // e<er<low at each step)
+    "q_bpe_train" ->
+      """SELECT CAST(r AS INTEGER) AS rank, l AS "left", rt AS "right"
+        |FROM (VALUES
+        |  (1, 'e', 's'), (2, 'es', 't'), (3, 'est', '</w>'),
+        |  (4, 'l', 'o'), (5, 'lo', 'w'),
+        |  (6, 'e', 'w'), (7, 'ew', 'est</w>'), (8, 'n', 'ewest</w>'),
+        |  (9, 'low', '</w>'),
+        |  (10, 'd', 'est</w>'), (11, 'i', 'dest</w>'),
+        |  (12, 'w', 'idest</w>'),
+        |  (13, 'e', 'r'), (14, 'er', '</w>'), (15, 'low', 'er</w>')
+        |) AS t(r, l, rt)""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,

@@ -6,7 +6,11 @@ import java.nio.file.{Files, Paths}
 object Verify {
   def main(args: Array[String]): Unit = {
     graft.core.Logs.derbyHomeToScratch()
-    val Array(sfDir, outDir) = args
+    // args: sfDir outDir [queryName...] — trailing names (local tooling
+    // only; the driver passes two args) restrict the dump to a subset
+    // for fast targeted re-checks
+    val Array(sfDir, outDir) = args.take(2)
+    val only = args.drop(2).toSet
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -18,7 +22,9 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     graft.core.Logs.silenceBenignStreamingWarn()
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime
       try {
         fn(spark, sfDir).coalesce(1).write.mode("overwrite")

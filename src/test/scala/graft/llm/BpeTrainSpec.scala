@@ -49,6 +49,34 @@ class BpeTrainSpec extends SparkSpec {
       BpeTrain.learnMerges(df, "text", 5, vocabSize = 0))
   }
 
+  test("full merge sequence to exhaustion is ratio-invariant — the " +
+      "q_bpe_train planting") {
+    // the worked-example multiset at per-doc scale factors 1 and 2:
+    // all pair counts share the corpus factor S, so the complete
+    // sequence matches the hand-derived 15 merges at ANY corpus size
+    def corpus(m: Int) = (
+      Seq.fill(5 * m)("low") ++ Seq.fill(2 * m)("lower") ++
+        Seq.fill(6 * m)("newest") ++ Seq.fill(3 * m)("widest")
+    ).mkString(" ")
+    val expected = Seq(
+      ("e", "s"), ("es", "t"), ("est", "</w>"),
+      ("l", "o"), ("lo", "w"),
+      ("e", "w"), ("ew", "est</w>"), ("n", "ewest</w>"),
+      ("low", "</w>"),
+      ("d", "est</w>"), ("i", "dest</w>"), ("w", "idest</w>"),
+      ("e", "r"), ("er", "</w>"), ("low", "er</w>"))
+    for (docs <- Seq(Seq(corpus(1)), Seq(corpus(1), corpus(2)),
+        Seq(corpus(3), corpus(2), corpus(2)))) {
+      val m = BpeTrain.learnMerges(docs.toDF("text"), "text",
+        numMerges = 15)
+      assert(m == expected, s"diverged for ${docs.length} docs")
+      // 15 merges fuse every word to one token: asking for more stops
+      // exhausted at the same sequence
+      assert(BpeTrain.learnMerges(docs.toDF("text"), "text",
+        numMerges = 40) == expected)
+    }
+  }
+
   test("case-preserving whitespace pre-tokenization matches apply side") {
     // 'The' and 'the' are distinct words (the apply-side contract);
     // punctuation stays attached to its word
