@@ -760,6 +760,19 @@ object Main {
     * [[graft.llm.Shuffling.writeShards]] as deterministic training
     * shards (always parquet, `shard=N` directories). Preview/dry-run
     * apply to the CURATED frame, same no-write contract as transfers. */
+  /** Train the `lang_id:` stage's classifier from its seed source —
+    * the (model, classStats, allow) triple Curation.PipelineConfig
+    * takes. Shared by batch and stream curation (training is always
+    * a batch pass over the static seed). */
+  private def trainLangId(spark: SparkSession, spec: YamlJob.LangIdSpec)
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+         Seq[String]) = {
+    val seed = graft.sources.Connectors.read(spark, spec.seedUri, Map.empty)
+    val (model, stats) = graft.llm.LangId.train(
+      seed, spec.textColumn, spec.labelColumn, vocabSize = spec.vocabSize)
+    (model, stats, spec.allow)
+  }
+
   def runCuration(cfg: JobConfig, cur: YamlJob.CurationSpec,
                   preview: Option[Int], dryRun: Boolean,
                   logLevel: String): Int = {
@@ -781,6 +794,7 @@ object Main {
         graft.sources.Connectors.read(spark, cs.probesUri, Map.empty))
       val refFrame = cur.referenceUri.map(u =>
         graft.sources.Connectors.read(spark, u, Map.empty))
+      val langIdFrames = cur.langId.map(trainLangId(spark, _))
       val pc = Curation.PipelineConfig(
         blocklist = cur.blocklist,
         maxDupWordFrac = cur.maxDupWordFrac,
@@ -795,6 +809,7 @@ object Main {
         stripMarkdown = cur.stripMarkdown,
         fixMojibake = cur.fixMojibake,
         normalizeUnicode = cur.normalizeUnicode,
+        langId = langIdFrames,
         lineDedupMinDocs = cur.lineDedupMinDocs,
         compressionBand = cur.compressionBand,
         referenceSnapshot = refFrame,
@@ -915,6 +930,9 @@ object Main {
       // against every micro-batch (stream-static anti-join)
       val refFrame = cur.referenceUri.map(u =>
         graft.sources.Connectors.read(spark, u, Map.empty))
+      // the lang-id model trains BATCH-side from the static seed; the
+      // compiled literal maps then score each micro-batch per-row
+      val langIdFrames = cur.langId.map(trainLangId(spark, _))
       val pc = graft.llm.Curation.PipelineConfig(
         blocklist = cur.blocklist,
         maxDupWordFrac = cur.maxDupWordFrac,
@@ -931,6 +949,7 @@ object Main {
         stripMarkdown = cur.stripMarkdown,
         fixMojibake = cur.fixMojibake,
         normalizeUnicode = cur.normalizeUnicode,
+        langId = langIdFrames,
         compressionBand = cur.compressionBand,
         referenceSnapshot = refFrame,
         // forwarded so pipelineStream rejects it loudly rather than

@@ -853,6 +853,22 @@ object SparkEntry {
       graft.llm.NbClassifier.score(docs, "doc_id", "text", model, stats)
     },
 
+    // --- char-n-gram language ID (the fastText/CCNet signal): the
+    // same NB machinery trained over char 2-3-grams — the signal that
+    // survives short/informal documents where stopword ratios and
+    // word vocabularies go blind. Scoring is a PER-ROW projection
+    // over literal in-plan maps (aggregate over the gram array): no
+    // shuffle, and the same Column streams in curation mode=stream.
+    // The oracle replays training (deterministic vocab cut) AND
+    // per-position scoring; argmax on unrounded scores both sides. ---
+    "q_lang_id" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+      val (model, stats) = graft.llm.LangId.train(
+        docs.where(pmod(col("doc_id"), lit(3)) === 0), "text", "lang",
+        vocabSize = 300)
+      graft.llm.LangId.scoreAll(docs, "doc_id", "text", model, stats)
+    },
+
     // --- corpus-trained BIGRAM LM with Stupid Backoff: scrambled
     // (word-reversed) copies keep their unigram score (same multiset)
     // but lose their bigrams — the order-sensitivity signal. The
@@ -4002,6 +4018,102 @@ object SparkEntry {
         |      COALESCE(w.f_es, pri.p_es), COALESCE(w.f_fr, pri.p_fr),
         |      COALESCE(w.f_zh, pri.p_zh)) THEN 'fr'
         |    ELSE 'zh' END AS predicted
+        |FROM documents d
+        |LEFT JOIN wide w ON d.doc_id = w.doc_id
+        |LEFT JOIN ntok n ON d.doc_id = n.doc_id
+        |CROSS JOIN pri""".stripMargin,
+
+    // q_lang_id: the nb replay with char 2-3-gram features — grams of
+    // lower(text) at every position (duplicates kept: Spark scores per
+    // POSITION via aggregate over the gram array, so the oracle sums
+    // over the unnest, not over distinct grams). Vocab cut 300, count
+    // desc then gram asc — both engines binary-compare ASCII.
+    "q_lang_id" ->
+      """WITH g AS (
+        |  SELECT doc_id, lang, lower(text) AS t FROM documents
+        |), train_g AS (
+        |  SELECT lang, unnest(list_concat(
+        |    list_transform(range(1, len(t)), i -> substr(t, i, 2)),
+        |    list_transform(range(1, len(t) - 1), i -> substr(t, i, 3)))) AS w
+        |  FROM g WHERE doc_id % 3 = 0
+        |), cnt AS (
+        |  SELECT w, count(*) AS cnt FROM train_g GROUP BY w
+        |), vocab AS (
+        |  SELECT w FROM cnt ORDER BY cnt DESC, w LIMIT 300
+        |), vc AS (
+        |  SELECT CAST(count(*) AS DOUBLE) AS v FROM vocab
+        |), ccnt AS (
+        |  SELECT lang, w, count(*) AS cnt FROM train_g
+        |  WHERE w IN (SELECT w FROM vocab) GROUP BY 1, 2
+        |), tokc AS (
+        |  SELECT lang, CAST(sum(cnt) AS DOUBLE) AS tokc FROM ccnt GROUP BY 1
+        |), docs_c AS (
+        |  SELECT lang, count(*) AS ndocs FROM documents
+        |  WHERE doc_id % 3 = 0 GROUP BY 1
+        |), tot AS (
+        |  SELECT CAST(sum(ndocs) AS DOUBLE) AS tot FROM docs_c
+        |), stats AS (
+        |  SELECT d.lang, ln(d.ndocs / t.tot) AS log_prior,
+        |    ln(1.0 / (COALESCE(k.tokc, 0) + (SELECT v FROM vc) + 1.0)) AS oov
+        |  FROM docs_c d CROSS JOIN tot t LEFT JOIN tokc k ON d.lang = k.lang
+        |), model AS (
+        |  SELECT c.w, c.lang,
+        |    ln((c.cnt + 1.0) / (k.tokc + (SELECT v FROM vc) + 1.0)) AS lik
+        |  FROM ccnt c JOIN tokc k ON c.lang = k.lang
+        |), dtok AS (
+        |  SELECT doc_id, unnest(list_concat(
+        |    list_transform(range(1, len(t)), i -> substr(t, i, 2)),
+        |    list_transform(range(1, len(t) - 1), i -> substr(t, i, 3)))) AS w
+        |  FROM g
+        |), persc AS (
+        |  SELECT t.doc_id, s.lang,
+        |    s.log_prior + sum(COALESCE(m.lik, s.oov)) AS score
+        |  FROM dtok t CROSS JOIN stats s
+        |  LEFT JOIN model m ON m.w = t.w AND m.lang = s.lang
+        |  GROUP BY t.doc_id, s.lang, s.log_prior
+        |), wide AS (
+        |  SELECT doc_id,
+        |    max(CASE WHEN lang = 'de' THEN score END) AS f_de,
+        |    max(CASE WHEN lang = 'en' THEN score END) AS f_en,
+        |    max(CASE WHEN lang = 'es' THEN score END) AS f_es,
+        |    max(CASE WHEN lang = 'fr' THEN score END) AS f_fr,
+        |    max(CASE WHEN lang = 'zh' THEN score END) AS f_zh
+        |  FROM persc GROUP BY doc_id
+        |), ntok AS (
+        |  SELECT doc_id, count(*) AS n_grams FROM dtok GROUP BY 1
+        |), pri AS (
+        |  SELECT
+        |    max(CASE WHEN lang = 'de' THEN log_prior END) AS p_de,
+        |    max(CASE WHEN lang = 'en' THEN log_prior END) AS p_en,
+        |    max(CASE WHEN lang = 'es' THEN log_prior END) AS p_es,
+        |    max(CASE WHEN lang = 'fr' THEN log_prior END) AS p_fr,
+        |    max(CASE WHEN lang = 'zh' THEN log_prior END) AS p_zh
+        |  FROM stats
+        |)
+        |SELECT d.doc_id, COALESCE(n.n_grams, 0) AS n_grams,
+        |  round(COALESCE(w.f_de, pri.p_de), 6) AS score_de,
+        |  round(COALESCE(w.f_en, pri.p_en), 6) AS score_en,
+        |  round(COALESCE(w.f_es, pri.p_es), 6) AS score_es,
+        |  round(COALESCE(w.f_fr, pri.p_fr), 6) AS score_fr,
+        |  round(COALESCE(w.f_zh, pri.p_zh), 6) AS score_zh,
+        |  CASE
+        |    WHEN COALESCE(w.f_de, pri.p_de) >= greatest(
+        |      COALESCE(w.f_de, pri.p_de), COALESCE(w.f_en, pri.p_en),
+        |      COALESCE(w.f_es, pri.p_es), COALESCE(w.f_fr, pri.p_fr),
+        |      COALESCE(w.f_zh, pri.p_zh)) THEN 'de'
+        |    WHEN COALESCE(w.f_en, pri.p_en) >= greatest(
+        |      COALESCE(w.f_de, pri.p_de), COALESCE(w.f_en, pri.p_en),
+        |      COALESCE(w.f_es, pri.p_es), COALESCE(w.f_fr, pri.p_fr),
+        |      COALESCE(w.f_zh, pri.p_zh)) THEN 'en'
+        |    WHEN COALESCE(w.f_es, pri.p_es) >= greatest(
+        |      COALESCE(w.f_de, pri.p_de), COALESCE(w.f_en, pri.p_en),
+        |      COALESCE(w.f_es, pri.p_es), COALESCE(w.f_fr, pri.p_fr),
+        |      COALESCE(w.f_zh, pri.p_zh)) THEN 'es'
+        |    WHEN COALESCE(w.f_fr, pri.p_fr) >= greatest(
+        |      COALESCE(w.f_de, pri.p_de), COALESCE(w.f_en, pri.p_en),
+        |      COALESCE(w.f_es, pri.p_es), COALESCE(w.f_fr, pri.p_fr),
+        |      COALESCE(w.f_zh, pri.p_zh)) THEN 'fr'
+        |    ELSE 'zh' END AS lang_id
         |FROM documents d
         |LEFT JOIN wide w ON d.doc_id = w.doc_id
         |LEFT JOIN ntok n ON d.doc_id = n.doc_id

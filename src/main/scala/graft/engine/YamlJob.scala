@@ -100,9 +100,24 @@ object YamlJob {
         * of exact content hashes. Batch mode only. */
       referenceNearDup: Option[Double] = None,
       contamination: Option[ContaminationSpec] = None,
+      /** `lang_id: {seed: <uri>, allow: [en, de], ...}` — train a
+        * char-n-gram NB language classifier on the labeled seed table
+        * and keep only documents predicted in the allow set. Per-row;
+        * works in batch AND stream mode. */
+      langId: Option[LangIdSpec] = None,
       tokenBudget: Option[Long] = None,
       tokenBudgetShards: Int = 64,
       shards: Option[ShardSpec] = None)
+
+  /** The `lang_id:` sub-map: `seed` is any graft source URI with a
+    * text column and a language-label column; `allow` is the kept
+    * label set. */
+  final case class LangIdSpec(
+      seedUri: String,
+      allow: Seq[String],
+      textColumn: String = "text",
+      labelColumn: String = "lang",
+      vocabSize: Int = 2000)
 
   /** Option wiring shared between the CLI flags and the YAML options
     * block — ONE definition so `--batch-size`/`batch_size` and
@@ -230,7 +245,7 @@ object YamlJob {
         "max_dup_word_frac", "max_dup_ngram_frac", "max_top_ngram_frac",
         "repetition_n", "sample_fraction", "persist_survivors",
         "observed", "bucket", "strip_html", "strip_markdown", "fix_mojibake", "normalize_unicode", "line_dedup_min_docs", "compression_band", "contamination",
-        "token_budget", "token_budget_shards", "shards",
+        "lang_id", "token_budget", "token_budget_shards", "shards",
         "mode", "ts_column", "dedup_horizon", "checkpoint", "trigger",
         "reference", "reference_near_dup")
       // misspelled knobs must be loud — a silently ignored
@@ -362,6 +377,33 @@ object YamlJob {
                 .map(v => doubleOpt("contamination.max", v)).getOrElse(0.2))
           case other => throw graft.core.GraftError.Configuration(
             s"curation contamination must be a map, got '$other'")
+        },
+        langId = c.get("lang_id").flatMap(Option(_)).map {
+          case m: JMap[_, _] =>
+            val mm = m.asInstanceOf[JMap[String, Object]].asScala
+            checkKeys("curation lang_id", mm.keySet,
+              Set("seed", "allow", "text_column", "label_column",
+                "vocab_size"))
+            val allow = mm.get("allow").flatMap(Option(_)) match {
+              case Some(l: java.util.List[_]) =>
+                l.asScala.toSeq.map(v => sub(String.valueOf(v)))
+              case Some(one) => Seq(sub(String.valueOf(one)))
+              case None => throw graft.core.GraftError.Configuration(
+                "curation lang_id needs an allow list")
+            }
+            LangIdSpec(
+              seedUri = sub(mm.getOrElse("seed",
+                throw graft.core.GraftError.Configuration(
+                  "curation lang_id needs a seed source")).toString),
+              allow = allow,
+              textColumn = mm.get("text_column").map(v => sub(v.toString))
+                .getOrElse("text"),
+              labelColumn = mm.get("label_column").map(v => sub(v.toString))
+                .getOrElse("lang"),
+              vocabSize = mm.get("vocab_size")
+                .map(v => intOpt("lang_id.vocab_size", v)).getOrElse(2000))
+          case other => throw graft.core.GraftError.Configuration(
+            s"curation lang_id must be a map, got '$other'")
         },
         tokenBudget = c.get("token_budget")
           .map(v => longOpt("token_budget", v)),

@@ -13,6 +13,8 @@ import org.apache.spark.sql.functions._
   *   3. [mojibake fix]   — repair cp1252-mangled UTF-8 artifacts;
   *   4. [NFC/NFKC]       — compose combining marks, so encoding
   *                         variants of one document hash identically;
+  *   4b. [lang-id]       — keep only allowed languages (char-n-gram
+  *                         NB over a trained seed, [[LangId]]);
   *   5. repetition       — drop degenerate documents (dup-word /
   *                         dup-n-gram / modal-n-gram thresholds);
   *   6. [line dedup]     — strip lines shared by >= K docs, so
@@ -91,6 +93,15 @@ object Curation {
         * (its counts fold into "after_repetition" in the observed
         * pipeline). */
       compressionBand: Option[(Double, Double)] = None,
+      /** When set, keep only documents whose [[LangId]] char-n-gram
+        * NB prediction lands in the allow set: (model, classStats)
+        * are the frames [[LangId.train]] returned (bounded:
+        * vocabSize × |classes| rows — compiled into literal in-plan
+        * maps), the Seq is the allowed labels. Runs with the other
+        * per-row text filters (after normalization, before the
+        * repetition filter). A pure projection+filter — no shuffle,
+        * streams unchanged in [[pipelineStream]]. */
+      langId: Option[(DataFrame, DataFrame, Seq[String])] = None,
       /** When set, rewrite surviving documents with
         * [[Paragraphs.dropCommon]] (drop lines recurring in >= this
         * many distinct docs) BETWEEN the repetition filter and exact
@@ -146,7 +157,8 @@ object Curation {
       if (cfg.fixMojibake) TextAnalysis.fixMojibake(afterStrip, textCol)
       else afterStrip
     val afterNorm = applyNormalize(afterFix, textCol, cfg)
-    val afterCompress = applyCompressionBand(afterNorm, textCol, cfg)
+    val afterLang = applyLangId(afterNorm, textCol, cfg)
+    val afterCompress = applyCompressionBand(afterLang, textCol, cfg)
     val afterRepetition0 = Repetition.filterRepetitive(afterCompress, textCol,
       cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,
       cfg.repetitionN)
@@ -269,7 +281,11 @@ object Curation {
       if (cfg.fixMojibake) TextAnalysis.fixMojibake(afterStrip, textCol)
       else afterStrip
     val afterNorm = applyNormalize(afterFix, textCol, cfg)
-    val afterCompress = applyCompressionBand(afterNorm, textCol, cfg)
+    // per-row projection+filter over literal in-plan maps — the
+    // structural reason lang-id streams while the corpus-wide stages
+    // above are rejected
+    val afterLang = applyLangId(afterNorm, textCol, cfg)
+    val afterCompress = applyCompressionBand(afterLang, textCol, cfg)
     val afterRepetition = Repetition.filterRepetitive(afterCompress, textCol,
       cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,
       cfg.repetitionN)
@@ -301,6 +317,14 @@ object Curation {
     if (cfg.sampleFraction >= 1.0) deduped
     else Sampling.byHash(deduped, idCol, cfg.sampleFraction, cfg.bucketFn)
   }
+
+  private def applyLangId(df: DataFrame, textCol: String,
+                          cfg: PipelineConfig): DataFrame =
+    cfg.langId match {
+      case Some((model, stats, allow)) =>
+        LangId.filterByLang(df, textCol, model, stats, allow)
+      case None => df
+    }
 
   private def applyCompressionBand(df: DataFrame, textCol: String,
                                    cfg: PipelineConfig): DataFrame =

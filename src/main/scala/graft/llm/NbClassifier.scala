@@ -43,15 +43,18 @@ object NbClassifier {
     * `oov_log_lik` floor, which equals the smoothed-zero likelihood;
     * classStats = `(label, log_prior, oov_log_lik)`, one row per
     * class. Deterministic on any cluster: the vocabulary cut is a
-    * total order (count desc, word asc). */
+    * total order (count desc, word asc). `tokenizer` swaps the
+    * feature extractor (default: the family's lowercase `\W+` word
+    * split; [[LangId]] passes char n-grams). */
   def train(df: DataFrame, textCol: String, labelCol: String,
             vocabSize: Int = 5000,
-            smoothing: Double = 1.0): (DataFrame, DataFrame) = {
+            smoothing: Double = 1.0,
+            tokenizer: Column => Column = tokens): (DataFrame, DataFrame) = {
     require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
     require(smoothing > 0.0, s"smoothing must be > 0: $smoothing")
     val labeled = df.where(colQ(labelCol).isNotNull)
     val toks = labeled.select(colQ(labelCol).as("label"),
-      explode(tokens(colQ(textCol))).as("word"))
+      explode(tokenizer(colQ(textCol))).as("word"))
     val vocab = toks.groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("word")).limit(vocabSize)
       .select("word")
