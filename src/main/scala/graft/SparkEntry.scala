@@ -1537,6 +1537,36 @@ object SparkEntry {
         "user_id", "ts")
     },
 
+    // --- truncated EWMA smoothing per user over the event value
+    // series: the bias-corrected EWM mean (pandas ewm adjust=True)
+    // over a FIXED-WIDTH window instead of the inherently sequential
+    // recursion (truncation drops < (1-α)^(L+1) of the weight mass),
+    // with the head renormalized so row 1 smooths to itself exactly.
+    // The oracle folds the identical position-weighted list. ---
+    "q_ewma" -> { (s, dir) =>
+      graft.operators.Ewma.smooth(
+        EventsStreaming.readEvents(s, dir)
+          .where(col("value").isNotNull)
+          .select(col("event_id"), col("user_id"), col("ts"),
+            col("value")),
+        "user_id", "event_id", "ts", "value",
+        alpha = 0.5, lookback = 8)
+        .select(col("event_id"), col("user_id"), col("ewma"))
+    },
+
+    // --- join-key skew diagnostics (the pre-flight for every 100 TB
+    // shuffle): profile a PLANTED hot-key distribution (3/4 of events
+    // collapse onto one key) — max/avg skew factor, top-10 mass,
+    // entropy ratio, and the salt factor the salted-agg remedy should
+    // use. The oracle recomputes every statistic from the same
+    // counts. ---
+    "q_skew_profile" -> { (s, dir) =>
+      val keyed = EventsStreaming.readEvents(s, dir)
+        .select(when(pmod(col("event_id"), lit(4)) =!= 0, lit("hot"))
+          .otherwise(col("event_type")).as("k"))
+      graft.operators.SkewProfile.profile(keyed, "k")
+    },
+
     // --- z-order clustering: the Morton z-value over (l_partkey,
     // l_suppkey) with probed bounds — the sort key behind OPTIMIZE
     // ZORDER-style multi-column data skipping. The value is pure
@@ -5209,6 +5239,61 @@ object SparkEntry {
         |    AS week_offset,
         |  count(*) AS n_users
         |FROM act GROUP BY 1, 2""".stripMargin,
+
+    // q_ewma: identical position-weighted fold over the same bounded
+    // ROWS frame — vals is frame-ordered (oldest→newest) in both
+    // engines, element i of n carries weight 0.5^(n-i), and the head
+    // renormalizes by the present weight mass (1 - 0.5^n)/0.5
+    "q_ewma" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, value,
+        |    list(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS vals
+        |  FROM events WHERE value IS NOT NULL
+        |)
+        |SELECT event_id, user_id,
+        |  floor(
+        |    list_sum(list_transform(range(1, len(vals) + 1),
+        |      i -> vals[i] * pow(0.5, len(vals) - i)))
+        |    / ((1 - pow(0.5, len(vals))) / 0.5)
+        |    * 1000000 + 0.5) / 1000000 AS ewma
+        |FROM w""".stripMargin,
+
+    // q_skew_profile: every statistic recomputed from the same
+    // keys-only counts; hot_key = smallest key among max-count ties;
+    // entropy H = ln(N) + (Σ -c·ln c)/N, reported as H/ln(n_keys)
+    "q_skew_profile" ->
+      """WITH keyed AS (
+        |  SELECT CASE WHEN event_id % 4 <> 0 THEN 'hot'
+        |              ELSE event_type END AS k
+        |  FROM events
+        |), cnt AS (
+        |  SELECT k, count(*) AS c FROM keyed GROUP BY k
+        |), tot AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS n_rows, count(*) AS n_keys,
+        |    max(c) AS max_count,
+        |    sum(-c * ln(CAST(c AS DOUBLE))) AS nh
+        |  FROM cnt
+        |), t10 AS (
+        |  SELECT CAST(sum(c) AS BIGINT) AS top10 FROM (
+        |    SELECT c FROM cnt ORDER BY c DESC, k ASC LIMIT 10)
+        |), hot AS (
+        |  SELECT min(k) AS hot_key FROM cnt, tot WHERE c = max_count
+        |)
+        |SELECT n_rows, n_keys, hot_key, max_count,
+        |  floor(CAST(n_rows AS DOUBLE) / n_keys * 1000000 + 0.5)
+        |    / 1000000 AS avg_count,
+        |  floor(max_count * CAST(n_keys AS DOUBLE) / n_rows * 1000000
+        |    + 0.5) / 1000000 AS skew_factor,
+        |  floor(CAST(top10 AS DOUBLE) / n_rows * 1000000 + 0.5)
+        |    / 1000000 AS top10_share,
+        |  CASE WHEN n_keys = 1 THEN 1.0
+        |       ELSE floor((ln(CAST(n_rows AS DOUBLE)) + nh / n_rows)
+        |         / ln(CAST(n_keys AS DOUBLE)) * 1000000 + 0.5) / 1000000
+        |  END AS entropy_ratio,
+        |  CAST(least(ceil(max_count * CAST(n_keys AS DOUBLE) / n_rows),
+        |    64) AS INTEGER) AS suggested_salt
+        |FROM tot, t10, hot""".stripMargin,
 
     "q_zorder" -> {
       def quantSql(c: String, mn: String, mx: String): String =
