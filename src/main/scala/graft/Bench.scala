@@ -24,7 +24,7 @@ import org.apache.spark.sql.SparkSession
   * regression is visible instead of drowned.
   *
   * Isolation pass (round-9): after a full-suite run, the N slowest
-  * successful queries (default 5; `--isolate N` or
+  * successful queries (default 10; `--isolate N` or
   * SPARK_GRAFT_BENCH_ISOLATE) are re-measured back-to-back in the
   * settled JVM and reported under "isolated" in both JSON lines —
   * full-suite medians still carry ±30% cross-query contention, so a
@@ -106,7 +106,7 @@ object Bench {
     val isolateN =
       if (isolateIdx >= 0) args(isolateIdx + 1).toInt
       else sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").map(_.toInt)
-        .getOrElse(if (queryArgs.isEmpty) 5 else 0)
+        .getOrElse(if (queryArgs.isEmpty) 10 else 0)
     val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
       if (queryArgs.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else queryArgs.map(n => n -> SparkEntry.queries.getOrElse(n,
@@ -122,6 +122,13 @@ object Bench {
     def settle(): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
+      System.gc()
+      // brief pause so the async context cleaner + reference processing
+      // actually reclaim the checkpoint blocks BEFORE the next timed
+      // section — System.gc alone only enqueues the references, and
+      // r9's scoreboard showed the backlog landing on later queries
+      // (q_dedup_connected 8.8s in-suite vs 3.5s isolated)
+      Thread.sleep(120)
       System.gc()
     }
     // (name, warmMedianSec, coldSec, ok). A failed query records its

@@ -27,10 +27,15 @@ import org.apache.spark.sql.functions._
   * the same reason (identical vectors across replicas would put every
   * replica of a point in one LSH bucket / k-means cell at cosine 1.0).
   *
-  * doc_id shift uses max(doc_id)+1 (≈5e3 at sf0.1), so scaled ids stay
-  * far below the +100000/+200000 offsets the engineered dedup corpora
-  * in SparkEntry add on top — no collision for factor ≤ ~19. Same
-  * argument for event_id vs q_dedup_first's +1e7 replay offset.
+  * Stride floors (round-10): SparkEntry's engineered corpora add
+  * +100000/+200000/+400000 offsets to doc_id (and +1e7 to event_id in
+  * q_dedup_first). With the natural stride max(key)+1 (≈5e3 docs at
+  * sf0.1) those offsets collide with replica ids above factor ~19, so
+  * the doc/user/vec strides are FLOORED at 1e6 and the event stride at
+  * 1e8: every replica owns a band wide enough that base ids plus any
+  * engineered offset stay inside it. Bands are sparse rather than
+  * dense, which no query depends on; replica membership is still
+  * id / stride.
   *
   * Usage: runMain graft.tools.ScaleRamp [baseDir] [outDir] [factor]
   */
@@ -53,9 +58,8 @@ object ScaleRamp {
     val baseDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
     val outDir = if (args.length > 1) args(1) else "/root/repo/target/scale10"
     val factor = if (args.length > 2) args(2).toInt else 10
-    require(factor >= 1 && factor <= 19,
-      s"factor must be in [1,19] (doc_id/event_id headroom vs the " +
-        s"engineered-corpus offsets in SparkEntry); got $factor")
+    require(factor >= 1 && factor <= 100,
+      s"factor must be in [1,100]; got $factor")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -85,11 +89,12 @@ object ScaleRamp {
         .parquet(s"$outDir/$name.parquet")
       println(s"[scale-ramp] wrote $name x$factor ($files files)")
     }
-    // one tiny driver-side max per key domain; stride = max+1 keeps ids
-    // dense (no overflow headroom games) and replica membership
-    // recoverable as id / stride
-    def stride(df: DataFrame, key: String): Long =
-      df.agg(max(col(key).cast("long"))).head.getLong(0) + 1L
+    // one tiny driver-side max per key domain; `floor` widens the band
+    // for domains the engineered corpora offset (see scaladoc) so a
+    // replica id plus any planted offset stays inside its own band
+    def stride(df: DataFrame, key: String, floor: Long = 1L): Long =
+      math.max(df.agg(max(col(key).cast("long"))).head.getLong(0) + 1L,
+        floor)
 
     val orders = read("orders")
     val lineitem = read("lineitem")
@@ -104,10 +109,10 @@ object ScaleRamp {
     val custS = stride(customer, "c_custkey")
     val suppS = stride(supplier, "s_suppkey")
     val partS = stride(part, "p_partkey")
-    val eventS = stride(events, "event_id")
-    val userS = stride(events, "user_id")
-    val docS = stride(documents, "doc_id")
-    val vecS = stride(embeddings, "vec_id")
+    val eventS = stride(events, "event_id", floor = 100000000L)
+    val userS = stride(events, "user_id", floor = 1000000L)
+    val docS = stride(documents, "doc_id", floor = 1000000L)
+    val vecS = stride(embeddings, "vec_id", floor = 1000000L)
 
     // dimensions: verbatim copy (they do not scale with the fact data)
     write(read("region"), "region")
