@@ -1483,6 +1483,66 @@ object SparkEntry {
         "l_quantity", "o_totalprice", "l_linenumber")
     },
 
+    // --- day-weighted calendar-month revenue recognition: each line
+    // item's price spread across the months between order and ship
+    // date, day-proportional, with whole-cent shares reconciling
+    // EXACTLY to the line total (month explode composed with the
+    // largest-remainder prorator). The oracle replays the month
+    // generation, the day overlaps, and the Hamilton arithmetic. ---
+    "q_recognition" -> { (s, dir) =>
+      // the synthetic generator enforces neither TPC-H's unique
+      // (orderkey, linenumber) nor ship-after-order — pre-aggregate
+      // to a unique line key (exact DECIMAL value sum) and scope to
+      // real spans; inverted spans are loud data bugs to the operator
+      val li = t(s, dir, "lineitem")
+        .filter(pmod(col("l_orderkey"), lit(7)) === 0)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(max(col("l_shipdate")).as("ship"),
+          sum(col("l_extendedprice").cast(
+            org.apache.spark.sql.types.DecimalType(18, 4)))
+            .cast("double").as("val"))
+        .select((col("l_orderkey") * 8 + col("l_linenumber"))
+          .as("line_id"), col("l_orderkey"), col("ship"), col("val"))
+      val ord = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_orderdate"))
+      val contracts = li
+        .join(ord, li("l_orderkey") === ord("o_orderkey"))
+        .where(col("ship") >= col("o_orderdate"))
+        .select(col("line_id"), col("o_orderdate"), col("ship"),
+          col("val"))
+      graft.operators.Recognition.byMonth(contracts, "line_id",
+          "o_orderdate", "ship", "val")
+        // timestamp for the compare: pandas reads a DuckDB DATE as
+        // datetime64 while a Spark DATE stays a date object
+        .withColumn("month_start", col("month_start").cast("timestamp"))
+    },
+
+    // --- feature hashing (Weinberger ICML'09 hashing trick): sparse
+    // signed token features with NO vocabulary and NO driver state —
+    // the portable polynomial-31 hash makes bucket and sign exact
+    // integer arithmetic the oracle replays per token. ---
+    "q_feature_hash" -> { (s, dir) =>
+      graft.llm.FeatureHash.vectorize(
+        t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(4)) === 0)
+          .select(col("doc_id"), col("text")),
+        "doc_id", "text", nBuckets = 64)
+    },
+
+    // --- deterministic negative sampling for contrastive pairs:
+    // planted (q, q+1) positives draw 4 corpus negatives each via the
+    // portable hash into the id-ranked candidate table (parallel
+    // prefix-sum rank, not a single-reducer row_number); accidental
+    // positive/self hits drop, per the documented contract. ---
+    "q_negative_sample" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"))
+      val positives = docs.filter(pmod(col("doc_id"), lit(5)) === 0)
+        .select(col("doc_id").as("q_id"),
+          (col("doc_id") + 1).as("pos_id"))
+      graft.llm.NegativeSampling.negatives(
+        positives, docs, "q_id", "pos_id", "doc_id", k = 4)
+    },
+
     // --- 2-D skyline / Pareto frontier per brand: the undominated
     // parts maximizing size while minimizing price. Sort-based
     // identity over a range-partitioned parallel prefix best — no
@@ -5176,6 +5236,100 @@ object SparkEntry {
         |  CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
         |    AS allocated
         |FROM r""".stripMargin,
+
+    // q_recognition: month explode + day overlaps + the same Hamilton
+    // arithmetic as q_prorate, keyed by line with month_start as the
+    // tie-break — whole-cent shares reconcile exactly per line
+    "q_recognition" ->
+      """WITH li AS (
+        |  SELECT l_orderkey, l_linenumber, max(l_shipdate) AS ship,
+        |    CAST(sum(CAST(l_extendedprice AS DECIMAL(18,4)))
+        |      AS DOUBLE) AS val
+        |  FROM lineitem WHERE l_orderkey % 7 = 0
+        |  GROUP BY 1, 2
+        |), c AS (
+        |  SELECT l_orderkey * 8 + l_linenumber AS line_id,
+        |    o_orderdate AS s, ship AS e, val
+        |  FROM li JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE ship >= o_orderdate
+        |), m AS (
+        |  SELECT line_id, val, s, e,
+        |    CAST(unnest(generate_series(date_trunc('month', s),
+        |      date_trunc('month', e), INTERVAL 1 MONTH)) AS DATE) AS ms
+        |  FROM c
+        |), d AS (
+        |  SELECT line_id, val, ms AS month_start,
+        |    CAST(date_diff('day', greatest(s, ms),
+        |      least(e, last_day(ms))) + 1 AS BIGINT) AS days
+        |  FROM m
+        |), j AS (
+        |  SELECT *, CAST(floor(val * 100.0 + 0.5) AS BIGINT) AS ti
+        |  FROM d
+        |), w AS (
+        |  SELECT *, sum(days) OVER (PARTITION BY line_id) AS wsum FROM j
+        |), f AS (
+        |  SELECT *, (ti * days) // wsum AS fl, (ti * days) % wsum AS rem
+        |  FROM w
+        |), r AS (
+        |  SELECT *, ti - sum(fl) OVER (PARTITION BY line_id) AS leftover,
+        |    row_number() OVER (PARTITION BY line_id
+        |      ORDER BY rem DESC, month_start, days) AS rk
+        |  FROM f
+        |)
+        |SELECT line_id, CAST(month_start AS TIMESTAMP) AS month_start,
+        |  days,
+        |  CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
+        |    AS recognized
+        |FROM r""".stripMargin,
+
+    // q_feature_hash: per-token polynomial-31 fold mod P replayed with
+    // list_reduce (0 prepended as the initial accumulator), bucket =
+    // h mod 64, sign = parity of h div 64
+    "q_feature_hash" ->
+      """WITH tok AS (
+        |  SELECT doc_id, unnest(list_filter(
+        |    regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) > 0)) AS w
+        |  FROM documents WHERE doc_id % 4 = 0
+        |), h AS (
+        |  SELECT doc_id, list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(w) + 1),
+        |        i -> CAST(ascii(substr(w, i, 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 2147483647) AS hv
+        |  FROM tok
+        |)
+        |SELECT doc_id, hv % 64 AS bucket,
+        |  CAST(sum(CASE WHEN (hv // 64) % 2 = 0 THEN 1 ELSE -1 END)
+        |    AS BIGINT) AS weight
+        |FROM h GROUP BY 1, 2""".stripMargin,
+
+    // q_negative_sample: rank = row_number over id order (the engine
+    // computes the same rank with parallel prefix sums), target =
+    // portable Knuth hash of (q*31 + j + seed) folded mod n;
+    // positive/self collisions drop on both sides
+    "q_negative_sample" ->
+      """WITH cand AS (
+        |  SELECT DISTINCT doc_id FROM documents
+        |), n AS (
+        |  SELECT count(*) AS n FROM cand
+        |), ranked AS (
+        |  SELECT doc_id AS neg,
+        |    row_number() OVER (ORDER BY doc_id) - 1 AS rank
+        |  FROM cand
+        |), probes AS (
+        |  SELECT doc_id AS q_id, doc_id + 1 AS pos_id,
+        |    unnest(range(1, 5)) AS j
+        |  FROM documents WHERE doc_id % 5 = 0
+        |), t AS (
+        |  SELECT q_id, pos_id, CAST(j AS INTEGER) AS neg_idx,
+        |    ((((q_id * 31 + j + 42) % 1000000007) * 2654435761)
+        |      % 1000000007 % 1000000) % n.n AS rank
+        |  FROM probes, n
+        |)
+        |SELECT t.q_id, t.pos_id, t.neg_idx, r.neg AS neg_doc_id
+        |FROM t JOIN ranked r USING (rank)
+        |WHERE r.neg <> t.pos_id AND r.neg <> t.q_id""".stripMargin,
 
     // q_skyline: textbook NOT-EXISTS dominance — ground truth the
     // sort-based engine formulation must reproduce exactly (price
