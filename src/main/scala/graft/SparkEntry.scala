@@ -1483,6 +1483,34 @@ object SparkEntry {
         "l_quantity", "o_totalprice", "l_linenumber")
     },
 
+    // --- leave-one-out target encoding with additive smoothing (the
+    // CatBoost/Kaggle high-cardinality categorical feature): encode
+    // each order's customer by the mean total of the customer's OTHER
+    // orders, shrunk toward the global prior — LOO is the leakage
+    // control, smoothing the rare-category control. Exact DECIMAL
+    // sums; one hash exchange on the category. ---
+    "q_target_encode" -> { (s, dir) =>
+      graft.operators.TargetEncode.looEncode(
+        t(s, dir, "orders").select(col("o_orderkey"), col("o_custkey"),
+          col("o_totalprice")),
+        "o_custkey", "o_totalprice")
+        .select(col("o_orderkey"), col("o_custkey"), col("target_enc"))
+    },
+
+    // --- per-key two-feature OLS (price ~ quantity + discount per
+    // return flag): nine exact integer moments, Cramer determinants
+    // in exact DECIMAL(38,0) (HUGEINT in the oracle), doubles only at
+    // the final divisions — Trend's replayability contract one
+    // regressor up. ---
+    "q_ols2" -> { (s, dir) =>
+      val li = t(s, dir, "lineitem").select(col("l_returnflag"),
+        floor(col("l_quantity") + 0.5).cast("long").as("qty"),
+        floor(col("l_discount") * 100 + 0.5).cast("long").as("disc_pct"),
+        floor(col("l_extendedprice") + 0.5).cast("long").as("price_usd"))
+      graft.operators.Regression.fit2(li, Seq("l_returnflag"),
+        "qty", "disc_pct", "price_usd")
+    },
+
     // --- day-weighted calendar-month revenue recognition: each line
     // item's price spread across the months between order and ship
     // date, day-proportional, with whole-cent shares reconciling
@@ -5236,6 +5264,87 @@ object SparkEntry {
         |  CAST(fl + CASE WHEN rk <= leftover THEN 1 ELSE 0 END AS BIGINT)
         |    AS allocated
         |FROM r""".stripMargin,
+
+    // q_target_encode: LOO window sums per category in exact decimals,
+    // the same double-op order as the engine (cast-to-double AFTER the
+    // decimal subtraction), prior from one global decimal sum
+    "q_target_encode" ->
+      """WITH g AS (
+        |  SELECT CAST(sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |    AS DOUBLE) AS gs, count(o_totalprice) AS gn
+        |  FROM orders
+        |), c AS (
+        |  SELECT o_orderkey, o_custkey,
+        |    CAST(o_totalprice AS DECIMAL(38,6)) AS y,
+        |    sum(CAST(o_totalprice AS DECIMAL(38,6)))
+        |      OVER (PARTITION BY o_custkey) AS s,
+        |    count(o_totalprice) OVER (PARTITION BY o_custkey) AS n
+        |  FROM orders
+        |)
+        |SELECT o_orderkey, o_custkey,
+        |  floor((CAST(s - y AS DOUBLE) + 20.0 * (g.gs / g.gn))
+        |    / (n - 1 + 20.0) * 1000000 + 0.5) / 1000000 AS target_enc
+        |FROM c, g""".stripMargin,
+
+    // q_ols2: the nine moments re-accumulated exactly (DuckDB BIGINT
+    // sums promote to HUGEINT), Cramer determinants in HUGEINT, and
+    // the same fixed double sequence for coefficients and r2
+    "q_ols2" ->
+      """WITH b AS (
+        |  SELECT l_returnflag,
+        |    CAST(floor(l_quantity + 0.5) AS BIGINT) AS x1,
+        |    CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS x2,
+        |    CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS y
+        |  FROM lineitem
+        |  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+        |    AND l_extendedprice IS NOT NULL
+        |), m AS (
+        |  SELECT l_returnflag, count(*) AS n,
+        |    CAST(sum(x1) AS HUGEINT) AS s1, CAST(sum(x2) AS HUGEINT) AS s2,
+        |    CAST(sum(y) AS HUGEINT) AS sy,
+        |    CAST(sum(x1*x1) AS HUGEINT) AS s11,
+        |    CAST(sum(x2*x2) AS HUGEINT) AS s22,
+        |    CAST(sum(x1*x2) AS HUGEINT) AS s12,
+        |    CAST(sum(x1*y) AS HUGEINT) AS s1y,
+        |    CAST(sum(x2*y) AS HUGEINT) AS s2y,
+        |    CAST(sum(y*y) AS HUGEINT) AS syy
+        |  FROM b GROUP BY 1
+        |), d AS (
+        |  SELECT *,
+        |    CAST(n AS HUGEINT) * (s11*s22 - s12*s12)
+        |      - s1 * (s1*s22 - s12*s2) + s2 * (s1*s12 - s11*s2) AS det,
+        |    sy * (s11*s22 - s12*s12)
+        |      - s1 * (s1y*s22 - s12*s2y) + s2 * (s1y*s12 - s11*s2y) AS det0,
+        |    CAST(n AS HUGEINT) * (s1y*s22 - s12*s2y)
+        |      - sy * (s1*s22 - s12*s2) + s2 * (s1*s2y - s1y*s2) AS det1,
+        |    CAST(n AS HUGEINT) * (s11*s2y - s1y*s12)
+        |      - s1 * (s1*s2y - s1y*s2) + sy * (s1*s12 - s11*s2) AS det2
+        |  FROM m
+        |), co AS (
+        |  SELECT *,
+        |    CASE WHEN n >= 3 AND det <> 0
+        |      THEN CAST(det0 AS DOUBLE) / CAST(det AS DOUBLE) END AS b0,
+        |    CASE WHEN n >= 3 AND det <> 0
+        |      THEN CAST(det1 AS DOUBLE) / CAST(det AS DOUBLE) END AS b1,
+        |    CASE WHEN n >= 3 AND det <> 0
+        |      THEN CAST(det2 AS DOUBLE) / CAST(det AS DOUBLE) END AS b2
+        |  FROM d
+        |), rr AS (
+        |  SELECT *,
+        |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+        |      / CAST(n AS DOUBLE) AS sst,
+        |    CAST(syy AS DOUBLE) - b0 * CAST(sy AS DOUBLE)
+        |      - b1 * CAST(s1y AS DOUBLE) - b2 * CAST(s2y AS DOUBLE) AS sse
+        |  FROM co
+        |)
+        |SELECT l_returnflag, n,
+        |  floor(b0 * 1000000 + 0.5) / 1000000 AS b0,
+        |  floor(b1 * 1000000 + 0.5) / 1000000 AS b1,
+        |  floor(b2 * 1000000 + 0.5) / 1000000 AS b2,
+        |  CASE WHEN n >= 3 AND det <> 0 AND sst > 0
+        |    THEN floor((1.0 - sse / sst) * 1000000 + 0.5) / 1000000
+        |  END AS r2
+        |FROM rr""".stripMargin,
 
     // q_recognition: month explode + day overlaps + the same Hamilton
     // arithmetic as q_prorate, keyed by line with month_start as the
