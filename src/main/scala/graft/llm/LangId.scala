@@ -18,13 +18,15 @@ import org.apache.spark.sql.functions._
   *
   * Scoring is deliberately NOT the explode+groupBy shape: the trained
   * model is BOUNDED by construction (vocabSize × |classes| rows), so
-  * [[scoreExprs]] compiles it into literal in-plan maps and scores each
-  * document with one `aggregate` over its gram array — a pure PER-ROW
-  * projection. That buys two things at 100 TB: no shuffle at all on
-  * the scoring pass (the explode shape shuffles one row per token for
-  * the groupBy), and structural batch/stream parity — the same Column
-  * works in a streaming micro-batch, which is what lets the curation
-  * pipeline's `lang_id:` stage run in `mode: stream` unchanged.
+  * it compiles into a native one-pass expression
+  * ([[graft.functions.LangScoreExprs.LangNbScores]] — codegen'd,
+  * HashMap-backed, one gram materialization per position) and each
+  * document scores in a pure PER-ROW projection. That buys two things
+  * at 100 TB: no shuffle at all on the scoring pass (the explode
+  * shape shuffles one row per token for the groupBy), and structural
+  * batch/stream parity — the same Column works in a streaming
+  * micro-batch, which is what lets the curation pipeline's `lang_id:`
+  * stage run in `mode: stream` unchanged.
   *
   * Determinism: gram arrays are generated in document order and
   * `aggregate` folds sequentially, so per-document scores are one fixed
@@ -34,67 +36,57 @@ object LangId {
 
   /** Lowercased character n-grams for each n (default 2 and 3),
     * concatenated in ascending-n order, each n's grams in document
-    * order. Text shorter than n contributes no n-grams (empty array,
-    * never a descending `sequence`). Spaces are kept — " t" vs "t "
-    * is real boundary signal, exactly as fastText keeps it. */
+    * order. Text shorter than n contributes no n-grams. Spaces are
+    * kept — " t" vs "t " is real boundary signal, exactly as fastText
+    * keeps it. Native one-pass expression: the transform+substr
+    * Column spelling re-walks the codepoint-addressed string per
+    * window — O(len²) per document, which dominated training. */
   def charNgrams(text: Column, ns: Seq[Int] = Seq(2, 3)): Column = {
     require(ns.nonEmpty && ns.forall(_ >= 1),
       s"charNgrams needs n >= 1: $ns")
-    val norm = lower(text)
-    val parts = ns.map { n =>
-      when(length(norm) >= n,
-          transform(sequence(lit(1), length(norm) - lit(n - 1)),
-            i => norm.substr(i, lit(n))))
-        .otherwise(array().cast("array<string>"))
-    }
-    if (parts.size == 1) parts.head else concat(parts: _*)
+    graft.functions.LangScoreExprs.lang_char_ngrams(text, ns)
   }
 
   /** [[NbClassifier.train]] over char n-grams. Model frames have the
     * same contract: (word=gram, label, log_lik) + (label, log_prior,
-    * oov_log_lik). */
+    * oov_log_lik) — returned MATERIALIZED (eager localCheckpoint):
+    * they are bounded (vocabSize × |classes| rows) and every consumer
+    * — [[scoreAll]]'s compile collect, the curation stage, a second
+    * scoring pass — would otherwise re-run the corpus-scale training
+    * lineage per action (measured: 4 re-runs ≈ the whole q_lang_id
+    * cost). */
   def train(df: DataFrame, textCol: String, labelCol: String,
             vocabSize: Int = 2000, smoothing: Double = 1.0,
-            ns: Seq[Int] = Seq(2, 3)): (DataFrame, DataFrame) =
-    NbClassifier.train(df, textCol, labelCol, vocabSize, smoothing,
-      tokenizer = charNgrams(_, ns))
+            ns: Seq[Int] = Seq(2, 3)): (DataFrame, DataFrame) = {
+    val (model, stats) = NbClassifier.train(df, textCol, labelCol,
+      vocabSize, smoothing, tokenizer = charNgrams(_, ns))
+    (model.localCheckpoint(true), stats.localCheckpoint(true))
+  }
 
-  /** Compile the bounded model into per-class score Columns over a
-    * PREPARED gram-array column: (labels asc, score exprs). One
-    * bounded driver collect — vocabSize × |classes| rows, the
-    * documented model-table family — then everything is literal
-    * in-plan state: `score_c = prior_c + aggregate(grams, Σ
-    * coalesce(map_c[gram], oov_c))`.
-    *
-    * Callers MUST bind these to real columns in one projection and
-    * compute the argmax over the column REFERENCES in a second: an
-    * argmax built directly over the aggregate expressions duplicates
-    * each one 2^|classes| times through the when-fold (measured: the
-    * inlined form ran 170s where the two-projection form runs in
-    * single-digit seconds at the same scale). */
-  def scoreExprs(grams: Column, model: DataFrame, classStats: DataFrame)
-      : (Seq[String], Seq[Column]) = {
+  /** Compile the bounded model to driver-side arrays for the native
+    * scorer: (labels asc, priors, oov floors, gram → per-class
+    * likelihood vector). One bounded driver collect — vocabSize ×
+    * |classes| rows, the documented model-table family. Absent
+    * (gram, class) pairs take the class's OOV floor inside the
+    * vector, so a vocab HIT costs |classes| adds and a MISS costs the
+    * same via the shared floor array. */
+  private def compile(model: DataFrame, classStats: DataFrame)
+      : (Seq[String], Array[Double], Array[Double],
+         Seq[(String, Array[Double])]) = {
     val st = classStats.select("label", "log_prior", "oov_log_lik")
       .collect()
       .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
       .sortBy(_._1)
     require(st.nonEmpty, "classStats is empty — train() saw no labels")
-    // bounded by the train() contract: at most vocabSize rows per class
-    val lik: Map[String, Map[String, Double]] = model
-      .select("label", "word", "log_lik").collect()
-      .groupBy(_.getString(0))
-      .map { case (l, rows) =>
-        l -> rows.map(r => r.getString(1) -> r.getDouble(2)).toMap
-      }
-    val scores = st.map { case (l, prior, oov) =>
-      val m = lik.getOrElse(l, Map.empty)
-      val table =
-        if (m.isEmpty) lit(null).cast("map<string,double>")
-        else typedlit(m)
-      aggregate(grams, lit(prior),
-        (acc, g) => acc + coalesce(element_at(table, g), lit(oov)))
+    val labels = st.map(_._1).toSeq
+    val idx = labels.zipWithIndex.toMap
+    val oov = st.map(_._3)
+    val vectors = new scala.collection.mutable.HashMap[String, Array[Double]]
+    model.select("word", "label", "log_lik").collect().foreach { r =>
+      val v = vectors.getOrElseUpdate(r.getString(0), oov.clone())
+      v(idx(r.getString(1))) = r.getDouble(2)
     }
-    (st.map(_._1).toSeq, scores.toSeq)
+    (labels, st.map(_._2), oov, vectors.toSeq.sortBy(_._1))
   }
 
   /** Argmax over ALREADY-MATERIALIZED score columns, ties to the
@@ -107,16 +99,23 @@ object LangId {
           when(s > bestS, lit(l)).otherwise(bestL))
     }._2
 
-  /** Internal: (df + __lang_grams/__lang_s_<label> columns, labels). */
+  /** Internal: (df + __lang_sv/__lang_s_<label> columns, labels).
+    * Scoring is ONE native one-pass expression per row
+    * ([[graft.functions.LangScoreExprs.LangNbScores]] — O(1) HashMap
+    * probes; the literal-map Column spelling's element_at is a linear
+    * scan that measured 12s where this runs sub-second), bound to a
+    * real column before the argmax so the when-fold never duplicates
+    * the scorer (the 2^|classes| blowup documented below). */
   private def scored(df: DataFrame, textCol: String, model: DataFrame,
                      classStats: DataFrame): (DataFrame, Seq[String]) = {
-    Guards.requireFreshColumns(df, Seq("__lang_grams"), "LangId")
-    val withGrams = df.withColumn("__lang_grams",
-      charNgrams(col(textCol)))
-    val (labels, scores) =
-      scoreExprs(col("__lang_grams"), model, classStats)
-    val bound = labels.zip(scores).foldLeft(withGrams) {
-      case (d, (l, s)) => d.withColumn(s"__lang_s_$l", s)
+    Guards.requireFreshColumns(df, Seq("__lang_sv"), "LangId")
+    val (labels, priors, oov, likFlat) = compile(model, classStats)
+    val withVec = df.withColumn("__lang_sv",
+      graft.functions.LangScoreExprs.lang_nb_scores(
+        col(textCol), labels, priors, oov, likFlat))
+    val bound = labels.zipWithIndex.foldLeft(withVec) {
+      case (d, (l, i)) =>
+        d.withColumn(s"__lang_s_$l", element_at(col("__lang_sv"), i + 1))
     }
     (bound, labels)
   }
@@ -131,8 +130,12 @@ object LangId {
     val scoreCols = labels.map(l =>
       round(col(s"__lang_s_$l"), roundTo).as(s"score_$l"))
     val predicted = argmax(labels.map(l => l -> col(s"__lang_s_$l")))
-    bound.select(col(idCol) +:
-      size(col("__lang_grams")).cast("long").as("n_grams") +:
+    // gram count is pure arithmetic — (len-1)+(len-2) clamped at 0 —
+    // so no gram array ever materializes on the scoring path
+    val len = length(col(textCol))
+    val nGrams = (greatest(len - 1, lit(0)) + greatest(len - 2, lit(0)))
+      .cast("long")
+    bound.select(col(idCol) +: nGrams.as("n_grams") +:
       scoreCols :+ predicted.as("lang_id"): _*)
   }
 
@@ -144,7 +147,7 @@ object LangId {
     val (bound, labels) = scored(df, textCol, model, classStats)
     bound
       .withColumn(outCol, argmax(labels.map(l => l -> col(s"__lang_s_$l"))))
-      .drop("__lang_grams" +: labels.map(l => s"__lang_s_$l"): _*)
+      .drop("__lang_sv" +: labels.map(l => s"__lang_s_$l"): _*)
   }
 
   /** Keep only rows whose predicted language is in `allow` — the
