@@ -119,7 +119,7 @@ object Bench {
     // queries' warm runs (q_dedup_connected measured 3.9x its isolated
     // time from exactly this). Dropping persistent RDDs + one GC per
     // query bounds the cross-query contamination.
-    def settle(): Unit = {
+    def settle(pauseMs: Long = 120): Unit = {
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       System.gc()
@@ -128,16 +128,17 @@ object Bench {
       // section — System.gc alone only enqueues the references, and
       // r9's scoreboard showed the backlog landing on later queries
       // (q_dedup_connected 8.8s in-suite vs 3.5s isolated)
-      Thread.sleep(120)
+      Thread.sleep(pauseMs)
       System.gc()
     }
     // (name, warmMedianSec, coldSec, ok). A failed query records its
     // elapsed-to-failure (not 0.0) so totals aren't silently deflated —
     // the "failed" list plus the exit code carry the failure signal.
     def timeQuery(name: String,
-                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+                  fn: (SparkSession, String) => org.apache.spark.sql.DataFrame,
+                  pauseMs: Long = 120)
         : (String, Double, Double, Boolean) = {
-      settle()
+      settle(pauseMs)
       def once(): (Either[String, Unit], Double) = {
         val t0 = System.nanoTime()
         val r = try { fn(spark, sfDir).count(); Right(()) }
@@ -153,7 +154,7 @@ object Bench {
           // (the dedup fixpoint) would otherwise feed its run-N blocks
           // into run N+1's timing — the same contamination mechanism,
           // one level down
-          val warm = (2 to iters).map { _ => settle(); once() }
+          val warm = (2 to iters).map { _ => settle(pauseMs); once() }
           warm.collectFirst { case (Left(msg), elapsed) => (msg, elapsed) } match {
             case Some((msg, elapsed)) =>
               System.err.println(s"[bench] $name FAILED (warm rerun): $msg")
@@ -184,10 +185,26 @@ object Bench {
     // scoreboard of record is "queries"; "isolated" is the outlier
     // tiebreaker — a query whose isolated figure is far under its
     // in-suite one was contention, not plan cost.
+    //
+    // The isolated pass settles DEEPER (750ms pause vs the suite's
+    // 120ms): these are by construction the ten heaviest queries run
+    // back-to-back, and r10 showed the 120ms settle does not clear
+    // their shuffle/GC backlog — q_cosine_join read 9.09s isolated vs
+    // 5.58s in-suite, a 63% UPWARD move in the pass meant to strip
+    // contention. The tiebreaker must be at least as clean as the
+    // numbers it arbitrates.
+    //
+    // Bench note (r9→r10 q_cosine_join): the isolated figure rose
+    // 5.26s → 9.09s when the vocabulary join moved from a mandatory
+    // broadcast to a plain shuffled equi-join. That is the documented
+    // PRICE of the scale fix, not a regression: at the 10× ramp the
+    // shuffled plan is already 13% FASTER than the broadcast one
+    // (SCALING.md §Round-10) — sf0.1 pays for the 100×-safe shape.
     val isolated: Seq[(String, Double)] =
       keyed.filter(_._4).sortBy(-_._2).take(isolateN).map { case (key, _, _, _) =>
         val base = key.takeWhile(_ != '#')
-        val (_, med, _, _) = timeQuery(base, SparkEntry.queries(base))
+        val (_, med, _, _) =
+          timeQuery(base, SparkEntry.queries(base), pauseMs = 750)
         (key, med)
       }
     // round to 0.1ms: halves the line length of the 70-query maps —

@@ -28,8 +28,12 @@ import org.apache.spark.sql.functions._
   * that feeds a broadcast-able weight vector at serving time. */
 object FeatureHash {
 
-  /** Large prime below 2^31 (same as [[Sampling]]'s P): fold state
-    * stays < P so `state·31 + cp` < 2^36 — exact in any BIGINT. */
+  /** Large prime below 2^31 — same portable-prime TECHNIQUE as
+    * [[Sampling]]'s P but a deliberately DIFFERENT modulus
+    * (2^31-1 here vs Sampling's 1000000007): the q_feature_hash
+    * DuckDB oracle hard-codes this constant, so do NOT "unify" them.
+    * Fold state stays < P so `state·31 + cp` < 2^36 — exact in any
+    * BIGINT. */
   private val P = 2147483647L
 
   /** Polynomial-31 string hash mod P over codepoints, as a portable

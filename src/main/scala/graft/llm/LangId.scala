@@ -107,12 +107,13 @@ object LangId {
     * real column before the argmax so the when-fold never duplicates
     * the scorer (the 2^|classes| blowup documented below). */
   private def scored(df: DataFrame, textCol: String, model: DataFrame,
-                     classStats: DataFrame): (DataFrame, Seq[String]) = {
+                     classStats: DataFrame,
+                     ns: Seq[Int]): (DataFrame, Seq[String]) = {
     Guards.requireFreshColumns(df, Seq("__lang_sv"), "LangId")
     val (labels, priors, oov, likFlat) = compile(model, classStats)
     val withVec = df.withColumn("__lang_sv",
       graft.functions.LangScoreExprs.lang_nb_scores(
-        col(textCol), labels, priors, oov, likFlat))
+        col(textCol), labels, priors, oov, likFlat, ns))
     val bound = labels.zipWithIndex.foldLeft(withVec) {
       case (d, (l, i)) =>
         d.withColumn(s"__lang_s_$l", element_at(col("__lang_sv"), i + 1))
@@ -122,19 +123,22 @@ object LangId {
 
   /** Gate/report surface: id + n_grams + per-class rounded scores +
     * `lang_id` (argmax, unrounded, ties to first label asc). Pure
-    * per-row projections — no shuffle, streams unchanged. */
+    * per-row projections — no shuffle, streams unchanged. `ns` must
+    * match the value passed to [[train]] — scoring with a different
+    * gram set than the model's vocab collapses every gram to the OOV
+    * floor. */
   def scoreAll(df: DataFrame, idCol: String, textCol: String,
                model: DataFrame, classStats: DataFrame,
-               roundTo: Int = 6): DataFrame = {
-    val (bound, labels) = scored(df, textCol, model, classStats)
+               roundTo: Int = 6, ns: Seq[Int] = Seq(2, 3)): DataFrame = {
+    val (bound, labels) = scored(df, textCol, model, classStats, ns)
     val scoreCols = labels.map(l =>
       round(col(s"__lang_s_$l"), roundTo).as(s"score_$l"))
     val predicted = argmax(labels.map(l => l -> col(s"__lang_s_$l")))
-    // gram count is pure arithmetic — (len-1)+(len-2) clamped at 0 —
+    // gram count is pure arithmetic — sum over n of max(len-n+1, 0) —
     // so no gram array ever materializes on the scoring path
     val len = length(col(textCol))
-    val nGrams = (greatest(len - 1, lit(0)) + greatest(len - 2, lit(0)))
-      .cast("long")
+    val nGrams = ns.map(n => greatest(len - (n - 1), lit(0)))
+      .reduce(_ + _).cast("long")
     bound.select(col(idCol) +: nGrams.as("n_grams") +:
       scoreCols :+ predicted.as("lang_id"): _*)
   }
@@ -142,9 +146,10 @@ object LangId {
   /** Append one `outCol` column with the predicted language — the
     * pipeline-stage form (keeps every input column). */
   def label(df: DataFrame, textCol: String, model: DataFrame,
-            classStats: DataFrame, outCol: String = "lang_id"): DataFrame = {
+            classStats: DataFrame, outCol: String = "lang_id",
+            ns: Seq[Int] = Seq(2, 3)): DataFrame = {
     Guards.requireFreshColumns(df, Seq(outCol), "LangId.label")
-    val (bound, labels) = scored(df, textCol, model, classStats)
+    val (bound, labels) = scored(df, textCol, model, classStats, ns)
     bound
       .withColumn(outCol, argmax(labels.map(l => l -> col(s"__lang_s_$l"))))
       .drop("__lang_sv" +: labels.map(l => s"__lang_s_$l"): _*)
@@ -154,10 +159,11 @@ object LangId {
     * curation `lang_id:` stage body. Per-row; no new columns on the
     * output. */
   def filterByLang(df: DataFrame, textCol: String, model: DataFrame,
-                   classStats: DataFrame, allow: Seq[String]): DataFrame = {
+                   classStats: DataFrame, allow: Seq[String],
+                   ns: Seq[Int] = Seq(2, 3)): DataFrame = {
     require(allow.nonEmpty, "lang_id filter needs a non-empty allow set")
     Guards.requireFreshColumns(df, Seq("__lang_pred"), "LangId.filterByLang")
-    val labeled = label(df, textCol, model, classStats, "__lang_pred")
+    val labeled = label(df, textCol, model, classStats, "__lang_pred", ns)
     val labels = classStats.select("label").collect()
       .map(_.getString(0)).toSeq
     val unknown = allow.filterNot(labels.contains)

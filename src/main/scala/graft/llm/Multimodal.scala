@@ -306,8 +306,13 @@ object Multimodal {
       new String(b, i.toInt, 4, java.nio.charset.StandardCharsets.US_ASCII)
 
     /** Direct children (type, payloadStart, boxEnd) of [start, end);
-      * Nil on any malformed size so callers treat it as no-match. */
-    private def boxes(b: Array[Byte], start: Long, end: Long)
+      * Nil on any malformed size so callers treat it as no-match.
+      * `keepPrefix` (the lenient TOP-LEVEL walk only) instead returns
+      * the boxes parsed BEFORE the malformed/overrunning one — the
+      * truncated-download shape, where an intact moov precedes a
+      * cut-short mdat; nested walks stay strict. */
+    private def boxes(b: Array[Byte], start: Long, end: Long,
+                      keepPrefix: Boolean = false)
         : List[(String, Long, Long)] = {
       var i = start
       val out = List.newBuilder[(String, Long, Long)]
@@ -316,10 +321,12 @@ object Multimodal {
         val (payload, boxEnd) =
           if (size0 == 0L) (i + 8, end)
           else if (size0 == 1L) {
-            if (i + 16 > end) return Nil
+            if (i + 16 > end)
+              return if (keepPrefix) out.result() else Nil
             (i + 16, i + be64(b, i + 8))
           } else (i + 8, i + size0)
-        if (boxEnd > end || boxEnd <= i || payload > boxEnd) return Nil
+        if (boxEnd > end || boxEnd <= i || payload > boxEnd)
+          return if (keepPrefix) out.result() else Nil
         out += ((tag(b, i + 4), payload, boxEnd))
         i = boxEnd
       }
@@ -333,10 +340,17 @@ object Multimodal {
     // million real samples anyway, and the cap bounds the size array
     private val MaxSamples = 1 << 20
 
-    def parse(b: Array[Byte]): Option[Vector[(Long, Int)]] = {
+    /** @param lenient keep samples whose byte range extends PAST the
+      *   payload end (a truncated mdat under intact sample tables)
+      *   instead of rejecting the whole parse — [[frameStats]] uses
+      *   this to surface truncation as per-frame `decoded = false`
+      *   rows; structurally corrupt tables (negative sizes/offsets,
+      *   counts the chunk map can't place) still return None. */
+    def parse(b: Array[Byte],
+              lenient: Boolean = false): Option[Vector[(Long, Int)]] = {
       if (b == null || b.length < 12 || be32(b, 0) < 8 || tag(b, 4) != "ftyp")
         return None
-      val top = boxes(b, 0, b.length.toLong)
+      val top = boxes(b, 0, b.length.toLong, keepPrefix = lenient)
       val stblBounds = for {
         (_, ms2, me2) <- child(top, "moov").toList
         trak @ (_, ts, te) <- boxes(b, ms2, me2) if trak._1 == "trak"
@@ -385,18 +399,21 @@ object Multimodal {
             if (count < 0 || count > MaxSamples || p + 8 + 8 * count > e) None
             else Some(Vector.tabulate(count.toInt)(k => be64(b, p + 8 + 8L * k)))
           })
-          samples <- assemble(b.length.toLong, sizes, runs, offsets)
+          samples <- assemble(b.length.toLong, sizes, runs, offsets, lenient)
         } yield samples
       }
     }
 
     /** Walk chunks in order, carving each chunk's samples from its
       * offset by the stsc run covering it; None if the table places a
-      * different number of samples than stsz declares or any sample
-      * falls outside the payload. */
+      * different number of samples than stsz declares or (unless
+      * `lenient`) any sample falls outside the payload. Negative
+      * sizes/offsets reject in both modes — that's table corruption,
+      * not truncation. */
     private def assemble(payloadLen: Long, sizes: Array[Int],
                          runs: Vector[(Long, Long)],
-                         offsets: Vector[Long]): Option[Vector[(Long, Int)]] = {
+                         offsets: Vector[Long],
+                         lenient: Boolean): Option[Vector[(Long, Int)]] = {
       if (runs.isEmpty || runs.head._1 != 1L) return None
       val out = Vector.newBuilder[(Long, Int)]
       var sample = 0
@@ -407,7 +424,8 @@ object Multimodal {
         var k = 0L
         while (k < spc && sample < sizes.length) {
           val len = sizes(sample)
-          if (len < 0 || off < 0 || off + len > payloadLen) return None
+          if (len < 0 || off < 0 || (!lenient && off + len > payloadLen))
+            return None
           out += ((off, len))
           off += len
           sample += 1
@@ -590,12 +608,18 @@ object Multimodal {
           if (r.isNullAt(payloadIdx)) Array.empty[Byte]
           else r.getAs[Array[Byte]](payloadIdx)
         val id = r.getLong(idIdx)
-        Mp4Samples.parse(payload).iterator.flatMap { samples =>
+        // lenient parse: a truncated mdat under intact sample tables
+        // surfaces as per-frame decoded=false rows (the scaladoc
+        // contract) instead of silently yielding zero rows
+        Mp4Samples.parse(payload, lenient = true).iterator.flatMap {
+          samples =>
           (0 until samples.length by stride).iterator.map { f =>
             val (off, len) = samples(f)
-            val bytes = java.util.Arrays.copyOfRange(
-              payload, off.toInt, off.toInt + len)
-            PixelDecode.read(bytes) match {
+            val decodedImg =
+              if (off + len > payload.length) None
+              else PixelDecode.read(java.util.Arrays.copyOfRange(
+                payload, off.toInt, off.toInt + len))
+            decodedImg match {
               case Some(img) =>
                 val (w, h, meanLum, best, frac) = imageStatValues(img)
                 Row(id, f, w, h, meanLum, best, frac, true)

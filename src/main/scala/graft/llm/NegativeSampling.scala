@@ -28,9 +28,19 @@ import org.apache.spark.sql.functions._
   * keeps the operator a two-join plan instead of an unbounded
   * resample loop. Callers needing exactly-k on small corpora raise k
   * and trim. The modulus fold of the 10^6-bucket hash adds bias
-  * O(n/10^6) per rank — draw-quality, not determinism; n beyond ~10^5
-  * distinct candidates should raise [[Sampling.Buckets]]-style
-  * resolution by seeding twice.
+  * O(n/10^6) per rank — draw-quality, not determinism — and because
+  * the hash's range IS [[Sampling.Buckets]] = 10^6, a corpus with
+  * n > 10^6 distinct candidates could never draw ranks >= 10^6; the
+  * operator refuses such corpora loudly rather than silently skewing
+  * the draw (shard the candidate table and union per-shard draws, or
+  * extend this operator with a second independent draw composing
+  * `portableBucket(x)·Buckets + portableBucket(x·37+1)` before the
+  * modulus, when a >10^6-candidate single draw is actually needed).
+  * NULL candidate ids are dropped before ranking — a null would
+  * otherwise occupy rank 0 (nulls-first in id order), shift every
+  * real candidate's documented rank, and silently vanish from any
+  * pair that draws it (the accidental-hit filters are non-null-safe
+  * by design).
   *
   * Scale shape: one count action (the n in the modulus), one range
   * exchange for the rank, one hash join probes-to-candidates; probes
@@ -48,10 +58,16 @@ object NegativeSampling {
     val qc = col("`" + qCol.replace("`", "``") + "`")
     val pc = col("`" + posCol.replace("`", "``") + "`")
     val cc = col("`" + candCol.replace("`", "``") + "`")
-    val dist = candidates.select(cc.cast("long").as("v")).distinct()
+    val dist = candidates.select(cc.cast("long").as("v"))
+      .where(col("v").isNotNull).distinct()
       .select(lit("").as("c"), col("v"), lit(1L).as("cnt"))
     val n = dist.count()
     require(n >= 2, s"need at least 2 distinct candidates, got $n")
+    require(n <= Sampling.Buckets,
+      s"$n distinct candidates exceed the draw resolution " +
+        s"(Sampling.Buckets = ${Sampling.Buckets}): ranks >= " +
+        s"${Sampling.Buckets} could never be drawn. Shard the " +
+        "candidate table and union per-shard draws.")
     val ranked = graft.operators.Distributions.cumulativeByKey(dist)
       .select(col("v").as("__neg"), (col("e") - 1L).as("__rank"))
     val probes = positives.select(qc, pc)

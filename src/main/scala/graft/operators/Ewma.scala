@@ -33,7 +33,14 @@ import org.apache.spark.sql.functions._
 object Ewma {
 
   /** Input plus `ewma` (and `__w`-free): per `keyCol`, ordered by
-    * (`tsCol`, `idCol`), the truncated-EWMA of `valueCol`. */
+    * (`tsCol`, `idCol`), the truncated-EWMA of `valueCol`.
+    *
+    * `valueCol` must be null-free and the operator RAISES on the first
+    * null it sees (the family's loud-data-bug convention): Spark's
+    * `collect_list` drops nulls, so a null would silently shrink the
+    * frame and reweight its neighbors — diverging from pandas `ewm`
+    * (which propagates NaN) AND from a DuckDB `list()` replay (which
+    * keeps nulls). Filter or impute nulls explicitly upstream. */
   def smooth(df: DataFrame, keyCol: String, idCol: String, tsCol: String,
              valueCol: String, alpha: Double = 0.5, lookback: Int = 8,
              roundTo: Int = 6): DataFrame = {
@@ -57,8 +64,15 @@ object Ewma {
     // from several places would each get their own window pass), then
     // fold positionally: vals is oldest→newest (ROWS frames preserve
     // frame order), element i of n carries weight q^(n-i)
+    // nulls raise BEFORE the window: collect_list would silently drop
+    // them, shrinking the frame and reweighting neighbors (see scaladoc)
+    val checked = when(col(valueCol).isNull,
+      raise_error(concat(lit(s"Ewma.smooth: null $valueCol for key '"),
+        col(keyCol).cast("string"), lit("' — filter or impute upstream")))
+        .cast("double"))
+      .otherwise(col(valueCol).cast("double"))
     val withVals = df.withColumn("__ew_vals",
-      collect_list(col(valueCol).cast("double")).over(frame))
+      collect_list(checked).over(frame))
     val vals = col("__ew_vals")
     val n = size(vals)
     val num = aggregate(

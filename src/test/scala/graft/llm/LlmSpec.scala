@@ -977,6 +977,15 @@ class LlmSpec extends SparkSpec {
     // malformed inputs → None (truncated mdat, garbage, audio handler)
     assert(Mp4Samples.parse(odd.dropRight(10)).isEmpty,
       "sample past payload end must reject")
+    // lenient mode keeps truncated-tail samples (frameStats turns them
+    // into decoded=false rows); structural garbage still rejects
+    val lenientSamples = Mp4Samples.parse(odd.dropRight(10), lenient = true)
+    assert(lenientSamples.get.length == 4,
+      "lenient parse keeps all table-declared samples")
+    assert(lenientSamples.get.last._1 + lenientSamples.get.last._2 >
+      odd.length - 10, "the truncated sample extends past the payload")
+    assert(Mp4Samples.parse("not an mp4 at all, just text".getBytes,
+      lenient = true).isEmpty, "lenient does not resurrect garbage")
     assert(Mp4Samples.parse("not an mp4 at all, just text".getBytes).isEmpty)
     val audio = {
       val b = mp4Fixture(1L).clone()
@@ -1068,6 +1077,19 @@ class LlmSpec extends SparkSpec {
     val notMp4 = Seq((7L, "video", "plain bytes".getBytes))
       .toDF("media_id", "media_type", "payload")
     assert(Multimodal.frameStats(notMp4).count() == 0)
+    // a TRUNCATED CONTAINER (intact sample tables, mdat cut short)
+    // yields decoded=false rows for the out-of-bounds frames instead
+    // of silently vanishing — the lenient-parse contract
+    val whole = Multimodal.mjpegFixture(2L)
+    val cut = Seq((11L, "video", whole.dropRight(10)))
+      .toDF("media_id", "media_type", "payload")
+    val cr = Multimodal.frameStats(cut).orderBy($"frame_idx").collect()
+    assert(cr.length == (2 + 2 % 3).toInt,
+      "truncated container keeps one row per table-declared frame")
+    assert(cr.exists(!_.getBoolean(7)),
+      "the cut-off tail frame must surface as decoded=false")
+    assert(cr.exists(_.getBoolean(7)),
+      "frames before the cut still decode")
   }
 
   test("multimodal: stub decode features are deterministic and typed") {
