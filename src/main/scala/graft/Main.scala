@@ -811,6 +811,8 @@ object Main {
         normalizeUnicode = cur.normalizeUnicode,
         langId = langIdFrames,
         lineDedupMinDocs = cur.lineDedupMinDocs,
+        substringDedupWindow = cur.substringDedupWindow,
+        softDedup = cur.softDedup,
         compressionBand = cur.compressionBand,
         referenceSnapshot = refFrame,
         referenceNearDup = cur.referenceNearDup,

@@ -1,7 +1,7 @@
 package graft
 
 import graft.infer.{CellInference, DateFormats}
-import graft.llm.{Boilerplate, Chunking, Contamination, Curation, Dedup, LmScore, Multimodal, Packing, Paragraphs, Repetition, Sampling, Shuffling, Similarity, Spans, TextAnalysis, Urls}
+import graft.llm.{Boilerplate, Chunking, Contamination, Curation, Dedup, LmScore, Multimodal, Packing, Paragraphs, Repetition, Sampling, Shuffling, Similarity, Spans, SubstringDedup, TextAnalysis, Urls}
 import graft.sources.{AvroConnector, Connectors}
 import graft.streaming.EventsStreaming
 import graft.transform.Transform
@@ -60,6 +60,16 @@ object SparkEntry {
   private val mojibakeBadSnippet: String = new String(
     mojibakeCleanSnippet.getBytes(java.nio.charset.StandardCharsets.UTF_8),
     java.nio.charset.Charset.forName("windows-1252"))
+
+  /** 60-token planted passage for q_substring_dedup: longer than the
+    * 50-token window so 11 windows land fully inside it in every
+    * stamped doc — shared verbatim cross-doc, hence excised from all
+    * but the keeper. Tokens are outside the corpus vocabulary so the
+    * only cross-doc window collisions are the planted ones (plus the
+    * original-text prefix each stamped copy shares with its source
+    * doc, which the oracle replays identically). */
+  private val substringDedupPassage: String =
+    (1 to 60).map(i => s"sdp$i").mkString(" ")
 
   private def scratch(name: String): String = {
     val p = java.nio.file.Paths.get(s"/root/repo/target/tmp/queries/$name")
@@ -998,6 +1008,27 @@ object SparkEntry {
         k = 40, stride = 20)
     },
 
+    // --- cross-document exact substring dedup at TOKEN granularity
+    // (Lee et al. 2021, the standard pretraining pass): a 60-token
+    // passage is stamped onto every 7th doc; every >= 50-token span
+    // shared verbatim across >= 2 docs is excised from all but its
+    // (id, offset)-min keeper — the passage survives once, and each
+    // stamped copy also loses its own original text back to the
+    // original doc (they share that >= 50-token prefix when the doc is
+    // long enough). The oracle replays windows by CONTENT (the
+    // operator compares 64-bit hashes of the normalized window —
+    // identical up to 2^-64 collisions) with offsets from a cumulative
+    // token-length window, then the same keeper → islands → substr
+    // reassembly as q_span_excise ---
+    "q_substring_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val stamped = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(col("text"), lit(" " + substringDedupPassage)).as("text"))
+      SubstringDedup.excise(docs.union(stamped), "doc_id", "text",
+        w = 50, stride = 1)
+    },
+
     // --- corpus-level boilerplate: bigrams present in >= 15% of docs.
     // A fixed disclaimer is appended to a quarter of the corpus (20%
     // of the union) while the highest NATURAL bigram doc-frequency is
@@ -1243,6 +1274,47 @@ object SparkEntry {
           col("dominant_bucket"),
           r6(col("dominant_frac")).as("dominant_frac"),
           col("decoded"))
+    },
+
+    // --- REAL audio PCM sample statistics: deterministic PCM16 WAVs
+    // (every sample derives arithmetically from the id — planted
+    // silence every 7th sample, planted clipping on both rails) are
+    // built in-flight and walked by the real RIFF chunk parse + PCM16
+    // decode; the oracle recomputes RMS/peak/clipping/silence from the
+    // id arithmetic ALONE. A float-format WAV set and a
+    // truncated-data-chunk set pin the decoded=false boundary inside
+    // the gate. ---
+    "q_audio_stats" -> { (s, dir) =>
+      import s.implicits._
+      val pcm = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map(id => (980000L + id, Multimodal.wavPcm16Fixture(id)))
+        .toDF("media_id", "payload")
+      val floatFmt = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(75)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map(id => (985000L + id,
+          Multimodal.wavPcm16Fixture(id, format = 3)))
+        .toDF("media_id", "payload")
+      val truncated = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val whole = Multimodal.wavPcm16Fixture(id)
+          (990000L + id, java.util.Arrays.copyOf(whole, whole.length - 10))
+        }
+        .toDF("media_id", "payload")
+      val media = pcm.unionByName(floatFmt).unionByName(truncated)
+        .select(col("media_id"), lit("audio").as("media_type"),
+          col("payload"), lit(null).cast("string").as("meta"))
+      def r6(c: org.apache.spark.sql.Column) =
+        floor(c * 1e6 + 0.5) / 1e6
+      Multimodal.audioStats(media)
+        .select(col("media_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("peak"), r6(col("rms")).as("rms"),
+          r6(col("clipping_ratio")).as("clipping_ratio"),
+          r6(col("silence_frac")).as("silence_frac"), col("decoded"))
     },
 
     // --- REAL BPE token counting (Sennrich 2016): the published
@@ -4490,6 +4562,81 @@ object SparkEntry {
         |  CASE WHEN r.doc_id IS NULL THEN c.text ELSE r.text END AS text
         |FROM corpus c LEFT JOIN reb r USING (doc_id)""".stripMargin,
 
+    // substring dedup: 50-TOKEN windows by CONTENT (the operator
+    // hashes the whitespace-normalized window — identical up to 2^-64
+    // collisions; corpus text is single-spaced so the raw slice IS the
+    // normalized content); char offsets from a cumulative token-length
+    // window (linear, not the quadratic array_to_string-per-window
+    // spelling); cross-doc test = min(doc_id) <> max(doc_id); keeper /
+    // islands / rebuild exactly as q_span_excise
+    "q_substring_dedup" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id,
+        |    text || ' ${substringDedupPassage}' AS text
+        |  FROM documents WHERE doc_id % 7 = 0
+        |), tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM corpus
+        |), base AS (
+        |  SELECT doc_id, unnest(range(1, len(tk) + 1)) AS i,
+        |    unnest(tk) AS t
+        |  FROM tok
+        |), tpos AS (
+        |  SELECT doc_id, i, t,
+        |    sum(len(t)) OVER (PARTITION BY doc_id ORDER BY i)
+        |      - len(t) + i - 1 AS toff
+        |  FROM base
+        |), tw AS (
+        |  SELECT doc_id, CAST(toff AS BIGINT) AS s,
+        |    CAST(lead(toff + len(t), 49)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS e
+        |  FROM tpos
+        |), w AS (
+        |  SELECT tw.doc_id, s, e, substr(c.text, s + 1, e - s) AS win
+        |  FROM tw JOIN corpus c USING (doc_id)
+        |  WHERE e IS NOT NULL
+        |), occ AS (
+        |  SELECT win, min(doc_id * 10000000 + s) AS keep
+        |  FROM w GROUP BY win
+        |  HAVING min(doc_id) <> max(doc_id)
+        |), ex AS (
+        |  SELECT w.doc_id, w.s, w.e
+        |  FROM w JOIN occ USING (win)
+        |  WHERE w.doc_id * 10000000 + w.s <> keep
+        |), fl AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+        |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS f
+        |  FROM ex
+        |), isl AS (
+        |  SELECT doc_id, s, e,
+        |    sum(f) OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+        |  FROM fl
+        |), mg AS (
+        |  SELECT doc_id, min(s) AS s, max(e) AS e
+        |  FROM isl GROUP BY doc_id, g
+        |), seg AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ks,
+        |    s AS ke
+        |  FROM mg
+        |  UNION ALL
+        |  SELECT doc_id, max(e) AS ks, NULL AS ke
+        |  FROM mg GROUP BY doc_id
+        |), reb AS (
+        |  SELECT sg.doc_id,
+        |    string_agg(substr(c.text, CAST(sg.ks AS BIGINT) + 1,
+        |      coalesce(sg.ke, len(c.text)) - sg.ks), '' ORDER BY sg.ks)
+        |      AS text
+        |  FROM seg sg JOIN corpus c USING (doc_id)
+        |  GROUP BY sg.doc_id
+        |)
+        |SELECT c.doc_id,
+        |  CASE WHEN r.doc_id IS NULL THEN c.text ELSE r.text END AS text
+        |FROM corpus c LEFT JOIN reb r USING (doc_id)""".stripMargin,
+
     "q_boilerplate" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -4748,6 +4895,58 @@ object SparkEntry {
         |  SELECT doc_id AS id, unnest(range(0, 2 + doc_id % 3)) AS j
         |  FROM documents WHERE doc_id % 40 = 0
         |)""".stripMargin,
+
+    // audio PCM stats: every planted sample derives from id arithmetic
+    // (CASE order: silence beats clipping beats the base formula —
+    // mirroring the fixture), so RMS/peak/clipping/silence replay
+    // without parsing a byte; the float-format and truncated sets are
+    // pure NULL+decoded=false arithmetic
+    "q_audio_stats" ->
+      """WITH ids AS (
+        |  SELECT doc_id AS id FROM documents WHERE doc_id % 50 = 0
+        |), par AS (
+        |  SELECT id, CAST(1 + id % 2 AS INTEGER) AS channels,
+        |    CAST(8000 + 100 * (id % 5) AS INTEGER) AS rate,
+        |    (40 + id % 16) * (1 + id % 2) AS n
+        |  FROM ids
+        |), sv AS (
+        |  SELECT id, channels, rate, n,
+        |    CASE WHEN k % 7 = 0 THEN 0
+        |         WHEN k % 11 = 3 THEN 32767
+        |         WHEN k % 13 = 5 THEN -32768
+        |         ELSE (id * 31 + k * 997) % 60000 - 30000 END AS s
+        |  FROM (SELECT id, channels, rate, n,
+        |          unnest(range(0, n)) AS k FROM par)
+        |), agg AS (
+        |  SELECT id, any_value(channels) AS channels,
+        |    any_value(rate) AS rate, any_value(n) AS n,
+        |    max(abs(s)) AS peak, sum(s * s) AS ssq,
+        |    sum(CASE WHEN abs(s) >= 32767 THEN 1 ELSE 0 END) AS clip,
+        |    sum(CASE WHEN abs(s) <= 327 THEN 1 ELSE 0 END) AS sil
+        |  FROM sv GROUP BY id
+        |)
+        |SELECT 980000 + id AS media_id, rate AS sample_rate, channels,
+        |  CAST(n AS BIGINT) AS n_samples, CAST(peak AS INTEGER) AS peak,
+        |  floor(sqrt(CAST(ssq AS DOUBLE) / n) * 1000000 + 0.5) / 1000000
+        |    AS rms,
+        |  floor(CAST(clip AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+        |    AS clipping_ratio,
+        |  floor(CAST(sil AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+        |    AS silence_frac,
+        |  true AS decoded
+        |FROM agg
+        |UNION ALL
+        |SELECT 985000 + doc_id, CAST(NULL AS INTEGER),
+        |  CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), false
+        |FROM documents WHERE doc_id % 75 = 0
+        |UNION ALL
+        |SELECT 990000 + doc_id, CAST(NULL AS INTEGER),
+        |  CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), false
+        |FROM documents WHERE doc_id % 100 = 0""".stripMargin,
 
     // BPE token counts: per-word costs under the Sennrich worked-example
     // merges are hand-derived constants (low=1, lower=4, newest=1,

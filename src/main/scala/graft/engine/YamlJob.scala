@@ -87,6 +87,15 @@ object YamlJob {
       fixMojibake: Boolean = false,
       normalizeUnicode: Option[String] = None,
       lineDedupMinDocs: Option[Int] = None,
+      /** `substring_dedup_window: 50` — excise every >= W-token span
+        * shared verbatim across >= 2 documents from all but one
+        * occurrence ([[graft.llm.SubstringDedup]], Lee et al. 2021).
+        * Batch mode only (corpus-wide). */
+      substringDedupWindow: Option[Int] = None,
+      /** `soft_dedup: true` — keep exact duplicates with
+        * weight = 1/|cluster| (`dup_count`/`weight` columns) instead
+        * of dropping them. Batch mode only (corpus-wide). */
+      softDedup: Boolean = false,
       /** `compression_band: "0.2:0.95"` — keep only documents whose
         * deflate ratio falls inside the band (entropy filter). */
       compressionBand: Option[(Double, Double)] = None,
@@ -247,7 +256,8 @@ object YamlJob {
         "observed", "bucket", "strip_html", "strip_markdown", "fix_mojibake", "normalize_unicode", "line_dedup_min_docs", "compression_band", "contamination",
         "lang_id", "token_budget", "token_budget_shards", "shards",
         "mode", "ts_column", "dedup_horizon", "checkpoint", "trigger",
-        "reference", "reference_near_dup")
+        "reference", "reference_near_dup",
+        "substring_dedup_window", "soft_dedup")
       // misspelled knobs must be loud — a silently ignored
       // `sample_fracton: 0.01` would ship 100× the intended corpus;
       // the same rule applies INSIDE the nested maps (a typo'd
@@ -297,6 +307,18 @@ object YamlJob {
           throw graft.core.GraftError.Configuration(
             "curation mode=stream needs checkpoint (streaming " +
               "checkpoint directory)")
+        // corpus-wide knobs that Main's stream path does not forward
+        // into PipelineConfig must reject HERE — otherwise the YAML
+        // key would be silently ignored (the knobs Main forwards are
+        // rejected by pipelineStream itself, same loudness contract)
+        def streamBlocked(k: String): Boolean = c.get(k).flatMap(Option(_))
+          .exists(v => k != "soft_dedup" || boolOpt("soft_dedup", v))
+        for (k <- Seq("line_dedup_min_docs", "substring_dedup_window",
+            "soft_dedup", "contamination", "token_budget")
+            if streamBlocked(k))
+          throw graft.core.GraftError.Configuration(
+            s"curation option '$k' is corpus-wide and cannot stream — " +
+              "run it as a batch compaction over the stream's output")
       }
       CurationSpec(
         idColumn = str("id_column"),
@@ -357,6 +379,10 @@ object YamlJob {
         },
         lineDedupMinDocs = c.get("line_dedup_min_docs")
           .map(v => intOpt("line_dedup_min_docs", v)),
+        substringDedupWindow = c.get("substring_dedup_window")
+          .map(v => intOpt("substring_dedup_window", v)),
+        softDedup = c.get("soft_dedup")
+          .map(v => boolOpt("soft_dedup", v)).getOrElse(false),
         referenceUri = c.get("reference").map(v => sub(v.toString)),
         referenceNearDup = c.get("reference_near_dup")
           .map(v => doubleOpt("reference_near_dup", v)),

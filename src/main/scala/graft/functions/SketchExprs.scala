@@ -399,6 +399,116 @@ object SketchExprs {
       copy(child = c)
   }
 
+  /** W-TOKEN window signatures at a token stride — the primitive for
+    * cross-document exact SUBSTRING dedup at the Lee et al. 2021
+    * granularity ("Deduplicating Training Data Makes Language Models
+    * Better" runs 50-token windows over a corpus suffix array; this is
+    * the distributed equivalent: stride 1 catches every >= w-token
+    * repeat of the token sequence, stride s the aligned-repeat subset,
+    * same contract as [[CharWindowHashes]] transposed to tokens).
+    *
+    * One struct per window: `s` = codepoint offset of the window's
+    * first token, `e` = codepoint offset just past its last token
+    * (both in the ORIGINAL text — SQL `substr` coordinates, so an
+    * excision pass can cut the exact span), `h` = xxhash64 of the
+    * window's WHITESPACE-NORMALIZED content (tokens joined by a single
+    * space) — two windows collide iff their token sequences match,
+    * regardless of the whitespace between the tokens. Tokens are
+    * maximal runs of non-whitespace (`Character.isWhitespace`), case
+    * preserved — substring dedup wants verbatim repeats, not the
+    * sketch family's lowercased `\W+` tokens. Fewer than w tokens →
+    * empty output.
+    *
+    * One pass per row: the scan classifies codepoints, copies token
+    * bytes into one shared normalized buffer, and each window hashes a
+    * zero-copy view over that buffer — only (int, int, long) structs
+    * leave the row. */
+  case class TokenWindowHashes(child: Expression, w: Int, stride: Int)
+    extends UnaryExpression {
+
+    require(w >= 2, s"window must be >= 2 tokens: $w")
+    require(stride >= 1 && stride <= w,
+      s"stride must be in [1, w]: $stride vs $w")
+
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("s", IntegerType, nullable = false),
+      StructField("e", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("tokenWindows", this,
+        classOf[TokenWindowHashes].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.windows($c);")
+    }
+
+    def windows(u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val bytes = u.getBytes
+      val s = u.toString // whitespace classification needs codepoints
+      // parallel walk: ci (UTF-16 index into s), bi (byte index into
+      // bytes), cp (codepoint index — the SQL substr coordinate)
+      val tokStartCp = new java.util.ArrayList[Integer]()
+      val tokEndCp = new java.util.ArrayList[Integer]()
+      val normStart = new java.util.ArrayList[Integer]()
+      val normEnd = new java.util.ArrayList[Integer]()
+      val norm = new Array[Byte](bytes.length)
+      var normLen = 0
+      var ci = 0
+      var bi = 0
+      var cp = 0
+      var inTok = false
+      while (ci < s.length) {
+        val code = s.codePointAt(ci)
+        val nb = org.apache.spark.unsafe.types.UTF8String
+          .numBytesForFirstByte(bytes(bi))
+        if (!Character.isWhitespace(code)) {
+          if (!inTok) {
+            if (normLen > 0) { norm(normLen) = ' '; normLen += 1 }
+            tokStartCp.add(cp); normStart.add(normLen); inTok = true
+          }
+          System.arraycopy(bytes, bi, norm, normLen, nb)
+          normLen += nb
+        } else if (inTok) {
+          tokEndCp.add(cp); normEnd.add(normLen); inTok = false
+        }
+        bi += nb
+        ci += Character.charCount(code)
+        cp += 1
+      }
+      if (inTok) { tokEndCp.add(cp); normEnd.add(normLen) }
+      val nTok = tokStartCp.size()
+      if (nTok < w) return new GenericArrayData(Array.empty[Any])
+      val count = (nTok - w) / stride + 1
+      val out = new Array[Any](count)
+      var k = 0
+      var p = 0
+      while (k < count) {
+        val ns = normStart.get(p).intValue()
+        val view = org.apache.spark.unsafe.types.UTF8String.fromBytes(
+          norm, ns, normEnd.get(p + w - 1).intValue() - ns)
+        out(k) = new org.apache.spark.sql.catalyst.expressions
+          .GenericInternalRow(Array[Any](
+            tokStartCp.get(p).intValue(),
+            tokEndCp.get(p + w - 1).intValue(),
+            org.apache.spark.sql.catalyst.expressions.XxHash64Function.hash(
+              view, org.apache.spark.sql.types.StringType, 42L)))
+        p += stride
+        k += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    protected override def nullSafeEval(input: Any): Any =
+      windows(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def withNewChildInternal(c: Expression): TokenWindowHashes =
+      copy(child = c)
+  }
+
   /** `(total, distinct, top)` occurrence counts of `tokens`' n-grams,
     * by sorted xxhash64 image: sort, then one linear scan — run
     * boundaries give the distinct count, the longest run is the modal
@@ -613,6 +723,11 @@ object SketchExprs {
   /** Strided k-char window hashes — see [[CharWindowHashes]]. */
   def charWindowHashes(text: Column, k: Int, stride: Int): Column =
     GraftBridge.column(CharWindowHashes(GraftBridge.expression(text), k, stride))
+
+  /** Strided w-token window (s, e, hash) structs — see
+    * [[TokenWindowHashes]]. */
+  def tokenWindowHashes(text: Column, w: Int, stride: Int): Column =
+    GraftBridge.column(TokenWindowHashes(GraftBridge.expression(text), w, stride))
 
   /** Foldable-integer extraction for SQL-registration parameters: a SQL
     * user writing `minhash_bands(h, 128, 32)` must get 128/32, and a

@@ -19,9 +19,14 @@ import org.apache.spark.sql.functions._
   *                         dup-n-gram / modal-n-gram thresholds);
   *   6. [line dedup]     — strip lines shared by >= K docs, so
   *                         footer-differing copies collapse next;
+  *   6b. [substring dedup] — excise >= W-token spans shared verbatim
+  *                         across docs from all but one occurrence
+  *                         (Lee et al. 2021, [[SubstringDedup]]);
   *   7. [incremental]    — drop content already shipped in a reference
   *                         snapshot (the previous crawl's corpus);
-  *   8. exact dedup      — keep the smallest id per identical content;
+  *   8. exact dedup      — keep the smallest id per identical content
+  *                         (or, under `softDedup`, keep EVERY row with
+  *                         weight = 1/|cluster| attached);
   *   9. [decontaminate]  — drop benchmark-overlapping documents;
   *  10. sampling         — deterministic hash sample of the survivors;
   *  11. [token budget]   — deterministic ~N-token prefix cut.
@@ -109,6 +114,26 @@ object Curation {
         * dedup correctly once the footer is gone. Rewrites text, never
         * drops rows. */
       lineDedupMinDocs: Option[Int] = None,
+      /** When set, rewrite surviving documents with
+        * [[SubstringDedup.excise]] at this token window (Lee et al.
+        * 2021; ~50 is the paper's setting): every >= W-token span
+        * shared verbatim across >= 2 documents is removed from all but
+        * its keeper occurrence. Runs AFTER the line rewrite (footers
+        * are cheaper to kill at line granularity) and BEFORE hashing,
+        * so a document reduced to an exact copy by the excision dedups
+        * away below. Rewrites text, never drops rows; corpus-wide
+        * (cannot stream). */
+      substringDedupWindow: Option[Int] = None,
+      /** Keep duplicates with 1/n sampling mass instead of dropping
+        * them: the exact-dedup stage attaches ([[Dedup.softWeights]])
+        * `dup_count` and `weight` = 1/|cluster| columns and passes
+        * EVERY row through — the cluster's total mass equals one
+        * unique document's, so duplicated content stops dominating the
+        * mixture while its best spelling can still appear (feeds
+        * [[Sampling.weightedSample]] / trainer example weights).
+        * Corpus-wide (component sizes need the whole batch — cannot
+        * stream). */
+      softDedup: Boolean = false,
       /** When set, drop documents whose CONTENT already exists in this
         * reference snapshot — the previous crawl's curated corpus, read
         * for its text column only ([[Dedup.againstReference]]: keys-only
@@ -177,6 +202,20 @@ object Curation {
       if (cfg.persistSurvivors && cfg.lineDedupMinDocs.isDefined)
         afterLines0.localCheckpoint(true)
       else afterLines0
+    // substring excision AFTER the line rewrite (footers die cheaper at
+    // line granularity) and BEFORE hashing, so excision-collapsed copies
+    // dedup below; the excise plan fans its input into the window
+    // projection and the rebuild join-back, so the persist knob
+    // checkpoints it like the other fan-out stages
+    val afterSub0 = cfg.substringDedupWindow match {
+      case Some(w) =>
+        SubstringDedup.excise(afterLines, idCol, textCol, w = w)
+      case None => afterLines
+    }
+    val afterSub =
+      if (cfg.persistSurvivors && cfg.substringDedupWindow.isDefined)
+        afterSub0.localCheckpoint(true)
+      else afterSub0
     // cross-snapshot (incremental) dedup BEFORE in-batch dedup:
     // previously-shipped content is gone before it can elect a
     // canonical. The result fans out into the dedup's two consumers
@@ -184,14 +223,14 @@ object Curation {
     // fan-out stages.
     val afterRef0 = (cfg.referenceSnapshot, cfg.referenceNearDup) match {
       case (Some(ref), Some(th)) =>
-        Dedup.nearDupAgainstReference(afterLines, ref, idCol, textCol,
+        Dedup.nearDupAgainstReference(afterSub, ref, idCol, textCol,
           refTextCol = textCol, threshold = th)
       case (Some(ref), None) =>
-        Dedup.againstReference(afterLines, ref, idCol, Seq(textCol))
+        Dedup.againstReference(afterSub, ref, idCol, Seq(textCol))
       case (None, Some(_)) =>
         throw graft.core.GraftError.Configuration(
           "referenceNearDup needs a referenceSnapshot to match against")
-      case (None, None) => afterLines
+      case (None, None) => afterSub
     }
     val afterRef =
       if (cfg.persistSurvivors && cfg.referenceSnapshot.isDefined)
@@ -203,11 +242,24 @@ object Curation {
     // filter subtree therefore evaluates exactly twice (the narrow
     // keep-set pass + the surviving-rows pass) — routing through
     // Dedup.exact's decision frame would cost a third evaluation.
-    val keptIds = afterRef
-      .select(col(idCol), Dedup.contentHash(Seq(textCol)).as("__h"))
-      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
-      .select(col(idCol))
-    val deduped = afterRef.join(keptIds, Seq(idCol), "left_semi")
+    // Under softDedup the stage keeps EVERY row and attaches
+    // (dup_count, weight = 1/|cluster|) instead: same narrow keys-only
+    // exchange shape (softWeights' window rides the content-hash
+    // partition), plain inner join back by id.
+    val deduped = if (cfg.softDedup) {
+      Guards.requireFreshColumns(df, Seq("dup_count", "weight"),
+        "Curation.pipeline(softDedup)")
+      val wts = Dedup.softWeights(
+        Dedup.exact(afterRef, idCol, Seq(textCol)), idCol)
+        .select(col(idCol), col("dup_count"), col("weight"))
+      afterRef.join(wts, Seq(idCol))
+    } else {
+      val keptIds = afterRef
+        .select(col(idCol), Dedup.contentHash(Seq(textCol)).as("__h"))
+        .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+        .select(col(idCol))
+      afterRef.join(keptIds, Seq(idCol), "left_semi")
+    }
     // decontamination reads its corpus twice (gram scan + anti-join);
     // under the persist knob the deduped survivors are checkpointed so
     // the dedup shuffle + semi-join (the most expensive stage) run once
@@ -254,6 +306,8 @@ object Curation {
     require(df.isStreaming, "pipelineStream needs a streaming DataFrame")
     for ((name, set) <- Seq(
         "lineDedupMinDocs" -> cfg.lineDedupMinDocs.isDefined,
+        "substringDedupWindow" -> cfg.substringDedupWindow.isDefined,
+        "softDedup" -> cfg.softDedup,
         "contaminationProbes" -> cfg.contaminationProbes.isDefined,
         "tokenBudget" -> cfg.tokenBudget.isDefined,
         "referenceNearDup" -> cfg.referenceNearDup.isDefined) if set)
@@ -410,13 +464,20 @@ object Curation {
         cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,
         cfg.repetitionN), oR)
       .localCheckpoint(true) // filter observes fire here, exactly once
-    // line rewrite keeps every row (counts unchanged), so it carries no
-    // observation; it IS checkpointed so dedup's two consumers read the
-    // rewritten rows instead of re-running the rewrite joins
-    val r2 = cfg.lineDedupMinDocs match {
+    // line + substring rewrites keep every row (counts unchanged), so
+    // they carry no observation; each IS checkpointed so dedup's two
+    // consumers read the rewritten rows instead of re-running the
+    // rewrite joins
+    val r2a = cfg.lineDedupMinDocs match {
       case Some(k) =>
         Paragraphs.dropCommon(r, idCol, textCol, k).localCheckpoint(true)
       case None => r
+    }
+    val r2 = cfg.substringDedupWindow match {
+      case Some(w) =>
+        SubstringDedup.excise(r2a, idCol, textCol, w = w)
+          .localCheckpoint(true)
+      case None => r2a
     }
     // incremental (cross-snapshot) dedup: it DROPS rows, so it carries
     // its own observation, and the checkpoint both fires that observe
@@ -430,11 +491,20 @@ object Curation {
           Seq("after_reference" -> oRef))
       case None => (r2, Nil)
     }
-    val keptIds = r3
-      .select(col(idCol), Dedup.contentHash(Seq(textCol)).as("__h"))
-      .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
-      .select(col(idCol))
-    val d = tap(r3.join(keptIds, Seq(idCol), "left_semi"), oD)
+    // under softDedup "after_dedup" equals the stage's input count —
+    // rows gain (dup_count, weight) instead of dropping
+    val d = if (cfg.softDedup) {
+      val wts = Dedup.softWeights(
+        Dedup.exact(r3, idCol, Seq(textCol)), idCol)
+        .select(col(idCol), col("dup_count"), col("weight"))
+      tap(r3.join(wts, Seq(idCol)), oD)
+    } else {
+      val keptIds = r3
+        .select(col(idCol), Dedup.contentHash(Seq(textCol)).as("__h"))
+        .groupBy(col("__h")).agg(min(col(idCol)).as(idCol))
+        .select(col(idCol))
+      tap(r3.join(keptIds, Seq(idCol), "left_semi"), oD)
+    }
     // decontamination reads its corpus twice (gram scan + anti-join);
     // without a checkpoint the oD observe above would be duplicated
     // into both reads and double-fire — same fan-out rule as the

@@ -207,6 +207,41 @@ object Multimodal {
         }
       }
     }
+
+    /** Full-fidelity chunk walk for the SAMPLE-statistics path:
+      * (audioFormat, channels, sampleRate, bitsPerSample, dataOffset,
+      * dataDeclaredBytes). Unlike [[parseWav]] this keeps the data
+      * chunk's POSITION and does NOT reject a data chunk whose declared
+      * size overruns the payload — a truncated download has intact
+      * tables and a cut-short body, and [[Multimodal.audioStats]]
+      * surfaces that as `decoded = false` rather than a vanished row
+      * (the same lenient contract as [[Mp4Samples.parse]]'s
+      * keepPrefix). Returns None only for structural non-WAV bytes. */
+    def parsePcm(b: Array[Byte]): Option[(Int, Int, Int, Int, Long, Long)] = {
+      if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
+      var i = 12
+      var fmt: Option[(Int, Int, Int, Int)] = None // (format, ch, rate, bits)
+      var dataOff = -1L
+      var dataLen = -1L
+      while (i + 8 <= b.length && (fmt.isEmpty || dataOff < 0)) {
+        val id = tag(b, i)
+        val size = le32(b, i + 4)
+        if (size < 0) return None
+        if (id == "fmt ") {
+          if (size < 16 || i + 8 + size > b.length) return None
+          val format = le16(b, i + 8)
+          val channels = le16(b, i + 10)
+          val rate = le32(b, i + 12)
+          val bits = le16(b, i + 22)
+          if (channels < 1 || rate < 1 || rate > Int.MaxValue || bits < 1)
+            return None
+          fmt = Some((format, channels, rate.toInt, bits))
+        } else if (id == "data") { dataOff = i + 8; dataLen = size }
+        i += 8 + size.toInt + (size.toInt & 1)
+      }
+      for ((format, ch, rate, bits) <- fmt; if dataOff >= 0)
+        yield (format, ch, rate, bits, dataOff, dataLen)
+    }
   }
 
   /** ISO-BMFF (MP4/MOV/M4V) header parse — pure JVM, no codec libs.
@@ -630,6 +665,125 @@ object Multimodal {
         }
       }
     }(enc)
+  }
+
+  /** Audio sample-statistics output contract: one row per audio
+    * payload — real PCM16 stats when the payload is a well-formed
+    * RIFF/WAVE with format 1 (integer PCM), 16 bits, and a data chunk
+    * fully inside the payload; NULLs + `decoded = false` for non-WAV
+    * bytes, non-PCM16 formats (float WAV, ADPCM, 8/24-bit), and
+    * truncated data chunks. */
+  val audioStatsSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("sample_rate", IntegerType, nullable = true),
+    StructField("channels", IntegerType, nullable = true),
+    StructField("n_samples", LongType, nullable = true),
+    StructField("peak", IntegerType, nullable = true),
+    StructField("rms", DoubleType, nullable = true),
+    StructField("clipping_ratio", DoubleType, nullable = true),
+    StructField("silence_frac", DoubleType, nullable = true),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** REAL audio PCM sample statistics — the audio sibling of
+    * [[pixelStats]]/[[frameStats]], closing the WAV path beyond header
+    * parsing: one pass over the PCM16 data chunk computing RMS
+    * loudness, peak amplitude (|−32768| = 32768), clipping ratio
+    * (samples at |s| >= 32767 — both rails), and silence fraction
+    * (|s| <= `silenceThreshold`, default 327 ≈ 1% full scale, ~−40
+    * dBFS). The sum of squares accumulates as an exact LONG (16-bit
+    * samples: <= 2^30 per sample, exact past 2^33 samples) so an SQL
+    * oracle replays `sqrt(ssq / n)` bit-identically; counts are exact
+    * integers, ratios one IEEE division each.
+    *
+    * Honest failure boundary ([[AudioHeaders.parsePcm]]): non-WAV
+    * bytes, non-PCM16 formats (float/ADPCM/8-bit), truncated or
+    * odd-length data chunks → NULL stats with `decoded = false` — one
+    * row per audio payload either way, never a vanished row.
+    *
+    * Scale shape: narrow per-partition map — no shuffle, one payload
+    * in memory per task; pair with [[repartitionBySize]] so a
+    * partition's blobs fit the executor. */
+  def audioStats(media: DataFrame, silenceThreshold: Int = 327): DataFrame = {
+    require(silenceThreshold >= 0,
+      s"silenceThreshold must be >= 0: $silenceThreshold")
+    val enc = ExpressionEncoder(audioStatsSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val typeIdx = media.schema.fieldIndex("media_type")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.filter(r => r.getString(typeIdx) == "audio").map { r =>
+        val payload =
+          if (r.isNullAt(payloadIdx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](payloadIdx)
+        val id = r.getLong(idIdx)
+        val failed = Row(id, null, null, null, null, null, null, null, false)
+        AudioHeaders.parsePcm(payload) match {
+          case Some((format, ch, rate, bits, off, len))
+              if format == 1 && bits == 16 && len >= 2 && len % 2 == 0 &&
+                off + len <= payload.length =>
+            val n = (len / 2).toInt
+            var ssq = 0L
+            var peak = 0
+            var clip = 0L
+            var sil = 0L
+            var k = 0
+            while (k < n) {
+              val i = (off + 2L * k).toInt
+              // PCM16 little-endian signed
+              val s = ((payload(i) & 0xff) | (payload(i + 1) << 8)).toShort.toInt
+              val a = math.abs(s)
+              ssq += s.toLong * s
+              if (a > peak) peak = a
+              if (a >= 32767) clip += 1
+              if (a <= silenceThreshold) sil += 1
+              k += 1
+            }
+            Row(id, rate, ch, n.toLong, peak,
+              math.sqrt(ssq.toDouble / n),
+              clip.toDouble / n, sil.toDouble / n, true)
+          case _ => failed
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic PCM16 WAV fixture: every parameter (channels, rate,
+    * frame count) and every SAMPLE derives ARITHMETICALLY from the id —
+    * sample k is 0 every 7th position (planted silence), +32767 at
+    * k%11==3 and −32768 at k%13==5 (planted clipping on both rails,
+    * silence winning ties by the CASE order), else
+    * `(id·31 + k·997) % 60000 − 30000` (never clips, rarely silent —
+    * and when it is, the oracle's identical formula agrees) — so an SQL
+    * oracle recomputes RMS/peak/clipping/silence without parsing
+    * anything. `format` other than 1 plants a non-PCM header around the
+    * same body (the decoded=false path, in-gate). */
+  def wavPcm16Fixture(id: Long, format: Int = 1): Array[Byte] = {
+    val channels = (1 + id % 2).toInt
+    val rate = (8000 + 100 * (id % 5)).toInt
+    val frames = (40 + id % 16).toInt
+    val n = frames * channels
+    val blockAlign = channels * 2
+    val dataLen = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(format.toShort).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var k = 0
+    while (k < n) {
+      val s =
+        if (k % 7 == 0) 0
+        else if (k % 11 == 3) 32767
+        else if (k % 13 == 5) -32768
+        else ((id * 31 + k * 997) % 60000 - 30000).toInt
+      bb.putShort(s.toShort)
+      k += 1
+    }
+    bb.array()
   }
 
   /** Deterministic two-band PNG fixture: every parameter (dimensions,

@@ -139,10 +139,25 @@ object Spans {
         col("__off") === col("__keep")("__off")))
       .select(col(idCol), col("__off").as("__s"),
         (col("__off") + lit(k)).as("__e"))
-    // merge per-doc intervals (gaps-and-islands): a window starts a new
-    // island iff it begins strictly after every prior end — exact
-    // adjacency (s == prior e) coalesces, so back-to-back duplicated
-    // windows excise as one span with no empty segment between them
+    exciseIntervals(df, idCol, textCol, excised)
+  }
+
+  /** Shared excision tail: merge per-doc `(idCol, __s, __e)` codepoint
+    * intervals into maximal spans and rebuild `textCol` from the
+    * complement segments — used by both the char-window [[excise]] and
+    * the token-window [[SubstringDedup.excise]].
+    *
+    * Merge is gaps-and-islands: a window starts a new island iff it
+    * begins strictly after every prior end — exact adjacency
+    * (s == prior e) coalesces, so back-to-back duplicated windows
+    * excise as one span with no empty segment between them. The text
+    * itself never shuffles: merged spans per doc come back as a per-id
+    * interval array joined onto the original frame, where the rebuild
+    * runs as a single codegen'd fold. */
+  private[llm] def exciseIntervals(df: DataFrame, idCol: String,
+                                   textCol: String,
+                                   excised: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col(idCol)).orderBy(col("__s"), col("__e"))
     val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
     val merged = excised

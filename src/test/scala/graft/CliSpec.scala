@@ -649,10 +649,28 @@ class CliSpec extends SparkSpec {
     assert(YamlJob.loadYaml(
       """source: {uri: a.parquet}
         |target: {uri: b}
-        |curation: {id_column: id, text_column: t, line_dedup_min_docs: 4, strip_html: true, strip_markdown: true, fix_mojibake: true, normalize_unicode: nfc}
+        |curation: {id_column: id, text_column: t, line_dedup_min_docs: 4, strip_html: true, strip_markdown: true, fix_mojibake: true, normalize_unicode: nfc, substring_dedup_window: 50, soft_dedup: true}
         |""".stripMargin).curation
       .exists(c => c.lineDedupMinDocs.contains(4) && c.stripHtml &&
-        c.stripMarkdown && c.fixMojibake && c.normalizeUnicode.contains("NFC")))
+        c.stripMarkdown && c.fixMojibake && c.normalizeUnicode.contains("NFC") &&
+        c.substringDedupWindow.contains(50) && c.softDedup))
+    // corpus-wide knobs reject at LOAD time in stream mode
+    intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation: {id_column: id, text_column: t, mode: stream, ts_column: ts, checkpoint: /tmp/c, substring_dedup_window: 50}
+        |""".stripMargin))
+    intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation: {id_column: id, text_column: t, mode: stream, ts_column: ts, checkpoint: /tmp/c, soft_dedup: true}
+        |""".stripMargin))
+    // but an explicit soft_dedup: false streams fine
+    assert(YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation: {id_column: id, text_column: t, mode: stream, ts_column: ts, checkpoint: /tmp/c, soft_dedup: false}
+        |""".stripMargin).curation.exists(!_.softDedup))
     // incremental reference snapshot: ${VAR} substitution applies
     assert(YamlJob.loadYaml(
       """source: {uri: a.parquet}

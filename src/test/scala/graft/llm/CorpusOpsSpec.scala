@@ -696,6 +696,66 @@ class CorpusOpsSpec extends SparkSpec {
       cfg.copy(lineDedupMinDocs = None)).count() == 5)
   }
 
+  test("curation pipeline: substring dedup stage excises cross-doc spans " +
+      "and collapsed copies dedup") {
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta unique one"),
+      (2L, "alpha beta gamma delta unique two"), // shares 4-token prefix
+      (3L, "totally different page here"),
+      (4L, "alpha beta gamma delta echo golf hotel india"),
+      // doc 5's whole content is a 4-token window OF doc 4 (the
+      // whitespace-normalized match ignores the leading space), so 5
+      // husks to " " with 4 as the keeper
+      (5L, " echo golf hotel india")
+    ).toDF("doc_id", "text")
+    val cfg = Curation.PipelineConfig(substringDedupWindow = Some(4),
+      maxDupWordFrac = 0.9, maxDupNgramFrac = 0.9, maxTopNgramFrac = 0.9)
+    for (c <- Seq(cfg, cfg.copy(persistSurvivors = true))) {
+      val kept = Curation.pipeline(corpus, "doc_id", "text", c)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      // doc 1 is the keeper (min id); 2 loses the shared prefix AND the
+      // overlapping "beta gamma delta unique" window it also shares with
+      // doc 1 (merged into one span); 4 keeps its remainder (keeper of
+      // the window doc 5 duplicates); 5 husks to " "
+      assert(kept.keySet == Set(1L, 2L, 3L, 4L, 5L), s"kept ${kept.keySet}")
+      assert(kept(1L) == "alpha beta gamma delta unique one")
+      assert(kept(2L) == " two", s"got '${kept(2L)}'")
+      assert(kept(3L) == "totally different page here")
+      assert(kept(4L) == " echo golf hotel india")
+      assert(kept(5L) == " ", "whole-content duplicate husks")
+      val (out, counts) = Curation.pipelineObserved(corpus, "doc_id", "text", c)
+      assert(out.count() == 5L && counts()("after_dedup") == 5L)
+    }
+    // without the stage nothing is rewritten (all five texts differ)
+    val raw = Curation.pipeline(corpus, "doc_id", "text",
+      cfg.copy(substringDedupWindow = None))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(raw.size == 5 && raw(2L) == "alpha beta gamma delta unique two")
+  }
+
+  test("curation pipeline: soft dedup keeps duplicates with 1/n weights") {
+    val corpus = Seq(
+      (1L, "identical body of text"),
+      (2L, "identical body of text"),
+      (3L, "a unique page standing alone")
+    ).toDF("doc_id", "text")
+    val cfg = Curation.PipelineConfig(softDedup = true,
+      maxDupWordFrac = 0.9, maxDupNgramFrac = 0.9, maxTopNgramFrac = 0.9)
+    val out = Curation.pipeline(corpus, "doc_id", "text", cfg)
+      .select("doc_id", "dup_count", "weight")
+      .as[(Long, Long, Double)].collect().toSeq.sortBy(_._1)
+    assert(out == Seq((1L, 2L, 0.5), (2L, 2L, 0.5), (3L, 1L, 1.0)))
+    // observed variant: after_dedup equals the stage INPUT count —
+    // soft dedup drops nothing
+    val (obsOut, counts) = Curation.pipelineObserved(corpus, "doc_id",
+      "text", cfg)
+    assert(obsOut.count() == 3L && counts()("after_dedup") == 3L)
+    // a pre-existing weight column is a loud conflict, not a clobber
+    intercept[IllegalArgumentException](
+      Curation.pipeline(corpus.withColumn("weight", lit(1.0)),
+        "doc_id", "text", cfg))
+  }
+
   test("curation pipeline: stripHtml stage normalizes markup before dedup") {
     val corpus = Seq(
       (1L, "<p>same text here today</p>"),

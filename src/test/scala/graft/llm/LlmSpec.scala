@@ -1092,6 +1092,56 @@ class LlmSpec extends SparkSpec {
       "frames before the cut still decode")
   }
 
+  test("multimodal: REAL audio PCM sample stats — planted arithmetic, " +
+      "honest failure modes") {
+    import Multimodal.wavPcm16Fixture
+    val id = 3L // channels 2, rate 8300, frames 43 → n = 86
+    val media = Seq((id, "audio", wavPcm16Fixture(id)))
+      .toDF("media_id", "media_type", "payload")
+    val r = Multimodal.audioStats(media).head()
+    val n = (40 + id % 16).toInt * (1 + id % 2).toInt
+    // replay the fixture arithmetic
+    val samples = (0 until n).map { k =>
+      if (k % 7 == 0) 0
+      else if (k % 11 == 3) 32767
+      else if (k % 13 == 5) -32768
+      else ((id * 31 + k * 997) % 60000 - 30000).toInt
+    }
+    assert(r.getInt(1) == 8300 && r.getInt(2) == 2 && r.getLong(3) == n)
+    assert(r.getInt(4) == samples.map(math.abs).max)
+    val ssq = samples.map(s => s.toLong * s).sum
+    assert(r.getDouble(5) == math.sqrt(ssq.toDouble / n))
+    assert(r.getDouble(6) ==
+      samples.count(s => math.abs(s) >= 32767).toDouble / n)
+    assert(r.getDouble(7) ==
+      samples.count(s => math.abs(s) <= 327).toDouble / n)
+    assert(r.getBoolean(8))
+    // failure modes: float format, truncated data chunk, garbage bytes,
+    // odd-length data — each one row, NULL stats, decoded=false
+    val whole = wavPcm16Fixture(4L)
+    val bad = Seq(
+      (10L, "audio", wavPcm16Fixture(4L, format = 3)),
+      (11L, "audio", java.util.Arrays.copyOf(whole, whole.length - 10)),
+      (12L, "audio", "not audio at all, just text bytes".getBytes),
+      (13L, "audio", { // declared data length made odd
+        val b = wavPcm16Fixture(5L)
+        val dl = java.nio.ByteBuffer.wrap(b, 40, 4)
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        dl.putInt(dl.getInt(40) - 1); b
+      })
+    ).toDF("media_id", "media_type", "payload")
+    val br = Multimodal.audioStats(bad).collect()
+    assert(br.length == 4)
+    br.foreach { row =>
+      assert(!row.getBoolean(8) && (1 to 7).forall(row.isNullAt),
+        s"expected NULL+decoded=false row: $row")
+    }
+    // non-audio media types produce no rows
+    val img = Seq((20L, "image", whole))
+      .toDF("media_id", "media_type", "payload")
+    assert(Multimodal.audioStats(img).count() == 0)
+  }
+
   test("multimodal: stub decode features are deterministic and typed") {
     val media = Multimodal.mediaFromDocuments(
       spark, "/root/testdata/sf0.001/documents.parquet")

@@ -281,6 +281,8 @@ class StreamingSpec extends SparkSpec {
     // corpus-wide stages are a loud typed error, not a silent skip
     for (bad <- Seq(
         cfg.copy(lineDedupMinDocs = Some(3)),
+        cfg.copy(substringDedupWindow = Some(50)),
+        cfg.copy(softDedup = true),
         cfg.copy(contaminationProbes = Some(Seq("x").toDF("text"))),
         cfg.copy(tokenBudget = Some(1000L)),
         cfg.copy(referenceNearDup = Some(0.5))))
