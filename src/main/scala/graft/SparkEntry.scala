@@ -2219,6 +2219,28 @@ object SparkEntry {
         .toDF("rank", "left", "right")
     },
 
+    // --- unigram-LM tokenizer training (Kudo 2018 — SentencePiece's
+    // other half next to q_bpe_train): EM over each word's
+    // segmentation lattice + expected-count pruning, driver-bounded
+    // over the same planted Sennrich multiset. EM is SCALE-FREE
+    // (expected counts scale by the corpus factor S and the M-step
+    // divides it out), so the learned 14-piece model — the 10 corpus
+    // codepoints + the 4 surviving subwords — is identical at every
+    // SF and pins as a VALUES golden with 4dp log-probs. A lattice
+    // bug, pruning-order bug, or normalization bug anywhere shifts a
+    // log-prob and breaks the hash. ---
+    "q_unigram_train" -> { (s, dir) =>
+      val planted = t(s, dir, "documents")
+        .select(concat(
+          expr("repeat('low ', CAST(5 * (1 + doc_id % 2) AS INT))"),
+          expr("repeat('lower ', CAST(2 * (1 + doc_id % 2) AS INT))"),
+          expr("repeat('newest ', CAST(6 * (1 + doc_id % 2) AS INT))"),
+          expr("repeat('widest ', CAST(3 * (1 + doc_id % 2) AS INT))"))
+          .as("text"))
+      graft.llm.UnigramLm.trainDF(s, planted, "text",
+        vocabSize = 14, maxPieceLen = 6)
+    },
+
     // --- compression-ratio quality signal (deflate entropy proxy):
     // repetitive boilerplate compresses far below prose, noise barely
     // compresses — both tails are drop candidates. The ONE quality
@@ -4977,6 +4999,22 @@ object SparkEntry {
         |  (12, 'w', 'idest</w>'),
         |  (13, 'e', 'r'), (14, 'er', '</w>'), (15, 'low', 'er</w>')
         |) AS t(r, l, rt)""".stripMargin,
+
+    // unigram-LM training: on the planted four-word corpus EM provably
+    // converges to whole-word pieces with p = word relative frequency
+    // (newest 6/16, low 5/16, widest 3/16, lower 2/16 — ln() of each,
+    // hand-checkable), and the 10 single codepoints keep expected
+    // count 0 → log_prob -infinity (coverage anchors). Scale-free EM
+    // makes the table identical at every SF.
+    "q_unigram_train" ->
+      """SELECT piece, CAST(lp AS DOUBLE) AS log_prob FROM (VALUES
+        |  ('newest', '-0.9808'), ('low', '-1.1632'),
+        |  ('widest', '-1.674'), ('lower', '-2.0794'),
+        |  ('d', '-infinity'), ('e', '-infinity'), ('i', '-infinity'),
+        |  ('l', '-infinity'), ('n', '-infinity'), ('o', '-infinity'),
+        |  ('r', '-infinity'), ('s', '-infinity'), ('t', '-infinity'),
+        |  ('w', '-infinity')
+        |) AS t(piece, lp)""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,

@@ -304,8 +304,21 @@ object Dedup {
     // plan above `pairs` executes twice inside the first checkpoint
     val p = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .localCheckpoint(true)
+    // size the PER-ROUND exchanges from the measured edge volume
+    // (SCALING.md round-10 finding 2: a closure loop pays width ×
+    // rounds × stages of task overhead, so width must track the
+    // per-round table — ~3|E| rows of 24-byte (long, long) pairs —
+    // not the input corpus). One cheap count of the already-
+    // materialized checkpoint; the global shuffle width is restored
+    // after the loop, so only the rounds are resized.
+    val loopWidth = graft.core.LoopShuffle.width(
+      ids.sparkSession, rows = 3L * p.count(), bytesPerRow = 24)
+    // the pair checkpoint is scanned twice EVERY round (both union
+    // branches), so its partition count is per-round task overhead —
+    // narrow-coalesce it to the loop width
+    val pr = graft.core.LoopShuffle.resized(p, loopWidth)
     // undirected edges, both directions (two cheap reads of the checkpoint)
-    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+    val edges = pr.union(pr.select(col("dst").as("src"), col("src").as("dst")))
     // iterate ONLY over vertices that have an edge: isolated ids can
     // never change canonical, so they rejoin at the end instead of
     // riding every round's shuffle (at 100 TB the near-dup graph is a
@@ -337,14 +350,20 @@ object Dedup {
       // observe — one job per round, no second scan (count() is
       // null-proof on an empty frame, unlike sum)
       val obs = org.apache.spark.sql.Observation()
-      val joined = cur.join(best, Seq("id"), "left")
-        .select(col("id"), col("canonical_id"),
-          least(col("canonical_id"),
-            coalesce(col("mc"), col("canonical_id")))
-            .as("next_canonical"))
-        .observe(obs, count(when(col("next_canonical") =!= col("canonical_id"),
-          lit(1))).as("changed"))
-        .localCheckpoint(true)
+      // the eager checkpoint EXECUTES inside withWidth, so every
+      // exchange of this round (join + groupBy + the checkpoint scan)
+      // is planned at the measured loop width
+      val joined = graft.core.LoopShuffle.withWidth(
+          ids.sparkSession, loopWidth) {
+        cur.join(best, Seq("id"), "left")
+          .select(col("id"), col("canonical_id"),
+            least(col("canonical_id"),
+              coalesce(col("mc"), col("canonical_id")))
+              .as("next_canonical"))
+          .observe(obs, count(when(col("next_canonical") =!= col("canonical_id"),
+            lit(1))).as("changed"))
+          .localCheckpoint(true)
+      }
       cur = joined.select(col("id"), col("next_canonical").as("canonical_id"))
       changed = obs.get("changed").asInstanceOf[Long] > 0
       // the stale round's checkpoint blocks free as soon as the new one
@@ -356,8 +375,9 @@ object Dedup {
       it += 1
     }
     // the pair/edge checkpoint is not in the returned lineage either —
-    // only the final round's vertex frame is
-    unpersistCheckpoint(p)
+    // only the final round's vertex frame is (p itself was already
+    // freed by the resize when it was wider than the loop)
+    unpersistCheckpoint(pr)
     // isolated vertices come back as canonical = self
     ids.select(col(idCol))
       .join(cur.select(col("id").as(idCol), col("canonical_id")), Seq(idCol), "left")
@@ -372,13 +392,7 @@ object Dedup {
     * and intended here (the frame is dead), so the instance-class logger
     * is lowered to ERROR first to keep job logs meaningful. */
   private def unpersistCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.collect {
-      case lr: org.apache.spark.sql.execution.LogicalRDD => lr.rdd
-    }.foreach { r =>
-      scala.util.Try(org.apache.logging.log4j.core.config.Configurator.setLevel(
-        r.getClass.getName, org.apache.logging.log4j.Level.ERROR))
-      r.unpersist(false)
-    }
+    graft.core.LoopShuffle.unpersistCheckpoint(df)
 
   /** [[minhashDedup]] with transitive closure: chains of near-dups
     * (a~b~c with a≁c) collapse into ONE canonical group. */

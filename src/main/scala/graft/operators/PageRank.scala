@@ -35,27 +35,58 @@ object PageRank {
     require(iters >= 1, s"iters must be >= 1, got $iters")
     require(damping > 0 && damping < 1, s"damping in (0,1), got $damping")
 
-    // distinct edges: outdeg counts each link once, like the matrix form
+    // distinct edges: outdeg counts each link once, like the matrix form.
+    // The degree-annotated edge table checkpoints EAGERLY so its row
+    // count (= |E|, the per-round shuffle volume) is measurable for
+    // loop-width sizing at one cheap cached count
     val e = edges.select(col(srcCol).as("__src"), col(dstCol).as("__dst"))
       .distinct()
     val deg = e.groupBy("__src").agg(count(lit(1)).as("__deg"))
-    val linked = e.join(deg, "__src").localCheckpoint(eager = false)
-    val nodes = e.select(col("__src").as("__id"))
-      .union(e.select(col("__dst").as("__id"))).distinct()
-      .localCheckpoint(eager = false)
+    val linked0 = e.join(deg, "__src").localCheckpoint(true)
+    // per-round exchange width from the measured edge volume
+    // (SCALING.md round-10 finding 2): each power-iteration round is
+    // one |E|-row join + one |E|-row aggregation — size the round's
+    // exchanges to that, not the global corpus width. The edge
+    // checkpoint is scanned every round, so it narrow-coalesces to
+    // the loop width too.
+    val loopWidth = graft.core.LoopShuffle.width(
+      edges.sparkSession, rows = linked0.count(), bytesPerRow = 32)
+    val linked = graft.core.LoopShuffle.resized(linked0, loopWidth)
+    // eager + resized like linked: a lazy checkpoint compiles its RDD
+    // at CALL time under the session conf, so the node table would be
+    // scanned at session width every round
+    val nodes = graft.core.LoopShuffle.resized(
+      e.select(col("__src").as("__id"))
+        .union(e.select(col("__dst").as("__id"))).distinct()
+        .localCheckpoint(true), loopWidth)
 
     var ranks = nodes.withColumn("__rank", lit(1.0))
-    for (_ <- 1 to iters) {
-      val contribs = linked
-        .join(ranks, linked("__src") === ranks("__id"))
-        .select(col("__dst"), (col("__rank") / col("__deg")).as("__c"))
-        .groupBy("__dst").agg(sum(col("__c")).as("__sum"))
-      ranks = nodes.join(contribs, nodes("__id") === contribs("__dst"), "left")
-        .select(col("__id"),
-          (lit(1.0 - damping) + lit(damping) * coalesce(col("__sum"), lit(0.0)))
-            .as("__rank"))
-        .localCheckpoint(eager = false)
+    var prevCkpt: Option[DataFrame] = None
+    for (it <- 1 to iters) {
+      // eager checkpoint inside withWidth: the round's exchanges plan
+      // and EXECUTE at the measured loop width (a lazy checkpoint
+      // would defer planning past the conf restore), and rank lineage
+      // truncates each round as before
+      ranks = graft.core.LoopShuffle.withWidth(
+          edges.sparkSession, loopWidth) {
+        val contribs = linked
+          .join(ranks, linked("__src") === ranks("__id"))
+          .select(col("__dst"), (col("__rank") / col("__deg")).as("__c"))
+          .groupBy("__dst").agg(sum(col("__c")).as("__sum"))
+        nodes.join(contribs, nodes("__id") === contribs("__dst"), "left")
+          .select(col("__id"),
+            (lit(1.0 - damping) + lit(damping) * coalesce(col("__sum"), lit(0.0)))
+              .as("__rank"))
+          .localCheckpoint(true)
+      }
+      // the stale round's checkpoint blocks free as soon as the new
+      // one lands — each round would otherwise pin a full rank-vector
+      // copy until the job ends (round 1's input is the lazy seed)
+      prevCkpt.foreach(graft.core.LoopShuffle.unpersistCheckpoint)
+      prevCkpt = if (it < iters) Some(ranks) else None
     }
+    // linked is not in the returned lineage — only the final ranks are
+    graft.core.LoopShuffle.unpersistCheckpoint(linked)
     ranks.select(col("__id").as("id"), col("__rank").as("rank"))
   }
 }

@@ -56,20 +56,34 @@ object ShortestPaths {
         directedEdges.select(col("__dst").as("__src"), col("__src").as("__dst")))
     // dedup + checkpoint once: every round probes this same table, and
     // a multigraph's repeats would multiply every frontier expansion
-    val adj = traversable.distinct().localCheckpoint(true)
+    val adj0 = traversable.distinct().localCheckpoint(true)
+    // per-round exchange width from the measured adjacency volume
+    // (SCALING.md round-10 finding 2): each hop joins the frontier
+    // against the full adjacency table, so the adjacency row count
+    // bounds the round's shuffle — not the global corpus width. The
+    // adjacency AND seed checkpoints are scanned every hop, so both
+    // narrow-coalesce to the loop width (their own distincts ran at
+    // the session width — one-time input-scale cost).
+    val loopWidth = graft.core.LoopShuffle.width(
+      edges.sparkSession, rows = adj0.count(), bytesPerRow = 24)
+    val adj = graft.core.LoopShuffle.resized(adj0, loopWidth)
 
-    var visited = seeds.select(col(seedCol).as("id")).distinct()
-      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var visited = graft.core.LoopShuffle.resized(
+      seeds.select(col(seedCol).as("id")).distinct()
+        .withColumn("dist", lit(0)).localCheckpoint(true), loopWidth)
     var frontier = visited
     var hop = 1
     var done = frontier.isEmpty
     while (hop <= maxHops && !done) {
-      val discovered = frontier
-        .join(adj, frontier("id") === adj("__src"))
-        .select(col("__dst").as("id")).distinct()
-        .join(visited.select("id"), Seq("id"), "left_anti")
-        .withColumn("dist", lit(hop))
-        .localCheckpoint(true)
+      val discovered = graft.core.LoopShuffle.withWidth(
+          edges.sparkSession, loopWidth) {
+        frontier
+          .join(adj, frontier("id") === adj("__src"))
+          .select(col("__dst").as("id")).distinct()
+          .join(visited.select("id"), Seq("id"), "left_anti")
+          .withColumn("dist", lit(hop))
+          .localCheckpoint(true)
+      }
       if (discovered.isEmpty) done = true
       else {
         visited = visited.union(discovered).localCheckpoint(true)
