@@ -112,6 +112,49 @@ class LangIdSpec extends SparkSpec {
     assert(streamed == Set(3L, 4L) && streamed == batch)
   }
 
+  test("non-default n-gram sizes thread train → score (r11 advice): " +
+      "a ns=Seq(1,2) model scores with 1-2-gram windows") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // vowel vs consonant classes: 1-grams alone separate them, so a
+    // correctly-threaded ns=Seq(1) scorer classifies the held-out
+    // rows; the pre-fix behavior (scoring with the default 2-3 grams
+    // against a 1-gram-only vocab) collapses EVERY gram to the OOV
+    // floor and the prediction degenerates to one shared label
+    val seed = Seq.tabulate(40) { i =>
+      if (i % 2 == 0) (s"aeiou aeaeio uoiea e$i", "vow")
+      else (s"bcdfg bcbcdf gfdcb b$i", "con")
+    }.toDF("text", "lang")
+    val ns = Seq(1)
+    val (model, stats) = LangId.train(seed, "text", "lang",
+      vocabSize = 60, ns = ns)
+    val probe = Seq((1L, "aeiou eaio aie"), (2L, "bcdfg fgbcd dgb"))
+      .toDF("id", "text")
+    val scored = LangId.scoreAll(probe, "id", "text", model, stats,
+      ns = ns).orderBy("id").collect()
+    assert(scored(0).getAs[String]("lang_id") == "vow")
+    assert(scored(1).getAs[String]("lang_id") == "con")
+    // n_grams arithmetic follows ns: len 14 → 14 1-grams
+    assert(scored(0).getAs[Long]("n_grams") == 14L)
+    // label and filterByLang thread ns identically
+    val labeled = LangId.label(probe, "text", model, stats, ns = ns)
+      .orderBy("id").collect()
+    assert(labeled(0).getAs[String]("lang_id") == "vow" &&
+      labeled(1).getAs[String]("lang_id") == "con")
+    assert(LangId.filterByLang(probe, "text", model, stats,
+      allow = Seq("vow"), ns = ns).collect().map(_.getLong(0)).toSeq ==
+      Seq(1L))
+    // and the DEFAULT-ns path against this 1-2-gram model demonstrates
+    // the failure mode the fix closes: both probes collapse to the
+    // same prior-driven label (no separation)
+    val wrong = LangId.scoreAll(probe, "id", "text", model, stats)
+      .orderBy("id").collect()
+    assert(wrong(0).getAs[String]("lang_id") ==
+      wrong(1).getAs[String]("lang_id"),
+      "mismatched ns must degenerate — if this separates, the test " +
+        "fixture stopped demonstrating the failure mode")
+  }
+
   test("yaml: lang_id sub-map parses, typos and missing keys are loud") {
     import graft.engine.YamlJob
     def yaml(body: String) =
