@@ -71,6 +71,20 @@ object SparkEntry {
   private val substringDedupPassage: String =
     (1 to 60).map(i => s"sdp$i").mkString(" ")
 
+  /** Planted WordPiece training corpus: the published worked example
+    * (hug:10 pug:5 pun:12 bun:4 hugs:5) scaled per doc by
+    * 1 + doc_id%2 — shared by q_wordpiece_train and the apply gate so
+    * the two can never train on different corpora. */
+  private def wordpieceCorpus(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(concat(
+        expr("repeat('hug ', CAST(10 * (1 + doc_id % 2) AS INT))"),
+        expr("repeat('pug ', CAST(5 * (1 + doc_id % 2) AS INT))"),
+        expr("repeat('pun ', CAST(12 * (1 + doc_id % 2) AS INT))"),
+        expr("repeat('bun ', CAST(4 * (1 + doc_id % 2) AS INT))"),
+        expr("repeat('hugs ', CAST(5 * (1 + doc_id % 2) AS INT))"))
+        .as("text"))
+
   private def scratch(name: String): String = {
     val p = java.nio.file.Paths.get(s"/root/repo/target/tmp/queries/$name")
     java.nio.file.Files.createDirectories(p.getParent)
@@ -1171,6 +1185,25 @@ object SparkEntry {
         .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
     },
 
+    // --- product quantization + ADC scoring (Jégou 2011 — the
+    // embedding COMPRESSION leg of 100 TB ANN): vectors encode to m=4
+    // codes against per-block codebooks, the query builds a bounded
+    // m×ksub lookup table, and every stored vector scores as 4 table
+    // lookups. Gate configuration uses SEED codebooks (kmeansIters=0,
+    // seeds = the 16 smallest vec_ids — SQL-derivable), so the oracle
+    // replays the ENTIRE pipeline: per-block argmin encode, the
+    // squared-L2 lookup table, the fixed-order 4-term ADC sum, and
+    // the top-25 cut. Trained-codebook recall is unit-pinned. ---
+    "q_pq_adc" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val qv = queryVec(s, dir)
+      val pq = Similarity.PqIndex(m = 4, ksub = 16, kmeansIters = 0)
+      val books = pq.codebooks(emb, "vec_id", "embedding", dim = 64)
+      pq.topK(pq.encode(emb, "embedding", books), "vec_id", books, qv,
+          k = 25)
+        .select(col("vec_id"), round(col("adc_dist"), 6).as("adc_dist"))
+    },
+
     // --- multimodal: schema contract + batched decode stage (stubbed
     // codec, deterministic) over payload bytes ---
     "q_multimodal_features" -> { (s, dir) =>
@@ -2239,6 +2272,43 @@ object SparkEntry {
           .as("text"))
       graft.llm.UnigramLm.trainDF(s, planted, "text",
         vocabSize = 14, maxPieceLen = 6)
+    },
+
+    // --- WordPiece vocabulary training (Schuster 2012; the BERT
+    // tokenizer — third of the tokenizer trio): BPE's merge loop under
+    // the LIKELIHOOD score count(ab)/(count(a)·count(b)). Planted
+    // corpus = the published worked example (hug:10 pug:5 pun:12 bun:4
+    // hugs:5) scaled per doc by 1 + doc_id%2 — every score shares one
+    // 1/S corpus factor so the COMPLETE 8-merge sequence is
+    // hand-derivable (first merge is ##gs: score 1/20 beats every
+    // 1/36 pair despite 4x smaller count — the signature WordPiece
+    // behavior) and pins as a VALUES table. ---
+    "q_wordpiece_train" -> { (s, dir) =>
+      import s.implicits._
+      val planted = wordpieceCorpus(s, dir)
+      graft.llm.WordPieceTrain.learnVocab(planted, "text",
+          numMerges = 8, minFrequency = 1)
+        .zipWithIndex.map { case (p, i) => (i, p) }
+        .toDF("idx", "piece")
+    },
+
+    // --- WordPiece apply (greedy longest-match-first, ## continuations,
+    // whole-word [UNK]): counts under the vocabulary trained above —
+    // per-word costs are hand-derived constants (hug/pug/bun/hugs = 1
+    // whole-word piece, pun = p + ##un = 2, zzz = [UNK] = 1), so each
+    // planted document's count is pure id arithmetic. ---
+    "q_wordpiece_tokens" -> { (s, dir) =>
+      val vocab = graft.llm.WordPieceTrain.learnVocab(
+        wordpieceCorpus(s, dir), "text", numMerges = 8, minFrequency = 1)
+      t(s, dir, "documents")
+        .select(col("doc_id"), concat(
+          expr("repeat('hug ', CAST(doc_id % 3 + 1 AS INT))"),
+          expr("repeat('pun ', CAST(doc_id % 4 + 1 AS INT))"),
+          expr("repeat('zzz ', CAST(doc_id % 5 AS INT))"),
+          lit("hugs")).as("text"))
+        .select(col("doc_id"),
+          graft.functions.WordPieceExprs
+            .wordpiece_token_count(col("text"), vocab).as("n_tokens"))
     },
 
     // --- compression-ratio quality signal (deflate entropy proxy):
@@ -4800,6 +4870,60 @@ object SparkEntry {
     "q_ivf_topk" ->
       cosineTopKSql(15),
 
+    // PQ + ADC: full pipeline replay — seed codebooks are the 16
+    // smallest vec_ids' block slices; encode = per-block argmin by
+    // squared L2 (ties to smaller centroid index, matching
+    // NearestCentroid); ADC = the per-block lookup joined by (b, code)
+    // and summed in FIXED block order (conditional-max pivot — a
+    // GROUP-BY sum's addition order is engine-defined, a 4-term
+    // left-assoc chain is not); top-25 by unrounded distance, ties to
+    // vec_id
+    "q_pq_adc" ->
+      """WITH e AS (
+        |  SELECT vec_id,
+        |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |  FROM embeddings
+        |), seeds AS (
+        |  SELECT vec_id AS j, v FROM e WHERE vec_id < 16
+        |), q AS (
+        |  SELECT v AS qv FROM e WHERE vec_id = 0
+        |), blocks AS (
+        |  SELECT unnest(range(0, 4)) AS b
+        |), dists AS (
+        |  SELECT e.vec_id, blk.b, s.j,
+        |    list_sum(list_transform(range(1, 17), i ->
+        |      (e.v[CAST(blk.b * 16 + i AS BIGINT)]
+        |        - s.v[CAST(blk.b * 16 + i AS BIGINT)])
+        |      * (e.v[CAST(blk.b * 16 + i AS BIGINT)]
+        |        - s.v[CAST(blk.b * 16 + i AS BIGINT)]))) AS d
+        |  FROM e, blocks blk, seeds s
+        |), codes AS (
+        |  SELECT vec_id, b, j AS code FROM (
+        |    SELECT vec_id, b, j,
+        |      row_number() OVER (PARTITION BY vec_id, b
+        |        ORDER BY d, j) AS rn
+        |    FROM dists
+        |  ) WHERE rn = 1
+        |), lut AS (
+        |  SELECT blk.b, s.j,
+        |    list_sum(list_transform(range(1, 17), i ->
+        |      (q.qv[CAST(blk.b * 16 + i AS BIGINT)]
+        |        - s.v[CAST(blk.b * 16 + i AS BIGINT)])
+        |      * (q.qv[CAST(blk.b * 16 + i AS BIGINT)]
+        |        - s.v[CAST(blk.b * 16 + i AS BIGINT)]))) AS ld
+        |  FROM blocks blk, seeds s, q
+        |), adc AS (
+        |  SELECT c.vec_id,
+        |    max(CASE WHEN c.b = 0 THEN l.ld END)
+        |      + max(CASE WHEN c.b = 1 THEN l.ld END)
+        |      + max(CASE WHEN c.b = 2 THEN l.ld END)
+        |      + max(CASE WHEN c.b = 3 THEN l.ld END) AS d
+        |  FROM codes c JOIN lut l ON c.b = l.b AND c.code = l.j
+        |  GROUP BY c.vec_id
+        |)
+        |SELECT vec_id, round(d, 6) AS adc_dist
+        |FROM adc ORDER BY d, vec_id LIMIT 25""".stripMargin,
+
     "q_topk_cosine" ->
       cosineTopKSql(25),
 
@@ -5015,6 +5139,29 @@ object SparkEntry {
         |  ('r', '-infinity'), ('s', '-infinity'), ('t', '-infinity'),
         |  ('w', '-infinity')
         |) AS t(piece, lp)""".stripMargin,
+
+    // WordPiece training: alphabet (sorted) then the 8 merges in the
+    // hand-derived order — m1 ##gs (1/20 beats the all-1/36 field),
+    // m2 ##ug (all-1/36 tie → left-asc '##u' wins, right-asc '##g'),
+    // m3 ##ugs (1/21 three-way tie → ##u/##gs), m4 hugs (1/15),
+    // m5 hug (1/15), m6 ##un (1/16 tie → ##u), m7 bun (1/16),
+    // m8 pug (1/17 tie → right ##ug < ##un)
+    "q_wordpiece_train" ->
+      """SELECT CAST(i AS INTEGER) AS idx, p AS piece FROM (VALUES
+        |  (0, '##g'), (1, '##n'), (2, '##s'), (3, '##u'),
+        |  (4, 'b'), (5, 'h'), (6, 'p'),
+        |  (7, '##gs'), (8, '##ug'), (9, '##ugs'), (10, 'hugs'),
+        |  (11, 'hug'), (12, '##un'), (13, 'bun'), (14, 'pug')
+        |) AS t(i, p)""".stripMargin,
+
+    // WordPiece apply: per-word costs under the trained vocab are
+    // constants (hug/pug/bun/hugs whole-word = 1, pun = p + ##un = 2,
+    // zzz = [UNK] = 1)
+    "q_wordpiece_tokens" ->
+      """SELECT doc_id,
+        |  (doc_id % 3 + 1) + 2 * (doc_id % 4 + 1) + (doc_id % 5) + 1
+        |    AS n_tokens
+        |FROM documents""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT date_trunc('hour', ts) AS hour_start, event_type,

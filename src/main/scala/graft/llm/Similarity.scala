@@ -168,4 +168,113 @@ object Similarity {
         .orderBy(col("cosine").desc, col(idCol))
         .limit(k)
   }
+
+  /** Product quantization (Jégou, Douze & Schmid 2011, "Product
+    * Quantization for Nearest Neighbor Search") — the embedding
+    * COMPRESSION leg of ANN at 100 TB: each d-dim vector splits into
+    * `m` contiguous sub-blocks, each block quantizes to its nearest of
+    * `ksub` per-block centroids, and the vector is stored as m small
+    * codes (m bytes at ksub ≤ 256) instead of d floats — a 100-500×
+    * storage cut that lets the candidate scan stay in memory. Query
+    * scoring is ADC (asymmetric distance computation): the QUERY stays
+    * exact, a per-block lookup table of squared-L2 distances to every
+    * centroid is built once driver-side (m × ksub doubles, bounded),
+    * and each stored vector scores as m table lookups — no float
+    * vector is ever touched at scan time.
+    *
+    * Scale shape: codebook training is per-block Lloyd iterations over
+    * SLICED vectors (the slice is a codegen'd projection — raw vectors
+    * never shuffle; the per-block mean aggregation reduces map-side,
+    * exactly [[IvfIndex.centroids]]' shape, m times on dsub-wide
+    * slices); encoding is ONE projection of m native
+    * [[graft.functions.VectorExprs]] nearest-centroid expressions;
+    * ADC scoring is a pure per-row projection (array literal lookups
+    * + an m-term sum, all codegen'd) feeding TakeOrderedAndProject —
+    * no shuffle anywhere but the training aggregations.
+    *
+    * Determinism: seeds are the first `ksub` vectors by id ASC
+    * (SQL-replayable, unlike a hash sample); empty cells keep their
+    * previous centroid; [[graft.functions.VectorExprs.NearestCentroid]]
+    * breaks distance ties to the smallest index. With
+    * `kmeansIters = 0` the codebook IS the seed set — the
+    * oracle-gateable configuration (every stage replays in SQL); real
+    * deployments train with iters > 0 (recall unit-pinned). */
+  final case class PqIndex(m: Int = 4, ksub: Int = 16,
+                           kmeansIters: Int = 3) {
+    require(m >= 1 && ksub >= 1, s"m=$m ksub=$ksub must be >= 1")
+
+    private def blockCol(vecCol: String, dsub: Int, b: Int): Column =
+      transform(slice(col(vecCol), b * dsub + 1, dsub), _.cast("double"))
+
+    /** Per-block codebooks: m × ksub × dsub. `dim` must be divisible
+      * by m (pad upstream otherwise — silent ragged blocks would
+      * misalign every code). */
+    def codebooks(df: DataFrame, idCol: String, vecCol: String,
+                  dim: Int): Array[Array[Seq[Double]]] = {
+      require(dim % m == 0, s"dim=$dim not divisible by m=$m — pad the " +
+        "vectors or change m")
+      val dsub = dim / m
+      // id-ASC seeds, one bounded collect of ksub full vectors
+      val seeds = df
+        .select(col(idCol).as("id"),
+          transform(col(vecCol), _.cast("double")).as("v"))
+        .orderBy(col("id")).limit(ksub)
+        .select(col("v")).collect().map(_.getSeq[Double](0).toSeq)
+      Array.tabulate(m) { b =>
+        var cents: Array[Seq[Double]] =
+          seeds.map(_.slice(b * dsub, (b + 1) * dsub))
+        var it = 0
+        while (cents.nonEmpty && it < kmeansIters) {
+          val means = df
+            .select(nearest_centroid(blockCol(vecCol, dsub, b),
+                cents.toIndexedSeq).as("cell"),
+              posexplode(blockCol(vecCol, dsub, b)).as(Seq("pos", "x")))
+            .groupBy(col("cell"), col("pos"))
+            .agg(avg(col("x")).as("mc"))
+            .collect()
+          val next = cents.map(_.toArray)
+          means.foreach(r => next(r.getInt(0))(r.getInt(1)) = r.getDouble(2))
+          cents = next.map(_.toSeq)
+          it += 1
+        }
+        cents
+      }
+    }
+
+    /** Adds `pq_code` (array<int>, length m) — the stored form. */
+    def encode(df: DataFrame, vecCol: String,
+               books: Array[Array[Seq[Double]]]): DataFrame = {
+      val dsub = books(0)(0).size
+      df.withColumn("pq_code", array(books.indices.map(b =>
+        nearest_centroid(blockCol(vecCol, dsub, b),
+          books(b).toIndexedSeq)): _*))
+    }
+
+    /** ADC lookup table for one query: lut(b)(j) = squared L2 from the
+      * query's block b to centroid j. Driver-side, m × ksub doubles. */
+    def adcTable(books: Array[Array[Seq[Double]]],
+                 query: Seq[Double]): Array[Array[Double]] = {
+      val dsub = books(0)(0).size
+      Array.tabulate(books.length) { b =>
+        val qb = query.slice(b * dsub, (b + 1) * dsub)
+        books(b).map(c =>
+          c.zip(qb).map { case (a, q) => (a - q) * (a - q) }.sum).toArray
+      }
+    }
+
+    /** Approximate top-k by ADC distance (asc, ties to smaller id):
+      * per-row it is m array-literal lookups + a sum — codegen'd, no
+      * vector math at scan time. */
+    def topK(encoded: DataFrame, idCol: String,
+             books: Array[Array[Seq[Double]]], query: Seq[Double],
+             k: Int): DataFrame = {
+      val lut = adcTable(books, query)
+      val dist = lut.indices.map(b =>
+        element_at(typedLit(lut(b).toSeq),
+          element_at(col("pq_code"), b + 1) + 1)).reduce(_ + _)
+      encoded.select(col(idCol), dist.as("adc_dist"))
+        .orderBy(col("adc_dist").asc, col(idCol))
+        .limit(k)
+    }
+  }
 }

@@ -426,6 +426,27 @@ class PlanSpec extends SparkSpec {
     assert(s.count() > 0)
   }
 
+  test("substring dedup: window analysis shuffles carry (id, s, e, hash) " +
+      "only — text moves once, in the final rewrite join") {
+    val out = graft.llm.SubstringDedup.excise(
+      sf("documents"), "doc_id", "text", w = 20, stride = 1)
+    // exactly the line-dedup contract: the occurrence/keeper/interval
+    // exchanges are keys-only; the single documented doc-row move is
+    // the per-id interval join that rebuilds the text
+    val textCrossings = shuffleOutputs(out).count(_.contains("text"))
+    assert(textCrossings <= 1,
+      s"text crossed ${textCrossings} shuffles — the window analysis " +
+        "must stay keys-only")
+    shuffleOutputs(out).foreach(cols =>
+      assert(!cols.contains("__w"),
+        s"exploded window structs crossed a shuffle: $cols"))
+    // the occurrence aggregation partial-aggregates map-side (hot
+    // spans collapse before the exchange)
+    assert(out.queryExecution.sparkPlan.toString.contains("partial"),
+      "occurrence counting must partial-aggregate map-side")
+    assert(out.count() > 0)
+  }
+
   test("writeShards frame: the explicit repartition is the ONLY exchange") {
     // repartition(shards, shard) before the window must satisfy the
     // window's clustering — a second full-data exchange would double

@@ -276,6 +276,53 @@ class LlmSpec extends SparkSpec {
     assert(trainedRecall > 0.3, s"trained recall degenerate: $trainedRecall")
   }
 
+  test("PqIndex: codebook shape, codes in range, ADC ranks the query's " +
+      "own code first, trained books beat seed books on distortion") {
+    val emb = sf("embeddings")
+    val pq = Similarity.PqIndex(m = 4, ksub = 16, kmeansIters = 0)
+    val seedBooks = pq.codebooks(emb, "vec_id", "embedding", dim = 64)
+    assert(seedBooks.length == 4 &&
+      seedBooks.forall(b => b.length == 16 && b.forall(_.size == 16)))
+    val encoded = pq.encode(emb, "embedding", seedBooks).cache()
+    val codes = encoded.select($"pq_code").as[Seq[Int]].collect()
+    assert(codes.forall(c => c.length == 4 && c.forall(j => j >= 0 && j < 16)))
+    // a SEED vector quantizes exactly to itself: vec 7 is centroid 7
+    // in every block, so its ADC distance to itself as query is 0
+    val q7 = emb.filter($"vec_id" === 7).select($"embedding")
+      .head.getSeq[Float](0).map(_.toDouble).toSeq
+    val top = pq.topK(encoded, "vec_id", seedBooks, q7, k = 5).collect()
+    assert(top.head.getLong(0) == 7L && top.head.getDouble(1) == 0.0,
+      s"seed vector must ADC-score 0 against itself: ${top.head}")
+    // ADC approximates true distance: top-5 by ADC overlaps top-10
+    // exact L2 (sanity, not a recall pin — ksub 16 is coarse)
+    val exactTop = emb
+      .select($"vec_id", graft.functions.VectorExprs
+        .cosine_sim($"embedding", typedLit(q7)).as("c"))
+      .orderBy($"c".desc, $"vec_id").limit(10)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(top.map(_.getLong(0)).count(exactTop) >= 2,
+      "ADC ranking diverged completely from exact similarity")
+    // trained codebooks reduce total quantization distortion vs seeds
+    def distortion(books: Array[Array[Seq[Double]]]): Double =
+      pq.encode(emb, "embedding", books)
+        .select($"embedding", $"pq_code").as[(Seq[Float], Seq[Int])]
+        .collect().map { case (v, c) =>
+          (0 until 4).map { b =>
+            val block = v.slice(b * 16, (b + 1) * 16).map(_.toDouble)
+            block.zip(books(b)(c(b))).map { case (x, y) =>
+              (x - y) * (x - y) }.sum
+          }.sum
+        }.sum
+    val trained = Similarity.PqIndex(m = 4, ksub = 16, kmeansIters = 3)
+      .codebooks(emb, "vec_id", "embedding", dim = 64)
+    assert(distortion(trained) < distortion(seedBooks),
+      "Lloyd rounds must reduce quantization distortion")
+    encoded.unpersist()
+    // ragged blocks are a loud error, not silent misalignment
+    intercept[IllegalArgumentException](
+      pq.codebooks(emb, "vec_id", "embedding", dim = 63))
+  }
+
   test("connected dedup collapses transitive near-dup chains") {
     // a ~ b ~ c but jaccard(a, c) < 0.5: single-pass leaves c → b,
     // converged closure gives c → a
