@@ -209,7 +209,11 @@ object Curation {
     // checkpoints it like the other fan-out stages
     val afterSub0 = cfg.substringDedupWindow match {
       case Some(w) =>
-        SubstringDedup.excise(afterLines, idCol, textCol, w = w)
+        // persist follows the pipeline knob: with it on, the corpus is
+        // window-hashed exactly once (guard + agg + join-back all read
+        // the checkpointed keys-only projection)
+        SubstringDedup.excise(afterLines, idCol, textCol, w = w,
+          persist = cfg.persistSurvivors)
       case None => afterLines
     }
     val afterSub =
@@ -475,7 +479,8 @@ object Curation {
     }
     val r2 = cfg.substringDedupWindow match {
       case Some(w) =>
-        SubstringDedup.excise(r2a, idCol, textCol, w = w)
+        // observed runs always trade storage for single evaluation
+        SubstringDedup.excise(r2a, idCol, textCol, w = w, persist = true)
           .localCheckpoint(true)
       case None => r2a
     }

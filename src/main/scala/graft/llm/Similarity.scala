@@ -220,6 +220,10 @@ object Similarity {
           transform(col(vecCol), _.cast("double")).as("v"))
         .orderBy(col("id")).limit(ksub)
         .select(col("v")).collect().map(_.getSeq[Double](0).toSeq)
+      require(seeds.nonEmpty,
+        "PqIndex.codebooks: empty corpus — nothing to seed from")
+      require(seeds.forall(_.size == dim),
+        s"PqIndex.codebooks: vectors shorter than dim=$dim exist")
       Array.tabulate(m) { b =>
         var cents: Array[Seq[Double]] =
           seeds.map(_.slice(b * dsub, (b + 1) * dsub))

@@ -51,7 +51,10 @@ import graft.functions.SketchExprs.tokenWindowHashes
   * "warn" (default) logs the count and hottest hashes and proceeds,
   * "fail" raises naming them (for pipelines that want boilerplate
   * stripped by [[Boilerplate]] BEFORE paying corpus-wide excision),
-  * "allow" skips the extra aggregate entirely.
+  * "allow" skips the extra aggregate entirely. The guard's bounded
+  * collect is one extra evaluation of the window projection — set
+  * `persist = true` to hash the corpus exactly once regardless (see
+  * [[excise]]).
   */
 object SubstringDedup {
 
@@ -62,9 +65,9 @@ object SubstringDedup {
   def spans(df: DataFrame, idCol: String, textCol: String,
             w: Int = 50, stride: Int = 1,
             maxOccurrences: Int = 1 << 20,
-            onHot: String = "warn"): DataFrame = {
+            onHot: String = "warn", persist: Boolean = false): DataFrame = {
     val excised = excisedWindows(df, idCol, textCol, w, stride,
-      maxOccurrences, onHot)
+      maxOccurrences, onHot, persist)
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col(idCol)).orderBy(col("__s"), col("__e"))
     val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
@@ -81,13 +84,23 @@ object SubstringDedup {
 
   /** The corpus pass: input frame with `textCol` REBUILT — every
     * cross-document duplicated >= w-token span removed from all but
-    * its keeper occurrence. Keeps every input column. */
+    * its keeper occurrence. Keeps every input column.
+    *
+    * @param persist materialize the (id, s, e, hash) window projection
+    *   ONCE (eager localCheckpoint — 24-byte rows, no text) so the
+    *   input lineage + native window-hash pass run a single time
+    *   instead of once per consumer. The consumers are the occurrence
+    *   aggregation, the join-back, AND (when `onHot` != "allow") the
+    *   guard's bounded collect — so with the guard on, `persist = true`
+    *   turns three corpus-hashing passes into one. Same trade as
+    *   [[Spans.stats]]: costs block storage for the keys-only
+    *   projection; leave off when the input is a bare scan. */
   def excise(df: DataFrame, idCol: String, textCol: String,
              w: Int = 50, stride: Int = 1,
              maxOccurrences: Int = 1 << 20,
-             onHot: String = "warn"): DataFrame = {
+             onHot: String = "warn", persist: Boolean = false): DataFrame = {
     val excised = excisedWindows(df, idCol, textCol, w, stride,
-      maxOccurrences, onHot)
+      maxOccurrences, onHot, persist)
     Spans.exciseIntervals(df, idCol, textCol, excised)
   }
 
@@ -95,18 +108,19 @@ object SubstringDedup {
     * intervals — the shared head of [[spans]] and [[excise]]. */
   private def excisedWindows(df: DataFrame, idCol: String, textCol: String,
                              w: Int, stride: Int, maxOccurrences: Int,
-                             onHot: String): DataFrame = {
+                             onHot: String, persist: Boolean): DataFrame = {
     require(Seq("warn", "fail", "allow").contains(onHot),
       s"onHot must be warn|fail|allow: $onHot")
     require(maxOccurrences >= 2, s"maxOccurrences must be >= 2: $maxOccurrences")
     Guards.requireFreshColumns(df,
       Seq("__s", "__e", "__wh", "__occ", "__idmin", "__idmax", "__keep"),
       "SubstringDedup")
-    val win = df
+    val win0 = df
       .select(col(idCol),
         explode(tokenWindowHashes(col(textCol), w, stride)).as("__w"))
       .select(col(idCol), col("__w")("s").as("__s"),
         col("__w")("e").as("__e"), col("__w")("h").as("__wh"))
+    val win = if (persist) win0.localCheckpoint(true) else win0
     // one aggregation per hash: occurrence count, the cross-doc test
     // (min id != max id), and the keeper argmin all ride the same
     // map-side partials — a pasted-everywhere passage collapses to one

@@ -68,6 +68,11 @@ class SubstringDedupSpec extends SparkSpec {
     docs.foreach { case (id, _) =>
       assert(got(id) == exp(id), s"doc $id: got '${got(id)}'")
     }
+    // persist=true (single window-hash evaluation) is output-identical
+    val gotP = SubstringDedup.excise(docs.toDF("id", "text"), "id",
+        "text", w = w, stride = 1, persist = true)
+      .as[(Long, String)].collect().toMap
+    assert(gotP == got, "persist must not change results")
     // sanity on the semantics themselves: doc 1 (keeper) intact, the
     // passage gone from 2 and 4, doc 3 untouched
     assert(got(1L) == docs.head._2)
