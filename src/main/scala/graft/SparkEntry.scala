@@ -1043,6 +1043,20 @@ object SparkEntry {
         w = 50, stride = 1)
     },
 
+    // --- winnowing document fingerprints (Schleimer 2003 / MOSS):
+    // k-gram portable-polynomial hashes → sliding-window minimum with
+    // rightmost ties → distinct (pos, fp) selections, density 2/(w+1)
+    // with the hard >= w+k-1 match guarantee. The oracle replays gram
+    // hashing (list_reduce fold), window minima, the rightmost
+    // tie-break and the short-doc truncated-window rule in SQL —
+    // fingerprint SELECTION itself is gated, closing the trade
+    // documented on CharWindowHashes ---
+    "q_winnow_fingerprints" -> { (s, dir) =>
+      graft.llm.Indexing.winnowIndex(
+        t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", k = 25, w = 16)
+    },
+
     // --- corpus-level boilerplate: bigrams present in >= 15% of docs.
     // A fixed disclaimer is appended to a quarter of the corpus (20%
     // of the union) while the highest NATURAL bigram doc-frequency is
@@ -4728,6 +4742,43 @@ object SparkEntry {
         |SELECT c.doc_id,
         |  CASE WHEN r.doc_id IS NULL THEN c.text ELSE r.text END AS text
         |FROM corpus c LEFT JOIN reb r USING (doc_id)""".stripMargin,
+
+    // winnowing: grams (pos 0-based), polynomial hash via list_reduce,
+    // window start ws in 0..max(ng-w, 0) (short docs → one truncated
+    // window), per-window min then rightmost position among minima,
+    // distinct selections
+    "q_winnow_fingerprints" ->
+      """WITH g AS (
+        |  SELECT doc_id, CAST(i - 1 AS INTEGER) AS pos,
+        |    list_reduce(
+        |      list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, 26), j ->
+        |          CAST(ascii(substr(text, CAST(i + j - 1 AS BIGINT), 1))
+        |            AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 2147483647) AS h
+        |  FROM (
+        |    SELECT doc_id, text, unnest(range(1, len(text) - 25 + 2)) AS i
+        |    FROM documents WHERE len(text) >= 25
+        |  )
+        |), ng AS (
+        |  SELECT doc_id, count(*) AS n FROM g GROUP BY doc_id
+        |), win AS (
+        |  SELECT doc_id,
+        |    unnest(range(0, greatest(n - 16, 0) + 1)) AS ws
+        |  FROM ng
+        |), wmin AS (
+        |  SELECT w.doc_id, w.ws, min(g.h) AS mh
+        |  FROM win w JOIN g ON g.doc_id = w.doc_id
+        |    AND g.pos >= w.ws AND g.pos < w.ws + 16
+        |  GROUP BY w.doc_id, w.ws
+        |), sel AS (
+        |  SELECT m.doc_id, max(g.pos) AS pos, m.mh AS fp
+        |  FROM wmin m JOIN g ON g.doc_id = m.doc_id
+        |    AND g.pos >= m.ws AND g.pos < m.ws + 16 AND g.h = m.mh
+        |  GROUP BY m.doc_id, m.ws, m.mh
+        |)
+        |SELECT DISTINCT doc_id, CAST(pos AS INTEGER) AS pos, fp
+        |FROM sel""".stripMargin,
 
     "q_boilerplate" ->
       """WITH corpus AS (

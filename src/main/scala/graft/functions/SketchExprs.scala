@@ -331,8 +331,10 @@ object SketchExprs {
     * 1/stride and still catches the aligned-repeat cases that dominate
     * real corpora: exact copies, shared prefixes truncated/extended at
     * the tail, head-to-tail packed duplicates. (Shift-invariant
-    * sampling — winnowing — needs a hash the SQL oracle could replay
-    * to verify selection; documented trade, not taken.) Windows are
+    * sampling exists as a first-class sibling now:
+    * [[WinnowFingerprints]] — its portable-polynomial gram hash made
+    * the selection SQL-replayable, closing the trade this note used
+    * to document.) Windows are
     * CODEPOINT-indexed (SQL `len`/`substr` semantics — surrogate pairs
     * never split), occurrences preserved (no dedup — self-repetition
     * counts), empty output below k codepoints. One boundary-scan pass
@@ -506,6 +508,107 @@ object SketchExprs {
       windows(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
     override protected def withNewChildInternal(c: Expression): TokenWindowHashes =
+      copy(child = c)
+  }
+
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
+    * the MOSS algorithm): hash every k-codepoint gram, slide a window
+    * of w consecutive gram hashes, select each window's MINIMUM hash
+    * (ties to the RIGHTMOST position — the paper's robust winnowing),
+    * and emit the distinct selected (pos, hash) pairs in position
+    * order. Guarantee (the paper's): any substring match of length
+    * >= w + k - 1 between two documents shares at least one
+    * fingerprint — with density 2/(w+1) of all grams instead of the
+    * full gram set, which is what makes fingerprint indexes ~an order
+    * of magnitude smaller than [[CharWindowHashes]] at stride 1 while
+    * keeping a HARD detection guarantee (strided windows only catch
+    * aligned repeats; winnowing's selection is content-anchored, so it
+    * is shift-invariant).
+    *
+    * This closes the trade documented on [[CharWindowHashes]]
+    * ("winnowing needs a hash the SQL oracle could replay"): the gram
+    * hash here is the house PORTABLE polynomial — fold
+    * (state·31 + codepoint) mod 2147483647 — which any SQL engine
+    * replays with a list_reduce, so fingerprint SELECTION itself is
+    * oracle-checkable. Fewer than k codepoints → empty; fewer than w
+    * grams → ONE selection (the min over the grams that exist),
+    * matching a truncated trailing window on the SQL side.
+    *
+    * One pass per row: the sliding-window minimum runs on a monotonic
+    * deque (amortized O(1) per gram; pushing pops equal-or-greater
+    * tails, so the newest of equal hashes survives = rightmost tie);
+    * only (int, long) structs leave the row. */
+  case class WinnowFingerprints(child: Expression, k: Int, w: Int)
+    extends UnaryExpression {
+
+    require(k >= 2, s"gram size must be >= 2 chars: $k")
+    require(w >= 1, s"window must be >= 1 grams: $w")
+
+    private val P = 2147483647L
+
+    override def dataType: DataType = ArrayType(StructType(Seq(
+      StructField("pos", IntegerType, nullable = false),
+      StructField("h", LongType, nullable = false))), containsNull = false)
+    override def nullable: Boolean = child.nullable
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("winnow", this,
+        classOf[WinnowFingerprints].getName)
+      nullSafeCodeGen(ctx, ev, c =>
+        s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.fingerprints($c);")
+    }
+
+    def fingerprints(u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      val s = u.toString
+      val n = s.codePointCount(0, s.length)
+      if (n < k) return new GenericArrayData(Array.empty[Any])
+      // codepoints once (the hash is defined over codepoints — the
+      // SQL side's ascii(substr(g, i, 1)))
+      val cps = s.codePoints().toArray
+      val nGrams = n - k + 1
+      val hashes = new Array[Long](nGrams)
+      var g = 0
+      while (g < nGrams) {
+        var h = 0L
+        var i = 0
+        while (i < k) { h = (h * 31 + cps(g + i)) % P; i += 1 }
+        hashes(g) = h
+        g += 1
+      }
+      // sliding-window min with rightmost ties via monotonic deque
+      val dq = new java.util.ArrayDeque[Int]() // positions, hashes increasing
+      val out = new scala.collection.mutable.ArrayBuffer[Any]()
+      var lastSel = -1
+      var p = 0
+      while (p < nGrams) {
+        while (!dq.isEmpty && hashes(dq.peekLast()) >= hashes(p))
+          dq.pollLast() // equal pops too → rightmost of ties survives
+        dq.addLast(p)
+        val windowStart = p - w + 1
+        while (dq.peekFirst() < windowStart) dq.pollFirst()
+        // a window completes at p >= w-1; short docs (nGrams < w)
+        // yield exactly one selection from the final (truncated) pass
+        if (p >= w - 1 || p == nGrams - 1) {
+          val sel = dq.peekFirst()
+          if (sel != lastSel) {
+            out += new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(Array[Any](sel, hashes(sel)))
+            lastSel = sel
+          }
+        }
+        p += 1
+      }
+      new GenericArrayData(out.toArray)
+    }
+
+    protected override def nullSafeEval(input: Any): Any =
+      fingerprints(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def withNewChildInternal(c: Expression): WinnowFingerprints =
       copy(child = c)
   }
 
@@ -728,6 +831,10 @@ object SketchExprs {
     * [[TokenWindowHashes]]. */
   def tokenWindowHashes(text: Column, w: Int, stride: Int): Column =
     GraftBridge.column(TokenWindowHashes(GraftBridge.expression(text), w, stride))
+
+  /** Winnowing (pos, hash) fingerprints — see [[WinnowFingerprints]]. */
+  def winnowFingerprints(text: Column, k: Int, w: Int): Column =
+    GraftBridge.column(WinnowFingerprints(GraftBridge.expression(text), k, w))
 
   /** Foldable-integer extraction for SQL-registration parameters: a SQL
     * user writing `minhash_bands(h, 128, 32)` must get 128/32, and a

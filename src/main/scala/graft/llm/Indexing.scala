@@ -40,4 +40,51 @@ object Indexing {
       .select(col("term"), size(col("__post")).cast("long").as("df"),
         array_join(col("__post"), ",").as("postings"))
   }
+
+  /** Winnowing fingerprint index (Schleimer 2003 — the MOSS
+    * document-fingerprinting method, via the native one-pass
+    * [[graft.functions.SketchExprs.WinnowFingerprints]]): one row per
+    * selected (id, pos, fp) fingerprint. Density ≈ 2/(w+1) of all
+    * k-grams with a HARD guarantee: any verbatim match of length
+    * >= w + k - 1 chars between two documents shares at least one
+    * fingerprint — shift-invariant, unlike strided char windows. The
+    * gram hash is the portable polynomial (mod 2^31-1), so selection
+    * replays in SQL. Only (id, int, long) rows leave the scan. */
+  def winnowIndex(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 25, w: Int = 16): DataFrame = {
+    val id = col("`" + idCol.replace("`", "``") + "`")
+    docs.select(id,
+        explode(graft.functions.SketchExprs
+          .winnowFingerprints(col(textCol), k, w)).as("__f"))
+      .select(id, col("__f")("pos").as("pos"), col("__f")("h").as("fp"))
+  }
+
+  /** Document pairs sharing >= `minShared` winnowing fingerprints —
+    * the MOSS plagiarism-pair shape, and a shift-invariant complement
+    * to the dedup family's aligned-window detectors. Keys-only
+    * meeting: distinct (fp, id) pairs group per fingerprint into a
+    * capped posting list (a fingerprint selected from boilerplate in
+    * > `maxDocsPerFp` docs poisons its bucket and drops — the
+    * [[invertedIndex]]/minhash skew guard: B docs on one fp is B²/2
+    * pairs), pairs form within each list, and ONE aggregation counts
+    * shared fingerprints per (a, b). Text never shuffles. */
+  def winnowMatchPairs(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 25, w: Int = 16, minShared: Int = 2,
+                       maxDocsPerFp: Int = 1000): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    val fps = winnowIndex(docs, idCol, textCol, k, w)
+      .select(col("fp"), col(idCol).cast("long").as("__id"))
+      .distinct()
+    val lists = fps.groupBy(col("fp"))
+      .agg(graft.functions.CollectCapped
+        .collect_longs_capped(col("__id"), maxDocsPerFp).as("__ids"))
+      .where(col("__ids").isNotNull && size(col("__ids")) >= 2)
+    lists
+      .select(explode(col("__ids")).as("id_a"), col("__ids"))
+      .select(col("id_a"), explode(col("__ids")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(count(lit(1)).as("shared_fps"))
+      .where(col("shared_fps") >= minShared)
+  }
 }
