@@ -27,9 +27,12 @@ object SparkEntry {
 
   /** The embeddings fixture's query vector (vec_id 0) as doubles —
     * shared by every similarity/ANN query. */
+  // cast in-plan so the helper works on float AND double embedding
+  // columns (the 10x/30x ramp corpora carry array<double>)
   private def queryVec(s: SparkSession, dir: String): Seq[Double] =
     t(s, dir, "embeddings").filter(col("vec_id") === 0)
-      .select(col("embedding")).head.getSeq[Float](0).map(_.toDouble).toSeq
+      .select(transform(col("embedding"), _.cast("double")).as("e"))
+      .head.getSeq[Double](0).toSeq
 
   /** DuckDB cosine-topK oracle against the vec_id-0 query vector — ONE
     * definition shared by the exact (q_topk_cosine), SRP (q_srp_topk)
