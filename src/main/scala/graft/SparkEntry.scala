@@ -1221,6 +1221,26 @@ object SparkEntry {
         .select(col("vec_id"), round(col("adc_dist"), 6).as("adc_dist"))
     },
 
+    // --- IVF-PQ with exact rerank (the FAISS IVFx,PQy production
+    // recipe): coarse cells prune the scan, PQ codes shortlist by ADC,
+    // only the shortlist touches raw vectors. Gate knobs (nprobe =
+    // nlist, rerank >= corpus) make the output PROVABLY equal to exact
+    // brute-force top-k — same oracle as q_ivf_topk/q_topk_cosine;
+    // production-knob recall is unit-pinned. ---
+    "q_ivfpq_topk" -> { (s, dir) =>
+      val emb = t(s, dir, "embeddings")
+      val qv = queryVec(s, dir)
+      val ivf = Similarity.IvfIndex(nlist = 8, kmeansIters = 2)
+      val cents = ivf.centroids(emb, "vec_id", "embedding")
+      val pq = Similarity.PqIndex(m = 4, ksub = 16, kmeansIters = 1)
+      val books = pq.codebooks(emb, "vec_id", "embedding", dim = 64)
+      val indexed = pq.encode(
+        ivf.build(emb, "embedding", cents), "embedding", books)
+      Similarity.IvfPq.topK(indexed, cents, pq, books,
+          "vec_id", "embedding", qv, k = 12, nprobe = 8, rerank = 600000)
+        .select(col("vec_id"), round(col("cosine"), 6).as("cosine"))
+    },
+
     // --- multimodal: schema contract + batched decode stage (stubbed
     // codec, deterministic) over payload bytes ---
     "q_multimodal_features" -> { (s, dir) =>
@@ -4923,6 +4943,11 @@ object SparkEntry {
 
     "q_ivf_topk" ->
       cosineTopKSql(15),
+
+    // IVF-PQ at exactness knobs (all cells probed, rerank covers the
+    // corpus) provably equals brute-force top-k
+    "q_ivfpq_topk" ->
+      cosineTopKSql(12),
 
     // PQ + ADC: full pipeline replay — seed codebooks are the 16
     // smallest vec_ids' block slices; encode = per-block argmin by

@@ -281,4 +281,41 @@ object Similarity {
         .limit(k)
     }
   }
+
+  /** IVF-PQ with exact rerank — the production ANN recipe (the FAISS
+    * `IVFx,PQy` index, Jégou 2011 §V): the IVF coarse quantizer PRUNES
+    * the scan to `nprobe` cells (partition pruning when the table is
+    * written partitioned by `ivf_cell`), PQ codes give a cheap ADC
+    * shortlist of `rerank` candidates WITHIN the probed cells (m table
+    * lookups per row — no float vector touched), and only the
+    * shortlist pays an exact-cosine pass against the raw vectors.
+    * Cost shape at 100 TB: scan nprobe/nlist of the corpus reading
+    * only (id, pq_code) columns, then `rerank` full-vector rows — the
+    * raw embedding column is touched for a few hundred rows total.
+    *
+    * With `nprobe = nlist` and `rerank >= corpus`, output equals
+    * [[bruteForceTopK]] exactly — the oracle-gateable configuration;
+    * production recall at smaller knobs is unit-pinned. */
+  object IvfPq {
+
+    /** `indexed` must carry `ivf_cell` ([[IvfIndex.build]]), `pq_code`
+      * ([[PqIndex.encode]]), the id and the raw vector columns.
+      * Returns (id, cosine) — top-k exact cosines of the reranked
+      * shortlist, desc, ties to smaller id. */
+    def topK(indexed: DataFrame, cents: Array[Seq[Double]],
+             pq: PqIndex, books: Array[Array[Seq[Double]]],
+             idCol: String, vecCol: String, query: Seq[Double], k: Int,
+             nprobe: Int = 4, rerank: Int = 100): DataFrame = {
+      require(rerank >= k, s"rerank ($rerank) must be >= k ($k)")
+      val probed = indexed.filter(col("ivf_cell").isin(
+        IvfIndex(nlist = cents.length).probeCells(cents, query, nprobe): _*))
+      val shortlist = pq.topK(probed, idCol, books, query, rerank)
+        .select(col(idCol))
+      indexed.join(shortlist, Seq(idCol), "left_semi")
+        .select(col(idCol),
+          cosine_sim(col(vecCol), typedLit(query)).as("cosine"))
+        .orderBy(col("cosine").desc, col(idCol))
+        .limit(k)
+    }
+  }
 }

@@ -447,6 +447,24 @@ class PlanSpec extends SparkSpec {
     assert(out.count() > 0)
   }
 
+  test("PQ: encode is a pure projection (zero exchanges); ADC top-k " +
+      "is lookups into TakeOrderedAndProject, no shuffle") {
+    val emb = sf("embeddings")
+    val pq = graft.llm.Similarity.PqIndex(m = 4, ksub = 8, kmeansIters = 0)
+    val books = pq.codebooks(emb, "vec_id", "embedding", dim = 64)
+    val encoded = pq.encode(emb, "embedding", books)
+    assert(shuffleOutputs(encoded).isEmpty,
+      "PQ encode must not shuffle — it is m native argmin projections")
+    val q = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select(org.apache.spark.sql.functions.col("embedding"))
+      .head.getSeq[Float](0).map(_.toDouble).toSeq
+    val top = pq.topK(encoded, "vec_id", books, q, k = 10)
+    assert(shuffleOutputs(top).isEmpty,
+      "ADC scoring must stay shuffle-free")
+    assert(top.queryExecution.sparkPlan.toString.contains("TakeOrderedAndProject"),
+      "ADC top-k must compile to TakeOrderedAndProject, not a global sort")
+  }
+
   test("writeShards frame: the explicit repartition is the ONLY exchange") {
     // repartition(shards, shard) before the window must satisfy the
     // window's clustering — a second full-data exchange would double

@@ -323,6 +323,39 @@ class LlmSpec extends SparkSpec {
       pq.codebooks(emb, "vec_id", "embedding", dim = 63))
   }
 
+  test("IvfPq: pruning + ADC shortlist + exact rerank — exactness at " +
+      "full knobs, useful recall at production knobs") {
+    val emb = sf("embeddings")
+    val ivf = Similarity.IvfIndex(nlist = 8, kmeansIters = 2)
+    val cents = ivf.centroids(emb, "vec_id", "embedding")
+    val pq = Similarity.PqIndex(m = 4, ksub = 16, kmeansIters = 1)
+    val books = pq.codebooks(emb, "vec_id", "embedding", dim = 64)
+    val indexed = pq.encode(ivf.build(emb, "embedding", cents),
+      "embedding", books).cache()
+    val qv = emb.filter($"vec_id" === 11).select($"embedding")
+      .head.getSeq[Float](0).map(_.toDouble).toSeq
+    val truth = Similarity.bruteForceTopK(emb, "vec_id", "embedding",
+      qv, 10).select($"vec_id").as[Long].collect().toSeq
+    // exactness knobs: all cells probed, rerank covers the corpus
+    val full = Similarity.IvfPq.topK(indexed, cents, pq, books,
+        "vec_id", "embedding", qv, k = 10, nprobe = 8, rerank = 1000000)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(full == truth, "full knobs must equal brute force exactly")
+    // production knobs: useful recall, and the query's own vector is
+    // always found (its cell is probed first, ADC distance 0 region)
+    val prod = Similarity.IvfPq.topK(indexed, cents, pq, books,
+        "vec_id", "embedding", qv, k = 10, nprobe = 3, rerank = 60)
+      .select($"vec_id").as[Long].collect().toSeq
+    assert(prod.head == 11L, "query vector found first")
+    assert((prod.toSet intersect truth.toSet).size >= 5,
+      s"production-knob recall degenerate: $prod vs $truth")
+    // rerank < k is a loud error
+    intercept[IllegalArgumentException](
+      Similarity.IvfPq.topK(indexed, cents, pq, books,
+        "vec_id", "embedding", qv, k = 10, nprobe = 2, rerank = 5))
+    indexed.unpersist()
+  }
+
   test("connected dedup collapses transitive near-dup chains") {
     // a ~ b ~ c but jaccard(a, c) < 0.5: single-pass leaves c → b,
     // converged closure gives c → a
