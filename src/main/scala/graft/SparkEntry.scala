@@ -1037,10 +1037,14 @@ object SparkEntry {
     // identical up to 2^-64 collisions) with offsets from a cumulative
     // token-length window, then the same keeper → islands → substr
     // reassembly as q_span_excise ---
+    // stamp offset is 10M, NOT the usual +100000: this query rebuilds
+    // TEXT per id, so a stamped id colliding with a real doc_id (the
+    // 30x ramp corpus reaches 150k docs) would excise one doc with the
+    // other's offsets — the offset must clear every ramp point
     "q_substring_dedup" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val stamped = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
-        .select((col("doc_id") + 100000).as("doc_id"),
+        .select((col("doc_id") + 10000000L).as("doc_id"),
           concat(col("text"), lit(" " + substringDedupPassage)).as("text"))
       SubstringDedup.excise(docs.union(stamped), "doc_id", "text",
         w = 50, stride = 1)
@@ -4702,7 +4706,7 @@ object SparkEntry {
       s"""WITH corpus AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 100000 AS doc_id,
+        |  SELECT doc_id + 10000000 AS doc_id,
         |    text || ' ${substringDedupPassage}' AS text
         |  FROM documents WHERE doc_id % 7 = 0
         |), tok AS (

@@ -71,8 +71,15 @@ object UnigramExprs {
         while (j < i) {
           val piece = w.substring(off(j), off(i))
           val lpBoxed = probs.get(piece)
+          // a model hit at -Infinity (UnigramLm genuinely emits pruned-
+          // to-zero single codepoints as coverage anchors) must behave
+          // like a MISS so the single-char OOV fallback keeps every
+          // word segmentable — otherwise an unreachable word would
+          // silently emit as one bogus whole-word token
           val lp =
-            if (lpBoxed != null) lpBoxed.doubleValue()
+            if (lpBoxed != null &&
+                lpBoxed.doubleValue() != Double.NegativeInfinity)
+              lpBoxed.doubleValue()
             else if (i - j == 1) oovLogProb
             else Double.NegativeInfinity
           if (lp != Double.NegativeInfinity && best(j) + lp > best(i)) {

@@ -499,6 +499,8 @@ object Curation {
     // under softDedup "after_dedup" equals the stage's input count —
     // rows gain (dup_count, weight) instead of dropping
     val d = if (cfg.softDedup) {
+      Guards.requireFreshColumns(df, Seq("dup_count", "weight"),
+        "Curation.pipelineObserved(softDedup)")
       val wts = Dedup.softWeights(
         Dedup.exact(r3, idCol, Seq(textCol)), idCol)
         .select(col(idCol), col("dup_count"), col("weight"))

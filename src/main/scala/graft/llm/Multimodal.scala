@@ -219,25 +219,33 @@ object Multimodal {
       * keepPrefix). Returns None only for structural non-WAV bytes. */
     def parsePcm(b: Array[Byte]): Option[(Int, Int, Int, Int, Long, Long)] = {
       if (b.length < 12 || tag(b, 0) != "RIFF" || tag(b, 8) != "WAVE") return None
-      var i = 12
+      var i = 12L
       var fmt: Option[(Int, Int, Int, Int)] = None // (format, ch, rate, bits)
       var dataOff = -1L
       var dataLen = -1L
-      while (i + 8 <= b.length && (fmt.isEmpty || dataOff < 0)) {
-        val id = tag(b, i)
-        val size = le32(b, i + 4)
-        if (size < 0) return None
+      var walking = true
+      while (walking && i + 8 <= b.length && (fmt.isEmpty || dataOff < 0)) {
+        val ii = i.toInt
+        val id = tag(b, ii)
+        val size = le32(b, ii + 4) // unsigned u32 as Long — never negative
         if (id == "fmt ") {
           if (size < 16 || i + 8 + size > b.length) return None
-          val format = le16(b, i + 8)
-          val channels = le16(b, i + 10)
-          val rate = le32(b, i + 12)
-          val bits = le16(b, i + 22)
+          val format = le16(b, ii + 8)
+          val channels = le16(b, ii + 10)
+          val rate = le32(b, ii + 12)
+          val bits = le16(b, ii + 22)
           if (channels < 1 || rate < 1 || rate > Int.MaxValue || bits < 1)
             return None
           fmt = Some((format, channels, rate.toInt, bits))
         } else if (id == "data") { dataOff = i + 8; dataLen = size }
-        i += 8 + size.toInt + (size.toInt & 1)
+        // cursor advances in LONG arithmetic (a hostile u32 size in
+        // [2^31, 2^32) would wrap an Int cursor and spin the walk
+        // forever); a chunk extending past the payload is the
+        // truncated-tail case — nothing beyond it is walkable, so stop
+        // and return whatever was found (audioStats turns a truncated
+        // data chunk into a decoded=false row)
+        val next = i + 8 + size + (size & 1L)
+        if (next > b.length) walking = false else i = next
       }
       for ((format, ch, rate, bits) <- fmt; if dataOff >= 0)
         yield (format, ch, rate, bits, dataOff, dataLen)

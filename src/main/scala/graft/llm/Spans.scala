@@ -154,13 +154,17 @@ object Spans {
     * itself never shuffles: merged spans per doc come back as a per-id
     * interval array joined onto the original frame, where the rebuild
     * runs as a single codegen'd fold. */
-  private[llm] def exciseIntervals(df: DataFrame, idCol: String,
-                                   textCol: String,
-                                   excised: DataFrame): DataFrame = {
+  /** Gaps-and-islands merge of per-doc `(idCol, __s, __e)` intervals
+    * into maximal spans (overlapping or exactly-adjacent coalesce) —
+    * ONE definition shared by [[exciseIntervals]] and
+    * [[SubstringDedup.spans]], so the coalescing rule the report
+    * surface shows is always the rule the excision actually cuts. */
+  private[llm] def mergeIntervals(excised: DataFrame,
+                                  idCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val wOrd = Window.partitionBy(col(idCol)).orderBy(col("__s"), col("__e"))
     val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-    val merged = excised
+    excised
       .withColumn("__pmax", max(col("__e")).over(wPrev))
       .withColumn("__new",
         when(col("__pmax").isNull || col("__s") > col("__pmax"), 1)
@@ -168,6 +172,13 @@ object Spans {
       .withColumn("__g", sum(col("__new")).over(wOrd))
       .groupBy(col(idCol), col("__g"))
       .agg(min(col("__s")).as("__s"), max(col("__e")).as("__e"))
+      .select(col(idCol), col("__s"), col("__e"))
+  }
+
+  private[llm] def exciseIntervals(df: DataFrame, idCol: String,
+                                   textCol: String,
+                                   excised: DataFrame): DataFrame = {
+    val merged = mergeIntervals(excised, idCol)
       .groupBy(col(idCol))
       .agg(sort_array(collect_list(struct(col("__s"), col("__e"))))
         .as("__ivs"))

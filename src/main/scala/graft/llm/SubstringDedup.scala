@@ -68,18 +68,11 @@ object SubstringDedup {
             onHot: String = "warn", persist: Boolean = false): DataFrame = {
     val excised = excisedWindows(df, idCol, textCol, w, stride,
       maxOccurrences, onHot, persist)
-    import org.apache.spark.sql.expressions.Window
-    val wOrd = Window.partitionBy(col(idCol)).orderBy(col("__s"), col("__e"))
-    val wPrev = wOrd.rowsBetween(Window.unboundedPreceding, -1)
-    excised
-      .withColumn("__pmax", max(col("__e")).over(wPrev))
-      .withColumn("__new",
-        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1)
-          .otherwise(0))
-      .withColumn("__g", sum(col("__new")).over(wOrd))
-      .groupBy(col(idCol), col("__g"))
-      .agg(min(col("__s")).as("span_start"), max(col("__e")).as("span_end"))
-      .select(col(idCol), col("span_start"), col("span_end"))
+    // the SAME merge the excision uses (Spans.mergeIntervals), so the
+    // report surface can never drift from what excise actually cuts
+    Spans.mergeIntervals(excised, idCol)
+      .select(col(idCol), col("__s").as("span_start"),
+        col("__e").as("span_end"))
   }
 
   /** The corpus pass: input frame with `textCol` REBUILT — every
@@ -113,7 +106,8 @@ object SubstringDedup {
       s"onHot must be warn|fail|allow: $onHot")
     require(maxOccurrences >= 2, s"maxOccurrences must be >= 2: $maxOccurrences")
     Guards.requireFreshColumns(df,
-      Seq("__s", "__e", "__wh", "__occ", "__idmin", "__idmax", "__keep"),
+      Seq("__s", "__e", "__wh", "__occ", "__idmin", "__idmax", "__keep",
+        "__pmax", "__new", "__g", "__ivs"),
       "SubstringDedup")
     val win0 = df
       .select(col(idCol),

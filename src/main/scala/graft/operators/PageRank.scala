@@ -85,8 +85,10 @@ object PageRank {
       prevCkpt.foreach(graft.core.LoopShuffle.unpersistCheckpoint)
       prevCkpt = if (it < iters) Some(ranks) else None
     }
-    // linked is not in the returned lineage — only the final ranks are
+    // linked and nodes are not in the returned lineage — only the
+    // final round's checkpoint is
     graft.core.LoopShuffle.unpersistCheckpoint(linked)
+    graft.core.LoopShuffle.unpersistCheckpoint(nodes)
     ranks.select(col("__id").as("id"), col("__rank").as("rank"))
   }
 }

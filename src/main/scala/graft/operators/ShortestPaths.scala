@@ -84,13 +84,27 @@ object ShortestPaths {
           .withColumn("dist", lit(hop))
           .localCheckpoint(true)
       }
-      if (discovered.isEmpty) done = true
-      else {
-        visited = visited.union(discovered).localCheckpoint(true)
+      if (discovered.isEmpty) {
+        done = true
+        graft.core.LoopShuffle.unpersistCheckpoint(discovered)
+      } else {
+        val nextVisited = visited.union(discovered).localCheckpoint(true)
+        // the stale round's checkpoints free as soon as the new union
+        // lands: the old visited was consumed by the union, the old
+        // frontier by this round's join (round 1 aliases them — the
+        // double unpersist is a no-op)
+        graft.core.LoopShuffle.unpersistCheckpoint(visited)
+        graft.core.LoopShuffle.unpersistCheckpoint(frontier)
+        visited = nextVisited
         frontier = discovered
         hop += 1
       }
     }
+    // the adjacency table and the last frontier are not in the
+    // returned lineage — only the final visited union checkpoint is
+    graft.core.LoopShuffle.unpersistCheckpoint(adj)
+    if (!(frontier eq visited))
+      graft.core.LoopShuffle.unpersistCheckpoint(frontier)
     visited
   }
 }

@@ -71,6 +71,27 @@ class UnigramLmSpec extends SparkSpec {
     assert(emoji == Seq("a", "😀", "b"))
   }
 
+  test("apply under a TRAINED model: -infinity coverage anchors act " +
+      "as misses, so unreachable words still char-segment (r11 review)") {
+    val docs = Seq.tabulate(4)(i => (i.toLong,
+      "low low low low low lower lower newest newest newest newest " +
+        "newest newest widest widest widest")).toDF("id", "text")
+    val model = UnigramLm.train(docs, "text", vocabSize = 14,
+      maxPieceLen = 6, minFrequency = 2)
+    // the planted model converges to whole-word pieces; chars carry
+    // log_prob -infinity — a word made ONLY of those chars must fall
+    // back to per-char OOV tokens, not emit one bogus whole-word piece
+    val toks = Seq("dew").toDF("t")
+      .select(UnigramExprs.unigram_tokenize($"t", model).as("tk"))
+      .as[Seq[String]].head()
+    assert(toks == Seq("d", "e", "w"),
+      s"-inf chars must behave as misses: $toks")
+    val n = Seq("dew low").toDF("t")
+      .select(UnigramExprs.unigram_token_count($"t", model).as("n"))
+      .as[Long].head()
+    assert(n == 4L, "3 char fallbacks + 1 whole-word piece")
+  }
+
   test("trainer + apply compose: the learned model segments the " +
       "training corpus into its dominant pieces") {
     val docs = Seq.tabulate(6)(i => (i.toLong, "ababab abab ab"))
