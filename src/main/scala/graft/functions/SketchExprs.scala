@@ -515,7 +515,11 @@ object SketchExprs {
     * 2003, "Winnowing: Local Algorithms for Document Fingerprinting" —
     * the MOSS algorithm): hash every k-codepoint gram, slide a window
     * of w consecutive gram hashes, select each window's MINIMUM hash
-    * (ties to the RIGHTMOST position — the paper's robust winnowing),
+    * (ties broken to the RIGHTMOST position — STANDARD winnowing; the
+    * paper's "robust winnowing" variant instead re-selects the previous
+    * window's fingerprint on ties to lower density further, but that
+    * makes selection depend on scan history and is not replayable as a
+    * per-window SQL expression, so it is deliberately not used),
     * and emit the distinct selected (pos, hash) pairs in position
     * order. Guarantee (the paper's): any substring match of length
     * >= w + k - 1 between two documents shares at least one

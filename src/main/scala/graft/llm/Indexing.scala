@@ -72,8 +72,17 @@ object Indexing {
                        k: Int = 25, w: Int = 16, minShared: Int = 2,
                        maxDocsPerFp: Int = 1000): DataFrame = {
     require(minShared >= 1, s"minShared must be >= 1: $minShared")
+    // the pair meeting keys on a LONG id; a non-numeric id would cast
+    // to NULL and silently collapse every document onto one key, so
+    // require an integral id type up front (loud, not lossy)
+    val idType = docs.schema(idCol).dataType
+    require(Seq("byte", "short", "integer", "long")
+        .contains(idType.typeName),
+      s"winnowMatchPairs needs an integral id column; '$idCol' is " +
+        s"${idType.sql} — cast or map ids to long upstream")
+    val id = col("`" + idCol.replace("`", "``") + "`")
     val fps = winnowIndex(docs, idCol, textCol, k, w)
-      .select(col("fp"), col(idCol).cast("long").as("__id"))
+      .select(col("fp"), id.cast("long").as("__id"))
       .distinct()
     val lists = fps.groupBy(col("fp"))
       .agg(graft.functions.CollectCapped

@@ -224,6 +224,17 @@ object Similarity {
         "PqIndex.codebooks: empty corpus — nothing to seed from")
       require(seeds.forall(_.size == dim),
         s"PqIndex.codebooks: vectors shorter than dim=$dim exist")
+      // corpus-wide guard (one cheap min/max over array SIZES, no
+      // vector math): a LONGER vector would otherwise be silently
+      // truncated to its first dim components by the block slice
+      // through training, encoding and ADC scoring; shorter ones fail
+      // later in NearestCentroid — make both loud here instead
+      val szRow = df.agg(min(size(col(vecCol))).as("mn"),
+        max(size(col(vecCol))).as("mx")).head()
+      require(szRow.getInt(0) == dim && szRow.getInt(1) == dim,
+        s"PqIndex.codebooks: corpus vector sizes span " +
+          s"[${szRow.getInt(0)}, ${szRow.getInt(1)}] but dim=$dim — " +
+          "every vector must be exactly dim components")
       Array.tabulate(m) { b =>
         var cents: Array[Seq[Double]] =
           seeds.map(_.slice(b * dsub, (b + 1) * dsub))

@@ -27,8 +27,14 @@ import org.apache.spark.sql.functions._
   *   2. EM: per word, forward-backward over the segmentation lattice
   *      (alpha(i) = Σ_j alpha(j)·p(w[j,i)); expected piece counts
   *      accumulate f·alpha(j)·p·beta(i)/alpha(n)); M-step renormalizes.
-  *      Plain probability space — words are bounded (codepoints ≤
-  *      ~50), so the products stay far above double underflow.
+  *      The recursions run with PER-POSITION RESCALING (alpha/beta kept
+  *      as log-scales, each position fully renormalized) so no word
+  *      length or rare-piece probability can underflow alpha(n) to 0 —
+  *      a plain-probability lattice underflows around 150 positions at
+  *      p≈1e-2/piece, poisoning every expected count with Inf/NaN.
+  *      Words longer than `maxWordLen` codepoints (base64 blobs, URLs,
+  *      DNA — no tokenizer value, O(len·maxPieceLen) lattice cost) are
+  *      additionally dropped from the word table up front, loudly.
   *   3. PRUNE: drop the lowest-expected-count multi-codepoint pieces
   *      (count asc, piece desc) down to `shrink` × current, never
   *      below the target; repeat EM+prune until `vocabSize` pieces
@@ -56,21 +62,38 @@ object UnigramLm {
             maxPieceLen: Int = 8, seedSize: Int = 100000,
             wordVocabSize: Int = 50000, emIters: Int = 2,
             shrink: Double = 0.75,
-            minFrequency: Long = 2): Seq[(String, Double)] = {
+            minFrequency: Long = 2,
+            maxWordLen: Int = 200): Seq[(String, Double)] = {
     require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
     require(maxPieceLen >= 2 && maxPieceLen <= 32,
       s"maxPieceLen must be in [2, 32]: $maxPieceLen")
     require(emIters >= 1 && emIters <= 20,
       s"emIters must be in [1, 20]: $emIters")
     require(shrink > 0.0 && shrink < 1.0, s"shrink must be in (0,1): $shrink")
+    require(maxWordLen >= maxPieceLen,
+      s"maxWordLen ($maxWordLen) must be >= maxPieceLen ($maxPieceLen)")
+    // megaword guard: filtered BEFORE the top cut (a blob in the top
+    // slots must be evicted, not trimmed after collect), counted via
+    // observe in the SAME job — the loudness costs zero extra passes
+    val megawords = org.apache.spark.sql.Observation()
     val wordCounts = df
       .select(explode(split(col(textCol), "\\s+")).as("w"))
       .filter(col("w") =!= "")
+      .observe(megawords, sum(when(length(col("w")) > maxWordLen, 1L)
+        .otherwise(0L)).as("dropped"))
+      .filter(length(col("w")) <= maxWordLen)
       .groupBy(col("w")).agg(count(lit(1)).as("cnt"))
       .orderBy(col("cnt").desc, col("w").asc)
       .limit(wordVocabSize)
       .collect()
       .map(r => (r.getString(0), r.getLong(1)))
+    val dropped = megawords.get.get("dropped")
+      .collect { case l: Long => l }.getOrElse(0L)
+    if (dropped > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"UnigramLm.train: dropped $dropped word occurrences longer " +
+          s"than maxWordLen=$maxWordLen codepoints (base64/URL-style " +
+          "megawords carry no tokenizer value)")
     require(wordCounts.nonEmpty, "corpus has no words")
 
     // words as codepoint arrays (so pieces never split surrogate pairs)
@@ -129,37 +152,68 @@ object UnigramLm {
         val n = cs.length
         // piece spans present in the vocab, materialized once
         val spanPiece = Array.ofDim[String](n, math.min(maxPieceLen, n) + 1)
-        val alpha = new Array[Double](n + 1)
-        val beta = new Array[Double](n + 1)
-        alpha(0) = 1.0
+        // forward-backward with PER-POSITION RESCALING: logA(i) =
+        // ln alpha(i), logB(i) = ln beta(i). Each position's sum runs
+        // relative to the window's max log-scale, so no word length or
+        // rare-piece probability chain can underflow to 0 (plain
+        // probability space dies around 150 positions at p≈1e-2).
+        // Position reachability (logA finite) is guaranteed: every
+        // single codepoint is in the vocab.
+        val logA = new Array[Double](n + 1)
+        val logB = new Array[Double](n + 1)
+        logA(0) = 0.0
         var i = 1
         while (i <= n) {
-          var a = 0.0
+          // ref over CONTRIBUTING spans only (in vocab AND prob > 0 AND
+          // predecessor reachable — pieces CAN converge to prob 0);
+          // ref = -inf then means alpha(i) is exactly 0, and skipping
+          // the sum avoids exp(-inf - -inf) = NaN poisoning
+          var ref = Double.NegativeInfinity
           var j = math.max(0, i - maxPieceLen)
           while (j < i) {
             val piece = cs.slice(j, i).mkString
             if (inVocab(piece)) {
               spanPiece(j)(i - j) = piece
-              a += alpha(j) * prob(piece)
+              if (prob(piece) > 0.0 && logA(j) > ref) ref = logA(j)
             }
             j += 1
           }
-          alpha(i) = a
+          if (ref == Double.NegativeInfinity) logA(i) = ref
+          else {
+            var a = 0.0
+            j = math.max(0, i - maxPieceLen)
+            while (j < i) {
+              val piece = spanPiece(j)(i - j)
+              if (piece != null) a += math.exp(logA(j) - ref) * prob(piece)
+              j += 1
+            }
+            logA(i) = ref + math.log(a)
+          }
           i += 1
         }
-        val z = alpha(n)
-        // z > 0 always: every single codepoint is in the vocab
-        beta(n) = 1.0
+        val logZ = logA(n)
+        logB(n) = 0.0
         i = n - 1
         while (i >= 0) {
-          var b = 0.0
+          var ref = Double.NegativeInfinity
           var k = i + 1
           while (k <= n && k - i <= maxPieceLen) {
             val piece = spanPiece(i)(k - i)
-            if (piece != null) b += prob(piece) * beta(k)
+            if (piece != null && prob(piece) > 0.0 && logB(k) > ref)
+              ref = logB(k)
             k += 1
           }
-          beta(i) = b
+          if (ref == Double.NegativeInfinity) logB(i) = ref
+          else {
+            var b = 0.0
+            k = i + 1
+            while (k <= n && k - i <= maxPieceLen) {
+              val piece = spanPiece(i)(k - i)
+              if (piece != null) b += prob(piece) * math.exp(logB(k) - ref)
+              k += 1
+            }
+            logB(i) = ref + math.log(b)
+          }
           i -= 1
         }
         var j = 0
@@ -168,11 +222,14 @@ object UnigramLm {
           while (k <= n && k - j <= maxPieceLen) {
             val piece = spanPiece(j)(k - j)
             if (piece != null) {
-              val e = f * alpha(j) * prob(piece) * beta(k) / z
-              if (e > 0.0) {
-                val old = counts.get(piece)
-                counts.put(piece,
-                  (if (old == null) 0.0 else old.doubleValue()) + e)
+              val p = prob(piece)
+              if (p > 0.0) {
+                val e = f * math.exp(logA(j) + math.log(p) + logB(k) - logZ)
+                if (e > 0.0) {
+                  val old = counts.get(piece)
+                  counts.put(piece,
+                    (if (old == null) 0.0 else old.doubleValue()) + e)
+                }
               }
             }
             k += 1

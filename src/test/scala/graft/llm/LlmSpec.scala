@@ -321,6 +321,16 @@ class LlmSpec extends SparkSpec {
     // ragged blocks are a loud error, not silent misalignment
     intercept[IllegalArgumentException](
       pq.codebooks(emb, "vec_id", "embedding", dim = 63))
+    // a corpus vector LONGER than dim would be silently truncated by
+    // the block slice — the corpus-wide size guard fails loudly
+    // instead (r11 ADVICE); the long vector hides at a high id so the
+    // id-ASC seed collect alone cannot catch it
+    val ragged = emb.select($"vec_id", $"embedding")
+      .union(Seq((999999L, Seq.fill(80)(0.5f))).toDF("vec_id", "embedding"))
+    val err = intercept[IllegalArgumentException](
+      Similarity.PqIndex(m = 4, ksub = 4, kmeansIters = 0)
+        .codebooks(ragged, "vec_id", "embedding", dim = 64))
+    assert(err.getMessage.contains("vector sizes span"), err.getMessage)
   }
 
   test("IvfPq: pruning + ADC shortlist + exact rerank — exactness at " +

@@ -43,6 +43,36 @@ class UnigramLmSpec extends SparkSpec {
       UnigramLm.train(docs, "text", vocabSize = 3))
   }
 
+  test("megaword guard + rescaled lattice: blobs over maxWordLen drop " +
+      "(and can't squat in the top word cut), and a word far past the " +
+      "plain-probability underflow point trains finite (r11 ADVICE)") {
+    // a 500-codepoint base64-ish blob occurs MORE often than the real
+    // words — without the pre-cut filter it would claim a top slot
+    val blob = "A1b2" * 125
+    val docs = Seq.tabulate(4)(i =>
+      (i.toLong, s"$blob $blob low lower newest")).toDF("id", "text")
+    val m = UnigramLm.train(docs, "text", vocabSize = 14,
+      maxPieceLen = 5, minFrequency = 2)
+    assert(m.forall { case (p, lp) => !p.contains("A1b2A1b2") &&
+      !lp.isNaN }, s"blob leaked or NaN: $m")
+    // same corpus with the guard raised above the blob length: the
+    // 500-position lattice underflows plain double products (p^n dies
+    // ~150 positions at p=1e-2) — rescaling must keep it finite and
+    // the blob's dominant piece must now be learnable
+    val m2 = UnigramLm.train(docs, "text", vocabSize = 30,
+      maxPieceLen = 5, minFrequency = 2, maxWordLen = 600)
+    assert(m2.forall { case (_, lp) => !lp.isNaN && lp <= 0.0 },
+      s"NaN/positive logProb under 500-cp lattice: $m2")
+    val mass2 = m2.map { case (_, lp) => math.exp(lp) }.sum
+    assert(math.abs(mass2 - 1.0) < 1e-9, s"prob mass $mass2")
+    assert(m2.exists { case (p, lp) => p.length > 1 &&
+      blob.contains(p) && lp > math.log(1e-6) },
+      s"no high-prob blob subword learned: $m2")
+    // maxWordLen below maxPieceLen is a loud config error
+    intercept[IllegalArgumentException](UnigramLm.train(docs, "text",
+      vocabSize = 14, maxPieceLen = 5, maxWordLen = 3))
+  }
+
   test("viterbi apply: argmax segmentation, tie to longest last piece, " +
       "OOV char fallback") {
     val ln = math.log _

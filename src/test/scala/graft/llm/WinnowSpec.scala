@@ -62,5 +62,11 @@ class WinnowSpec extends SparkSpec {
       "id", "text", k, w, minShared = 1, maxDocsPerFp = 4)
     assert(capped.count() == 0,
       "hot fingerprints past the cap must poison their buckets")
+    // a non-integral id would cast to NULL and collapse every doc onto
+    // one pair key — loud error instead (r11 ADVICE)
+    val err = intercept[IllegalArgumentException](Indexing.winnowMatchPairs(
+      docs.map { case (i, t) => (s"doc-$i", t) }.toDF("id", "text"),
+      "id", "text", k, w))
+    assert(err.getMessage.contains("integral id"), err.getMessage)
   }
 }
