@@ -2354,9 +2354,12 @@ object SparkEntry {
 
     // --- compression-ratio quality signal (deflate entropy proxy):
     // repetitive boilerplate compresses far below prose, noise barely
-    // compresses — both tails are drop candidates. The ONE quality
-    // signal with no SQL replay (no DEFLATE in DuckDB): unit-pinned on
-    // engineered strings, rows-only gate here. ---
+    // compresses — both tails are drop candidates. No SQL replay
+    // exists (no DEFLATE in DuckDB), so the driver's gate records
+    // rows-only; tools/oracle_check.py closes the gap with a CPython
+    // zlib replay (both sides wrap zlib: raw stream, level 6, default
+    // strategy — verified byte-exact on all sf0.01 docs), plus unit
+    // pins on engineered strings. ---
     "q_compression_ratio" -> { (s, dir) =>
       t(s, dir, "documents").select(col("doc_id"),
           graft.functions.CompressExprs.deflateStats(col("text")).as("c"))

@@ -14,12 +14,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * natural text sits in a narrow band between, so both tails are drop
   * candidates.
   *
-  * This is the ONE quality signal here that cannot be replayed in a
-  * SQL oracle (no DEFLATE in DuckDB) — it is pinned by unit tests on
-  * engineered strings instead, and its corpus query runs under the
-  * rows-only gate. Output is deterministic for a given zlib level
-  * (java.util.zip wraps the JDK's bundled zlib; fixed level, no
-  * timestamps or headers in the raw stream).
+  * No SQL replay exists (no DEFLATE in DuckDB) so the driver's gate
+  * records this query rows-only, but the signal IS fully oracle-checked:
+  * `tools/oracle_check.py` replays the compressed length through
+  * CPython's zlib — both sides wrap the same zlib algorithm, and the
+  * stream parameters are pinned to keep them byte-identical: RAW
+  * deflate (nowrap — no header/checksum), level 6, DEFAULT strategy
+  * (verified byte-exact across all sf0.01 documents, OpenJDK 17 vs
+  * CPython). Unit tests additionally pin engineered strings. Output is
+  * deterministic for a given level (no timestamps or headers in the
+  * raw stream).
   *
   * Scale shape: a pure projection inside whole-stage codegen — one
   * Deflater pass per document, no shuffle, nothing collected. The
