@@ -792,6 +792,8 @@ object Main {
       // snapshot read through the same connector factory as any source
       val probeFrames = cur.contamination.map(cs =>
         graft.sources.Connectors.read(spark, cs.probesUri, Map.empty))
+      val exciseFrames = cur.decontaminateExcise.map(es =>
+        graft.sources.Connectors.read(spark, es.probesUri, Map.empty))
       val refFrame = cur.referenceUri.map(u =>
         graft.sources.Connectors.read(spark, u, Map.empty))
       val langIdFrames = cur.langId.map(trainLangId(spark, _))
@@ -816,6 +818,11 @@ object Main {
         compressionBand = cur.compressionBand,
         referenceSnapshot = refFrame,
         referenceNearDup = cur.referenceNearDup,
+        decontaminateExciseProbes = exciseFrames,
+        decontaminateExciseWindow =
+          cur.decontaminateExcise.map(_.window).getOrElse(50),
+        decontaminateExciseProbeTextCol =
+          cur.decontaminateExcise.map(_.textColumn).getOrElse("text"),
         contaminationProbes = probeFrames,
         contaminationProbeTextCol =
           cur.contamination.map(_.textColumn).getOrElse("text"),
@@ -935,6 +942,10 @@ object Main {
       // the lang-id model trains BATCH-side from the static seed; the
       // compiled literal maps then score each micro-batch per-row
       val langIdFrames = cur.langId.map(trainLangId(spark, _))
+      // the excise probe corpus is STATIC: its window hashes collect
+      // once into the per-row projection every micro-batch runs
+      val exciseFrames = cur.decontaminateExcise.map(es =>
+        graft.sources.Connectors.read(spark, es.probesUri, Map.empty))
       val pc = graft.llm.Curation.PipelineConfig(
         blocklist = cur.blocklist,
         maxDupWordFrac = cur.maxDupWordFrac,
@@ -954,6 +965,11 @@ object Main {
         langId = langIdFrames,
         compressionBand = cur.compressionBand,
         referenceSnapshot = refFrame,
+        decontaminateExciseProbes = exciseFrames,
+        decontaminateExciseWindow =
+          cur.decontaminateExcise.map(_.window).getOrElse(50),
+        decontaminateExciseProbeTextCol =
+          cur.decontaminateExcise.map(_.textColumn).getOrElse("text"),
         // forwarded so pipelineStream rejects it loudly rather than
         // the YAML knob being silently ignored
         referenceNearDup = cur.referenceNearDup)

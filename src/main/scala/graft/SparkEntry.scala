@@ -74,6 +74,14 @@ object SparkEntry {
   private val substringDedupPassage: String =
     (1 to 60).map(i => s"sdp$i").mkString(" ")
 
+  /** 60-token planted EVAL passage for q_decontaminate_excise: longer
+    * than the 50-token window so 11 probe windows exist; tokens are
+    * outside the corpus vocabulary so the ONLY corpus windows matching
+    * the probe index are the planted stamps — expected output is pure
+    * id-arithmetic (stamped docs lose exactly the appended passage). */
+  private val decontamPassage: String =
+    (1 to 60).map(i => s"dxp$i").mkString(" ")
+
   /** Planted WordPiece training corpus: the published worked example
     * (hug:10 pug:5 pun:12 bun:4 hugs:5) scaled per doc by
     * 1 + doc_id%2 — shared by q_wordpiece_train and the apply gate so
@@ -672,6 +680,31 @@ object SparkEntry {
           probes.select(col("text")), "doc_id", "text", "text", n = 8,
           maxContamination = 0.5)
         .select(col("doc_id"))
+    },
+
+    // --- substring-granularity decontamination: EXCISE the leaked
+    // span, KEEP the document (Lee et al. 2021 machinery aimed at a
+    // probe corpus — the field standard for eval-set leakage, where
+    // q_decontaminate drops whole documents). The eval passage is
+    // appended to every 5th doc; one extra row IS the passage (the
+    // husk case). Expected output is id-arithmetic: stamped docs lose
+    // exactly the appended span (contaminated_chars = its length), the
+    // husk rebuilds to '', clean docs pass through with 0. Per-row
+    // plan: probe windows collect once into a sorted-hash index; the
+    // corpus pays one projection — no shuffle, no join (streamable,
+    // unlike every other decontamination shape) ---
+    "q_decontaminate_excise" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" " + decontamPassage)))
+            .otherwise(col("text")).as("text"))
+        .union(s.range(1).select(lit(10000001L).as("doc_id"),
+          lit(decontamPassage).as("text")))
+      val probes = s.range(1).select(lit(decontamPassage).as("text"))
+      Contamination.decontaminateExcise(corpus, probes,
+        "doc_id", "text", "text", w = 50, stride = 1)
     },
 
     // --- repetition metrics: per-doc duplicate-word / duplicate-n-gram /
@@ -3872,6 +3905,85 @@ object SparkEntry {
         |)
         |SELECT doc_id FROM corpus
         |WHERE doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+
+    // decontaminate-excise: probe windows by CONTENT (the operator
+    // hashes the whitespace-normalized 50-token window; corpus text is
+    // single-spaced so the raw slice IS the normalized content), then
+    // islands-merge + substr reassembly exactly as q_substring_dedup —
+    // plus the per-doc chars = sum of merged span lengths
+    "q_decontaminate_excise" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN text || ' ${decontamPassage}' ELSE text END AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 10000001 AS doc_id, '${decontamPassage}' AS text
+        |), pidx AS (
+        |  SELECT unnest(range(1, len(tk) - 48)) AS i, tk
+        |  FROM (SELECT string_split('${decontamPassage}', ' ') AS tk)
+        |), pw AS (
+        |  SELECT DISTINCT array_to_string(list_slice(tk, i, i + 49), ' ')
+        |    AS win
+        |  FROM pidx
+        |), tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM corpus
+        |), base AS (
+        |  SELECT doc_id, unnest(range(1, len(tk) + 1)) AS i,
+        |    unnest(tk) AS t
+        |  FROM tok
+        |), tpos AS (
+        |  SELECT doc_id, i, t,
+        |    sum(len(t)) OVER (PARTITION BY doc_id ORDER BY i)
+        |      - len(t) + i - 1 AS toff
+        |  FROM base
+        |), tw AS (
+        |  SELECT doc_id, CAST(toff AS BIGINT) AS s,
+        |    CAST(lead(toff + len(t), 49)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS e
+        |  FROM tpos
+        |), w AS (
+        |  SELECT tw.doc_id, s, e, substr(c.text, s + 1, e - s) AS win
+        |  FROM tw JOIN corpus c USING (doc_id)
+        |  WHERE e IS NOT NULL
+        |), ex AS (
+        |  SELECT DISTINCT w.doc_id, w.s, w.e FROM w JOIN pw USING (win)
+        |), fl AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+        |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS f
+        |  FROM ex
+        |), isl AS (
+        |  SELECT doc_id, s, e,
+        |    sum(f) OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+        |  FROM fl
+        |), mg AS (
+        |  SELECT doc_id, min(s) AS s, max(e) AS e
+        |  FROM isl GROUP BY doc_id, g
+        |), ch AS (
+        |  SELECT doc_id, sum(e - s) AS chars FROM mg GROUP BY doc_id
+        |), seg AS (
+        |  SELECT doc_id,
+        |    coalesce(lag(e) OVER (PARTITION BY doc_id ORDER BY s), 0) AS ks,
+        |    s AS ke
+        |  FROM mg
+        |  UNION ALL
+        |  SELECT doc_id, max(e) AS ks, NULL AS ke
+        |  FROM mg GROUP BY doc_id
+        |), reb AS (
+        |  SELECT sg.doc_id,
+        |    string_agg(substr(c.text, CAST(sg.ks AS BIGINT) + 1,
+        |      coalesce(sg.ke, len(c.text)) - sg.ks), '' ORDER BY sg.ks)
+        |      AS text
+        |  FROM seg sg JOIN corpus c USING (doc_id)
+        |  GROUP BY sg.doc_id
+        |)
+        |SELECT c.doc_id,
+        |  CASE WHEN r.doc_id IS NULL THEN c.text ELSE r.text END AS text,
+        |  CAST(coalesce(ch.chars, 0) AS BIGINT) AS contaminated_chars
+        |FROM corpus c
+        |LEFT JOIN reb r USING (doc_id)
+        |LEFT JOIN ch USING (doc_id)""".stripMargin,
 
     "q_repetition" ->
       """WITH corpus AS (

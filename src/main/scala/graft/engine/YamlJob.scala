@@ -48,6 +48,15 @@ object YamlJob {
                                      textColumn: String = "text",
                                      n: Int = 8, max: Double = 0.2)
 
+  /** Substring-granularity decontamination (`decontaminate_excise:`):
+    * every >= `window`-token span appearing verbatim in the probe
+    * corpus is EXCISED with the document kept
+    * ([[graft.llm.Contamination.decontaminateExcise]]). Per-row —
+    * valid in batch AND stream mode. */
+  final case class DecontaminateExciseSpec(probesUri: String,
+                                           textColumn: String = "text",
+                                           window: Int = 50)
+
   /** YAML mirror of [[graft.llm.Curation.PipelineConfig]] plus the
     * run-shape knobs that only make sense from a job file: `observed`
     * prints per-stage survivor counts, `shards` routes the write through
@@ -109,6 +118,10 @@ object YamlJob {
         * of exact content hashes. Batch mode only. */
       referenceNearDup: Option[Double] = None,
       contamination: Option[ContaminationSpec] = None,
+      /** `decontaminate_excise: {probes_uri: <uri>, window: 50}` —
+        * excise verbatim probe spans, keep the document (adds a
+        * `contaminated_chars` column). Batch and stream mode. */
+      decontaminateExcise: Option[DecontaminateExciseSpec] = None,
       /** `lang_id: {seed: <uri>, allow: [en, de], ...}` — train a
         * char-n-gram NB language classifier on the labeled seed table
         * and keep only documents predicted in the allow set. Per-row;
@@ -257,7 +270,7 @@ object YamlJob {
         "lang_id", "token_budget", "token_budget_shards", "shards",
         "mode", "ts_column", "dedup_horizon", "checkpoint", "trigger",
         "reference", "reference_near_dup",
-        "substring_dedup_window", "soft_dedup")
+        "substring_dedup_window", "soft_dedup", "decontaminate_excise")
       // misspelled knobs must be loud — a silently ignored
       // `sample_fracton: 0.01` would ship 100× the intended corpus;
       // the same rule applies INSIDE the nested maps (a typo'd
@@ -404,6 +417,25 @@ object YamlJob {
           case other => throw graft.core.GraftError.Configuration(
             s"curation contamination must be a map, got '$other'")
         },
+        decontaminateExcise = c.get("decontaminate_excise")
+          .flatMap(Option(_)).map {
+            case m: JMap[_, _] =>
+              val mm = m.asInstanceOf[JMap[String, Object]].asScala
+              checkKeys("curation decontaminate_excise", mm.keySet,
+                Set("probes_uri", "text_column", "window"))
+              DecontaminateExciseSpec(
+                probesUri = sub(mm.getOrElse("probes_uri",
+                  throw graft.core.GraftError.Configuration(
+                    "curation decontaminate_excise needs a probes_uri"))
+                  .toString),
+                textColumn = mm.get("text_column").map(v => sub(v.toString))
+                  .getOrElse("text"),
+                window = mm.get("window")
+                  .map(v => intOpt("decontaminate_excise.window", v))
+                  .getOrElse(50))
+            case other => throw graft.core.GraftError.Configuration(
+              s"curation decontaminate_excise must be a map, got '$other'")
+          },
         langId = c.get("lang_id").flatMap(Option(_)).map {
           case m: JMap[_, _] =>
             val mm = m.asInstanceOf[JMap[String, Object]].asScala

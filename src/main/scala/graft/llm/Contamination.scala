@@ -171,4 +171,136 @@ object Contamination {
       .select(col(idCol))
     corpus.join(dropIds, Seq(idCol), "left_anti")
   }
+
+  // ------------------------------------------------------------------
+  // Substring-granularity decontamination: EXCISE the contaminated
+  // span, KEEP the document (the field standard for eval-set leakage —
+  // the same Lee et al. 2021 token-window machinery as
+  // [[SubstringDedup]], aimed at a probe corpus instead of the corpus
+  // itself). [[decontaminate]] drops whole documents at fuzzy n-gram
+  // overlap; this surgically removes every >= w-token span that appears
+  // VERBATIM in any probe (benchmark question, eval passage, canary),
+  // so one leaked paragraph no longer costs an entire document.
+  //
+  // Scale shape — better than the dedup pass needs to be, because the
+  // probe side is BOUNDED (an eval suite, not a crawl): the probe
+  // windows collect once into a sorted 8-byte-hash array (loud cap)
+  // that rides the plan into every task, and the corpus pays ONE
+  // per-row projection — window-hash, binary-search membership,
+  // interval merge, rebuild — with NO shuffle and NO join anywhere.
+  // That per-row shape is also what makes the stage streamable (the
+  // curation stream pipeline runs it unchanged). Probes shorter than
+  // w tokens emit no windows and cannot match — use the n-gram
+  // [[check]]/[[decontaminate]] for short-probe fuzzy coverage.
+  // ------------------------------------------------------------------
+
+  /** Distinct probe window hashes as a sorted array — the driver-side
+    * probe index. Loudly capped: past `maxProbeWindows` the index is
+    * no longer "bounded eval suite"-sized and the whole design premise
+    * fails (8 bytes/window; the default cap is 32 MiB of plan). */
+  private[llm] def probeWindowHashes(probes: DataFrame, probeTextCol: String,
+                                     w: Int, stride: Int,
+                                     maxProbeWindows: Int): Array[Long] = {
+    require(maxProbeWindows >= 1,
+      s"maxProbeWindows must be >= 1: $maxProbeWindows")
+    val rows = probes
+      .select(explode(graft.functions.SketchExprs
+        .tokenWindowHashes(col(probeTextCol).cast("string"), w, stride))
+        .as("__w"))
+      .select(col("__w")("h")).distinct()
+      .limit(maxProbeWindows + 1).collect()
+    require(rows.length <= maxProbeWindows,
+      s"probe corpus exceeds maxProbeWindows=$maxProbeWindows distinct " +
+        s"$w-token windows — this operator broadcasts the probe index " +
+        "into a per-row projection and is sized for bounded eval " +
+        "suites; raise the cap deliberately or pre-trim the probes")
+    require(rows.nonEmpty,
+      s"probe corpus yields no $w-token windows (every probe is " +
+        s"shorter than $w tokens?) — nothing could ever match; use " +
+        "the n-gram check/decontaminate for short probes")
+    rows.map(_.getLong(0))
+  }
+
+  /** Merged maximal matched spans of `textCol` as a per-row
+    * `array<struct<s,e>>` column (codepoint [s, e), ordered): window
+    * hashes filtered by probe-set membership, then overlapping/
+    * adjacent windows coalesced by one in-plan fold. */
+  private def matchedSpans(textCol: String, hs: Array[Long],
+                           w: Int, stride: Int): Column = {
+    val hits = filter(
+      graft.functions.SketchExprs.tokenWindowHashes(col(textCol), w, stride),
+      x => graft.functions.SetExprs.inLongSet(x("h"), hs))
+    // fold in window order (TokenWindowHashes emits s-ascending):
+    // start a new span when the window begins past the last span's
+    // end, else extend the last span — the same coalescing rule as
+    // [[Spans.mergeIntervals]], expressed per-row
+    val empty = array().cast("array<struct<s:int,e:int>>")
+    aggregate(hits, empty, (acc, x) => {
+      val last = element_at(acc, -1)
+      when(size(acc) === 0 || x("s") > last("e"),
+        concat(acc, array(struct(x("s").as("s"), x("e").as("e")))))
+        .otherwise(concat(slice(acc, lit(1), size(acc) - 1),
+          array(struct(last("s").as("s"),
+            greatest(last("e"), x("e")).as("e")))))
+    })
+  }
+
+  /** Report surface: one row per (id, matched maximal span) with
+    * codepoint bounds — what [[decontaminateExcise]] would cut. */
+  def contaminationSpans(corpus: DataFrame, probes: DataFrame,
+                         idCol: String, textCol: String,
+                         probeTextCol: String, w: Int = 50,
+                         stride: Int = 1,
+                         maxProbeWindows: Int = 1 << 22): DataFrame = {
+    val hs = probeWindowHashes(probes, probeTextCol, w, stride,
+      maxProbeWindows)
+    corpus
+      .select(col(idCol),
+        explode(matchedSpans(textCol, hs, w, stride)).as("__iv"))
+      .select(col(idCol), col("__iv")("s").as("span_start"),
+        col("__iv")("e").as("span_end"))
+  }
+
+  /** The corpus pass: every >= w-token span appearing verbatim in any
+    * probe is excised from `textCol` (document KEPT — a fully
+    * contaminated document survives as an auditable empty-string husk,
+    * the [[Spans.excise]] contract), and `charsCol` reports the
+    * codepoints removed per document (0 for clean rows, including
+    * null-text rows, which pass through untouched). Keeps every input
+    * column; pure per-row projection — streams unchanged. */
+  def decontaminateExcise(corpus: DataFrame, probes: DataFrame,
+                          idCol: String, textCol: String,
+                          probeTextCol: String, w: Int = 50,
+                          stride: Int = 1,
+                          maxProbeWindows: Int = 1 << 22,
+                          charsCol: String = "contaminated_chars")
+      : DataFrame = {
+    require(corpus.columns.contains(textCol), s"no such column '$textCol'")
+    Guards.requireFreshColumns(corpus, Seq("__ivs", charsCol),
+      "Contamination.decontaminateExcise")
+    require(!probes.isStreaming,
+      "probe corpus must be a static (batch) frame — the probe index " +
+        "collects once; the CORPUS side may stream")
+    val hs = probeWindowHashes(probes, probeTextCol, w, stride,
+      maxProbeWindows)
+    val t = col(textCol)
+    // positional reassembly — the same fold as [[Spans.exciseIntervals]]
+    val rebuilt = aggregate(
+      col("__ivs"),
+      struct(lit(0).as("p"), lit("").as("acc")),
+      (st, iv) => struct(
+        iv("e").as("p"),
+        concat(st("acc"), t.substr(st("p") + lit(1), iv("s") - st("p")))
+          .as("acc")),
+      st => concat(st("acc"), t.substr(st("p") + lit(1), length(t) - st("p"))))
+    corpus
+      .withColumn("__ivs", matchedSpans(textCol, hs, w, stride))
+      .withColumn(charsCol,
+        coalesce(aggregate(col("__ivs"), lit(0L),
+          (a, iv) => a + (iv("e") - iv("s")).cast("long")), lit(0L)))
+      .withColumn(textCol,
+        when(col("__ivs").isNull || size(col("__ivs")) === 0, t)
+          .otherwise(rebuilt))
+      .drop("__ivs")
+  }
 }

@@ -153,6 +153,21 @@ object Curation {
         * bounded-state streaming analog; [[pipelineStream]] rejects it
         * loudly. */
       referenceNearDup: Option[Double] = None,
+      /** When set, EXCISE every >= [[decontaminateExciseWindow]]-token
+        * span appearing VERBATIM in this probe corpus from surviving
+        * documents — the document is KEPT with a `contaminated_chars`
+        * column ([[Contamination.decontaminateExcise]]; the field
+        * standard for eval-set leakage, where the drop-mode
+        * [[contaminationProbes]] stage discards whole documents). Runs
+        * AFTER dedup and BEFORE the drop-mode stage, so a document is
+        * only dropped if it still exceeds the fuzzy n-gram threshold
+        * once its verbatim leaks are gone. A pure per-row projection
+        * over the collected probe-hash index — no shuffle, no join;
+        * streams unchanged in [[pipelineStream]] (the probe frame
+        * itself must be batch). */
+      decontaminateExciseProbes: Option[DataFrame] = None,
+      decontaminateExciseWindow: Int = 50,
+      decontaminateExciseProbeTextCol: String = "text",
       /** When set, run [[Contamination.decontaminate]] against this
         * probe corpus AFTER dedup and BEFORE sampling (so the sample
         * fraction applies to the clean corpus). */
@@ -264,17 +279,27 @@ object Curation {
         .select(col(idCol))
       afterRef.join(keptIds, Seq(idCol), "left_semi")
     }
+    // substring-granularity decontamination first (excise verbatim
+    // leaks, keep the doc — a pure per-row projection, no fan-out, no
+    // checkpoint needed), THEN the drop-mode n-gram stage judges the
+    // already-excised text
+    val excised = cfg.decontaminateExciseProbes match {
+      case Some(p) =>
+        Contamination.decontaminateExcise(deduped, p, idCol, textCol,
+          cfg.decontaminateExciseProbeTextCol, cfg.decontaminateExciseWindow)
+      case None => deduped
+    }
     // decontamination reads its corpus twice (gram scan + anti-join);
     // under the persist knob the deduped survivors are checkpointed so
     // the dedup shuffle + semi-join (the most expensive stage) run once
     val decontaminated = cfg.contaminationProbes match {
       case Some(p) =>
         val src =
-          if (cfg.persistSurvivors) deduped.localCheckpoint(true) else deduped
+          if (cfg.persistSurvivors) excised.localCheckpoint(true) else excised
         Contamination.decontaminate(src, p, idCol, textCol,
           cfg.contaminationProbeTextCol, cfg.contaminationN,
           cfg.maxContamination)
-      case None => deduped
+      case None => excised
     }
     val sampled =
       if (cfg.sampleFraction >= 1.0) decontaminated
@@ -372,8 +397,18 @@ object Curation {
       .withWatermark(tsCol, dedupHorizon)
       .dropDuplicatesWithinWatermark("__cs_h")
       .drop("__cs_h")
-    if (cfg.sampleFraction >= 1.0) deduped
-    else Sampling.byHash(deduped, idCol, cfg.sampleFraction, cfg.bucketFn)
+    // substring-granularity decontamination STREAMS: the probe index
+    // is a bounded batch-side collect baked into a per-row projection
+    // (no join, no state) — unlike the drop-mode n-gram stage, whose
+    // corpus-ratio aggregation is rejected above
+    val excised = cfg.decontaminateExciseProbes match {
+      case Some(p) =>
+        Contamination.decontaminateExcise(deduped, p, idCol, textCol,
+          cfg.decontaminateExciseProbeTextCol, cfg.decontaminateExciseWindow)
+      case None => deduped
+    }
+    if (cfg.sampleFraction >= 1.0) excised
+    else Sampling.byHash(excised, idCol, cfg.sampleFraction, cfg.bucketFn)
   }
 
   private def applyLangId(df: DataFrame, textCol: String,
@@ -512,19 +547,28 @@ object Curation {
         .select(col(idCol))
       tap(r3.join(keptIds, Seq(idCol), "left_semi"), oD)
     }
+    // substring-granularity excision keeps every row (counts
+    // unchanged), so like the other row-preserving rewrites it carries
+    // no observation of its own
+    val dE = cfg.decontaminateExciseProbes match {
+      case Some(p) =>
+        Contamination.decontaminateExcise(d, p, idCol, textCol,
+          cfg.decontaminateExciseProbeTextCol, cfg.decontaminateExciseWindow)
+      case None => d
+    }
     // decontamination reads its corpus twice (gram scan + anti-join);
     // without a checkpoint the oD observe above would be duplicated
     // into both reads and double-fire — same fan-out rule as the
     // filter stages
     val (afterDecon, deconObs) = cfg.contaminationProbes match {
       case Some(p) =>
-        val dd = d.localCheckpoint(true) // oD fires here, exactly once
+        val dd = dE.localCheckpoint(true) // oD fires here, exactly once
         val oC = Observation()
         (tap(Contamination.decontaminate(dd, p, idCol, textCol,
           cfg.contaminationProbeTextCol, cfg.contaminationN,
           cfg.maxContamination), oC),
           Seq("after_decontamination" -> oC))
-      case None => (d, Nil)
+      case None => (dE, Nil)
     }
     val sampled =
       if (cfg.sampleFraction >= 1.0) afterDecon

@@ -759,6 +759,35 @@ class CliSpec extends SparkSpec {
     assert(wide.shards.contains(YamlJob.ShardSpec(4, 5000000000L)))
     assert(wide.contamination.contains(
       YamlJob.ContaminationSpec("/bench/p.parquet", "snippet", 8, 0.2)))
+    // decontaminate_excise: full map, defaults, missing probes_uri and
+    // nested typos are loud
+    val ex = YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation:
+        |  id_column: id
+        |  text_column: t
+        |  decontaminate_excise: {probes_uri: "bench.parquet", window: 40}
+        |""".stripMargin).curation.get
+    assert(ex.decontaminateExcise.contains(
+      YamlJob.DecontaminateExciseSpec("bench.parquet", "text", 40)))
+    intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation:
+        |  id_column: id
+        |  text_column: t
+        |  decontaminate_excise: {window: 40}
+        |""".stripMargin))
+    val exTypo = intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation:
+        |  id_column: id
+        |  text_column: t
+        |  decontaminate_excise: {probes_uri: p.parquet, windw: 40}
+        |""".stripMargin))
+    assert(exTypo.getMessage.contains("windw"))
     // the committed golden example parses (uris are placeholders)
     val golden = YamlJob.load("examples/curation_job.yaml")
     assert(golden.curation.exists(c =>

@@ -286,6 +286,65 @@ class CorpusOpsSpec extends SparkSpec {
         maxContamination = 1.5))
   }
 
+  test("decontaminateExcise: spans cut with the doc KEPT — multi-span, " +
+      "husk, passthrough, whitespace-insensitive, loud guards") {
+    val probe = "p1 p2 p3 p4 p5 p6" // 6 tokens → 3 windows at w=4
+    val corpus = Seq(
+      (1L, s"keep1 keep2 $probe tail1 tail2"),      // one interior span
+      (2L, probe),                                   // fully contaminated
+      (3L, "nothing shared here at all really"),     // clean passthrough
+      (4L, "x   p1  p2 \t p3 p4 p5 p6"),            // ragged whitespace
+      (5L, s"$probe mid1 mid2 mid3 mid4 $probe")     // two spans, one doc
+    ).toDF("doc_id", "text")
+    val probes = Seq(probe).toDF("text")
+    val out = Contamination.decontaminateExcise(corpus, probes,
+        "doc_id", "text", "text", w = 4)
+      .orderBy("doc_id")
+      .select("doc_id", "text", "contaminated_chars")
+      .as[(Long, String, Long)].collect()
+    assert(out(0) == (1L, "keep1 keep2  tail1 tail2", probe.length.toLong),
+      s"interior span: ${out(0)}") // cut is exactly [start, end) — the
+                                   // flanking spaces are NOT collapsed
+    assert(out(1) == (2L, "", probe.length.toLong),
+      s"husk contract: ${out(1)}")
+    assert(out(2) == (3L, "nothing shared here at all really", 0L),
+      s"clean doc must pass through byte-identical: ${out(2)}")
+    // token granularity: irregular whitespace between tokens still
+    // matches (windows hash normalized content), and the cut uses the
+    // ORIGINAL codepoint offsets
+    assert(out(3)._2 == "x   " && out(3)._3 == 20L,
+      s"whitespace-insensitive match: ${out(3)}")
+    assert(out(4)._2 == " mid1 mid2 mid3 mid4 " &&
+      out(4)._3 == 2L * probe.length,
+      s"two disjoint spans in one doc: ${out(4)}")
+    // report surface agrees with the cut
+    val spans = Contamination.contaminationSpans(corpus, probes,
+        "doc_id", "text", "text", w = 4)
+      .as[(Long, Int, Int)].collect().toSeq.sorted
+    assert(spans.map(_._1).toSet == Set(1L, 2L, 4L, 5L))
+    assert(spans.count(_._1 == 5L) == 2, "doc 5 reports two spans")
+    assert(spans.filter(_._1 == 1L).map(s => s._3 - s._2).sum ==
+      probe.length)
+    // guards: short probes can never match; cap; stale column; the
+    // probe side must be batch
+    intercept[IllegalArgumentException](Contamination.decontaminateExcise(
+      corpus, Seq("a b c").toDF("text"), "doc_id", "text", "text", w = 4))
+    intercept[IllegalArgumentException](Contamination.decontaminateExcise(
+      corpus, probes, "doc_id", "text", "text", w = 4,
+      maxProbeWindows = 2))
+    intercept[IllegalArgumentException](Contamination.decontaminateExcise(
+      corpus.withColumn("contaminated_chars", lit(0L)), probes,
+      "doc_id", "text", "text", w = 4))
+    // null text passes through as null with 0 contaminated chars
+    val withNull = corpus.union(Seq((9L, null: String))
+      .toDF("doc_id", "text"))
+    val nrow = Contamination.decontaminateExcise(withNull, probes,
+        "doc_id", "text", "text", w = 4)
+      .filter($"doc_id" === 9L)
+      .select("text", "contaminated_chars").collect().head
+    assert(nrow.isNullAt(0) && nrow.getLong(1) == 0L)
+  }
+
   test("contamination: hashed grams are the exact xxhash64 image of string grams") {
     // the check() join runs on the native one-pass hash; pin it to the
     // readable string-gram definition it claims to mirror
@@ -619,6 +678,55 @@ class CorpusOpsSpec extends SparkSpec {
           maxDupNgramFrac = 0.35, maxTopNgramFrac = 0.5))
       .select("doc_id").as[Long].collect().toSeq.sorted
     assert(noUrl == Seq(1L, 2L, 5L), s"kept $noUrl")
+  }
+
+  test("curation pipeline: decontaminate-excise stage cuts the leaked " +
+      "span, keeps the doc, and feeds the drop stage the CLEANED text") {
+    val leak = (1 to 8).map(i => s"lk$i").mkString(" ") // 8 tokens, w=4
+    val corpus = Seq(
+      (1L, s"real unique content body here $leak"),    // leak appended
+      (2L, "other perfectly clean document words"),    // untouched
+      (3L, leak)                                        // pure-leak husk
+    ).toDF("doc_id", "text")
+    val probes = Seq(leak).toDF("text")
+    val cfg = Curation.PipelineConfig(maxDupWordFrac = 1.0,
+      maxDupNgramFrac = 1.0, maxTopNgramFrac = 1.0,
+      decontaminateExciseProbes = Some(probes),
+      decontaminateExciseWindow = 4)
+    val out = Curation.pipeline(corpus, "doc_id", "text", cfg)
+      .select("doc_id", "text", "contaminated_chars")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq(1L, 2L, 3L),
+      s"excision must KEEP every document: ${out.toSeq}")
+    assert(out(0)._2 == "real unique content body here " &&
+      out(0)._3 == leak.length, s"span not cut: ${out(0)}")
+    assert(out(1) == (2L, "other perfectly clean document words", 0L))
+    assert(out(2)._2 == "" && out(2)._3 == leak.length,
+      s"husk contract: ${out(2)}")
+    // ordering vs the drop stage: with BOTH stages on (n = 8 → the
+    // leak is one of doc 1's six 8-grams, ratio 1/6 > 0.1), doc 1
+    // survives because its verbatim leak is excised BEFORE the n-gram
+    // ratio is judged; without the excise stage the same config drops it
+    val both = cfg.copy(contaminationProbes = Some(probes),
+      maxContamination = 0.1)
+    assert(Curation.pipeline(corpus, "doc_id", "text", both)
+      .select("doc_id").as[Long].collect().toSet == Set(1L, 2L, 3L))
+    val dropOnly = Curation.PipelineConfig(maxDupWordFrac = 1.0,
+      maxDupNgramFrac = 1.0, maxTopNgramFrac = 1.0,
+      contaminationProbes = Some(probes), maxContamination = 0.1)
+    assert(Curation.pipeline(corpus, "doc_id", "text", dropOnly)
+      .select("doc_id").as[Long].collect().toSet == Set(2L),
+      "without excision the leak-carrying docs drop whole")
+    // observed pipeline: excision is row-preserving — counts equal the
+    // dedup stage's, and the kept rows carry the same excised text
+    val (odf, counts) = Curation.pipelineObserved(corpus, "doc_id", "text", both)
+    val okept = odf.select("doc_id", "text", "contaminated_chars")
+      .as[(Long, String, Long)].collect().sortBy(_._1)
+    val m = counts()
+    assert(m("after_dedup") == 3L && m("after_decontamination") == 3L &&
+      m("kept") == 3L, s"stage counts: $m")
+    assert(okept.toSeq == out.toSeq,
+      "observed pipeline must produce the lazy pipeline's rows")
   }
 
   test("curation pipeline: compression band drops both entropy tails") {

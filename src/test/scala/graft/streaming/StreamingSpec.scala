@@ -278,6 +278,32 @@ class StreamingSpec extends SparkSpec {
       Curation.pipelineStream(in, "doc_id", "text", "ts",
         cfg = cfg.copy(referenceSnapshot = Some(in))))
 
+    // decontaminate-excise STREAMS (per-row projection over a static
+    // probe index): stream output matches the batch pipeline rows,
+    // contaminated_chars included
+    val exProbe = Seq("streaming document number 7 with body words")
+      .toDF("text")
+    // sampleFraction 1.0: the excised doc must not be hash-sampled away
+    val cfgEx = cfg.copy(decontaminateExciseProbes = Some(exProbe),
+      decontaminateExciseWindow = 4, sampleFraction = 1.0)
+    val qx = Curation.pipelineStream(in, "doc_id", "text", "ts",
+        dedupHorizon = "10 minutes", cfg = cfgEx)
+      .writeStream.format("memory").queryName("curation_stream_ex")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    qx.awaitTermination(120000L)
+    val streamedEx = spark.table("curation_stream_ex")
+      .select($"doc_id", $"text", $"contaminated_chars")
+      .as[(Long, String, Long)].collect().toSet
+    val batchEx = Curation.pipeline(
+        spark.read.parquet(scratch).select($"doc_id", $"text"),
+        "doc_id", "text", cfgEx)
+      .select($"doc_id", $"text", $"contaminated_chars")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamedEx.nonEmpty && streamedEx == batchEx,
+      s"stream ${streamedEx.size} vs batch ${batchEx.size}")
+    // the probe doc itself was excised to a husk somewhere in the output
+    assert(streamedEx.exists(_._3 > 0L), "no contamination recorded")
+
     // corpus-wide stages are a loud typed error, not a silent skip
     for (bad <- Seq(
         cfg.copy(lineDedupMinDocs = Some(3)),
@@ -288,6 +314,10 @@ class StreamingSpec extends SparkSpec {
         cfg.copy(referenceNearDup = Some(0.5))))
       intercept[graft.core.GraftError.Configuration](
         Curation.pipelineStream(in, "doc_id", "text", "ts", cfg = bad))
+    // a STREAMING probe frame for the excise stage is rejected up front
+    intercept[IllegalArgumentException](
+      Curation.pipelineStream(in, "doc_id", "text", "ts",
+        cfg = cfg.copy(decontaminateExciseProbes = Some(in))))
     // and a batch frame is rejected up front
     intercept[IllegalArgumentException](
       Curation.pipelineStream(spark.read.parquet(scratch),
