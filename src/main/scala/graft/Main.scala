@@ -970,8 +970,8 @@ object Main {
           cur.decontaminateExcise.map(_.window).getOrElse(50),
         decontaminateExciseProbeTextCol =
           cur.decontaminateExcise.map(_.textColumn).getOrElse("text"),
-        // forwarded so pipelineStream rejects it loudly rather than
-        // the YAML knob being silently ignored
+        // live in stream mode: a per-row broadcast probe over the
+        // driver-collected reference index
         referenceNearDup = cur.referenceNearDup)
       val curated = Curation.pipelineStream(
         input, cur.idColumn, cur.textColumn, tsCol, cur.dedupHorizon, pc)

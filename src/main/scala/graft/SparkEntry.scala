@@ -1412,7 +1412,27 @@ object SparkEntry {
           (990000L + id, java.util.Arrays.copyOf(whole, whole.length - 10))
         }
         .toDF("media_id", "payload")
+      // REAL float32 rows (format 3, 32-bit): planted samples are exact
+      // float32 multiples of 2^-10, so the folded 16-bit value is
+      // exactly v*32 and the oracle replays in integer arithmetic
+      val float32 = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(60)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map(id => (995000L + id, Multimodal.wavFloat32Fixture(id)))
+        .toDF("media_id", "payload")
+      // truncated float chunk + planted-NaN float: both decoded=false
+      val floatBad = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(120)) === 0)
+        .select(col("doc_id")).as[Long]
+        .flatMap { id =>
+          val whole = Multimodal.wavFloat32Fixture(id)
+          Seq(
+            (997000L + id, java.util.Arrays.copyOf(whole, whole.length - 6)),
+            (998000L + id, Multimodal.wavFloat32Fixture(id, nanAt = 8)))
+        }
+        .toDF("media_id", "payload")
       val media = pcm.unionByName(floatFmt).unionByName(truncated)
+        .unionByName(float32).unionByName(floatBad)
         .select(col("media_id"), lit("audio").as("media_type"),
           col("payload"), lit(null).cast("string").as("meta"))
       def r6(c: org.apache.spark.sql.Column) =
@@ -5290,7 +5310,57 @@ object SparkEntry {
         |  CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
         |  CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
         |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), false
-        |FROM documents WHERE doc_id % 100 = 0""".stripMargin,
+        |FROM documents WHERE doc_id % 100 = 0
+        |UNION ALL
+        |SELECT media_id, sample_rate, channels, n_samples, peak, rms,
+        |  clipping_ratio, silence_frac, decoded
+        |FROM (
+        |  WITH fids AS (
+        |    SELECT doc_id AS id FROM documents WHERE doc_id % 60 = 0
+        |  ), fpar AS (
+        |    SELECT id, CAST(1 + id % 2 AS INTEGER) AS channels,
+        |      CAST(16000 + 100 * (id % 5) AS INTEGER) AS rate,
+        |      (40 + id % 16) * (1 + id % 2) AS n
+        |    FROM fids
+        |  ), fsv AS (
+        |    SELECT id, channels, rate, n,
+        |      CASE WHEN k % 7 = 0 THEN 0
+        |           WHEN k % 11 = 3 THEN 32767
+        |           WHEN k % 13 = 5 THEN -32768
+        |           ELSE ((id * 31 + k * 997) % 2000 - 1000) * 32 END AS s
+        |    FROM (SELECT id, channels, rate, n,
+        |            unnest(range(0, n)) AS k FROM fpar)
+        |  ), fagg AS (
+        |    SELECT id, any_value(channels) AS channels,
+        |      any_value(rate) AS rate, any_value(n) AS n,
+        |      max(abs(s)) AS peak, sum(s * s) AS ssq,
+        |      sum(CASE WHEN abs(s) >= 32767 THEN 1 ELSE 0 END) AS clip,
+        |      sum(CASE WHEN abs(s) <= 327 THEN 1 ELSE 0 END) AS sil
+        |    FROM fsv GROUP BY id
+        |  )
+        |  SELECT 995000 + id AS media_id, rate AS sample_rate, channels,
+        |    CAST(n AS BIGINT) AS n_samples, CAST(peak AS INTEGER) AS peak,
+        |    floor(sqrt(CAST(ssq AS DOUBLE) / n) * 1000000 + 0.5) / 1000000
+        |      AS rms,
+        |    floor(CAST(clip AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+        |      AS clipping_ratio,
+        |    floor(CAST(sil AS DOUBLE) / n * 1000000 + 0.5) / 1000000
+        |      AS silence_frac,
+        |    true AS decoded
+        |  FROM fagg
+        |)
+        |UNION ALL
+        |SELECT 997000 + doc_id, CAST(NULL AS INTEGER),
+        |  CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), false
+        |FROM documents WHERE doc_id % 120 = 0
+        |UNION ALL
+        |SELECT 998000 + doc_id, CAST(NULL AS INTEGER),
+        |  CAST(NULL AS INTEGER), CAST(NULL AS BIGINT),
+        |  CAST(NULL AS INTEGER), CAST(NULL AS DOUBLE),
+        |  CAST(NULL AS DOUBLE), CAST(NULL AS DOUBLE), false
+        |FROM documents WHERE doc_id % 120 = 0""".stripMargin,
 
     // BPE token counts: per-word costs under the Sennrich worked-example
     // merges are hand-derived constants (low=1, lower=4, newest=1,

@@ -115,7 +115,8 @@ object YamlJob {
       referenceUri: Option[String] = None,
       /** `reference_near_dup: <threshold>` — match the reference by
         * minhash near-duplication (exact jaccard >= threshold) instead
-        * of exact content hashes. Batch mode only. */
+        * of exact content hashes. Batch AND stream mode (the stream
+        * probes a driver-collected broadcast index of the snapshot). */
       referenceNearDup: Option[Double] = None,
       contamination: Option[ContaminationSpec] = None,
       /** `decontaminate_excise: {probes_uri: <uri>, window: 50}` —

@@ -148,10 +148,10 @@ object Curation {
         * ([[Dedup.nearDupAgainstReference]], minhash-LSH candidates +
         * exact jaccard >= this threshold) instead of exact content
         * hashes — previously-shipped documents that grew a tracking
-        * footer still drop. Batch-only: the candidate machinery
-        * aggregates the batch side per bucket, which has no
-        * bounded-state streaming analog; [[pipelineStream]] rejects it
-        * loudly. */
+        * footer still drop. In [[pipelineStream]] the same stage runs
+        * as a per-row broadcast probe over the driver-collected
+        * reference index ([[Dedup.nearDupRefIndex]], loud size caps) —
+        * batch-identical verdicts, no state, no shuffle. */
       referenceNearDup: Option[Double] = None,
       /** When set, EXCISE every >= [[decontaminateExciseWindow]]-token
         * span appearing VERBATIM in this probe corpus from surviving
@@ -182,8 +182,25 @@ object Curation {
       tokenBudget: Option[Long] = None,
       tokenBudgetShards: Int = 64)
 
+  /** strip_html/strip_markdown end with a full whitespace collapse
+    * (their pinned, oracle-replayed contract) — which erases the
+    * newline structure [[Paragraphs.dropCommon]] keys on, so a line
+    * dedup configured AFTER a strip sees single-line documents and
+    * silently does nothing. Warn loudly (the house convention for a
+    * stage that cannot do its job): pair line dedup with unstripped
+    * text, or use substring dedup, which is whitespace-insensitive. */
+  private def warnStripEatsLines(cfg: PipelineConfig): Unit =
+    if ((cfg.stripHtml || cfg.stripMarkdown) && cfg.lineDedupMinDocs.isDefined)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        "Curation: strip_html/strip_markdown collapse newlines BEFORE " +
+          "line dedup runs — documents arrive single-line and " +
+          "line_dedup_min_docs will match nothing. Use " +
+          "substring_dedup_window (whitespace-insensitive) or run line " +
+          "dedup on unstripped text.")
+
   def pipeline(df: DataFrame, idCol: String, textCol: String,
                cfg: PipelineConfig = PipelineConfig()): DataFrame = {
+    warnStripEatsLines(cfg)
     val afterUrls =
       if (cfg.blocklist.isEmpty) df
       else Urls.filterBlocked(df, textCol, cfg.blocklist)
@@ -319,10 +336,15 @@ object Curation {
     * re-fetch window).
     *
     * Corpus-wide stages CANNOT stream and are rejected loudly rather
-    * than silently skipped: line dedup, decontamination and the token
-    * budget all need the whole corpus (doc frequencies / probe-overlap
-    * ratios / global running sums) — run them in a periodic batch
-    * compaction over the stream's output instead.
+    * than silently skipped: line dedup, drop-mode decontamination and
+    * the token budget all need the whole corpus (doc frequencies /
+    * probe-overlap ratios / global running sums) — run them in a
+    * periodic batch compaction over the stream's output instead. The
+    * two probe-shaped stages DO stream, because their bounded side
+    * collects into a per-row expression: decontaminate-excise (probe
+    * window-hash index) and reference NEAR-dup
+    * ([[Dedup.nearDupRefIndex]] — band buckets + shingle sets of the
+    * snapshot, loud size caps, batch-identical verdicts).
     * [[PipelineConfig.persistSurvivors]] is rejected under the same
     * loudness contract: micro-batches evaluate their plan once, so the
     * batch knob's storage-for-compute trade has nothing to buy here.
@@ -338,11 +360,13 @@ object Curation {
         "substringDedupWindow" -> cfg.substringDedupWindow.isDefined,
         "softDedup" -> cfg.softDedup,
         "contaminationProbes" -> cfg.contaminationProbes.isDefined,
-        "tokenBudget" -> cfg.tokenBudget.isDefined,
-        "referenceNearDup" -> cfg.referenceNearDup.isDefined) if set)
+        "tokenBudget" -> cfg.tokenBudget.isDefined) if set)
       throw graft.core.GraftError.Configuration(
         s"$name is corpus-wide and cannot stream — run it as a batch " +
           "compaction over the stream's output")
+    if (cfg.referenceNearDup.isDefined && cfg.referenceSnapshot.isEmpty)
+      throw graft.core.GraftError.Configuration(
+        "referenceNearDup needs a referenceSnapshot to match against")
     // not corpus-wide, but still meaningless on a stream: the knob's
     // localCheckpoint is a batch materialization, and each micro-batch
     // already evaluates its plan exactly once — reject rather than
@@ -380,8 +404,21 @@ object Curation {
     // anti-join back by id) would be a stream-stream join, so the
     // stage flattens to the direct hash anti-join here; semantics are
     // identical (exact hashes, no prefilter)
-    val afterRef = cfg.referenceSnapshot match {
-      case Some(ref) =>
+    val afterRef = (cfg.referenceSnapshot, cfg.referenceNearDup) match {
+      case (Some(ref), Some(th)) =>
+        // NEAR-dup against a bounded reference snapshot: the batch
+        // shape's bucket aggregation has no streaming analog, but the
+        // reference's (band, bucket) index + shingle sets collect
+        // driver-side ONCE (loud caps in Dedup.nearDupRefIndex) and
+        // the probe is a pure per-row expression — no state, no
+        // shuffle, batch-identical verdicts (candidates from the same
+        // minhash bands, the same hot-bucket poison rule, the same
+        // exact-jaccard verify)
+        require(!ref.isStreaming,
+          "referenceSnapshot must be a static (batch) frame")
+        val idx = Dedup.nearDupRefIndex(ref, textCol, threshold = th)
+        afterRepetition.filter(!Dedup.nearDupProbe(col(textCol), idx))
+      case (Some(ref), None) =>
         require(!ref.isStreaming,
           "referenceSnapshot must be a static (batch) frame")
         val refHashes = ref
@@ -390,7 +427,7 @@ object Curation {
           .withColumn("__cs_h", Dedup.contentHash(Seq(textCol)))
           .join(refHashes, Seq("__cs_h"), "left_anti")
           .drop("__cs_h")
-      case None => afterRepetition
+      case (None, _) => afterRepetition
     }
     val deduped = afterRef
       .withColumn("__cs_h", Dedup.contentHash(Seq(textCol)))
@@ -481,6 +518,7 @@ object Curation {
     import org.apache.spark.sql.Observation
     def tap(frame: DataFrame, o: Observation): DataFrame =
       frame.observe(o, count(lit(1)).as("n"))
+    warnStripEatsLines(cfg)
     val oIn = Observation(); val oU = Observation(); val oR = Observation()
     val oD = Observation(); val oOut = Observation()
     val in = tap(df, oIn)
@@ -495,9 +533,15 @@ object Curation {
         if (cfg.stripMarkdown) TextAnalysis.stripMarkdown(s1, textCol) else s1
       val s2 =
         if (cfg.fixMojibake) TextAnalysis.fixMojibake(s1b, textCol) else s1b
-      // the compression band is a per-row filter like repetition; its
-      // drops fold into the "after_repetition" count
-      applyCompressionBand(applyNormalize(s2, textCol, cfg), textCol, cfg)
+      // lang-id and the compression band are per-row filters like
+      // repetition; their drops fold into the "after_repetition" count.
+      // (lang-id was MISSING here until r12 — the capstone yaml e2e
+      // caught `observed: true` silently skipping the language filter
+      // while the lazy pipeline applied it; same stage order as
+      // pipeline(): normalize → lang-id → compression band)
+      applyCompressionBand(
+        applyLangId(applyNormalize(s2, textCol, cfg), textCol, cfg),
+        textCol, cfg)
     }
     val r = tap(Repetition.filterRepetitive(stripped(tap(afterUrls, oU)), textCol,
         cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,

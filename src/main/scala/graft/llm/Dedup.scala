@@ -269,6 +269,98 @@ object Dedup {
     df.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Driver-collected reference index for the STREAMING form of
+    * [[nearDupAgainstReference]]: (band, bucket) posting lists + each
+    * reference doc's sorted shingle set, built ONCE batch-side and
+    * baked into a per-row probe expression
+    * ([[graft.functions.NearDupExprs.NearDupRefProbe]]) — no state, no
+    * shuffle, so the stage streams. Same knobs, same verdicts as the
+    * batch path: content-hash-deduped reference, per-bucket loud cap
+    * (a bucket past `maxBucketSize` poisons and drops, exactly the
+    * batch collect_longs_capped rule), exact-jaccard verify at the
+    * same threshold over the same shingle/minhash expressions.
+    *
+    * Bounded by construction — and LOUDLY: `maxRefDocs` caps the
+    * reference row count and `maxShingleEntries` the total collected
+    * shingle longs (the actual memory: 8 bytes each). A reference too
+    * big for the caps is not "a bounded snapshot" and must run as a
+    * batch compaction instead; raise the caps deliberately if the
+    * driver has the headroom. */
+  final case class RefNearDupIndex(
+      buckets: java.util.HashMap[java.lang.Long, Array[Long]],
+      refShingles: java.util.HashMap[java.lang.Long, Array[Long]],
+      nGram: Int, numHashes: Int, bands: Int, threshold: Double)
+
+  def nearDupRefIndex(ref: DataFrame, refTextCol: String = "text",
+                      nGram: Int = 3, numHashes: Int = 64, bands: Int = 16,
+                      threshold: Double = 0.5, maxBucketSize: Int = 10000,
+                      maxRefDocs: Int = 1 << 20,
+                      maxShingleEntries: Long = 1L << 26): RefNearDupIndex = {
+    require(!ref.isStreaming,
+      "reference snapshot must be a static (batch) frame")
+    require(threshold >= 0.0 && threshold <= 1.0,
+      s"threshold must be in [0, 1]: $threshold")
+    val refDocs = ref.select(col(refTextCol).as("__rt"))
+      .select(xxhash64(col("__rt")).as("__rk"), col("__rt"))
+      .dropDuplicates("__rk")
+    val sh = shingleHashes(col("__rt"), nGram)
+    val rows = refDocs
+      .select(col("__rk"), sh.as("__s"),
+        minhash_bands(sh, numHashes, bands).as("__b"))
+      .limit(maxRefDocs + 1).collect()
+    require(rows.length <= maxRefDocs,
+      s"reference snapshot exceeds maxRefDocs=$maxRefDocs distinct " +
+        "documents — too large for the broadcast stream probe; run " +
+        "near-dup dedup as a batch compaction, or raise the cap " +
+        "deliberately")
+    val shingles = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    var totalShingles = 0L
+    // per TRUE (band, bucket) first, so the hot-bucket cap applies
+    // before any mixed-key collision can merge two buckets
+    val byBucket =
+      new java.util.HashMap[(Int, Long), java.util.ArrayList[Long]]()
+    rows.foreach { r =>
+      val rk = r.getLong(0)
+      val s = r.getSeq[Long](1).toArray
+      totalShingles += s.length
+      require(totalShingles <= maxShingleEntries,
+        s"reference shingle sets exceed maxShingleEntries=" +
+          s"$maxShingleEntries collected longs — run near-dup dedup " +
+          "as a batch compaction, or raise the cap deliberately")
+      shingles.put(rk, s)
+      val bd = r.getSeq[Long](2)
+      var b = 0
+      while (b < bd.length) {
+        val k = (b, bd(b))
+        var l = byBucket.get(k)
+        if (l == null) { l = new java.util.ArrayList[Long](); byBucket.put(k, l) }
+        if (l.size <= maxBucketSize) l.add(rk) // size cap+1 marks poison
+        b += 1
+      }
+    }
+    val buckets = new java.util.HashMap[java.lang.Long, Array[Long]]()
+    byBucket.forEach { (k, l) =>
+      if (l.size <= maxBucketSize) { // poisoned hot buckets drop (batch rule)
+        val mixed = graft.functions.NearDupExprs.key(k._1, k._2)
+        val prev = buckets.get(mixed)
+        val arr = l.toArray(new Array[java.lang.Long](l.size)).map(_.longValue())
+        buckets.put(mixed, if (prev == null) arr else prev ++ arr)
+      }
+    }
+    RefNearDupIndex(buckets, shingles, nGram, numHashes, bands, threshold)
+  }
+
+  /** Boolean per-row probe: is `text` a near-duplicate of any indexed
+    * reference document? The shingle subexpression is shared by the
+    * jaccard side and the minhash side (whole-stage codegen's
+    * subexpression elimination computes it once per row). */
+  def nearDupProbe(text: Column, idx: RefNearDupIndex): Column = {
+    val sh = shingleHashes(text, idx.nGram)
+    graft.functions.NearDupExprs.nearDupRefProbe(sh,
+      minhash_bands(sh, idx.numHashes, idx.bands),
+      idx.buckets, idx.refShingles, idx.threshold)
+  }
+
   /** Iterative canonical propagation over a pair graph: converges the
     * single-pass approximation to true connected components (a ~ b ~ c
     * ⇒ all three share min(component)). Each round: canonical(x) =

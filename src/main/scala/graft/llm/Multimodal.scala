@@ -677,10 +677,11 @@ object Multimodal {
 
   /** Audio sample-statistics output contract: one row per audio
     * payload — real PCM16 stats when the payload is a well-formed
-    * RIFF/WAVE with format 1 (integer PCM), 16 bits, and a data chunk
-    * fully inside the payload; NULLs + `decoded = false` for non-WAV
-    * bytes, non-PCM16 formats (float WAV, ADPCM, 8/24-bit), and
-    * truncated data chunks. */
+    * RIFF/WAVE with format 1 (integer PCM, 16 bits) or format 3 (IEEE
+    * float32) and a data chunk fully inside the payload; NULLs +
+    * `decoded = false` for non-WAV bytes, other formats (ADPCM,
+    * 8/24-bit PCM, 16-bit-tagged float), truncated data chunks, and
+    * float payloads carrying non-finite samples. */
   val audioStatsSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("sample_rate", IntegerType, nullable = true),
@@ -703,10 +704,18 @@ object Multimodal {
     * oracle replays `sqrt(ssq / n)` bit-identically; counts are exact
     * integers, ratios one IEEE division each.
     *
+    * IEEE float32 WAV (format 3, 32-bit samples — the other format
+    * speech corpora actually ship) folds into the SAME 16-bit domain
+    * via s = clamp(rint(f·32768)), the standard float→PCM16
+    * conversion: clipping at the ±1.0 float rails is exactly the
+    * |s| >= 32767 rule, and one output schema serves both formats.
+    *
     * Honest failure boundary ([[AudioHeaders.parsePcm]]): non-WAV
-    * bytes, non-PCM16 formats (float/ADPCM/8-bit), truncated or
-    * odd-length data chunks → NULL stats with `decoded = false` — one
-    * row per audio payload either way, never a vanished row.
+    * bytes, other formats (ADPCM/8-bit/24-bit, a float tag with 16-bit
+    * samples), truncated or misaligned data chunks, and float payloads
+    * with non-finite samples (NaN/Inf — corrupt data must be loud) →
+    * NULL stats with `decoded = false` — one row per audio payload
+    * either way, never a vanished row.
     *
     * Scale shape: narrow per-partition map — no shuffle, one payload
     * in memory per task; pair with [[repartitionBySize]] so a
@@ -749,6 +758,49 @@ object Multimodal {
             Row(id, rate, ch, n.toLong, peak,
               math.sqrt(ssq.toDouble / n),
               clip.toDouble / n, sil.toDouble / n, true)
+          case Some((format, ch, rate, bits, off, len))
+              if format == 3 && bits == 32 && len >= 4 && len % 4 == 0 &&
+                off + len <= payload.length =>
+            // IEEE float32 WAV (format 3 — common in speech corpora):
+            // samples fold into the SAME 16-bit stats domain via
+            // s = clamp(rint(f * 32768)) — the standard float→PCM16
+            // conversion — so one schema serves both formats and
+            // clipping at the ±1.0 float rails lands exactly on the
+            // |s| >= 32767 rule. A non-finite sample (NaN/Inf) marks
+            // the whole row decoded = false: corrupt data must be
+            // loud, not silently folded into the statistics.
+            val n = (len / 4).toInt
+            var ssq = 0L
+            var peak = 0
+            var clip = 0L
+            var sil = 0L
+            var bad = false
+            var k = 0
+            while (k < n && !bad) {
+              val i = (off + 4L * k).toInt
+              val w = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8) |
+                ((payload(i + 2) & 0xff) << 16) | (payload(i + 3) << 24)
+              val f = java.lang.Float.intBitsToFloat(w)
+              if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f))
+                bad = true
+              else {
+                val rd = math.rint(f * 32768.0)
+                val s =
+                  if (rd >= 32767.0) 32767
+                  else if (rd <= -32768.0) -32768
+                  else rd.toInt
+                val a = math.abs(s)
+                ssq += s.toLong * s
+                if (a > peak) peak = a
+                if (a >= 32767) clip += 1
+                if (a <= silenceThreshold) sil += 1
+              }
+              k += 1
+            }
+            if (bad) failed
+            else Row(id, rate, ch, n.toLong, peak,
+              math.sqrt(ssq.toDouble / n),
+              clip.toDouble / n, sil.toDouble / n, true)
           case _ => failed
         }
       }
@@ -789,6 +841,45 @@ object Multimodal {
         else if (k % 13 == 5) -32768
         else ((id * 31 + k * 997) % 60000 - 30000).toInt
       bb.putShort(s.toShort)
+      k += 1
+    }
+    bb.array()
+  }
+
+  /** Deterministic IEEE-float32 WAV fixture (format 3): same planted-
+    * arithmetic contract as [[wavPcm16Fixture]]. Sample k is 0.0 every
+    * 7th position (silence), +1.0 at k%11==3 and −1.0 at k%13==5 (the
+    * float rails — exactly the clipping rule), else
+    * `((id·31 + k·997) % 2000 − 1000) / 1024f` — an EXACT float32
+    * (integer × 2^-10) whose folded 16-bit value is exactly v·32, so
+    * an SQL oracle replays every statistic in integer arithmetic
+    * without touching IEEE rounding. `nanAt >= 0` plants a NaN sample
+    * at that index (the corrupt-data decoded=false path, in-gate). */
+  def wavFloat32Fixture(id: Long, nanAt: Int = -1): Array[Byte] = {
+    val channels = (1 + id % 2).toInt
+    val rate = (16000 + 100 * (id % 5)).toInt
+    val frames = (40 + id % 16).toInt
+    val n = frames * channels
+    val blockAlign = channels * 4
+    val dataLen = n * 4
+    val bb = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(3.toShort).putShort(channels.toShort)
+      .putInt(rate).putInt(rate * blockAlign)
+      .putShort(blockAlign.toShort).putShort(32)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var k = 0
+    while (k < n) {
+      val f =
+        if (k == nanAt) Float.NaN
+        else if (k % 7 == 0) 0.0f
+        else if (k % 11 == 3) 1.0f
+        else if (k % 13 == 5) -1.0f
+        else ((id * 31 + k * 997) % 2000 - 1000).toFloat / 1024.0f
+      bb.putFloat(f)
       k += 1
     }
     bb.array()

@@ -794,6 +794,134 @@ class CliSpec extends SparkSpec {
       c.shards.contains(YamlJob.ShardSpec(64, 42L)) && c.observed))
   }
 
+  test("capstone yaml e2e: examples/pretrain_curation.yaml runs the " +
+      "full curation surface verbatim (env-substituted paths)") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val dir = tmpDir("cli_capstone")
+    // 56 distinct english words — longer than the 50-token window, so
+    // 7 probe windows exist; english chars keep lang-id onside
+    val evalPassage = "the quick brown fox jumps over a lazy dog while " +
+      "bright morning sunlight warms seven small villages near ancient " +
+      "rivers flowing gently toward distant emerald valleys where " +
+      "careful farmers plant golden wheat beside tall oak trees and " +
+      "children gather ripe apples under clear autumn skies before " +
+      "winter arrives bringing quiet snow across peaceful mountain " +
+      "slopes everywhere"
+    // reversed word order: shares every WORD with the passage but no
+    // 8-gram and no 50-token run — a corpus-internal shared span that
+    // must NOT trip decontamination
+    val sharedSpan = evalPassage.split(" ").reverse.mkString(" ")
+    // one mid-token edit breaks every 50-token verbatim run (max run
+    // 28 < 50 → excise finds nothing) while ~84% of 8-grams still
+    // match → the DROP stage's case
+    val fuzzyLeak = {
+      val t = evalPassage.split(" "); t(27) = "caerful"; t.mkString(" ")
+    }
+    val footer = "all rights reserved contact the webmaster for details"
+    def cleanDoc(i: Long) = s"plain english document number $i " +
+      s"discusses subject ${i % 7} in fresh wording with several " +
+      s"additional natural sentence words appended for weight $i"
+    val docs: Seq[(Long, String)] =
+      (0L until 40L).map(i => (i, cleanDoc(i))) ++ Seq(
+        100L -> ("spam citing http://shop.spam.example.com/deal now " +
+          "with other english words here"),
+        101L -> s"unique body one about gardens and growth\n$footer",
+        102L -> s"unique body two about oceans and tides\n$footer",
+        103L -> s"unique body three about forests and trails\n$footer",
+        104L -> s"unique body four about deserts and dunes\n$footer",
+        105L -> s"first story begins here $sharedSpan",
+        106L -> s"second story starts now $sharedSpan",
+        107L -> cleanDoc(0), // exact duplicate → soft dedup weights
+        108L -> ("twelve ordinary english words form this body before " +
+          s"the leak arrives $evalPassage"),
+        109L -> fuzzyLeak,
+        110L -> ("das schnelle braune pferd springt über den faulen " +
+          "zaun während die sonne über dem tal scheint"),
+        111L -> ("die müden kinder gehen früh nach hause weil der " +
+          "kalte winter schnee über die stadt bringt"),
+        112L -> ("buy now " * 30).trim) // degenerate → repetition
+    spark.createDataFrame(docs).toDF("doc_id", "text")
+      .write.parquet(s"$dir/crawl/documents.parquet")
+    val seed = Seq(
+      ("the quick brown fox jumps over the lazy dog near the river", "en"),
+      ("seven small children gather apples under clear autumn skies", "en"),
+      ("careful farmers plant golden wheat beside tall oak trees", "en"),
+      ("bright morning sunlight warms the peaceful mountain villages", "en"),
+      ("this document discusses several subjects in fresh wording", "en"),
+      ("winter arrives bringing quiet snow across distant valleys", "en"),
+      ("der schnelle braune fuchs springt über den faulen hund", "de"),
+      ("sieben kleine kinder sammeln äpfel unter klarem herbsthimmel", "de"),
+      ("sorgfältige bauern pflanzen goldenen weizen neben hohen eichen", "de"),
+      ("helles morgenlicht wärmt die friedlichen bergdörfer im tal", "de"),
+      ("dieses dokument behandelt mehrere themen in frischer sprache", "de"),
+      ("der winter bringt leisen schnee über die fernen täler", "de"))
+      .toDF("text", "lang")
+    seed.write.parquet(s"$dir/seed/labeled.parquet")
+    Seq(evalPassage).toDF("text").write.parquet(s"$dir/bench/eval.parquet")
+
+    // the COMMITTED example file, driven verbatim via ${VAR} paths
+    val env = Map("CRAWL_DIR" -> s"$dir/crawl", "SEED_DIR" -> s"$dir/seed",
+      "BENCH_DIR" -> s"$dir/bench", "OUT_DIR" -> s"$dir/out")
+    val r = YamlJob.load("examples/pretrain_curation.yaml", env)
+    val cur = r.curation.get
+    assert(cur.softDedup && cur.substringDedupWindow.contains(50) &&
+      cur.decontaminateExcise.exists(_.window == 50) &&
+      cur.tokenBudget.contains(800L) && cur.observed)
+    assert(runCuration(r.cfg, cur, r.preview, r.dryRun, "error") == 0)
+    val out = spark.read.parquet(s"$dir/out/corpus")
+    val ids = out.select(col("doc_id")).collect().map(_.getLong(0)).toSet
+
+    // CLI-vs-API parity under the full config
+    val raw = spark.read.parquet(s"$dir/crawl/documents.parquet")
+    val (lm, ls) = graft.llm.LangId.train(seed, "text", "lang",
+      vocabSize = 2000)
+    val pc = graft.llm.Curation.PipelineConfig(
+      blocklist = Seq("spam.example.com"),
+      langId = Some((lm, ls, Seq("en"))),
+      maxDupWordFrac = 0.5, maxDupNgramFrac = 0.5, maxTopNgramFrac = 0.4,
+      lineDedupMinDocs = Some(4), substringDedupWindow = Some(50),
+      softDedup = true,
+      decontaminateExciseProbes = Some(spark.read.parquet(s"$dir/bench/eval.parquet")),
+      decontaminateExciseWindow = 50,
+      contaminationProbes = Some(spark.read.parquet(s"$dir/bench/eval.parquet")),
+      contaminationN = 8, maxContamination = 0.5,
+      tokenBudget = Some(800L), tokenBudgetShards = 4)
+    val expect = graft.llm.Curation.pipeline(raw, "doc_id", "text", pc)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == expect, s"CLI kept $ids, API kept $expect")
+
+    // stage-level semantics, asserted on the pre-budget pipeline so the
+    // deterministic token cut can't hide a stage's output
+    val full = graft.llm.Curation.pipeline(raw, "doc_id", "text",
+        pc.copy(tokenBudget = None))
+      .select("doc_id", "text", "contaminated_chars", "dup_count", "weight")
+      .collect().map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    // URL / lang-id / repetition / contamination drops
+    for (gone <- Seq(100L, 110L, 111L, 112L, 109L))
+      assert(!full.contains(gone), s"doc $gone must not survive")
+    // line dedup stripped the shared footer from all four carriers
+    for (i <- 101L to 104L)
+      assert(!full(i)._1.contains("rights reserved"), s"footer in $i")
+    // substring dedup: keeper keeps the span, the other loses it
+    assert(full(105L)._1.endsWith(sharedSpan), "keeper must keep the span")
+    assert(full(106L)._1 == "second story starts now ",
+      s"non-keeper must lose the span: ${full(106L)}")
+    // soft dedup: both copies kept at weight 1/2
+    assert(full(0L)._3 == 2L && full(0L)._4 == 0.5 &&
+      full(107L)._3 == 2L && full(107L)._4 == 0.5)
+    // decontaminate-excise: leak cut, doc KEPT, chars recorded
+    assert(full(108L)._1 == "twelve ordinary english words form this " +
+      "body before the leak arrives " && full(108L)._2 == evalPassage.length,
+      s"excise: ${full(108L)}")
+    // everything else reports 0 contaminated chars
+    assert(full.filterKeys(_ != 108L).values.forall(_._2 == 0L))
+    // the token budget genuinely cut (kept ⊂ pre-budget survivors)
+    assert(ids.subsetOf(full.keySet) && ids.size < full.size,
+      s"budget cut nothing: ${ids.size} of ${full.size}")
+  }
+
   test("curation yaml mode=stream e2e: continuous ingest matches batch") {
     val dir = tmpDir("cli_curation_stream")
     val ts = java.sql.Timestamp.valueOf("2026-01-01 00:00:00")

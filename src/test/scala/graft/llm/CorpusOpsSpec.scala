@@ -774,6 +774,30 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[graft.core.GraftError.Configuration](
       Curation.pipeline(corpus, "doc_id", "text",
         Curation.PipelineConfig(referenceNearDup = Some(0.5))))
+
+    // the STREAM form — a per-row probe over the driver-collected
+    // reference index — must reach the batch verdicts exactly
+    val idx = Dedup.nearDupRefIndex(ref, "text", threshold = 0.5)
+    val probed = corpus
+      .withColumn("__dup", Dedup.nearDupProbe(col("text"), idx))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(probed == Map(1L -> true, 2L -> true, 3L -> false),
+      s"probe verdicts: $probed")
+    val batchKept = Dedup.nearDupAgainstReference(corpus, ref,
+        "doc_id", "text", threshold = 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    assert(probed.filterNot(_._2).keySet == batchKept,
+      "probe and batch join must keep the same documents")
+    // loud caps: a reference past maxRefDocs rejects
+    intercept[IllegalArgumentException](
+      Dedup.nearDupRefIndex(ref, "text", maxRefDocs = 0))
+    intercept[IllegalArgumentException](
+      Dedup.nearDupRefIndex(ref, "text", maxShingleEntries = 2L))
+    // a streaming snapshot rejects
+    val scratch = tmpDir("neardup_idx_stream")
+    ref.write.mode("overwrite").parquet(scratch)
+    intercept[IllegalArgumentException](Dedup.nearDupRefIndex(
+      spark.readStream.schema(ref.schema).parquet(scratch), "text"))
   }
 
   test("curation pipeline: line dedup stage collapses footer-differing copies") {

@@ -1230,6 +1230,40 @@ class LlmSpec extends SparkSpec {
     val img = Seq((20L, "image", whole))
       .toDF("media_id", "media_type", "payload")
     assert(Multimodal.audioStats(img).count() == 0)
+
+    // IEEE float32 (format 3): decodes for real, folded into the same
+    // 16-bit domain via s = clamp(rint(f*32768)) — planted samples are
+    // exact multiples of 2^-10 so the fold is exactly v*32
+    val fid = 3L // channels 2, rate 16300, frames 43 → n = 86
+    val fm = Seq((fid, "audio", Multimodal.wavFloat32Fixture(fid)))
+      .toDF("media_id", "media_type", "payload")
+    val fr = Multimodal.audioStats(fm).head()
+    val fsamples = (0 until n).map { k =>
+      if (k % 7 == 0) 0
+      else if (k % 11 == 3) 32767
+      else if (k % 13 == 5) -32768
+      else (((fid * 31 + k * 997) % 2000 - 1000) * 32).toInt
+    }
+    assert(fr.getInt(1) == 16300 && fr.getInt(2) == 2 && fr.getLong(3) == n)
+    assert(fr.getInt(4) == fsamples.map(math.abs).max)
+    val fssq = fsamples.map(s => s.toLong * s).sum
+    assert(fr.getDouble(5) == math.sqrt(fssq.toDouble / n))
+    assert(fr.getDouble(6) ==
+      fsamples.count(s => math.abs(s) >= 32767).toDouble / n)
+    assert(fr.getDouble(7) ==
+      fsamples.count(s => math.abs(s) <= 327).toDouble / n)
+    assert(fr.getBoolean(8))
+    // float failure modes: truncated float chunk; a planted NaN sample
+    // (corrupt data is loud, not folded into the stats)
+    val fwhole = Multimodal.wavFloat32Fixture(4L)
+    val fbad = Seq(
+      (30L, "audio", java.util.Arrays.copyOf(fwhole, fwhole.length - 6)),
+      (31L, "audio", Multimodal.wavFloat32Fixture(4L, nanAt = 8)))
+      .toDF("media_id", "media_type", "payload")
+    Multimodal.audioStats(fbad).collect().foreach { row =>
+      assert(!row.getBoolean(8) && (1 to 7).forall(row.isNullAt),
+        s"expected NULL+decoded=false row: $row")
+    }
   }
 
   test("multimodal: stub decode features are deterministic and typed") {

@@ -304,6 +304,23 @@ class StreamingSpec extends SparkSpec {
     // the probe doc itself was excised to a husk somewhere in the output
     assert(streamedEx.exists(_._3 > 0L), "no contamination recorded")
 
+    // reference NEAR-dup streams too (per-row broadcast-index probe):
+    // stream output equals the batch pipeline's under the same config
+    val cfgNear = cfgRef.copy(referenceNearDup = Some(0.5))
+    val qn = Curation.pipelineStream(in, "doc_id", "text", "ts",
+        dedupHorizon = "10 minutes", cfg = cfgNear)
+      .writeStream.format("memory").queryName("curation_stream_near")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    qn.awaitTermination(120000L)
+    val streamedNear = spark.table("curation_stream_near")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    val batchNear = Curation.pipeline(
+        spark.read.parquet(scratch).select($"doc_id", $"text"),
+        "doc_id", "text", cfgNear)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamedNear.nonEmpty && streamedNear == batchNear,
+      s"near-dup stream kept ${streamedNear.size} vs batch ${batchNear.size}")
+
     // corpus-wide stages are a loud typed error, not a silent skip
     for (bad <- Seq(
         cfg.copy(lineDedupMinDocs = Some(3)),
@@ -311,6 +328,7 @@ class StreamingSpec extends SparkSpec {
         cfg.copy(softDedup = true),
         cfg.copy(contaminationProbes = Some(Seq("x").toDF("text"))),
         cfg.copy(tokenBudget = Some(1000L)),
+        // near-dup STREAMS now, but still needs its snapshot
         cfg.copy(referenceNearDup = Some(0.5))))
       intercept[graft.core.GraftError.Configuration](
         Curation.pipelineStream(in, "doc_id", "text", "ts", cfg = bad))
