@@ -486,6 +486,30 @@ object SparkEntry {
       graft.llm.TfIdf.topTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
     },
 
+    // --- C4 cleaning rules (Raffel 2020 §2.2), line granularity: the
+    // corpus is reshaped into 5-line pages by id arithmetic so every
+    // rule fires — line keeps (terminal punct + >= 5 words + no
+    // "javascript"), page drops ({ on every 10th, lorem ipsum on every
+    // 13th, a shortened third line on every 7th starves the 3-sentence
+    // minimum). Expected output is the same arithmetic replayed ---
+    "q_c4_filter" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val l1 = concat(array_join(slice(toks, 1, 8), " "),
+        when(pmod(col("doc_id"), lit(10)) === 0, lit(" {."))
+          .otherwise(lit(".")))
+      val l2 = concat(array_join(slice(toks, 9, 6), " "),
+        when(pmod(col("doc_id"), lit(13)) === 0, lit(" lorem ipsum!"))
+          .otherwise(lit("!")))
+      val l3 = when(pmod(col("doc_id"), lit(7)) === 0,
+        array_join(slice(toks, 15, 3), " "))
+        .otherwise(concat(array_join(slice(toks, 15, 6), " "), lit("?")))
+      val l4 = array_join(slice(toks, 21, 4), " ")
+      val l5 = lit("please enable javascript to continue viewing.")
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", l1, l2, l3, l4, l5).as("text"))
+      TextAnalysis.c4Filter(corpus, "text")
+    },
+
     // --- text analysis: quality, token estimate, lang-id, fingerprint.
     // A deterministic suffix with digits/upper/punct is appended so every
     // ratio path is exercised (the fixture text is pure [a-z ]).
@@ -705,6 +729,26 @@ object SparkEntry {
       val probes = s.range(1).select(lit(decontamPassage).as("text"))
       Contamination.decontaminateExcise(corpus, probes,
         "doc_id", "text", "text", w = 50, stride = 1)
+    },
+
+    // --- the matching REPORT surface: one row per (doc, merged
+    // maximal contaminated span) with codepoint bounds — what the
+    // excise pass above cuts, as an audit table (same corpus, same
+    // probe, so the two gates can never drift) ---
+    "q_contamination_spans" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = docs
+        .select(col("doc_id"),
+          when(pmod(col("doc_id"), lit(5)) === 0,
+            concat(col("text"), lit(" " + decontamPassage)))
+            .otherwise(col("text")).as("text"))
+        .union(s.range(1).select(lit(10000001L).as("doc_id"),
+          lit(decontamPassage).as("text")))
+      val probes = s.range(1).select(lit(decontamPassage).as("text"))
+      Contamination.contaminationSpans(corpus, probes,
+          "doc_id", "text", "text", w = 50, stride = 1)
+        .select(col("doc_id"), col("span_start").cast("long").as("span_start"),
+          col("span_end").cast("long").as("span_end"))
     },
 
     // --- repetition metrics: per-doc duplicate-word / duplicate-n-gram /
@@ -4005,6 +4049,59 @@ object SparkEntry {
         |LEFT JOIN reb r USING (doc_id)
         |LEFT JOIN ch USING (doc_id)""".stripMargin,
 
+    // contamination-spans report: the same derivation truncated at the
+    // islands-merge stage (no rebuild) — bounds as BIGINT
+    "q_contamination_spans" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+        |    THEN text || ' ${decontamPassage}' ELSE text END AS text
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 10000001 AS doc_id, '${decontamPassage}' AS text
+        |), pidx AS (
+        |  SELECT unnest(range(1, len(tk) - 48)) AS i, tk
+        |  FROM (SELECT string_split('${decontamPassage}', ' ') AS tk)
+        |), pw AS (
+        |  SELECT DISTINCT array_to_string(list_slice(tk, i, i + 49), ' ')
+        |    AS win
+        |  FROM pidx
+        |), tok AS (
+        |  SELECT doc_id, string_split(text, ' ') AS tk FROM corpus
+        |), base AS (
+        |  SELECT doc_id, unnest(range(1, len(tk) + 1)) AS i,
+        |    unnest(tk) AS t
+        |  FROM tok
+        |), tpos AS (
+        |  SELECT doc_id, i, t,
+        |    sum(len(t)) OVER (PARTITION BY doc_id ORDER BY i)
+        |      - len(t) + i - 1 AS toff
+        |  FROM base
+        |), tw AS (
+        |  SELECT doc_id, CAST(toff AS BIGINT) AS s,
+        |    CAST(lead(toff + len(t), 49)
+        |      OVER (PARTITION BY doc_id ORDER BY i) AS BIGINT) AS e
+        |  FROM tpos
+        |), w AS (
+        |  SELECT tw.doc_id, s, e, substr(c.text, s + 1, e - s) AS win
+        |  FROM tw JOIN corpus c USING (doc_id)
+        |  WHERE e IS NOT NULL
+        |), ex AS (
+        |  SELECT DISTINCT w.doc_id, w.s, w.e FROM w JOIN pw USING (win)
+        |), fl AS (
+        |  SELECT doc_id, s, e,
+        |    CASE WHEN s > coalesce(max(e) OVER (PARTITION BY doc_id
+        |      ORDER BY s, e ROWS BETWEEN UNBOUNDED PRECEDING
+        |      AND 1 PRECEDING), -1) THEN 1 ELSE 0 END AS f
+        |  FROM ex
+        |), isl AS (
+        |  SELECT doc_id, s, e,
+        |    sum(f) OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+        |  FROM fl
+        |)
+        |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
+        |  CAST(max(e) AS BIGINT) AS span_end
+        |FROM isl GROUP BY doc_id, g""".stripMargin,
+
     "q_repetition" ->
       """WITH corpus AS (
         |  SELECT doc_id, text FROM documents
@@ -4077,6 +4174,41 @@ object SparkEntry {
         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
         |  CAST(tf AS BIGINT) AS tf, round(score, 6) AS score
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // C4 rules: the same 5-line page assembly, then the paper's rules
+    // replayed — line keeps (>= 5 words, terminal punct, no
+    // javascript), page drops ({ / lorem ipsum on ORIGINAL text),
+    // >= 3 terminal marks in the kept text
+    "q_c4_filter" ->
+      """WITH corpus AS (
+        |  -- coalesce each slice: DuckDB's list[a:b] is NULL when
+        |  -- a > len (Spark's slice is empty) and || nulls the page
+        |  SELECT doc_id,
+        |    coalesce(array_to_string(tk[1:8], ' '), '')
+        |      || CASE WHEN doc_id % 10 = 0 THEN ' {.' ELSE '.' END
+        |      || chr(10) || coalesce(array_to_string(tk[9:14], ' '), '')
+        |      || CASE WHEN doc_id % 13 = 0 THEN ' lorem ipsum!' ELSE '!' END
+        |      || chr(10) || CASE WHEN doc_id % 7 = 0
+        |        THEN coalesce(array_to_string(tk[15:17], ' '), '')
+        |        ELSE coalesce(array_to_string(tk[15:20], ' '), '') || '?' END
+        |      || chr(10) || coalesce(array_to_string(tk[21:24], ' '), '')
+        |      || chr(10) || 'please enable javascript to continue viewing.'
+        |      AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |), flt AS (
+        |  SELECT doc_id, text,
+        |    array_to_string(list_filter(string_split(text, chr(10)), l ->
+        |      len(list_filter(regexp_split_to_array(l, '\s+'),
+        |        w -> len(w) > 0)) >= 5
+        |      AND regexp_matches(l, '[.!?"”]\s*$')
+        |      AND NOT contains(lower(l), 'javascript')), chr(10)) AS kept
+        |  FROM corpus
+        |)
+        |SELECT doc_id, kept AS text
+        |FROM flt
+        |WHERE NOT contains(text, '{')
+        |  AND NOT contains(lower(text), 'lorem ipsum')
+        |  AND len(regexp_replace(kept, '[^.!?]', '', 'g')) >= 3""".stripMargin,
 
     "q_text_analysis" ->
       """WITH d AS (SELECT doc_id, text || ' The 42 Ok!' AS text FROM documents),

@@ -167,6 +167,56 @@ object TextAnalysis {
       .withColumn("quality_score", score)
   }
 
+  /** C4 cleaning rules (Raffel et al. 2020, "Exploring the Limits of
+    * Transfer Learning…", §2.2) — the OTHER canonical web-cleaning
+    * recipe next to the Gopher-style [[Repetition]] thresholds, at
+    * LINE granularity where Gopher works on token statistics:
+    *
+    *   - keep only lines ending in terminal punctuation (`.` `!` `?`
+    *     or a closing quote), containing >= `minWordsPerLine` words,
+    *     and not mentioning "javascript" (the boilerplate tell);
+    *   - drop the whole page if the ORIGINAL text contains `{` (code),
+    *     the phrase "lorem ipsum", or any word in `badWords`
+    *     (word-boundary match, case-insensitive — the paper uses a
+    *     public blocklist; pass your own);
+    *   - drop pages whose KEPT text has fewer than `minSentences`
+    *     sentences (proxied by `.`/`!`/`?` marks anywhere in the kept
+    *     text — exact for punctuation-terminated lines; a line kept
+    *     ONLY by its closing quote counts the marks inside the quote,
+    *     so `…here.”` counts one and a punctuation-free quote counts
+    *     zero).
+    *
+    * The paper's remaining rule — three-sentence-span dedup — is
+    * [[SubstringDedup]]'s job at token granularity. Pure per-row
+    * projection + filter: no shuffle, streams unchanged, every rule
+    * replayable in SQL. */
+  def c4Filter(df: DataFrame, textCol: String, minWordsPerLine: Int = 5,
+               minSentences: Int = 3, badWords: Seq[String] = Nil)
+      : DataFrame = {
+    require(minWordsPerLine >= 1, s"minWordsPerLine >= 1: $minWordsPerLine")
+    require(minSentences >= 1, s"minSentences >= 1: $minSentences")
+    Guards.requireFreshColumns(df, Seq("__c4bad"), "TextAnalysis.c4Filter")
+    val t = col(textCol)
+    val keptLines = filter(split(t, "\n"), l =>
+      size(filter(split(l, "\\s+"), w => length(w) > 0))
+        >= minWordsPerLine &&
+        l.rlike("[.!?\"”]\\s*$") &&
+        !lower(l).contains("javascript"))
+    // page-level rules test the ORIGINAL text (the paper removes the
+    // page for content anywhere on it, kept lines or not)
+    val docBad = t.contains("{") || lower(t).contains("lorem ipsum") ||
+      (if (badWords.isEmpty) lit(false)
+       else lower(t).rlike(badWords.map(w =>
+         "\\b" + java.util.regex.Pattern.quote(w.toLowerCase) + "\\b")
+         .mkString("(", "|", ")")))
+    df.withColumn("__c4bad", docBad)
+      .withColumn(textCol, array_join(keptLines, "\n"))
+      .filter(!col("__c4bad") &&
+        length(regexp_replace(col(textCol), "[^.!?]", ""))
+          >= minSentences)
+      .drop("__c4bad")
+  }
+
   /** Stopword tables for the n-gram/stopword language-ID heuristic.
     * Deliberately small + documented: the heuristic is the operator, not
     * a model. */

@@ -621,4 +621,33 @@ class PlanSpec extends SparkSpec {
       assert(!cols.contains("user"),
         s"raw values crossed the sketch shuffle: $cols"))
   }
+
+  test("decontaminate-excise: the whole corpus pass is ONE shuffle-free " +
+      "projection (the structural reason the stage streams)") {
+    import spark.implicits._
+    val probes = Seq((1 to 8).map(i => s"pz$i").mkString(" ")).toDF("text")
+    val out = graft.llm.Contamination.decontaminateExcise(
+      sf("documents").select(col("doc_id"), col("text")),
+      probes, "doc_id", "text", "text", w = 4)
+    assert(shuffleOutputs(out).isEmpty,
+      "excise decontamination must not shuffle — probe index is " +
+        "plan-side, everything else is per-row")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
+  test("reference near-dup probe: per-row filter, no shuffle, no join, " +
+      "shingle subexpression computed once") {
+    import spark.implicits._
+    val ref = Seq("alpha beta gamma delta epsilon zeta eta theta")
+      .toDF("text")
+    val idx = Dedup.nearDupRefIndex(ref, "text", threshold = 0.5)
+    val out = sf("documents").select(col("doc_id"), col("text"))
+      .filter(!Dedup.nearDupProbe(col("text"), idx))
+    assert(shuffleOutputs(out).isEmpty,
+      "the stream probe must be a pure per-row filter")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+    assert(p.contains("*(1)"), "probe filter left whole-stage codegen")
+  }
 }

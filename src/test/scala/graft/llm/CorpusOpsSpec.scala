@@ -195,6 +195,41 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out(8L) == "case-insensitive")
   }
 
+  test("c4Filter: line keeps and page drops match the paper's rules") {
+    val keep2 = "second proper sentence line for the page!"
+    val keep3 = "a third proper sentence line rounds it out?"
+    val corpus = Seq(
+      (1L, "this first line has enough words here.\nshort line.\n" +
+        "no terminal punctuation on this line at all\n" +
+        "this line mentions javascript somewhere inside.\n" +
+        s"$keep2\n$keep3"),
+      (2L, s"a page mentioning code blocks {{ drops entirely.\n$keep2\n$keep3"),
+      (3L, s"a page with filler Lorem Ipsum text drops.\n$keep2\n$keep3"),
+      (4L, s"only two proper sentence lines survive here.\n$keep2"),
+      (5L, s"a page with a banned word dynamite inside.\n$keep2\n$keep3"),
+      (9L, "he said the words were “fully quoted here.” \n" +
+        s"$keep2\n$keep3") // closing quote + trailing space still keeps
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.c4Filter(corpus, "text")
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet == Set(1L, 5L, 9L), s"kept ${out.keySet}")
+    assert(out(1L) == "this first line has enough words here.\n" +
+      s"$keep2\n$keep3",
+      s"short / unterminated / javascript lines must drop: ${out(1L)}")
+    assert(out(9L).startsWith("he said the words were"),
+      "closing-quote-terminated line must be kept")
+    // badWords: word-boundary, case-insensitive, on the ORIGINAL text
+    val out2 = TextAnalysis.c4Filter(corpus, "text",
+        badWords = Seq("Dynamite"))
+      .select("doc_id").as[Long].collect().toSet
+    assert(out2 == Set(1L, 9L), s"banned word must drop the page: $out2")
+    // loud config + stale-column guards
+    intercept[IllegalArgumentException](
+      TextAnalysis.c4Filter(corpus, "text", minSentences = 0))
+    intercept[IllegalArgumentException](TextAnalysis.c4Filter(
+      corpus.withColumn("__c4bad", lit(true)), "text"))
+  }
+
   test("stripMarkdown: each syntax family unwraps or vanishes; prose untouched") {
     val d = Seq(
       (1L, "# Big Title\nbody"),
