@@ -818,6 +818,10 @@ object Main {
         compressionBand = cur.compressionBand,
         referenceSnapshot = refFrame,
         referenceNearDup = cur.referenceNearDup,
+        c4Rules = cur.c4Rules.isDefined,
+        c4MinWordsPerLine = cur.c4Rules.map(_.minWordsPerLine).getOrElse(5),
+        c4MinSentences = cur.c4Rules.map(_.minSentences).getOrElse(3),
+        c4BadWords = cur.c4Rules.map(_.badWords).getOrElse(Nil),
         decontaminateExciseProbes = exciseFrames,
         decontaminateExciseWindow =
           cur.decontaminateExcise.map(_.window).getOrElse(50),
@@ -965,6 +969,10 @@ object Main {
         langId = langIdFrames,
         compressionBand = cur.compressionBand,
         referenceSnapshot = refFrame,
+        c4Rules = cur.c4Rules.isDefined,
+        c4MinWordsPerLine = cur.c4Rules.map(_.minWordsPerLine).getOrElse(5),
+        c4MinSentences = cur.c4Rules.map(_.minSentences).getOrElse(3),
+        c4BadWords = cur.c4Rules.map(_.badWords).getOrElse(Nil),
         decontaminateExciseProbes = exciseFrames,
         decontaminateExciseWindow =
           cur.decontaminateExcise.map(_.window).getOrElse(50),

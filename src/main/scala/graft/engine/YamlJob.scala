@@ -48,6 +48,13 @@ object YamlJob {
                                      textColumn: String = "text",
                                      n: Int = 8, max: Double = 0.2)
 
+  /** `c4_rules:` — the C4 cleaning recipe
+    * ([[graft.llm.TextAnalysis.c4Filter]]): `true` for the paper's
+    * defaults, or a map `{min_words_per_line, min_sentences,
+    * bad_words: [...]}`. Per-row — batch AND stream mode. */
+  final case class C4Spec(minWordsPerLine: Int = 5, minSentences: Int = 3,
+                          badWords: Seq[String] = Nil)
+
   /** Substring-granularity decontamination (`decontaminate_excise:`):
     * every >= `window`-token span appearing verbatim in the probe
     * corpus is EXCISED with the document kept
@@ -118,6 +125,10 @@ object YamlJob {
         * of exact content hashes. Batch AND stream mode (the stream
         * probes a driver-collected broadcast index of the snapshot). */
       referenceNearDup: Option[Double] = None,
+      /** `c4_rules: true | {min_words_per_line, min_sentences,
+        * bad_words}` — line-granularity page hygiene (Raffel 2020).
+        * Batch and stream mode. */
+      c4Rules: Option[C4Spec] = None,
       contamination: Option[ContaminationSpec] = None,
       /** `decontaminate_excise: {probes_uri: <uri>, window: 50}` —
         * excise verbatim probe spans, keep the document (adds a
@@ -271,7 +282,8 @@ object YamlJob {
         "lang_id", "token_budget", "token_budget_shards", "shards",
         "mode", "ts_column", "dedup_horizon", "checkpoint", "trigger",
         "reference", "reference_near_dup",
-        "substring_dedup_window", "soft_dedup", "decontaminate_excise")
+        "substring_dedup_window", "soft_dedup", "decontaminate_excise",
+        "c4_rules")
       // misspelled knobs must be loud — a silently ignored
       // `sample_fracton: 0.01` would ship 100× the intended corpus;
       // the same rule applies INSIDE the nested maps (a typo'd
@@ -400,6 +412,28 @@ object YamlJob {
         referenceUri = c.get("reference").map(v => sub(v.toString)),
         referenceNearDup = c.get("reference_near_dup")
           .map(v => doubleOpt("reference_near_dup", v)),
+        c4Rules = c.get("c4_rules").flatMap(Option(_)).flatMap {
+          case b: java.lang.Boolean =>
+            if (b.booleanValue()) Some(C4Spec()) else None
+          case m: JMap[_, _] =>
+            val mm = m.asInstanceOf[JMap[String, Object]].asScala
+            checkKeys("curation c4_rules", mm.keySet,
+              Set("min_words_per_line", "min_sentences", "bad_words"))
+            Some(C4Spec(
+              minWordsPerLine = mm.get("min_words_per_line")
+                .map(v => intOpt("c4_rules.min_words_per_line", v))
+                .getOrElse(5),
+              minSentences = mm.get("min_sentences")
+                .map(v => intOpt("c4_rules.min_sentences", v)).getOrElse(3),
+              badWords = mm.get("bad_words").flatMap(Option(_)) match {
+                case Some(l: java.util.List[_]) =>
+                  l.asScala.toSeq.map(v => sub(String.valueOf(v)))
+                case Some(one) => Seq(sub(String.valueOf(one)))
+                case None => Nil
+              }))
+          case other => throw graft.core.GraftError.Configuration(
+            s"curation c4_rules must be true or a map, got '$other'")
+        },
         contamination = c.get("contamination").flatMap(Option(_)).map {
           case m: JMap[_, _] =>
             val mm = m.asInstanceOf[JMap[String, Object]].asScala

@@ -90,6 +90,20 @@ object Curation {
         * before hashing/statistics — NFC/NFD variants of one document
         * must dedup together. Pure native projection. */
       normalizeUnicode: Option[String] = None,
+      /** Apply [[TextAnalysis.c4Filter]] (Raffel et al. 2020 §2.2)
+        * right after normalization and BEFORE lang-id/statistics: keep
+        * only terminal-punctuated >= c4MinWordsPerLine-word lines, drop
+        * pages with code braces / "lorem ipsum" / `c4BadWords` /
+        * fewer than c4MinSentences kept sentences. Line-granularity
+        * page hygiene — the canon complement to the Gopher-style
+        * repetition thresholds below. Rewrites text AND drops rows;
+        * pure per-row, streams unchanged. Needs newline structure:
+        * the strip stages collapse it (same loud warning as line
+        * dedup). */
+      c4Rules: Boolean = false,
+      c4MinWordsPerLine: Int = 5,
+      c4MinSentences: Int = 3,
+      c4BadWords: Seq[String] = Nil,
       /** When set, keep only documents whose zlib deflate ratio
         * ([[graft.functions.CompressExprs.deflateStats]]) falls inside
         * [lo, hi] — the entropy band: hyper-repetitive boilerplate
@@ -190,13 +204,15 @@ object Curation {
     * stage that cannot do its job): pair line dedup with unstripped
     * text, or use substring dedup, which is whitespace-insensitive. */
   private def warnStripEatsLines(cfg: PipelineConfig): Unit =
-    if ((cfg.stripHtml || cfg.stripMarkdown) && cfg.lineDedupMinDocs.isDefined)
+    if ((cfg.stripHtml || cfg.stripMarkdown) &&
+        (cfg.lineDedupMinDocs.isDefined || cfg.c4Rules))
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         "Curation: strip_html/strip_markdown collapse newlines BEFORE " +
-          "line dedup runs — documents arrive single-line and " +
-          "line_dedup_min_docs will match nothing. Use " +
-          "substring_dedup_window (whitespace-insensitive) or run line " +
-          "dedup on unstripped text.")
+          "the line-granularity stages run — documents arrive " +
+          "single-line, so line_dedup_min_docs will match nothing and " +
+          "c4_rules degrades to a one-line page test. Use " +
+          "substring_dedup_window (whitespace-insensitive) or run the " +
+          "line stages on unstripped text.")
 
   def pipeline(df: DataFrame, idCol: String, textCol: String,
                cfg: PipelineConfig = PipelineConfig()): DataFrame = {
@@ -214,7 +230,8 @@ object Curation {
       if (cfg.fixMojibake) TextAnalysis.fixMojibake(afterStrip, textCol)
       else afterStrip
     val afterNorm = applyNormalize(afterFix, textCol, cfg)
-    val afterLang = applyLangId(afterNorm, textCol, cfg)
+    val afterC4 = applyC4(afterNorm, textCol, cfg)
+    val afterLang = applyLangId(afterC4, textCol, cfg)
     val afterCompress = applyCompressionBand(afterLang, textCol, cfg)
     val afterRepetition0 = Repetition.filterRepetitive(afterCompress, textCol,
       cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,
@@ -388,10 +405,11 @@ object Curation {
       if (cfg.fixMojibake) TextAnalysis.fixMojibake(afterStrip, textCol)
       else afterStrip
     val afterNorm = applyNormalize(afterFix, textCol, cfg)
+    val afterC4 = applyC4(afterNorm, textCol, cfg)
     // per-row projection+filter over literal in-plan maps — the
     // structural reason lang-id streams while the corpus-wide stages
     // above are rejected
-    val afterLang = applyLangId(afterNorm, textCol, cfg)
+    val afterLang = applyLangId(afterC4, textCol, cfg)
     val afterCompress = applyCompressionBand(afterLang, textCol, cfg)
     val afterRepetition = Repetition.filterRepetitive(afterCompress, textCol,
       cfg.maxDupWordFrac, cfg.maxDupNgramFrac, cfg.maxTopNgramFrac,
@@ -447,6 +465,13 @@ object Curation {
     if (cfg.sampleFraction >= 1.0) excised
     else Sampling.byHash(excised, idCol, cfg.sampleFraction, cfg.bucketFn)
   }
+
+  private def applyC4(df: DataFrame, textCol: String,
+                      cfg: PipelineConfig): DataFrame =
+    if (cfg.c4Rules)
+      TextAnalysis.c4Filter(df, textCol, cfg.c4MinWordsPerLine,
+        cfg.c4MinSentences, cfg.c4BadWords)
+    else df
 
   private def applyLangId(df: DataFrame, textCol: String,
                           cfg: PipelineConfig): DataFrame =
@@ -533,14 +558,17 @@ object Curation {
         if (cfg.stripMarkdown) TextAnalysis.stripMarkdown(s1, textCol) else s1
       val s2 =
         if (cfg.fixMojibake) TextAnalysis.fixMojibake(s1b, textCol) else s1b
-      // lang-id and the compression band are per-row filters like
-      // repetition; their drops fold into the "after_repetition" count.
-      // (lang-id was MISSING here until r12 — the capstone yaml e2e
-      // caught `observed: true` silently skipping the language filter
-      // while the lazy pipeline applied it; same stage order as
-      // pipeline(): normalize → lang-id → compression band)
+      // C4 rules, lang-id and the compression band are per-row
+      // filters like repetition; their drops fold into the
+      // "after_repetition" count. (lang-id was MISSING here until r12
+      // — the capstone yaml e2e caught `observed: true` silently
+      // skipping the language filter while the lazy pipeline applied
+      // it; same stage order as pipeline(): normalize → C4 rules →
+      // lang-id → compression band)
       applyCompressionBand(
-        applyLangId(applyNormalize(s2, textCol, cfg), textCol, cfg),
+        applyLangId(
+          applyC4(applyNormalize(s2, textCol, cfg), textCol, cfg),
+          textCol, cfg),
         textCol, cfg)
     }
     val r = tap(Repetition.filterRepetitive(stripped(tap(afterUrls, oU)), textCol,

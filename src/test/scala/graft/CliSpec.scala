@@ -788,6 +788,35 @@ class CliSpec extends SparkSpec {
         |  decontaminate_excise: {probes_uri: p.parquet, windw: 40}
         |""".stripMargin))
     assert(exTypo.getMessage.contains("windw"))
+    // c4_rules: bool form, map form with defaults, false = off, typos loud
+    assert(YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation: {id_column: id, text_column: t, c4_rules: true}
+        |""".stripMargin).curation.get.c4Rules.contains(YamlJob.C4Spec()))
+    assert(YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation: {id_column: id, text_column: t, c4_rules: false}
+        |""".stripMargin).curation.get.c4Rules.isEmpty)
+    assert(YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation:
+        |  id_column: id
+        |  text_column: t
+        |  c4_rules: {min_words_per_line: 4, bad_words: [tnt, acme]}
+        |""".stripMargin).curation.get.c4Rules
+      .contains(YamlJob.C4Spec(4, 3, Seq("tnt", "acme"))))
+    val c4Typo = intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation:
+        |  id_column: id
+        |  text_column: t
+        |  c4_rules: {min_wordz: 4}
+        |""".stripMargin))
+    assert(c4Typo.getMessage.contains("min_wordz"))
     // the committed golden example parses (uris are placeholders)
     val golden = YamlJob.load("examples/curation_job.yaml")
     assert(golden.curation.exists(c =>

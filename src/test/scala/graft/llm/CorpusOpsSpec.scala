@@ -228,6 +228,18 @@ class CorpusOpsSpec extends SparkSpec {
       TextAnalysis.c4Filter(corpus, "text", minSentences = 0))
     intercept[IllegalArgumentException](TextAnalysis.c4Filter(
       corpus.withColumn("__c4bad", lit(true)), "text"))
+    // curation stage: pipeline + observed agree (the stage drops pages
+    // and rewrites text before lang-id/repetition see them)
+    val cfg = Curation.PipelineConfig(c4Rules = true,
+      maxDupWordFrac = 1.0, maxDupNgramFrac = 1.0, maxTopNgramFrac = 1.0)
+    val piped = Curation.pipeline(corpus, "doc_id", "text", cfg)
+      .as[(Long, String)].collect().toMap
+    assert(piped.keySet == Set(1L, 5L, 9L) && piped(1L) == out(1L),
+      s"pipeline stage must match the operator: ${piped.keySet}")
+    val (odf, counts) = Curation.pipelineObserved(corpus, "doc_id", "text", cfg)
+    assert(odf.select("doc_id").as[Long].collect().toSet == Set(1L, 5L, 9L))
+    assert(counts()("after_repetition") == 3L,
+      "C4 drops fold into the filter-stage count")
   }
 
   test("stripMarkdown: each syntax family unwraps or vanishes; prose untouched") {
