@@ -818,6 +818,7 @@ object Main {
         compressionBand = cur.compressionBand,
         referenceSnapshot = refFrame,
         referenceNearDup = cur.referenceNearDup,
+        gopherRules = cur.gopherRules,
         c4Rules = cur.c4Rules.isDefined,
         c4MinWordsPerLine = cur.c4Rules.map(_.minWordsPerLine).getOrElse(5),
         c4MinSentences = cur.c4Rules.map(_.minSentences).getOrElse(3),
@@ -969,6 +970,7 @@ object Main {
         langId = langIdFrames,
         compressionBand = cur.compressionBand,
         referenceSnapshot = refFrame,
+        gopherRules = cur.gopherRules,
         c4Rules = cur.c4Rules.isDefined,
         c4MinWordsPerLine = cur.c4Rules.map(_.minWordsPerLine).getOrElse(5),
         c4MinSentences = cur.c4Rules.map(_.minSentences).getOrElse(3),

@@ -510,6 +510,52 @@ object SparkEntry {
       TextAnalysis.c4Filter(corpus, "text")
     },
 
+    // --- Gopher quality rules (Rae 2021 A1.1), document statistics:
+    // 3-line pages assembled by id arithmetic; a stopword tail
+    // guarantees the stop-hit rule while the base word count still
+    // straddles the 50-word floor; every 9th doc gains hash spam
+    // (symbol ratio), every 11th a bullet line, every 13th two
+    // ellipsis line endings, every 17th a numeric-token block (alpha
+    // fraction). Output = the signal columns for EVERY page plus the
+    // keep decision from the unrounded signals ---
+    "q_gopher_filter" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val tail =
+        lit(" we worked with that team and have seen it be of use to the end")
+      val l1a = concat(array_join(slice(toks, 1, 30), " "), tail)
+      val l1b = when(pmod(col("doc_id"), lit(9)) === 0,
+        concat(l1a, lit(" # # # # # # # # # #"))).otherwise(l1a)
+      val l1 = when(pmod(col("doc_id"), lit(17)) === 0,
+        concat(l1b, lit((1 to 25).map(i => 100 + i).mkString(" ", " ", ""))))
+        .otherwise(l1b)
+      val l2a = array_join(slice(toks, 31, 15), " ")
+      val l2b = when(pmod(col("doc_id"), lit(11)) === 0,
+        concat(lit("• "), l2a)).otherwise(l2a)
+      val l2 = when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(l2b, lit(" ..."))).otherwise(l2b)
+      val l3a = array_join(slice(toks, 46, 15), " ")
+      val l3 = when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(l3a, lit("…"))).otherwise(l3a)
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", l1, l2, l3).as("text"))
+      val sig = TextAnalysis.gopherSignals(corpus, "text")
+      def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
+      sig.select(col("doc_id"), col("g_words"),
+        r6(col("g_mean_word_len")).as("g_mean_word_len"),
+        r6(col("g_symbol_ratio")).as("g_symbol_ratio"),
+        r6(col("g_bullet_line_frac")).as("g_bullet_line_frac"),
+        r6(col("g_ellipsis_line_frac")).as("g_ellipsis_line_frac"),
+        r6(col("g_alpha_word_frac")).as("g_alpha_word_frac"),
+        col("g_stopword_hits"),
+        (col("g_words").between(50L, 100000L) &&
+          col("g_mean_word_len").between(3.0, 10.0) &&
+          col("g_symbol_ratio") <= 0.1 &&
+          col("g_bullet_line_frac") <= 0.1 &&
+          col("g_ellipsis_line_frac") <= 0.3 &&
+          col("g_alpha_word_frac") >= 0.8 &&
+          col("g_stopword_hits") >= 2L).as("keep"))
+    },
+
     // --- text analysis: quality, token estimate, lang-id, fingerprint.
     // A deterministic suffix with digits/upper/punct is appended so every
     // ratio path is exercised (the fixture text is pure [a-z ]).
@@ -4174,6 +4220,83 @@ object SparkEntry {
         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
         |  CAST(tf AS BIGINT) AS tf, round(score, 6) AS score
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // Gopher rules: the same page assembly, every signal re-derived in
+    // SQL (splits, list folds, regex counts), keep decision replayed
+    // from the unrounded values
+    "q_gopher_filter" ->
+      s"""WITH corpus AS (
+        |  SELECT doc_id,
+        |    coalesce(array_to_string(tk[1:30], ' '), '')
+        |      || ' we worked with that team and have seen it be of use to the end'
+        |      || CASE WHEN doc_id % 9 = 0
+        |        THEN ' # # # # # # # # # #' ELSE '' END
+        |      || CASE WHEN doc_id % 17 = 0
+        |        THEN '${(1 to 25).map(i => 100 + i).mkString(" ", " ", "")}'
+        |        ELSE '' END
+        |      || chr(10)
+        |      || CASE WHEN doc_id % 11 = 0 THEN '• ' ELSE '' END
+        |      || coalesce(array_to_string(tk[31:45], ' '), '')
+        |      || CASE WHEN doc_id % 13 = 0 THEN ' ...' ELSE '' END
+        |      || chr(10)
+        |      || coalesce(array_to_string(tk[46:60], ' '), '')
+        |      || CASE WHEN doc_id % 13 = 0 THEN '…' ELSE '' END
+        |      AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |), sig AS (
+        |  SELECT doc_id,
+        |    len(words) AS g_words,
+        |    greatest(CAST(len(words) AS DOUBLE), 1.0) AS wd,
+        |    CAST(list_sum(list_transform(words, w -> len(w)))
+        |      AS DOUBLE) AS chars,
+        |    len(text) - len(replace(text, '#', '')) AS hashes,
+        |    (len(text) - len(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3
+        |      AS ell3,
+        |    len(text) - len(replace(text, '…', '')) AS ellc,
+        |    greatest(CAST(len(lines) AS DOUBLE), 1.0) AS ld,
+        |    len(list_filter(lines, l ->
+        |      regexp_matches(trim(l), '^[•‣▪*-]'))) AS bullets,
+        |    len(list_filter(lines, l ->
+        |      regexp_matches(l, '(\\.\\.\\.|…)\\s*$$'))) AS ells,
+        |    len(list_filter(words, w ->
+        |      regexp_matches(w, '[A-Za-z]'))) AS alphas,
+        |    (CASE WHEN regexp_matches(lower(text), '\\bthe\\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\\bbe\\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\\bto\\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\\bof\\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\\band\\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\\bthat\\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\\bhave\\b') THEN 1 ELSE 0 END
+        |     + CASE WHEN regexp_matches(lower(text), '\\bwith\\b') THEN 1 ELSE 0 END)
+        |      AS g_stopword_hits
+        |  FROM (
+        |    SELECT doc_id, text,
+        |      list_filter(regexp_split_to_array(text, '\\s+'),
+        |        w -> len(w) > 0) AS words,
+        |      list_filter(string_split(text, chr(10)),
+        |        l -> len(trim(l)) > 0) AS lines
+        |    FROM corpus
+        |  )
+        |)
+        |SELECT doc_id, CAST(g_words AS BIGINT) AS g_words,
+        |  floor(chars / wd * 1000000 + 0.5) / 1000000 AS g_mean_word_len,
+        |  floor((hashes + ell3 + ellc) / wd * 1000000 + 0.5) / 1000000
+        |    AS g_symbol_ratio,
+        |  floor(bullets / ld * 1000000 + 0.5) / 1000000
+        |    AS g_bullet_line_frac,
+        |  floor(ells / ld * 1000000 + 0.5) / 1000000
+        |    AS g_ellipsis_line_frac,
+        |  floor(alphas / wd * 1000000 + 0.5) / 1000000
+        |    AS g_alpha_word_frac,
+        |  CAST(g_stopword_hits AS BIGINT) AS g_stopword_hits,
+        |  (g_words BETWEEN 50 AND 100000
+        |    AND chars / wd BETWEEN 3.0 AND 10.0
+        |    AND (hashes + ell3 + ellc) / wd <= 0.1
+        |    AND bullets / ld <= 0.1
+        |    AND ells / ld <= 0.3
+        |    AND alphas / wd >= 0.8
+        |    AND g_stopword_hits >= 2) AS keep
+        |FROM sig""".stripMargin,
 
     // C4 rules: the same 5-line page assembly, then the paper's rules
     // replayed — line keeps (>= 5 words, terminal punct, no

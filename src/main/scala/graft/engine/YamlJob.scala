@@ -129,6 +129,10 @@ object YamlJob {
         * bad_words}` — line-granularity page hygiene (Raffel 2020).
         * Batch and stream mode. */
       c4Rules: Option[C4Spec] = None,
+      /** `gopher_rules: true` — the Gopher document-quality thresholds
+        * (Rae 2021 A1.1) at the paper's published values. Batch and
+        * stream mode. */
+      gopherRules: Boolean = false,
       contamination: Option[ContaminationSpec] = None,
       /** `decontaminate_excise: {probes_uri: <uri>, window: 50}` —
         * excise verbatim probe spans, keep the document (adds a
@@ -283,7 +287,7 @@ object YamlJob {
         "mode", "ts_column", "dedup_horizon", "checkpoint", "trigger",
         "reference", "reference_near_dup",
         "substring_dedup_window", "soft_dedup", "decontaminate_excise",
-        "c4_rules")
+        "c4_rules", "gopher_rules")
       // misspelled knobs must be loud — a silently ignored
       // `sample_fracton: 0.01` would ship 100× the intended corpus;
       // the same rule applies INSIDE the nested maps (a typo'd
@@ -412,6 +416,8 @@ object YamlJob {
         referenceUri = c.get("reference").map(v => sub(v.toString)),
         referenceNearDup = c.get("reference_near_dup")
           .map(v => doubleOpt("reference_near_dup", v)),
+        gopherRules = c.get("gopher_rules")
+          .map(v => boolOpt("gopher_rules", v)).getOrElse(false),
         c4Rules = c.get("c4_rules").flatMap(Option(_)).flatMap {
           case b: java.lang.Boolean =>
             if (b.booleanValue()) Some(C4Spec()) else None

@@ -104,6 +104,13 @@ object Curation {
       c4MinWordsPerLine: Int = 5,
       c4MinSentences: Int = 3,
       c4BadWords: Seq[String] = Nil,
+      /** Apply [[TextAnalysis.gopherFilter]] at the paper's published
+        * thresholds (Rae et al. 2021 A1.1: 50-100k words, mean word
+        * length 3-10, symbol/bullet/ellipsis caps, >= 80% alphabetic
+        * words, >= 2 stop words) right after the C4 stage. Pure
+        * per-row, streams unchanged; for custom thresholds call the
+        * operator directly. */
+      gopherRules: Boolean = false,
       /** When set, keep only documents whose zlib deflate ratio
         * ([[graft.functions.CompressExprs.deflateStats]]) falls inside
         * [lo, hi] — the entropy band: hyper-repetitive boilerplate
@@ -230,7 +237,7 @@ object Curation {
       if (cfg.fixMojibake) TextAnalysis.fixMojibake(afterStrip, textCol)
       else afterStrip
     val afterNorm = applyNormalize(afterFix, textCol, cfg)
-    val afterC4 = applyC4(afterNorm, textCol, cfg)
+    val afterC4 = applyGopher(applyC4(afterNorm, textCol, cfg), textCol, cfg)
     val afterLang = applyLangId(afterC4, textCol, cfg)
     val afterCompress = applyCompressionBand(afterLang, textCol, cfg)
     val afterRepetition0 = Repetition.filterRepetitive(afterCompress, textCol,
@@ -405,7 +412,7 @@ object Curation {
       if (cfg.fixMojibake) TextAnalysis.fixMojibake(afterStrip, textCol)
       else afterStrip
     val afterNorm = applyNormalize(afterFix, textCol, cfg)
-    val afterC4 = applyC4(afterNorm, textCol, cfg)
+    val afterC4 = applyGopher(applyC4(afterNorm, textCol, cfg), textCol, cfg)
     // per-row projection+filter over literal in-plan maps — the
     // structural reason lang-id streams while the corpus-wide stages
     // above are rejected
@@ -472,6 +479,10 @@ object Curation {
       TextAnalysis.c4Filter(df, textCol, cfg.c4MinWordsPerLine,
         cfg.c4MinSentences, cfg.c4BadWords)
     else df
+
+  private def applyGopher(df: DataFrame, textCol: String,
+                          cfg: PipelineConfig): DataFrame =
+    if (cfg.gopherRules) TextAnalysis.gopherFilter(df, textCol) else df
 
   private def applyLangId(df: DataFrame, textCol: String,
                           cfg: PipelineConfig): DataFrame =
@@ -567,7 +578,9 @@ object Curation {
       // lang-id → compression band)
       applyCompressionBand(
         applyLangId(
-          applyC4(applyNormalize(s2, textCol, cfg), textCol, cfg),
+          applyGopher(
+            applyC4(applyNormalize(s2, textCol, cfg), textCol, cfg),
+            textCol, cfg),
           textCol, cfg),
         textCol, cfg)
     }

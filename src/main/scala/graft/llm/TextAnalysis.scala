@@ -217,6 +217,95 @@ object TextAnalysis {
       .drop("__c4bad")
   }
 
+  /** The Gopher quality-filter stop words (Rae et al. 2021, A1.1). */
+  private val gopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality SIGNALS (Rae et al. 2021, "Scaling Language
+    * Models…", Appendix A1.1) — the document-statistics canon next to
+    * [[c4Filter]]'s line rules; [[gopherFilter]] applies the paper's
+    * thresholds over these columns. Adds:
+    *
+    *   - `g_words`            whitespace-token count
+    *   - `g_mean_word_len`    characters per word (codepoints)
+    *   - `g_symbol_ratio`     (`#` + `...`/`…` occurrences) / words
+    *   - `g_bullet_line_frac` lines starting with a bullet glyph
+    *     (`•`/`‣`/`▪`/`-`/`*` after leading whitespace)
+    *   - `g_ellipsis_line_frac` lines ending with `...`/`…`
+    *   - `g_alpha_word_frac`  words containing >= 1 alphabetic char
+    *   - `g_stopword_hits`    DISTINCT hits among the paper's 8 stop
+    *     words (the, be, to, of, and, that, have, with) as whole
+    *     lowercase words
+    *
+    * Every signal is a per-row expression over splits/regex — no
+    * shuffle, streams, SQL-replayable. Empty/whitespace-only text
+    * yields 0 words and 0-valued ratios (the filter drops it on the
+    * word-count floor, never on a NULL). */
+  def gopherSignals(df: DataFrame, textCol: String): DataFrame = {
+    Guards.requireFreshColumns(df, Seq("g_words", "g_mean_word_len",
+      "g_symbol_ratio", "g_bullet_line_frac", "g_ellipsis_line_frac",
+      "g_alpha_word_frac", "g_stopword_hits"), "TextAnalysis.gopherSignals")
+    val t = col(textCol)
+    val words = filter(split(t, "\\s+"), w => length(w) > 0)
+    val nWords = size(words).cast("long")
+    val wordsD = greatest(nWords.cast("double"), lit(1.0))
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val nLines = greatest(size(lines).cast("double"), lit(1.0))
+    val hashes = length(t) - length(regexp_replace(t, "#", ""))
+    // count both ASCII "..." (non-overlapping) and the … codepoint
+    val ell3 = (length(t) -
+      length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3)
+    val ellC = length(t) - length(regexp_replace(t, "…", ""))
+    val bulletLines = size(filter(lines,
+      l => trim(l).rlike("^[•‣▪*-]")))
+    val ellipsisLines = size(filter(lines,
+      l => l.rlike("(\\.\\.\\.|…)\\s*$")))
+    val alphaWords = size(filter(words,
+      w => w.rlike("[A-Za-z]")))
+    val stopHits = gopherStops.map(sw =>
+      when(lower(t).rlike("\\b" + sw + "\\b"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.withColumn("g_words", nWords)
+      .withColumn("g_mean_word_len",
+        aggregate(words, lit(0L), (a, w) => a + length(w).cast("long"))
+          .cast("double") / wordsD)
+      .withColumn("g_symbol_ratio", (hashes + ell3 + ellC).cast("double") / wordsD)
+      .withColumn("g_bullet_line_frac", bulletLines.cast("double") / nLines)
+      .withColumn("g_ellipsis_line_frac", ellipsisLines.cast("double") / nLines)
+      .withColumn("g_alpha_word_frac", alphaWords.cast("double") / wordsD)
+      .withColumn("g_stopword_hits", stopHits)
+  }
+
+  /** The Gopher quality FILTER at the paper's published thresholds:
+    * 50 <= words <= 100k, mean word length in [3, 10], symbol ratio
+    * <= 0.1, <= 10% bullet lines, <= 30% ellipsis lines, >= 80%
+    * alphabetic words, >= 2 distinct stop words. Signal columns are
+    * dropped from the output — use [[gopherSignals]] directly for the
+    * report surface. */
+  def gopherFilter(df: DataFrame, textCol: String,
+                   minWords: Long = 50, maxWords: Long = 100000,
+                   minMeanWordLen: Double = 3.0,
+                   maxMeanWordLen: Double = 10.0,
+                   maxSymbolRatio: Double = 0.1,
+                   maxBulletFrac: Double = 0.1,
+                   maxEllipsisFrac: Double = 0.3,
+                   minAlphaFrac: Double = 0.8,
+                   minStopwords: Long = 2): DataFrame = {
+    require(minWords >= 1 && maxWords >= minWords,
+      s"need 1 <= minWords <= maxWords: $minWords, $maxWords")
+    gopherSignals(df, textCol)
+      .filter(col("g_words").between(minWords, maxWords) &&
+        col("g_mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
+        col("g_symbol_ratio") <= maxSymbolRatio &&
+        col("g_bullet_line_frac") <= maxBulletFrac &&
+        col("g_ellipsis_line_frac") <= maxEllipsisFrac &&
+        col("g_alpha_word_frac") >= minAlphaFrac &&
+        col("g_stopword_hits") >= minStopwords)
+      .drop("g_words", "g_mean_word_len", "g_symbol_ratio",
+        "g_bullet_line_frac", "g_ellipsis_line_frac",
+        "g_alpha_word_frac", "g_stopword_hits")
+  }
+
   /** Stopword tables for the n-gram/stopword language-ID heuristic.
     * Deliberately small + documented: the heuristic is the operator, not
     * a model. */

@@ -808,6 +808,12 @@ class CliSpec extends SparkSpec {
         |  c4_rules: {min_words_per_line: 4, bad_words: [tnt, acme]}
         |""".stripMargin).curation.get.c4Rules
       .contains(YamlJob.C4Spec(4, 3, Seq("tnt", "acme"))))
+    // gopher_rules: plain bool knob
+    assert(YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation: {id_column: id, text_column: t, gopher_rules: true}
+        |""".stripMargin).curation.get.gopherRules)
     val c4Typo = intercept[GraftError.Configuration](YamlJob.loadYaml(
       """source: {uri: a.parquet}
         |target: {uri: b}

@@ -242,6 +242,55 @@ class CorpusOpsSpec extends SparkSpec {
       "C4 drops fold into the filter-stage count")
   }
 
+  test("gopherSignals/gopherFilter: each published rule measured and " +
+      "enforced (Rae 2021 A1.1)") {
+    // 55 words incl. >= 2 stop words, 3 lines, all alphabetic
+    val base = "the quick brown fox and seven friends have been with us "
+    val good = (base * 4).trim + "\nsecond line of plain words here\n" +
+      "third line closes the page"
+    val corpus = Seq(
+      (1L, good),
+      (2L, "too few words to pass the floor"),
+      (3L, good + " ### " + ("# " * 10).trim),            // symbol ratio
+      (4L, good + "\n• bullet one\n• bullet two\n• three" +
+        "\n• four\n• five\n• six\n• seven\n• eight"),     // bullet lines
+      (5L, good + "...\nalso ends with dots...\nand another one…"), // ellipses
+      (6L, good + " " + (1 to 40).map(i => 1000 + i).mkString(" ")), // alpha
+      (7L, ("zzz qqq kkk vvv " * 15).trim + "\nmore zzz qqq kkk vvv")
+    ).toDF("doc_id", "text")
+    val sig = TextAnalysis.gopherSignals(corpus, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val g = sig(1L)
+    assert(g.getAs[Long]("g_words") == 55, // 44 + 6 + 5
+      s"word count: ${g.getAs[Long]("g_words")}")
+    assert(g.getAs[Long]("g_stopword_hits") >= 4) // the, and, have, with, of
+    assert(g.getAs[Double]("g_alpha_word_frac") == 1.0)
+    assert(g.getAs[Double]("g_bullet_line_frac") == 0.0)
+    // doc 7 has zero stop words — the signal sees none
+    assert(sig(7L).getAs[Long]("g_stopword_hits") == 0)
+    val kept = TextAnalysis.gopherFilter(corpus, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L), s"only the clean page passes: $kept")
+    // signal columns are dropped from the filter output
+    assert(TextAnalysis.gopherFilter(corpus, "text").columns.toSeq ==
+      Seq("doc_id", "text"))
+    // thresholds are knobs: lifting the stopword rule admits doc 7
+    // (57 words of gibberish, mean len 3.25, all alphabetic)
+    val loose = TextAnalysis.gopherFilter(corpus, "text", minStopwords = 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(loose.contains(7L), s"knob must lift the rule: $loose")
+    intercept[IllegalArgumentException](
+      TextAnalysis.gopherFilter(corpus, "text", minWords = 0))
+    intercept[IllegalArgumentException](TextAnalysis.gopherSignals(
+      corpus.withColumn("g_words", lit(1L)), "text"))
+    // curation stage at the paper's defaults
+    val piped = Curation.pipeline(corpus, "doc_id", "text",
+        Curation.PipelineConfig(gopherRules = true, maxDupWordFrac = 1.0,
+          maxDupNgramFrac = 1.0, maxTopNgramFrac = 1.0))
+      .select("doc_id").as[Long].collect().toSet
+    assert(piped == Set(1L), s"stage must match the operator: $piped")
+  }
+
   test("stripMarkdown: each syntax family unwraps or vanishes; prose untouched") {
     val d = Seq(
       (1L, "# Big Title\nbody"),
