@@ -510,6 +510,31 @@ object SparkEntry {
       TextAnalysis.c4Filter(corpus, "text")
     },
 
+    // --- within-document duplicate line/paragraph statistics (the
+    // structural half of Gopher's repetition block): every 6th doc
+    // repeats its first line twice more (dup_line_frac 2/5), every
+    // 8th repeats its closing paragraph (dup_para_frac 1/3); the
+    // char-mass twins weigh the same duplicates by length ---
+    "q_line_repetition" -> { (s, dir) =>
+      val toks = split(col("text"), " ")
+      val l1 = array_join(slice(toks, 1, 10), " ")
+      val l2 = array_join(slice(toks, 11, 8), " ")
+      val l3 = array_join(slice(toks, 19, 8), " ")
+      val base = concat(l1, lit("\n"), l2, lit("\n\n"), l3)
+      val dupLines = concat(l1, lit("\n"), l2, lit("\n"), l1,
+        lit("\n"), l1, lit("\n\n"), l3)
+      val dupParas = concat(l1, lit("\n"), l2, lit("\n\n"), l3,
+        lit("\n\n"), l3)
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(6)) === 0, dupLines)
+          .otherwise(when(pmod(col("doc_id"), lit(8)) === 0, dupParas)
+            .otherwise(base)).as("text"))
+      Repetition.lineStats(corpus, "text")
+        .select(col("doc_id"), col("n_lines"), col("dup_line_frac"),
+          col("dup_line_char_frac"), col("n_paras"),
+          col("dup_para_frac"), col("dup_para_char_frac"))
+    },
+
     // --- Gopher quality rules (Rae 2021 A1.1), document statistics:
     // 3-line pages assembled by id arithmetic; a stopword tail
     // guarantees the stop-hit rule while the base word count still
@@ -4220,6 +4245,56 @@ object SparkEntry {
         |SELECT doc_id, CAST(rank AS INTEGER) AS rank, term,
         |  CAST(tf AS BIGINT) AS tf, round(score, 6) AS score
         |FROM r WHERE rank <= 3""".stripMargin,
+
+    // duplicate line/paragraph stats: unit lists rebuilt in SQL,
+    // duplicates = total - distinct both by count and by char mass
+    "q_line_repetition" ->
+      """WITH parts AS (
+        |  SELECT doc_id,
+        |    coalesce(array_to_string(tk[1:10], ' '), '') AS l1,
+        |    coalesce(array_to_string(tk[11:18], ' '), '') AS l2,
+        |    coalesce(array_to_string(tk[19:26], ' '), '') AS l3
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS tk FROM documents)
+        |), corpus AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 6 = 0 THEN
+        |      l1 || chr(10) || l2 || chr(10) || l1 || chr(10) || l1
+        |        || chr(10) || chr(10) || l3
+        |    WHEN doc_id % 8 = 0 THEN
+        |      l1 || chr(10) || l2 || chr(10) || chr(10) || l3
+        |        || chr(10) || chr(10) || l3
+        |    ELSE l1 || chr(10) || l2 || chr(10) || chr(10) || l3 END AS text
+        |  FROM parts
+        |), u AS (
+        |  SELECT doc_id,
+        |    list_filter(string_split(text, chr(10)),
+        |      l -> len(trim(l)) > 0) AS lines,
+        |    list_filter(regexp_split_to_array(text, '\n\s*\n'),
+        |      p -> len(trim(p)) > 0) AS paras
+        |  FROM corpus
+        |)
+        |SELECT doc_id,
+        |  CAST(len(lines) AS BIGINT) AS n_lines,
+        |  CASE WHEN len(lines) > 0 THEN round(
+        |    (len(lines) - len(list_distinct(lines)))
+        |      / CAST(len(lines) AS DOUBLE), 6) ELSE 0.0 END AS dup_line_frac,
+        |  CASE WHEN coalesce(list_sum(list_transform(lines, l -> len(l))), 0) > 0
+        |    THEN round(
+        |      (list_sum(list_transform(lines, l -> len(l)))
+        |        - list_sum(list_transform(list_distinct(lines), l -> len(l))))
+        |      / CAST(list_sum(list_transform(lines, l -> len(l))) AS DOUBLE),
+        |      6) ELSE 0.0 END AS dup_line_char_frac,
+        |  CAST(len(paras) AS BIGINT) AS n_paras,
+        |  CASE WHEN len(paras) > 0 THEN round(
+        |    (len(paras) - len(list_distinct(paras)))
+        |      / CAST(len(paras) AS DOUBLE), 6) ELSE 0.0 END AS dup_para_frac,
+        |  CASE WHEN coalesce(list_sum(list_transform(paras, p -> len(p))), 0) > 0
+        |    THEN round(
+        |      (list_sum(list_transform(paras, p -> len(p)))
+        |        - list_sum(list_transform(list_distinct(paras), p -> len(p))))
+        |      / CAST(list_sum(list_transform(paras, p -> len(p))) AS DOUBLE),
+        |      6) ELSE 0.0 END AS dup_para_char_frac
+        |FROM u""".stripMargin,
 
     // Gopher rules: the same page assembly, every signal re-derived in
     // SQL (splits, list folds, regex counts), keep decision replayed

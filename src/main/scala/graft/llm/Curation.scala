@@ -104,12 +104,16 @@ object Curation {
       c4MinWordsPerLine: Int = 5,
       c4MinSentences: Int = 3,
       c4BadWords: Seq[String] = Nil,
-      /** Apply [[TextAnalysis.gopherFilter]] at the paper's published
-        * thresholds (Rae et al. 2021 A1.1: 50-100k words, mean word
+      /** Apply the full Gopher Table-A1.1 document rules at the
+        * paper's published thresholds right after the C4 stage:
+        * [[TextAnalysis.gopherFilter]] (50-100k words, mean word
         * length 3-10, symbol/bullet/ellipsis caps, >= 80% alphabetic
-        * words, >= 2 stop words) right after the C4 stage. Pure
-        * per-row, streams unchanged; for custom thresholds call the
-        * operator directly. */
+        * words, >= 2 stop words) plus
+        * [[Repetition.filterDuplicateUnits]] (duplicate line/paragraph
+        * fractions <= 0.30 by count, <= 0.20 by char mass; the
+        * word/n-gram repetition half stays on the separately-knobbed
+        * repetition stage below). Pure per-row, streams unchanged;
+        * for custom thresholds call the operators directly. */
       gopherRules: Boolean = false,
       /** When set, keep only documents whose zlib deflate ratio
         * ([[graft.functions.CompressExprs.deflateStats]]) falls inside
@@ -482,7 +486,10 @@ object Curation {
 
   private def applyGopher(df: DataFrame, textCol: String,
                           cfg: PipelineConfig): DataFrame =
-    if (cfg.gopherRules) TextAnalysis.gopherFilter(df, textCol) else df
+    if (cfg.gopherRules)
+      Repetition.filterDuplicateUnits(
+        TextAnalysis.gopherFilter(df, textCol), textCol)
+    else df
 
   private def applyLangId(df: DataFrame, textCol: String,
                           cfg: PipelineConfig): DataFrame =

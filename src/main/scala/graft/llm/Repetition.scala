@@ -63,6 +63,66 @@ object Repetition {
       .drop("__r")
   }
 
+  /** Within-document duplicate LINE / PARAGRAPH statistics — the
+    * structural half of Gopher's repetition block (Rae et al. 2021
+    * A1.1 thresholds duplicate line/paragraph fractions by count AND
+    * by character mass, alongside the word/n-gram fractions [[stats]]
+    * covers). A page that repeats one paragraph five times trips these
+    * long before any n-gram statistic moves.
+    *
+    * Definitions (the standard reimplementation): a duplicate is every
+    * occurrence BEYOND the first of an identical unit, so
+    * `dup_*_frac = (total - distinct) / total` by unit count and
+    * `dup_*_char_frac` the same ratio weighted by unit characters —
+    * both computed with array_distinct against exact unit strings
+    * (lines split on `\n`, paragraphs on blank lines; whitespace-only
+    * units excluded). Empty/null text reports 0 everywhere. One
+    * per-row projection: no shuffle, streams, SQL-replayable. */
+  def lineStats(df: DataFrame, textCol: String,
+                roundTo: Int = 6): DataFrame = {
+    Guards.requireFreshColumns(df, Seq("n_lines", "dup_line_frac",
+      "dup_line_char_frac", "n_paras", "dup_para_frac",
+      "dup_para_char_frac"), "Repetition.lineStats")
+    val t = coalesce(col(textCol), lit(""))
+    def frac(num: org.apache.spark.sql.Column,
+             den: org.apache.spark.sql.Column) =
+      when(den > 0, round(num.cast("double") / den.cast("double"), roundTo))
+        .otherwise(lit(0.0))
+    def charSum(units: org.apache.spark.sql.Column) =
+      aggregate(units, lit(0L), (a, u) => a + length(u).cast("long"))
+    def block(units: org.apache.spark.sql.Column, n: String, f: String,
+              cf: String)(d: DataFrame): DataFrame = {
+      val dis = array_distinct(units)
+      d.withColumn(n, size(units).cast("long"))
+        .withColumn(f, frac(size(units) - size(dis), size(units)))
+        .withColumn(cf, frac(charSum(units) - charSum(dis), charSum(units)))
+    }
+    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
+    val paras = filter(split(t, "\n\\s*\n"), p => length(trim(p)) > 0)
+    block(paras, "n_paras", "dup_para_frac", "dup_para_char_frac")(
+      block(lines, "n_lines", "dup_line_frac", "dup_line_char_frac")(df))
+  }
+
+  /** Keep documents under Gopher's four duplicate line/paragraph
+    * thresholds (A1.1: 0.30 by count, 0.20 by character mass). Same
+    * exact-skip contract as [[filterRepetitive]]. */
+  def filterDuplicateUnits(df: DataFrame, textCol: String,
+                           maxDupLineFrac: Double = 0.3,
+                           maxDupParaFrac: Double = 0.3,
+                           maxDupLineCharFrac: Double = 0.2,
+                           maxDupParaCharFrac: Double = 0.2): DataFrame =
+    if (maxDupLineFrac >= 1.0 && maxDupParaFrac >= 1.0 &&
+      maxDupLineCharFrac >= 1.0 && maxDupParaCharFrac >= 1.0) df
+    else {
+      val cols = df.columns.map(col)
+      lineStats(df, textCol)
+        .filter(col("dup_line_frac") <= maxDupLineFrac &&
+          col("dup_para_frac") <= maxDupParaFrac &&
+          col("dup_line_char_frac") <= maxDupLineCharFrac &&
+          col("dup_para_char_frac") <= maxDupParaCharFrac)
+        .select(cols.toIndexedSeq: _*)
+    }
+
   /** Keep documents under all three repetition thresholds (published
     * pipelines use ~0.3 for duplicate fractions and ~0.2 for the
     * most-common-n-gram fraction). A pure filter projection — composes

@@ -242,6 +242,45 @@ class CorpusOpsSpec extends SparkSpec {
       "C4 drops fold into the filter-stage count")
   }
 
+  test("lineStats/filterDuplicateUnits: duplicate lines and paragraphs " +
+      "by count and by char mass (Gopher's structural repetition half)") {
+    val corpus = Seq(
+      (1L, "alpha line one\nbeta line two\n\ngamma paragraph"),
+      (2L, "alpha line one\nbeta\nalpha line one\nalpha line one\n\n" +
+        "gamma paragraph"),
+      (3L, "para one body\n\npara two body here\n\npara two body here"),
+      (4L, null.asInstanceOf[String]),
+      (5L, "")
+    ).toDF("doc_id", "text")
+    val s = Repetition.lineStats(corpus, "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(s(1L).getAs[Double]("dup_line_frac") == 0.0 &&
+      s(1L).getAs[Double]("dup_para_frac") == 0.0)
+    // doc 2: lines [14c, 4c, 14c, 14c, 15c] → 2/5 by count, 28/61 chars
+    assert(s(2L).getAs[Long]("n_lines") == 5L)
+    assert(s(2L).getAs[Double]("dup_line_frac") == 0.4)
+    assert(s(2L).getAs[Double]("dup_line_char_frac") == 0.459016)
+    assert(s(2L).getAs[Double]("dup_para_frac") == 0.0,
+      "the dup lines sit inside ONE paragraph")
+    // doc 3: paras [13c, 18c, 18c] → 1/3 by count, 18/49 chars
+    assert(s(3L).getAs[Long]("n_paras") == 3L)
+    assert(s(3L).getAs[Double]("dup_para_frac") == 0.333333)
+    assert(s(3L).getAs[Double]("dup_para_char_frac") == 0.367347)
+    // null/empty text: zero units, zero fractions, never a crash
+    for (i <- Seq(4L, 5L))
+      assert(s(i).getAs[Long]("n_lines") == 0L &&
+        s(i).getAs[Double]("dup_para_char_frac") == 0.0)
+    // the filter at Gopher thresholds drops exactly the two repeaters
+    val kept = Repetition.filterDuplicateUnits(corpus, "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(1L, 4L, 5L), s"kept $kept")
+    // thresholds >= 1.0 skip the stats projection exactly
+    assert(Repetition.filterDuplicateUnits(corpus, "text", 1.0, 1.0, 1.0, 1.0)
+      .count() == 5)
+    intercept[IllegalArgumentException](Repetition.lineStats(
+      corpus.withColumn("n_lines", lit(1L)), "text"))
+  }
+
   test("gopherSignals/gopherFilter: each published rule measured and " +
       "enforced (Rae 2021 A1.1)") {
     // 55 words incl. >= 2 stop words, 3 lines, all alphabetic
