@@ -864,6 +864,76 @@ class CorpusOpsSpec extends SparkSpec {
       "observed pipeline must produce the lazy pipeline's rows")
   }
 
+  test("curation pipeline: observed ≡ lazy under EVERY batch stage at " +
+      "once (the r12 lang-id drift bug, generalized into a guard)") {
+    // a corpus where every stage has something to do; the two pipeline
+    // variants must produce identical rows — pipelineObserved only
+    // ADDS counting, so any difference is a stage silently missing
+    // from one path (exactly how observed runs dropped lang-id until
+    // the capstone e2e caught it)
+    val leak = (1 to 8).map(i => s"lk$i").mkString(" ")
+    val prose = "the quick brown fox jumps over the lazy dog by the river"
+    val refBody = "seven small children gather ripe apples under clear " +
+      "autumn skies today"
+    val corpus = Seq(
+      // the dup pair is SHORTER than the 8-token substring window, so
+      // excision cannot split it before the soft-dedup stage weighs it
+      (1L, "<p>seven small children gather apples</p>"),
+      (2L, "<p>seven small children gather apples</p>"),
+      (3L, s"<p>$prose two via https://spam.example.com/x page</p>"),
+      (4L, s"<p>$prose three $leak</p>"),               // excise target
+      (5L, "<p>der schnelle braune fuchs springt über den faulen " +
+        "hund am großen fluss</p>"),                    // lang drop
+      (6L, s"<p>${"buy now " * 30}</p>"),               // repetition drop
+      (7L, s"<p>$refBody</p>"),                         // reference drop
+      (8L, s"<p>$prose five $leak $leak</p>")           // excise non-keeper
+    ).toDF("doc_id", "text")
+    val seed = Seq((prose, "en"),
+      ("seven small children gather apples under clear autumn skies", "en"),
+      ("der schnelle braune fuchs springt über den faulen hund", "de"),
+      ("die müden kinder gehen früh nach hause im kalten winter", "de"))
+      .toDF("text", "lang")
+    val (lm, ls) = LangId.train(seed, "text", "lang", vocabSize = 1000)
+    val cfg = Curation.PipelineConfig(
+      blocklist = Seq("spam.example.com"),
+      stripHtml = true, stripMarkdown = true, fixMojibake = true,
+      normalizeUnicode = Some("NFC"),
+      c4Rules = false, gopherRules = false, // line-shape rules would
+        // empty this tagged corpus; their parity is pinned in their
+        // own stage tests
+      langId = Some((lm, ls, Seq("en"))),
+      // hi = 3.0: a 5-word page deflates ABOVE 1.0 (fixed stream
+      // overhead dominates) and must not trip the noise tail here
+      compressionBand = Some((0.01, 3.0)),
+      maxDupWordFrac = 0.9, maxDupNgramFrac = 0.5, maxTopNgramFrac = 0.9,
+      lineDedupMinDocs = Some(50), // present but inert on one-line docs
+      substringDedupWindow = Some(8),
+      softDedup = true,
+      referenceSnapshot = Some(Seq(refBody).toDF("text")),
+      decontaminateExciseProbes = Some(Seq(leak).toDF("text")),
+      decontaminateExciseWindow = 8,
+      contaminationProbes = Some(Seq(leak).toDF("text")),
+      contaminationN = 8, maxContamination = 0.9,
+      sampleFraction = 1.0, tokenBudget = Some(1000L))
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("doc_id", "text", "dup_count", "weight", "contaminated_chars")
+      .as[(Long, String, Long, Double, Long)].collect().toSet
+    val lazyRows = rows(Curation.pipeline(corpus, "doc_id", "text", cfg))
+    val (odf, counts) = Curation.pipelineObserved(corpus, "doc_id", "text", cfg)
+    val observedRows = rows(odf)
+    assert(lazyRows.nonEmpty && lazyRows == observedRows,
+      s"lazy ${lazyRows.map(_._1)} vs observed ${observedRows.map(_._1)}")
+    // and the expected stage effects actually happened
+    val ids = lazyRows.map(_._1)
+    assert(ids == Set(1L, 2L, 4L, 8L), s"stage drops missing: $ids")
+    assert(lazyRows.filter(r => Set(1L, 2L).contains(r._1))
+      .forall(_._4 == 0.5), "soft dedup weights missing")
+    assert(lazyRows.find(_._1 == 4L).exists(_._5 > 0L),
+      "excise chars missing")
+    val m = counts()
+    assert(m("input") == 8L && m("kept") == lazyRows.size.toLong, s"$m")
+  }
+
   test("curation pipeline: compression band drops both entropy tails") {
     val prose = "the quarterly report shows steady growth across three " +
       "segments with hardware revenue up nine percent and services " +
