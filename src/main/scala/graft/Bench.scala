@@ -208,7 +208,11 @@ object Bench {
     // successful query that moved >25% in EITHER direction and by
     // >= 0.3s absolute joins the isolated pass, so the disambiguating
     // number lands in the same artifact as the move.
-    val histFile = java.nio.file.Paths.get("/root/repo/bench_history.jsonl")
+    // resolved against the working directory (like target/bench_last.json)
+    // so history reads/appends follow the checkout instead of silently
+    // no-op'ing when the repo lives anywhere but /root/repo
+    val histFile = java.nio.file.Paths.get("bench_history.jsonl")
+      .toAbsolutePath
     val baseline: Map[String, Double] =
       if (queryArgs.nonEmpty || !java.nio.file.Files.exists(histFile))
         Map.empty

@@ -126,8 +126,13 @@ object YamlJob {
         * probes a driver-collected broadcast index of the snapshot). */
       referenceNearDup: Option[Double] = None,
       /** `c4_rules: true | {min_words_per_line, min_sentences,
-        * bad_words}` — line-granularity page hygiene (Raffel 2020).
-        * Batch and stream mode. */
+        * bad_words, bad_words_file}` — line-granularity page hygiene
+        * (Raffel 2020). `bad_words_file` points at a plain-text
+        * blocklist (one term per line, `#` comments and blank lines
+        * skipped; the path is `${VAR}`-substituted) — the C4 paper
+        * uses a public blocklist far too large to inline in YAML; the
+        * file's terms append to any inline `bad_words`. Batch and
+        * stream mode. */
       c4Rules: Option[C4Spec] = None,
       /** `gopher_rules: true` — the Gopher document-quality thresholds
         * (Rae 2021 A1.1) at the paper's published values. Batch and
@@ -424,19 +429,36 @@ object YamlJob {
           case m: JMap[_, _] =>
             val mm = m.asInstanceOf[JMap[String, Object]].asScala
             checkKeys("curation c4_rules", mm.keySet,
-              Set("min_words_per_line", "min_sentences", "bad_words"))
+              Set("min_words_per_line", "min_sentences", "bad_words",
+                "bad_words_file"))
+            val inline = mm.get("bad_words").flatMap(Option(_)) match {
+              case Some(l: java.util.List[_]) =>
+                l.asScala.toSeq.map(v => sub(String.valueOf(v)))
+              case Some(one) => Seq(sub(String.valueOf(one)))
+              case None => Nil
+            }
+            // one term per line; blanks and '#' comment lines skipped —
+            // the loud path: a missing file fails the job at parse time,
+            // never silently ships an unfiltered corpus
+            val fromFile = mm.get("bad_words_file").flatMap(Option(_))
+              .map(v => sub(String.valueOf(v))).toSeq.flatMap { path =>
+                val p = java.nio.file.Paths.get(path)
+                if (!java.nio.file.Files.isReadable(p))
+                  throw graft.core.GraftError.Configuration(
+                    s"c4_rules.bad_words_file '$path' does not exist " +
+                      "or is not readable")
+                java.nio.file.Files.readAllLines(p,
+                    java.nio.charset.StandardCharsets.UTF_8)
+                  .asScala.map(_.trim)
+                  .filter(l => l.nonEmpty && !l.startsWith("#")).toSeq
+              }
             Some(C4Spec(
               minWordsPerLine = mm.get("min_words_per_line")
                 .map(v => intOpt("c4_rules.min_words_per_line", v))
                 .getOrElse(5),
               minSentences = mm.get("min_sentences")
                 .map(v => intOpt("c4_rules.min_sentences", v)).getOrElse(3),
-              badWords = mm.get("bad_words").flatMap(Option(_)) match {
-                case Some(l: java.util.List[_]) =>
-                  l.asScala.toSeq.map(v => sub(String.valueOf(v)))
-                case Some(one) => Seq(sub(String.valueOf(one)))
-                case None => Nil
-              }))
+              badWords = inline ++ fromFile))
           case other => throw graft.core.GraftError.Configuration(
             s"curation c4_rules must be true or a map, got '$other'")
         },

@@ -197,15 +197,25 @@ object Contamination {
   /** Distinct probe window hashes as a sorted array — the driver-side
     * probe index. Loudly capped: past `maxProbeWindows` the index is
     * no longer "bounded eval suite"-sized and the whole design premise
-    * fails (8 bytes/window; the default cap is 32 MiB of plan). */
+    * fails (8 bytes/window; the default cap is 32 MiB of plan).
+    *
+    * The probe side ALWAYS windows at stride 1 — this is the
+    * asymmetric-stride safety rule: with probe windows at every token
+    * offset, a corpus window taken at any stride-s grid position still
+    * finds its verbatim twin in the index whenever it lies inside a
+    * leaked span. Striding BOTH sides would desynchronize the two
+    * grids (a span whose occurrence offsets differ by a non-multiple
+    * of s produces ZERO matching hashes — a silent contamination
+    * miss, against the house loud-failure convention). The probe side
+    * is the bounded side, so its stride-1 cost is the cheap one. */
   private[llm] def probeWindowHashes(probes: DataFrame, probeTextCol: String,
-                                     w: Int, stride: Int,
+                                     w: Int,
                                      maxProbeWindows: Int): Array[Long] = {
     require(maxProbeWindows >= 1,
       s"maxProbeWindows must be >= 1: $maxProbeWindows")
     val rows = probes
       .select(explode(graft.functions.SketchExprs
-        .tokenWindowHashes(col(probeTextCol).cast("string"), w, stride))
+        .tokenWindowHashes(col(probeTextCol).cast("string"), w, stride = 1))
         .as("__w"))
       .select(col("__w")("h")).distinct()
       .limit(maxProbeWindows + 1).collect()
@@ -246,14 +256,22 @@ object Contamination {
   }
 
   /** Report surface: one row per (id, matched maximal span) with
-    * codepoint bounds — what [[decontaminateExcise]] would cut. */
+    * codepoint bounds — what [[decontaminateExcise]] would cut.
+    *
+    * `stride` applies to the CORPUS side only (the probe index is
+    * stride-1 by construction — [[probeWindowHashes]]). Guarantee: a
+    * leaked span of >= w + stride - 1 tokens always contains at least
+    * one corpus-grid window and is detected regardless of its offset;
+    * the reported bounds may under-cover by up to stride - 1 tokens at
+    * each edge (the span ends between grid positions). stride = 1 (the
+    * default and the curation pipeline's setting) detects every
+    * >= w-token leak with exact maximal bounds. */
   def contaminationSpans(corpus: DataFrame, probes: DataFrame,
                          idCol: String, textCol: String,
                          probeTextCol: String, w: Int = 50,
                          stride: Int = 1,
                          maxProbeWindows: Int = 1 << 22): DataFrame = {
-    val hs = probeWindowHashes(probes, probeTextCol, w, stride,
-      maxProbeWindows)
+    val hs = probeWindowHashes(probes, probeTextCol, w, maxProbeWindows)
     corpus
       .select(col(idCol),
         explode(matchedSpans(textCol, hs, w, stride)).as("__iv"))
@@ -267,7 +285,15 @@ object Contamination {
     * the [[Spans.excise]] contract), and `charsCol` reports the
     * codepoints removed per document (0 for clean rows, including
     * null-text rows, which pass through untouched). Keeps every input
-    * column; pure per-row projection — streams unchanged. */
+    * column; pure per-row projection — streams unchanged.
+    *
+    * `stride` strides the CORPUS window grid only; the probe index is
+    * always stride-1 ([[probeWindowHashes]]), so any corpus window
+    * inside a leak matches regardless of offset alignment. Guarantee:
+    * leaks of >= w + stride - 1 tokens are always excised; up to
+    * stride - 1 leading/trailing leak tokens can survive at the span
+    * edges. stride = 1 (the default) excises every >= w-token leak
+    * exactly. */
   def decontaminateExcise(corpus: DataFrame, probes: DataFrame,
                           idCol: String, textCol: String,
                           probeTextCol: String, w: Int = 50,
@@ -281,8 +307,7 @@ object Contamination {
     require(!probes.isStreaming,
       "probe corpus must be a static (batch) frame — the probe index " +
         "collects once; the CORPUS side may stream")
-    val hs = probeWindowHashes(probes, probeTextCol, w, stride,
-      maxProbeWindows)
+    val hs = probeWindowHashes(probes, probeTextCol, w, maxProbeWindows)
     val t = col(textCol)
     // positional reassembly — the same fold as [[Spans.exciseIntervals]]
     val rebuilt = aggregate(

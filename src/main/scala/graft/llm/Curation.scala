@@ -216,12 +216,14 @@ object Curation {
     * text, or use substring dedup, which is whitespace-insensitive. */
   private def warnStripEatsLines(cfg: PipelineConfig): Unit =
     if ((cfg.stripHtml || cfg.stripMarkdown) &&
-        (cfg.lineDedupMinDocs.isDefined || cfg.c4Rules))
+        (cfg.lineDedupMinDocs.isDefined || cfg.c4Rules || cfg.gopherRules))
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
         "Curation: strip_html/strip_markdown collapse newlines BEFORE " +
           "the line-granularity stages run — documents arrive " +
-          "single-line, so line_dedup_min_docs will match nothing and " +
-          "c4_rules degrades to a one-line page test. Use " +
+          "single-line, so line_dedup_min_docs will match nothing, " +
+          "c4_rules degrades to a one-line page test, and " +
+          "gopher_rules' bullet/ellipsis-line and duplicate " +
+          "line/paragraph signals see one line per page. Use " +
           "substring_dedup_window (whitespace-insensitive) or run the " +
           "line stages on unstripped text.")
 

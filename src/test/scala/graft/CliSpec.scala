@@ -808,6 +808,33 @@ class CliSpec extends SparkSpec {
         |  c4_rules: {min_words_per_line: 4, bad_words: [tnt, acme]}
         |""".stripMargin).curation.get.c4Rules
       .contains(YamlJob.C4Spec(4, 3, Seq("tnt", "acme"))))
+    // c4_rules bad_words_file: one term per line, '#' comments and
+    // blanks skipped, ${VAR}-substituted path, appended after inline
+    // terms; a missing file is loud at parse time
+    val bwDir = java.nio.file.Files.createTempDirectory("c4bw")
+    val bwFile = bwDir.resolve("blocklist.txt")
+    java.nio.file.Files.write(bwFile,
+      "# public blocklist\n\n tnt \nacme\n# tail comment\n".getBytes("UTF-8"))
+    val withFile = YamlJob.loadYaml(
+      s"""source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation:
+        |  id_column: id
+        |  text_column: t
+        |  c4_rules: {bad_words: [inline1], bad_words_file: "$${BWDIR}/blocklist.txt"}
+        |""".stripMargin, env = Map("BWDIR" -> bwDir.toString))
+    assert(withFile.curation.get.c4Rules
+      .contains(YamlJob.C4Spec(5, 3, Seq("inline1", "tnt", "acme"))),
+      s"file terms append to inline: ${withFile.curation.get.c4Rules}")
+    val bwMissing = intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation:
+        |  id_column: id
+        |  text_column: t
+        |  c4_rules: {bad_words_file: /nonexistent/blocklist.txt}
+        |""".stripMargin))
+    assert(bwMissing.getMessage.contains("/nonexistent/blocklist.txt"))
     // gopher_rules: plain bool knob
     assert(YamlJob.loadYaml(
       """source: {uri: a.parquet}

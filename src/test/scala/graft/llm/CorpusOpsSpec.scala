@@ -470,6 +470,20 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Contamination.decontaminateExcise(
       corpus.withColumn("contaminated_chars", lit(0L)), probes,
       "doc_id", "text", "text", w = 4))
+    // asymmetric stride safety: the probe index is ALWAYS stride-1, so
+    // a corpus grid at stride 2 still matches a leak planted at an ODD
+    // token offset (both-sides-strided grids would desynchronize and
+    // silently miss it). Bounds under-cover by <= stride-1 tokens per
+    // edge, exactly the documented guarantee.
+    val longProbe = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val strided = Contamination.decontaminateExcise(
+        Seq((1L, s"lead $longProbe tail1")).toDF("doc_id", "text"),
+        Seq(longProbe).toDF("text"),
+        "doc_id", "text", "text", w = 4, stride = 2)
+      .select("text", "contaminated_chars")
+      .as[(String, Long)].collect().head
+    assert(strided == ("lead p1  p8 tail1", 17L),
+      s"stride-2 corpus grid vs offset-1 leak: $strided")
     // null text passes through as null with 0 contaminated chars
     val withNull = corpus.union(Seq((9L, null: String))
       .toDF("doc_id", "text"))
