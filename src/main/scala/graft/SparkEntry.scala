@@ -539,43 +539,49 @@ object SparkEntry {
     // 3-line pages assembled by id arithmetic; a stopword tail
     // guarantees the stop-hit rule while the base word count still
     // straddles the 50-word floor; every 9th doc gains hash spam
-    // (symbol ratio), every 11th a bullet line, every 13th two
-    // ellipsis line endings, every 17th a numeric-token block (alpha
-    // fraction). Output = the signal columns for EVERY page plus the
-    // keep decision from the unrounded signals ---
+    // (hash ratio), every 11th bullets on ALL THREE lines (the paper's
+    // >90% bullet-line structural rule), every 13th an ellipsis-spam
+    // block plus two ellipsis line endings (both ellipsis rules), every
+    // 17th a numeric-token block (alpha fraction). Output = the signal
+    // columns for EVERY page plus the keep decision from the unrounded
+    // signals. Hash and ellipsis ratios are gated SEPARATELY at 0.1 —
+    // the paper's per-symbol caps, not a combined ratio ---
     "q_gopher_filter" -> { (s, dir) =>
       val toks = split(col("text"), " ")
+      val isBullet = pmod(col("doc_id"), lit(11)) === 0
+      def bulleted(l: org.apache.spark.sql.Column) =
+        when(isBullet, concat(lit("• "), l)).otherwise(l)
       val tail =
         lit(" we worked with that team and have seen it be of use to the end")
       val l1a = concat(array_join(slice(toks, 1, 30), " "), tail)
       val l1b = when(pmod(col("doc_id"), lit(9)) === 0,
         concat(l1a, lit(" # # # # # # # # # #"))).otherwise(l1a)
-      val l1 = when(pmod(col("doc_id"), lit(17)) === 0,
+      val l1 = bulleted(when(pmod(col("doc_id"), lit(17)) === 0,
         concat(l1b, lit((1 to 25).map(i => 100 + i).mkString(" ", " ", ""))))
-        .otherwise(l1b)
+        .otherwise(l1b))
       val l2a = array_join(slice(toks, 31, 15), " ")
-      val l2b = when(pmod(col("doc_id"), lit(11)) === 0,
-        concat(lit("• "), l2a)).otherwise(l2a)
-      val l2 = when(pmod(col("doc_id"), lit(13)) === 0,
-        concat(l2b, lit(" ..."))).otherwise(l2b)
+      val l2 = bulleted(when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(l2a, lit(" ... ... ... ... ... ... ... ..."))).otherwise(l2a))
       val l3a = array_join(slice(toks, 46, 15), " ")
-      val l3 = when(pmod(col("doc_id"), lit(13)) === 0,
-        concat(l3a, lit("…"))).otherwise(l3a)
+      val l3 = bulleted(when(pmod(col("doc_id"), lit(13)) === 0,
+        concat(l3a, lit("…"))).otherwise(l3a))
       val corpus = t(s, dir, "documents").select(col("doc_id"),
         concat_ws("\n", l1, l2, l3).as("text"))
       val sig = TextAnalysis.gopherSignals(corpus, "text")
       def r6(c: org.apache.spark.sql.Column) = floor(c * 1e6 + 0.5) / 1e6
       sig.select(col("doc_id"), col("g_words"),
         r6(col("g_mean_word_len")).as("g_mean_word_len"),
-        r6(col("g_symbol_ratio")).as("g_symbol_ratio"),
+        r6(col("g_hash_ratio")).as("g_hash_ratio"),
+        r6(col("g_ellipsis_ratio")).as("g_ellipsis_ratio"),
         r6(col("g_bullet_line_frac")).as("g_bullet_line_frac"),
         r6(col("g_ellipsis_line_frac")).as("g_ellipsis_line_frac"),
         r6(col("g_alpha_word_frac")).as("g_alpha_word_frac"),
         col("g_stopword_hits"),
         (col("g_words").between(50L, 100000L) &&
           col("g_mean_word_len").between(3.0, 10.0) &&
-          col("g_symbol_ratio") <= 0.1 &&
-          col("g_bullet_line_frac") <= 0.1 &&
+          col("g_hash_ratio") <= 0.1 &&
+          col("g_ellipsis_ratio") <= 0.1 &&
+          col("g_bullet_line_frac") <= 0.9 &&
           col("g_ellipsis_line_frac") <= 0.3 &&
           col("g_alpha_word_frac") >= 0.8 &&
           col("g_stopword_hits") >= 2L).as("keep"))
@@ -4302,7 +4308,8 @@ object SparkEntry {
     "q_gopher_filter" ->
       s"""WITH corpus AS (
         |  SELECT doc_id,
-        |    coalesce(array_to_string(tk[1:30], ' '), '')
+        |    CASE WHEN doc_id % 11 = 0 THEN '• ' ELSE '' END
+        |      || coalesce(array_to_string(tk[1:30], ' '), '')
         |      || ' we worked with that team and have seen it be of use to the end'
         |      || CASE WHEN doc_id % 9 = 0
         |        THEN ' # # # # # # # # # #' ELSE '' END
@@ -4312,8 +4319,10 @@ object SparkEntry {
         |      || chr(10)
         |      || CASE WHEN doc_id % 11 = 0 THEN '• ' ELSE '' END
         |      || coalesce(array_to_string(tk[31:45], ' '), '')
-        |      || CASE WHEN doc_id % 13 = 0 THEN ' ...' ELSE '' END
+        |      || CASE WHEN doc_id % 13 = 0
+        |        THEN ' ... ... ... ... ... ... ... ...' ELSE '' END
         |      || chr(10)
+        |      || CASE WHEN doc_id % 11 = 0 THEN '• ' ELSE '' END
         |      || coalesce(array_to_string(tk[46:60], ' '), '')
         |      || CASE WHEN doc_id % 13 = 0 THEN '…' ELSE '' END
         |      AS text
@@ -4355,8 +4364,9 @@ object SparkEntry {
         |)
         |SELECT doc_id, CAST(g_words AS BIGINT) AS g_words,
         |  floor(chars / wd * 1000000 + 0.5) / 1000000 AS g_mean_word_len,
-        |  floor((hashes + ell3 + ellc) / wd * 1000000 + 0.5) / 1000000
-        |    AS g_symbol_ratio,
+        |  floor(hashes / wd * 1000000 + 0.5) / 1000000 AS g_hash_ratio,
+        |  floor((ell3 + ellc) / wd * 1000000 + 0.5) / 1000000
+        |    AS g_ellipsis_ratio,
         |  floor(bullets / ld * 1000000 + 0.5) / 1000000
         |    AS g_bullet_line_frac,
         |  floor(ells / ld * 1000000 + 0.5) / 1000000
@@ -4366,8 +4376,9 @@ object SparkEntry {
         |  CAST(g_stopword_hits AS BIGINT) AS g_stopword_hits,
         |  (g_words BETWEEN 50 AND 100000
         |    AND chars / wd BETWEEN 3.0 AND 10.0
-        |    AND (hashes + ell3 + ellc) / wd <= 0.1
-        |    AND bullets / ld <= 0.1
+        |    AND hashes / wd <= 0.1
+        |    AND (ell3 + ellc) / wd <= 0.1
+        |    AND bullets / ld <= 0.9
         |    AND ells / ld <= 0.3
         |    AND alphas / wd >= 0.8
         |    AND g_stopword_hits >= 2) AS keep

@@ -486,11 +486,18 @@ object Curation {
         cfg.c4MinSentences, cfg.c4BadWords)
     else df
 
+  /** The full Gopher Table-A1.1 block as ONE fused text walk: the
+    * 7-signal document filter ([[TextAnalysis.gopherFilter]]'s
+    * published thresholds) AND the duplicate line/paragraph fractions
+    * ([[Repetition.filterDuplicateUnits]]'s) evaluate from a single
+    * [[graft.functions.QualityExprs]] projection — composing the two
+    * operators would walk every document twice. Semantics are
+    * operator-identical: same signals, same thresholds, same
+    * round-to-6 on the duplicate fractions, null text dropped (the
+    * word floor). */
   private def applyGopher(df: DataFrame, textCol: String,
                           cfg: PipelineConfig): DataFrame =
-    if (cfg.gopherRules)
-      Repetition.filterDuplicateUnits(
-        TextAnalysis.gopherFilter(df, textCol), textCol)
+    if (cfg.gopherRules) TextAnalysis.gopherRulesFilter(df, textCol)
     else df
 
   private def applyLangId(df: DataFrame, textCol: String,

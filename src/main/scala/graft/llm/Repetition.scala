@@ -80,27 +80,31 @@ object Repetition {
     * per-row projection: no shuffle, streams, SQL-replayable. */
   def lineStats(df: DataFrame, textCol: String,
                 roundTo: Int = 6): DataFrame = {
-    Guards.requireFreshColumns(df, Seq("n_lines", "dup_line_frac",
+    Guards.requireFreshColumns(df, Seq("__lq", "n_lines", "dup_line_frac",
       "dup_line_char_frac", "n_paras", "dup_para_frac",
       "dup_para_char_frac"), "Repetition.lineStats")
-    val t = coalesce(col(textCol), lit(""))
     def frac(num: org.apache.spark.sql.Column,
              den: org.apache.spark.sql.Column) =
       when(den > 0, round(num.cast("double") / den.cast("double"), roundTo))
         .otherwise(lit(0.0))
-    def charSum(units: org.apache.spark.sql.Column) =
-      aggregate(units, lit(0L), (a, u) => a + length(u).cast("long"))
-    def block(units: org.apache.spark.sql.Column, n: String, f: String,
-              cf: String)(d: DataFrame): DataFrame = {
-      val dis = array_distinct(units)
-      d.withColumn(n, size(units).cast("long"))
-        .withColumn(f, frac(size(units) - size(dis), size(units)))
-        .withColumn(cf, frac(charSum(units) - charSum(dis), charSum(units)))
-    }
-    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
-    val paras = filter(split(t, "\n\\s*\n"), p => length(trim(p)) > 0)
-    block(paras, "n_paras", "dup_para_frac", "dup_para_char_frac")(
-      block(lines, "n_lines", "dup_line_frac", "dup_line_char_frac")(df))
+    // all four unit families (line/para × count/char-mass) ride the ONE
+    // fused text walk ([[graft.functions.QualityExprs]]) — the previous
+    // split/array_distinct/aggregate chains re-tokenized the document
+    // once per family; field semantics are the walk's pinned contract
+    val d = df.withColumn("__lq", graft.functions.QualityExprs
+      .qualitySignals(coalesce(col(textCol), lit(""))))
+    val q = col("__lq")
+    d.withColumn("n_lines", q("n_lines"))
+      .withColumn("dup_line_frac",
+        frac(q("n_lines") - q("dl_distinct"), q("n_lines")))
+      .withColumn("dup_line_char_frac",
+        frac(q("dl_chars") - q("dl_distinct_chars"), q("dl_chars")))
+      .withColumn("n_paras", q("n_paras"))
+      .withColumn("dup_para_frac",
+        frac(q("n_paras") - q("dp_distinct"), q("n_paras")))
+      .withColumn("dup_para_char_frac",
+        frac(q("dp_chars") - q("dp_distinct_chars"), q("dp_chars")))
+      .drop("__lq")
   }
 
   /** Keep documents under Gopher's four duplicate line/paragraph
@@ -113,15 +117,17 @@ object Repetition {
                            maxDupParaCharFrac: Double = 0.2): DataFrame =
     if (maxDupLineFrac >= 1.0 && maxDupParaFrac >= 1.0 &&
       maxDupLineCharFrac >= 1.0 && maxDupParaCharFrac >= 1.0) df
-    else {
-      val cols = df.columns.map(col)
-      lineStats(df, textCol)
-        .filter(col("dup_line_frac") <= maxDupLineFrac &&
-          col("dup_para_frac") <= maxDupParaFrac &&
-          col("dup_line_char_frac") <= maxDupLineCharFrac &&
-          col("dup_para_char_frac") <= maxDupParaCharFrac)
-        .select(cols.toIndexedSeq: _*)
-    }
+    else
+      // one fused-walk boolean, not a filter over [[lineStats]]'s
+      // columns — predicate pushdown would substitute each fraction
+      // alias with its own copy of the walk; null text coalesces to
+      // "" exactly like [[lineStats]] (0-valued fractions, kept)
+      df.filter(graft.functions.QualityExprs.qualityKeep(
+        coalesce(col(textCol), lit("")),
+        None,
+        Some(graft.functions.QualityExprs.DupUnitThresholds(
+          maxDupLineFrac, maxDupParaFrac, maxDupLineCharFrac,
+          maxDupParaCharFrac))))
 
   /** Keep documents under all three repetition thresholds (published
     * pipelines use ~0.3 for duplicate fractions and ~0.2 for the

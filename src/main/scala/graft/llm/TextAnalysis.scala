@@ -195,31 +195,26 @@ object TextAnalysis {
       : DataFrame = {
     require(minWordsPerLine >= 1, s"minWordsPerLine >= 1: $minWordsPerLine")
     require(minSentences >= 1, s"minSentences >= 1: $minSentences")
-    Guards.requireFreshColumns(df, Seq("__c4bad"), "TextAnalysis.c4Filter")
     val t = col(textCol)
-    val keptLines = filter(split(t, "\n"), l =>
-      size(filter(split(l, "\\s+"), w => length(w) > 0))
-        >= minWordsPerLine &&
-        l.rlike("[.!?\"”]\\s*$") &&
-        !lower(l).contains("javascript"))
-    // page-level rules test the ORIGINAL text (the paper removes the
-    // page for content anywhere on it, kept lines or not)
+    // the keep DECISION is one fused-walk boolean
+    // ([[graft.functions.QualityExprs.C4Keep]]: line keep-rule +
+    // kept-sentence floor, no string build) that filters
+    // scan-adjacent; only SURVIVORS pay the kept-text rebuild
+    // ([[graft.functions.QualityExprs.C4KeptText]]) in the projection
+    // above. The built-in split/filter/rlike chain this replaces
+    // re-tokenized every document once per rule.
+    // Page-level rules test the ORIGINAL text (the paper removes the
+    // page for content anywhere on it, kept lines or not).
     val docBad = t.contains("{") || lower(t).contains("lorem ipsum") ||
       (if (badWords.isEmpty) lit(false)
        else lower(t).rlike(badWords.map(w =>
          "\\b" + java.util.regex.Pattern.quote(w.toLowerCase) + "\\b")
          .mkString("(", "|", ")")))
-    df.withColumn("__c4bad", docBad)
-      .withColumn(textCol, array_join(keptLines, "\n"))
-      .filter(!col("__c4bad") &&
-        length(regexp_replace(col(textCol), "[^.!?]", ""))
-          >= minSentences)
-      .drop("__c4bad")
+    df.filter(!docBad && graft.functions.QualityExprs
+        .c4Keep(t, minWordsPerLine, minSentences))
+      .withColumn(textCol,
+        graft.functions.QualityExprs.c4KeptText(t, minWordsPerLine))
   }
-
-  /** The Gopher quality-filter stop words (Rae et al. 2021, A1.1). */
-  private val gopherStops =
-    Seq("the", "be", "to", "of", "and", "that", "have", "with")
 
   /** Gopher quality SIGNALS (Rae et al. 2021, "Scaling Language
     * Models…", Appendix A1.1) — the document-statistics canon next to
@@ -228,7 +223,11 @@ object TextAnalysis {
     *
     *   - `g_words`            whitespace-token count
     *   - `g_mean_word_len`    characters per word (codepoints)
-    *   - `g_symbol_ratio`     (`#` + `...`/`…` occurrences) / words
+    *   - `g_hash_ratio`       `#` occurrences / words
+    *   - `g_ellipsis_ratio`   `...`/`…` occurrences / words (the paper
+    *     caps the symbol-to-word ratio for the hash and the ellipsis
+    *     SEPARATELY — a combined ratio would be strictly tighter than
+    *     published)
     *   - `g_bullet_line_frac` lines starting with a bullet glyph
     *     (`•`/`‣`/`▪`/`-`/`*` after leading whitespace)
     *   - `g_ellipsis_line_frac` lines ending with `...`/`…`
@@ -237,74 +236,82 @@ object TextAnalysis {
     *     words (the, be, to, of, and, that, have, with) as whole
     *     lowercase words
     *
-    * Every signal is a per-row expression over splits/regex — no
-    * shuffle, streams, SQL-replayable. Empty/whitespace-only text
-    * yields 0 words and 0-valued ratios (the filter drops it on the
-    * word-count floor, never on a NULL). */
+    * Every signal derives from ONE fused native text walk
+    * ([[graft.functions.QualityExprs]] — the stacked built-in chains
+    * re-tokenized each document once per signal family) — no shuffle,
+    * streams, SQL-replayable. Empty/whitespace-only text yields 0
+    * words and 0-valued ratios (the filter drops it on the word-count
+    * floor, never on a NULL). */
   def gopherSignals(df: DataFrame, textCol: String): DataFrame = {
-    Guards.requireFreshColumns(df, Seq("g_words", "g_mean_word_len",
-      "g_symbol_ratio", "g_bullet_line_frac", "g_ellipsis_line_frac",
+    Guards.requireFreshColumns(df, Seq("__gq", "g_words",
+      "g_mean_word_len", "g_hash_ratio", "g_ellipsis_ratio",
+      "g_bullet_line_frac", "g_ellipsis_line_frac",
       "g_alpha_word_frac", "g_stopword_hits"), "TextAnalysis.gopherSignals")
-    val t = col(textCol)
-    val words = filter(split(t, "\\s+"), w => length(w) > 0)
-    val nWords = size(words).cast("long")
-    val wordsD = greatest(nWords.cast("double"), lit(1.0))
-    val lines = filter(split(t, "\n"), l => length(trim(l)) > 0)
-    val nLines = greatest(size(lines).cast("double"), lit(1.0))
-    val hashes = length(t) - length(regexp_replace(t, "#", ""))
-    // count both ASCII "..." (non-overlapping) and the … codepoint
-    val ell3 = (length(t) -
-      length(regexp_replace(t, "\\.\\.\\.", ""))) / lit(3)
-    val ellC = length(t) - length(regexp_replace(t, "…", ""))
-    val bulletLines = size(filter(lines,
-      l => trim(l).rlike("^[•‣▪*-]")))
-    val ellipsisLines = size(filter(lines,
-      l => l.rlike("(\\.\\.\\.|…)\\s*$")))
-    val alphaWords = size(filter(words,
-      w => w.rlike("[A-Za-z]")))
-    val stopHits = gopherStops.map(sw =>
-      when(lower(t).rlike("\\b" + sw + "\\b"), 1L).otherwise(0L))
-      .reduce(_ + _)
-    df.withColumn("g_words", nWords)
-      .withColumn("g_mean_word_len",
-        aggregate(words, lit(0L), (a, w) => a + length(w).cast("long"))
-          .cast("double") / wordsD)
-      .withColumn("g_symbol_ratio", (hashes + ell3 + ellC).cast("double") / wordsD)
-      .withColumn("g_bullet_line_frac", bulletLines.cast("double") / nLines)
-      .withColumn("g_ellipsis_line_frac", ellipsisLines.cast("double") / nLines)
-      .withColumn("g_alpha_word_frac", alphaWords.cast("double") / wordsD)
-      .withColumn("g_stopword_hits", stopHits)
+    val d = df.withColumn("__gq",
+      graft.functions.QualityExprs.qualitySignals(col(textCol)))
+    val q = col("__gq")
+    val wordsD = greatest(q("words").cast("double"), lit(1.0))
+    val linesD = greatest(q("n_lines").cast("double"), lit(1.0))
+    d.withColumn("g_words", q("words"))
+      .withColumn("g_mean_word_len", q("word_chars").cast("double") / wordsD)
+      .withColumn("g_hash_ratio", q("hashes").cast("double") / wordsD)
+      .withColumn("g_ellipsis_ratio",
+        (q("ell3") + q("ellc")).cast("double") / wordsD)
+      .withColumn("g_bullet_line_frac",
+        q("bullet_lines").cast("double") / linesD)
+      .withColumn("g_ellipsis_line_frac",
+        q("ellipsis_lines").cast("double") / linesD)
+      .withColumn("g_alpha_word_frac",
+        q("alpha_words").cast("double") / wordsD)
+      .withColumn("g_stopword_hits", q("stop_hits"))
+      .drop("__gq")
   }
 
   /** The Gopher quality FILTER at the paper's published thresholds:
-    * 50 <= words <= 100k, mean word length in [3, 10], symbol ratio
-    * <= 0.1, <= 10% bullet lines, <= 30% ellipsis lines, >= 80%
-    * alphabetic words, >= 2 distinct stop words. Signal columns are
-    * dropped from the output — use [[gopherSignals]] directly for the
-    * report surface. */
+    * 50 <= words <= 100k, mean word length in [3, 10], hash ratio
+    * <= 0.1 AND ellipsis ratio <= 0.1 (the paper gates each symbol
+    * family separately at the same 0.1), <= 90% bullet lines (A1.1
+    * removes documents with MORE than 90% bullet-started lines — a
+    * structural "this page is one big list" test, not a style nit),
+    * <= 30% ellipsis lines, >= 80% alphabetic words, >= 2 distinct
+    * stop words. Signal columns are dropped from the output — use
+    * [[gopherSignals]] directly for the report surface. */
   def gopherFilter(df: DataFrame, textCol: String,
                    minWords: Long = 50, maxWords: Long = 100000,
                    minMeanWordLen: Double = 3.0,
                    maxMeanWordLen: Double = 10.0,
                    maxSymbolRatio: Double = 0.1,
-                   maxBulletFrac: Double = 0.1,
+                   maxBulletFrac: Double = 0.9,
                    maxEllipsisFrac: Double = 0.3,
                    minAlphaFrac: Double = 0.8,
                    minStopwords: Long = 2): DataFrame = {
     require(minWords >= 1 && maxWords >= minWords,
       s"need 1 <= minWords <= maxWords: $minWords, $maxWords")
-    gopherSignals(df, textCol)
-      .filter(col("g_words").between(minWords, maxWords) &&
-        col("g_mean_word_len").between(minMeanWordLen, maxMeanWordLen) &&
-        col("g_symbol_ratio") <= maxSymbolRatio &&
-        col("g_bullet_line_frac") <= maxBulletFrac &&
-        col("g_ellipsis_line_frac") <= maxEllipsisFrac &&
-        col("g_alpha_word_frac") >= minAlphaFrac &&
-        col("g_stopword_hits") >= minStopwords)
-      .drop("g_words", "g_mean_word_len", "g_symbol_ratio",
-        "g_bullet_line_frac", "g_ellipsis_line_frac",
-        "g_alpha_word_frac", "g_stopword_hits")
+    // ONE boolean keep expression, not a filter over the signal
+    // columns: predicate pushdown would substitute each signal alias
+    // with its own copy of the fused walk (measured: 20 copies) —
+    // [[graft.functions.QualityExprs.QualityKeep]] evaluates it once
+    // and the filter sits scan-adjacent
+    df.filter(graft.functions.QualityExprs.qualityKeep(col(textCol),
+      Some(graft.functions.QualityExprs.GopherThresholds(
+        minWords, maxWords, minMeanWordLen, maxMeanWordLen,
+        maxSymbolRatio, maxBulletFrac, maxEllipsisFrac, minAlphaFrac,
+        minStopwords)),
+      None))
   }
+
+  /** The FULL Gopher Table-A1.1 block — [[gopherFilter]]'s 7 document
+    * thresholds AND [[Repetition.filterDuplicateUnits]]'s duplicate
+    * line/paragraph caps, all at the paper's published values, as ONE
+    * fused-walk boolean: composing the two operators would walk every
+    * document twice, and filtering on signal columns would let
+    * predicate pushdown inline the walk once per signal. This is the
+    * curation pipeline's `gopher_rules` stage. Null text drops (the
+    * word floor), matching the composed operators. */
+  def gopherRulesFilter(df: DataFrame, textCol: String): DataFrame =
+    df.filter(graft.functions.QualityExprs.qualityKeep(col(textCol),
+      Some(graft.functions.QualityExprs.GopherThresholds()),
+      Some(graft.functions.QualityExprs.DupUnitThresholds())))
 
   /** Stopword tables for the n-gram/stopword language-ID heuristic.
     * Deliberately small + documented: the heuristic is the operator, not

@@ -636,6 +636,53 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
   }
 
+  test("fused quality stages: c4Filter / gopherFilter / lineStats / " +
+      "gopher_rules are each ONE shuffle-free projection over the " +
+      "fused text walk") {
+    import spark.implicits._
+    val docs = sf("documents").select(col("doc_id"), col("text"))
+    // (stage, plan, expected walk-expression occurrences): the filter
+    // stages are ONE boolean keep expression — filtering on derived
+    // signal columns instead would let predicate pushdown substitute
+    // every alias with its own copy of the walk (measured: 20 copies
+    // for the 8-signal gopher filter). c4Filter is 1 deciding walk
+    // (all rows) + 1 rebuild walk (survivors only) across its
+    // Filter/Project pair.
+    val stages: Seq[(String, org.apache.spark.sql.DataFrame,
+        Map[String, Int])] = Seq(
+      ("c4Filter", graft.llm.TextAnalysis.c4Filter(docs, "text"),
+        Map("c4keep" -> 1, "c4kepttext" -> 1)),
+      ("gopherFilter", graft.llm.TextAnalysis.gopherFilter(docs, "text"),
+        Map("qualitykeep" -> 1, "textqualitysignals" -> 0)),
+      ("gopherSignals", graft.llm.TextAnalysis.gopherSignals(docs, "text"),
+        Map("textqualitysignals" -> 1)),
+      ("lineStats", graft.llm.Repetition.lineStats(docs, "text"),
+        Map("textqualitysignals" -> 1)),
+      ("filterDuplicateUnits",
+        graft.llm.Repetition.filterDuplicateUnits(docs, "text"),
+        Map("qualitykeep" -> 1, "textqualitysignals" -> 0)),
+      ("gopher_rules stage",
+        graft.llm.TextAnalysis.gopherRulesFilter(docs, "text"),
+        Map("qualitykeep" -> 1, "textqualitysignals" -> 0)))
+    for ((name, out, wants) <- stages) {
+      assert(shuffleOutputs(out).isEmpty,
+        s"$name must not shuffle — it is a per-row stage (the " +
+          "structural reason it streams)")
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("Join"), s"no join belongs in $name:\n$p")
+      // count walk occurrences in the OPERATOR lines only — the
+      // FileScan node echoes every residual filter in its DataFilters
+      // metadata, which would double-count the one Filter evaluation
+      val lower = p.linesIterator
+        .filterNot(_.contains("FileScan")).mkString("\n").toLowerCase
+      for ((exprName, want) <- wants) {
+        val got = exprName.r.findAllIn(lower).length
+        assert(got == want,
+          s"$name evaluates $exprName $got times (want $want):\n$p")
+      }
+    }
+  }
+
   test("reference near-dup probe: per-row filter, no shuffle, no join, " +
       "shingle subexpression computed once") {
     import spark.implicits._

@@ -223,11 +223,14 @@ class CorpusOpsSpec extends SparkSpec {
         badWords = Seq("Dynamite"))
       .select("doc_id").as[Long].collect().toSet
     assert(out2 == Set(1L, 9L), s"banned word must drop the page: $out2")
-    // loud config + stale-column guards
+    // loud config guard; the fused keep/rebuild expressions use no
+    // temp columns, so a user column that collides with the OLD
+    // implementation's scratch name passes through untouched
     intercept[IllegalArgumentException](
       TextAnalysis.c4Filter(corpus, "text", minSentences = 0))
-    intercept[IllegalArgumentException](TextAnalysis.c4Filter(
-      corpus.withColumn("__c4bad", lit(true)), "text"))
+    assert(TextAnalysis.c4Filter(
+      corpus.withColumn("__c4bad", lit(true)), "text")
+      .columns.contains("__c4bad"))
     // curation stage: pipeline + observed agree (the stage drops pages
     // and rewrites text before lang-id/repetition see them)
     val cfg = Curation.PipelineConfig(c4Rules = true,
@@ -287,15 +290,22 @@ class CorpusOpsSpec extends SparkSpec {
     val base = "the quick brown fox and seven friends have been with us "
     val good = (base * 4).trim + "\nsecond line of plain words here\n" +
       "third line closes the page"
+    // doc 4: >90% bullet lines (Gopher's structural rule removes pages
+    // where MORE than 90% of lines start with a bullet — 30 of 33 =
+    // 0.909; the lines stay alphabetic and distinct so ONLY the bullet
+    // rule trips)
+    val bullets = (1 to 30).map(i => s"-item$i extra words here")
+      .mkString("\n", "\n", "")
     val corpus = Seq(
       (1L, good),
       (2L, "too few words to pass the floor"),
-      (3L, good + " ### " + ("# " * 10).trim),            // symbol ratio
-      (4L, good + "\n• bullet one\n• bullet two\n• three" +
-        "\n• four\n• five\n• six\n• seven\n• eight"),     // bullet lines
+      (3L, good + " ### " + ("# " * 10).trim),            // hash ratio
+      (4L, good + bullets),                               // bullet lines
       (5L, good + "...\nalso ends with dots...\nand another one…"), // ellipses
       (6L, good + " " + (1 to 40).map(i => 1000 + i).mkString(" ")), // alpha
-      (7L, ("zzz qqq kkk vvv " * 15).trim + "\nmore zzz qqq kkk vvv")
+      (7L, ("zzz qqq kkk vvv " * 15).trim + "\nmore zzz qqq kkk vvv"),
+      (8L, good + " " + ("... " * 9) + "closing words here") // ellipsis ratio
+                          // (mid-line dots: the line-ending rule stays off)
     ).toDF("doc_id", "text")
     val sig = TextAnalysis.gopherSignals(corpus, "text")
       .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
@@ -305,6 +315,14 @@ class CorpusOpsSpec extends SparkSpec {
     assert(g.getAs[Long]("g_stopword_hits") >= 4) // the, and, have, with, of
     assert(g.getAs[Double]("g_alpha_word_frac") == 1.0)
     assert(g.getAs[Double]("g_bullet_line_frac") == 0.0)
+    // the hash and ellipsis ratios gate SEPARATELY (the paper's 0.1 cap
+    // applies to each symbol family, not their sum): doc 3 trips hash
+    // only, doc 8 trips ellipsis only (9 "..." / 67 words = 0.134)
+    assert(sig(3L).getAs[Double]("g_hash_ratio") > 0.1 &&
+      sig(3L).getAs[Double]("g_ellipsis_ratio") == 0.0)
+    assert(sig(8L).getAs[Double]("g_hash_ratio") == 0.0 &&
+      sig(8L).getAs[Double]("g_ellipsis_ratio") > 0.1)
+    assert(sig(4L).getAs[Double]("g_bullet_line_frac") > 0.9)
     // doc 7 has zero stop words — the signal sees none
     assert(sig(7L).getAs[Long]("g_stopword_hits") == 0)
     val kept = TextAnalysis.gopherFilter(corpus, "text")
