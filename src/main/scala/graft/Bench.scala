@@ -243,6 +243,61 @@ object Bench {
           timeQuery(base, SparkEntry.queries(base), pauseMs = 750)
         (key, med)
       }
+    // Capstone pipeline bench (round-13): the stage list of
+    // examples/pretrain_curation.yaml measured END-TO-END — URL hygiene
+    // → lang-id → repetition → line dedup → substring dedup → soft
+    // exact-dedup → decontaminate-excise → decontaminate-drop → token
+    // budget → sharded write — because the product a training-data
+    // team runs is the pipeline, not its stages, and per-query numbers
+    // can't show cross-stage effects (the fused quality walk, the
+    // checkpoint placement). Model prep (the lang-id NB training, a
+    // bounded model-table job) runs untimed first, like any production
+    // run that reuses a trained seed; the timed section is raw crawl
+    // in → training shards on disk. Reported in the JSON tail as
+    // "pipeline": sec, docs in, survivors out, docs/sec, and the
+    // per-stage observed survivor counts.
+    val pipelineBench: Option[(Double, Long, Long, Map[String, Long])] =
+      if (queryArgs.nonEmpty) None
+      else try {
+        import org.apache.spark.sql.functions._
+        settle(750)
+        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(col("doc_id"), col("text"), col("lang"))
+        val seed = docs.limit(500)
+        val (model, stats) = graft.llm.LangId.train(seed, "text", "lang")
+        // a bounded "eval suite": the longest documents stand in for
+        // benchmark passages (>= 50-token windows need >= ~300 chars)
+        val probes = docs.filter(length(col("text")) >= 400)
+          .select(col("text")).limit(50).localCheckpoint(true)
+        val docsIn = docs.count()
+        val cfg = graft.llm.Curation.PipelineConfig(
+          blocklist = Seq("spam.example.com"),
+          langId = Some((model, stats, Seq("en"))),
+          maxDupWordFrac = 0.5, maxDupNgramFrac = 0.5,
+          maxTopNgramFrac = 0.4,
+          lineDedupMinDocs = Some(4),
+          substringDedupWindow = Some(50),
+          softDedup = true,
+          decontaminateExciseProbes = Some(probes),
+          contaminationProbes = Some(probes),
+          maxContamination = 0.5,
+          // ~10 tokens/doc of budget: bites (docs average ~50 tokens)
+          // without truncating the corpus to a handful of rows, and
+          // scales with the input so every ramp point exercises the cut
+          tokenBudget = Some(docsIn * 10L), tokenBudgetShards = 4)
+        val t0 = System.nanoTime()
+        val (out, counts) = graft.llm.Curation.pipelineObserved(
+          docs, "doc_id", "text", cfg)
+        graft.llm.Shuffling.writeShards(out, "doc_id",
+          "target/tmp/queries/pipeline_shards", 42L, 4)
+        val secs = (System.nanoTime() - t0) / 1e9
+        val m = counts()
+        Some((secs, docsIn, m("kept"), m))
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] pipeline bench FAILED: ${e.getMessage}")
+        None
+      }
+
     // round to 0.1ms: halves the line length of the 70-query maps —
     // the driver tail-captures stdout, and round 6's full-precision
     // line outgrew the capture window, truncating from the FRONT and
@@ -265,7 +320,12 @@ object Bench {
     // metric so earlier single-shot rounds aren't compared like-for-like).
     val iso = isolated.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val tail = s""""metric":"total","unit":"sec","bench_version":2,"iters":$iters,"value":${r4(total)},"total_cold":${r4(totalCold)},"isolated":$iso,"failed":$fs,"sf":"$sfDir""""
+    val pipeJson = pipelineBench.map { case (secs, in, kept, m) =>
+      val stages = m.toSeq.sortBy(_._2)(Ordering[Long].reverse)
+        .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
+      s""","pipeline":{"sec":${r4(secs)},"docs_in":$in,"kept":$kept,"docs_per_sec":${r4(in / secs)},"stages":$stages}"""
+    }.getOrElse("")
+    val tail = s""""metric":"total","unit":"sec","bench_version":2,"iters":$iters,"value":${r4(total)},"total_cold":${r4(totalCold)},"isolated":$iso$pipeJson,"failed":$fs,"sf":"$sfDir""""
     val full = s"""{"queries":$qs,"cold":$cs,$tail}"""
     println(full)
     println(s"""{$tail}""")

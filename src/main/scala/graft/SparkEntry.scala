@@ -828,6 +828,34 @@ object SparkEntry {
           col("span_end").cast("long").as("span_end"))
     },
 
+    // --- EDIT-TOLERANT span decontamination (winnowing fingerprints →
+    // gram-run clustering → overlap verify): a 359-char planted slab is
+    // INSERTED at char offset 40 of every 7th doc, and every 14th doc's
+    // copy carries a single same-length token edit in the middle — the
+    // exact leak shape the verbatim window pass misses entirely. The
+    // matched-gram-run bounds are id-arithmetic (first/last clean slab
+    // gram), so the expected excision is the slab itself in BOTH
+    // variants (the edit's corrupted grams bridge inside the cluster):
+    // output text = the doc with the slab removed (two flanking spaces
+    // survive), contaminated_chars = 359. Clean docs pass through
+    // byte-identical with 0. Per-row plan: two bounded sorted probe
+    // indexes ride the plan; no shuffle, no join (streamable) ---
+    "q_decontaminate_fuzzy" -> { (s, dir) =>
+      val slab = (1 to 60).map(i => f"qw$i%03d").mkString(" ")
+      val slabEd = slab.replace("qw030", "xx030")
+      val t0 = col("text")
+      val corpus = t(s, dir, "documents").select(col("doc_id"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(t0.substr(lit(1), lit(40)), lit(" "),
+            when(pmod(col("doc_id"), lit(14)) === 0, lit(slabEd))
+              .otherwise(lit(slab)),
+            lit(" "), t0.substr(lit(41), length(t0))))
+          .otherwise(t0).as("text"))
+      val probes = s.range(1).select(lit(slab).as("text"))
+      Contamination.decontaminateFuzzy(corpus, probes,
+        "doc_id", "text", "text")
+    },
+
     // --- repetition metrics: per-doc duplicate-word / duplicate-n-gram /
     // modal-n-gram fractions from the one-pass native GramRepetition
     // stats (no explode, no shuffle). Copies with a 5x-repeated phrase
@@ -4178,6 +4206,23 @@ object SparkEntry {
         |SELECT doc_id, CAST(min(s) AS BIGINT) AS span_start,
         |  CAST(max(e) AS BIGINT) AS span_end
         |FROM isl GROUP BY doc_id, g""".stripMargin,
+
+    // fuzzy (edit-tolerant) excision: the oracle is the PLANT
+    // ARITHMETIC, not a winnowing replay — the operator's contract is
+    // that matched-gram-run bounds equal the planted slab exactly
+    // (first/last clean gram of a slab whose single middle-token edit
+    // bridges inside the cluster), so the expected output is the doc
+    // with the 359-char slab removed and its two flanking spaces kept
+    "q_decontaminate_fuzzy" -> {
+      val slab = (1 to 60).map(i => f"qw$i%03d").mkString(" ")
+      s"""SELECT doc_id,
+        |  CASE WHEN doc_id % 7 = 0
+        |    THEN substr(text, 1, 40) || '  ' || substr(text, 41)
+        |    ELSE text END AS text,
+        |  CAST(CASE WHEN doc_id % 7 = 0 THEN ${slab.length} ELSE 0 END
+        |    AS BIGINT) AS contaminated_chars
+        |FROM documents""".stripMargin
+    },
 
     "q_repetition" ->
       """WITH corpus AS (

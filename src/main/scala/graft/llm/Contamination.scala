@@ -302,14 +302,25 @@ object Contamination {
                           charsCol: String = "contaminated_chars")
       : DataFrame = {
     require(corpus.columns.contains(textCol), s"no such column '$textCol'")
-    Guards.requireFreshColumns(corpus, Seq("__ivs", charsCol),
-      "Contamination.decontaminateExcise")
     require(!probes.isStreaming,
       "probe corpus must be a static (batch) frame — the probe index " +
         "collects once; the CORPUS side may stream")
     val hs = probeWindowHashes(probes, probeTextCol, w, maxProbeWindows)
+    exciseSpans(corpus, textCol,
+      matchedSpans(textCol, hs, w, stride), charsCol)
+  }
+
+  /** Cut every [s, e) span of `spansCol` (an ordered, disjoint
+    * array<struct<s:int, e:int, …>> in codepoints) out of `textCol`,
+    * reporting the codepoints removed in `charsCol` — the positional
+    * reassembly shared by the verbatim and fuzzy excision passes (the
+    * same fold as [[Spans.exciseIntervals]]). Null text passes through
+    * null with 0 chars. */
+  private def exciseSpans(corpus: DataFrame, textCol: String,
+                          spansCol: Column, charsCol: String): DataFrame = {
+    Guards.requireFreshColumns(corpus, Seq("__ivs", charsCol),
+      "Contamination.exciseSpans")
     val t = col(textCol)
-    // positional reassembly — the same fold as [[Spans.exciseIntervals]]
     val rebuilt = aggregate(
       col("__ivs"),
       struct(lit(0).as("p"), lit("").as("acc")),
@@ -319,7 +330,7 @@ object Contamination {
           .as("acc")),
       st => concat(st("acc"), t.substr(st("p") + lit(1), length(t) - st("p"))))
     corpus
-      .withColumn("__ivs", matchedSpans(textCol, hs, w, stride))
+      .withColumn("__ivs", spansCol)
       .withColumn(charsCol,
         coalesce(aggregate(col("__ivs"), lit(0L),
           (a, iv) => a + (iv("e") - iv("s")).cast("long")), lit(0L)))
@@ -327,5 +338,108 @@ object Contamination {
         when(col("__ivs").isNull || size(col("__ivs")) === 0, t)
           .otherwise(rebuilt))
       .drop("__ivs")
+  }
+
+  // ------------------------------------------------------------------
+  // EDIT-TOLERANT (near-verbatim) span decontamination: the winnowing-
+  // fingerprint complement to the verbatim pass above. A leaked eval
+  // passage with one token changed produces zero matching verbatim
+  // windows — decontaminateExcise misses it entirely, and the fuzzy
+  // n-gram decontaminate only drops at DOCUMENT granularity. This pass
+  // localizes the near-verbatim region (winnow seed → char-gram run
+  // clustering → overlap verify, graft.functions.FuzzySpanExprs) and
+  // excises it with the same positional rebuild, keeping the document.
+  //
+  // Guarantee (documented on FuzzySpanExprs, unit-pinned): a leak is
+  // detected iff it contains a clean stretch of >= w + k - 1
+  // codepoints; reported bounds are matched-gram-run bounds, so edits
+  // within k codepoints of a leak edge shrink the cut by that edge's
+  // corrupted-gram neighborhood. Same scale shape as the verbatim
+  // pass: two bounded sorted probe indexes (loud caps) riding the
+  // plan, ONE per-row projection, no shuffle, no join — streams.
+  // ------------------------------------------------------------------
+
+  /** The fuzzy probe indexes: distinct winnowing-fingerprint values
+    * (the SEED index — [[graft.functions.SketchExprs.winnowFingerprints]],
+    * so the hash family is the pinned portable polynomial) and
+    * distinct char-gram hashes (the LOCALIZE/VERIFY index), both
+    * sorted, both loudly capped. */
+  private[llm] def fuzzyProbeIndex(probes: DataFrame, probeTextCol: String,
+                                   k: Int, w: Int, maxProbeGrams: Int)
+      : (Array[Long], Array[Long]) = {
+    require(maxProbeGrams >= 1, s"maxProbeGrams must be >= 1: $maxProbeGrams")
+    val txt = col(probeTextCol).cast("string")
+    val fpRows = probes
+      .select(explode(graft.functions.SketchExprs
+        .winnowFingerprints(txt, k, w)).as("__f"))
+      .select(col("__f")("h")).distinct()
+      .limit(maxProbeGrams + 1).collect()
+    val gramRows = probes
+      .select(explode(graft.functions.FuzzySpanExprs
+        .polyGramHashes(txt, k)).as("__g"))
+      .distinct().limit(maxProbeGrams + 1).collect()
+    require(gramRows.length <= maxProbeGrams,
+      s"probe corpus exceeds maxProbeGrams=$maxProbeGrams distinct " +
+        s"$k-codepoint grams — this operator broadcasts the probe " +
+        "index into a per-row projection and is sized for bounded " +
+        "eval suites; raise the cap deliberately or pre-trim the probes")
+    require(gramRows.nonEmpty,
+      s"probe corpus yields no $k-codepoint grams (every probe is " +
+        s"shorter than $k codepoints?) — nothing could ever match")
+    val fps = fpRows.map(_.getLong(0)); java.util.Arrays.sort(fps)
+    val grams = gramRows.map(_.getLong(0)); java.util.Arrays.sort(grams)
+    (fps, grams)
+  }
+
+  /** Report surface: one row per (id, matched near-verbatim span) with
+    * codepoint bounds plus the matched/total gram counts the verify
+    * step used — what [[decontaminateFuzzy]] would cut. */
+  def fuzzyContaminationSpans(corpus: DataFrame, probes: DataFrame,
+                              idCol: String, textCol: String,
+                              probeTextCol: String, k: Int = 16,
+                              w: Int = 32, maxGapGrams: Int = 64,
+                              minOverlap: Double = 0.5,
+                              minSpanGrams: Int = 32,
+                              maxProbeGrams: Int = 1 << 22): DataFrame = {
+    val (fps, grams) = fuzzyProbeIndex(probes, probeTextCol, k, w,
+      maxProbeGrams)
+    corpus
+      .select(col(idCol),
+        explode(graft.functions.FuzzySpanExprs.fuzzyMatchSpans(
+          col(textCol), fps, grams, k, w, maxGapGrams, minOverlap,
+          minSpanGrams)).as("__iv"))
+      .select(col(idCol), col("__iv")("s").as("span_start"),
+        col("__iv")("e").as("span_end"),
+        col("__iv")("matched").as("matched_grams"),
+        col("__iv")("total").as("total_grams"))
+  }
+
+  /** The corpus pass: every near-verbatim probe span (winnow seed →
+    * gram-run cluster → >= minOverlap verify) is excised from
+    * `textCol` (document KEPT — the same husk contract as the
+    * verbatim pass) and `charsCol` reports the codepoints removed.
+    * Defaults: k = 16, w = 32 → detection needs a clean stretch of
+    * >= 47 codepoints; maxGapGrams = 64 bridges a few adjacent edits
+    * (one e-codepoint edit corrupts <= k + e - 1 grams); minSpanGrams
+    * = 32 + minOverlap = 0.5 reject incidental shared phrases. Pure
+    * per-row projection — streams unchanged. */
+  def decontaminateFuzzy(corpus: DataFrame, probes: DataFrame,
+                         idCol: String, textCol: String,
+                         probeTextCol: String, k: Int = 16,
+                         w: Int = 32, maxGapGrams: Int = 64,
+                         minOverlap: Double = 0.5,
+                         minSpanGrams: Int = 32,
+                         maxProbeGrams: Int = 1 << 22,
+                         charsCol: String = "contaminated_chars")
+      : DataFrame = {
+    require(corpus.columns.contains(textCol), s"no such column '$textCol'")
+    require(!probes.isStreaming,
+      "probe corpus must be a static (batch) frame — the probe index " +
+        "collects once; the CORPUS side may stream")
+    val (fps, grams) = fuzzyProbeIndex(probes, probeTextCol, k, w,
+      maxProbeGrams)
+    exciseSpans(corpus, textCol,
+      graft.functions.FuzzySpanExprs.fuzzyMatchSpans(col(textCol), fps,
+        grams, k, w, maxGapGrams, minOverlap, minSpanGrams), charsCol)
   }
 }

@@ -683,6 +683,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate-fuzzy: the edit-tolerant pass is the same ONE " +
+      "shuffle-free projection shape as the verbatim pass") {
+    import spark.implicits._
+    val probes = Seq((1 to 20).map(i => f"fz$i%03d").mkString(" "))
+      .toDF("text")
+    val out = graft.llm.Contamination.decontaminateFuzzy(
+      sf("documents").select(col("doc_id"), col("text")),
+      probes, "doc_id", "text", "text")
+    assert(shuffleOutputs(out).isEmpty,
+      "fuzzy decontamination must not shuffle — both probe indexes are " +
+        "plan-side, everything else is per-row")
+    val p = out.queryExecution.executedPlan.toString
+    assert(!p.contains("Join"), s"no join belongs in this plan:\n$p")
+  }
+
   test("reference near-dup probe: per-row filter, no shuffle, no join, " +
       "shingle subexpression computed once") {
     import spark.implicits._

@@ -505,11 +505,89 @@ class CorpusOpsSpec extends SparkSpec {
     // null text passes through as null with 0 contaminated chars
     val withNull = corpus.union(Seq((9L, null: String))
       .toDF("doc_id", "text"))
+    // (fuzzy variant tested separately below)
     val nrow = Contamination.decontaminateExcise(withNull, probes,
         "doc_id", "text", "text", w = 4)
       .filter($"doc_id" === 9L)
       .select("text", "contaminated_chars").collect().head
     assert(nrow.isNullAt(0) && nrow.getLong(1) == 0L)
+  }
+
+  test("decontaminateFuzzy: edit-tolerant excision — verbatim and " +
+      "single-edit leaks cut identically, the guarantee boundary " +
+      "misses densely-edited leaks, probe hash family pinned") {
+    // 20 planted 5-char words + spaces = 119 chars, 104 grams at k=16
+    val slab = (1 to 20).map(i => f"fz$i%03d").mkString(" ")
+    val slabEdited = slab.replace("fz010", "xx010")     // same length
+    // edits every 3rd word → clean stretches ~2 words = 11 chars,
+    // far under the w + k - 1 = 47-codepoint detection guarantee
+    val slabDense = (1 to 20).map(i =>
+      if (i % 3 == 0) f"xx$i%03d" else f"fz$i%03d").mkString(" ")
+    val prefix = "plain leading words here and"        // 28 chars
+    val suffix = "trailing words close the doc"
+    val gap = (1 to 30).map(i => s"gap$i").mkString(" ") // >> 64-gram gap
+    val corpus = Seq(
+      (1L, s"$prefix $slab $suffix"),          // verbatim leak
+      (2L, s"$prefix $slabEdited $suffix"),    // single middle edit
+      (3L, s"$prefix plain content only here"),// clean
+      (4L, s"$prefix $slabDense $suffix"),     // defeats the guarantee
+      (5L, slab),                              // husk
+      (6L, s"$slab $gap $slab")                // two far-apart leaks
+    ).toDF("doc_id", "text")
+    val probes = Seq(slab).toDF("text")
+    val out = Contamination.decontaminateFuzzy(corpus, probes,
+        "doc_id", "text", "text")
+      .orderBy("doc_id").select("doc_id", "text", "contaminated_chars")
+      .as[(Long, String, Long)].collect()
+    assert(out(0) == (1L, s"$prefix  $suffix", slab.length.toLong),
+      s"verbatim leak cut exactly (flanking spaces kept): ${out(0)}")
+    assert(out(1) == (2L, s"$prefix  $suffix", slab.length.toLong),
+      s"a single same-length token edit must not change the cut " +
+        s"(the corrupted grams bridge inside the cluster): ${out(1)}")
+    assert(out(2)._2 == s"$prefix plain content only here" &&
+      out(2)._3 == 0L, s"clean doc byte-identical: ${out(2)}")
+    assert(out(3)._2 == s"$prefix $slabDense $suffix" && out(3)._3 == 0L,
+      "edits spaced under w + k - 1 codepoints defeat the winnow seed " +
+        s"— the documented miss boundary: ${out(3)}")
+    assert(out(4) == (5L, "", slab.length.toLong),
+      s"husk contract: ${out(4)}")
+    assert(out(5)._3 == 2L * slab.length,
+      s"two disjoint leaks cut independently: ${out(5)}")
+    // report surface agrees: doc 6 shows two spans, bounds exact
+    val spans = Contamination.fuzzyContaminationSpans(corpus, probes,
+        "doc_id", "text", "text")
+      .orderBy("doc_id", "span_start")
+      .select("doc_id", "span_start", "span_end", "matched_grams",
+        "total_grams")
+      .as[(Long, Int, Int, Int, Int)].collect()
+    assert(spans.count(_._1 == 6L) == 2,
+      s"two far-apart leaks = two spans: ${spans.toSeq}")
+    val s1 = spans.find(_._1 == 1L).get
+    assert(s1._2 == prefix.length + 1 && s1._3 == prefix.length + 1 +
+      slab.length, s"verbatim bounds are the slab exactly: $s1")
+    assert(s1._4 == s1._5, "verbatim leak: every gram in the run matches")
+    val s2 = spans.find(_._1 == 2L).get
+    assert(s2._2 == s1._2 && s2._3 == s1._3 && s2._4 < s2._5,
+      s"edited leak: same bounds, corrupted grams inside: $s2")
+    // hash-family pin: the probe SEED index is built from
+    // WinnowFingerprints, whose selections must be a subset of the
+    // PolyGramHashes image — drift in either formula breaks the subset
+    val fps = probes.select(explode(graft.functions.SketchExprs
+        .winnowFingerprints(col("text"), 16, 32)).as("f"))
+      .select($"f.h").as[Long].collect().toSet
+    val grams = probes.select(explode(graft.functions.FuzzySpanExprs
+        .polyGramHashes(col("text"), 16)).as("g"))
+      .as[Long].collect().toSet
+    assert(fps.nonEmpty && fps.subsetOf(grams),
+      "winnow fingerprint values must come from the poly gram-hash image")
+    // loud guards: probes shorter than k, null text passthrough
+    intercept[IllegalArgumentException](Contamination.decontaminateFuzzy(
+      corpus, Seq("tiny").toDF("text"), "doc_id", "text", "text"))
+    val nfz = Contamination.decontaminateFuzzy(
+        Seq((9L, null: String)).toDF("doc_id", "text"), probes,
+        "doc_id", "text", "text")
+      .select("text", "contaminated_chars").collect().head
+    assert(nfz.isNullAt(0) && nfz.getLong(1) == 0L)
   }
 
   test("contamination: hashed grams are the exact xxhash64 image of string grams") {
