@@ -100,15 +100,21 @@ object Bench {
     // without a separate bench invocation. Defaults to 5 on a full run,
     // 0 when specific queries were named (those ARE the isolated run).
     val isolateIdx = args.indexOf("--isolate")
+    // --pipeline: run ONLY the capstone pipeline bench (ramp tooling —
+    // a full 212-query suite run is the wrong vehicle for a scale
+    // point's pipeline figure)
+    val pipelineOnly = args.contains("--pipeline")
     val queryArgs =
-      if (isolateIdx < 0) args.toSeq
-      else args.toSeq.patch(isolateIdx, Nil, 2)
+      (if (isolateIdx < 0) args.toSeq
+       else args.toSeq.patch(isolateIdx, Nil, 2))
+        .filterNot(_ == "--pipeline")
     val isolateN =
       if (isolateIdx >= 0) args(isolateIdx + 1).toInt
       else sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").map(_.toInt)
         .getOrElse(if (queryArgs.isEmpty) 10 else 0)
     val selected: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] =
-      if (queryArgs.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
+      if (pipelineOnly) Nil
+      else if (queryArgs.isEmpty) SparkEntry.queries.toSeq.sortBy(_._1)
       else queryArgs.map(n => n -> SparkEntry.queries.getOrElse(n,
         sys.error(s"unknown query: $n (known: ${SparkEntry.queries.keys.toSeq.sorted.mkString(", ")})")))
     val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt.max(1)
@@ -257,7 +263,7 @@ object Bench {
     // "pipeline": sec, docs in, survivors out, docs/sec, and the
     // per-stage observed survivor counts.
     val pipelineBench: Option[(Double, Long, Long, Map[String, Long])] =
-      if (queryArgs.nonEmpty) None
+      if (queryArgs.nonEmpty && !pipelineOnly) None
       else try {
         import org.apache.spark.sql.functions._
         settle(750)
@@ -338,7 +344,7 @@ object Bench {
     catch { case _: java.io.IOException => () }
     // full runs append to the committed history so the NEXT run can
     // compute round-over-round movers at the same sf
-    if (queryArgs.isEmpty && failed.isEmpty)
+    if (queryArgs.isEmpty && !pipelineOnly && failed.isEmpty)
       try java.nio.file.Files.write(histFile,
         (s"""{"sf":"$sfDir","iters":$iters,"queries":$qs}""" + "\n")
           .getBytes("UTF-8"),

@@ -794,6 +794,8 @@ object Main {
         graft.sources.Connectors.read(spark, cs.probesUri, Map.empty))
       val exciseFrames = cur.decontaminateExcise.map(es =>
         graft.sources.Connectors.read(spark, es.probesUri, Map.empty))
+      val fuzzyFrames = cur.decontaminateFuzzy.map(fs =>
+        graft.sources.Connectors.read(spark, fs.probesUri, Map.empty))
       val refFrame = cur.referenceUri.map(u =>
         graft.sources.Connectors.read(spark, u, Map.empty))
       val langIdFrames = cur.langId.map(trainLangId(spark, _))
@@ -828,6 +830,11 @@ object Main {
           cur.decontaminateExcise.map(_.window).getOrElse(50),
         decontaminateExciseProbeTextCol =
           cur.decontaminateExcise.map(_.textColumn).getOrElse("text"),
+        decontaminateFuzzyProbes = fuzzyFrames,
+        decontaminateFuzzyK = cur.decontaminateFuzzy.map(_.k).getOrElse(16),
+        decontaminateFuzzyW = cur.decontaminateFuzzy.map(_.w).getOrElse(32),
+        decontaminateFuzzyProbeTextCol =
+          cur.decontaminateFuzzy.map(_.textColumn).getOrElse("text"),
         contaminationProbes = probeFrames,
         contaminationProbeTextCol =
           cur.contamination.map(_.textColumn).getOrElse("text"),
@@ -951,6 +958,8 @@ object Main {
       // once into the per-row projection every micro-batch runs
       val exciseFrames = cur.decontaminateExcise.map(es =>
         graft.sources.Connectors.read(spark, es.probesUri, Map.empty))
+      val fuzzyFrames = cur.decontaminateFuzzy.map(fs =>
+        graft.sources.Connectors.read(spark, fs.probesUri, Map.empty))
       val pc = graft.llm.Curation.PipelineConfig(
         blocklist = cur.blocklist,
         maxDupWordFrac = cur.maxDupWordFrac,
@@ -980,6 +989,11 @@ object Main {
           cur.decontaminateExcise.map(_.window).getOrElse(50),
         decontaminateExciseProbeTextCol =
           cur.decontaminateExcise.map(_.textColumn).getOrElse("text"),
+        decontaminateFuzzyProbes = fuzzyFrames,
+        decontaminateFuzzyK = cur.decontaminateFuzzy.map(_.k).getOrElse(16),
+        decontaminateFuzzyW = cur.decontaminateFuzzy.map(_.w).getOrElse(32),
+        decontaminateFuzzyProbeTextCol =
+          cur.decontaminateFuzzy.map(_.textColumn).getOrElse("text"),
         // live in stream mode: a per-row broadcast probe over the
         // driver-collected reference index
         referenceNearDup = cur.referenceNearDup)

@@ -1,7 +1,7 @@
 package graft
 
 import graft.infer.{CellInference, DateFormats}
-import graft.llm.{Boilerplate, Chunking, Contamination, Curation, Dedup, LmScore, Multimodal, Packing, Paragraphs, Repetition, Sampling, Shuffling, Similarity, Spans, SubstringDedup, TextAnalysis, Urls}
+import graft.llm.{Boilerplate, Chunking, Contamination, Curation, Dedup, Dsir, LmScore, Multimodal, Packing, Paragraphs, Repetition, Sampling, Shuffling, Similarity, Spans, SubstringDedup, TextAnalysis, Urls}
 import graft.sources.{AvroConnector, Connectors}
 import graft.streaming.EventsStreaming
 import graft.transform.Transform
@@ -659,6 +659,36 @@ object SparkEntry {
           weights = Map("en" -> 0.5, "de" -> 0.2, "fr" -> 0.2, "es" -> 0.1),
           bucketFn = Sampling.portableBucket)
         .select(col("doc_id"), col("lang"), col("source"))
+    },
+
+    // --- DSIR importance weights (Xie 2023): target = the corpus's
+    // English documents, raw = everything; every document scores
+    // Σ ln(p̂_target/p̂_raw) over its hashed unigram+bigram buckets —
+    // EXACT integer micro-nats (per-bucket ratios quantized once), so
+    // the oracle re-derives counts → Laplace ratios → per-doc sums and
+    // compares integers, no double rounding anywhere ---
+    "q_dsir_weights" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      Dsir.weights(docs.select(col("doc_id"), col("text")),
+          docs.filter(col("lang") === "en").select(col("text")),
+          "text", buckets = 512, ns = Seq(1, 2))
+        .select(col("doc_id"), col("dsir_logw_micro"))
+    },
+
+    // --- DSIR Gumbel-top-k resampling: keep the 120 raw documents with
+    // the largest logw + Gumbel(id) under the portable seeded uniform —
+    // the Gumbel-max trick, deterministic and fully replayed by the
+    // oracle (same counts, same quantized ratios, same noise, same
+    // micro-quantized ordering key, row_number <= k) ---
+    "q_dsir_sample" -> { (s, dir) =>
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("text"))
+      Dsir.resample(docs.select(col("doc_id"), col("text")),
+          docs.filter(col("lang") === "en").select(col("text")),
+          "doc_id", "text", k = 120, buckets = 512, ns = Seq(1, 2),
+          seed = 7L)
+        .select(col("doc_id"), col("dsir_logw_micro"))
     },
 
     // --- diversity-balanced sampling over embedding cells: PRE-TRAINED
@@ -3897,6 +3927,101 @@ object SparkEntry {
         |SELECT d.doc_id, d.lang, d.source
         |FROM documents d JOIN thr USING (lang)
         |WHERE ((d.doc_id % 1000000007) * 2654435761) % 1000000007 % 1000000 < thr""".stripMargin,
+
+    // DSIR: the whole derivation replayed — strict tokens, unigram +
+    // bigram strings, the portable poly-31 hash mod 512 buckets,
+    // Laplace +1 bucket models for target (lang = en) and raw (all),
+    // ratios quantized to integer micro-nats exactly like the engine
+    // (floor(x·1e9 + 0.5)), per-doc weights as exact integer sums
+    "q_dsir_weights" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(tk) AS g FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i + 1])) AS g
+        |  FROM tok
+        |), hb AS (
+        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(g) + 1),
+        |        i -> CAST(ascii(substr(g, i, 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 2147483647) % 512 AS b
+        |  FROM grams
+        |), tcnt AS (
+        |  SELECT b, count(*) AS c FROM hb
+        |  JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b
+        |), rcnt AS (
+        |  SELECT b, count(*) AS c FROM hb GROUP BY b
+        |), tot AS (
+        |  SELECT (SELECT count(*) FROM hb JOIN documents USING (doc_id)
+        |          WHERE lang = 'en') AS tt,
+        |         (SELECT count(*) FROM hb) AS tr
+        |), lq AS (
+        |  SELECT r.b,
+        |    CAST(floor((ln((coalesce(t.c, 0) + 1) / CAST(tt + 512 AS DOUBLE))
+        |      - ln((r.c + 1) / CAST(tr + 512 AS DOUBLE))) * 1e9 + 0.5)
+        |      AS BIGINT) AS lq
+        |  FROM rcnt r LEFT JOIN tcnt t USING (b) CROSS JOIN tot
+        |)
+        |SELECT k.doc_id, CAST(coalesce(s.w, 0) AS BIGINT) AS dsir_logw_micro
+        |FROM tok k LEFT JOIN (
+        |  SELECT doc_id, sum(lq) AS w FROM hb JOIN lq USING (b)
+        |  GROUP BY doc_id
+        |) s USING (doc_id)""".stripMargin,
+
+    // the resample: same weights, plus the portable Gumbel noise
+    // (u = (knuth(id + 7) + 0.5)/1e6, g = -ln(-ln u)) and the
+    // micro-quantized ordering key; top 120 by (key desc, id asc)
+    "q_dsir_sample" ->
+      """WITH tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'),
+        |    x -> len(x) > 0) AS tk
+        |  FROM documents
+        |), grams AS (
+        |  SELECT doc_id, unnest(tk) AS g FROM tok
+        |  UNION ALL
+        |  SELECT doc_id, unnest(list_transform(range(1, len(tk)),
+        |    i -> tk[i] || ' ' || tk[i + 1])) AS g
+        |  FROM tok
+        |), hb AS (
+        |  SELECT doc_id, list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(g) + 1),
+        |        i -> CAST(ascii(substr(g, i, 1)) AS BIGINT))),
+        |    (a, b) -> (a * 31 + b) % 2147483647) % 512 AS b
+        |  FROM grams
+        |), tcnt AS (
+        |  SELECT b, count(*) AS c FROM hb
+        |  JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY b
+        |), rcnt AS (
+        |  SELECT b, count(*) AS c FROM hb GROUP BY b
+        |), tot AS (
+        |  SELECT (SELECT count(*) FROM hb JOIN documents USING (doc_id)
+        |          WHERE lang = 'en') AS tt,
+        |         (SELECT count(*) FROM hb) AS tr
+        |), lq AS (
+        |  SELECT r.b,
+        |    CAST(floor((ln((coalesce(t.c, 0) + 1) / CAST(tt + 512 AS DOUBLE))
+        |      - ln((r.c + 1) / CAST(tr + 512 AS DOUBLE))) * 1e9 + 0.5)
+        |      AS BIGINT) AS lq
+        |  FROM rcnt r LEFT JOIN tcnt t USING (b) CROSS JOIN tot
+        |), w AS (
+        |  SELECT k.doc_id, CAST(coalesce(s.w, 0) AS BIGINT)
+        |    AS dsir_logw_micro
+        |  FROM tok k LEFT JOIN (
+        |    SELECT doc_id, sum(lq) AS w FROM hb JOIN lq USING (b)
+        |    GROUP BY doc_id
+        |  ) s USING (doc_id)
+        |)
+        |SELECT doc_id, dsir_logw_micro
+        |FROM w
+        |QUALIFY row_number() OVER (ORDER BY
+        |  floor((dsir_logw_micro / 1e9
+        |    - ln(-ln((CAST((((doc_id + 7) % 1000000007) * 2654435761)
+        |        % 1000000007 % 1000000 AS DOUBLE) + 0.5) / 1000000.0)))
+        |    * 1e6 + 0.5) DESC, doc_id ASC) <= 120""".stripMargin,
 
     // the literal centroids differ only in dims 1/2 with equal norms,
     // so argmin(distance) == argmax(±e1 ±e2) == the sign quadrant;

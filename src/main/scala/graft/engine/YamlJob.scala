@@ -64,6 +64,17 @@ object YamlJob {
                                            textColumn: String = "text",
                                            window: Int = 50)
 
+  /** Near-verbatim (edit-tolerant) span decontamination
+    * (`decontaminate_fuzzy:`): winnowing-fingerprint seed → char-gram
+    * run clustering → overlap verify
+    * ([[graft.llm.Contamination.decontaminateFuzzy]]) — catches the
+    * leaked-but-lightly-edited spans the verbatim window stage cannot
+    * see. Per-row — valid in batch AND stream mode. */
+  final case class DecontaminateFuzzySpec(probesUri: String,
+                                          textColumn: String = "text",
+                                          k: Int = 16,
+                                          w: Int = 32)
+
   /** YAML mirror of [[graft.llm.Curation.PipelineConfig]] plus the
     * run-shape knobs that only make sense from a job file: `observed`
     * prints per-stage survivor counts, `shards` routes the write through
@@ -143,6 +154,10 @@ object YamlJob {
         * excise verbatim probe spans, keep the document (adds a
         * `contaminated_chars` column). Batch and stream mode. */
       decontaminateExcise: Option[DecontaminateExciseSpec] = None,
+      /** `decontaminate_fuzzy: {probes_uri: <uri>, k: 16, w: 32}` —
+        * excise NEAR-verbatim probe spans (edit-tolerant winnowing
+        * pass; adds `near_contaminated_chars`). Batch and stream. */
+      decontaminateFuzzy: Option[DecontaminateFuzzySpec] = None,
       /** `lang_id: {seed: <uri>, allow: [en, de], ...}` — train a
         * char-n-gram NB language classifier on the labeled seed table
         * and keep only documents predicted in the allow set. Per-row;
@@ -292,7 +307,7 @@ object YamlJob {
         "mode", "ts_column", "dedup_horizon", "checkpoint", "trigger",
         "reference", "reference_near_dup",
         "substring_dedup_window", "soft_dedup", "decontaminate_excise",
-        "c4_rules", "gopher_rules")
+        "decontaminate_fuzzy", "c4_rules", "gopher_rules")
       // misspelled knobs must be loud — a silently ignored
       // `sample_fracton: 0.01` would ship 100× the intended corpus;
       // the same rule applies INSIDE the nested maps (a typo'd
@@ -498,6 +513,28 @@ object YamlJob {
                   .getOrElse(50))
             case other => throw graft.core.GraftError.Configuration(
               s"curation decontaminate_excise must be a map, got '$other'")
+          },
+        decontaminateFuzzy = c.get("decontaminate_fuzzy")
+          .flatMap(Option(_)).map {
+            case m: JMap[_, _] =>
+              val mm = m.asInstanceOf[JMap[String, Object]].asScala
+              checkKeys("curation decontaminate_fuzzy", mm.keySet,
+                Set("probes_uri", "text_column", "k", "w"))
+              DecontaminateFuzzySpec(
+                probesUri = sub(mm.getOrElse("probes_uri",
+                  throw graft.core.GraftError.Configuration(
+                    "curation decontaminate_fuzzy needs a probes_uri"))
+                  .toString),
+                textColumn = mm.get("text_column").map(v => sub(v.toString))
+                  .getOrElse("text"),
+                k = mm.get("k")
+                  .map(v => intOpt("decontaminate_fuzzy.k", v))
+                  .getOrElse(16),
+                w = mm.get("w")
+                  .map(v => intOpt("decontaminate_fuzzy.w", v))
+                  .getOrElse(32))
+            case other => throw graft.core.GraftError.Configuration(
+              s"curation decontaminate_fuzzy must be a map, got '$other'")
           },
         langId = c.get("lang_id").flatMap(Option(_)).map {
           case m: JMap[_, _] =>

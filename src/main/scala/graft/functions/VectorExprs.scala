@@ -329,7 +329,77 @@ object VectorExprs {
       copy(child = c)
   }
 
+  /** Exact integer dot product of two SORTED weighted posting arrays
+    * (`array<struct<h: long, w: long>>`, ascending by `h`) via one
+    * linear merge — O(|a| + |b|), no per-pair hash sets, no exploded
+    * (pair, term) rows. This is the verify inner loop of the tf-idf
+    * cosine join: the previous shape exploded every candidate pair
+    * into per-term rows and re-aggregated them by pair, whose hash-map
+    * pressure was the measured 28% GC loss at 3.1 GiB/core in the
+    * round-12 100× ramp — the merge form streams two bounded arrays
+    * per row instead.
+    *
+    * Accumulation is EXACT integer math with loud overflow
+    * (`Math.multiplyExact`/`addExact` → DataValidation): quantized
+    * tf·idf weights are < ~2^25, so a real corpus is orders of
+    * magnitude below the 2^63 sum bound — an overflow means broken
+    * inputs, not a rounding decision. Duplicate keys cannot occur on
+    * either side (one weight per term per doc) short of an 8-byte
+    * term-hash collision, the sketch family's standard 2^-64
+    * contract. */
+  case class DotSortedWeighted(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+    override def dataType: DataType = LongType
+    override def nullable: Boolean = left.nullable || right.nullable
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("dotSorted", this,
+        classOf[DotSortedWeighted].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.merge($a, $b);")
+    }
+
+    protected override def nullSafeEval(l: Any, r: Any): Any =
+      merge(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData])
+
+    def merge(a: ArrayData, b: ArrayData): Long = {
+      val na = a.numElements(); val nb = b.numElements()
+      var i = 0; var j = 0; var sum = 0L
+      try {
+        while (i < na && j < nb) {
+          val ra = a.getStruct(i, 2); val rb = b.getStruct(j, 2)
+          val ha = ra.getLong(0); val hb = rb.getLong(0)
+          if (ha < hb) i += 1
+          else if (ha > hb) j += 1
+          else {
+            sum = Math.addExact(sum,
+              Math.multiplyExact(ra.getLong(1), rb.getLong(1)))
+            i += 1; j += 1
+          }
+        }
+      } catch {
+        case _: ArithmeticException =>
+          throw graft.core.GraftError.DataValidation(
+            "dot_sorted_weighted: exact integer dot product exceeded " +
+              "Long range — weights this large mean broken quantization " +
+              "or corrupt inputs, not a rounding decision")
+      }
+      sum
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): DotSortedWeighted =
+      copy(left = l, right = r)
+  }
+
   // ------------------------- Column-level API ---------------------------
+
+  def dot_sorted_weighted(a: Column, b: Column): Column =
+    GraftBridge.column(DotSortedWeighted(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
 
   def srp_bits(vec: Column, planes: Int = 16, seed: Long = 42L): Column =
     GraftBridge.column(SrpBits(GraftBridge.expression(vec), planes, seed))

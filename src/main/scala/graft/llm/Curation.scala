@@ -193,6 +193,20 @@ object Curation {
       decontaminateExciseProbes: Option[DataFrame] = None,
       decontaminateExciseWindow: Int = 50,
       decontaminateExciseProbeTextCol: String = "text",
+      /** When set, EXCISE near-verbatim (edit-tolerant) probe spans —
+        * [[Contamination.decontaminateFuzzy]]: winnowing-fingerprint
+        * seed → char-gram run clustering → overlap verify, so a leaked
+        * eval passage with a token changed still loses its span where
+        * the verbatim stage above misses it. Runs right AFTER the
+        * verbatim excise stage (verbatim cuts are exact and cheap —
+        * the fuzzy pass then only pays for what verbatim could not
+        * see) and adds `near_contaminated_chars`. A pure per-row
+        * projection over two collected probe indexes — no shuffle, no
+        * join; streams unchanged in [[pipelineStream]]. */
+      decontaminateFuzzyProbes: Option[DataFrame] = None,
+      decontaminateFuzzyK: Int = 16,
+      decontaminateFuzzyW: Int = 32,
+      decontaminateFuzzyProbeTextCol: String = "text",
       /** When set, run [[Contamination.decontaminate]] against this
         * probe corpus AFTER dedup and BEFORE sampling (so the sample
         * fraction applies to the clean corpus). */
@@ -330,11 +344,21 @@ object Curation {
     // leaks, keep the doc — a pure per-row projection, no fan-out, no
     // checkpoint needed), THEN the drop-mode n-gram stage judges the
     // already-excised text
-    val excised = cfg.decontaminateExciseProbes match {
+    val excised0 = cfg.decontaminateExciseProbes match {
       case Some(p) =>
         Contamination.decontaminateExcise(deduped, p, idCol, textCol,
           cfg.decontaminateExciseProbeTextCol, cfg.decontaminateExciseWindow)
       case None => deduped
+    }
+    // near-verbatim excision AFTER the verbatim pass: exact cuts are
+    // cheap and deterministic, the fuzzy pass then only pays for the
+    // edited leaks verbatim windows cannot see
+    val excised = cfg.decontaminateFuzzyProbes match {
+      case Some(p) =>
+        Contamination.decontaminateFuzzy(excised0, p, idCol, textCol,
+          cfg.decontaminateFuzzyProbeTextCol, cfg.decontaminateFuzzyK,
+          cfg.decontaminateFuzzyW, charsCol = "near_contaminated_chars")
+      case None => excised0
     }
     // decontamination reads its corpus twice (gram scan + anti-join);
     // under the persist knob the deduped survivors are checkpointed so
@@ -469,11 +493,20 @@ object Curation {
     // is a bounded batch-side collect baked into a per-row projection
     // (no join, no state) — unlike the drop-mode n-gram stage, whose
     // corpus-ratio aggregation is rejected above
-    val excised = cfg.decontaminateExciseProbes match {
+    val excised0 = cfg.decontaminateExciseProbes match {
       case Some(p) =>
         Contamination.decontaminateExcise(deduped, p, idCol, textCol,
           cfg.decontaminateExciseProbeTextCol, cfg.decontaminateExciseWindow)
       case None => deduped
+    }
+    // the near-verbatim pass streams for the same structural reason
+    // (two bounded collected indexes, per-row projection)
+    val excised = cfg.decontaminateFuzzyProbes match {
+      case Some(p) =>
+        Contamination.decontaminateFuzzy(excised0, p, idCol, textCol,
+          cfg.decontaminateFuzzyProbeTextCol, cfg.decontaminateFuzzyK,
+          cfg.decontaminateFuzzyW, charsCol = "near_contaminated_chars")
+      case None => excised0
     }
     if (cfg.sampleFraction >= 1.0) excised
     else Sampling.byHash(excised, idCol, cfg.sampleFraction, cfg.bucketFn)
@@ -650,12 +683,20 @@ object Curation {
     }
     // substring-granularity excision keeps every row (counts
     // unchanged), so like the other row-preserving rewrites it carries
-    // no observation of its own
-    val dE = cfg.decontaminateExciseProbes match {
+    // no observation of its own; the near-verbatim pass follows the
+    // verbatim one exactly as in [[pipeline]]
+    val dE0 = cfg.decontaminateExciseProbes match {
       case Some(p) =>
         Contamination.decontaminateExcise(d, p, idCol, textCol,
           cfg.decontaminateExciseProbeTextCol, cfg.decontaminateExciseWindow)
       case None => d
+    }
+    val dE = cfg.decontaminateFuzzyProbes match {
+      case Some(p) =>
+        Contamination.decontaminateFuzzy(dE0, p, idCol, textCol,
+          cfg.decontaminateFuzzyProbeTextCol, cfg.decontaminateFuzzyK,
+          cfg.decontaminateFuzzyW, charsCol = "near_contaminated_chars")
+      case None => dE0
     }
     // decontamination reads its corpus twice (gram scan + anti-join);
     // without a checkpoint the oD observe above would be duplicated

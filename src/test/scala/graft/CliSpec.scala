@@ -788,6 +788,33 @@ class CliSpec extends SparkSpec {
         |  decontaminate_excise: {probes_uri: p.parquet, windw: 40}
         |""".stripMargin))
     assert(exTypo.getMessage.contains("windw"))
+    // decontaminate_fuzzy: full map, defaults, missing probes_uri loud
+    assert(YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation:
+        |  id_column: id
+        |  text_column: t
+        |  decontaminate_fuzzy: {probes_uri: "bench.parquet", k: 12, w: 24}
+        |""".stripMargin).curation.get.decontaminateFuzzy.contains(
+      YamlJob.DecontaminateFuzzySpec("bench.parquet", "text", 12, 24)))
+    assert(YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation:
+        |  id_column: id
+        |  text_column: t
+        |  decontaminate_fuzzy: {probes_uri: "bench.parquet"}
+        |""".stripMargin).curation.get.decontaminateFuzzy.contains(
+      YamlJob.DecontaminateFuzzySpec("bench.parquet", "text", 16, 32)))
+    intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation:
+        |  id_column: id
+        |  text_column: t
+        |  decontaminate_fuzzy: {k: 12}
+        |""".stripMargin))
     // c4_rules: bool form, map form with defaults, false = off, typos loud
     assert(YamlJob.loadYaml(
       """source: {uri: a.parquet}

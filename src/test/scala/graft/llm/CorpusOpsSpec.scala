@@ -580,6 +580,20 @@ class CorpusOpsSpec extends SparkSpec {
       .as[Long].collect().toSet
     assert(fps.nonEmpty && fps.subsetOf(grams),
       "winnow fingerprint values must come from the poly gram-hash image")
+    // curation stage: decontaminate_fuzzy runs after the verbatim pass,
+    // keeps every row, adds near_contaminated_chars — the edited leak
+    // loses its span inside the pipeline too
+    val piped = Curation.pipeline(corpus, "doc_id", "text",
+        Curation.PipelineConfig(decontaminateFuzzyProbes = Some(probes),
+          maxDupWordFrac = 1.0, maxDupNgramFrac = 1.0,
+          maxTopNgramFrac = 1.0))
+      .orderBy("doc_id")
+      .select("doc_id", "text", "near_contaminated_chars")
+      .as[(Long, String, Long)].collect()
+    assert(piped.length == corpus.count() &&
+      piped.find(_._1 == 2L).get ==
+        (2L, s"$prefix  $suffix", slab.length.toLong),
+      s"stage must match the operator: ${piped.toSeq}")
     // loud guards: probes shorter than k, null text passthrough
     intercept[IllegalArgumentException](Contamination.decontaminateFuzzy(
       corpus, Seq("tiny").toDF("text"), "doc_id", "text", "text"))
@@ -1906,5 +1920,47 @@ class CorpusOpsSpec extends SparkSpec {
       assert(r.getAs[Long]("distinct_ngrams") == r.getAs[Long]("distinct"), r.toString)
       assert(r.getAs[Long]("top_ngram_count") == r.getAs[Long]("top"), r.toString)
     }
+  }
+
+  test("Dsir: weights pull toward the target distribution, resampling " +
+      "is deterministic Gumbel-top-k, guards are loud") {
+    val raw = docs.select($"doc_id", $"lang", $"text")
+    val target = raw.filter($"lang" === "en").select($"text")
+    val w = Dsir.weights(raw, target, "text", buckets = 512)
+    // target-language documents must average a HIGHER importance
+    // weight than any other language — the whole point of the method
+    val means = w.groupBy($"lang")
+      .agg(avg($"dsir_logw").as("m"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(means("en") > 0 &&
+      means.filter(_._1 != "en").values.forall(_ < means("en")),
+      s"en must score highest: $means")
+    // micro column IS the exact integer the double reads from
+    val chk = w.select($"dsir_logw_micro", $"dsir_logw").limit(50).collect()
+    chk.foreach(r =>
+      assert(r.getDouble(1) == r.getLong(0) / 1e9, r.toString))
+    // resample: deterministic, exactly k rows, ids ⊂ corpus, seeded
+    val s1 = Dsir.resample(raw, target, "doc_id", "text", k = 40,
+      buckets = 512).select($"doc_id").as[Long].collect().toSeq
+    val s2 = Dsir.resample(raw, target, "doc_id", "text", k = 40,
+      buckets = 512).select($"doc_id").as[Long].collect().toSeq
+    assert(s1 == s2 && s1.size == 40)
+    val s3 = Dsir.resample(raw, target, "doc_id", "text", k = 40,
+      buckets = 512, seed = 99L).select($"doc_id").as[Long].collect().toSet
+    assert(s3 != s1.toSet, "seed must move the Gumbel noise")
+    // the Gumbel noise perturbs but does not bury the weights: the
+    // selected set's mean weight beats the corpus mean
+    val sel = Dsir.resample(raw, target, "doc_id", "text", k = 40,
+      buckets = 512).agg(avg($"dsir_logw")).as[Double].collect().head
+    val all = w.agg(avg($"dsir_logw")).as[Double].collect().head
+    assert(sel > all, s"selected mean $sel must beat corpus mean $all")
+    // guards: stale columns, non-integral id, gramless target
+    intercept[IllegalArgumentException](Dsir.weights(
+      raw.withColumn("dsir_logw", lit(0.0)), target, "text"))
+    intercept[graft.core.GraftError.Configuration](Dsir.resample(
+      raw.withColumn("sid", $"doc_id".cast("string")), target,
+      "sid", "text", k = 5))
+    intercept[IllegalArgumentException](Dsir.weights(
+      raw, Seq("").toDF("text"), "text"))
   }
 }

@@ -304,6 +304,30 @@ class StreamingSpec extends SparkSpec {
     // the probe doc itself was excised to a husk somewhere in the output
     assert(streamedEx.exists(_._3 > 0L), "no contamination recorded")
 
+    // decontaminate-FUZZY streams for the same structural reason (two
+    // bounded collected indexes, per-row projection): stream == batch,
+    // near_contaminated_chars included
+    val fzProbe = Seq("streaming document number 7 with body words and a " +
+      "long enough tail for the winnow seed window").toDF("text")
+    val cfgFz = cfg.copy(decontaminateFuzzyProbes = Some(fzProbe),
+      decontaminateFuzzyK = 8, decontaminateFuzzyW = 4,
+      sampleFraction = 1.0)
+    val qf = Curation.pipelineStream(in, "doc_id", "text", "ts",
+        dedupHorizon = "10 minutes", cfg = cfgFz)
+      .writeStream.format("memory").queryName("curation_stream_fz")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    qf.awaitTermination(120000L)
+    val streamedFz = spark.table("curation_stream_fz")
+      .select($"doc_id", $"text", $"near_contaminated_chars")
+      .as[(Long, String, Long)].collect().toSet
+    val batchFz = Curation.pipeline(
+        spark.read.parquet(scratch).select($"doc_id", $"text"),
+        "doc_id", "text", cfgFz)
+      .select($"doc_id", $"text", $"near_contaminated_chars")
+      .as[(Long, String, Long)].collect().toSet
+    assert(streamedFz.nonEmpty && streamedFz == batchFz,
+      s"fuzzy stream ${streamedFz.size} vs batch ${batchFz.size}")
+
     // reference NEAR-dup streams too (per-row broadcast-index probe):
     // stream output equals the batch pipeline's under the same config
     val cfgNear = cfgRef.copy(referenceNearDup = Some(0.5))
