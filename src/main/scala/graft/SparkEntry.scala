@@ -770,16 +770,21 @@ object SparkEntry {
 
     // --- PII redaction: deterministic contact strings are injected into
     // copies (the fixture text is clean prose) so every category and the
-    // fixed email→phone→ip order are exercised; originals prove the
+    // fixed email→card→phone→ip order are exercised — including a
+    // Luhn-VALID card (4111111111111111, redacted) next to a Luhn-
+    // INVALID 16-digit run (4111111111111112, left in place: the
+    // checksum is the false-positive guard); originals prove the
     // no-match path leaves text byte-identical ---
     "q_pii_redaction" -> { (s, dir) =>
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val tainted = docs.filter(pmod(col("doc_id"), lit(7)) === 0)
         .select((col("doc_id") + 100000).as("doc_id"),
           concat(col("text"), lit(" contact a.smith+hr@ex-mail.org or " +
-            "+1 555-123-4567 via 192.168.10.42 today")).as("text"))
+            "+1 555-123-4567 via 192.168.10.42 card 4111111111111111 " +
+            "order 4111111111111112 today")).as("text"))
       TextAnalysis.redactPii(docs.union(tainted), "text")
         .select(col("doc_id"), col("n_emails").cast("long").as("n_emails"),
+          col("n_ccs").cast("long").as("n_ccs"),
           col("n_phones").cast("long").as("n_phones"),
           col("n_ips").cast("long").as("n_ips"), col("redacted"))
     },
@@ -4125,20 +4130,39 @@ object SparkEntry {
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
         |  SELECT doc_id + 100000 AS doc_id,
-        |    text || ' contact a.smith+hr@ex-mail.org or +1 555-123-4567 via 192.168.10.42 today' AS text
+        |    text || ' contact a.smith+hr@ex-mail.org or +1 555-123-4567 via 192.168.10.42 card 4111111111111111 order 4111111111111112 today' AS text
         |  FROM documents WHERE doc_id % 7 = 0
         |), r AS (
         |  SELECT doc_id, text,
         |    regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS after_email
         |  FROM corpus
-        |), r2 AS (
+        |), rcc AS (
         |  SELECT doc_id, text, after_email,
-        |    regexp_replace(after_email, '\+\d{1,3}([- ]\d{2,4}){2,4}', '<PHONE>', 'g') AS after_phone
+        |    list_filter(regexp_extract_all(after_email, '\b\d{13,19}\b'),
+        |      cc -> list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(1, len(cc) + 1), i ->
+        |          CAST(CASE WHEN i % 2 = 0 THEN
+        |            CASE WHEN (ascii(substr(cc, len(cc) - i + 1, 1)) - 48) * 2 > 9
+        |              THEN (ascii(substr(cc, len(cc) - i + 1, 1)) - 48) * 2 - 9
+        |              ELSE (ascii(substr(cc, len(cc) - i + 1, 1)) - 48) * 2 END
+        |            ELSE ascii(substr(cc, len(cc) - i + 1, 1)) - 48 END
+        |            AS BIGINT))),
+        |        (a, b) -> a + b) % 10 = 0) AS ccs
         |  FROM r
+        |), rc AS (
+        |  SELECT doc_id, text, ccs,
+        |    list_reduce(list_prepend(after_email, list_distinct(ccs)),
+        |      (acc, c) -> replace(acc, c, '<CC>')) AS after_cc
+        |  FROM rcc
+        |), r2 AS (
+        |  SELECT doc_id, text, ccs, after_cc,
+        |    regexp_replace(after_cc, '\+\d{1,3}([- ]\d{2,4}){2,4}', '<PHONE>', 'g') AS after_phone
+        |  FROM rc
         |)
         |SELECT doc_id,
         |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
-        |  CAST(len(regexp_extract_all(after_email, '\+\d{1,3}([- ]\d{2,4}){2,4}')) AS BIGINT) AS n_phones,
+        |  CAST(len(ccs) AS BIGINT) AS n_ccs,
+        |  CAST(len(regexp_extract_all(after_cc, '\+\d{1,3}([- ]\d{2,4}){2,4}')) AS BIGINT) AS n_phones,
         |  CAST(len(regexp_extract_all(after_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS BIGINT) AS n_ips,
         |  regexp_replace(after_phone, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g') AS redacted
         |FROM r2""".stripMargin,

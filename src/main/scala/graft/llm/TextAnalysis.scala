@@ -359,18 +359,51 @@ object TextAnalysis {
   val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
   val PhoneRe = "\\+\\d{1,3}([- ]\\d{2,4}){2,4}" // intl form: +CC nnn-nnn-nnnn
   val Ipv4Re  = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  /** Card-number CANDIDATES: contiguous 13-19 digit runs on word
+    * boundaries (a longer run matches nowhere — IDs/hashes stay).
+    * Candidates must then pass [[luhnValid]]; a bare digit-run rule
+    * would redact order numbers and timestamps wholesale. */
+  val CardRe  = "\\b\\d{13,19}\\b"
 
-  /** Redact emails, then phone numbers, then IPv4 addresses (fixed
-    * order: each count is taken on the text AFTER the previous category
-    * was replaced, so overlapping patterns are never double-counted).
-    * Adds `n_emails` / `n_phones` / `n_ips` and the `redacted` text.
+  /** Luhn checksum over a digit-only string Column — double every 2nd
+    * digit from the RIGHT, fold digit sums, valid iff ≡ 0 (mod 10).
+    * Exact integer arithmetic over codepoints, so the DuckDB oracle
+    * replays it with the same fold. */
+  def luhnValid(c: Column): Column = {
+    val n = length(c)
+    val total = aggregate(
+      sequence(lit(1), n),
+      lit(0L),
+      (acc, i) => {
+        val d = (ascii(c.substr(n - i + 1, lit(1))) - lit(48)).cast("long")
+        val dd = when(pmod(i, lit(2)) === 0,
+          when(d * 2 > 9, d * 2 - 9).otherwise(d * 2)).otherwise(d)
+        acc + dd
+      })
+    pmod(total, lit(10L)) === 0
+  }
+
+  /** Redact emails, then Luhn-VALID card numbers, then phone numbers,
+    * then IPv4 addresses (fixed order: each count is taken on the text
+    * AFTER the previous category was replaced, so overlapping patterns
+    * are never double-counted). Adds `n_emails` / `n_ccs` /
+    * `n_phones` / `n_ips` and the `redacted` text. Card candidates
+    * are 13-19 digit runs that pass the Luhn checksum — a failing run
+    * (an order id, a timestamp) is counted nowhere and left in place.
     * Pure projection — shuffle-free, codegen'd, 100 TB-safe. */
   def redactPii(df: DataFrame, textCol: String): DataFrame = {
     val raw = col(textCol)
     val afterEmail = regexp_replace(raw, EmailRe, "<EMAIL>")
-    val afterPhone = regexp_replace(afterEmail, PhoneRe, "<PHONE>")
+    // valid-card OCCURRENCES (counts), distinct values (each replace()
+    // already rewrites every occurrence of that literal)
+    val ccs = filter(
+      regexp_extract_all(afterEmail, lit(CardRe), lit(0)), luhnValid(_))
+    val afterCc = aggregate(array_distinct(ccs), afterEmail,
+      (acc, c) => replace(acc, c, lit("<CC>")))
+    val afterPhone = regexp_replace(afterCc, PhoneRe, "<PHONE>")
     df.withColumn("n_emails", regexp_count(raw, lit(EmailRe)))
-      .withColumn("n_phones", regexp_count(afterEmail, lit(PhoneRe)))
+      .withColumn("n_ccs", size(ccs))
+      .withColumn("n_phones", regexp_count(afterCc, lit(PhoneRe)))
       .withColumn("n_ips", regexp_count(afterPhone, lit(Ipv4Re)))
       .withColumn("redacted", regexp_replace(afterPhone, Ipv4Re, "<IP>"))
   }

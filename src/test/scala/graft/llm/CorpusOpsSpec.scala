@@ -115,23 +115,36 @@ class CorpusOpsSpec extends SparkSpec {
 
   // --- PII redaction ----------------------------------------------------
 
-  test("pii: email/phone/ip replaced in order, counts per category") {
+  test("pii: email/card/phone/ip replaced in order, counts per category, " +
+      "Luhn rejects digit-run false positives") {
     val d = Seq(
       (1L, "mail me at jo.doe+x@corp.example.com or admin@ex.org thanks"),
       (2L, "call +44 20-7946-0958 or +1 555-867-5309 now"),
       (3L, "host 10.0.0.1 and 192.168.255.255 respond"),
       (4L, "clean prose with numbers 12345 and dots. nothing else"),
-      (5L, "all: a@b.io, +1 22-33-44, 8.8.8.8")
+      (5L, "all: a@b.io, +1 22-33-44, 8.8.8.8"),
+      // 4111111111111111 (Visa test) and 5500005555555559 are
+      // Luhn-valid; 4111111111111112 fails the checksum and an order
+      // id of 20+ digits never even becomes a candidate
+      (6L, "pay 4111111111111111 or 5500005555555559 please"),
+      (7L, "order 4111111111111112 ref 12345678901234567890123 kept"),
+      (8L, "twice 4111111111111111 and 4111111111111111 again")
     ).toDF("doc_id", "text")
     val out = TextAnalysis.redactPii(d, "text").orderBy("doc_id").collect()
-    def r(i: Int) = (out(i).getAs[Int]("n_emails"), out(i).getAs[Int]("n_phones"),
-      out(i).getAs[Int]("n_ips"), out(i).getAs[String]("redacted"))
-    assert(r(0) == (2, 0, 0, "mail me at <EMAIL> or <EMAIL> thanks"))
-    assert(r(1) == (0, 2, 0, "call <PHONE> or <PHONE> now"))
-    assert(r(2) == (0, 0, 2, "host <IP> and <IP> respond"))
+    def r(i: Int) = (out(i).getAs[Int]("n_emails"), out(i).getAs[Int]("n_ccs"),
+      out(i).getAs[Int]("n_phones"), out(i).getAs[Int]("n_ips"),
+      out(i).getAs[String]("redacted"))
+    assert(r(0) == (2, 0, 0, 0, "mail me at <EMAIL> or <EMAIL> thanks"))
+    assert(r(1) == (0, 0, 2, 0, "call <PHONE> or <PHONE> now"))
+    assert(r(2) == (0, 0, 0, 2, "host <IP> and <IP> respond"))
     // the no-match path leaves text byte-identical
-    assert(r(3) == (0, 0, 0, "clean prose with numbers 12345 and dots. nothing else"))
-    assert(r(4) == (1, 1, 1, "all: <EMAIL>, <PHONE>, <IP>"))
+    assert(r(3) == (0, 0, 0, 0,
+      "clean prose with numbers 12345 and dots. nothing else"))
+    assert(r(4) == (1, 0, 1, 1, "all: <EMAIL>, <PHONE>, <IP>"))
+    assert(r(5) == (0, 2, 0, 0, "pay <CC> or <CC> please"))
+    assert(r(6) == (0, 0, 0, 0,
+      "order 4111111111111112 ref 12345678901234567890123 kept"))
+    assert(r(7) == (0, 2, 0, 0, "twice <CC> and <CC> again"))
   }
 
   // --- Mojibake repair --------------------------------------------------
