@@ -792,6 +792,8 @@ object Main {
       // snapshot read through the same connector factory as any source
       val probeFrames = cur.contamination.map(cs =>
         graft.sources.Connectors.read(spark, cs.probesUri, Map.empty))
+      val dsirFrames = cur.dsir.map(ds =>
+        graft.sources.Connectors.read(spark, ds.targetUri, Map.empty))
       val exciseFrames = cur.decontaminateExcise.map(es =>
         graft.sources.Connectors.read(spark, es.probesUri, Map.empty))
       val fuzzyFrames = cur.decontaminateFuzzy.map(fs =>
@@ -835,6 +837,11 @@ object Main {
         decontaminateFuzzyW = cur.decontaminateFuzzy.map(_.w).getOrElse(32),
         decontaminateFuzzyProbeTextCol =
           cur.decontaminateFuzzy.map(_.textColumn).getOrElse("text"),
+        dsirTarget = dsirFrames,
+        dsirK = cur.dsir.map(_.k).getOrElse(0),
+        dsirTargetTextCol = cur.dsir.map(_.textColumn).getOrElse("text"),
+        dsirBuckets = cur.dsir.map(_.buckets).getOrElse(10000),
+        dsirSeed = cur.dsir.map(_.seed).getOrElse(42L),
         contaminationProbes = probeFrames,
         contaminationProbeTextCol =
           cur.contamination.map(_.textColumn).getOrElse("text"),
@@ -890,7 +897,7 @@ object Main {
             // fixed stage order; optional stages appear when configured
             Seq("input", "after_urls", "after_repetition",
               "after_reference", "after_dedup",
-              "after_decontamination", "kept")
+              "after_decontamination", "after_dsir", "kept")
               .filter(m.contains).foreach(k =>
                 println(f"  $k%-22s ${m(k)}%10d"))
           }

@@ -64,6 +64,13 @@ object YamlJob {
                                            textColumn: String = "text",
                                            window: Int = 50)
 
+  /** DSIR importance resampling (`dsir:`): keep the `k` documents most
+    * resembling the target corpus ([[graft.llm.Dsir.resample]], Xie
+    * 2023). Corpus-wide (a global top-k) — batch mode only. */
+  final case class DsirSpec(targetUri: String, k: Int,
+                            textColumn: String = "text",
+                            buckets: Int = 10000, seed: Long = 42L)
+
   /** Near-verbatim (edit-tolerant) span decontamination
     * (`decontaminate_fuzzy:`): winnowing-fingerprint seed → char-gram
     * run clustering → overlap verify
@@ -150,6 +157,9 @@ object YamlJob {
         * stream mode. */
       gopherRules: Boolean = false,
       contamination: Option[ContaminationSpec] = None,
+      /** `dsir: {target_uri: <uri>, k: N}` — DSIR selection: keep the
+        * N documents most resembling the target corpus. Batch only. */
+      dsir: Option[DsirSpec] = None,
       /** `decontaminate_excise: {probes_uri: <uri>, window: 50}` —
         * excise verbatim probe spans, keep the document (adds a
         * `contaminated_chars` column). Batch and stream mode. */
@@ -307,7 +317,7 @@ object YamlJob {
         "mode", "ts_column", "dedup_horizon", "checkpoint", "trigger",
         "reference", "reference_near_dup",
         "substring_dedup_window", "soft_dedup", "decontaminate_excise",
-        "decontaminate_fuzzy", "c4_rules", "gopher_rules")
+        "decontaminate_fuzzy", "c4_rules", "gopher_rules", "dsir")
       // misspelled knobs must be loud — a silently ignored
       // `sample_fracton: 0.01` would ship 100× the intended corpus;
       // the same rule applies INSIDE the nested maps (a typo'd
@@ -364,7 +374,7 @@ object YamlJob {
         def streamBlocked(k: String): Boolean = c.get(k).flatMap(Option(_))
           .exists(v => k != "soft_dedup" || boolOpt("soft_dedup", v))
         for (k <- Seq("line_dedup_min_docs", "substring_dedup_window",
-            "soft_dedup", "contamination", "token_budget")
+            "soft_dedup", "contamination", "token_budget", "dsir")
             if streamBlocked(k))
           throw graft.core.GraftError.Configuration(
             s"curation option '$k' is corpus-wide and cannot stream — " +
@@ -514,6 +524,27 @@ object YamlJob {
             case other => throw graft.core.GraftError.Configuration(
               s"curation decontaminate_excise must be a map, got '$other'")
           },
+        dsir = c.get("dsir").flatMap(Option(_)).map {
+          case m: JMap[_, _] =>
+            val mm = m.asInstanceOf[JMap[String, Object]].asScala
+            checkKeys("curation dsir", mm.keySet,
+              Set("target_uri", "k", "text_column", "buckets", "seed"))
+            DsirSpec(
+              targetUri = sub(mm.getOrElse("target_uri",
+                throw graft.core.GraftError.Configuration(
+                  "curation dsir needs a target_uri")).toString),
+              k = mm.get("k").map(v => intOpt("dsir.k", v)).getOrElse(
+                throw graft.core.GraftError.Configuration(
+                  "curation dsir needs k (documents to keep)")),
+              textColumn = mm.get("text_column").map(v => sub(v.toString))
+                .getOrElse("text"),
+              buckets = mm.get("buckets")
+                .map(v => intOpt("dsir.buckets", v)).getOrElse(10000),
+              seed = mm.get("seed")
+                .map(v => longOpt("dsir.seed", v)).getOrElse(42L))
+          case other => throw graft.core.GraftError.Configuration(
+            s"curation dsir must be a map, got '$other'")
+        },
         decontaminateFuzzy = c.get("decontaminate_fuzzy")
           .flatMap(Option(_)).map {
             case m: JMap[_, _] =>

@@ -211,6 +211,20 @@ object Curation {
         * probe corpus AFTER dedup and BEFORE sampling (so the sample
         * fraction applies to the clean corpus). */
       contaminationProbes: Option[DataFrame] = None,
+      /** When set, keep only the [[dsirK]] documents most resembling
+        * this TARGET corpus — DSIR importance resampling
+        * ([[Dsir.resample]], Xie 2023): hashed unigram+bigram bucket
+        * models, exact integer micro-nat weights, portable
+        * Gumbel-top-k. Runs AFTER decontamination and BEFORE the hash
+        * sample / token budget, so selection judges the clean corpus
+        * and the budget cuts the selected one. Survivors carry
+        * `dsir_logw_micro`/`dsir_logw`. Corpus-wide (a global top-k —
+        * cannot stream). */
+      dsirTarget: Option[DataFrame] = None,
+      dsirK: Int = 0,
+      dsirTargetTextCol: String = "text",
+      dsirBuckets: Int = 10000,
+      dsirSeed: Long = 42L,
       contaminationProbeTextCol: String = "text",
       contaminationN: Int = 8,
       maxContamination: Double = 0.2,
@@ -372,11 +386,29 @@ object Curation {
           cfg.maxContamination)
       case None => excised
     }
+    val selected = applyDsir(decontaminated, idCol, textCol, cfg)
     val sampled =
-      if (cfg.sampleFraction >= 1.0) decontaminated
-      else Sampling.byHash(decontaminated, idCol, cfg.sampleFraction, cfg.bucketFn)
+      if (cfg.sampleFraction >= 1.0) selected
+      else Sampling.byHash(selected, idCol, cfg.sampleFraction, cfg.bucketFn)
     applyTokenBudget(sampled, idCol, textCol, cfg)
   }
+
+  private def applyDsir(df: DataFrame, idCol: String, textCol: String,
+                        cfg: PipelineConfig): DataFrame =
+    cfg.dsirTarget match {
+      case Some(tgt) =>
+        if (cfg.dsirK < 1)
+          throw graft.core.GraftError.Configuration(
+            "dsirTarget needs dsirK >= 1 (the number of documents to keep)")
+        Dsir.resample(df,
+          tgt.select(col(cfg.dsirTargetTextCol).as(textCol)),
+          idCol, textCol, cfg.dsirK, cfg.dsirBuckets, seed = cfg.dsirSeed)
+      case None =>
+        if (cfg.dsirK != 0)
+          throw graft.core.GraftError.Configuration(
+            "dsirK is set but dsirTarget is not — nothing to resemble")
+        df
+    }
 
   /** The CONTINUOUS-INGEST curation pipeline: the same stage bodies as
     * [[pipeline]], applied to a streaming DataFrame. Per-row stages
@@ -414,6 +446,7 @@ object Curation {
         "substringDedupWindow" -> cfg.substringDedupWindow.isDefined,
         "softDedup" -> cfg.softDedup,
         "contaminationProbes" -> cfg.contaminationProbes.isDefined,
+        "dsirTarget" -> cfg.dsirTarget.isDefined,
         "tokenBudget" -> cfg.tokenBudget.isDefined) if set)
       throw graft.core.GraftError.Configuration(
         s"$name is corpus-wide and cannot stream — run it as a batch " +
@@ -712,13 +745,24 @@ object Curation {
           Seq("after_decontamination" -> oC))
       case None => (dE, Nil)
     }
+    // DSIR selection drops rows, so it carries its own observation;
+    // the checkpoint fires the upstream observes exactly once and
+    // keeps the weighting pass (two corpus reads: bucket counts + the
+    // weighted top-k) off the decontamination subtree
+    val (afterDsir, dsirObs) = cfg.dsirTarget match {
+      case Some(_) =>
+        val oS = Observation()
+        (tap(applyDsir(afterDecon.localCheckpoint(true), idCol, textCol,
+          cfg), oS), Seq("after_dsir" -> oS))
+      case None => (applyDsir(afterDecon, idCol, textCol, cfg), Nil)
+    }
     val sampled =
-      if (cfg.sampleFraction >= 1.0) afterDecon
-      else Sampling.byHash(afterDecon, idCol, cfg.sampleFraction, cfg.bucketFn)
+      if (cfg.sampleFraction >= 1.0) afterDsir
+      else Sampling.byHash(afterDsir, idCol, cfg.sampleFraction, cfg.bucketFn)
     val out = tap(applyTokenBudget(sampled, idCol, textCol, cfg), oOut)
     val obs = Seq("input" -> oIn, "after_urls" -> oU,
       "after_repetition" -> oR) ++ refObs ++ Seq("after_dedup" -> oD) ++
-      deconObs ++ Seq("kept" -> oOut)
+      deconObs ++ dsirObs ++ Seq("kept" -> oOut)
     (out, () => obs.map { case (n, o) =>
       n -> o.get("n").asInstanceOf[Long]
     }.toMap)

@@ -815,6 +815,37 @@ class CliSpec extends SparkSpec {
         |  text_column: t
         |  decontaminate_fuzzy: {k: 12}
         |""".stripMargin))
+    // dsir: full map, defaults, required keys, batch-only
+    assert(YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation:
+        |  id_column: id
+        |  text_column: t
+        |  dsir: {target_uri: "wiki.parquet", k: 500, buckets: 4096}
+        |""".stripMargin).curation.get.dsir.contains(
+      YamlJob.DsirSpec("wiki.parquet", 500, "text", 4096, 42L)))
+    intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation:
+        |  id_column: id
+        |  text_column: t
+        |  dsir: {target_uri: "wiki.parquet"}
+        |""".stripMargin))
+    val dsirStream = intercept[GraftError.Configuration](YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation:
+        |  id_column: id
+        |  text_column: t
+        |  mode: stream
+        |  ts_column: ts
+        |  checkpoint: /tmp/ck
+        |  dsir: {target_uri: "wiki.parquet", k: 10}
+        |""".stripMargin))
+    assert(dsirStream.getMessage.contains("dsir") &&
+      dsirStream.getMessage.contains("cannot stream"))
     // c4_rules: bool form, map form with defaults, false = off, typos loud
     assert(YamlJob.loadYaml(
       """source: {uri: a.parquet}

@@ -1967,6 +1967,27 @@ class CorpusOpsSpec extends SparkSpec {
       buckets = 512).agg(avg($"dsir_logw")).as[Double].collect().head
     val all = w.agg(avg($"dsir_logw")).as[Double].collect().head
     assert(sel > all, s"selected mean $sel must beat corpus mean $all")
+    // curation stage: dsir keeps exactly k, matches the operator, and
+    // carries its own observed count; pipelineStream rejects it loudly
+    val cfg = Curation.PipelineConfig(dsirTarget = Some(target),
+      dsirK = 25, dsirBuckets = 512, maxDupWordFrac = 1.0,
+      maxDupNgramFrac = 1.0, maxTopNgramFrac = 1.0)
+    val piped = Curation.pipeline(raw.select($"doc_id", $"text"),
+        "doc_id", "text", cfg)
+      .select($"doc_id").as[Long].collect().toSet
+    val direct = Dsir.resample(raw.select($"doc_id", $"text"), target,
+        "doc_id", "text", k = 25, buckets = 512)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(piped == direct && piped.size == 25,
+      s"stage must match the operator: ${piped.size}")
+    val (obsOut, counts) = Curation.pipelineObserved(
+      raw.select($"doc_id", $"text"), "doc_id", "text", cfg)
+    assert(obsOut.count() == 25L)
+    val m = counts()
+    assert(m("after_dsir") == 25L && m("kept") == 25L, s"counts: $m")
+    intercept[graft.core.GraftError.Configuration](Curation.pipeline(
+      raw.select($"doc_id", $"text"), "doc_id", "text",
+      Curation.PipelineConfig(dsirK = 10)))
     // guards: stale columns, non-integral id, gramless target
     intercept[IllegalArgumentException](Dsir.weights(
       raw.withColumn("dsir_logw", lit(0.0)), target, "text"))

@@ -351,6 +351,7 @@ class StreamingSpec extends SparkSpec {
         cfg.copy(substringDedupWindow = Some(50)),
         cfg.copy(softDedup = true),
         cfg.copy(contaminationProbes = Some(Seq("x").toDF("text"))),
+        cfg.copy(dsirTarget = Some(Seq("x").toDF("text")), dsirK = 5),
         cfg.copy(tokenBudget = Some(1000L)),
         // near-dup STREAMS now, but still needs its snapshot
         cfg.copy(referenceNearDup = Some(0.5))))
