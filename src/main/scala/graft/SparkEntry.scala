@@ -803,6 +803,25 @@ object SparkEntry {
         "doc_id", "text", "text", n = 8)
     },
 
+    // --- per-SUITE contamination attribution: two benchmark "suites"
+    // (every 97th doc = evalA, every 89th = evalB; doc 0 sits in BOTH,
+    // pinning the a-gram-counts-toward-every-suite contract) over the
+    // same corpus + prefixed variants as q_contamination. One row per
+    // (doc, suite) sharing >= 1 gram; totals ride a shuffle-free
+    // size() projection joined keys-only after the per-suite agg ---
+    "q_contamination_by_suite" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pa = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select(lit("evalA").as("suite"), col("text"))
+      val pb = docs.filter(pmod(col("doc_id"), lit(89)) === 0)
+        .select(lit("evalB").as("suite"), col("text"))
+      val variants = docs.filter(pmod(col("doc_id"), lit(97)) === 0)
+        .select((col("doc_id") + 100000).as("doc_id"),
+          concat(lit("prefix words added here "), col("text")).as("text"))
+      Contamination.checkBySuite(docs.union(variants), pa.union(pb),
+        "doc_id", "text", "text", "suite", n = 8)
+    },
+
     // --- decontamination REMOVAL: drop documents sharing >= 50% of
     // their 8-grams with the probe set. Probe originals (ratio 1.0) and
     // prefixed variants (high ratio) must vanish; incidental low-ratio
@@ -4192,6 +4211,43 @@ object SparkEntry {
         |  FROM g JOIN pg USING (gram) GROUP BY g.doc_id
         |)
         |SELECT m.doc_id, matched_grams, total_grams,
+        |  round(CAST(matched_grams AS DOUBLE) / total_grams, 6) AS contamination
+        |FROM m JOIN tot USING (doc_id)""".stripMargin,
+
+    // per-suite attribution: same derivation with suite-tagged probe
+    // grams; a gram shared by both suites counts toward both
+    "q_contamination_by_suite" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000 AS doc_id, 'prefix words added here ' || text AS text
+        |  FROM documents WHERE doc_id % 97 = 0
+        |), tok AS (
+        |  SELECT doc_id, list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+        |  FROM corpus
+        |), g AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+        |    i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+        |  FROM tok
+        |), pg AS (
+        |  SELECT DISTINCT 'evalA' AS suite,
+        |    unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+        |      i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+        |  FROM (SELECT list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+        |        FROM documents WHERE doc_id % 97 = 0)
+        |  UNION
+        |  SELECT DISTINCT 'evalB' AS suite,
+        |    unnest(list_distinct(list_transform(range(1, len(tk) - 6),
+        |      i -> array_to_string(tk[i:i+7], ' ')))) AS gram
+        |  FROM (SELECT list_filter(regexp_split_to_array(lower(text), '\W+'), x -> len(x) > 0) AS tk
+        |        FROM documents WHERE doc_id % 89 = 0)
+        |), tot AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS total_grams FROM g GROUP BY doc_id
+        |), m AS (
+        |  SELECT g.doc_id, pg.suite, CAST(count(*) AS BIGINT) AS matched_grams
+        |  FROM g JOIN pg USING (gram) GROUP BY g.doc_id, pg.suite
+        |)
+        |SELECT m.doc_id, m.suite, matched_grams, total_grams,
         |  round(CAST(matched_grams AS DOUBLE) / total_grams, 6) AS contamination
         |FROM m JOIN tot USING (doc_id)""".stripMargin,
 

@@ -76,6 +76,43 @@ object Contamination {
           .as("contamination"))
   }
 
+  /** Per-SUITE contamination attribution: [[check]] answers "how
+    * contaminated is this document", this answers "by WHICH benchmark"
+    * — the audit table a release review actually wants (MMLU leaked
+    * into 40 documents, GSM8K into 2). One row per (document, suite)
+    * with at least one shared n-gram: distinct grams shared with THAT
+    * suite, the document's total distinct grams, and their ratio.
+    *
+    * Scale shape: same as [[check]] — suite-tagged probe grams
+    * broadcast (benchmark suites are tiny), the corpus explodes its
+    * per-doc-distinct gram hashes ONCE, and only (doc, suite, count)
+    * partials cross the wire; per-doc totals come from a shuffle-free
+    * `size()` projection, joined back keys-only AFTER the per-suite
+    * aggregation. A gram shared by two suites counts toward both —
+    * attribution, not partition. */
+  def checkBySuite(corpus: DataFrame, probes: DataFrame, idCol: String,
+                   textCol: String, probeTextCol: String,
+                   suiteCol: String, n: Int = 8,
+                   roundTo: Int = 6): DataFrame = {
+    require(probes.columns.contains(suiteCol),
+      s"no such probe column '$suiteCol'")
+    val id = col(idCol)
+    val probeGrams = probes
+      .select(col(suiteCol).as("suite"),
+        explode(hashedNgrams(col(probeTextCol), n)).as("gram"))
+      .distinct()
+    val totals = corpus.select(id,
+      size(hashedNgrams(col(textCol), n)).cast("long").as("total_grams"))
+    corpus.select(id, explode(hashedNgrams(col(textCol), n)).as("gram"))
+      .join(broadcast(probeGrams), Seq("gram"))
+      .groupBy(id, col("suite"))
+      .agg(count(lit(1)).as("matched_grams"))
+      .join(totals, Seq(idCol))
+      .select(id, col("suite"), col("matched_grams"), col("total_grams"),
+        round(col("matched_grams") / col("total_grams"), roundTo)
+          .as("contamination"))
+  }
+
   /** The removal step [[check]] reports for: keep only documents whose
     * contamination stays BELOW `maxContamination`. `0.0` is the strict
     * mode — drop every document sharing even one n-gram with a probe.

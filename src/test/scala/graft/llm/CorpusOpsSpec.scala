@@ -617,6 +617,31 @@ class CorpusOpsSpec extends SparkSpec {
     assert(nfz.isNullAt(0) && nfz.getLong(1) == 0L)
   }
 
+  test("checkBySuite: per-suite attribution — a doc leaking from two " +
+      "suites reports one row per suite; missing suite column is loud") {
+    val probes = Seq(
+      ("mmlu", "alpha beta gamma delta epsilon zeta eta theta iota"),
+      ("gsm8k", "one two three four five six seven eight nine ten")
+    ).toDF("suite", "text")
+    val corpus = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta eta theta iota tail " +
+        "one two three four five six seven eight nine ten"), // both
+      (2L, "one two three four five six seven eight nine ten only"),
+      (3L, "nothing shared with any benchmark suite at all here")
+    ).toDF("doc_id", "text")
+    val out = Contamination.checkBySuite(corpus, probes, "doc_id",
+        "text", "text", "suite", n = 8)
+      .orderBy("doc_id", "suite")
+      .select("doc_id", "suite", "matched_grams")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(out.map(r => (r._1, r._2)) ==
+      Seq((1L, "gsm8k"), (1L, "mmlu"), (2L, "gsm8k")),
+      s"attribution rows: $out")
+    assert(out.forall(_._3 > 0))
+    intercept[IllegalArgumentException](Contamination.checkBySuite(
+      corpus, probes, "doc_id", "text", "text", "nope"))
+  }
+
   test("contamination: hashed grams are the exact xxhash64 image of string grams") {
     // the check() join runs on the native one-pass hash; pin it to the
     // readable string-gram definition it claims to mirror
