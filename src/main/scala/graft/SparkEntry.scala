@@ -1522,6 +1522,49 @@ object SparkEntry {
           col("decoded"))
     },
 
+    // --- perceptual image hashing: two independently-ENCODED copies of
+    // each deterministic two-band PNG (same planted pixels, separate
+    // ImageIO encodes) must hash IDENTICALLY — the provable exact
+    // subcase that gates the decode → luminance → box-resample → DCT →
+    // median-threshold chain end-to-end (the same gating style as the
+    // simhash family); text payloads prove the decoded=false path. The
+    // near-dup DISCRIMINATION semantics (brightness/contrast
+    // invariance, banded pairs) stay unit-pinned in LlmSpec ---
+    "q_phash_dedup" -> { (s, dir) =>
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id")).as[Long]
+      val originals = ids.map(id => (900000L + id, Multimodal.pngFixture(id)))
+        .toDF("media_id", "payload")
+      val copies = ids.map(id => (950000L + id, Multimodal.pngFixture(id)))
+        .toDF("media_id", "payload")
+      val media = originals.unionByName(copies)
+        .select(col("media_id"), lit("image").as("media_type"),
+          col("payload"), lit(null).cast("string").as("meta"))
+        .unionByName(t(s, dir, "documents")
+          .filter(pmod(col("doc_id"), lit(3)) === 0)
+          .select(col("doc_id").as("media_id"),
+            lit("image").as("media_type"),
+            encode(col("text"), "UTF-8").as("payload"),
+            lit(null).cast("string").as("meta")))
+      val h = Multimodal.phash(media)
+      val o = h.filter(col("media_id").between(900000L, 949999L))
+        .select((col("media_id") - 900000L).as("doc_id"),
+          col("phash").as("__pa"))
+      val c = h.filter(col("media_id") >= 950000L)
+        .select((col("media_id") - 950000L).as("doc_id"),
+          col("phash").as("__pb"))
+      val pairRows = o.join(c, Seq("doc_id"))
+        .select((col("doc_id") + 950000L).as("media_id"),
+          graft.llm.Dedup.hamming(col("__pa"), col("__pb")).as("hamming"),
+          lit(true).as("decoded"))
+      val textRows = h.filter(col("media_id") < 900000L)
+        .select(col("media_id"), lit(null).cast("int").as("hamming"),
+          col("decoded"))
+      pairRows.unionByName(textRows)
+    },
+
     // --- REAL MP4 frame extraction: deterministic minimal ISO-BMFF
     // fixtures (every sample's size and constant fill byte derive
     // arithmetically from the id; even ids split samples across two
@@ -4046,6 +4089,18 @@ object SparkEntry {
         |    - ln(-ln((CAST((((doc_id + 7) % 1000000007) * 2654435761)
         |        % 1000000007 % 1000000 AS DOUBLE) + 0.5) / 1000000.0)))
         |    * 1e6 + 0.5) DESC, doc_id ASC) <= 120""".stripMargin,
+
+    // pHash: identical planted pixels (two independent PNG encodes of
+    // the same arithmetic fixture) MUST hash identically → hamming 0
+    // per pair; text payloads decode to nothing → null hamming, false
+    "q_phash_dedup" ->
+      """SELECT 950000 + doc_id AS media_id, CAST(0 AS INT) AS hamming,
+        |  true AS decoded
+        |FROM documents WHERE doc_id % 50 = 0
+        |UNION ALL
+        |SELECT doc_id AS media_id, CAST(NULL AS INT) AS hamming,
+        |  false AS decoded
+        |FROM documents WHERE doc_id % 3 = 0""".stripMargin,
 
     // the literal centroids differ only in dims 1/2 with equal norms,
     // so argmin(distance) == argmax(±e1 ±e2) == the sign quadrant;

@@ -709,13 +709,26 @@ object Dedup {
     * guaranteed recall for maxHamming <= 3. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, bands: Int = 4,
-                   maxBucketSize: Int = 100000): DataFrame = {
+                   maxBucketSize: Int = 100000): DataFrame =
+    bandedHammingPairs(
+      df.select(col(idCol).as("id"),
+        simhash64(shingleHashes(col(textCol), n = 1)).as("sig")),
+      maxHamming, bands, maxBucketSize)
+
+  /** The banded-Hamming pair engine behind [[simhashPairs]] (and the
+    * image [[Multimodal.phashPairs]]): any pair within `maxHamming`
+    * bits shares at least one of `bands` exact 64/bands-bit chunks
+    * (pigeonhole — hence the bands > maxHamming requirement), so
+    * candidates meet on (band, chunk) keys in ONE shuffle with the
+    * house capped-collect skew guard, and the Hamming verify runs on
+    * signatures riding the collected structs — no re-join. Input:
+    * (id, sig) with 64-bit signatures. */
+  private[llm] def bandedHammingPairs(sigs: DataFrame, maxHamming: Int,
+                                      bands: Int,
+                                      maxBucketSize: Int): DataFrame = {
     require(bands > maxHamming,
       s"pigeonhole needs bands ($bands) > maxHamming ($maxHamming) for full recall")
     val width = 64 / bands
-    val sigs = df.select(col(idCol).as("id"),
-      simhash64(shingleHashes(col(textCol), n = 1)).as("sig"))
-
     val chunks = (0 until bands).map { b =>
       struct(lit(b).as("band"),
         shiftrightunsigned(col("sig"), b * width)

@@ -609,6 +609,161 @@ object Multimodal {
     (w, h, lum.toDouble / (1000.0 * n), best, hist(best).toDouble / n)
   }
 
+  // --------------------------------------------------------------------
+  // Perceptual image hashing (pHash) — the image near-dup primitive the
+  // LAION-class pipelines run: re-encoded/re-scaled/brightness-shifted
+  // copies of one image share a 64-bit hash within a small Hamming
+  // distance, so image dedup reuses the EXACT banded-Hamming machinery
+  // the text simhash family already has.
+  // --------------------------------------------------------------------
+
+  /** Precomputed DCT-II cosine tables for the 8-of-32 pHash transform:
+    * cosTab(u)(x) = cos((2x+1)·u·π/64), u < 8, x < 32. */
+  private lazy val PhashCos: Array[Array[Double]] =
+    Array.tabulate(8, 32)((u, x) =>
+      math.cos((2 * x + 1) * u * math.Pi / 64.0))
+
+  /** 64-bit perceptual hash of a decoded image — the pinned, documented
+    * variant of the classic pHash recipe:
+    *
+    *   1. integer BT.601 luminance per pixel (299r + 587g + 114b — the
+    *      same numerator as [[pixelStats]], unscaled);
+    *   2. box-average down/up-sample onto a 32×32 grid with exact
+    *      integer cell bounds `[tx·w/32, (tx+1)·w/32)` (an empty cell —
+    *      only possible when w or h < 32 — takes its single sampled
+    *      pixel), so resizing is deterministic arithmetic, not a
+    *      platform-dependent Graphics2D filter;
+    *   3. 2-D DCT-II of the grid, keeping the low-frequency 8×8 block;
+    *   4. threshold the 63 AC coefficients (DC excluded — it carries
+    *      absolute brightness) against their LOWER MEDIAN: bit i set
+    *      iff coeff(i) > median. Bit 63 stays 0.
+    *
+    * Invariants that make it a NEAR-dup key (unit-pinned): uniform
+    * brightness shift leaves every AC coefficient unchanged (DC absorbs
+    * it) and positive contrast scaling rescales coefficients AND their
+    * median together — both produce the IDENTICAL hash (absent pixel
+    * clipping); small local edits flip few bits. Comparison/banding is
+    * [[phashPairs]]. */
+  def phash64(img: java.awt.image.BufferedImage): Long = {
+    val w = img.getWidth; val h = img.getHeight
+    if (w == 0 || h == 0) return 0L
+    // luminance plane once (integer), then box means onto 32×32
+    val lum = new Array[Long](w * h)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y)
+        lum(y * w + x) = 299L * ((rgb >> 16) & 0xff) +
+          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+        x += 1
+      }
+      y += 1
+    }
+    val g = new Array[Double](32 * 32)
+    var ty = 0
+    while (ty < 32) {
+      val y0 = ty * h / 32
+      val y1 = math.max(y0 + 1, (ty + 1) * h / 32)
+      var tx = 0
+      while (tx < 32) {
+        val x0 = tx * w / 32
+        val x1 = math.max(x0 + 1, (tx + 1) * w / 32)
+        var s = 0L; var yy = y0
+        while (yy < y1) {
+          var xx = x0
+          while (xx < x1) { s += lum(yy * w + xx); xx += 1 }
+          yy += 1
+        }
+        g(ty * 32 + tx) = s.toDouble / ((y1 - y0).toLong * (x1 - x0))
+        tx += 1
+      }
+      ty += 1
+    }
+    // low 8×8 of the 2-D DCT-II (separable: rows then columns; the
+    // orthonormal a(u)a(v) factors are positive constants per
+    // coefficient — irrelevant to a per-coefficient sign-vs-median
+    // test ONLY if uniform, so they are applied for fidelity)
+    val rowT = new Array[Double](8 * 32) // rowT(u)(y): DCT over x
+    var u = 0
+    while (u < 8) {
+      var yy = 0
+      while (yy < 32) {
+        var s = 0.0; var xx = 0
+        while (xx < 32) { s += g(yy * 32 + xx) * PhashCos(u)(xx); xx += 1 }
+        rowT(u * 32 + yy) = s
+        yy += 1
+      }
+      u += 1
+    }
+    val coef = new Array[Double](64)
+    var v = 0
+    while (v < 8) {
+      var uu = 0
+      while (uu < 8) {
+        var s = 0.0; var yy = 0
+        while (yy < 32) { s += rowT(uu * 32 + yy) * PhashCos(v)(yy); yy += 1 }
+        val au = if (uu == 0) math.sqrt(1.0 / 32) else math.sqrt(2.0 / 32)
+        val av = if (v == 0) math.sqrt(1.0 / 32) else math.sqrt(2.0 / 32)
+        coef(v * 8 + uu) = au * av * s
+        uu += 1
+      }
+      v += 1
+    }
+    val ac = new Array[Double](63)
+    System.arraycopy(coef, 1, ac, 0, 63)
+    val sorted = ac.clone(); java.util.Arrays.sort(sorted)
+    val med = sorted(31) // lower median of 63
+    var hash = 0L
+    var i = 0
+    while (i < 63) {
+      if (ac(i) > med) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** pHash output contract: (media_id, phash, decoded) — NULL hash with
+    * `decoded = false` for payloads no JDK codec reads. */
+  val phashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("phash", LongType, nullable = true),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** Perceptual hashes for every image row — one narrow per-partition
+    * map (decode + hash, one image in memory per task, no shuffle);
+    * pair with [[repartitionBySize]] so a partition's blobs fit. */
+  def phash(media: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(phashSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val typeIdx = media.schema.fieldIndex("media_type")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.filter(r => r.getString(typeIdx) == "image").map { r =>
+        val payload =
+          if (r.isNullAt(payloadIdx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](payloadIdx)
+        PixelDecode.read(payload) match {
+          case Some(img) => Row(r.getLong(idIdx), phash64(img), true)
+          case None => Row(r.getLong(idIdx), null, false)
+        }
+      }
+    }(enc)
+  }
+
+  /** Image near-dup candidate pairs: decode → [[phash64]] → the text
+    * family's banded-Hamming engine ([[Dedup.bandedHammingPairs]]) —
+    * any pair within `maxHamming` bits shares one of `bands` exact
+    * chunks (pigeonhole), candidates meet in ONE capped shuffle, and
+    * the verify is a popcount on signatures riding the buckets.
+    * Returns (id_a, id_b, hamming); non-decodable rows never pair. */
+  def phashPairs(media: DataFrame, maxHamming: Int = 10, bands: Int = 16,
+                 maxBucketSize: Int = 100000): DataFrame =
+    Dedup.bandedHammingPairs(
+      phash(media).filter(col("decoded"))
+        .select(col("media_id").as("id"), col("phash").as("sig")),
+      maxHamming, bands, maxBucketSize)
+
   /** Frame-statistics output contract: one row per sampled video frame
     * — real decoded stats when the extracted sample bytes are an image
     * a JDK codec reads (the MJPEG case: in motion-JPEG each sample IS

@@ -803,6 +803,75 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("multimodal pHash: algorithmic invariances (brightness shift, " +
+      "contrast scale), structure sensitivity, pairs via banded " +
+      "Hamming, honest decode boundary") {
+    def gradient(w: Int, h: Int, shift: Int = 0, scale: Double = 1.0)
+        : java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) {
+        // mid-range diagonal gradient: scaled/shifted variants stay
+        // inside [0,255], so the invariance claims face no clipping
+        val v0 = 60 + ((x * 97 + y * 57) % 120)
+        val v = math.min(255, math.max(0,
+          (v0 * scale).toInt + shift))
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val base = gradient(48, 40)
+    // uniform brightness shift: the DC coefficient absorbs it; all 63
+    // AC coefficients (and so the hash) are IDENTICAL
+    assert(Multimodal.phash64(base) ==
+      Multimodal.phash64(gradient(48, 40, shift = 30)),
+      "brightness shift must not move the hash")
+    // positive contrast scale: coefficients and their median rescale
+    // together — same hash
+    assert(Multimodal.phash64(base) ==
+      Multimodal.phash64(gradient(48, 40, scale = 1.5)),
+      "contrast scale must not move the hash")
+    // a structurally DIFFERENT image (transposed gradient direction)
+    // lands far away; a re-encode of the same pixels lands at 0
+    def png(i: java.awt.image.BufferedImage): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(i, "png", bos); bos.toByteArray
+    }
+    val other = {
+      val img = new java.awt.image.BufferedImage(
+        48, 40, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until 40; x <- 0 until 48) {
+        val v = 60 + ((x * 57 + y * 97) % 120)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      img
+    }
+    val dBase = java.lang.Long.bitCount(
+      Multimodal.phash64(base) ^ Multimodal.phash64(other))
+    assert(dBase > 10, s"different structure must be far: $dBase bits")
+    // pairs: two copies + the distant image + a non-decodable payload;
+    // the banded-Hamming engine must return exactly the copy pair
+    val media = Seq(
+      (1L, "image", png(base), null.asInstanceOf[String]),
+      (2L, "image", png(base), null.asInstanceOf[String]),
+      (3L, "image", png(other), null.asInstanceOf[String]),
+      (4L, "image", "junk bytes".getBytes("UTF-8"),
+        null.asInstanceOf[String])
+    ).toDF("media_id", "media_type", "payload", "meta")
+    val pairs = Multimodal.phashPairs(media, maxHamming = 5)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.map(p => Set(p._1, p._2)) == Set(Set(1L, 2L)) &&
+      pairs.forall(_._3 == 0), s"only the copy pair: $pairs")
+    // decode boundary: junk hashes to NULL with decoded = false
+    val h4 = Multimodal.phash(media).filter($"media_id" === 4L)
+      .select($"phash", $"decoded").collect().head
+    assert(h4.isNullAt(0) && !h4.getBoolean(1))
+    // pigeonhole guard rides through from the shared engine
+    intercept[IllegalArgumentException](
+      Multimodal.phashPairs(media, maxHamming = 16, bands = 16))
+  }
+
   test("multimodal: REAL ImageIO pixel decode — stats, resize, honest boundary") {
     // hand-built 4×2 PNG: top row solid red, bottom row solid blue →
     // every statistic is hand-computable
