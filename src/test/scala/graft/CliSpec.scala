@@ -908,10 +908,21 @@ class CliSpec extends SparkSpec {
         |  c4_rules: {min_wordz: 4}
         |""".stripMargin))
     assert(c4Typo.getMessage.contains("min_wordz"))
-    // the committed golden example parses (uris are placeholders)
+    // the committed golden examples parse (uris are placeholders)
     val golden = YamlJob.load("examples/curation_job.yaml")
     assert(golden.curation.exists(c =>
       c.shards.contains(YamlJob.ShardSpec(64, 42L)) && c.observed))
+    val sel = YamlJob.load("examples/target_selection.yaml",
+      Map("CRAWL_DIR" -> "/c", "BENCH_DIR" -> "/b",
+        "TARGET_DIR" -> "/t", "OUT_DIR" -> "/o")).curation.get
+    assert(sel.gopherRules &&
+      sel.decontaminateExcise.contains(
+        YamlJob.DecontaminateExciseSpec("/b/eval.parquet", "text", 50)) &&
+      sel.decontaminateFuzzy.contains(
+        YamlJob.DecontaminateFuzzySpec("/b/eval.parquet", "text", 16, 32)) &&
+      sel.dsir.contains(YamlJob.DsirSpec(
+        "/t/reference_corpus.parquet", 100000, "text", 10000, 42L)) &&
+      sel.observed)
   }
 
   test("capstone yaml e2e: examples/pretrain_curation.yaml runs the " +
