@@ -1629,6 +1629,47 @@ object SparkEntry {
           col("decoded"))
     },
 
+    // --- perceptual AUDIO hashing: two byte-identical PCM16 WAVs of
+    // the same planted samples must hash identically (hamming 0 per
+    // planted pair — the same provable-exact-subcase gating as
+    // q_phash_dedup), and truncated payloads pin the decoded=false
+    // boundary. Volume/DC invariances stay unit-pinned in LlmSpec ---
+    "q_audio_phash" -> { (s, dir) =>
+      import s.implicits._
+      val ids = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(50)) === 0)
+        .select(col("doc_id")).as[Long]
+      val originals = ids.map(id => (900000L + id,
+        Multimodal.wavPcm16Fixture(id))).toDF("media_id", "payload")
+      val copies = ids.map(id => (950000L + id,
+        Multimodal.wavPcm16Fixture(id))).toDF("media_id", "payload")
+      val truncated = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(100)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map { id =>
+          val whole = Multimodal.wavPcm16Fixture(id)
+          (id, java.util.Arrays.copyOf(whole, whole.length - 10))
+        }.toDF("media_id", "payload")
+      val media = originals.unionByName(copies).unionByName(truncated)
+        .select(col("media_id"), lit("audio").as("media_type"),
+          col("payload"), lit(null).cast("string").as("meta"))
+      val h = Multimodal.audioHash(media)
+      val o = h.filter(col("media_id").between(900000L, 949999L))
+        .select((col("media_id") - 900000L).as("doc_id"),
+          col("ahash").as("__ha"))
+      val c = h.filter(col("media_id") >= 950000L)
+        .select((col("media_id") - 950000L).as("doc_id"),
+          col("ahash").as("__hb"))
+      val pairRows = o.join(c, Seq("doc_id"))
+        .select((col("doc_id") + 950000L).as("media_id"),
+          graft.llm.Dedup.hamming(col("__ha"), col("__hb")).as("hamming"),
+          lit(true).as("decoded"))
+      val badRows = h.filter(col("media_id") < 900000L)
+        .select(col("media_id"), lit(null).cast("int").as("hamming"),
+          col("decoded"))
+      pairRows.unionByName(badRows)
+    },
+
     // --- REAL audio PCM sample statistics: deterministic PCM16 WAVs
     // (every sample derives arithmetically from the id — planted
     // silence every 7th sample, planted clipping on both rails) are
@@ -4089,6 +4130,17 @@ object SparkEntry {
         |    - ln(-ln((CAST((((doc_id + 7) % 1000000007) * 2654435761)
         |        % 1000000007 % 1000000 AS DOUBLE) + 0.5) / 1000000.0)))
         |    * 1e6 + 0.5) DESC, doc_id ASC) <= 120""".stripMargin,
+
+    // audio pHash: byte-identical WAV pairs → hamming 0; truncated
+    // payloads → null hamming, decoded = false
+    "q_audio_phash" ->
+      """SELECT 950000 + doc_id AS media_id, CAST(0 AS INT) AS hamming,
+        |  true AS decoded
+        |FROM documents WHERE doc_id % 50 = 0
+        |UNION ALL
+        |SELECT doc_id AS media_id, CAST(NULL AS INT) AS hamming,
+        |  false AS decoded
+        |FROM documents WHERE doc_id % 100 = 0""".stripMargin,
 
     // pHash: identical planted pixels (two independent PNG encodes of
     // the same arithmetic fixture) MUST hash identically → hamming 0

@@ -764,6 +764,155 @@ object Multimodal {
         .select(col("media_id").as("id"), col("phash").as("sig")),
       maxHamming, bands, maxBucketSize)
 
+  // --------------------------------------------------------------------
+  // Perceptual AUDIO hashing — the same pHash recipe applied to an
+  // 8 (time) × 8 (frequency) spectral grid, so near-dup detection
+  // covers all three modalities (text simhash/minhash, image pHash,
+  // audio spectral hash) through the ONE banded-Hamming engine.
+  // --------------------------------------------------------------------
+
+  /** DCT-II cosine tables for the audio hash: cos((2x+1)·f·π/512),
+    * f ≤ 8, x < 256. */
+  private lazy val AudioCos: Array[Array[Double]] =
+    Array.tabulate(9, 256)((f, x) =>
+      math.cos((2 * x + 1) * f * math.Pi / 512.0))
+
+  /** PCM16 sample sequence of a WAV payload — the SAME decode domain
+    * as [[audioStats]]: format 1 @ 16-bit verbatim, format 3 (IEEE
+    * float32) folded via s = clamp(rint(f·32768)), NaN/Inf → None
+    * (corrupt data is loud), truncated or non-WAV bytes → None.
+    * Channels interleave into one sequence (documented: the hash is a
+    * property of the interleaved stream). */
+  private[llm] def readSamples16(payload: Array[Byte]): Option[Array[Int]] =
+    AudioHeaders.parsePcm(payload) match {
+      case Some((1, _, _, 16, off, len))
+          if len >= 2 && len % 2 == 0 && off + len <= payload.length =>
+        val n = (len / 2).toInt
+        Some(Array.tabulate(n) { k =>
+          val i = (off + 2L * k).toInt
+          ((payload(i) & 0xff) | (payload(i + 1) << 8)).toShort.toInt
+        })
+      case Some((3, _, _, 32, off, len))
+          if len >= 4 && len % 4 == 0 && off + len <= payload.length =>
+        val n = (len / 4).toInt
+        val out = new Array[Int](n)
+        var k = 0
+        while (k < n) {
+          val i = (off + 4L * k).toInt
+          val w = (payload(i) & 0xff) | ((payload(i + 1) & 0xff) << 8) |
+            ((payload(i + 2) & 0xff) << 16) | (payload(i + 3) << 24)
+          val f = java.lang.Float.intBitsToFloat(w)
+          if (java.lang.Float.isNaN(f) || java.lang.Float.isInfinite(f))
+            return None
+          val rd = math.rint(f * 32768.0)
+          out(k) =
+            if (rd >= 32767.0) 32767
+            else if (rd <= -32768.0) -32768
+            else rd.toInt
+          k += 1
+        }
+        Some(out)
+      case _ => None
+    }
+
+  /** 64-bit perceptual audio hash — [[phash64]]'s recipe on a spectral
+    * grid, pinned:
+    *
+    *   1. split the sample sequence into 8 equal TIME slots (exact
+    *      integer bounds `[t·n/8, (t+1)·n/8)`);
+    *   2. box-average each slot onto 256 points (same exact-bounds
+    *      resample as the image path);
+    *   3. per slot, DCT-II coefficients at frequencies 1..8 — f = 0
+    *      (the slot's DC offset) is EXCLUDED, so a constant sample
+    *      offset cannot move the hash;
+    *   4. threshold the 64 |coefficient| magnitudes against their
+    *      lower median: bit (t·8 + f−1) set iff above.
+    *
+    * Invariants (unit-pinned): volume scaling multiplies every
+    * magnitude AND the median together — identical hash; a DC offset
+    * lands only in the excluded f = 0 terms; re-encoded identical
+    * samples are bit-identical. Different temporal/spectral structure
+    * lands many bits away. Comparison/banding is [[audioHashPairs]]. */
+  def audioHash64(samples: Array[Int]): Long = {
+    val n = samples.length
+    if (n == 0) return 0L
+    val mags = new Array[Double](64)
+    var t = 0
+    while (t < 8) {
+      val s0 = t * n / 8
+      val s1 = math.max(s0 + 1, (t + 1) * n / 8)
+      val m = s1 - s0
+      // box-average the slot onto 256 points (exact integer bounds;
+      // an empty cell — only when the slot has < 256 samples — takes
+      // its single sampled point)
+      val g = new Array[Double](256)
+      var j = 0
+      while (j < 256) {
+        val a = s0 + j * m / 256
+        val b = math.max(a + 1, s0 + (j + 1) * m / 256)
+        var s = 0L; var k = a
+        while (k < b) { s += samples(k); k += 1 }
+        g(j) = s.toDouble / (b - a)
+        j += 1
+      }
+      var f = 1
+      while (f <= 8) {
+        var c = 0.0; var x = 0
+        while (x < 256) { c += g(x) * AudioCos(f)(x); x += 1 }
+        mags(t * 8 + (f - 1)) = math.abs(c)
+        f += 1
+      }
+      t += 1
+    }
+    val sorted = mags.clone(); java.util.Arrays.sort(sorted)
+    val med = sorted(31) // lower median of 64
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (mags(i) > med) hash |= 1L << i
+      i += 1
+    }
+    hash
+  }
+
+  /** Audio-hash output contract: (media_id, ahash, decoded). */
+  val audioHashSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("ahash", LongType, nullable = true),
+    StructField("decoded", BooleanType, nullable = false)))
+
+  /** Perceptual hashes for every audio row — narrow per-partition map
+    * (decode + hash, one payload in memory per task, no shuffle). */
+  def audioHash(media: DataFrame): DataFrame = {
+    val enc = ExpressionEncoder(audioHashSchema)
+    val idIdx = media.schema.fieldIndex("media_id")
+    val typeIdx = media.schema.fieldIndex("media_type")
+    val payloadIdx = media.schema.fieldIndex("payload")
+    media.mapPartitions { rows =>
+      rows.filter(r => r.getString(typeIdx) == "audio").map { r =>
+        val payload =
+          if (r.isNullAt(payloadIdx)) Array.empty[Byte]
+          else r.getAs[Array[Byte]](payloadIdx)
+        readSamples16(payload) match {
+          case Some(s) if s.nonEmpty =>
+            Row(r.getLong(idIdx), audioHash64(s), true)
+          case _ => Row(r.getLong(idIdx), null, false)
+        }
+      }
+    }(enc)
+  }
+
+  /** Audio near-dup candidate pairs through the shared banded-Hamming
+    * engine ([[Dedup.bandedHammingPairs]]): (id_a, id_b, hamming);
+    * non-decodable rows never pair. */
+  def audioHashPairs(media: DataFrame, maxHamming: Int = 10,
+                     bands: Int = 16,
+                     maxBucketSize: Int = 100000): DataFrame =
+    Dedup.bandedHammingPairs(
+      audioHash(media).filter(col("decoded"))
+        .select(col("media_id").as("id"), col("ahash").as("sig")),
+      maxHamming, bands, maxBucketSize)
+
   /** Frame-statistics output contract: one row per sampled video frame
     * — real decoded stats when the extracted sample bytes are an image
     * a JDK codec reads (the MJPEG case: in motion-JPEG each sample IS

@@ -803,6 +803,61 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("multimodal audio hash: volume-scale and DC-offset invariance, " +
+      "structure sensitivity, pairs via banded Hamming, honest boundary") {
+    // minimal PCM16 WAV writer for hand-controlled samples
+    def wav(samples: Array[Int]): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      samples.indices.foreach { i =>
+        data(2 * i) = (samples(i) & 0xff).toByte
+        data(2 * i + 1) = ((samples(i) >> 8) & 0xff).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      def le32(v: Int) = bos.write(Array[Byte](
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte))
+      def le16(v: Int) = bos.write(Array[Byte](
+        (v & 0xff).toByte, ((v >> 8) & 0xff).toByte))
+      bos.write("RIFF".getBytes); le32(36 + data.length)
+      bos.write("WAVE".getBytes)
+      bos.write("fmt ".getBytes); le32(16); le16(1); le16(1)
+      le32(8000); le32(16000); le16(2); le16(16)
+      bos.write("data".getBytes); le32(data.length); bos.write(data)
+      bos.toByteArray
+    }
+    // a structured mid-range waveform with margin (|s| <= 8000, so the
+    // x2 and +1000 variants stay inside PCM16 range)
+    val base = Array.tabulate(4000)(i =>
+      (4000 * math.sin(i * 0.05) + 2500 * math.sin(i * 0.013)).toInt)
+    def hash(s: Array[Int]): Long = graft.llm.Multimodal.audioHash64(s)
+    // volume x2 doubles every magnitude AND the median — same hash
+    assert(hash(base) == hash(base.map(_ * 2)),
+      "volume scaling must not move the hash")
+    // a constant DC offset lands only in the excluded f = 0 terms
+    assert(hash(base) == hash(base.map(_ + 1000)),
+      "DC offset must not move the hash")
+    // reversed time structure lands far away
+    val dRev = java.lang.Long.bitCount(hash(base) ^ hash(base.reverse))
+    assert(dRev > 8, s"reversed structure must be far: $dRev bits")
+    // pairs: two copies + the reversed signal + junk bytes
+    val media = Seq(
+      (1L, "audio", wav(base), null.asInstanceOf[String]),
+      (2L, "audio", wav(base), null.asInstanceOf[String]),
+      (3L, "audio", wav(base.reverse), null.asInstanceOf[String]),
+      (4L, "audio", "not audio".getBytes("UTF-8"),
+        null.asInstanceOf[String])
+    ).toDF("media_id", "media_type", "payload", "meta")
+    val pairs = graft.llm.Multimodal.audioHashPairs(media, maxHamming = 4)
+      .select($"id_a", $"id_b", $"hamming")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(pairs.map(p => Set(p._1, p._2)) == Set(Set(1L, 2L)) &&
+      pairs.forall(_._3 == 0), s"only the copy pair: $pairs")
+    val h4 = graft.llm.Multimodal.audioHash(media)
+      .filter($"media_id" === 4L).select($"ahash", $"decoded")
+      .collect().head
+    assert(h4.isNullAt(0) && !h4.getBoolean(1))
+  }
+
   test("multimodal pHash: algorithmic invariances (brightness shift, " +
       "contrast scale), structure sensitivity, pairs via banded " +
       "Hamming, honest decode boundary") {
