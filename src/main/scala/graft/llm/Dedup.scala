@@ -702,11 +702,13 @@ object Dedup {
   /** SimHash near-dup pairs within Hamming distance `maxHamming`.
     *
     * Scale path: the 64-bit signature splits into `bands` chunks; by
-    * pigeonhole, two signatures within Hamming distance d < bands agree
-    * on at least one whole chunk — so candidates come from equality
-    * joins on (band, chunk), never an all-pairs scan, and the exact
-    * bit_count verify runs only inside buckets. Default bands = 4 →
-    * guaranteed recall for maxHamming <= 3. */
+    * pigeonhole, two signatures within Hamming distance d share a
+    * chunk pair differing by at most floor(d / bands) bits, so
+    * candidates come from equality joins on (band, perturbed-chunk)
+    * keys (multi-index Hamming — see [[bandedHammingPairs]]), never an
+    * all-pairs scan, and the exact bit_count verify runs only inside
+    * buckets. Default bands = 4 → exact-chunk keys for
+    * maxHamming <= 3. */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3, bands: Int = 4,
                    maxBucketSize: Int = 100000): DataFrame =
@@ -715,31 +717,80 @@ object Dedup {
         simhash64(shingleHashes(col(textCol), n = 1)).as("sig")),
       maxHamming, bands, maxBucketSize)
 
-  /** The banded-Hamming pair engine behind [[simhashPairs]] (and the
-    * image [[Multimodal.phashPairs]]): any pair within `maxHamming`
-    * bits shares at least one of `bands` exact 64/bands-bit chunks
-    * (pigeonhole — hence the bands > maxHamming requirement), so
-    * candidates meet on (band, chunk) keys in ONE shuffle with the
-    * house capped-collect skew guard, and the Hamming verify runs on
-    * signatures riding the collected structs — no re-join. Input:
-    * (id, sig) with 64-bit signatures. */
+  /** All XOR masks of Hamming weight <= `radius` over `width` bits —
+    * XOR-ing a chunk with every mask enumerates its complete Hamming
+    * ball. Driver-side and tiny at the supported radii (radius 1 over
+    * 16 bits = 17 masks, radius 2 = 137); the engine bounds the
+    * product bands × masks loudly. */
+  private[llm] def hammingBallMasks(width: Int, radius: Int): Seq[Long] = {
+    def combos(start: Int, left: Int, acc: Long): Seq[Long] =
+      if (left == 0) Seq(acc)
+      else (start until width).flatMap(i =>
+        combos(i + 1, left - 1, acc | (1L << i)))
+    (0 to radius).flatMap(r => combos(0, r, 0L))
+  }
+
+  /** The multi-index-Hamming pair engine behind [[simhashPairs]] and
+    * the perceptual [[Multimodal.phashPairs]]/`audioHashPairs`
+    * (Norouzi, Punjani & Fleet, "Fast Search in Hamming Space with
+    * Multi-Index Hashing", CVPR'12 — the candidate-generation idea,
+    * re-expressed as one Spark shuffle).
+    *
+    * Recall guarantee, by pigeonhole twice: a pair within `maxHamming`
+    * bits has SOME band whose 64/bands-bit chunks differ by at most
+    * r = floor(maxHamming / bands) bits; both sides emit the Hamming
+    * ball of radius ceil(r/2) around each chunk, and two balls of that
+    * radius intersect iff the chunks differ by <= 2·ceil(r/2) >= r
+    * bits (flip ceil(e/2) of the e differing bits on one side and the
+    * rest on the other to meet at a midpoint key). So every qualifying
+    * pair meets in at least one (band, key) bucket WITHOUT shrinking
+    * chunk width: maxHamming = 10 runs as 4 bands × 16-bit chunks ×
+    * radius-1 balls (17 keys/band) with 65536-value bucket keys,
+    * where naive banding would need 16 bands of 4-bit keys whose
+    * 16-value buckets hold ~n/16 of the corpus each and saturate the
+    * cap — the silent-empty-output failure this engine now rejects
+    * loudly (chunk width >= 8 is required).
+    *
+    * One shuffle: capped native collect of (id, sig) pairs per
+    * (band, key) — hot buckets poison their bounded buffer and drop as
+    * NULL — then streamed positional pair expansion; sigs ride the
+    * collected structs so the exact Hamming verify needs no re-join.
+    * Output pairs are canonical (id_a < id_b) so the multi-bucket
+    * meetings dedup exactly. Input: (id, sig) with 64-bit
+    * signatures. */
   private[llm] def bandedHammingPairs(sigs: DataFrame, maxHamming: Int,
                                       bands: Int,
                                       maxBucketSize: Int): DataFrame = {
-    require(bands > maxHamming,
-      s"pigeonhole needs bands ($bands) > maxHamming ($maxHamming) for full recall")
+    require(bands >= 1 && 64 % bands == 0,
+      s"bands ($bands) must divide 64")
     val width = 64 / bands
-    val chunks = (0 until bands).map { b =>
-      struct(lit(b).as("band"),
-        shiftrightunsigned(col("sig"), b * width)
-          .bitwiseAND(lit((1L << width) - 1)).as("chunk"))
-    }
+    require(width >= 8,
+      s"chunk width 64/$bands = $width bits gives only ${1 << width} " +
+        "distinct bucket values per band — buckets hold ~n/" +
+        s"${1 << width} of the corpus and silently saturate the cap at " +
+        "scale. Use fewer, wider bands: multi-index Hamming covers the " +
+        "same maxHamming via perturbed keys (e.g. maxHamming=10 -> " +
+        "bands=4).")
+    val r = maxHamming / bands
+    val ballRadius = (r + 1) / 2
+    val masks = hammingBallMasks(width, ballRadius)
+    require(masks.size.toLong * bands <= 4096,
+      s"multi-index keys per row (${masks.size} masks x $bands bands) " +
+        "exceed 4096 — raise bands (smaller per-band radius) or lower " +
+        s"maxHamming ($maxHamming)")
+    val chunkMask = if (width == 64) -1L else (1L << width) - 1
+    val chunks = for {
+      b <- 0 until bands
+      m <- masks
+    } yield struct(lit(b).as("band"),
+      shiftrightunsigned(col("sig"), b * width)
+        .bitwiseAND(lit(chunkMask)).bitwiseXOR(lit(m)).as("chunk"))
     val keys = sigs.select(col("id"), col("sig"),
       explode(array(chunks: _*)).as("k"))
       .select(col("id"), col("sig"), col("k.band"), col("k.chunk"))
 
     // one shuffle: capped native collect of (id, sig) pairs per
-    // (band, chunk) — hot buckets poison their bounded buffer and drop
+    // (band, key) — hot buckets poison their bounded buffer and drop
     // as NULL — then streamed positional pair expansion; sigs ride the
     // collected structs so the Hamming verify needs no re-join
     val buckets = keys.groupBy(col("band"), col("chunk"))
@@ -751,7 +802,11 @@ object Dedup {
       .select(col("p.id").as("id_a"), col("p.v").as("sig_a"),
         explode(slice(col("ps"), col("i") + 2,
           greatest(size(col("ps")) - col("i") - 1, lit(0)))).as("q"))
-      .select(col("id_a"), col("q.id").as("id_b"),
+      // canonical order BEFORE distinct: with perturbed keys a pair
+      // meets in many buckets whose collect orders differ — (a,b) and
+      // (b,a) must collapse to one row
+      .select(least(col("id_a"), col("q.id")).as("id_a"),
+        greatest(col("id_a"), col("q.id")).as("id_b"),
         hamming(col("sig_a"), col("q.v")).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)

@@ -643,43 +643,67 @@ object Multimodal {
     * it) and positive contrast scaling rescales coefficients AND their
     * median together — both produce the IDENTICAL hash (absent pixel
     * clipping); small local edits flip few bits. Comparison/banding is
-    * [[phashPairs]]. */
+    * [[phashPairs]].
+    *
+    * Per-task memory: bounded by the DECODED IMAGE only — scratch is
+    * one O(w) row buffer plus fixed 32×32 tables (no w×h luminance
+    * plane), so crawl-corpus megapixel outliers cost decode, not
+    * hash. */
   def phash64(img: java.awt.image.BufferedImage): Long = {
     val w = img.getWidth; val h = img.getHeight
     if (w == 0 || h == 0) return 0L
-    // luminance plane once (integer), then box means onto 32×32
-    val lum = new Array[Long](w * h)
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        val rgb = img.getRGB(x, y)
-        lum(y * w + x) = 299L * ((rgb >> 16) & 0xff) +
-          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
-        x += 1
-      }
-      y += 1
-    }
+    // Per-task scratch is O(w), NOT O(w·h): box sums accumulate row by
+    // row from a single reused RGB row buffer (bulk getRGB), so a
+    // 100-megapixel crawl outlier costs one decoded image plus one row
+    // — not an extra 8-byte/pixel luminance plane on top of the
+    // decode. Long sums are order-independent, so the hash is
+    // bit-identical to the plane formulation (unit-pinned against a
+    // naive reference). When h < 32 a source row feeds several ty
+    // cells and is re-fetched per cell — only possible on tiny images.
+    val rowBuf = new Array[Int](w)
     val g = new Array[Double](32 * 32)
     var ty = 0
     while (ty < 32) {
       val y0 = ty * h / 32
       val y1 = math.max(y0 + 1, (ty + 1) * h / 32)
+      val cellS = new Array[Long](32)
+      var yy = y0
+      while (yy < y1) {
+        img.getRGB(0, yy, w, 1, rowBuf, 0, w)
+        var tx = 0
+        while (tx < 32) {
+          val x0 = tx * w / 32
+          val x1 = math.max(x0 + 1, (tx + 1) * w / 32)
+          var s = 0L; var xx = x0
+          while (xx < x1) {
+            val rgb = rowBuf(xx)
+            s += 299L * ((rgb >> 16) & 0xff) +
+              587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+            xx += 1
+          }
+          cellS(tx) += s
+          tx += 1
+        }
+        yy += 1
+      }
       var tx = 0
       while (tx < 32) {
         val x0 = tx * w / 32
         val x1 = math.max(x0 + 1, (tx + 1) * w / 32)
-        var s = 0L; var yy = y0
-        while (yy < y1) {
-          var xx = x0
-          while (xx < x1) { s += lum(yy * w + xx); xx += 1 }
-          yy += 1
-        }
-        g(ty * 32 + tx) = s.toDouble / ((y1 - y0).toLong * (x1 - x0))
+        g(ty * 32 + tx) = cellS(tx).toDouble / ((y1 - y0).toLong * (x1 - x0))
         tx += 1
       }
       ty += 1
     }
+    phashFromGrid(g)
+  }
+
+  /** DCT + median-threshold tail of [[phash64]], on the 32×32 box-mean
+    * grid: low 8×8 of the 2-D DCT-II, then bit i set iff AC
+    * coefficient i exceeds the lower median of the 63. Factored so the
+    * grid-accumulation strategy can be tested bit-for-bit against a
+    * naive full-plane reference sharing this exact transform. */
+  private[llm] def phashFromGrid(g: Array[Double]): Long = {
     // low 8×8 of the 2-D DCT-II (separable: rows then columns; the
     // orthonormal a(u)a(v) factors are positive constants per
     // coefficient — irrelevant to a per-coefficient sign-vs-median
@@ -752,12 +776,18 @@ object Multimodal {
   }
 
   /** Image near-dup candidate pairs: decode → [[phash64]] → the text
-    * family's banded-Hamming engine ([[Dedup.bandedHammingPairs]]) —
-    * any pair within `maxHamming` bits shares one of `bands` exact
-    * chunks (pigeonhole), candidates meet in ONE capped shuffle, and
-    * the verify is a popcount on signatures riding the buckets.
-    * Returns (id_a, id_b, hamming); non-decodable rows never pair. */
-  def phashPairs(media: DataFrame, maxHamming: Int = 10, bands: Int = 16,
+    * family's multi-index-Hamming engine ([[Dedup.bandedHammingPairs]])
+    * — any pair within `maxHamming` bits meets in at least one
+    * (band, perturbed-chunk) bucket (double pigeonhole, see the
+    * engine), candidates meet in ONE capped shuffle, and the verify is
+    * a popcount on signatures riding the buckets. Default bands = 4 →
+    * 16-bit chunk keys with radius-1 perturbation balls: 65536-value
+    * buckets stay selective at LAION-class corpus sizes (the former
+    * bands = 16 default meant 4-bit keys whose 16-value buckets
+    * saturate past ~16·cap items — now rejected loudly by the engine).
+    * Returns (id_a, id_b, hamming) with id_a < id_b; non-decodable
+    * rows never pair. */
+  def phashPairs(media: DataFrame, maxHamming: Int = 10, bands: Int = 4,
                  maxBucketSize: Int = 100000): DataFrame =
     Dedup.bandedHammingPairs(
       phash(media).filter(col("decoded"))
@@ -902,11 +932,13 @@ object Multimodal {
     }(enc)
   }
 
-  /** Audio near-dup candidate pairs through the shared banded-Hamming
-    * engine ([[Dedup.bandedHammingPairs]]): (id_a, id_b, hamming);
-    * non-decodable rows never pair. */
+  /** Audio near-dup candidate pairs through the shared
+    * multi-index-Hamming engine ([[Dedup.bandedHammingPairs]]):
+    * (id_a, id_b, hamming) with id_a < id_b; non-decodable rows never
+    * pair. Default bands = 4 for the same key-selectivity reason as
+    * [[phashPairs]]. */
   def audioHashPairs(media: DataFrame, maxHamming: Int = 10,
-                     bands: Int = 16,
+                     bands: Int = 4,
                      maxBucketSize: Int = 100000): DataFrame =
     Dedup.bandedHammingPairs(
       audioHash(media).filter(col("decoded"))

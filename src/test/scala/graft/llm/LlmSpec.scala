@@ -199,8 +199,76 @@ class LlmSpec extends SparkSpec {
       .filter($"hamming" <= 3)
     val banded = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3)
     assert(banded.exceptAll(brute).isEmpty && brute.exceptAll(banded).isEmpty)
-    intercept[IllegalArgumentException](
-      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4, bands = 4))
+    // maxHamming >= bands engages the multi-index perturbed-key path
+    // (r = 1, radius-1 balls) — recall must still be total vs brute
+    val brute4 = sigs.as("a").crossJoin(sigs.as("b"))
+      .filter($"a.id" < $"b.id")
+      .select($"a.id".as("id_a"), $"b.id".as("id_b"),
+        Dedup.hamming($"a.sig", $"b.sig").as("hamming"))
+      .filter($"hamming" <= 4)
+    val banded4 = Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 4)
+    assert(banded4.exceptAll(brute4).isEmpty &&
+      brute4.exceptAll(banded4).isEmpty)
+    // chunk widths < 8 bits are rejected loudly (16-value bucket keys
+    // saturate the cap at scale and would silently return zero pairs)
+    val narrow = intercept[IllegalArgumentException](
+      Dedup.simhashPairs(docs, "doc_id", "text", maxHamming = 3, bands = 16))
+    assert(narrow.getMessage.contains("chunk width"))
+  }
+
+  test("multi-index Hamming: pigeonhole recall at d <= 10 over 4 bands, " +
+      "and selective keys where 4-bit banding would silently saturate") {
+    // recall pigeonhole: plant pairs at EVERY distance 0..10 by
+    // flipping exactly d deterministically-chosen bits; bands = 4 →
+    // some band differs by <= floor(10/4) = 2 bits and the radius-1
+    // balls around those chunks intersect — every planted pair must
+    // surface
+    val rng = new scala.util.Random(42)
+    val bases = Array.fill(200)(rng.nextLong())
+    val planted = (0 to 10).flatMap { d =>
+      (0 until 4).map { k =>
+        val base = bases(d * 4 + k)
+        var sig = base
+        // flip d distinct bit positions derived from (d, k)
+        val positions = new scala.util.Random(d * 131L + k)
+          .shuffle((0 until 64).toList).take(d)
+        positions.foreach(p => sig ^= (1L << p))
+        (d, k, base, sig)
+      }
+    }
+    val rows = planted.zipWithIndex.flatMap { case ((d, k, a, b), i) =>
+      Seq((i * 2L + 1000000L, a), (i * 2L + 1000001L, b))
+    }
+    val sigs = rows.toDF("id", "sig")
+    val pairs = Dedup.bandedHammingPairs(sigs, maxHamming = 10, bands = 4,
+        maxBucketSize = 100000)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    planted.zipWithIndex.foreach { case ((d, _, _, _), i) =>
+      assert(pairs.contains((i * 2L + 1000000L, i * 2L + 1000001L)),
+        s"planted pair at distance $d (index $i) missed — pigeonhole " +
+          "recall broken")
+    }
+    // saturation: 5000 uniform-random sigs + planted near-dups under a
+    // cap of 200. The former 16-band/4-bit default puts ~5000/16 = 312
+    // items in EVERY (band, chunk) bucket — all poisoned, silent empty
+    // output. The multi-index keys (65536 values/band) keep buckets
+    // tiny: the planted pairs must all surface.
+    val r2 = new scala.util.Random(7)
+    val noise = (0 until 5000).map(i => (i.toLong, r2.nextLong()))
+    val plantedNear = (0 until 20).map { i =>
+      val a = noise(i * 37)._2
+      (900000L + i, a ^ (1L << (i % 64)) ^ (1L << ((i + 31) % 64)))
+    }
+    val corpus = (noise ++ plantedNear).toDF("id", "sig")
+    val found = Dedup.bandedHammingPairs(corpus, maxHamming = 10,
+        bands = 4, maxBucketSize = 200)
+      .select($"id_a", $"id_b").as[(Long, Long)].collect().toSet
+    (0 until 20).foreach { i =>
+      val pair = (noise(i * 37)._1.min(900000L + i),
+        noise(i * 37)._1.max(900000L + i))
+      assert(found.contains(pair),
+        s"planted near-dup $i lost under cap=200 — keys not selective")
+    }
   }
 
   test("ngramJaccardPairs: exact blocked pairs match unblocked on same block") {
@@ -922,9 +990,48 @@ class LlmSpec extends SparkSpec {
     val h4 = Multimodal.phash(media).filter($"media_id" === 4L)
       .select($"phash", $"decoded").collect().head
     assert(h4.isNullAt(0) && !h4.getBoolean(1))
-    // pigeonhole guard rides through from the shared engine
+    // narrow-chunk guard rides through from the shared engine (16
+    // bands → 4-bit keys, rejected loudly)
     intercept[IllegalArgumentException](
       Multimodal.phashPairs(media, maxHamming = 16, bands = 16))
+  }
+
+  test("phash64: O(w)-scratch row accumulation is bit-identical to the " +
+      "full-plane reference, including sub-32px overlap cells") {
+    // the naive reference: materialize the whole luminance plane, then
+    // box-sum per cell — the formulation phash64 replaced to bound
+    // per-task scratch at one row
+    def reference(img: java.awt.image.BufferedImage): Long = {
+      val w = img.getWidth; val h = img.getHeight
+      val lum = new Array[Long](w * h)
+      for (y <- 0 until h; x <- 0 until w) {
+        val rgb = img.getRGB(x, y)
+        lum(y * w + x) = 299L * ((rgb >> 16) & 0xff) +
+          587L * ((rgb >> 8) & 0xff) + 114L * (rgb & 0xff)
+      }
+      val g = new Array[Double](32 * 32)
+      for (ty <- 0 until 32; tx <- 0 until 32) {
+        val y0 = ty * h / 32; val y1 = math.max(y0 + 1, (ty + 1) * h / 32)
+        val x0 = tx * w / 32; val x1 = math.max(x0 + 1, (tx + 1) * w / 32)
+        var s = 0L
+        for (yy <- y0 until y1; xx <- x0 until x1) s += lum(yy * w + xx)
+        g(ty * 32 + tx) = s.toDouble / ((y1 - y0).toLong * (x1 - x0))
+      }
+      graft.llm.Multimodal.phashFromGrid(g)
+    }
+    val rng = new java.util.Random(1234)
+    // sizes exercise: divisible, non-divisible, w<32, h<32, both tiny,
+    // single row/column
+    val sizes = Seq((64, 64), (97, 53), (20, 80), (80, 20), (7, 5),
+      (1, 40), (40, 1), (33, 31))
+    sizes.foreach { case (w, h) =>
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w)
+        img.setRGB(x, y, rng.nextInt(1 << 24))
+      assert(Multimodal.phash64(img) == reference(img),
+        s"hash diverged from the plane reference at ${w}x$h")
+    }
   }
 
   test("multimodal: REAL ImageIO pixel decode — stats, resize, honest boundary") {
