@@ -73,6 +73,10 @@ object Main {
                             bins: Int, categorical: Boolean,
                             sourceOptions: Map[String, String],
                             logLevel: String) extends Cmd
+  final case class StripExifCmd(source: String, target: String,
+                                flagsOut: Option[String],
+                                sourceOptions: Map[String, String],
+                                logLevel: String) extends Cmd
   case object GenDefault extends Cmd
   case object Help extends Cmd
   case object Version extends Cmd
@@ -127,6 +131,12 @@ object Main {
       |                               [--source-type TYPE]
       |                               (PSI population-stability gate —
       |                               exit 1 at the >=0.25 action level)
+      |       graft strip-exif <SOURCE> <TARGET> [--flags REPORT]
+      |                               [--source-type TYPE]
+      |                               (byte-exact APP1/APP2 removal from
+      |                               JPEG media rows — GPS/serial PII
+      |                               hygiene; --flags also writes the
+      |                               per-image has_gps/has_serial report)
       |
       |Options:
       |  --transform <EXPRESSIONS>   Inline transforms, e.g. "c=row.a * 2; u=string.upper(row.b)"
@@ -174,6 +184,7 @@ object Main {
           case lc: LinkageCmd => runLinkage(lc)
           case dc: DedupCmd  => runDedup(dc)
           case dr: DriftCmd  => runDrift(dr)
+          case se: StripExifCmd => runStripExif(se)
           case Transfer(c, p, d, ll) => runTransfer(c, p, d, ll)
         }
       } catch {
@@ -563,6 +574,31 @@ object Main {
         column.getOrElse(
           throw GraftError.Configuration("drift needs --column COL")),
         bins, categorical, srcType.map("sourceType" -> _).toMap, drlogLevel)
+    case "strip-exif" :: rest =>
+      var pos = List.empty[String]
+      var flagsOut: Option[String] = None
+      var srcType: Option[String] = None
+      var selogLevel = "error"
+      @annotation.tailrec
+      def seloop(r: List[String]): Unit = r match {
+        case Nil => ()
+        case "--flags" :: v :: t => flagsOut = Some(v); seloop(t)
+        case "--source-type" :: v :: t => srcType = Some(v); seloop(t)
+        case "--log-level" :: v :: t =>
+          selogLevel = YamlJob.checkLogLevel(v); seloop(t)
+        case flag :: _ if flag.startsWith("--") =>
+          throw GraftError.Configuration(
+            s"unknown or incomplete strip-exif option '$flag'")
+        case v :: t => pos = pos :+ v; seloop(t)
+      }
+      seloop(rest)
+      val (sesrc, setgt) = pos match {
+        case s :: t :: Nil => (s, t)
+        case _ => throw GraftError.Configuration(
+          "strip-exif needs SOURCE TARGET")
+      }
+      StripExifCmd(sesrc, setgt, flagsOut,
+        srcType.map("sourceType" -> _).toMap, selogLevel)
     case "topk" :: rest =>
       var source: Option[String] = None
       var groups = Seq.empty[String]
@@ -1292,6 +1328,41 @@ object Main {
       val level = s.getAs[String]("level")
       println(s"PSI = $psi ($level)")
       if (level == "action") 1 else 0
+    } finally if (!preExisting) spark.stop()
+  }
+
+  /** `graft strip-exif`: PII hygiene over a media table — rewrite image
+    * rows' JPEG payloads with every APP1 (EXIF/XMP) and APP2 (ICC)
+    * segment removed byte-exactly (pixels untouched, non-JPEG and
+    * unparseable payloads pass through), write the result to TARGET,
+    * and optionally write the per-image flag report (`--flags`:
+    * media_id, parsed, has_exif, has_gps, has_serial, exif_tags) so a
+    * pipeline can count or quarantine geo-tagged images. */
+  def runStripExif(se: StripExifCmd): Int = {
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = session(se.logLevel)
+    try {
+      val df = graft.sources.Connectors.read(spark, se.source, se.sourceOptions)
+      Seq("media_id", "media_type", "payload").foreach { c =>
+        if (!df.columns.contains(c))
+          throw GraftError.Configuration(
+            s"strip-exif needs a media table with a '$c' column " +
+              s"(found: ${df.columns.mkString(", ")})")
+      }
+      val out = graft.llm.Exif.stripExif(df)
+      graft.sources.Connectors.write(out, se.target, truncate = true)
+      val written = graft.sources.Connectors.read(spark, se.target, Map.empty)
+      val n = written.count()
+      val changed = written.filter(org.apache.spark.sql.functions
+        .col("stripped")).count()
+      se.flagsOut.foreach { path =>
+        graft.sources.Connectors.write(
+          graft.llm.Exif.exifFlags(df), path, truncate = true)
+      }
+      println(s"\nStripped ${se.source} -> ${se.target}: $n rows, " +
+        s"$changed payloads rewritten" +
+        se.flagsOut.map(p => s"; flags -> $p").getOrElse(""))
+      0
     } finally if (!preExisting) spark.stop()
   }
 

@@ -1,7 +1,7 @@
 package graft
 
 import graft.infer.{CellInference, DateFormats}
-import graft.llm.{Boilerplate, Chunking, Contamination, Curation, Dedup, Dsir, LmScore, Multimodal, Packing, Paragraphs, Repetition, Sampling, Shuffling, Similarity, Spans, SubstringDedup, TextAnalysis, Urls}
+import graft.llm.{Boilerplate, Chunking, Contamination, Curation, Dedup, Dsir, Exif, LmScore, Multimodal, Packing, Paragraphs, Repetition, Sampling, Shuffling, Similarity, Spans, SubstringDedup, TextAnalysis, Urls}
 import graft.sources.{AvroConnector, Connectors}
 import graft.streaming.EventsStreaming
 import graft.transform.Transform
@@ -1668,6 +1668,41 @@ object SparkEntry {
         .select(col("media_id"), lit(null).cast("int").as("hamming"),
           col("decoded"))
       pairRows.unionByName(badRows)
+    },
+
+    // --- EXIF/image-metadata hygiene: deterministic JPEG fixtures with
+    // a planted APP1 TIFF (GPS IFD pointer on id%3==0, BodySerialNumber
+    // on id%4==0, garbage TIFF body on id%5==0) walked by the REAL
+    // segment + IFD parser — flags AND the exact APP1-free stripped
+    // bytes replay from id arithmetic alone (the stripped stream is
+    // pure constant/derived segments), and text payloads pin the
+    // parsed=false NO-TOUCH passthrough boundary. ---
+    "q_exif_hygiene" -> { (s, dir) =>
+      import s.implicits._
+      val jpegs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(col("doc_id")).as[Long]
+        .map(id => (900000L + id, Exif.jpegExifFixture(id)))
+        .toDF("media_id", "payload")
+      val texts = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(40)) === 0)
+        .select(col("doc_id").as("media_id"),
+          encode(col("text"), "UTF-8").as("payload"))
+      val media = jpegs.unionByName(texts)
+        .select(col("media_id"), lit("image").as("media_type"),
+          col("payload"), lit(null).cast("string").as("meta"))
+      // nullable booleans ride as 0/1 INTs: the gate's normalizer
+      // renders a NULL boolean differently across engines
+      val flags = Exif.exifFlags(media)
+        .select(col("media_id"), col("parsed"),
+          col("has_exif").cast("int").as("has_exif"),
+          col("has_gps").cast("int").as("has_gps"),
+          col("has_serial").cast("int").as("has_serial"),
+          col("exif_tags"))
+      val stripped = Exif.stripExif(media)
+        .select(col("media_id"), hex(col("payload")).as("stripped_hex"),
+          col("stripped"))
+      flags.join(stripped, Seq("media_id"))
     },
 
     // --- REAL audio PCM sample statistics: deterministic PCM16 WAVs
@@ -4141,6 +4176,43 @@ object SparkEntry {
         |SELECT doc_id AS media_id, CAST(NULL AS INT) AS hamming,
         |  false AS decoded
         |FROM documents WHERE doc_id % 100 = 0""".stripMargin,
+
+    // EXIF hygiene: the fixture's every byte derives from the id, so
+    // the oracle replays flags (GPS pointer iff id%3=0, serial iff
+    // id%4=0 — both false under the id%5=0 garbage-TIFF variant, which
+    // still counts as has_exif) AND the exact stripped stream:
+    // constant SOI+APP0, the id-derived COM segment, constant SOS,
+    // id-derived entropy bytes, EOI — APP1 excised. Text payloads are
+    // parsed=false passthrough (hex of the original bytes).
+    "q_exif_hygiene" ->
+      ("""WITH ids AS (
+        |  SELECT doc_id AS id FROM documents WHERE doc_id % 10 = 0
+        |)
+        |SELECT 900000 + id AS media_id, true AS parsed,
+        |  CAST(1 AS INT) AS has_exif,
+        |  CAST(id % 3 = 0 AND id % 5 <> 0 AS INT) AS has_gps,
+        |  CAST(id % 4 = 0 AND id % 5 <> 0 AS INT) AS has_serial,
+        |  CAST(CASE WHEN id % 5 = 0 THEN 0 ELSE
+        |    (CASE WHEN id % 3 = 0 THEN 5 ELSE 2 END) +
+        |    (CASE WHEN id % 4 = 0 THEN 2 ELSE 1 END) END AS INT)
+        |    AS exif_tags,
+        |  '""" + Exif.FixturePrefixHex + """' ||
+        |  'FFFE' || upper(lpad(to_hex(10 + id % 8), 4, '0')) ||
+        |  repeat(upper(lpad(to_hex((id * 11) % 256), 2, '0')),
+        |         CAST(8 + id % 8 AS INT)) ||
+        |  '""" + Exif.FixtureSosHex + """' ||
+        |  repeat(upper(lpad(to_hex((id * 29 + 5) % 255), 2, '0')),
+        |         CAST(10 + id % 6 AS INT)) ||
+        |  'FFD9' AS stripped_hex,
+        |  true AS stripped
+        |FROM ids
+        |UNION ALL
+        |SELECT doc_id AS media_id, false AS parsed,
+        |  CAST(NULL AS INT) AS has_exif, CAST(NULL AS INT) AS has_gps,
+        |  CAST(NULL AS INT) AS has_serial,
+        |  CAST(NULL AS INT) AS exif_tags,
+        |  upper(hex(encode(text))) AS stripped_hex, false AS stripped
+        |FROM documents WHERE doc_id % 40 = 0""").stripMargin,
 
     // pHash: identical planted pixels (two independent PNG encodes of
     // the same arithmetic fixture) MUST hash identically → hamming 0

@@ -1424,6 +1424,56 @@ class CliSpec extends SparkSpec {
     assert(bad == 1)
   }
 
+  test("strip-exif subcommand: parse forms, e2e rewrite + flags, typed errors") {
+    import spark.implicits._
+    val c = parse(List("strip-exif", "m.parquet", "out.parquet",
+      "--flags", "f.parquet")).asInstanceOf[StripExifCmd]
+    assert(c.source == "m.parquet" && c.target == "out.parquet" &&
+      c.flagsOut.contains("f.parquet"))
+    intercept[GraftError.Configuration](parse(List("strip-exif", "m")))
+    intercept[GraftError.Configuration](
+      parse(List("strip-exif", "m", "o", "--bogus", "x")))
+
+    val dir = tmpDir("cli_stripexif")
+    Seq(
+      (12L, "image", graft.llm.Exif.jpegExifFixture(12),
+        null.asInstanceOf[String]),
+      (7L, "image", graft.llm.Exif.jpegExifFixture(7),
+        null.asInstanceOf[String]),
+      (3L, "text", "hello".getBytes("UTF-8"), null.asInstanceOf[String])
+    ).toDF("media_id", "media_type", "payload", "meta")
+      .write.parquet(s"$dir/media.parquet")
+    val quiet = new java.io.PrintStream(
+      new java.io.ByteArrayOutputStream(), true, "UTF-8")
+    val rc = Console.withOut(quiet) {
+      runStripExif(parse(List("strip-exif", s"$dir/media.parquet",
+        s"$dir/out.parquet", "--flags", s"$dir/flags.parquet"))
+        .asInstanceOf[StripExifCmd])
+    }
+    assert(rc == 0)
+    val out = spark.read.parquet(s"$dir/out.parquet")
+      .orderBy("media_id").collect()
+    assert(out.map(r => (r.getLong(0), r.getBoolean(4))).toSeq ==
+      Seq((3L, false), (7L, true), (12L, true)))
+    // the rewritten payload carries no EXIF; the text row is untouched
+    val p12 = out(2).getAs[Array[Byte]](2)
+    assert(graft.llm.Exif.info(p12).get ==
+      graft.llm.Exif.Info(false, false, false, 0))
+    assert(new String(out(0).getAs[Array[Byte]](2), "UTF-8") == "hello")
+    val flags = spark.read.parquet(s"$dir/flags.parquet")
+      .orderBy("media_id").collect()
+    assert(flags.map(_.getLong(0)).toSeq == Seq(7L, 12L))
+    assert(flags(1).getBoolean(3) && flags(1).getBoolean(4)) // gps+serial
+    // missing media columns: loud config error
+    Seq((1L, "x")).toDF("a", "b").write.parquet(s"$dir/bad.parquet")
+    intercept[GraftError.Configuration] {
+      Console.withOut(quiet) {
+        runStripExif(parse(List("strip-exif", s"$dir/bad.parquet",
+          s"$dir/bad_out.parquet")).asInstanceOf[StripExifCmd])
+      }
+    }
+  }
+
   test("sample subcommand: parse forms, both modes e2e, typed errors") {
     val f = parse(List("sample", "a.parquet", "b.parquet", "--id", "id",
       "--fraction", "0.25", "--complement", "--seed", "5"))
