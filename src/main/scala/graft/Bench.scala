@@ -31,6 +31,41 @@ import org.apache.spark.sql.SparkSession
   * scoreboard outlier self-disproves inside one artifact. */
 object Bench {
 
+  /** Contention tripwire (round-14): the round-13 artifact was taken
+    * while compile/test jobs shared the box and read ~25% hot — a
+    * paper-trail failure the measurement discipline is supposed to
+    * prevent. This compares the run's warm total against the LAST
+    * same-sf entry in bench_history.jsonl over the queries BOTH runs
+    * measured (query sets grow round over round), and the artifact is
+    * stamped `"contended": true` + a stderr warning when the shared
+    * total drifted above `threshold`. Pure so the trigger logic is
+    * unit-tested; `minShared` avoids verdicts from tiny overlaps. */
+  private[graft] def contentionRatio(cur: Map[String, Double],
+                                     prev: Map[String, Double],
+                                     minShared: Int = 10): Option[Double] = {
+    val shared = cur.keySet & prev.keySet
+    if (shared.size < minShared) None
+    else {
+      val p = shared.toSeq.map(prev).sum
+      if (p <= 0) None else Some(shared.toSeq.map(cur).sum / p)
+    }
+  }
+
+  /** Registered end-to-end pipeline benches: committed example stage
+    * lists. `--pipeline=NAME` selects one; bare `--pipeline` and
+    * full-suite runs measure all. */
+  private[graft] val PipelineNames: Seq[String] =
+    Seq("pretrain_curation", "target_selection")
+
+  /** 1-minute load average (Linux /proc/loadavg), recorded at bench
+    * start and end so a contended artifact carries its own evidence;
+    * -1 when unreadable. */
+  private def loadAvg1m(): Double =
+    try new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("/proc/loadavg")), "UTF-8")
+      .split("\\s+")(0).toDouble
+    catch { case _: Throwable => -1.0 }
+
   /** Warm the engine spine (CSV write → sampled inference → Lua
     * transform → parquet), window + broadcast-join exec, and the Avro
     * connector on ~200 synthetic rows. First use of each path pays
@@ -65,6 +100,7 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     graft.core.Logs.derbyHomeToScratch()
+    val loadStart = loadAvg1m()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // SPARK_GRAFT_SHUFFLE: override shuffle partitions independently of
@@ -100,14 +136,22 @@ object Bench {
     // without a separate bench invocation. Defaults to 5 on a full run,
     // 0 when specific queries were named (those ARE the isolated run).
     val isolateIdx = args.indexOf("--isolate")
-    // --pipeline: run ONLY the capstone pipeline bench (ramp tooling —
-    // a full 212-query suite run is the wrong vehicle for a scale
-    // point's pipeline figure)
-    val pipelineOnly = args.contains("--pipeline")
+    // --pipeline[=NAME]: run ONLY the named pipeline bench(es) (ramp
+    // tooling — a full suite run is the wrong vehicle for a scale
+    // point's pipeline figure). Bare --pipeline runs every registered
+    // pipeline; full-suite runs also bench all of them (warm_in_suite).
+    val pipelineSel: Seq[String] = args.toSeq.collect {
+      case "--pipeline" => PipelineNames
+      case a if a.startsWith("--pipeline=") =>
+        Seq(a.stripPrefix("--pipeline="))
+    }.flatten.distinct
+    pipelineSel.filterNot(PipelineNames.contains).foreach(n =>
+      sys.error(s"unknown pipeline: $n (known: ${PipelineNames.mkString(", ")})"))
+    val pipelineOnly = pipelineSel.nonEmpty
     val queryArgs =
       (if (isolateIdx < 0) args.toSeq
        else args.toSeq.patch(isolateIdx, Nil, 2))
-        .filterNot(_ == "--pipeline")
+        .filterNot(_.startsWith("--pipeline"))
     val isolateN =
       if (isolateIdx >= 0) args(isolateIdx + 1).toInt
       else sys.env.get("SPARK_GRAFT_BENCH_ISOLATE").map(_.toInt)
@@ -249,60 +293,109 @@ object Bench {
           timeQuery(base, SparkEntry.queries(base), pauseMs = 750)
         (key, med)
       }
-    // Capstone pipeline bench (round-13): the stage list of
-    // examples/pretrain_curation.yaml measured END-TO-END — URL hygiene
-    // → lang-id → repetition → line dedup → substring dedup → soft
-    // exact-dedup → decontaminate-excise → decontaminate-drop → token
-    // budget → sharded write — because the product a training-data
-    // team runs is the pipeline, not its stages, and per-query numbers
-    // can't show cross-stage effects (the fused quality walk, the
-    // checkpoint placement). Model prep (the lang-id NB training, a
-    // bounded model-table job) runs untimed first, like any production
-    // run that reuses a trained seed; the timed section is raw crawl
-    // in → training shards on disk. Reported in the JSON tail as
-    // "pipeline": sec, docs in, survivors out, docs/sec, and the
-    // per-stage observed survivor counts.
-    val pipelineBench: Option[(Double, Long, Long, Map[String, Long])] =
-      if (queryArgs.nonEmpty && !pipelineOnly) None
-      else try {
+    // Pipeline benches (round-13, named round-14): committed example
+    // stage lists measured END-TO-END — because the product a
+    // training-data team runs is the pipeline, not its stages, and
+    // per-query numbers can't show cross-stage effects (the fused
+    // quality walk, the checkpoint placement). Model/probe prep (the
+    // lang-id NB training, probe checkpoints — bounded model-table
+    // jobs) runs untimed first, like any production run that reuses a
+    // trained seed; the timed section is raw crawl in → output on
+    // disk. Reported in the JSON tail under "pipelines" (one entry per
+    // name: sec, docs in, survivors, docs/sec, per-stage survivor
+    // counts) plus the legacy "pipeline" alias for the pretrain
+    // capstone. Every entry carries `mode`: "warm_in_suite" (after the
+    // full query suite in the same settled JVM — the committed
+    // artifact) vs "isolated" (--pipeline runs — the SCALING.md ramp
+    // figure). The two are NOT comparable (r13 measured the same
+    // sf0.1 pipeline 7.55 s warm vs 23.9 s isolated) — that's why the
+    // label rides in the artifact.
+    def runPipeline(name: String): Option[(Double, Long, Long, Map[String, Long])] =
+      try {
         import org.apache.spark.sql.functions._
         settle(750)
-        val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+        val raw = spark.read.parquet(s"$sfDir/documents.parquet")
           .select(col("doc_id"), col("text"), col("lang"))
-        val seed = docs.limit(500)
-        val (model, stats) = graft.llm.LangId.train(seed, "text", "lang")
+        // the synthetic corpus carries no natural-language stop words,
+        // so the published Gopher stop-word rule (>= 2 of the/and/of/…)
+        // would annihilate the input and starve every downstream stage
+        // — the same reason the q_gopher_filter GATE plants a
+        // stop-wordy tail. The target_selection bench plants the same
+        // tail (pure projection, untimed prep): the per-doc walk cost
+        // is identical and the stage list sees realistic survivor
+        // volumes.
+        val docs =
+          if (name == "target_selection")
+            raw.withColumn("text", concat(col("text"), lit(
+              " we worked with that team and have seen it be of use to the end.")))
+          else raw
         // a bounded "eval suite": the longest documents stand in for
         // benchmark passages (>= 50-token windows need >= ~300 chars)
         val probes = docs.filter(length(col("text")) >= 400)
           .select(col("text")).limit(50).localCheckpoint(true)
         val docsIn = docs.count()
-        val cfg = graft.llm.Curation.PipelineConfig(
-          blocklist = Seq("spam.example.com"),
-          langId = Some((model, stats, Seq("en"))),
-          maxDupWordFrac = 0.5, maxDupNgramFrac = 0.5,
-          maxTopNgramFrac = 0.4,
-          lineDedupMinDocs = Some(4),
-          substringDedupWindow = Some(50),
-          softDedup = true,
-          decontaminateExciseProbes = Some(probes),
-          contaminationProbes = Some(probes),
-          maxContamination = 0.5,
-          // ~10 tokens/doc of budget: bites (docs average ~50 tokens)
-          // without truncating the corpus to a handful of rows, and
-          // scales with the input so every ramp point exercises the cut
-          tokenBudget = Some(docsIn * 10L), tokenBudgetShards = 4)
+        val cfg = name match {
+          case "pretrain_curation" =>
+            val seed = docs.limit(500)
+            val (model, stats) = graft.llm.LangId.train(seed, "text", "lang")
+            graft.llm.Curation.PipelineConfig(
+              blocklist = Seq("spam.example.com"),
+              langId = Some((model, stats, Seq("en"))),
+              maxDupWordFrac = 0.5, maxDupNgramFrac = 0.5,
+              maxTopNgramFrac = 0.4,
+              lineDedupMinDocs = Some(4),
+              substringDedupWindow = Some(50),
+              softDedup = true,
+              decontaminateExciseProbes = Some(probes),
+              contaminationProbes = Some(probes),
+              maxContamination = 0.5,
+              // ~10 tokens/doc of budget: bites (docs average ~50
+              // tokens) without truncating the corpus to a handful of
+              // rows, and scales with the input so every ramp point
+              // exercises the cut
+              tokenBudget = Some(docsIn * 10L), tokenBudgetShards = 4)
+          case "target_selection" =>
+            // examples/target_selection.yaml: gopher → exact dedup →
+            // decontaminate-excise → decontaminate-fuzzy → DSIR top-K.
+            // The "reference corpus" DSIR resembles toward: the
+            // longer half of the same documents (bounded, in-flight —
+            // the yaml's ${TARGET_DIR} stand-in); K = 20% of input so
+            // the global top-k bites at every ramp point.
+            val target = docs.filter(length(col("text")) >= 300)
+              .select(col("text")).limit(1000).localCheckpoint(true)
+            graft.llm.Curation.PipelineConfig(
+              gopherRules = true,
+              // the yaml sets no word-repetition knobs; the synthetic
+              // word-soup corpus (30-word vocabulary) would trip the
+              // pipeline's DEFAULT dup-word caps and conflate that
+              // filter with the gopher stage under measurement — park
+              // the caps where only the yaml's stages drop rows
+              maxDupWordFrac = 0.95, maxDupNgramFrac = 0.95,
+              maxTopNgramFrac = 0.95,
+              softDedup = true,
+              decontaminateExciseProbes = Some(probes),
+              decontaminateFuzzyProbes = Some(probes),
+              dsirTarget = Some(target),
+              dsirK = math.max(1L, docsIn / 5).toInt)
+          case other => sys.error(s"unknown pipeline: $other")
+        }
         val t0 = System.nanoTime()
         val (out, counts) = graft.llm.Curation.pipelineObserved(
           docs, "doc_id", "text", cfg)
         graft.llm.Shuffling.writeShards(out, "doc_id",
-          "target/tmp/queries/pipeline_shards", 42L, 4)
+          s"target/tmp/queries/pipeline_shards_$name", 42L, 4)
         val secs = (System.nanoTime() - t0) / 1e9
         val m = counts()
         Some((secs, docsIn, m("kept"), m))
       } catch { case e: Throwable =>
-        System.err.println(s"[bench] pipeline bench FAILED: ${e.getMessage}")
+        System.err.println(s"[bench] pipeline bench $name FAILED: ${e.getMessage}")
         None
       }
+    val pipelineMode = if (pipelineOnly) "isolated" else "warm_in_suite"
+    val pipelineRuns: Seq[(String, (Double, Long, Long, Map[String, Long]))] =
+      if (queryArgs.nonEmpty && !pipelineOnly) Nil
+      else (if (pipelineOnly) pipelineSel else PipelineNames)
+        .flatMap(n => runPipeline(n).map(n -> _))
 
     // round to 0.1ms: halves the line length of the 70-query maps —
     // the driver tail-captures stdout, and round 6's full-precision
@@ -326,12 +419,46 @@ object Bench {
     // metric so earlier single-shot rounds aren't compared like-for-like).
     val iso = isolated.map { case (k, v) => s"\"" + k + "\":" + r4(v) }
       .mkString("{", ",", "}")
-    val pipeJson = pipelineBench.map { case (secs, in, kept, m) =>
+    def pipeObj(secs: Double, in: Long, kept: Long, m: Map[String, Long]): String = {
       val stages = m.toSeq.sortBy(_._2)(Ordering[Long].reverse)
         .map { case (k, v) => s"\"" + k + "\":" + v }.mkString("{", ",", "}")
-      s""","pipeline":{"sec":${r4(secs)},"docs_in":$in,"kept":$kept,"docs_per_sec":${r4(in / secs)},"stages":$stages}"""
-    }.getOrElse("")
-    val tail = s""""metric":"total","unit":"sec","bench_version":2,"iters":$iters,"value":${r4(total)},"total_cold":${r4(totalCold)},"isolated":$iso$pipeJson,"failed":$fs,"sf":"$sfDir""""
+      s"""{"sec":${r4(secs)},"docs_in":$in,"kept":$kept,"docs_per_sec":${r4(in / secs)},"mode":"$pipelineMode","stages":$stages}"""
+    }
+    val pipesJson =
+      if (pipelineRuns.isEmpty) ""
+      else {
+        val entries = pipelineRuns.map { case (n, (s, i, k, m)) =>
+          s"\"" + n + "\":" + pipeObj(s, i, k, m)
+        }.mkString("{", ",", "}")
+        // legacy "pipeline" alias = the pretrain capstone, so earlier
+        // rounds' artifact readers keep working; "pipelines" is the
+        // figure of record (each entry labeled with its mode)
+        val legacy = pipelineRuns.collectFirst {
+          case ("pretrain_curation", (s, i, k, m)) =>
+            s""","pipeline":${pipeObj(s, i, k, m)}"""
+        }.getOrElse("")
+        s""","pipelines":$entries$legacy"""
+      }
+    // contention tripwire (see contentionRatio): the artifact carries
+    // the verdict AND the raw load evidence
+    val contentionJson = {
+      val ratio = contentionRatio(
+        keyed.filter(_._4).filterNot(_._1.contains('#'))
+          .map(t => t._1 -> t._2).toMap,
+        baseline)
+      val flagged = ratio.exists(_ > 1.2)
+      if (flagged) {
+        System.err.println(f"[bench] WARNING: shared-query total is " +
+          f"${(ratio.get - 1) * 100}%.0f%% above the last committed " +
+          "same-sf run — this box looks CONTENDED (sbt compile/test " +
+          "sharing cores?). Do not commit this artifact as the round's " +
+          "figure; re-run on a quiet box.")
+      }
+      ratio.map(r =>
+        s""","contended":$flagged,"contention_ratio":${r4(r)}""").getOrElse("") +
+        s""","load_1m_start":${r4(loadStart)},"load_1m_end":${r4(loadAvg1m())}"""
+    }
+    val tail = s""""metric":"total","unit":"sec","bench_version":2,"iters":$iters,"value":${r4(total)},"total_cold":${r4(totalCold)},"isolated":$iso$pipesJson$contentionJson,"failed":$fs,"sf":"$sfDir""""
     val full = s"""{"queries":$qs,"cold":$cs,$tail}"""
     println(full)
     println(s"""{$tail}""")

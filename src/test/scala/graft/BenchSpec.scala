@@ -1,0 +1,53 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The bench contention tripwire is pure logic — r13's committed
+  * artifact was taken on a loaded box and read ~25% hot, so the
+  * trigger that would have caught it gets its own pins. */
+class BenchSpec extends AnyFunSuite {
+
+  private def qs(n: Int, sec: Double): Map[String, Double] =
+    (1 to n).map(i => s"q_$i" -> sec).toMap
+
+  test("contentionRatio: shared-query total ratio, growth-tolerant") {
+    // identical runs → ratio 1
+    assert(Bench.contentionRatio(qs(20, 1.0), qs(20, 1.0)).contains(1.0))
+    // a 25% inflated run → ratio 1.25 (the r13 failure mode)
+    assert(Bench.contentionRatio(qs(20, 1.25), qs(20, 1.0)).contains(1.25))
+    // NEW queries this round don't pollute the comparison: ratio is
+    // over the intersection only
+    val cur = qs(20, 1.0) ++ Map("q_new_a" -> 50.0, "q_new_b" -> 50.0)
+    assert(Bench.contentionRatio(cur, qs(20, 1.0)).contains(1.0))
+    // queries REMOVED since the baseline don't pollute either
+    assert(Bench.contentionRatio(qs(20, 1.0),
+      qs(20, 1.0) + ("q_gone" -> 99.0)).contains(1.0))
+  }
+
+  test("contentionRatio: refuses tiny overlaps and degenerate baselines") {
+    // fewer than minShared common queries → no verdict
+    assert(Bench.contentionRatio(qs(5, 2.0), qs(5, 1.0)).isEmpty)
+    assert(Bench.contentionRatio(qs(5, 2.0), qs(5, 1.0), minShared = 5)
+      .contains(2.0))
+    // disjoint sets → no verdict
+    val other = (1 to 20).map(i => s"p_$i" -> 1.0).toMap
+    assert(Bench.contentionRatio(qs(20, 1.0), other).isEmpty)
+    // zero baseline total → no verdict (never divide by zero)
+    assert(Bench.contentionRatio(qs(20, 1.0), qs(20, 0.0)).isEmpty)
+    // empty baseline (first run at an sf) → no verdict
+    assert(Bench.contentionRatio(qs(20, 1.0), Map.empty).isEmpty)
+  }
+
+  test("the 1.2 trip threshold: flat and improved runs never flag") {
+    def flagged(cur: Map[String, Double], prev: Map[String, Double]) =
+      Bench.contentionRatio(cur, prev).exists(_ > 1.2)
+    assert(!flagged(qs(20, 1.0), qs(20, 1.0)))
+    assert(!flagged(qs(20, 0.7), qs(20, 1.0))) // faster: fine
+    assert(!flagged(qs(20, 1.19), qs(20, 1.0))) // inside noise band
+    assert(flagged(qs(20, 1.25), qs(20, 1.0))) // the r13 case trips
+  }
+
+  test("pipeline registry: both committed example stage lists are named") {
+    assert(Bench.PipelineNames == Seq("pretrain_curation", "target_selection"))
+  }
+}

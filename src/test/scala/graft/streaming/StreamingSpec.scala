@@ -367,6 +367,33 @@ class StreamingSpec extends SparkSpec {
         "doc_id", "text", "ts", cfg = cfg))
   }
 
+  test("pipelineStream quality stages ride the FUSED walk expressions " +
+      "(QualityKeep / C4Keep), never the per-signal chains") {
+    import spark.implicits._
+    import graft.llm.Curation
+    val scratch = tmpDir("stream_fused_pin")
+    Seq((1L, "stream pin fixture text", java.sql.Timestamp.valueOf(
+      "2024-01-01 10:00:00"))).toDF("doc_id", "text", "ts")
+      .write.mode("overwrite").parquet(scratch)
+    val in = spark.readStream
+      .schema(spark.read.parquet(scratch).schema).parquet(scratch)
+    val out = Curation.pipelineStream(in, "doc_id", "text", "ts",
+      cfg = Curation.PipelineConfig(c4Rules = true, gopherRules = true))
+    // the UNSTARTED stream's analyzed plan carries the stage
+    // expressions verbatim — pin the exact fused-walk counts the batch
+    // PlanSpec pins, so a stream-path regression (re-chaining the
+    // 5x-retokenizing per-signal filters) cannot land silently
+    val plan = out.queryExecution.analyzed.toString.toLowerCase
+    def n(expr: String): Int = expr.r.findAllIn(plan).length
+    assert(n("c4keep") == 1, s"c4 stage must be ONE C4Keep walk:\n$plan")
+    assert(n("c4kepttext") == 1,
+      s"c4 rebuild must be ONE C4KeptText walk:\n$plan")
+    assert(n("qualitykeep") == 1,
+      s"gopher_rules must be ONE QualityKeep walk:\n$plan")
+    assert(n("textqualitysignals") == 0,
+      s"no per-signal walk belongs in the stream filter path:\n$plan")
+  }
+
   test("firstOccurrence keeps the earliest row per content group") {
     import spark.implicits._
     val ts = (m: Int) => java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
