@@ -804,13 +804,39 @@ object Dedup {
           greatest(size(col("ps")) - col("i") - 1, lit(0)))).as("q"))
       // canonical order BEFORE distinct: with perturbed keys a pair
       // meets in many buckets whose collect orders differ — (a,b) and
-      // (b,a) must collapse to one row
+      // (b,a) must collapse to one row. The popcount verify runs
+      // FIRST: candidates are the volume term (expected ≈ bands ·
+      // |ball|²-ish collision mass of n²/2 on uniform keys), true
+      // near-dups the tiny survivor set — so the distinct's shuffle
+      // carries survivors, never the candidate stream.
       .select(least(col("id_a"), col("q.id")).as("id_a"),
         greatest(col("id_a"), col("q.id")).as("id_b"),
         hamming(col("sig_a"), col("q.v")).as("hamming"))
-      .distinct()
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
+
+  /** Public surface of the multi-index-Hamming engine for callers that
+    * already hold 64-bit signatures (simhash/pHash/audio-hash frames,
+    * or signatures minted elsewhere): near-dup pairs within
+    * `maxHamming` bits as (id_a, id_b, hamming), id_a < id_b, exact
+    * recall by the engine's double-pigeonhole construction.
+    *
+    * Scale honesty: candidate volume (pre-verify) on UNIFORM-random
+    * signatures is ~bands · P(chunk dist <= 2·ceil(r/2)) · n²/2 — at
+    * the phash defaults (4×16-bit, radius-1 balls) that is ~0.8% of
+    * all pairs, so adversarially-uniform corpora pay a real quadratic
+    * term like every LSH-banding scheme; REAL near-dup corpora
+    * (clustered, low-entropy hashes) stay far below it, the verify is
+    * a streamed codegen popcount ahead of any shuffle, and hot
+    * buckets (mega-clusters) poison at `maxBucketSize` rather than
+    * expanding quadratically. */
+  def signaturePairs(df: DataFrame, idCol: String, sigCol: String,
+                     maxHamming: Int = 3, bands: Int = 4,
+                     maxBucketSize: Int = 100000): DataFrame =
+    bandedHammingPairs(
+      df.select(col(idCol).as("id"), col(sigCol).as("sig")),
+      maxHamming, bands, maxBucketSize)
 
   /** Exact n-gram Jaccard near-dup pairs within blocking groups — the
     * exactness baseline next to [[minhashPairs]]'s LSH scale path.
