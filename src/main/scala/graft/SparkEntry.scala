@@ -1381,6 +1381,28 @@ object SparkEntry {
         .select(col("doc_id"))
     },
 
+    // --- URL canonicalization: strip tracking query parameters
+    // (utm_*, fbclid, gclid, …) from every URL while keeping real
+    // parameters and fragments — three RE2-safe regexp passes shared
+    // VERBATIM with the oracle (no lookahead, so both engines run the
+    // identical patterns). Planted URLs exercise the three shapes:
+    // leading tracked param with survivors behind it, trailing tracked
+    // param, and a query that strips to nothing. ---
+    "q_url_canonicalize" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.withColumn("text", concat(
+        col("text"),
+        lit(" see https://site"), pmod(col("doc_id"), lit(7)),
+        lit(".example.com/a/"), col("doc_id"),
+        lit("?utm_source=s"), col("doc_id"),
+        lit("&page="), pmod(col("doc_id"), lit(5)),
+        lit("&FBCLID=f"), col("doc_id"),
+        lit("#sec and https://t.example.org/x?gclid=g"), col("doc_id"),
+        lit("&utm_medium=email")))
+      Urls.canonicalizeUrls(planted, "text")
+        .select(col("doc_id"), col("text").as("canonical_text"))
+    },
+
     // --- embedding storage prep: one-pass native L2 norm + symmetric
     // int8 quantization (trunc-toward-zero so the codes are exactly
     // replayable in SQL); codes joined to a string for the compare ---
@@ -2498,6 +2520,39 @@ object SparkEntry {
         .select(least(col("id_a"), col("id_b")).as("id_a"),
           greatest(col("id_a"), col("id_b")).as("id_b"))
         .distinct()
+      val keyed = corpus.select(col("doc_id"),
+        array_sort(array_distinct(tok)).as("__key"))
+      val gt = keyed.as("a").join(keyed.as("b"),
+          col("a.doc_id") < col("b.doc_id") && col("a.__key") === col("b.__key"))
+        .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"))
+      gt.join(pairs, Seq("id_a", "id_b"))
+    },
+
+    // --- MULTI-INDEX Hamming pairs (the perturbed-key engine path):
+    // same degenerate-case gating as q_simhash_pairs but at
+    // maxHamming = 10 >= bands = 4 — the engine's pigeonhole radius is
+    // r = 2, so candidates come from radius-1 Hamming-BALL keys (17
+    // per band), the round-14 path the old bands>maxHamming engine
+    // could never take. Token-set-equal pairs have hamming 0 <= 10, so
+    // the recall guarantee says the engine MUST surface every one;
+    // intersecting with that ground truth yields exactly the oracle's
+    // pair list iff perturbed-key recall is total. Distance-1..10
+    // collision pairs (legitimately produced, not SQL-predictable)
+    // are filtered by the intersection and stay covered by the
+    // brute-force + planted-distance units. ---
+    "q_multiindex_pairs" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val tok = split(lower(col("text")), "\\W+")
+      val copies = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          array_join(reverse(tok), " ").as("text"))
+      val corpus = docs.union(copies)
+      val sigs = corpus.select(col("doc_id"),
+        graft.functions.SketchExprs.simhash64(
+          graft.functions.SketchExprs.shingleHashes(col("text"), 1)).as("sig"))
+      val pairs = Dedup.signaturePairs(sigs, "doc_id", "sig",
+          maxHamming = 10, bands = 4)
+        .select(col("id_a"), col("id_b"))
       val keyed = corpus.select(col("doc_id"),
         array_sort(array_distinct(tok)).as("__key"))
       val gt = keyed.as("a").join(keyed.as("b"),
@@ -5516,6 +5571,29 @@ object SparkEntry {
         |    h -> lower(h))),
         |  h -> h = 'spam.example.com' OR ends_with(h, '.spam.example.com'))), 0) = 0""".stripMargin,
 
+    // url canonicalization: the SAME three RE2 regexp passes (shared
+    // alternation interpolated from Urls.trackingAlt) over the same
+    // planted URLs — DuckDB regexp_replace needs the 'g' flag to match
+    // Spark's replace-all default
+    "q_url_canonicalize" ->
+      ("""WITH planted AS (
+        |  SELECT doc_id,
+        |    text || ' see https://site' || (doc_id % 7) || '.example.com/a/'
+        |      || doc_id || '?utm_source=s' || doc_id || '&page='
+        |      || (doc_id % 5) || '&FBCLID=f' || doc_id
+        |      || '#sec and https://t.example.org/x?gclid=g' || doc_id
+        |      || '&utm_medium=email' AS text
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  regexp_replace(
+        |    regexp_replace(
+        |      regexp_replace(text, '(?i)&__ALT__=[^&#\s]*', '', 'g'),
+        |      '(?i)\?__ALT__=[^&#\s]*&', '?', 'g'),
+        |    '(?i)\?__ALT__=[^&#\s]*', '', 'g') AS canonical_text
+        |FROM planted""").stripMargin
+        .replace("__ALT__", graft.llm.Urls.trackingAlt()),
+
     // filter_spans: the q_repeated_spans derivation + the rounded-frac
     // drop decision (stats rounds to 6dp BEFORE the threshold compare)
     "q_filter_spans" ->
@@ -5827,6 +5905,23 @@ object SparkEntry {
         |  SELECT doc_id + 100000 AS doc_id,
         |    array_to_string(list_reverse(regexp_split_to_array(lower(text), '\W+')), ' ') AS text
         |  FROM documents WHERE doc_id % 19 = 0
+        |), k AS (
+        |  SELECT doc_id,
+        |    list_sort(list_distinct(regexp_split_to_array(lower(text), '\W+'))) AS key
+        |  FROM corpus
+        |)
+        |SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        |FROM k a JOIN k b ON a.doc_id < b.doc_id AND a.key = b.key""".stripMargin,
+
+    // multi-index Hamming engine path: token-set-equal pairs (hamming
+    // 0 <= 10) MUST all surface through the radius-1 perturbed keys
+    "q_multiindex_pairs" ->
+      """WITH corpus AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 200000 AS doc_id,
+        |    array_to_string(list_reverse(regexp_split_to_array(lower(text), '\W+')), ' ') AS text
+        |  FROM documents WHERE doc_id % 13 = 0
         |), k AS (
         |  SELECT doc_id,
         |    list_sort(list_distinct(regexp_split_to_array(lower(text), '\W+'))) AS key

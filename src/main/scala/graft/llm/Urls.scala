@@ -119,4 +119,53 @@ object Urls {
       .select(col(idCol)).distinct()
     df.join(bad, Seq(idCol), "left_anti")
   }
+
+  /** Default tracking-parameter patterns (regex alternatives): the
+    * ubiquitous analytics / click / email-campaign identifiers — each
+    * is pure routing noise AND a cross-site user identifier, so
+    * stripping them is both a dedup win (the same article shared via
+    * two campaigns canonicalizes to one URL) and a PII-hygiene step
+    * (the text-side sibling of the EXIF GPS strip). */
+  val DefaultTrackingParams: Seq[String] = Seq(
+    "utm_[a-z0-9_]+", "fbclid", "gclid", "dclid", "gbraid", "wbraid",
+    "msclkid", "yclid", "twclid", "igshid", "mc_eid", "mkt_tok",
+    "_hsenc", "_hsmi", "vero_id", "oly_enc_id", "oly_anon_id")
+
+  /** The alternation the strip regexes embed — public so the oracle
+    * SQL interpolates the IDENTICAL pattern. */
+  def trackingAlt(params: Seq[String] = DefaultTrackingParams): String =
+    params.mkString("(?:", "|", ")")
+
+  /** Remove tracking query parameters from every URL occurrence in
+    * `text`, keeping all non-tracking parameters and fragments intact.
+    * Three RE2-compatible regexp passes (NO lookahead — the same
+    * pattern strings replay verbatim in the DuckDB oracle, which is
+    * RE2-based), each a codegen'd projection:
+    *
+    *   1. `&param=value` (any non-leading position) → removed;
+    *   2. `?param=value&` (leading, more params follow) → `?`;
+    *   3. `?param=value` (after 1–2, only a whole trailing query) →
+    *      removed.
+    *
+    * The match is query-parameter SYNTAX (`[?&]name=value` up to the
+    * next `&`, `#`, or whitespace) anywhere in the text — prose
+    * containing literal `?utm_…=` sequences outside a URL is
+    * vanishingly rare, and a curation rewrite prefers the false strip
+    * of such a sequence over parsing ambiguity. */
+  def stripTrackingParams(text: Column,
+                          params: Seq[String] = DefaultTrackingParams)
+      : Column = {
+    require(params.nonEmpty, "empty tracking-parameter list strips nothing")
+    val a = trackingAlt(params)
+    val p1 = regexp_replace(text, s"(?i)&$a=[^&#\\s]*", "")
+    val p2 = regexp_replace(p1, s"(?i)\\?$a=[^&#\\s]*&", "?")
+    regexp_replace(p2, s"(?i)\\?$a=[^&#\\s]*", "")
+  }
+
+  /** In-place canonicalization of a document frame's text column —
+    * a pure shuffle-free projection, never drops rows. */
+  def canonicalizeUrls(df: DataFrame, textCol: String,
+                       params: Seq[String] = DefaultTrackingParams)
+      : DataFrame =
+    df.withColumn(textCol, stripTrackingParams(col(textCol), params))
 }

@@ -2022,4 +2022,48 @@ class CorpusOpsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dsir.weights(
       raw, Seq("").toDF("text"), "text"))
   }
+
+  test("stripTrackingParams: three-pass canonicalization, RE2-safe edges") {
+    import spark.implicits._
+    def strip(t: String): String =
+      Seq(t).toDF("text")
+        .select(Urls.stripTrackingParams($"text").as("t"))
+        .as[String].collect().head
+    // leading tracked param with a real param behind it: separator heals
+    assert(strip("https://a.com/p?utm_source=x&page=2") ==
+      "https://a.com/p?page=2")
+    // trailing tracked param after a real one
+    assert(strip("https://a.com/p?page=2&fbclid=abc") ==
+      "https://a.com/p?page=2")
+    // ALL params tracked: query vanishes entirely
+    assert(strip("https://a.com/p?gclid=1&utm_medium=email") ==
+      "https://a.com/p")
+    // fragment survives; value stops at '#'
+    assert(strip("https://a.com/p?utm_a=1&x=2#frag") ==
+      "https://a.com/p?x=2#frag")
+    assert(strip("https://a.com/p?x=2&utm_a=1#frag") ==
+      "https://a.com/p?x=2#frag")
+    // case-insensitive names, empty values, several tracked in a row
+    assert(strip("https://a.com/?UTM_SOURCE=&Fbclid=&keep=1") ==
+      "https://a.com/?keep=1")
+    // multiple URLs in one text, all rewritten
+    assert(strip("x https://a.com/?utm_a=1 y https://b.com/?q=1&gclid=2 z") ==
+      "x https://a.com/ y https://b.com/?q=1 z")
+    // non-tracking params and bare prose untouched
+    val plain = "utm_source is a parameter name, and a?b is a question"
+    assert(strip(plain) == plain)
+    assert(strip("https://a.com/p?query=utm_source") ==
+      "https://a.com/p?query=utm_source")
+    // lookalike names do NOT match (utmx, xfbclid)
+    assert(strip("https://a.com/p?utmx=1&xfbclid=2") ==
+      "https://a.com/p?utmx=1&xfbclid=2")
+    // frame op: pure projection, row count preserved
+    val df = Seq((1L, "https://a.com/?utm_a=1"), (2L, "no urls"))
+      .toDF("doc_id", "text")
+    val out = Urls.canonicalizeUrls(df, "text").orderBy("doc_id")
+      .as[(Long, String)].collect()
+    assert(out.toSeq == Seq((1L, "https://a.com/"), (2L, "no urls")))
+    intercept[IllegalArgumentException](
+      Urls.stripTrackingParams($"text", Nil))
+  }
 }
