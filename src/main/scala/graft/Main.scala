@@ -847,6 +847,7 @@ object Main {
         bucketFn =
           if (cur.portableBucket) Sampling.portableBucket else Sampling.bucket,
         persistSurvivors = cur.persistSurvivors,
+        stripTrackingParams = cur.stripTrackingParams,
         stripHtml = cur.stripHtml,
         stripMarkdown = cur.stripMarkdown,
         fixMojibake = cur.fixMojibake,
@@ -1015,6 +1016,7 @@ object Main {
         // forwarded so pipelineStream can reject it loudly — dropping
         // it here would silently ignore the YAML knob
         persistSurvivors = cur.persistSurvivors,
+        stripTrackingParams = cur.stripTrackingParams,
         stripHtml = cur.stripHtml,
         stripMarkdown = cur.stripMarkdown,
         fixMojibake = cur.fixMojibake,

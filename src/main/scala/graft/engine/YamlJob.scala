@@ -116,6 +116,7 @@ object YamlJob {
       persistSurvivors: Boolean = false,
       observed: Boolean = false,
       portableBucket: Boolean = false,
+      stripTrackingParams: Boolean = false,
       stripHtml: Boolean = false,
       stripMarkdown: Boolean = false,
       fixMojibake: Boolean = false,
@@ -312,7 +313,7 @@ object YamlJob {
       val KnownKeys = Set("id_column", "text_column", "blocklist",
         "max_dup_word_frac", "max_dup_ngram_frac", "max_top_ngram_frac",
         "repetition_n", "sample_fraction", "persist_survivors",
-        "observed", "bucket", "strip_html", "strip_markdown", "fix_mojibake", "normalize_unicode", "line_dedup_min_docs", "compression_band", "contamination",
+        "observed", "bucket", "strip_tracking_params", "strip_html", "strip_markdown", "fix_mojibake", "normalize_unicode", "line_dedup_min_docs", "compression_band", "contamination",
         "lang_id", "token_budget", "token_budget_shards", "shards",
         "mode", "ts_column", "dedup_horizon", "checkpoint", "trigger",
         "reference", "reference_near_dup",
@@ -411,6 +412,8 @@ object YamlJob {
         observed = c.get("observed")
           .map(v => boolOpt("observed", v)).getOrElse(false),
         portableBucket = bucket == "portable",
+        stripTrackingParams = c.get("strip_tracking_params")
+          .map(v => boolOpt("strip_tracking_params", v)).getOrElse(false),
         stripHtml = c.get("strip_html")
           .map(v => boolOpt("strip_html", v)).getOrElse(false),
         stripMarkdown = c.get("strip_markdown")

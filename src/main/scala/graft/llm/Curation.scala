@@ -73,6 +73,14 @@ object Curation {
         * (decontamination reads its corpus twice) — each optional
         * stage with fan-out costs one more survivor copy. */
       persistSurvivors: Boolean = false,
+      /** Strip tracking query parameters (utm_*, fbclid, gclid, … —
+        * [[Urls.DefaultTrackingParams]]) from every URL right after
+        * the blocklist stage and BEFORE any markup strip (the params
+        * live in hrefs the HTML strip would delete): campaign-shared
+        * copies of one page then exact-dedup together, and click ids
+        * (cross-site user identifiers) leave the corpus. Pure
+        * projection, rewrites text, never drops rows; streams. */
+      stripTrackingParams: Boolean = false,
       /** Rewrite text with [[TextAnalysis.stripHtml]] right after the
         * URL stage (which needs the RAW markup — hrefs live inside the
         * tags the strip removes) and before every text-statistics
@@ -258,9 +266,12 @@ object Curation {
   def pipeline(df: DataFrame, idCol: String, textCol: String,
                cfg: PipelineConfig = PipelineConfig()): DataFrame = {
     warnStripEatsLines(cfg)
-    val afterUrls =
+    val afterUrls0 =
       if (cfg.blocklist.isEmpty) df
       else Urls.filterBlocked(df, textCol, cfg.blocklist)
+    val afterUrls =
+      if (cfg.stripTrackingParams) Urls.canonicalizeUrls(afterUrls0, textCol)
+      else afterUrls0
     val afterStrip0 =
       if (cfg.stripHtml) TextAnalysis.stripHtml(afterUrls, textCol)
       else afterUrls
@@ -462,9 +473,12 @@ object Curation {
       throw graft.core.GraftError.Configuration(
         "persistSurvivors cannot stream — micro-batches evaluate once; " +
           "there is no double-evaluation to trade storage against")
-    val afterUrls =
+    val afterUrls0 =
       if (cfg.blocklist.isEmpty) df
       else Urls.filterBlocked(df, textCol, cfg.blocklist)
+    val afterUrls =
+      if (cfg.stripTrackingParams) Urls.canonicalizeUrls(afterUrls0, textCol)
+      else afterUrls0
     val afterStrip0 =
       if (cfg.stripHtml) TextAnalysis.stripHtml(afterUrls, textCol)
       else afterUrls
@@ -646,7 +660,9 @@ object Curation {
     // strip is a row-preserving projection: it rides between the oU tap
     // and the repetition filter with no observation of its own
     def stripped(d: DataFrame): DataFrame = {
-      val s1 = if (cfg.stripHtml) TextAnalysis.stripHtml(d, textCol) else d
+      val s0 =
+        if (cfg.stripTrackingParams) Urls.canonicalizeUrls(d, textCol) else d
+      val s1 = if (cfg.stripHtml) TextAnalysis.stripHtml(s0, textCol) else s0
       val s1b =
         if (cfg.stripMarkdown) TextAnalysis.stripMarkdown(s1, textCol) else s1
       val s2 =

@@ -649,9 +649,10 @@ class CliSpec extends SparkSpec {
     assert(YamlJob.loadYaml(
       """source: {uri: a.parquet}
         |target: {uri: b}
-        |curation: {id_column: id, text_column: t, line_dedup_min_docs: 4, strip_html: true, strip_markdown: true, fix_mojibake: true, normalize_unicode: nfc, substring_dedup_window: 50, soft_dedup: true}
+        |curation: {id_column: id, text_column: t, line_dedup_min_docs: 4, strip_tracking_params: true, strip_html: true, strip_markdown: true, fix_mojibake: true, normalize_unicode: nfc, substring_dedup_window: 50, soft_dedup: true}
         |""".stripMargin).curation
       .exists(c => c.lineDedupMinDocs.contains(4) && c.stripHtml &&
+        c.stripTrackingParams &&
         c.stripMarkdown && c.fixMojibake && c.normalizeUnicode.contains("NFC") &&
         c.substringDedupWindow.contains(50) && c.softDedup))
     // corpus-wide knobs reject at LOAD time in stream mode

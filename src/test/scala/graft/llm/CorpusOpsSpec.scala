@@ -2065,5 +2065,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(out.toSeq == Seq((1L, "https://a.com/"), (2L, "no urls")))
     intercept[IllegalArgumentException](
       Urls.stripTrackingParams($"text", Nil))
+    // curation stage: strip_tracking_params rides the batch pipeline
+    // BEFORE the HTML strip (params live in hrefs), so two
+    // campaign-shared copies of one page exact-dedup together
+    val docs = Seq(
+      (1L, "<a href='https://a.com/art?utm_source=tw'>x</a> body words"),
+      (2L, "<a href='https://a.com/art?utm_source=nl'>x</a> body words"))
+      .toDF("doc_id", "text")
+    val kept = graft.llm.Curation.pipeline(docs, "doc_id", "text",
+      graft.llm.Curation.PipelineConfig(
+        stripTrackingParams = true, stripHtml = true,
+        maxDupWordFrac = 1.0, maxDupNgramFrac = 1.0, maxTopNgramFrac = 1.0))
+    assert(kept.count() == 1, "canonicalized copies must dedup to one")
   }
 }
