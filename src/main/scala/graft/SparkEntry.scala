@@ -2,7 +2,7 @@ package graft
 
 import graft.infer.{CellInference, DateFormats}
 import graft.llm.{Boilerplate, Chunking, Contamination, Curation, Dedup, Dsir, Exif, LmScore, Multimodal, Packing, Paragraphs, Repetition, Sampling, Shuffling, Similarity, Spans, SubstringDedup, TextAnalysis, Urls}
-import graft.sources.{AvroConnector, Connectors}
+import graft.sources.{AvroConnector, Connectors, WarcSource}
 import graft.streaming.EventsStreaming
 import graft.transform.Transform
 import graft.validate.{SchemaFile, Validation}
@@ -344,6 +344,29 @@ object SparkEntry {
           col("c_nationkey"), col("c_acctbal"), col("c_mktsegment")),
         out, truncate = true)
       Connectors.read(s, out)
+    },
+
+    // --- WARC scan+sink round-trip (Common Crawl's container — the
+    // canonical web-scale LLM-corpus input; beyond-reference like ORC).
+    // Documents write as HTTP-response records (one gzip member per
+    // record, warcinfo-led), read back through the stream parser, and
+    // the HTTP envelope split is what reconstructs the text — so the
+    // gate covers record framing, member-per-record gzip, header
+    // case-insensitivity AND envelope parsing. Oracle = identity over
+    // documents with the planted status ---
+    "q_warc_roundtrip" -> { (s, dir) =>
+      val out = scratch("warc_rt")
+      val docs = t(s, dir, "documents").select(
+        concat(lit("http://corpus.test/doc/"), col("doc_id")).as("uri"),
+        col("text"))
+      WarcSource.write(docs, out, "uri", "text")
+      WarcSource.read(s, out)
+        .filter(col("warc_type") === "response")
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          decode(col("http_body"), "UTF-8").as("text"),
+          col("http_status"))
     },
 
     // --- U1 engine spine: read csv → inline transform → write parquet ---
@@ -3985,6 +4008,9 @@ object SparkEntry {
     "q_orc_roundtrip" ->
       """SELECT c_custkey, c_name, c_nationkey, c_acctbal, c_mktsegment
         |FROM customer""".stripMargin,
+
+    "q_warc_roundtrip" ->
+      "SELECT doc_id, text, 200 AS http_status FROM documents",
 
     "q_engine_transfer" ->
       """SELECT CAST(p_partkey AS BIGINT) AS p_partkey,

@@ -93,6 +93,8 @@ object Connectors {
       case u if u.endsWith(".parquet") => Ref("parquet", body, frag, options)
       case u if u.endsWith(".avro")    => Ref("avro", body, frag, options)
       case u if u.endsWith(".orc")     => Ref("orc", body, frag, options)
+      case u if u.endsWith(".warc") || u.endsWith(".warc.gz") =>
+        Ref("warc", body, frag, options)
       case u if u.endsWith(".db")      => jdbc(s"jdbc:sqlite:$body")
       case u if u.endsWith(".duckdb")  => jdbc(s"jdbc:duckdb:$body")
       case _ =>
@@ -125,6 +127,7 @@ object Connectors {
     case "parquet" => spark.read.parquet(ref.path)
     case "avro"    => AvroConnector.read(spark, ref.path)
     case "orc"     => spark.read.orc(ref.path)
+    case "warc"    => WarcSource.read(spark, ref.path)
     case "jdbc" => readJdbc(spark, ref)
     case "http" => readRef(spark, Http.download(ref))
     case "ssh"  => readRef(spark, Ssh.download(ref))

@@ -1,0 +1,332 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, ByteArrayOutputStream, EOFException,
+  InputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftError
+
+/** WARC (Web ARChive, ISO 28500) container read/write — the format
+  * Common Crawl ships, i.e. THE input container of a web-scale LLM
+  * training-data pipeline. Beyond-reference (the reference has no web
+  * archive connector), designed Spark-first like the ORC/Avro paths.
+  *
+  * Read semantics:
+  *  - every record yields (record_id, warc_type, target_uri, warc_date,
+  *    content_type, content: binary) — headers are case-insensitive per
+  *    the spec (§4, "field names are not case sensitive");
+  *  - records whose Content-Type is `application/http` additionally
+  *    parse the HTTP envelope inside the content block: http_status,
+  *    http_content_type (the envelope's Content-Type header) and
+  *    http_body (the bytes after the first blank line). A malformed
+  *    envelope yields NULL http_* fields with the raw content intact —
+  *    the web is full of broken responses and a crawl read must not
+  *    die on one (same lenient-decode posture as audioStats);
+  *  - both plain `.warc` and gzipped `.warc.gz` parse; gzip may be one
+  *    stream or the Common Crawl convention of ONE GZIP MEMBER PER
+  *    RECORD (JDK GZIPInputStream reads concatenated members);
+  *  - structural damage — a record not starting `WARC/`, a missing or
+  *    non-numeric Content-Length, content cut short by EOF — fails
+  *    LOUDLY with the file and record index (house convention: no
+  *    silent truncation of a corpus).
+  *
+  * Write semantics: one `.warc.gz` per partition, one gzip member per
+  * record (the CC layout — a CDX-style byte index can then random-access
+  * individual records), each file led by a `warcinfo` record. Payloads
+  * are written either as bare `resource` records or wrapped in an
+  * `application/http; msgtype=response` envelope (`asHttpResponse`),
+  * which is the shape crawlers emit. Record ids are deterministic
+  * (name-UUID of uri + date) so a re-run is byte-stable.
+  *
+  * Scale design: parallelism is FILE-granular — a Common Crawl dump is
+  * ~64k files of ~1 GiB each, so a 100 TB read fans out across the
+  * fleet on file count alone. Single gzipped members are not
+  * byte-splittable without an external index, so one task owns one
+  * file and STREAM-parses it: memory per task is bounded by the
+  * largest single record (its Content-Length), never the file size.
+  * Re-balance afterwards with `repartition` if record sizes skew.
+  */
+object WarcSource {
+
+  /** One parsed WARC record. `http_*` fields are populated only for
+    * `application/http` records with a well-formed envelope. */
+  final case class WarcRecord(
+      file: String,
+      record_id: String,
+      warc_type: String,
+      target_uri: String,
+      warc_date: String,
+      content_type: String,
+      content: Array[Byte],
+      http_status: Option[Int],
+      http_content_type: Option[String],
+      http_body: Option[Array[Byte]])
+
+  // ----------------------------- read ---------------------------------
+
+  /** Reads every `.warc` / `.warc.gz` under `path` (or the single file
+    * `path` itself) into one record-per-row DataFrame. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
+    val p = new Path(path)
+    val files: Seq[String] =
+      if (fs.getFileStatus(p).isFile) Seq(path)
+      else fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
+        .filter(f => f.endsWith(".warc") || f.endsWith(".warc.gz")).sorted
+    if (files.isEmpty)
+      throw GraftError.Configuration(s"no .warc/.warc.gz files under $path")
+    val rdd = spark.sparkContext
+      .parallelize(files, files.size)
+      .flatMap(f => parseFile(f))
+    spark.createDataset(rdd)(Encoders.product[WarcRecord]).toDF()
+  }
+
+  /** Stream-parses one file; an Iterator so a task never holds more
+    * than one record's content. */
+  private def parseFile(file: String): Iterator[WarcRecord] = {
+    val fs = FileSystem.get(java.net.URI.create(file), new Configuration())
+    val raw = fs.open(new Path(file))
+    val in: InputStream =
+      if (file.endsWith(".gz")) new GZIPInputStream(new BufferedInputStream(raw))
+      else new BufferedInputStream(raw)
+    new Iterator[WarcRecord] {
+      private var idx = 0
+      private var nextRec: WarcRecord = advance()
+      private def advance(): WarcRecord = {
+        val line0 = skipBlank(in)
+        if (line0 == null) { in.close(); null }
+        else {
+          val rec = parseRecord(in, line0, file, idx)
+          idx += 1
+          rec
+        }
+      }
+      override def hasNext: Boolean = nextRec != null
+      override def next(): WarcRecord = {
+        val r = nextRec; nextRec = advance(); r
+      }
+    }
+  }
+
+  /** Skips inter-record blank lines; returns the first non-blank line
+    * or null at EOF. */
+  private def skipBlank(in: InputStream): String = {
+    var line = readLine(in)
+    while (line != null && line.isEmpty) line = readLine(in)
+    line
+  }
+
+  private def parseRecord(in: InputStream, versionLine: String,
+                          file: String, idx: Int): WarcRecord = {
+    if (!versionLine.startsWith("WARC/"))
+      throw GraftError.Configuration(
+        s"$file record $idx: expected a WARC/ version line, got " +
+          s"'${versionLine.take(40)}' — not a WARC file or a damaged record")
+    val headers = scala.collection.mutable.Map.empty[String, String]
+    var line = readLine(in)
+    while (line != null && line.nonEmpty) {
+      val c = line.indexOf(':')
+      if (c > 0)
+        headers(line.substring(0, c).trim.toLowerCase) =
+          line.substring(c + 1).trim
+      line = readLine(in)
+    }
+    val len = headers.get("content-length") match {
+      case Some(v) if v.forall(_.isDigit) && v.nonEmpty => v.toLong
+      case other => throw GraftError.Configuration(
+        s"$file record $idx: missing or non-numeric Content-Length " +
+          s"($other) — cannot frame the content block")
+    }
+    if (len > Int.MaxValue - 8) throw GraftError.Configuration(
+      s"$file record $idx: Content-Length $len exceeds the 2 GiB " +
+        "single-record bound")
+    val content = new Array[Byte](len.toInt)
+    var off = 0
+    while (off < content.length) {
+      val n = in.read(content, off, content.length - off)
+      if (n < 0) throw new EOFException(
+        s"$file record $idx: content truncated at $off of $len bytes")
+      off += n
+    }
+    val ctype = headers.getOrElse("content-type", "")
+    val (st, hct, body) =
+      if (ctype.toLowerCase.startsWith("application/http"))
+        parseHttpEnvelope(content)
+      else (None, None, None)
+    WarcRecord(
+      file = file,
+      record_id = headers.getOrElse("warc-record-id", ""),
+      warc_type = headers.getOrElse("warc-type", ""),
+      target_uri = headers.getOrElse("warc-target-uri", ""),
+      warc_date = headers.getOrElse("warc-date", ""),
+      content_type = ctype,
+      content = content,
+      http_status = st,
+      http_content_type = hct,
+      http_body = body)
+  }
+
+  /** Splits an HTTP message at its first blank line; the status line
+    * and headers are ASCII, the body is opaque bytes (Content-Length
+    * inside the envelope is NOT trusted — the WARC frame governs). */
+  private[sources] def parseHttpEnvelope(content: Array[Byte])
+      : (Option[Int], Option[String], Option[Array[Byte]]) = {
+    val sep = indexOfBlankLine(content)
+    if (sep._1 < 0) return (None, None, None)
+    val head = new String(content, 0, sep._1, StandardCharsets.ISO_8859_1)
+    val body = java.util.Arrays.copyOfRange(content, sep._2, content.length)
+    val lines = head.split("\r?\n")
+    val status = lines.headOption.map(_.trim) match {
+      case Some(s) if s.startsWith("HTTP/") =>
+        s.split("\\s+") match {
+          case parts if parts.length >= 2 && parts(1).forall(_.isDigit) &&
+            parts(1).nonEmpty => Some(parts(1).toInt)
+          case _ => None
+        }
+      case _ => None
+    }
+    if (status.isEmpty) return (None, None, None)
+    val hct = lines.drop(1).collectFirst {
+      case l if l.toLowerCase.startsWith("content-type:") =>
+        l.substring(l.indexOf(':') + 1).trim
+    }
+    (status, hct, Some(body))
+  }
+
+  /** Byte offset of the first `\r\n\r\n` (or lone `\n\n`): returns
+    * (headEnd, bodyStart), or (-1, -1) when none exists. */
+  private def indexOfBlankLine(b: Array[Byte]): (Int, Int) = {
+    var i = 0
+    while (i + 1 < b.length) {
+      if (b(i) == '\n' && b(i + 1) == '\n') return (i, i + 2)
+      if (i + 3 < b.length && b(i) == '\r' && b(i + 1) == '\n' &&
+        b(i + 2) == '\r' && b(i + 3) == '\n') return (i, i + 4)
+      i += 1
+    }
+    (-1, -1)
+  }
+
+  /** Reads one header line: bytes to `\n`, dropping a trailing `\r`
+    * (the spec mandates CRLF; bare-LF files in the wild still parse).
+    * Returns null at EOF with nothing read. */
+  private def readLine(in: InputStream): String = {
+    val buf = new ByteArrayOutputStream(96)
+    var c = in.read()
+    if (c < 0) return null
+    while (c >= 0 && c != '\n') { buf.write(c); c = in.read() }
+    val bytes = buf.toByteArray
+    val n = if (bytes.nonEmpty && bytes(bytes.length - 1) == '\r')
+      bytes.length - 1 else bytes.length
+    new String(bytes, 0, n, StandardCharsets.ISO_8859_1)
+  }
+
+  // ----------------------------- write --------------------------------
+
+  /** Writes `(uriCol, payloadCol)` rows as one `.warc.gz` per
+    * partition (one gzip member per record, warcinfo-led). Payload may
+    * be binary or string (UTF-8 encoded). Returns records written
+    * (excluding warcinfo records). */
+  def write(df: DataFrame, path: String, uriCol: String, payloadCol: String,
+            warcDate: String = "2024-01-01T00:00:00Z",
+            asHttpResponse: Boolean = true,
+            httpContentType: String = "text/plain; charset=utf-8",
+            overwrite: Boolean = true): Long = {
+    val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
+    val out = new Path(path)
+    if (overwrite && fs.exists(out)) fs.delete(out, true)
+    fs.mkdirs(out)
+    val payloadIsBinary = df.schema(payloadCol).dataType ==
+      org.apache.spark.sql.types.BinaryType
+    val slim = df.select(
+      col(uriCol).cast("string").as("uri"),
+      (if (payloadIsBinary) col(payloadCol)
+       else encode(col(payloadCol).cast("string"), "UTF-8")).as("payload"))
+    slim.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val pfs = FileSystem.get(java.net.URI.create(path), new Configuration())
+        val stream = pfs.create(new Path(path, f"part-$idx%05d.warc.gz"))
+        var n = 0L
+        try {
+          stream.write(gzipMember(warcinfoRecord(warcDate)))
+          rows.foreach { r =>
+            val uri = r.getString(0)
+            val payload = r.getAs[Array[Byte]](1)
+            val block =
+              if (asHttpResponse) httpResponseBlock(payload, httpContentType)
+              else payload
+            stream.write(gzipMember(recordBytes(
+              if (asHttpResponse) "response" else "resource", uri, warcDate,
+              if (asHttpResponse) "application/http; msgtype=response"
+              else httpContentType,
+              block)))
+            n += 1
+          }
+        } finally stream.close()
+        Iterator(n)
+      }
+    }.sum().toLong
+  }
+
+  /** One record as one finished gzip member (the CC convention).
+    * Compressing to a buffer lets close() run, which ends the native
+    * Deflater immediately (the DeflateStats lesson: native memory must
+    * not wait for GC); scratch is bounded by one record's size. */
+  private def gzipMember(record: Array[Byte]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream(record.length / 2 + 64)
+    val gz = new GZIPOutputStream(bos, 8192)
+    gz.write(record)
+    gz.close()
+    bos.toByteArray
+  }
+
+  private def httpResponseBlock(body: Array[Byte],
+                                contentType: String): Array[Byte] = {
+    val head = ("HTTP/1.1 200 OK\r\n" +
+      s"Content-Type: $contentType\r\n" +
+      s"Content-Length: ${body.length}\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val b = new Array[Byte](head.length + body.length)
+    System.arraycopy(head, 0, b, 0, head.length)
+    System.arraycopy(body, 0, b, head.length, body.length)
+    b
+  }
+
+  private def warcinfoRecord(date: String): Array[Byte] = {
+    val body = ("software: graft\r\nformat: WARC File Format 1.0\r\n")
+      .getBytes(StandardCharsets.UTF_8)
+    recordBytes("warcinfo", uri = null, date,
+      "application/warc-fields", body)
+  }
+
+  private def recordBytes(warcType: String, uri: String, date: String,
+                          contentType: String,
+                          content: Array[Byte]): Array[Byte] = {
+    val id = java.util.UUID.nameUUIDFromBytes(
+      (warcType + "|" + Option(uri).getOrElse("") + "|" + date)
+        .getBytes(StandardCharsets.UTF_8))
+    val sb = new StringBuilder
+    sb.append("WARC/1.0\r\n")
+    sb.append(s"WARC-Type: $warcType\r\n")
+    sb.append(s"WARC-Record-ID: <urn:uuid:$id>\r\n")
+    sb.append(s"WARC-Date: $date\r\n")
+    if (uri != null) sb.append(s"WARC-Target-URI: $uri\r\n")
+    sb.append(s"Content-Type: $contentType\r\n")
+    sb.append(s"Content-Length: ${content.length}\r\n")
+    sb.append("\r\n")
+    val head = sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+    val trailer = "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+    val b = new Array[Byte](head.length + content.length + trailer.length)
+    System.arraycopy(head, 0, b, 0, head.length)
+    System.arraycopy(content, 0, b, head.length, content.length)
+    System.arraycopy(trailer, 0, b, head.length + content.length,
+      trailer.length)
+    b
+  }
+}

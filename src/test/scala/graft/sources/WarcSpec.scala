@@ -1,0 +1,189 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+import java.util.zip.GZIPOutputStream
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** WARC container source: framing, gzip member handling, HTTP envelope
+  * parsing, loud damage errors, and the write→read round trip. */
+class WarcSpec extends SparkSpec {
+
+  private def rec(warcType: String, uri: String, body: Array[Byte],
+                  contentType: String = "text/plain",
+                  extraHeader: String = ""): Array[Byte] = {
+    val head = (s"WARC/1.0\r\nWARC-Type: $warcType\r\n" +
+      s"WARC-Record-ID: <urn:uuid:test-$uri>\r\n" +
+      "WARC-Date: 2024-01-01T00:00:00Z\r\n" +
+      (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+      extraHeader +
+      s"Content-Type: $contentType\r\nContent-Length: ${body.length}\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    head ++ body ++ "\r\n\r\n".getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  private def writeFile(dir: String, name: String,
+                        bytes: Array[Byte]): String = {
+    val p = Paths.get(dir, name)
+    Files.write(p, bytes)
+    p.toString
+  }
+
+  test("round trip: binary payload survives byte-exact through " +
+      "member-per-record gzip, warcinfo filtered by type") {
+    import spark.implicits._
+    val dir = tmpDir("warc_bin_rt")
+    // payload includes non-UTF8 bytes, CRLFs and a blank line — framing
+    // must come from Content-Length alone
+    val payload = Array[Byte](0, 1, -1, 'W', 'A', 'R', 'C', '/', '\r', '\n',
+      '\r', '\n', -128, 127)
+    val df = Seq(("http://x.test/a", payload)).toDF("uri", "payload")
+    val n = WarcSource.write(df, dir, "uri", "payload",
+      asHttpResponse = false)
+    assert(n == 1)
+    val back = WarcSource.read(spark, dir).collect()
+    assert(back.map(r => r.getAs[String]("warc_type")).sorted.toSeq ==
+      Seq("resource", "warcinfo"))
+    val res = back.find(_.getAs[String]("warc_type") == "resource").get
+    assert(res.getAs[Array[Byte]]("content").toSeq == payload.toSeq)
+    assert(res.getAs[String]("target_uri") == "http://x.test/a")
+    // resource records carry no HTTP envelope
+    assert(res.isNullAt(res.fieldIndex("http_status")))
+  }
+
+  test("plain .warc and member-per-record .warc.gz parse identically; " +
+      "a single multi-record gzip stream also parses (CC tolerance)") {
+    val dir = tmpDir("warc_gz_modes")
+    val r1 = rec("resource", "http://x.test/1",
+      "one".getBytes(StandardCharsets.UTF_8))
+    val r2 = rec("resource", "http://x.test/2",
+      "two".getBytes(StandardCharsets.UTF_8))
+    writeFile(dir, "plain.warc", r1 ++ r2)
+    val onegz = new java.io.ByteArrayOutputStream()
+    val gz = new GZIPOutputStream(onegz)
+    gz.write(r1 ++ r2); gz.close()
+    val dir2 = tmpDir("warc_gz_modes2")
+    writeFile(dir2, "one-stream.warc.gz", onegz.toByteArray)
+    val a = WarcSource.read(spark, dir)
+      .select("target_uri", "content").collect()
+      .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1),
+        StandardCharsets.UTF_8))).sortBy(_._1).toSeq
+    val b = WarcSource.read(spark, dir2)
+      .select("target_uri", "content").collect()
+      .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1),
+        StandardCharsets.UTF_8))).sortBy(_._1).toSeq
+    assert(a == Seq("http://x.test/1" -> "one", "http://x.test/2" -> "two"))
+    assert(a == b)
+  }
+
+  test("HTTP envelope: status/content-type/body split at the first " +
+      "blank line; body blank lines preserved; header case-insensitive") {
+    val dir = tmpDir("warc_http")
+    val body = "first\r\n\r\nsecond".getBytes(StandardCharsets.UTF_8)
+    val env = ("HTTP/1.1 404 Not Found\r\ncOnTeNt-TyPe: text/html\r\n" +
+      "X-Other: y\r\n\r\n").getBytes(StandardCharsets.ISO_8859_1) ++ body
+    writeFile(dir, "f.warc",
+      rec("response", "http://x.test/e", env,
+        contentType = "application/http; msgtype=response"))
+    val r = WarcSource.read(spark, dir).collect().head
+    assert(r.getAs[Int]("http_status") == 404)
+    assert(r.getAs[String]("http_content_type") == "text/html")
+    assert(new String(r.getAs[Array[Byte]]("http_body"),
+      StandardCharsets.UTF_8) == "first\r\n\r\nsecond")
+  }
+
+  test("malformed HTTP envelope yields NULL http_* with raw content " +
+      "intact — a crawl read must not die on one broken response") {
+    val dir = tmpDir("warc_http_bad")
+    val junk = "not-an-http-message no blank line either"
+      .getBytes(StandardCharsets.UTF_8)
+    writeFile(dir, "f.warc",
+      rec("response", "http://x.test/bad", junk,
+        contentType = "application/http; msgtype=response"))
+    val r = WarcSource.read(spark, dir).collect().head
+    assert(r.isNullAt(r.fieldIndex("http_status")))
+    assert(r.isNullAt(r.fieldIndex("http_body")))
+    assert(r.getAs[Array[Byte]]("content").toSeq == junk.toSeq)
+  }
+
+  test("structural damage is LOUD: truncated content, missing " +
+      "Content-Length, non-WARC leading bytes all name file+record") {
+    val okBody = "ok".getBytes(StandardCharsets.UTF_8)
+    // truncated: Content-Length says 100, file ends early
+    val d1 = tmpDir("warc_trunc")
+    val full = rec("resource", "http://x.test/t",
+      new Array[Byte](100))
+    writeFile(d1, "f.warc", full.take(full.length - 60))
+    val e1 = intercept[org.apache.spark.SparkException] {
+      WarcSource.read(spark, d1).count()
+    }
+    assert(e1.getMessage.contains("truncated") ||
+      Option(e1.getCause).exists(_.getMessage.contains("truncated")))
+    // missing Content-Length
+    val d2 = tmpDir("warc_nolen")
+    writeFile(d2, "f.warc",
+      ("WARC/1.0\r\nWARC-Type: resource\r\n\r\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ okBody)
+    val e2 = intercept[Exception] { WarcSource.read(spark, d2).count() }
+    assert(e2.getMessage.contains("Content-Length") ||
+      Option(e2.getCause).exists(_.getMessage.contains("Content-Length")))
+    // garbage where a version line belongs
+    val d3 = tmpDir("warc_magic")
+    writeFile(d3, "f.warc",
+      "HTML is not WARC\r\n".getBytes(StandardCharsets.ISO_8859_1))
+    val e3 = intercept[Exception] { WarcSource.read(spark, d3).count() }
+    assert(e3.getMessage.contains("WARC/") ||
+      Option(e3.getCause).exists(_.getMessage.contains("WARC/")))
+  }
+
+  test("bare-LF header lines still parse (lenient CRLF) and " +
+      "Connectors factory dispatches *.warc paths") {
+    val dir = tmpDir("warc_lf")
+    val body = "lf".getBytes(StandardCharsets.UTF_8)
+    writeFile(dir, "f.warc",
+      ("WARC/1.0\nWARC-Type: resource\nWARC-Target-URI: http://x.test/lf\n" +
+        s"Content-Type: text/plain\nContent-Length: ${body.length}\n\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ body ++
+        "\n\n".getBytes(StandardCharsets.ISO_8859_1))
+    val viaFactory = Connectors.read(spark, s"$dir/f.warc")
+    val r = viaFactory.collect().head
+    assert(r.getAs[String]("target_uri") == "http://x.test/lf")
+    assert(new String(r.getAs[Array[Byte]]("content"),
+      StandardCharsets.UTF_8) == "lf")
+  }
+
+  test("writer is deterministic: two writes of the same rows produce " +
+      "byte-identical files (stable record ids, stable date)") {
+    import spark.implicits._
+    val df = Seq(("http://x.test/d", "same text")).toDF("uri", "payload")
+      .repartition(1)
+    val d1 = tmpDir("warc_det1"); val d2 = tmpDir("warc_det2")
+    WarcSource.write(df, d1, "uri", "payload")
+    WarcSource.write(df, d2, "uri", "payload")
+    val f1 = Files.readAllBytes(Paths.get(d1, "part-00000.warc.gz"))
+    val f2 = Files.readAllBytes(Paths.get(d2, "part-00000.warc.gz"))
+    assert(f1.toSeq == f2.toSeq)
+  }
+
+  test("string payloads UTF-8 encode; multi-partition write shards " +
+      "one file per non-empty partition and read unions them") {
+    import spark.implicits._
+    val rows = (0 until 20).map(i => (s"http://x.test/$i", s"body $i"))
+    val df = rows.toDF("uri", "payload").repartition(4)
+    val dir = tmpDir("warc_shards")
+    val n = WarcSource.write(df, dir, "uri", "payload")
+    assert(n == 20)
+    val back = WarcSource.read(spark, dir)
+      .filter(col("warc_type") === "response")
+      .select("target_uri", "http_body", "http_status").collect()
+      .map(r => (r.getString(0),
+        new String(r.getAs[Array[Byte]](1), StandardCharsets.UTF_8),
+        r.getInt(2))).sortBy(_._1)
+    assert(back.length == 20)
+    assert(back.forall(_._3 == 200))
+    assert(back.map { case (u, b, _) => (u, b) }.toMap == rows.toMap)
+  }
+}
