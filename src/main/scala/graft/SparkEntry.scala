@@ -1,7 +1,7 @@
 package graft
 
 import graft.infer.{CellInference, DateFormats}
-import graft.llm.{Boilerplate, Chunking, Contamination, Curation, Dedup, Dsir, Exif, LmScore, Multimodal, Packing, Paragraphs, Repetition, Sampling, Shuffling, Similarity, Spans, SubstringDedup, TextAnalysis, Urls}
+import graft.llm.{Bloom, Boilerplate, Chunking, Contamination, Curation, Dedup, Dsir, Exif, LmScore, Multimodal, Packing, Paragraphs, Repetition, Sampling, Shuffling, Similarity, Spans, SubstringDedup, TextAnalysis, Urls}
 import graft.sources.{AvroConnector, Connectors, WarcSource}
 import graft.streaming.EventsStreaming
 import graft.transform.Transform
@@ -1011,6 +1011,25 @@ object SparkEntry {
       val ref = docs.filter(pmod(col("doc_id"), lit(3)) === 0).select(col("text"))
       Dedup.againstReference(docs, ref, "doc_id", Seq("text"))
         .select(col("doc_id"))
+    },
+
+    // --- Bloom-filter membership vs a reference corpus: the
+    // fixed-byte-budget "might have seen" probe for crawl histories too
+    // large for the exact sorted-set index. The hash family is the
+    // portable 31/37 codepoint-polynomial pair mod 2^31-1 with
+    // Kirsch–Mitzenmacher positions, so the oracle replays the EXACT
+    // bit pattern — m=512 is deliberately undersized (~84% of bits set
+    // by the ~170 ref keys at sf0.01) to FORCE false positives in-gate
+    // (89 of 333 non-members at sf0.01), each reproduced bit-for-bit
+    // by the oracle (a membership test per position via left join +
+    // bool_and). No false negatives by construction: every ref doc
+    // must flag true ---
+    "q_bloom_dedup" -> { (s, dir) =>
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val ref = docs.filter(pmod(col("doc_id"), lit(3)) === 0)
+      val bloomDf = Bloom.build(ref, col("text"), mBits = 512, k = 3)
+      Bloom.probe(docs, bloomDf, col("text"), mBits = 512, k = 3)
+        .select(col("doc_id"), col("might_seen"))
     },
 
     // --- the incremental-curation COMPOSITION: referenceSnapshot wired
@@ -5046,6 +5065,34 @@ object SparkEntry {
         |WHERE NOT EXISTS (
         |  SELECT 1 FROM documents r
         |  WHERE r.doc_id % 3 = 0 AND r.text IS NOT DISTINCT FROM d.text)""".stripMargin,
+
+    // bloom membership replayed bit-for-bit: the same 31/37 codepoint
+    // polynomials mod 2^31-1, Kirsch–Mitzenmacher positions mod m=512,
+    // and "member" = every one of the k=3 positions appears in the
+    // reference's set-bit set (left join + bool_and) — the 89 in-gate
+    // false positives reproduce exactly
+    "q_bloom_dedup" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(text) + 1), i ->
+        |        CAST(ascii(substr(text, CAST(i AS BIGINT), 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 2147483647) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, len(text) + 1), i ->
+        |        CAST(ascii(substr(text, CAST(i AS BIGINT), 1)) AS BIGINT))),
+        |      (a, b) -> (a * 37 + b) % 2147483647) AS h2
+        |  FROM documents
+        |), pos AS (
+        |  SELECT doc_id,
+        |    unnest(list_transform(range(0, 3), i -> (h1 + i * h2) % 512)) AS p
+        |  FROM h
+        |), refpos AS (
+        |  SELECT DISTINCT p FROM pos WHERE doc_id % 3 = 0
+        |)
+        |SELECT pos.doc_id, bool_and(refpos.p IS NOT NULL) AS might_seen
+        |FROM pos LEFT JOIN refpos ON pos.p = refpos.p
+        |GROUP BY pos.doc_id""".stripMargin,
 
     "q_curation_incremental" ->
       """WITH corpus AS (

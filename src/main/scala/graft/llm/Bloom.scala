@@ -1,0 +1,98 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.BloomExprs
+
+/** Bloom-filter membership over a reference corpus — the fixed-budget
+  * sibling of the exact probes: `InSortedLongSet` holds every key
+  * (8 B/key, exact) and stops fitting somewhere past ~10^8 keys;
+  * a Bloom filter holds ~10 bits/key at 1% false positives, so a
+  * 10-billion-key crawl history probes from a 12 GiB (sharded) or
+  * 1.2 GiB-per-1B-keys filter. No false negatives ever — the exact
+  * use case is [[Dedup.againstReference]]'s prefilter ("don't pay the
+  * hash join for rows provably never seen") and standalone
+  * might-have-seen flagging where an FP merely re-checks a row.
+  *
+  * The hash family is the portable 31/37 codepoint-polynomial pair mod
+  * 2^31−1 with Kirsch–Mitzenmacher position derivation
+  * ([[BloomExprs]]), so the DuckDB oracle replays the EXACT bit
+  * pattern — false positives included (`q_bloom_dedup`).
+  *
+  * Scale shape: build = one narrow aggregation whose partials are each
+  * ONE m/8-byte blob (size m for the heap: 32 map partials of a
+  * 256 MiB filter = 8 GiB in flight — coalesce the build input when m
+  * is huge); probe = broadcast of the single blob + a codegen'd bit
+  * test per row, no shuffle of the probed corpus. Past the 256 MiB
+  * single-blob cap, [[buildSharded]] splits the key space by a cheap
+  * key hash into independent filters and [[probeSharded]] meets them
+  * with a keys-only equi-join — the corpus itself never shuffles. */
+object Bloom {
+
+  /** (mBits, k) for `n` keys at false-positive rate `fpp` — the
+    * standard m = −n·lnp/ln²2, k = (m/n)·ln2 sizing. */
+  def sizeFor(n: Long, fpp: Double): (Int, Int) = {
+    require(n > 0, s"n must be positive, got $n")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1), got $fpp")
+    val m = math.ceil(-n * math.log(fpp) / (math.log(2) * math.log(2)))
+    require(m <= Int.MaxValue.toLong - 63,
+      s"sizeFor($n, $fpp) needs ${m.toLong} bits > the 256 MiB " +
+        "single-blob cap — shard the build (Bloom.buildSharded)")
+    val mBits = math.max(64L, m.toLong).toInt
+    val k = math.max(1, math.round(mBits.toDouble / n * math.log(2)).toInt)
+    (mBits, math.min(k, 64))
+  }
+
+  /** One-row (bloom binary) frame over `key` of `ref`. */
+  def build(ref: DataFrame, key: Column, mBits: Int, k: Int): DataFrame =
+    ref.select(BloomExprs.keyPositions(key, mBits, k).as("__pos"))
+      .agg(BloomExprs.orAgg(col("__pos"), mBits).as("bloom"))
+
+  /** Adds `flagName` (might-have-seen) to every `batch` row by testing
+    * `key` against the single-blob filter in `bloomDf` (one row, column
+    * `bloom`). Broadcast + per-row bit test — `batch` never shuffles. */
+  def probe(batch: DataFrame, bloomDf: DataFrame, key: Column,
+            mBits: Int, k: Int, flagName: String = "might_seen"): DataFrame =
+    batch.crossJoin(broadcast(bloomDf))
+      .withColumn(flagName,
+        BloomExprs.test(col("bloom"), BloomExprs.keyPositions(key, mBits, k)))
+      .drop("bloom")
+
+  /** Shard id for a key — xxhash64-based (engine-side only; the
+    * oracle-replayable part is the per-shard filter, not the routing). */
+  private def shardOf(key: Column, shards: Int): Column =
+    pmod(xxhash64(key), lit(shards.toLong)).cast("int")
+
+  /** `shards` independent filters as (shard, bloom) rows — the path
+    * past the 256 MiB single-blob cap: total capacity scales linearly
+    * in shard count while each blob stays broadcast/join sized. */
+  def buildSharded(ref: DataFrame, key: Column, shards: Int,
+                   mBitsPerShard: Int, k: Int): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    ref.select(shardOf(key, shards).as("shard"),
+        BloomExprs.keyPositions(key, mBitsPerShard, k).as("__pos"))
+      .groupBy(col("shard"))
+      .agg(BloomExprs.orAgg(col("__pos"), mBitsPerShard).as("bloom"))
+  }
+
+  /** Sharded probe: a KEYS-ONLY (id, shard, positions) projection of
+    * `batch` equi-joins its shard's filter, tests, and the boolean
+    * rides an id-keyed join back — the documents themselves never
+    * shuffle, and each task holds only the filter rows its join
+    * partition owns (not the whole filter set). `idCol` must be a
+    * unique, non-null key (the dedup-family contract). */
+  def probeSharded(batch: DataFrame, blooms: DataFrame, idCol: String,
+                   key: Column, shards: Int, mBitsPerShard: Int, k: Int,
+                   flagName: String = "might_seen"): DataFrame = {
+    require(shards >= 1, s"shards must be >= 1, got $shards")
+    val flags = batch.select(col(idCol), shardOf(key, shards).as("shard"),
+        BloomExprs.keyPositions(key, mBitsPerShard, k).as("__pos"))
+      .join(blooms, Seq("shard"), "left")
+      .select(col(idCol),
+        // a shard with no reference keys has no filter row → never seen
+        coalesce(BloomExprs.test(col("bloom"), col("__pos")), lit(false))
+          .as(flagName))
+    batch.join(flags, Seq(idCol))
+  }
+}

@@ -171,12 +171,12 @@ object Dedup {
     * document's full row whenever the reference outgrows the broadcast
     * threshold — the exact cost this operator exists to avoid.
     *
-    * `bloomPrefilter` additionally builds a driver-side Bloom filter
-    * over the reference hashes and keeps proven-absent rows out of the
-    * hash join entirely (a scala-UDF membership probe — off codegen, so
-    * it is opt-in). False positives are removed by the exact join;
-    * false negatives don't exist, so semantics are identical either
-    * way (unit-pinned).
+    * `bloomPrefilter` additionally builds a [[Bloom]] filter over the
+    * reference hashes (hex form — the portable codepoint-polynomial
+    * key domain) and keeps proven-absent rows out of the hash join
+    * entirely: one blob broadcast + a codegen'd bit test per row.
+    * False positives are removed by the exact join; false negatives
+    * don't exist, so semantics are identical either way (unit-pinned).
     *
     * `idCol` must be a UNIQUE, NON-NULL key (the dedup-family
     * contract): the final anti-join keys on it, so a null id would
@@ -192,15 +192,13 @@ object Dedup {
     val pool =
       if (!bloomPrefilter) df
       else {
-        // hash the BINARY(16) down to a long for the bloom probe; the
-        // exact verify join uses the full 16 bytes, so this narrowing
-        // never loses a duplicate
-        val bf = refHashes.select(xxhash64(col("__h")).as("__hl"))
-          .stat.bloomFilter("__hl", expectedRefItems, fpp)
-        val bc = df.sparkSession.sparkContext.broadcast(bf)
-        val might = org.apache.spark.sql.functions.udf(
-          (x: Long) => bc.value.mightContainLong(x))
-        df.filter(might(xxhash64(h)))
+        // probe on the hex form of the BINARY(16) hash; the exact
+        // verify join uses the full 16 bytes, so an FP here merely
+        // re-checks a row and a duplicate is never lost
+        val (mBits, k) = Bloom.sizeFor(expectedRefItems, fpp)
+        val bloomDf = Bloom.build(refHashes, hex(col("__h")), mBits, k)
+        Bloom.probe(df, bloomDf, hex(h), mBits, k, "__might")
+          .filter(col("__might")).drop("__might")
       }
     val dupIds = pool.select(col(idCol), h.as("__dh"))
       .join(refHashes, col("__dh") === col("__h"), "left_semi")
