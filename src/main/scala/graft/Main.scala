@@ -859,6 +859,7 @@ object Main {
         compressionBand = cur.compressionBand,
         referenceSnapshot = refFrame,
         referenceNearDup = cur.referenceNearDup,
+        referenceBloom = cur.referenceBloom,
         gopherRules = cur.gopherRules,
         c4Rules = cur.c4Rules.isDefined,
         c4MinWordsPerLine = cur.c4Rules.map(_.minWordsPerLine).getOrElse(5),
@@ -1041,7 +1042,9 @@ object Main {
           cur.decontaminateFuzzy.map(_.textColumn).getOrElse("text"),
         // live in stream mode: a per-row broadcast probe over the
         // driver-collected reference index
-        referenceNearDup = cur.referenceNearDup)
+        referenceNearDup = cur.referenceNearDup,
+        // live in stream mode: the blob bakes into a per-row literal test
+        referenceBloom = cur.referenceBloom)
       val curated = Curation.pipelineStream(
         input, cur.idColumn, cur.textColumn, tsCol, cur.dedupHorizon, pc)
       // an extension-less target is a parquet directory — the same

@@ -1,7 +1,7 @@
 package graft
 
 import graft.infer.{CellInference, DateFormats}
-import graft.llm.{Bloom, Boilerplate, Chunking, Contamination, Curation, Dedup, Dsir, Exif, LmScore, Multimodal, Packing, Paragraphs, Repetition, Sampling, Shuffling, Similarity, Spans, SubstringDedup, TextAnalysis, Urls}
+import graft.llm.{Bloom, Boilerplate, Chunking, Code, Contamination, Curation, Dedup, Dsir, Exif, ImageText, LmScore, Multimodal, Packing, Paragraphs, Repetition, Sampling, Shuffling, Similarity, Spans, SubstringDedup, TextAnalysis, Urls}
 import graft.sources.{AvroConnector, Connectors, WarcSource}
 import graft.streaming.EventsStreaming
 import graft.transform.Transform
@@ -1030,6 +1030,114 @@ object SparkEntry {
       val bloomDf = Bloom.build(ref, col("text"), mBits = 512, k = 3)
       Bloom.probe(docs, bloomDf, col("text"), mBits = 512, k = 3)
         .select(col("doc_id"), col("might_seen"))
+    },
+
+    // --- code-corpus structural statistics (The Stack / StarCoder
+    // family) over the REAL documents text: one fused walk per row;
+    // every counter integer-exact and codepoint-based so the oracle is
+    // plain string_split/regexp arithmetic ---
+    "q_code_stats" -> { (s, dir) =>
+      Code.stats(t(s, dir, "documents").select(col("doc_id"), col("text")),
+        col("text")).drop("text")
+    },
+
+    // --- the structural KEEP filter over a planted code fixture
+    // (doc_id % 7 plants: 0 clean source KEEP, 1 generated-file marker,
+    // 2 base64 blob run 640 diluted by short lines (blob-only trip),
+    // 3 hex digest run 560 (hex trip — and inherently the b64 cap too,
+    // hex chars ⊂ the b64 class), 4 minified 1200-char line (line cap +
+    // blob run), 5 symbol soup < 25% alnum, 6 a space-broken 990-char
+    // line tripping ONLY the avg rule). Oracle rebuilds the fixture and
+    // the exact integer threshold comparisons ---
+    "q_code_filter" -> { (s, dir) =>
+      val m = pmod(col("doc_id"), lit(7))
+      val id = col("doc_id").cast("string")
+      val fixture = t(s, dir, "documents").select(col("doc_id"),
+        when(m === 0, concat(lit("// SPDX-License-Identifier: MIT\nint main_"),
+            id, lit("() {\n  return "), m.cast("string"), lit(";\n}\n")))
+          .when(m === 1, concat(
+            lit("# Code generated by protoc. DO NOT EDIT.\npackage pb\nvar x"),
+            id, lit(" = 1\n")))
+          .when(m === 2, concat(lit("payload = \""), repeat(lit("Zm9v+/=8"), 80),
+            lit("\"\n"), repeat(lit("ok;\n"), 400)))
+          .when(m === 3, concat(lit("digest = "), repeat(lit("a1b2c3d4"), 70),
+            lit("\n"), repeat(lit("ok;\n"), 400)))
+          .when(m === 4, repeat(lit("xy"), 600))
+          .when(m === 5, concat(repeat(lit("$#@! "), 60), lit("\nend\n")))
+          .otherwise(concat(repeat(lit("z "), 495), lit("\nok\n")))
+          .as("code_text"))
+      Code.filter(fixture, col("code_text")).select(col("doc_id"))
+    },
+
+    // --- license evidence per document (SPDX header, permissive /
+    // copyleft phrases, Creative Commons path variant) over planted
+    // headers; doc_id % 6 = 5 carries none → NULL spdx/cc, false flags ---
+    "q_license_flags" -> { (s, dir) =>
+      val m = pmod(col("doc_id"), lit(6))
+      val id = col("doc_id").cast("string")
+      val fixture = t(s, dir, "documents").select(col("doc_id"),
+        when(m === 0, concat(
+            lit("/* SPDX-License-Identifier: Apache-2.0 */\ncode_"), id))
+          .when(m === 1, concat(lit("Permission is hereby granted, free of " +
+            "charge, to any person obtaining a copy\nfn f"), id))
+          .when(m === 2, concat(lit("This program is free software: you can " +
+            "redistribute it under the GNU General Public License.\nmod m"), id))
+          .when(m === 3, concat(lit("<a href=\"https://creativecommons.org/" +
+            "licenses/by-nc-nd/4.0/\">CC BY-NC-ND</a>\n"), id))
+          .when(m === 4, concat(
+            lit("// SPDX-License-Identifier: GPL-3.0-only\nstruct S"), id))
+          .otherwise(concat(lit("no license text here "), id))
+          .as("code_text"))
+      Code.licenseFlags(fixture, col("code_text"))
+        .select(col("doc_id"), col("spdx_id"), col("permissive"),
+          col("copyleft"), col("cc_variant"))
+    },
+
+    // --- image-text pair mining (the LAION construction: <img> tags →
+    // (src, alt) pairs → alt-length floor) over planted HTML; doc_id%5
+    // plants: 0 two good pairs, 1 single-quoted reversed-attr uppercase
+    // tag, 2 missing/short alts (extracted but filtered), 3 no images,
+    // 4 whitespace around '='. One posexplode over per-row extraction —
+    // no shuffle; the oracle runs the IDENTICAL RE2-safe regexes ---
+    "q_image_text_pairs" -> { (s, dir) =>
+      val m = pmod(col("doc_id"), lit(5))
+      val id = col("doc_id").cast("string")
+      val fixture = t(s, dir, "documents").select(col("doc_id"),
+        when(m === 0, concat(lit("<p>intro</p><img src=\"https://cdn.ex/"),
+            id, lit("/a.jpg\" alt=\"a red bicycle leaning on a wall\">" +
+              "<img src=\"https://cdn.ex/"), id,
+            lit("/b.png\" alt=\"two dogs playing in snow\">")))
+          .when(m === 1, concat(lit("<IMG ALT='portrait of doc "), id,
+            lit("' SRC='https://cdn.ex/"), id, lit("/c.webp'>")))
+          .when(m === 2, concat(lit("<img src=\"https://cdn.ex/"), id,
+            lit("/d.gif\"><img src=\"https://cdn.ex/"), id,
+            lit("/e.jpg\" alt=\"ok\">")))
+          .when(m === 3, concat(lit("plain text no images "), id))
+          .otherwise(concat(lit("<img   src = \"https://cdn.ex/"), id,
+            lit("/f.jpg\"  alt = \"autumn leaves on water\" >")))
+          .as("html"))
+      ImageText.pairs(fixture, "doc_id", "html")
+    },
+
+    // --- crawl opt-out signals (meta robots noai / noimageai /
+    // noindex — the consent flags a compliant pipeline honors first);
+    // doc_id%4 plants both AI tokens, classic noindex, the token in
+    // PROSE (must not flag), and 'paranoia' inside a meta content
+    // (word boundary must hold) ---
+    "q_optout_flags" -> { (s, dir) =>
+      val m = pmod(col("doc_id"), lit(4))
+      val id = col("doc_id").cast("string")
+      val fixture = t(s, dir, "documents").select(col("doc_id"),
+        when(m === 0, concat(
+            lit("<meta name=\"robots\" content=\"noai, noimageai\">page "), id))
+          .when(m === 1, concat(
+            lit("<meta name='robots' content='noindex, nofollow'>page "), id))
+          .when(m === 2, concat(lit("we discuss noai policies in prose "), id))
+          .otherwise(concat(
+            lit("<meta property=\"og:title\" content=\"paranoia inc\"> "), id))
+          .as("html"))
+      TextAnalysis.optOutFlags(fixture, "html")
+        .select(col("doc_id"), col("noai"), col("noimageai"), col("noindex"))
     },
 
     // --- the incremental-curation COMPOSITION: referenceSnapshot wired
@@ -5093,6 +5201,215 @@ object SparkEntry {
         |SELECT pos.doc_id, bool_and(refpos.p IS NOT NULL) AS might_seen
         |FROM pos LEFT JOIN refpos ON pos.p = refpos.p
         |GROUP BY pos.doc_id""".stripMargin,
+
+    // the fused code walk replayed as plain string arithmetic: lines
+    // via string_split (an empty doc is ONE zero-length line), alnum
+    // as a regexp_replace survivor count, blob runs as the longest
+    // regexp_extract_all match, autogen as ASCII LIKEs on lower(text)
+    "q_code_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, chr(10))) AS BIGINT) AS n_lines,
+        |  CAST(coalesce(list_max(list_transform(string_split(text, chr(10)),
+        |    x -> length(x))), 0) AS BIGINT) AS max_line_len,
+        |  CAST(coalesce(list_sum(list_transform(string_split(text, chr(10)),
+        |    x -> length(x))), 0) AS BIGINT) AS line_chars,
+        |  CAST(length(text) AS BIGINT) AS total_chars,
+        |  CAST(length(regexp_replace(text, '[^A-Za-z0-9]', '', 'g'))
+        |    AS BIGINT) AS alnum_chars,
+        |  CAST(coalesce(list_max(list_transform(
+        |    regexp_extract_all(text, '[A-Za-z0-9+/=]+'), x -> length(x))), 0)
+        |    AS BIGINT) AS max_b64_run,
+        |  CAST(coalesce(list_max(list_transform(
+        |    regexp_extract_all(text, '[0-9a-fA-F]+'), x -> length(x))), 0)
+        |    AS BIGINT) AS max_hex_run,
+        |  (lower(text) LIKE '%auto-generated%'
+        |    OR lower(text) LIKE '%autogenerated%'
+        |    OR lower(text) LIKE '%automatically generated%'
+        |    OR lower(text) LIKE '%generated by%'
+        |    OR lower(text) LIKE '%do not edit%') AS autogen
+        |FROM documents""".stripMargin,
+
+    // fixture rebuilt verbatim, then the EXACT integer threshold
+    // comparisons (cross-multiplied percentages — no float division)
+    "q_code_filter" ->
+      """WITH fixture AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 7
+        |      WHEN 0 THEN '// SPDX-License-Identifier: MIT' || chr(10) ||
+        |        'int main_' || CAST(doc_id AS VARCHAR) || '() {' || chr(10) ||
+        |        '  return ' || CAST(doc_id % 7 AS VARCHAR) || ';' || chr(10) ||
+        |        '}' || chr(10)
+        |      WHEN 1 THEN '# Code generated by protoc. DO NOT EDIT.' ||
+        |        chr(10) || 'package pb' || chr(10) || 'var x' ||
+        |        CAST(doc_id AS VARCHAR) || ' = 1' || chr(10)
+        |      WHEN 2 THEN 'payload = "' || repeat('Zm9v+/=8', 80) || '"' ||
+        |        chr(10) || repeat('ok;' || chr(10), 400)
+        |      WHEN 3 THEN 'digest = ' || repeat('a1b2c3d4', 70) || chr(10) ||
+        |        repeat('ok;' || chr(10), 400)
+        |      WHEN 4 THEN repeat('xy', 600)
+        |      WHEN 5 THEN repeat('$#@! ', 60) || chr(10) || 'end' || chr(10)
+        |      ELSE repeat('z ', 495) || chr(10) || 'ok' || chr(10)
+        |    END AS code_text
+        |  FROM documents
+        |), st AS (
+        |  SELECT doc_id,
+        |    len(string_split(code_text, chr(10))) AS n_lines,
+        |    coalesce(list_max(list_transform(string_split(code_text, chr(10)),
+        |      x -> length(x))), 0) AS max_line_len,
+        |    coalesce(list_sum(list_transform(string_split(code_text, chr(10)),
+        |      x -> length(x))), 0) AS line_chars,
+        |    length(code_text) AS total_chars,
+        |    length(regexp_replace(code_text, '[^A-Za-z0-9]', '', 'g'))
+        |      AS alnum_chars,
+        |    coalesce(list_max(list_transform(
+        |      regexp_extract_all(code_text, '[A-Za-z0-9+/=]+'),
+        |      x -> length(x))), 0) AS max_b64_run,
+        |    coalesce(list_max(list_transform(
+        |      regexp_extract_all(code_text, '[0-9a-fA-F]+'),
+        |      x -> length(x))), 0) AS max_hex_run,
+        |    (lower(code_text) LIKE '%auto-generated%'
+        |      OR lower(code_text) LIKE '%autogenerated%'
+        |      OR lower(code_text) LIKE '%automatically generated%'
+        |      OR lower(code_text) LIKE '%generated by%'
+        |      OR lower(code_text) LIKE '%do not edit%') AS autogen
+        |  FROM fixture
+        |)
+        |SELECT doc_id FROM st
+        |WHERE total_chars >= 1 AND max_line_len <= 1000
+        |  AND line_chars <= 100 * n_lines
+        |  AND alnum_chars * 100 >= 25 * total_chars
+        |  AND max_b64_run <= 512 AND max_hex_run <= 512
+        |  AND NOT autogen""".stripMargin,
+
+    // license evidence: SPDX header extract (NULL when absent),
+    // phrase/allow-list permissive + copyleft booleans, CC path variant
+    "q_license_flags" ->
+      """WITH fixture AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN '/* SPDX-License-Identifier: Apache-2.0 */' ||
+        |        chr(10) || 'code_' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN 'Permission is hereby granted, free of charge, ' ||
+        |        'to any person obtaining a copy' || chr(10) || 'fn f' ||
+        |        CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN 'This program is free software: you can ' ||
+        |        'redistribute it under the GNU General Public License.' ||
+        |        chr(10) || 'mod m' || CAST(doc_id AS VARCHAR)
+        |      WHEN 3 THEN '<a href="https://creativecommons.org/licenses/' ||
+        |        'by-nc-nd/4.0/">CC BY-NC-ND</a>' || chr(10) ||
+        |        CAST(doc_id AS VARCHAR)
+        |      WHEN 4 THEN '// SPDX-License-Identifier: GPL-3.0-only' ||
+        |        chr(10) || 'struct S' || CAST(doc_id AS VARCHAR)
+        |      ELSE 'no license text here ' || CAST(doc_id AS VARCHAR)
+        |    END AS code_text
+        |  FROM documents
+        |), ex AS (
+        |  SELECT doc_id, code_text,
+        |    nullif(regexp_extract(code_text,
+        |      'SPDX-License-Identifier:[ \t]*([0-9A-Za-z.+-]+)', 1), '')
+        |      AS spdx_id
+        |  FROM fixture
+        |)
+        |SELECT doc_id, spdx_id,
+        |  (coalesce(lower(spdx_id) IN ('mit', 'apache-2.0', 'bsd-2-clause',
+        |     'bsd-3-clause', 'isc', 'unlicense', 'cc0-1.0', '0bsd', 'zlib'),
+        |     FALSE)
+        |   OR lower(code_text) LIKE '%permission is hereby granted%'
+        |   OR lower(code_text) LIKE
+        |     '%redistribution and use in source and binary forms%'
+        |   OR lower(code_text) LIKE '%apache license%'
+        |   OR lower(code_text) LIKE
+        |     '%this is free and unencumbered software%') AS permissive,
+        |  (lower(code_text) LIKE '%gnu general public license%'
+        |   OR lower(code_text) LIKE '%gnu affero general public license%'
+        |   OR lower(code_text) LIKE '%gnu lesser general public license%'
+        |   OR coalesce(lower(spdx_id) LIKE 'gpl-%'
+        |     OR lower(spdx_id) LIKE 'agpl-%'
+        |     OR lower(spdx_id) LIKE 'lgpl-%', FALSE)) AS copyleft,
+        |  nullif(regexp_extract(lower(code_text),
+        |    'creativecommons\.org/licenses/([a-z-]+)', 1), '') AS cc_variant
+        |FROM ex""".stripMargin,
+
+    // the LAION pair construction replayed with the IDENTICAL RE2
+    // regexes: tags via regexp_extract_all group 0 (parallel unnest
+    // zips the 0-based position), attributes via two quote-style
+    // extracts coalesced, then the url-present + alt-length floor
+    "q_image_text_pairs" ->
+      """WITH fixture AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '<p>intro</p><img src="https://cdn.ex/' ||
+        |        CAST(doc_id AS VARCHAR) ||
+        |        '/a.jpg" alt="a red bicycle leaning on a wall">' ||
+        |        '<img src="https://cdn.ex/' || CAST(doc_id AS VARCHAR) ||
+        |        '/b.png" alt="two dogs playing in snow">'
+        |      WHEN 1 THEN '<IMG ALT=''portrait of doc ' ||
+        |        CAST(doc_id AS VARCHAR) || ''' SRC=''https://cdn.ex/' ||
+        |        CAST(doc_id AS VARCHAR) || '/c.webp''>'
+        |      WHEN 2 THEN '<img src="https://cdn.ex/' ||
+        |        CAST(doc_id AS VARCHAR) || '/d.gif">' ||
+        |        '<img src="https://cdn.ex/' || CAST(doc_id AS VARCHAR) ||
+        |        '/e.jpg" alt="ok">'
+        |      WHEN 3 THEN 'plain text no images ' || CAST(doc_id AS VARCHAR)
+        |      ELSE '<img   src = "https://cdn.ex/' ||
+        |        CAST(doc_id AS VARCHAR) || '/f.jpg"  alt = "autumn leaves ' ||
+        |        'on water" >'
+        |    END AS html
+        |  FROM documents
+        |), tags AS (
+        |  SELECT doc_id,
+        |    unnest(regexp_extract_all(html, '(?i)<img\b[^>]*>')) AS tag,
+        |    CAST(unnest(range(0, len(regexp_extract_all(html,
+        |      '(?i)<img\b[^>]*>')))) AS INT) AS img_pos
+        |  FROM fixture
+        |), attrs AS (
+        |  SELECT doc_id, img_pos,
+        |    coalesce(nullif(regexp_extract(tag,
+        |        '(?i)src\s*=\s*"([^"]*)"', 1), ''),
+        |      nullif(regexp_extract(tag,
+        |        '(?i)src\s*=\s*''([^'']*)''', 1), '')) AS img_url,
+        |    coalesce(nullif(regexp_extract(tag,
+        |        '(?i)alt\s*=\s*"([^"]*)"', 1), ''),
+        |      nullif(regexp_extract(tag,
+        |        '(?i)alt\s*=\s*''([^'']*)''', 1), '')) AS alt_text
+        |  FROM tags
+        |)
+        |SELECT doc_id, img_pos, img_url, alt_text FROM attrs
+        |WHERE img_url IS NOT NULL AND length(alt_text) >= 5""".stripMargin,
+
+    // meta-robots consent flags: the same word-bounded token-in-
+    // content-attribute patterns, either quote style
+    "q_optout_flags" ->
+      """WITH fixture AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 4
+        |      WHEN 0 THEN '<meta name="robots" content="noai, ' ||
+        |        'noimageai">page ' || CAST(doc_id AS VARCHAR)
+        |      WHEN 1 THEN '<meta name=''robots'' content=''noindex, ' ||
+        |        'nofollow''>page ' || CAST(doc_id AS VARCHAR)
+        |      WHEN 2 THEN 'we discuss noai policies in prose ' ||
+        |        CAST(doc_id AS VARCHAR)
+        |      ELSE '<meta property="og:title" content="paranoia inc"> ' ||
+        |        CAST(doc_id AS VARCHAR)
+        |    END AS html
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  (regexp_matches(html,
+        |     '(?i)<meta\b[^>]*content\s*=\s*"[^"]*\bnoai\b[^"]*"')
+        |   OR regexp_matches(html,
+        |     '(?i)<meta\b[^>]*content\s*=\s*''[^'']*\bnoai\b[^'']*''')) AS noai,
+        |  (regexp_matches(html,
+        |     '(?i)<meta\b[^>]*content\s*=\s*"[^"]*\bnoimageai\b[^"]*"')
+        |   OR regexp_matches(html,
+        |     '(?i)<meta\b[^>]*content\s*=\s*''[^'']*\bnoimageai\b[^'']*'''))
+        |    AS noimageai,
+        |  (regexp_matches(html,
+        |     '(?i)<meta\b[^>]*content\s*=\s*"[^"]*\bnoindex\b[^"]*"')
+        |   OR regexp_matches(html,
+        |     '(?i)<meta\b[^>]*content\s*=\s*''[^'']*\bnoindex\b[^'']*'''))
+        |    AS noindex
+        |FROM fixture""".stripMargin,
 
     "q_curation_incremental" ->
       """WITH corpus AS (

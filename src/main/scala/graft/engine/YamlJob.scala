@@ -144,6 +144,12 @@ object YamlJob {
         * of exact content hashes. Batch AND stream mode (the stream
         * probes a driver-collected broadcast index of the snapshot). */
       referenceNearDup: Option[Double] = None,
+      /** `reference_bloom: <expected keys>` — with `reference:` set
+        * and exact matching, pre-filter through a Bloom filter over
+        * the reference hashes sized for this many keys at 1% FPs
+        * (identical survivors; rows provably never shipped skip the
+        * anti-join). Batch AND stream mode. */
+      referenceBloom: Option[Long] = None,
       /** `c4_rules: true | {min_words_per_line, min_sentences,
         * bad_words, bad_words_file}` — line-granularity page hygiene
         * (Raffel 2020). `bad_words_file` points at a plain-text
@@ -316,7 +322,7 @@ object YamlJob {
         "observed", "bucket", "strip_tracking_params", "strip_html", "strip_markdown", "fix_mojibake", "normalize_unicode", "line_dedup_min_docs", "compression_band", "contamination",
         "lang_id", "token_budget", "token_budget_shards", "shards",
         "mode", "ts_column", "dedup_horizon", "checkpoint", "trigger",
-        "reference", "reference_near_dup",
+        "reference", "reference_near_dup", "reference_bloom",
         "substring_dedup_window", "soft_dedup", "decontaminate_excise",
         "decontaminate_fuzzy", "c4_rules", "gopher_rules", "dsir")
       // misspelled knobs must be loud — a silently ignored
@@ -449,6 +455,8 @@ object YamlJob {
         referenceUri = c.get("reference").map(v => sub(v.toString)),
         referenceNearDup = c.get("reference_near_dup")
           .map(v => doubleOpt("reference_near_dup", v)),
+        referenceBloom = c.get("reference_bloom")
+          .map(v => intOpt("reference_bloom", v).toLong),
         gopherRules = c.get("gopher_rules")
           .map(v => boolOpt("gopher_rules", v)).getOrElse(false),
         c4Rules = c.get("c4_rules").flatMap(Option(_)).flatMap {

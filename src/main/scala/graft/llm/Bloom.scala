@@ -49,6 +49,19 @@ object Bloom {
     ref.select(BloomExprs.keyPositions(key, mBits, k).as("__pos"))
       .agg(BloomExprs.orAgg(col("__pos"), mBits).as("bloom"))
 
+  /** The single blob itself, collected to the driver — for baking
+    * into a per-row LITERAL test where a broadcast join is awkward
+    * (streaming plans). Bounded by construction at m/8 bytes; capped
+    * LOUDLY at 64 MiB because the blob rides the serialized plan of
+    * every micro-batch — size bigger references with the broadcast
+    * [[probe]] or [[probeSharded]] batch-side. */
+  def buildLocal(ref: DataFrame, key: Column, mBits: Int, k: Int): Array[Byte] = {
+    require(mBits <= 64L * 1024 * 1024 * 8,
+      s"buildLocal: $mBits bits exceeds the 64 MiB plan-literal cap — " +
+        "use the broadcast probe or shard the filter (Bloom.probeSharded)")
+    build(ref, key, mBits, k).head.getAs[Array[Byte]]("bloom")
+  }
+
   /** Adds `flagName` (might-have-seen) to every `batch` row by testing
     * `key` against the single-blob filter in `bloomDf` (one row, column
     * `bloom`). Broadcast + per-row bit test — `batch` never shuffles. */

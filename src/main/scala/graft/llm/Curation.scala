@@ -50,6 +50,26 @@ import org.apache.spark.sql.functions._
   */
 object Curation {
 
+  /** [[PipelineConfig.referenceBloom]] accelerates the EXACT reference
+    * hash probe only — near-dup matching never probes a full content
+    * hash, so combining the knobs is a config mistake, not a silent
+    * no-op. */
+  private def requireBloomExactRef(cfg: PipelineConfig): Unit = {
+    if (cfg.referenceBloom.isDefined) {
+      if (cfg.referenceSnapshot.isEmpty)
+        throw graft.core.GraftError.Configuration(
+          "referenceBloom needs a referenceSnapshot to prefilter against")
+      if (cfg.referenceNearDup.isDefined)
+        throw graft.core.GraftError.Configuration(
+          "referenceBloom applies to EXACT reference dedup only — " +
+            "near-dup candidates come from minhash bands, not content " +
+            "hashes; drop one of referenceBloom / referenceNearDup")
+      require(cfg.referenceBloom.get > 0,
+        s"referenceBloom must be a positive expected-key count, got " +
+          s"${cfg.referenceBloom.get}")
+    }
+  }
+
   final case class PipelineConfig(
       blocklist: Seq[String] = Nil,
       maxDupWordFrac: Double = 0.3,
@@ -186,6 +206,19 @@ object Curation {
         * reference index ([[Dedup.nearDupRefIndex]], loud size caps) —
         * batch-identical verdicts, no state, no shuffle. */
       referenceNearDup: Option[Double] = None,
+      /** With [[referenceSnapshot]] set and EXACT matching (no
+        * [[referenceNearDup]]), pre-filter the corpus through a
+        * [[graft.llm.Bloom]] filter over the reference hashes sized
+        * for this many expected reference keys at 1% FPs — rows
+        * provably never shipped skip the anti-join entirely. Pure
+        * optimization: false positives merely re-check a row, false
+        * negatives don't exist, so survivors are identical either
+        * way. Use when the reference outgrows comfortable anti-join
+        * sizes (a 10^9-key crawl history probes from a ~1.2 GiB
+        * filter). In [[pipelineStream]] the blob bakes into a per-row
+        * literal test (loud 64 MiB literal cap — shard bigger
+        * references batch-side). */
+      referenceBloom: Option[Long] = None,
       /** When set, EXCISE every >= [[decontaminateExciseWindow]]-token
         * span appearing VERBATIM in this probe corpus from surviving
         * documents — the document is KEPT with a `contaminated_chars`
@@ -326,12 +359,15 @@ object Curation {
     // canonical. The result fans out into the dedup's two consumers
     // below, so the persist knob checkpoints it like the other
     // fan-out stages.
+    requireBloomExactRef(cfg)
     val afterRef0 = (cfg.referenceSnapshot, cfg.referenceNearDup) match {
       case (Some(ref), Some(th)) =>
         Dedup.nearDupAgainstReference(afterSub, ref, idCol, textCol,
           refTextCol = textCol, threshold = th)
       case (Some(ref), None) =>
-        Dedup.againstReference(afterSub, ref, idCol, Seq(textCol))
+        Dedup.againstReference(afterSub, ref, idCol, Seq(textCol),
+          bloomPrefilter = cfg.referenceBloom.isDefined,
+          expectedRefItems = cfg.referenceBloom.getOrElse(1000000L))
       case (None, Some(_)) =>
         throw graft.core.GraftError.Configuration(
           "referenceNearDup needs a referenceSnapshot to match against")
@@ -465,6 +501,7 @@ object Curation {
     if (cfg.referenceNearDup.isDefined && cfg.referenceSnapshot.isEmpty)
       throw graft.core.GraftError.Configuration(
         "referenceNearDup needs a referenceSnapshot to match against")
+    requireBloomExactRef(cfg)
     // not corpus-wide, but still meaningless on a stream: the knob's
     // localCheckpoint is a batch materialization, and each micro-batch
     // already evaluates its plan exactly once — reject rather than
@@ -525,9 +562,26 @@ object Curation {
           "referenceSnapshot must be a static (batch) frame")
         val refHashes = ref
           .select(Dedup.contentHash(Seq(textCol)).as("__cs_h")).distinct()
-        afterRepetition
-          .withColumn("__cs_h", Dedup.contentHash(Seq(textCol)))
-          .join(refHashes, Seq("__cs_h"), "left_anti")
+        // optional bloom prefilter: the blob bakes into a per-row
+        // literal bit test (the stream probe idiom — no stream-static
+        // cross join), sized at plan time from the static reference.
+        // Bloom-NEGATIVE rows were provably never shipped, so they must
+        // be KEPT — the test NULLs their join key instead of dropping
+        // the row, and a null equi-key can never match, so they pass
+        // the anti-join without probing it. Positives (FPs included)
+        // carry the real key into the exact anti-join. Survivors are
+        // identical either way (FPs re-check, FNs don't exist).
+        val h = Dedup.contentHash(Seq(textCol))
+        val keyed = cfg.referenceBloom match {
+          case Some(n) =>
+            val (m, k) = Bloom.sizeFor(n, 0.01)
+            val blob = Bloom.buildLocal(ref, hex(h), m, k)
+            afterRepetition.withColumn("__cs_h",
+              when(graft.functions.BloomExprs.test(lit(blob),
+                graft.functions.BloomExprs.keyPositions(hex(h), m, k)), h))
+          case None => afterRepetition.withColumn("__cs_h", h)
+        }
+        keyed.join(refHashes, Seq("__cs_h"), "left_anti")
           .drop("__cs_h")
       case (None, _) => afterRepetition
     }

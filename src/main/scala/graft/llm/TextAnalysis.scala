@@ -447,4 +447,26 @@ object TextAnalysis {
       min(col("char_len")).as("min_chars"),
       max(col("char_len")).as("max_chars"))
   }
+
+  /** Crawl opt-out / consent signals: `<meta>` robots directives a
+    * compliant training-data pipeline honors before anything else —
+    * `noai` / `noimageai` (the DeviantArt-led AI opt-out tokens, also
+    * emitted by Raptive and Squarespace sites) and classic `noindex`.
+    * One boolean per directive, matched as a word-bounded token inside
+    * a meta tag's content attribute (either quote style) — so
+    * `content="noai, noimageai"` sets both, while prose mentioning
+    * "noai" outside a meta tag sets neither. RE2-safe patterns; the
+    * oracle runs them verbatim. Caveat (fixture-pinned): a content
+    * value containing a literal `>` ends the tag match early — a miss,
+    * never a false flag. Pure per-row projection; streams. */
+  def optOutFlags(df: DataFrame, textCol: String): DataFrame = {
+    def flag(token: String): Column = {
+      val dq = s"""(?i)<meta\\b[^>]*content\\s*=\\s*"[^"]*\\b$token\\b[^"]*""""
+      val sq = s"(?i)<meta\\b[^>]*content\\s*=\\s*'[^']*\\b$token\\b[^']*'"
+      col(textCol).rlike(dq) || col(textCol).rlike(sq)
+    }
+    df.withColumn("noai", flag("noai"))
+      .withColumn("noimageai", flag("noimageai"))
+      .withColumn("noindex", flag("noindex"))
+  }
 }

@@ -679,6 +679,13 @@ class CliSpec extends SparkSpec {
         |curation: {id_column: id, text_column: t, reference: "${PREV}/corpus.parquet"}
         |""".stripMargin, env = Map("PREV" -> "/snapshots/r6")).curation
       .exists(_.referenceUri.contains("/snapshots/r6/corpus.parquet")))
+    // reference_bloom: expected-key sizing for the exact-hash prefilter
+    assert(YamlJob.loadYaml(
+      """source: {uri: a.parquet}
+        |target: {uri: b}
+        |curation: {id_column: id, text_column: t, reference: prev.parquet, reference_bloom: 1000000}
+        |""".stripMargin).curation
+      .exists(_.referenceBloom.contains(1000000L)))
     intercept[GraftError.Configuration](YamlJob.loadYaml(
       """source: {uri: a.parquet}
         |target: {uri: b}
@@ -924,6 +931,11 @@ class CliSpec extends SparkSpec {
       sel.dsir.contains(YamlJob.DsirSpec(
         "/t/reference_corpus.parquet", 100000, "text", 10000, 42L)) &&
       sel.observed)
+    val inc = YamlJob.load("examples/incremental_ingest.yaml",
+      Map("CRAWL_DIR" -> "/c", "PREV" -> "/p", "OUT_DIR" -> "/o"))
+      .curation.get
+    assert(inc.referenceUri.contains("/p") &&
+      inc.referenceBloom.contains(10000000L) && inc.observed)
   }
 
   test("capstone yaml e2e: examples/pretrain_curation.yaml runs the " +

@@ -278,6 +278,32 @@ class StreamingSpec extends SparkSpec {
       Curation.pipelineStream(in, "doc_id", "text", "ts",
         cfg = cfg.copy(referenceSnapshot = Some(in))))
 
+    // the bloom prefilter is survivor-invariant in STREAM mode too
+    // (plan-literal bit test before the anti-join; FPs re-check, FNs
+    // don't exist) — same output as the un-prefiltered stream AND the
+    // bloom-enabled batch pipeline
+    val cfgRefBloom = cfgRef.copy(referenceBloom = Some(64L))
+    val qb = Curation.pipelineStream(in, "doc_id", "text", "ts",
+        dedupHorizon = "10 minutes", cfg = cfgRefBloom)
+      .writeStream.format("memory").queryName("curation_stream_ref_bloom")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    qb.awaitTermination(120000L)
+    val streamedBloom = spark.table("curation_stream_ref_bloom")
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(streamedBloom == streamedRef, "bloom prefilter changed survivors")
+    val batchBloom = Curation.pipeline(
+        spark.read.parquet(scratch).select($"doc_id", $"text"),
+        "doc_id", "text", cfgRefBloom)
+      .select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(batchBloom == batchRef, "batch bloom prefilter changed survivors")
+    // misuse is loud: bloom without a snapshot, bloom with near-dup
+    intercept[graft.core.GraftError.Configuration](
+      Curation.pipelineStream(in, "doc_id", "text", "ts",
+        cfg = cfg.copy(referenceBloom = Some(10L))))
+    intercept[graft.core.GraftError.Configuration](
+      Curation.pipeline(spark.read.parquet(scratch), "doc_id", "text",
+        cfgRefBloom.copy(referenceNearDup = Some(0.8))))
+
     // decontaminate-excise STREAMS (per-row projection over a static
     // probe index): stream output matches the batch pipeline rows,
     // contaminated_chars included
