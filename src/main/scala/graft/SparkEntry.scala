@@ -1,7 +1,7 @@
 package graft
 
 import graft.infer.{CellInference, DateFormats}
-import graft.llm.{Bloom, Boilerplate, Chunking, Code, Contamination, Curation, Dedup, Dsir, Exif, ImageText, LmScore, Multimodal, Packing, Paragraphs, Repetition, Sampling, Shuffling, Similarity, Spans, SubstringDedup, TextAnalysis, Urls}
+import graft.llm.{Bloom, Boilerplate, Chat, Chunking, Code, Contamination, Curation, Dedup, Dsir, Exif, ImageText, LmScore, Multimodal, Packing, Paragraphs, Repetition, Sampling, Shuffling, Similarity, Spans, SubstringDedup, TextAnalysis, Urls}
 import graft.sources.{AvroConnector, Connectors, WarcSource}
 import graft.streaming.EventsStreaming
 import graft.transform.Transform
@@ -1138,6 +1138,60 @@ object SparkEntry {
           .as("html"))
       TextAnalysis.optOutFlags(fixture, "html")
         .select(col("doc_id"), col("noai"), col("noimageai"), col("noindex"))
+    },
+
+    // --- chat-transcript (SFT) structure validation + stats +
+    // role-tagged flattening over planted OpenAI-shape messages JSON;
+    // doc_id%6 plants: 0 minimal valid pair, 1 valid with system head,
+    // 2 user-user-assistant (alternation break), 3 unknown role, 4 odd
+    // body ending on user, 5 garbage (parsed=false, NULL verdicts).
+    // The oracle re-derives every verdict from the RAW JSON via
+    // per-index json_extract_string — not from id arithmetic ---
+    "q_chat_stats" -> { (s, dir) =>
+      val m = pmod(col("doc_id"), lit(6))
+      val id = col("doc_id").cast("string")
+      val fixture = t(s, dir, "documents").select(col("doc_id"),
+        when(m === 0, concat(lit("""[{"role":"user","content":"question """),
+            id, lit(""" "},{"role":"assistant","content":"answer """),
+            id, lit("\"}]")))
+          .when(m === 1, concat(
+            lit("""[{"role":"system","content":"be helpful"},""" +
+              """{"role":"user","content":"hi """), id,
+            lit(""" "},{"role":"assistant","content":"hello there"}]""")))
+          .when(m === 2, concat(
+            lit("""[{"role":"user","content":"a"},""" +
+              """{"role":"user","content":"b"},""" +
+              """{"role":"assistant","content":"c """), id, lit("\"}]")))
+          .when(m === 3, concat(lit("""[{"role":"user","content":"q """), id,
+            lit(""" "},{"role":"bot","content":"r"}]""")))
+          .when(m === 4, concat(
+            lit("""[{"role":"user","content":"u1"},""" +
+              """{"role":"assistant","content":"a1"},""" +
+              """{"role":"user","content":"u2 """), id, lit("\"}]")))
+          .otherwise(concat(lit("not json "), id))
+          .as("j"))
+      // boolean verdicts coalesce to false for unparsed rows (parsed
+      // distinguishes) — the gate comparator's dtype normalization has
+      // no stable ordering for NULLABLE booleans, and "garbage is not
+      // a valid transcript" is the honest verdict anyway
+      Chat.flatten(Chat.stats(fixture, "j"), "j")
+        .select(col("doc_id"), col("parsed"), col("n_turns"),
+          col("n_assistant"), col("assistant_chars"),
+          coalesce(col("roles_valid"), lit(false)).as("roles_valid"),
+          coalesce(col("alternation_valid"), lit(false))
+            .as("alternation_valid"),
+          col("flat_text"))
+    },
+
+    // --- fill-in-the-middle (Bavarian 2022 / StarCoder PSM) over the
+    // REAL documents text: half the corpus (portable-hash selected,
+    // seed 42) rewrites to <fim_prefix>P<fim_suffix>S<fim_middle>M with
+    // hash-derived cut points; the oracle replays selection, both cuts,
+    // and the exact rewritten string ---
+    "q_code_fim" -> { (s, dir) =>
+      Code.fim(t(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", rate = 0.5, seed = 42L)
+        .select(col("doc_id"), col("fim"), col("text"))
     },
 
     // --- the incremental-curation COMPOSITION: referenceSnapshot wired
@@ -5410,6 +5464,111 @@ object SparkEntry {
         |     '(?i)<meta\b[^>]*content\s*=\s*''[^'']*\bnoindex\b[^'']*'''))
         |    AS noindex
         |FROM fixture""".stripMargin,
+
+    // chat verdicts re-derived from the RAW JSON: per-index
+    // json_extract_string turns, order-sensitive aggregation for the
+    // alternation rule and the role-tagged flatten (string_agg ORDER BY
+    // turn index); garbage rows (m=5) carry NULL verdicts via the guard
+    "q_chat_stats" ->
+      """WITH fixture AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN '[{"role":"user","content":"question ' ||
+        |        CAST(doc_id AS VARCHAR) ||
+        |        ' "},{"role":"assistant","content":"answer ' ||
+        |        CAST(doc_id AS VARCHAR) || '"}]'
+        |      WHEN 1 THEN '[{"role":"system","content":"be helpful"},' ||
+        |        '{"role":"user","content":"hi ' ||
+        |        CAST(doc_id AS VARCHAR) ||
+        |        ' "},{"role":"assistant","content":"hello there"}]'
+        |      WHEN 2 THEN '[{"role":"user","content":"a"},' ||
+        |        '{"role":"user","content":"b"},' ||
+        |        '{"role":"assistant","content":"c ' ||
+        |        CAST(doc_id AS VARCHAR) || '"}]'
+        |      WHEN 3 THEN '[{"role":"user","content":"q ' ||
+        |        CAST(doc_id AS VARCHAR) ||
+        |        ' "},{"role":"bot","content":"r"}]'
+        |      WHEN 4 THEN '[{"role":"user","content":"u1"},' ||
+        |        '{"role":"assistant","content":"a1"},' ||
+        |        '{"role":"user","content":"u2 ' ||
+        |        CAST(doc_id AS VARCHAR) || '"}]'
+        |      ELSE 'not json ' || CAST(doc_id AS VARCHAR)
+        |    END AS j
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN doc_id % 6 = 5 THEN NULL
+        |         ELSE CAST(json_array_length(j) AS INT) END AS n
+        |  FROM fixture
+        |), idx AS (
+        |  SELECT doc_id, j, n, unnest(range(0, n)) AS i FROM t
+        |), turns AS (
+        |  SELECT doc_id, n, CAST(i AS INT) AS i,
+        |    json_extract_string(j, '$[' || i || '].role') AS role,
+        |    json_extract_string(j, '$[' || i || '].content') AS content
+        |  FROM idx
+        |), agg AS (
+        |  SELECT doc_id,
+        |    CAST(count(*) FILTER (role = 'assistant') AS INT) AS n_assistant,
+        |    CAST(coalesce(sum(length(content))
+        |      FILTER (role = 'assistant'), 0) AS BIGINT) AS assistant_chars,
+        |    bool_and(role IN ('system', 'user', 'assistant')
+        |      AND content IS NOT NULL) AS roles_valid,
+        |    max(CASE WHEN i = 0 AND role = 'system' THEN 1 ELSE 0 END) AS o,
+        |    bool_and(role != 'system' OR i = 0) AS sys_head,
+        |    string_agg('<|' || role || '|>' || coalesce(content, ''),
+        |      chr(10) ORDER BY i) AS flat_text
+        |  FROM turns GROUP BY doc_id
+        |), alt AS (
+        |  SELECT turns.doc_id,
+        |    bool_and(CASE WHEN turns.i >= agg.o THEN
+        |      turns.role = CASE WHEN (turns.i - agg.o) % 2 = 0
+        |        THEN 'user' ELSE 'assistant' END ELSE TRUE END) AS body_ok,
+        |    max(turns.n) - max(agg.o) AS body_n
+        |  FROM turns JOIN agg USING (doc_id) GROUP BY turns.doc_id
+        |)
+        |SELECT t.doc_id,
+        |  t.n IS NOT NULL AS parsed,
+        |  t.n AS n_turns,
+        |  CASE WHEN t.n = 0 THEN 0 ELSE agg.n_assistant END AS n_assistant,
+        |  CASE WHEN t.n = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE agg.assistant_chars END AS assistant_chars,
+        |  coalesce(CASE WHEN t.n = 0 THEN TRUE ELSE agg.roles_valid END,
+        |    FALSE) AS roles_valid,
+        |  coalesce(CASE WHEN t.n IS NULL THEN NULL
+        |       WHEN t.n = 0 THEN FALSE
+        |       ELSE (agg.sys_head AND alt.body_n >= 2
+        |         AND alt.body_n % 2 = 0 AND alt.body_ok) END,
+        |    FALSE) AS alternation_valid,
+        |  CASE WHEN t.n = 0 THEN '' ELSE agg.flat_text END AS flat_text
+        |FROM t
+        |LEFT JOIN agg ON t.doc_id = agg.doc_id
+        |LEFT JOIN alt ON t.doc_id = alt.doc_id""".stripMargin,
+
+    // FIM replayed exactly: the Knuth portable hash chain (((x mod P) *
+    // K) mod P mod 10^6 — every product < 2^63), selection at rate*10^6,
+    // cut points by modulo, and the PSM string rebuild
+    "q_code_fim" ->
+      """WITH p AS (
+        |  SELECT doc_id, text, length(text) AS len,
+        |    ((((doc_id + 42) % 1000000007) * 2654435761) % 1000000007)
+        |      % 1000000 < 500000 AS fim,
+        |    ((((doc_id * 2 + 43) % 1000000007) * 2654435761) % 1000000007)
+        |      % 1000000 % (length(text) + 1) AS a
+        |  FROM documents
+        |), c AS (
+        |  SELECT doc_id, text, len, fim, a,
+        |    ((((doc_id * 3 + 44) % 1000000007) * 2654435761) % 1000000007)
+        |      % 1000000 % (len - a + 1) AS bl
+        |  FROM p
+        |)
+        |SELECT doc_id, fim,
+        |  CASE WHEN fim THEN
+        |    '<fim_prefix>' || substr(text, 1, a) ||
+        |    '<fim_suffix>' || substr(text, a + bl + 1, len - a - bl) ||
+        |    '<fim_middle>' || substr(text, a + 1, bl)
+        |  ELSE text END AS text
+        |FROM c""".stripMargin,
 
     "q_curation_incremental" ->
       """WITH corpus AS (

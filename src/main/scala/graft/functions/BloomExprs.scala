@@ -211,6 +211,72 @@ object BloomExprs {
         l: Expression, r: Expression): BloomTest = copy(left = l, right = r)
   }
 
+  /** Membership test against a SHARD SET of filter blobs carried by a
+    * Spark broadcast HANDLE — the serialized expression ships the
+    * handle, not the bytes, so executors fetch the blob array once
+    * (torrent) and rows never copy filter bytes. This is the sharded
+    * probe's engine: the naive formulation (equi-join the (shard,
+    * blob) frame and test the joined column) copies m/8 bytes into
+    * EVERY probed row — measured 28 s for 2M rows against a 1.2 MB
+    * blob, i.e. unusable exactly at the scales sharding exists for.
+    * A missing shard (no reference keys hashed there) is a null array
+    * slot → never seen → false. */
+  case class BloomTestSharded(
+      blobs: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]],
+      left: Expression, right: Expression)
+    extends BinaryExpression {
+
+    override def checkInputDataTypes(): TypeCheckResult =
+      (left.dataType, right.dataType) match {
+        case (IntegerType, ArrayType(LongType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"bloom_test_sharded: expected (int shard, array<bigint>), got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+      }
+    override def dataType: DataType = BooleanType
+    override def nullable: Boolean = left.nullable || right.nullable
+    override def prettyName: String = "bloom_test_sharded"
+
+    def test(shard: Int, positions: ArrayData): Boolean = {
+      val arr = blobs.value
+      if (shard < 0 || shard >= arr.length) throw new IllegalArgumentException(
+        s"bloom_test_sharded: shard $shard outside [0, ${arr.length}) — " +
+          "probe and build used different shard counts")
+      val blob = arr(shard)
+      if (blob == null) false // no reference keys in this shard
+      else {
+        val mBits = blob.length.toLong * 8
+        var i = 0
+        val n = positions.numElements()
+        while (i < n) {
+          val pos = positions.getLong(i)
+          if (pos < 0 || pos >= mBits) throw new IllegalArgumentException(
+            s"bloom_test_sharded: position $pos outside the $mBits-bit " +
+              "shard filter — probe and build were sized differently")
+          if ((blob((pos >> 3).toInt) & (1 << (pos & 7))) == 0) return false
+          i += 1
+        }
+        true
+      }
+    }
+
+    protected override def nullSafeEval(shard: Any, positions: Any): Any =
+      test(shard.asInstanceOf[Int], positions.asInstanceOf[ArrayData])
+
+    override protected def doGenCode(ctx: CodegenContext,
+                                     ev: ExprCode): ExprCode = {
+      val ref = ctx.addReferenceObj("bloomTestSharded", this,
+        classOf[BloomTestSharded].getName)
+      nullSafeCodeGen(ctx, ev,
+        (s, p) => s"${ev.value} = $ref.test($s, $p);")
+    }
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): BloomTestSharded =
+      copy(left = l, right = r)
+  }
+
   def keyPositions(key: Column, mBits: Int, k: Int): Column =
     GraftBridge.column(BloomKeyPositions(GraftBridge.expression(key), mBits, k))
 
@@ -221,4 +287,10 @@ object BloomExprs {
   def test(bloom: Column, positions: Column): Column =
     GraftBridge.column(BloomTest(
       GraftBridge.expression(bloom), GraftBridge.expression(positions)))
+
+  def testSharded(
+      blobs: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]],
+      shard: Column, positions: Column): Column =
+    GraftBridge.column(BloomTestSharded(blobs,
+      GraftBridge.expression(shard), GraftBridge.expression(positions)))
 }

@@ -23,11 +23,13 @@ import graft.functions.BloomExprs
   * Scale shape: build = one narrow aggregation whose partials are each
   * ONE m/8-byte blob (size m for the heap: 32 map partials of a
   * 256 MiB filter = 8 GiB in flight — coalesce the build input when m
-  * is huge); probe = broadcast of the single blob + a codegen'd bit
-  * test per row, no shuffle of the probed corpus. Past the 256 MiB
-  * single-blob cap, [[buildSharded]] splits the key space by a cheap
-  * key hash into independent filters and [[probeSharded]] meets them
-  * with a keys-only equi-join — the corpus itself never shuffles. */
+  * is huge); probe = the blob as a plan literal (single copy per task
+  * binary) + a codegen'd bit test per row — NO join, no shuffle of
+  * the probed corpus (a joined blob column would copy m/8 bytes into
+  * every row; measured 400× slower). Past the 256 MiB single-blob
+  * cap, [[buildSharded]] splits the key space by a cheap key hash
+  * into independently-aggregated filters and [[probeSharded]] probes
+  * them through one broadcast HANDLE — the corpus never shuffles. */
 object Bloom {
 
   /** (mBits, k) for `n` keys at false-positive rate `fpp` — the
@@ -64,13 +66,22 @@ object Bloom {
 
   /** Adds `flagName` (might-have-seen) to every `batch` row by testing
     * `key` against the single-blob filter in `bloomDf` (one row, column
-    * `bloom`). Broadcast + per-row bit test — `batch` never shuffles. */
+    * `bloom`). The blob collects to the driver and rides the plan as a
+    * LITERAL (one copy per task binary) — a codegen'd per-row bit test,
+    * no join, no shuffle. Deliberately NOT a broadcast join: a joined
+    * blob column copies m/8 bytes into EVERY probed row (measured:
+    * 28 s for 2M rows against a 1.2 MB blob — 400× slower than this
+    * shape). Driver + plan footprint = m/8 bytes, bounded by the
+    * 256 MiB single-blob cap. */
   def probe(batch: DataFrame, bloomDf: DataFrame, key: Column,
-            mBits: Int, k: Int, flagName: String = "might_seen"): DataFrame =
-    batch.crossJoin(broadcast(bloomDf))
-      .withColumn(flagName,
-        BloomExprs.test(col("bloom"), BloomExprs.keyPositions(key, mBits, k)))
-      .drop("bloom")
+            mBits: Int, k: Int, flagName: String = "might_seen"): DataFrame = {
+    val blob = bloomDf.head.getAs[Array[Byte]]("bloom")
+    require(blob.length == ((mBits + 63) / 64) * 8,
+      s"probe: filter blob is ${blob.length} B but mBits=$mBits expects " +
+        s"${((mBits + 63) / 64) * 8} B — probe and build sized differently")
+    batch.withColumn(flagName,
+      BloomExprs.test(lit(blob), BloomExprs.keyPositions(key, mBits, k)))
+  }
 
   /** Shard id for a key — xxhash64-based (engine-side only; the
     * oracle-replayable part is the per-shard filter, not the routing). */
@@ -89,23 +100,39 @@ object Bloom {
       .agg(BloomExprs.orAgg(col("__pos"), mBitsPerShard).as("bloom"))
   }
 
-  /** Sharded probe: a KEYS-ONLY (id, shard, positions) projection of
-    * `batch` equi-joins its shard's filter, tests, and the boolean
-    * rides an id-keyed join back — the documents themselves never
-    * shuffle, and each task holds only the filter rows its join
-    * partition owns (not the whole filter set). `idCol` must be a
-    * unique, non-null key (the dedup-family contract). */
-  def probeSharded(batch: DataFrame, blooms: DataFrame, idCol: String,
+  /** Sharded probe: the (shard, blob) rows collect to the driver —
+    * bounded at shards × mBitsPerShard/8, i.e. the full filter set,
+    * which ANY bloom probe ultimately consults — and ship as ONE Spark
+    * broadcast whose HANDLE rides the per-row test expression:
+    * executors fetch the blob array once (torrent), rows never copy
+    * filter bytes, the probed corpus never shuffles or joins. (The
+    * obvious equi-join formulation copies m/8 bytes into every probed
+    * row — measured 400× slower; see [[probe]].) Sharding therefore
+    * buys BUILD scalability (no agg buffer or blob above the 256 MiB
+    * cap, shards aggregate in parallel) and probe-side memory that
+    * arrives as S independent fetches; a filter set beyond executor
+    * memory needs a probe-side key partition FIRST (filter the corpus
+    * by shard range, probe each range against its sub-set). A shard
+    * with no reference keys has no blob → never seen → false. */
+  def probeSharded(batch: DataFrame, blooms: DataFrame,
                    key: Column, shards: Int, mBitsPerShard: Int, k: Int,
                    flagName: String = "might_seen"): DataFrame = {
     require(shards >= 1, s"shards must be >= 1, got $shards")
-    val flags = batch.select(col(idCol), shardOf(key, shards).as("shard"),
-        BloomExprs.keyPositions(key, mBitsPerShard, k).as("__pos"))
-      .join(blooms, Seq("shard"), "left")
-      .select(col(idCol),
-        // a shard with no reference keys has no filter row → never seen
-        coalesce(BloomExprs.test(col("bloom"), col("__pos")), lit(false))
-          .as(flagName))
-    batch.join(flags, Seq(idCol))
+    val arr = new Array[Array[Byte]](shards)
+    blooms.select(col("shard"), col("bloom")).collect().foreach { r =>
+      val s = r.getInt(0)
+      require(s >= 0 && s < shards,
+        s"probeSharded: blob for shard $s outside [0, $shards) — " +
+          "probe and build used different shard counts")
+      arr(s) = r.getAs[Array[Byte]](1)
+    }
+    arr.filter(_ != null).foreach(b => require(
+      b.length == ((mBitsPerShard + 63) / 64) * 8,
+      s"probeSharded: blob of ${b.length} B vs mBitsPerShard=" +
+        s"$mBitsPerShard — probe and build sized differently"))
+    val bc = batch.sparkSession.sparkContext.broadcast(arr)
+    batch.withColumn(flagName, BloomExprs.testSharded(bc,
+      shardOf(key, shards),
+      BloomExprs.keyPositions(key, mBitsPerShard, k)))
   }
 }

@@ -86,4 +86,39 @@ object Code {
         regexp_extract(lower, "creativecommons\\.org/licenses/([a-z-]+)", 1),
         lit("")))
   }
+
+  /** Fill-in-the-middle transformation (Bavarian et al. 2022; the
+    * StarCoder/Code-Llama code-training pass): a `rate` fraction of
+    * documents is rewritten into PSM order —
+    * `<fim_prefix>P<fim_suffix>S<fim_middle>M` — so the model learns
+    * infilling from the same corpus mass. Selection AND both cut
+    * points derive from the SQL-portable seeded hash
+    * ([[Sampling.portableBucket]]) of the integer id, so the transform
+    * is deterministic, reproducible across runs, and replayed verbatim
+    * by the DuckDB oracle (`q_code_fim`). Cut points are uniform-ish
+    * over [0, len] (hash mod — the modulo bias is ≤ len/10^6 and
+    * irrelevant for a data transform). Pure per-row projection; adds a
+    * `fim` boolean, rewrites `textCol` in place for selected rows.
+    * Codepoint-based (`length`/`substr` SQL semantics); empty docs
+    * rewrite to the bare sentinel triple. */
+  def fim(df: DataFrame, idCol: String, textCol: String,
+          rate: Double = 0.5, seed: Long = 0L): DataFrame = {
+    require(rate >= 0.0 && rate <= 1.0, s"rate must be in [0,1], got $rate")
+    Sampling.requireIntegralId(df, idCol, "Code.fim")
+    val id = col(idCol)
+    val text = col(textCol)
+    val len = length(text).cast("int")
+    val selected = Sampling.portableBucket(id + lit(seed)) <
+      lit((rate * Sampling.Buckets).toLong)
+    val a = pmod(Sampling.portableBucket(id * 2 + lit(seed + 1)),
+      (len + 1).cast("long")).cast("int")
+    val bLen = pmod(Sampling.portableBucket(id * 3 + lit(seed + 2)),
+      (len - a + 1).cast("long")).cast("int")
+    val b = a + bLen
+    val psm = concat(lit("<fim_prefix>"), text.substr(lit(1), a),
+      lit("<fim_suffix>"), text.substr(b + 1, len - b),
+      lit("<fim_middle>"), text.substr(a + 1, bLen))
+    df.withColumn("fim", selected)
+      .withColumn(textCol, when(selected, psm).otherwise(text))
+  }
 }

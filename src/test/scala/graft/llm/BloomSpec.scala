@@ -75,7 +75,7 @@ class BloomSpec extends SparkSpec {
     val batch = ((0 until 300).map(i => (i.toLong, s"ref text $i")) ++
       (1000 until 1300).map(i => (i.toLong, s"novel text $i")))
       .toDF("id", "key")
-    val out = Bloom.probeSharded(batch, blooms, "id", col("key"),
+    val out = Bloom.probeSharded(batch, blooms, col("key"),
       shards = 8, mBitsPerShard = 8192, k = 4)
     assert(out.columns.toSet == Set("id", "key", "might_seen"))
     val seen = out.filter(col("might_seen")).select("id")
@@ -107,19 +107,31 @@ class BloomSpec extends SparkSpec {
       Bloom.probe(df, bloomDf, col("key"), 8192, 3).collect() }
     val msg = ex.getMessage +
       Option(ex.getCause).map(_.getMessage).getOrElse("")
-    assert(msg.contains("outside"), s"got: $msg")
+    assert(msg.contains("sized differently") || msg.contains("outside"),
+      s"got: $msg")
   }
 
-  test("probe plan: broadcast exchange + codegen'd bit test, no " +
-      "shuffle of the probed corpus") {
+  test("probe plan: a pure projection — the blob rides as a literal; " +
+      "NO join and NO exchange anywhere (a joined blob column copies " +
+      "m/8 bytes into every probed row)") {
     import spark.implicits._
-    val df = (0 until 100).map(i => s"key $i").toDF("key")
+    // a parquet scan, not a LocalRelation — ConvertToLocalRelation
+    // folds pure projections away and hides the plan shape under test
+    val scratch = tmpDir("bloom_plan_pin")
+    (0 until 100).map(i => s"key $i").toDF("key")
+      .write.mode("overwrite").parquet(scratch)
+    val df = spark.read.parquet(scratch)
     val bloomDf = Bloom.build(df, col("key"), 4096, 3)
     val plan = Bloom.probe(df, bloomDf, col("key"), 4096, 3)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastExchange") ||
-      plan.contains("BroadcastNestedLoopJoin"), plan)
-    // the probed side must not shuffle: no Exchange hashpartitioning
-    assert(!plan.contains("Exchange hashpartitioning"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+    assert(plan.toLowerCase.contains("bloom_test"), plan)
+    // sharded probe: same contract — per-row expression, no join
+    val blooms = Bloom.buildSharded(df, col("key"), 4, 4096, 3)
+    val planS = Bloom.probeSharded(df, blooms, col("key"), 4, 4096, 3)
+      .queryExecution.executedPlan.toString
+    assert(!planS.contains("Join") && !planS.contains("Exchange"), planS)
+    assert(planS.toLowerCase.contains("bloom_test_sharded"), planS)
   }
 }
