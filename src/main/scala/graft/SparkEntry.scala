@@ -1183,6 +1183,53 @@ object SparkEntry {
           col("flat_text"))
     },
 
+    // --- SFT loss-mask spans: the half-open [s, e) codepoint ranges of
+    // assistant content inside the flattened text (same planted
+    // fixture as q_chat_stats); the oracle re-derives offsets from the
+    // raw JSON via window prefix sums over the turn lengths ---
+    "q_chat_spans" -> { (s, dir) =>
+      val m = pmod(col("doc_id"), lit(6))
+      val id = col("doc_id").cast("string")
+      val fixture = t(s, dir, "documents").select(col("doc_id"),
+        when(m === 0, concat(lit("""[{"role":"user","content":"question """),
+            id, lit(""" "},{"role":"assistant","content":"answer """),
+            id, lit("\"}]")))
+          .when(m === 1, concat(
+            lit("""[{"role":"system","content":"be helpful"},""" +
+              """{"role":"user","content":"hi """), id,
+            lit(""" "},{"role":"assistant","content":"hello there"}]""")))
+          .when(m === 2, concat(
+            lit("""[{"role":"user","content":"a"},""" +
+              """{"role":"user","content":"b"},""" +
+              """{"role":"assistant","content":"c """), id, lit("\"}]")))
+          .when(m === 3, concat(lit("""[{"role":"user","content":"q """), id,
+            lit(""" "},{"role":"bot","content":"r"}]""")))
+          .when(m === 4, concat(
+            lit("""[{"role":"user","content":"u1"},""" +
+              """{"role":"assistant","content":"a1"},""" +
+              """{"role":"user","content":"u2 """), id, lit("\"}]")))
+          .otherwise(concat(lit("not json "), id))
+          .as("j"))
+      Chat.assistantSpans(fixture, "j")
+        .select(col("doc_id"), posexplode(col("assistant_spans")))
+        .select(col("doc_id"), col("pos").as("span_idx"),
+          col("col.s").as("s"), col("col.e").as("e"))
+    },
+
+    // --- preference-pair construction (reward-model / DPO prep): per
+    // prompt, top- and bottom-scored responses with deterministic
+    // tie-breaks (chosen ties → lowest id, rejected ties → highest);
+    // scores planted as (doc_id*7)%3 so ties genuinely occur in-gate;
+    // single-response prompts excluded ---
+    "q_preference_pairs" -> { (s, dir) =>
+      val fixture = t(s, dir, "documents").select(col("doc_id"),
+        pmod(col("doc_id"), lit(50)).as("prompt_id"),
+        concat(lit("resp "), col("doc_id").cast("string")).as("response"),
+        pmod(col("doc_id") * 7, lit(3)).as("score"))
+      Chat.preferencePairs(fixture, "prompt_id", "response", "score",
+        "doc_id")
+    },
+
     // --- fill-in-the-middle (Bavarian 2022 / StarCoder PSM) over the
     // REAL documents text: half the corpus (portable-hash selected,
     // seed 42) rewrites to <fim_prefix>P<fim_suffix>S<fim_middle>M with
@@ -5544,6 +5591,91 @@ object SparkEntry {
         |FROM t
         |LEFT JOIN agg ON t.doc_id = agg.doc_id
         |LEFT JOIN alt ON t.doc_id = alt.doc_id""".stripMargin,
+
+    // loss-mask spans re-derived from the raw JSON: each turn occupies
+    // len(role)+4 tag chars + content + 1 newline; window prefix sums
+    // give the content start, assistant rows emit [s, e)
+    "q_chat_spans" ->
+      """WITH fixture AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 6
+        |      WHEN 0 THEN '[{"role":"user","content":"question ' ||
+        |        CAST(doc_id AS VARCHAR) ||
+        |        ' "},{"role":"assistant","content":"answer ' ||
+        |        CAST(doc_id AS VARCHAR) || '"}]'
+        |      WHEN 1 THEN '[{"role":"system","content":"be helpful"},' ||
+        |        '{"role":"user","content":"hi ' ||
+        |        CAST(doc_id AS VARCHAR) ||
+        |        ' "},{"role":"assistant","content":"hello there"}]'
+        |      WHEN 2 THEN '[{"role":"user","content":"a"},' ||
+        |        '{"role":"user","content":"b"},' ||
+        |        '{"role":"assistant","content":"c ' ||
+        |        CAST(doc_id AS VARCHAR) || '"}]'
+        |      WHEN 3 THEN '[{"role":"user","content":"q ' ||
+        |        CAST(doc_id AS VARCHAR) ||
+        |        ' "},{"role":"bot","content":"r"}]'
+        |      WHEN 4 THEN '[{"role":"user","content":"u1"},' ||
+        |        '{"role":"assistant","content":"a1"},' ||
+        |        '{"role":"user","content":"u2 ' ||
+        |        CAST(doc_id AS VARCHAR) || '"}]'
+        |      ELSE 'not json ' || CAST(doc_id AS VARCHAR)
+        |    END AS j
+        |  FROM documents
+        |), t AS (
+        |  SELECT doc_id, j,
+        |    CASE WHEN doc_id % 6 = 5 THEN NULL
+        |         ELSE CAST(json_array_length(j) AS INT) END AS n
+        |  FROM fixture
+        |), idx AS (
+        |  SELECT doc_id, j, unnest(range(0, n)) AS i FROM t
+        |), turns AS (
+        |  SELECT doc_id, CAST(i AS INT) AS i,
+        |    json_extract_string(j, '$[' || i || '].role') AS role,
+        |    coalesce(json_extract_string(j, '$[' || i || '].content'), '')
+        |      AS content
+        |  FROM idx
+        |), offs AS (
+        |  SELECT doc_id, i, role, content,
+        |    coalesce(sum(length(role) + length(content) + 5) OVER (
+        |      PARTITION BY doc_id ORDER BY i
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      + length(role) + 4 AS s
+        |  FROM turns
+        |), sp AS (
+        |  SELECT doc_id, s, s + length(content) AS e,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY i) - 1
+        |      AS span_idx
+        |  FROM offs WHERE role = 'assistant'
+        |)
+        |SELECT doc_id, CAST(span_idx AS INT) AS span_idx,
+        |  CAST(s AS BIGINT) AS s, CAST(e AS BIGINT) AS e
+        |FROM sp""".stripMargin,
+
+    // preference pairs: rank windows replay the struct-ordering
+    // tie-breaks exactly (chosen: score DESC, id ASC; rejected: score
+    // ASC, id DESC); prompts with one response drop
+    "q_preference_pairs" ->
+      """WITH fixture AS (
+        |  SELECT doc_id, doc_id % 50 AS prompt_id,
+        |    'resp ' || CAST(doc_id AS VARCHAR) AS response,
+        |    (doc_id * 7) % 3 AS score
+        |  FROM documents
+        |), ranked AS (
+        |  SELECT prompt_id, response, score,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY score DESC, doc_id ASC) AS rc,
+        |    row_number() OVER (PARTITION BY prompt_id
+        |      ORDER BY score ASC, doc_id DESC) AS rr,
+        |    count(*) OVER (PARTITION BY prompt_id) AS n
+        |  FROM fixture
+        |)
+        |SELECT prompt_id,
+        |  max(CASE WHEN rc = 1 THEN response END) AS chosen,
+        |  max(CASE WHEN rr = 1 THEN response END) AS rejected,
+        |  max(CASE WHEN rc = 1 THEN score END)
+        |    - max(CASE WHEN rr = 1 THEN score END) AS margin
+        |FROM ranked WHERE n >= 2
+        |GROUP BY prompt_id""".stripMargin,
 
     // FIM replayed exactly: the Knuth portable hash chain (((x mod P) *
     // K) mod P mod 10^6 — every product < 2^63), selection at rate*10^6,

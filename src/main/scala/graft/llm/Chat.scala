@@ -83,4 +83,61 @@ object Chat {
       array_join(transform(msgs(col(jsonCol)), x =>
         concat(lit("<|"), x.getField("role"), lit("|>"),
           coalesce(x.getField("content"), lit("")))), "\n"))
+
+  /** LOSS-MASK spans: the half-open codepoint ranges `[s, e)` of each
+    * assistant turn's content inside [[flatten]]'s output — an SFT
+    * trainer masks loss to exactly these. Computed by one prefix-sum
+    * fold over the message array (`aggregate`), per row, no shuffle;
+    * offsets are codepoints, matching SQL `length`/`substr`, so
+    * `substr(flat_text, s+1, e-s)` is the assistant content verbatim
+    * (unit-pinned). Output column `assistant_spans`:
+    * `array<struct<s,e>>`, NULL for unparsed rows, empty when no
+    * assistant turn. */
+  def assistantSpans(df: DataFrame, jsonCol: String,
+                     outCol: String = "assistant_spans"): DataFrame = {
+    val empty = array().cast("array<struct<s:bigint,e:bigint>>")
+    val fold = aggregate(msgs(col(jsonCol)),
+      struct(lit(0L).as("pos"), empty.as("spans")),
+      (acc, x) => {
+        // "<|" + role + "|>" = role length + 4; "\n" terminates a turn
+        val tagLen = length(x.getField("role")).cast("long") + 4L
+        val cLen = coalesce(length(x.getField("content")).cast("long"),
+          lit(0L))
+        val start = acc.getField("pos") + tagLen
+        struct(
+          (start + cLen + 1L).as("pos"),
+          when(x.getField("role") === "assistant",
+            concat(acc.getField("spans"),
+              array(struct(start.as("s"), (start + cLen).as("e")))))
+            .otherwise(acc.getField("spans")).as("spans"))
+      },
+      acc => acc.getField("spans"))
+    df.withColumn(outCol, fold)
+  }
+
+  /** Preference-pair construction (reward-model / DPO data prep): per
+    * prompt, the top- and bottom-scored responses become (chosen,
+    * rejected) with their margin. Deterministic tie-breaks — chosen
+    * ties resolve to the LOWEST id, rejected ties to the HIGHEST — so
+    * a tied group still yields a stable, distinct pair; single-
+    * response prompts yield nothing (no contrast to learn from).
+    * One narrow aggregation: min/max of (score, ±id, response)
+    * structs, map-side combinable, responses ride the agg — no window
+    * sort, no self-join. `idCol` must be unique and non-null. */
+  def preferencePairs(df: DataFrame, promptCol: String, responseCol: String,
+                      scoreCol: String, idCol: String): DataFrame = {
+    Seq(promptCol, responseCol, scoreCol, idCol).foreach(c =>
+      require(df.columns.contains(c), s"no such column '$c'"))
+    df.groupBy(col(promptCol))
+      .agg(
+        max(struct(col(scoreCol).as("score"), (-col(idCol)).as("nid"),
+          col(responseCol).as("r"))).as("__c"),
+        min(struct(col(scoreCol).as("score"), (-col(idCol)).as("nid"),
+          col(responseCol).as("r"))).as("__r"),
+        count(lit(1)).as("__n"))
+      .filter(col("__n") >= 2)
+      .select(col(promptCol),
+        col("__c.r").as("chosen"), col("__r.r").as("rejected"),
+        (col("__c.score") - col("__r.score")).as("margin"))
+  }
 }

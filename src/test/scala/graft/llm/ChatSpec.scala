@@ -57,6 +57,51 @@ class ChatSpec extends SparkSpec {
       "alternation is a role-order property; content nullity is roles_valid's")
   }
 
+  test("assistantSpans: substr(flat, s+1, e-s) is the assistant content " +
+      "verbatim for EVERY span (multi-assistant, system-headed); empty " +
+      "and garbage rows yield empty/NULL") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = Seq(
+      (1L, """[{"role":"system","content":"sys"},{"role":"user","content":"q1"},{"role":"assistant","content":"first answer"},{"role":"user","content":"q2"},{"role":"assistant","content":"second"}]"""),
+      (2L, """[{"role":"user","content":"no assistant here"}]"""),
+      (3L, "garbage"))
+    val df = Chat.assistantSpans(
+      Chat.flatten(rows.toDF("id", "j"), "j"), "j")
+    val out = df.select(col("id"), col("flat_text"), col("assistant_spans"))
+      .collect().map(r => (r.getLong(0), r.getString(1),
+        if (r.isNullAt(2)) null
+        else r.getSeq[org.apache.spark.sql.Row](2))).toList
+    val (_, flat1, spans1) = out.find(_._1 == 1L).get
+    assert(spans1.length == 2)
+    val contents = spans1.map { sp =>
+      val s = sp.getLong(0).toInt; val e = sp.getLong(1).toInt
+      flat1.substring(s, e)
+    }
+    assert(contents == Seq("first answer", "second"))
+    assert(out.find(_._1 == 2L).get._3.isEmpty)
+    assert(out.find(_._1 == 3L).get._3 == null)
+  }
+
+  test("preferencePairs: top/bottom by score with deterministic " +
+      "tie-breaks (chosen ties → lowest id, rejected → highest), " +
+      "singleton prompts drop, margin exact") {
+    import spark.implicits._
+    val rows = Seq(
+      // prompt A: clear winner/loser
+      (1L, "A", "good", 9L), (2L, "A", "bad", 1L), (3L, "A", "mid", 5L),
+      // prompt B: ALL TIED — chosen=lowest id, rejected=highest id
+      (4L, "B", "b4", 3L), (5L, "B", "b5", 3L), (6L, "B", "b6", 3L),
+      // prompt C: singleton — excluded
+      (7L, "C", "alone", 8L)).toDF("id", "prompt", "resp", "score")
+    val out = Chat.preferencePairs(rows, "prompt", "resp", "score", "id")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getLong(3)))).toMap
+    assert(out("A") == (("good", "bad", 8L)))
+    assert(out("B") == (("b4", "b6", 0L)), "tied group: stable distinct pair")
+    assert(!out.contains("C"))
+  }
+
   test("flatten: role-tagged newline join, exact; NULL for garbage") {
     import spark.implicits._
     val out = Chat.flatten(Seq(
