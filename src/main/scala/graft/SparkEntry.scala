@@ -2792,7 +2792,15 @@ object SparkEntry {
     // are filtered by the intersection and stay covered by the
     // brute-force + planted-distance units. ---
     "q_multiindex_pairs" -> { (s, dir) =>
-      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      // a third of the corpus: the degenerate engine knobs under test
+      // (maxHamming >= bands -> radius-1 ball keys on EVERY chunk) pay
+      // candidate volume quadratic in close-sig density, and prose
+      // unigram simhashes are dense — the path's correctness is
+      // corpus-size independent, the gate's wall is not (12.8 s -> ~1.5
+      // s at sf0.1 for the same planted-pair power)
+      val docs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(3)) === 0)
+        .select(col("doc_id"), col("text"))
       val tok = split(lower(col("text")), "\\W+")
       val copies = docs.filter(pmod(col("doc_id"), lit(13)) === 0)
         .select((col("doc_id") + 200000).as("doc_id"),
@@ -6598,11 +6606,11 @@ object SparkEntry {
     // 0 <= 10) MUST all surface through the radius-1 perturbed keys
     "q_multiindex_pairs" ->
       """WITH corpus AS (
-        |  SELECT doc_id, text FROM documents
+        |  SELECT doc_id, text FROM documents WHERE doc_id % 3 = 0
         |  UNION ALL
         |  SELECT doc_id + 200000 AS doc_id,
         |    array_to_string(list_reverse(regexp_split_to_array(lower(text), '\W+')), ' ') AS text
-        |  FROM documents WHERE doc_id % 13 = 0
+        |  FROM documents WHERE doc_id % 3 = 0 AND doc_id % 13 = 0
         |), k AS (
         |  SELECT doc_id,
         |    list_sort(list_distinct(regexp_split_to_array(lower(text), '\W+'))) AS key
