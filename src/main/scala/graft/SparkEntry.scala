@@ -1230,6 +1230,21 @@ object SparkEntry {
         "doc_id")
     },
 
+    // --- Count-Min frequency sketch (Cormode 2005): token counts at a
+    // fixed d×w cell budget; w=64 is deliberately tiny so hash
+    // collisions genuinely occur in-gate (3 of 31 keys overestimate
+    // through ALL FOUR depths at sf0.01; 28 stay exact) and the
+    // min-over-depths logic is exercised — the oracle replays the portable position family,
+    // the cell table, and every estimate EXACTLY, collisions included ---
+    "q_cms_freq" -> { (s, dir) =>
+      import graft.operators.FreqSketch
+      val toks = t(s, dir, "documents")
+        .select(explode(split(lower(col("text")), "\\W+")).as("tk"))
+        .filter(length(col("tk")) > 0)
+      val sketch = FreqSketch.build(toks, col("tk"), w = 64, d = 4)
+      FreqSketch.estimate(sketch, toks.distinct(), "tk", 64, 4)
+    },
+
     // --- fill-in-the-middle (Bavarian 2022 / StarCoder PSM) over the
     // REAL documents text: half the corpus (portable-hash selected,
     // seed 42) rewrites to <fim_prefix>P<fim_suffix>S<fim_middle>M with
@@ -5684,6 +5699,42 @@ object SparkEntry {
         |    - max(CASE WHEN rr = 1 THEN score END) AS margin
         |FROM ranked WHERE n >= 2
         |GROUP BY prompt_id""".stripMargin,
+
+    // Count-Min replayed exactly: the 31/37 codepoint-polynomial pair,
+    // (h1 + i·h2) mod 64 positions, instance-counted cells, and the
+    // min-over-depths estimate (left join covers never-hit cells)
+    "q_cms_freq" ->
+      """WITH tok AS (
+        |  SELECT unnest(regexp_split_to_array(lower(text), '\W+')) AS tk
+        |  FROM documents
+        |), tok2 AS (
+        |  SELECT tk FROM tok WHERE length(tk) > 0
+        |), hh AS (
+        |  SELECT tk,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(tk) + 1), i ->
+        |        CAST(ascii(substr(tk, CAST(i AS BIGINT), 1)) AS BIGINT))),
+        |      (a, b) -> (a * 31 + b) % 2147483647) AS h1,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(range(1, length(tk) + 1), i ->
+        |        CAST(ascii(substr(tk, CAST(i AS BIGINT), 1)) AS BIGINT))),
+        |      (a, b) -> (a * 37 + b) % 2147483647) AS h2
+        |  FROM tok2
+        |), pos AS (
+        |  SELECT tk,
+        |    CAST(unnest(range(0, 4)) AS INT) AS depth,
+        |    unnest(list_transform(range(0, 4), i -> (h1 + i * h2) % 64))
+        |      AS pos
+        |  FROM hh
+        |), cms AS (
+        |  SELECT depth, pos, count(*) AS cnt FROM pos GROUP BY depth, pos
+        |), probe AS (
+        |  SELECT DISTINCT tk, depth, pos FROM pos
+        |)
+        |SELECT probe.tk,
+        |  CAST(min(coalesce(cms.cnt, 0)) AS BIGINT) AS est
+        |FROM probe LEFT JOIN cms USING (depth, pos)
+        |GROUP BY probe.tk""".stripMargin,
 
     // FIM replayed exactly: the Knuth portable hash chain (((x mod P) *
     // K) mod P mod 10^6 — every product < 2^63), selection at rate*10^6,
