@@ -1230,6 +1230,44 @@ object SparkEntry {
         "doc_id")
     },
 
+    // --- structured page metadata (title / description / canonical /
+    // og / lang) over planted HTML; doc_id%5 plants: 0 full page in
+    // canonical attr order, 1 every attribute pair REVERSED, 2 a
+    // multi-line title plus a second title (first must win, non-greedy
+    // must stop at the first close), 3 tagless prose (all NULL), 4
+    // empty-valued fields (NULL, not "") ---
+    "q_page_meta" -> { (s, dir) =>
+      val m = pmod(col("doc_id"), lit(5))
+      val id = col("doc_id").cast("string")
+      val fixture = t(s, dir, "documents").select(col("doc_id"),
+        when(m === 0, concat(
+            lit("<html lang=\"en\"><head><title>Doc "), id,
+            lit(" overview</title>\n<meta name=\"description\" " +
+              "content=\"summary of doc "), id,
+            lit("\">\n<link rel=\"canonical\" href=\"https://ex.com/"), id,
+            lit("\">\n<meta property=\"og:title\" content=\"OG "), id,
+            lit("\">\n<meta property=\"og:image\" " +
+              "content=\"https://img.ex/"), id, lit(".jpg\"></head>")))
+          .when(m === 1, concat(
+            lit("<html lang=\"fr\"><meta content=\"rev summary "), id,
+            lit("\" name=\"description\">" +
+              "<link href=\"https://ex.com/rev/"), id,
+            lit("\" rel=\"canonical\">" +
+              "<meta content=\"REV OG "), id,
+            lit("\" property=\"og:title\">")))
+          .when(m === 2, concat(
+            lit("<title>first\nline "), id,
+            lit("</title><p>body</p><title>second</title>")))
+          .when(m === 3, concat(lit("plain prose document "), id))
+          .otherwise(lit("<title></title>" +
+            "<meta name=\"description\" content=\"\">no values"))
+          .as("html"))
+      TextAnalysis.pageMeta(fixture, "html")
+        .select(col("doc_id"), col("page_title"), col("meta_description"),
+          col("canonical_url"), col("og_title"), col("og_image"),
+          col("html_lang"))
+    },
+
     // --- Count-Min frequency sketch (Cormode 2005): token counts at a
     // fixed d×w cell budget; w=64 is deliberately tiny so hash
     // collisions genuinely occur in-gate (3 of 31 keys overestimate
@@ -5699,6 +5737,68 @@ object SparkEntry {
         |    - max(CASE WHEN rr = 1 THEN score END) AS margin
         |FROM ranked WHERE n >= 2
         |GROUP BY prompt_id""".stripMargin,
+
+    // page metadata: the IDENTICAL RE2 regexes (dotall non-greedy
+    // title, both attribute orders per meta/link field), nullif('')
+    "q_page_meta" ->
+      """WITH fixture AS (
+        |  SELECT doc_id,
+        |    CASE doc_id % 5
+        |      WHEN 0 THEN '<html lang="en"><head><title>Doc ' ||
+        |        CAST(doc_id AS VARCHAR) || ' overview</title>' || chr(10) ||
+        |        '<meta name="description" content="summary of doc ' ||
+        |        CAST(doc_id AS VARCHAR) || '">' || chr(10) ||
+        |        '<link rel="canonical" href="https://ex.com/' ||
+        |        CAST(doc_id AS VARCHAR) || '">' || chr(10) ||
+        |        '<meta property="og:title" content="OG ' ||
+        |        CAST(doc_id AS VARCHAR) || '">' || chr(10) ||
+        |        '<meta property="og:image" content="https://img.ex/' ||
+        |        CAST(doc_id AS VARCHAR) || '.jpg"></head>'
+        |      WHEN 1 THEN '<html lang="fr"><meta content="rev summary ' ||
+        |        CAST(doc_id AS VARCHAR) || '" name="description">' ||
+        |        '<link href="https://ex.com/rev/' ||
+        |        CAST(doc_id AS VARCHAR) || '" rel="canonical">' ||
+        |        '<meta content="REV OG ' || CAST(doc_id AS VARCHAR) ||
+        |        '" property="og:title">'
+        |      WHEN 2 THEN '<title>first' || chr(10) || 'line ' ||
+        |        CAST(doc_id AS VARCHAR) ||
+        |        '</title><p>body</p><title>second</title>'
+        |      WHEN 3 THEN 'plain prose document ' || CAST(doc_id AS VARCHAR)
+        |      ELSE '<title></title><meta name="description" ' ||
+        |        'content="">no values'
+        |    END AS html
+        |  FROM documents
+        |)
+        |SELECT doc_id,
+        |  nullif(regexp_extract(html, '(?is)<title[^>]*>(.*?)</title>', 1),
+        |    '') AS page_title,
+        |  coalesce(
+        |    nullif(regexp_extract(html,
+        |      '(?i)<meta\b[^>]*name\s*=\s*"description"[^>]*content\s*=\s*"([^"]*)"', 1), ''),
+        |    nullif(regexp_extract(html,
+        |      '(?i)<meta\b[^>]*content\s*=\s*"([^"]*)"[^>]*name\s*=\s*"description"', 1), ''))
+        |    AS meta_description,
+        |  coalesce(
+        |    nullif(regexp_extract(html,
+        |      '(?i)<link\b[^>]*rel\s*=\s*"canonical"[^>]*href\s*=\s*"([^"]*)"', 1), ''),
+        |    nullif(regexp_extract(html,
+        |      '(?i)<link\b[^>]*href\s*=\s*"([^"]*)"[^>]*rel\s*=\s*"canonical"', 1), ''))
+        |    AS canonical_url,
+        |  coalesce(
+        |    nullif(regexp_extract(html,
+        |      '(?i)<meta\b[^>]*property\s*=\s*"og:title"[^>]*content\s*=\s*"([^"]*)"', 1), ''),
+        |    nullif(regexp_extract(html,
+        |      '(?i)<meta\b[^>]*content\s*=\s*"([^"]*)"[^>]*property\s*=\s*"og:title"', 1), ''))
+        |    AS og_title,
+        |  coalesce(
+        |    nullif(regexp_extract(html,
+        |      '(?i)<meta\b[^>]*property\s*=\s*"og:image"[^>]*content\s*=\s*"([^"]*)"', 1), ''),
+        |    nullif(regexp_extract(html,
+        |      '(?i)<meta\b[^>]*content\s*=\s*"([^"]*)"[^>]*property\s*=\s*"og:image"', 1), ''))
+        |    AS og_image,
+        |  nullif(regexp_extract(html,
+        |    '(?i)<html\b[^>]*\blang\s*=\s*"([^"]*)"', 1), '') AS html_lang
+        |FROM fixture""".stripMargin,
 
     // Count-Min replayed exactly: the 31/37 codepoint-polynomial pair,
     // (h1 + i·h2) mod 64 positions, instance-counted cells, and the

@@ -469,4 +469,37 @@ object TextAnalysis {
       .withColumn("noimageai", flag("noimageai"))
       .withColumn("noindex", flag("noindex"))
   }
+
+  /** Structured page metadata from raw crawl HTML — the fields a
+    * curation pipeline keys on before any stripping: `page_title`
+    * (first `<title>` inner text, dotall + non-greedy so a multi-line
+    * title stops at its own close tag), `meta_description`,
+    * `canonical_url` (the canonical-URL dedup key — stronger than
+    * string-normalizing the fetch URL), `og_title` / `og_image`
+    * (the social-card fields LAION-style pair mining falls back to
+    * when `alt` is empty), and `html_lang` (the author-declared
+    * language, a prior for [[LangId]]). All RE2-safe regexes run
+    * verbatim by the oracle; attribute matching covers BOTH orders
+    * (`name=… content=…` and `content=… name=…`), double-quoted
+    * values (the overwhelming crawl case — single-quoted attr values
+    * here are a documented miss, never a wrong field); absent or
+    * empty fields are NULL. Pure per-row projection; streams. */
+  def pageMeta(df: DataFrame, textCol: String): DataFrame = {
+    val t = col(textCol)
+    def ex(pattern: String): Column =
+      nullif(regexp_extract(t, pattern, 1), lit(""))
+    // content="..." after the discriminating attribute, or before it
+    def meta(attr: String, value: String): Column = coalesce(
+      ex(s"""(?i)<meta\\b[^>]*$attr\\s*=\\s*"$value"[^>]*content\\s*=\\s*"([^"]*)""""),
+      ex(s"""(?i)<meta\\b[^>]*content\\s*=\\s*"([^"]*)"[^>]*$attr\\s*=\\s*"$value""""))
+    df.withColumn("page_title", ex("(?is)<title[^>]*>(.*?)</title>"))
+      .withColumn("meta_description", meta("name", "description"))
+      .withColumn("canonical_url", coalesce(
+        ex("""(?i)<link\b[^>]*rel\s*=\s*"canonical"[^>]*href\s*=\s*"([^"]*)""""),
+        ex("""(?i)<link\b[^>]*href\s*=\s*"([^"]*)"[^>]*rel\s*=\s*"canonical"""")))
+      .withColumn("og_title", meta("property", "og:title"))
+      .withColumn("og_image", meta("property", "og:image"))
+      .withColumn("html_lang",
+        ex("""(?i)<html\b[^>]*\blang\s*=\s*"([^"]*)""""))
+  }
 }

@@ -47,6 +47,31 @@ class ImageTextSpec extends SparkSpec {
     assert(out.isEmpty, "truncated tag must not produce a pair")
   }
 
+  test("pageMeta: both attribute orders, first title wins (non-greedy), " +
+      "absent/empty fields NULL, single-quoted values are the documented " +
+      "miss") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "<html lang=\"en\"><title>T1</title><title>T2</title>" +
+        "<meta content=\"desc rev\" name=\"description\">" +
+        "<link href=\"https://c.ex/1\" rel=\"canonical\">"),
+      (2L, "<meta property=\"og:image\" content=\"https://i.ex/2.png\">" +
+        "<meta property=\"og:title\" content=\"OT\">"),
+      (3L, "no tags at all"),
+      (4L, "<title></title><html lang=''>")).toDF("id", "html")
+    val out = TextAnalysis.pageMeta(docs, "html")
+      .select("id", "page_title", "meta_description", "canonical_url",
+        "og_title", "og_image", "html_lang")
+      .collect().map(r => r.getLong(0) ->
+        (1 to 6).map(i => Option(r.getString(i)))).toMap
+    assert(out(1L) == Seq(Some("T1"), Some("desc rev"),
+      Some("https://c.ex/1"), None, None, Some("en")))
+    assert(out(2L) == Seq(None, None, None, Some("OT"),
+      Some("https://i.ex/2.png"), None))
+    assert(out(3L).forall(_.isEmpty))
+    assert(out(4L).forall(_.isEmpty), "empty and single-quoted are NULL")
+  }
+
   test("optOutFlags: tokens flag only inside meta content attributes " +
       "(either quote style), word-bounded, case-insensitive") {
     import spark.implicits._

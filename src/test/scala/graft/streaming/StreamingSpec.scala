@@ -214,6 +214,30 @@ class StreamingSpec extends SparkSpec {
       "stateless curation ops must be batch/stream identical")
   }
 
+  test("chat-transcript ops stream (stats verdicts + loss-mask spans " +
+      "are per-row: AvailableNow parity with batch)") {
+    import spark.implicits._
+    val streamDir = tmpDir("chat_stream")
+    Seq(
+        (1L, """[{"role":"user","content":"hi"},{"role":"assistant","content":"hello"}]"""),
+        (2L, """[{"role":"user","content":"a"},{"role":"user","content":"b"}]"""),
+        (3L, "garbage"))
+      .toDF("id", "j").write.mode("overwrite").parquet(streamDir)
+    def ops(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.Chat.assistantSpans(
+        graft.llm.Chat.flatten(graft.llm.Chat.stats(df, "j"), "j"), "j")
+    val batchIn = spark.read.parquet(streamDir)
+    val q = ops(spark.readStream.schema(batchIn.schema).parquet(streamDir))
+      .writeStream.format("memory").queryName("chat_parity")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("chat_parity")
+    val batch = ops(batchIn)
+    assert(streamed.count() == 3)
+    assert(streamed.exceptAll(batch).isEmpty && batch.exceptAll(streamed).isEmpty,
+      "chat ops must be batch/stream identical")
+  }
+
   test("pipelineStream: stateless stages + watermarked dedup match batch curation") {
     import spark.implicits._
     import graft.llm.Curation
