@@ -369,6 +369,28 @@ object SparkEntry {
           col("http_status"))
     },
 
+    // --- WebDataset tar round trip: documents become two-entry samples
+    // (<key>.txt + <key>.json), write gzipped shards, stream-parse back
+    // with adjacency grouping (readSamples — NO shuffle), rebuild
+    // doc_id + text; checksums verified on every header in-flight.
+    // Oracle = the roundtrip identity over documents ---
+    "q_webdataset_roundtrip" -> { (s, dir) =>
+      val out = scratch("webdataset_rt")
+      val docs = t(s, dir, "documents")
+      val key = lpad(col("doc_id").cast("string"), 8, "0")
+      val entries = docs.select(key.as("k"), lit("txt").as("e"),
+          col("text").as("c"))
+        .union(docs.select(key.as("k"), lit("json").as("e"),
+          concat(lit("""{"lang":""""), col("lang"), lit("\"}")).as("c")))
+      graft.sources.TarSource.write(entries, out, "k", "e", "c", gzip = true)
+      graft.sources.TarSource.readSamples(s, out)
+        .select(col("key").cast("long").as("doc_id"),
+          decode(element_at(col("exts"), "txt"), "UTF-8").as("text"),
+          get_json_object(
+            decode(element_at(col("exts"), "json"), "UTF-8"), "$.lang")
+            .as("lang"))
+    },
+
     // --- U1 engine spine: read csv → inline transform → write parquet ---
     "q_engine_transfer" -> { (s, dir) =>
       val csvDir = scratch("engine_csv")
@@ -4300,6 +4322,12 @@ object SparkEntry {
 
     "q_warc_roundtrip" ->
       "SELECT doc_id, text, 200 AS http_status FROM documents",
+
+    // the WebDataset round trip is an identity over (doc_id, text,
+    // lang) — byte fidelity through ustar headers, gzip, and the
+    // adjacency-grouped sample reader
+    "q_webdataset_roundtrip" ->
+      "SELECT doc_id, text, lang FROM documents",
 
     "q_engine_transfer" ->
       """SELECT CAST(p_partkey AS BIGINT) AS p_partkey,

@@ -95,6 +95,8 @@ object Connectors {
       case u if u.endsWith(".orc")     => Ref("orc", body, frag, options)
       case u if u.endsWith(".warc") || u.endsWith(".warc.gz") =>
         Ref("warc", body, frag, options)
+      case u if u.endsWith(".tar") || u.endsWith(".tar.gz") =>
+        Ref("tar", body, frag, options)
       case u if u.endsWith(".db")      => jdbc(s"jdbc:sqlite:$body")
       case u if u.endsWith(".duckdb")  => jdbc(s"jdbc:duckdb:$body")
       case _ =>
@@ -128,6 +130,11 @@ object Connectors {
     case "avro"    => AvroConnector.read(spark, ref.path)
     case "orc"     => spark.read.orc(ref.path)
     case "warc"    => WarcSource.read(spark, ref.path)
+    // WebDataset shards: per-entry rows ("#samples" fragment for the
+    // adjacency-grouped one-row-per-sample shape)
+    case "tar"     =>
+      if (ref.table.contains("samples")) TarSource.readSamples(spark, ref.path)
+      else TarSource.read(spark, ref.path)
     case "jdbc" => readJdbc(spark, ref)
     case "http" => readRef(spark, Http.download(ref))
     case "ssh"  => readRef(spark, Ssh.download(ref))

@@ -1,0 +1,311 @@
+package graft.sources
+
+import java.io.{BufferedInputStream, InputStream}
+import java.nio.charset.StandardCharsets
+import java.util.zip.{GZIPInputStream, GZIPOutputStream}
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftError
+
+/** WebDataset tar shards (ustar, POSIX.1-1988) — the container
+  * multimodal training runs stream from: a `.tar` of files named
+  * `<key>.<ext>` where every file sharing a key is one SAMPLE
+  * (`000001.jpg` + `000001.txt` + `000001.json`), samples stored
+  * ADJACENTLY so a reader needs no index and no shuffle (Webdataset's
+  * core design point — sequential I/O at rotational/S3 throughput).
+  * Beyond-reference, next to [[WarcSource]]: WARC is the crawl INPUT
+  * container, WebDataset the training OUTPUT container.
+  *
+  * Read semantics:
+  *  - `read`: every regular tar entry as (file, key, ext, content,
+  *    size) — key = entry name up to the FIRST dot past any directory
+  *    prefix, ext = the rest (so `a/b/000001.seg.json` → key
+  *    `a/b/000001`, ext `seg.json`, the WebDataset rule);
+  *  - `readSamples`: adjacency-grouped inside the stream parse — one
+  *    row per sample with an ext→content map, NO shuffle anywhere; a
+  *    key that REAPPEARS non-adjacently fails LOUDLY (a shard that
+  *    scattered its samples would silently split them — the exact
+  *    failure WebDataset's layout contract exists to prevent);
+  *  - header checksums are VERIFIED (loud mismatch with file + entry
+  *    index), truncated entries and a missing end-of-archive are loud,
+  *    non-file entries (directories, links, pax/gnu extension blocks)
+  *    are skipped — they carry no sample bytes;
+  *  - `.tar` and `.tar.gz` both parse (JDK GZIPInputStream reads
+  *    concatenated members, so member-per-sample gzip also works).
+  *
+  * Write semantics: one `.tar` per partition; rows are (key, ext,
+  * content) and the writer sorts WITHIN each partition by (key, ext)
+  * so samples land adjacent — repartition by key first if a key's
+  * files are scattered across partitions (the writer then rejects the
+  * cross-partition duplicate loudly on read-back rather than silently
+  * splitting a sample). Entry names must fit ustar's 100-byte name
+  * field (WebDataset keys are short by construction; loud otherwise).
+  *
+  * Scale design: FILE-granular parallelism like WARC — a training
+  * corpus is many ~1 GiB shards, one task stream-parses one shard
+  * with memory bounded by the largest single entry (its size header),
+  * never the shard. */
+object TarSource {
+
+  final case class TarEntry(file: String, key: String, ext: String,
+                            content: Array[Byte], size: Long)
+
+  /** One WebDataset sample: every co-keyed entry's content by ext. */
+  final case class TarSample(file: String, key: String,
+                             exts: Map[String, Array[Byte]])
+
+  private val Block = 512
+
+  // ----------------------------- read ---------------------------------
+
+  /** Every regular entry under `path` (a directory of shards or one
+    * file) as one row. */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val files = shardFiles(path)
+    val rdd = spark.sparkContext.parallelize(files, files.size)
+      .flatMap(f => entryIterator(f))
+    spark.createDataset(rdd)(Encoders.product[TarEntry]).toDF()
+  }
+
+  /** One row per SAMPLE: (file, key, exts: map<ext, content>) —
+    * grouped by adjacency inside the stream parse, no shuffle. */
+  def readSamples(spark: SparkSession, path: String): DataFrame = {
+    val files = shardFiles(path)
+    val rdd = spark.sparkContext.parallelize(files, files.size)
+      .flatMap { f =>
+        val it = entryIterator(f)
+        new Iterator[TarSample] {
+          private val seen = scala.collection.mutable.HashSet.empty[String]
+          private var cur: TarEntry = if (it.hasNext) it.next() else null
+          override def hasNext: Boolean = cur != null
+          override def next(): TarSample = {
+            val key = cur.key
+            if (!seen.add(key))
+              throw GraftError.DataTransfer(
+                s"$f: sample key '$key' reappears non-adjacently — the " +
+                  "shard violates WebDataset's adjacency contract and " +
+                  "this sample would silently split; re-shard with " +
+                  "TarSource.write (which sorts within partitions)")
+            var exts = Map.empty[String, Array[Byte]]
+            while (cur != null && cur.key == key) {
+              exts += (cur.ext -> cur.content)
+              cur = if (it.hasNext) it.next() else null
+            }
+            TarSample(f, key, exts)
+          }
+        }
+      }
+    spark.createDataset(rdd)(Encoders.product[TarSample]).toDF()
+  }
+
+  private def shardFiles(path: String): Seq[String] = {
+    val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
+    val p = new Path(path)
+    val files: Seq[String] =
+      if (fs.getFileStatus(p).isFile) Seq(path)
+      else fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
+        .filter(f => f.endsWith(".tar") || f.endsWith(".tar.gz")).sorted
+    if (files.isEmpty)
+      throw GraftError.Configuration(s"no .tar/.tar.gz shards under $path")
+    files
+  }
+
+  /** Stream-parses one shard; holds at most one entry's content. */
+  private def entryIterator(file: String): Iterator[TarEntry] = {
+    val fs = FileSystem.get(java.net.URI.create(file), new Configuration())
+    val raw = fs.open(new Path(file))
+    val in: InputStream =
+      if (file.endsWith(".gz")) new GZIPInputStream(new BufferedInputStream(raw))
+      else new BufferedInputStream(raw)
+    new Iterator[TarEntry] {
+      private var idx = 0
+      private var nextE: TarEntry = advance()
+      private def advance(): TarEntry = {
+        var e = readEntry(in, file, idx)
+        idx += 1
+        // skip non-file entries (dirs, links, pax/gnu blocks)
+        while (e != null && e.ext == null) { e = readEntry(in, file, idx); idx += 1 }
+        if (e == null) in.close()
+        e
+      }
+      override def hasNext: Boolean = nextE != null
+      override def next(): TarEntry = { val r = nextE; nextE = advance(); r }
+    }
+  }
+
+  /** Reads one header+content; null at end-of-archive. An entry whose
+    * typeflag is not a regular file returns ext = null (skipped by the
+    * iterator) with its content consumed. */
+  private def readEntry(in: InputStream, file: String, idx: Int): TarEntry = {
+    val hdr = new Array[Byte](Block)
+    val got = readFully(in, hdr)
+    if (got == 0) return null // EOF with no terminator: tolerate (gnu tar does)
+    if (got < Block)
+      throw GraftError.DataTransfer(
+        s"$file entry $idx: truncated tar header ($got of $Block bytes)")
+    if (hdr.forall(_ == 0)) { // end-of-archive zero block
+      return null
+    }
+    val stored = octal(hdr, 148, 8, file, idx, "chksum")
+    var sum = 0L
+    var i = 0
+    while (i < Block) {
+      sum += (if (i >= 148 && i < 156) ' '.toInt else hdr(i) & 0xff)
+      i += 1
+    }
+    if (sum != stored)
+      throw GraftError.DataTransfer(
+        s"$file entry $idx: tar header checksum mismatch " +
+          s"(computed $sum, stored $stored) — corrupt shard")
+    val rawName = cstr(hdr, 0, 100)
+    val prefix = cstr(hdr, 345, 155)
+    val name = if (prefix.isEmpty) rawName else s"$prefix/$rawName"
+    val size = octal(hdr, 124, 12, file, idx, "size")
+    val typeflag = hdr(156).toChar
+    val content = new Array[Byte](size.toInt)
+    if (readFully(in, content) < size)
+      throw GraftError.DataTransfer(
+        s"$file entry $idx ('$name'): content cut short of $size bytes")
+    val pad = ((Block - (size % Block)) % Block).toInt
+    if (pad > 0 && readFully(in, new Array[Byte](pad)) < pad)
+      throw GraftError.DataTransfer(
+        s"$file entry $idx ('$name'): missing content padding")
+    if (typeflag != '0' && typeflag != 0.toChar)
+      TarEntry(file, name, null, Array.emptyByteArray, size) // skipped
+    else {
+      // WebDataset key rule: split at the FIRST dot after the last '/'
+      val base = name.lastIndexOf('/') + 1
+      val dot = name.indexOf('.', base)
+      val (key, ext) =
+        if (dot < 0) (name, "") else (name.substring(0, dot),
+          name.substring(dot + 1))
+      TarEntry(file, key, ext, content, size)
+    }
+  }
+
+  private def readFully(in: InputStream, buf: Array[Byte]): Int = {
+    var off = 0
+    while (off < buf.length) {
+      val n = in.read(buf, off, buf.length - off)
+      if (n < 0) return off
+      off += n
+    }
+    off
+  }
+
+  private def cstr(b: Array[Byte], off: Int, len: Int): String = {
+    var end = off
+    val max = off + len
+    while (end < max && b(end) != 0) end += 1
+    new String(b, off, end - off, StandardCharsets.UTF_8)
+  }
+
+  private def octal(b: Array[Byte], off: Int, len: Int,
+                    file: String, idx: Int, field: String): Long = {
+    var v = 0L; var i = off; val max = off + len; var any = false
+    while (i < max && (b(i) == ' ' || b(i) == 0)) i += 1
+    while (i < max && b(i) >= '0' && b(i) <= '7') {
+      v = v * 8 + (b(i) - '0'); i += 1; any = true
+    }
+    if (!any)
+      throw GraftError.DataTransfer(
+        s"$file entry $idx: unparseable octal '$field' header field")
+    v
+  }
+
+  // ----------------------------- write --------------------------------
+
+  /** Writes (keyCol, extCol, contentCol) rows as one `.tar` (or
+    * `.tar.gz` when `gzip`) per partition, sorted within each
+    * partition by (key, ext) so samples are adjacent. By DEFAULT the
+    * rows are first repartitioned BY KEY — a key whose files sit in
+    * different partitions would otherwise land in different shards,
+    * silently splitting the sample (the adjacency reader can only
+    * police splits WITHIN a shard; the gate caught exactly this on a
+    * union-built frame). Pass `repartitionByKey = false` only when
+    * the frame is already key-partitioned and the extra exchange
+    * matters. Content may be binary or string (UTF-8). Returns
+    * entries written. */
+  def write(df: DataFrame, path: String, keyCol: String, extCol: String,
+            contentCol: String, gzip: Boolean = false,
+            overwrite: Boolean = true,
+            repartitionByKey: Boolean = true): Long = {
+    val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
+    val out = new Path(path)
+    if (overwrite && fs.exists(out)) fs.delete(out, true)
+    fs.mkdirs(out)
+    val isBinary = df.schema(contentCol).dataType ==
+      org.apache.spark.sql.types.BinaryType
+    val slim0 = df.select(
+      col(keyCol).cast("string").as("key"),
+      col(extCol).cast("string").as("ext"),
+      (if (isBinary) col(contentCol)
+       else encode(col(contentCol).cast("string"), "UTF-8")).as("content"))
+    val slim = (if (repartitionByKey) slim0.repartition(col("key"))
+                else slim0)
+      .sortWithinPartitions("key", "ext")
+    val suffix = if (gzip) ".tar.gz" else ".tar"
+    slim.rdd.mapPartitionsWithIndex { (idx, rows) =>
+      if (rows.isEmpty) Iterator.empty
+      else {
+        val pfs = FileSystem.get(java.net.URI.create(path), new Configuration())
+        val base = pfs.create(new Path(path, f"part-$idx%05d$suffix"))
+        val stream: java.io.OutputStream =
+          if (gzip) new GZIPOutputStream(base) else base
+        var n = 0L
+        try {
+          rows.foreach { r =>
+            val name = r.getString(0) +
+              (if (r.getString(1).isEmpty) "" else "." + r.getString(1))
+            stream.write(entryBytes(name, r.getAs[Array[Byte]](2)))
+            n += 1
+          }
+          stream.write(new Array[Byte](Block * 2)) // end-of-archive
+        } finally stream.close()
+        Iterator(n)
+      }
+    }.sum().toLong
+  }
+
+  /** One ustar header + padded content. */
+  private[sources] def entryBytes(name: String, content: Array[Byte]): Array[Byte] = {
+    val nameBytes = name.getBytes(StandardCharsets.UTF_8)
+    if (nameBytes.length > 100)
+      throw GraftError.Configuration(
+        s"tar entry name exceeds ustar's 100-byte field: '$name' — " +
+          "WebDataset keys are short by construction; shorten the key")
+    val hdr = new Array[Byte](Block)
+    System.arraycopy(nameBytes, 0, hdr, 0, nameBytes.length)
+    def oct(v: Long, off: Int, len: Int): Unit = {
+      val s = java.lang.Long.toOctalString(v)
+      val padded = ("0" * (len - 1 - s.length)) + s
+      System.arraycopy(padded.getBytes(StandardCharsets.US_ASCII), 0,
+        hdr, off, len - 1)
+      // terminating NUL already zero
+    }
+    oct(420, 100, 8) // mode 0644
+    oct(0, 108, 8); oct(0, 116, 8) // uid, gid
+    oct(content.length.toLong, 124, 12)
+    oct(0, 136, 12) // mtime 0: deterministic shards, byte-stable re-runs
+    hdr(156) = '0' // regular file
+    System.arraycopy("ustar".getBytes(StandardCharsets.US_ASCII), 0, hdr, 257, 5)
+    hdr(263) = '0'; hdr(264) = '0' // version "00"
+    java.util.Arrays.fill(hdr, 148, 156, ' '.toByte)
+    var sum = 0L
+    var i = 0
+    while (i < Block) { sum += hdr(i) & 0xff; i += 1 }
+    val cs = java.lang.Long.toOctalString(sum)
+    val csPadded = ("0" * (6 - cs.length)) + cs
+    System.arraycopy(csPadded.getBytes(StandardCharsets.US_ASCII), 0, hdr, 148, 6)
+    hdr(154) = 0; hdr(155) = ' '
+    val pad = (Block - (content.length % Block)) % Block
+    val outBytes = new Array[Byte](Block + content.length + pad)
+    System.arraycopy(hdr, 0, outBytes, 0, Block)
+    System.arraycopy(content, 0, outBytes, Block, content.length)
+    outBytes
+  }
+}
