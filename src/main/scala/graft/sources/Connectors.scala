@@ -93,7 +93,11 @@ object Connectors {
       case u if u.endsWith(".parquet") => Ref("parquet", body, frag, options)
       case u if u.endsWith(".avro")    => Ref("avro", body, frag, options)
       case u if u.endsWith(".orc")     => Ref("orc", body, frag, options)
-      case u if u.endsWith(".warc") || u.endsWith(".warc.gz") =>
+      case u if u.endsWith(".warc") || u.endsWith(".warc.gz") ||
+          u.endsWith(".warc.zst") || u.endsWith(".wet") ||
+          u.endsWith(".wet.gz") || u.endsWith(".wet.zst") ||
+          u.endsWith(".wat") || u.endsWith(".wat.gz") ||
+          u.endsWith(".wat.zst") =>
         Ref("warc", body, frag, options)
       case u if u.endsWith(".tar") || u.endsWith(".tar.gz") =>
         Ref("tar", body, frag, options)
@@ -106,11 +110,15 @@ object Connectors {
         // unsupported-uri message
         options.get("sourceType") match {
           case Some(t) => t.toLowerCase match {
-            case n @ ("csv" | "json" | "parquet" | "avro" | "orc") =>
+            // warc/tar cover the DIRECTORY-of-shards case the
+            // extension dispatch can't see (a crawl dump or a
+            // WebDataset shard dir has no suffix of its own)
+            case n @ ("csv" | "json" | "parquet" | "avro" | "orc" |
+                      "warc" | "tar") =>
               Ref(n, body, frag, options)
             case _ => throw graft.core.GraftError.Configuration(
               s"unsupported sourceType '$t' for uri '$uri' " +
-                "(expected csv|json|parquet|avro|orc)")
+                "(expected csv|json|parquet|avro|orc|warc|tar)")
           }
           case None => throw UnsupportedUri(uri, Supported)
         }
@@ -129,7 +137,18 @@ object Connectors {
     case "parquet" => spark.read.parquet(ref.path)
     case "avro"    => AvroConnector.read(spark, ref.path)
     case "orc"     => spark.read.orc(ref.path)
-    case "warc"    => WarcSource.read(spark, ref.path)
+    // crawl containers: "#text" selects the curation-facing decoded
+    // shape (response envelopes / conversion records → text + the
+    // X-Robots-Tag consent header), "#wet" the conversion-record-only
+    // WET shape; bare paths keep the full record frame
+    case "warc" =>
+      ref.table match {
+        case Some("text") => WarcSource.readText(spark, ref.path)
+        case Some("wet")  => WarcSource.readWet(spark, ref.path)
+        case Some(other) => throw graft.core.GraftError.Configuration(
+          s"unknown warc fragment '#$other' (expected #text or #wet)")
+        case None => WarcSource.read(spark, ref.path)
+      }
     // WebDataset shards: per-entry rows ("#samples" fragment for the
     // adjacency-grouped one-row-per-sample shape)
     case "tar"     =>

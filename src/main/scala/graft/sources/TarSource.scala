@@ -32,8 +32,15 @@ import graft.core.GraftError
   *    failure WebDataset's layout contract exists to prevent);
   *  - header checksums are VERIFIED (loud mismatch with file + entry
   *    index), truncated entries and a missing end-of-archive are loud,
-  *    non-file entries (directories, links, pax/gnu extension blocks)
-  *    are skipped — they carry no sample bytes;
+  *    non-file entries (directories, links) are skipped — they carry
+  *    no sample bytes;
+  *  - pax (`x`/`g`, POSIX.1-2001) and GNU (`L`/`K`) extension records
+  *    are HONORED, not skipped: they carry the real (>100-byte) name
+  *    of the entry that follows, so third-party shards written by
+  *    GNU/pax tar read back under their FULL keys (r14 verdict: the
+  *    old skip silently truncated them — the silent-wrong-key class).
+  *    A pax `size=` override is honored too (large-entry headers); a
+  *    dangling extension record at end-of-archive is loud;
   *  - `.tar` and `.tar.gz` both parse (JDK GZIPInputStream reads
   *    concatenated members, so member-per-sample gzip also works).
   *
@@ -107,14 +114,29 @@ object TarSource {
     val p = new Path(path)
     val files: Seq[String] =
       if (fs.getFileStatus(p).isFile) Seq(path)
-      else fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
+      else fs.listStatus(p).toSeq.filter(_.isFile)
+        .filterNot(_.getPath.getName.startsWith("_tmp-")) // dead attempts
+        .map(_.getPath.toString)
         .filter(f => f.endsWith(".tar") || f.endsWith(".tar.gz")).sorted
     if (files.isEmpty)
       throw GraftError.Configuration(s"no .tar/.tar.gz shards under $path")
     files
   }
 
-  /** Stream-parses one shard; holds at most one entry's content. */
+  /** One raw header+content block, extension records included. */
+  private final case class Raw(name: String, typeflag: Char,
+                               content: Array[Byte], size: Long)
+
+  /** Stream-parses one shard; holds at most one entry's content.
+    * Extension-record state machine: a GNU `L` record or a pax `x`
+    * `path=` key overrides the NEXT entry's name (whatever its type —
+    * a skipped directory/link consumes its own override); a pax `g`
+    * `path=` sets the global default; a pax `size=` overrides the next
+    * entry's size field (headers whose octal field can't carry it).
+    * GNU `K` (long LINK name) is consumed without effect — it renames
+    * a link target, and links carry no sample bytes, so it must NOT
+    * touch the name override. A dangling override at end-of-archive
+    * is loud. */
   private def entryIterator(file: String): Iterator[TarEntry] = {
     val fs = FileSystem.get(java.net.URI.create(file), new Configuration())
     val raw = fs.open(new Path(file))
@@ -123,24 +145,106 @@ object TarSource {
       else new BufferedInputStream(raw)
     new Iterator[TarEntry] {
       private var idx = 0
+      private var nameOverride: String = null // from 'L' or pax 'x' path=
+      private var sizeOverride: Long = -1L    // from pax 'x' size=
+      private var globalName: String = null   // from pax 'g' path= (rare)
       private var nextE: TarEntry = advance()
       private def advance(): TarEntry = {
-        var e = readEntry(in, file, idx)
-        idx += 1
-        // skip non-file entries (dirs, links, pax/gnu blocks)
-        while (e != null && e.ext == null) { e = readEntry(in, file, idx); idx += 1 }
-        if (e == null) in.close()
-        e
+        while (true) {
+          val e = readRaw(in, file, idx, sizeOverride)
+          idx += 1
+          if (e == null) {
+            if (nameOverride != null)
+              throw GraftError.DataTransfer(
+                s"$file: dangling pax/GNU long-name record at " +
+                  "end-of-archive — the entry it names is missing")
+            in.close()
+            return null
+          }
+          e.typeflag match {
+            case 'L' => // GNU longname: content IS the next entry's name
+              nameOverride = nulTrimmed(e.content, file, idx - 1)
+            case 'K' => // GNU longlink: renames a link target; consumed
+              ()
+            case 'x' => // pax per-entry: path= / size= keys
+              val kv = paxRecords(e.content, file, idx - 1)
+              kv.get("path").foreach(nameOverride = _)
+              kv.get("size").foreach(s => sizeOverride = s.toLong)
+            case 'g' => // pax global default
+              paxRecords(e.content, file, idx - 1).get("path")
+                .foreach(globalName = _)
+            case '0' | '\u0000' =>
+              val name =
+                if (nameOverride != null) nameOverride
+                else if (globalName != null) globalName
+                else e.name
+              nameOverride = null; sizeOverride = -1L
+              // WebDataset key rule: split at the FIRST dot after the
+              // last '/'
+              val base = name.lastIndexOf('/') + 1
+              val dot = name.indexOf('.', base)
+              val (key, ext) =
+                if (dot < 0) (name, "")
+                else (name.substring(0, dot), name.substring(dot + 1))
+              return TarEntry(file, key, ext, e.content, e.size)
+            case _ => // dir/link/fifo/…: consumes its own override
+              nameOverride = null; sizeOverride = -1L
+          }
+        }
+        null // unreachable
       }
       override def hasNext: Boolean = nextE != null
       override def next(): TarEntry = { val r = nextE; nextE = advance(); r }
     }
   }
 
-  /** Reads one header+content; null at end-of-archive. An entry whose
-    * typeflag is not a regular file returns ext = null (skipped by the
-    * iterator) with its content consumed. */
-  private def readEntry(in: InputStream, file: String, idx: Int): TarEntry = {
+  /** The content of a GNU 'L'/'K' record: a NUL-terminated name. */
+  private def nulTrimmed(b: Array[Byte], file: String, idx: Int): String = {
+    var end = b.length
+    while (end > 0 && b(end - 1) == 0) end -= 1
+    if (end == 0)
+      throw GraftError.DataTransfer(
+        s"$file entry $idx: empty GNU long-name record")
+    new String(b, 0, end, StandardCharsets.UTF_8)
+  }
+
+  /** Parses pax extended-header records: each is
+    * `"<len> <key>=<value>\n"` where `<len>` is the DECIMAL byte
+    * length of the whole record including itself, the space, and the
+    * trailing newline (POSIX.1-2001 pax(1)). Malformed framing is
+    * loud — a mis-framed record would silently shift every following
+    * key. */
+  private def paxRecords(b: Array[Byte], file: String,
+                         idx: Int): Map[String, String] = {
+    var off = 0
+    var out = Map.empty[String, String]
+    while (off < b.length) {
+      var i = off
+      var len = 0L
+      while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+        len = len * 10 + (b(i) - '0'); i += 1
+      }
+      if (i == off || i >= b.length || b(i) != ' ' || len <= 0 ||
+          off + len > b.length || b((off + len - 1).toInt) != '\n')
+        throw GraftError.DataTransfer(
+          s"$file entry $idx: malformed pax record framing at byte $off")
+      val rec = new String(b, i + 1, (off + len - 1 - (i + 1)).toInt,
+        StandardCharsets.UTF_8)
+      val eq = rec.indexOf('=')
+      if (eq < 0)
+        throw GraftError.DataTransfer(
+          s"$file entry $idx: pax record without '=' at byte $off")
+      out += (rec.substring(0, eq) -> rec.substring(eq + 1))
+      off += len.toInt
+    }
+    out
+  }
+
+  /** Reads one header+content; null at end-of-archive. `sizeOverride`
+    * (>= 0) replaces the header's octal size field — the pax `size=`
+    * path for entries whose size outgrows the 12-byte octal field. */
+  private def readRaw(in: InputStream, file: String, idx: Int,
+                      sizeOverride: Long): Raw = {
     val hdr = new Array[Byte](Block)
     val got = readFully(in, hdr)
     if (got == 0) return null // EOF with no terminator: tolerate (gnu tar does)
@@ -164,8 +268,18 @@ object TarSource {
     val rawName = cstr(hdr, 0, 100)
     val prefix = cstr(hdr, 345, 155)
     val name = if (prefix.isEmpty) rawName else s"$prefix/$rawName"
-    val size = octal(hdr, 124, 12, file, idx, "size")
     val typeflag = hdr(156).toChar
+    // an extension record's own size is always in ITS header; the pax
+    // size= override applies to the entry that FOLLOWS it
+    val isExt = typeflag == 'x' || typeflag == 'g' || typeflag == 'L' ||
+      typeflag == 'K'
+    val size =
+      if (sizeOverride >= 0 && !isExt) sizeOverride
+      else octal(hdr, 124, 12, file, idx, "size")
+    if (size > Int.MaxValue - 8) // mirror WarcSource's single-record bound
+      throw GraftError.DataTransfer(
+        s"$file entry $idx ('$name'): entry size $size exceeds the " +
+          "2 GiB single-entry bound — split the sample")
     val content = new Array[Byte](size.toInt)
     if (readFully(in, content) < size)
       throw GraftError.DataTransfer(
@@ -174,17 +288,7 @@ object TarSource {
     if (pad > 0 && readFully(in, new Array[Byte](pad)) < pad)
       throw GraftError.DataTransfer(
         s"$file entry $idx ('$name'): missing content padding")
-    if (typeflag != '0' && typeflag != 0.toChar)
-      TarEntry(file, name, null, Array.emptyByteArray, size) // skipped
-    else {
-      // WebDataset key rule: split at the FIRST dot after the last '/'
-      val base = name.lastIndexOf('/') + 1
-      val dot = name.indexOf('.', base)
-      val (key, ext) =
-        if (dot < 0) (name, "") else (name.substring(0, dot),
-          name.substring(dot + 1))
-      TarEntry(file, key, ext, content, size)
-    }
+    Raw(name, typeflag, content, size)
   }
 
   private def readFully(in: InputStream, buf: Array[Byte]): Int = {
@@ -253,7 +357,15 @@ object TarSource {
       if (rows.isEmpty) Iterator.empty
       else {
         val pfs = FileSystem.get(java.net.URI.create(path), new Configuration())
-        val base = pfs.create(new Path(path, f"part-$idx%05d$suffix"))
+        // task-attempt temp + rename commit: a speculative or retried
+        // attempt writing the FINAL name concurrently would interleave
+        // into a corrupt shard — each attempt owns a unique temp file
+        // and the first rename wins (the loser sees the target exists
+        // and discards its temp)
+        val target = new Path(path, f"part-$idx%05d$suffix")
+        val tmp = new Path(path,
+          f"_tmp-part-$idx%05d-attempt-${taskAttemptId()}$suffix")
+        val base = pfs.create(tmp, true)
         val stream: java.io.OutputStream =
           if (gzip) new GZIPOutputStream(base) else base
         var n = 0L
@@ -266,10 +378,31 @@ object TarSource {
           }
           stream.write(new Array[Byte](Block * 2)) // end-of-archive
         } finally stream.close()
+        commitTemp(pfs, tmp, target)
         Iterator(n)
       }
     }.sum().toLong
   }
+
+  /** Rename-commit shared by the tar and WARC sinks: first attempt to
+    * land `target` wins; a losing (speculative/retried) attempt
+    * deletes its temp and moves on. */
+  private[sources] def commitTemp(fs: FileSystem, tmp: Path,
+                                  target: Path): Unit = {
+    if (!fs.rename(tmp, target)) {
+      fs.delete(tmp, false)
+      if (!fs.exists(target))
+        throw GraftError.DataTransfer(
+          s"could not commit $tmp to $target (rename failed and no " +
+            "winner exists)")
+    }
+  }
+
+  /** Unique per task ATTEMPT (not per partition) — distinguishes a
+    * retry from the original; 0 outside a task (driver-side tests). */
+  private[sources] def taskAttemptId(): Long =
+    Option(org.apache.spark.TaskContext.get()).map(_.taskAttemptId())
+      .getOrElse(0L)
 
   /** One ustar header + padded content. */
   private[sources] def entryBytes(name: String, content: Array[Byte]): Array[Byte] = {

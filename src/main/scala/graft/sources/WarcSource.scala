@@ -28,9 +28,18 @@ import graft.core.GraftError
   *    envelope yields NULL http_* fields with the raw content intact —
   *    the web is full of broken responses and a crawl read must not
   *    die on one (same lenient-decode posture as audioStats);
-  *  - both plain `.warc` and gzipped `.warc.gz` parse; gzip may be one
-  *    stream or the Common Crawl convention of ONE GZIP MEMBER PER
-  *    RECORD (JDK GZIPInputStream reads concatenated members);
+  *  - the full HTTP header map of a well-formed envelope is surfaced
+  *    as `http_headers` (lowercased names) — `X-Robots-Tag` consent
+  *    directives, cache headers, and content-language all ride there;
+  *  - plain `.warc`, gzipped `.warc.gz`, AND zstd `.warc.zst` parse
+  *    (Common Crawl's newer compression; zstd-jni ships on Spark's
+  *    classpath, continuous mode reads frame-per-record files); gzip
+  *    may be one stream or the Common Crawl convention of ONE GZIP
+  *    MEMBER PER RECORD (JDK GZIPInputStream reads concatenated
+  *    members); `.wet(.gz)` and `.wat(.gz)` sidecar files parse with
+  *    the same framing (they ARE WARC — `conversion`/`metadata`
+  *    records), and [[readWet]]/[[readText]] surface the text shape a
+  *    curation pipeline starts from;
   *  - structural damage — a record not starting `WARC/`, a missing or
   *    non-numeric Content-Length, content cut short by EOF — fails
   *    LOUDLY with the file and record index (house convention: no
@@ -42,7 +51,11 @@ import graft.core.GraftError
   * are written either as bare `resource` records or wrapped in an
   * `application/http; msgtype=response` envelope (`asHttpResponse`),
   * which is the shape crawlers emit. Record ids are deterministic
-  * (name-UUID of uri + date) so a re-run is byte-stable.
+  * (name-UUID of uri + date + partition:ordinal — the discriminator
+  * keeps re-crawled duplicates of one URI globally unique per ISO
+  * 28500 §5.2) so a re-run is byte-stable. Each task writes a
+  * task-attempt temp file and rename-commits, so speculative or
+  * retried attempts can never interleave into a corrupt member.
   *
   * Scale design: parallelism is FILE-granular — a Common Crawl dump is
   * ~64k files of ~1 GiB each, so a 100 TB read fans out across the
@@ -55,7 +68,10 @@ import graft.core.GraftError
 object WarcSource {
 
   /** One parsed WARC record. `http_*` fields are populated only for
-    * `application/http` records with a well-formed envelope. */
+    * `application/http` records with a well-formed envelope;
+    * `http_headers` carries the envelope's full header map with
+    * LOWERCASED names (HTTP header names are case-insensitive), empty
+    * for non-HTTP records and malformed envelopes. */
   final case class WarcRecord(
       file: String,
       record_id: String,
@@ -66,25 +82,71 @@ object WarcSource {
       content: Array[Byte],
       http_status: Option[Int],
       http_content_type: Option[String],
+      http_headers: Map[String, String],
       http_body: Option[Array[Byte]])
+
+  /** Crawl container extensions this source parses: the WARC family
+    * plus Common Crawl's WET (extracted text, `conversion` records)
+    * and WAT (metadata) sidecars, each plain / gzip / zstd. */
+  private val Extensions = Seq(
+    ".warc", ".warc.gz", ".warc.zst",
+    ".wet", ".wet.gz", ".wet.zst",
+    ".wat", ".wat.gz", ".wat.zst")
 
   // ----------------------------- read ---------------------------------
 
-  /** Reads every `.warc` / `.warc.gz` under `path` (or the single file
+  /** Reads every WARC-family file under `path` (or the single file
     * `path` itself) into one record-per-row DataFrame. */
   def read(spark: SparkSession, path: String): DataFrame = {
     val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
     val p = new Path(path)
     val files: Seq[String] =
       if (fs.getFileStatus(p).isFile) Seq(path)
-      else fs.listStatus(p).toSeq.filter(_.isFile).map(_.getPath.toString)
-        .filter(f => f.endsWith(".warc") || f.endsWith(".warc.gz")).sorted
+      else fs.listStatus(p).toSeq.filter(_.isFile)
+        .filterNot(_.getPath.getName.startsWith("_tmp-")) // dead attempts
+        .map(_.getPath.toString)
+        .filter(f => Extensions.exists(f.endsWith)).sorted
     if (files.isEmpty)
-      throw GraftError.Configuration(s"no .warc/.warc.gz files under $path")
+      throw GraftError.Configuration(
+        s"no ${Extensions.mkString("/")} files under $path")
     val rdd = spark.sparkContext
       .parallelize(files, files.size)
       .flatMap(f => parseFile(f))
     spark.createDataset(rdd)(Encoders.product[WarcRecord]).toDF()
+  }
+
+  /** The text shape a curation pipeline starts from: one row per
+    * content-bearing record with `text` decoded as UTF-8 — a
+    * `response` record's envelope body, or a `conversion`/`resource`
+    * record's content block. A response whose envelope failed to parse
+    * gets NULL text (its bytes are headers+garbage, not a document);
+    * `x_robots` surfaces the envelope's `X-Robots-Tag` consent header
+    * (NULL when absent) so the consent stage downstream is a pure
+    * per-row filter. Pure projection over [[read]] — streams, no
+    * shuffle. */
+  def readText(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    read(spark, path)
+      .filter(col("warc_type").isin("response", "conversion", "resource"))
+      .select(
+        col("file"), col("record_id"), col("warc_type"),
+        col("target_uri"), col("warc_date"), col("http_status"),
+        element_at(col("http_headers"), "x-robots-tag").as("x_robots"),
+        when(col("warc_type") === "response",
+          decode(col("http_body"), "UTF-8"))
+          .otherwise(decode(col("content"), "UTF-8")).as("text"))
+  }
+
+  /** WET convenience: Common Crawl's extracted-text sidecars are WARC
+    * files of `conversion` records whose content IS the page text —
+    * the cheapest corpus entry point (no HTML strip needed). One row
+    * per document: (file, record_id, target_uri, warc_date, text). */
+  def readWet(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    read(spark, path)
+      .filter(col("warc_type") === "conversion")
+      .select(col("file"), col("record_id"), col("target_uri"),
+        col("warc_date"), decode(col("content"), "UTF-8").as("text"))
   }
 
   /** Stream-parses one file; an Iterator so a task never holds more
@@ -94,6 +156,14 @@ object WarcSource {
     val raw = fs.open(new Path(file))
     val in: InputStream =
       if (file.endsWith(".gz")) new GZIPInputStream(new BufferedInputStream(raw))
+      else if (file.endsWith(".zst")) {
+        // continuous mode: a frame-per-record file (the zstd analogue
+        // of CC's member-per-record gzip) reads as one stream
+        val z = new com.github.luben.zstd.ZstdInputStream(
+          new BufferedInputStream(raw))
+        z.setContinuous(true)
+        z
+      }
       else new BufferedInputStream(raw)
     new Iterator[WarcRecord] {
       private var idx = 0
@@ -155,10 +225,10 @@ object WarcSource {
       off += n
     }
     val ctype = headers.getOrElse("content-type", "")
-    val (st, hct, body) =
+    val (st, hct, hmap, body) =
       if (ctype.toLowerCase.startsWith("application/http"))
         parseHttpEnvelope(content)
-      else (None, None, None)
+      else (None, None, Map.empty[String, String], None)
     WarcRecord(
       file = file,
       record_id = headers.getOrElse("warc-record-id", ""),
@@ -169,16 +239,22 @@ object WarcSource {
       content = content,
       http_status = st,
       http_content_type = hct,
+      http_headers = hmap,
       http_body = body)
   }
 
   /** Splits an HTTP message at its first blank line; the status line
     * and headers are ASCII, the body is opaque bytes (Content-Length
-    * inside the envelope is NOT trusted — the WARC frame governs). */
+    * inside the envelope is NOT trusted — the WARC frame governs).
+    * Returns (status, content-type, full lowercased header map, body);
+    * a repeated header folds to a comma-joined value (RFC 9110 §5.2 —
+    * `X-Robots-Tag` is commonly emitted once per directive). */
   private[sources] def parseHttpEnvelope(content: Array[Byte])
-      : (Option[Int], Option[String], Option[Array[Byte]]) = {
+      : (Option[Int], Option[String], Map[String, String],
+         Option[Array[Byte]]) = {
+    val none = (None, None, Map.empty[String, String], None)
     val sep = indexOfBlankLine(content)
-    if (sep._1 < 0) return (None, None, None)
+    if (sep._1 < 0) return none
     val head = new String(content, 0, sep._1, StandardCharsets.ISO_8859_1)
     val body = java.util.Arrays.copyOfRange(content, sep._2, content.length)
     val lines = head.split("\r?\n")
@@ -191,12 +267,17 @@ object WarcSource {
         }
       case _ => None
     }
-    if (status.isEmpty) return (None, None, None)
-    val hct = lines.drop(1).collectFirst {
-      case l if l.toLowerCase.startsWith("content-type:") =>
-        l.substring(l.indexOf(':') + 1).trim
+    if (status.isEmpty) return none
+    var hmap = Map.empty[String, String]
+    lines.drop(1).foreach { l =>
+      val c = l.indexOf(':')
+      if (c > 0) {
+        val k = l.substring(0, c).trim.toLowerCase
+        val v = l.substring(c + 1).trim
+        hmap += (k -> hmap.get(k).map(_ + ", " + v).getOrElse(v))
+      }
     }
-    (status, hct, Some(body))
+    (status, hmap.get("content-type"), hmap, Some(body))
   }
 
   /** Byte offset of the first `\r\n\r\n` (or lone `\n\n`): returns
@@ -251,10 +332,16 @@ object WarcSource {
       if (rows.isEmpty) Iterator.empty
       else {
         val pfs = FileSystem.get(java.net.URI.create(path), new Configuration())
-        val stream = pfs.create(new Path(path, f"part-$idx%05d.warc.gz"))
+        // task-attempt temp + rename commit (shared with TarSource): a
+        // speculative/retried attempt must never interleave bytes into
+        // the final file
+        val target = new Path(path, f"part-$idx%05d.warc.gz")
+        val tmp = new Path(path,
+          f"_tmp-part-$idx%05d-attempt-${TarSource.taskAttemptId()}.warc.gz")
+        val stream = pfs.create(tmp, true)
         var n = 0L
         try {
-          stream.write(gzipMember(warcinfoRecord(warcDate)))
+          stream.write(gzipMember(warcinfoRecord(warcDate, s"part$idx")))
           rows.foreach { r =>
             val uri = r.getString(0)
             val payload = r.getAs[Array[Byte]](1)
@@ -265,10 +352,16 @@ object WarcSource {
               if (asHttpResponse) "response" else "resource", uri, warcDate,
               if (asHttpResponse) "application/http; msgtype=response"
               else httpContentType,
-              block)))
+              block,
+              // partition + ordinal discriminator: ISO 28500 requires
+              // GLOBALLY unique record ids, and a batch that re-crawls
+              // one URI twice would otherwise mint twins; deterministic
+              // under a fixed partitioning, so re-runs stay byte-stable
+              discriminator = s"$idx:$n")))
             n += 1
           }
         } finally stream.close()
+        TarSource.commitTemp(pfs, tmp, target)
         Iterator(n)
       }
     }.sum().toLong
@@ -298,19 +391,20 @@ object WarcSource {
     b
   }
 
-  private def warcinfoRecord(date: String): Array[Byte] = {
+  private def warcinfoRecord(date: String,
+                             discriminator: String): Array[Byte] = {
     val body = ("software: graft\r\nformat: WARC File Format 1.0\r\n")
       .getBytes(StandardCharsets.UTF_8)
     recordBytes("warcinfo", uri = null, date,
-      "application/warc-fields", body)
+      "application/warc-fields", body, discriminator)
   }
 
   private def recordBytes(warcType: String, uri: String, date: String,
-                          contentType: String,
-                          content: Array[Byte]): Array[Byte] = {
+                          contentType: String, content: Array[Byte],
+                          discriminator: String): Array[Byte] = {
     val id = java.util.UUID.nameUUIDFromBytes(
-      (warcType + "|" + Option(uri).getOrElse("") + "|" + date)
-        .getBytes(StandardCharsets.UTF_8))
+      (warcType + "|" + Option(uri).getOrElse("") + "|" + date + "|" +
+        discriminator).getBytes(StandardCharsets.UTF_8))
     val sb = new StringBuilder
     sb.append("WARC/1.0\r\n")
     sb.append(s"WARC-Type: $warcType\r\n")

@@ -79,6 +79,115 @@ class TarSpec extends SparkSpec {
       s"got $back")
   }
 
+  test("pax/GNU long names are HONORED: /usr/bin/tar archives with " +
+      ">100-byte paths read back under their FULL keys in both " +
+      "--format=gnu (typeflag L) and --format=pax (typeflag x)") {
+    assume(Files.exists(Paths.get("/usr/bin/tar")), "no system tar")
+    // a path comfortably past ustar's 100-byte name field
+    val deep = ("verylongdirectoryname-" + ("x" * 40)) + "/" +
+      ("anotherverylongsegment-" + ("y" * 40))
+    val src = tmpDir("tar_long_src")
+    Files.createDirectories(Paths.get(src, deep))
+    Files.write(Paths.get(src, deep, "sample0.txt"), "long body".getBytes("UTF-8"))
+    Files.write(Paths.get(src, deep, "sample0.json"), """{"k":0}""".getBytes("UTF-8"))
+    for (fmt <- Seq("gnu", "pax")) {
+      val ar = Paths.get(tmpDir(s"tar_long_$fmt"), s"$fmt.tar").toString
+      val p = new ProcessBuilder("/usr/bin/tar", s"--format=$fmt", "-cf", ar,
+        "-C", src, deep).redirectErrorStream(true).start()
+      assert(p.waitFor() == 0, s"tar --format=$fmt failed")
+      val back = TarSource.read(spark, ar)
+        .collect().map(r => (r.getString(1), r.getString(2),
+          new String(r.getAs[Array[Byte]]("content"), "UTF-8"))).toSet
+      val fullKey = s"$deep/sample0"
+      assert(fullKey.length > 100, s"fixture too short: ${fullKey.length}")
+      assert(back == Set((fullKey, "txt", "long body"),
+        (fullKey, "json", """{"k":0}""")), s"[$fmt] got $back")
+      // adjacency grouping sees ONE sample under the full key
+      val samples = TarSource.readSamples(spark, ar).collect()
+      assert(samples.length == 1 && samples.head.getString(1) == fullKey)
+    }
+  }
+
+  test("a dangling GNU long-name record at end-of-archive is LOUD, " +
+      "and a malformed pax record is LOUD") {
+    val dir = tmpDir("tar_dangle")
+    // entryBytes builds a regular-file header; patch the typeflag to
+    // 'L' so the archive ends on a name-carrying record with no friend
+    val lRec = TarSource.entryBytes("././@LongLink", "somename.txt\u0000".getBytes)
+    patchTypeflag(lRec, 'L')
+    val dangling = Paths.get(dir, "dangling.tar")
+    Files.write(dangling, lRec ++ new Array[Byte](1024))
+    val e1 = intercept[Exception] {
+      TarSource.read(spark, dangling.toString).count() }
+    assert((e1.getMessage + Option(e1.getCause).map(_.getMessage).mkString)
+      .contains("dangling"), e1.getMessage)
+    // malformed pax framing: record length lies
+    val paxBody = "999 path=short\n".getBytes("UTF-8")
+    val xRec = TarSource.entryBytes("pax_header", paxBody)
+    patchTypeflag(xRec, 'x')
+    val follower = TarSource.entryBytes("fallback.txt", "b".getBytes)
+    val badPax = Paths.get(dir, "badpax.tar")
+    Files.write(badPax, xRec ++ follower ++ new Array[Byte](1024))
+    val e2 = intercept[Exception] {
+      TarSource.read(spark, badPax.toString).count() }
+    assert((e2.getMessage + Option(e2.getCause).map(_.getMessage).mkString)
+      .contains("pax record"), e2.getMessage)
+  }
+
+  test("hand-built extension records: GNU L renames the next entry; " +
+      "pax x path= wins over the header name; a skipped directory " +
+      "consumes its own override instead of leaking it") {
+    val dir = tmpDir("tar_ext")
+    val longName = ("d" * 60) + "/" + ("e" * 60) + "/key42.txt"
+    // [L rec naming longName][placeholder entry] → reads as longName
+    val lRec = TarSource.entryBytes("././@LongLink",
+      (longName + "\u0000").getBytes("UTF-8"))
+    patchTypeflag(lRec, 'L')
+    val placeholder = TarSource.entryBytes(longName.take(100), "v".getBytes)
+    // pax x: "<len> path=<name>\n" with the length self-inclusive
+    val paxName = ("p" * 70) + "/" + ("q" * 70) + "/key7.json"
+    val paxRecord = {
+      val kv = s" path=$paxName\n"
+      // len = digits + kv; two-pass because len includes its own width
+      var len = kv.length + 2
+      if ((len.toString.length + kv.length) != len) len = kv.length + 3
+      s"$len$kv".getBytes("UTF-8")
+    }
+    val xRec = TarSource.entryBytes("PaxHeaders.0/key7", paxRecord)
+    patchTypeflag(xRec, 'x')
+    val paxFollower = TarSource.entryBytes(paxName.take(100), "w".getBytes)
+    // a directory whose own name came from an L record: the override
+    // must die with the directory, not leak onto the next file
+    val dirL = TarSource.entryBytes("././@LongLink",
+      (("z" * 120) + "/\u0000").getBytes("UTF-8"))
+    patchTypeflag(dirL, 'L')
+    val dirEntry = TarSource.entryBytes(("z" * 99) + "/", Array.emptyByteArray)
+    patchTypeflag(dirEntry, '5')
+    val plain = TarSource.entryBytes("plain.txt", "p".getBytes)
+    val ar = Paths.get(dir, "ext.tar")
+    Files.write(ar, lRec ++ placeholder ++ xRec ++ paxFollower ++
+      dirL ++ dirEntry ++ plain ++ new Array[Byte](1024))
+    val back = TarSource.read(spark, ar.toString).collect()
+      .map(r => (r.getString(1), r.getString(2))).toSet
+    assert(back == Set(
+      (longName.stripSuffix(".txt"), "txt"),
+      (paxName.stripSuffix(".json"), "json"),
+      ("plain", "txt")), s"got $back")
+  }
+
+  /** Re-stamps an entryBytes header with a new typeflag and fixes the
+    * checksum (entryBytes always writes '0'). */
+  private def patchTypeflag(block: Array[Byte], tf: Char): Unit = {
+    block(156) = tf.toByte
+    java.util.Arrays.fill(block, 148, 156, ' '.toByte)
+    var sum = 0L
+    (0 until 512).foreach(i => sum += block(i) & 0xff)
+    val cs = java.lang.Long.toOctalString(sum)
+    val padded = ("0" * (6 - cs.length)) + cs
+    System.arraycopy(padded.getBytes("US-ASCII"), 0, block, 148, 6)
+    block(154) = 0; block(155) = ' '.toByte
+  }
+
   test("URI dispatch: .tar routes through Connectors; '#samples' " +
       "selects the adjacency-grouped shape") {
     val out = tmpDir("tar_dispatch")

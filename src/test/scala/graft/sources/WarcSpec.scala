@@ -155,6 +155,127 @@ class WarcSpec extends SparkSpec {
       StandardCharsets.UTF_8) == "lf")
   }
 
+  test("WET sidecars parse: conversion records surface as " +
+      "(target_uri, text) through readWet and the #wet fragment") {
+    val dir = tmpDir("warc_wet")
+    val txt = "Extracted page text.\nSecond line."
+    val bytes =
+      rec("warcinfo", null, "wet-extractor".getBytes(StandardCharsets.UTF_8),
+        contentType = "application/warc-fields") ++
+      rec("conversion", "http://x.test/page1",
+        txt.getBytes(StandardCharsets.UTF_8)) ++
+      rec("conversion", "http://x.test/page2",
+        "other".getBytes(StandardCharsets.UTF_8))
+    val gz = new java.io.ByteArrayOutputStream()
+    val g = new GZIPOutputStream(gz); g.write(bytes); g.close()
+    writeFile(dir, "crawl.wet.gz", gz.toByteArray)
+    val wet = WarcSource.readWet(spark, dir).collect()
+      .map(r => (r.getAs[String]("target_uri"), r.getAs[String]("text")))
+      .sortBy(_._1)
+    assert(wet.toSeq == Seq("http://x.test/page1" -> txt,
+      "http://x.test/page2" -> "other"))
+    val viaFrag = Connectors.read(spark, s"$dir/crawl.wet.gz#wet")
+    assert(viaFrag.columns.toSeq ==
+      Seq("file", "record_id", "target_uri", "warc_date", "text"))
+    assert(viaFrag.count() == 2)
+    // a DIRECTORY of shards has no extension to dispatch on — the
+    // sourceType option covers it (the curation-YAML crawl-dir shape)
+    val viaDir = Connectors.read(spark, s"$dir#wet",
+      Map("sourceType" -> "warc"))
+    assert(viaDir.count() == 2)
+  }
+
+  test(".warc.zst parses — single frame AND frame-per-record " +
+      "(continuous mode), byte-identical to the gzip read") {
+    val r1 = rec("resource", "http://x.test/z1",
+      "zstd one".getBytes(StandardCharsets.UTF_8))
+    val r2 = rec("resource", "http://x.test/z2",
+      "zstd two".getBytes(StandardCharsets.UTF_8))
+    // one stream
+    val d1 = tmpDir("warc_zst1")
+    writeFile(d1, "one.warc.zst",
+      com.github.luben.zstd.Zstd.compress(r1 ++ r2))
+    // frame per record (the member-per-record analogue)
+    val d2 = tmpDir("warc_zst2")
+    writeFile(d2, "per-rec.warc.zst",
+      com.github.luben.zstd.Zstd.compress(r1) ++
+        com.github.luben.zstd.Zstd.compress(r2))
+    for (d <- Seq(d1, d2)) {
+      val got = WarcSource.read(spark, d)
+        .select("target_uri", "content").collect()
+        .map(r => (r.getString(0), new String(r.getAs[Array[Byte]](1),
+          StandardCharsets.UTF_8))).sortBy(_._1).toSeq
+      assert(got == Seq("http://x.test/z1" -> "zstd one",
+        "http://x.test/z2" -> "zstd two"), s"dir $d")
+    }
+  }
+
+  test("http_headers carries the FULL lowercased envelope map; " +
+      "X-Robots-Tag surfaces through readText/#text as x_robots, and " +
+      "repeated headers comma-fold") {
+    val dir = tmpDir("warc_xrobots")
+    val body = "page body".getBytes(StandardCharsets.UTF_8)
+    val env = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+      "X-Robots-Tag: noai\r\nX-ROBOTS-TAG: noindex\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ body
+    writeFile(dir, "f.warc",
+      rec("response", "http://x.test/r", env,
+        contentType = "application/http; msgtype=response"))
+    val full = WarcSource.read(spark, dir).collect().head
+    val hm = full.getMap[String, String](full.fieldIndex("http_headers"))
+    assert(hm("x-robots-tag") == "noai, noindex")
+    assert(hm("content-type") == "text/html")
+    val t = Connectors.read(spark, s"$dir/f.warc#text").collect().head
+    assert(t.getAs[String]("x_robots") == "noai, noindex")
+    assert(t.getAs[String]("text") == "page body")
+  }
+
+  test("readText: responses decode the envelope body, conversions the " +
+      "content, and a MALFORMED response gets NULL text (its bytes " +
+      "are not a document)") {
+    val dir = tmpDir("warc_readtext")
+    val goodEnv = ("HTTP/1.1 200 OK\r\n\r\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++
+      "good".getBytes(StandardCharsets.UTF_8)
+    writeFile(dir, "f.warc",
+      rec("response", "http://x.test/good", goodEnv,
+        contentType = "application/http; msgtype=response") ++
+      rec("conversion", "http://x.test/conv",
+        "conv text".getBytes(StandardCharsets.UTF_8)) ++
+      rec("response", "http://x.test/broken",
+        "no envelope here".getBytes(StandardCharsets.UTF_8),
+        contentType = "application/http; msgtype=response") ++
+      rec("metadata", "http://x.test/meta",
+        "{}".getBytes(StandardCharsets.UTF_8)))
+    val got = WarcSource.readText(spark, dir).collect()
+      .map(r => (r.getAs[String]("target_uri"), r.getAs[String]("text")))
+      .toMap
+    assert(got == Map(
+      "http://x.test/good" -> "good",
+      "http://x.test/conv" -> "conv text",
+      "http://x.test/broken" -> null)) // metadata records filtered out
+  }
+
+  test("record ids are globally unique even when one URI repeats in a " +
+      "batch (re-crawl), and stay deterministic across re-runs") {
+    import spark.implicits._
+    val df = Seq(("http://x.test/same", "crawl one"),
+      ("http://x.test/same", "crawl two")).toDF("uri", "payload")
+      .repartition(1)
+    val d1 = tmpDir("warc_uniq1"); val d2 = tmpDir("warc_uniq2")
+    WarcSource.write(df, d1, "uri", "payload")
+    WarcSource.write(df, d2, "uri", "payload")
+    val ids1 = WarcSource.read(spark, d1).select("record_id")
+      .collect().map(_.getString(0)).sorted
+    assert(ids1.distinct.length == 3, s"dup record ids: ${ids1.toSeq}")
+    val ids2 = WarcSource.read(spark, d2).select("record_id")
+      .collect().map(_.getString(0)).sorted
+    assert(ids1.toSeq == ids2.toSeq, "re-run must be deterministic")
+    // no temp litter from the rename commit
+    assert(!Files.list(Paths.get(d1)).toArray.map(_.toString)
+      .exists(_.contains("_tmp-")))
+  }
+
   test("writer is deterministic: two writes of the same rows produce " +
       "byte-identical files (stable record ids, stable date)") {
     import spark.implicits._
