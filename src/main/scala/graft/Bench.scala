@@ -34,12 +34,23 @@ object Bench {
   /** Contention tripwire (round-14): the round-13 artifact was taken
     * while compile/test jobs shared the box and read ~25% hot — a
     * paper-trail failure the measurement discipline is supposed to
-    * prevent. This compares the run's warm total against the LAST
-    * same-sf entry in bench_history.jsonl over the queries BOTH runs
-    * measured (query sets grow round over round), and the artifact is
-    * stamped `"contended": true` + a stderr warning when the shared
-    * total drifted above `threshold`. Pure so the trigger logic is
-    * unit-tested; `minShared` avoids verdicts from tiny overlaps. */
+    * prevent. This compares the run's warm total against the baseline
+    * over the queries BOTH measured (query sets grow round over
+    * round), and the artifact is stamped `"contended": true` + a
+    * stderr warning when the shared total drifted above `threshold`.
+    * Pure so the trigger logic is unit-tested; `minShared` avoids
+    * verdicts from tiny overlaps.
+    *
+    * Round-15 fix (r14 What's-wrong #2): the baseline is the
+    * PER-QUERY MIN over the last `HistoryDepth` same-sf history
+    * entries, not the immediately-preceding entry — two consecutive
+    * drifted runs were laundering each other (each ~10% above its
+    * drifted predecessor, never 20% above anything), so the committed
+    * r14 artifact carried `"contended": false` while sitting ~20% hot
+    * against the figure of record. Comparing to the min of a window
+    * makes the figure of record the effective base. */
+  private[graft] val HistoryDepth = 3
+
   private[graft] def contentionRatio(cur: Map[String, Double],
                                      prev: Map[String, Double],
                                      minShared: Int = 10): Option[Double] = {
@@ -50,6 +61,13 @@ object Bench {
       if (p <= 0) None else Some(shared.toSeq.map(cur).sum / p)
     }
   }
+
+  /** Per-query minimum across history entries — the laundering-proof
+    * comparison base ([[contentionRatio]]'s `prev`). A query missing
+    * from some entries takes the min over the entries that have it. */
+  private[graft] def minBaseline(entries: Seq[Map[String, Double]])
+      : Map[String, Double] =
+    entries.flatten.groupMapReduce(_._1)(_._2)(math.min)
 
   /** Registered end-to-end pipeline benches: committed example stage
     * lists. `--pipeline=NAME` selects one; bare `--pipeline` and
@@ -263,20 +281,25 @@ object Bench {
     // no-op'ing when the repo lives anywhere but /root/repo
     val histFile = java.nio.file.Paths.get("bench_history.jsonl")
       .toAbsolutePath
-    val baseline: Map[String, Double] =
+    // last HistoryDepth same-sf entries, newest first: head drives the
+    // mover detection (round-over-round), the per-query MIN over the
+    // window drives the contention tripwire (see contentionRatio doc)
+    val history: Seq[Map[String, Double]] =
       if (queryArgs.nonEmpty || !java.nio.file.Files.exists(histFile))
-        Map.empty
+        Nil
       else try {
         import scala.jdk.CollectionConverters._
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         java.nio.file.Files.readAllLines(histFile).asScala.reverseIterator
           .map(om.readTree)
-          .find(n => n.get("sf") != null && n.get("sf").asText == sfDir)
+          .filter(n => n.get("sf") != null && n.get("sf").asText == sfDir)
+          .take(HistoryDepth)
           .map { n =>
             n.get("queries").fields().asScala
               .map(e => e.getKey -> e.getValue.asDouble()).toMap
-          }.getOrElse(Map.empty)
-      } catch { case _: Throwable => Map.empty }
+          }.toSeq
+      } catch { case _: Throwable => Nil }
+    val baseline: Map[String, Double] = history.headOption.getOrElse(Map.empty)
     val movers: Seq[String] = keyed
       .filter(_._4).filterNot(_._1.contains('#'))
       .collect { case (k, v, _, _)
@@ -445,14 +468,15 @@ object Bench {
       val ratio = contentionRatio(
         keyed.filter(_._4).filterNot(_._1.contains('#'))
           .map(t => t._1 -> t._2).toMap,
-        baseline)
+        minBaseline(history))
       val flagged = ratio.exists(_ > 1.2)
       if (flagged) {
         System.err.println(f"[bench] WARNING: shared-query total is " +
-          f"${(ratio.get - 1) * 100}%.0f%% above the last committed " +
-          "same-sf run — this box looks CONTENDED (sbt compile/test " +
-          "sharing cores?). Do not commit this artifact as the round's " +
-          "figure; re-run on a quiet box.")
+          f"${(ratio.get - 1) * 100}%.0f%% above the per-query MIN of " +
+          s"the last $HistoryDepth committed same-sf runs — this box " +
+          "looks CONTENDED (sbt compile/test sharing cores?). Do not " +
+          "commit this artifact as the round's figure; re-run on a " +
+          "quiet box.")
       }
       ratio.map(r =>
         s""","contended":$flagged,"contention_ratio":${r4(r)}""").getOrElse("") +

@@ -848,6 +848,8 @@ object Main {
           if (cur.portableBucket) Sampling.portableBucket else Sampling.bucket,
         persistSurvivors = cur.persistSurvivors,
         stripTrackingParams = cur.stripTrackingParams,
+        consent = cur.consent,
+        consentNoindex = cur.consentNoindex,
         stripHtml = cur.stripHtml,
         stripMarkdown = cur.stripMarkdown,
         fixMojibake = cur.fixMojibake,
@@ -925,8 +927,19 @@ object Main {
                 s.seed, s.count)
               None
             case None =>
-              graft.sources.Connectors.write(
-                tapped, cfg.target, cfg.truncate, cfg.targetOptions)
+              // a `.tar(.gz)` curation target writes WebDataset shards:
+              // the curated document frame maps to samples by the job's
+              // own id/text columns (extra columns ride in <key>.json) —
+              // the crawl-in → training-shards-out composition
+              val ref = graft.sources.Connectors.parse(
+                cfg.target, cfg.targetOptions)
+              if (ref.kind == "tar")
+                Some(graft.sources.TarSource.writeDocuments(
+                  tapped, ref.path, cur.idColumn, cur.textColumn,
+                  gzip = ref.path.endsWith(".gz")))
+              else
+                graft.sources.Connectors.write(
+                  tapped, cfg.target, cfg.truncate, cfg.targetOptions)
           }
           val rows = direct.getOrElse(obs.get("rows").asInstanceOf[Long])
           stageCounts.foreach { c =>
@@ -1018,6 +1031,8 @@ object Main {
         // it here would silently ignore the YAML knob
         persistSurvivors = cur.persistSurvivors,
         stripTrackingParams = cur.stripTrackingParams,
+        consent = cur.consent,
+        consentNoindex = cur.consentNoindex,
         stripHtml = cur.stripHtml,
         stripMarkdown = cur.stripMarkdown,
         fixMojibake = cur.fixMojibake,

@@ -369,6 +369,69 @@ object SparkEntry {
           col("http_status"))
     },
 
+    // --- WET extracted-text leg: documents become `conversion` records
+    // (the Common Crawl WET shape), written member-per-record gzip and
+    // read back through readWet — byte-exact text, conversion-record
+    // framing, and the WET file-type routing all under one oracle.
+    // Oracle = identity over documents ---
+    "q_wet_text" -> { (s, dir) =>
+      val out = scratch("wet_fixture")
+      val docs = t(s, dir, "documents").select(
+        concat(lit("http://corpus.test/doc/"), col("doc_id")).as("uri"),
+        col("text"))
+      WarcSource.write(docs, out, "uri", "text",
+        asHttpResponse = false, recordType = "conversion")
+      WarcSource.readWet(s, out).select(
+        regexp_extract(col("target_uri"), "([0-9]+)$", 1)
+          .cast("long").as("doc_id"),
+        col("text"))
+    },
+
+    // --- crawl-layer consent (r14 directive #4): robots.txt records in
+    // the crawl evaluated per RFC 9309 for agent "ccbot" (group
+    // selection, longest-match precedence, Allow-wins-ties),
+    // X-Robots-Tag envelope directives, and meta-robots page tokens —
+    // all derived from a WARC frame built over documents. Hosts rotate
+    // doc_id%5: host0 disallows everything, host1 has a ccbot group
+    // where Allow /p/2 outranks Disallow /p/, host2's group addresses a
+    // DIFFERENT agent (no * fallback → allowed), host3's empty Disallow
+    // allows all, host4 has no robots.txt at all. The oracle re-derives
+    // every flag from the SAME planted strings (regexp over the
+    // reconstructed X-Robots-Tag value and html — not from id
+    // arithmetic alone) ---
+    "q_crawl_consent" -> { (s, dir) =>
+      val out = scratch("crawl_consent")
+      val m3 = pmod(col("doc_id"), lit(3))
+      val host = concat(lit("host"), pmod(col("doc_id"), lit(5)),
+        lit(".test"))
+      val pages = t(s, dir, "documents").select(
+        concat(lit("http://"), host, lit("/p/"), col("doc_id")).as("uri"),
+        when(pmod(col("doc_id"), lit(7)) === 0,
+          concat(lit("<meta name=\"robots\" content=\"noai\">"),
+            col("text")))
+          .otherwise(col("text")).as("payload"),
+        when(m3 === 0, lit("X-Robots-Tag: noai"))
+          .when(m3 === 1, lit("X-Robots-Tag: noindex, nofollow"))
+          .otherwise(lit(null).cast("string")).as("hdrs"))
+      val robotsRows = s.range(4).select(
+        concat(lit("http://host"), col("id"), lit(".test/robots.txt"))
+          .as("uri"),
+        when(col("id") === 0, lit("User-agent: *\nDisallow: /"))
+          .when(col("id") === 1,
+            lit("User-agent: ccbot\nDisallow: /p/\nAllow: /p/2"))
+          .when(col("id") === 2, lit("User-agent: otherbot\nDisallow: /"))
+          .otherwise(lit("User-agent: *\nDisallow:")).as("payload"),
+        lit(null).cast("string").as("hdrs"))
+      WarcSource.write(pages.union(robotsRows), out, "uri", "payload",
+        extraHttpHeadersCol = "hdrs")
+      graft.llm.Consent.fromCrawl(WarcSource.read(s, out), "ccbot")
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("robots_disallowed"), col("xrobots_noai"),
+          col("xrobots_noindex"), col("meta_noai"), col("consent_ok"))
+    },
+
     // --- WebDataset tar round trip: documents become two-entry samples
     // (<key>.txt + <key>.json), write gzipped shards, stream-parse back
     // with adjacency grouping (readSamples — NO shuffle), rebuild
@@ -4322,6 +4385,48 @@ object SparkEntry {
 
     "q_warc_roundtrip" ->
       "SELECT doc_id, text, 200 AS http_status FROM documents",
+
+    "q_wet_text" ->
+      "SELECT doc_id, text FROM documents",
+
+    // every flag re-derived from the planted strings: the x-robots
+    // directive regex and the meta-tag regex run verbatim on the
+    // reconstructed header/html values; the robots verdict replays the
+    // fixture's rule set (host0 blanket disallow; host1 longest-match
+    // Allow /p/2 over Disallow /p/; host2 group addresses another
+    // agent; host3 empty Disallow; host4 no robots.txt)
+    "q_crawl_consent" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    '/p/' || doc_id AS path,
+        |    doc_id % 5 AS h,
+        |    CASE WHEN doc_id % 3 = 0 THEN 'noai'
+        |         WHEN doc_id % 3 = 1 THEN 'noindex, nofollow' END AS xr,
+        |    CASE WHEN doc_id % 7 = 0
+        |         THEN '<meta name="robots" content="noai">' || text
+        |         ELSE text END AS html
+        |  FROM documents
+        |), flags AS (
+        |  SELECT doc_id,
+        |    CASE WHEN h = 0 THEN true
+        |         WHEN h = 1 THEN NOT (path LIKE '/p/2%')
+        |         ELSE false END AS robots_disallowed,
+        |    COALESCE(regexp_matches(lower(xr),
+        |      '(^|[\s,:])noai($|[\s,])'), false) AS xrobots_noai,
+        |    COALESCE(regexp_matches(lower(xr),
+        |      '(^|[\s,:])noindex($|[\s,])'), false) AS xrobots_noindex,
+        |    (regexp_matches(html,
+        |       '(?i)<meta\b[^>]*content\s*=\s*"[^"]*\bnoai\b[^"]*"') OR
+        |     regexp_matches(html,
+        |       '(?i)<meta\b[^>]*content\s*=\s*''[^'']*\bnoai\b[^'']*''')
+        |    ) AS meta_noai
+        |  FROM f
+        |)
+        |SELECT doc_id, robots_disallowed, xrobots_noai, xrobots_noindex,
+        |  meta_noai,
+        |  NOT (robots_disallowed OR xrobots_noai OR xrobots_noindex
+        |    OR meta_noai) AS consent_ok
+        |FROM flags""".stripMargin,
 
     // the WebDataset round trip is an identity over (doc_id, text,
     // lang) — byte fidelity through ustar headers, gzip, and the

@@ -117,6 +117,14 @@ object YamlJob {
       observed: Boolean = false,
       portableBucket: Boolean = false,
       stripTrackingParams: Boolean = false,
+      /** `consent: true` — drop documents carrying an AI-training
+        * opt-out (meta-robots in the markup, `x_robots` /
+        * `robots_disallowed` columns when present —
+        * [[graft.llm.Consent.keep]]); `consent_noindex: true` extends
+        * the objection set to classic `noindex`. Per-row; batch AND
+        * stream mode. */
+      consent: Boolean = false,
+      consentNoindex: Boolean = false,
       stripHtml: Boolean = false,
       stripMarkdown: Boolean = false,
       fixMojibake: Boolean = false,
@@ -324,7 +332,8 @@ object YamlJob {
         "mode", "ts_column", "dedup_horizon", "checkpoint", "trigger",
         "reference", "reference_near_dup", "reference_bloom",
         "substring_dedup_window", "soft_dedup", "decontaminate_excise",
-        "decontaminate_fuzzy", "c4_rules", "gopher_rules", "dsir")
+        "decontaminate_fuzzy", "c4_rules", "gopher_rules", "dsir",
+        "consent", "consent_noindex")
       // misspelled knobs must be loud — a silently ignored
       // `sample_fracton: 0.01` would ship 100× the intended corpus;
       // the same rule applies INSIDE the nested maps (a typo'd
@@ -420,6 +429,10 @@ object YamlJob {
         portableBucket = bucket == "portable",
         stripTrackingParams = c.get("strip_tracking_params")
           .map(v => boolOpt("strip_tracking_params", v)).getOrElse(false),
+        consent = c.get("consent")
+          .map(v => boolOpt("consent", v)).getOrElse(false),
+        consentNoindex = c.get("consent_noindex")
+          .map(v => boolOpt("consent_noindex", v)).getOrElse(false),
         stripHtml = c.get("strip_html")
           .map(v => boolOpt("strip_html", v)).getOrElse(false),
         stripMarkdown = c.get("strip_markdown")

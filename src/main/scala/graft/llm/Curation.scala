@@ -9,6 +9,12 @@ import org.apache.spark.sql.functions._
   *
   *   1. URL hygiene      — drop documents citing blocklisted domains
   *                         (needs the RAW markup: hrefs live in tags);
+  *   1b. [consent]       — drop documents carrying an AI-training
+  *                         opt-out ([[Consent.keep]]: meta-robots in
+  *                         the raw markup, plus `x_robots` /
+  *                         `robots_disallowed` crawl columns when the
+  *                         frame carries them — so it too needs the
+  *                         raw markup, BEFORE any strip);
   *   2. [HTML strip]     — drop script/style/tags, decode entities;
   *   3. [mojibake fix]   — repair cp1252-mangled UTF-8 artifacts;
   *   4. [NFC/NFKC]       — compose combining marks, so encoding
@@ -101,6 +107,18 @@ object Curation {
         * (cross-site user identifiers) leave the corpus. Pure
         * projection, rewrites text, never drops rows; streams. */
       stripTrackingParams: Boolean = false,
+      /** Drop documents carrying an AI-training opt-out
+        * ([[Consent.keep]]): meta-robots `noai`/`noimageai` directives
+        * in the raw markup, `X-Robots-Tag` directives when the frame
+        * carries an `x_robots` column (the crawl `#text` read shape),
+        * and a prior robots.txt verdict when it carries
+        * `robots_disallowed` ([[Consent.fromCrawl]]). Runs BEFORE the
+        * strip stages (meta tags live in the markup the strip
+        * removes). Pure per-row filter; batch AND stream mode. */
+      consent: Boolean = false,
+      /** Extend [[consent]]'s objection set from the AI-specific
+        * tokens to classic `noindex`. */
+      consentNoindex: Boolean = false,
       /** Rewrite text with [[TextAnalysis.stripHtml]] right after the
         * URL stage (which needs the RAW markup — hrefs live inside the
         * tags the strip removes) and before every text-statistics
@@ -302,9 +320,10 @@ object Curation {
     val afterUrls0 =
       if (cfg.blocklist.isEmpty) df
       else Urls.filterBlocked(df, textCol, cfg.blocklist)
-    val afterUrls =
+    val afterUrls1 =
       if (cfg.stripTrackingParams) Urls.canonicalizeUrls(afterUrls0, textCol)
       else afterUrls0
+    val afterUrls = applyConsent(afterUrls1, textCol, cfg)
     val afterStrip0 =
       if (cfg.stripHtml) TextAnalysis.stripHtml(afterUrls, textCol)
       else afterUrls
@@ -513,9 +532,12 @@ object Curation {
     val afterUrls0 =
       if (cfg.blocklist.isEmpty) df
       else Urls.filterBlocked(df, textCol, cfg.blocklist)
-    val afterUrls =
+    val afterUrls1 =
       if (cfg.stripTrackingParams) Urls.canonicalizeUrls(afterUrls0, textCol)
       else afterUrls0
+    // consent is per-row (meta tags + optional crawl columns) — one of
+    // the stages that streams unchanged
+    val afterUrls = applyConsent(afterUrls1, textCol, cfg)
     val afterStrip0 =
       if (cfg.stripHtml) TextAnalysis.stripHtml(afterUrls, textCol)
       else afterUrls
@@ -612,6 +634,12 @@ object Curation {
     if (cfg.sampleFraction >= 1.0) excised
     else Sampling.byHash(excised, idCol, cfg.sampleFraction, cfg.bucketFn)
   }
+
+  private def applyConsent(df: DataFrame, textCol: String,
+                           cfg: PipelineConfig): DataFrame =
+    if (cfg.consent)
+      df.where(Consent.keep(df, textCol, cfg.consentNoindex))
+    else df
 
   private def applyC4(df: DataFrame, textCol: String,
                       cfg: PipelineConfig): DataFrame =
@@ -714,8 +742,12 @@ object Curation {
     // strip is a row-preserving projection: it rides between the oU tap
     // and the repetition filter with no observation of its own
     def stripped(d: DataFrame): DataFrame = {
-      val s0 =
+      val s0a =
         if (cfg.stripTrackingParams) Urls.canonicalizeUrls(d, textCol) else d
+      // consent drops rows per-row like C4/lang-id below: its drops
+      // fold into the "after_repetition" count, and it must see the
+      // RAW markup, so it rides before the strips
+      val s0 = applyConsent(s0a, textCol, cfg)
       val s1 = if (cfg.stripHtml) TextAnalysis.stripHtml(s0, textCol) else s0
       val s1b =
         if (cfg.stripMarkdown) TextAnalysis.stripMarkdown(s1, textCol) else s1

@@ -341,6 +341,30 @@ object Connectors {
         None
       case "avro" =>
         Some(AvroConnector.write(df, ref.path, overwrite = true))
+      // crawl/training containers as engine targets: a WebDataset
+      // `.tar` sink takes (key, ext, content) rows — the TarSource
+      // contract — and a `.warc(.gz)` sink takes (uri, payload|text)
+      // rows; anything else is a loud shape error, never a guess
+      case "tar" =>
+        val need = Seq("key", "ext", "content")
+        val missing = need.filterNot(df.columns.contains)
+        if (missing.nonEmpty)
+          throw graft.core.GraftError.Configuration(
+            s"a .tar target needs (key, ext, content) columns — " +
+              s"missing ${missing.mkString(", ")}; for a document " +
+              "frame use a curation job (id/text map to WebDataset " +
+              "samples) or select the three columns explicitly")
+        Some(TarSource.write(df, ref.path, "key", "ext", "content",
+          gzip = ref.path.endsWith(".gz")))
+      case "warc" =>
+        val uriCol = Seq("uri", "target_uri").find(df.columns.contains)
+          .getOrElse(throw graft.core.GraftError.Configuration(
+            "a .warc target needs a uri (or target_uri) column"))
+        val payloadCol = Seq("payload", "text", "http_body")
+          .find(df.columns.contains)
+          .getOrElse(throw graft.core.GraftError.Configuration(
+            "a .warc target needs a payload (or text/http_body) column"))
+        Some(WarcSource.write(df, ref.path, uriCol, payloadCol))
       case "orc" =>
         df.write.mode(mode).options(ref.options).orc(ref.path)
         None

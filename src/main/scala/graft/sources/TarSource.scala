@@ -353,9 +353,15 @@ object TarSource {
                 else slim0)
       .sortWithinPartitions("key", "ext")
     val suffix = if (gzip) ".tar.gz" else ".tar"
-    slim.rdd.mapPartitionsWithIndex { (idx, rows) =>
-      if (rows.isEmpty) Iterator.empty
-      else {
+    // foreachPartition, not .rdd: a DataFrame ACTION runs under a SQL
+    // execution id, so upstream `observe` nodes (the curation stage
+    // counts) fire — an .rdd sink would leave Observation.get blocked
+    // forever. Entry counts ride an accumulator (exactly-once per
+    // successful task for actions).
+    val counter = df.sparkSession.sparkContext.longAccumulator("tar_entries")
+    slim.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val idx = org.apache.spark.TaskContext.getPartitionId()
         val pfs = FileSystem.get(java.net.URI.create(path), new Configuration())
         // task-attempt temp + rename commit: a speculative or retried
         // attempt writing the FINAL name concurrently would interleave
@@ -379,9 +385,35 @@ object TarSource {
           stream.write(new Array[Byte](Block * 2)) // end-of-archive
         } finally stream.close()
         commitTemp(pfs, tmp, target)
-        Iterator(n)
+        counter.add(n)
       }
-    }.sum().toLong
+    }
+    counter.value
+  }
+
+  /** Document-frame convenience over [[write]] — the curated-corpus →
+    * training-shards composition (`curation:` jobs with a `.tar`
+    * target): each row becomes one WebDataset sample keyed by `idCol`,
+    * with `<key>.txt` holding the text and — when the frame carries
+    * any OTHER columns — `<key>.json` holding them as one JSON object,
+    * so weights/stage columns ride along instead of silently dropping.
+    * Keys are the id rendered as a string; numeric ids are zero-padded
+    * to 12 so lexicographic shard order == id order. */
+  def writeDocuments(df: DataFrame, path: String, idCol: String,
+                     textCol: String, gzip: Boolean = false): Long = {
+    val numericId = df.schema(idCol).dataType.isInstanceOf[
+      org.apache.spark.sql.types.NumericType]
+    val key =
+      if (numericId) lpad(col(idCol).cast("string"), 12, "0")
+      else col(idCol).cast("string")
+    val rest = df.columns.filterNot(c => c == idCol || c == textCol)
+    val txt = df.select(key.as("k"), lit("txt").as("e"),
+      col(textCol).cast("string").as("c"))
+    val entries =
+      if (rest.isEmpty) txt
+      else txt.union(df.select(key.as("k"), lit("json").as("e"),
+        to_json(struct(rest.map(col).toIndexedSeq: _*)).as("c")))
+    write(entries, path, "k", "e", "c", gzip = gzip)
   }
 
   /** Rename-commit shared by the tar and WARC sinks: first attempt to

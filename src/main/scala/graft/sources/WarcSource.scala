@@ -313,24 +313,41 @@ object WarcSource {
     * partition (one gzip member per record, warcinfo-led). Payload may
     * be binary or string (UTF-8 encoded). Returns records written
     * (excluding warcinfo records). */
+  /** `recordType` names the record type of non-HTTP payloads —
+    * `resource` (default) or `conversion` (the WET extracted-text
+    * shape [[readWet]] reads back). */
   def write(df: DataFrame, path: String, uriCol: String, payloadCol: String,
             warcDate: String = "2024-01-01T00:00:00Z",
             asHttpResponse: Boolean = true,
             httpContentType: String = "text/plain; charset=utf-8",
-            overwrite: Boolean = true): Long = {
+            overwrite: Boolean = true,
+            extraHttpHeadersCol: String = null,
+            recordType: String = "resource"): Long = {
     val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
     val out = new Path(path)
     if (overwrite && fs.exists(out)) fs.delete(out, true)
     fs.mkdirs(out)
     val payloadIsBinary = df.schema(payloadCol).dataType ==
       org.apache.spark.sql.types.BinaryType
+    // optional extra envelope headers, one string column of
+    // "Name: value" lines (CRLF- or LF-joined): how a crawler emits
+    // X-Robots-Tag and friends; NULL/empty rows add nothing
+    val extras =
+      if (extraHttpHeadersCol == null) lit("")
+      else coalesce(col(extraHttpHeadersCol).cast("string"), lit(""))
     val slim = df.select(
       col(uriCol).cast("string").as("uri"),
       (if (payloadIsBinary) col(payloadCol)
-       else encode(col(payloadCol).cast("string"), "UTF-8")).as("payload"))
-    slim.rdd.mapPartitionsWithIndex { (idx, rows) =>
-      if (rows.isEmpty) Iterator.empty
-      else {
+       else encode(col(payloadCol).cast("string"), "UTF-8")).as("payload"),
+      extras.as("extra_headers"))
+    // foreachPartition, not .rdd: a DataFrame ACTION runs under a SQL
+    // execution id, so upstream `observe` nodes (curation stage counts)
+    // fire; record counts ride an accumulator (exactly-once per
+    // successful task for actions). Same contract as TarSource.write.
+    val counter = df.sparkSession.sparkContext.longAccumulator("warc_records")
+    slim.foreachPartition { (rows: Iterator[org.apache.spark.sql.Row]) =>
+      if (rows.nonEmpty) {
+        val idx = org.apache.spark.TaskContext.getPartitionId()
         val pfs = FileSystem.get(java.net.URI.create(path), new Configuration())
         // task-attempt temp + rename commit (shared with TarSource): a
         // speculative/retried attempt must never interleave bytes into
@@ -346,10 +363,11 @@ object WarcSource {
             val uri = r.getString(0)
             val payload = r.getAs[Array[Byte]](1)
             val block =
-              if (asHttpResponse) httpResponseBlock(payload, httpContentType)
+              if (asHttpResponse)
+                httpResponseBlock(payload, httpContentType, r.getString(2))
               else payload
             stream.write(gzipMember(recordBytes(
-              if (asHttpResponse) "response" else "resource", uri, warcDate,
+              if (asHttpResponse) "response" else recordType, uri, warcDate,
               if (asHttpResponse) "application/http; msgtype=response"
               else httpContentType,
               block,
@@ -362,9 +380,10 @@ object WarcSource {
           }
         } finally stream.close()
         TarSource.commitTemp(pfs, tmp, target)
-        Iterator(n)
+        counter.add(n)
       }
-    }.sum().toLong
+    }
+    counter.value
   }
 
   /** One record as one finished gzip member (the CC convention).
@@ -379,10 +398,14 @@ object WarcSource {
     bos.toByteArray
   }
 
-  private def httpResponseBlock(body: Array[Byte],
-                                contentType: String): Array[Byte] = {
+  private def httpResponseBlock(body: Array[Byte], contentType: String,
+                                extraHeaders: String = ""): Array[Byte] = {
+    val extra =
+      if (extraHeaders.isEmpty) ""
+      else extraHeaders.split("\r?\n").filter(_.nonEmpty)
+        .mkString("", "\r\n", "\r\n")
     val head = ("HTTP/1.1 200 OK\r\n" +
-      s"Content-Type: $contentType\r\n" +
+      s"Content-Type: $contentType\r\n" + extra +
       s"Content-Length: ${body.length}\r\n\r\n")
       .getBytes(StandardCharsets.ISO_8859_1)
     val b = new Array[Byte](head.length + body.length)

@@ -38,6 +38,31 @@ class BenchSpec extends AnyFunSuite {
     assert(Bench.contentionRatio(qs(20, 1.0), Map.empty).isEmpty)
   }
 
+  test("minBaseline defeats drift laundering: two successively drifted " +
+      "runs still trip against the min of the window (the r14 hole)") {
+    def flagged(cur: Map[String, Double],
+                history: Seq[Map[String, Double]]) =
+      Bench.contentionRatio(cur, Bench.minBaseline(history)).exists(_ > 1.2)
+    // figure of record 1.0s/query, then a +10% drift, then another
+    // +10% on top: vs the LAST entry alone the second drift is ratio
+    // ~1.10 (launders through); vs the window min it is 1.21 → trips
+    val record = qs(20, 1.0)
+    val drift1 = qs(20, 1.10)
+    val drift2 = qs(20, 1.21)
+    assert(Bench.contentionRatio(drift2, drift1).exists(_ < 1.2),
+      "precondition: last-entry comparison would launder this")
+    assert(flagged(drift2, Seq(drift1, record)))
+    // newest-first windows with per-query mins across partial overlaps
+    val m = Bench.minBaseline(Seq(
+      Map("a" -> 2.0, "b" -> 1.0), Map("a" -> 1.5), Map("c" -> 3.0)))
+    assert(m == Map("a" -> 1.5, "b" -> 1.0, "c" -> 3.0))
+    // a genuinely flat run against a window never flags
+    assert(!flagged(record, Seq(drift1, record)))
+    // empty history (first run at an sf) → no verdict
+    assert(Bench.contentionRatio(qs(20, 1.0),
+      Bench.minBaseline(Nil)).isEmpty)
+  }
+
   test("the 1.2 trip threshold: flat and improved runs never flag") {
     def flagged(cur: Map[String, Double], prev: Map[String, Double]) =
       Bench.contentionRatio(cur, prev).exists(_ > 1.2)
