@@ -387,6 +387,64 @@ object SparkEntry {
         col("text"))
     },
 
+    // --- CDX byte-range index: the archive is written WITH its
+    // part-N.cdx sidecars, then a 20% URI subset is point-fetched —
+    // index scan → broadcast URI filter → one seek+read per hit, no
+    // shard scan anywhere. The oracle is the identity over the same
+    // subset: if any offset/length/SURT were wrong the ranged read
+    // would return the wrong record or die loudly ---
+    "q_cdx_lookup" -> { (s, dir) =>
+      val out = scratch("cdx_archive")
+      val docs = t(s, dir, "documents").select(
+        concat(lit("http://corpus.test/doc/"), col("doc_id")).as("uri"),
+        col("text"))
+      WarcSource.write(docs, out, "uri", "text", cdxIndex = true)
+      val wanted = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(5)) === 2)
+        .select(concat(lit("http://corpus.test/doc/"), col("doc_id"))
+          .as("uri"))
+      graft.sources.CdxIndex.lookup(s, out, wanted)
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          decode(col("http_body"), "UTF-8").as("text"))
+    },
+
+    // --- WAT outlink extraction → host link graph: documents carry a
+    // WAT-shaped JSON payload (Envelope.Payload-Metadata
+    // .HTTP-Response-Metadata.HTML-Metadata.Links) as `metadata`
+    // records; readWatLinks explodes the outlinks per page and the
+    // query aggregates to (src_host, dst_host) edge counts — the raw
+    // material of PageRank-style quality priors over a crawl. The
+    // oracle re-derives each link by json-extracting the SAME payload
+    // string it reconstructs, not from id arithmetic ---
+    "q_wat_links" -> { (s, dir) =>
+      val out = scratch("wat_fixture")
+      val id = col("doc_id")
+      val l1 = concat(lit("http://dst"), pmod(id, lit(4)),
+        lit(".test/x/"), id)
+      val l2 = concat(lit("http://dst"), pmod(id + 1, lit(4)),
+        lit(".test/y/"), id)
+      val payload = concat(
+        lit("{\"Envelope\":{\"Payload-Metadata\":" +
+          "{\"HTTP-Response-Metadata\":{\"HTML-Metadata\":" +
+          "{\"Links\":[{\"url\":\""), l1,
+        lit("\"},{\"url\":\""), l2, lit("\"}]}}}}}"))
+      val pages = t(s, dir, "documents").select(
+        concat(lit("http://src"), pmod(id, lit(3)), lit(".test/page/"), id)
+          .as("uri"),
+        payload.as("payload"))
+      WarcSource.write(pages, out, "uri", "payload",
+        asHttpResponse = false, recordType = "metadata",
+        httpContentType = "application/json")
+      WarcSource.readWatLinks(s, out)
+        .select(
+          parse_url(col("target_uri"), lit("HOST")).as("src_host"),
+          parse_url(col("link_url"), lit("HOST")).as("dst_host"))
+        .groupBy(col("src_host"), col("dst_host"))
+        .agg(count(lit(1)).as("links"))
+    },
+
     // --- crawl-layer consent (r14 directive #4): robots.txt records in
     // the crawl evaluated per RFC 9309 for agent "ccbot" (group
     // selection, longest-match precedence, Allow-wins-ties),
@@ -4388,6 +4446,36 @@ object SparkEntry {
 
     "q_wet_text" ->
       "SELECT doc_id, text FROM documents",
+
+    "q_cdx_lookup" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 2",
+
+    "q_wat_links" ->
+      """WITH j AS (
+        |  SELECT doc_id,
+        |    'src' || (doc_id % 3) || '.test' AS src_host,
+        |    '{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":'
+        |      || '{"HTML-Metadata":{"Links":[{"url":"http://dst'
+        |      || (doc_id % 4) || '.test/x/' || doc_id
+        |      || '"},{"url":"http://dst' || ((doc_id + 1) % 4)
+        |      || '.test/y/' || doc_id || '"}]}}}}}' AS payload
+        |  FROM documents
+        |), links AS (
+        |  SELECT src_host, json_extract_string(payload,
+        |    '$.Envelope."Payload-Metadata"."HTTP-Response-Metadata"' ||
+        |    '."HTML-Metadata".Links[0].url') AS u
+        |  FROM j
+        |  UNION ALL
+        |  SELECT src_host, json_extract_string(payload,
+        |    '$.Envelope."Payload-Metadata"."HTTP-Response-Metadata"' ||
+        |    '."HTML-Metadata".Links[1].url') AS u
+        |  FROM j
+        |)
+        |SELECT src_host,
+        |  regexp_extract(u, '^https?://([^/]+)', 1) AS dst_host,
+        |  count(*) AS links
+        |FROM links
+        |GROUP BY src_host, dst_host""".stripMargin,
 
     // every flag re-derived from the planted strings: the x-robots
     // directive regex and the meta-tag regex run verbatim on the

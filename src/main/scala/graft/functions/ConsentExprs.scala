@@ -108,10 +108,56 @@ object ConsentExprs {
   /** One parsed rule: allow?, original pattern (for length precedence). */
   private final case class Rule(allow: Boolean, pattern: String)
 
-  /** RFC 9309 evaluation over a robots.txt body. Static so unit tests
-    * hit the exact production path. */
+  /** Per-thread LRU of parsed (robots body, agent) → rule lists. At
+    * 100 TB every document on a host carries the SAME robots body
+    * after the broadcast join, so an uncached evaluation re-parses one
+    * robots.txt once per document — millions of times for a big host.
+    * Keyed by (body, agent) with access-order eviction at
+    * [[ParseCacheEntries]] entries; per-thread so codegen'd tasks
+    * never contend on a lock. Bounded: entries × a typical robots
+    * body (≤ ~500 KB crawl-side) per executor thread. */
+  private val ParseCacheEntries = 128
+  private val parseCache =
+    new ThreadLocal[java.util.LinkedHashMap[(String, String), Array[Rule]]] {
+      override def initialValue() =
+        new java.util.LinkedHashMap[(String, String), Array[Rule]](
+          ParseCacheEntries, 0.75f, true) {
+          override def removeEldestEntry(
+              e: java.util.Map.Entry[(String, String), Array[Rule]]) =
+            size() > ParseCacheEntries
+        }
+    }
+
+  /** RFC 9309 evaluation over a robots.txt body: parse (cached per
+    * thread) + match. Static so unit tests hit the exact production
+    * path. */
   def disallowed(robots: String, path: String, agent: String): Boolean = {
     if (robots.isEmpty) return false
+    val cache = parseCache.get()
+    val key = (robots, agent)
+    var rules = cache.get(key)
+    if (rules == null) {
+      rules = parseRules(robots, agent)
+      cache.put(key, rules)
+    }
+    // precedence: longest matching pattern; allow wins ties
+    var best: Rule = null
+    var i = 0
+    while (i < rules.length) {
+      val r = rules(i)
+      if (ruleMatches(r.pattern, path) &&
+          (best == null || r.pattern.length > best.pattern.length ||
+            (r.pattern.length == best.pattern.length && r.allow &&
+              !best.allow)))
+        best = r
+      i += 1
+    }
+    best != null && !best.allow
+  }
+
+  /** The parse half of [[disallowed]]: the winning agent group's
+    * merged rule list (empty = everything allowed). */
+  private def parseRules(robots: String, agent: String): Array[Rule] = {
     val agentLc = agent.toLowerCase
     def uaSpec(ua: String): Int =
       if (ua == "*") 0
@@ -126,7 +172,7 @@ object ConsentExprs {
         if (spec > bestSpec) bestSpec = spec
       }
     }
-    if (bestSpec < 0) return false // no group addresses this agent
+    if (bestSpec < 0) return Array.empty // no group addresses this agent
     // pass 2: collect the rules of every group at the winning
     // specificity (RFC 9309: same-agent groups merge)
     val rules = scala.collection.mutable.ArrayBuffer.empty[Rule]
@@ -154,16 +200,7 @@ object ConsentExprs {
           }
       }
     }
-    // precedence: longest matching pattern; allow wins ties
-    var best: Rule = null
-    rules.foreach { r =>
-      if (ruleMatches(r.pattern, path) &&
-          (best == null || r.pattern.length > best.pattern.length ||
-            (r.pattern.length == best.pattern.length && r.allow &&
-              !best.allow)))
-        best = r
-    }
-    best != null && !best.allow
+    rules.toArray
   }
 
   private def stripComment(line: String): String = {

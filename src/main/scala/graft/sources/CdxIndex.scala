@@ -1,0 +1,190 @@
+package graft.sources
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
+import java.util.zip.GZIPInputStream
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, Encoders, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.GraftError
+
+/** CDX byte-range index over WARC shards — the lookup layer that makes
+  * a 100 TB archive point-addressable: member-per-record gzip (the
+  * [[WarcSource]] write layout) means any single record is one
+  * `seek(offset); read(length)` away, and the CDX sidecar carries
+  * exactly those (offset, length) pairs per URI. This is the Common
+  * Crawl access pattern (their cluster.idx/cdx-*.gz serve the same
+  * role); the format here is a documented simple subset — one
+  * tab-separated line per record, `surt \t offset \t length \t uri`,
+  * sorted by SURT key within each shard's sidecar (`part-N.cdx`).
+  *
+  * SURT (Sort-friendly URI Reordering Transform) keys — reversed-host
+  * `com,example)/path` form, lowercased, default ports and
+  * `www.`-prefix dropped — make one host's records (and one
+  * registrable domain's subdomains) sort ADJACENTLY, so a host-scoped
+  * lookup over a sharded index is a contiguous range scan, not a
+  * scatter. The transform is string-only and SQL-replayable.
+  *
+  * Scale design: the index rides the write (offsets accumulate as the
+  * members stream out — no second pass); one shard's line buffer is
+  * bounded by its record count (a ~1 GiB shard ≈ tens of thousands of
+  * lines). Lookups read ONLY the sidecars (tiny) plus one ranged read
+  * per hit, sorted by (file, offset) within each task for
+  * sequential-friendly I/O — never a shard scan. */
+object CdxIndex {
+
+  final case class CdxEntry(file: String, surt: String, uri: String,
+                            offset: Long, length: Long)
+
+  /** SURT key: `scheme://user@Host:Port/Path?Query` →
+    * `reversed,host)/path?query` — lowercased host, reversed on dots,
+    * leading `www.` dropped, default ports (80/443) dropped,
+    * userinfo/scheme/fragment dropped. Non-URL strings key as
+    * themselves lowercased (never throw in an index path). */
+  def surtKey(uri: String): String = {
+    if (uri == null) return ""
+    val noFrag = {
+      val h = uri.indexOf('#')
+      if (h < 0) uri else uri.substring(0, h)
+    }
+    val schemeEnd = noFrag.indexOf("://")
+    if (schemeEnd < 0) return noFrag.toLowerCase
+    val rest = noFrag.substring(schemeEnd + 3)
+    val slash = rest.indexOf('/')
+    val (auth0, path) =
+      if (slash < 0) (rest, "/") else (rest.substring(0, slash),
+        rest.substring(slash))
+    val auth = {
+      val at = auth0.lastIndexOf('@')
+      if (at < 0) auth0 else auth0.substring(at + 1)
+    }
+    val colon = auth.indexOf(':')
+    val (host0, port) =
+      if (colon < 0) (auth, "") else (auth.substring(0, colon),
+        auth.substring(colon + 1))
+    val host1 = host0.toLowerCase
+    val host = if (host1.startsWith("www.")) host1.substring(4) else host1
+    val reversed = host.split('.').reverse.mkString(",")
+    val portPart =
+      if (port.isEmpty || port == "80" || port == "443") ""
+      else s":$port"
+    s"$reversed$portPart)${path.toLowerCase}"
+  }
+
+  /** The SURT transform as a Column (same semantics as [[surtKey]],
+    * spelled in builtins so the oracle replays it verbatim). */
+  def surtCol(uri: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val noFrag = split(uri, "#").getItem(0)
+    val rest = regexp_replace(noFrag, "^[a-zA-Z][a-zA-Z0-9+.-]*://", "")
+    val auth0 = split(rest, "/").getItem(0)
+    val auth = element_at(split(auth0, "@"), -1)
+    val host0 = lower(split(auth, ":").getItem(0))
+    val port = when(auth.contains(":"), split(auth, ":").getItem(1))
+      .otherwise(lit(""))
+    val host = regexp_replace(host0, "^www\\.", "")
+    val reversed = array_join(reverse(split(host, "\\.")), ",")
+    val portPart = when(port.isin("", "80", "443"), lit(""))
+      .otherwise(concat(lit(":"), port))
+    val path = lower(when(rest.contains("/"),
+      regexp_replace(rest, "^[^/]*", "")).otherwise(lit("/")))
+    when(noFrag.rlike("^[a-zA-Z][a-zA-Z0-9+.-]*://"),
+      concat(reversed, portPart, lit(")"), path))
+      .otherwise(lower(noFrag))
+  }
+
+  /** Reads every `part-*.cdx` sidecar under `path` into one
+    * DataFrame of [[CdxEntry]] rows ("file" = the WARC shard the
+    * offsets address). */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
+    val p = new Path(path)
+    val sidecars =
+      if (fs.getFileStatus(p).isFile) Seq(path)
+      else fs.listStatus(p).toSeq.filter(_.isFile)
+        .map(_.getPath.toString).filter(_.endsWith(".cdx")).sorted
+    if (sidecars.isEmpty)
+      throw GraftError.Configuration(s"no .cdx sidecars under $path " +
+        "(write the archive with WarcSource.write(cdxIndex = true))")
+    val rdd = spark.sparkContext.parallelize(sidecars, sidecars.size)
+      .flatMap { f =>
+        val cfs = FileSystem.get(java.net.URI.create(f), new Configuration())
+        val in = cfs.open(new Path(f))
+        val lines = scala.io.Source.fromInputStream(in, "UTF-8")
+          .getLines().toVector
+        in.close()
+        val warcFile = f.stripSuffix(".cdx") + ".warc.gz"
+        lines.zipWithIndex.map { case (line, i) =>
+          line.split('\t') match {
+            case Array(surt, off, len, uri) =>
+              CdxEntry(warcFile, surt, uri, off.toLong, len.toLong)
+            case _ => throw GraftError.DataTransfer(
+              s"$f line ${i + 1}: malformed CDX line " +
+                s"'${line.take(60)}' (expected surt\\toffset\\tlength\\turi)")
+          }
+        }
+      }
+    spark.createDataset(rdd)(Encoders.product[CdxEntry]).toDF()
+  }
+
+  /** Point-fetches the records a CDX frame addresses: one ranged read
+    * per row (`seek(offset)`, `read(length)`, gunzip the member,
+    * parse), grouped by shard and sorted by offset within each task so
+    * the I/O is sequential-friendly. Returns the full
+    * [[WarcSource.WarcRecord]] shape. The input frame is small by
+    * construction (the hits of an index lookup) — repartition upstream
+    * if one lookup matches millions of records. */
+  def fetch(cdx: DataFrame): DataFrame = {
+    val spark = cdx.sparkSession
+    val slim = cdx.select(col("file").cast("string"),
+      col("offset").cast("long"), col("length").cast("long"))
+    val rdd = slim.repartition(col("file")).rdd.mapPartitions { rows =>
+      val sorted = rows.map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+        .toVector.sortBy(t => (t._1, t._2))
+      var curFile: String = null
+      var in: org.apache.hadoop.fs.FSDataInputStream = null
+      val out = sorted.iterator.map { case (file, offset, length) =>
+        if (file != curFile) {
+          if (in != null) in.close()
+          val fs = FileSystem.get(java.net.URI.create(file),
+            new Configuration())
+          in = fs.open(new Path(file))
+          curFile = file
+        }
+        if (length > Int.MaxValue - 8)
+          throw GraftError.DataTransfer(
+            s"$file@$offset: member length $length exceeds the 2 GiB " +
+              "single-record bound")
+        in.seek(offset)
+        val member = new Array[Byte](length.toInt)
+        in.readFully(member)
+        val gz = new GZIPInputStream(new ByteArrayInputStream(member))
+        val version = WarcSource.readHeaderLine(gz)
+        if (version == null)
+          throw GraftError.DataTransfer(
+            s"$file@$offset: empty gzip member under the CDX entry")
+        WarcSource.parseOne(gz, version, s"$file@$offset")
+      }
+      // close the last handle when the iterator drains
+      new Iterator[WarcSource.WarcRecord] {
+        override def hasNext: Boolean = {
+          val h = out.hasNext
+          if (!h && in != null) { in.close(); in = null }
+          h
+        }
+        override def next(): WarcSource.WarcRecord = out.next()
+      }
+    }
+    spark.createDataset(rdd)(
+      Encoders.product[WarcSource.WarcRecord]).toDF()
+  }
+
+  /** Index-driven lookup: CDX scan → URI filter → ranged fetches.
+    * `uris` is any frame with a `uri` column (broadcast onto the
+    * sidecar scan — a lookup set is small by definition). */
+  def lookup(spark: SparkSession, path: String, uris: DataFrame): DataFrame =
+    fetch(read(spark, path)
+      .join(broadcast(uris.select(col("uri")).distinct()), Seq("uri")))
+}

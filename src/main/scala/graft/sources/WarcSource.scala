@@ -149,6 +149,35 @@ object WarcSource {
         col("warc_date"), decode(col("content"), "UTF-8").as("text"))
   }
 
+  /** WAT metadata leg: Common Crawl's `.wat` sidecars are WARC
+    * `metadata` records whose JSON payload carries the fetched page's
+    * parsed structure — most importantly its OUTLINKS
+    * (`Envelope.Payload-Metadata.HTTP-Response-Metadata
+    * .HTML-Metadata.Links[].url`), the raw material of the host link
+    * graph (PageRank-style quality priors, seed-list expansion, spam
+    * neighborhoods). One row per (page, outlink): (file, target_uri,
+    * link_url); records without the Links array contribute nothing
+    * (`explode` of a NULL array). Pure per-row `from_json` + explode —
+    * streams, no shuffle; aggregate to host edges downstream with
+    * `parse_url` + groupBy. */
+  def readWatLinks(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val schema = org.apache.spark.sql.types.DataType.fromDDL(
+      "Envelope STRUCT<`Payload-Metadata`: STRUCT<" +
+        "`HTTP-Response-Metadata`: STRUCT<`HTML-Metadata`: STRUCT<" +
+        "Links: ARRAY<STRUCT<url: STRING>>>>>>")
+    read(spark, path)
+      .filter(col("warc_type") === "metadata" &&
+        lower(col("content_type")).startsWith("application/json"))
+      .select(col("file"), col("target_uri"),
+        explode(from_json(decode(col("content"), "UTF-8"),
+          schema).getField("Envelope").getField("Payload-Metadata")
+          .getField("HTTP-Response-Metadata").getField("HTML-Metadata")
+          .getField("Links")).as("link"))
+      .select(col("file"), col("target_uri"),
+        col("link").getField("url").as("link_url"))
+  }
+
   /** Stream-parses one file; an Iterator so a task never holds more
     * than one record's content. */
   private def parseFile(file: String): Iterator[WarcRecord] = {
@@ -293,6 +322,13 @@ object WarcSource {
     (-1, -1)
   }
 
+  /** [[CdxIndex.fetch]] hooks: the ranged-read path re-enters the
+    * record parser on a single gunzipped member. */
+  private[sources] def readHeaderLine(in: InputStream): String = readLine(in)
+  private[sources] def parseOne(in: InputStream, versionLine: String,
+                                where: String): WarcRecord =
+    parseRecord(in, versionLine, where, 0)
+
   /** Reads one header line: bytes to `\n`, dropping a trailing `\r`
     * (the spec mandates CRLF; bare-LF files in the wild still parse).
     * Returns null at EOF with nothing read. */
@@ -315,14 +351,19 @@ object WarcSource {
     * (excluding warcinfo records). */
   /** `recordType` names the record type of non-HTTP payloads —
     * `resource` (default) or `conversion` (the WET extracted-text
-    * shape [[readWet]] reads back). */
+    * shape [[readWet]] reads back). `cdxIndex = true` additionally
+    * writes one `part-N.cdx` sidecar per shard ([[CdxIndex]]):
+    * SURT-sorted `surt\toffset\tlength\turi` lines addressing each
+    * gzip member, so single records are point-fetchable without a
+    * shard scan. */
   def write(df: DataFrame, path: String, uriCol: String, payloadCol: String,
             warcDate: String = "2024-01-01T00:00:00Z",
             asHttpResponse: Boolean = true,
             httpContentType: String = "text/plain; charset=utf-8",
             overwrite: Boolean = true,
             extraHttpHeadersCol: String = null,
-            recordType: String = "resource"): Long = {
+            recordType: String = "resource",
+            cdxIndex: Boolean = false): Long = {
     val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
     val out = new Path(path)
     if (overwrite && fs.exists(out)) fs.delete(out, true)
@@ -357,8 +398,18 @@ object WarcSource {
           f"_tmp-part-$idx%05d-attempt-${TarSource.taskAttemptId()}.warc.gz")
         val stream = pfs.create(tmp, true)
         var n = 0L
+        var pos = 0L
+        // (surt, offset, length, uri) per member — bounded by the
+        // shard's record count, sorted by SURT before the sidecar
+        // lands so host-scoped lookups are contiguous range scans
+        val cdxLines =
+          if (cdxIndex) new scala.collection.mutable.ArrayBuffer[
+            (String, Long, Long, String)]()
+          else null
         try {
-          stream.write(gzipMember(warcinfoRecord(warcDate, s"part$idx")))
+          val info = gzipMember(warcinfoRecord(warcDate, s"part$idx"))
+          stream.write(info)
+          pos += info.length
           rows.foreach { r =>
             val uri = r.getString(0)
             val payload = r.getAs[Array[Byte]](1)
@@ -366,7 +417,7 @@ object WarcSource {
               if (asHttpResponse)
                 httpResponseBlock(payload, httpContentType, r.getString(2))
               else payload
-            stream.write(gzipMember(recordBytes(
+            val member = gzipMember(recordBytes(
               if (asHttpResponse) "response" else recordType, uri, warcDate,
               if (asHttpResponse) "application/http; msgtype=response"
               else httpContentType,
@@ -375,11 +426,32 @@ object WarcSource {
               // GLOBALLY unique record ids, and a batch that re-crawls
               // one URI twice would otherwise mint twins; deterministic
               // under a fixed partitioning, so re-runs stay byte-stable
-              discriminator = s"$idx:$n")))
+              discriminator = s"$idx:$n"))
+            if (cdxIndex) {
+              if (uri != null && (uri.indexOf('\t') >= 0 ||
+                  uri.indexOf('\n') >= 0))
+                throw GraftError.DataTransfer(
+                  s"URI contains a tab/newline and cannot be CDX-indexed" +
+                    s": '${uri.take(60)}'")
+              cdxLines += ((CdxIndex.surtKey(uri), pos,
+                member.length.toLong, uri))
+            }
+            stream.write(member)
+            pos += member.length
             n += 1
           }
         } finally stream.close()
         TarSource.commitTemp(pfs, tmp, target)
+        if (cdxIndex) {
+          val cdxTarget = new Path(path, f"part-$idx%05d.cdx")
+          val cdxTmp = new Path(path,
+            f"_tmp-part-$idx%05d-attempt-${TarSource.taskAttemptId()}.cdx")
+          val cs = pfs.create(cdxTmp, true)
+          try cdxLines.sortBy(l => (l._1, l._2)).foreach { case (k, o, l, u) =>
+            cs.write(s"$k\t$o\t$l\t$u\n".getBytes(StandardCharsets.UTF_8))
+          } finally cs.close()
+          TarSource.commitTemp(pfs, cdxTmp, cdxTarget)
+        }
         counter.add(n)
       }
     }

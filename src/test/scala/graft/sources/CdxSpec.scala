@@ -1,0 +1,98 @@
+package graft.sources
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** CDX byte-range index: SURT key transform (Scala and Column forms
+  * agree), sidecar write/read round trip, point-fetch correctness,
+  * loud malformed lines. */
+class CdxSpec extends SparkSpec {
+
+  test("surtKey: reversed host, www/port/scheme/userinfo/fragment " +
+      "handling, lowercase, non-URL fallthrough") {
+    assert(CdxIndex.surtKey("http://www.Example.COM/Path?Q=1") ==
+      "com,example)/path?q=1")
+    assert(CdxIndex.surtKey("https://example.com:443/a") ==
+      "com,example)/a")
+    assert(CdxIndex.surtKey("http://example.com:8080/a") ==
+      "com,example:8080)/a")
+    assert(CdxIndex.surtKey("http://user:pw@sub.example.com/x#frag") ==
+      "com,example,sub)/x")
+    assert(CdxIndex.surtKey("http://example.com") == "com,example)/")
+    assert(CdxIndex.surtKey("not a url") == "not a url")
+    assert(CdxIndex.surtKey(null) == "")
+  }
+
+  test("surtCol (the SQL-replayable spelling) agrees with surtKey on " +
+      "a varied frame") {
+    import spark.implicits._
+    val uris = Seq(
+      "http://www.Example.COM/Path?Q=1",
+      "https://example.com:443/a",
+      "http://example.com:8080/a",
+      "http://user:pw@sub.example.com/x#frag",
+      "http://example.com",
+      "http://a.b.c.test/deep/path/x.html")
+    val got = uris.toDF("uri")
+      .select(col("uri"), CdxIndex.surtCol(col("uri")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    uris.foreach(u => assert(got(u) == CdxIndex.surtKey(u),
+      s"mismatch for $u: col=${got(u)} key=${CdxIndex.surtKey(u)}"))
+  }
+
+  test("write(cdxIndex) emits SURT-sorted sidecars whose offsets " +
+      "point-fetch the exact records; lookup joins a URI set") {
+    import spark.implicits._
+    val dir = tmpDir("cdx_rt")
+    val rows = (0 until 30).map(i =>
+      (s"http://h${i % 3}.test/p/$i", s"body number $i"))
+    val n = WarcSource.write(rows.toDF("uri", "payload").repartition(3),
+      dir, "uri", "payload", cdxIndex = true)
+    assert(n == 30)
+    val sidecars = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".cdx"))
+    assert(sidecars.nonEmpty)
+    // sidecar lines are SURT-sorted within each shard
+    sidecars.foreach { f =>
+      val keys = Files.readAllLines(Paths.get(f)).toArray
+        .map(_.toString.split('\t')(0)).toSeq
+      assert(keys == keys.sorted, s"$f not SURT-sorted")
+    }
+    val cdx = CdxIndex.read(spark, dir)
+    assert(cdx.count() == 30)
+    // every record point-fetches to its own uri + body
+    val fetched = CdxIndex.fetch(cdx)
+      .select(col("target_uri"), decode(col("http_body"), "UTF-8"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(fetched == rows.toMap)
+    // lookup: a 10-uri subset returns exactly those
+    val wanted = rows.take(10).map(_._1).toDF("uri")
+    val got = CdxIndex.lookup(spark, dir, wanted)
+      .select("target_uri").collect().map(_.getString(0)).toSet
+    assert(got == rows.take(10).map(_._1).toSet)
+  }
+
+  test("malformed CDX lines and missing sidecars are loud; indexed " +
+      "URIs may not contain tabs") {
+    import spark.implicits._
+    val dir = tmpDir("cdx_bad")
+    Files.createDirectories(Paths.get(dir))
+    Files.write(Paths.get(dir, "part-00000.cdx"),
+      "only two\tfields\n".getBytes("UTF-8"))
+    val e = intercept[Exception] { CdxIndex.read(spark, dir).count() }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).mkString)
+      .contains("malformed CDX"), e.getMessage)
+    val e2 = intercept[Exception] {
+      CdxIndex.read(spark, tmpDir("cdx_none")).count() }
+    assert(e2.getMessage.contains(".cdx"), e2.getMessage)
+    val e3 = intercept[Exception] {
+      WarcSource.write(Seq(("http://x.test/a\tb", "p")).toDF("uri", "payload"),
+        tmpDir("cdx_tab"), "uri", "payload", cdxIndex = true)
+    }
+    assert((e3.getMessage + Option(e3.getCause).map(_.getMessage).mkString)
+      .contains("CDX-indexed"), e3.getMessage)
+  }
+}

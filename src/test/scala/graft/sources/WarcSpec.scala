@@ -256,6 +256,37 @@ class WarcSpec extends SparkSpec {
       "http://x.test/broken" -> null)) // metadata records filtered out
   }
 
+  test("WAT outlink extraction: Links arrays explode per page, extra " +
+      "JSON fields are ignored, and records WITHOUT links contribute " +
+      "no rows (no nulls, no crash)") {
+    val dir = tmpDir("warc_wat")
+    def wat(uri: String, json: String) =
+      rec("metadata", uri, json.getBytes(StandardCharsets.UTF_8),
+        contentType = "application/json")
+    val withLinks =
+      """{"Container":{"Filename":"x"},"Envelope":{"Payload-Metadata":
+        |{"Actual-Content-Type":"application/http",
+        |"HTTP-Response-Metadata":{"HTML-Metadata":{
+        |"Head":{"Title":"t"},
+        |"Links":[{"path":"A@/href","url":"http://a.test/1"},
+        |{"url":"http://b.test/2"}]}}}}}""".stripMargin.replace("\n", "")
+    val noLinks =
+      """{"Envelope":{"Payload-Metadata":{"HTTP-Response-Metadata":
+        |{"HTML-Metadata":{"Head":{"Title":"no links"}}}}}}"""
+        .stripMargin.replace("\n", "")
+    writeFile(dir, "f.wat",
+      wat("http://src.test/p1", withLinks) ++
+        wat("http://src.test/p2", noLinks) ++
+        rec("conversion", "http://src.test/p3",
+          "not metadata".getBytes(StandardCharsets.UTF_8)))
+    val got = WarcSource.readWatLinks(spark, dir)
+      .select("target_uri", "link_url").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(got == Set(
+      ("http://src.test/p1", "http://a.test/1"),
+      ("http://src.test/p1", "http://b.test/2")), s"got $got")
+  }
+
   test("record ids are globally unique even when one URI repeats in a " +
       "batch (re-crawl), and stay deterministic across re-runs") {
     import spark.implicits._
