@@ -379,7 +379,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(
         concat(lit("http://corpus.test/doc/"), col("doc_id")).as("uri"),
         col("text"))
-      WarcSource.write(docs, out, "uri", "text",
+      WarcSource.write(docs.repartition(col("uri")), out, "uri", "text",
         asHttpResponse = false, recordType = "conversion")
       WarcSource.readWet(s, out).select(
         regexp_extract(col("target_uri"), "([0-9]+)$", 1)
@@ -398,7 +398,12 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(
         concat(lit("http://corpus.test/doc/"), col("doc_id")).as("uri"),
         col("text"))
-      WarcSource.write(docs, out, "uri", "text", cdxIndex = true)
+      // realistic shard fan-out: a 1-partition fixture would write ONE
+      // .warc.gz and serialize the file-granular read (the 100x ramp
+      // measured exactly that) — hash the corpus across writers like
+      // any production crawl job
+      WarcSource.write(docs.repartition(col("uri")), out, "uri", "text",
+        cdxIndex = true)
       val wanted = t(s, dir, "documents")
         .filter(pmod(col("doc_id"), lit(5)) === 2)
         .select(concat(lit("http://corpus.test/doc/"), col("doc_id"))
@@ -434,8 +439,8 @@ object SparkEntry {
         concat(lit("http://src"), pmod(id, lit(3)), lit(".test/page/"), id)
           .as("uri"),
         payload.as("payload"))
-      WarcSource.write(pages, out, "uri", "payload",
-        asHttpResponse = false, recordType = "metadata",
+      WarcSource.write(pages.repartition(col("uri")), out, "uri",
+        "payload", asHttpResponse = false, recordType = "metadata",
         httpContentType = "application/json")
       WarcSource.readWatLinks(s, out)
         .select(
@@ -480,8 +485,8 @@ object SparkEntry {
           .when(col("id") === 2, lit("User-agent: otherbot\nDisallow: /"))
           .otherwise(lit("User-agent: *\nDisallow:")).as("payload"),
         lit(null).cast("string").as("hdrs"))
-      WarcSource.write(pages.union(robotsRows), out, "uri", "payload",
-        extraHttpHeadersCol = "hdrs")
+      WarcSource.write(pages.union(robotsRows).repartition(col("uri")),
+        out, "uri", "payload", extraHttpHeadersCol = "hdrs")
       graft.llm.Consent.fromCrawl(WarcSource.read(s, out), "ccbot")
         .select(
           regexp_extract(col("target_uri"), "([0-9]+)$", 1)

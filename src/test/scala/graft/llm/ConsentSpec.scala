@@ -132,6 +132,36 @@ class ConsentSpec extends SparkSpec {
     assert(m("http://a.test/open/6") == ((false, false, false, true)))
   }
 
+  test("consent stage streams: batch/stream parity over x_robots + " +
+      "meta objections (per-row, no state)") {
+    import spark.implicits._
+    val scratch = tmpDir("consent_stream")
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val rows = Seq(
+      (1L, "<meta name='robots' content='noai'>page one", null: String, ts0),
+      (2L, "clean page two body", "noai", ts0),
+      (3L, "clean page three body", null, ts0),
+      (4L, "prose about noai only", null, ts0))
+    rows.toDF("doc_id", "text", "x_robots", "ts")
+      .coalesce(1).write.mode("overwrite").parquet(scratch)
+    val cfg = Curation.PipelineConfig(consent = true,
+      maxDupWordFrac = 0.9, maxDupNgramFrac = 0.9, maxTopNgramFrac = 0.9)
+    val in = spark.readStream
+      .schema(spark.read.parquet(scratch).schema).parquet(scratch)
+    val q = Curation.pipelineStream(in, "doc_id", "text", "ts", cfg = cfg)
+      .writeStream.format("memory").queryName("consent_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000L)
+    val streamed = spark.table("consent_stream")
+      .select($"doc_id").as[Long].collect().toSet
+    val batch = Curation.pipeline(
+        spark.read.parquet(scratch).select($"doc_id", $"text", $"x_robots"),
+        "doc_id", "text", cfg)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(streamed == Set(3L, 4L) && streamed == batch,
+      s"stream $streamed vs batch $batch")
+  }
+
   test("Consent.keep drives the curation `consent:` stage: meta and " +
       "x_robots objections drop, prose survives; honorNoindex extends") {
     import spark.implicits._
