@@ -387,6 +387,31 @@ object SparkEntry {
         col("text"))
     },
 
+    // --- PDF text extraction (ISO 32000): every document becomes a
+    // real multi-page PDF (FlateDecoded content streams, page tree,
+    // xref) with planted parens/backslash specials, then reads back
+    // page-by-page — object scan, /Kids order, stream inflate, literal
+    // string escapes all under one identity oracle. Pages split at 200
+    // chars; the oracle re-derives the split with substr ---
+    "q_pdf_text" -> { (s, dir) =>
+      val out = scratch("pdf_corpus")
+      // a 1-in-10 sample: loose file-per-document PDF writes are
+      // fs-op bound (~ms each — measured), so the gate bounds its
+      // file count at every sf; the at-scale shape (PDFs inside tar
+      // shards via pagesFrom) is unit-pinned in PdfSpec
+      val docs = t(s, dir, "documents")
+        .filter(pmod(col("doc_id"), lit(10)) === 0)
+        .select(
+          concat(lit("d"), col("doc_id")).as("name"),
+          concat(col("text"), lit(" tail(with)\\specials")).as("text"))
+      graft.sources.PdfSource.write(docs.repartition(col("name")), out,
+        "name", "text", pageChars = 200)
+      graft.sources.PdfSource.readText(s, out).select(
+        regexp_extract(col("file"), "d([0-9]+)\\.pdf$", 1)
+          .cast("long").as("doc_id"),
+        col("page"), col("text"))
+    },
+
     // --- CDX byte-range index: the archive is written WITH its
     // part-N.cdx sidecars, then a 20% URI subset is point-fetched —
     // index scan → broadcast URI filter → one seek+read per hit, no
@@ -4454,6 +4479,22 @@ object SparkEntry {
 
     "q_cdx_lookup" ->
       "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 2",
+
+    // the 200-char page split re-derived with substr over the same
+    // planted text (ASCII corpus: char and codepoint splits agree)
+    "q_pdf_text" ->
+      """WITH t AS (
+        |  SELECT doc_id, text || ' tail(with)\specials' AS body
+        |  FROM documents WHERE doc_id % 10 = 0
+        |), pages AS (
+        |  SELECT doc_id, body,
+        |    unnest(range(1,
+        |      CAST(ceil(length(body) / 200.0) AS BIGINT) + 1)) AS p
+        |  FROM t
+        |)
+        |SELECT doc_id, CAST(p AS INT) AS page,
+        |  substr(body, CAST((p - 1) * 200 + 1 AS BIGINT), 200) AS text
+        |FROM pages""".stripMargin,
 
     "q_wat_links" ->
       """WITH j AS (

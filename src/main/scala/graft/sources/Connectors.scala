@@ -101,6 +101,7 @@ object Connectors {
         Ref("warc", body, frag, options)
       case u if u.endsWith(".tar") || u.endsWith(".tar.gz") =>
         Ref("tar", body, frag, options)
+      case u if u.endsWith(".pdf") => Ref("pdf", body, frag, options)
       case u if u.endsWith(".db")      => jdbc(s"jdbc:sqlite:$body")
       case u if u.endsWith(".duckdb")  => jdbc(s"jdbc:duckdb:$body")
       case _ =>
@@ -114,11 +115,11 @@ object Connectors {
             // extension dispatch can't see (a crawl dump or a
             // WebDataset shard dir has no suffix of its own)
             case n @ ("csv" | "json" | "parquet" | "avro" | "orc" |
-                      "warc" | "tar") =>
+                      "warc" | "tar" | "pdf") =>
               Ref(n, body, frag, options)
             case _ => throw graft.core.GraftError.Configuration(
               s"unsupported sourceType '$t' for uri '$uri' " +
-                "(expected csv|json|parquet|avro|orc|warc|tar)")
+                "(expected csv|json|parquet|avro|orc|warc|tar|pdf)")
           }
           case None => throw UnsupportedUri(uri, Supported)
         }
@@ -154,6 +155,8 @@ object Connectors {
     case "tar"     =>
       if (ref.table.contains("samples")) TarSource.readSamples(spark, ref.path)
       else TarSource.read(spark, ref.path)
+    // PDF: one row per page, page-tree order
+    case "pdf" => PdfSource.readText(spark, ref.path)
     case "jdbc" => readJdbc(spark, ref)
     case "http" => readRef(spark, Http.download(ref))
     case "ssh"  => readRef(spark, Ssh.download(ref))
@@ -365,6 +368,14 @@ object Connectors {
           .getOrElse(throw graft.core.GraftError.Configuration(
             "a .warc target needs a payload (or text/http_body) column"))
         Some(WarcSource.write(df, ref.path, uriCol, payloadCol))
+      case "pdf" =>
+        val nameCol = Seq("name", "doc_id").find(df.columns.contains)
+          .getOrElse(throw graft.core.GraftError.Configuration(
+            "a .pdf target needs a name (or doc_id) column"))
+        val textCol = Seq("text", "payload").find(df.columns.contains)
+          .getOrElse(throw graft.core.GraftError.Configuration(
+            "a .pdf target needs a text (or payload) column"))
+        Some(PdfSource.write(df, ref.path, nameCol, textCol))
       case "orc" =>
         df.write.mode(mode).options(ref.options).orc(ref.path)
         None
