@@ -387,6 +387,34 @@ object SparkEntry {
         col("text"))
     },
 
+    // --- ZIP container round trip (how code corpora ship): one .txt
+    // entry per document, fixed timestamps (byte-stable), interop
+    // pinned against /usr/bin/zip in ZipSpec. Oracle = identity ---
+    "q_zip_roundtrip" -> { (s, dir) =>
+      val out = scratch("zip_rt")
+      val entries = t(s, dir, "documents").select(
+        lpad(col("doc_id").cast("string"), 8, "0").as("k"),
+        lit("txt").as("e"), col("text").as("c"))
+      graft.sources.ZipSource.write(entries, out, "k", "e", "c")
+      graft.sources.ZipSource.read(s, out).select(
+        col("key").cast("long").as("doc_id"),
+        decode(col("content"), "UTF-8").as("text"))
+    },
+
+    // --- compressed-JSONL dump round trip (.jsonl.zst — The Pile's
+    // delivery shape; Spark's own codec path needs native Hadoop for
+    // zstd, absent here, so this leg is what makes such corpora
+    // readable at all). Oracle = identity over (doc_id, text, lang) ---
+    "q_jsonl_zst" -> { (s, dir) =>
+      val out = scratch("jsonl_zst")
+      graft.sources.ZstdText.writeJsonl(
+        t(s, dir, "documents").select(col("doc_id"), col("text"),
+          col("lang")),
+        out, compression = "zstd")
+      graft.sources.ZstdText.readJsonl(s, out)
+        .select(col("doc_id"), col("text"), col("lang"))
+    },
+
     // --- PDF text extraction (ISO 32000): every document becomes a
     // real multi-page PDF (FlateDecoded content streams, page tree,
     // xref) with planted parens/backslash specials, then reads back
@@ -4479,6 +4507,12 @@ object SparkEntry {
 
     "q_cdx_lookup" ->
       "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 2",
+
+    "q_zip_roundtrip" ->
+      "SELECT doc_id, text FROM documents",
+
+    "q_jsonl_zst" ->
+      "SELECT doc_id, text, lang FROM documents",
 
     // the 200-char page split re-derived with substr over the same
     // planted text (ASCII corpus: char and codepoint splits agree)

@@ -102,6 +102,10 @@ object Connectors {
       case u if u.endsWith(".tar") || u.endsWith(".tar.gz") =>
         Ref("tar", body, frag, options)
       case u if u.endsWith(".pdf") => Ref("pdf", body, frag, options)
+      case u if u.endsWith(".zip") => Ref("zip", body, frag, options)
+      case u if u.endsWith(".jsonl") || u.endsWith(".jsonl.gz") ||
+          u.endsWith(".jsonl.zst") =>
+        Ref("jsonl", body, frag, options)
       case u if u.endsWith(".db")      => jdbc(s"jdbc:sqlite:$body")
       case u if u.endsWith(".duckdb")  => jdbc(s"jdbc:duckdb:$body")
       case _ =>
@@ -115,11 +119,11 @@ object Connectors {
             // extension dispatch can't see (a crawl dump or a
             // WebDataset shard dir has no suffix of its own)
             case n @ ("csv" | "json" | "parquet" | "avro" | "orc" |
-                      "warc" | "tar" | "pdf") =>
+                      "warc" | "tar" | "pdf" | "zip" | "jsonl") =>
               Ref(n, body, frag, options)
             case _ => throw graft.core.GraftError.Configuration(
               s"unsupported sourceType '$t' for uri '$uri' " +
-                "(expected csv|json|parquet|avro|orc|warc|tar|pdf)")
+                "(expected csv|json|parquet|avro|orc|warc|tar|pdf|zip|jsonl)")
           }
           case None => throw UnsupportedUri(uri, Supported)
         }
@@ -157,6 +161,11 @@ object Connectors {
       else TarSource.read(spark, ref.path)
     // PDF: one row per page, page-tree order
     case "pdf" => PdfSource.readText(spark, ref.path)
+    // ZIP archives: the tar row shape, container-agnostic downstream
+    case "zip" => ZipSource.read(spark, ref.path)
+    // compressed JSONL dumps (the Pile shape): zstd read through
+    // zstd-jni because Spark's codec path needs native Hadoop for it
+    case "jsonl" => ZstdText.readJsonl(spark, ref.path)
     case "jdbc" => readJdbc(spark, ref)
     case "http" => readRef(spark, Http.download(ref))
     case "ssh"  => readRef(spark, Ssh.download(ref))
@@ -368,6 +377,19 @@ object Connectors {
           .getOrElse(throw graft.core.GraftError.Configuration(
             "a .warc target needs a payload (or text/http_body) column"))
         Some(WarcSource.write(df, ref.path, uriCol, payloadCol))
+      case "zip" =>
+        val need = Seq("key", "ext", "content")
+        val missing = need.filterNot(df.columns.contains)
+        if (missing.nonEmpty)
+          throw graft.core.GraftError.Configuration(
+            s"a .zip target needs (key, ext, content) columns — " +
+              s"missing ${missing.mkString(", ")}")
+        Some(ZipSource.write(df, ref.path, "key", "ext", "content"))
+      case "jsonl" =>
+        val compression =
+          if (ref.path.endsWith(".zst")) "zstd"
+          else if (ref.path.endsWith(".gz")) "gzip" else "none"
+        Some(ZstdText.writeJsonl(df, ref.path, compression))
       case "pdf" =>
         val nameCol = Seq("name", "doc_id").find(df.columns.contains)
           .getOrElse(throw graft.core.GraftError.Configuration(
