@@ -422,22 +422,32 @@ object SparkEntry {
     // string escapes all under one identity oracle. Pages split at 200
     // chars; the oracle re-derives the split with substr ---
     "q_pdf_text" -> { (s, dir) =>
-      val out = scratch("pdf_corpus")
-      // a 1-in-10 sample: loose file-per-document PDF writes are
-      // fs-op bound (~ms each — measured), so the gate bounds its
-      // file count at every sf; the at-scale shape (PDFs inside tar
-      // shards via pagesFrom) is unit-pinned in PdfSpec
-      val docs = t(s, dir, "documents")
+      import s.implicits._
+      val out = scratch("pdf_shards")
+      // the AT-SCALE shape: render → WebDataset tar shards → pagesFrom
+      // over the content bytes. Loose file-per-document PDFs are fs-op
+      // bound (~4 ms each measured — the 30x ramp hit 65 s on 15k
+      // files), so the gate exercises the composition the scaladoc
+      // prescribes; the loose-file read/write legs stay unit-pinned in
+      // PdfSpec. 1-in-10 sample bounds render volume at big sf.
+      val entries = t(s, dir, "documents")
         .filter(pmod(col("doc_id"), lit(10)) === 0)
         .select(
-          concat(lit("d"), col("doc_id")).as("name"),
-          concat(col("text"), lit(" tail(with)\\specials")).as("text"))
-      graft.sources.PdfSource.write(docs.repartition(col("name")), out,
-        "name", "text", pageChars = 200)
-      graft.sources.PdfSource.readText(s, out).select(
-        regexp_extract(col("file"), "d([0-9]+)\\.pdf$", 1)
-          .cast("long").as("doc_id"),
-        col("page"), col("text"))
+          concat(lit("d"), col("doc_id")).as("k"),
+          concat(col("text"), lit(" tail(with)\\specials")).as("t"))
+        .as[(String, String)]
+        .map { case (k, t) =>
+          (k, "pdf", graft.sources.PdfSource.render(t, pageChars = 200))
+        }.toDF("k", "e", "c")
+      graft.sources.TarSource.write(entries, out, "k", "e", "c")
+      graft.sources.PdfSource.pagesFrom(
+          graft.sources.TarSource.read(s, out)
+            .filter(col("ext") === "pdf"),
+          "key", "content")
+        .select(
+          regexp_extract(col("file"), "^d([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("page"), col("text"))
     },
 
     // --- CDX byte-range index: the archive is written WITH its

@@ -542,7 +542,7 @@ object PdfSource {
   /** One minimal spec-compliant PDF: catalog(1) → pages(2) →
     * page(3,5,…) + FlateDecoded content(4,6,…) + Helvetica font
     * (last), classic xref with correct offsets. */
-  private[sources] def render(text0: String, pageChars: Int): Array[Byte] = {
+  def render(text0: String, pageChars: Int): Array[Byte] = {
     val text = if (text0 == null) "" else text0
     val pages: Seq[String] =
       if (pageChars <= 0 || text.length <= pageChars) Seq(text)
