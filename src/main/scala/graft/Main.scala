@@ -933,11 +933,22 @@ object Main {
               // the crawl-in → training-shards-out composition
               val ref = graft.sources.Connectors.parse(
                 cfg.target, cfg.targetOptions)
-              if (ref.kind == "tar")
+              if (ref.kind == "tar") {
+                // the fast path bypasses Connectors.write, which would
+                // silently drop target options — reject them loudly
+                // instead of ignoring what the YAML asked for; the
+                // overwrite itself follows the documented reference
+                // rule for non-appendable targets (exists ∧ ¬appendable
+                // → overwrite, transfer.rs:92-118), truncate or not
+                if (cfg.targetOptions.nonEmpty)
+                  throw GraftError.Configuration(
+                    "a .tar curation target takes no target options " +
+                      s"(got ${cfg.targetOptions.keys.mkString(", ")}); " +
+                      "shard layout is fixed by the WebDataset contract")
                 Some(graft.sources.TarSource.writeDocuments(
                   tapped, ref.path, cur.idColumn, cur.textColumn,
                   gzip = ref.path.endsWith(".gz")))
-              else
+              } else
                 graft.sources.Connectors.write(
                   tapped, cfg.target, cfg.truncate, cfg.targetOptions)
           }

@@ -521,17 +521,23 @@ object SparkEntry {
     // doc_id%5: host0 disallows everything, host1 has a ccbot group
     // where Allow /p/2 outranks Disallow /p/, host2's group addresses a
     // DIFFERENT agent (no * fallback → allowed), host3's empty Disallow
-    // allows all, host4 has no robots.txt at all. The oracle re-derives
-    // every flag from the SAME planted strings (regexp over the
-    // reconstructed X-Robots-Tag value and html — not from id
-    // arithmetic alone) ---
+    // allows all EXCEPT a query-string rule (Disallow: /p/*?print= —
+    // RFC 9309 matches path + query, the r15 verdict's watch item),
+    // host4 has no robots.txt at all. Every doc_id%11==0 page carries
+    // a ?print=1 query so the query rule has both hit and miss cases
+    // on every host. The oracle re-derives every flag from the SAME
+    // planted strings (regexp over the reconstructed X-Robots-Tag
+    // value and html — not from id arithmetic alone) ---
     "q_crawl_consent" -> { (s, dir) =>
       val out = scratch("crawl_consent")
       val m3 = pmod(col("doc_id"), lit(3))
       val host = concat(lit("host"), pmod(col("doc_id"), lit(5)),
         lit(".test"))
+      val query = when(pmod(col("doc_id"), lit(11)) === 0,
+        lit("?print=1")).otherwise(lit(""))
       val pages = t(s, dir, "documents").select(
-        concat(lit("http://"), host, lit("/p/"), col("doc_id")).as("uri"),
+        concat(lit("http://"), host, lit("/p/"), col("doc_id"), query)
+          .as("uri"),
         when(pmod(col("doc_id"), lit(7)) === 0,
           concat(lit("<meta name=\"robots\" content=\"noai\">"),
             col("text")))
@@ -546,16 +552,18 @@ object SparkEntry {
           .when(col("id") === 1,
             lit("User-agent: ccbot\nDisallow: /p/\nAllow: /p/2"))
           .when(col("id") === 2, lit("User-agent: otherbot\nDisallow: /"))
-          .otherwise(lit("User-agent: *\nDisallow:")).as("payload"),
+          .otherwise(lit("User-agent: *\nDisallow:\nDisallow: /p/*?print="))
+          .as("payload"),
         lit(null).cast("string").as("hdrs"))
       WarcSource.write(pages.union(robotsRows).repartition(col("uri")),
         out, "uri", "payload", extraHttpHeadersCol = "hdrs")
       graft.llm.Consent.fromCrawl(WarcSource.read(s, out), "ccbot")
         .select(
-          regexp_extract(col("target_uri"), "([0-9]+)$", 1)
+          regexp_extract(col("target_uri"), "/p/([0-9]+)", 1)
             .cast("long").as("doc_id"),
           col("robots_disallowed"), col("xrobots_noai"),
-          col("xrobots_noindex"), col("meta_noai"), col("consent_ok"))
+          col("xrobots_noindex"), col("meta_noai"), col("meta_noindex"),
+          col("consent_ok"))
     },
 
     // --- WebDataset tar round trip: documents become two-entry samples
@@ -4568,15 +4576,18 @@ object SparkEntry {
         |GROUP BY src_host, dst_host""".stripMargin,
 
     // every flag re-derived from the planted strings: the x-robots
-    // directive regex and the meta-tag regex run verbatim on the
-    // reconstructed header/html values; the robots verdict replays the
-    // fixture's rule set (host0 blanket disallow; host1 longest-match
-    // Allow /p/2 over Disallow /p/; host2 group addresses another
-    // agent; host3 empty Disallow; host4 no robots.txt)
+    // directive regex and the meta-tag regexes (noai AND noindex — the
+    // full roll-up is replayed) run verbatim on the reconstructed
+    // header/html values; the robots verdict replays the fixture's
+    // rule set against path + query (host0 blanket disallow; host1
+    // longest-match Allow /p/2 over Disallow /p/; host2 group
+    // addresses another agent; host3 empty Disallow plus the
+    // query-string rule Disallow: /p/*?print=; host4 no robots.txt)
     "q_crawl_consent" ->
       """WITH f AS (
         |  SELECT doc_id,
-        |    '/p/' || doc_id AS path,
+        |    '/p/' || doc_id ||
+        |      CASE WHEN doc_id % 11 = 0 THEN '?print=1' ELSE '' END AS path,
         |    doc_id % 5 AS h,
         |    CASE WHEN doc_id % 3 = 0 THEN 'noai'
         |         WHEN doc_id % 3 = 1 THEN 'noindex, nofollow' END AS xr,
@@ -4588,6 +4599,7 @@ object SparkEntry {
         |  SELECT doc_id,
         |    CASE WHEN h = 0 THEN true
         |         WHEN h = 1 THEN NOT (path LIKE '/p/2%')
+        |         WHEN h = 3 THEN path LIKE '%?print=%'
         |         ELSE false END AS robots_disallowed,
         |    COALESCE(regexp_matches(lower(xr),
         |      '(^|[\s,:])noai($|[\s,])'), false) AS xrobots_noai,
@@ -4597,13 +4609,18 @@ object SparkEntry {
         |       '(?i)<meta\b[^>]*content\s*=\s*"[^"]*\bnoai\b[^"]*"') OR
         |     regexp_matches(html,
         |       '(?i)<meta\b[^>]*content\s*=\s*''[^'']*\bnoai\b[^'']*''')
-        |    ) AS meta_noai
+        |    ) AS meta_noai,
+        |    (regexp_matches(html,
+        |       '(?i)<meta\b[^>]*content\s*=\s*"[^"]*\bnoindex\b[^"]*"') OR
+        |     regexp_matches(html,
+        |       '(?i)<meta\b[^>]*content\s*=\s*''[^'']*\bnoindex\b[^'']*''')
+        |    ) AS meta_noindex
         |  FROM f
         |)
         |SELECT doc_id, robots_disallowed, xrobots_noai, xrobots_noindex,
-        |  meta_noai,
+        |  meta_noai, meta_noindex,
         |  NOT (robots_disallowed OR xrobots_noai OR xrobots_noindex
-        |    OR meta_noai) AS consent_ok
+        |    OR meta_noai OR meta_noindex) AS consent_ok
         |FROM flags""".stripMargin,
 
     // the WebDataset round trip is an identity over (doc_id, text,

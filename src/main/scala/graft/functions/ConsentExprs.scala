@@ -27,10 +27,11 @@ import org.apache.spark.unsafe.types.UTF8String
   *    rule, or an empty/absent robots.txt → allowed.
   *
   * Out of scope, documented: `Crawl-delay`/`Sitemap` lines are ignored
-  * (non-normative), and the path compared is the URL path only — RFC
-  * 9309 matches path + query, so a rule targeting `?` query strings is
-  * a documented miss on the allow side, never a false disallow, when
-  * callers pass `parse_url(uri, 'PATH')`.
+  * (non-normative). The expression matches whatever string the caller
+  * passes — RFC 9309 §2.2.2 compares path + query, and
+  * [[graft.llm.Consent.fromCrawl]] passes exactly that
+  * (`path + '?' + query` when a query exists), so rules targeting
+  * query strings (`Disallow: /page*?session=`) evaluate correctly.
   *
   * Scale: pure per-row string walk, no allocation beyond the parsed
   * rule list for ONE robots body at a time; stays inside whole-stage

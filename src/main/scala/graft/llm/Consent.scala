@@ -40,7 +40,10 @@ object Consent {
     * excluded) with:
     *
     *  - `robots_disallowed` — RFC 9309 verdict for `agent` against the
-    *    host's archived robots.txt (false when the crawl has none);
+    *    host's archived robots.txt (false when the crawl has none),
+    *    matched against path + `?` + query per §2.2.2 ("the path and
+    *    query portion of the URI") so rules targeting query strings
+    *    (`Disallow: /page*?session=`) evaluate correctly;
     *  - `xrobots_noai` / `xrobots_noindex` — X-Robots-Tag directives;
     *  - `meta_noai` / `meta_noindex` — page `<meta>` directives (only
     *    evaluated when the record's body decodes; NULL-safe false);
@@ -77,7 +80,12 @@ object Consent {
       .join(broadcast(robots), Seq("host"), "left")
       .withColumn("robots_disallowed",
         ConsentExprs.robotsDisallowed(col("robots_txt"),
-          parse_url(col("target_uri"), lit("PATH")), agent))
+          // RFC 9309 matches path + query, not path alone — QUERY is
+          // NULL when absent, so the coalesce'd concat adds nothing
+          concat(parse_url(col("target_uri"), lit("PATH")),
+            coalesce(concat(lit("?"),
+              parse_url(col("target_uri"), lit("QUERY"))), lit(""))),
+          agent))
       .withColumn("xrobots_noai", directiveFlag(xrobots, "noai"))
       .withColumn("xrobots_noindex", directiveFlag(xrobots, "noindex"))
       .withColumn("meta_noai", metaFlag("noai"))

@@ -43,7 +43,11 @@ object CdxIndex {
     * `reversed,host)/path?query` — lowercased host, reversed on dots,
     * leading `www.` dropped, default ports (80/443) dropped,
     * userinfo/scheme/fragment dropped. Non-URL strings key as
-    * themselves lowercased (never throw in an index path). */
+    * themselves lowercased (never throw in an index path). A string is
+    * only host-reversed when the text before `://` is a VALID scheme
+    * (`[A-Za-z][A-Za-z0-9+.-]*`) — the same gate [[surtCol]] applies,
+    * so the Scala writer and the SQL-replayable spelling emit the SAME
+    * key for malformed inputs like `not a url://x`. */
   def surtKey(uri: String): String = {
     if (uri == null) return ""
     val noFrag = {
@@ -51,7 +55,8 @@ object CdxIndex {
       if (h < 0) uri else uri.substring(0, h)
     }
     val schemeEnd = noFrag.indexOf("://")
-    if (schemeEnd < 0) return noFrag.toLowerCase
+    if (schemeEnd <= 0 || !validScheme(noFrag, schemeEnd))
+      return noFrag.toLowerCase
     val rest = noFrag.substring(schemeEnd + 3)
     val slash = rest.indexOf('/')
     val (auth0, path) =
@@ -72,6 +77,23 @@ object CdxIndex {
       if (port.isEmpty || port == "80" || port == "443") ""
       else s":$port"
     s"$reversed$portPart)${path.toLowerCase}"
+  }
+
+  /** `s[0, end)` is a valid URI scheme: ASCII letter head, then
+    * letters/digits/`+.-` (RFC 3986 §3.1 — what surtCol's regex
+    * requires). */
+  private def validScheme(s: String, end: Int): Boolean = {
+    val c0 = s.charAt(0)
+    if (!((c0 >= 'a' && c0 <= 'z') || (c0 >= 'A' && c0 <= 'Z'))) return false
+    var i = 1
+    while (i < end) {
+      val c = s.charAt(i)
+      val ok = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z') ||
+        (c >= '0' && c <= '9') || c == '+' || c == '.' || c == '-'
+      if (!ok) return false
+      i += 1
+    }
+    true
   }
 
   /** The SURT transform as a Column (same semantics as [[surtKey]],
@@ -112,9 +134,10 @@ object CdxIndex {
       .flatMap { f =>
         val cfs = FileSystem.get(java.net.URI.create(f), new Configuration())
         val in = cfs.open(new Path(f))
-        val lines = scala.io.Source.fromInputStream(in, "UTF-8")
-          .getLines().toVector
-        in.close()
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8")
+            .getLines().toVector
+          finally in.close()
         val warcFile = f.stripSuffix(".cdx") + ".warc.gz"
         lines.zipWithIndex.map { case (line, i) =>
           line.split('\t') match {
@@ -147,6 +170,10 @@ object CdxIndex {
         .toVector.sortBy(t => (t._1, t._2))
       var curFile: String = null
       var in: org.apache.hadoop.fs.FSDataInputStream = null
+      // a parse error or task kill abandons the iterator mid-walk: the
+      // listener closes whatever handle is CURRENT at task end (the
+      // thunk re-reads the var), so no leak survives the task
+      TarSource.closeOnTaskEnd(() => in)
       val out = sorted.iterator.map { case (file, offset, length) =>
         if (file != curFile) {
           if (in != null) in.close()

@@ -143,6 +143,9 @@ object TarSource {
     val in: InputStream =
       if (file.endsWith(".gz")) new GZIPInputStream(new BufferedInputStream(raw))
       else new BufferedInputStream(raw)
+    // EOF closes on the happy path; the task-end listener covers a
+    // damaged header / killed task abandoning the iterator mid-shard
+    closeOnTaskEnd(() => in)
     new Iterator[TarEntry] {
       private var idx = 0
       private var nameOverride: String = null // from 'L' or pax 'x' path=
@@ -333,11 +336,14 @@ object TarSource {
     * union-built frame). Pass `repartitionByKey = false` only when
     * the frame is already key-partitioned and the extra exchange
     * matters. Content may be binary or string (UTF-8). Returns
-    * entries written. */
+    * entries written — narrowed to rows whose ext equals `countExt`
+    * when set (how [[writeDocuments]] reports documents rather than
+    * txt+json entry totals). */
   def write(df: DataFrame, path: String, keyCol: String, extCol: String,
             contentCol: String, gzip: Boolean = false,
             overwrite: Boolean = true,
-            repartitionByKey: Boolean = true): Long = {
+            repartitionByKey: Boolean = true,
+            countExt: String = null): Long = {
     val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
     val out = new Path(path)
     if (overwrite && fs.exists(out)) fs.delete(out, true)
@@ -380,7 +386,11 @@ object TarSource {
             val name = r.getString(0) +
               (if (r.getString(1).isEmpty) "" else "." + r.getString(1))
             stream.write(entryBytes(name, r.getAs[Array[Byte]](2)))
-            n += 1
+            // countExt narrows the RETURNED count to one ext (the
+            // writeDocuments document-count hook: a doc is one txt
+            // entry plus an optional json sidecar — "Kept N rows" must
+            // report documents, not entries); everything still writes
+            if (countExt == null || r.getString(1) == countExt) n += 1
           }
           stream.write(new Array[Byte](Block * 2)) // end-of-archive
         } finally stream.close()
@@ -398,9 +408,12 @@ object TarSource {
     * any OTHER columns — `<key>.json` holding them as one JSON object,
     * so weights/stage columns ride along instead of silently dropping.
     * Keys are the id rendered as a string; numeric ids are zero-padded
-    * to 12 so lexicographic shard order == id order. */
+    * to 12 so lexicographic shard order == id order. Returns the
+    * DOCUMENT count (txt entries only — a doc with extra columns
+    * writes two entries, and "Kept N rows" must mean documents). */
   def writeDocuments(df: DataFrame, path: String, idCol: String,
-                     textCol: String, gzip: Boolean = false): Long = {
+                     textCol: String, gzip: Boolean = false,
+                     overwrite: Boolean = true): Long = {
     val numericId = df.schema(idCol).dataType.isInstanceOf[
       org.apache.spark.sql.types.NumericType]
     val key =
@@ -413,7 +426,8 @@ object TarSource {
       if (rest.isEmpty) txt
       else txt.union(df.select(key.as("k"), lit("json").as("e"),
         to_json(struct(rest.map(col).toIndexedSeq: _*)).as("c")))
-    write(entries, path, "k", "e", "c", gzip = gzip)
+    write(entries, path, "k", "e", "c", gzip = gzip,
+      overwrite = overwrite, countExt = "txt")
   }
 
   /** Rename-commit shared by the tar and WARC sinks: first attempt to
@@ -435,6 +449,22 @@ object TarSource {
   private[sources] def taskAttemptId(): Long =
     Option(org.apache.spark.TaskContext.get()).map(_.taskAttemptId())
       .getOrElse(0L)
+
+  /** Closes `resource` when the task ends — the safety net every
+    * streaming container iterator needs: the happy path closes at EOF,
+    * but a parse error or a killed/aborted task abandons the iterator
+    * mid-stream and would otherwise leak the file handle for the
+    * executor's lifetime. `resource` is a thunk (not a captured value)
+    * so iterators that SWAP streams as they advance (CdxIndex.fetch
+    * walks file handles) close whatever is current at task end; close
+    * is idempotent on Hadoop/JDK streams, so the EOF path double-close
+    * is harmless. No-op outside a task (driver-side unit tests). */
+  private[sources] def closeOnTaskEnd(resource: () => java.io.Closeable): Unit =
+    Option(org.apache.spark.TaskContext.get()).foreach(
+      _.addTaskCompletionListener[Unit] { _ =>
+        val r = resource()
+        if (r != null) try r.close() catch { case _: java.io.IOException => }
+      })
 
   /** One ustar header + padded content. */
   private[sources] def entryBytes(name: String, content: Array[Byte]): Array[Byte] = {

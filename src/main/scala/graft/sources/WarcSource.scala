@@ -194,6 +194,10 @@ object WarcSource {
         z
       }
       else new BufferedInputStream(raw)
+    // EOF closes on the happy path (advance → null); the task-end
+    // listener covers a damaged record / killed task abandoning the
+    // iterator mid-file
+    TarSource.closeOnTaskEnd(() => in)
     new Iterator[WarcRecord] {
       private var idx = 0
       private var nextRec: WarcRecord = advance()

@@ -60,6 +60,9 @@ object ZipSource {
     val fs = FileSystem.get(java.net.URI.create(file), new Configuration())
     val zin = new ZipInputStream(
       new BufferedInputStream(fs.open(new Path(file))))
+    // EOF closes on the happy path below; the task-end listener covers
+    // a parse error / killed task abandoning the iterator mid-archive
+    TarSource.closeOnTaskEnd(() => zin)
     new Iterator[TarSource.TarEntry] {
       private var nextE: TarSource.TarEntry = advance()
       private def advance(): TarSource.TarEntry = {

@@ -70,6 +70,9 @@ object ZstdText {
           else raw
         val reader = new BufferedReader(
           new InputStreamReader(in, StandardCharsets.UTF_8))
+        // EOF closes on the happy path; the task-end listener covers a
+        // decode error / killed task abandoning the iterator mid-dump
+        TarSource.closeOnTaskEnd(() => reader)
         new Iterator[TextLine] {
           private var nextL: String = advance()
           private def advance(): String = {

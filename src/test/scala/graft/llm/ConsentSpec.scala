@@ -63,6 +63,17 @@ class ConsentSpec extends SparkSpec {
     assert(!ConsentExprs.disallowed(r, "/tmp/x", "bot"))
   }
 
+  test("query strings: RFC 9309 §2.2.2 matches path + query — rules " +
+      "targeting ? parameters evaluate against the full path?query") {
+    val r = "User-agent: *\nDisallow: /*?print=\nDisallow: /cart?*sess"
+    assert(ConsentExprs.disallowed(r, "/article/1?print=1", "bot"))
+    assert(!ConsentExprs.disallowed(r, "/article/1", "bot"))
+    assert(ConsentExprs.disallowed(r, "/cart?id=1&sess=abc", "bot"))
+    assert(!ConsentExprs.disallowed(r, "/cart", "bot"))
+    // a literal ? in the rule is a literal character, not a wildcard
+    assert(!ConsentExprs.disallowed(r, "/cart-page/sess", "bot"))
+  }
+
   test("same-agent groups merge; comments strip; field names are " +
       "case-insensitive; no robots/no group → allowed") {
     val r = "USER-AGENT: ccbot # our friend\nDisallow: /a\n\n" +
@@ -106,10 +117,13 @@ class ConsentSpec extends SparkSpec {
       ("http://a.test/open/5",
         "<meta name=\"robots\" content=\"noai\">page", null),
       // prose mention must NOT flag
-      ("http://a.test/open/6", "we discuss noai in prose", null))
+      ("http://a.test/open/6", "we discuss noai in prose", null),
+      // query-string rule: RFC 9309 matches path + query
+      ("http://a.test/open/7?print=1", "printable view", null))
       .toDF("uri", "payload", "hdrs")
     val robotsRows = Seq(
-      ("http://a.test/robots.txt", "User-agent: *\nDisallow: /blocked/",
+      ("http://a.test/robots.txt",
+        "User-agent: *\nDisallow: /blocked/\nDisallow: /*?print=",
         null: String)).toDF("uri", "payload", "hdrs")
     graft.sources.WarcSource.write(docs.union(robotsRows), dir,
       "uri", "payload", extraHttpHeadersCol = "hdrs")
@@ -123,13 +137,15 @@ class ConsentSpec extends SparkSpec {
       .collect().map(r => r.getString(0) ->
         ((r.getBoolean(1), r.getBoolean(2), r.getBoolean(3),
           r.getBoolean(4)))).toMap
-    assert(m.size == 6) // robots.txt row itself excluded
+    assert(m.size == 7) // robots.txt row itself excluded
     assert(m("http://a.test/blocked/1") == ((true, false, false, false)))
     assert(m("http://a.test/open/2") == ((false, false, false, true)))
     assert(m("http://b.test/anything/3") == ((false, false, false, true)))
     assert(m("http://a.test/open/4") == ((false, true, false, false)))
     assert(m("http://a.test/open/5") == ((false, false, true, false)))
     assert(m("http://a.test/open/6") == ((false, false, false, true)))
+    // the ?print= rule fires on path + query (same path allows above)
+    assert(m("http://a.test/open/7?print=1") == ((true, false, false, false)))
   }
 
   test("consent stage streams: batch/stream parity over x_robots + " +
