@@ -478,6 +478,31 @@ object SparkEntry {
           decode(col("http_body"), "UTF-8").as("text"))
     },
 
+    // --- host-scoped CDX range lookup (the scan SURT sorting was
+    // built for): the archive spans 7 hosts PLUS a prefix-lookalike
+    // (host30.test — its reversed key 'test,host30)' extends
+    // 'test,host3' but not 'test,host3)'), and lookupHost must return
+    // exactly host3's records via the sidecar prefix scan — never a
+    // lookalike's, never a shard scan. Oracle = identity over the same
+    // host assignment arithmetic ---
+    "q_cdx_host" -> { (s, dir) =>
+      val out = scratch("cdx_hosts")
+      val hostLabel = when(pmod(col("doc_id"), lit(13)) === 0,
+        lit("host30"))
+        .otherwise(concat(lit("host"), pmod(col("doc_id"), lit(7))))
+      val docs = t(s, dir, "documents").select(
+        concat(lit("http://"), hostLabel, lit(".test/doc/"),
+          col("doc_id")).as("uri"),
+        col("text"))
+      WarcSource.write(docs.repartition(col("uri")), out, "uri", "text",
+        cdxIndex = true)
+      graft.sources.CdxIndex.lookupHost(s, out, "host3.test")
+        .select(
+          regexp_extract(col("target_uri"), "/doc/([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          decode(col("http_body"), "UTF-8").as("text"))
+    },
+
     // --- WAT outlink extraction → host link graph: documents carry a
     // WAT-shaped JSON payload (Envelope.Payload-Metadata
     // .HTTP-Response-Metadata.HTML-Metadata.Links) as `metadata`
@@ -4525,6 +4550,12 @@ object SparkEntry {
 
     "q_cdx_lookup" ->
       "SELECT doc_id, text FROM documents WHERE doc_id % 5 = 2",
+
+    // host3 = doc_id%7==3, except the %13==0 rows that went to the
+    // lookalike host30.test
+    "q_cdx_host" ->
+      """SELECT doc_id, text FROM documents
+        |WHERE doc_id % 7 = 3 AND doc_id % 13 <> 0""".stripMargin,
 
     "q_zip_roundtrip" ->
       "SELECT doc_id, text FROM documents",

@@ -216,4 +216,33 @@ object CdxIndex {
   def lookup(spark: SparkSession, path: String, uris: DataFrame): DataFrame =
     fetch(read(spark, path)
       .join(broadcast(uris.select(col("uri")).distinct()), Seq("uri")))
+
+  /** SURT-prefix range lookup: every record whose SURT key starts with
+    * `surtPrefix`, point-fetched. This is the scan the SURT sort order
+    * was BUILT for — one host's records (and one registrable domain's
+    * subdomains, under the reversed-host form) sort ADJACENTLY, so
+    * "fetch everything from example.com" prunes each sidecar to one
+    * contiguous run instead of scattering. Because every sidecar is
+    * internally sorted, a future refinement can binary-search
+    * (first, last) key bounds per shard and skip whole sidecars
+    * unopened; at current sidecar sizes (tens of KB per ~GiB shard)
+    * the bottleneck is the ranged fetches, not the tiny index scan. */
+  def lookupPrefix(spark: SparkSession, path: String,
+                   surtPrefix: String): DataFrame =
+    fetch(read(spark, path).filter(col("surt").startsWith(surtPrefix)))
+
+  /** Host convenience over [[lookupPrefix]]: everything archived for
+    * `host` itself (default ports). The closing paren scopes the match
+    * — `example.com` keys as `com,example)…`, a lookalike
+    * `example2.com` as `com,example2)…`, and a subdomain as
+    * `com,example,sub)…` — so neither matches; for a domain-wide scan
+    * including subdomains pass `"com,example"` to [[lookupPrefix]]
+    * directly (accepting the documented lookalike risk) . The leading
+    * `www.` drop mirrors the write-side transform. */
+  def lookupHost(spark: SparkSession, path: String,
+                 host: String): DataFrame = {
+    val h0 = host.toLowerCase
+    val h = if (h0.startsWith("www.")) h0.substring(4) else h0
+    lookupPrefix(spark, path, h.split('.').reverse.mkString(",") + ")")
+  }
 }

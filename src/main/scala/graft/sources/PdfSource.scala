@@ -21,7 +21,15 @@ import graft.core.GraftError
   *  - objects are indexed by a sequential `N G obj … endobj` scan (no
   *    xref dependence — real-world PDFs ship broken xrefs; the scan
   *    also covers PDF 1.5 xref-stream files whose classic trailer is
-  *    absent);
+  *    absent), then every `/Type /ObjStm` compressed object stream
+  *    (ISO 32000-1 §7.5.7 — where most post-2005 writers pack their
+  *    page/catalog dicts) is inflated and its members indexed from the
+  *    `objnum offset` header pairs; on an object-number collision the
+  *    TOP-LEVEL copy wins (an incremental update appends top-level
+  *    objects that supersede ObjStm members — the reverse direction
+  *    cannot occur in a spec-conforming file). Damaged ObjStm framing
+  *    (missing /N or /First, short header, offsets past the data) is
+  *    LOUD with the object number;
   *  - page ORDER comes from walking `/Root → /Pages → /Kids`
   *    recursively (ISO 32000 §7.7.3); when no catalog resolves, the
   *    documented fallback is `/Type /Page` objects in object-number
@@ -38,7 +46,13 @@ import graft.core.GraftError
   *    decode per §7.3.4.3; a UTF-16BE BOM (`FE FF`) switches the
   *    string to UTF-16 decoding, otherwise bytes read as Latin-1
   *    (standard-font text; custom /Encoding differences and CID fonts
-  *    are a DOCUMENTED miss — mojibake, never a crash);
+  *    are a DOCUMENTED miss — mojibake, never a crash). Pages whose
+  *    /Resources reference a `/Subtype /Type0` (CID/composite) font
+  *    carry `decode_confident = false`: this reader never walks
+  *    CMap/ToUnicode tables, so any Type0 show operation IS mojibake,
+  *    and the flag lets a pipeline filter or quarantine those pages
+  *    instead of silently training on garbage (inherited /Resources
+  *    from a /Pages ancestor are not walked — documented subset);
   *  - inline images (`BI … EI`) are skipped; structural damage (no
   *    `%PDF` header, unbalanced dict, truncated stream) is loud with
   *    the file name.
@@ -62,7 +76,8 @@ import graft.core.GraftError
   * by a loud 256 MiB single-file cap, far above any sane document). */
 object PdfSource {
 
-  final case class PdfPage(file: String, page: Int, text: String)
+  final case class PdfPage(file: String, page: Int, text: String,
+                           decode_confident: Boolean)
 
   private val MaxFileBytes = 256L * 1024 * 1024
 
@@ -95,7 +110,7 @@ object PdfSource {
         val in = ffs.open(new Path(f))
         val bytes = new Array[Byte](st.getLen.toInt)
         try in.readFully(bytes) finally in.close()
-        extractPages(bytes, f).map { case (n, t) => PdfPage(f, n, t) }
+        extractPages(bytes, f).map { case (n, t, c) => PdfPage(f, n, t, c) }
       }
     spark.createDataset(rdd)(Encoders.product[PdfPage]).toDF()
   }
@@ -113,7 +128,7 @@ object PdfSource {
       col(contentCol).cast("binary").as("c"))
     slim.flatMap { r =>
       extractPages(r.getAs[Array[Byte]]("c"), r.getString(0))
-        .map { case (n, t) => PdfPage(r.getString(0), n, t) }
+        .map { case (n, t, c) => PdfPage(r.getString(0), n, t, c) }
     }(Encoders.product[PdfPage]).toDF()
   }
 
@@ -124,7 +139,7 @@ object PdfSource {
   /** Parses one file's pages. Package-private so units can drive the
     * exact production path on hand-built bytes. */
   private[sources] def extractPages(bytes: Array[Byte],
-                                    file: String): Seq[(Int, String)] = {
+      file: String): Seq[(Int, String, Boolean)] = {
     // Latin-1 view: 1:1 byte↔char, so structure offsets in the view
     // are byte offsets in the array
     val s = new String(bytes, StandardCharsets.ISO_8859_1)
@@ -145,14 +160,57 @@ object PdfSource {
             s"$file: /Contents $cref is not a stream object")
         extractText(decodeStream(o, file, cref), text)
       }
-      (i + 1, text.toString)
+      (i + 1, text.toString, pageDecodeConfident(dict, objs, file))
     }
   }
+
+  /** FALSE when any font reachable from the page's `/Resources /Font`
+    * is `/Subtype /Type0` (a CID/composite font, ISO 32000-1 §9.7):
+    * this reader never walks CMap/ToUnicode tables, so Type0 show
+    * operations emit CID bytes, not text — the flag marks the page
+    * rather than shipping silent mojibake. Resources and the font
+    * container resolve whether inline or indirect; refs INSIDE the
+    * font container resolve to their object dicts (non-font refs that
+    * a malformed container might carry test false harmlessly).
+    * Inherited /Resources from a /Pages ancestor are not walked
+    * (documented subset — such a page stays confident). */
+  private def pageDecodeConfident(pageDict: String, objs: Map[Int, Obj],
+                                  file: String): Boolean = {
+    val resTexts: Seq[String] = {
+      val refs = dictRefs(pageDict, "/Resources")
+      if (refs.nonEmpty) refs.flatMap(objs.get).map(_.dict)
+      else inlineDict(pageDict, "/Resources", file).toSeq
+    }
+    val fontTexts: Seq[String] = resTexts.flatMap { rt =>
+      val refs = dictRefs(rt, "/Font")
+      if (refs.nonEmpty) refs.flatMap(objs.get).map(_.dict)
+      else inlineDict(rt, "/Font", file).toSeq
+    }
+    val fontDicts = fontTexts.flatMap { ft =>
+      """(\d+)\s+\d+\s+R""".r.findAllMatchIn(ft)
+        .map(_.group(1).toInt).toSeq
+        .flatMap(objs.get).map(_.dict) :+ ft
+    }
+    !fontDicts.exists(d => hasName(d, "/Subtype", "/Type0"))
+  }
+
+  /** The nested `key << … >>` dict TEXT inside `text` when the value
+    * is inline; None when the key is absent or its value is an
+    * indirect ref / non-dict. */
+  private def inlineDict(text: String, key: String,
+                         file: String): Option[String] =
+    (java.util.regex.Pattern.quote(key) + """\s*<<""").r
+      .findFirstMatchIn(text).map { m =>
+        val start = m.end - 2
+        text.substring(start, balancedDictEnd(text, start, file, 0))
+      }
 
   /** Sequential `N G obj … endobj` index. Streams are skipped by
     * their direct /Length when present, else by `endstream` search
     * (indirect /Length — resolvable only after indexing, so the
-    * search IS the resolution strategy). */
+    * search IS the resolution strategy). After the top-level scan,
+    * every `/Type /ObjStm` member is indexed too ([[expandObjStm]]) —
+    * that is where PDF 1.5+ writers keep the page tree. */
   private def indexObjects(s: String, bytes: Array[Byte],
                            file: String): Map[Int, Obj] = {
     // java matcher with find(pos): no per-iteration substring copies
@@ -213,6 +271,61 @@ object PdfSource {
     }
     if (out.isEmpty)
       throw GraftError.DataTransfer(s"$file: no PDF objects found")
+    expandObjStm(out, file)
+  }
+
+  /** Indexes the members of every `/Type /ObjStm` compressed object
+    * stream (ISO 32000-1 §7.5.7): the decoded stream opens with N
+    * `objnum offset` integer pairs, then the member objects start at
+    * byte /First (offsets are relative to it). Members are dicts or
+    * plain values — §7.5.7 forbids stream objects inside an ObjStm, so
+    * `Obj.stream` is always null here. On an object-number collision
+    * the TOP-LEVEL object wins: an incremental update appends
+    * top-level objects superseding ObjStm members, and the reverse
+    * cannot occur in a conforming file. Damaged framing (missing
+    * /N//First, short or non-numeric header, offset past the data) is
+    * LOUD with the container's object number. */
+  private def expandObjStm(top: Map[Int, Obj],
+                           file: String): Map[Int, Obj] = {
+    val containers = top.filter { case (_, o) =>
+      o.stream != null && hasName(o.dict, "/Type", "/ObjStm") }
+    if (containers.isEmpty) return top
+    var out = top
+    containers.toSeq.sortBy(_._1).foreach { case (cnum, c) =>
+      def loud(what: String): Nothing = throw GraftError.DataTransfer(
+        s"$file: object stream $cnum $what — damaged ObjStm framing")
+      val n = dictInt(c.dict, "/N").getOrElse(loud("has no direct /N"))
+      val first =
+        dictInt(c.dict, "/First").getOrElse(loud("has no direct /First"))
+      val ds = new String(decodeStream(c, file, cnum),
+        StandardCharsets.ISO_8859_1)
+      if (first > ds.length)
+        loud(s"/First $first past the ${ds.length}-byte decoded data")
+      val toks = ds.substring(0, first).trim.split("\\s+")
+      if (toks.length < 2 * n)
+        loud(s"header has ${toks.length} integers, /N $n needs ${2 * n}")
+      val pairs = (0 until n).map { i =>
+        val (a, b) = (toks(2 * i), toks(2 * i + 1))
+        if (!a.forall(_.isDigit) || !b.forall(_.isDigit) || a.isEmpty ||
+          b.isEmpty) loud(s"non-numeric header pair '$a $b'")
+        (a.toInt, b.toInt)
+      }
+      val offs = pairs.map(_._2).sorted
+      pairs.foreach { case (objNum, off) =>
+        val start = first + off
+        if (start > ds.length)
+          loud(s"member $objNum offset $off past the decoded data")
+        val end = offs.find(_ > off).map(first + _).getOrElse(ds.length)
+          .min(ds.length)
+        val bodyStart = skipWs(ds, start)
+        val body =
+          if (ds.startsWith("<<", bodyStart))
+            ds.substring(bodyStart,
+              balancedDictEnd(ds, bodyStart, file, objNum))
+          else ds.substring(bodyStart, end).trim
+        if (!out.contains(objNum)) out += (objNum -> Obj(body, null))
+      }
+    }
     out
   }
 

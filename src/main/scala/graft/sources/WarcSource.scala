@@ -19,8 +19,11 @@ import graft.core.GraftError
   *
   * Read semantics:
   *  - every record yields (record_id, warc_type, target_uri, warc_date,
-  *    content_type, content: binary) — headers are case-insensitive per
-  *    the spec (§4, "field names are not case sensitive");
+  *    content_type, content: binary, refers_to, payload_digest) —
+  *    headers are case-insensitive per the spec (§4, "field names are
+  *    not case sensitive"); `refers_to`/`payload_digest` carry the
+  *    WARC-Refers-To / WARC-Payload-Digest headers (revisit-record
+  *    dedup machinery, see [[revisitHints]]), empty when absent;
   *  - records whose Content-Type is `application/http` additionally
   *    parse the HTTP envelope inside the content block: http_status,
   *    http_content_type (the envelope's Content-Type header) and
@@ -83,7 +86,9 @@ object WarcSource {
       http_status: Option[Int],
       http_content_type: Option[String],
       http_headers: Map[String, String],
-      http_body: Option[Array[Byte]])
+      http_body: Option[Array[Byte]],
+      refers_to: String,
+      payload_digest: String)
 
   /** Crawl container extensions this source parses: the WARC family
     * plus Common Crawl's WET (extracted text, `conversion` records)
@@ -136,6 +141,24 @@ object WarcSource {
           decode(col("http_body"), "UTF-8"))
           .otherwise(decode(col("content"), "UTF-8")).as("text"))
   }
+
+  /** Dedup hints from `revisit` records: Common Crawl marks a
+    * re-crawled UNCHANGED page with `WARC-Type: revisit` +
+    * `WARC-Refers-To` (the original capture's record id) +
+    * `WARC-Payload-Digest` (the crawler's own content hash) instead of
+    * shipping the payload again (ISO 28500 §6.7.2). For an incremental
+    * pipeline these are FREE exact-dup verdicts — the crawler already
+    * content-hashed the fetch, so the re-crawl drops (or resolves to
+    * its original via `refers_to`) WITHOUT the pipeline reading or
+    * hashing any content. One row per revisit: (file, record_id,
+    * target_uri, warc_date, refers_to, payload_digest). [[readText]]
+    * never surfaces revisit rows (they carry headers, not documents),
+    * so the drop needs no filter stage downstream. Pure projection —
+    * streams, no shuffle. */
+  def revisitHints(crawl: DataFrame): DataFrame =
+    crawl.filter(col("warc_type") === "revisit")
+      .select(col("file"), col("record_id"), col("target_uri"),
+        col("warc_date"), col("refers_to"), col("payload_digest"))
 
   /** WET convenience: Common Crawl's extracted-text sidecars are WARC
     * files of `conversion` records whose content IS the page text —
@@ -273,7 +296,16 @@ object WarcSource {
       http_status = st,
       http_content_type = hct,
       http_headers = hmap,
-      http_body = body)
+      http_body = body,
+      // revisit-record machinery (ISO 28500 §6.7.2): Common Crawl
+      // marks a re-fetched unchanged page with WARC-Type: revisit +
+      // WARC-Refers-To (the original record's id) + WARC-Payload-Digest
+      // (the content hash the CRAWLER already computed) — free exact-dup
+      // verdicts for an incremental pipeline. Both headers also appear
+      // on regular response records (digest ubiquitously), so they
+      // surface unconditionally; empty when absent
+      refers_to = headers.getOrElse("warc-refers-to", ""),
+      payload_digest = headers.getOrElse("warc-payload-digest", ""))
   }
 
   /** Splits an HTTP message at its first blank line; the status line

@@ -1133,6 +1133,59 @@ class CliSpec extends SparkSpec {
     assert(shardSums(s"$dir/shards.tar") == before)
   }
 
+  test("compressed-JSONL-dump yaml e2e: a .jsonl.zst corpus (The " +
+      "Pile's delivery shape) reads through `curation:` to parquet — " +
+      "consent + exact dedup fire, stage counts assert the flow") {
+    import spark.implicits._
+    val dir = tmpDir("cli_jsonl_zst")
+    // 10 clean docs + one exact duplicate of doc 0 + one meta-robots
+    // opt-out — mirrors the crawl e2e's drop set on the dump container
+    val docs =
+      (0L until 10L).map(i =>
+        (i, s"clean page number $i about topic ${i % 3} in fresh words $i")) ++
+        Seq((90L, "clean page number 0 about topic 0 in fresh words 0"),
+          (91L, "<meta name=\"robots\" content=\"noai\">optout page"))
+    graft.sources.ZstdText.writeJsonl(
+      docs.toDF("doc_id", "text").repartition(2), s"$dir/dump",
+      compression = "zstd")
+    writeText(s"$dir/job.yaml",
+      s"""version: "1.0"
+         |source:
+         |  uri: "$dir/dump"
+         |target:
+         |  uri: "$dir/corpus.parquet"
+         |options:
+         |  source_type: jsonl
+         |  log_level: error
+         |curation:
+         |  id_column: doc_id
+         |  text_column: text
+         |  consent: true
+         |  observed: true
+         |""".stripMargin)
+    val r = YamlJob.load(s"$dir/job.yaml")
+    val buf = new java.io.ByteArrayOutputStream()
+    Console.withOut(new java.io.PrintStream(buf, true, "UTF-8")) {
+      assert(runCuration(r.cfg, r.curation.get, r.preview, r.dryRun,
+        "error") == 0)
+    }
+    val printed = buf.toString("UTF-8")
+    def stage(name: String): Long =
+      s"(?m)^\\s+$name\\s+(\\d+)$$".r.findFirstMatchIn(printed)
+        .map(_.group(1).toLong)
+        .getOrElse(fail(s"stage '$name' not printed:\n$printed"))
+    assert(stage("input") == 12L, printed)
+    // consent folds into the per-row hygiene count: doc 91 drops here
+    assert(stage("after_repetition") == 11L, printed)
+    // exact dedup: doc 90 loses to doc 0 (min-id keep)
+    assert(stage("after_dedup") == 10L, printed)
+    assert(stage("kept") == 10L, printed)
+    assert(printed.contains("Kept 10 rows"), printed)
+    val ids = spark.read.parquet(s"$dir/corpus.parquet")
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(ids == (0L until 10L).toSet, s"got $ids")
+  }
+
   test("incremental ingest yaml e2e: examples/incremental_ingest.yaml " +
       "across two simulated days — day 2 drops exactly the re-crawled " +
       "content through the Bloom + reference anti-join") {

@@ -26,6 +26,28 @@ class CdxSpec extends SparkSpec {
     assert(CdxIndex.surtKey(null) == "")
   }
 
+  test("malformed pseudo-URLs key identically in surtKey and surtCol: " +
+      "a '://' without a valid scheme falls through to lowercasing in " +
+      "BOTH spellings (no host reversal)") {
+    import spark.implicits._
+    val weird = Seq(
+      "not a url://x.test/path", // space in 'scheme' → not a scheme
+      "://no-scheme.test/a",     // empty scheme
+      "1http://digit-head.test/a", // scheme must start with a letter
+      "ht~tp://bad-char.test/a",
+      "HTTPS://ok.test/A")       // valid scheme, mixed case → reverses
+    val viaCol = weird.toDF("uri")
+      .select(col("uri"), CdxIndex.surtCol(col("uri")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    weird.foreach { u =>
+      assert(viaCol(u) == CdxIndex.surtKey(u),
+        s"divergence for '$u': col=${viaCol(u)} key=${CdxIndex.surtKey(u)}")
+    }
+    assert(CdxIndex.surtKey("not a url://x.test/path") ==
+      "not a url://x.test/path")
+    assert(CdxIndex.surtKey("HTTPS://ok.test/A") == "test,ok)/a")
+  }
+
   test("surtCol (the SQL-replayable spelling) agrees with surtKey on " +
       "a varied frame") {
     import spark.implicits._
@@ -73,6 +95,35 @@ class CdxSpec extends SparkSpec {
     val got = CdxIndex.lookup(spark, dir, wanted)
       .select("target_uri").collect().map(_.getString(0)).toSet
     assert(got == rows.take(10).map(_._1).toSet)
+  }
+
+  test("lookupHost fetches exactly one host's records from a " +
+      "multi-host archive (the SURT-adjacency scan); the closing " +
+      "paren excludes prefix-lookalike hosts; lookupPrefix catches " +
+      "subdomains under the reversed-domain form") {
+    import spark.implicits._
+    val dir = tmpDir("cdx_host")
+    // three hosts + a lookalike (h1x.test shares h1's reversed prefix
+    // text) + a subdomain of h1
+    val rows =
+      (0 until 12).map(i => (s"http://h${i % 3}.test/p/$i", s"b$i")) ++
+        Seq(("http://h1x.test/p/90", "lookalike"),
+          ("http://sub.h1.test/p/91", "subdomain"))
+    WarcSource.write(rows.toDF("uri", "payload").repartition(3),
+      dir, "uri", "payload", cdxIndex = true)
+    val hostGot = CdxIndex.lookupHost(spark, dir, "h1.test")
+      .select("target_uri").collect().map(_.getString(0)).toSet
+    assert(hostGot == (0 until 12).filter(_ % 3 == 1)
+      .map(i => s"http://h1.test/p/$i").toSet, s"got $hostGot")
+    // domain-wide: reversed-domain prefix also sweeps the subdomain
+    // (and, documented, would sweep lookalikes whose reversed form
+    // extends the text — h1x.test does: 'test,h1x' starts 'test,h1')
+    val domGot = CdxIndex.lookupPrefix(spark, dir, "test,h1,")
+      .select("target_uri").collect().map(_.getString(0)).toSet
+    assert(domGot == Set("http://sub.h1.test/p/91"), s"got $domGot")
+    // www. drop mirrors the writer
+    val viaWww = CdxIndex.lookupHost(spark, dir, "www.h1.test").count()
+    assert(viaWww == 4)
   }
 
   test("malformed CDX lines and missing sidecars are loud; indexed " +

@@ -29,8 +29,12 @@ class PdfSpec extends SparkSpec {
     assert(pages.map(_._2).mkString == text, "byte-exact reassembly")
     // connector dispatch on the file path
     val viaFactory = Connectors.read(spark, s"$dir/doc1.pdf")
-    assert(viaFactory.columns.toSeq == Seq("file", "page", "text"))
+    assert(viaFactory.columns.toSeq ==
+      Seq("file", "page", "text", "decode_confident"))
     assert(viaFactory.count() == 2)
+    // writer emits Helvetica (simple Type1): every page is confident
+    assert(viaFactory.select("decode_confident").collect()
+      .forall(_.getBoolean(0)))
   }
 
   test("non-Latin-1 text rides the UTF-16BE hex-string path exactly") {
@@ -113,6 +117,123 @@ class PdfSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getString(1))).toSet
     assert(got == (0 until 8).map(i =>
       (f"doc$i%03d", s"packed document $i body")).toSet, s"got $got")
+  }
+
+  /** zlib-wrapped deflate (what PdfSource's Inflater default expects). */
+  private def deflate(s: String): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(s.getBytes(StandardCharsets.ISO_8859_1)); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  /** A PDF 1.5-style file whose catalog/pages/page dicts live INSIDE a
+    * FlateDecoded /Type /ObjStm (ISO 32000-1 §7.5.7) — the shape most
+    * post-2005 writers emit; only the ObjStm container and the content
+    * stream are top-level. `mangle` lets the damage test break the
+    * container dict. */
+  private def objStmPdf(mangle: String => String = identity): Array[Byte] = {
+    val members = Seq(
+      3 -> "<< /Type /Catalog /Pages 4 0 R >>",
+      4 -> "<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+      5 -> "<< /Type /Page /Parent 4 0 R /Contents 2 0 R >>")
+    val bodies = members.map(_._2)
+    val offsets = bodies.scanLeft(0)((a, b) => a + b.length + 1).init
+    val header = members.map(_._1).zip(offsets)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + " "
+    val data = header + bodies.mkString(" ")
+    val packed = deflate(data)
+    val content = "BT (hidden in an objstm) Tj ET"
+    val head = mangle(s"<< /Type /ObjStm /N 3 /First ${header.length} " +
+      s"/Length ${packed.length} /Filter /FlateDecode >>")
+    val buf = new java.io.ByteArrayOutputStream()
+    def w(t: String): Unit = buf.write(t.getBytes(StandardCharsets.ISO_8859_1))
+    w(s"%PDF-1.5\n1 0 obj $head\nstream\n")
+    buf.write(packed)
+    w("\nendstream\nendobj\n")
+    w(s"2 0 obj << /Length ${content.length} >>\nstream\n$content\n" +
+      "endstream\nendobj\n")
+    w("trailer << /Size 6 /Root 3 0 R >>\n%%EOF\n")
+    buf.toByteArray
+  }
+
+  test("/ObjStm compressed object streams index their members: a page " +
+      "tree living entirely inside an object stream extracts (the " +
+      "post-2005 writer shape the top-level scan alone cannot see)") {
+    val dir = tmpDir("pdf_objstm")
+    Files.write(Paths.get(dir, "objstm.pdf"), objStmPdf())
+    val got = PdfSource.readText(spark, dir).collect()
+    assert(got.length == 1)
+    assert(got.head.getInt(1) == 1)
+    assert(got.head.getString(2) == "hidden in an objstm",
+      s"got '${got.head.getString(2)}'")
+    assert(got.head.getBoolean(3)) // no Type0 font anywhere
+  }
+
+  test("a top-level object SUPERSEDES an ObjStm member with the same " +
+      "number (the incremental-update direction)") {
+    val dir = tmpDir("pdf_objstm_update")
+    // append an updated page 5 whose /Contents points at a new stream 7
+    val base = objStmPdf()
+    val extra = ("5 0 obj << /Type /Page /Parent 4 0 R /Contents 7 0 R " +
+      ">> endobj\n" +
+      "7 0 obj << /Length 24 >>\nstream\nBT (updated page) Tj ET\n" +
+      "endstream\nendobj\n").getBytes(StandardCharsets.ISO_8859_1)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base); out.write(extra)
+    Files.write(Paths.get(dir, "upd.pdf"), out.toByteArray)
+    val got = PdfSource.readText(spark, dir).collect().head.getString(2)
+    assert(got == "updated page", s"got '$got'")
+  }
+
+  test("damaged ObjStm framing is LOUD: missing /First, short header") {
+    val d1 = tmpDir("pdf_objstm_bad1")
+    Files.write(Paths.get(d1, "nofirst.pdf"),
+      objStmPdf(_.replaceAll("/First \\d+ ", "")))
+    val e1 = intercept[Exception] { PdfSource.readText(spark, d1).count() }
+    assert((e1.getMessage + Option(e1.getCause).map(_.getMessage).mkString)
+      .contains("/First"), e1.getMessage)
+    val d2 = tmpDir("pdf_objstm_bad2")
+    Files.write(Paths.get(d2, "shorthdr.pdf"),
+      objStmPdf(_.replace("/N 3", "/N 9")))
+    val e2 = intercept[Exception] { PdfSource.readText(spark, d2).count() }
+    assert((e2.getMessage + Option(e2.getCause).map(_.getMessage).mkString)
+      .matches("(?s).*(header|ObjStm).*"), e2.getMessage)
+  }
+
+  test("a /Subtype /Type0 (CID) font flips decode_confident to false " +
+      "for ITS page only — this reader never CID-decodes, so the flag " +
+      "marks the mojibake instead of shipping it silently") {
+    val dir = tmpDir("pdf_type0")
+    def cstream(num: Int, t: String) = {
+      val c = s"BT ($t) Tj ET"
+      s"$num 0 obj << /Length ${c.length} >>\nstream\n$c\nendstream\nendobj\n"
+    }
+    val pdf = "%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R 6 0 R] /Count 2 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
+      cstream(4, "cid-font page") +
+      "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /NotoCJK " +
+      "/Encoding /Identity-H >> endobj\n" +
+      "6 0 obj << /Type /Page /Parent 2 0 R /Contents 7 0 R " +
+      "/Resources 9 0 R >> endobj\n" +
+      cstream(7, "simple-font page") +
+      "8 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> " +
+      "endobj\n" +
+      // page 2's resources ride an INDIRECT ref (both paths covered)
+      "9 0 obj << /Font << /F2 8 0 R >> >> endobj\n" +
+      "trailer << /Size 10 /Root 1 0 R >>\n%%EOF\n"
+    Files.write(Paths.get(dir, "type0.pdf"),
+      pdf.getBytes(StandardCharsets.ISO_8859_1))
+    val got = PdfSource.readText(spark, dir).orderBy("page").collect()
+      .map(r => (r.getString(2), r.getBoolean(3))).toSeq
+    assert(got == Seq(("cid-font page", false), ("simple-font page", true)),
+      s"got $got")
   }
 
   test("damage is LOUD: non-PDF bytes, unsupported filter, truncated " +

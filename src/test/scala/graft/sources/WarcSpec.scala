@@ -287,6 +287,50 @@ class WarcSpec extends SparkSpec {
       ("http://src.test/p1", "http://b.test/2")), s"got $got")
   }
 
+  test("revisit records surface refers_to + payload_digest; readText " +
+      "drops them (headers, not documents) so a revisit-marked " +
+      "re-crawl leaves incremental ingest WITHOUT content hashing; " +
+      "revisitHints carries the resolve pointer") {
+    val dir = tmpDir("warc_revisit")
+    // the day-2 crawl shape Common Crawl emits: one genuinely new page
+    // + one revisit of a day-1 capture (no payload — just the original
+    // record pointer and the digest the crawler already computed)
+    val bytes =
+      rec("response", "http://x.test/new",
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\n" +
+          "fresh content").getBytes(StandardCharsets.ISO_8859_1),
+        contentType = "application/http; msgtype=response") ++
+      rec("revisit", "http://x.test/seen", Array.emptyByteArray,
+        contentType = "application/http; msgtype=response",
+        extraHeader = "WARC-Refers-To: <urn:uuid:day1-original>\r\n" +
+          "WARC-Payload-Digest: " +
+          "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ\r\n" +
+          "WARC-Profile: http://netpreserve.org/warc/1.0/revisit/" +
+          "identical-payload-digest\r\n")
+    writeFile(dir, "day2.warc", bytes)
+    val crawl = WarcSource.read(spark, dir)
+    val byType = crawl.collect()
+      .map(r => r.getAs[String]("warc_type") ->
+        ((r.getAs[String]("refers_to"), r.getAs[String]("payload_digest"))))
+      .toMap
+    assert(byType("revisit") == (("<urn:uuid:day1-original>",
+      "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")))
+    assert(byType("response") == (("", ""))) // absent headers → empty
+    // incremental ingest: the text frame contains ONLY the new page —
+    // the revisit never reaches a dedup stage, no bytes hashed
+    val texts = WarcSource.readText(spark, dir)
+      .select("target_uri", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(texts == Set(("http://x.test/new", "fresh content")),
+      s"got $texts")
+    // the resolve path: hints address the dropped re-crawl precisely
+    val hints = WarcSource.revisitHints(crawl)
+      .select("target_uri", "refers_to", "payload_digest").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(hints == Seq(("http://x.test/seen", "<urn:uuid:day1-original>",
+      "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")))
+  }
+
   test("record ids are globally unique even when one URI repeats in a " +
       "batch (re-crawl), and stay deterministic across re-runs") {
     import spark.implicits._
