@@ -45,14 +45,21 @@ import graft.core.GraftError
   *    octal, line continuations, balanced nested parens); hex strings
   *    decode per §7.3.4.3; a UTF-16BE BOM (`FE FF`) switches the
   *    string to UTF-16 decoding, otherwise bytes read as Latin-1
-  *    (standard-font text; custom /Encoding differences and CID fonts
-  *    are a DOCUMENTED miss — mojibake, never a crash). Pages whose
-  *    /Resources reference a `/Subtype /Type0` (CID/composite) font
-  *    carry `decode_confident = false`: this reader never walks
-  *    CMap/ToUnicode tables, so any Type0 show operation IS mojibake,
-  *    and the flag lets a pipeline filter or quarantine those pages
-  *    instead of silently training on garbage (inherited /Resources
-  *    from a /Pages ancestor are not walked — documented subset);
+  *    (standard-font text; custom simple-font /Encoding differences
+  *    are a DOCUMENTED miss — mojibake, never a crash). `/Subtype
+  *    /Type0` (CID/composite) fonts — how virtually all CJK and most
+  *    embedded-subset text ships — decode THROUGH their `/ToUnicode`
+  *    CMap (ISO 32000-1 §9.10.3: `bfchar`/`bfrange` entries, both the
+  *    continuous and array range forms, code width from the
+  *    codespacerange): the current font is tracked across `Tf`
+  *    operators and each show string's raw bytes group into CID codes
+  *    and map to Unicode (unmapped codes → U+FFFD, visible and
+  *    honest). A Type0 font WITHOUT a usable ToUnicode flips the
+  *    page's `decode_confident` column to false — its shows are
+  *    documented mojibake, and the flag lets a pipeline quarantine the
+  *    page instead of silently training on garbage (inherited
+  *    /Resources from a /Pages ancestor are not walked — documented
+  *    subset);
   *  - inline images (`BI … EI`) are skipped; structural damage (no
   *    `%PDF` header, unbalanced dict, truncated stream) is loud with
   *    the file name.
@@ -151,6 +158,7 @@ object PdfSource {
     pageRefs.zipWithIndex.map { case (num, i) =>
       val dict = objs(num).dict
       val contentRefs = dictRefs(dict, "/Contents")
+      val fonts = pageFonts(dict, objs, file)
       val text = new StringBuilder
       contentRefs.foreach { cref =>
         val o = objs.getOrElse(cref, throw GraftError.DataTransfer(
@@ -158,24 +166,32 @@ object PdfSource {
         if (o.stream == null)
           throw GraftError.DataTransfer(
             s"$file: /Contents $cref is not a stream object")
-        extractText(decodeStream(o, file, cref), text)
+        extractText(decodeStream(o, file, cref), text, fonts)
       }
-      (i + 1, text.toString, pageDecodeConfident(dict, objs, file))
+      // confident unless a Type0 font has NO usable ToUnicode: mapped
+      // Type0 shows decode for real, unmapped ones are mojibake
+      val confident = fonts.values.forall(f => !f.type0 ||
+        f.toUnicode.isDefined)
+      (i + 1, text.toString, confident)
     }
   }
 
-  /** FALSE when any font reachable from the page's `/Resources /Font`
-    * is `/Subtype /Type0` (a CID/composite font, ISO 32000-1 §9.7):
-    * this reader never walks CMap/ToUnicode tables, so Type0 show
-    * operations emit CID bytes, not text — the flag marks the page
-    * rather than shipping silent mojibake. Resources and the font
-    * container resolve whether inline or indirect; refs INSIDE the
-    * font container resolve to their object dicts (non-font refs that
-    * a malformed container might carry test false harmlessly).
-    * Inherited /Resources from a /Pages ancestor are not walked
-    * (documented subset — such a page stays confident). */
-  private def pageDecodeConfident(pageDict: String, objs: Map[Int, Obj],
-                                  file: String): Boolean = {
+  /** One page-reachable font: composite (Type0)? and its parsed
+    * ToUnicode map (code → unicode string) + code width in bytes. */
+  private final case class FontInfo(type0: Boolean,
+                                    toUnicode: Option[Map[Int, String]],
+                                    codeBytes: Int)
+
+  /** Resolves the page's `/Resources /Font` entries to name →
+    * [[FontInfo]]: resources and the font container resolve whether
+    * inline or indirect; each named entry's font object dict decides
+    * `/Subtype /Type0`, and a Type0's `/ToUnicode` stream parses
+    * through [[parseToUnicode]] (a dangling or non-stream /ToUnicode
+    * counts as absent — the page flags unconfident rather than
+    * crashing on a spec-violating font). Inline font dicts inside the
+    * container (rare) are treated as simple fonts. */
+  private def pageFonts(pageDict: String, objs: Map[Int, Obj],
+                        file: String): Map[String, FontInfo] = {
     val resTexts: Seq[String] = {
       val refs = dictRefs(pageDict, "/Resources")
       if (refs.nonEmpty) refs.flatMap(objs.get).map(_.dict)
@@ -186,12 +202,86 @@ object PdfSource {
       if (refs.nonEmpty) refs.flatMap(objs.get).map(_.dict)
       else inlineDict(rt, "/Font", file).toSeq
     }
-    val fontDicts = fontTexts.flatMap { ft =>
-      """(\d+)\s+\d+\s+R""".r.findAllMatchIn(ft)
-        .map(_.group(1).toInt).toSeq
-        .flatMap(objs.get).map(_.dict) :+ ft
+    val entry = """/([^\s/<>\[\]()]+)\s+(\d+)\s+\d+\s+R""".r
+    fontTexts.flatMap { ft =>
+      entry.findAllMatchIn(ft).map { m =>
+        val name = m.group(1)
+        val fd = objs.get(m.group(2).toInt)
+        val dictTxt = fd.map(_.dict).getOrElse("")
+        val type0 = hasName(dictTxt, "/Subtype", "/Type0")
+        val toUni =
+          if (!type0) None
+          else dictRefs(dictTxt, "/ToUnicode").headOption
+            .flatMap(objs.get).filter(_.stream != null)
+            .map(o => parseToUnicode(new String(
+              decodeStream(o, file, 0), StandardCharsets.ISO_8859_1)))
+        name -> FontInfo(type0, toUni.map(_._1),
+          toUni.map(_._2).getOrElse(2))
+      }
+    }.toMap
+  }
+
+  /** Parses a ToUnicode CMap (ISO 32000-1 §9.10.3): `bfchar` pairs and
+    * `bfrange` triples in both forms — continuous (`<lo> <hi> <dst>`,
+    * only the LAST 16-bit unit of dst increments per the spec) and
+    * array (`<lo> <hi> [<d0> <d1> …]`). Returns (code → unicode, code
+    * width in bytes, from the first codespacerange; 2 when absent —
+    * the Identity-H standard). Line-oriented like every real CMap;
+    * range spans clamp at 64k (a damaged hi value must not allocate
+    * the heap). Package-private so units drive the exact parser. */
+  private[sources] def parseToUnicode(cmap: String): (Map[Int, String], Int) = {
+    val hexTok = "<([0-9A-Fa-f]+)>".r
+    def utf16(h: String): String = {
+      val even = if (h.length % 2 == 1) h + "0" else h
+      val b = new Array[Byte](even.length / 2)
+      var i = 0
+      while (i < b.length) {
+        b(i) = Integer.parseInt(even.substring(i * 2, i * 2 + 2), 16).toByte
+        i += 1
+      }
+      new String(b, StandardCharsets.UTF_16BE)
     }
-    !fontDicts.exists(d => hasName(d, "/Subtype", "/Type0"))
+    val codeBytes =
+      """(?s)begincodespacerange\s*<([0-9A-Fa-f]+)>""".r
+        .findFirstMatchIn(cmap)
+        .map(m => math.max(1, m.group(1).length / 2)).getOrElse(2)
+    val map = Map.newBuilder[Int, String]
+    def section(begin: String, end: String)(line: Vector[String] => Unit)
+        : Unit =
+      (s"(?s)$begin(.*?)$end").r.findAllMatchIn(cmap).foreach { sec =>
+        sec.group(1).linesIterator.foreach { l =>
+          val toks = hexTok.findAllMatchIn(l).map(_.group(1)).toVector
+          if (toks.nonEmpty) line(toks)
+        }
+      }
+    section("beginbfchar", "endbfchar") { toks =>
+      if (toks.length >= 2)
+        map += Integer.parseInt(toks(0), 16) -> utf16(toks(1))
+    }
+    section("beginbfrange", "endbfrange") { toks =>
+      if (toks.length >= 3) {
+        val lo = Integer.parseInt(toks(0), 16)
+        val hi = math.min(Integer.parseInt(toks(1), 16), lo + 0xFFFF)
+        if (toks.length > 3) {
+          // array form: one dst per code, in order
+          toks.drop(2).zipWithIndex.foreach { case (d, i) =>
+            if (lo + i <= hi) map += (lo + i) -> utf16(d)
+          }
+        } else {
+          // continuous form: the last 16-bit unit of dst increments
+          val d = toks(2)
+          val unit = d.takeRight(math.min(4, d.length))
+          val prefix = d.dropRight(unit.length)
+          val base = Integer.parseInt(unit, 16)
+          var c = lo
+          while (c <= hi) {
+            map += c -> utf16(prefix + f"${base + (c - lo)}%04X")
+            c += 1
+          }
+        }
+      }
+    }
+    (map.result(), codeBytes)
   }
 
   /** The nested `key << … >>` dict TEXT inside `text` when the value
@@ -440,8 +530,18 @@ object PdfSource {
       .findFirstIn(dict).isDefined
 
   /** Inflates a /FlateDecode stream, passes raw streams through, and
-    * is LOUD about any other filter. */
+    * is LOUD about any other filter — or about a `/Predictor` > 1
+    * (PNG/TIFF row predictors post-process the inflated bytes; passing
+    * them through undone would hand the caller silently-garbled data,
+    * the one failure mode this reader never allows). */
   private def decodeStream(o: Obj, file: String, num: Int): Array[Byte] = {
+    """/Predictor\s+(\d+)""".r.findFirstMatchIn(o.dict)
+      .map(_.group(1).toInt).filter(_ > 1).foreach { p =>
+        throw GraftError.DataTransfer(
+          s"$file: object $num uses /Predictor $p — row-predicted " +
+            "streams are not supported (the data would be garbled, " +
+            "not approximated)")
+      }
     val filter = """/Filter\s*(?:\[\s*)?/([A-Za-z0-9]+)""".r
       .findFirstMatchIn(o.dict).map(_.group(1))
     filter match {
@@ -475,17 +575,39 @@ object PdfSource {
 
   // ----------------------- content-stream text -------------------------
 
-  /** Appends the text a content stream shows. */
-  private def extractText(content: Array[Byte], out: StringBuilder): Unit = {
+  /** Appends the text a content stream shows. String operands stay RAW
+    * BYTES until a show operator fires, because the decode depends on
+    * the font ACTIVE at that show (`Tf` tracking): simple fonts decode
+    * Latin-1 / BOM'd UTF-16BE as before; a Type0 font with a ToUnicode
+    * map groups the bytes into CID codes and maps them to Unicode. */
+  private def extractText(content: Array[Byte], out: StringBuilder,
+                          fonts: Map[String, FontInfo]): Unit = {
     val s = new String(content, StandardCharsets.ISO_8859_1)
     var i = 0
-    var lastString: String = null      // most recent string operand
-    var lastArray: Seq[String] = null  // most recent array's strings
+    var lastString: Array[Byte] = null      // most recent string operand
+    var lastArray: Seq[Array[Byte]] = null  // most recent array's strings
+    var lastName: String = null             // most recent /Name operand
+    var curFont: FontInfo = null            // active font (Tf)
     var num2: Double = 0               // 2nd-to-last numeric operand
     var num1: Double = 0               // last numeric operand
     var pendingBreak = false
     var shownOnPage = false
-    def show(t: String): Unit = {
+    def decodeShown(b: Array[Byte]): String =
+      if (curFont != null && curFont.type0 && curFont.toUnicode.isDefined) {
+        val m = curFont.toUnicode.get
+        val sb = new StringBuilder(b.length)
+        var p = 0
+        while (p < b.length) {
+          var code = 0
+          var k = 0
+          while (k < curFont.codeBytes && p < b.length) {
+            code = (code << 8) | (b(p) & 0xff); p += 1; k += 1
+          }
+          sb.append(m.getOrElse(code, "�"))
+        }
+        sb.toString
+      } else decodeStringBytes(b)
+    def showText(t: String): Unit = {
       if (t != null && t.nonEmpty) {
         if (pendingBreak && shownOnPage) out.append('\n')
         out.append(t)
@@ -493,6 +615,8 @@ object PdfSource {
       }
       pendingBreak = false
     }
+    def show(b: Array[Byte]): Unit =
+      showText(if (b == null) null else decodeShown(b))
     while (i < s.length) {
       val c = s.charAt(i)
       if (c == '%') { while (i < s.length && s.charAt(i) != '\n') i += 1 }
@@ -511,9 +635,10 @@ object PdfSource {
         num1 = try s.substring(i, j).toDouble catch { case _: Throwable => 0 }
         i = j
       }
-      else if (c == '/') { // name: skip
+      else if (c == '/') { // name: remember for Tf font selection
         var j = i + 1
         while (j < s.length && !delim(s.charAt(j))) j += 1
+        lastName = s.substring(i + 1, j)
         i = j
       }
       else if (c.isLetter || c == '\'' || c == '"' || c == '*') {
@@ -525,7 +650,10 @@ object PdfSource {
           case "'" => pendingBreak = true; show(lastString)
           case "\"" => pendingBreak = true; show(lastString)
           case "TJ" =>
-            if (lastArray != null) show(lastArray.mkString)
+            if (lastArray != null)
+              showText(lastArray.map(decodeShown).mkString)
+          case "Tf" =>
+            if (lastName != null) curFont = fonts.getOrElse(lastName, null)
           case "T*" => pendingBreak = true
           case "Td" | "TD" => if (num1 != 0) pendingBreak = true
           case "BI" => // inline image: skip to EI
@@ -545,8 +673,9 @@ object PdfSource {
     case _ => false
   }
 
-  /** Decodes a literal string at `open` = '('; returns (text, end). */
-  private def literalString(s: String, open: Int): (String, Int) = {
+  /** RAW BYTES of a literal string at `open` = '('; returns
+    * (bytes, end) — the decode happens at show time, font-dependent. */
+  private def literalString(s: String, open: Int): (Array[Byte], Int) = {
     val raw = new java.io.ByteArrayOutputStream(64)
     var p = open + 1
     var depth = 1
@@ -579,11 +708,11 @@ object PdfSource {
       }
       else { raw.write(c.toInt & 0xff); p += 1 }
     }
-    (decodeStringBytes(raw.toByteArray), p)
+    (raw.toByteArray, p)
   }
 
-  /** Decodes a hex string at `open` = '<'; returns (text, end). */
-  private def hexString(s: String, open: Int): (String, Int) = {
+  /** RAW BYTES of a hex string at `open` = '<'; returns (bytes, end). */
+  private def hexString(s: String, open: Int): (Array[Byte], Int) = {
     var p = open + 1
     val hex = new StringBuilder
     while (p < s.length && s.charAt(p) != '>') {
@@ -598,7 +727,7 @@ object PdfSource {
       bytes(i) = Integer.parseInt(hex.substring(i * 2, i * 2 + 2), 16).toByte
       i += 1
     }
-    (decodeStringBytes(bytes), p + 1)
+    (bytes, p + 1)
   }
 
   /** UTF-16BE when BOM'd (§7.9.2.2), else Latin-1 (standard fonts). */
@@ -607,10 +736,10 @@ object PdfSource {
       new String(b, 2, b.length - 2, StandardCharsets.UTF_16BE)
     else new String(b, StandardCharsets.ISO_8859_1)
 
-  /** Strings inside an array literal at `open` = '['. */
-  private def arrayStrings(s: String, open: Int): (Seq[String], Int) = {
+  /** Raw string-operand bytes inside an array literal at `open` = '['. */
+  private def arrayStrings(s: String, open: Int): (Seq[Array[Byte]], Int) = {
     var p = open + 1
-    val out = Seq.newBuilder[String]
+    val out = Seq.newBuilder[Array[Byte]]
     while (p < s.length && s.charAt(p) != ']') {
       s.charAt(p) match {
         case '(' => val (t, e) = literalString(s, p); out += t; p = e

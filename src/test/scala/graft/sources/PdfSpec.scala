@@ -204,9 +204,9 @@ class PdfSpec extends SparkSpec {
       .matches("(?s).*(header|ObjStm).*"), e2.getMessage)
   }
 
-  test("a /Subtype /Type0 (CID) font flips decode_confident to false " +
-      "for ITS page only — this reader never CID-decodes, so the flag " +
-      "marks the mojibake instead of shipping it silently") {
+  test("a /Subtype /Type0 (CID) font WITHOUT a usable ToUnicode flips " +
+      "decode_confident to false for ITS page only — no CMap means " +
+      "mojibake, and the flag marks it instead of shipping silently") {
     val dir = tmpDir("pdf_type0")
     def cstream(num: Int, t: String) = {
       val c = s"BT ($t) Tj ET"
@@ -234,6 +234,78 @@ class PdfSpec extends SparkSpec {
       .map(r => (r.getString(2), r.getBoolean(3))).toSeq
     assert(got == Seq(("cid-font page", false), ("simple-font page", true)),
       s"got $got")
+  }
+
+  test("parseToUnicode: bfchar pairs, continuous bfrange (last unit " +
+      "increments), array bfrange, code width from codespacerange, " +
+      "multi-unit destinations, damaged-hi clamp") {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <0048>
+        |<0002> <00660066006C>
+        |endbfchar
+        |1 beginbfrange
+        |<0010> <0012> <0061>
+        |endbfrange
+        |1 beginbfrange
+        |<0020> <0021> [<2713> <00E9>]
+        |endbfrange
+        |endcmap""".stripMargin
+    val (m, width) = PdfSource.parseToUnicode(cmap)
+    assert(width == 2)
+    assert(m(1) == "H")
+    assert(m(2) == "ffl") // multi-unit destination (ligature expansion)
+    assert(m(0x10) == "a" && m(0x11) == "b" && m(0x12) == "c")
+    assert(m(0x20) == "✓" && m(0x21) == "é")
+    assert(!m.contains(0x13) && !m.contains(0x22))
+    // one-byte codespace
+    val (m1, w1) = PdfSource.parseToUnicode(
+      "begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+        "1 beginbfchar\n<41> <0042>\nendbfchar")
+    assert(w1 == 1 && m1(0x41) == "B")
+    // a damaged hi clamps instead of allocating the heap
+    val (mBig, _) = PdfSource.parseToUnicode(
+      "1 beginbfrange\n<0000> <7FFFFFF0> <0041>\nendbfrange")
+    assert(mBig.size == 0x10000)
+  }
+
+  test("Type0 fonts WITH a ToUnicode CMap decode CID codes to real " +
+      "Unicode (Tf font tracking, per-show decode) and the page stays " +
+      "decode_confident; unmapped codes surface as U+FFFD") {
+    val dir = tmpDir("pdf_tounicode")
+    val cmap =
+      "begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+        "2 beginbfchar\n<0001> <0048>\n<0002> <00E9>\nendbfchar\n" +
+        "1 beginbfrange\n<0003> <0004> <006C>\nendbfrange\n" +
+        "1 beginbfrange\n<0005> <0005> [<2713>]\nendbfrange\n"
+    // shows: mapped codes 1..5 then the unmapped 0099, through ONE
+    // Type0 font; a second simple-font show on the same page must
+    // stay on the Latin-1 path (Tf switches back)
+    val content = "BT /F1 12 Tf <000100020003000400050099> Tj " +
+      "/F2 12 Tf (plain) Tj ET"
+    val pdf = "%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R /F2 7 0 R >> >> >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >>\nstream\n$content\n" +
+      "endstream\nendobj\n" +
+      "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Embedded " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >> endobj\n" +
+      s"6 0 obj << /Length ${cmap.length} >>\nstream\n$cmap" +
+      "endstream\nendobj\n" +
+      "7 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Helvetica >> " +
+      "endobj\n" +
+      "trailer << /Size 8 /Root 1 0 R >>\n%%EOF\n"
+    Files.write(Paths.get(dir, "cid.pdf"),
+      pdf.getBytes(StandardCharsets.ISO_8859_1))
+    val got = PdfSource.readText(spark, dir).collect().head
+    assert(got.getString(2) == "Hélm✓�plain", s"got '${got.getString(2)}'")
+    assert(got.getBoolean(3), "ToUnicode-mapped Type0 must stay confident")
   }
 
   test("damage is LOUD: non-PDF bytes, unsupported filter, truncated " +
