@@ -190,11 +190,18 @@ object CdxIndex {
         val member = new Array[Byte](length.toInt)
         in.readFully(member)
         val gz = new GZIPInputStream(new ByteArrayInputStream(member))
-        val version = WarcSource.readHeaderLine(gz)
-        if (version == null)
-          throw GraftError.DataTransfer(
-            s"$file@$offset: empty gzip member under the CDX entry")
-        WarcSource.parseOne(gz, version, s"$file@$offset")
+        // close IMMEDIATELY after the parse: each member owns a native
+        // zlib Inflater, and leaving 500k of them per fetch job to the
+        // Cleaner measurably degrades every later same-JVM job (the
+        // DeflateStats lesson — native memory must not wait for GC;
+        // the r16 CdxProbe measured fetch reps at 26→61 s from this)
+        try {
+          val version = WarcSource.readHeaderLine(gz)
+          if (version == null)
+            throw GraftError.DataTransfer(
+              s"$file@$offset: empty gzip member under the CDX entry")
+          WarcSource.parseOne(gz, version, s"$file@$offset")
+        } finally gz.close()
       }
       // close the last handle when the iterator drains
       new Iterator[WarcSource.WarcRecord] {
