@@ -35,9 +35,12 @@ import graft.core.GraftError
   *    documented fallback is `/Type /Page` objects in object-number
   *    order;
   *  - each page's `/Contents` (single ref or array) is decoded
-  *    (`/FlateDecode` or raw; any other filter is a LOUD error naming
-  *    it — silently skipping a DCT-encoded stream would silently drop
-  *    text) and scanned for text operators: `Tj`, `'`, `"`, `TJ`
+  *    through its `/Filter` pipeline — `/FlateDecode`,
+  *    `/ASCIIHexDecode`, `/ASCII85Decode`, `/LZWDecode`, raw, or an
+  *    array chain of them (§7.4.1); the image codecs and `/Predictor`
+  *    post-processing are LOUD errors naming the filter (silently
+  *    skipping or passing them through would silently drop or garble
+  *    text) — and scanned for text operators: `Tj`, `'`, `"`, `TJ`
   *    (strings shown, kerning numbers ignored), with a newline emitted
   *    between shows when a line-move (`T*`, `'`, `Td`/`TD` with a
   *    vertical component) intervened;
@@ -189,14 +192,23 @@ object PdfSource {
     * through [[parseToUnicode]] (a dangling or non-stream /ToUnicode
     * counts as absent — the page flags unconfident rather than
     * crashing on a spec-violating font). Inline font dicts inside the
-    * container (rare) are treated as simple fonts. */
+    * container (rare) are treated as simple fonts. A page WITHOUT its
+    * own /Resources inherits them from the nearest /Pages ancestor
+    * (§7.7.3.4 inheritable attributes — common in real files), walked
+    * via /Parent with a 64-deep cycle guard. */
   private def pageFonts(pageDict: String, objs: Map[Int, Obj],
                         file: String): Map[String, FontInfo] = {
-    val resTexts: Seq[String] = {
-      val refs = dictRefs(pageDict, "/Resources")
-      if (refs.nonEmpty) refs.flatMap(objs.get).map(_.dict)
-      else inlineDict(pageDict, "/Resources", file).toSeq
+    // the page's own /Resources, else the nearest ancestor's
+    def resourcesOf(dict: String, depth: Int): Seq[String] = {
+      val refs = dictRefs(dict, "/Resources")
+      val own =
+        if (refs.nonEmpty) refs.flatMap(objs.get).map(_.dict)
+        else inlineDict(dict, "/Resources", file).toSeq
+      if (own.nonEmpty || depth > 64) own
+      else dictRefs(dict, "/Parent").headOption.flatMap(objs.get)
+        .map(p => resourcesOf(p.dict, depth + 1)).getOrElse(Nil)
     }
+    val resTexts: Seq[String] = resourcesOf(pageDict, 0)
     val fontTexts: Seq[String] = resTexts.flatMap { rt =>
       val refs = dictRefs(rt, "/Font")
       if (refs.nonEmpty) refs.flatMap(objs.get).map(_.dict)
@@ -529,11 +541,16 @@ object PdfSource {
       java.util.regex.Pattern.quote(value) + """(?![A-Za-z0-9])""").r
       .findFirstIn(dict).isDefined
 
-  /** Inflates a /FlateDecode stream, passes raw streams through, and
-    * is LOUD about any other filter — or about a `/Predictor` > 1
-    * (PNG/TIFF row predictors post-process the inflated bytes; passing
-    * them through undone would hand the caller silently-garbled data,
-    * the one failure mode this reader never allows). */
+  /** Applies the stream's `/Filter` pipeline — a single name or an
+    * array chain like `[/ASCII85Decode /FlateDecode]`, applied in
+    * order per ISO 32000-1 §7.4.1. Supported: `/FlateDecode` (zlib),
+    * `/ASCIIHexDecode`, `/ASCII85Decode`, `/LZWDecode`; raw streams
+    * pass through. Anything else (the image codecs /DCTDecode,
+    * /JBIG2Decode, /CCITTFaxDecode, /JPXDecode — pixels, not text,
+    * under any decoding), and any `/Predictor` > 1 (PNG/TIFF row
+    * predictors post-process the decoded bytes), is a LOUD error:
+    * passing either through would hand the caller silently-garbled
+    * data, the one failure mode this reader never allows. */
   private def decodeStream(o: Obj, file: String, num: Int): Array[Byte] = {
     """/Predictor\s+(\d+)""".r.findFirstMatchIn(o.dict)
       .map(_.group(1).toInt).filter(_ > 1).foreach { p =>
@@ -542,35 +559,169 @@ object PdfSource {
             "streams are not supported (the data would be garbled, " +
             "not approximated)")
       }
-    val filter = """/Filter\s*(?:\[\s*)?/([A-Za-z0-9]+)""".r
-      .findFirstMatchIn(o.dict).map(_.group(1))
-    filter match {
-      case None => o.stream
-      case Some("FlateDecode") =>
-        val inf = new Inflater()
-        try {
-          inf.setInput(o.stream)
-          val out = new java.io.ByteArrayOutputStream(o.stream.length * 4)
-          val buf = new Array[Byte](8192)
-          while (!inf.finished()) {
-            val n = inf.inflate(buf)
-            if (n == 0 && inf.needsInput())
-              throw GraftError.DataTransfer(
-                s"$file: object $num FlateDecode stream truncated")
-            out.write(buf, 0, n)
-          }
-          out.toByteArray
-        } catch {
-          case e: java.util.zip.DataFormatException =>
-            throw GraftError.DataTransfer(
-              s"$file: object $num FlateDecode stream corrupt: " +
-                e.getMessage)
-        } finally inf.end()
-      case Some(other) =>
-        throw GraftError.DataTransfer(
-          s"$file: object $num uses unsupported stream filter " +
-            s"/$other — only /FlateDecode and raw streams extract text")
+    val filters: Seq[String] =
+      """/Filter\s*\[((?:\s*/[A-Za-z0-9]+)+)\s*\]""".r
+        .findFirstMatchIn(o.dict) match {
+        case Some(m) =>
+          "/([A-Za-z0-9]+)".r.findAllMatchIn(m.group(1))
+            .map(_.group(1)).toSeq
+        case None =>
+          """/Filter\s*/([A-Za-z0-9]+)""".r
+            .findFirstMatchIn(o.dict).map(_.group(1)).toSeq
+      }
+    filters.foldLeft(o.stream) { (data, f) =>
+      applyFilter(f, data, file, num)
     }
+  }
+
+  private def applyFilter(name: String, data: Array[Byte], file: String,
+                          num: Int): Array[Byte] = name match {
+    case "FlateDecode" =>
+      val inf = new Inflater()
+      try {
+        inf.setInput(data)
+        val out = new java.io.ByteArrayOutputStream(data.length * 4)
+        val buf = new Array[Byte](8192)
+        while (!inf.finished()) {
+          val n = inf.inflate(buf)
+          if (n == 0 && inf.needsInput())
+            throw GraftError.DataTransfer(
+              s"$file: object $num FlateDecode stream truncated")
+          out.write(buf, 0, n)
+        }
+        out.toByteArray
+      } catch {
+        case e: java.util.zip.DataFormatException =>
+          throw GraftError.DataTransfer(
+            s"$file: object $num FlateDecode stream corrupt: " +
+              e.getMessage)
+      } finally inf.end()
+    case "ASCIIHexDecode" => asciiHexDecode(data, file, num)
+    case "ASCII85Decode" => ascii85Decode(data, file, num)
+    case "LZWDecode" => lzwDecode(data, file, num)
+    case other =>
+      throw GraftError.DataTransfer(
+        s"$file: object $num uses unsupported stream filter " +
+          s"/$other — FlateDecode/ASCIIHexDecode/ASCII85Decode/" +
+          "LZWDecode and raw streams extract text")
+  }
+
+  /** §7.4.2: hex pairs, whitespace ignored, `>` is EOD, a trailing odd
+    * digit implies a final 0. Non-hex bytes are LOUD. */
+  private def asciiHexDecode(data: Array[Byte], file: String,
+                             num: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = (data(i) & 0xff).toChar
+      val v = Character.digit(c, 16)
+      if (v >= 0) {
+        if (hi < 0) hi = v
+        else { out.write((hi << 4) | v); hi = -1 }
+      } else if (c == '>') done = true
+      else if (!c.isWhitespace && c != ' ')
+        throw GraftError.DataTransfer(
+          s"$file: object $num ASCIIHexDecode: illegal character " +
+            s"'$c' at $i")
+      i += 1
+    }
+    if (hi >= 0) out.write(hi << 4) // odd final digit: low nibble 0
+    out.toByteArray
+  }
+
+  /** §7.4.3: base-85 groups of 5 chars `!`..`u` → 4 bytes; `z` = four
+    * zero bytes (only BETWEEN groups); `~>` is EOD; a trailing partial
+    * group of n chars yields n-1 bytes. Out-of-range bytes are LOUD. */
+  private def ascii85Decode(data: Array[Byte], file: String,
+                            num: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val group = new Array[Int](5)
+    var k = 0
+    var i = 0
+    var done = false
+    def flush(chars: Int): Unit = {
+      // pad with 'u' (84) per the spec, emit chars-1 bytes
+      var v = 0L
+      var j = 0
+      while (j < 5) { v = v * 85 + (if (j < chars) group(j) else 84); j += 1 }
+      val bytes = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+        ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+      out.write(bytes, 0, chars - 1)
+    }
+    while (i < data.length && !done) {
+      val c = (data(i) & 0xff).toChar
+      if (c >= '!' && c <= 'u') {
+        group(k) = c - '!'; k += 1
+        if (k == 5) { flush(5); k = 0 }
+      } else if (c == 'z' && k == 0) out.write(Array[Byte](0, 0, 0, 0))
+      else if (c == '~') done = true
+      else if (!c.isWhitespace && c != ' ')
+        throw GraftError.DataTransfer(
+          s"$file: object $num ASCII85Decode: illegal character '$c' at $i")
+      i += 1
+    }
+    if (k == 1)
+      throw GraftError.DataTransfer(
+        s"$file: object $num ASCII85Decode: dangling single character " +
+          "in the final group")
+    if (k > 1) flush(k)
+    out.toByteArray
+  }
+
+  /** §7.4.4: PDF LZW — 8-bit symbols, variable 9–12-bit codes, Clear
+    * (256) resets the table, EOD (257) ends, code width grows ONE CODE
+    * EARLY (`EarlyChange` default 1; PDF writers that set 0 are rare
+    * and would fail loudly as a corrupt-code error, never silently).
+    * Truncated input or an out-of-range code is LOUD. */
+  private def lzwDecode(data: Array[Byte], file: String,
+                        num: Int): Array[Byte] = {
+    def loud(what: String): Nothing = throw GraftError.DataTransfer(
+      s"$file: object $num LZWDecode: $what")
+    val out = new java.io.ByteArrayOutputStream(data.length * 3)
+    // dictionary: entries 0..255 literal, 256 clear, 257 EOD
+    var dict = new Array[Array[Byte]](4096)
+    var dictSize = 258
+    var width = 9
+    def reset(): Unit = { dictSize = 258; width = 9 }
+    var bitBuf = 0L
+    var bitCnt = 0
+    var prev: Array[Byte] = null
+    var i = 0
+    var done = false
+    while (!done) {
+      while (bitCnt < width && i < data.length) {
+        bitBuf = (bitBuf << 8) | (data(i) & 0xff); bitCnt += 8; i += 1
+      }
+      if (bitCnt < width) {
+        if (prev != null) loud("truncated before EOD")
+        done = true
+      } else {
+        val code = ((bitBuf >> (bitCnt - width)) & ((1L << width) - 1)).toInt
+        bitCnt -= width
+        if (code == 256) { reset(); prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry: Array[Byte] =
+            if (code < 256) Array(code.toByte)
+            else if (code < dictSize && code >= 258 && dict(code) != null)
+              dict(code)
+            else if (code == dictSize && prev != null)
+              prev :+ prev(0) // the KwKwK case
+            else loud(s"out-of-range code $code (dict $dictSize)")
+          out.write(entry)
+          if (prev != null && dictSize < 4096) {
+            dict(dictSize) = prev :+ entry(0)
+            dictSize += 1
+          }
+          // EarlyChange=1: width grows when the NEXT code would not fit
+          if (dictSize + 1 >= (1 << width) && width < 12) width += 1
+          prev = entry
+        }
+      }
+    }
+    out.toByteArray
   }
 
   // ----------------------- content-stream text -------------------------

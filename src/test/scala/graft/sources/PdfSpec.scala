@@ -308,6 +308,174 @@ class PdfSpec extends SparkSpec {
     assert(got.getBoolean(3), "ToUnicode-mapped Type0 must stay confident")
   }
 
+  /** Minimal single-page PDF around a pre-encoded content stream. */
+  private def onePagePdf(filterSpec: String,
+                         encoded: Array[Byte]): Array[Byte] = {
+    val head = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${encoded.length} $filterSpec >>\nstream\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val tail = ("\nendstream\nendobj\n" +
+      "trailer << /Size 5 /Root 1 0 R >>\n%%EOF\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+    head ++ encoded ++ tail
+  }
+
+  /** Test-side ASCII85 encoder (§7.4.3) to build real fixtures. */
+  private def a85(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      (0 until 4).foreach(j =>
+        v = (v << 8) | (if (i + j < data.length) data(i + j) & 0xff else 0))
+      if (n == 4 && v == 0) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var rem = v
+        (4 to 0 by -1).foreach { j => cs(j) = ('!' + (rem % 85)).toChar; rem /= 85 }
+        sb.appendAll(cs, 0, n + 1)
+      }
+      i += 4
+    }
+    sb.append("~>")
+    sb.toString.getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  /** Test-side PDF LZW encoder (§7.4.4, EarlyChange=1) — mirrors the
+    * decoder's width schedule so round trips prove the bit protocol. */
+  private def lzw(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0; var width = 9
+    def emit(code: Int): Unit = {
+      bitBuf = (bitBuf << width) | code; bitCnt += width
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap[Seq[Byte], Int]()
+    var next = 258
+    emit(256) // leading clear, as real writers emit
+    var w = Vector.empty[Byte]
+    data.foreach { b =>
+      val wb = w :+ b
+      if (w.isEmpty || (wb.length == 1) || dict.contains(wb)) w = wb
+      else {
+        emit(if (w.length == 1) w.head & 0xff else dict(w))
+        if (next < 4096) {
+          dict(wb) = next; next += 1
+          // the DECODER's table runs one entry behind: it bumps after
+          // its (next-1)th add, so the encoder bumps on next >= 2^w
+          if (next >= (1 << width) && width < 12) width += 1
+        }
+        w = Vector(b)
+      }
+    }
+    if (w.nonEmpty) emit(if (w.length == 1) w.head & 0xff else dict(w))
+    emit(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  test("/ASCIIHexDecode and /ASCII85Decode content streams extract; " +
+      "a filter CHAIN [/ASCII85Decode /FlateDecode] applies in order") {
+    val d1 = tmpDir("pdf_hex")
+    val content = "BT (hex filtered text) Tj ET"
+    val hex = content.getBytes(StandardCharsets.ISO_8859_1)
+      .map(b => f"${b & 0xff}%02X").mkString
+      .grouped(16).mkString(" \n") + ">"
+    Files.write(Paths.get(d1, "hex.pdf"), onePagePdf(
+      "/Filter /ASCIIHexDecode",
+      hex.getBytes(StandardCharsets.ISO_8859_1)))
+    assert(PdfSource.readText(spark, d1).collect().head.getString(2) ==
+      "hex filtered text")
+    val d2 = tmpDir("pdf_a85")
+    val c2 = "BT (ascii85   binary-safe) Tj ET" // a NUL rides through
+      .getBytes(StandardCharsets.ISO_8859_1)
+    Files.write(Paths.get(d2, "a85.pdf"),
+      onePagePdf("/Filter /ASCII85Decode", a85(c2)))
+    assert(PdfSource.readText(spark, d2).collect().head.getString(2) ==
+      "ascii85   binary-safe")
+    val d3 = tmpDir("pdf_chain")
+    val c3 = "BT (chained filters work) Tj ET"
+      .getBytes(StandardCharsets.ISO_8859_1)
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(c3); d.finish()
+      val o = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](4096)
+      while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+      d.end(); o.toByteArray
+    }
+    Files.write(Paths.get(d3, "chain.pdf"), onePagePdf(
+      "/Filter [/ASCII85Decode /FlateDecode]", a85(deflated)))
+    assert(PdfSource.readText(spark, d3).collect().head.getString(2) ==
+      "chained filters work")
+  }
+
+  test("/LZWDecode round-trips through a spec-mirroring encoder: " +
+      "width bumps at 511/1023 (EarlyChange=1), the KwKwK case, and " +
+      "a seeded random-bytes property") {
+    val d1 = tmpDir("pdf_lzw")
+    // repetitive head forces KwKwK; varied tail crosses the 511-entry
+    // width bump (9→10 bits)
+    val body = "aaaaaaaaaa " + (0 until 600).map(i => s"w$i").mkString(" ")
+    val content = s"BT ($body) Tj ET"
+    Files.write(Paths.get(d1, "lzw.pdf"), onePagePdf(
+      "/Filter /LZWDecode",
+      lzw(content.getBytes(StandardCharsets.ISO_8859_1))))
+    val got = PdfSource.readText(spark, d1).collect().head.getString(2)
+    assert(got == body, s"LZW mismatch: got ${got.take(60)}…")
+    // property: random byte streams survive encode→(reader-internal)
+    // decode byte-exactly, via a hex-string operand (binary-safe)
+    val rnd = new scala.util.Random(42)
+    (1 to 3).foreach { trial =>
+      val raw = new Array[Byte](3000 + trial * 997)
+      rnd.nextBytes(raw)
+      // bias toward repetition so the dictionary genuinely grows
+      (0 until raw.length / 3).foreach(i => raw(i * 3) = (i % 7).toByte)
+      val hexOperand = raw.map(b => f"${b & 0xff}%02X").mkString
+      val c = s"BT <$hexOperand> Tj ET"
+      val dir = tmpDir(s"pdf_lzw_p$trial")
+      Files.write(Paths.get(dir, "p.pdf"), onePagePdf(
+        "/Filter /LZWDecode",
+        lzw(c.getBytes(StandardCharsets.ISO_8859_1))))
+      val back = PdfSource.readText(spark, dir).collect().head.getString(2)
+      // hex operand decodes Latin-1: compare codepoints to bytes
+      assert(back.length == raw.length &&
+        back.toCharArray.zip(raw).forall { case (ch, b) =>
+          ch.toInt == (b & 0xff) }, s"trial $trial mismatch")
+    }
+  }
+
+  test("a page WITHOUT its own /Resources inherits the /Pages " +
+      "ancestor's (§7.7.3.4): an inherited Type0-without-ToUnicode " +
+      "still flips decode_confident") {
+    val dir = tmpDir("pdf_inherit")
+    def cstream(num: Int, t: String) = {
+      val c = s"BT ($t) Tj ET"
+      s"$num 0 obj << /Length ${c.length} >>\nstream\n$c\nendstream\nendobj\n"
+    }
+    val pdf = "%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      cstream(4, "inherited resources") +
+      "5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /X " +
+      "/Encoding /Identity-H >> endobj\n" +
+      "trailer << /Size 6 /Root 1 0 R >>\n%%EOF\n"
+    Files.write(Paths.get(dir, "inh.pdf"),
+      pdf.getBytes(StandardCharsets.ISO_8859_1))
+    val got = PdfSource.readText(spark, dir).collect().head
+    assert(got.getString(2) == "inherited resources")
+    assert(!got.getBoolean(3),
+      "the inherited Type0 font must flip decode_confident")
+  }
+
   test("damage is LOUD: non-PDF bytes, unsupported filter, truncated " +
       "FlateDecode stream; writer rejects unsafe names") {
     import spark.implicits._
