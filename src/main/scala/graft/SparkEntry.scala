@@ -433,11 +433,15 @@ object SparkEntry {
       val entries = t(s, dir, "documents")
         .filter(pmod(col("doc_id"), lit(10)) === 0)
         .select(
-          concat(lit("d"), col("doc_id")).as("k"),
+          col("doc_id"),
           concat(col("text"), lit(" tail(with)\\specials")).as("t"))
-        .as[(String, String)]
-        .map { case (k, t) =>
-          (k, "pdf", graft.sources.PdfSource.render(t, pageChars = 200))
+        .as[(Long, String)]
+        .map { case (id, t) =>
+          // half the corpus renders in the PDF 1.5+ ObjStm shape
+          // (page tree inside a compressed object stream), half
+          // classic — both must read back to the SAME oracle rows
+          (s"d$id", "pdf", graft.sources.PdfSource.render(
+            t, pageChars = 200, objStm = (id / 10) % 2 == 0))
         }.toDF("k", "e", "c")
       graft.sources.TarSource.write(entries, out, "k", "e", "c")
       graft.sources.PdfSource.pagesFrom(

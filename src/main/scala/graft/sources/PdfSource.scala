@@ -60,9 +60,9 @@ import graft.core.GraftError
   *    honest). A Type0 font WITHOUT a usable ToUnicode flips the
   *    page's `decode_confident` column to false — its shows are
   *    documented mojibake, and the flag lets a pipeline quarantine the
-  *    page instead of silently training on garbage (inherited
-  *    /Resources from a /Pages ancestor are not walked — documented
-  *    subset);
+  *    page instead of silently training on garbage. A page without
+  *    its own /Resources inherits them from the nearest /Pages
+  *    ancestor (§7.7.3.4);
   *  - inline images (`BI … EI`) are skipped; structural damage (no
   *    `%PDF` header, unbalanced dict, truncated stream) is loud with
   *    the file name.
@@ -621,7 +621,7 @@ object PdfSource {
         if (hi < 0) hi = v
         else { out.write((hi << 4) | v); hi = -1 }
       } else if (c == '>') done = true
-      else if (!c.isWhitespace && c != ' ')
+      else if (!c.isWhitespace && c != '\u0000')
         throw GraftError.DataTransfer(
           s"$file: object $num ASCIIHexDecode: illegal character " +
             s"'$c' at $i")
@@ -657,7 +657,7 @@ object PdfSource {
         if (k == 5) { flush(5); k = 0 }
       } else if (c == 'z' && k == 0) out.write(Array[Byte](0, 0, 0, 0))
       else if (c == '~') done = true
-      else if (!c.isWhitespace && c != ' ')
+      else if (!c.isWhitespace && c != '\u0000')
         throw GraftError.DataTransfer(
           s"$file: object $num ASCII85Decode: illegal character '$c' at $i")
       i += 1
@@ -938,44 +938,69 @@ object PdfSource {
 
   /** One minimal spec-compliant PDF: catalog(1) → pages(2) →
     * page(3,5,…) + FlateDecoded content(4,6,…) + Helvetica font
-    * (last), classic xref with correct offsets. */
-  def render(text0: String, pageChars: Int): Array[Byte] = {
+    * (last), classic xref with correct offsets. With `objStm = true`
+    * the renderer emits the PDF 1.5+ writer shape instead: every
+    * NON-stream object (catalog, page tree, page dicts, font) packs
+    * into one FlateDecoded `/Type /ObjStm` (§7.5.7 — stream objects
+    * may not live inside one, so the content streams stay top-level).
+    * Both shapes read back identically, which is exactly what the
+    * q_pdf_text gate exercises by mixing them. */
+  def render(text0: String, pageChars: Int,
+             objStm: Boolean = false): Array[Byte] = {
     val text = if (text0 == null) "" else text0
     val pages: Seq[String] =
       if (pageChars <= 0 || text.length <= pageChars) Seq(text)
       else text.grouped(pageChars).toSeq
     val nPages = pages.length
     val fontNum = 3 + 2 * nPages
-    val objects = Seq.newBuilder[(Int, Array[Byte])]
-    objects += (1 -> "<< /Type /Catalog /Pages 2 0 R >>"
-      .getBytes(StandardCharsets.ISO_8859_1))
+    val dicts = Seq.newBuilder[(Int, String)]
+    val streamObjs = Seq.newBuilder[(Int, Array[Byte])]
+    dicts += (1 -> "<< /Type /Catalog /Pages 2 0 R >>")
     val kids = (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ")
-    objects += (2 -> s"<< /Type /Pages /Kids [$kids] /Count $nPages >>"
-      .getBytes(StandardCharsets.ISO_8859_1))
+    dicts += (2 -> s"<< /Type /Pages /Kids [$kids] /Count $nPages >>")
     pages.zipWithIndex.foreach { case (p, i) =>
       val pageNum = 3 + 2 * i
       val contentNum = pageNum + 1
-      objects += (pageNum ->
+      dicts += (pageNum ->
         (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
           s"/Contents $contentNum 0 R /Resources << /Font " +
-          s"<< /F1 $fontNum 0 R >> >> >>")
-          .getBytes(StandardCharsets.ISO_8859_1))
+          s"<< /F1 $fontNum 0 R >> >> >>"))
       val content = s"BT /F1 12 Tf 72 720 Td ${pdfString(p)} Tj ET"
         .getBytes(StandardCharsets.ISO_8859_1)
       val deflated = deflate(content)
       val head = (s"<< /Length ${deflated.length} /Filter /FlateDecode >>" +
         "\nstream\n").getBytes(StandardCharsets.ISO_8859_1)
-      objects += (contentNum -> (head ++ deflated ++
+      streamObjs += (contentNum -> (head ++ deflated ++
         "\nendstream".getBytes(StandardCharsets.ISO_8859_1)))
     }
-    objects += (fontNum ->
-      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>"
-        .getBytes(StandardCharsets.ISO_8859_1))
+    dicts += (fontNum ->
+      "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
+    val objects: Seq[(Int, Array[Byte])] =
+      if (!objStm)
+        dicts.result().map { case (n, d) =>
+          n -> d.getBytes(StandardCharsets.ISO_8859_1)
+        } ++ streamObjs.result()
+      else {
+        val members = dicts.result()
+        val bodies = members.map(_._2)
+        val offs = bodies.scanLeft(0)((a, b) => a + b.length + 1).init
+        val header = members.map(_._1).zip(offs)
+          .map { case (n, o) => s"$n $o" }.mkString(" ") + " "
+        val packed = deflate((header + bodies.mkString(" "))
+          .getBytes(StandardCharsets.ISO_8859_1))
+        val stmNum = fontNum + 1
+        val objStmBytes = (s"<< /Type /ObjStm /N ${members.length} " +
+          s"/First ${header.length} /Length ${packed.length} " +
+          "/Filter /FlateDecode >>\nstream\n")
+          .getBytes(StandardCharsets.ISO_8859_1) ++ packed ++
+          "\nendstream".getBytes(StandardCharsets.ISO_8859_1)
+        (stmNum -> objStmBytes) +: streamObjs.result()
+      }
     // assemble with xref offsets
     val buf = new java.io.ByteArrayOutputStream(4096)
     def w(t: String): Unit = buf.write(t.getBytes(StandardCharsets.ISO_8859_1))
-    w("%PDF-1.4\n")
-    val objList = objects.result()
+    w(if (objStm) "%PDF-1.5\n" else "%PDF-1.4\n")
+    val objList = objects
     val offsets = objList.map { case (num, body) =>
       val off = buf.size()
       w(s"$num 0 obj\n")

@@ -173,6 +173,26 @@ class PdfSpec extends SparkSpec {
     assert(got.head.getBoolean(3)) // no Type0 font anywhere
   }
 
+  test("render(objStm = true) emits the PDF 1.5 writer shape (page " +
+      "tree inside a compressed object stream) and reads back " +
+      "identically to the classic form — pages, splits, Unicode") {
+    val text = "objstm rendering across pages " + ("y" * 300) + " naïve ✓"
+    val dirP = tmpDir("pdf_render_objstm")
+    Files.write(Paths.get(dirP, "a.pdf"),
+      PdfSource.render(text, pageChars = 150, objStm = true))
+    val packed = PdfSource.readText(spark, dirP).orderBy("page").collect()
+      .map(r => (r.getInt(1), r.getString(2), r.getBoolean(3))).toSeq
+    assert(packed.map(_._2).mkString == text, "byte-exact reassembly")
+    assert(packed.forall(_._3), "Helvetica pages stay confident")
+    val dirC = tmpDir("pdf_render_classic")
+    Files.write(Paths.get(dirC, "a.pdf"),
+      PdfSource.render(text, pageChars = 150))
+    val classic = PdfSource.readText(spark, dirC).orderBy("page").collect()
+      .map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(packed.map(t => (t._1, t._2)) == classic,
+      "both shapes must extract the same rows")
+  }
+
   test("a top-level object SUPERSEDES an ObjStm member with the same " +
       "number (the incremental-update direction)") {
     val dir = tmpDir("pdf_objstm_update")
