@@ -413,12 +413,12 @@ class PdfSpec extends SparkSpec {
     assert(PdfSource.readText(spark, d1).collect().head.getString(2) ==
       "hex filtered text")
     val d2 = tmpDir("pdf_a85")
-    val c2 = "BT (ascii85   binary-safe) Tj ET" // a NUL rides through
+    val c2 = "BT (ascii85 \u0000 binary-safe) Tj ET" // a NUL rides through
       .getBytes(StandardCharsets.ISO_8859_1)
     Files.write(Paths.get(d2, "a85.pdf"),
       onePagePdf("/Filter /ASCII85Decode", a85(c2)))
     assert(PdfSource.readText(spark, d2).collect().head.getString(2) ==
-      "ascii85   binary-safe")
+      "ascii85 \u0000 binary-safe")
     val d3 = tmpDir("pdf_chain")
     val c3 = "BT (chained filters work) Tj ET"
       .getBytes(StandardCharsets.ISO_8859_1)
