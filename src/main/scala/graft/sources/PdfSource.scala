@@ -25,11 +25,15 @@ import graft.core.GraftError
   *    (ISO 32000-1 §7.5.7 — where most post-2005 writers pack their
   *    page/catalog dicts) is inflated and its members indexed from the
   *    `objnum offset` header pairs; on an object-number collision the
-  *    TOP-LEVEL copy wins (an incremental update appends top-level
-  *    objects that supersede ObjStm members — the reverse direction
-  *    cannot occur in a spec-conforming file). Damaged ObjStm framing
-  *    (missing /N or /First, short header, offsets past the data) is
-  *    LOUD with the object number;
+  *    TOP-LEVEL copy wins, and among ObjStm containers the
+  *    HIGHEST-numbered container wins — a documented HEURISTIC for
+  *    xref-ignoring reads: incremental updates append their new
+  *    top-level objects AND their new ObjStm containers after the
+  *    originals, and appended objects take higher numbers in every
+  *    real writer, so "top-level first, then highest container" picks
+  *    the newest version without trusting the (often broken) xref.
+  *    Damaged ObjStm framing (missing /N or /First, short header,
+  *    offsets past the data) is LOUD with the object number;
   *  - page ORDER comes from walking `/Root → /Pages → /Kids`
   *    recursively (ISO 32000 §7.7.3); when no catalog resolves, the
   *    documented fallback is `/Type /Page` objects in object-number
@@ -37,8 +41,11 @@ import graft.core.GraftError
   *  - each page's `/Contents` (single ref or array) is decoded
   *    through its `/Filter` pipeline — `/FlateDecode`,
   *    `/ASCIIHexDecode`, `/ASCII85Decode`, `/LZWDecode`, raw, or an
-  *    array chain of them (§7.4.1); the image codecs and `/Predictor`
-  *    post-processing are LOUD errors naming the filter (silently
+  *    array chain of them (§7.4.1), then through any `/Predictor`
+  *    post-processing (§7.4.4.4: PNG None/Sub/Up/Average/Paeth row
+  *    unfiltering and TIFF horizontal differencing — pdftex-family
+  *    writers emit predictor-12 ObjStm/xref streams routinely); the
+  *    image codecs are LOUD errors naming the filter (silently
   *    skipping or passing them through would silently drop or garble
   *    text) — and scanned for text operators: `Tj`, `'`, `"`, `TJ`
   *    (strings shown, kerning numbers ignored), with a newline emitted
@@ -48,8 +55,14 @@ import graft.core.GraftError
   *    octal, line continuations, balanced nested parens); hex strings
   *    decode per §7.3.4.3; a UTF-16BE BOM (`FE FF`) switches the
   *    string to UTF-16 decoding, otherwise bytes read as Latin-1
-  *    (standard-font text; custom simple-font /Encoding differences
-  *    are a DOCUMENTED miss — mojibake, never a crash). `/Subtype
+  *    (standard-font text). A simple font's `/Encoding` decodes for
+  *    real (Annex D): a `/WinAnsiEncoding`/`/MacRomanEncoding` base
+  *    name maps through the built-in byte tables, and a
+  *    `/Differences` array remaps codes through an AGL-subset
+  *    glyph-name→Unicode table (plus `uniXXXX` names); an UNKNOWN
+  *    base-encoding name or an unmapped glyph name flips the page's
+  *    `decode_confident` to false (the unmapped code shows as U+FFFD)
+  *    — simple-font mojibake never ships silently. `/Subtype
   *    /Type0` (CID/composite) fonts — how virtually all CJK and most
   *    embedded-subset text ships — decode THROUGH their `/ToUnicode`
   *    CMap (ISO 32000-1 §9.10.3: `bfchar`/`bfrange` entries, both the
@@ -171,19 +184,26 @@ object PdfSource {
             s"$file: /Contents $cref is not a stream object")
         extractText(decodeStream(o, file, cref), text, fonts)
       }
-      // confident unless a Type0 font has NO usable ToUnicode: mapped
-      // Type0 shows decode for real, unmapped ones are mojibake
-      val confident = fonts.values.forall(f => !f.type0 ||
-        f.toUnicode.isDefined)
+      // confident unless a Type0 font has NO usable ToUnicode, or a
+      // simple font's /Encoding could not be fully mapped: both mean
+      // some shows would be mojibake, and the flag marks the page
+      val confident = fonts.values.forall(f =>
+        (if (f.type0) f.toUnicode.isDefined else f.encConfident))
       (i + 1, text.toString, confident)
     }
   }
 
   /** One page-reachable font: composite (Type0)? and its parsed
-    * ToUnicode map (code → unicode string) + code width in bytes. */
+    * ToUnicode map (code → unicode string) + code width in bytes; for
+    * simple fonts, the 256-entry byte→Unicode table a parsed
+    * `/Encoding` produced (None = no /Encoding, the Latin-1/BOM status
+    * quo) and whether that parse was CONFIDENT (known base encoding,
+    * every /Differences glyph name mapped). */
   private final case class FontInfo(type0: Boolean,
                                     toUnicode: Option[Map[Int, String]],
-                                    codeBytes: Int)
+                                    codeBytes: Int,
+                                    simpleEnc: Option[Array[String]] = None,
+                                    encConfident: Boolean = true)
 
   /** Resolves the page's `/Resources /Font` entries to name →
     * [[FontInfo]]: resources and the font container resolve whether
@@ -227,10 +247,184 @@ object PdfSource {
             .flatMap(objs.get).filter(_.stream != null)
             .map(o => parseToUnicode(new String(
               decodeStream(o, file, 0), StandardCharsets.ISO_8859_1)))
+        val (enc, encOk) =
+          if (type0) (None, true) else simpleEncoding(dictTxt, objs, file)
         name -> FontInfo(type0, toUni.map(_._1),
-          toUni.map(_._2).getOrElse(2))
+          toUni.map(_._2).getOrElse(2), enc, encOk)
       }
     }.toMap
+  }
+
+  // --------------------- simple-font /Encoding --------------------------
+
+  /** WinAnsiEncoding (ISO 32000-1 Annex D.2) as a 256-entry byte→text
+    * table: Latin-1 everywhere except the 0x80–0x9F band, which carries
+    * the CP1252 typography set. The five CP1252-undefined slots stay
+    * Latin-1 C1 controls (no conforming writer emits them). */
+  private lazy val winAnsiTable: Array[String] = {
+    val t = Array.tabulate(256)(i => i.toChar.toString)
+    val hi = Map(
+      0x80 -> "€", 0x82 -> "‚", 0x83 -> "ƒ",
+      0x84 -> "„", 0x85 -> "…", 0x86 -> "†",
+      0x87 -> "‡", 0x88 -> "ˆ", 0x89 -> "‰",
+      0x8A -> "Š", 0x8B -> "‹", 0x8C -> "Œ",
+      0x8E -> "Ž", 0x91 -> "‘", 0x92 -> "’",
+      0x93 -> "“", 0x94 -> "”", 0x95 -> "•",
+      0x96 -> "–", 0x97 -> "—", 0x98 -> "˜",
+      0x99 -> "™", 0x9A -> "š", 0x9B -> "›",
+      0x9C -> "œ", 0x9E -> "ž", 0x9F -> "Ÿ")
+    hi.foreach { case (c, u) => t(c) = u }
+    t
+  }
+
+  /** MacRomanEncoding (Annex D.2) — ASCII low half, the classic Mac OS
+    * Roman high half (PDF's table predates the 8.5 Euro swap: 0xDB is
+    * /currency). One 128-char string keeps the table reviewable. */
+  private lazy val macRomanTable: Array[String] = {
+    val high =
+      "ÄÅÇÉÑÖÜáàâäãåçéèêëíìîïñóòôöõúùûü†°¢£§•¶ß®©™´¨≠ÆØ" +
+        "∞±≤≥¥µ∂∑∏π∫ªºΩæø¿¡¬√ƒ≈∆«»… ÀÃÕŒœ–—“”‘’÷◊ÿŸ⁄¤‹›ﬁﬂ" +
+        "‡·‚„‰ÂÊÁËÈÍÎÏÌÓÔÒÚÛÙıˆ˜¯˘˙˚¸˝˛ˇ"
+    require(high.length == 128, s"MacRoman high half: ${high.length}")
+    Array.tabulate(256)(i =>
+      if (i < 0x80) i.toChar.toString else high.charAt(i - 0x80).toString)
+  }
+
+  /** Glyph-name→Unicode for the Latin set every PDF `/Differences`
+    * array draws from — the Adobe Glyph List subset covering ASCII,
+    * Latin-1 supplement, Latin Extended-A regulars, and the Annex D
+    * typography names; `uniXXXX` names resolve algorithmically. */
+  private lazy val glyphToUnicode: Map[String, String] = {
+    val m = Map.newBuilder[String, String]
+    (('a' to 'z') ++ ('A' to 'Z')).foreach(c => m += c.toString -> c.toString)
+    Seq("zero", "one", "two", "three", "four", "five", "six", "seven",
+      "eight", "nine").zipWithIndex.foreach { case (n, i) =>
+      m += n -> i.toString }
+    m ++= Map(
+      "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"",
+      "numbersign" -> "#", "dollar" -> "$", "percent" -> "%",
+      "ampersand" -> "&", "quotesingle" -> "'", "parenleft" -> "(",
+      "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+      "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+      "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+      "greater" -> ">", "question" -> "?", "at" -> "@",
+      "bracketleft" -> "[", "backslash" -> "\\", "bracketright" -> "]",
+      "asciicircum" -> "^", "underscore" -> "_", "grave" -> "`",
+      "braceleft" -> "{", "bar" -> "|", "braceright" -> "}",
+      "asciitilde" -> "~",
+      "exclamdown" -> "¡", "cent" -> "¢", "sterling" -> "£",
+      "currency" -> "¤", "yen" -> "¥", "brokenbar" -> "¦",
+      "section" -> "§", "dieresis" -> "¨", "copyright" -> "©",
+      "ordfeminine" -> "ª", "guillemotleft" -> "«", "logicalnot" -> "¬",
+      "registered" -> "®", "macron" -> "¯", "degree" -> "°",
+      "plusminus" -> "±", "acute" -> "´", "mu" -> "µ", "paragraph" -> "¶",
+      "periodcentered" -> "·", "cedilla" -> "¸", "ordmasculine" -> "º",
+      "guillemotright" -> "»", "onequarter" -> "¼", "onehalf" -> "½",
+      "threequarters" -> "¾", "questiondown" -> "¿", "multiply" -> "×",
+      "divide" -> "÷",
+      "Agrave" -> "À", "Aacute" -> "Á", "Acircumflex" -> "Â",
+      "Atilde" -> "Ã", "Adieresis" -> "Ä", "Aring" -> "Å", "AE" -> "Æ",
+      "Ccedilla" -> "Ç", "Egrave" -> "È", "Eacute" -> "É",
+      "Ecircumflex" -> "Ê", "Edieresis" -> "Ë", "Igrave" -> "Ì",
+      "Iacute" -> "Í", "Icircumflex" -> "Î", "Idieresis" -> "Ï",
+      "Eth" -> "Ð", "Ntilde" -> "Ñ", "Ograve" -> "Ò", "Oacute" -> "Ó",
+      "Ocircumflex" -> "Ô", "Otilde" -> "Õ", "Odieresis" -> "Ö",
+      "Oslash" -> "Ø", "Ugrave" -> "Ù", "Uacute" -> "Ú",
+      "Ucircumflex" -> "Û", "Udieresis" -> "Ü", "Yacute" -> "Ý",
+      "Thorn" -> "Þ", "germandbls" -> "ß",
+      "agrave" -> "à", "aacute" -> "á", "acircumflex" -> "â",
+      "atilde" -> "ã", "adieresis" -> "ä", "aring" -> "å", "ae" -> "æ",
+      "ccedilla" -> "ç", "egrave" -> "è", "eacute" -> "é",
+      "ecircumflex" -> "ê", "edieresis" -> "ë", "igrave" -> "ì",
+      "iacute" -> "í", "icircumflex" -> "î", "idieresis" -> "ï",
+      "eth" -> "ð", "ntilde" -> "ñ", "ograve" -> "ò", "oacute" -> "ó",
+      "ocircumflex" -> "ô", "otilde" -> "õ", "odieresis" -> "ö",
+      "oslash" -> "ø", "ugrave" -> "ù", "uacute" -> "ú",
+      "ucircumflex" -> "û", "udieresis" -> "ü", "yacute" -> "ý",
+      "thorn" -> "þ", "ydieresis" -> "ÿ",
+      "OE" -> "Œ", "oe" -> "œ", "Scaron" -> "Š", "scaron" -> "š",
+      "Zcaron" -> "Ž", "zcaron" -> "ž", "Ydieresis" -> "Ÿ",
+      "florin" -> "ƒ", "circumflex" -> "ˆ", "tilde" -> "˜",
+      "caron" -> "ˇ", "breve" -> "˘", "dotaccent" -> "˙", "ring" -> "˚",
+      "ogonek" -> "˛", "hungarumlaut" -> "˝", "endash" -> "–",
+      "emdash" -> "—", "quoteleft" -> "‘", "quoteright" -> "’",
+      "quotesinglbase" -> "‚", "quotedblleft" -> "“",
+      "quotedblright" -> "”", "quotedblbase" -> "„", "dagger" -> "†",
+      "daggerdbl" -> "‡", "bullet" -> "•", "ellipsis" -> "…",
+      "perthousand" -> "‰", "guilsinglleft" -> "‹",
+      "guilsinglright" -> "›", "fraction" -> "⁄", "Euro" -> "€",
+      "trademark" -> "™", "minus" -> "−", "fi" -> "ﬁ", "fl" -> "ﬂ",
+      "dotlessi" -> "ı", "Lslash" -> "Ł", "lslash" -> "ł",
+      "nbspace" -> " ")
+    m.result()
+  }
+
+  private def glyphUnicode(name: String): Option[String] =
+    glyphToUnicode.get(name).orElse {
+      // AGL algorithmic form: uniXXXX (one BMP codepoint)
+      if (name.length == 7 && name.startsWith("uni") &&
+        name.drop(3).forall(c => Character.digit(c, 16) >= 0))
+        Some(Integer.parseInt(name.substring(3), 16).toChar.toString)
+      else None
+    }
+
+  /** Parses a simple font's `/Encoding` into (byte table, confident):
+    * a bare base-encoding NAME (`/WinAnsiEncoding`/`/MacRomanEncoding`)
+    * selects its table; a dict (inline or indirect) starts from its
+    * `/BaseEncoding` (Latin-1 when absent — the StandardEncoding
+    * approximation this reader always used) and patches the
+    * `/Differences` array (integers set the next code, names assign
+    * consecutive codes, Annex D.1). UNKNOWN base names decode Latin-1
+    * with confident=false; an unmapped glyph name slots U+FFFD with
+    * confident=false — the caller's page flag quarantines both instead
+    * of shipping silent mojibake. No `/Encoding` → (None, true). */
+  private def simpleEncoding(fontDict: String, objs: Map[Int, Obj],
+      file: String): (Option[Array[String]], Boolean) = {
+    def baseTable(n: String): Option[(Array[String], Boolean)] = n match {
+      case "WinAnsiEncoding" => Some((winAnsiTable, true))
+      case "MacRomanEncoding" => Some((macRomanTable, true))
+      // StandardEncoding/PDFDocEncoding ≈ Latin-1 over the Latin set
+      // this reader targets — documented approximation, stays confident
+      case "StandardEncoding" | "PDFDocEncoding" =>
+        Some((Array.tabulate(256)(_.toChar.toString), true))
+      case _ => Some((Array.tabulate(256)(_.toChar.toString), false))
+    }
+    val encDictTxt: Option[String] =
+      dictRefs(fontDict, "/Encoding").headOption.flatMap(objs.get)
+        .map(_.dict).orElse(inlineDict(fontDict, "/Encoding", file))
+    encDictTxt match {
+      case Some(ed) =>
+        val baseName = """/BaseEncoding\s*/([A-Za-z0-9.\-]+)""".r
+          .findFirstMatchIn(ed).map(_.group(1))
+        val (table0, baseOk) = baseName.flatMap(baseTable)
+          .getOrElse((Array.tabulate(256)(_.toChar.toString), true))
+        val table = table0.clone()
+        var ok = baseOk
+        """/Differences\s*\[([^\]]*)\]""".r.findFirstMatchIn(ed)
+          .foreach { m =>
+            var code = -1
+            """(\d+)|/([^\s/<>\[\]()]+)""".r.findAllMatchIn(m.group(1))
+              .foreach { t =>
+                if (t.group(1) != null) code = t.group(1).toInt
+                else if (code >= 0 && code < 256) {
+                  glyphUnicode(t.group(2)) match {
+                    case Some(u) => table(code) = u
+                    case None => table(code) = "�"; ok = false
+                  }
+                  code += 1
+                }
+              }
+          }
+        (Some(table), ok)
+      case None =>
+        """/Encoding\s*/([A-Za-z0-9.\-]+)""".r.findFirstMatchIn(fontDict)
+          .map(_.group(1)) match {
+          case Some(n) =>
+            val (t, ok) = baseTable(n).get
+            (Some(t), ok)
+          case None => (None, true)
+        }
+    }
   }
 
   /** Parses a ToUnicode CMap (ISO 32000-1 §9.10.3): `bfchar` pairs and
@@ -238,11 +432,16 @@ object PdfSource {
     * only the LAST 16-bit unit of dst increments per the spec) and
     * array (`<lo> <hi> [<d0> <d1> …]`). Returns (code → unicode, code
     * width in bytes, from the first codespacerange; 2 when absent —
-    * the Identity-H standard). Line-oriented like every real CMap;
-    * range spans clamp at 64k (a damaged hi value must not allocate
-    * the heap). Package-private so units drive the exact parser. */
+    * the Identity-H standard). Section bodies parse as a WHOLE token
+    * stream, not per line — real CMaps wrap array destinations across
+    * lines and pack several bfchar pairs on one (line-oriented parsing
+    * silently dropped those mappings); range spans clamp at 64k (a
+    * damaged hi value must not allocate the heap). Package-private so
+    * units drive the exact parser. */
   private[sources] def parseToUnicode(cmap: String): (Map[Int, String], Int) = {
-    val hexTok = "<([0-9A-Fa-f]+)>".r
+    // section-body tokens: hex strings plus the array brackets the
+    // bfrange array form uses (everything else is CMap syntax noise)
+    val tok = """<([0-9A-Fa-f]+)>|(\[)|(\])""".r
     def utf16(h: String): String = {
       val even = if (h.length % 2 == 1) h + "0" else h
       val b = new Array[Byte](even.length / 2)
@@ -258,38 +457,58 @@ object PdfSource {
         .findFirstMatchIn(cmap)
         .map(m => math.max(1, m.group(1).length / 2)).getOrElse(2)
     val map = Map.newBuilder[Int, String]
-    def section(begin: String, end: String)(line: Vector[String] => Unit)
-        : Unit =
-      (s"(?s)$begin(.*?)$end").r.findAllMatchIn(cmap).foreach { sec =>
-        sec.group(1).linesIterator.foreach { l =>
-          val toks = hexTok.findAllMatchIn(l).map(_.group(1)).toVector
-          if (toks.nonEmpty) line(toks)
-        }
+    // token stream of one section body: Left(hex) | Right(bracket)
+    def tokens(begin: String, end: String): Iterator[Vector[Either[String, Char]]] =
+      (s"(?s)$begin(.*?)$end").r.findAllMatchIn(cmap).map { sec =>
+        tok.findAllMatchIn(sec.group(1)).map { m =>
+          if (m.group(1) != null) Left(m.group(1))
+          else Right(if (m.group(2) != null) '[' else ']')
+        }.toVector
       }
-    section("beginbfchar", "endbfchar") { toks =>
-      if (toks.length >= 2)
-        map += Integer.parseInt(toks(0), 16) -> utf16(toks(1))
+    tokens("beginbfchar", "endbfchar").foreach { ts =>
+      // pairs of hex tokens: <src> <dst>, any layout
+      val hexes = ts.collect { case Left(h) => h }
+      hexes.grouped(2).foreach {
+        case Vector(src, dst) =>
+          map += Integer.parseInt(src, 16) -> utf16(dst)
+        case _ => // dangling trailing token in a damaged cmap: skip
+      }
     }
-    section("beginbfrange", "endbfrange") { toks =>
-      if (toks.length >= 3) {
-        val lo = Integer.parseInt(toks(0), 16)
-        val hi = math.min(Integer.parseInt(toks(1), 16), lo + 0xFFFF)
-        if (toks.length > 3) {
-          // array form: one dst per code, in order
-          toks.drop(2).zipWithIndex.foreach { case (d, i) =>
-            if (lo + i <= hi) map += (lo + i) -> utf16(d)
-          }
-        } else {
-          // continuous form: the last 16-bit unit of dst increments
-          val d = toks(2)
-          val unit = d.takeRight(math.min(4, d.length))
-          val prefix = d.dropRight(unit.length)
-          val base = Integer.parseInt(unit, 16)
-          var c = lo
-          while (c <= hi) {
-            map += c -> utf16(prefix + f"${base + (c - lo)}%04X")
-            c += 1
-          }
+    tokens("beginbfrange", "endbfrange").foreach { ts =>
+      var i = 0
+      while (i + 2 < ts.length || (i + 2 == ts.length &&
+        ts(i).isLeft && ts(i + 1).isLeft)) {
+        (ts(i), ts.lift(i + 1)) match {
+          case (Left(loH), Some(Left(hiH))) =>
+            val lo = Integer.parseInt(loH, 16)
+            val hi = math.min(Integer.parseInt(hiH, 16), lo + 0xFFFF)
+            ts.lift(i + 2) match {
+              case Some(Right('[')) =>
+                // array form: one dst per code until the close bracket
+                var j = i + 3
+                var c = lo
+                while (j < ts.length && ts(j) != Right(']')) {
+                  ts(j) match {
+                    case Left(d) if c <= hi => map += c -> utf16(d); c += 1
+                    case _ =>
+                  }
+                  j += 1
+                }
+                i = j + 1
+              case Some(Left(d)) =>
+                // continuous form: the last 16-bit unit increments
+                val unit = d.takeRight(math.min(4, d.length))
+                val prefix = d.dropRight(unit.length)
+                val base = Integer.parseInt(unit, 16)
+                var c = lo
+                while (c <= hi) {
+                  map += c -> utf16(prefix + f"${base + (c - lo)}%04X")
+                  c += 1
+                }
+                i += 3
+              case _ => i = ts.length // truncated triple: stop
+            }
+          case _ => i += 1 // stray bracket: resync on the next token
         }
       }
     }
@@ -381,19 +600,25 @@ object PdfSource {
     * `objnum offset` integer pairs, then the member objects start at
     * byte /First (offsets are relative to it). Members are dicts or
     * plain values — §7.5.7 forbids stream objects inside an ObjStm, so
-    * `Obj.stream` is always null here. On an object-number collision
-    * the TOP-LEVEL object wins: an incremental update appends
-    * top-level objects superseding ObjStm members, and the reverse
-    * cannot occur in a conforming file. Damaged framing (missing
-    * /N//First, short or non-numeric header, offset past the data) is
-    * LOUD with the container's object number. */
+    * `Obj.stream` is always null here. Collision POLICY (a documented
+    * heuristic — this reader ignores xref, the authoritative arbiter,
+    * because real-world xrefs are so often broken): a TOP-LEVEL object
+    * beats any ObjStm member, and between members the HIGHEST-numbered
+    * container wins. Incremental updates append both their superseding
+    * top-level objects and any NEW ObjStm containers (which take
+    * higher object numbers in every real writer), so both rules pick
+    * the newest version; an update that packed a newer member into a
+    * LOWER-numbered container would lose — accepted and documented.
+    * Damaged framing (missing /N//First, short or non-numeric header,
+    * offset past the data) is LOUD with the container's number. */
   private def expandObjStm(top: Map[Int, Obj],
                            file: String): Map[Int, Obj] = {
     val containers = top.filter { case (_, o) =>
       o.stream != null && hasName(o.dict, "/Type", "/ObjStm") }
     if (containers.isEmpty) return top
     var out = top
-    containers.toSeq.sortBy(_._1).foreach { case (cnum, c) =>
+    // highest container first: its members insert before lower ones can
+    containers.toSeq.sortBy(-_._1).foreach { case (cnum, c) =>
       def loud(what: String): Nothing = throw GraftError.DataTransfer(
         s"$file: object stream $cnum $what — damaged ObjStm framing")
       val n = dictInt(c.dict, "/N").getOrElse(loud("has no direct /N"))
@@ -545,20 +770,16 @@ object PdfSource {
     * array chain like `[/ASCII85Decode /FlateDecode]`, applied in
     * order per ISO 32000-1 §7.4.1. Supported: `/FlateDecode` (zlib),
     * `/ASCIIHexDecode`, `/ASCII85Decode`, `/LZWDecode`; raw streams
-    * pass through. Anything else (the image codecs /DCTDecode,
-    * /JBIG2Decode, /CCITTFaxDecode, /JPXDecode — pixels, not text,
-    * under any decoding), and any `/Predictor` > 1 (PNG/TIFF row
-    * predictors post-process the decoded bytes), is a LOUD error:
-    * passing either through would hand the caller silently-garbled
-    * data, the one failure mode this reader never allows. */
+    * pass through. A `/Predictor` > 1 in the stream's decode parms is
+    * applied AFTER the filter chain ([[applyPredictor]] — per §7.4.4.4
+    * the predictor post-processes the decompressed bytes; with an
+    * array chain it belongs to the final decompression filter, the
+    * only place real writers put one). Anything else (the image
+    * codecs /DCTDecode, /JBIG2Decode, /CCITTFaxDecode, /JPXDecode —
+    * pixels, not text, under any decoding) is a LOUD error: passing
+    * them through would hand the caller silently-garbled data, the
+    * one failure mode this reader never allows. */
   private def decodeStream(o: Obj, file: String, num: Int): Array[Byte] = {
-    """/Predictor\s+(\d+)""".r.findFirstMatchIn(o.dict)
-      .map(_.group(1).toInt).filter(_ > 1).foreach { p =>
-        throw GraftError.DataTransfer(
-          s"$file: object $num uses /Predictor $p — row-predicted " +
-            "streams are not supported (the data would be garbled, " +
-            "not approximated)")
-      }
     val filters: Seq[String] =
       """/Filter\s*\[((?:\s*/[A-Za-z0-9]+)+)\s*\]""".r
         .findFirstMatchIn(o.dict) match {
@@ -569,9 +790,97 @@ object PdfSource {
           """/Filter\s*/([A-Za-z0-9]+)""".r
             .findFirstMatchIn(o.dict).map(_.group(1)).toSeq
       }
-    filters.foldLeft(o.stream) { (data, f) =>
+    val decoded = filters.foldLeft(o.stream) { (data, f) =>
       applyFilter(f, data, file, num)
     }
+    applyPredictor(o.dict, decoded, file, num)
+  }
+
+  /** Undoes `/Predictor` row filtering (ISO 32000-1 §7.4.4.4): 2 =
+    * TIFF horizontal differencing (8-bit components only — other
+    * depths are loud), ≥10 = the PNG family, where EVERY row leads
+    * with its own filter-type byte (0 None, 1 Sub, 2 Up, 3 Average,
+    * 4 Paeth) regardless of which predictor number the dict named.
+    * Geometry comes from `/Columns`/`/Colors`/`/BitsPerComponent`
+    * (defaults 1/1/8). Truncated rows and unknown filter-type bytes
+    * are LOUD — a misaligned unfilter garbles every later row. */
+  private def applyPredictor(dict: String, data: Array[Byte],
+                             file: String, num: Int): Array[Byte] = {
+    val pred = dictInt(dict, "/Predictor").getOrElse(1)
+    if (pred <= 1) return data
+    def loud(what: String): Nothing = throw GraftError.DataTransfer(
+      s"$file: object $num /Predictor $pred: $what")
+    val columns = dictInt(dict, "/Columns").getOrElse(1)
+    val colors = dictInt(dict, "/Colors").getOrElse(1)
+    val bpc = dictInt(dict, "/BitsPerComponent").getOrElse(8)
+    if (columns <= 0 || colors <= 0 || bpc <= 0)
+      loud(s"bad geometry (/Columns $columns /Colors $colors " +
+        s"/BitsPerComponent $bpc)")
+    val rowLen = (columns * colors * bpc + 7) / 8
+    val bpp = math.max(1, colors * bpc / 8)
+    if (pred == 2) {
+      // TIFF horizontal differencing: each component adds its left
+      // neighbour; sub-byte depths would need bit-level carries
+      if (bpc != 8)
+        loud(s"TIFF predictor with /BitsPerComponent $bpc — only 8 " +
+          "is supported (sub-byte differencing)")
+      if (data.length % rowLen != 0)
+        loud(s"${data.length} bytes is not a whole number of " +
+          s"$rowLen-byte rows")
+      val out = data.clone()
+      var row = 0
+      while (row < out.length) {
+        var i = bpp
+        while (i < rowLen) {
+          out(row + i) = ((out(row + i) & 0xff) +
+            (out(row + i - bpp) & 0xff)).toByte
+          i += 1
+        }
+        row += rowLen
+      }
+      out
+    } else if (pred >= 10) {
+      val stride = rowLen + 1
+      if (data.length % stride != 0)
+        loud(s"${data.length} bytes is not a whole number of " +
+          s"${stride}-byte (filter-tag + $rowLen) rows")
+      val rows = data.length / stride
+      val out = new Array[Byte](rows * rowLen)
+      var r = 0
+      while (r < rows) {
+        val ft = data(r * stride) & 0xff
+        val src = r * stride + 1
+        val dst = r * rowLen
+        val prv = dst - rowLen // previous UNFILTERED row
+        var i = 0
+        while (i < rowLen) {
+          val raw = data(src + i) & 0xff
+          val left = if (i >= bpp) out(dst + i - bpp) & 0xff else 0
+          val up = if (r > 0) out(prv + i) & 0xff else 0
+          val upLeft =
+            if (r > 0 && i >= bpp) out(prv + i - bpp) & 0xff else 0
+          val v = ft match {
+            case 0 => raw
+            case 1 => raw + left
+            case 2 => raw + up
+            case 3 => raw + (left + up) / 2
+            case 4 => // Paeth: nearest of left/up/upLeft to p
+              val p = left + up - upLeft
+              val pa = math.abs(p - left)
+              val pb = math.abs(p - up)
+              val pc = math.abs(p - upLeft)
+              raw + (if (pa <= pb && pa <= pc) left
+                     else if (pb <= pc) up else upLeft)
+            case other =>
+              loud(s"row $r has unknown PNG filter type $other")
+          }
+          out(dst + i) = v.toByte
+          i += 1
+        }
+        r += 1
+      }
+      out
+    } else loud("predictor numbers 3–9 are not defined by §7.4.4.4")
   }
 
   private def applyFilter(name: String, data: Array[Byte], file: String,
@@ -633,7 +942,10 @@ object PdfSource {
 
   /** §7.4.3: base-85 groups of 5 chars `!`..`u` → 4 bytes; `z` = four
     * zero bytes (only BETWEEN groups); `~>` is EOD; a trailing partial
-    * group of n chars yields n-1 bytes. Out-of-range bytes are LOUD. */
+    * group of n chars yields n-1 bytes. Out-of-range bytes are LOUD,
+    * and so is a full group whose base-85 value exceeds 2^32 − 1
+    * (e.g. `uuuuu` — §7.4.3 calls it an error; truncating to the low
+    * 32 bits would silently garble). */
   private def ascii85Decode(data: Array[Byte], file: String,
                             num: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(data.length * 4 / 5 + 4)
@@ -646,6 +958,10 @@ object PdfSource {
       var v = 0L
       var j = 0
       while (j < 5) { v = v * 85 + (if (j < chars) group(j) else 84); j += 1 }
+      if (chars == 5 && v > 0xFFFFFFFFL)
+        throw GraftError.DataTransfer(
+          s"$file: object $num ASCII85Decode: group value exceeds " +
+            "2^32 - 1 (§7.4.3 error, not truncatable)")
       val bytes = Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
         ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
       out.write(bytes, 0, chars - 1)
@@ -756,6 +1072,15 @@ object PdfSource {
           }
           sb.append(m.getOrElse(code, "�"))
         }
+        sb.toString
+      } else if (curFont != null && !curFont.type0 &&
+        curFont.simpleEnc.isDefined) {
+        // simple font with a parsed /Encoding: bytes map through the
+        // 256-entry table (WinAnsi/MacRoman base + /Differences)
+        val t = curFont.simpleEnc.get
+        val sb = new StringBuilder(b.length)
+        var p = 0
+        while (p < b.length) { sb.append(t(b(p) & 0xff)); p += 1 }
         sb.toString
       } else decodeStringBytes(b)
     def showText(t: String): Unit = {
@@ -942,9 +1267,14 @@ object PdfSource {
     * the renderer emits the PDF 1.5+ writer shape instead: every
     * NON-stream object (catalog, page tree, page dicts, font) packs
     * into one FlateDecoded `/Type /ObjStm` (§7.5.7 — stream objects
-    * may not live inside one, so the content streams stay top-level).
-    * Both shapes read back identically, which is exactly what the
-    * q_pdf_text gate exercises by mixing them. */
+    * may not live inside one, so the content streams stay top-level),
+    * cross-referenced by a proper `/Type /XRef` stream (§7.5.8:
+    * `/W [1 4 2]`, type-1 entries for top-level offsets, type-2
+    * entries pointing members at their container+index) so the
+    * fixture is readable by CONFORMING third-party parsers, not just
+    * this repo's xref-ignoring scan. Both shapes read back
+    * identically, which is exactly what the q_pdf_text gate exercises
+    * by mixing them. */
   def render(text0: String, pageChars: Int,
              objStm: Boolean = false): Array[Byte] = {
     val text = if (text0 == null) "" else text0
@@ -975,48 +1305,86 @@ object PdfSource {
     }
     dicts += (fontNum ->
       "<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>")
-    val objects: Seq[(Int, Array[Byte])] =
-      if (!objStm)
-        dicts.result().map { case (n, d) =>
-          n -> d.getBytes(StandardCharsets.ISO_8859_1)
-        } ++ streamObjs.result()
-      else {
-        val members = dicts.result()
-        val bodies = members.map(_._2)
-        val offs = bodies.scanLeft(0)((a, b) => a + b.length + 1).init
-        val header = members.map(_._1).zip(offs)
-          .map { case (n, o) => s"$n $o" }.mkString(" ") + " "
-        val packed = deflate((header + bodies.mkString(" "))
-          .getBytes(StandardCharsets.ISO_8859_1))
-        val stmNum = fontNum + 1
-        val objStmBytes = (s"<< /Type /ObjStm /N ${members.length} " +
-          s"/First ${header.length} /Length ${packed.length} " +
-          "/Filter /FlateDecode >>\nstream\n")
-          .getBytes(StandardCharsets.ISO_8859_1) ++ packed ++
-          "\nendstream".getBytes(StandardCharsets.ISO_8859_1)
-        (stmNum -> objStmBytes) +: streamObjs.result()
-      }
-    // assemble with xref offsets
+    val memberList = dicts.result()
     val buf = new java.io.ByteArrayOutputStream(4096)
     def w(t: String): Unit = buf.write(t.getBytes(StandardCharsets.ISO_8859_1))
-    w(if (objStm) "%PDF-1.5\n" else "%PDF-1.4\n")
-    val objList = objects
-    val offsets = objList.map { case (num, body) =>
-      val off = buf.size()
-      w(s"$num 0 obj\n")
-      buf.write(body)
-      w("\nendobj\n")
-      num -> off
-    }.toMap
-    val xrefPos = buf.size()
-    val maxNum = objList.map(_._1).max
-    w(s"xref\n0 ${maxNum + 1}\n")
-    w(f"${0}%010d 65535 f \n")
-    (1 to maxNum).foreach { n =>
-      w(f"${offsets.getOrElse(n, 0)}%010d 00000 n \n")
+    if (!objStm) {
+      val objects: Seq[(Int, Array[Byte])] = memberList.map { case (n, d) =>
+        n -> d.getBytes(StandardCharsets.ISO_8859_1)
+      } ++ streamObjs.result()
+      w("%PDF-1.4\n")
+      val offsets = objects.map { case (num, body) =>
+        val off = buf.size()
+        w(s"$num 0 obj\n")
+        buf.write(body)
+        w("\nendobj\n")
+        num -> off
+      }.toMap
+      val xrefPos = buf.size()
+      val maxNum = objects.map(_._1).max
+      w(s"xref\n0 ${maxNum + 1}\n")
+      w(f"${0}%010d 65535 f \n")
+      (1 to maxNum).foreach { n =>
+        w(f"${offsets.getOrElse(n, 0)}%010d 00000 n \n")
+      }
+      w(s"trailer << /Size ${maxNum + 1} /Root 1 0 R >>\n" +
+        s"startxref\n$xrefPos\n%%EOF\n")
+    } else {
+      // PDF 1.5 shape: ObjStm container + content streams top-level,
+      // cross-referenced by a /Type /XRef stream with type-2 entries
+      // for the packed members (§7.5.8) — conforming parsers can walk
+      // this fixture, not just the in-repo xref-ignoring scan
+      val bodies = memberList.map(_._2)
+      val offs = bodies.scanLeft(0)((a, b) => a + b.length + 1).init
+      val header = memberList.map(_._1).zip(offs)
+        .map { case (n, o) => s"$n $o" }.mkString(" ") + " "
+      val packed = deflate((header + bodies.mkString(" "))
+        .getBytes(StandardCharsets.ISO_8859_1))
+      val stmNum = fontNum + 1
+      val xrefNum = stmNum + 1
+      val objStmBytes = (s"<< /Type /ObjStm /N ${memberList.length} " +
+        s"/First ${header.length} /Length ${packed.length} " +
+        "/Filter /FlateDecode >>\nstream\n")
+        .getBytes(StandardCharsets.ISO_8859_1) ++ packed ++
+        "\nendstream".getBytes(StandardCharsets.ISO_8859_1)
+      val topObjs: Seq[(Int, Array[Byte])] =
+        (stmNum -> objStmBytes) +: streamObjs.result()
+      w("%PDF-1.5\n")
+      var offsets = Map.empty[Int, Int]
+      topObjs.foreach { case (num, body) =>
+        offsets += (num -> buf.size())
+        w(s"$num 0 obj\n")
+        buf.write(body)
+        w("\nendobj\n")
+      }
+      val xrefPos = buf.size()
+      offsets += (xrefNum -> xrefPos)
+      val memberIndex = memberList.map(_._1).zipWithIndex.toMap
+      val size = xrefNum + 1
+      // /W [1 4 2]: type byte, 4-byte offset/container, 2-byte gen/idx
+      val table = new java.io.ByteArrayOutputStream(size * 7)
+      def entry(t: Int, f2: Int, f3: Int): Unit = {
+        table.write(t)
+        table.write((f2 >> 24) & 0xff); table.write((f2 >> 16) & 0xff)
+        table.write((f2 >> 8) & 0xff); table.write(f2 & 0xff)
+        table.write((f3 >> 8) & 0xff); table.write(f3 & 0xff)
+      }
+      entry(0, 0, 0xFFFF) // object 0: free-list head
+      (1 until size).foreach { n =>
+        memberIndex.get(n) match {
+          case Some(idx) => entry(2, stmNum, idx) // packed member
+          case None => entry(1, offsets.getOrElse(n, 0), 0) // top-level
+        }
+      }
+      val tbytes = table.toByteArray
+      // the XRef stream is unfiltered (§7.5.8 allows raw) and carries
+      // the trailer fields itself — no classic `trailer` keyword
+      w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /W [1 4 2] " +
+        s"/Root 1 0 R /Length ${tbytes.length} >>\nstream\n")
+      buf.write(tbytes)
+      w("\nendstream\nendobj\n")
+      w(s"startxref\n$xrefPos\n%%EOF\n")
     }
-    w(s"trailer << /Size ${maxNum + 1} /Root 1 0 R >>\n" +
-      s"startxref\n$xrefPos\n%%EOF\n")
     buf.toByteArray
   }
 

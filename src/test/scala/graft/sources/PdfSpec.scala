@@ -120,9 +120,12 @@ class PdfSpec extends SparkSpec {
   }
 
   /** zlib-wrapped deflate (what PdfSource's Inflater default expects). */
-  private def deflate(s: String): Array[Byte] = {
+  private def deflate(s: String): Array[Byte] =
+    deflate(s.getBytes(StandardCharsets.ISO_8859_1))
+
+  private def deflate(bytes: Array[Byte]): Array[Byte] = {
     val d = new java.util.zip.Deflater()
-    d.setInput(s.getBytes(StandardCharsets.ISO_8859_1)); d.finish()
+    d.setInput(bytes); d.finish()
     val out = new java.io.ByteArrayOutputStream()
     val buf = new Array[Byte](8192)
     while (!d.finished()) out.write(buf, 0, d.deflate(buf))
@@ -494,6 +497,320 @@ class PdfSpec extends SparkSpec {
     assert(got.getString(2) == "inherited resources")
     assert(!got.getBoolean(3),
       "the inherited Type0 font must flip decode_confident")
+  }
+
+  /** Single-page PDF with a SIMPLE font carrying `encDict` as its
+    * /Encoding value (name, inline dict, or indirect ref via extra
+    * objects appended verbatim). Content shows `operand` through it. */
+  private def simpleFontPdf(encDict: String, operand: String,
+                            extra: String = ""): Array[Byte] = {
+    val content = s"BT /F1 12 Tf $operand Tj ET"
+    ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> >> endobj\n" +
+      s"4 0 obj << /Length ${content.length} >>\nstream\n$content\n" +
+      "endstream\nendobj\n" +
+      "5 0 obj << /Type /Font /Subtype /Type1 /BaseFont /Custom " +
+      s"/Encoding $encDict >> endobj\n" + extra +
+      "trailer << /Size 10 /Root 1 0 R >>\n%%EOF\n")
+      .getBytes(StandardCharsets.ISO_8859_1)
+  }
+
+  test("simple-font /WinAnsiEncoding decodes the CP1252 high band " +
+      "(curly quotes, Euro) and the page stays decode_confident") {
+    val dir = tmpDir("pdf_winansi")
+    // 0x93/0x94 curly quotes, 0x80 Euro, 0x97 em-dash around ASCII
+    Files.write(Paths.get(dir, "w.pdf"),
+      simpleFontPdf("/WinAnsiEncoding", "<934142942080209748>"))
+    val got = PdfSource.readText(spark, dir).collect().head
+    assert(got.getString(2) == "“AB” € —H", s"got '${got.getString(2)}'")
+    assert(got.getBoolean(3), "a known base encoding stays confident")
+  }
+
+  test("simple-font /MacRomanEncoding decodes the classic Mac high " +
+      "half (é at 0x8E, the fi ligature at 0xDE, NBSP at 0xCA)") {
+    val dir = tmpDir("pdf_macroman")
+    Files.write(Paths.get(dir, "m.pdf"),
+      simpleFontPdf("/MacRomanEncoding", "<8EDECA41>"))
+    val got = PdfSource.readText(spark, dir).collect().head
+    assert(got.getString(2) == "éﬁ A", s"got '${got.getString(2)}'")
+    assert(got.getBoolean(3))
+  }
+
+  test("a /Differences array remaps codes through the AGL glyph table " +
+      "(names assign consecutive codes after each integer; uniXXXX " +
+      "resolves algorithmically); base WinAnsi still applies elsewhere") {
+    val dir = tmpDir("pdf_differences")
+    // 65→eacute, 66→bullet (consecutive), 97→Euro, 98→uni0142 (ł);
+    // 0x93 comes from the /BaseEncoding WinAnsi table untouched
+    Files.write(Paths.get(dir, "d.pdf"), simpleFontPdf(
+      "<< /BaseEncoding /WinAnsiEncoding " +
+        "/Differences [65 /eacute /bullet 97 /Euro /uni0142] >>",
+      "(ABab) Tj <93>"))
+    val got = PdfSource.readText(spark, dir).collect().head
+    assert(got.getString(2) == "é•€ł“", s"got '${got.getString(2)}'")
+    assert(got.getBoolean(3), "fully-mapped differences stay confident")
+  }
+
+  test("an /Encoding riding an INDIRECT ref resolves like an inline " +
+      "dict (both spellings are common in the wild)") {
+    val dir = tmpDir("pdf_enc_indirect")
+    Files.write(Paths.get(dir, "i.pdf"), simpleFontPdf(
+      "9 0 R", "(A)",
+      extra = "9 0 obj << /Differences [65 /copyright] >> endobj\n"))
+    val got = PdfSource.readText(spark, dir).collect().head
+    assert(got.getString(2) == "©", s"got '${got.getString(2)}'")
+    assert(got.getBoolean(3))
+  }
+
+  test("simple-font mojibake NEVER ships silently: an unknown base " +
+      "encoding name and an unmapped /Differences glyph both flip " +
+      "decode_confident to false (the unmapped code shows as U+FFFD)") {
+    val d1 = tmpDir("pdf_enc_unknown")
+    Files.write(Paths.get(d1, "u.pdf"),
+      simpleFontPdf("/FontSpecificEncoding", "(AB)"))
+    val g1 = PdfSource.readText(spark, d1).collect().head
+    assert(g1.getString(2) == "AB", "unknown base still decodes Latin-1")
+    assert(!g1.getBoolean(3), "unknown base encoding must flip the flag")
+    val d2 = tmpDir("pdf_enc_unmapped")
+    Files.write(Paths.get(d2, "g.pdf"), simpleFontPdf(
+      "<< /Differences [65 /g123456 66 /eacute] >>", "(AB)"))
+    val g2 = PdfSource.readText(spark, d2).collect().head
+    assert(g2.getString(2) == "�é", s"got '${g2.getString(2)}'")
+    assert(!g2.getBoolean(3), "an unmapped glyph name must flip the flag")
+  }
+
+  /** PNG-predicts `data` (§7.4.4.4 shape: every row = 1 filter-type
+    * byte + rowLen filtered bytes), cycling filter types 0..4 across
+    * rows so one fixture exercises None/Sub/Up/Average/Paeth. */
+  private def pngPredict(data: Array[Byte], rowLen: Int): Array[Byte] = {
+    require(data.length % rowLen == 0)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val rows = data.length / rowLen
+    val out = new java.io.ByteArrayOutputStream((rowLen + 1) * rows)
+    (0 until rows).foreach { r =>
+      val ft = r % 5
+      out.write(ft)
+      (0 until rowLen).foreach { i =>
+        val raw = data(r * rowLen + i) & 0xff
+        val left = if (i > 0) data(r * rowLen + i - 1) & 0xff else 0
+        val up = if (r > 0) data((r - 1) * rowLen + i) & 0xff else 0
+        val ul = if (r > 0 && i > 0) data((r - 1) * rowLen + i - 1) & 0xff
+                 else 0
+        val pred = ft match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 => paeth(left, up, ul)
+        }
+        out.write((raw - pred) & 0xff)
+      }
+    }
+    out.toByteArray
+  }
+
+  test("/Predictor 12 (PNG family) unfilters FlateDecode content — " +
+      "all five PNG row filters — and TIFF /Predictor 2 undoes " +
+      "horizontal differencing") {
+    val d1 = tmpDir("pdf_pred_png")
+    val rowLen = 10
+    val body = "predicted rows of text through every PNG filter type"
+    val content0 = s"BT ($body) Tj ET"
+    val content = content0 + " " * ((rowLen - content0.length % rowLen)
+      % rowLen)
+    val filtered = pngPredict(
+      content.getBytes(StandardCharsets.ISO_8859_1), rowLen)
+    Files.write(Paths.get(d1, "png.pdf"), onePagePdf(
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 " +
+        s"/Columns $rowLen >>", deflate(filtered)))
+    assert(PdfSource.readText(spark, d1).collect().head.getString(2)
+      == body)
+    val d2 = tmpDir("pdf_pred_tiff")
+    val c2 = ("BT (tiff differencing) Tj ET" + "  ").take(30) // 3×10 rows
+    val raw = c2.getBytes(StandardCharsets.ISO_8859_1)
+    val diffed = raw.clone()
+    (0 until raw.length / rowLen).foreach { r =>
+      (rowLen - 1 to 1 by -1).foreach { i =>
+        diffed(r * rowLen + i) =
+          ((raw(r * rowLen + i) & 0xff) - (raw(r * rowLen + i - 1) & 0xff))
+            .toByte
+      }
+    }
+    Files.write(Paths.get(d2, "tiff.pdf"), onePagePdf(
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 2 " +
+        s"/Columns $rowLen >>", deflate(diffed)))
+    assert(PdfSource.readText(spark, d2).collect().head.getString(2)
+      == "tiff differencing")
+  }
+
+  test("a predictor-12 /ObjStm (the pdftex-family shape that used to " +
+      "reject wholesale) extracts its packed page tree") {
+    val dir = tmpDir("pdf_pred_objstm")
+    val members = Seq(
+      3 -> "<< /Type /Catalog /Pages 4 0 R >>",
+      4 -> "<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+      5 -> "<< /Type /Page /Parent 4 0 R /Contents 2 0 R >>")
+    val bodies = members.map(_._2)
+    val offsets = bodies.scanLeft(0)((a, b) => a + b.length + 1).init
+    val header = members.map(_._1).zip(offsets)
+      .map { case (n, o) => s"$n $o" }.mkString(" ") + " "
+    val rowLen = 16
+    val data0 = header + bodies.mkString(" ")
+    val data = data0 + " " * ((rowLen - data0.length % rowLen) % rowLen)
+    val packed = deflate(pngPredict(
+      data.getBytes(StandardCharsets.ISO_8859_1), rowLen))
+    val content = "BT (predicted objstm) Tj ET"
+    val buf = new java.io.ByteArrayOutputStream()
+    def w(t: String): Unit = buf.write(t.getBytes(StandardCharsets.ISO_8859_1))
+    w(s"%PDF-1.5\n1 0 obj << /Type /ObjStm /N 3 " +
+      s"/First ${header.length} /Length ${packed.length} " +
+      s"/Filter /FlateDecode /DecodeParms << /Predictor 12 " +
+      s"/Columns $rowLen >> >>\nstream\n")
+    buf.write(packed)
+    w("\nendstream\nendobj\n")
+    w(s"2 0 obj << /Length ${content.length} >>\nstream\n$content\n" +
+      "endstream\nendobj\n")
+    w("trailer << /Size 6 /Root 3 0 R >>\n%%EOF\n")
+    Files.write(Paths.get(dir, "pred.pdf"), buf.toByteArray)
+    val got = PdfSource.readText(spark, dir).collect().head
+    assert(got.getString(2) == "predicted objstm",
+      s"got '${got.getString(2)}'")
+  }
+
+  test("predictor damage is LOUD: unknown PNG filter-type byte, " +
+      "non-whole rows, undefined predictor numbers 3-9") {
+    def pdfWith(parms: String, payload: Array[Byte]): Array[Byte] =
+      onePagePdf(s"/Filter /FlateDecode /DecodeParms << $parms >>",
+        deflate(payload))
+    val d1 = tmpDir("pdf_pred_badft")
+    Files.write(Paths.get(d1, "b.pdf"), pdfWith("/Predictor 12 /Columns 4",
+      Array[Byte](7, 1, 2, 3, 4))) // filter type 7 does not exist
+    val e1 = intercept[Exception] { PdfSource.readText(spark, d1).count() }
+    assert((e1.getMessage + Option(e1.getCause).map(_.getMessage).mkString)
+      .contains("filter type"), e1.getMessage)
+    val d2 = tmpDir("pdf_pred_short")
+    Files.write(Paths.get(d2, "s.pdf"), pdfWith("/Predictor 12 /Columns 4",
+      Array[Byte](0, 1, 2))) // 3 bytes ≠ k×(1+4)
+    val e2 = intercept[Exception] { PdfSource.readText(spark, d2).count() }
+    assert((e2.getMessage + Option(e2.getCause).map(_.getMessage).mkString)
+      .contains("whole number"), e2.getMessage)
+    val d3 = tmpDir("pdf_pred_undef")
+    Files.write(Paths.get(d3, "u.pdf"), pdfWith("/Predictor 5 /Columns 4",
+      Array[Byte](1, 2, 3, 4)))
+    val e3 = intercept[Exception] { PdfSource.readText(spark, d3).count() }
+    assert((e3.getMessage + Option(e3.getCause).map(_.getMessage).mkString)
+      .contains("not defined"), e3.getMessage)
+  }
+
+  test("an ASCII85 full group whose value exceeds 2^32 - 1 is LOUD " +
+      "(never truncated to the low 32 bits)") {
+    val dir = tmpDir("pdf_a85_overflow")
+    Files.write(Paths.get(dir, "o.pdf"), onePagePdf(
+      "/Filter /ASCII85Decode",
+      "uuuuu~>".getBytes(StandardCharsets.ISO_8859_1)))
+    val e = intercept[Exception] { PdfSource.readText(spark, dir).count() }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).mkString)
+      .contains("2^32"), e.getMessage)
+  }
+
+  test("between colliding ObjStm members the HIGHEST-numbered " +
+      "container wins (the documented newest-update heuristic)") {
+    val dir = tmpDir("pdf_objstm_collide")
+    def container(num: Int, members: Seq[(Int, String)]): String = {
+      val bodies = members.map(_._2)
+      val offs = bodies.scanLeft(0)((a, b) => a + b.length + 1).init
+      val header = members.map(_._1).zip(offs)
+        .map { case (n, o) => s"$n $o" }.mkString(" ") + " "
+      val packed = deflate(header + bodies.mkString(" "))
+      val sb = new StringBuilder
+      sb ++= s"$num 0 obj << /Type /ObjStm /N ${members.length} " +
+        s"/First ${header.length} /Length ${packed.length} " +
+        "/Filter /FlateDecode >>\nstream\n"
+      sb ++= new String(packed, StandardCharsets.ISO_8859_1)
+      sb ++= "\nendstream\nendobj\n"
+      sb.toString
+    }
+    def cstream(num: Int, t: String) = {
+      val c = s"BT ($t) Tj ET"
+      s"$num 0 obj << /Length ${c.length} >>\nstream\n$c\nendstream\nendobj\n"
+    }
+    // container 1 carries the ORIGINAL page 5 → contents 2; the
+    // incremental update appends container 8 re-packing page 5 → 7
+    val pdf = "%PDF-1.5\n" +
+      container(1, Seq(
+        3 -> "<< /Type /Catalog /Pages 4 0 R >>",
+        4 -> "<< /Type /Pages /Kids [5 0 R] /Count 1 >>",
+        5 -> "<< /Type /Page /Parent 4 0 R /Contents 2 0 R >>")) +
+      cstream(2, "stale original") +
+      container(8, Seq(
+        5 -> "<< /Type /Page /Parent 4 0 R /Contents 7 0 R >>")) +
+      cstream(7, "updated in a new objstm") +
+      "trailer << /Size 9 /Root 3 0 R >>\n%%EOF\n"
+    Files.write(Paths.get(dir, "c.pdf"),
+      pdf.getBytes(StandardCharsets.ISO_8859_1))
+    val got = PdfSource.readText(spark, dir).collect().head.getString(2)
+    assert(got == "updated in a new objstm", s"got '$got'")
+  }
+
+  test("parseToUnicode is token-stream, not line-oriented: several " +
+      "bfchar pairs on ONE line all land, and an array-form bfrange " +
+      "destination list WRAPPED across lines is not dropped") {
+    val (m, _) = PdfSource.parseToUnicode(
+      "1 beginbfchar <0001> <0041> <0002> <0042> <0003> <0043> endbfchar\n" +
+        "1 beginbfrange\n<0010> <0013> [<0044>\n<0045>\n<0046> <0047>]\n" +
+        "endbfrange\n" +
+        // continuous range split across lines too
+        "1 beginbfrange\n<0020>\n<0021>\n<0061>\nendbfrange")
+    assert(m(1) == "A" && m(2) == "B" && m(3) == "C",
+      s"one-line bfchar pairs: $m")
+    assert(m(0x10) == "D" && m(0x11) == "E" && m(0x12) == "F" &&
+      m(0x13) == "G", s"wrapped array bfrange: $m")
+    assert(m(0x20) == "a" && m(0x21) == "b")
+  }
+
+  test("render(objStm = true) emits a CONFORMING cross-reference: a " +
+      "/Type /XRef stream with type-2 entries for the packed members, " +
+      "no classic trailer keyword") {
+    val b = PdfSource.render("conforming xref stream", 0, objStm = true)
+    val s = new String(b, StandardCharsets.ISO_8859_1)
+    assert(!s.contains("trailer"), "no classic trailer in the 1.5 shape")
+    assert(s.contains("/Type /XRef"))
+    // startxref points at the XRef stream object
+    val sx = s.indexOf("startxref")
+    val xrefPos = s.substring(sx + 9).trim.split("\\s+")(0).toInt
+    val xrefHead = """^(\d+) 0 obj""".r
+      .findFirstMatchIn(s.substring(xrefPos))
+    assert(xrefHead.isDefined, "startxref must land on the XRef object")
+    // decode the W [1 4 2] table: object 1 (the catalog, packed) must
+    // be a type-2 entry addressing the ObjStm container
+    val stmNum = """(\d+) 0 obj\n<< /Type /ObjStm""".r
+      .findFirstMatchIn(s).get.group(1).toInt
+    val dictEnd = s.indexOf("stream\n", xrefPos)
+    val table = java.util.Arrays.copyOfRange(b, dictEnd + 7,
+      dictEnd + 7 + """/Length (\d+)""".r
+        .findFirstMatchIn(s.substring(xrefPos)).get.group(1).toInt)
+    def entry(n: Int): (Int, Int, Int) = {
+      val o = n * 7
+      (table(o) & 0xff,
+        ((table(o + 1) & 0xff) << 24) | ((table(o + 2) & 0xff) << 16) |
+          ((table(o + 3) & 0xff) << 8) | (table(o + 4) & 0xff),
+        ((table(o + 5) & 0xff) << 8) | (table(o + 6) & 0xff))
+    }
+    assert(entry(0)._1 == 0, "object 0 is the free-list head")
+    val e1 = entry(1)
+    assert(e1._1 == 2 && e1._2 == stmNum && e1._3 == 0,
+      s"catalog must be type-2 at index 0 of the container, got $e1")
+    // a content stream (object 4) must be type-1 at its real offset
+    val e4 = entry(4)
+    assert(e4._1 == 1 && s.startsWith("4 0 obj", e4._2),
+      s"content stream entry must carry its byte offset, got $e4")
   }
 
   test("damage is LOUD: non-PDF bytes, unsupported filter, truncated " +
