@@ -73,6 +73,8 @@ object Main {
                             bins: Int, categorical: Boolean,
                             sourceOptions: Map[String, String],
                             logLevel: String) extends Cmd
+  final case class CdxHostCmd(archive: String, host: String,
+      out: Option[String], logLevel: String) extends Cmd
   final case class StripExifCmd(source: String, target: String,
                                 flagsOut: Option[String],
                                 sourceOptions: Map[String, String],
@@ -137,6 +139,12 @@ object Main {
       |                               JPEG media rows — GPS/serial PII
       |                               hygiene; --flags also writes the
       |                               per-image has_gps/has_serial report)
+      |       graft cdx-host <ARCHIVE> <HOST> [--out TARGET]
+      |                               (bounds-pruned CDX host lookup over
+      |                               a cdx-indexed WARC archive: ranged
+      |                               point fetches, no shard scan; --out
+      |                               writes the text shape, else a
+      |                               summary table prints)
       |
       |Options:
       |  --transform <EXPRESSIONS>   Inline transforms, e.g. "c=row.a * 2; u=string.upper(row.b)"
@@ -185,6 +193,7 @@ object Main {
           case dc: DedupCmd  => runDedup(dc)
           case dr: DriftCmd  => runDrift(dr)
           case se: StripExifCmd => runStripExif(se)
+          case ch: CdxHostCmd => runCdxHost(ch)
           case Transfer(c, p, d, ll) => runTransfer(c, p, d, ll)
         }
       } catch {
@@ -205,7 +214,7 @@ object Main {
     "--transform", "--transform-file", "--schema-file", "--preview",
     "--batch-size", "--source-type", "--source-secret-id",
     "--dest-secret-id", "--log-level", "--infer-schema", "--decimal-mode",
-    "--quarantine", "--columns")
+    "--quarantine", "--columns", "--out")
 
   def parse(rawArgs: List[String]): Cmd = {
     val args = rawArgs.flatMap { a =>
@@ -599,6 +608,28 @@ object Main {
       }
       StripExifCmd(sesrc, setgt, flagsOut,
         srcType.map("sourceType" -> _).toMap, selogLevel)
+    case "cdx-host" :: rest =>
+      var pos = List.empty[String]
+      var out: Option[String] = None
+      var chLogLevel = "error"
+      @annotation.tailrec
+      def chloop(r: List[String]): Unit = r match {
+        case Nil => ()
+        case "--out" :: v :: t => out = Some(v); chloop(t)
+        case "--log-level" :: v :: t =>
+          chLogLevel = YamlJob.checkLogLevel(v); chloop(t)
+        case flag :: _ if flag.startsWith("--") =>
+          throw GraftError.Configuration(
+            s"unknown or incomplete cdx-host option '$flag'")
+        case v :: t => pos = pos :+ v; chloop(t)
+      }
+      chloop(rest)
+      val (archive, host) = pos match {
+        case a :: h :: Nil => (a, h)
+        case _ => throw GraftError.Configuration(
+          "cdx-host needs ARCHIVE HOST")
+      }
+      CdxHostCmd(archive, host, out, chLogLevel)
     case "topk" :: rest =>
       var source: Option[String] = None
       var groups = Seq.empty[String]
@@ -1393,6 +1424,42 @@ object Main {
       println(s"\nStripped ${se.source} -> ${se.target}: $n rows, " +
         s"$changed payloads rewritten" +
         se.flagsOut.map(p => s"; flags -> $p").getOrElse(""))
+      0
+    } finally if (!preExisting) spark.stop()
+  }
+
+  /** `graft cdx-host`: the SURT-adjacency host lookup as a CLI verb —
+    * bounds-pruned CDX range scan + ranged point fetches over a
+    * `WarcSource.write(cdxIndex = true)` archive (never a shard scan).
+    * With `--out` the fetched records land as the readText text shape
+    * (target_uri, warc_date, http_status, text) at TARGET through the
+    * connector factory; without it a summary table prints (first 20 by
+    * URI, 40-char text heads) plus the record count. */
+  def runCdxHost(ch: CdxHostCmd): Int = {
+    val preExisting = SparkSession.getDefaultSession.isDefined
+    val spark = session(ch.logLevel)
+    try {
+      import org.apache.spark.sql.functions._
+      val recs = graft.sources.CdxIndex.lookupHost(spark, ch.archive, ch.host)
+      val text = recs.select(
+        col("target_uri"), col("warc_date"), col("http_status"),
+        when(col("warc_type") === "response",
+          decode(col("http_body"), "UTF-8"))
+          .otherwise(decode(col("content"), "UTF-8")).as("text"))
+      ch.out match {
+        case Some(t) =>
+          graft.sources.Connectors.write(text, t, truncate = true)
+          val n = graft.sources.Connectors.read(spark, t, Map.empty).count()
+          println(s"\ncdx-host ${ch.host}: $n records -> $t")
+        case None =>
+          val head = text.orderBy("target_uri").limit(20)
+            .select(col("target_uri"), col("warc_date"), col("http_status"),
+              substring(col("text"), 1, 40).as("text_head"))
+          println(s"\ncdx-host ${ch.host} over ${ch.archive}:")
+          println(graft.engine.PreviewFormat.dataTable(head.columns.toSeq,
+            head.collect()))
+          println(s"${text.count()} records")
+      }
       0
     } finally if (!preExisting) spark.stop()
   }

@@ -507,6 +507,39 @@ object SparkEntry {
           decode(col("http_body"), "UTF-8").as("text"))
     },
 
+    // --- revisit→original resolve, the OTHER half of the revisit
+    // machinery (revisitHints DROPS a revisit-marked re-crawl without
+    // hashing a byte; this recovers what the crawler said it
+    // re-fetched): day-1 archive written CDX-indexed, then a day-2
+    // hints frame re-visiting a third of the URIs with WARC-Refers-To
+    // = the day-1 record id (read back from the archive — exactly the
+    // pointer an incremental pipeline holds), resolved to day-one TEXT
+    // via one broadcast URI join + ranged point fetches pinned on the
+    // record id. No shard scan, no content re-hash. Oracle = identity
+    // over the revisited third ---
+    "q_revisit_resolve" -> { (s, dir) =>
+      val out = scratch("revisit_day1")
+      val docs = t(s, dir, "documents").select(
+        concat(lit("http://corpus.test/doc/"), col("doc_id")).as("uri"),
+        col("text"))
+      WarcSource.write(docs.repartition(col("uri")), out, "uri", "text",
+        cdxIndex = true)
+      val hints = WarcSource.read(s, out)
+        .filter(col("warc_type") === "response")
+        .filter(regexp_extract(col("target_uri"), "([0-9]+)$", 1)
+          .cast("long") % 3 === 1)
+        .select(col("target_uri"),
+          col("record_id").as("refers_to"),
+          lit("urn:recrawl").as("record_id"),
+          lit("2024-02-01T00:00:00Z").as("warc_date"),
+          lit("sha1:planted").as("payload_digest"))
+      graft.sources.CdxIndex.resolveRevisits(s, out, hints)
+        .select(
+          regexp_extract(col("target_uri"), "([0-9]+)$", 1)
+            .cast("long").as("doc_id"),
+          col("text"))
+    },
+
     // --- WAT outlink extraction → host link graph: documents carry a
     // WAT-shaped JSON payload (Envelope.Payload-Metadata
     // .HTTP-Response-Metadata.HTML-Metadata.Links) as `metadata`
@@ -4560,6 +4593,10 @@ object SparkEntry {
     "q_cdx_host" ->
       """SELECT doc_id, text FROM documents
         |WHERE doc_id % 7 = 3 AND doc_id % 13 <> 0""".stripMargin,
+
+    // the revisited third resolves to its day-one text
+    "q_revisit_resolve" ->
+      "SELECT doc_id, text FROM documents WHERE doc_id % 3 = 1",
 
     "q_zip_roundtrip" ->
       "SELECT doc_id, text FROM documents",

@@ -121,6 +121,13 @@ object CdxIndex {
     * DataFrame of [[CdxEntry]] rows ("file" = the WARC shard the
     * offsets address). */
   def read(spark: SparkSession, path: String): DataFrame = {
+    val sidecars = listSidecars(path)
+    val rdd = spark.sparkContext.parallelize(sidecars, sidecars.size)
+      .flatMap(f => sidecarEntries(f))
+    spark.createDataset(rdd)(Encoders.product[CdxEntry]).toDF()
+  }
+
+  private def listSidecars(path: String): Seq[String] = {
     val fs = FileSystem.get(java.net.URI.create(path), new Configuration())
     val p = new Path(path)
     val sidecars =
@@ -130,24 +137,75 @@ object CdxIndex {
     if (sidecars.isEmpty)
       throw GraftError.Configuration(s"no .cdx sidecars under $path " +
         "(write the archive with WarcSource.write(cdxIndex = true))")
+    sidecars
+  }
+
+  /** Parses one sidecar's lines; shared by the full scan and the
+    * bounds-pruned prefix scan. */
+  private def sidecarEntries(f: String): Vector[CdxEntry] = {
+    val cfs = FileSystem.get(java.net.URI.create(f), new Configuration())
+    val in = cfs.open(new Path(f))
+    val lines =
+      try scala.io.Source.fromInputStream(in, "UTF-8")
+        .getLines().toVector
+      finally in.close()
+    val warcFile = f.stripSuffix(".cdx") + ".warc.gz"
+    lines.zipWithIndex.map { case (line, i) =>
+      line.split('\t') match {
+        case Array(surt, off, len, uri) =>
+          CdxEntry(warcFile, surt, uri, off.toLong, len.toLong)
+        case _ => throw GraftError.DataTransfer(
+          s"$f line ${i + 1}: malformed CDX line " +
+            s"'${line.take(60)}' (expected surt\\toffset\\tlength\\turi)")
+      }
+    }
+  }
+
+  /** True when a sidecar whose SURT keys span `[first, last]` may
+    * contain a key starting with `prefix`: the prefix block is the
+    * interval `[prefix, prefix∞)`, so the sidecar is skippable exactly
+    * when its last key sorts before the prefix, or its first key sorts
+    * after every prefix-headed string (first > prefix without CARRYING
+    * the prefix — a first that extends the prefix is inside the
+    * block). Pure, unit-tested directly. */
+  private[sources] def boundsMayContain(first: String, last: String,
+                                        prefix: String): Boolean =
+    last >= prefix && (first <= prefix || first.startsWith(prefix))
+
+  /** The bounds-pruned sidecar scan behind [[lookupPrefix]]: each task
+    * reads its sidecar's tiny `.cdx.bounds` file (first\tlast SURT
+    * keys, committed at write time from the already-sorted lines) and
+    * SKIPS the sidecar — never opens it — when the prefix block cannot
+    * intersect. A sidecar without a bounds file (a pre-bounds archive)
+    * scans as before; a malformed bounds line is LOUD (silently
+    * scanning would mask a write-path bug, silently skipping would
+    * drop records). The prefix filter also runs task-side so
+    * non-matching rows never ship. */
+  private def readPrefix(spark: SparkSession, path: String,
+                         prefix: String): DataFrame = {
+    val sidecars = listSidecars(path)
     val rdd = spark.sparkContext.parallelize(sidecars, sidecars.size)
       .flatMap { f =>
         val cfs = FileSystem.get(java.net.URI.create(f), new Configuration())
-        val in = cfs.open(new Path(f))
-        val lines =
-          try scala.io.Source.fromInputStream(in, "UTF-8")
-            .getLines().toVector
-          finally in.close()
-        val warcFile = f.stripSuffix(".cdx") + ".warc.gz"
-        lines.zipWithIndex.map { case (line, i) =>
-          line.split('\t') match {
-            case Array(surt, off, len, uri) =>
-              CdxEntry(warcFile, surt, uri, off.toLong, len.toLong)
-            case _ => throw GraftError.DataTransfer(
-              s"$f line ${i + 1}: malformed CDX line " +
-                s"'${line.take(60)}' (expected surt\\toffset\\tlength\\turi)")
+        val b = new Path(f + ".bounds")
+        val scan =
+          if (!cfs.exists(b)) true
+          else {
+            val in = cfs.open(b)
+            val line =
+              try scala.io.Source.fromInputStream(in, "UTF-8")
+                .getLines().toSeq.headOption
+              finally in.close()
+            line.map(_.split('\t')) match {
+              case Some(Array(first, last)) =>
+                boundsMayContain(first, last, prefix)
+              case other => throw GraftError.DataTransfer(
+                s"$f.bounds: malformed bounds line ($other — expected " +
+                  "first\\tlast SURT keys)")
+            }
           }
-        }
+        if (scan) sidecarEntries(f).filter(_.surt.startsWith(prefix))
+        else Vector.empty
       }
     spark.createDataset(rdd)(Encoders.product[CdxEntry]).toDF()
   }
@@ -229,14 +287,14 @@ object CdxIndex {
     * was BUILT for — one host's records (and one registrable domain's
     * subdomains, under the reversed-host form) sort ADJACENTLY, so
     * "fetch everything from example.com" prunes each sidecar to one
-    * contiguous run instead of scattering. Because every sidecar is
-    * internally sorted, a future refinement can binary-search
-    * (first, last) key bounds per shard and skip whole sidecars
-    * unopened; at current sidecar sizes (tens of KB per ~GiB shard)
-    * the bottleneck is the ranged fetches, not the tiny index scan. */
+    * contiguous run instead of scattering. Sidecars whose committed
+    * `.cdx.bounds` range cannot intersect the prefix block are skipped
+    * UNOPENED ([[readPrefix]]) — at Common Crawl scale (~64k sidecars)
+    * the full sidecar scan was the fixed cost of every host lookup,
+    * and a single host touches a handful of shards. */
   def lookupPrefix(spark: SparkSession, path: String,
                    surtPrefix: String): DataFrame =
-    fetch(read(spark, path).filter(col("surt").startsWith(surtPrefix)))
+    fetch(readPrefix(spark, path, surtPrefix))
 
   /** Host convenience over [[lookupPrefix]]: everything archived for
     * `host` itself (default ports). The closing paren scopes the match
@@ -251,5 +309,43 @@ object CdxIndex {
     val h0 = host.toLowerCase
     val h = if (h0.startsWith("www.")) h0.substring(4) else h0
     lookupPrefix(spark, path, h.split('.').reverse.mkString(",") + ")")
+  }
+
+  /** Resolves `revisit` records to their ORIGINAL captures' text — the
+    * other half of the revisit machinery: [[WarcSource.revisitHints]]
+    * DROPS a revisit-marked re-crawl without hashing a byte, and this
+    * join recovers the content the crawler said it re-fetched, via the
+    * original archive's CDX index (one broadcast URI join + ranged
+    * point fetches — no shard scan, no re-hash).
+    *
+    * `hints` is the revisitHints frame of the NEW crawl; `archivePath`
+    * the ORIGINAL archive (written with `cdxIndex = true`). Fetching
+    * goes by target URI (what the CDX keys); the join back then PINS
+    * on `refers_to` = the original's WARC-Record-ID, so a URI captured
+    * twice in the original archive resolves to exactly the record the
+    * crawler named, not an arbitrary twin. One row per RESOLVED
+    * revisit: (revisit_record_id, target_uri, revisit_date, refers_to,
+    * payload_digest, original_date, text) — text decodes like
+    * [[WarcSource.readText]] (response body, else content block).
+    * Revisits whose referenced record is absent from the archive drop
+    * (inner join); diff the row counts to audit dangling pointers. */
+  def resolveRevisits(spark: SparkSession, archivePath: String,
+                      hints: DataFrame): DataFrame = {
+    val h = hints.select(
+      col("record_id").as("revisit_record_id"),
+      col("target_uri").as("uri"),
+      col("warc_date").as("revisit_date"),
+      col("refers_to"), col("payload_digest"))
+    val originals = lookup(spark, archivePath, h.select(col("uri")))
+    originals.select(
+        col("record_id").as("refers_to"),
+        col("warc_date").as("original_date"),
+        when(col("warc_type") === "response",
+          decode(col("http_body"), "UTF-8"))
+          .otherwise(decode(col("content"), "UTF-8")).as("text"))
+      .join(broadcast(h), Seq("refers_to"))
+      .select(col("revisit_record_id"), col("uri").as("target_uri"),
+        col("revisit_date"), col("refers_to"), col("payload_digest"),
+        col("original_date"), col("text"))
   }
 }

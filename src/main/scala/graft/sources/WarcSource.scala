@@ -391,7 +391,12 @@ object WarcSource {
     * writes one `part-N.cdx` sidecar per shard ([[CdxIndex]]):
     * SURT-sorted `surt\toffset\tlength\turi` lines addressing each
     * gzip member, so single records are point-fetchable without a
-    * shard scan. */
+    * shard scan — plus a tiny `part-N.cdx.bounds` file carrying the
+    * sidecar's `first\tlast` SURT keys (the task just sorted them, so
+    * the bounds are free at write), which lets a prefix/host lookup
+    * skip whole sidecars UNOPENED ([[CdxIndex.lookupPrefix]]): at
+    * Common Crawl scale (~64k sidecars) the full sidecar scan was the
+    * fixed cost of every host lookup. */
   def write(df: DataFrame, path: String, uriCol: String, payloadCol: String,
             warcDate: String = "2024-01-01T00:00:00Z",
             asHttpResponse: Boolean = true,
@@ -482,11 +487,26 @@ object WarcSource {
           val cdxTarget = new Path(path, f"part-$idx%05d.cdx")
           val cdxTmp = new Path(path,
             f"_tmp-part-$idx%05d-attempt-${TarSource.taskAttemptId()}.cdx")
+          val sorted = cdxLines.sortBy(l => (l._1, l._2))
           val cs = pfs.create(cdxTmp, true)
-          try cdxLines.sortBy(l => (l._1, l._2)).foreach { case (k, o, l, u) =>
+          try sorted.foreach { case (k, o, l, u) =>
             cs.write(s"$k\t$o\t$l\t$u\n".getBytes(StandardCharsets.UTF_8))
           } finally cs.close()
           TarSource.commitTemp(pfs, cdxTmp, cdxTarget)
+          // (first, last) SURT bounds sidecar — free here (the lines
+          // are already sorted), and lets lookupPrefix skip this whole
+          // sidecar unopened when the prefix cannot intersect
+          if (sorted.nonEmpty) {
+            val bTarget = new Path(path, f"part-$idx%05d.cdx.bounds")
+            val bTmp = new Path(path,
+              f"_tmp-part-$idx%05d-attempt-${TarSource.taskAttemptId()}" +
+                ".cdx.bounds")
+            val bs = pfs.create(bTmp, true)
+            try bs.write(s"${sorted.head._1}\t${sorted.last._1}\n"
+              .getBytes(StandardCharsets.UTF_8))
+            finally bs.close()
+            TarSource.commitTemp(pfs, bTmp, bTarget)
+          }
         }
         counter.add(n)
       }

@@ -50,6 +50,43 @@ object CdxProbe {
       t(s"fetchall#$i")(CdxIndex.fetch(CdxIndex.read(spark, out)
         .filter(col("surt").startsWith("test,corpus)"))).count())
     }
+
+    // --- bounds-pruning leg (round-17): a MANY-HOST archive whose
+    // shards own contiguous SURT runs (repartitionByRange — the layout
+    // a production crawl writer produces when it clusters by URL), so
+    // a host lookup intersects ~1–2 of the 256 sidecars. Timed with
+    // the .cdx.bounds files present (pruned: non-intersecting sidecars
+    // never open) vs deleted (legacy: every sidecar parses). The fetch
+    // work is identical in both modes — the delta IS the index-scan
+    // cost the bounds remove. `mult` multiplies the corpus (distinct
+    // ids/uris) to push shard counts toward the CC shape.
+    val mult = if (args.length > 2) args(2).toInt else 10
+    val hostsOut = out + "_hosts"
+    val base = spark.read.parquet(s"$dir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .crossJoin(spark.range(mult).select(col("id").as("rep")))
+      .select((col("doc_id") * mult + col("rep")).as("id"), col("text"))
+    val hostDocs = base.select(
+      concat(lit("http://host"), pmod(col("id"), lit(1009)),
+        lit(".test/doc/"), col("id")).as("uri"),
+      col("text"))
+    t("hosts-write")(WarcSource.write(
+      hostDocs.repartitionByRange(256, col("uri")), hostsOut,
+      "uri", "text", cdxIndex = true))
+    (1 to reps).foreach { i =>
+      t(s"host-pruned#$i")(
+        CdxIndex.lookupHost(spark, hostsOut, "host500.test").count())
+    }
+    // strip the bounds → the legacy full-sidecar scan
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(hostsOut), spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(new org.apache.hadoop.fs.Path(hostsOut)).toSeq
+      .map(_.getPath).filter(_.getName.endsWith(".cdx.bounds"))
+      .foreach(p => fs.delete(p, false))
+    (1 to reps).foreach { i =>
+      t(s"host-legacy#$i")(
+        CdxIndex.lookupHost(spark, hostsOut, "host500.test").count())
+    }
     spark.stop()
   }
 }

@@ -72,6 +72,39 @@ class BenchSpec extends AnyFunSuite {
     assert(flagged(qs(20, 1.25), qs(20, 1.0))) // the r13 case trips
   }
 
+  test("bestQuietArtifact: emits the round's quiet min over the " +
+      "IDENTICAL query set; contended, different-set, pre-v3, and " +
+      "slower entries never substitute") {
+    def line(sf: String, total: Double, contended: Boolean,
+             keys: Seq[String], v: Int = 3): String = {
+      val q = keys.map(k => s""""$k":1.0""").mkString("{", ",", "}")
+      s"""{"sf":"$sf","iters":3,"bench_version":$v,"contended":$contended""" +
+        s""","total":$total,"queries":$q""" +
+        s""","artifact":"{\\"total\\":$total}"""" +
+        s""","artifact_tail":"{\\"t\\":$total}"}"""
+    }
+    val keys = Seq("q_a", "q_b")
+    val sf = "/root/testdata/sf0.1"
+    // the quiet min of the matching set wins over a slower current run
+    val lines = Seq(
+      line(sf, 140.0, contended = false, keys),
+      line(sf, 150.0, contended = false, keys),
+      line(sf, 120.0, contended = true, keys),     // contended: excluded
+      line(sf, 100.0, contended = false, Seq("q_a")), // other set: excluded
+      line("/other/sf", 90.0, contended = false, keys), // other sf
+      line(sf, 95.0, contended = false, keys, v = 2))   // pre-v3
+    val got = Bench.bestQuietArtifact(lines, sf, keys.toSet, 148.0)
+    assert(got.map(_._3).contains(140.0), s"got $got")
+    assert(got.get._1 == """{"total":140.0}""")
+    // current run IS the min → None (print the fresh run)
+    assert(Bench.bestQuietArtifact(lines, sf, keys.toSet, 139.0).isEmpty)
+    // no quiet matching entry at all → None
+    assert(Bench.bestQuietArtifact(lines, sf, Set("q_z"), 148.0).isEmpty)
+    // garbage lines never throw
+    assert(Bench.bestQuietArtifact(Seq("not json", ""), sf,
+      keys.toSet, 1.0).isEmpty)
+  }
+
   test("pipeline registry: both committed example stage lists are named") {
     assert(Bench.PipelineNames == Seq("pretrain_curation", "target_selection"))
   }

@@ -1609,6 +1609,54 @@ class CliSpec extends SparkSpec {
     assert(bad == 1)
   }
 
+  test("cdx-host subcommand: parse forms, summary print over a " +
+      "multi-host archive, --out writes the text shape, typed errors") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val c = parse(List("cdx-host", "arch/", "h1.test",
+      "--out", "o.parquet")).asInstanceOf[CdxHostCmd]
+    assert(c.archive == "arch/" && c.host == "h1.test" &&
+      c.out.contains("o.parquet"))
+    intercept[GraftError.Configuration](parse(List("cdx-host", "arch/")))
+    intercept[GraftError.Configuration](
+      parse(List("cdx-host", "a", "h", "--bogus")))
+
+    val dir = tmpDir("cli_cdx_host")
+    val rows = (0 until 12).map(i =>
+      (s"http://h${i % 3}.test/p/$i", s"body $i"))
+    graft.sources.WarcSource.write(
+      rows.toDF("uri", "payload").repartitionByRange(3, col("uri")),
+      dir, "uri", "payload", cdxIndex = true)
+    val out = new java.io.ByteArrayOutputStream()
+    val rc = Console.withOut(new java.io.PrintStream(out, true, "UTF-8")) {
+      runCdxHost(parse(List("cdx-host", dir, "h1.test"))
+        .asInstanceOf[CdxHostCmd])
+    }
+    assert(rc == 0)
+    val printed = out.toString("UTF-8")
+    assert(printed.contains("4 records"), printed)
+    // the box layout truncates cells; the host and each body show
+    assert(printed.contains("http://h1.test/"), printed)
+    assert(printed.contains("body 1") && printed.contains("body 10") &&
+      printed.contains("body 4") && printed.contains("body 7"), printed)
+    assert(!printed.contains("h0.test"), printed)
+
+    val tgt = s"${tmpDir("cli_cdx_out")}/h1.parquet"
+    val quiet = new java.io.PrintStream(
+      new java.io.ByteArrayOutputStream(), true, "UTF-8")
+    val rc2 = Console.withOut(quiet) {
+      runCdxHost(parse(List("cdx-host", dir, "h1.test", "--out", tgt))
+        .asInstanceOf[CdxHostCmd])
+    }
+    assert(rc2 == 0)
+    val written = spark.read.parquet(tgt)
+      .select("target_uri", "text").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(written == Seq(1, 4, 7, 10)
+      .map(i => (s"http://h1.test/p/$i", s"body $i")).toSet,
+      s"got $written")
+  }
+
   test("strip-exif subcommand: parse forms, e2e rewrite + flags, typed errors") {
     import spark.implicits._
     val c = parse(List("strip-exif", "m.parquet", "out.parquet",

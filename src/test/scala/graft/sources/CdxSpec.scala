@@ -126,6 +126,96 @@ class CdxSpec extends SparkSpec {
     assert(viaWww == 4)
   }
 
+  test("boundsMayContain: the prefix block [P, P∞) intersects a " +
+      "sidecar's [first, last] key range exactly when last is not " +
+      "before the block and first is not past it") {
+    // clear hit: prefix falls inside the range
+    assert(CdxIndex.boundsMayContain("test,a)/x", "test,m)/y", "test,h"))
+    // last sorts before every prefix-headed key → skip
+    assert(!CdxIndex.boundsMayContain("test,a)/x", "test,g)/y", "test,h"))
+    // first sorts after every prefix-headed key → skip
+    assert(!CdxIndex.boundsMayContain("test,i)/x", "test,m)/y", "test,h"))
+    // first EXTENDS the prefix: inside the block, must keep
+    assert(CdxIndex.boundsMayContain("test,h1)/p", "test,z)/x", "test,h"))
+    // boundary: last itself is a prefix-headed key
+    assert(CdxIndex.boundsMayContain("test,a)/x", "test,h)/", "test,h)"))
+    // degenerate single-key sidecar
+    assert(CdxIndex.boundsMayContain("test,h)/p", "test,h)/p", "test,h"))
+    assert(!CdxIndex.boundsMayContain("test,hh)/p", "test,hh)/p", "test,h)"))
+  }
+
+  test("lookupPrefix skips non-intersecting sidecars UNOPENED: after " +
+      "corrupting every sidecar outside the host's bounds, the host " +
+      "lookup stays green — and the full (unpruned) scan of the same " +
+      "directory is loud, proving the corruption would bite if opened") {
+    import spark.implicits._
+    val dir = tmpDir("cdx_bounds_prune")
+    // heavy a/z tails around a small m block, range-partitioned by uri
+    // so shards own contiguous SURT runs (the 100 TB layout a bounds
+    // index exists for)
+    val rows =
+      (0 until 30).map(i => (f"http://a.test/p/$i%02d", s"a$i")) ++
+        (0 until 10).map(i => (f"http://m.test/p/$i%02d", s"m$i")) ++
+        (0 until 30).map(i => (f"http://z.test/p/$i%02d", s"z$i"))
+    WarcSource.write(
+      rows.toDF("uri", "payload").repartitionByRange(3, col("uri")),
+      dir, "uri", "payload", cdxIndex = true)
+    val prefix = "test,m)"
+    val bounds = Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".cdx.bounds")).sorted
+    assert(bounds.length == 3, s"expected 3 shards, got ${bounds.toSeq}")
+    val prunable = bounds.filter { b =>
+      val Array(first, last) = new String(
+        Files.readAllBytes(Paths.get(b)), "UTF-8").trim.split('\t')
+      !CdxIndex.boundsMayContain(first, last, prefix)
+    }
+    assert(prunable.nonEmpty,
+      s"fixture must leave >= 1 non-intersecting sidecar: ${bounds.toSeq}")
+    prunable.foreach { b =>
+      val cdx = Paths.get(b.stripSuffix(".bounds"))
+      Files.write(cdx,
+        "CORRUPTED opening this sidecar means pruning failed\n"
+          .getBytes("UTF-8"))
+      // drop the Hadoop local-FS checksum sidecar so the control scan
+      // reaches the CDX parser (a ChecksumException would be loud too,
+      // but the assertion pins the parser's own error)
+      Files.deleteIfExists(cdx.resolveSibling("." + cdx.getFileName + ".crc"))
+    }
+    val got = CdxIndex.lookupHost(spark, dir, "m.test")
+      .select("target_uri").collect().map(_.getString(0)).toSet
+    assert(got == (0 until 10).map(i => f"http://m.test/p/$i%02d").toSet,
+      s"got $got")
+    // control: without pruning the corrupted sidecars ARE opened
+    val e = intercept[Exception] { CdxIndex.read(spark, dir).count() }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).mkString)
+      .contains("malformed CDX"), e.getMessage)
+  }
+
+  test("a sidecar WITHOUT a bounds file (pre-bounds archive) still " +
+      "scans under lookupPrefix; a malformed bounds line is loud") {
+    import spark.implicits._
+    val dir = tmpDir("cdx_bounds_legacy")
+    WarcSource.write(
+      Seq(("http://legacy.test/p/1", "old")).toDF("uri", "payload")
+        .repartition(1),
+      dir, "uri", "payload", cdxIndex = true)
+    // simulate a pre-bounds archive: delete the bounds files
+    Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".cdx.bounds"))
+      .foreach(b => Files.delete(Paths.get(b)))
+    val got = CdxIndex.lookupHost(spark, dir, "legacy.test").count()
+    assert(got == 1)
+    // malformed bounds: loud, not silently scanned or skipped
+    Files.list(Paths.get(dir)).toArray.map(_.toString)
+      .filter(_.endsWith(".cdx")).foreach { f =>
+        Files.write(Paths.get(f + ".bounds"), "one-field\n".getBytes("UTF-8"))
+      }
+    val e = intercept[Exception] {
+      CdxIndex.lookupHost(spark, dir, "legacy.test").count() }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).mkString)
+      .contains("bounds"), e.getMessage)
+  }
+
   test("malformed CDX lines and missing sidecars are loud; indexed " +
       "URIs may not contain tabs") {
     import spark.implicits._

@@ -331,6 +331,46 @@ class WarcSpec extends SparkSpec {
       "sha1:3I42H3S6NNFQ2MSVX7XZKYAYSCX5QBYJ")))
   }
 
+  test("resolveRevisits recovers a revisit-marked re-crawl's text from " +
+      "the ORIGINAL archive via its CDX index — one URI join + point " +
+      "fetch pinned on the refers_to record id, no content re-hash") {
+    import spark.implicits._
+    val day1 = tmpDir("warc_day1_archive")
+    WarcSource.write(Seq(
+        ("http://x.test/seen", "day-one body of the seen page"),
+        ("http://x.test/other", "unrelated page"))
+        .toDF("uri", "payload"),
+      day1, "uri", "payload", cdxIndex = true)
+    // the original record ids — what a real crawler carries into
+    // WARC-Refers-To when it marks the day-2 fetch as a revisit
+    val origIds = WarcSource.read(spark, day1)
+      .filter(col("warc_type") === "response")
+      .select("target_uri", "record_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val day2 = tmpDir("warc_day2_crawl")
+    writeFile(day2, "day2.warc",
+      rec("response", "http://x.test/new",
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/plain\r\n\r\nfresh")
+          .getBytes(StandardCharsets.ISO_8859_1),
+        contentType = "application/http; msgtype=response") ++
+      rec("revisit", "http://x.test/seen", Array.emptyByteArray,
+        contentType = "application/http; msgtype=response",
+        extraHeader =
+          s"WARC-Refers-To: ${origIds("http://x.test/seen")}\r\n" +
+          "WARC-Payload-Digest: sha1:AAA\r\n"))
+    val hints = WarcSource.revisitHints(WarcSource.read(spark, day2))
+    val resolved = CdxIndex.resolveRevisits(spark, day1, hints)
+      .select("target_uri", "refers_to", "text").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+    assert(resolved == Seq(("http://x.test/seen",
+      origIds("http://x.test/seen"), "day-one body of the seen page")),
+      s"got $resolved")
+    // a dangling pointer (record id not in the archive) drops, audited
+    // by the count difference
+    val dangling = hints.withColumn("refers_to", lit("<urn:uuid:gone>"))
+    assert(CdxIndex.resolveRevisits(spark, day1, dangling).count() == 0)
+  }
+
   test("record ids are globally unique even when one URI repeats in a " +
       "batch (re-crawl), and stay deterministic across re-runs") {
     import spark.implicits._
