@@ -816,7 +816,13 @@ object PdfSource {
     if (columns <= 0 || colors <= 0 || bpc <= 0)
       loud(s"bad geometry (/Columns $columns /Colors $colors " +
         s"/BitsPerComponent $bpc)")
-    val rowLen = (columns * colors * bpc + 7) / 8
+    // long math: a hostile /Columns must produce a loud error, not an
+    // int overflow into a negative row length (the whole-rows checks
+    // below catch every merely-too-big-for-this-stream geometry)
+    val rowLenL = (columns.toLong * colors * bpc + 7) / 8
+    if (rowLenL >= Int.MaxValue)
+      loud(s"row length $rowLenL exceeds the supported 2 GiB row bound")
+    val rowLen = rowLenL.toInt
     val bpp = math.max(1, colors * bpc / 8)
     if (pred == 2) {
       // TIFF horizontal differencing: each component adds its left

@@ -707,6 +707,15 @@ class PdfSpec extends SparkSpec {
     val e3 = intercept[Exception] { PdfSource.readText(spark, d3).count() }
     assert((e3.getMessage + Option(e3.getCause).map(_.getMessage).mkString)
       .contains("not defined"), e3.getMessage)
+    // a hostile /Columns may not overflow into a negative row length —
+    // the typed error names the row/stream sizes instead
+    val d4 = tmpDir("pdf_pred_huge")
+    Files.write(Paths.get(d4, "h.pdf"), pdfWith(
+      "/Predictor 12 /Columns 2000000000 /Colors 3",
+      Array[Byte](0, 1, 2)))
+    val e4 = intercept[Exception] { PdfSource.readText(spark, d4).count() }
+    assert((e4.getMessage + Option(e4.getCause).map(_.getMessage).mkString)
+      .contains("exceeds"), e4.getMessage)
   }
 
   test("an ASCII85 full group whose value exceeds 2^32 - 1 is LOUD " +
