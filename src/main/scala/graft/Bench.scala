@@ -84,9 +84,10 @@ object Bench {
     * `current_total`, and the current run is ALWAYS appended to
     * history first — nothing is discarded. */
   private[graft] def bestQuietArtifact(lines: Seq[String], sfDir: String,
-      curKeys: Set[String], curTotal: Double)
+      curKeys: Set[String], curTotal: Double, curSrc: String = "")
       : Option[(String, String, Double)] = {
     import scala.jdk.CollectionConverters._
+    if (curSrc.isEmpty) return None // dirty/unknown tree: never substitute
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
     val cands = lines.flatMap { l =>
       try Some(om.readTree(l)) catch { case _: Throwable => None }
@@ -94,6 +95,10 @@ object Bench {
       n.path("bench_version").asInt(0) >= 3 &&
         n.path("sf").asText("") == sfDir &&
         !n.path("contended").asBoolean(true) &&
+        // src-tree stamp equality: key-set equality alone would let a
+        // run of OLDER code mask a regression in a same-named query —
+        // only runs of the same COMMITTED src tree compare
+        n.path("src").asText("") == curSrc &&
         n.hasNonNull("artifact") && n.hasNonNull("artifact_tail") &&
         n.path("queries").fields().asScala.map(_.getKey).toSet == curKeys
     }
@@ -115,6 +120,26 @@ object Bench {
     * full-suite runs measure all. */
   private[graft] val PipelineNames: Seq[String] =
     Seq("pretrain_curation", "target_selection")
+
+  /** The COMMITTED src tree's object hash (`git rev-parse HEAD:src`),
+    * or "" when the working tree has uncommitted src changes / git is
+    * unavailable — the scope key for [[bestQuietArtifact]]: only runs
+    * of byte-identical committed source may substitute for each other,
+    * and a dirty tree never does (conservative by construction). The
+    * src-only tree hash survives doc/history commits, so the driver's
+    * round-end run still matches quiet runs taken after the final
+    * source commit. */
+  private def srcTreeStamp(): String =
+    try {
+      def exec(cmd: String*): String = {
+        val p = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+        val out = new String(p.getInputStream.readAllBytes, "UTF-8").trim
+        if (p.waitFor() != 0) "" else out
+      }
+      val tree = exec("git", "rev-parse", "HEAD:src")
+      val dirty = exec("git", "status", "--porcelain", "src")
+      if (tree.isEmpty || tree.contains(' ') || dirty.nonEmpty) "" else tree
+    } catch { case _: Throwable => "" }
 
   /** 1-minute load average (Linux /proc/loadavg), recorded at bench
     * start and end so a contended artifact carries its own evidence;
@@ -540,11 +565,13 @@ object Bench {
     // + total, which is what lets the print step below emit the
     // round's best QUIET run as the artifact of record
     val fullRun = queryArgs.isEmpty && !pipelineOnly && failed.isEmpty
+    val srcStamp = if (fullRun) srcTreeStamp() else ""
     if (fullRun) {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
       try java.nio.file.Files.write(histFile,
         (s"""{"sf":"$sfDir","iters":$iters,"bench_version":3""" +
           s""","contended":$contendedFlag,"total":${r4(total)}""" +
+          s""","src":"$srcStamp"""" +
           s""","queries":$qs,"artifact":${om.writeValueAsString(full)}""" +
           s""","artifact_tail":${om.writeValueAsString(tailObj)}}""" + "\n")
           .getBytes("UTF-8"),
@@ -564,7 +591,7 @@ object Bench {
         import scala.jdk.CollectionConverters._
         bestQuietArtifact(
           java.nio.file.Files.readAllLines(histFile).asScala.toSeq,
-          sfDir, keyed.map(_._1).toSet, total) match {
+          sfDir, keyed.map(_._1).toSet, total, srcStamp) match {
           case Some((af, at, bt)) =>
             System.err.println(f"[bench] artifact-of-record: a quieter " +
               f"same-query-set run of this round totalled $bt%.2f s vs " +

@@ -439,9 +439,13 @@ object SparkEntry {
         .map { case (id, t) =>
           // half the corpus renders in the PDF 1.5+ ObjStm shape
           // (page tree inside a compressed object stream), half
-          // classic — both must read back to the SAME oracle rows
+          // classic — and half the ObjStm half ALSO rides predictor-12
+          // PNG row filtering (the pdftex writer shape) — all to the
+          // SAME oracle rows
+          val stm = (id / 10) % 2 == 0
           (s"d$id", "pdf", graft.sources.PdfSource.render(
-            t, pageChars = 200, objStm = (id / 10) % 2 == 0))
+            t, pageChars = 200, objStm = stm,
+            predictor = stm && (id / 10) % 4 == 0))
         }.toDF("k", "e", "c")
       graft.sources.TarSource.write(entries, out, "k", "e", "c")
       graft.sources.PdfSource.pagesFrom(

@@ -1280,9 +1280,16 @@ object PdfSource {
     * fixture is readable by CONFORMING third-party parsers, not just
     * this repo's xref-ignoring scan. Both shapes read back
     * identically, which is exactly what the q_pdf_text gate exercises
-    * by mixing them. */
+    * by mixing them. `predictor = true` (ObjStm shape only)
+    * additionally writes the container data through PNG Up row
+    * filtering with `/DecodeParms << /Predictor 12 /Columns 24 >>` —
+    * the pdftex-family writer shape whose absence used to reject
+    * those files wholesale. */
   def render(text0: String, pageChars: Int,
-             objStm: Boolean = false): Array[Byte] = {
+             objStm: Boolean = false,
+             predictor: Boolean = false): Array[Byte] = {
+    require(!predictor || objStm,
+      "predictor rendering applies to the ObjStm shape")
     val text = if (text0 == null) "" else text0
     val pages: Seq[String] =
       if (pageChars <= 0 || text.length <= pageChars) Seq(text)
@@ -1344,13 +1351,24 @@ object PdfSource {
       val offs = bodies.scanLeft(0)((a, b) => a + b.length + 1).init
       val header = memberList.map(_._1).zip(offs)
         .map { case (n, o) => s"$n $o" }.mkString(" ") + " "
-      val packed = deflate((header + bodies.mkString(" "))
-        .getBytes(StandardCharsets.ISO_8859_1))
+      val raw = (header + bodies.mkString(" "))
+        .getBytes(StandardCharsets.ISO_8859_1)
+      // predictor shape: pad to whole rows with spaces (harmless after
+      // the last member body) and PNG-Up-filter before deflating
+      val cols = 24
+      val (packed, parms) =
+        if (!predictor) (deflate(raw), "")
+        else {
+          val padded = raw ++ Array.fill(
+            (cols - raw.length % cols) % cols)(' '.toByte)
+          (deflate(pngUpFilter(padded, cols)),
+            s" /DecodeParms << /Predictor 12 /Columns $cols >>")
+        }
       val stmNum = fontNum + 1
       val xrefNum = stmNum + 1
       val objStmBytes = (s"<< /Type /ObjStm /N ${memberList.length} " +
         s"/First ${header.length} /Length ${packed.length} " +
-        "/Filter /FlateDecode >>\nstream\n")
+        s"/Filter /FlateDecode$parms >>\nstream\n")
         .getBytes(StandardCharsets.ISO_8859_1) ++ packed ++
         "\nendstream".getBytes(StandardCharsets.ISO_8859_1)
       val topObjs: Seq[(Int, Array[Byte])] =
@@ -1412,6 +1430,28 @@ object PdfSource {
       val b = ("﻿" + text).getBytes(StandardCharsets.UTF_16BE)
       b.map(x => f"${x & 0xff}%02X").mkString("<", "", ">")
     }
+
+  /** Writer-side PNG Up (type 2) row filter for the predictor fixture
+    * shape: each `cols`-byte row leads with its filter-type byte and
+    * stores byte-minus-byte-above (§7.4.4.4 / PNG spec filter 2). */
+  private def pngUpFilter(data: Array[Byte], cols: Int): Array[Byte] = {
+    require(data.length % cols == 0, s"${data.length} % $cols != 0")
+    val rows = data.length / cols
+    val out = new Array[Byte]((cols + 1) * rows)
+    var r = 0
+    while (r < rows) {
+      out(r * (cols + 1)) = 2
+      var i = 0
+      while (i < cols) {
+        val raw = data(r * cols + i) & 0xff
+        val up = if (r > 0) data((r - 1) * cols + i) & 0xff else 0
+        out(r * (cols + 1) + 1 + i) = ((raw - up) & 0xff).toByte
+        i += 1
+      }
+      r += 1
+    }
+    out
+  }
 
   private def deflate(b: Array[Byte]): Array[Byte] = {
     val d = new Deflater()

@@ -73,13 +73,14 @@ class BenchSpec extends AnyFunSuite {
   }
 
   test("bestQuietArtifact: emits the round's quiet min over the " +
-      "IDENTICAL query set; contended, different-set, pre-v3, and " +
-      "slower entries never substitute") {
+      "IDENTICAL query set AND committed src tree; contended, " +
+      "different-set, different-tree, pre-v3, and slower entries " +
+      "never substitute, nor does anything for a dirty tree") {
     def line(sf: String, total: Double, contended: Boolean,
-             keys: Seq[String], v: Int = 3): String = {
+             keys: Seq[String], v: Int = 3, src: String = "tree-A"): String = {
       val q = keys.map(k => s""""$k":1.0""").mkString("{", ",", "}")
       s"""{"sf":"$sf","iters":3,"bench_version":$v,"contended":$contended""" +
-        s""","total":$total,"queries":$q""" +
+        s""","total":$total,"src":"$src","queries":$q""" +
         s""","artifact":"{\\"total\\":$total}"""" +
         s""","artifact_tail":"{\\"t\\":$total}"}"""
     }
@@ -92,17 +93,22 @@ class BenchSpec extends AnyFunSuite {
       line(sf, 120.0, contended = true, keys),     // contended: excluded
       line(sf, 100.0, contended = false, Seq("q_a")), // other set: excluded
       line("/other/sf", 90.0, contended = false, keys), // other sf
-      line(sf, 95.0, contended = false, keys, v = 2))   // pre-v3
-    val got = Bench.bestQuietArtifact(lines, sf, keys.toSet, 148.0)
+      line(sf, 95.0, contended = false, keys, v = 2),   // pre-v3
+      line(sf, 85.0, contended = false, keys, src = "tree-B")) // other code
+    val got = Bench.bestQuietArtifact(lines, sf, keys.toSet, 148.0, "tree-A")
     assert(got.map(_._3).contains(140.0), s"got $got")
     assert(got.get._1 == """{"total":140.0}""")
     // current run IS the min → None (print the fresh run)
-    assert(Bench.bestQuietArtifact(lines, sf, keys.toSet, 139.0).isEmpty)
+    assert(Bench.bestQuietArtifact(lines, sf, keys.toSet, 139.0, "tree-A")
+      .isEmpty)
     // no quiet matching entry at all → None
-    assert(Bench.bestQuietArtifact(lines, sf, Set("q_z"), 148.0).isEmpty)
+    assert(Bench.bestQuietArtifact(lines, sf, Set("q_z"), 148.0, "tree-A")
+      .isEmpty)
+    // a DIRTY/unknown current tree never substitutes — conservative
+    assert(Bench.bestQuietArtifact(lines, sf, keys.toSet, 148.0, "").isEmpty)
     // garbage lines never throw
     assert(Bench.bestQuietArtifact(Seq("not json", ""), sf,
-      keys.toSet, 1.0).isEmpty)
+      keys.toSet, 1.0, "tree-A").isEmpty)
   }
 
   test("pipeline registry: both committed example stage lists are named") {

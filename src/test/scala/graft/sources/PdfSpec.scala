@@ -196,6 +196,31 @@ class PdfSpec extends SparkSpec {
       "both shapes must extract the same rows")
   }
 
+  test("render(objStm, predictor = true) writes the container through " +
+      "PNG Up predictor-12 rows (the pdftex shape) and reads back " +
+      "identically to the classic form") {
+    val text = "predictor-rendered objstm " + ("p" * 260) + " fin"
+    val b = PdfSource.render(text, pageChars = 120, objStm = true,
+      predictor = true)
+    val s = new String(b, StandardCharsets.ISO_8859_1)
+    assert(s.contains("/DecodeParms << /Predictor 12"), "parms present")
+    val dir = tmpDir("pdf_render_pred")
+    Files.write(Paths.get(dir, "p.pdf"), b)
+    val got = PdfSource.readText(spark, dir).orderBy("page").collect()
+      .map(r => (r.getInt(1), r.getString(2))).toSeq
+    val dirC = tmpDir("pdf_render_pred_classic")
+    Files.write(Paths.get(dirC, "c.pdf"),
+      PdfSource.render(text, pageChars = 120))
+    val classic = PdfSource.readText(spark, dirC).orderBy("page").collect()
+      .map(r => (r.getInt(1), r.getString(2))).toSeq
+    assert(got == classic, s"got $got")
+    assert(got.map(_._2).mkString == text)
+    // predictor without objStm is a caller bug, loudly rejected
+    intercept[IllegalArgumentException] {
+      PdfSource.render("x", 0, objStm = false, predictor = true)
+    }
+  }
+
   test("a top-level object SUPERSEDES an ObjStm member with the same " +
       "number (the incremental-update direction)") {
     val dir = tmpDir("pdf_objstm_update")
