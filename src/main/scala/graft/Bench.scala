@@ -84,8 +84,8 @@ object Bench {
     * `current_total`, and the current run is ALWAYS appended to
     * history first — nothing is discarded. */
   private[graft] def bestQuietArtifact(lines: Seq[String], sfDir: String,
-      curKeys: Set[String], curTotal: Double, curSrc: String = "")
-      : Option[(String, String, Double)] = {
+      curKeys: Set[String], curTotal: Double, curSrc: String = "",
+      curIters: Int = 3): Option[(String, String, Double)] = {
     import scala.jdk.CollectionConverters._
     if (curSrc.isEmpty) return None // dirty/unknown tree: never substitute
     val om = new com.fasterxml.jackson.databind.ObjectMapper()
@@ -95,6 +95,9 @@ object Bench {
       n.path("bench_version").asInt(0) >= 3 &&
         n.path("sf").asText("") == sfDir &&
         !n.path("contended").asBoolean(true) &&
+        // methodology equality: a 10-iter run's better-settled medians
+        // must not stand in for a 3-iter round's figure
+        n.path("iters").asInt(-1) == curIters &&
         // src-tree stamp equality: key-set equality alone would let a
         // run of OLDER code mask a regression in a same-named query —
         // only runs of the same COMMITTED src tree compare
@@ -591,7 +594,7 @@ object Bench {
         import scala.jdk.CollectionConverters._
         bestQuietArtifact(
           java.nio.file.Files.readAllLines(histFile).asScala.toSeq,
-          sfDir, keyed.map(_._1).toSet, total, srcStamp) match {
+          sfDir, keyed.map(_._1).toSet, total, srcStamp, iters) match {
           case Some((af, at, bt)) =>
             System.err.println(f"[bench] artifact-of-record: a quieter " +
               f"same-query-set run of this round totalled $bt%.2f s vs " +

@@ -1443,22 +1443,26 @@ object Main {
       val recs = graft.sources.CdxIndex.lookupHost(spark, ch.archive, ch.host)
       val text = recs.select(
         col("target_uri"), col("warc_date"), col("http_status"),
-        when(col("warc_type") === "response",
-          decode(col("http_body"), "UTF-8"))
-          .otherwise(decode(col("content"), "UTF-8")).as("text"))
+        graft.sources.WarcSource.textCol.as("text"))
       ch.out match {
         case Some(t) =>
           graft.sources.Connectors.write(text, t, truncate = true)
           val n = graft.sources.Connectors.read(spark, t, Map.empty).count()
           println(s"\ncdx-host ${ch.host}: $n records -> $t")
         case None =>
-          val head = text.orderBy("target_uri").limit(20)
-            .select(col("target_uri"), col("warc_date"), col("http_status"),
-              substring(col("text"), 1, 40).as("text_head"))
-          println(s"\ncdx-host ${ch.host} over ${ch.archive}:")
-          println(graft.engine.PreviewFormat.dataTable(head.columns.toSeq,
-            head.collect()))
-          println(s"${text.count()} records")
+          // one persisted pass: the preview AND the count otherwise
+          // each re-run the whole sidecar scan + ranged-fetch pipeline
+          // — the dominant cost this verb exists to minimize
+          text.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          try {
+            val head = text.orderBy("target_uri").limit(20)
+              .select(col("target_uri"), col("warc_date"), col("http_status"),
+                substring(col("text"), 1, 40).as("text_head"))
+            println(s"\ncdx-host ${ch.host} over ${ch.archive}:")
+            println(graft.engine.PreviewFormat.dataTable(head.columns.toSeq,
+              head.collect()))
+            println(s"${text.count()} records")
+          } finally text.unpersist(blocking = false)
       }
       0
     } finally if (!preExisting) spark.stop()

@@ -199,9 +199,10 @@ object CdxIndex {
             line.map(_.split('\t')) match {
               case Some(Array(first, last)) =>
                 boundsMayContain(first, last, prefix)
-              case other => throw GraftError.DataTransfer(
-                s"$f.bounds: malformed bounds line ($other — expected " +
-                  "first\\tlast SURT keys)")
+              case _ => throw GraftError.DataTransfer(
+                s"$f.bounds: malformed bounds line " +
+                  s"'${line.getOrElse("<empty file>").take(60)}' " +
+                  "(expected first\\tlast SURT keys)")
             }
           }
         if (scan) sidecarEntries(f).filter(_.surt.startsWith(prefix))
@@ -340,9 +341,7 @@ object CdxIndex {
     originals.select(
         col("record_id").as("refers_to"),
         col("warc_date").as("original_date"),
-        when(col("warc_type") === "response",
-          decode(col("http_body"), "UTF-8"))
-          .otherwise(decode(col("content"), "UTF-8")).as("text"))
+        WarcSource.textCol.as("text"))
       .join(broadcast(h), Seq("refers_to"))
       .select(col("revisit_record_id"), col("uri").as("target_uri"),
         col("revisit_date"), col("refers_to"), col("payload_digest"),

@@ -182,7 +182,7 @@ object PdfSource {
         if (o.stream == null)
           throw GraftError.DataTransfer(
             s"$file: /Contents $cref is not a stream object")
-        extractText(decodeStream(o, file, cref), text, fonts)
+        extractText(decodeStream(o, file, cref, objs), text, fonts)
       }
       // confident unless a Type0 font has NO usable ToUnicode, or a
       // simple font's /Encoding could not be fully mapped: both mean
@@ -246,7 +246,7 @@ object PdfSource {
           else dictRefs(dictTxt, "/ToUnicode").headOption
             .flatMap(objs.get).filter(_.stream != null)
             .map(o => parseToUnicode(new String(
-              decodeStream(o, file, 0), StandardCharsets.ISO_8859_1)))
+              decodeStream(o, file, 0, objs), StandardCharsets.ISO_8859_1)))
         val (enc, encOk) =
           if (type0) (None, true) else simpleEncoding(dictTxt, objs, file)
         name -> FontInfo(type0, toUni.map(_._1),
@@ -389,11 +389,11 @@ object PdfSource {
         Some((Array.tabulate(256)(_.toChar.toString), true))
       case _ => Some((Array.tabulate(256)(_.toChar.toString), false))
     }
-    val encDictTxt: Option[String] =
+    val encVal: Option[String] =
       dictRefs(fontDict, "/Encoding").headOption.flatMap(objs.get)
         .map(_.dict).orElse(inlineDict(fontDict, "/Encoding", file))
-    encDictTxt match {
-      case Some(ed) =>
+    encVal match {
+      case Some(ed) if ed.startsWith("<<") =>
         val baseName = """/BaseEncoding\s*/([A-Za-z0-9.\-]+)""".r
           .findFirstMatchIn(ed).map(_.group(1))
         val (table0, baseOk) = baseName.flatMap(baseTable)
@@ -405,8 +405,16 @@ object PdfSource {
             var code = -1
             """(\d+)|/([^\s/<>\[\]()]+)""".r.findAllMatchIn(m.group(1))
               .foreach { t =>
-                if (t.group(1) != null) code = t.group(1).toInt
-                else if (code >= 0 && code < 256) {
+                if (t.group(1) != null) {
+                  // codes are bytes; a damaged/hostile integer must
+                  // flag, not crash the task with a raw JDK error
+                  code = try {
+                    val v = t.group(1).toLong
+                    if (v > 255) { ok = false; -1 } else v.toInt
+                  } catch {
+                    case _: NumberFormatException => ok = false; -1
+                  }
+                } else if (code >= 0 && code < 256) {
                   glyphUnicode(t.group(2)) match {
                     case Some(u) => table(code) = u
                     case None => table(code) = "�"; ok = false
@@ -416,6 +424,19 @@ object PdfSource {
               }
           }
         (Some(table), ok)
+      case Some(ed) =>
+        // an indirect /Encoding resolved to a bare NAME object
+        // ('9 0 obj /WinAnsiEncoding endobj') — same as the inline
+        // name; anything else declared-but-unreadable decodes Latin-1
+        // UNCONFIDENT (never silent mojibake)
+        """^/([A-Za-z0-9.\-]+)""".r.findFirstMatchIn(ed.trim)
+          .map(_.group(1)) match {
+          case Some(n) =>
+            val (t, ok) = baseTable(n).get
+            (Some(t), ok)
+          case None =>
+            (Some(Array.tabulate(256)(_.toChar.toString)), false)
+        }
       case None =>
         """/Encoding\s*/([A-Za-z0-9.\-]+)""".r.findFirstMatchIn(fontDict)
           .map(_.group(1)) match {
@@ -585,7 +606,14 @@ object PdfSource {
             if (endObj < 0)
               throw GraftError.DataTransfer(
                 s"$file: object $num without endobj")
-            out += (num -> Obj(dict, null))
+            // non-dict bodies (bare names, numbers, arrays) keep their
+            // trimmed text — an indirect /Encoding may resolve to a
+            // bare NAME object, and ObjStm members already store plain
+            // values this way
+            val body =
+              if (dict.nonEmpty) dict
+              else s.substring(bodyStart, endObj).trim
+            out += (num -> Obj(body, null))
             pos = endObj + "endobj".length
           }
       }
@@ -624,7 +652,7 @@ object PdfSource {
       val n = dictInt(c.dict, "/N").getOrElse(loud("has no direct /N"))
       val first =
         dictInt(c.dict, "/First").getOrElse(loud("has no direct /First"))
-      val ds = new String(decodeStream(c, file, cnum),
+      val ds = new String(decodeStream(c, file, cnum, top),
         StandardCharsets.ISO_8859_1)
       if (first > ds.length)
         loud(s"/First $first past the ${ds.length}-byte decoded data")
@@ -774,12 +802,16 @@ object PdfSource {
     * applied AFTER the filter chain ([[applyPredictor]] — per §7.4.4.4
     * the predictor post-processes the decompressed bytes; with an
     * array chain it belongs to the final decompression filter, the
-    * only place real writers put one). Anything else (the image
-    * codecs /DCTDecode, /JBIG2Decode, /CCITTFaxDecode, /JPXDecode —
-    * pixels, not text, under any decoding) is a LOUD error: passing
-    * them through would hand the caller silently-garbled data, the
-    * one failure mode this reader never allows. */
-  private def decodeStream(o: Obj, file: String, num: Int): Array[Byte] = {
+    * only place real writers put one). `/DecodeParms` given as an
+    * INDIRECT reference resolves through `objs` (a dangling ref is
+    * LOUD — silently skipping the parms would ship every row of a
+    * predicted stream as garbage). Anything else (the image codecs
+    * /DCTDecode, /JBIG2Decode, /CCITTFaxDecode, /JPXDecode — pixels,
+    * not text, under any decoding) is a LOUD error: passing them
+    * through would hand the caller silently-garbled data, the one
+    * failure mode this reader never allows. */
+  private def decodeStream(o: Obj, file: String, num: Int,
+      objs: Map[Int, Obj] = Map.empty): Array[Byte] = {
     val filters: Seq[String] =
       """/Filter\s*\[((?:\s*/[A-Za-z0-9]+)+)\s*\]""".r
         .findFirstMatchIn(o.dict) match {
@@ -793,7 +825,13 @@ object PdfSource {
     val decoded = filters.foldLeft(o.stream) { (data, f) =>
       applyFilter(f, data, file, num)
     }
-    applyPredictor(o.dict, decoded, file, num)
+    val parmsText = dictRefs(o.dict, "/DecodeParms").headOption match {
+      case Some(r) => objs.getOrElse(r, throw GraftError.DataTransfer(
+        s"$file: object $num /DecodeParms $r 0 R references a missing " +
+          "object — cannot know whether the stream is row-predicted")).dict
+      case None => o.dict
+    }
+    applyPredictor(parmsText, decoded, file, num)
   }
 
   /** Undoes `/Predictor` row filtering (ISO 32000-1 §7.4.4.4): 2 =

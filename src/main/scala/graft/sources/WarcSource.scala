@@ -137,10 +137,18 @@ object WarcSource {
         col("file"), col("record_id"), col("warc_type"),
         col("target_uri"), col("warc_date"), col("http_status"),
         element_at(col("http_headers"), "x-robots-tag").as("x_robots"),
-        when(col("warc_type") === "response",
-          decode(col("http_body"), "UTF-8"))
-          .otherwise(decode(col("content"), "UTF-8")).as("text"))
+        textCol.as("text"))
   }
+
+  /** THE text-decode rule for a record row — a `response`'s envelope
+    * body, else the content block, as UTF-8. One definition shared by
+    * [[readText]], [[CdxIndex.resolveRevisits]], and the `cdx-host`
+    * CLI verb, so a future charset refinement (e.g. honoring
+    * `http_content_type`) lands everywhere at once. */
+  def textCol: org.apache.spark.sql.Column =
+    when(col("warc_type") === "response",
+      decode(col("http_body"), "UTF-8"))
+      .otherwise(decode(col("content"), "UTF-8"))
 
   /** Dedup hints from `revisit` records: Common Crawl marks a
     * re-crawled UNCHANGED page with `WARC-Type: revisit` +

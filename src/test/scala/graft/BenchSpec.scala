@@ -106,6 +106,9 @@ class BenchSpec extends AnyFunSuite {
       .isEmpty)
     // a DIRTY/unknown current tree never substitutes — conservative
     assert(Bench.bestQuietArtifact(lines, sf, keys.toSet, 148.0, "").isEmpty)
+    // a different-iters methodology never substitutes either
+    assert(Bench.bestQuietArtifact(lines, sf, keys.toSet, 148.0, "tree-A",
+      curIters = 10).isEmpty)
     // garbage lines never throw
     assert(Bench.bestQuietArtifact(Seq("not json", ""), sf,
       keys.toSet, 1.0, "tree-A").isEmpty)

@@ -590,6 +590,75 @@ class PdfSpec extends SparkSpec {
     assert(got.getBoolean(3))
   }
 
+  test("an indirect /Encoding resolving to a bare NAME object decodes " +
+      "through that base table (not silent Latin-1), and an indirect " +
+      "/Encoding resolving to garbage flags unconfident") {
+    val d1 = tmpDir("pdf_enc_indirect_name")
+    Files.write(Paths.get(d1, "n.pdf"), simpleFontPdf(
+      "9 0 R", "<93>",
+      extra = "9 0 obj /WinAnsiEncoding endobj\n"))
+    val g1 = PdfSource.readText(spark, d1).collect().head
+    assert(g1.getString(2) == "“", s"got '${g1.getString(2)}'")
+    assert(g1.getBoolean(3))
+    val d2 = tmpDir("pdf_enc_indirect_junk")
+    Files.write(Paths.get(d2, "j.pdf"), simpleFontPdf(
+      "9 0 R", "(AB)",
+      extra = "9 0 obj 1234 endobj\n"))
+    val g2 = PdfSource.readText(spark, d2).collect().head
+    assert(g2.getString(2) == "AB", "junk encoding still decodes Latin-1")
+    assert(!g2.getBoolean(3),
+      "a declared-but-unreadable /Encoding must flip the flag")
+  }
+
+  test("a /Differences integer beyond the byte range flags " +
+      "unconfident instead of crashing the task with a raw " +
+      "NumberFormatException") {
+    val dir = tmpDir("pdf_diff_huge")
+    Files.write(Paths.get(dir, "h.pdf"), simpleFontPdf(
+      "<< /Differences [99999999999 /a 66 /eacute] >>", "(AB)"))
+    val got = PdfSource.readText(spark, dir).collect().head
+    // code 66 ('B') still remaps; the hostile integer only flags
+    assert(got.getString(2) == "Aé", s"got '${got.getString(2)}'")
+    assert(!got.getBoolean(3))
+  }
+
+  test("an INDIRECT /DecodeParms resolves before predictor " +
+      "unfiltering, and a dangling parms ref is LOUD (skipping it " +
+      "would ship every row as garbage)") {
+    val dir = tmpDir("pdf_parms_indirect")
+    val rowLen = 10
+    val body = "indirect decode parms rows"
+    val content0 = s"BT ($body) Tj ET"
+    val content = content0 + " " * ((rowLen - content0.length % rowLen)
+      % rowLen)
+    val filtered = pngPredict(
+      content.getBytes(StandardCharsets.ISO_8859_1), rowLen)
+    val enc = deflate(filtered)
+    val pdf = ("%PDF-1.4\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R >> endobj\n" +
+      s"4 0 obj << /Length ${enc.length} /Filter /FlateDecode " +
+      "/DecodeParms 5 0 R >>\nstream\n")
+      .getBytes(StandardCharsets.ISO_8859_1) ++ enc ++
+      ("\nendstream\nendobj\n" +
+        s"5 0 obj << /Predictor 12 /Columns $rowLen >> endobj\n" +
+        "trailer << /Size 6 /Root 1 0 R >>\n%%EOF\n")
+        .getBytes(StandardCharsets.ISO_8859_1)
+    Files.write(Paths.get(dir, "i.pdf"), pdf)
+    assert(PdfSource.readText(spark, dir).collect().head.getString(2)
+      == body)
+    // dangling: same file without object 5
+    val d2 = tmpDir("pdf_parms_dangling")
+    val bad = new String(pdf, StandardCharsets.ISO_8859_1)
+      .replace(s"5 0 obj << /Predictor 12 /Columns $rowLen >> endobj\n", "")
+    Files.write(Paths.get(d2, "d.pdf"),
+      bad.getBytes(StandardCharsets.ISO_8859_1))
+    val e = intercept[Exception] { PdfSource.readText(spark, d2).count() }
+    assert((e.getMessage + Option(e.getCause).map(_.getMessage).mkString)
+      .contains("DecodeParms"), e.getMessage)
+  }
+
   test("simple-font mojibake NEVER ships silently: an unknown base " +
       "encoding name and an unmapped /Differences glyph both flip " +
       "decode_confident to false (the unmapped code shows as U+FFFD)") {
