@@ -124,6 +124,82 @@ object Bench {
   private[graft] val PipelineNames: Seq[String] =
     Seq("pretrain_curation", "target_selection")
 
+  /** The BOUNDED final stdout line (round-18, closes r17 What's-wrong
+    * #1): the "compact" tail line still carries `isolated` +
+    * `pipelines`, and on a contended box the mover rule can push 45+
+    * entries into `isolated` — r17's compact line outgrew the driver's
+    * 2 KB tail capture and front-truncated to garbage, leaving the
+    * round with `parsed: null`. This line is scalars ONLY — no maps,
+    * no lists that grow with the run — so its length is bounded by
+    * construction (< 500 bytes; unit-pinned in BenchSpec against a
+    * synthetic 100-failure run). It prints LAST, after the full and
+    * compact lines, so any tail capture ends on a complete, parseable
+    * JSON object carrying the figure of record. `failed` reports a
+    * count plus at most 3 names (each clipped to 40 chars); the full
+    * list lives in the compact/full lines and the exit code. */
+  private[graft] def briefLine(value: Double, totalCold: Double,
+      iters: Int, contended: Option[Boolean], contentionRatio: Option[Double],
+      failed: Seq[String], sfDir: String,
+      artifactSource: Option[String] = None,
+      currentTotal: Option[Double] = None): String = {
+    def r4(d: Double): String = BigDecimal(d)
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).bigDecimal.toPlainString
+    val failedPart =
+      s""","failed_count":${failed.size}""" + (
+        if (failed.isEmpty) ""
+        else failed.take(3).map(n => "\"" + n.take(40) + "\"")
+          .mkString(""","failed_sample":[""", ",", "]"))
+    val cont = contended.map(c => s""","contended":$c""").getOrElse("") +
+      contentionRatio.map(r => s""","contention_ratio":${r4(r)}""")
+        .getOrElse("")
+    val sub = artifactSource.map(s => s""","artifact_source":"$s"""")
+      .getOrElse("") +
+      currentTotal.map(t => s""","current_total":${r4(t)}""").getOrElse("")
+    s"""{"metric":"total","unit":"sec","bench_version":2,"iters":$iters""" +
+      s""","value":${r4(value)},"total_cold":${r4(totalCold)}""" +
+      cont + failedPart + sub + s""","sf":"$sfDir"}"""
+  }
+
+  /** History pruning (round-18, closes r17 next-step #5): since v3
+    * every full run appends its COMPLETE artifact (~5 KB), and the
+    * file rides in every commit — unbounded growth for data nothing
+    * reads. What the logic actually consumes: the newest
+    * [[HistoryDepth]] same-sf entries (mover detection + the
+    * contention tripwire's per-query min) and, for artifact-of-record
+    * substitution, quiet entries at the CURRENT committed src tree.
+    * Everything older is rewritten totals-only (sf/iters/version/
+    * contended/total/src kept; queries + artifact dropped) — the
+    * longitudinal total trend stays greppable, the file stays bounded.
+    * Other-sf, unparseable, and pre-v3 lines pass through untouched
+    * (conservative: never destroy what we don't model). Pure;
+    * unit-pinned in BenchSpec. */
+  private[graft] def pruneHistory(lines: Seq[String], sfDir: String,
+      curSrc: String, depth: Int = HistoryDepth): Seq[String] = {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val parsed = lines.map(l =>
+      l -> (try Option(om.readTree(l)) catch { case _: Throwable => None }))
+    val sameSf = parsed.zipWithIndex.collect {
+      case ((_, Some(n)), i) if n.path("sf").asText("") == sfDir &&
+        n.path("bench_version").asInt(0) >= 3 => i
+    }
+    val keepFull: Set[Int] = sameSf.takeRight(depth).toSet ++
+      sameSf.filter { i =>
+        val src = parsed(i)._2.get.path("src").asText("")
+        curSrc.nonEmpty && src == curSrc
+      }
+    parsed.zipWithIndex.map {
+      case ((_, Some(n)), i)
+          if sameSf.contains(i) && !keepFull.contains(i) &&
+            (n.has("queries") || n.has("artifact")) =>
+        val slim = om.createObjectNode()
+        Seq("sf", "iters", "bench_version", "contended", "total", "src")
+          .foreach(k => if (n.has(k)) slim.set[
+            com.fasterxml.jackson.databind.JsonNode](k, n.get(k)))
+        om.writeValueAsString(slim)
+      case ((line, _), _) => line
+    }
+  }
+
   /** The COMMITTED src tree's object hash (`git rev-parse HEAD:src`),
     * or "" when the working tree has uncommitted src changes / git is
     * unavailable — the scope key for [[bestQuietArtifact]]: only runs
@@ -361,7 +437,10 @@ object Bench {
         val om = new com.fasterxml.jackson.databind.ObjectMapper()
         java.nio.file.Files.readAllLines(histFile).asScala.reverseIterator
           .map(om.readTree)
-          .filter(n => n.get("sf") != null && n.get("sf").asText == sfDir)
+          .filter(n => n.get("sf") != null && n.get("sf").asText == sfDir &&
+            // totals-only pruned lines (see pruneHistory) carry no
+            // per-query map — they are trend lines, not baselines
+            n.hasNonNull("queries"))
           .take(HistoryDepth)
           .map { n =>
             n.get("queries").fields().asScala
@@ -571,16 +650,26 @@ object Bench {
     val srcStamp = if (fullRun) srcTreeStamp() else ""
     if (fullRun) {
       val om = new com.fasterxml.jackson.databind.ObjectMapper()
-      try java.nio.file.Files.write(histFile,
-        (s"""{"sf":"$sfDir","iters":$iters,"bench_version":3""" +
-          s""","contended":$contendedFlag,"total":${r4(total)}""" +
-          s""","src":"$srcStamp"""" +
-          s""","queries":$qs,"artifact":${om.writeValueAsString(full)}""" +
-          s""","artifact_tail":${om.writeValueAsString(tailObj)}}""" + "\n")
-          .getBytes("UTF-8"),
-        java.nio.file.StandardOpenOption.CREATE,
-        java.nio.file.StandardOpenOption.APPEND)
-      catch { case _: java.io.IOException => () }
+      try {
+        java.nio.file.Files.write(histFile,
+          (s"""{"sf":"$sfDir","iters":$iters,"bench_version":3""" +
+            s""","contended":$contendedFlag,"total":${r4(total)}""" +
+            s""","src":"$srcStamp"""" +
+            s""","queries":$qs,"artifact":${om.writeValueAsString(full)}""" +
+            s""","artifact_tail":${om.writeValueAsString(tailObj)}}""" + "\n")
+            .getBytes("UTF-8"),
+          java.nio.file.StandardOpenOption.CREATE,
+          java.nio.file.StandardOpenOption.APPEND)
+        // bound the file: strip artifacts/queries from entries nothing
+        // will read again (see pruneHistory) — AFTER the append so the
+        // current run is inside the depth window it prunes against
+        import scala.jdk.CollectionConverters._
+        val pruned = pruneHistory(
+          java.nio.file.Files.readAllLines(histFile).asScala.toSeq,
+          sfDir, srcStamp)
+        java.nio.file.Files.write(histFile,
+          (pruned.mkString("\n") + "\n").getBytes("UTF-8"))
+      } catch { case _: java.io.IOException => () }
     }
     // artifact-of-record selection (see bestQuietArtifact): the driver
     // captures the LAST run of a round — emit the round's quiet min
@@ -588,8 +677,8 @@ object Bench {
     // churn the last run picked up. The substituted artifact is marked
     // and carries the current total; this run's own line is already in
     // the history above, so nothing hides.
-    val printed: (String, String) =
-      if (!fullRun) (full, tailObj)
+    val printed: (String, String, Option[Double]) =
+      if (!fullRun) (full, tailObj, None)
       else try {
         import scala.jdk.CollectionConverters._
         bestQuietArtifact(
@@ -602,12 +691,32 @@ object Bench {
               "(current run is appended to history).")
             val mark = s""","artifact_source":"round_history_min"""" +
               s""","current_total":${r4(total)}"""
-            (af.dropRight(1) + mark + "}", at.dropRight(1) + mark + "}")
-          case None => (full, tailObj)
+            (af.dropRight(1) + mark + "}", at.dropRight(1) + mark + "}",
+              Some(bt))
+          case None => (full, tailObj, None)
         }
-      } catch { case _: Throwable => (full, tailObj) }
+      } catch { case _: Throwable => (full, tailObj, None) }
     println(printed._1)
     println(printed._2)
+    // the bounded figure-of-record line, LAST (see briefLine): value
+    // and contended describe the EMITTED artifact — the substituted
+    // quiet run when substitution fired (its own tail line carries its
+    // ratio), else the current run — so the three lines never disagree
+    val substituted = printed._3.isDefined
+    val curRatio = contentionRatio(
+      keyed.filter(_._4).filterNot(_._1.contains('#'))
+        .map(t => t._1 -> t._2).toMap,
+      minBaseline(history))
+    println(briefLine(
+      value = printed._3.getOrElse(total), totalCold = totalCold,
+      iters = iters,
+      contended =
+        if (substituted) Some(false)
+        else curRatio.map(_ => contendedFlag),
+      contentionRatio = if (substituted) None else curRatio,
+      failed = failed, sfDir = sfDir,
+      artifactSource = printed._3.map(_ => "round_history_min"),
+      currentTotal = printed._3.map(_ => total)))
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -117,4 +117,72 @@ class BenchSpec extends AnyFunSuite {
   test("pipeline registry: both committed example stage lists are named") {
     assert(Bench.PipelineNames == Seq("pretrain_curation", "target_selection"))
   }
+
+  test("briefLine is bounded (<500 bytes) no matter how the run went — " +
+      "the r17 failure was an unbounded 'compact' line outgrowing the " +
+      "driver's 2 KB tail capture") {
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    // worst case: 100 failed queries with long names, contended run,
+    // substitution fields present — everything that can appear at once
+    val manyFailed = (1 to 100).map(i =>
+      s"q_some_extremely_long_query_name_number_$i")
+    val worst = Bench.briefLine(
+      value = 12345.6789, totalCold = 23456.7891, iters = 10,
+      contended = Some(true), contentionRatio = Some(1.2756),
+      failed = manyFailed, sfDir = "/root/testdata/sf0.1",
+      artifactSource = Some("round_history_min"),
+      currentTotal = Some(99999.9999))
+    assert(worst.getBytes("UTF-8").length < 500,
+      s"briefLine is ${worst.length} bytes: $worst")
+    // and it is complete, parseable JSON carrying the scalars
+    val n = om.readTree(worst)
+    assert(n.get("value").asDouble() == 12345.6789)
+    assert(n.get("failed_count").asInt() == 100)
+    assert(n.get("failed_sample").size() == 3)
+    assert(n.get("contended").asBoolean())
+    assert(n.get("artifact_source").asText() == "round_history_min")
+    // the happy path carries no failure/substitution noise
+    val clean = Bench.briefLine(136.08, 210.0, 3, Some(false), Some(1.01),
+      Nil, "/root/testdata/sf0.1")
+    val cn = om.readTree(clean)
+    assert(cn.get("failed_count").asInt() == 0)
+    assert(!cn.has("failed_sample") && !cn.has("artifact_source"))
+    assert(clean.getBytes("UTF-8").length < 250)
+  }
+
+  test("pruneHistory strips artifacts outside the read window but keeps " +
+      "the depth window, current-tree entries, other-sf lines, and " +
+      "garbage untouched") {
+    def full(sf: String, total: Double, src: String): String =
+      s"""{"sf":"$sf","iters":3,"bench_version":3,"contended":false""" +
+        s""","total":$total,"src":"$src","queries":{"q_a":1.0}""" +
+        s""","artifact":"{}","artifact_tail":"{}"}"""
+    val sf = "/root/testdata/sf0.1"
+    val lines = Seq(
+      "not json at all",
+      full("/other/sf", 50.0, "tree-X"),   // other sf: untouched
+      full(sf, 200.0, "tree-old"),         // old, other tree → stripped
+      full(sf, 190.0, "tree-cur"),         // old but CURRENT tree → kept
+      full(sf, 180.0, "tree-old2"),        // inside depth-3 window → kept
+      full(sf, 170.0, "tree-old3"),
+      full(sf, 160.0, "tree-cur"))
+    val out = Bench.pruneHistory(lines, sf, "tree-cur", depth = 3)
+    assert(out.size == lines.size)
+    assert(out(0) == lines(0) && out(1) == lines(1))
+    val om = new com.fasterxml.jackson.databind.ObjectMapper()
+    val stripped = om.readTree(out(2))
+    assert(!stripped.has("queries") && !stripped.has("artifact"),
+      s"old other-tree entry should be totals-only: ${out(2)}")
+    assert(stripped.get("total").asDouble() == 200.0 &&
+      stripped.get("src").asText() == "tree-old")
+    // current-tree and window entries keep their artifacts
+    Seq(3, 4, 5, 6).foreach(i => assert(om.readTree(out(i)).has("artifact"),
+      s"line $i should keep its artifact"))
+    // idempotent: pruning the pruned output is a no-op
+    assert(Bench.pruneHistory(out, sf, "tree-cur", depth = 3) == out)
+    // a dirty tree ("" src) still prunes by window alone
+    val dirty = Bench.pruneHistory(lines, sf, "", depth = 3)
+    assert(!om.readTree(dirty(3)).has("artifact"),
+      "with no current tree, only the depth window keeps artifacts")
+  }
 }
