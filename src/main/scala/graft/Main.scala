@@ -73,7 +73,7 @@ object Main {
                             bins: Int, categorical: Boolean,
                             sourceOptions: Map[String, String],
                             logLevel: String) extends Cmd
-  final case class CdxHostCmd(archive: String, host: String,
+  final case class CdxHostCmd(archives: Seq[String], host: String,
       out: Option[String], logLevel: String) extends Cmd
   final case class StripExifCmd(source: String, target: String,
                                 flagsOut: Option[String],
@@ -139,12 +139,13 @@ object Main {
       |                               JPEG media rows — GPS/serial PII
       |                               hygiene; --flags also writes the
       |                               per-image has_gps/has_serial report)
-      |       graft cdx-host <ARCHIVE> <HOST> [--out TARGET]
+      |       graft cdx-host <ARCHIVE>... <HOST> [--out TARGET]
       |                               (bounds-pruned CDX host lookup over
-      |                               a cdx-indexed WARC archive: ranged
-      |                               point fetches, no shard scan; --out
-      |                               writes the text shape, else a
-      |                               summary table prints)
+      |                               one or more cdx-indexed WARC
+      |                               archives, e.g. a week of dailies:
+      |                               ranged point fetches, no shard
+      |                               scan; --out writes the text shape,
+      |                               else a summary table prints)
       |
       |Options:
       |  --transform <EXPRESSIONS>   Inline transforms, e.g. "c=row.a * 2; u=string.upper(row.b)"
@@ -624,12 +625,14 @@ object Main {
         case v :: t => pos = pos :+ v; chloop(t)
       }
       chloop(rest)
-      val (archive, host) = pos match {
-        case a :: h :: Nil => (a, h)
+      // several day archives compose (sidecar-list union): every
+      // positional but the last is an archive, the last is the host
+      val (archives, host) = pos match {
+        case ps if ps.size >= 2 => (ps.init, ps.last)
         case _ => throw GraftError.Configuration(
-          "cdx-host needs ARCHIVE HOST")
+          "cdx-host needs ARCHIVE... HOST")
       }
-      CdxHostCmd(archive, host, out, chLogLevel)
+      CdxHostCmd(archives, host, out, chLogLevel)
     case "topk" :: rest =>
       var source: Option[String] = None
       var groups = Seq.empty[String]
@@ -1440,7 +1443,7 @@ object Main {
     val spark = session(ch.logLevel)
     try {
       import org.apache.spark.sql.functions._
-      val recs = graft.sources.CdxIndex.lookupHost(spark, ch.archive, ch.host)
+      val recs = graft.sources.CdxIndex.lookupHost(spark, ch.archives, ch.host)
       val text = recs.select(
         col("target_uri"), col("warc_date"), col("http_status"),
         graft.sources.WarcSource.textCol.as("text"))
@@ -1458,7 +1461,7 @@ object Main {
             val head = text.orderBy("target_uri").limit(20)
               .select(col("target_uri"), col("warc_date"), col("http_status"),
                 substring(col("text"), 1, 40).as("text_head"))
-            println(s"\ncdx-host ${ch.host} over ${ch.archive}:")
+            println(s"\ncdx-host ${ch.host} over ${ch.archives.mkString(", ")}:")
             println(graft.engine.PreviewFormat.dataTable(head.columns.toSeq,
               head.collect()))
             println(s"${text.count()} records")

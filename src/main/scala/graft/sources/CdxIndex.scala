@@ -120,11 +120,30 @@ object CdxIndex {
   /** Reads every `part-*.cdx` sidecar under `path` into one
     * DataFrame of [[CdxEntry]] rows ("file" = the WARC shard the
     * offsets address). */
-  def read(spark: SparkSession, path: String): DataFrame = {
-    val sidecars = listSidecars(path)
+  def read(spark: SparkSession, path: String): DataFrame =
+    read(spark, Seq(path))
+
+  /** Multi-archive form (round-18): a week of daily crawls is N
+    * separate archive directories, each with its own sidecar set — a
+    * lookup over the whole window is the UNION of the sidecar lists
+    * (entry `file` paths are absolute, so [[fetch]] needs no change,
+    * and bounds pruning composes per-sidecar). Every lookup verb has a
+    * `Seq[String]` overload riding on this. */
+  def read(spark: SparkSession, paths: Seq[String]): DataFrame = {
+    val sidecars = listSidecarsMulti(paths)
     val rdd = spark.sparkContext.parallelize(sidecars, sidecars.size)
       .flatMap(f => sidecarEntries(f))
     spark.createDataset(rdd)(Encoders.product[CdxEntry]).toDF()
+  }
+
+  /** Union of per-archive sidecar lists, order-stable (archives in the
+    * order given, sidecars sorted within each). Loud per archive when
+    * one has no index — a silent empty union would "resolve" every
+    * lookup to zero rows. */
+  private def listSidecarsMulti(paths: Seq[String]): Seq[String] = {
+    if (paths.isEmpty)
+      throw GraftError.Configuration("no archive paths given")
+    paths.flatMap(listSidecars)
   }
 
   private def listSidecars(path: String): Seq[String] = {
@@ -181,9 +200,9 @@ object CdxIndex {
     * scanning would mask a write-path bug, silently skipping would
     * drop records). The prefix filter also runs task-side so
     * non-matching rows never ship. */
-  private def readPrefix(spark: SparkSession, path: String,
+  private def readPrefix(spark: SparkSession, paths: Seq[String],
                          prefix: String): DataFrame = {
-    val sidecars = listSidecars(path)
+    val sidecars = listSidecarsMulti(paths)
     val rdd = spark.sparkContext.parallelize(sidecars, sidecars.size)
       .flatMap { f =>
         val cfs = FileSystem.get(java.net.URI.create(f), new Configuration())
@@ -276,12 +295,41 @@ object CdxIndex {
       Encoders.product[WarcSource.WarcRecord]).toDF()
   }
 
+  /** Row bound under which a lookup/hint frame broadcasts; above it
+    * the joins fall back to shuffled equi-joins (AQE picks the
+    * physical strategy). 1M URI rows ≈ tens of MB — comfortably inside
+    * the driver/broadcast budget; a crawl-scale revisit set (a large
+    * fraction of the whole crawl) is orders beyond it and would OOM
+    * the driver or trip the 8 GB broadcast ceiling (r17 What's-wrong
+    * #2). Overridable per-session via `graft.cdx.broadcastRowBound`
+    * (how the units pin BOTH join shapes without building 1M rows). */
+  private[sources] val BroadcastRowBoundDefault = 1000000L
+
+  private def broadcastRowBound(spark: SparkSession): Long =
+    try spark.conf.get("graft.cdx.broadcastRowBound",
+      BroadcastRowBoundDefault.toString).toLong
+    catch { case _: NumberFormatException => BroadcastRowBoundDefault }
+
   /** Index-driven lookup: CDX scan → URI filter → ranged fetches.
-    * `uris` is any frame with a `uri` column (broadcast onto the
-    * sidecar scan — a lookup set is small by definition). */
+    * `uris` is any frame with a `uri` column. A lookup set is USUALLY
+    * small — those broadcast onto the sidecar scan — but the revisit
+    * path feeds crawl-scale frames through here, so the shape is
+    * size-guarded: the deduped URI set is localCheckpointed (it is
+    * consumed twice — count + join — and upstream is often a WARC
+    * scan worth not re-running), counted, and only broadcast under
+    * [[BroadcastRowBoundDefault]]; above the bound the filter is a
+    * plain shuffled equi-join with no driver-side ceiling. */
   def lookup(spark: SparkSession, path: String, uris: DataFrame): DataFrame =
-    fetch(read(spark, path)
-      .join(broadcast(uris.select(col("uri")).distinct()), Seq("uri")))
+    lookup(spark, Seq(path), uris)
+
+  def lookup(spark: SparkSession, paths: Seq[String],
+             uris: DataFrame): DataFrame = {
+    val slim = uris.select(col("uri")).distinct().localCheckpoint(true)
+    fetch(read(spark, paths).join(
+      if (slim.count() <= broadcastRowBound(spark)) broadcast(slim)
+      else slim,
+      Seq("uri")))
+  }
 
   /** SURT-prefix range lookup: every record whose SURT key starts with
     * `surtPrefix`, point-fetched. This is the scan the SURT sort order
@@ -295,7 +343,11 @@ object CdxIndex {
     * and a single host touches a handful of shards. */
   def lookupPrefix(spark: SparkSession, path: String,
                    surtPrefix: String): DataFrame =
-    fetch(readPrefix(spark, path, surtPrefix))
+    lookupPrefix(spark, Seq(path), surtPrefix)
+
+  def lookupPrefix(spark: SparkSession, paths: Seq[String],
+                   surtPrefix: String): DataFrame =
+    fetch(readPrefix(spark, paths, surtPrefix))
 
   /** Host convenience over [[lookupPrefix]]: everything archived for
     * `host` itself (default ports). The closing paren scopes the match
@@ -306,17 +358,21 @@ object CdxIndex {
     * directly (accepting the documented lookalike risk) . The leading
     * `www.` drop mirrors the write-side transform. */
   def lookupHost(spark: SparkSession, path: String,
+                 host: String): DataFrame =
+    lookupHost(spark, Seq(path), host)
+
+  def lookupHost(spark: SparkSession, paths: Seq[String],
                  host: String): DataFrame = {
     val h0 = host.toLowerCase
     val h = if (h0.startsWith("www.")) h0.substring(4) else h0
-    lookupPrefix(spark, path, h.split('.').reverse.mkString(",") + ")")
+    lookupPrefix(spark, paths, h.split('.').reverse.mkString(",") + ")")
   }
 
   /** Resolves `revisit` records to their ORIGINAL captures' text — the
     * other half of the revisit machinery: [[WarcSource.revisitHints]]
     * DROPS a revisit-marked re-crawl without hashing a byte, and this
     * join recovers the content the crawler said it re-fetched, via the
-    * original archive's CDX index (one broadcast URI join + ranged
+    * original archive's CDX index (a size-guarded URI join + ranged
     * point fetches — no shard scan, no re-hash).
     *
     * `hints` is the revisitHints frame of the NEW crawl; `archivePath`
@@ -331,18 +387,39 @@ object CdxIndex {
     * Revisits whose referenced record is absent from the archive drop
     * (inner join); diff the row counts to audit dangling pointers. */
   def resolveRevisits(spark: SparkSession, archivePath: String,
+                      hints: DataFrame): DataFrame =
+    resolveRevisits(spark, Seq(archivePath), hints)
+
+  /** Multi-archive + scale-guarded form (round-18, closes r17
+    * What's-wrong #2): a real re-crawl's revisit volume is a large
+    * FRACTION of the crawl, not a lookup set — forced broadcasts of
+    * the hints frame would OOM the driver or trip the 8 GB broadcast
+    * ceiling. The hints frame is localCheckpointed once (it feeds
+    * both the URI filter and the join back, and its upstream is a
+    * WARC scan worth not re-running), counted, and both joins
+    * broadcast only under the row bound
+    * ([[BroadcastRowBoundDefault]]); above it they run as plain
+    * shuffled equi-joins on `uri`/`refers_to` (AQE-decided physical
+    * strategy, no driver-side ceiling). Same results either way —
+    * both joins are equi-joins. Several day archives compose: the
+    * sidecar union rides [[read]]'s multi-path form, and `refers_to`
+    * pinning keeps resolution exact even when a URI recurs across
+    * days. */
+  def resolveRevisits(spark: SparkSession, archivePaths: Seq[String],
                       hints: DataFrame): DataFrame = {
     val h = hints.select(
       col("record_id").as("revisit_record_id"),
       col("target_uri").as("uri"),
       col("warc_date").as("revisit_date"),
       col("refers_to"), col("payload_digest"))
-    val originals = lookup(spark, archivePath, h.select(col("uri")))
+      .localCheckpoint(true)
+    val small = h.count() <= broadcastRowBound(spark)
+    val originals = lookup(spark, archivePaths, h.select(col("uri")))
     originals.select(
         col("record_id").as("refers_to"),
         col("warc_date").as("original_date"),
         WarcSource.textCol.as("text"))
-      .join(broadcast(h), Seq("refers_to"))
+      .join(if (small) broadcast(h) else h, Seq("refers_to"))
       .select(col("revisit_record_id"), col("uri").as("target_uri"),
         col("revisit_date"), col("refers_to"), col("payload_digest"),
         col("original_date"), col("text"))

@@ -1615,8 +1615,13 @@ class CliSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     val c = parse(List("cdx-host", "arch/", "h1.test",
       "--out", "o.parquet")).asInstanceOf[CdxHostCmd]
-    assert(c.archive == "arch/" && c.host == "h1.test" &&
+    assert(c.archives == Seq("arch/") && c.host == "h1.test" &&
       c.out.contains("o.parquet"))
+    // several day archives: every positional but the last
+    val cm = parse(List("cdx-host", "day1/", "day2/", "day3/", "h1.test"))
+      .asInstanceOf[CdxHostCmd]
+    assert(cm.archives == Seq("day1/", "day2/", "day3/") &&
+      cm.host == "h1.test")
     intercept[GraftError.Configuration](parse(List("cdx-host", "arch/")))
     intercept[GraftError.Configuration](
       parse(List("cdx-host", "a", "h", "--bogus")))
@@ -1640,6 +1645,21 @@ class CliSpec extends SparkSpec {
     assert(printed.contains("body 1") && printed.contains("body 10") &&
       printed.contains("body 4") && printed.contains("body 7"), printed)
     assert(!printed.contains("h0.test"), printed)
+
+    // multi-archive: a second "day" unions its sidecar set in
+    val dir2 = tmpDir("cli_cdx_host_day2")
+    graft.sources.WarcSource.write(
+      Seq(("http://h1.test/p/new", "body new")).toDF("uri", "payload"),
+      dir2, "uri", "payload", cdxIndex = true)
+    val out2 = new java.io.ByteArrayOutputStream()
+    val rcm = Console.withOut(new java.io.PrintStream(out2, true, "UTF-8")) {
+      runCdxHost(parse(List("cdx-host", dir, dir2, "h1.test"))
+        .asInstanceOf[CdxHostCmd])
+    }
+    assert(rcm == 0)
+    val printed2 = out2.toString("UTF-8")
+    assert(printed2.contains("5 records"), printed2)
+    assert(printed2.contains("body new"), printed2)
 
     val tgt = s"${tmpDir("cli_cdx_out")}/h1.parquet"
     val quiet = new java.io.PrintStream(

@@ -371,6 +371,92 @@ class WarcSpec extends SparkSpec {
     assert(CdxIndex.resolveRevisits(spark, day1, dangling).count() == 0)
   }
 
+  test("resolveRevisits size guard: hints under the row bound broadcast, " +
+      "over it the join back runs shuffled (no driver-side ceiling) — " +
+      "same results either way (the r17 scale flag)") {
+    import spark.implicits._
+    val day1 = tmpDir("warc_guard_day1")
+    WarcSource.write(Seq(
+        ("http://g.test/a", "alpha body"), ("http://g.test/b", "beta body"))
+        .toDF("uri", "payload"),
+      day1, "uri", "payload", cdxIndex = true)
+    val origIds = WarcSource.read(spark, day1)
+      .filter(col("warc_type") === "response")
+      .select("target_uri", "record_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val hints = Seq(
+      ("<urn:uuid:rev-a>", "http://g.test/a", "2026-01-02T00:00:00Z",
+        origIds("http://g.test/a"), "sha1:AAA"),
+      ("<urn:uuid:rev-b>", "http://g.test/b", "2026-01-02T00:00:00Z",
+        origIds("http://g.test/b"), "sha1:BBB"))
+      .toDF("record_id", "target_uri", "warc_date", "refers_to",
+        "payload_digest")
+    def hinted(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+    // under the bound (default 1M): the join back carries the
+    // broadcast hint
+    val small = CdxIndex.resolveRevisits(spark, day1, hints)
+    assert(hinted(small).contains("broadcast"),
+      s"expected a broadcast hint in:\n${hinted(small)}")
+    val smallRows = small.select("revisit_record_id", "refers_to", "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    // over the bound (forced via the session conf): NO broadcast hint
+    // anywhere in the plan — the equi-join shuffles, AQE picks the
+    // physical strategy — and the results are identical
+    spark.conf.set("graft.cdx.broadcastRowBound", "0")
+    try {
+      val big = CdxIndex.resolveRevisits(spark, day1, hints)
+      assert(!hinted(big).contains("broadcast"),
+        s"guarded path must not broadcast:\n${hinted(big)}")
+      val bigRows = big.select("revisit_record_id", "refers_to", "text")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .toSet
+      assert(bigRows == smallRows && bigRows.size == 2, s"got $bigRows")
+      // the guarded lookup leg returns the same records too
+      val looked = CdxIndex.lookup(spark, day1,
+        Seq("http://g.test/a").toDF("uri"))
+      assert(looked.select("target_uri").collect()
+        .map(_.getString(0)).toSeq == Seq("http://g.test/a"))
+    } finally spark.conf.unset("graft.cdx.broadcastRowBound")
+  }
+
+  test("multi-archive lookup/resolve: a week of day archives composes " +
+      "by sidecar-list union — originals split across days both " +
+      "resolve, and lookupHost unions the days' records") {
+    import spark.implicits._
+    val dayA = tmpDir("warc_multi_dayA")
+    val dayB = tmpDir("warc_multi_dayB")
+    WarcSource.write(Seq(("http://m.test/a", "day A body"))
+      .toDF("uri", "payload"), dayA, "uri", "payload", cdxIndex = true)
+    WarcSource.write(Seq(("http://m.test/b", "day B body"))
+      .toDF("uri", "payload"), dayB, "uri", "payload", cdxIndex = true)
+    def ids(d: String) = WarcSource.read(spark, d)
+      .filter(col("warc_type") === "response")
+      .select("target_uri", "record_id").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    val origIds = ids(dayA) ++ ids(dayB)
+    val hints = Seq(
+      ("<urn:uuid:rev-a>", "http://m.test/a", "2026-01-08T00:00:00Z",
+        origIds("http://m.test/a"), "sha1:AAA"),
+      ("<urn:uuid:rev-b>", "http://m.test/b", "2026-01-08T00:00:00Z",
+        origIds("http://m.test/b"), "sha1:BBB"))
+      .toDF("record_id", "target_uri", "warc_date", "refers_to",
+        "payload_digest")
+    val resolved = CdxIndex.resolveRevisits(spark, Seq(dayA, dayB), hints)
+      .select("target_uri", "text").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(resolved == Map("http://m.test/a" -> "day A body",
+      "http://m.test/b" -> "day B body"), s"got $resolved")
+    // host lookup over the union sees both days' captures
+    val host = CdxIndex.lookupHost(spark, Seq(dayA, dayB), "m.test")
+      .select("target_uri").collect().map(_.getString(0)).toSet
+    assert(host == Set("http://m.test/a", "http://m.test/b"))
+    // an empty path list is loud, not an empty union
+    intercept[graft.core.GraftError.Configuration](
+      CdxIndex.read(spark, Seq.empty[String]).count())
+  }
+
   test("record ids are globally unique even when one URI repeats in a " +
       "batch (re-crawl), and stay deterministic across re-runs") {
     import spark.implicits._
