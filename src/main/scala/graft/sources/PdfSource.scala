@@ -78,7 +78,11 @@ import graft.core.GraftError
   *    ancestor (§7.7.3.4);
   *  - inline images (`BI … EI`) are skipped; structural damage (no
   *    `%PDF` header, unbalanced dict, truncated stream) is loud with
-  *    the file name.
+  *    the file name; an ENCRYPTED file (§7.6 `/Encrypt` in either
+  *    trailer spelling) is rejected up front with a typed error
+  *    naming encryption — its streams are ciphertext, and letting
+  *    them reach the inflater produced a misleading "stream corrupt"
+  *    that blamed the file.
   *
   * Write semantics (`write`: one `<name>.pdf` per row; the fixture and
   * export path): minimal spec-compliant files — catalog, page tree,
@@ -389,8 +393,15 @@ object PdfSource {
         Some((Array.tabulate(256)(_.toChar.toString), true))
       case _ => Some((Array.tabulate(256)(_.toChar.toString), false))
     }
+    val encRef = dictRefs(fontDict, "/Encoding").headOption
+    // a DANGLING indirect /Encoding (the ref exists, the object
+    // doesn't) is declared-but-unreadable: decode Latin-1 UNCONFIDENT,
+    // matching the Type0 missing-ToUnicode policy — falling through to
+    // the no-/Encoding branch would ship confident mojibake
+    if (encRef.isDefined && !objs.contains(encRef.get))
+      return (Some(Array.tabulate(256)(_.toChar.toString)), false)
     val encVal: Option[String] =
-      dictRefs(fontDict, "/Encoding").headOption.flatMap(objs.get)
+      encRef.flatMap(objs.get)
         .map(_.dict).orElse(inlineDict(fontDict, "/Encoding", file))
     encVal match {
       case Some(ed) if ed.startsWith("<<") =>
@@ -420,6 +431,13 @@ object PdfSource {
                     case None => table(code) = "�"; ok = false
                   }
                   code += 1
+                } else {
+                  // a glyph name with no valid slot — consecutive
+                  // assignment ran past code 255, or it follows a bad
+                  // integer (code -1): the glyph is UNMAPPED, which is
+                  // exactly the condition encConfident exists to
+                  // surface — never skip it silently
+                  ok = false
                 }
               }
           }
@@ -620,7 +638,45 @@ object PdfSource {
     }
     if (out.isEmpty)
       throw GraftError.DataTransfer(s"$file: no PDF objects found")
+    // BEFORE ObjStm expansion: an encrypted PDF's streams are
+    // ciphertext, and inflating one dies with a misleading
+    // "FlateDecode stream corrupt" that blames the file — name the
+    // real cause first
+    detectEncrypt(s, out, file)
     expandObjStm(out, file)
+  }
+
+  /** Loud, typed rejection of encrypted PDFs (ISO 32000-1 §7.6): the
+    * `/Encrypt` entry lives in the file trailer dictionary — the
+    * classic `trailer << … >>` form and/or the xref-STREAM trailer
+    * (`/Type /XRef` dict, §7.5.8.2, which "contains the entries of
+    * the trailer dictionary"). Both spellings are checked; content
+    * strings never false-positive because only trailer/XRef dicts are
+    * examined, not the body. Without the (RC4/AES) decryption layer
+    * every stream is ciphertext and every literal string garbage, so
+    * extraction cannot proceed — and silently emitting mojibake or
+    * blaming "stream corrupt" are exactly the failure modes this
+    * reader bans. */
+  private[sources] def detectEncrypt(s: String, top: Map[Int, Obj],
+                                     file: String): Unit = {
+    def loud(): Nothing = throw GraftError.DataTransfer(
+      s"$file: PDF is encrypted (/Encrypt in the trailer) — encrypted " +
+        "PDFs are not supported; decrypt upstream (e.g. `qpdf " +
+        "--decrypt`) before text extraction")
+    val encKey = """/Encrypt(?![A-Za-z0-9])""".r
+    var t = s.indexOf("trailer")
+    while (t >= 0) {
+      val lt = s.indexOf("<<", t)
+      if (lt >= 0 &&
+        encKey.findFirstIn(
+          s.substring(lt, balancedDictEnd(s, lt, file, 0))).isDefined)
+        loud()
+      t = s.indexOf("trailer", t + "trailer".length)
+    }
+    top.valuesIterator.foreach { o =>
+      if (o.stream != null && hasName(o.dict, "/Type", "/XRef") &&
+        encKey.findFirstIn(o.dict).isDefined) loud()
+    }
   }
 
   /** Indexes the members of every `/Type /ObjStm` compressed object
@@ -802,10 +858,12 @@ object PdfSource {
     * applied AFTER the filter chain ([[applyPredictor]] — per §7.4.4.4
     * the predictor post-processes the decompressed bytes; with an
     * array chain it belongs to the final decompression filter, the
-    * only place real writers put one). `/DecodeParms` given as an
-    * INDIRECT reference resolves through `objs` (a dangling ref is
-    * LOUD — silently skipping the parms would ship every row of a
-    * predicted stream as garbage). Anything else (the image codecs
+    * only place real writers put one). `/DecodeParms` resolves through
+    * [[decodeParmsFor]] — inline dict, indirect ref, or the ARRAY form
+    * aligned with the filter chain; dangling refs and a predictor on a
+    * NON-final array entry are LOUD (silently skipping or misplacing
+    * the parms would ship every row of a predicted stream as
+    * garbage). Anything else (the image codecs
     * /DCTDecode, /JBIG2Decode, /CCITTFaxDecode, /JPXDecode — pixels,
     * not text, under any decoding) is a LOUD error: passing them
     * through would hand the caller silently-garbled data, the one
@@ -825,13 +883,73 @@ object PdfSource {
     val decoded = filters.foldLeft(o.stream) { (data, f) =>
       applyFilter(f, data, file, num)
     }
-    val parmsText = dictRefs(o.dict, "/DecodeParms").headOption match {
-      case Some(r) => objs.getOrElse(r, throw GraftError.DataTransfer(
-        s"$file: object $num /DecodeParms $r 0 R references a missing " +
-          "object — cannot know whether the stream is row-predicted")).dict
-      case None => o.dict
+    applyPredictor(decodeParmsFor(o.dict, objs, file, num), decoded,
+      file, num)
+  }
+
+  /** The decode-parms dict TEXT whose `/Predictor` (if any) applies to
+    * the stream. Three spellings (§7.4.1): an inline dict / single
+    * indirect ref (the parms text resolves directly — a dangling ref
+    * is LOUD), or an ARRAY aligned with the `/Filter` array — parsed
+    * entry-by-entry (`<<…>>`, `null`, or `N G R`, each resolved). The
+    * predictor post-processes the DECOMPRESSED bytes, so this reader
+    * supports it only on the FINAL filter — where real writers put it;
+    * an array that attaches `/Predictor` to a NON-final entry is a
+    * LOUD error (applying it after the whole chain would silently
+    * garble every row — the r17 first-ref-wins textual scan did
+    * exactly that). Package-private so units drive each spelling. */
+  private[sources] def decodeParmsFor(dict: String, objs: Map[Int, Obj],
+      file: String, num: Int): String = {
+    def missing(r: Int): Nothing = throw GraftError.DataTransfer(
+      s"$file: object $num /DecodeParms $r 0 R references a missing " +
+        "object — cannot know whether the stream is row-predicted")
+    """/DecodeParms\s*\[""".r.findFirstMatchIn(dict) match {
+      case Some(m) =>
+        val entries = scala.collection.mutable.ArrayBuffer.empty[String]
+        val ref = java.util.regex.Pattern.compile("""(\d+)\s+\d+\s+R""")
+        var p = m.end
+        var done = false
+        while (!done) {
+          p = skipWs(dict, p)
+          if (p >= dict.length) throw GraftError.DataTransfer(
+            s"$file: object $num /DecodeParms array never closes")
+          if (dict.charAt(p) == ']') done = true
+          else if (dict.startsWith("<<", p)) {
+            val e = balancedDictEnd(dict, p, file, num)
+            entries += dict.substring(p, e); p = e
+          } else if (dict.startsWith("null", p)) {
+            entries += ""; p += 4
+          } else {
+            val rm = ref.matcher(dict)
+            rm.region(p, dict.length)
+            if (rm.lookingAt()) {
+              val rn = rm.group(1).toInt
+              entries += objs.getOrElse(rn, missing(rn)).dict
+              p = rm.end()
+            } else throw GraftError.DataTransfer(
+              s"$file: object $num /DecodeParms array entry " +
+                s"'${dict.substring(p, math.min(p + 20, dict.length))}' " +
+                "is not a dict, null, or indirect reference")
+          }
+        }
+        if (entries.isEmpty) ""
+        else {
+          entries.init.zipWithIndex.foreach { case (e, i) =>
+            if (dictInt(e, "/Predictor").exists(_ > 1))
+              throw GraftError.DataTransfer(
+                s"$file: object $num /DecodeParms attaches /Predictor " +
+                  s"to non-final filter entry ${i + 1} of " +
+                  s"${entries.size} — only a final-filter predictor is " +
+                  "supported (any other placement would garble rows)")
+          }
+          entries.last
+        }
+      case None =>
+        dictRefs(dict, "/DecodeParms").headOption match {
+          case Some(r) => objs.getOrElse(r, missing(r)).dict
+          case None => dict
+        }
     }
-    applyPredictor(parmsText, decoded, file, num)
   }
 
   /** Undoes `/Predictor` row filtering (ISO 32000-1 §7.4.4.4): 2 =

@@ -955,4 +955,115 @@ class PdfSpec extends SparkSpec {
     assert((e4.getMessage + Option(e4.getCause).map(_.getMessage).mkString)
       .contains("path-safe"), e4.getMessage)
   }
+
+  private def allMsg(e: Throwable): String =
+    e.getMessage + Option(e.getCause).map(_.getMessage).mkString
+
+  test("a DANGLING indirect /Encoding decodes Latin-1 UNCONFIDENT — " +
+      "declared-but-unreadable, same policy as a Type0 missing its " +
+      "ToUnicode (it used to fall through to confident no-/Encoding)") {
+    val dir = tmpDir("pdf_enc_dangling")
+    // '/Encoding 9 0 R' with NO object 9 anywhere
+    Files.write(Paths.get(dir, "d.pdf"), simpleFontPdf("9 0 R", "(AB)"))
+    val got = PdfSource.readText(spark, dir).collect().head
+    assert(got.getString(2) == "AB", s"got '${got.getString(2)}'")
+    assert(!got.getBoolean(3),
+      "a dangling /Encoding ref must flip decode_confident")
+  }
+
+  test("/Differences names running past code 255 by consecutive " +
+      "assignment flag unconfident instead of dropping silently — " +
+      "the glyph is unmapped, which is what the flag exists for") {
+    val dir = tmpDir("pdf_diff_overrun")
+    // 255 -> eacute; /bullet would land on code 256: unmappable
+    Files.write(Paths.get(dir, "o.pdf"), simpleFontPdf(
+      "<< /Differences [255 /eacute /bullet] >>", "<FF41>"))
+    val got = PdfSource.readText(spark, dir).collect().head
+    assert(got.getString(2) == "éA", s"got '${got.getString(2)}'")
+    assert(!got.getBoolean(3),
+      "an overrun /Differences glyph must flip the flag")
+  }
+
+  test("a /DecodeParms ARRAY aligns with the /Filter chain: a " +
+      "final-entry predictor applies (null slots skip), a ref entry " +
+      "resolves, and a NON-final predictor is LOUD instead of " +
+      "silently misapplied after the whole chain") {
+    val rowLen = 10
+    val body = "decode parms array rows"
+    val content0 = s"BT ($body) Tj ET"
+    val content = content0 + " " * ((rowLen - content0.length % rowLen)
+      % rowLen)
+    val filtered = pngPredict(
+      content.getBytes(StandardCharsets.ISO_8859_1), rowLen)
+    // decode order [/ASCII85Decode /FlateDecode]: encode as
+    // a85(deflate(predicted))
+    val enc = a85(deflate(filtered))
+    val d1 = tmpDir("pdf_parms_array")
+    Files.write(Paths.get(d1, "a.pdf"), onePagePdf(
+      "/Filter [/ASCII85Decode /FlateDecode] " +
+        s"/DecodeParms [null <</Predictor 12 /Columns $rowLen>>]", enc))
+    assert(PdfSource.readText(spark, d1).collect().head.getString(2)
+      == body)
+    // a REF entry in the array resolves through the object index
+    val d2 = tmpDir("pdf_parms_array_ref")
+    val withRef = new String(onePagePdf(
+      "/Filter [/ASCII85Decode /FlateDecode] /DecodeParms [null 5 0 R]",
+      enc), StandardCharsets.ISO_8859_1)
+      .replace("trailer <<",
+        s"5 0 obj << /Predictor 12 /Columns $rowLen >> endobj\ntrailer <<")
+    Files.write(Paths.get(d2, "r.pdf"),
+      withRef.getBytes(StandardCharsets.ISO_8859_1))
+    assert(PdfSource.readText(spark, d2).collect().head.getString(2)
+      == body)
+    // predictor attached to the NON-final filter: loud, names it
+    val d3 = tmpDir("pdf_parms_nonfinal")
+    Files.write(Paths.get(d3, "n.pdf"), onePagePdf(
+      "/Filter [/ASCII85Decode /FlateDecode] " +
+        s"/DecodeParms [<</Predictor 12 /Columns $rowLen>> null]", enc))
+    val e = intercept[Exception] { PdfSource.readText(spark, d3).count() }
+    assert(allMsg(e).contains("non-final"), allMsg(e))
+    // a dangling ref inside the array stays loud too
+    val d4 = tmpDir("pdf_parms_array_dangling")
+    Files.write(Paths.get(d4, "g.pdf"), onePagePdf(
+      "/Filter [/ASCII85Decode /FlateDecode] /DecodeParms [null 9 0 R]",
+      enc))
+    val e2 = intercept[Exception] { PdfSource.readText(spark, d4).count() }
+    assert(allMsg(e2).contains("missing"), allMsg(e2))
+  }
+
+  test("an ENCRYPTED PDF is rejected with a typed error naming " +
+      "encryption — both trailer spellings — instead of the misleading " +
+      "'FlateDecode stream corrupt' it used to die with") {
+    // classic trailer carrying /Encrypt
+    val d1 = tmpDir("pdf_encrypt_classic")
+    val classic = new String(simpleFontPdf("/WinAnsiEncoding", "(AB)"),
+      StandardCharsets.ISO_8859_1)
+      .replace("trailer << /Size 10 /Root 1 0 R >>",
+        "trailer << /Size 10 /Root 1 0 R /Encrypt 9 0 R >>")
+    Files.write(Paths.get(d1, "e.pdf"),
+      classic.getBytes(StandardCharsets.ISO_8859_1))
+    val e1 = intercept[Exception] { PdfSource.readText(spark, d1).count() }
+    assert(allMsg(e1).contains("encrypted"), allMsg(e1))
+    assert(!allMsg(e1).contains("corrupt"), allMsg(e1))
+    // xref-STREAM trailer (/Type /XRef dict holds the trailer entries)
+    val d2 = tmpDir("pdf_encrypt_xrefstream")
+    val xref = "%PDF-1.5\n" +
+      "1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n" +
+      "2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n" +
+      "3 0 obj << /Type /Page /Contents 4 0 R >> endobj\n" +
+      "4 0 obj << /Length 13 >>\nstream\nBT (x) Tj ET\nendstream\nendobj\n" +
+      "6 0 obj << /Type /XRef /Size 7 /W [1 1 1] /Root 1 0 R " +
+      "/Encrypt 9 0 R /Length 0 >>\nstream\n\nendstream\nendobj\n" +
+      "startxref\n0\n%%EOF\n"
+    Files.write(Paths.get(d2, "x.pdf"),
+      xref.getBytes(StandardCharsets.ISO_8859_1))
+    val e2 = intercept[Exception] { PdfSource.readText(spark, d2).count() }
+    assert(allMsg(e2).contains("encrypted"), allMsg(e2))
+    // an un-encrypted sibling with the same shapes still reads fine
+    val d3 = tmpDir("pdf_encrypt_none")
+    Files.write(Paths.get(d3, "p.pdf"),
+      simpleFontPdf("/WinAnsiEncoding", "(AB)"))
+    assert(PdfSource.readText(spark, d3).collect().head.getString(2)
+      == "AB")
+  }
 }
