@@ -31,5 +31,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Default heap sized to the box (guide §5 / SCALING.md round-10
+  // finding 1: memory PER CORE is the knob — 2 GiB/core restored the
+  // linear curve where 256 MiB/core fell off a 2.6× cliff). The old
+  // 8g default on local[32] was 256 MiB/core; 24g = 768 MiB/core on a
+  // 128 GiB box, measured −15.8% on the full sf0.1 bench (161.2 →
+  // 135.7 s, same box, back-to-back). A cluster deployment sizes
+  // executor memory per core explicitly; SPARK_DRIVER_MEM stays the
+  // override for ramp runs (SCALING.md uses 64g for 10×–100×).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )

@@ -333,6 +333,17 @@ object Bench {
     // time from exactly this). Dropping persistent RDDs + one GC per
     // query bounds the cross-query contamination.
     def settle(pauseMs: Long = 120): Unit = {
+      // clear the SQL cache REGISTRY, not just its storage (round-18):
+      // operators that persist fan-out frames (cumulativeByKey's
+      // distribution, the cosine prefix table) register a CacheManager
+      // entry per call; unpersisting the backing RDDs below frees the
+      // blocks but leaves the entry, so by query #200 every new
+      // persist/plan-lookup canonicalizes against hundreds of stale
+      // plans — driver-side cost that grows with JVM age (the
+      // late-JVM drift SCALING.md round-17 attributed). clearCache
+      // drops the entries through the proper path.
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case _: Throwable => () }
       spark.sparkContext.getPersistentRDDs.values
         .foreach(_.unpersist(blocking = false))
       System.gc()

@@ -36,7 +36,7 @@ object ProfileQuery {
       System.gc()
 
       val stages =
-        new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Int, Long)]
+        new java.util.concurrent.ConcurrentLinkedQueue[(Int, Long, Int, Long, String)]
       val l = new org.apache.spark.scheduler.SparkListener {
         override def onStageCompleted(
             s: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit = {
@@ -44,7 +44,8 @@ object ProfileQuery {
           stages.add((info.stageId,
             info.completionTime.getOrElse(0L) -
               info.submissionTime.getOrElse(0L),
-            info.numTasks, info.taskMetrics.executorRunTime))
+            info.numTasks, info.taskMetrics.executorRunTime,
+            info.name.take(90)))
         }
       }
       spark.sparkContext.addSparkListener(l)
@@ -54,10 +55,10 @@ object ProfileQuery {
       Thread.sleep(500) // let the listener bus drain
       spark.sparkContext.removeSparkListener(l)
       var wallSum = 0L
-      stages.forEach { case (id, ms, nt, rt) =>
+      stages.forEach { case (id, ms, nt, rt, nm) =>
         wallSum += ms
         println(f"[stage] $name $id%5d wall=${ms}%6d ms tasks=$nt%4d " +
-          f"taskRunTime=${rt}%6d ms")
+          f"taskRunTime=${rt}%6d ms  $nm")
       }
       println(f"[profile] $name total=${total}%.3f s stageWallSum=" +
         f"${wallSum / 1000.0}%.3f s stages=${stages.size} " +

@@ -33,6 +33,14 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // drop stale cache entries + checkpoint blocks between queries —
+      // 244 queries share this JVM, and operators that persist fan-out
+      // frames would otherwise pile registry entries / blocks onto
+      // later queries (same hygiene as Bench.settle, without the GC)
+      try spark.sharedState.cacheManager.clearCache()
+      catch { case _: Throwable => () }
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -212,6 +212,95 @@ object SketchExprs {
     }
 
     def hash(u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+      // ASCII fast path (round-18, guide §1.2 step 2 — per-task work):
+      // `\w` in Java regex is ASCII-only, so after lowercasing every
+      // token is a run of [a-z0-9_] bytes and everything else is a
+      // separator. For all-ASCII documents (where Unicode lowercase ==
+      // ASCII lowercase byte-for-byte) the whole tokenize→gram→hash
+      // walk runs on BYTES: no regex engine, no per-token String, no
+      // UTF-8 re-encode per gram. All tokens joined by single spaces
+      // form one normalized buffer in which every gram is a CONTIGUOUS
+      // SLICE — token i's gram is buf[start(i) .. end(i+n-1)] — so each
+      // hash is one XXH64 over a slice, zero per-gram allocation. The
+      // hash image is bit-identical to the string path (same bytes,
+      // same seed); SketchSpec pins equivalence property-style. Any
+      // non-ASCII byte (e.g. U+212A KELVIN SIGN, which lowercases INTO
+      // ASCII 'k') falls back to the original string path.
+      val nb = u.numBytes()
+      val bytes = u.getBytes // may alias the backing array: never mutated
+      var ascii = true
+      var i = 0
+      while (i < nb) { if (bytes(i) < 0) { ascii = false; i = nb }; i += 1 }
+      if (!ascii) return hashViaStrings(u)
+
+      def isWord(b: Byte): Boolean =
+        (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
+          (b >= '0' && b <= '9') || b == '_'
+      // token spans on the raw bytes; raw mode keeps the leading/
+      // trailing EMPTY tokens Java's split(-1) produces around a
+      // separator-adjacent boundary (an empty input is one empty token)
+      var tokCount = 0
+      val starts = new Array[Int](nb + 2)
+      val lens = new Array[Int](nb + 2)
+      if (!strict && (nb == 0 || !isWord(bytes(0)))) {
+        starts(0) = 0; lens(0) = 0; tokCount = 1
+      }
+      i = 0
+      while (i < nb) {
+        if (isWord(bytes(i))) {
+          val s = i
+          while (i < nb && isWord(bytes(i))) i += 1
+          starts(tokCount) = s; lens(tokCount) = i - s; tokCount += 1
+        } else i += 1
+      }
+      if (!strict && nb > 0 && !isWord(bytes(nb - 1))) {
+        starts(tokCount) = nb; lens(tokCount) = 0; tokCount += 1
+      }
+      if (strict && tokCount < n)
+        return new GenericArrayData(Array.emptyLongArray)
+      // normalized join buffer: lowercased tokens, single ' ' between
+      var joinedLen = if (tokCount == 0) 0 else tokCount - 1
+      i = 0
+      while (i < tokCount) { joinedLen += lens(i); i += 1 }
+      val buf = new Array[Byte](joinedLen)
+      val bufStart = new Array[Int](math.max(tokCount, 1))
+      val bufEnd = new Array[Int](math.max(tokCount, 1))
+      var p = 0
+      i = 0
+      while (i < tokCount) {
+        if (i > 0) { buf(p) = ' '; p += 1 }
+        bufStart(i) = p
+        var j = starts(i)
+        val e = starts(i) + lens(i)
+        while (j < e) {
+          val b = bytes(j)
+          buf(p) = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
+          p += 1; j += 1
+        }
+        bufEnd(i) = p
+        i += 1
+      }
+      val count = math.max(tokCount - (n - 1), 1)
+      val hashes = new Array[Long](count)
+      i = 0
+      while (i < count) {
+        val last = math.min(i + n - 1, tokCount - 1)
+        val s = if (tokCount == 0) 0 else bufStart(i)
+        val e = if (tokCount == 0) 0 else bufEnd(last)
+        hashes(i) = org.apache.spark.sql.catalyst.expressions.XXH64
+          .hashUnsafeBytes(buf, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + s,
+            e - s, 42L)
+        i += 1
+      }
+      sortedDistinct(hashes, count)
+    }
+
+    /** The original String/regex path — kept verbatim for non-ASCII
+      * documents, where Unicode lowercasing can change byte classes
+      * (test-visible: LlmSpec pins fast-path ≡ string-path on edge
+      * inputs). */
+    private[graft] def hashViaStrings(
+        u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
       val tokens = if (strict) strictTokens(u) else rawTokens(u)
       if (strict && tokens.length < n) return new GenericArrayData(Array.emptyLongArray)
       val count = math.max(tokens.length - (n - 1), 1)
@@ -231,16 +320,22 @@ object SketchExprs {
           g, org.apache.spark.sql.types.StringType, 42L)
         i += 1
       }
-      // SORTED distinct output: downstream set ops (JaccardSorted) get a
-      // linear merge instead of per-pair hash-set builds
-      java.util.Arrays.sort(hashes)
+      sortedDistinct(hashes, count)
+    }
+
+    // SORTED distinct output: downstream set ops (JaccardSorted) get a
+    // linear merge instead of per-pair hash-set builds
+    private def sortedDistinct(hashes: Array[Long], count: Int): ArrayData = {
+      java.util.Arrays.sort(hashes, 0, count)
       var m = 0
-      i = 0
+      var i = 0
       while (i < count) {
         if (i == 0 || hashes(i) != hashes(i - 1)) { hashes(m) = hashes(i); m += 1 }
         i += 1
       }
-      new GenericArrayData(if (m == count) hashes else hashes.take(m))
+      new GenericArrayData(
+        if (m == count && m == hashes.length) hashes
+        else java.util.Arrays.copyOf(hashes, m))
     }
 
     protected override def nullSafeEval(input: Any): Any =

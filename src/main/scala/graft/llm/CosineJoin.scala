@@ -111,12 +111,24 @@ object CosineJoin {
     val wOrd = Window.partitionBy(col("__id"))
       .orderBy(col("df").asc, col("term").asc)
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    // PERSISTED fan-out point (round-18, guide §1.2 step 1 /
+    // §5 caching rule): `prefixed` feeds the hot-term check (its own
+    // count ACTION below), the candidate index+probe, AND — since it is
+    // the same row multiset as `weighted` (norms is an inner join on a
+    // key total: every __id survives) — the verify-side vector build.
+    // Exchange reuse cannot span separate actions, so without the
+    // persist the whole tokenize→tf→df-join→window pipeline ran TWICE:
+    // once under hot.count(), once under the real query. MEMORY_AND_DISK
+    // so a 100 TB prefix table spills instead of OOMing; freed by the
+    // context cleaner with the frame (house pattern, see
+    // Distributions.cumulativeByKey).
     val prefixed = weighted
       .withColumn("tail2", sum(col("w2")).over(wOrd))
       .join(norms, Seq("__id"))
       .withColumn("indexed",
         col("tail2") * lit(thresholdDen.toLong * thresholdDen) >=
           col("norm2") * lit(thresholdNum.toLong * thresholdNum))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // candidates: indexed (prefix) terms probe ALL terms of other
     // docs; either direction suffices, the union is a sound superset
     val probe = prefixed.select(col("term"), col("__id").as("__b"))
@@ -163,7 +175,10 @@ object CosineJoin {
     // the same vector frame, so the na/nb joins disappear too: the
     // whole verify stage is two joins + one projection, no explode,
     // no pair-keyed aggregation, nothing that must fit a hash map.
-    val vecs = weighted.groupBy(col("__id"))
+    // built from the PERSISTED prefixed frame (same rows as `weighted`;
+    // see the persist note above) so the verify side re-reads cached
+    // rows instead of re-running the tf-idf pipeline a third time
+    val vecs = prefixed.groupBy(col("__id"))
       .agg(sort_array(collect_list(struct(
         xxhash64(col("term")).as("h"), col("w").as("w")))).as("__vec"),
         sum(col("w2")).as("__n2"))

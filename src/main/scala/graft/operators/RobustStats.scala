@@ -28,31 +28,52 @@ object RobustStats {
 
   private def q(c: String): Column = col("`" + c.replace("`", "``") + "`")
 
-  /** Lower-median of `valueCol` in `df` per the distribution trick:
-    * one (value,count) agg + cumulative windows, returned as a 1-row
-    * frame named `alias`. */
-  private def lowerMedian(df: DataFrame, value: Column,
-                          alias: String): DataFrame =
-    Distributions.cumulative(df, value)
-      .agg(max(when(col("e") - col("cnt") <= floor((col("n") - 1) / 2) &&
-        floor((col("n") - 1) / 2) < col("e"), col("v"))).as(alias))
+  /** Lower-median over a cumulative distribution frame
+    * ([[Distributions.cumulativeByKey]] columns v/cnt/e/n), returned as
+    * a 1-row frame named `alias`. */
+  private def lowerMedianOf(cum: DataFrame, alias: String): DataFrame =
+    cum.agg(max(when(col("e") - col("cnt") <= floor((col("n") - 1) / 2) &&
+      floor((col("n") - 1) / 2) < col("e"), col("v"))).as(alias))
 
   /** Attach `<col>_rz` (rounded robust z) and `<col>_outlier` for one
     * numeric column. `cutoff` is in robust-sigma units (3.5 is the
-    * classic Iglewicz–Hoaglin choice). */
+    * classic Iglewicz–Hoaglin choice).
+    *
+    * Round-18 shape (guide §2.3/§2.4 — don't recompute what you
+    * already have): the MAD is the lower median of |v − med|, and that
+    * multiset is a pure function of the VALUE DISTRIBUTION already
+    * aggregated for the median — |v − med| with multiplicity cnt. The
+    * previous shape re-scanned the RAW table (crossJoin(med) → a
+    * second full (value,count) aggregation), so the heavy scan+agg
+    * subtree ran twice more inside one plan (3 full scans, ~26
+    * exchanges at the gate). Deriving the MAD distribution from the
+    * first cumulative frame drops that to 2 full scans (stats + final
+    * projection) and distribution-sized work for everything else —
+    * identical order statistics by construction (same multiset). */
   def outliers(df: DataFrame, c: String, cutoff: Double = 3.5,
                roundTo: Int = 6): DataFrame = {
     require(df.columns.contains(c), s"no such column '$c'")
     require(df.schema(c).dataType.isInstanceOf[NumericType],
       s"column '$c' (${df.schema(c).dataType.simpleString}) is not numeric")
     require(cutoff > 0, s"cutoff must be positive, got $cutoff")
-    val med = lowerMedian(df, q(c), "__med")
-    val withMed = df.crossJoin(broadcast(med))
-    val mad = lowerMedian(withMed, abs(q(c).cast("double") - col("__med")),
-      "__mad")
+    // EAGER checkpoint of the distribution-sized cumulative frame: the
+    // med and mad 1-row aggregates below are broadcast subtrees, and
+    // Spark builds all of a plan's broadcasts CONCURRENTLY — left as a
+    // lazy persist, every broadcast future raced to materialize this
+    // same frame and the work ran ~7× (measured: 60 s of task CPU on a
+    // 60 k-row table). One eager job computes it once; everything
+    // downstream reads distribution-sized cached rows. Bounded by the
+    // column's distinct-value count (the operator's existing contract).
+    val cum = Distributions.cumulative(df, q(c)).localCheckpoint(true)
+    val med = lowerMedianOf(cum, "__med")
+    val madDist = cum.crossJoin(broadcast(med))
+      .select(lit("_").as("c"), abs(col("v") - col("__med")).as("v"),
+        col("cnt"))
+      .groupBy(col("c"), col("v")).agg(sum(col("cnt")).as("cnt"))
+    val mad = lowerMedianOf(Distributions.cumulativeByKey(madDist), "__mad")
     val v = q(c).cast("double")
     val scale = lit(1.4826) * col("__mad")
-    withMed.crossJoin(broadcast(mad)).select(
+    df.crossJoin(broadcast(med)).crossJoin(broadcast(mad)).select(
       df.columns.toSeq.map(q) ++ Seq(
         round(when(v.isNull, lit(null).cast("double"))
           .when(col("__mad") === 0.0, lit(0.0))

@@ -83,9 +83,17 @@ class CosineJoinSpec extends SparkSpec {
       docs.toDF("doc_id", "text"), "doc_id", "text", 5, 10)
     // the logical plan must carry NO broadcast hint — at 100 TB the
     // term dictionary is billions of rows and a mandatory broadcast
-    // would sink the job; runtime (AQE) broadcasts are fine
-    assert(!out.queryExecution.optimizedPlan.toString
-        .toLowerCase.contains("broadcast"),
+    // would sink the job; runtime (AQE) broadcasts are fine. Checked
+    // on the Join nodes' hints (not the plan STRING: the persisted
+    // prefix table's InMemoryRelation embeds its cached physical plan,
+    // whose legitimate runtime broadcasts would false-positive a
+    // substring test).
+    val joinHints = out.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j.hint
+    }
+    assert(joinHints.forall(h =>
+      h.leftHint.forall(_.strategy.isEmpty) &&
+        h.rightHint.forall(_.strategy.isEmpty)),
       "vocabulary join must not carry a mandatory broadcast hint")
     def run() = CosineJoin.tfidfCosineJoin(
         docs.toDF("doc_id", "text"), "doc_id", "text", 5, 10)

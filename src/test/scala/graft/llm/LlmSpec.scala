@@ -134,6 +134,31 @@ class LlmSpec extends SparkSpec {
     assert(diff.count() == 0, "jaccard_sorted diverges from set-op jaccard")
   }
 
+  test("ShingleHash ASCII byte fast path is hash-identical to the " +
+      "string path (round-18)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // separator geometry, case, digits/underscore, empties, and the
+    // non-ASCII inputs that MUST take the string path (U+212A KELVIN
+    // SIGN lowercases into ASCII 'k' — a byte-level scan would
+    // tokenize it differently, so the dispatcher has to fall back)
+    val inputs = Seq(
+      "", " ", "  ", "a", "A", "_x9 ", " leading sep", "trailing sep ",
+      "Mixed CASE tokens", "tabs\tand\nnewlines\r\nhere",
+      "double  space", "a-b.c,d;e", "0123 4567_89", "!!!", "a!b",
+      "word " * 40 + "tail", "Kelvin sign", "café au lait",
+      "İstanbul I", "emoji 😀 mid", "mixed ascii 中文")
+    for (n <- Seq(1, 2, 3, 5); strict <- Seq(false, true)) {
+      val expr = graft.functions.SketchExprs.ShingleHash(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"), n, strict)
+      inputs.foreach { s =>
+        val u = UTF8String.fromString(s)
+        val fast = expr.hash(u).toLongArray().toSeq
+        val slow = expr.hashViaStrings(u).toLongArray().toSeq
+        assert(fast == slow, s"n=$n strict=$strict input=${s.take(30)}")
+      }
+    }
+  }
+
   test("minhashPairs equals brute-force jaccard >= threshold (LSH recall)") {
     val docs = sf("documents").select($"doc_id", $"text").limit(200)
     val variants = docs.filter(pmod($"doc_id", lit(4)) === 1)
