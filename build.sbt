@@ -28,16 +28,27 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// Default heap sized to the box (guide §5 / SCALING.md round-10
+// finding 1: memory PER CORE is the knob — 2 GiB/core restored the
+// linear curve where 256 MiB/core fell off a 2.6× cliff; the r18
+// constant 24g measured −15.8% on the full sf0.1 bench vs 8g). Round
+// 19 derives the default from PHYSICAL RAM instead of hard-coding a
+// ≥32 GiB host: round(RAM GiB · 3/16), floor 8 GiB — still exactly
+// 24g on this 128 GiB box (identical bench numbers), and a small dev
+// machine gets a heap it can actually fork. A cluster deployment
+// sizes executor memory per core explicitly; SPARK_DRIVER_MEM stays
+// the override for ramp runs (SCALING.md uses 64g for 10×–100×).
+val defaultHeap: String = {
+  val gib: Option[Double] =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .collectFirst { case l if l.startsWith("MemTotal:") =>
+        l.trim.split("\\s+")(1).toDouble / (1024.0 * 1024.0) }
+    catch { case _: Throwable => None }
+  val g = gib.map(x => math.max(8L, math.round(x * 3.0 / 16.0))).getOrElse(8L)
+  s"${g}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // Default heap sized to the box (guide §5 / SCALING.md round-10
-  // finding 1: memory PER CORE is the knob — 2 GiB/core restored the
-  // linear curve where 256 MiB/core fell off a 2.6× cliff). The old
-  // 8g default on local[32] was 256 MiB/core; 24g = 768 MiB/core on a
-  // 128 GiB box, measured −15.8% on the full sf0.1 bench (161.2 →
-  // 135.7 s, same box, back-to-back). A cluster deployment sizes
-  // executor memory per core explicitly; SPARK_DRIVER_MEM stays the
-  // override for ramp runs (SCALING.md uses 64g for 10×–100×).
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )

@@ -1639,8 +1639,11 @@ object SparkEntry {
           concat(col("text"), lit(" zzqqxx wwyyvv jjkkqq")).as("text"))
       val corpus = docs.union(noisy)
       val vocab = LmScore.unigramVocab(corpus, "text", vocabSize = 30)
+      // denominator folded into the scoring plan (round-19): the frame
+      // overload cross-joins the 1-row total instead of collecting it
+      // with its own action + tokenize pass
       LmScore.score(corpus, "doc_id", "text", vocab,
-        LmScore.totalTokens(corpus, "text"))
+        LmScore.totalTokensDf(corpus, "text"))
     },
 
     // --- PMI collocations (Church & Hanks): the word pairs that
@@ -1662,7 +1665,7 @@ object SparkEntry {
       val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val vocab = LmScore.unigramVocab(docs, "text", vocabSize = 30)
       val scored = LmScore.score(docs, "doc_id", "text", vocab,
-        LmScore.totalTokens(docs, "text"))
+        LmScore.totalTokensDf(docs, "text"))
       LmScore.perplexityBuckets(scored, "doc_id")
     },
 
@@ -1735,8 +1738,9 @@ object SparkEntry {
       val vocab = LmScore.unigramVocab(corpus, "text", vocabSize = 30)
       val bigrams = LmScore.bigramCounts(corpus, "text", vocab,
         bigramSize = 100)
+      // denominator folded into the scoring plan (round-19, see q_lm_score)
       LmScore.scoreBigram(corpus, "doc_id", "text", vocab, bigrams,
-        LmScore.totalTokens(corpus, "text"))
+        LmScore.totalTokensDf(corpus, "text"))
     },
 
     // --- repeated-substring spans: per-doc fraction of strided 40-char

@@ -211,7 +211,14 @@ object SketchExprs {
         s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.hash($c);")
     }
 
-    def hash(u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+    def hash(u: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+      new GenericArrayData(longs(u))
+
+    /** The exact-size sorted-distinct long array behind [[hash]] —
+      * shared with [[ShingleHashPacked]] so the packed form is the same
+      * hash image by construction. */
+    private[functions] def longs(
+        u: org.apache.spark.unsafe.types.UTF8String): Array[Long] = {
       // ASCII fast path (round-18, guide §1.2 step 2 — per-task work):
       // `\w` in Java regex is ASCII-only, so after lowercasing every
       // token is a run of [a-z0-9_] bytes and everything else is a
@@ -231,7 +238,7 @@ object SketchExprs {
       var ascii = true
       var i = 0
       while (i < nb) { if (bytes(i) < 0) { ascii = false; i = nb }; i += 1 }
-      if (!ascii) return hashViaStrings(u)
+      if (!ascii) return longsViaStrings(u)
 
       def isWord(b: Byte): Boolean =
         (b >= 'a' && b <= 'z') || (b >= 'A' && b <= 'Z') ||
@@ -257,7 +264,7 @@ object SketchExprs {
         starts(tokCount) = nb; lens(tokCount) = 0; tokCount += 1
       }
       if (strict && tokCount < n)
-        return new GenericArrayData(Array.emptyLongArray)
+        return Array.emptyLongArray
       // normalized join buffer: lowercased tokens, single ' ' between
       var joinedLen = if (tokCount == 0) 0 else tokCount - 1
       i = 0
@@ -300,9 +307,13 @@ object SketchExprs {
       * (test-visible: LlmSpec pins fast-path ≡ string-path on edge
       * inputs). */
     private[graft] def hashViaStrings(
-        u: org.apache.spark.unsafe.types.UTF8String): ArrayData = {
+        u: org.apache.spark.unsafe.types.UTF8String): ArrayData =
+      new GenericArrayData(longsViaStrings(u))
+
+    private def longsViaStrings(
+        u: org.apache.spark.unsafe.types.UTF8String): Array[Long] = {
       val tokens = if (strict) strictTokens(u) else rawTokens(u)
-      if (strict && tokens.length < n) return new GenericArrayData(Array.emptyLongArray)
+      if (strict && tokens.length < n) return Array.emptyLongArray
       val count = math.max(tokens.length - (n - 1), 1)
       val hashes = new Array[Long](count)
       val sb = new java.lang.StringBuilder(64)
@@ -325,7 +336,7 @@ object SketchExprs {
 
     // SORTED distinct output: downstream set ops (JaccardSorted) get a
     // linear merge instead of per-pair hash-set builds
-    private def sortedDistinct(hashes: Array[Long], count: Int): ArrayData = {
+    private def sortedDistinct(hashes: Array[Long], count: Int): Array[Long] = {
       java.util.Arrays.sort(hashes, 0, count)
       var m = 0
       var i = 0
@@ -333,15 +344,71 @@ object SketchExprs {
         if (i == 0 || hashes(i) != hashes(i - 1)) { hashes(m) = hashes(i); m += 1 }
         i += 1
       }
-      new GenericArrayData(
-        if (m == count && m == hashes.length) hashes
-        else java.util.Arrays.copyOf(hashes, m))
+      if (m == count && m == hashes.length) hashes
+      else java.util.Arrays.copyOf(hashes, m)
     }
 
     protected override def nullSafeEval(input: Any): Any =
       hash(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
 
     override protected def withNewChildInternal(c: Expression): ShingleHash =
+      copy(child = c)
+  }
+
+  /** [[ShingleHash]] with a FIXED-WIDTH BINARY payload: the identical
+    * sorted-distinct long image (shared [[ShingleHash.longs]] core),
+    * laid out as 8-byte native-order entries in one byte[] instead of
+    * ArrayType(Long).
+    *
+    * Why (round-19, guide §1.2 step 2 / §5): the dedup families'
+    * candidate-VERIFY stages carry each candidate document's shingle
+    * set through two id-keyed joins. As ArrayType the value is
+    * converted GenericArrayData → UnsafeArrayData (a per-ELEMENT
+    * writer loop) when it first enters an UnsafeRow, and every
+    * join/exchange row copy downstream moves the 8-byte header +
+    * null-bit words with it; after the round-18 ASCII fast path this
+    * copy machinery — not hashing — was the largest remaining CPU
+    * block (q_dedup_keep_best verify: 21.3 s task CPU). A BinaryType
+    * cell enters the row as ONE contiguous memcpy and stays a plain
+    * byte region through every copy. [[JaccardSortedPacked]] reads the
+    * longs back in place — no unpack allocation per comparison. */
+  case class ShingleHashPacked(child: Expression, n: Int,
+                               strict: Boolean = false)
+    extends UnaryExpression {
+
+    require(n >= 1, "shingle size must be >= 1")
+
+    @transient private lazy val impl = ShingleHash(child, n, strict)
+
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = child.nullable
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("shinglePacked", this,
+        classOf[ShingleHashPacked].getName)
+      nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.hashPacked($c);")
+    }
+
+    def hashPacked(u: org.apache.spark.unsafe.types.UTF8String): Array[Byte] = {
+      val arr = impl.longs(u)
+      val out = new Array[Byte](arr.length << 3)
+      var i = 0
+      while (i < arr.length) {
+        org.apache.spark.unsafe.Platform.putLong(out,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + (i.toLong << 3),
+          arr(i))
+        i += 1
+      }
+      out
+    }
+
+    protected override def nullSafeEval(input: Any): Any =
+      hashPacked(input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+    override protected def withNewChildInternal(c: Expression): ShingleHashPacked =
       copy(child = c)
   }
 
@@ -892,6 +959,54 @@ object SketchExprs {
     GraftBridge.column(
       JaccardSorted(GraftBridge.expression(a), GraftBridge.expression(b)))
 
+  /** [[JaccardSorted]] over two PACKED shingle sets
+    * ([[ShingleHashPacked]] payloads: sorted-distinct longs as 8-byte
+    * native-order entries in one byte[]). Identical merge, identical
+    * result for the same hash image — the longs are read in place
+    * from the binary cell, so the verify inner loop never unpacks an
+    * array per comparison. */
+  case class JaccardSortedPacked(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+
+    override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+    override def nullable: Boolean = left.nullable || right.nullable
+
+    override protected def doGenCode(
+        ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+        ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+        : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode = {
+      val ref = ctx.addReferenceObj("jaccardPacked", this,
+        classOf[JaccardSortedPacked].getName)
+      nullSafeCodeGen(ctx, ev, (a, b) => s"${ev.value} = $ref.merge($a, $b);")
+    }
+
+    def merge(a: Array[Byte], b: Array[Byte]): Double = {
+      val off = org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET
+      val na = a.length >>> 3; val nb = b.length >>> 3
+      if (na == 0 && nb == 0) return 1.0d
+      var i = 0; var j = 0; var inter = 0
+      while (i < na && j < nb) {
+        val x = org.apache.spark.unsafe.Platform.getLong(a, off + (i.toLong << 3))
+        val y = org.apache.spark.unsafe.Platform.getLong(b, off + (j.toLong << 3))
+        if (x == y) { inter += 1; i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      inter.toDouble / (na + nb - inter).toDouble
+    }
+
+    protected override def nullSafeEval(l: Any, r: Any): Any =
+      merge(l.asInstanceOf[Array[Byte]], r.asInstanceOf[Array[Byte]])
+
+    override protected def withNewChildrenInternal(
+        l: Expression, r: Expression): JaccardSortedPacked =
+      copy(left = l, right = r)
+  }
+
+  def jaccard_sorted_packed(a: Column, b: Column): Column =
+    GraftBridge.column(
+      JaccardSortedPacked(GraftBridge.expression(a), GraftBridge.expression(b)))
+
   // ------------------------- Column-level API ---------------------------
 
   def minhash_bands(hashes: Column, numHashes: Int = 64, bands: Int = 16,
@@ -907,6 +1022,13 @@ object SketchExprs {
     * native expression rather than a transform/xxhash64 composition. */
   def shingleHashes(text: Column, n: Int = 3, strict: Boolean = false): Column =
     GraftBridge.column(ShingleHash(GraftBridge.expression(text), n, strict))
+
+  /** [[shingleHashes]] with the fixed-width BinaryType payload — see
+    * [[ShingleHashPacked]]; pair with [[jaccard_sorted_packed]]. */
+  def shingleHashesPacked(text: Column, n: Int = 3,
+                          strict: Boolean = false): Column =
+    GraftBridge.column(
+      ShingleHashPacked(GraftBridge.expression(text), n, strict))
 
   /** Per-document n-gram occurrence stats `struct(total, distinct, top)`
     * — see [[GramRepetition]]. */

@@ -119,9 +119,17 @@ object CosineJoin {
     // Exchange reuse cannot span separate actions, so without the
     // persist the whole tokenize→tf→df-join→window pipeline ran TWICE:
     // once under hot.count(), once under the real query. MEMORY_AND_DISK
-    // so a 100 TB prefix table spills instead of OOMing; freed by the
-    // context cleaner with the frame (house pattern, see
-    // Distributions.cumulativeByKey).
+    // so a 100 TB prefix table spills instead of OOMing.
+    //
+    // Cache lifetime (round-19, honest version of the r18 note): a
+    // SQL-level persist registers a CacheManager entry that holds a
+    // strong reference — GC of the returned frame does NOT free it.
+    // The entry lives until the session drops it (the bench/verify
+    // harness clears the registry between queries; a long-lived
+    // session calling this repeatedly should `unpersist()` the result's
+    // cached lineage or `sharedState.cacheManager.clearCache()` when
+    // done). The guard's failure path below unpersists before
+    // throwing, so a rejected corpus never leaks its prefix table.
     val prefixed = weighted
       .withColumn("tail2", sum(col("w2")).over(wOrd))
       .join(norms, Seq("__id"))
@@ -152,9 +160,12 @@ object CosineJoin {
             s"${r.get(0)} (${r.getLong(1)})").mkString(", ") +
           ". Raise maxPostings, pre-strip boilerplate, or pass " +
           "onCapped=\"warn\"/\"allow\" to accept the drop."
-        if (onCapped == "fail")
+        if (onCapped == "fail") {
+          // nothing downstream will ever read the cache — drop the
+          // CacheManager entry before rejecting the corpus
+          prefixed.unpersist(blocking = false)
           throw graft.core.GraftError.DataValidation(msg)
-        else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
+        } else org.slf4j.LoggerFactory.getLogger(getClass).warn(msg)
       }
     }
     val capped = index.join(hot.select(col("term")), Seq("term"),

@@ -15,10 +15,11 @@ import org.apache.spark.sql.functions._
   *    it was scanned: the narrow projection happens before the shuffle,
   *    and groupBy gets map-side partial aggregation on the hash;
   *  - MinHash+LSH shuffles (id, band, bucket) triples — `bands` rows per
-  *    doc of ~24 bytes, never all-pairs; shingle arrays NEVER cross a
-  *    shuffle (candidate verification re-joins raw text by id and
-  *    re-shingles just those rows); hot buckets (boilerplate) are capped
-  *    so no bucket goes quadratic;
+  *    doc of ~24 bytes, never all-pairs; full-corpus shingle sets never
+  *    cross a shuffle (candidate verification shingles just the
+  *    candidate rows once and moves those sets id-keyed, in the PACKED
+  *    binary form); hot buckets (boilerplate) are capped so no bucket
+  *    goes quadratic;
   *  - SimHash groups a (id, sig) projection by one long key;
   *  - embedding near-dup buckets by SRP sign bits before any pairwise
   *    cosine, so the quadratic step is confined to buckets.
@@ -124,16 +125,24 @@ object Dedup {
     // Shuffle volume class is unchanged — both shapes move one
     // text-sized payload per pair through the id_b join — and the
     // array payload is bounded by token count (~8B/token).
+    // PACKED shingle payloads through the verify joins (round-19,
+    // guide §1.2 step 2 / §5): the candidate sets ride two id-keyed
+    // joins; as ArrayType(Long) each row pays a per-ELEMENT
+    // UnsafeArrayWriter loop at every row-format boundary (the largest
+    // measured CPU block left in the dedup family after the round-18
+    // ASCII fast path). The BinaryType cell is the identical sorted-
+    // distinct long image laid out as one byte[] — one memcpy per row
+    // copy — and the jaccard merge reads the longs in place.
     val candIds = cand.select(col("id_a").as("id"))
       .union(cand.select(col("id_b").as("id"))).distinct()
     val shingled = raw.join(candIds, Seq("id"))
-      .select(col("id"), shingleHashes(col("_text"), nGram).as("_sh"))
+      .select(col("id"), shingleHashesPacked(col("_text"), nGram).as("_sh"))
     val verified = cand
       .join(shingled.select(col("id").as("id_a"), col("_sh").as("_sa")), Seq("id_a"))
       .join(shingled.select(col("id").as("id_b"), col("_sh").as("_sb")), Seq("id_b"))
 
     // shingle output is sorted-distinct by construction → linear merge
-    verified.withColumn("jaccard", jaccard_sorted(col("_sa"), col("_sb")))
+    verified.withColumn("jaccard", jaccard_sorted_packed(col("_sa"), col("_sb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }
@@ -253,16 +262,17 @@ object Dedup {
     // see the minhashPairs verify note (the 10×-ramp lesson: per-pair
     // re-shingling dominates CPU when pair multiplicity is high)
     val candIds = cand.select(col("__id")).distinct()
+    // packed payloads through the candidate joins — see minhashPairs
     val dfSh = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
       .join(candIds, Seq("__id"))
-      .select(col("__id"), shingleHashes(col("__t"), nGram).as("__sa"))
+      .select(col("__id"), shingleHashesPacked(col("__t"), nGram).as("__sa"))
     val candRks = cand.select(col("__rk")).distinct()
     val refSh = refDocs.join(candRks, Seq("__rk"))
-      .select(col("__rk"), shingleHashes(col("__rt"), nGram).as("__sb"))
+      .select(col("__rk"), shingleHashesPacked(col("__rt"), nGram).as("__sb"))
     val dupIds = cand
       .join(dfSh, Seq("__id"))
       .join(refSh, Seq("__rk"))
-      .filter(jaccard_sorted(col("__sa"), col("__sb")) >= threshold)
+      .filter(jaccard_sorted_packed(col("__sa"), col("__sb")) >= threshold)
       .select(col("__id").as(idCol)).distinct()
     df.join(dupIds, Seq(idCol), "left_anti")
   }
@@ -847,16 +857,17 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         nGram: Int = 3, threshold: Double = 0.5,
                         blockingCols: Seq[String] = Seq.empty): DataFrame = {
+    // packed payloads through the blocking join — see minhashPairs
     val sh = df.select((col(idCol).as("id") +: col(textCol).as("_t") +:
       blockingCols.map(col)): _*)
-      .withColumn("_sh", shingleHashes(col("_t"), nGram)).drop("_t")
+      .withColumn("_sh", shingleHashesPacked(col("_t"), nGram)).drop("_t")
     val b = sh.select((col("id").as("id_b") +: col("_sh").as("_sh_b") +:
       blockingCols.map(c => col(c).as(s"${c}_b"))): _*)
     val joinCond = blockingCols
       .map(c => col(c) === col(s"${c}_b"))
       .foldLeft(col("id") < col("id_b"))(_ && _)
     sh.join(b, joinCond)
-      .withColumn("jaccard", jaccard_sorted(col("_sh"), col("_sh_b")))
+      .withColumn("jaccard", jaccard_sorted_packed(col("_sh"), col("_sh_b")))
       .filter(col("jaccard") >= threshold)
       .select(col("id").as("id_a"), col("id_b"), col("jaccard"))
   }
@@ -909,10 +920,16 @@ object Dedup {
         col("sz_b") >= col("sz") * lit(threshold) - lit(1e-9) &&
         col("sz") >= col("sz_b") * lit(threshold) - lit(1e-9))
       .select(col("id").as("id_a"), col("id_b")).distinct()
+    // verify side re-shingles into the PACKED form (the toks subtree
+    // re-executes per join occurrence in this lazy plan anyway — same
+    // tokenize cost, binary payload through the joins; inner joins on
+    // candidate ids make the sz>0 filter redundant here)
+    val packed = df.select(col(idCol).as("id"),
+      shingleHashesPacked(col(textCol), 1, strict = true).as("hp"))
     cand
-      .join(toks.select(col("id").as("id_a"), col("hs").as("_ha")), Seq("id_a"))
-      .join(toks.select(col("id").as("id_b"), col("hs").as("_hb")), Seq("id_b"))
-      .withColumn("jaccard", jaccard_sorted(col("_ha"), col("_hb")))
+      .join(packed.select(col("id").as("id_a"), col("hp").as("_ha")), Seq("id_a"))
+      .join(packed.select(col("id").as("id_b"), col("hp").as("_hb")), Seq("id_b"))
+      .withColumn("jaccard", jaccard_sorted_packed(col("_ha"), col("_hb")))
       .filter(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), col("jaccard"))
   }

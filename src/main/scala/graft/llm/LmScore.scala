@@ -26,13 +26,20 @@ object LmScore {
   private def tokens(text: org.apache.spark.sql.Column) =
     Contamination.tokens(text)
 
+  /** The full `(word, cnt)` corpus aggregate both model artifacts
+    * derive from — [[unigramVocab]] cuts its top-k, [[totalTokensDf]]
+    * sums it. One definition so the two subtrees canonicalize equal
+    * and share their exchange inside one scoring plan. */
+  private def wordCounts(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
   /** `(word, cnt)` for the `vocabSize` most frequent corpus words,
     * ties broken by word — deterministic on any cluster. */
   def unigramVocab(df: DataFrame, textCol: String,
                    vocabSize: Int = 5000): DataFrame = {
     require(vocabSize >= 1, s"vocabSize must be >= 1: $vocabSize")
-    df.select(explode(tokens(col(textCol))).as("word"))
-      .groupBy("word").agg(count(lit(1)).as("cnt"))
+    wordCounts(df, textCol)
       .orderBy(col("cnt").desc, col("word"))
       .limit(vocabSize)
   }
@@ -42,6 +49,19 @@ object LmScore {
   def totalTokens(df: DataFrame, textCol: String): Long =
     df.select(sum(size(tokens(col(textCol)))).as("n"))
       .head.getAs[Long]("n")
+
+  /** [[totalTokens]] as a 1-row FRAME (`__total`), derived from the
+    * same `(word, cnt)` aggregate as [[unigramVocab]] (identical sum:
+    * every token occurrence is counted under exactly one word). Passed
+    * to the [[score]]/[[scoreBigram]] frame overloads, the denominator
+    * stops being its own driver ACTION — the extra tokenize pass it
+    * cost folds into the scoring plan, where exchange reuse collapses
+    * it with the vocabulary build (round-19, guide §5: exchange reuse
+    * cannot span separate actions). An empty/token-less corpus yields
+    * a null `__total` (the Long form throws instead — callers that
+    * need the loud guard keep using it). */
+  def totalTokensDf(df: DataFrame, textCol: String): DataFrame =
+    wordCounts(df, textCol).agg(sum(col("cnt")).as("__total"))
 
   /** `(id, prev, word)` token stream with `prev = null` on each
     * document's first token — built SHUFFLE-FREE from one array
@@ -105,21 +125,47 @@ object LmScore {
                   vocab: DataFrame, bigrams: DataFrame, total: Long,
                   alpha: Double = 0.4, roundTo: Int = 6): DataFrame = {
     require(total >= 1, s"total tokens must be >= 1: $total")
+    scoreBigramImpl(df, idCol, textCol, vocab, bigrams, identity,
+      lit(total.toDouble), alpha, roundTo)
+  }
+
+  /** [[scoreBigram]] with the denominator as a [[totalTokensDf]] frame
+    * instead of a driver-collected Long: same per-token double
+    * sequence (cnt / total in one division), one fewer action and one
+    * fewer corpus tokenize pass. */
+  def scoreBigram(df: DataFrame, idCol: String, textCol: String,
+                  vocab: DataFrame, bigrams: DataFrame, total: DataFrame,
+                  alpha: Double, roundTo: Int): DataFrame = {
+    Guards.requireFreshColumns(df, Seq("__total"), "LmScore.scoreBigram")
+    scoreBigramImpl(df, idCol, textCol, vocab, bigrams,
+      _.crossJoin(broadcast(total)), col("__total").cast("double"),
+      alpha, roundTo)
+  }
+
+  def scoreBigram(df: DataFrame, idCol: String, textCol: String,
+                  vocab: DataFrame, bigrams: DataFrame,
+                  total: DataFrame): DataFrame =
+    scoreBigram(df, idCol, textCol, vocab, bigrams, total, 0.4, 6)
+
+  private def scoreBigramImpl(df: DataFrame, idCol: String, textCol: String,
+                              vocab: DataFrame, bigrams: DataFrame,
+                              attach: DataFrame => DataFrame,
+                              totalD: org.apache.spark.sql.Column,
+                              alpha: Double, roundTo: Int): DataFrame = {
     require(alpha > 0.0 && alpha <= 1.0, s"alpha must be in (0, 1]: $alpha")
     Guards.requireFreshColumns(df,
       Seq("prev", "word", "cnt", "bcnt", "n_tokens", "avg_logscore"),
       "LmScore.scoreBigram")
-    val uniP = coalesce(col("cnt"), lit(1L)).cast("double") /
-      lit(total.toDouble)
+    val uniP = coalesce(col("cnt"), lit(1L)).cast("double") / totalD
     val lp = when(col("prev").isNull, log(uniP))
       .when(col("bcnt").isNotNull && col("__p").isNotNull,
         log(col("bcnt").cast("double") / col("__p").cast("double")))
       .otherwise(log(lit(alpha)) + log(uniP))
-    tokenPairs(df, idCol, textCol)
-      .join(broadcast(bigrams), Seq("prev", "word"), "left")
-      .join(broadcast(vocab.select(col("word").as("prev"),
-        col("cnt").as("__p"))), Seq("prev"), "left")
-      .join(broadcast(vocab), Seq("word"), "left")
+    attach(tokenPairs(df, idCol, textCol)
+        .join(broadcast(bigrams), Seq("prev", "word"), "left")
+        .join(broadcast(vocab.select(col("word").as("prev"),
+          col("cnt").as("__p"))), Seq("prev"), "left")
+        .join(broadcast(vocab), Seq("word"), "left"))
       .groupBy(col(idCol))
       .agg(count(col("word")).as("n_tokens"),
         avg(when(col("word").isNotNull, lp)).as("__alp"))
@@ -134,12 +180,35 @@ object LmScore {
   def score(df: DataFrame, idCol: String, textCol: String,
             vocab: DataFrame, total: Long, roundTo: Int = 6): DataFrame = {
     require(total >= 1, s"total tokens must be >= 1: $total")
+    scoreImpl(df, idCol, textCol, vocab, identity, lit(total.toDouble),
+      roundTo)
+  }
+
+  /** [[score]] with the denominator as a [[totalTokensDf]] frame: the
+    * 1-row total cross-joins in as a broadcast instead of being
+    * collected by its own action, and its tokenize subtree shares the
+    * vocabulary build's exchange. Same per-token double sequence
+    * (`cnt / total` in one division) — results are bit-identical. */
+  def score(df: DataFrame, idCol: String, textCol: String,
+            vocab: DataFrame, total: DataFrame, roundTo: Int): DataFrame = {
+    Guards.requireFreshColumns(df, Seq("__total"), "LmScore.score")
+    scoreImpl(df, idCol, textCol, vocab, _.crossJoin(broadcast(total)),
+      col("__total").cast("double"), roundTo)
+  }
+
+  def score(df: DataFrame, idCol: String, textCol: String,
+            vocab: DataFrame, total: DataFrame): DataFrame =
+    score(df, idCol, textCol, vocab, total, 6)
+
+  private def scoreImpl(df: DataFrame, idCol: String, textCol: String,
+                        vocab: DataFrame, attach: DataFrame => DataFrame,
+                        totalD: org.apache.spark.sql.Column,
+                        roundTo: Int): DataFrame = {
     Guards.requireFreshColumns(df,
       Seq("word", "cnt", "n_tokens", "avg_logprob"), "LmScore.score")
-    val lp = log(coalesce(col("cnt"), lit(1L)).cast("double") /
-      lit(total.toDouble))
-    df.select(col(idCol), explode_outer(tokens(col(textCol))).as("word"))
-      .join(broadcast(vocab), Seq("word"), "left")
+    val lp = log(coalesce(col("cnt"), lit(1L)).cast("double") / totalD)
+    attach(df.select(col(idCol), explode_outer(tokens(col(textCol))).as("word"))
+        .join(broadcast(vocab), Seq("word"), "left"))
       .groupBy(col(idCol))
       .agg(count(col("word")).as("n_tokens"),
         avg(when(col("word").isNotNull, lp)).as("__alp"))

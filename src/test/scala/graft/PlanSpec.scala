@@ -332,6 +332,29 @@ class PlanSpec extends SparkSpec {
       s"global range sort found — per-shard sorts must stay parallel:\n$plan")
   }
 
+  test("pairs queries: no shuffle carries document text (round-19 — " +
+      "the incremental-dedup assertion extended to the pair engines)") {
+    // the candidate-verify exchanges carry id-keyed PACKED shingle
+    // sets (bounded to candidate rows, by design); raw text columns
+    // must never ride any exchange in these plans
+    val textish = Set("text", "_text", "__t", "__rt")
+    val docs = sf("documents")
+    def assertNoText(name: String, df: DataFrame): Unit =
+      shuffleOutputs(df).foreach(cols =>
+        assert(!cols.exists(textish), s"$name shuffles text: $cols"))
+    assertNoText("minhashPairs",
+      Dedup.minhashPairs(docs, "doc_id", "text", bands = 32))
+    assertNoText("prefixJaccardJoin",
+      Dedup.prefixJaccardJoin(docs, "doc_id", "text", threshold = 0.75))
+    assertNoText("nearDupAgainstReference",
+      Dedup.nearDupAgainstReference(docs,
+        docs.filter(col("doc_id") % 3 === 0).select(col("text")),
+        "doc_id", "text", bands = 32))
+    assertNoText("ngramJaccardPairs",
+      Dedup.ngramJaccardPairs(docs.limit(60), "doc_id", "text",
+        blockingCols = Seq("lang")))
+  }
+
   test("incremental dedup: anti-join carries hashes, never document text") {
     val docs = sf("documents")
     val ref = docs.filter(col("doc_id") % 3 === 0).select(col("text"))

@@ -159,6 +159,40 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("ShingleHashPacked is the byte image of ShingleHash, and " +
+      "JaccardSortedPacked matches JaccardSorted on it (round-19)") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val inputs = Seq(
+      "", " ", "a", "_x9 ", " leading sep", "trailing sep ",
+      "Mixed CASE tokens", "double  space", "a-b.c,d;e", "!!!",
+      "word " * 40 + "tail", "Kelvin sign", "café au lait",
+      "İstanbul I", "emoji 😀 mid", "the quick brown fox", "the quick")
+    def unpack(bytes: Array[Byte]): Seq[Long] =
+      (0 until (bytes.length >> 3)).map(i =>
+        org.apache.spark.unsafe.Platform.getLong(bytes,
+          org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET + (i.toLong << 3)))
+    val lit = org.apache.spark.sql.catalyst.expressions.Literal("x")
+    for (n <- Seq(1, 2, 3, 5); strict <- Seq(false, true)) {
+      val arr = graft.functions.SketchExprs.ShingleHash(lit, n, strict)
+      val pk = graft.functions.SketchExprs.ShingleHashPacked(lit, n, strict)
+      val jArr = graft.functions.SketchExprs.JaccardSorted(lit, lit)
+      val jPk = graft.functions.SketchExprs.JaccardSortedPacked(lit, lit)
+      val sets = inputs.map { s =>
+        val u = UTF8String.fromString(s)
+        val a = arr.hash(u).toLongArray().toSeq
+        val p = pk.hashPacked(u)
+        assert(unpack(p) == a, s"n=$n strict=$strict input=${s.take(30)}")
+        (a, p)
+      }
+      for ((a, pa) <- sets; (b, pb) <- sets) {
+        val viaArr = jArr.merge(
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(a.toArray),
+          new org.apache.spark.sql.catalyst.util.GenericArrayData(b.toArray))
+        assert(jPk.merge(pa, pb) == viaArr, s"jaccard n=$n strict=$strict")
+      }
+    }
+  }
+
   test("minhashPairs equals brute-force jaccard >= threshold (LSH recall)") {
     val docs = sf("documents").select($"doc_id", $"text").limit(200)
     val variants = docs.filter(pmod($"doc_id", lit(4)) === 1)
